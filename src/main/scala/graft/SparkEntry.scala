@@ -1,13 +1,132 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is written so Spark and the DuckDB oracle agree bit-for-bit:
+  * sums are accumulated in exact DECIMAL and only cast to DOUBLE at the end
+  * (decimal → double conversion is deterministic and order-independent,
+  * unlike a floating-point sum).
+  */
 object SparkEntry {
+
+  /** Exact decimal for money/quantity accumulation. Scale 4 means no
+    * double value can sit on a rounding midpoint (x.xxxx5 is never a
+    * binary fraction), so Spark and DuckDB round identically. */
+  private val Dec = DecimalType(18, 4)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation core (LinkStatsMetric-style partial/final agg) ----
+    "q1_pricing" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast(Dec)).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast(Dec)).cast("double").as("sum_base_price"),
+          sum(($"l_extendedprice".cast(Dec) * ($"l_discount".cast(Dec) * lit(-1) + lit(1))))
+            .cast("double").as("sum_disc_price"),
+          (sum($"l_quantity".cast(Dec)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- LinkMetric: event-time tumbling-window multi-level count ----
+    // reference: filter/link_metric.go (fieldsLink 'a->b' nested counts)
+    "q_link_metric" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(
+          window($"ts", "1 hour")("start").as("window_start"),
+          $"event_type", $"user_id")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- LinkStatsMetric: windowed count/sum/min/max/mean ----
+    // reference: filter/link_stats_metric.go
+    "q_link_stats" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "1 hour")("start").as("window_start"), $"event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum($"value".cast(Dec)).cast("double").as("sum_value"),
+          min($"value").as("min_value"),
+          max($"value").as("max_value"),
+          (sum($"value".cast(Dec)).cast("double") / count(lit(1))).as("avg_value"))
+    },
+
+    // ---- join pipeline (Translate/IPIP-style enrichment at scale:
+    //      dims are broadcast, fact side never shuffles for the join) ----
+    "q5_region_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val o  = Tables.load(s, dir, "orders")
+      val c  = Tables.load(s, dir, "customer")
+      val su = Tables.load(s, dir, "supplier")
+      val n  = Tables.load(s, dir, "nation")
+      val r  = Tables.load(s, dir, "region")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(su), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .where($"r_name" === "ASIA" &&
+          $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+        .groupBy($"n_name")
+        .agg(sum(($"l_extendedprice".cast(Dec) * ($"l_discount".cast(Dec) * lit(-1) + lit(1))))
+          .cast("double").as("revenue"))
+    },
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_link_metric" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, user_id,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_link_stats" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+  )
 }
