@@ -65,6 +65,16 @@ object SparkEntry {
           (sum($"value".cast(Dec)).cast("double") / count(lit(1))).as("avg_value"))
     },
 
+    // ---- condition DSL (reference: condition_filter) compiled to a
+    //      pushed-down Catalyst predicate ----
+    "q_condition_dsl" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val dsl = """(EQ(event_type,"error") || HasPrefix(event_type,"sign"))""" +
+        """ && !EQ($.props.k,0) && Contains(props,"k")"""
+      ev.filter(graft.conditions.ConditionFilter.compile(dsl, ev))
+        .select("event_id", "event_type", "value", "user_id")
+    },
+
     // ---- join pipeline (Translate/IPIP-style enrichment at scale:
     //      dims are broadcast, fact side never shuffles for the join) ----
     "q5_region_revenue" -> { (s, dir) =>
@@ -114,6 +124,13 @@ object SparkEntry {
         |  max(value) AS max_value,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_condition_dsl" ->
+      """SELECT event_id, event_type, value, user_id
+        |FROM events
+        |WHERE (event_type = 'error' OR event_type LIKE 'sign%')
+        |  AND NOT (CAST(json_extract_string(props, '$.k') AS DOUBLE) = 0)
+        |  AND contains(props, 'k')""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,

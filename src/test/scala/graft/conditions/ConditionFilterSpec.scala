@@ -1,0 +1,107 @@
+package graft.conditions
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Mirrors the reference's DSL test corpus
+  * (reference: condition_filter/filter_test.go). */
+class ConditionFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  // events-like frame: typed columns + a JSON overflow string column
+  lazy val df: DataFrame = Seq(
+    (1L, "error", 185.22, """{"k": 87, "tags": ["a","b"], "nested": {"x": 1}}""", "app-backend"),
+    (2L, "signup", 106.03, """{"k": 0}""", "app-frontend"),
+    (3L, "purchase", 9.64, null, "svc-auth"),
+  ).toDF("id", "event_type", "value", "props", "service")
+
+  private def ids(dsl: String): Set[Long] =
+    df.filter(ConditionFilter.compile(dsl, df)).select("id").as[Long].collect().toSet
+
+  test("EQ string typed compare") {
+    assert(ids("""EQ(event_type,"error")""") == Set(1L))
+    // string literal vs numeric column → typed mismatch → false (reference equal())
+    assert(ids("""EQ(value,"185.22")""") == Set.empty)
+  }
+
+  test("EQ numeric with coercion, json.Number analogue") {
+    assert(ids("EQ(value,9.64)") == Set(3L))
+    assert(ids("EQ(id,2)") == Set(2L))
+    // numeric compare against a JSON-extracted string value
+    assert(ids("EQ(props,k,87)") == Set(1L))
+    assert(ids("EQ($.props.k,0)") == Set(2L))
+  }
+
+  test("EQ nil and missing fields") {
+    assert(ids("EQ(props,nil)") == Set(3L))
+    assert(ids("EQ(no_such_field,1)") == Set.empty)
+    assert(ids("""EQ(no_such_field,nil)""") == Set.empty) // missing key → false
+  }
+
+  test("Exist") {
+    assert(ids("Exist(props)") == Set(1L, 2L))
+    assert(ids("Exist(nope)") == Set.empty)
+    assert(ids("Exist(props,k)") == Set(1L, 2L))
+    assert(ids("Exist(props,tags)") == Set(1L))
+  }
+
+  test("prefix/suffix/contains") {
+    assert(ids("""HasPrefix(service,"app-")""") == Set(1L, 2L))
+    assert(ids("""HasSuffix(service,"auth")""") == Set(3L))
+    assert(ids("""Contains(event_type,"up")""") == Set(2L))
+    assert(ids("""ContainsAny(event_type,"xk.p")""") == Set(2L, 3L))
+  }
+
+  test("Match regex incl. Go named group rewrite") {
+    assert(ids("""Match(event_type,^(error|signup)$)""") == Set(1L, 2L))
+    assert(ids("""Match(service,(?P<kind>app|svc)-.*)""") == Set(1L, 2L, 3L))
+  }
+
+  test("IN on json array in overflow column") {
+    assert(ids("""IN($.props.tags,"a")""") == Set(1L))
+    assert(ids("""IN($.props.tags,"zz")""") == Set.empty)
+  }
+
+  test("boolean composition and precedence") {
+    assert(ids("""EQ(event_type,"error") || EQ(event_type,"signup")""") == Set(1L, 2L))
+    assert(ids("""!EQ(event_type,"error")""") == Set(2L, 3L))
+    // ! binds tighter than &&, && tighter than ||
+    assert(ids("""EQ(id,3) || EQ(id,1) && EQ(event_type,"error")""") == Set(1L, 3L))
+    assert(ids("""(EQ(id,3) || EQ(id,1)) && EQ(event_type,"error")""") == Set(1L))
+    assert(ids("""!(EQ(id,1) || EQ(id,2))""") == Set(3L))
+  }
+
+  test("quoted parens and operators inside strings don't confuse the parser") {
+    val df2 = Seq((1L, "a)b"), (2L, "x&&y")).toDF("id", "s")
+    def ids2(dsl: String): Set[Long] =
+      df2.filter(ConditionFilter.compile(dsl, df2)).select("id").as[Long].collect().toSet
+    assert(ids2("""EQ(s,"a)b")""") == Set(1L))
+    assert(ids2("""EQ(s,"x&&y") || EQ(id,1)""") == Set(1L, 2L))
+  }
+
+  test("Before/After on @timestamp") {
+    val tdf = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.now().minusSeconds(7200))),
+      (2L, java.sql.Timestamp.from(java.time.Instant.now().plusSeconds(7200))),
+    ).toDF("id", "@timestamp")
+    def tids(dsl: String): Set[Long] =
+      tdf.filter(ConditionFilter.compile(dsl, tdf)).select("id").as[Long].collect().toSet
+    assert(tids("Before(-1h)") == Set(1L))
+    assert(tids("After(-1h)") == Set(2L))
+    assert(tids("Before(24h)") == Set(1L, 2L))
+  }
+
+  test("Random(n) is a bernoulli filter") {
+    val big = spark.range(10000).toDF("id")
+    val n = big.filter(ConditionFilter.compile("Random(10)", big)).count()
+    assert(n > 500 && n < 1500, s"Random(10) kept $n of 10000")
+  }
+
+  test("GoDuration parsing") {
+    assert(GoDuration.parseSeconds("300ms") == 0.3)
+    assert(GoDuration.parseSeconds("-1.5h") == -5400.0)
+    assert(GoDuration.parseSeconds("2h45m") == 9900.0)
+    assert(GoDuration.parseSeconds("10s") == 10.0)
+    intercept[IllegalArgumentException](GoDuration.parseSeconds("10x"))
+  }
+}
