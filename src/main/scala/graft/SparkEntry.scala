@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
+import graft.filters._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -75,6 +76,74 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "user_id")
     },
 
+    // ---- per-event filter operators through the declarative chain ----
+    // Grok: synthesize a log line, parse it back (reference: filter/grok.go)
+    "q_grok" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("message",
+          concat($"event_type", lit(" "), $"user_id", lit(" "), $"value".cast("string")))
+      val grokked = FilterBox(GrokFilter("message",
+        Seq("""^%{WORD:etype} %{INT:uid} %{NUMBER:val}$"""))).stage(ev)
+      grokked.select($"event_id", $"etype", $"uid", $"val")
+    },
+
+    // Date: format → parse round-trip, first-match-wins across formats
+    "q_date" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("t", date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
+      val dated = FilterBox(DateFilter("t",
+        Seq("02/Jan/2006:15:04:05", "2006-01-02 15:04:05"), target = "parsed")).stage(ev)
+      dated.select($"event_id", $"parsed")
+    },
+
+    // Json + Convert: extract JSON field, cast with failure handling
+    "q_json_convert" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val parsed = FilterBox(JsonFilter("props", target = Some("pm"))).stage(ev)
+        .withColumn("k", element_at($"pm", "k"))
+      val conv = FilterBox(ConvertFilter(Map(
+        "k" -> ConvertFilter.Spec("int")))).stage(parsed)
+      conv.select($"event_id", $"k")
+    },
+
+    // Split + KV over a synthesized payload
+    "q_split_kv" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("kvline", concat(lit("type="), $"event_type", lit(" uid="), $"user_id"))
+        .withColumn("psv", concat($"event_type", lit("|"), $"user_id"))
+      val kv = FilterBox(KvFilter("kvline", " ", "=", includeKeys = Seq("type", "uid"))).stage(ev)
+      val sp = FilterBox(SplitFilter("psv", "|", Seq("p1", "p2"))).stage(kv)
+      sp.select($"event_id", $"type", $"uid", $"p1", $"p2")
+    },
+
+    // Gsub / Replace(count) / case folding on documents
+    "q_strings" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val st1 = FilterBox(GsubFilter(Seq(("text", """\s+""", "_")))).stage(docs)
+      val st2 = FilterBox(ReplaceFilter("text", "spark", "SPARK", count = 2)).stage(st1)
+      val st3 = FilterBox(CaseFilter(Seq("lang"), upper = true)).stage(st2)
+      st3.select($"doc_id", $"text", $"lang")
+    },
+
+    // Add/Rename/Remove + Translate dictionary enrichment
+    "q_enrich" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val chain = Seq(
+        FilterBox(AddFilter(Map("combo" -> "{{.event_type}}-{{.user_id}}"))).stage,
+        FilterBox(TranslateFilter("event_type", "code", Map(
+          "error" -> "E", "purchase" -> "P", "signup" -> "S"))).stage,
+        FilterBox(RenameFilter(Map("user_id" -> "uid"))).stage,
+        FilterBox(RemoveFilter(Seq("props", "value", "ts", "event_type"))).stage,
+      )
+      chain.foldLeft(ev.toDF())((d, f) => f(d))
+    },
+
     // ---- join pipeline (Translate/IPIP-style enrichment at scale:
     //      dims are broadcast, fact side never shuffles for the join) ----
     "q5_region_revenue" -> { (s, dir) =>
@@ -131,6 +200,44 @@ object SparkEntry {
         |WHERE (event_type = 'error' OR event_type LIKE 'sign%')
         |  AND NOT (CAST(json_extract_string(props, '$.k') AS DOUBLE) = 0)
         |  AND contains(props, 'k')""".stripMargin,
+
+    "q_grok" ->
+      """SELECT event_id,
+        |  regexp_extract(msg, '^(\w+) ([+-]?[0-9]+) ([+-]?[0-9]+(?:\.[0-9]+)?)$', 1) AS etype,
+        |  regexp_extract(msg, '^(\w+) ([+-]?[0-9]+) ([+-]?[0-9]+(?:\.[0-9]+)?)$', 2) AS uid,
+        |  regexp_extract(msg, '^(\w+) ([+-]?[0-9]+) ([+-]?[0-9]+(?:\.[0-9]+)?)$', 3) AS val
+        |FROM (SELECT event_id,
+        |        event_type || ' ' || user_id || ' ' || CAST(value AS VARCHAR) AS msg
+        |      FROM events)""".stripMargin,
+
+    "q_date" ->
+      """SELECT event_id,
+        |  strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed
+        |FROM events""".stripMargin,
+
+    "q_json_convert" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q_split_kv" ->
+      """SELECT event_id, event_type AS type, CAST(user_id AS VARCHAR) AS uid,
+        |  event_type AS p1, CAST(user_id AS VARCHAR) AS p2
+        |FROM events""".stripMargin,
+
+    "q_strings" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text, '\s+', '_', 'g'),
+        |    'spark', 'SPARK'), 'spark', 'SPARK') AS text,
+        |  upper(lang) AS lang
+        |FROM documents""".stripMargin,
+
+    "q_enrich" ->
+      """SELECT event_id,
+        |  event_type || '-' || CAST(user_id AS VARCHAR) AS combo,
+        |  CASE event_type WHEN 'error' THEN 'E' WHEN 'purchase' THEN 'P'
+        |    WHEN 'signup' THEN 'S' ELSE NULL END AS code,
+        |  user_id AS uid
+        |FROM events""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,

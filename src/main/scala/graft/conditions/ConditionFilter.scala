@@ -215,10 +215,10 @@ object ConditionFilter {
           case (SLit(_), _) => lit(false) // typed compare: string vs non-string
           case (ILit(v), StringType | LongType | IntegerType | ShortType |
                 ByteType | DoubleType | FloatType | _: DecimalType) =>
-            c.cast("double") === lit(v.toDouble)
+            c.try_cast("double") === lit(v.toDouble)
           case (FLit(v), StringType | LongType | IntegerType | ShortType |
                 ByteType | DoubleType | FloatType | _: DecimalType) =>
-            c.cast("double") === lit(v)
+            c.try_cast("double") === lit(v)
           case _ => lit(false)
         }
       }
@@ -254,7 +254,7 @@ object ConditionFilter {
       elem match {
         case LongType | IntegerType | ShortType | ByteType | DoubleType |
              FloatType | _: DecimalType | StringType =>
-          exists(c, e => e.cast("double") === lit(v))
+          exists(c, e => e.try_cast("double") === lit(v))
         case _ => lit(false)
       }
 

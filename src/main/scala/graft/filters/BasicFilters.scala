@@ -1,0 +1,220 @@
+package graft.filters
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.paths.FieldPath
+import graft.render.Render
+
+/** Add: set k → render(v); `overwrite` keeps existing values when false.
+  * (reference: filter/add.go:27-64) */
+final case class AddFilter(fields: Map[String, String], overwrite: Boolean = true)
+    extends EventFilter {
+  def transform(df: DataFrame, cond: Column): DataFrame =
+    fields.foldLeft(df) { case (d, (k, v)) =>
+      StageCols.setField(d, k, Render.compile(v)(d), cond, overwrite)
+    }
+}
+
+/** Remove fields. (reference: filter/remove.go) */
+final case class RemoveFilter(fields: Seq[String]) extends EventFilter {
+  def transform(df: DataFrame, cond: Column): DataFrame =
+    fields.map(StageCols.topLevel).foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f))
+        d.withColumn(f, when(cond, lit(null)).otherwise(col(s"`$f`")))
+      else d
+    }
+  override def transformAll(df: DataFrame): DataFrame =
+    df.drop(fields.map(StageCols.topLevel): _*)
+}
+
+/** Rename src → dst. (reference: filter/rename.go) */
+final case class RenameFilter(fields: Map[String, String]) extends EventFilter {
+  def transform(df: DataFrame, cond: Column): DataFrame =
+    fields.foldLeft(df) { case (d, (src, dst)) =>
+      val s = StageCols.topLevel(src)
+      if (!d.columns.contains(s)) d
+      else {
+        val d2 = StageCols.setField(d, dst, col(s"`$s`"), cond, overwrite = true)
+        d2.withColumn(s, when(cond, lit(null)).otherwise(col(s"`$s`")))
+      }
+    }
+  override def transformAll(df: DataFrame): DataFrame =
+    fields.foldLeft(df) { case (d, (src, dst)) =>
+      val s = StageCols.topLevel(src)
+      if (d.columns.contains(s))
+        d.withColumnRenamed(s, StageCols.topLevel(dst))
+      else d
+    }
+}
+
+/** Lowercase / Uppercase listed fields — string-typed only, like the
+  * reference. (reference: filter/lowercase.go, uppercase.go) */
+final case class CaseFilter(fields: Seq[String], upper: Boolean) extends EventFilter {
+  def transform(df: DataFrame, cond: Column): DataFrame =
+    fields.map(StageCols.topLevel).foldLeft(df) { (d, f) =>
+      FieldPath.resolveTyped(d, f) match {
+        case Some((c, StringType)) =>
+          d.withColumn(f, when(cond, if (upper) org.apache.spark.sql.functions.upper(c)
+            else lower(c)).otherwise(c))
+        case _ => d
+      }
+    }
+}
+
+/** URL-decode listed fields. (reference: filter/url_decode.go)
+  * Uses the built-in codegen'd `url_decode` guarded by a validity check so
+  * malformed input passes through unchanged instead of erroring. */
+final case class UrlDecodeFilter(fields: Seq[String]) extends EventFilter {
+  def transform(df: DataFrame, cond: Column): DataFrame =
+    fields.map(StageCols.topLevel).foldLeft(df) { (d, f) =>
+      FieldPath.resolveTyped(d, f) match {
+        case Some((c, StringType)) =>
+          // valid %-escapes only → url_decode can't throw
+          val valid = !c.rlike("%(?![0-9A-Fa-f]{2})")
+          d.withColumn(f, when(cond && valid, url_decode(c)).otherwise(c))
+        case _ => d
+      }
+    }
+}
+
+/** Split a string field into positional fields.
+  * (reference: filter/split_filter.go:42-124) */
+final case class SplitFilter(
+    src: String, sep: String, fields: Seq[String],
+    maxSplit: Int = -1, trimChars: Option[String] = None,
+    ignoreBlank: Boolean = true) extends EventFilter {
+
+  private def parts(df: DataFrame): Column = {
+    val c = FieldPath.resolve(df, src).getOrElse(lit(null))
+    split(c.cast("string"), java.util.regex.Pattern.quote(sep), maxSplit)
+  }
+  override def success(df: DataFrame): Column =
+    size(parts(df)) >= fields.length
+
+  def transform(df: DataFrame, cond: Column): DataFrame = {
+    val p = parts(df)
+    fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+      var v: Column = element_at(p, i + 1)
+      trimChars.foreach(tc => v = trim(v, tc))
+      if (ignoreBlank) v = when(v === "", lit(null)).otherwise(v)
+      StageCols.setField(d, f, v, cond, overwrite = true)
+    }
+  }
+}
+
+/** KV: split into key/value pairs. With `includeKeys` the output schema is
+  * static (one column per key) — the scalable path; otherwise pairs land
+  * in a map column named by `target`. (reference: filter/kv.go:40-113) */
+final case class KvFilter(
+    src: String, fieldSplit: String, valueSplit: String,
+    includeKeys: Seq[String] = Nil, excludeKeys: Seq[String] = Nil,
+    trimValue: Option[String] = None, trimKey: Option[String] = None,
+    target: Option[String] = None) extends EventFilter {
+
+  private def kvMap(df: DataFrame): Column = {
+    import org.apache.spark.sql.{functions => F}
+    val c = FieldPath.resolve(df, src).getOrElse(lit(null)).cast("string")
+    var m = str_to_map(c,
+      lit(java.util.regex.Pattern.quote(fieldSplit)),
+      lit(java.util.regex.Pattern.quote(valueSplit)))
+    trimKey.foreach(tc => m = map_from_arrays(
+      F.transform(map_keys(m), k => trim(k, tc)), map_values(m)))
+    trimValue.foreach(tc => m = map_from_arrays(
+      map_keys(m), F.transform(map_values(m), v => trim(v, tc))))
+    if (excludeKeys.nonEmpty)
+      m = map_filter(m, (k, _) => !k.isin(excludeKeys.map(lit(_)): _*))
+    m
+  }
+
+  def transform(df: DataFrame, cond: Column): DataFrame = {
+    val m = kvMap(df)
+    if (includeKeys.nonEmpty) {
+      includeKeys.foldLeft(df) { (d, k) =>
+        StageCols.setField(d, k, element_at(m, k), cond, overwrite = true)
+      }
+    } else {
+      val tgt = target.getOrElse(
+        sys.error("KV without include_keys needs a target map column " +
+          "(dynamic keys cannot merge into a static schema)"))
+      StageCols.setField(df, tgt, m, cond, overwrite = true)
+    }
+  }
+}
+
+/** Gsub: regex replace per field; Go `$name` refs → Java `${name}`.
+  * (reference: filter/gsub.go:36-98) */
+final case class GsubFilter(subs: Seq[(String, String, String)]) extends EventFilter {
+  def transform(df: DataFrame, cond: Column): DataFrame =
+    subs.foldLeft(df) { case (d, (f, src, repl)) =>
+      FieldPath.resolveTyped(d, f) match {
+        case Some((c, StringType)) =>
+          d.withColumn(StageCols.topLevel(f),
+            when(cond, regexp_replace(c, src, repl)).otherwise(c))
+        case _ => d
+      }
+    }
+}
+
+/** Replace: literal string replace; `count` limits replacements like Go
+  * strings.Replace. (reference: filter/replace_filter.go) */
+final case class ReplaceFilter(field: String, oldStr: String, newStr: String,
+    count: Int = -1) extends EventFilter {
+  def transform(df: DataFrame, cond: Column): DataFrame =
+    FieldPath.resolveTyped(df, field) match {
+      case Some((c, StringType)) =>
+        val replaced =
+          if (count < 0) replace(c, lit(oldStr), lit(newStr))
+          else {
+            // count-limited: replace the first `count` occurrences.
+            // split keeps it codegen'd: rebuild with at most `count` joins.
+            val quoted = java.util.regex.Pattern.quote(oldStr)
+            val parts = split(c, quoted, count + 1)
+            concat_ws(newStr, parts)
+          }
+        df.withColumn(StageCols.topLevel(field), when(cond, replaced).otherwise(c))
+      case _ => df
+    }
+}
+
+/** Translate: dictionary enrichment. Small dicts become a literal map
+  * lookup (zero shuffle); big dicts should use `TranslateFilter.joined`
+  * which broadcast-joins a dict DataFrame. (reference: filter/translate.go) */
+final case class TranslateFilter(src: String, target: String,
+    dict: Map[String, String]) extends EventFilter {
+  def transform(df: DataFrame, cond: Column): DataFrame = {
+    val m = typedlit(dict)
+    val key = FieldPath.resolve(df, src).getOrElse(lit(null)).cast("string")
+    StageCols.setField(df, target, element_at(m, key), cond, overwrite = true)
+  }
+}
+
+object TranslateFilter {
+  /** Broadcast-join variant for dictionaries too large to inline in the
+    * plan. At scale this is the one to use: the dict is broadcast once,
+    * the fact side never shuffles. */
+  def joined(df: DataFrame, dictDf: DataFrame, srcCol: String,
+      keyCol: String, valueCol: String, target: String): DataFrame = {
+    val d = dictDf.select(col(keyCol).as("__graft_k"), col(valueCol).as(target))
+    df.join(broadcast(d), col(srcCol) === col("__graft_k"), "left")
+      .drop("__graft_k")
+  }
+}
+
+/** Drop the event. Always runs under a FilterBox `if` guard.
+  * (reference: filter/drop.go) */
+final case object DropFilter extends EventFilter {
+  def transform(df: DataFrame, cond: Column): DataFrame = df.filter(!coalesce(cond, lit(false)))
+  override def transformAll(df: DataFrame): DataFrame = df.limit(0)
+}
+
+/** Filters: a nested chain run as one unit under a shared `if` guard
+  * (reference: filter/filters.go). The shared conditions are AND-prefixed
+  * onto every inner box — identical semantics, and Catalyst de-duplicates
+  * the repeated predicate via subexpression elimination. */
+object NestedFilters {
+  def stage(sharedIf: Seq[String], boxes: Seq[FilterBox]): DataFrame => DataFrame =
+    df => boxes.foldLeft(df)((d, b) =>
+      b.copy(ifConds = sharedIf ++ b.ifConds).stage(d))
+}

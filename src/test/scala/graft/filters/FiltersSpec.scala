@@ -1,0 +1,198 @@
+package graft.filters
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+class FiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  def oneRow(df: DataFrame): Row = df.collect().head
+
+  test("Add: literal, field ref, template, index pattern; overwrite flag") {
+    val df = Seq(("alice", "web")).toDF("user", "app")
+    val out = FilterBox(AddFilter(Map(
+      "greet" -> "hello",
+      "copy" -> "[user]",
+      "combo" -> "{{.app}}-{{.user}}",
+      "idx" -> "logs-%{app}",
+    ))).stage(df)
+    val r = oneRow(out.select("greet", "copy", "combo", "idx"))
+    assert(r == Row("hello", "alice", "web-alice", "logs-web"))
+
+    val df2 = Seq(("x", "keep")).toDF("a", "existing")
+    val keep = FilterBox(AddFilter(Map("existing" -> "new"), overwrite = false)).stage(df2)
+    assert(oneRow(keep.select("existing")) == Row("keep"))
+    val over = FilterBox(AddFilter(Map("existing" -> "new"))).stage(df2)
+    assert(oneRow(over.select("existing")) == Row("new"))
+  }
+
+  test("Remove: unconditional drops column; conditional nulls per-row") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "junk")
+    assert(!FilterBox(RemoveFilter(Seq("junk"))).stage(df).columns.contains("junk"))
+    val cond = FilterBox(RemoveFilter(Seq("junk")), ifConds = Seq("EQ(id,1)")).stage(df)
+    assert(cond.orderBy("id").select("junk").as[String].collect().toSeq == Seq(null, "b"))
+  }
+
+  test("Rename") {
+    val df = Seq((1, "x")).toDF("id", "old")
+    val out = FilterBox(RenameFilter(Map("old" -> "new"))).stage(df)
+    assert(out.columns.toSeq == Seq("id", "new"))
+    assert(oneRow(out.select("new")) == Row("x"))
+  }
+
+  test("Convert: casts, failure handling") {
+    val df = Seq(("12", "bad", "3.5", "true"), ("7", "8", "x", "nope"))
+      .toDF("a", "b", "c", "d")
+    val out = FilterBox(ConvertFilter(Map(
+      "a" -> ConvertFilter.Spec("int"),
+      "b" -> ConvertFilter.Spec("int", settoIfFail = Some(-1L)),
+      "c" -> ConvertFilter.Spec("float", removeIfFail = true),
+      "d" -> ConvertFilter.Spec("bool"),
+    ))).stage(df)
+    val rows = out.orderBy("a").select("a", "b", "c", "d").collect()
+    assert(rows(0) == Row(7L, 8L, null, null)) // "x"→removed, "nope"→null cast
+    assert(rows(1) == Row(12L, -1L, 3.5, true))
+    assert(out.schema("a").dataType.typeName == "long")
+  }
+
+  test("Convert: array casts") {
+    val df = Seq((Seq("1", "2", "3"), "seq")).toDF("arr", "tag")
+    val out = FilterBox(ConvertFilter(Map(
+      "arr" -> ConvertFilter.Spec("array(int)")))).stage(df)
+    assert(oneRow(out.select("arr")) == Row(Seq(1L, 2L, 3L)))
+  }
+
+  test("Date: Go layouts, UNIX, UNIX_MS, first-match-wins, failTag") {
+    val df = Seq(
+      ("2024-03-05 10:20:30", "fmt"),
+      ("1709634030", "unix"),
+      ("05/Mar/2024:10:20:30 +0000", "apache"),
+      ("not a date", "bad"),
+    ).toDF("t", "kind")
+    val out = FilterBox(
+      DateFilter("t", Seq("2006-01-02 15:04:05", "02/Jan/2006:15:04:05 -0700", "UNIX")),
+      failTag = Some("date_fail")).stage(df)
+    val byKind = out.collect().map(r =>
+      r.getString(r.fieldIndex("kind")) ->
+        (Option(r.get(r.fieldIndex("@timestamp"))), Option(r.get(r.fieldIndex("tags"))))).toMap
+    assert(byKind("fmt")._1.get.toString == "2024-03-05 10:20:30.0")
+    assert(byKind("apache")._1.get.toString == "2024-03-05 10:20:30.0")
+    assert(byKind("unix")._1.get.toString == "2024-03-05 10:20:30.0")
+    assert(byKind("bad")._1.isEmpty)
+    assert(byKind("bad")._2.contains(Seq("date_fail")))
+    assert(byKind("fmt")._2.isEmpty)
+  }
+
+  test("GoTimeLayout translation") {
+    assert(GoTimeLayout.translate("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss")
+    assert(GoTimeLayout.translate("02/Jan/2006:15:04:05 -0700") == "dd/MMM/yyyy:HH:mm:ss xx")
+    assert(GoTimeLayout.translate("2006-01-02T15:04:05Z07:00") == "yyyy-MM-dd'T'HH:mm:ssXXX")
+  }
+
+  test("Grok: nginx-style access log, first-match-wins, fail tag") {
+    val line = """192.168.1.10 - frank [05/Mar/2024:10:20:30 +0000] "GET /api/users HTTP/1.1" 200 1543"""
+    val df = Seq((line, 1), ("garbage", 2)).toDF("message", "id")
+    val grok = GrokFilter("message", Seq(
+      """%{IP:clientip} - %{USER:ident} \[%{DATA:logtime}\] "%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}" %{INT:status} %{INT:bytes}"""))
+    val out = FilterBox(grok, failTag = Some("grok_fail")).stage(df)
+    val ok = out.filter($"id" === 1).collect().head
+    assert(ok.getString(ok.fieldIndex("clientip")) == "192.168.1.10")
+    assert(ok.getString(ok.fieldIndex("verb")) == "GET")
+    assert(ok.getString(ok.fieldIndex("status")) == "200")
+    val bad = out.filter($"id" === 2).collect().head
+    assert(bad.isNullAt(bad.fieldIndex("clientip")))
+    assert(bad.getSeq[String](bad.fieldIndex("tags")) == Seq("grok_fail"))
+  }
+
+  test("Json: schema'd merge to root and map target") {
+    val df = Seq(("""{"k": 87, "name": "x"}""", 1)).toDF("props", "id")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k LONG, name STRING")
+    val out = FilterBox(JsonFilter("props", schema = Some(schema))).stage(df)
+    val r = oneRow(out.select("k", "name"))
+    assert(r == Row(87L, "x"))
+
+    val out2 = FilterBox(JsonFilter("props", target = Some("parsed"))).stage(df)
+    val m = oneRow(out2.select("parsed")).getMap[String, String](0)
+    assert(m("k") == "87" && m("name") == "x")
+  }
+
+  test("Split: positional fields, arity failure") {
+    val df = Seq(("a|b|c", 1), ("x|y", 2)).toDF("s", "id")
+    val out = FilterBox(
+      SplitFilter("s", "|", Seq("f1", "f2", "f3")),
+      failTag = Some("split_fail")).stage(df)
+    val r1 = out.filter($"id" === 1).collect().head
+    assert(r1.getString(r1.fieldIndex("f1")) == "a" && r1.getString(r1.fieldIndex("f3")) == "c")
+    val r2 = out.filter($"id" === 2).collect().head
+    assert(r2.getSeq[String](r2.fieldIndex("tags")) == Seq("split_fail"))
+  }
+
+  test("KV: include_keys static columns; map target; trims") {
+    val df = Seq(("a=1 b=2 c=3", 1)).toDF("s", "id")
+    val out = FilterBox(KvFilter("s", " ", "=", includeKeys = Seq("a", "c"))).stage(df)
+    val r = oneRow(out.select("a", "c"))
+    assert(r == Row("1", "3"))
+    val out2 = FilterBox(KvFilter("s", " ", "=", target = Some("kv"),
+      excludeKeys = Seq("b"))).stage(df)
+    val m = oneRow(out2.select("kv")).getMap[String, String](0)
+    assert(m == Map("a" -> "1", "c" -> "3"))
+  }
+
+  test("Gsub / Replace / Case / UrlDecode") {
+    val df = Seq(("Hello  World", "a%20b c", "x-y-z")).toDF("s", "u", "r")
+    val out = FilterBox(GsubFilter(Seq(("s", """\s+""", " ")))).stage(df)
+    assert(oneRow(out.select("s")) == Row("Hello World"))
+
+    val rep = FilterBox(ReplaceFilter("r", "-", "_", count = 1)).stage(df)
+    assert(oneRow(rep.select("r")) == Row("x_y-z"))
+    val repAll = FilterBox(ReplaceFilter("r", "-", "_")).stage(df)
+    assert(oneRow(repAll.select("r")) == Row("x_y_z"))
+
+    val up = FilterBox(CaseFilter(Seq("s"), upper = true)).stage(df)
+    assert(oneRow(up.select("s")) == Row("HELLO  WORLD"))
+
+    val dec = FilterBox(UrlDecodeFilter(Seq("u"))).stage(df)
+    assert(oneRow(dec.select("u")) == Row("a b c"))
+  }
+
+  test("Translate: literal map and broadcast join") {
+    val df = Seq(("error", 1), ("unknown", 2)).toDF("level", "id")
+    val out = FilterBox(TranslateFilter("level", "code",
+      Map("error" -> "E", "info" -> "I"))).stage(df)
+    assert(out.orderBy("id").select("code").as[String].collect().toSeq == Seq("E", null))
+
+    val dict = Seq(("error", "E2")).toDF("k", "v")
+    val joined = TranslateFilter.joined(df, dict, "level", "k", "v", "code")
+    assert(joined.orderBy("id").select("code").as[String].collect().toSeq == Seq("E2", null))
+  }
+
+  test("Drop under condition; guard keeps non-matching rows") {
+    val df = Seq(("debug", 1), ("error", 2)).toDF("level", "id")
+    val out = FilterBox(DropFilter, ifConds = Seq("""EQ(level,"debug")""")).stage(df)
+    assert(out.select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("FilterBox: if-guard gates transform; add/remove under success") {
+    val df = Seq(("error", "x", 1), ("info", "y", 2)).toDF("level", "v", "id")
+    val box = FilterBox(
+      AddFilter(Map("seen" -> "yes")),
+      ifConds = Seq("""EQ(level,"error")"""),
+      addFields = Map("post" -> "[v]"),
+      removeFields = Seq("v"))
+    val out = box.stage(df).orderBy("id")
+    val rows = out.select("seen", "post", "v").collect()
+    assert(rows(0) == Row("yes", "x", null))
+    assert(rows(1) == Row(null, null, "y"))
+  }
+
+  test("NestedFilters: shared guard applies to all inner boxes") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "id")
+    val stage = NestedFilters.stage(Seq("""EQ(k,"a")"""), Seq(
+      FilterBox(AddFilter(Map("x" -> "1"))),
+      FilterBox(AddFilter(Map("y" -> "2")))))
+    val rows = stage(df).orderBy("id").select("x", "y").collect()
+    assert(rows(0) == Row("1", "2"))
+    assert(rows(1) == Row(null, null))
+  }
+}
