@@ -44,26 +44,17 @@ object SparkEntry {
     // ---- LinkMetric: event-time tumbling-window multi-level count ----
     // reference: filter/link_metric.go (fieldsLink 'a->b' nested counts)
     "q_link_metric" -> { (s, dir) =>
-      import s.implicits._
-      Tables.load(s, dir, "events")
-        .groupBy(
-          window($"ts", "1 hour")("start").as("window_start"),
-          $"event_type", $"user_id")
-        .agg(count(lit(1)).as("cnt"))
+      graft.operators.LinkMetric.batch(graft.operators.LinkMetric.Config(
+        fieldsLink = "event_type->user_id", batchWindowSec = 3600, tsColumn = "ts"))(
+        Tables.load(s, dir, "events"))
     },
 
     // ---- LinkStatsMetric: windowed count/sum/min/max/mean ----
     // reference: filter/link_stats_metric.go
     "q_link_stats" -> { (s, dir) =>
-      import s.implicits._
-      Tables.load(s, dir, "events")
-        .groupBy(window($"ts", "1 hour")("start").as("window_start"), $"event_type")
-        .agg(
-          count(lit(1)).as("cnt"),
-          sum($"value".cast(Dec)).cast("double").as("sum_value"),
-          min($"value").as("min_value"),
-          max($"value").as("max_value"),
-          (sum($"value".cast(Dec)).cast("double") / count(lit(1))).as("avg_value"))
+      graft.operators.LinkStatsMetric.batch(graft.operators.LinkMetric.Config(
+        fieldsLink = "event_type->value", batchWindowSec = 3600, tsColumn = "ts"))(
+        Tables.load(s, dir, "events"))
     },
 
     // ---- condition DSL (reference: condition_filter) compiled to a
@@ -181,17 +172,17 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_link_metric" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type, user_id,
-        |  count(*) AS cnt
+      """SELECT date_trunc('hour', ts) AS "@timestamp", event_type, user_id,
+        |  count(*) AS count
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "q_link_stats" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-        |  min(value) AS min_value,
-        |  max(value) AS max_value,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
+      """SELECT date_trunc('hour', ts) AS "@timestamp", event_type,
+        |  count(value) AS count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum,
+        |  min(value) AS min,
+        |  max(value) AS max,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_condition_dsl" ->

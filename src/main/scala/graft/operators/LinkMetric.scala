@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.paths.FieldPath
+
+/** LinkMetric / LinkStatsMetric: the reference's only stateful operators —
+  * event-time tumbling-window multi-level aggregation
+  * (reference: filter/link_metric.go, filter/link_stats_metric.go).
+  *
+  * `fieldsLink: "a->b->c"` groups by (window, a, b, c) and emits one
+  * synthetic event per leaf group carrying the group values, the window
+  * timestamp, and `count` (LinkMetric) or `count/sum/min/max/mean`
+  * (LinkStatsMetric, where the LAST link field is the aggregated numeric).
+  *
+  * Spark mapping (SURVEY §2.5):
+  *   - tumbling window   → `window(ts, batchWindow)`
+  *   - reserveWindow     → `withWatermark` lateness bound (streaming) /
+  *                         event-age filter (batch)
+  *   - reduce: true      → Catalyst's built-in partial→final aggregation;
+  *                         the reference's two-tier topology disappears
+  *   - accumulateMode    → streaming output mode: separate ≈ Append
+  *                         (emit once, after watermark close), cumulative ≈
+  *                         Update (re-emit running totals)
+  *   - per-worker partial state → executor-local partial aggregation
+  *                         (map-side combine) — automatic, shuffle carries
+  *                         only one row per (window × group) per partition
+  *
+  * Scale note: the shuffle key is (window, link fields). Cardinality is
+  * bounded by group count, not row count, so this holds at 100 TB as long
+  * as the link fields aren't unique per row — same contract as the
+  * reference's in-heap maps, but spillable and distributed.
+  */
+object LinkMetric {
+
+  final case class Config(
+      fieldsLink: String,
+      batchWindowSec: Long,
+      reserveWindowSec: Long = 0L,
+      tsColumn: String = "@timestamp",
+      dropOriginalEvent: Boolean = true)
+
+  private[operators] def parts(c: Config, df: DataFrame): (Column, Seq[String], Column) = {
+    val fields = c.fieldsLink.split("->").map(_.trim).toSeq
+    val ts = FieldPath.resolve(df, c.tsColumn)
+      .getOrElse(sys.error(s"LinkMetric: missing timestamp column ${c.tsColumn}"))
+    val win = window(ts, s"${c.batchWindowSec} seconds").as("__graft_window")
+    (win, fields, ts)
+  }
+
+  /** Batch form. Events older than reserveWindow (relative to the max
+    * event time, the batch analogue of the watermark) are dropped like the
+    * reference drops them on arrival (link_metric.go:214-216). */
+  def batch(c: Config)(df: DataFrame): DataFrame = {
+    val (win, fields, ts) = parts(c, df)
+    val bounded =
+      if (c.reserveWindowSec > 0) {
+        val maxTs = df.select(max(ts)).head.getTimestamp(0)
+        if (maxTs == null) df
+        else df.filter(ts >= lit(new java.sql.Timestamp(
+          maxTs.getTime - c.reserveWindowSec * 1000)))
+      } else df
+    finish(bounded
+      .groupBy(win +: fields.map(f => col(s"`$f`")): _*)
+      .agg(count(lit(1)).as("count")))
+  }
+
+  /** Replace the window struct with its start timestamp (the reference
+    * stamps emitted events with the floored window time,
+    * link_metric.go:219). Done after the aggregation so Spark's event-time
+    * watermark stays attached to the grouping expression. */
+  private[operators] def finish(df: DataFrame): DataFrame =
+    df.withColumn("@timestamp", col("__graft_window.start")).drop("__graft_window")
+
+  /** Streaming form: watermark + windowed count. Caller picks the output
+    * mode: Append ≈ accumulateMode=separate, Update ≈ cumulative. */
+  def streaming(c: Config)(df: DataFrame): DataFrame = {
+    val (win, fields, _) = parts(c, df)
+    finish(df.withWatermark(s"`${c.tsColumn}`", s"${c.reserveWindowSec} seconds")
+      .groupBy(win +: fields.map(f => col(s"`$f`")): _*)
+      .agg(count(lit(1)).as("count")))
+  }
+}
+
+object LinkStatsMetric {
+  import LinkMetric.Config
+
+  private val Dec = DecimalType(18, 4)
+
+  /** The last link field is the numeric being aggregated
+    * (reference: link_stats_metric.go:127-159 emission shape). */
+  private def aggCols(valueField: String): Seq[Column] = {
+    val v = col(s"`$valueField`")
+    Seq(
+      count(v).as("count"),
+      sum(v.cast(Dec)).cast("double").as("sum"),
+      min(v.cast("double")).as("min"),
+      max(v.cast("double")).as("max"),
+      (sum(v.cast(Dec)).cast("double") / count(v)).as("mean"))
+  }
+
+  def batch(c: Config)(df: DataFrame): DataFrame = {
+    val (win, fields, ts) = LinkMetric.parts(c, df)
+    val groupFields = fields.init
+    val bounded =
+      if (c.reserveWindowSec > 0) {
+        val maxTs = df.select(max(ts)).head.getTimestamp(0)
+        if (maxTs == null) df
+        else df.filter(ts >= lit(new java.sql.Timestamp(
+          maxTs.getTime - c.reserveWindowSec * 1000)))
+      } else df
+    LinkMetric.finish(bounded
+      .groupBy(win +: groupFields.map(f => col(s"`$f`")): _*)
+      .agg(aggCols(fields.last).head, aggCols(fields.last).tail: _*))
+  }
+
+  def streaming(c: Config)(df: DataFrame): DataFrame = {
+    val (win, fields, _) = LinkMetric.parts(c, df)
+    val groupFields = fields.init
+    LinkMetric.finish(df.withWatermark(s"`${c.tsColumn}`", s"${c.reserveWindowSec} seconds")
+      .groupBy(win +: groupFields.map(f => col(s"`$f`")): _*)
+      .agg(aggCols(fields.last).head, aggCols(fields.last).tail: _*))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class LinkMetricSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("batch LinkMetric: multi-level windowed counts") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:10"), "a", 1L),
+      (ts("2024-01-01 00:00:50"), "a", 1L),
+      (ts("2024-01-01 00:00:55"), "b", 2L),
+      (ts("2024-01-01 00:01:10"), "a", 1L),
+    ).toDF("@timestamp", "et", "uid")
+    val out = LinkMetric.batch(LinkMetric.Config("et->uid", 60))(df)
+    val rows = out.orderBy("@timestamp", "et").collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => r.getLong(r.fieldIndex("count"))).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("batch LinkMetric: reserveWindow drops old events") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:10"), "a"),
+      (ts("2024-01-01 02:00:10"), "a"),
+    ).toDF("@timestamp", "et")
+    val out = LinkMetric.batch(LinkMetric.Config("et", 60, reserveWindowSec = 3600))(df)
+    assert(out.count() == 1) // the 00:00 event is older than 1h before max ts
+  }
+
+  test("batch LinkStatsMetric: count/sum/min/max/mean, last field is numeric") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:10"), "a", 10.0),
+      (ts("2024-01-01 00:00:50"), "a", 30.0),
+      (ts("2024-01-01 00:00:55"), "b", 5.0),
+    ).toDF("@timestamp", "et", "v")
+    val out = LinkStatsMetric.batch(LinkMetric.Config("et->v", 60))(df)
+    val a = out.filter($"et" === "a").collect().head
+    assert(a.getLong(a.fieldIndex("count")) == 2)
+    assert(a.getDouble(a.fieldIndex("sum")) == 40.0)
+    assert(a.getDouble(a.fieldIndex("min")) == 10.0)
+    assert(a.getDouble(a.fieldIndex("max")) == 30.0)
+    assert(a.getDouble(a.fieldIndex("mean")) == 20.0)
+  }
+
+  test("streaming LinkMetric append mode: window emits once watermark passes (accumulateMode=separate)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF.toDF("@timestamp", "et")
+    val agg = LinkMetric.streaming(LinkMetric.Config("et", 60, reserveWindowSec = 30))(df)
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lm_append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:20"), "a"))
+      q.processAllAvailable()
+      // watermark hasn't passed the window end yet → nothing emitted
+      assert(spark.table("lm_append").count() == 0)
+      // an event far past the window advances the watermark → window closes
+      mem.addData((ts("2024-01-01 00:05:00"), "b"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:10:00"), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("lm_append").collect()
+      assert(rows.exists(r => r.getString(r.fieldIndex("et")) == "a" &&
+        r.getLong(r.fieldIndex("count")) == 2L))
+    } finally q.stop()
+  }
+
+  test("streaming LinkStatsMetric update mode re-emits running totals (accumulateMode=cumulative)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("@timestamp", "et", "v")
+    val agg = LinkStatsMetric.streaming(LinkMetric.Config("et->v", 60, reserveWindowSec = 30))(df)
+    val q = agg.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("lm_update").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:10"), "a", 10.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:00:20"), "a", 30.0))
+      q.processAllAvailable()
+      val updates = spark.table("lm_update")
+        .filter($"et" === "a").orderBy("count").collect()
+      // update mode emitted the partial (count=1) then the running total (count=2)
+      assert(updates.length == 2)
+      assert(updates(1).getLong(updates(1).fieldIndex("count")) == 2)
+      assert(updates(1).getDouble(updates(1).fieldIndex("mean")) == 20.0)
+    } finally q.stop()
+  }
+}
