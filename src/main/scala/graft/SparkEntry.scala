@@ -135,6 +135,43 @@ object SparkEntry {
       chain.foldLeft(ev.toDF())((d, f) => f(d))
     },
 
+    // ---- training-data pipeline operators: dedup ----
+    "q_dedup_exact" -> { (s, dir) =>
+      graft.ml.Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
+    },
+    "q_dedup_fingerprint" -> { (s, dir) =>
+      graft.ml.Dedup.fingerprint(Tables.load(s, dir, "documents"), "text", "doc_id")
+    },
+    "q_dedup_minhash" -> { (s, dir) =>
+      graft.ml.Dedup.minhashPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 32,
+        threshold = 0.9)
+    },
+    "q_dedup_simhash" -> { (s, dir) =>
+      graft.ml.Dedup.simhashGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
+    },
+
+    // ---- similarity search ----
+    "q_embed_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ml.Similarity.bruteForceTopK(
+        emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5)
+    },
+    "q_ann_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ml.Similarity.annTopK(
+        emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5, numPlanes = 6)
+    },
+
+    // ---- text analysis ----
+    "q_text_profile" -> { (s, dir) =>
+      graft.ml.TextAnalysis.profile(Tables.load(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "n_regex_tokens", "mean_word_len",
+          "stopword_ratio", "distinct_ratio", "quality", "lang_guess", "fingerprint")
+    },
+
     // ---- join pipeline (Translate/IPIP-style enrichment at scale:
     //      dims are broadcast, fact side never shuffles for the join) ----
     "q5_region_revenue" -> { (s, dir) =>
@@ -229,6 +266,135 @@ object SparkEntry {
         |    WHEN 'signup' THEN 'S' ELSE NULL END AS code,
         |  user_id AS uid
         |FROM events""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(text, '\s+'))), ' ')) AS fingerprint,
+        |  min(doc_id) AS rep_id, count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+        |    for i in range(0, greatest(len(toks)-3, 0)+1)]) AS sh
+        |  FROM t
+        |), j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.9""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substring(md5(tok), 25, 8)) AS BIGINT) for tok in toks] AS hs
+        |  FROM t
+        |)
+        |SELECT CAST(list_sum([
+        |    CASE WHEN list_sum([CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+        |      THEN 1 ELSE -1 END for h in hs]) > 0
+        |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+        |    for j in range(0, 32)]) AS BIGINT) AS simhash,
+        |  min(doc_id) AS rep_id, count(*) AS cnt
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_reduce(list_zip(q.qv, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |    sqrt(list_reduce(list_zip(q.qv, q.qv).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |         list_reduce(list_zip(c.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b)) AS sim
+        |  FROM c, q)
+        |SELECT query_id, vec_id, rank, sim FROM (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_text_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks,
+        |    string_split_regex(lower(text), '\s+') AS ltoks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text, toks, ltoks,
+        |    CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks) AS mean_word_len,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','of','to','and','in','is','it','that','for',
+        |       'on','with','as','at','by','from','or','be','are'], lower(x)))) AS DOUBLE)
+        |      / len(toks) AS stopword_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_regex_tokens,
+        |  mean_word_len, stopword_ratio, distinct_ratio,
+        |  distinct_ratio * 0.5 + (1.0 - abs(mean_word_len - 5.0) / 10.0) * 0.3
+        |    + stopword_ratio * 0.2 AS quality,
+        |  CASE
+        |    WHEN len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) =
+        |      greatest(
+        |        len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','los','del'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['le','la','les','des','est','une','dans','que'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))))
+        |      AND len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) > 0
+        |      THEN 'en'
+        |    WHEN len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','los','del'], x))) =
+        |      greatest(
+        |        len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','los','del'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['le','la','les','des','est','une','dans','que'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))))
+        |      AND len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','los','del'], x))) > 0
+        |      THEN 'es'
+        |    WHEN len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) =
+        |      greatest(
+        |        len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','los','del'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['le','la','les','des','est','une','dans','que'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))))
+        |      AND len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) > 0
+        |      THEN 'de'
+        |    WHEN len(list_filter(ltoks, x -> list_contains(['le','la','les','des','est','une','dans','que'], x))) =
+        |      greatest(
+        |        len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','los','del'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['le','la','les','des','est','une','dans','que'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))))
+        |      AND len(list_filter(ltoks, x -> list_contains(['le','la','les','des','est','une','dans','que'], x))) > 0
+        |      THEN 'fr'
+        |    WHEN len(list_filter(ltoks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) =
+        |      greatest(
+        |        len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','los','del'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['le','la','les','des','est','une','dans','que'], x))),
+        |        len(list_filter(ltoks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))))
+        |      AND len(list_filter(ltoks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) > 0
+        |      THEN 'zh'
+        |    ELSE 'und' END AS lang_guess,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM m""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,

@@ -1,0 +1,95 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * All vector math is double-precision left folds over built-in lambda
+  * functions — codegen'd, UDF-free, and bit-reproducible across engines
+  * (the DuckDB oracle re-derives identical values).
+  *
+  * Scale paths:
+  *   - brute-force top-k: broadcast the (small) query set; one pass over
+  *     the corpus, per-partition top-k via window — corpus never shuffles
+  *     more than k rows per query.
+  *   - SRP-LSH buckets: deterministic random-hyperplane signs bucket the
+  *     corpus; queries probe only their bucket — sublinear per query.
+  */
+object Similarity {
+
+  /** dot(a, b) as a sequential double fold (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Brute-force cosine top-k of `corpus` for each row of `queries`.
+    * The query side is broadcast — the corpus side is scanned once. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * derived from md5 so any engine can recompute it. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (conv(substring(md5(concat(plane, lit("_"), dim)), 25, 8), 16, 10)
+      .cast("long") % 2001 - 1000).cast("double") / 1000.0
+
+  /** SRP-LSH bucket id: `numPlanes` sign bits of dot(v, r_i). */
+  def srpBucket(vec: Column, numPlanes: Int): Column = {
+    val v = vec.cast("array<double>")
+    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+      val d = aggregate(
+        transform(sequence(lit(0), size(v) - 1),
+          i => element_at(v, i + 1) * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** ANN top-k: queries probe only their SRP bucket. Trades recall for a
+    * `2^numPlanes`-way partition of the corpus; multi-probe (flipping one
+    * bit) is the standard recall knob. */
+  def annTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      srpBucket(col(vecCol), numPlanes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      srpBucket(col(vecCol), numPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
+    * SRP bucket (same-bucket pairs only — the LSH analogue for vectors). */
+  def cosineDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, numPlanes: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      srpBucket(col(vecCol), numPlanes).as("bucket"))
+    val l = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token statistics, quality
+  * scoring, n-gram language ID, document fingerprinting. Pure built-in
+  * expressions (split / regexp / lambda) — codegen'd end to end, and every
+  * formula is reproducible in the DuckDB oracle for exact verification. */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, """\s+""")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: word-or-punctuation regex token count. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\w+|[^\w\s]"""), lit(0)))
+
+  /** Quality heuristics (ratios in exact integer→double division so the
+    * oracle matches bit-for-bit):
+    *   - mean word length
+    *   - stopword ratio (fraction of tokens in a small function-word set)
+    *   - punctuation ratio (punct chars / chars)
+    *   - distinct-token ratio (vocabulary richness / repetition signal)
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "from", "or", "be", "are")
+
+  def meanWordLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val sw = array(stopwords.map(lit(_)): _*)
+    size(filter(t, x => array_contains(sw, lower(x)))).cast("double") / size(t)
+  }
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, """[.,!?;:'"()\[\]]""", "")))
+      .cast("double") / length(text)
+
+  def distinctTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)).cast("double") / size(t)
+  }
+
+  /** Composite quality score in [0,1]-ish: weights chosen to mirror common
+    * curation heuristics (richness up, extreme word length down). */
+  def qualityScore(text: Column): Column =
+    distinctTokenRatio(text) * 0.5 +
+      (lit(1.0) - abs(meanWordLen(text) - 5.0) / 10.0) * 0.3 +
+      stopwordRatio(text) * 0.2
+
+  /** Marker-token language ID: score each language by marker hits, take
+    * the argmax (ties broken by the fixed language order). N-gram-free but
+    * the same shape as a real char-n-gram scorer — and exactly
+    * reproducible in SQL. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val t = tokens(lower(text))
+    langMarkers.map { case (lang, markers) =>
+      val m = array(markers.map(lit(_)): _*)
+      lang -> size(filter(t, x => array_contains(m, x)))
+    }
+  }
+
+  def langGuess(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Rolling-hash document fingerprint: md5 of the normalized text
+    * (lowercase, collapsed whitespace). Pair with Dedup.fingerprintCol for
+    * the order-insensitive variant. */
+  def docFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), """\s+""", " "))
+
+  /** One-stop profile projection for a documents table. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_regex_tokens", regexTokenCount(t))
+      .withColumn("mean_word_len", meanWordLen(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("distinct_ratio", distinctTokenRatio(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_guess", langGuess(t))
+      .withColumn("fingerprint", docFingerprint(t))
+  }
+}

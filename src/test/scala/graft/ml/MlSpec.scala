@@ -1,0 +1,78 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "lazy dog the quick brown fox jumps over the"), // token shuffle of 0
+    (3L, "completely different content about spark engines"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "text", "doc_id").orderBy("rep_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 2L) // docs 0,1
+  }
+
+  test("fingerprint dedup catches token shuffles") {
+    val out = Dedup.fingerprint(docs, "text", "doc_id").orderBy("rep_id").collect()
+    assert(out.length == 2) // {0,1,2} one group, {3} another
+    assert(out(0).getLong(2) == 3L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always found
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash is identical for identical docs, differs for unrelated") {
+    val hs = docs.select($"doc_id", Dedup.simhash32($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hs(0L) == hs(1L))
+    assert(hs(0L) != hs(3L))
+  }
+
+  test("brute-force cosine top-k ranks the query itself first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id", 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 1L))
+  }
+
+  test("ann with SRP buckets returns the query itself") {
+    val emb = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.annTopK(emb, emb.filter($"vec_id" < 3), "embedding", "vec_id", 3, numPlanes = 4)
+    val byQuery = out.select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect().groupBy(_._1)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.minBy(_._3)._2 == q) // rank 1 = the query vector itself
+    }
+  }
+
+  test("text profile: deterministic stats and langid") {
+    val out = TextAnalysis.profile(docs, "text").collect().head
+    assert(out.getInt(out.fieldIndex("n_tokens")) == 9)
+    assert(out.getString(out.fieldIndex("lang_guess")) == "en")
+    val q = out.getDouble(out.fieldIndex("quality"))
+    assert(q > 0 && q <= 1.1)
+  }
+
+  test("dropDuplicates removes the later doc of each pair") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.9)
+    val kept = Dedup.dropDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(1L) && kept.contains(3L))
+  }
+}
