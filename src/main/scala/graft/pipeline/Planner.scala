@@ -1,0 +1,203 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.conditions.ConditionFilter
+import graft.filters._
+import graft.operators.{LinkMetric, LinkStatsMetric}
+import PipelineConfig.ConfigOps
+
+/** Spec → executable pipeline (reference: gohangout.go:80-111
+  * buildPluginLink + topology wiring).
+  *
+  * The whole filter chain compiles to ONE declarative DataFrame transform:
+  * Catalyst sees a single plan and fuses/pushes/prunes across operator
+  * boundaries — there is no per-event interpreter. Multiple inputs are
+  * UNION ALL (reference runs them concurrently into the same chain);
+  * multiple outputs each see every event, gated by their own `if`
+  * (reference: topology/output.go:51-64).
+  */
+object Planner {
+
+  // ---- filters ------------------------------------------------------------
+
+  def filterStage(name: String, conf: Map[String, Any]): DataFrame => DataFrame = {
+    val ifConds = conf.strSeq("if")
+    val addFields = conf.strMap("add_fields")
+    val removeFields = conf.strSeq("remove_fields")
+    val failTag = conf.str("failTag")
+
+    def box(f: EventFilter): DataFrame => DataFrame =
+      FilterBox(f, ifConds, addFields, removeFields, failTag).stage
+
+    name match {
+      case "Add" => box(AddFilter(conf.strMap("fields"), conf.bool("overwrite", true)))
+      case "Remove" => box(RemoveFilter(conf.strSeq("fields")))
+      case "Rename" => box(RenameFilter(conf.strMap("fields")))
+      case "Lowercase" => box(CaseFilter(conf.strSeq("fields"), upper = false))
+      case "Uppercase" => box(CaseFilter(conf.strSeq("fields"), upper = true))
+      case "URLDecode" => box(UrlDecodeFilter(conf.strSeq("fields")))
+      case "Gsub" =>
+        val subs = conf("fields").asInstanceOf[Seq[Any]].map {
+          case s: Seq[_] if s.length == 3 =>
+            (s(0).toString, s(1).toString, s(2).toString)
+          case other => sys.error(s"Gsub fields entries must be [field, src, repl]: $other")
+        }
+        box(GsubFilter(subs))
+      case "Replace" =>
+        box(ReplaceFilter(conf.strReq("src"), conf.strReq("old"),
+          conf.strReq("new"), conf.int("count", -1)))
+      case "Split" =>
+        box(SplitFilter(conf.strReq("src"), conf.strReq("sep"),
+          conf.strSeq("fields"), conf.int("maxSplit", -1),
+          conf.str("trim"), conf.bool("ignore_blank", true)))
+      case "KV" =>
+        box(KvFilter(conf.strReq("src"), conf.strReq("field_split"),
+          conf.strReq("value_split"), conf.strSeq("include_keys"),
+          conf.strSeq("exclude_keys"), conf.str("trim"), conf.str("trim_key"),
+          conf.str("target")))
+      case "Convert" =>
+        val fields = conf.anyMap("fields").map { case (f, c) =>
+          val cm = c.asInstanceOf[Map[String, Any]]
+          f -> ConvertFilter.Spec(cm.strReq("to"),
+            cm.bool("remove_if_fail", false),
+            cm.get("setto_if_fail"), cm.get("setto_if_nil"))
+        }
+        box(ConvertFilter(fields))
+      case "Date" =>
+        box(DateFilter(conf.strReq("src"), conf.strSeq("formats"),
+          conf.str("target").getOrElse("@timestamp"), conf.str("location"),
+          conf.bool("add_year", false), conf.bool("overwrite", true)))
+      case "Grok" =>
+        box(GrokFilter(conf.strReq("src"), conf.strSeq("match"),
+          conf.strMap("patterns"), conf.bool("ignore_blank", true),
+          conf.bool("overwrite", true), conf.str("target")))
+      case "Json" =>
+        box(JsonFilter(conf.strReq("field"), conf.str("target"),
+          conf.str("schema").map(org.apache.spark.sql.types.StructType.fromDDL),
+          conf.strSeq("include"), conf.strSeq("exclude"),
+          conf.bool("overwrite", true), conf.bool("infer", false)))
+      case "Translate" =>
+        box(TranslateFilter(conf.strReq("source"), conf.strReq("target"),
+          conf.strMap("dictionary")))
+      case "Drop" => box(DropFilter)
+      case "Filters" =>
+        val inner = conf("filters").asInstanceOf[Seq[Any]].map {
+          case m: Map[_, _] if m.size == 1 =>
+            val (k, v) = m.head.asInstanceOf[(String, Map[String, Any])]
+            (k, Option(v).getOrElse(Map.empty[String, Any]))
+        }
+        df => inner.foldLeft(df) { case (d, (n, c)) =>
+          filterStage(n, c + ("if" -> (ifConds ++ c.strSeq("if"))))(d)
+        }
+      case "LinkMetric" =>
+        val cfg = LinkMetric.Config(conf.strReq("fieldsLink"),
+          conf.long("batchWindow", 60), conf.long("reserveWindow", 0),
+          conf.str("timestamp").getOrElse("@timestamp"),
+          conf.bool("drop_original_event", true))
+        df => if (df.isStreaming) LinkMetric.streaming(cfg)(df)
+              else LinkMetric.batch(cfg)(df)
+      case "LinkStatsMetric" =>
+        val cfg = LinkMetric.Config(conf.strReq("fieldsLink"),
+          conf.long("batchWindow", 60), conf.long("reserveWindow", 0),
+          conf.str("timestamp").getOrElse("@timestamp"),
+          conf.bool("drop_original_event", true))
+        df => if (df.isStreaming) LinkStatsMetric.streaming(cfg)(df)
+              else LinkStatsMetric.batch(cfg)(df)
+      case other => sys.error(s"unknown filter '$other'")
+    }
+  }
+
+  // ---- inputs -------------------------------------------------------------
+
+  /** Batch inputs. Codec semantics follow the reference: plain wraps the
+    * raw line as `message` + `@timestamp` (codec/plain_decoder.go:8-13);
+    * json parses columns (codec/json_decoder.go). */
+  def input(spark: SparkSession, name: String, conf: Map[String, Any]): DataFrame =
+    name match {
+      case "Parquet" => spark.read.parquet(conf.strReq("path"))
+      case "Text" =>
+        val raw = spark.read.text(conf.strReq("path"))
+        conf.str("codec").getOrElse("plain") match {
+          case "json" => spark.read.json(raw.select("value")
+            .as(org.apache.spark.sql.Encoders.STRING))
+          case _ => raw.select(col("value").as("message"),
+            current_timestamp().as("@timestamp"))
+        }
+      case "Random" =>
+        val from = conf.long("from", 0)
+        val to = conf.long("to", 100)
+        val n = conf.long("max_messages", 1000)
+        spark.range(n).select(
+          (rand() * (to - from) + from).cast("long").as("message"),
+          current_timestamp().as("@timestamp"))
+      case other => sys.error(s"unknown batch input '$other'")
+    }
+
+  /** Streaming inputs (Kafka plumbing mirrors input/kafka_input.go). */
+  def streamingInput(spark: SparkSession, name: String, conf: Map[String, Any]): DataFrame =
+    name match {
+      case "Kafka" =>
+        val settings = conf.strMap("consumer_settings")
+        val topics = conf.anyMap("topic").keys.mkString(",")
+        var r = spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", settings.getOrElse("bootstrap.servers",
+            sys.error("Kafka input needs consumer_settings.bootstrap.servers")))
+          .option("subscribe", topics)
+        settings.get("group.id").foreach(g => r = r.option("kafka.group.id", g))
+        if (settings.get("from.beginning").contains("true"))
+          r = r.option("startingOffsets", "earliest")
+        val raw = r.load()
+        val decoded = conf.str("codec").getOrElse("plain") match {
+          case "json" => raw.select(col("value").cast("string").as("message"),
+            col("timestamp").as("@timestamp"), col("topic"), col("partition"), col("offset"))
+          case _ => raw.select(col("value").cast("string").as("message"),
+            col("timestamp").as("@timestamp"), col("topic"), col("partition"), col("offset"))
+        }
+        // @metadata decoration (input/kafka_input.go:138-144)
+        if (conf.bool("decorate_events", false))
+          decoded.withColumn("@metadata",
+            struct(col("topic"), col("partition"), col("offset")))
+            .drop("topic", "partition", "offset")
+        else decoded.drop("topic", "partition", "offset")
+      case "Rate" =>
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", conf.int("rows_per_second", 10)).load()
+      case other => sys.error(s"unknown streaming input '$other'")
+    }
+
+  // ---- assembly -----------------------------------------------------------
+
+  final case class Pipeline(
+      spec: PipelineConfig.Spec,
+      stages: Seq[(String, Map[String, Any])]) {
+
+    def transform(df: DataFrame): DataFrame =
+      stages.foldLeft(df) { case (d, (n, c)) => filterStage(n, c)(d) }
+
+    /** Batch run: union inputs, transform, route to sinks. */
+    def runBatch(spark: SparkSession): Map[String, DataFrame] = {
+      val in = spec.inputs.map { case (n, c) => input(spark, n, c) }
+        .reduceLeft(_.unionByName(_, allowMissingColumns = true))
+      val transformed = transform(in)
+      spec.outputs.map { case (n, c) =>
+        val guarded = c.strSeq("if")
+          .map(cond => ConditionFilter.compile(cond, transformed))
+          .reduceOption(_ && _)
+          .map(transformed.filter).getOrElse(transformed)
+        n -> graft.sinks.Sinks.writeBatch(n, c, guarded)
+      }.toMap
+    }
+  }
+
+  def fromYaml(yamlText: String): Pipeline = {
+    val spec = PipelineConfig.parse(yamlText)
+    Pipeline(spec, spec.filters)
+  }
+
+  def fromFile(path: String): Pipeline = {
+    val spec = PipelineConfig.parseFile(path)
+    Pipeline(spec, spec.filters)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.sinks
+
+import java.io.ByteArrayOutputStream
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Elasticsearch `_bulk` writer (reference: output/elasticsearch_output.go
+  * + output/bulk_http.go). The Spark integration drives one instance per
+  * partition inside `foreachPartition`/`foreachBatch`; batching is by
+  * action count and byte size exactly like the reference's
+  * `bulk_actions`/`bulk_size` (bulk_http.go:126-143).
+  *
+  * Retry semantics (elasticsearch_output.go:160-203):
+  *   - whole-request failure / retriable status → failover to next host
+  *   - per-item 429 & ≥500 → re-buffered for retry
+  *   - other per-item 4xx → dropped
+  *   - fast path: a response containing `"errors":false` skips JSON
+  *     parsing (elasticsearch_output.go:133-139, the "90%+" path)
+  */
+final class EsBulkWriter(
+    hosts: Seq[String],
+    bulkActions: Int = 5000,
+    bulkBytes: Long = 15L * 1024 * 1024,
+    gzip: Boolean = true,
+    maxRetries: Int = 3,
+    httpSend: (String, Array[Byte], Boolean) => (Int, String) = EsBulkWriter.defaultSend) {
+
+  private val selector = new HostSelector(hosts)
+  private val buf = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+  private var bufBytes = 0L
+
+  /** Queue one action (meta line + source line); flushes on thresholds. */
+  def add(metaLine: String, sourceLine: String): Unit = {
+    buf += ((metaLine, sourceLine))
+    bufBytes += metaLine.length + sourceLine.length + 2
+    if (buf.length >= bulkActions || bufBytes >= bulkBytes) flush()
+  }
+
+  def flush(): Unit = if (buf.nonEmpty) {
+    val batch = buf.toVector
+    buf.clear(); bufBytes = 0
+    sendWithRetry(batch, maxRetries)
+  }
+
+  private def body(batch: Vector[(String, String)]): Array[Byte] = {
+    val sb = new StringBuilder
+    batch.foreach { case (m, s) => sb.append(m).append('\n').append(s).append('\n') }
+    val raw = sb.toString.getBytes(StandardCharsets.UTF_8)
+    if (!gzip) raw
+    else {
+      val bos = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      bos.toByteArray
+    }
+  }
+
+  private def sendWithRetry(batch: Vector[(String, String)], retriesLeft: Int): Unit = {
+    if (batch.isEmpty) return
+    selector.select() match {
+      case None =>
+        throw new RuntimeException("ES bulk: all hosts are in failure cooldown")
+      case Some(host) =>
+        val (status, respBody) =
+          try httpSend(s"$host/_bulk", body(batch), gzip)
+          catch {
+            case e: Exception =>
+              selector.reportFailure(host)
+              if (retriesLeft > 0) { sendWithRetry(batch, retriesLeft - 1); return }
+              else throw e
+          }
+        if (status == 200) {
+          selector.reportSuccess(host)
+          val toRetry = EsBulkWriter.itemsToRetry(respBody, batch)
+          if (toRetry.nonEmpty && retriesLeft > 0)
+            sendWithRetry(toRetry, retriesLeft - 1)
+        } else if (status == 429 || status >= 500 || status == 401 || status == 502) {
+          selector.reportFailure(host)
+          if (retriesLeft > 0) sendWithRetry(batch, retriesLeft - 1)
+          else throw new RuntimeException(s"ES bulk failed after retries: HTTP $status")
+        } else {
+          // non-retriable 4xx: drop the batch like the reference drops items
+          selector.reportSuccess(host)
+        }
+    }
+  }
+
+  def close(): Unit = flush()
+}
+
+object EsBulkWriter {
+  private lazy val client = HttpClient.newHttpClient()
+  private lazy val mapper = new ObjectMapper()
+
+  def defaultSend(url: String, bodyBytes: Array[Byte], gzipped: Boolean): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/x-ndjson")
+    if (gzipped) b.header("Content-Encoding", "gzip")
+    val req = b.POST(HttpRequest.BodyPublishers.ofByteArray(bodyBytes)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  /** Action metadata line for one document (reference:
+    * elasticsearch_output.go:49-92, ES7+ typeless handling). */
+  def actionMeta(index: String, id: Option[String] = None,
+      routing: Option[String] = None, esType: Option[String] = None): String = {
+    val sb = new StringBuilder("""{"index":{"_index":""")
+    sb.append(quote(index))
+    esType.foreach(t => sb.append(""","_type":""").append(quote(t)))
+    id.foreach(i => sb.append(""","_id":""").append(quote(i)))
+    routing.foreach(r => sb.append(""","_routing":""").append(quote(r)))
+    sb.append("}}")
+    sb.toString
+  }
+
+  private def quote(s: String): String =
+    mapper.writeValueAsString(s)
+
+  /** Parse a bulk response and return the items to retry (429/5xx).
+    * Fast path: `"errors":false` → nothing to do without parsing
+    * (reference: elasticsearch_output.go:133-139). */
+  def itemsToRetry(respBody: String,
+      batch: Vector[(String, String)]): Vector[(String, String)] = {
+    if (respBody.contains("\"errors\":false")) return Vector.empty
+    val root = try mapper.readTree(respBody) catch { case _: Exception => return Vector.empty }
+    val items = root.path("items")
+    if (!items.isArray) return Vector.empty
+    val out = Vector.newBuilder[(String, String)]
+    var i = 0
+    while (i < items.size() && i < batch.length) {
+      val item = items.get(i)
+      val op = item.fields().next().getValue
+      val status = op.path("status").asInt(200)
+      if (status == 429 || status >= 500) out += batch(i)
+      i += 1
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.PipelineConfig.ConfigOps
+import graft.render.Render
+
+/** Sink router (reference: output/). Batch writers; streaming pipelines
+  * reuse them inside `foreachBatch`, which replaces the reference's
+  * count/size/interval bulk triggers with micro-batch boundaries
+  * (SURVEY §2.7). */
+object Sinks {
+
+  def writeBatch(name: String, conf: Map[String, Any], df: DataFrame): DataFrame = {
+    name match {
+      case "Stdout" =>
+        df.select(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("json"))
+          .collect().foreach(r => println(r.getString(0)))
+      case "Dot" =>
+        println("." * df.count().min(1000).toInt)
+      case "Parquet" =>
+        df.write.mode(conf.str("mode").getOrElse("overwrite"))
+          .parquet(conf.strReq("path"))
+      case "Kafka" =>
+        var w = df.select(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("value"))
+          .write.format("kafka")
+          .option("kafka.bootstrap.servers", conf.strMap("producer_settings")
+            .getOrElse("bootstrap.servers", sys.error("Kafka output needs bootstrap.servers")))
+          .option("topic", conf.strReq("topic"))
+        w.save()
+      case "Elasticsearch" =>
+        writeElasticsearch(conf, df)
+      case "Influxdb" =>
+        writeInflux(conf, df)
+      case other => sys.error(s"unknown output '$other'")
+    }
+    df
+  }
+
+  /** ES bulk over foreachPartition: one EsBulkWriter per partition, index
+    * name rendered per row from the `%{field}`/`%{+fmt}` pattern as a
+    * codegen'd column BEFORE the partition loop. */
+  def writeElasticsearch(conf: Map[String, Any], df: DataFrame): Unit = {
+    val hosts = conf.strSeq("hosts")
+    val indexSpec = conf.strReq("index")
+    val idField = conf.str("id_field")
+    val routingField = conf.str("routing_field")
+    val bulkActions = conf.int("bulk_actions", 5000)
+    val bulkBytes = conf.long("bulk_size", 15L) * 1024 * 1024
+    val gzip = conf.bool("compress", true)
+
+    val withMeta = df
+      .withColumn("__graft_index", Render.compile(indexSpec)(df))
+      .withColumn("__graft_doc", to_json(struct(df.columns.map(c => col(s"`$c`")): _*)))
+    val idCol = idField.map(f => col(s"`$f`").cast("string"))
+    val routingCol = routingField.map(f => col(s"`$f`").cast("string"))
+    val projected = withMeta.select(
+      Seq(col("__graft_index"), col("__graft_doc")) ++
+        idCol.map(_.as("__graft_id")).toSeq ++
+        routingCol.map(_.as("__graft_routing")).toSeq: _*)
+
+    projected.foreachPartition { (rows: Iterator[Row]) =>
+      val writer = new EsBulkWriter(hosts, bulkActions, bulkBytes, gzip)
+      rows.foreach { r =>
+        val idx = r.getString(0)
+        val doc = r.getString(1)
+        var f = 2
+        val id = if (idField.isDefined) { val v = Option(r.getString(f)); f += 1; v } else None
+        val routing = if (routingField.isDefined) Option(r.getString(f)) else None
+        writer.add(EsBulkWriter.actionMeta(idx, id, routing), doc)
+      }
+      writer.close()
+    }
+  }
+
+  /** InfluxDB line protocol (reference: output/influxdb_output.go). */
+  def influxLine(measurement: String, tags: Seq[(String, String)],
+      fields: Seq[(String, Any)], tsNanos: Long): String = {
+    def esc(s: String): String =
+      s.replace(" ", "\\ ").replace(",", "\\,").replace("=", "\\=")
+    val tagPart = tags.filter(_._2 != null)
+      .map { case (k, v) => s"${esc(k)}=${esc(v)}" }.mkString(",")
+    val fieldPart = fields.filter(_._2 != null).map {
+      case (k, v: String) => s"""${esc(k)}="${v.replace("\"", "\\\"")}""""
+      case (k, v: Long) => s"${esc(k)}=${v}i"
+      case (k, v: Int) => s"${esc(k)}=${v}i"
+      case (k, v) => s"${esc(k)}=$v"
+    }.mkString(",")
+    val head = if (tagPart.isEmpty) esc(measurement) else s"${esc(measurement)},$tagPart"
+    s"$head $fieldPart $tsNanos"
+  }
+
+  private def writeInflux(conf: Map[String, Any], df: DataFrame): Unit = {
+    val measurement = conf.strReq("measurement")
+    val tags = conf.strSeq("tags")
+    val fields = conf.strSeq("fields")
+    val hosts = conf.strSeq("hosts")
+    val db = conf.strReq("db")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val selector = new HostSelector(hosts)
+      val lines = rows.map { r =>
+        val tagVals = tags.map(t => t -> Option(r.getAs[Any](t)).map(_.toString).orNull)
+        val fieldVals = fields.map(f => f -> r.getAs[Any](f))
+        influxLine(measurement, tagVals, fieldVals, System.currentTimeMillis() * 1000000L)
+      }.mkString("\n")
+      if (lines.nonEmpty) selector.select().foreach { host =>
+        val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"$host/write?db=$db"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(lines)).build()
+        java.net.http.HttpClient.newHttpClient()
+          .send(req, java.net.http.HttpResponse.BodyHandlers.discarding()): Unit
+      }
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("yaml parse with env expansion") {
+    val spec = PipelineConfig.parse(
+      """inputs:
+        |  - Text:
+        |      path: ${HOME}/data.txt
+        |filters:
+        |  - Add:
+        |      fields: {x: "1"}
+        |outputs:
+        |  - Stdout: {}
+        |""".stripMargin)
+    assert(spec.inputs.head._1 == "Text")
+    assert(spec.inputs.head._2("path").toString.startsWith(sys.env("HOME")))
+    assert(spec.filters.head._1 == "Add")
+    assert(spec.outputs.head._1 == "Stdout")
+  }
+
+  test("end-to-end batch pipeline: Text -> Grok -> Date -> Convert -> Drop -> Parquet") {
+    // mirrors the reference's e2e test shape (gohangout_test.go:207-228)
+    val dir = Files.createTempDirectory("graft_e2e")
+    val logFile = dir.resolve("access.log")
+    Files.write(logFile, java.util.Arrays.asList(
+      """2024-03-05T10:20:30 alice 200""",
+      """2024-03-05T10:21:00 bob 500""",
+      """2024-03-05T10:22:00 carol 404""",
+      "not a log line"))
+    val outDir = dir.resolve("out").toString
+
+    val yaml =
+      s"""inputs:
+         |  - Text:
+         |      path: $logFile
+         |filters:
+         |  - Grok:
+         |      src: message
+         |      match:
+         |        - '^(?P<logtime>\\S+) (?P<name>\\w+) (?P<status>\\d+)$$'
+         |      failTag: grokfail
+         |  - Date:
+         |      src: logtime
+         |      formats: ['2006-01-02T15:04:05']
+         |      remove_fields: ['logtime']
+         |  - Convert:
+         |      fields:
+         |        status: {to: int}
+         |  - Drop:
+         |      if:
+         |        - 'EQ(status,500)'
+         |outputs:
+         |  - Parquet:
+         |      path: $outDir
+         |""".stripMargin
+
+    Planner.fromYaml(yaml).runBatch(spark)
+    val out = spark.read.parquet(outDir)
+    val rows = out.collect()
+    assert(rows.length == 3) // 500 dropped; garbage line kept with fail tag
+    val byName = rows.filter(r => !r.isNullAt(r.fieldIndex("name")))
+      .map(r => r.getString(r.fieldIndex("name")) -> r).toMap
+    assert(byName.keySet == Set("alice", "carol"))
+    assert(byName("alice").getLong(byName("alice").fieldIndex("status")) == 200L)
+    assert(byName("alice").getTimestamp(byName("alice").fieldIndex("@timestamp"))
+      .toString.startsWith("2024-03-05 10:20:30"))
+    val garbage = rows.find(r => r.isNullAt(r.fieldIndex("name"))).get
+    assert(garbage.getSeq[String](garbage.fieldIndex("tags")).contains("grokfail"))
+  }
+
+  test("multiple inputs union, output if-guard routes") {
+    val dir = Files.createTempDirectory("graft_union")
+    val f1 = dir.resolve("a.txt"); Files.write(f1, java.util.Arrays.asList("aaa", "abc"))
+    val f2 = dir.resolve("b.txt"); Files.write(f2, java.util.Arrays.asList("bbb"))
+    val out = dir.resolve("out").toString
+    val yaml =
+      s"""inputs:
+         |  - Text: {path: $f1}
+         |  - Text: {path: $f2}
+         |filters: []
+         |outputs:
+         |  - Parquet:
+         |      path: $out
+         |      if:
+         |        - 'HasPrefix(message,"a")'
+         |""".stripMargin
+    Planner.fromYaml(yaml).runBatch(spark)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}

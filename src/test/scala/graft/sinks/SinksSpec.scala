@@ -1,0 +1,91 @@
+package graft.sinks
+
+import java.io.ByteArrayInputStream
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.zip.GZIPInputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinksSpec extends AnyFunSuite {
+
+  test("HostSelector: round-robin, cooldown, re-enable") {
+    var t = 0L
+    val sel = new HostSelector(Seq("h1", "h2"), cooldownMs = 100, now = () => t)
+    assert(sel.select().isDefined)
+    sel.reportFailure("h1")
+    assert((1 to 4).flatMap(_ => sel.select()).forall(_ == "h2"))
+    t = 200 // past cooldown
+    assert((1 to 4).flatMap(_ => sel.select()).toSet == Set("h1", "h2"))
+  }
+
+  test("actionMeta renders index/id/routing with JSON escaping") {
+    assert(EsBulkWriter.actionMeta("logs-2024") == """{"index":{"_index":"logs-2024"}}""")
+    assert(EsBulkWriter.actionMeta("l", id = Some("x\"y")) ==
+      """{"index":{"_index":"l","_id":"x\"y"}}""")
+    assert(EsBulkWriter.actionMeta("l", routing = Some("r"), esType = Some("t")) ==
+      """{"index":{"_index":"l","_type":"t","_routing":"r"}}""")
+  }
+
+  test("itemsToRetry: fast path, per-item 429/5xx retry, 4xx drop") {
+    val batch = Vector(("m1", "s1"), ("m2", "s2"), ("m3", "s3"))
+    assert(EsBulkWriter.itemsToRetry("""{"took":5,"errors":false}""", batch).isEmpty)
+    val resp =
+      """{"errors":true,"items":[
+        |{"index":{"status":200}},
+        |{"index":{"status":429}},
+        |{"index":{"status":400}}]}""".stripMargin
+    assert(EsBulkWriter.itemsToRetry(resp, batch) == Vector(("m2", "s2")))
+  }
+
+  test("EsBulkWriter: batching by action count, gzip body, failover on 500") {
+    val received = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val failFirst = new AtomicInteger(0)
+    def fakeSend(url: String, body: Array[Byte], gz: Boolean): (Int, String) = {
+      if (url.startsWith("http://bad") && failFirst.incrementAndGet() <= 2)
+        return (500, "boom")
+      val text = if (gz)
+        new String(new GZIPInputStream(new ByteArrayInputStream(body)).readAllBytes())
+      else new String(body)
+      received += ((url, text))
+      (200, """{"errors":false}""")
+    }
+    val w = new EsBulkWriter(Seq("http://bad:1", "http://good:2"),
+      bulkActions = 2, httpSend = fakeSend)
+    w.add("""{"index":{"_index":"i"}}""", """{"a":1}""")
+    w.add("""{"index":{"_index":"i"}}""", """{"a":2}""") // triggers flush
+    w.add("""{"index":{"_index":"i"}}""", """{"a":3}""")
+    w.close()
+    assert(received.forall(_._1.startsWith("http://good")))
+    assert(received.length == 2)
+    assert(received.head._2 ==
+      "{\"index\":{\"_index\":\"i\"}}\n{\"a\":1}\n{\"index\":{\"_index\":\"i\"}}\n{\"a\":2}\n")
+  }
+
+  test("EsBulkWriter over real HTTP (JDK server)") {
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", exchange => {
+      val body = new String(new GZIPInputStream(exchange.getRequestBody).readAllBytes())
+      got.synchronized { got += body }
+      val resp = """{"took":1,"errors":false}""".getBytes
+      exchange.sendResponseHeaders(200, resp.length)
+      exchange.getResponseBody.write(resp)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val w = new EsBulkWriter(Seq(s"http://127.0.0.1:$port"))
+      w.add(EsBulkWriter.actionMeta("t"), """{"x":1}""")
+      w.close()
+      assert(got.length == 1 && got.head.contains("\"x\":1"))
+    } finally server.stop(0)
+  }
+
+  test("influx line protocol escaping and types") {
+    val line = Sinks.influxLine("cpu load", Seq("host" -> "h 1"),
+      Seq("value" -> 0.5, "n" -> 3L, "s" -> "a\"b"), 1700000000000000000L)
+    assert(line == "cpu\\ load,host=h\\ 1 value=0.5,n=3i,s=\"a\\\"b\" 1700000000000000000")
+  }
+}
