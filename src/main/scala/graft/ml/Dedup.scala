@@ -45,16 +45,37 @@ object Dedup {
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("cnt"))
 
   /** MinHash signature: k independent permutations approximated by k seeded
-    * murmur3 hashes; sig_i = min over shingles of hash(shingle, i). */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
+    * re-hashes of the 64-bit shingle hashes; sig_i = min over shingles of
+    * xxhash64(shingleHash, i). The string is hashed to a long ONCE; the k
+    * permutations only touch 8-byte longs, so total cost is
+    * O(|shingles| * (strlen + k)) not O(|shingles| * k * strlen). */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, x => hash(x, seed))))
+      seed => array_min(transform(shingleHashes, h => xxhash64(h, seed))))
 
   /** LSH candidate generation + exact-jaccard verification.
     *
     * Bands the signature into `bands` groups of `numHashes/bands` rows;
     * docs sharing any (band, hash-of-band-slice) bucket become candidates;
     * candidates are verified with exact shingle jaccard ≥ `threshold`.
+    *
+    * Plan shape (this is what makes it fast — see git history for the
+    * 300s-at-sf0.1 version this replaces):
+    *   - shingles are hashed to 64-bit longs in ONE pass over the strings;
+    *     the k minhash permutations re-hash only the longs. Without this,
+    *     Catalyst's CollapseProject inlines the whole shingle expression
+    *     into every one of the k lambda bodies → k× string re-tokenization.
+    *   - a `repartition(id)` barrier right after shingling both (a)
+    *     materializes the shingle arrays once and (b) spreads rows over all
+    *     cores — the testdata parquet is a single row-group, so without it
+    *     every hash runs on one core. At cluster scale the input has many
+    *     splits and the same shuffle co-locates the verify join.
+    *   - band bucket hashes are computed directly from the shingle hashes
+    *     (min over xxhash64(h, band*r+j)), so no wide intermediate
+    *     signature column gets re-inlined per band.
+    *   - both sides of the bucket self-join and of the verify join are the
+    *     same repartitioned subplan → Spark's ReuseExchange scans and
+    *     shingles the corpus once.
     *
     * Scale: explode factor = `bands` per doc; the bucket join shuffles on
     * (band, bandHash) whose cardinality ~ distinct near-dup clusters.
@@ -72,12 +93,15 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("hs", transform(col("sh"), h => xxhash64(h)))
+      .repartition(col("id"))
 
-    val sig = docs.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sig.select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bh")))).as("bb"))
+    val banded = docs.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            hash((0 until rows).map(j =>
+              array_min(transform(col("hs"), h => xxhash64(h, b * rows + j))))
+              : _*).as("bh")))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
     val cand = banded.as("l").join(banded.as("r"),
@@ -96,26 +120,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 32-bit SimHash over distinct tokens, with the token hash taken from
-    * the low 8 hex chars of md5 — deliberately reproducible in any engine
-    * (the oracle recomputes it in SQL). */
-  def simhash32(text: Column): Column = {
-    val hashes = transform(array_distinct(tokens(text)),
+  /** Per-token 32-bit hashes: low 8 hex chars of md5 — deliberately
+    * reproducible in any engine (the oracle recomputes it in SQL). */
+  def simhashTokenHashes(text: Column): Column =
+    transform(array_distinct(tokens(text)),
       t => conv(substring(md5(t), 25, 8), 16, 10).cast("long"))
-    val bitContrib = transform(sequence(lit(0), lit(31)), j => {
-      val p = pow(lit(2.0), j).cast("long")
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when((h.cast("long") / p).cast("long") % 2 === 1, 1).otherwise(-1))
-      when(vote > 0, p).otherwise(lit(0L))
-    })
-    aggregate(bitContrib, lit(0L), (acc, x) => acc + x)
-  }
+
+  /** 32-bit SimHash from pre-computed token hashes. The 32 bit-votes are
+    * statically unrolled Scala-side (not a `sequence` lambda), so each
+    * vote is a codegen'd shift+mod over a long array — the expensive md5
+    * pass over the strings happens once, upstream. */
+  def simhashFromHashes(hs: Column): Column =
+    (0 until 32).map { j =>
+      val vote = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def simhash32(text: Column): Column =
+    simhashFromHashes(simhashTokenHashes(text))
 
   /** Near-dup via identical simhash fingerprint (hamming-0 buckets; banded
-    * hamming-k search is a straightforward extension on chunked bits). */
+    * hamming-k search is a straightforward extension on chunked bits).
+    * The md5 token-hash array is materialized behind a repartition barrier
+    * so (a) it is computed once, not once per bit-vote, and (b) the work
+    * spreads across all cores even when the input is a single split. */
   def simhashGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(simhash32(col(textCol)).as("simhash"))
-      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("cnt"))
+    df.select(col(idCol).as("__id"), simhashTokenHashes(col(textCol)).as("__hs"))
+      .repartition(col("__id"))
+      .groupBy(simhashFromHashes(col("__hs")).as("simhash"))
+      .agg(min(col("__id")).as("rep_id"), count(lit(1)).as("cnt"))
 
   /** Exact n-gram jaccard pairs within a blocking column (e.g. a source or
     * length bucket) — the quadratic fallback, kept sub-quadratic by the
