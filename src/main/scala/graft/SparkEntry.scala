@@ -162,7 +162,25 @@ object SparkEntry {
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
       graft.ml.Similarity.annTopK(
-        emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5, numPlanes = 6)
+        emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5,
+        numPlanes = 6, dim = 64)
+    },
+    "q_cosine_dup" -> { (s, dir) =>
+      graft.ml.Similarity.cosineDupPairs(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.4, numPlanes = 4, dim = 64)
+    },
+    "q_ngram_jaccard" -> { (s, dir) =>
+      graft.ml.Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", blockCol = "source", n = 3, threshold = 0.8)
+    },
+
+    // ---- multimodal: binary payload + typed metadata, stubbed decode ----
+    "q_multimodal" -> { (s, dir) =>
+      val media = graft.ml.Multimodal.fromText(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+      graft.ml.Multimodal.decodeStub(media)
+        .select(col("media_id"), col("byte_len"), col("width"), col("height"),
+          col("channels"), col("content_md5"))
     },
 
     // ---- text analysis ----
@@ -196,9 +214,57 @@ object SparkEntry {
     },
   )
 
+  /** DuckDB SQL for the SRP-LSH bucket id over a DOUBLE[] column `v`:
+    * mirrors Similarity.srpBucket bit-for-bit (same md5-derived planes,
+    * same left-fold summation order). */
+  private def srpBucketSql(numPlanes: Int, dim: Int): String =
+    s"""list_sum([CASE WHEN list_reduce([v[i+1] * ((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 25, 8)) AS BIGINT) % 2001 - 1000) / 1000.0) for i in range(0, $dim)], (x, y) -> x + y) >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END for p in range(0, $numPlanes)])"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, ${srpBucketSql(6, 64)} AS bucket FROM c),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, b.vec_id,
+        |    list_reduce(list_zip(q.qv, b.v).apply(x -> x[1]*x[2]), (a,bb) -> a+bb) /
+        |    sqrt(list_reduce(list_zip(q.qv, q.qv).apply(x -> x[1]*x[2]), (a,bb) -> a+bb) *
+        |         list_reduce(list_zip(b.v, b.v).apply(x -> x[1]*x[2]), (a,bb) -> a+bb)) AS sim
+        |  FROM b JOIN q USING (bucket))
+        |SELECT query_id, vec_id, rank, sim FROM (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_cosine_dup" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, ${srpBucketSql(4, 64)} AS bucket FROM c)
+        |SELECT id_a, id_b, sim FROM (
+        |  SELECT a.vec_id AS id_a, t.vec_id AS id_b,
+        |    list_reduce(list_zip(a.v, t.v).apply(x -> x[1]*x[2]), (x,y) -> x+y) /
+        |    sqrt(list_reduce(list_zip(a.v, a.v).apply(x -> x[1]*x[2]), (x,y) -> x+y) *
+        |         list_reduce(list_zip(t.v, t.v).apply(x -> x[1]*x[2]), (x,y) -> x+y)) AS sim
+        |  FROM b a JOIN b t ON a.bucket = t.bucket AND a.vec_id < t.vec_id)
+        |WHERE sim >= 0.4""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, source, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+        |    for i in range(0, greatest(len(toks)-3, 0)+1)]) AS sh
+        |  FROM t
+        |)
+        |SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -324,6 +390,15 @@ object SparkEntry {
         |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 512 + 1 AS INT) AS width,
+        |  CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 512 + 1 AS INT) AS height,
+        |  CAST(CAST(('0x' || substring(md5(text), 9, 1)) AS BIGINT) % 4 + 1 AS INT) AS channels,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
 
     "q_text_profile" ->
       """WITH t AS (

@@ -21,12 +21,22 @@ object Dedup {
 
   def tokens(text: Column): Column = split(text, """\s+""")
 
-  /** Distinct word n-gram shingles. */
+  /** Distinct word n-gram shingles.
+    *
+    * Built from zipped shifted arrays instead of a per-position
+    * `slice+concat_ws` lambda: one pass, no per-shingle array allocation —
+    * ~5× faster in the interpreted higher-order-function path (HOFs don't
+    * codegen). Positions past `size-n` concat a null tail element and are
+    * swept by array_compact; docs shorter than n tokens produce the single
+    * clipped shingle the slice-based formulation produced. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val shifted = (1 until n).map(k =>
+      slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))))
+    val zipped = shifted.foldLeft(toks)((acc, s) =>
+      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+    array_distinct(when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(array_compact(zipped)))
   }
 
   /** Exact dedup: one representative (min id) + count per identical value.
@@ -90,8 +100,14 @@ object Dedup {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
 
-    val docs = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleSize).as("sh"))
+    // Two exchanges on purpose: the first spreads a few-split input across
+    // all cores BEFORE the expensive shingling; the second materializes
+    // sh+hs so no downstream lambda re-inlines the shingle expression, and
+    // gives ReuseExchange one subplan that every consumer (both bucket-join
+    // sides, both verify-join sides) shares.
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(col("id"))
+      .select(col("id"), shingles(col("__t"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("hs", transform(col("sh"), h => xxhash64(h)))
       .repartition(col("id"))
@@ -110,14 +126,22 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
-    val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // Verify with jaccard over the 64-bit shingle hashes, not the strings:
+    // identical value unless xxhash64 collides within a doc pair (~2^-64
+    // per pair — the sf0.01 oracle compare against string jaccard is the
+    // empirical check), and both the shuffle width and the per-pair
+    // intersect cost drop by the average shingle length.
+    val a = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("id_a"), col("id_b"), jaccardCol(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** |a ∩ b| / |a ∪ b| over distinct-element arrays. */
+  def jaccardCol(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
   }
 
   /** Per-token 32-bit hashes: low 8 hex chars of md5 — deliberately
@@ -146,8 +170,10 @@ object Dedup {
     * so (a) it is computed once, not once per bit-vote, and (b) the work
     * spreads across all cores even when the input is a single split. */
   def simhashGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("__id"), simhashTokenHashes(col(textCol)).as("__hs"))
-      .repartition(col("__id"))
+    df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .repartition(col("__id")) // spread before the md5-heavy token hashing
+      .select(col("__id"), simhashTokenHashes(col("__t")).as("__hs"))
+      .repartition(col("__id")) // materialize: keep md5 out of the 32 bit-votes
       .groupBy(simhashFromHashes(col("__hs")).as("simhash"))
       .agg(min(col("__id")).as("rep_id"), count(lit(1)).as("cnt"))
 
@@ -156,16 +182,22 @@ object Dedup {
     * block. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Shingles are hashed to longs behind a repartition barrier: computed
+    // once, spread over all cores, reused by both join sides (ReuseExchange),
+    // and the quadratic intersect runs over 8-byte longs instead of strings.
     val docs = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh")).filter(size(col("sh")) > 0)
-    val l = docs.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = docs.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+        col(textCol).as("__t"))
+      .repartition(col("id")) // spread before the expensive shingling
+      .select(col("blk"), col("id"), shingles(col("__t"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("blk"), col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .repartition(col("id")) // materialize once; reused by both join sides
+    val l = docs.select(col("blk"), col("id").as("id_a"), col("hs").as("hs_a"))
+    val r = docs.select(col("blk"), col("id").as("id_b"), col("hs").as("hs_b"))
     l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("blk"), col("id_a"), col("id_b"),
+        jaccardCol(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("blk"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Keep one representative row per near-dup cluster: pairs → connected

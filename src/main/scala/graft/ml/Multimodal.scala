@@ -1,0 +1,126 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * payloads ride as opaque `binary` columns next to a typed metadata
+  * struct; decode / feature-extract / resize / frame-sample are
+  * per-partition batch operations.
+  *
+  * The actual byte decoding is STUBBED (this container has no image/audio
+  * libraries): `Decoder` is the seam where a real implementation would
+  * call e.g. javax.imageio / ffmpeg inside `decodePartitions`, and the
+  * expression-level ops derive deterministic fake features from the bytes
+  * (md5-based, so the DuckDB oracle can recompute them). Everything
+  * Spark-side — schema, partitioning, batch shape, shuffle behavior — is
+  * real and tested.
+  *
+  * Scale notes:
+  *   - binary payloads dominate row size, so ops that only need metadata
+  *     select away `content` BEFORE any shuffle (column pruning does this
+  *     automatically in a declarative plan — keep ops declarative).
+  *   - `decodePartitions` is mapPartitions-shaped: one decoder instance
+  *     per partition (libraries are expensive to init per row), streaming
+  *     through rows without materializing the partition.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to the opaque payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("byte_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("format", StringType)))
+
+  /** Wrap a string column as a binary media payload (UTF-8 bytes) — the
+    * test-fixture entry point given this environment has no real media
+    * files. Real pipelines read payloads with `format("binaryFile")`. */
+  def fromText(df: DataFrame, textCol: String, idCol: String,
+      mediaType: Column = lit("image")): DataFrame =
+    df.select(col(idCol).as("media_id"),
+      col(textCol).cast("binary").as("content"),
+      mediaType.as("media_type"))
+
+  // ---- expression-level (codegen'd) fake decode ---------------------------
+
+  /** Deterministic pseudo-decode: dimensions derived from the content md5.
+    * A real decoder parses the image header instead — same output shape. */
+  def decodeStub(df: DataFrame): DataFrame = {
+    val m = md5(col("content"))
+    df.withColumn("byte_len", length(col("content")).cast("long"))
+      .withColumn("width",
+        (conv(substring(m, 1, 4), 16, 10).cast("long") % 512 + 1).cast("int"))
+      .withColumn("height",
+        (conv(substring(m, 5, 4), 16, 10).cast("long") % 512 + 1).cast("int"))
+      .withColumn("channels",
+        (conv(substring(m, 9, 1), 16, 10).cast("long") % 4 + 1).cast("int"))
+      .withColumn("content_md5", m)
+  }
+
+  /** Deterministic fake feature vector from the payload bytes: dim doubles
+    * in [-1, 1) from seeded xxhash64 — the shape a real embedding model
+    * would emit via batched inference in `decodePartitions`. */
+  def featureStub(content: Column, dim: Int): Column =
+    array((0 until dim).map(i =>
+      (xxhash64(content, lit(i)).cast("double") / lit(Long.MaxValue.toDouble))): _*)
+
+  /** "Resize": real impl re-encodes pixels; stub keeps a byte-budget crop
+    * (substr on binary) so downstream size accounting stays realistic. */
+  def resizeStub(content: Column, maxBytes: Int): Column =
+    substring(content, 1, maxBytes)
+
+  /** Sample `n` fixed-width frames at evenly spaced byte offsets — the
+    * frame-sampling access pattern of a video pipeline, over fake bytes. */
+  def frameSampleStub(content: Column, n: Int, frameBytes: Int): Column = {
+    val len = length(content)
+    array((0 until n).map { i =>
+      val off = (len - frameBytes) * i / math.max(n - 1, 1) + 1
+      substring(content, greatest(off, lit(1)).cast("int"), lit(frameBytes))
+    }: _*)
+  }
+
+  // ---- partition-level decode seam ---------------------------------------
+
+  /** The seam for a real media library. One instance per partition. */
+  trait Decoder extends Serializable {
+    def decode(mediaType: String, content: Array[Byte]): Row // metaSchema row
+  }
+
+  /** Deterministic fake decoder — mirrors decodeStub's md5 arithmetic. */
+  object StubDecoder extends Decoder {
+    def decode(mediaType: String, content: Array[Byte]): Row = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(content).map(b => f"$b%02x").mkString
+      def h(from: Int, len: Int, mod: Int): Int =
+        (java.lang.Long.parseLong(hex.substring(from, from + len), 16) % mod + 1).toInt
+      Row(mediaType, content.length.toLong, h(0, 4, 512), h(4, 4, 512),
+        h(8, 1, 4), 16000, content.length.toLong * 1000 / 16000, "stub")
+    }
+  }
+
+  /** mapPartitions decode: init the (expensive) decoder once per
+    * partition, stream rows through it, emit `(media_id, meta)`.
+    * Payload bytes never survive past this operator — the output row is
+    * metadata-only, so whatever shuffles next is narrow. */
+  def decodePartitions(df: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    val inEncoder = org.apache.spark.sql.Encoders.row(df.schema)
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema("media_id").dataType),
+      StructField("meta", metaSchema)))
+    val rdd = df.select("media_id", "media_type", "content")
+      .mapPartitions { rows =>
+        val d = decoder // one per partition; real libs init native state here
+        rows.map { r =>
+          Row(r.get(0), d.decode(r.getString(1), r.getAs[Array[Byte]](2)))
+        }
+      }(inEncoder.asInstanceOf[org.apache.spark.sql.Encoder[Row]])
+    spark.createDataFrame(rdd.rdd, outSchema)
+  }
+}

@@ -42,34 +42,45 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "sim")
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
-    * derived from md5 so any engine can recompute it. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (conv(substring(md5(concat(plane, lit("_"), dim)), 25, 8), 16, 10)
-      .cast("long") % 2001 - 1000).cast("double") / 1000.0
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]: derived
+    * from md5("p_i") so any engine can recompute it (the DuckDB oracle
+    * re-derives the same planes in SQL). Computed ONCE, driver-side — the
+    * plane matrix is a constant, so it enters the plan as a literal array
+    * instead of per-row md5 string hashing (the old per-row form cost
+    * numPlanes × dim md5 calls per row — ~5s of the sf0.1 bench). */
+  private[ml] def planeComponent(plane: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_${dim}".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    ((java.lang.Long.parseLong(hex.substring(24, 32), 16) % 2001) - 1000) / 1000.0
+  }
 
-  /** SRP-LSH bucket id: `numPlanes` sign bits of dot(v, r_i). */
-  def srpBucket(vec: Column, numPlanes: Int): Column = {
+  private[ml] def planeVector(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => planeComponent(plane, i))
+
+  /** SRP-LSH bucket id: `numPlanes` sign bits of dot(v, r_p). The planes
+    * are statically unrolled literal arrays — each bit is one codegen'd
+    * zip_with/aggregate fold over doubles. */
+  def srpBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
     val v = vec.cast("array<double>")
-    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-      val d = aggregate(
-        transform(sequence(lit(0), size(v) - 1),
-          i => element_at(v, i + 1) * planeComponent(p, i)),
+    (0 until numPlanes).map { p =>
+      val plane = typedlit(planeVector(p, dim))
+      val d = aggregate(zip_with(v, plane, (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** ANN top-k: queries probe only their SRP bucket. Trades recall for a
     * `2^numPlanes`-way partition of the corpus; multi-probe (flipping one
     * bit) is the standard recall knob. */
   def annTopK(corpus: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+      vecCol: String, idCol: String, k: Int, numPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
-      srpBucket(col(vecCol), numPlanes).as("bucket"))
+      srpBucket(col(vecCol), numPlanes, dim).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      srpBucket(col(vecCol), numPlanes).as("bucket"))
+      srpBucket(col(vecCol), numPlanes, dim).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .withColumn("sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -82,9 +93,9 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * SRP bucket (same-bucket pairs only — the LSH analogue for vectors). */
   def cosineDupPairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, numPlanes: Int = 8): DataFrame = {
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      srpBucket(col(vecCol), numPlanes).as("bucket"))
+      srpBucket(col(vecCol), numPlanes, dim).as("bucket"))
     val l = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
