@@ -174,6 +174,22 @@ object SparkEntry {
         "text", "doc_id", blockCol = "source", n = 3, threshold = 0.8)
     },
 
+    // ---- GeoIP enrichment: broadcast bucketed range join (IPIP-style) ----
+    // IPs are derived deterministically from the events table; the range
+    // dim carves the IPv4 space into one block per nation.
+    "q_geoip" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ipl", ($"user_id".cast("long") * 9973L + $"event_id".cast("long") * 31L) % 4294967296L)
+        .withColumn("ip", graft.operators.GeoIp.longToIp($"ipl"))
+      val ranges = Tables.load(s, dir, "nation").select(
+        (($"n_nationkey".cast("long") * 4294967296L) / 25L).cast("long").as("ip_from"),
+        ((($"n_nationkey".cast("long") + 1L) * 4294967296L) / 25L - 1L).cast("long").as("ip_to"),
+        $"n_name".as("country"))
+      graft.operators.GeoIp.enrich(ev, ranges, "ip")
+        .select($"event_id", $"ip", $"country")
+    },
+
     // ---- multimodal: binary payload + typed metadata, stubbed decode ----
     "q_multimodal" -> { (s, dir) =>
       val media = graft.ml.Multimodal.fromText(
@@ -390,6 +406,23 @@ object SparkEntry {
         |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+
+    "q_geoip" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    (CAST(user_id AS BIGINT) * 9973 + CAST(event_id AS BIGINT) * 31) % 4294967296 AS ipl
+        |  FROM events
+        |), r AS (
+        |  SELECT n_name,
+        |    (CAST(n_nationkey AS BIGINT) * 4294967296) // 25 AS ip_from,
+        |    ((CAST(n_nationkey AS BIGINT) + 1) * 4294967296) // 25 - 1 AS ip_to
+        |  FROM nation
+        |)
+        |SELECT e.event_id,
+        |  ((e.ipl // 16777216) % 256) || '.' || ((e.ipl // 65536) % 256) || '.' ||
+        |    ((e.ipl // 256) % 256) || '.' || (e.ipl % 256) AS ip,
+        |  r.n_name AS country
+        |FROM ev e LEFT JOIN r ON e.ipl >= r.ip_from AND e.ipl <= r.ip_to""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id AS media_id,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** GeoIP enrichment: the reference's IPIP filter (filter/ipip.go:32-135)
+  * looks up an IP in an interval database and sets country/province/city/
+  * isp/lat/lon fields.
+  *
+  * Spark-first shape: an IP-interval lookup is a RANGE join. A naive
+  * `ipl BETWEEN ip_from AND ip_to` broadcast join plans as a
+  * BroadcastNestedLoopJoin — every probe row scans every range, O(n·m),
+  * which dies at 1M-range GeoIP databases. Instead we bucket the IPv4
+  * space by the high `bucketBits` bits:
+  *
+  *   - build side: each range row is EXPLODED to every /bucketBits prefix
+  *     it spans (a real GeoIP DB's ranges are small, so explode factor is
+  *     ~1; a handful of wide ranges fan out to at most 2^bucketBits rows).
+  *   - probe side: one prefix per row, computed from the IP — the join is
+  *     then a plain broadcast HASH join on the prefix plus a residual
+  *     BETWEEN filter. Probe side never shuffles.
+  */
+object GeoIp {
+
+  /** Dotted-quad string → 32-bit value in a long. */
+  def ipToLong(ip: Column): Column = {
+    val o = split(ip, "\\.")
+    element_at(o, 1).cast("long") * 16777216L +
+      element_at(o, 2).cast("long") * 65536L +
+      element_at(o, 3).cast("long") * 256L +
+      element_at(o, 4).cast("long")
+  }
+
+  /** 32-bit value → dotted-quad string. */
+  def longToIp(ipl: Column): Column =
+    concat_ws(".",
+      (ipl / 16777216L).cast("long") % 256,
+      (ipl / 65536L).cast("long") % 256,
+      (ipl / 256L).cast("long") % 256,
+      ipl % 256)
+
+  /** Enrich `df` with the attribute columns of `ranges` (which must carry
+    * `ip_from`/`ip_to` longs; every other column is an attribute). Left
+    * join — unmatched IPs keep null attributes, like the reference leaves
+    * fields unset on lookup miss. Assumes non-overlapping ranges (true of
+    * GeoIP databases). */
+  def enrich(df: DataFrame, ranges: DataFrame, ipCol: String,
+      bucketBits: Int = 16): DataFrame = {
+    val shift = 32 - bucketBits
+    val b = ranges.withColumn("__b",
+      explode(sequence(shiftright(col("ip_from"), shift),
+        shiftright(col("ip_to"), shift))))
+    val probe = df.withColumn("__ipl", ipToLong(col(ipCol)))
+      .withColumn("__b", shiftright(col("__ipl"), shift))
+    probe.join(broadcast(b),
+        probe("__b") === b("__b") &&
+          col("__ipl") >= col("ip_from") && col("__ipl") <= col("ip_to"),
+        "left")
+      .drop("__b", "__ipl", "ip_from", "ip_to")
+  }
+}
