@@ -164,6 +164,15 @@ object Planner {
       case "Rate" =>
         spark.readStream.format("rate")
           .option("rowsPerSecond", conf.int("rows_per_second", 10)).load()
+      case "TCP" =>
+        // reference: input/tcp_input.go — line-oriented socket (dev/test
+        // only; Spark's socket source is not fault-tolerant)
+        spark.readStream.format("socket")
+          .option("host", conf.str("host").getOrElse("localhost"))
+          .option("port", conf.int("port", 9999))
+          .load()
+          .select(col("value").as("message"),
+            current_timestamp().as("@timestamp"))
       case other => sys.error(s"unknown streaming input '$other'")
     }
 
@@ -189,6 +198,37 @@ object Planner {
         n -> graft.sinks.Sinks.writeBatch(n, c, guarded)
       }.toMap
     }
+  }
+
+  /** Streaming run: stream inputs → the SAME declarative transform chain →
+    * one `foreachBatch` that routes each micro-batch through the batch
+    * sink writers (micro-batch boundaries replace the reference's
+    * count/size/interval bulk triggers — SURVEY §2.7). Returns the started
+    * query; caller owns awaitTermination/stop (the reference's graceful
+    * 30 s drain maps to `query.stop()`). */
+  def runStreaming(spark: SparkSession, pipeline: Pipeline,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val in = pipeline.spec.inputs
+      .map { case (n, c) => streamingInput(spark, n, c) }
+      .reduceLeft(_.unionByName(_, allowMissingColumns = true))
+    startForeachBatch(pipeline, pipeline.transform(in), checkpoint)
+  }
+
+  /** foreachBatch writer over an already-transformed streaming frame —
+    * also the seam tests use to drive a MemoryStream through the chain. */
+  def startForeachBatch(pipeline: Pipeline, transformed: DataFrame,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = transformed.writeStream
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+      pipeline.spec.outputs.foreach { case (n, c) =>
+        val guarded = c.strSeq("if")
+          .map(cond => ConditionFilter.compile(cond, batch))
+          .reduceOption(_ && _)
+          .map(batch.filter).getOrElse(batch)
+        graft.sinks.Sinks.writeBatch(n, c, guarded): Unit
+      }
+    }.start()
   }
 
   def fromYaml(yamlText: String): Pipeline = {
