@@ -165,6 +165,13 @@ object SparkEntry {
         emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5,
         numPlanes = 6, dim = 64)
     },
+    "q_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ml.Similarity.ivfTopK(
+        emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5,
+        numCells = 16, nprobe = 3)
+    },
     "q_cosine_dup" -> { (s, dir) =>
       graft.ml.Similarity.cosineDupPairs(Tables.load(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.4, numPlanes = 4, dim = 64)
@@ -253,6 +260,38 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER
         |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
         |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, v AS cent FROM c WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT c.vec_id, c.v, cents.cell_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_reduce(list_zip(c.v, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |        sqrt(list_reduce(list_zip(c.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |             list_reduce(list_zip(cents.cent, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b))
+        |        DESC, cents.cell_id) AS rn
+        |    FROM c, cents) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, cell_id FROM (
+        |    SELECT q.vec_id AS query_id, q.v AS qv, cents.cell_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_zip(q.v, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |        sqrt(list_reduce(list_zip(q.v, q.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |             list_reduce(list_zip(cents.cent, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b))
+        |        DESC, cents.cell_id) AS rn
+        |    FROM c q, cents WHERE q.vec_id < 5) WHERE rn <= 3)
+        |SELECT query_id, vec_id, rank, sim FROM (
+        |  SELECT sc.query_id, sc.vec_id, sc.sim,
+        |    CAST(row_number() OVER (PARTITION BY sc.query_id ORDER BY sc.sim DESC, sc.vec_id) AS INT) AS rank
+        |  FROM (
+        |    SELECT p.query_id, a.vec_id,
+        |      list_reduce(list_zip(p.qv, a.v).apply(x -> x[1]*x[2]), (x,y) -> x+y) /
+        |      sqrt(list_reduce(list_zip(p.qv, p.qv).apply(x -> x[1]*x[2]), (x,y) -> x+y) *
+        |           list_reduce(list_zip(a.v, a.v).apply(x -> x[1]*x[2]), (x,y) -> x+y)) AS sim
+        |    FROM asg a JOIN probes p USING (cell_id)) sc)
         |WHERE rank <= 5""".stripMargin,
 
     "q_cosine_dup" ->

@@ -90,6 +90,50 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "sim")
   }
 
+  /** IVF (inverted-file) ANN: the classic two-stage scale path.
+    *
+    *   1. a small set of coarse centroids partitions the corpus into
+    *      cells (posting lists); every corpus vector is assigned to its
+    *      nearest centroid ONCE (build time, one cross join against the
+    *      broadcast centroid set);
+    *   2. each query scores only the `nprobe` cells whose centroids are
+    *      nearest — candidate set shrinks by ~numCells/nprobe.
+    *
+    * Centroids here are seeded deterministically (the first `numCells`
+    * corpus vectors) so any engine can reproduce the result; a production
+    * build would run k-means offline and broadcast the trained centroids —
+    * the query path is identical. At cluster scale, `assigned` is written
+    * out partitioned by `cell_id` so probes touch only matching files
+    * (partition pruning), making the per-query cost sublinear. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, numCells: Int = 16, nprobe: Int = 3): DataFrame = {
+    val cents = corpus.filter(col(idCol) < numCells)
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("centroid"))
+
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("cv"), col("centroid")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cv"), col("cell_id"))
+
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell_id"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "cell_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * SRP bucket (same-bucket pairs only — the LSH analogue for vectors). */
   def cosineDupPairs(df: DataFrame, vecCol: String, idCol: String,

@@ -61,6 +61,20 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("ivf ann returns the query itself at rank 1 and respects nprobe") {
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3), "embedding", "vec_id",
+      k = 3, numCells = 8, nprobe = 8) // nprobe=all cells → exact search
+    val byQuery = out.select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect().groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.minBy(_._3)._2 == q)
+      assert(rows.length == 3)
+    }
+  }
+
   test("text profile: deterministic stats and langid") {
     val out = TextAnalysis.profile(docs, "text").collect().head
     assert(out.getInt(out.fieldIndex("n_tokens")) == 9)
