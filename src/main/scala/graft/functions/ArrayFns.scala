@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom codegen'd Catalyst expressions for the hot loops of the dedup /
+  * similarity operators.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`/
+  * `array_intersect`) are NOT whole-stage-codegen'd — each lambda step is
+  * an interpreted `Expression.eval` with per-element boxing and a fresh
+  * array allocation per lambda. For expressions evaluated millions of
+  * times per partition (64 minhash permutations per doc, one jaccard per
+  * candidate pair, three dot products per scored vector pair) that
+  * interpreter overhead dominates the actual arithmetic by >10×. These
+  * expressions run the same math as a tight single-pass loop over the
+  * unboxed ArrayData and plug into codegen via `defineCodeGen` (one static
+  * call per row, no virtual dispatch inside the loop).
+  */
+object ArrayFns {
+
+  private def col(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def expr(c: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  /** All `bands` LSH band-bucket hashes of the minhash signature of a
+    * long-hash array, in one pass: sig_k = min over elements of mix(h, k);
+    * band b = FNV fold of its `numHashes/bands` signature rows. */
+  def minhashBands(hashes: Column, numHashes: Int, bands: Int): Column =
+    col(MinHashBandsExpr(expr(hashes), numHashes, bands))
+
+  /** Jaccard similarity |a∩b|/|a∪b| of two distinct-element long arrays. */
+  def jaccardLong(a: Column, b: Column): Column =
+    col(JaccardLongExpr(expr(a), expr(b)))
+
+  /** Sequential-order dot product of two double arrays — bit-identical to
+    * `aggregate(zip_with(a,b,*), 0d, +)` (left fold, 0.0 seed), so oracle
+    * SQL using list_reduce reproduces it exactly. */
+  def dotD(a: Column, b: Column): Column =
+    col(DotDExpr(expr(a), expr(b)))
+
+  // ---- static kernels (called from generated code) ------------------------
+
+  /** splitmix64-style seeded mixer — only needs to be a good hash, no
+    * cross-engine contract (LSH candidates are re-verified exactly). */
+  @inline private def mix(h: Long, seed: Int): Long = {
+    var x = h ^ (seed * 0x9E3779B97F4A7C15L)
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  def minhashBandsKernel(arr: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val n = arr.numElements()
+    val r = numHashes / bands
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = mix(h, k)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0xcbf29ce484222325L
+      var j = 0
+      while (j < r) { acc = (acc ^ sig(b * r + j)) * 0x100000001b3L; j += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def jaccardLongKernel(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    // open-addressing set over the smaller array, power-of-two capacity
+    val (small, big, ns, nl) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    var cap = 8
+    while (cap < ns * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    var i = 0
+    while (i < ns) {
+      val v = small.getLong(i)
+      var idx = (mix(v, 0) & 0x7fffffffffffffffL).toInt & mask
+      while (used(idx) && table(idx) != v) idx = (idx + 1) & mask
+      if (!used(idx)) { used(idx) = true; table(idx) = v }
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < nl) {
+      val v = big.getLong(i)
+      var idx = (mix(v, 0) & 0x7fffffffffffffffL).toInt & mask
+      while (used(idx) && table(idx) != v) idx = (idx + 1) & mask
+      if (used(idx)) inter += 1
+      i += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  def dotDKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ArrayFns.minhashBandsKernel(input.asInstanceOf[ArrayData], numHashes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayFns.minhashBandsKernel($c, $numHashes, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_bands"
+}
+
+case class JaccardLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayFns.jaccardLongKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayFns.jaccardLongKernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_long"
+}
+
+case class DotDExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayFns.dotDKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayFns.dotDKernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_d"
+}

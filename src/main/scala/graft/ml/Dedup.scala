@@ -113,12 +113,8 @@ object Dedup {
       .repartition(col("id"))
 
     val banded = docs.select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            hash((0 until rows).map(j =>
-              array_min(transform(col("hs"), h => xxhash64(h, b * rows + j))))
-              : _*).as("bh")))).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        posexplode(graft.functions.ArrayFns.minhashBands(col("hs"), numHashes, bands)))
+      .toDF("id", "band", "bh")
 
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -134,11 +130,13 @@ object Dedup {
     val a = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val b = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cand.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"), jaccardCol(col("hs_a"), col("hs_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ArrayFns.jaccardLong(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** |a ∩ b| / |a ∪ b| over distinct-element arrays. */
+  /** |a ∩ b| / |a ∪ b| over distinct-element arrays (built-in form; the
+    * hot paths use the codegen'd ArrayFns.jaccardLong kernel). */
   def jaccardCol(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter)
@@ -196,7 +194,7 @@ object Dedup {
     val r = docs.select(col("blk"), col("id").as("id_b"), col("hs").as("hs_b"))
     l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
       .select(col("blk"), col("id_a"), col("id_b"),
-        jaccardCol(col("hs_a"), col("hs_b")).as("jaccard"))
+        graft.functions.ArrayFns.jaccardLong(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

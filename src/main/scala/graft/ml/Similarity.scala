@@ -19,10 +19,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** dot(a, b) as a sequential double fold (deterministic order). */
+  /** dot(a, b) as a sequential double fold (deterministic order) — the
+    * codegen'd DotD kernel, bit-identical to
+    * `aggregate(zip_with(a,b,*), 0d, +)` and to DuckDB's list_reduce. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
-      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayFns.dotD(a.cast("array<double>"), b.cast("array<double>"))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
@@ -64,9 +65,8 @@ object Similarity {
   def srpBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
     val v = vec.cast("array<double>")
     (0 until numPlanes).map { p =>
-      val plane = typedlit(planeVector(p, dim))
-      val d = aggregate(zip_with(v, plane, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = typedlit(planeVector(p, dim)).cast("array<double>")
+      val d = graft.functions.ArrayFns.dotD(v, plane)
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ArrayFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotD matches the aggregate/zip_with fold bit-for-bit") {
+    val df = Seq((Array(1.1, 2.2, 3.3), Array(0.5, -0.25, 4.0))).toDF("a", "b")
+    val viaHof = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)).as[Double].head()
+    val viaKernel = df.select(ArrayFns.dotD(col("a"), col("b"))).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(viaHof) ==
+      java.lang.Double.doubleToLongBits(viaKernel))
+  }
+
+  test("jaccardLong matches array_intersect-based jaccard") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L)),
+      (Seq(1L, 2L), Seq(1L, 2L)),
+      (Seq(1L), Seq(2L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+    ).toDF("a", "b")
+    val viaBuiltin = df.select(
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        (size(col("a")) + size(col("b")) - size(array_intersect(col("a"), col("b")))))
+        .as("j")).as[Double].collect().toSeq
+    val viaKernel = df.select(ArrayFns.jaccardLong(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    assert(viaBuiltin == viaKernel)
+  }
+
+  test("minhashBands: identical arrays collide in every band, disjoint ones in none") {
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L, 50L)),
+      (2L, Seq(10L, 20L, 30L, 40L, 50L)),
+      (3L, Seq(77L, 88L, 99L, 111L, 222L)),
+    ).toDF("id", "hs")
+    val bands = df.select(col("id"), ArrayFns.minhashBands(col("hs"), 64, 32).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(bands(1L) == bands(2L))
+    assert(bands(1L).zip(bands(3L)).count { case (x, y) => x == y } == 0)
+    assert(bands(1L).length == 32)
+  }
+
+  test("kernels survive whole-stage codegen in a realistic plan") {
+    val df = (0L until 100L).map(i => (i, Seq.tabulate(20)(j => i * 31L + j)))
+      .toDF("id", "hs")
+    val out = df.select(col("id"), posexplode(ArrayFns.minhashBands(col("hs"), 64, 16)))
+      .groupBy("pos").count().count()
+    assert(out == 16)
+  }
+}
