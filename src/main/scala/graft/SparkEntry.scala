@@ -181,6 +181,16 @@ object SparkEntry {
         "text", "doc_id", blockCol = "source", n = 3, threshold = 0.8)
     },
 
+    // ---- codecs: json encode -> json decode round trip ----
+    "q_codec_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id")
+      val encoded = graft.codecs.Codecs.jsonEncode(ev)
+      graft.codecs.Codecs.jsonDecode(encoded, ev.schema)
+        .select($"event_id", $"event_type", $"user_id")
+    },
+
     // ---- GeoIP enrichment: broadcast bucketed range join (IPIP-style) ----
     // IPs are derived deterministically from the events table; the range
     // dim carves the IPv4 space into one block per nation.
@@ -445,6 +455,9 @@ object SparkEntry {
         |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+
+    "q_codec_roundtrip" ->
+      "SELECT event_id, event_type, user_id FROM events",
 
     "q_geoip" ->
       """WITH ev AS (

@@ -1,0 +1,49 @@
+package graft.codecs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.render.Render
+
+/** Codecs (reference: codec/) as explicit DataFrame stages.
+  *
+  * The reference decodes one event at a time; here a codec is a
+  * projection over a raw `value` column, so decode fuses into the scan
+  * and downstream filters under whole-stage codegen.
+  */
+object Codecs {
+
+  /** plain: `{message: raw, @timestamp: now}`
+    * (reference: codec/plain_decoder.go:8-13). */
+  def plainDecode(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.select(col(valueCol).cast("string").as("message"),
+      current_timestamp().as("@timestamp"))
+
+  /** json: parse with a schema; rows that fail to parse fall back to the
+    * plain behavior — raw line in `message` — exactly the reference's
+    * fallback (codec/json_decoder.go:20-28; Logstash `_jsonparsefailure`
+    * analogue). Schema-first keeps the parse codegen'd and prunable; pass
+    * the schema rather than inferring in production. */
+  def jsonDecode(df: DataFrame, schema: StructType,
+      valueCol: String = "value"): DataFrame = {
+    val raw = col(valueCol).cast("string")
+    val parsed = from_json(raw, schema)
+    val failed = parsed.isNull || to_json(parsed) === lit("{}")
+    df.select(
+      when(!failed, parsed).as("json"),
+      when(failed, raw).as("message"),
+      current_timestamp().as("@timestamp"))
+      .select(col("json.*"), col("message"), col("@timestamp"))
+  }
+
+  /** json encode: one JSON text per row over all columns
+    * (reference: codec/json_encoder.go). */
+  def jsonEncode(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("value"))
+
+  /** format encode: render a value-render template per row
+    * (reference: codec/format_encoder.go:15-31). */
+  def formatEncode(df: DataFrame, template: String): DataFrame =
+    df.select(Render.compile(template)(df).cast("string").as("value"))
+}

@@ -28,8 +28,38 @@ import graft.paths.FieldPath
 object ConditionFilter {
 
   /** Compile a DSL string against a concrete DataFrame's schema. */
-  def compile(dsl: String, df: DataFrame, tsColumn: String = "@timestamp"): Column =
-    new Compiler(df, tsColumn).parseBoolTree(dsl.trim)
+  def compile(dsl: String, df: DataFrame, tsColumn: String = "@timestamp"): Column = {
+    val t = dsl.trim
+    if (t.startsWith("{{")) templateCondition(t, df)
+    else new Compiler(df, tsColumn).parseBoolTree(t)
+  }
+
+  private val TplExist = """^\{\{\s*if\s+(\.[\w.@-]+)\s*\}\}y\{\{\s*end\s*\}\}$""".r
+  private val TplEqStr =
+    """^\{\{\s*if\s+eq\s+(\.[\w.@-]+)\s+"([^"]*)"\s*\}\}y\{\{\s*end\s*\}\}$""".r
+  private val TplEqNum =
+    """^\{\{\s*if\s+eq\s+(\.[\w.@-]+)\s+([-0-9.]+)\s*\}\}y\{\{\s*end\s*\}\}$""".r
+
+  /** Template conditions (reference: condition_filter/filter.go:23-41 —
+    * render the Go template, pass when the result is "y"). We support the
+    * documented forms `{{if .a.b}}y{{end}}` (Go truthiness: present,
+    * non-empty, non-zero) and `{{if eq .a.b <lit>}}y{{end}}`; anything
+    * fancier belongs in the DSL, which the reference itself recommends
+    * over templates for speed (README.md:609). */
+  private def templateCondition(t: String, df: DataFrame): Column = {
+    def path(p: String): Column =
+      graft.paths.FieldPath.resolveSegs(df,
+        p.stripPrefix(".").split('.').toSeq.map(graft.paths.FieldPath.Key))
+        .map(_._1).getOrElse(lit(null))
+    t match {
+      case TplExist(p) =>
+        val c = path(p)
+        c.isNotNull && c.cast("string") =!= "" && c.cast("string") =!= "0"
+      case TplEqStr(p, s) => path(p).cast("string") === lit(s)
+      case TplEqNum(p, n) => path(p).cast("double") === lit(n.toDouble)
+      case other => sys.error(s"unsupported template condition '$other'")
+    }
+  }
 
   /** Late-bound form for pipeline composition. */
   def predicate(dsl: String, tsColumn: String = "@timestamp"): DataFrame => Column =

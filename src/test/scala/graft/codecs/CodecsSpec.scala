@@ -1,0 +1,36 @@
+package graft.codecs
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CodecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plainDecode wraps the raw line as message + @timestamp") {
+    val out = Codecs.plainDecode(Seq("raw line").toDF("value")).collect().head
+    assert(out.getString(out.fieldIndex("message")) == "raw line")
+    assert(out.getTimestamp(out.fieldIndex("@timestamp")) != null)
+  }
+
+  test("jsonDecode parses good rows and falls back to plain on bad ones") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val out = Codecs.jsonDecode(
+      Seq("""{"a": 1, "b": "x"}""", "not json at all").toDF("value"), schema)
+      .orderBy(col("a").asc_nulls_last).collect()
+    assert(out(0).getLong(out(0).fieldIndex("a")) == 1L)
+    assert(out(0).getString(out(0).fieldIndex("b")) == "x")
+    assert(out(0).isNullAt(out(0).fieldIndex("message")))
+    assert(out(1).isNullAt(out(1).fieldIndex("a")))
+    assert(out(1).getString(out(1).fieldIndex("message")) == "not json at all")
+  }
+
+  test("jsonEncode/formatEncode render rows to text") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+    val js = Codecs.jsonEncode(df).as[String].head()
+    assert(js == """{"id":1,"name":"x"}""")
+    val fmt = Codecs.formatEncode(df, "{{.name}}:{{.id}}").as[String].head()
+    assert(fmt == "x:1")
+  }
+}

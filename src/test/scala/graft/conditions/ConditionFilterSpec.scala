@@ -6,6 +6,17 @@ import org.apache.spark.sql.DataFrame
 /** Mirrors the reference's DSL test corpus
   * (reference: condition_filter/filter_test.go). */
 class ConditionFilterSpec extends SparkSpec {
+
+  test("template conditions: truthiness and eq forms") {
+    import spark.implicits._
+    val df = Seq(("app", 20L, ""), ("web", 0L, "x")).toDF("name", "age", "tag")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    assert(run("""{{if .name}}y{{end}}""") == Set("app", "web"))
+    assert(run("""{{if .tag}}y{{end}}""") == Set("web"))
+    assert(run("""{{if eq .name "app"}}y{{end}}""") == Set("app"))
+    assert(run("""{{if eq .age 20}}y{{end}}""") == Set("app"))
+  }
   import spark.implicits._
 
   // events-like frame: typed columns + a JSON overflow string column
