@@ -36,6 +36,17 @@ object PipelineConfig {
     Spec(section("inputs"), section("filters"), section("outputs"))
   }
 
+  /** Redact likely-secret values for logging (reference:
+    * internal/config/config_parser.go:28-52 scrubs before logging). */
+  def scrub(conf: Map[String, Any]): Map[String, Any] = {
+    val sensitive = """(?i).*(password|secret|token|key|credential).*""".r
+    conf.map {
+      case (k, _) if sensitive.matches(k) => k -> "***"
+      case (k, v: Map[_, _]) => k -> scrub(v.asInstanceOf[Map[String, Any]])
+      case kv => kv
+    }
+  }
+
   private def expandEnv(text: String): String =
     """\$\{(\w+)\}""".r.replaceAllIn(text,
       m => java.util.regex.Matcher.quoteReplacement(

@@ -29,6 +29,21 @@ object Sinks {
             .getOrElse("bootstrap.servers", sys.error("Kafka output needs bootstrap.servers")))
           .option("topic", conf.strReq("topic"))
         w.save()
+      case "TCP" =>
+        // reference: output/tcp_output.go — JSON lines over `concurrent`
+        // connections with redial; here one connection per partition.
+        val addr = conf.strReq("address")
+        val Array(host, port) = addr.split(":")
+        df.select(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("json"))
+          .foreachPartition { (rows: Iterator[Row]) =>
+            if (rows.nonEmpty) {
+              val sock = new java.net.Socket(host, port.toInt)
+              val out = new java.io.PrintWriter(
+                new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+              try { rows.foreach(r => out.println(r.getString(0))); out.flush() }
+              finally sock.close()
+            }
+          }
       case "Elasticsearch" =>
         writeElasticsearch(conf, df)
       case "Influxdb" =>

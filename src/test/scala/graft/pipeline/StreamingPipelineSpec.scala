@@ -47,6 +47,36 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LinkStatsMetric in update mode re-emits running totals (accumulateMode=cumulative)") {
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val src = mem.toDF().toDF("@timestamp", "event_type", "value")
+    val out = graft.operators.LinkStatsMetric.streaming(
+      graft.operators.LinkMetric.Config("event_type->value", 60, reserveWindowSec = 120))(src)
+    val q = out.writeStream.format("memory").queryName("lsm_update")
+      .outputMode("update").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((ts("2024-01-01 00:00:10"), "a", 10.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:00:20"), "a", 30.0))
+      q.processAllAvailable()
+      val sums = spark.sql("select * from lsm_update").collect()
+        .map(r => r.getDouble(r.fieldIndex("sum"))).sorted.toSeq
+      assert(sums == Seq(10.0, 40.0)) // updated totals re-emitted per batch
+    } finally q.stop()
+  }
+
+  test("config scrub redacts secret-ish keys") {
+    val scrubbed = PipelineConfig.scrub(Map(
+      "bootstrap.servers" -> "k:9092",
+      "sasl.password" -> "hunter2",
+      "nested" -> Map("api_token" -> "abc", "topic" -> "t")))
+    assert(scrubbed("sasl.password") == "***")
+    assert(scrubbed("bootstrap.servers") == "k:9092")
+    assert(scrubbed("nested").asInstanceOf[Map[String, Any]]("api_token") == "***")
+    assert(scrubbed("nested").asInstanceOf[Map[String, Any]]("topic") == "t")
+  }
+
   test("streaming LinkMetric via planner emits windowed counts in append mode") {
     val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
     val src = mem.toDF().toDF("@timestamp", "event_type")

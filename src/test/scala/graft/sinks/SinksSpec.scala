@@ -18,6 +18,40 @@ class SinksSpec extends AnyFunSuite {
     assert((1 to 4).flatMap(_ => sel.select()).toSet == Set("h1", "h2"))
   }
 
+  test("TCP sink writes JSON lines to a live socket") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val server = new java.net.ServerSocket(0)
+    val received = scala.collection.mutable.ArrayBuffer[String]()
+    val t = new Thread(() => {
+      try {
+        var done = false
+        while (!done) {
+          val s = try Some(server.accept()) catch { case _: Exception => None }
+          s match {
+            case Some(sock) =>
+              val br = new java.io.BufferedReader(
+                new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+              var line = br.readLine()
+              while (line != null) { received.synchronized { received += line }; line = br.readLine() }
+              sock.close()
+            case None => done = true
+          }
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      Sinks.writeBatch("TCP", Map("address" -> s"localhost:${server.getLocalPort}"), df)
+      val deadline = System.currentTimeMillis() + 5000
+      while (received.synchronized(received.size) < 2 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(received.synchronized(received.toSet) ==
+        Set("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""))
+    } finally server.close()
+  }
+
   test("actionMeta renders index/id/routing with JSON escaping") {
     assert(EsBulkWriter.actionMeta("logs-2024") == """{"index":{"_index":"logs-2024"}}""")
     assert(EsBulkWriter.actionMeta("l", id = Some("x\"y")) ==
