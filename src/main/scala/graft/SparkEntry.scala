@@ -147,6 +147,11 @@ object SparkEntry {
         "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 32,
         threshold = 0.9)
     },
+    "q_dedup_clusters" -> { (s, dir) =>
+      graft.ml.Dedup.clusters(graft.ml.Dedup.minhashPairs(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.9))
+    },
     "q_dedup_simhash" -> { (s, dir) =>
       graft.ml.Dedup.simhashGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
     },
@@ -423,6 +428,30 @@ object SparkEntry {
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
         |)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.9""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+        |    for i in range(0, greatest(len(toks)-3, 0)+1)]) AS sh
+        |  FROM t
+        |), j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.9
+        |  UNION
+        |  SELECT id_b, id_a FROM j WHERE jaccard >= 0.9
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+        |)
+        |SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH t AS (

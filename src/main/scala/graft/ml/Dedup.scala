@@ -204,4 +204,53 @@ object Dedup {
     * policy a single pass suffices: drop every id_b. */
   def dropDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over dup pairs: (id, rep) where rep is the min
+    * id reachable through the pair graph (including the id itself).
+    *
+    * Iterative min-label propagation — each round is one shuffle join, the
+    * round count is the graph diameter (near-dup clusters are shallow, so
+    * a handful). `localCheckpoint` every few rounds truncates lineage so
+    * plans don't grow exponentially at scale; the per-round driver action
+    * reads ONE count, not the data. */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbr = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("rep"))
+      val updated = labels.select("id", "rep").union(nbr)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint()
+      val changed = updated.as("n").join(labels.as("o"), "id")
+        .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** One row per cluster: representative = min id (reference policy is
+    * "first doc wins"); rows not in any pair keep themselves. */
+  def dropDuplicatesClustered(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val reps = clusters(pairs)
+    df.join(reps, df(idCol) === reps("id"), "left")
+      .filter(col("rep").isNull || col("rep") === df(idCol))
+      .drop("id", "rep")
+  }
+
+  /** Streaming exact dedup: drop re-occurrences of the key within the
+    * watermark horizon — state is bounded by the lateness window
+    * (Spark's dropDuplicatesWithinWatermark; the streaming analogue of
+    * `exact`). */
+  def streamingDedup(df: DataFrame, tsCol: String, lateness: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 }

@@ -40,7 +40,13 @@ object LinkMetric {
       batchWindowSec: Long,
       reserveWindowSec: Long = 0L,
       tsColumn: String = "@timestamp",
-      dropOriginalEvent: Boolean = true)
+      dropOriginalEvent: Boolean = true,
+      /** reference `reduce: true` (link_metric.go:190-199): events are
+        * themselves partial aggregates carrying a `count` field — sum it
+        * instead of counting rows. Within one Spark job this tiering is
+        * Catalyst's own partial/final aggregation; the flag exists for the
+        * cross-pipeline topology where an upstream job emitted partials. */
+      reduce: Boolean = false)
 
   private[operators] def parts(c: Config, df: DataFrame): (Column, Seq[String], Column) = {
     val fields = c.fieldsLink.split("->").map(_.trim).toSeq
@@ -64,7 +70,7 @@ object LinkMetric {
       } else df
     finish(bounded
       .groupBy(win +: fields.map(f => col(s"`$f`")): _*)
-      .agg(count(lit(1)).as("count")))
+      .agg(countAgg(c, bounded)))
   }
 
   /** Replace the window struct with its start timestamp (the reference
@@ -80,8 +86,15 @@ object LinkMetric {
     val (win, fields, _) = parts(c, df)
     finish(df.withWatermark(s"`${c.tsColumn}`", s"${c.reserveWindowSec} seconds")
       .groupBy(win +: fields.map(f => col(s"`$f`")): _*)
-      .agg(count(lit(1)).as("count")))
+      .agg(countAgg(c, df)))
   }
+
+  /** count(*) normally; with `reduce` sum the upstream partial `count`
+    * (rows without one count as 1, matching the reference's merge). */
+  private def countAgg(c: Config, df: DataFrame): Column =
+    if (c.reduce && df.columns.contains("count"))
+      sum(coalesce(col("count").cast("long"), lit(1L))).as("count")
+    else count(lit(1)).as("count")
 }
 
 object LinkStatsMetric {

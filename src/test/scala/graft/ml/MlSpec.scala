@@ -83,6 +83,34 @@ class MlSpec extends SparkSpec {
     assert(q > 0 && q <= 1.1)
   }
 
+  test("clusters: transitive min-id components") {
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (7L, 9L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val reps = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dropDuplicatesClustered keeps one representative per component") {
+    val pairs = Seq((0L, 1L, 1.0), (1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val kept = Dedup.dropDuplicatesClustered(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L)) // 0 represents {0,1,2}; 3 untouched
+  }
+
+  test("streaming dedup drops key re-occurrences within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val out = Dedup.streamingDedup(mem.toDF().toDF("ts", "k"), "ts", "10 minutes", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("sd").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((ts("2024-01-01 00:00:01"), "a"), (ts("2024-01-01 00:00:02"), "a"),
+        (ts("2024-01-01 00:00:03"), "b"))
+      q.processAllAvailable()
+      assert(spark.sql("select k from sd").as[String].collect().sorted.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("dropDuplicates removes the later doc of each pair") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.9)
     val kept = Dedup.dropDuplicates(docs, pairs, "doc_id")

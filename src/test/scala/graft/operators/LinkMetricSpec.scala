@@ -24,6 +24,17 @@ class LinkMetricSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(r.fieldIndex("count"))).toSeq == Seq(2L, 1L, 1L))
   }
 
+  test("batch LinkMetric: reduce mode sums upstream partial counts") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:10"), "a", 5L),
+      (ts("2024-01-01 00:00:20"), "a", 7L),
+      (ts("2024-01-01 00:00:30"), "b", 2L),
+    ).toDF("@timestamp", "et", "count")
+    val out = LinkMetric.batch(LinkMetric.Config("et", 60, reduce = true))(df)
+      .orderBy("et").collect()
+    assert(out.map(r => r.getLong(r.fieldIndex("count"))).toSeq == Seq(12L, 2L))
+  }
+
   test("batch LinkMetric: reserveWindow drops old events") {
     val df = Seq(
       (ts("2024-01-01 00:00:10"), "a"),
