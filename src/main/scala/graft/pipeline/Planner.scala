@@ -164,6 +164,13 @@ object Planner {
       case "Rate" =>
         spark.readStream.format("rate")
           .option("rowsPerSecond", conf.int("rows_per_second", 10)).load()
+      case "UDP" =>
+        // reference: input/udp_input.go — custom DSv2 micro-batch source
+        spark.readStream.format("graft-udp")
+          .option("port", conf.int("port", 9999))
+          .option("max_length", conf.int("max_length", 65536))
+          .option("add_remote_addr", conf.bool("add_remote_addr", true))
+          .load()
       case "TCP" =>
         // reference: input/tcp_input.go — line-oriented socket (dev/test
         // only; Spark's socket source is not fault-tolerant)

@@ -1,0 +1,37 @@
+package graft.sources
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+
+import graft.SparkSpec
+
+class UdpSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("udp micro-batch source receives datagrams end-to-end") {
+    val port = 30000 + scala.util.Random.nextInt(20000)
+    val df = spark.readStream.format("graft-udp").option("port", port).load()
+    assert(df.schema.fieldNames.toSeq == Seq("message", "remote_addr", "@timestamp"))
+    // bind the listener BEFORE sending — datagrams to an unbound port are
+    // silently dropped (the whole point of UDP)
+    val l = UdpSource.listener(port, 65536)
+    val q = df.writeStream.format("memory").queryName("udp_in").start()
+    try {
+      val sender = new DatagramSocket()
+      val addr = InetAddress.getByName("127.0.0.1")
+      val deadline = System.currentTimeMillis() + 10000
+      while (l.size < 2 && System.currentTimeMillis() < deadline) {
+        Seq("hello udp", "second packet").foreach { m =>
+          val bytes = m.getBytes("UTF-8")
+          sender.send(new DatagramPacket(bytes, bytes.length, addr, port))
+        }
+        Thread.sleep(100)
+      }
+      sender.close()
+      q.processAllAvailable()
+      val rows = spark.sql("select message, remote_addr from udp_in")
+        .as[(String, String)].collect().toSet
+      assert(rows.map(_._1) == Set("hello udp", "second packet"))
+      assert(rows.forall(_._2 == "127.0.0.1"))
+    } finally q.stop()
+  }
+}
