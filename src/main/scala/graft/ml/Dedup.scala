@@ -100,17 +100,20 @@ object Dedup {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
 
-    // Two exchanges on purpose: the first spreads a few-split input across
-    // all cores BEFORE the expensive shingling; the second materializes
-    // sh+hs so no downstream lambda re-inlines the shingle expression, and
-    // gives ReuseExchange one subplan that every consumer (both bucket-join
-    // sides, both verify-join sides) shares.
+    // The repartition spreads a few-split input across all cores BEFORE
+    // the expensive shingling; localCheckpoint then materializes the
+    // hashed-shingle table ONCE for all four consumers (both bucket-join
+    // sides, both verify-join sides) — exchange reuse alone does not
+    // dedupe these stages under AQE, and without it the corpus is scanned
+    // and shingled four times. Only the 64-bit hashes survive (the string
+    // shingles are dead after hashing), so the checkpoint holds
+    // ~8 bytes × shingles per doc.
     val docs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
-      .select(col("id"), shingles(col("__t"), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), h => xxhash64(h)))
-      .repartition(col("id"))
+      .select(col("id"),
+        transform(shingles(col("__t"), shingleSize), s => xxhash64(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint()
 
     val banded = docs.select(col("id"),
         posexplode(graft.functions.ArrayFns.minhashBands(col("hs"), numHashes, bands)))
@@ -186,10 +189,10 @@ object Dedup {
     val docs = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(textCol).as("__t"))
       .repartition(col("id")) // spread before the expensive shingling
-      .select(col("blk"), col("id"), shingles(col("__t"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("blk"), col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-      .repartition(col("id")) // materialize once; reused by both join sides
+      .select(col("blk"), col("id"),
+        transform(shingles(col("__t"), n), s => xxhash64(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint() // materialize once; both join sides read it
     val l = docs.select(col("blk"), col("id").as("id_a"), col("hs").as("hs_a"))
     val r = docs.select(col("blk"), col("id").as("id_b"), col("hs").as("hs_b"))
     l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
