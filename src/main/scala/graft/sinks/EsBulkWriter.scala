@@ -121,6 +121,43 @@ object EsBulkWriter {
   private def quote(s: String): String =
     mapper.writeValueAsString(s)
 
+  /** Node sniffing (reference: elasticsearch_output.go:357-498): parse a
+    * `GET /_nodes/http` response into live bulk endpoints, keeping nodes
+    * that pass `nodeMatch` (the reference evaluates a condition-DSL
+    * expression over the node's JSON; callers pass any predicate over the
+    * flattened node fields, e.g. attributes.role == "ingest"). */
+  def sniffNodes(nodesJson: String,
+      scheme: String = "http",
+      nodeMatch: Map[String, String] => Boolean = _ => true): Seq[String] = {
+    val root = try mapper.readTree(nodesJson) catch { case _: Exception => return Nil }
+    val nodes = root.path("nodes")
+    if (!nodes.isObject) return Nil
+    val out = Seq.newBuilder[String]
+    nodes.properties().forEach { e =>
+      val node = e.getValue
+      val addr = node.path("http").path("publish_address").asText("")
+      if (addr.nonEmpty) {
+        val flat = scala.collection.mutable.Map[String, String]()
+        flat += "name" -> node.path("name").asText("")
+        flat += "version" -> node.path("version").asText("")
+        val attrs = node.path("attributes")
+        if (attrs.isObject)
+          attrs.properties().forEach(a =>
+            flat += s"attributes.${a.getKey}" -> a.getValue.asText(""))
+        val roles = node.path("roles")
+        if (roles.isArray) {
+          val rs = Seq.newBuilder[String]
+          roles.forEach(r => rs += r.asText(""))
+          flat += "roles" -> rs.result().mkString(",")
+        }
+        // publish_address can be "host/1.2.3.4:9200" — take the ip:port
+        val hostPort = addr.split("/").last
+        if (nodeMatch(flat.toMap)) out += s"$scheme://$hostPort"
+      }
+    }
+    out.result()
+  }
+
   /** Parse a bulk response and return the items to retry (429/5xx).
     * Fast path: `"errors":false` → nothing to do without parsing
     * (reference: elasticsearch_output.go:133-139). */

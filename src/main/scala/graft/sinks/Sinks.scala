@@ -23,12 +23,18 @@ object Sinks {
         df.write.mode(conf.str("mode").getOrElse("overwrite"))
           .parquet(conf.strReq("path"))
       case "Kafka" =>
-        var w = df.select(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("value"))
+        // optional render-derived message key (reference:
+        // output/kafka_output.go:34-85 `key` option)
+        val valueCol = to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("value")
+        val cols = conf.str("key")
+          .map(k => Seq(Render.compile(k)(df).cast("string").as("key"), valueCol))
+          .getOrElse(Seq(valueCol))
+        df.select(cols: _*)
           .write.format("kafka")
           .option("kafka.bootstrap.servers", conf.strMap("producer_settings")
             .getOrElse("bootstrap.servers", sys.error("Kafka output needs bootstrap.servers")))
           .option("topic", conf.strReq("topic"))
-        w.save()
+          .save()
       case "TCP" =>
         // reference: output/tcp_output.go — JSON lines over `concurrent`
         // connections with redial; here one connection per partition.

@@ -18,6 +18,28 @@ class SinksSpec extends AnyFunSuite {
     assert((1 to 4).flatMap(_ => sel.select()).toSet == Set("h1", "h2"))
   }
 
+  test("sniffNodes parses publish addresses and applies the node match") {
+    val json = """{
+      "nodes": {
+        "abc": {"name": "n1", "version": "7.10.0", "roles": ["data", "ingest"],
+                "attributes": {"zone": "a"},
+                "http": {"publish_address": "10.0.0.1:9200"}},
+        "def": {"name": "n2", "version": "7.10.0", "roles": ["master"],
+                "attributes": {"zone": "b"},
+                "http": {"publish_address": "es2.local/10.0.0.2:9200"}},
+        "nohttp": {"name": "n3"}
+      }}"""
+    assert(EsBulkWriter.sniffNodes(json).toSet ==
+      Set("http://10.0.0.1:9200", "http://10.0.0.2:9200"))
+    assert(EsBulkWriter.sniffNodes(json,
+      nodeMatch = f => f.getOrElse("attributes.zone", "") == "a") ==
+      Seq("http://10.0.0.1:9200"))
+    assert(EsBulkWriter.sniffNodes(json, scheme = "https",
+      nodeMatch = f => f.getOrElse("roles", "").contains("master")) ==
+      Seq("https://10.0.0.2:9200"))
+    assert(EsBulkWriter.sniffNodes("not json").isEmpty)
+  }
+
   test("TCP sink writes JSON lines to a live socket") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
