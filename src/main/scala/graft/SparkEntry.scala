@@ -221,6 +221,22 @@ object SparkEntry {
           col("channels"), col("content_md5"))
     },
 
+    // ---- end-to-end corpus cleaning: quality filter -> near-dup drop ----
+    // The composed training-data pipeline: profile stats gate the corpus,
+    // then minhash-LSH pairs drop later near-duplicates.
+    "q_corpus_clean" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val good = docs
+        .withColumn("n_tokens", graft.ml.TextAnalysis.tokenCount($"text"))
+        .withColumn("distinct_ratio", graft.ml.TextAnalysis.distinctTokenRatio($"text"))
+        .filter($"n_tokens" >= 20 && $"distinct_ratio" >= 0.5)
+      val pairs = graft.ml.Dedup.minhashPairs(good, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.9)
+      graft.ml.Dedup.dropDuplicates(good, pairs, "doc_id")
+        .select($"doc_id", $"n_tokens", $"distinct_ratio")
+    },
+
     // ---- text analysis ----
     "q_text_profile" -> { (s, dir) =>
       graft.ml.TextAnalysis.profile(Tables.load(s, dir, "documents"), "text")
@@ -513,6 +529,29 @@ object SparkEntry {
         |  CAST(CAST(('0x' || substring(md5(text), 9, 1)) AS BIGINT) % 4 + 1 AS INT) AS channels,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    "q_corpus_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents
+        |), good AS (
+        |  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+        |  FROM t
+        |  WHERE len(toks) >= 20
+        |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.5
+        |), s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+        |    for i in range(0, greatest(len(toks)-3, 0)+1)]) AS sh
+        |  FROM good
+        |), j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |)
+        |SELECT doc_id, n_tokens, distinct_ratio FROM good
+        |WHERE doc_id NOT IN (SELECT id_b FROM j WHERE jaccard >= 0.9)""".stripMargin,
 
     "q_text_profile" ->
       """WITH t AS (

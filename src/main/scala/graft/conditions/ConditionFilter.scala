@@ -316,8 +316,14 @@ object ConditionFilter {
 
     private def matchRe(args: Seq[String]): Column = {
       require(args.length >= 2, "Match needs path and regex")
+      // regex may be bare (reference style) or double-quoted;
       // Go RE2 named groups (?P<x>…) → Java (?<x>…)
-      val re = args.last.replace("(?P<", "(?<")
+      val raw = args.last
+      val unquoted =
+        if (raw.length >= 2 && raw.head == '"' && raw.last == '"')
+          raw.substring(1, raw.length - 1)
+        else raw
+      val re = unquoted.replace("(?P<", "(?<")
       pathOf(args.init) match {
         case Some((c, StringType)) => c.isNotNull && c.rlike(re)
         case _ => lit(false)

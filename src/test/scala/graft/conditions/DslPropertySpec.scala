@@ -1,0 +1,89 @@
+package graft.conditions
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (reference test style: condition_filter/filter_test.go's
+  * exhaustive DSL cases, generalized with generators). */
+class DslPropertySpec extends SparkSpec {
+
+  /** Deterministic sampling (scalatestplus isn't on the offline
+    * classpath; raw ScalaCheck generators + a fixed seed are enough). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+  import spark.implicits._
+
+  // one-row frame with known values; each property evaluates the compiled
+  // predicate against a Scala-side reference evaluator
+  private lazy val df = Seq((1L, "app", 20L, "")).toDF("id", "name", "age", "blank")
+
+  private sealed trait Node
+  private case class Leaf(atom: String, truth: Boolean) extends Node
+  private case class And(l: Node, r: Node) extends Node
+  private case class Or(l: Node, r: Node) extends Node
+  private case class Not(c: Node) extends Node
+
+  private val leaves = Seq(
+    Leaf("""EQ(name,"app")""", true),
+    Leaf("""EQ(name,"web")""", false),
+    Leaf("EQ(age,20)", true),
+    Leaf("EQ(age,21)", false),
+    Leaf("Exist(name)", true),
+    Leaf("Exist(missing_col)", false),
+    Leaf("""HasPrefix(name,"a")""", true),
+    Leaf("""Contains(name,"zz")""", false),
+    Leaf("""Match(name,"^a.*p$")""", true))
+
+  private def genNode(depth: Int): Gen[Node] =
+    if (depth <= 0) Gen.oneOf(leaves)
+    else Gen.frequency(
+      3 -> Gen.oneOf(leaves),
+      2 -> (for { l <- genNode(depth - 1); r <- genNode(depth - 1) } yield And(l, r)),
+      2 -> (for { l <- genNode(depth - 1); r <- genNode(depth - 1) } yield Or(l, r)),
+      1 -> genNode(depth - 1).map(Not(_)))
+
+  private def render(n: Node): String = n match {
+    case Leaf(a, _) => a
+    case And(l, r) => s"(${render(l)} && ${render(r)})"
+    case Or(l, r) => s"(${render(l)} || ${render(r)})"
+    case Not(c) => s"!(${render(c)})"
+  }
+
+  private def truth(n: Node): Boolean = n match {
+    case Leaf(_, t) => t
+    case And(l, r) => truth(l) && truth(r)
+    case Or(l, r) => truth(l) || truth(r)
+    case Not(c) => !truth(c)
+  }
+
+  test("random boolean trees compile to predicates matching reference semantics") {
+    samples(genNode(4), 60).foreach { node =>
+      val dsl = render(node)
+      val rows = df.filter(ConditionFilter.compile(dsl, df)).count()
+      assert((rows == 1) == truth(node), s"dsl: $dsl")
+    }
+  }
+
+  test("go time layouts round-trip random timestamps") {
+    import org.apache.spark.sql.functions._
+    // day-of-week layouts (Mon/Monday → EEE/EEEE) format fine but Spark's
+    // post-3.0 parser rejects them for PARSING; users needing them set
+    // spark.sql.legacy.timeParserPolicy=LEGACY (documented limitation)
+    val layouts = Seq("2006-01-02 15:04:05", "02/Jan/2006:15:04:05",
+      "2006/01/02 03:04:05 PM")
+    // seconds in 1990..2030, avoiding sub-second precision (layouts above are second-granular)
+    val gen = for {
+      epoch <- Gen.choose(631152000L, 1893456000L)
+      layout <- Gen.oneOf(layouts)
+    } yield (epoch, layout)
+    samples(gen, 40).foreach { case (epoch, layout) =>
+      val fmt = graft.filters.GoTimeLayout.translate(layout)
+      val out = spark.range(1).select(
+        timestamp_seconds(lit(epoch)).as("ts"))
+        .select(col("ts"), to_timestamp(date_format(col("ts"), fmt), fmt).as("rt"))
+        .collect().head
+      assert(out.getTimestamp(0) == out.getTimestamp(1), s"layout: $layout fmt: $fmt")
+    }
+  }
+}

@@ -44,6 +44,19 @@ class ArrayFnsSpec extends SparkSpec {
     assert(bands(1L).length == 32)
   }
 
+  test("kernels are callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val j = spark.sql(
+      "SELECT jaccard_long(array(1L,2L,3L), array(2L,3L,4L)) AS j").collect().head.getDouble(0)
+    assert(j == 0.5)
+    val d = spark.sql(
+      "SELECT dot_d(array(1.0d,2.0d), array(3.0d,4.0d)) AS d").collect().head.getDouble(0)
+    assert(d == 11.0)
+    val b = spark.sql(
+      "SELECT size(minhash_bands(array(1L,2L,3L), 64, 32)) AS n").collect().head.getInt(0)
+    assert(b == 32)
+  }
+
   test("kernels survive whole-stage codegen in a realistic plan") {
     val df = (0L until 100L).map(i => (i, Seq.tabulate(20)(j => i * 31L + j)))
       .toDF("id", "hs")
