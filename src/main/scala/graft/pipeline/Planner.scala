@@ -95,19 +95,32 @@ object Planner {
         val cfg = LinkMetric.Config(conf.strReq("fieldsLink"),
           conf.long("batchWindow", 60), conf.long("reserveWindow", 0),
           conf.str("timestamp").getOrElse("@timestamp"),
-          conf.bool("drop_original_event", true))
-        df => if (df.isStreaming) LinkMetric.streaming(cfg)(df)
-              else LinkMetric.batch(cfg)(df)
+          conf.bool("drop_original_event", true),
+          conf.bool("reduce", false))
+        df => metricStage(df, cfg, LinkMetric.batch(cfg), LinkMetric.streaming(cfg))
       case "LinkStatsMetric" =>
         val cfg = LinkMetric.Config(conf.strReq("fieldsLink"),
           conf.long("batchWindow", 60), conf.long("reserveWindow", 0),
           conf.str("timestamp").getOrElse("@timestamp"),
-          conf.bool("drop_original_event", true))
-        df => if (df.isStreaming) LinkStatsMetric.streaming(cfg)(df)
-              else LinkStatsMetric.batch(cfg)(df)
+          conf.bool("drop_original_event", true),
+          conf.bool("reduce", false))
+        df => metricStage(df, cfg, LinkStatsMetric.batch(cfg), LinkStatsMetric.streaming(cfg))
       case other => sys.error(s"unknown filter '$other'")
     }
   }
+
+  /** Metric emission path (reference: filter/link_metric.go:248-274 —
+    * synthetic metric events re-enter the pipeline; `drop_original_event:
+    * false` keeps the originals flowing alongside). Batch: UNION ALL of
+    * originals and metric events (missing columns null-padded). Streaming
+    * keeps the aggregate-only form — union of a raw and an aggregated
+    * stream needs a foreachBatch fan-out (SURVEY §3.3). */
+  private def metricStage(df: DataFrame, cfg: LinkMetric.Config,
+      batchForm: DataFrame => DataFrame,
+      streamForm: DataFrame => DataFrame): DataFrame =
+    if (df.isStreaming) streamForm(df)
+    else if (cfg.dropOriginalEvent) batchForm(df)
+    else df.unionByName(batchForm(df), allowMissingColumns = true)
 
   // ---- inputs -------------------------------------------------------------
 
@@ -140,11 +153,15 @@ object Planner {
     name match {
       case "Kafka" =>
         val settings = conf.strMap("consumer_settings")
-        val topics = conf.anyMap("topic").keys.mkString(",")
         var r = spark.readStream.format("kafka")
           .option("kafka.bootstrap.servers", settings.getOrElse("bootstrap.servers",
             sys.error("Kafka input needs consumer_settings.bootstrap.servers")))
-          .option("subscribe", topics)
+        // group-consume (`topic`) or static partition assignment (`assign`)
+        // — reference: input/kafka_input.go:54-104
+        conf.str("assign") match {
+          case Some(assignJson) => r = r.option("assign", assignJson)
+          case None => r = r.option("subscribe", conf.anyMap("topic").keys.mkString(","))
+        }
         settings.get("group.id").foreach(g => r = r.option("kafka.group.id", g))
         if (settings.get("from.beginning").contains("true"))
           r = r.option("startingOffsets", "earliest")

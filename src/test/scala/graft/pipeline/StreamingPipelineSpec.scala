@@ -66,6 +66,19 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drop_original_event=false unions metric events with originals (batch)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq((ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:20"), "a"))
+      .toDF("@timestamp", "event_type")
+    val stage = Planner.filterStage("LinkMetric", Map(
+      "fieldsLink" -> "event_type", "batchWindow" -> 60L,
+      "drop_original_event" -> false))
+    val out = stage(df)
+    assert(out.count() == 3) // 2 originals + 1 metric event
+    val metric = out.filter(col("count").isNotNull).collect()
+    assert(metric.length == 1 && metric.head.getLong(metric.head.fieldIndex("count")) == 2L)
+  }
+
   test("config scrub redacts secret-ish keys") {
     val scrubbed = PipelineConfig.scrub(Map(
       "bootstrap.servers" -> "k:9092",
