@@ -43,6 +43,29 @@ object Grok {
     "UUID" -> """[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}""",
   )
 
+  /** Load "NAME regex" pattern files (reference: filter/grok.go loads
+    * pattern files/dirs/URLs at build time; same line format as
+    * logstash-patterns-core). Blank lines and #comments skipped. */
+  def loadPatternFile(path: String): Map[String, String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().flatMap { line =>
+      val l = line.trim
+      if (l.isEmpty || l.startsWith("#")) None
+      else l.split("\\s+", 2) match {
+        case Array(name, body) => Some(name -> body)
+        case _ => None
+      }
+    }.toMap
+    finally src.close()
+  }
+
+  def loadPatternPaths(paths: Seq[String]): Map[String, String] =
+    paths.flatMap { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().toSeq.map(_.getPath).flatMap(loadPatternFile)
+      else loadPatternFile(p)
+    }.toMap
+
   private val Ref = """%\{(\w+)(?::(\w+))?\}""".r
 
   /** Recursively expand %{NAME[:field]} refs; named field refs become Java
@@ -80,9 +103,11 @@ final case class GrokFilter(
     patterns: Map[String, String] = Map.empty,
     ignoreBlank: Boolean = true,
     overwrite: Boolean = true,
-    target: Option[String] = None) extends EventFilter {
+    target: Option[String] = None,
+    patternPaths: Seq[String] = Nil) extends EventFilter {
 
-  private val dict = Grok.basePatterns ++ patterns
+  private val dict =
+    Grok.basePatterns ++ Grok.loadPatternPaths(patternPaths) ++ patterns
   private val expanded: Seq[String] = matchPatterns.map(p => Grok.expand(p, dict))
   /** Output fields in first-pattern-first order. */
   val outputFields: Seq[String] = expanded.flatMap(Grok.groupNames).distinct

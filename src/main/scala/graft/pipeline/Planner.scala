@@ -72,7 +72,8 @@ object Planner {
       case "Grok" =>
         box(GrokFilter(conf.strReq("src"), conf.strSeq("match"),
           conf.strMap("patterns"), conf.bool("ignore_blank", true),
-          conf.bool("overwrite", true), conf.str("target")))
+          conf.bool("overwrite", true), conf.str("target"),
+          conf.strSeq("pattern_paths")))
       case "Json" =>
         box(JsonFilter(conf.strReq("field"), conf.str("target"),
           conf.str("schema").map(org.apache.spark.sql.types.StructType.fromDDL),

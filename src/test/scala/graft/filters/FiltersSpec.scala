@@ -105,6 +105,18 @@ class FiltersSpec extends SparkSpec {
     assert(bad.getSeq[String](bad.fieldIndex("tags")) == Seq("grok_fail"))
   }
 
+  test("Grok: pattern file loading") {
+    val f = java.nio.file.Files.createTempFile("graft_patterns", ".txt")
+    java.nio.file.Files.writeString(f,
+      "# custom patterns\nMYID [A-Z]{2}-\\d+\n\nMYLINE %{MYID:id} %{WORD:w}\n")
+    val loaded = Grok.loadPatternFile(f.toString)
+    assert(loaded == Map("MYID" -> """[A-Z]{2}-\d+""", "MYLINE" -> "%{MYID:id} %{WORD:w}"))
+    val gf = GrokFilter("message", Seq("^%{MYLINE}$"), patternPaths = Seq(f.toString))
+    val out = FilterBox(gf).stage(Seq("AB-12 hello").toDF("message")).collect().head
+    assert(out.getString(out.fieldIndex("id")) == "AB-12")
+    assert(out.getString(out.fieldIndex("w")) == "hello")
+  }
+
   test("Json: schema'd merge to root and map target") {
     val df = Seq(("""{"k": 87, "name": "x"}""", 1)).toDF("props", "id")
     val schema = org.apache.spark.sql.types.StructType.fromDDL("k LONG, name STRING")
