@@ -186,6 +186,19 @@ object SparkEntry {
         "text", "doc_id", blockCol = "source", n = 3, threshold = 0.8)
     },
 
+    // ---- Variant payload: the Spark-4-native overflow-column path ----
+    // The schemaless `props` JSON parses ONCE into a Variant; repeated
+    // field accesses are then binary extractions instead of re-parsing
+    // the JSON text per access (SURVEY §1.4's payload-column design).
+    "q_variant_props" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .withColumn("v", parse_json($"props"))
+        .select($"event_id",
+          try_variant_get($"v", "$.k", "bigint").as("k"),
+          try_variant_get($"v", "$.source", "string").as("source_tag"))
+    },
+
     // ---- codecs: json encode -> json decode round trip ----
     "q_codec_roundtrip" -> { (s, dir) =>
       import s.implicits._
@@ -503,6 +516,12 @@ object SparkEntry {
 
     "q_codec_roundtrip" ->
       "SELECT event_id, event_type, user_id FROM events",
+
+    "q_variant_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.source') AS source_tag
+        |FROM events""".stripMargin,
 
     "q_geoip" ->
       """WITH ev AS (

@@ -163,6 +163,11 @@ object Planner {
           case Some(assignJson) => r = r.option("assign", assignJson)
           case None => r = r.option("subscribe", conf.anyMap("topic").keys.mkString(","))
         }
+        // backpressure: the reference bounds its in-flight channel
+        // (messages_queue_length); the micro-batch analogue caps records
+        // per trigger
+        conf.str("max_offsets_per_trigger")
+          .foreach(m => r = r.option("maxOffsetsPerTrigger", m))
         settings.get("group.id").foreach(g => r = r.option("kafka.group.id", g))
         if (settings.get("from.beginning").contains("true"))
           r = r.option("startingOffsets", "earliest")

@@ -66,6 +66,38 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed aggregation state survives a checkpointed restart") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ckpt = "/tmp/graft_restart_ckpt_" + System.nanoTime()
+    val outDir = "/tmp/graft_restart_out_" + System.nanoTime()
+    val cfg = graft.operators.LinkMetric.Config("event_type", 60, reserveWindowSec = 120)
+
+    val mem1 = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q1 = graft.operators.LinkMetric.streaming(cfg)(mem1.toDF().toDF("@timestamp", "event_type"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    mem1.addData((ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:20"), "a"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint with a fresh source; watermark
+    // advances past the first window so its count (2) finally emits
+    val mem2 = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q2 = graft.operators.LinkMetric.streaming(cfg)(mem2.toDF().toDF("@timestamp", "event_type"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      mem2.addData((ts("2024-01-01 01:00:00"), "b"))
+      q2.processAllAvailable()
+      mem2.addData((ts("2024-01-01 02:00:00"), "b"))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).collect()
+      assert(rows.exists(r => r.getString(r.fieldIndex("event_type")) == "a" &&
+        r.getLong(r.fieldIndex("count")) == 2L),
+        s"state lost across restart: ${rows.mkString(";")}")
+    } finally q2.stop()
+  }
+
   test("drop_original_event=false unions metric events with originals (batch)") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq((ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:20"), "a"))
