@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.conditions.ConditionFilter
 import graft.filters._
-import graft.operators.{LinkMetric, LinkStatsMetric}
+import graft.operators.{LinkMetric, LinkMetricExact, LinkStatsMetric}
 import PipelineConfig.ConfigOps
 
 /** Spec → executable pipeline (reference: gohangout.go:80-111
@@ -106,6 +106,17 @@ object Planner {
           conf.bool("drop_original_event", true),
           conf.bool("reduce", false))
         df => metricStage(df, cfg, LinkStatsMetric.batch(cfg), LinkStatsMetric.streaming(cfg))
+      case "LinkMetricExact" =>
+        // exact reference emission cadence (windowOffset / accumulateMode)
+        // via flatMapGroupsWithState; batch falls back to the windowed agg
+        val cfg = LinkMetricExact.ExactConfig(conf.strReq("fieldsLink"),
+          conf.long("batchWindow", 60), conf.long("reserveWindow", 300),
+          conf.int("windowOffset", 0),
+          conf.str("accumulateMode").contains("cumulative"),
+          conf.str("timestamp").getOrElse("@timestamp"))
+        df => if (df.isStreaming) LinkMetricExact.streaming(cfg)(df)
+              else LinkMetric.batch(LinkMetric.Config(cfg.fieldsLink,
+                cfg.batchWindowSec, cfg.reserveWindowSec, cfg.tsColumn))(df)
       case other => sys.error(s"unknown filter '$other'")
     }
   }
