@@ -186,6 +186,19 @@ object SparkEntry {
         "text", "doc_id", blockCol = "source", n = 3, threshold = 0.8)
     },
 
+    // ---- failure channel: FilterBox failTag on grok mismatch ----
+    // (reference: topology/filter.go:81-91 appends failTag to `tags`)
+    "q_fail_tag" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("message",
+          when($"event_id" % 2 === 0, concat($"event_type", lit(" "), $"user_id"))
+            .otherwise(concat(lit("!bad "), $"event_type")))
+      FilterBox(GrokFilter("message", Seq("""^%{WORD:w} %{INT:n}$""")),
+          failTag = Some("_grokparsefailure")).stage(ev)
+        .select($"event_id", $"w", $"n", array_join($"tags", ",").as("tag"))
+    },
+
     // ---- Variant payload: the Spark-4-native overflow-column path ----
     // The schemaless `props` JSON parses ONCE into a Variant; repeated
     // field accesses are then binary extractions instead of re-parsing
@@ -516,6 +529,13 @@ object SparkEntry {
 
     "q_codec_roundtrip" ->
       "SELECT event_id, event_type, user_id FROM events",
+
+    "q_fail_tag" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN event_type ELSE NULL END AS w,
+        |  CASE WHEN event_id % 2 = 0 THEN CAST(user_id AS VARCHAR) ELSE NULL END AS n,
+        |  CASE WHEN event_id % 2 = 0 THEN NULL ELSE '_grokparsefailure' END AS tag
+        |FROM events""".stripMargin,
 
     "q_variant_props" ->
       """SELECT event_id,

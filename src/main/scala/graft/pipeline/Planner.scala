@@ -142,6 +142,11 @@ object Planner {
   def input(spark: SparkSession, name: String, conf: Map[String, Any]): DataFrame =
     name match {
       case "Parquet" => spark.read.parquet(conf.strReq("path"))
+      case "Csv" =>
+        spark.read.option("header", conf.bool("header", true).toString)
+          .option("inferSchema", conf.bool("infer_schema", false).toString)
+          .csv(conf.strReq("path"))
+      case "Json" => spark.read.json(conf.strReq("path"))
       case "Text" =>
         val raw = spark.read.text(conf.strReq("path"))
         conf.str("codec").getOrElse("plain") match {
