@@ -220,8 +220,10 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
+    // seed with min(id, min neighbor): round one of propagation happens
+    // inside the initial aggregation
+    var labels = edges.groupBy("src").agg(min("dst").as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("rep"))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
