@@ -44,22 +44,58 @@ object Render {
       case _ => None
     }
 
-  /** Go-template subset: `{{.a.b}}` field refs interleaved with literals.
-    * (The sprig function surface is out of scope for templates-as-columns;
-    * the DSL + built-in functions cover it.) */
+  /** Go-template subset: `{{.a.b}}` field refs and `{{func args…}}` calls
+    * interleaved with literals. Function surface mirrors the reference's
+    * registered template funcs (value_render/template_value_render.go:
+    * 41-138): arithmetic plus/minus/multiply/divide/mod, now/timestamp,
+    * timeFormat (Go layout), and the sprig-style string helpers
+    * upper/lower/trim/title. Everything compiles to built-in Columns. */
   private def template(spec: String)(df: DataFrame): Column = {
-    val ref = """\{\{\s*(\.[\w.@-]+)\s*\}\}""".r
+    val seg = """\{\{\s*([^}]+?)\s*\}\}""".r
     val parts = scala.collection.mutable.ArrayBuffer[Column]()
     var last = 0
-    for (m <- ref.findAllMatchIn(spec)) {
+    for (m <- seg.findAllMatchIn(spec)) {
       if (m.start > last) parts += lit(spec.substring(last, m.start))
-      val path = m.group(1).stripPrefix(".").split('.').toSeq
-      parts += FieldPath.resolveSegs(df, path.map(FieldPath.Key))
-        .map(_._1.cast("string")).getOrElse(lit(""))
+      parts += templateExpr(m.group(1), df).cast("string")
       last = m.end
     }
     if (last < spec.length) parts += lit(spec.substring(last))
-    if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+    if (parts.isEmpty) lit("") else concat(parts.map(coalesce(_, lit(""))).toSeq: _*)
+  }
+
+  private def fieldRef(path: String, df: DataFrame): Column =
+    FieldPath.resolveSegs(df,
+      path.stripPrefix(".").split('.').toSeq.map(FieldPath.Key))
+      .map(_._1).getOrElse(lit(null))
+
+  /** One `{{ … }}` body → Column. */
+  private def templateExpr(body: String, df: DataFrame): Column = {
+    // split on spaces outside double quotes
+    val toks = """"[^"]*"|\S+""".r.findAllIn(body).toSeq
+    def arg(t: String): Column =
+      if (t.startsWith(".")) fieldRef(t, df)
+      else if (t.startsWith("\"") && t.endsWith("\"")) lit(t.substring(1, t.length - 1))
+      else scala.util.Try(lit(t.toLong)).getOrElse(
+        scala.util.Try(lit(t.toDouble)).getOrElse(lit(t)))
+    toks match {
+      case Seq(p) if p.startsWith(".") => fieldRef(p, df)
+      case Seq("now") => current_timestamp()
+      case Seq("timestamp") => unix_timestamp()
+      case Seq("plus", a, b) => arg(a).cast("double") + arg(b).cast("double")
+      case Seq("minus", a, b) => arg(a).cast("double") - arg(b).cast("double")
+      case Seq("multiply", a, b) => arg(a).cast("double") * arg(b).cast("double")
+      case Seq("divide", a, b) => arg(a).cast("double") / arg(b).cast("double")
+      case Seq("mod", a, b) => arg(a).cast("long") % arg(b).cast("long")
+      case Seq("timeFormat", a, f) =>
+        date_format(arg(a).cast("timestamp"),
+          graft.filters.GoTimeLayout.translate(
+            f.stripPrefix("\"").stripSuffix("\"")))
+      case Seq("upper", a) => upper(arg(a).cast("string"))
+      case Seq("lower", a) => lower(arg(a).cast("string"))
+      case Seq("trim", a) => trim(arg(a).cast("string"))
+      case Seq("title", a) => initcap(arg(a).cast("string"))
+      case other => sys.error(s"unsupported template expression '${other.mkString(" ")}'")
+    }
   }
 
   /** Logstash/ES index pattern: `prefix-%{field}-%{+YYYY.MM.dd}`. */

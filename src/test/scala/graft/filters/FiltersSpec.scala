@@ -27,6 +27,19 @@ class FiltersSpec extends SparkSpec {
     assert(oneRow(over.select("existing")) == Row("new"))
   }
 
+  test("template functions: arithmetic, timeFormat, string helpers") {
+    import graft.render.Render
+    val df = Seq((7L, "abc", java.sql.Timestamp.valueOf("2024-03-05 10:20:30")))
+      .toDF("n", "s", "ts")
+    def render(t: String): String =
+      df.select(Render.compile(t)(df).cast("string")).collect().head.getString(0)
+    assert(render("{{plus .n 3}}") == "10.0")
+    assert(render("{{mod .n 4}}") == "3")
+    assert(render("{{upper .s}}-{{title .s}}") == "ABC-Abc")
+    assert(render("""{{timeFormat .ts "2006/01/02"}}""") == "2024/03/05")
+    assert(render("x{{.missing}}y") == "xy") // absent field renders empty
+  }
+
   test("Remove: unconditional drops column; conditional nulls per-row") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "junk")
     assert(!FilterBox(RemoveFilter(Seq("junk"))).stage(df).columns.contains("junk"))
