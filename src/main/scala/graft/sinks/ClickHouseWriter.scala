@@ -44,6 +44,9 @@ object ClickHouseWriter {
     case "Float64" => DoubleType
     case "Date" => DateType
     case t if t.startsWith("DateTime") => TimestampType
+    case t if t.startsWith("Decimal(") =>
+      val Array(p, sc) = t.stripPrefix("Decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+      DecimalType(p, sc)
     case other => sys.error(s"unsupported ClickHouse type: $other")
   }
 

@@ -71,9 +71,16 @@ object Sinks {
     val bulkBytes = conf.long("bulk_size", 15L) * 1024 * 1024
     val gzip = conf.bool("compress", true)
 
+    // source_field passthrough: ship one pre-rendered field as the doc
+    // body instead of re-encoding the event
+    // (reference: elasticsearch_output.go:553-569)
+    val docCol = conf.str("source_field")
+      .orElse(conf.str("bytes_source_field"))
+      .map(f => col(s"`$f`").cast("string"))
+      .getOrElse(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)))
     val withMeta = df
       .withColumn("__graft_index", Render.compile(indexSpec)(df))
-      .withColumn("__graft_doc", to_json(struct(df.columns.map(c => col(s"`$c`")): _*)))
+      .withColumn("__graft_doc", docCol)
     val idCol = idField.map(f => col(s"`$f`").cast("string"))
     val routingCol = routingField.map(f => col(s"`$f`").cast("string"))
     val projected = withMeta.select(

@@ -24,6 +24,15 @@ object Observability {
   def observeCount(df: DataFrame, name: String): DataFrame =
     df.observe(s"graft_$name", count(lit(1)).as("events"))
 
+  /** Batch-side counter: run the action under an Observation and read the
+    * counts without a second pass over the data. */
+  def observedCount(df: DataFrame)(action: DataFrame => Unit): Long = {
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, count(lit(1)).as("events"))
+    action(observed)
+    obs.get("events").asInstanceOf[Long]
+  }
+
   /** Collects observed metrics + input/processed rates per query. */
   final class Listener extends StreamingQueryListener {
     private val counters = new ConcurrentHashMap[String, Long]()

@@ -44,6 +44,18 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(frames.head, "UTF-8") == "hell")
   }
 
+  test("binaryFile ingestion: real media files ride as binary + metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    java.nio.file.Files.write(dir.resolve("a.img"), "fake-image-bytes".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.img"), "more-bytes".getBytes("UTF-8"))
+    val media = spark.read.format("binaryFile").load(dir.toString)
+      .select(col("path").as("media_id"), col("content"), lit("image").as("media_type"))
+    val decoded = Multimodal.decodeStub(media).orderBy("byte_len").collect()
+    assert(decoded.length == 2)
+    assert(decoded(0).getLong(decoded(0).fieldIndex("byte_len")) == 10L)
+    assert(decoded(1).getLong(decoded(1).fieldIndex("byte_len")) == 16L)
+  }
+
   test("decodePartitions matches decodeStub's expression math") {
     val viaPartitions = Multimodal.decodePartitions(media)
       .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),

@@ -15,6 +15,8 @@ class ClickHouseSpec extends SparkSpec {
     assert(sparkType("DateTime64(3)") == TimestampType)
     assert(sparkType("Enum8('a'=1)") == StringType)
     assert(sparkType("UInt64") == LongType)
+    assert(sparkType("Decimal(18, 4)") == DecimalType(18, 4))
+    assert(sparkType("Array(Nullable(Int32))") == ArrayType(IntegerType))
   }
 
   test("desc-table parse skips MATERIALIZED/ALIAS columns") {

@@ -31,6 +31,12 @@ class ObservabilitySpec extends SparkSpec {
     }
   }
 
+  test("batch observedCount reads counters without a second pass") {
+    val df = spark.range(100).toDF("id")
+    val n = Observability.observedCount(df)(d => { d.filter(col("id") < 10).count(): Unit })
+    assert(n == 100L) // observation counts rows flowing past the observe point
+  }
+
   test("config watcher fires on file change") {
     val f = java.nio.file.Files.createTempFile("graft_cfg", ".yml")
     java.nio.file.Files.writeString(f, "inputs: []")
