@@ -42,6 +42,13 @@ object ArrayFns {
   def dotD(a: Column, b: Column): Column =
     col(DotDExpr(expr(a), expr(b)))
 
+  /** 32-bit SimHash from non-negative token hashes: bit j of the result is
+    * set when more hashes have bit j set than clear — one pass instead of
+    * 32 interpreted aggregate lambdas. Bit math identical to
+    * `(h >> j) % 2 == 1` on non-negative longs (the oracle's formula). */
+  def simhash32(hashes: Column): Column =
+    col(SimHash32Expr(expr(hashes)))
+
   // ---- static kernels (called from generated code) ------------------------
 
   /** splitmix64-style seeded mixer — only needs to be a good hash, no
@@ -112,6 +119,25 @@ object ArrayFns {
     inter.toDouble / (na + nb - inter)
   }
 
+  def simhash32Kernel(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   def dotDKernel(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -146,6 +172,17 @@ case class JaccardLongExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "jaccard_long"
+}
+
+case class SimHash32Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    ArrayFns.simhash32Kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayFns.simhash32Kernel($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash32"
 }
 
 case class DotDExpr(left: Expression, right: Expression)

@@ -151,16 +151,12 @@ object Dedup {
     transform(array_distinct(tokens(text)),
       t => conv(substring(md5(t), 25, 8), 16, 10).cast("long"))
 
-  /** 32-bit SimHash from pre-computed token hashes. The 32 bit-votes are
-    * statically unrolled Scala-side (not a `sequence` lambda), so each
-    * vote is a codegen'd shift+mod over a long array — the expensive md5
-    * pass over the strings happens once, upstream. */
+  /** 32-bit SimHash from pre-computed token hashes — one codegen'd pass
+    * over the long array (ArrayFns.SimHash32Expr); the expensive md5 pass
+    * over the strings happens once, upstream. Bit-identical to the
+    * 32-bit-vote formulation the DuckDB oracle uses. */
   def simhashFromHashes(hs: Column): Column =
-    (0 until 32).map { j =>
-      val vote = aggregate(hs, lit(0),
-        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.ArrayFns.simhash32(hs)
 
   def simhash32(text: Column): Column =
     simhashFromHashes(simhashTokenHashes(text))
