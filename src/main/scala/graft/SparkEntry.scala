@@ -152,6 +152,10 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "text", "doc_id",
         shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.9))
     },
+    "q_simhash_hamming" -> { (s, dir) =>
+      graft.ml.Dedup.simhashHammingPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", k = 3, bands = 4)
+    },
     "q_dedup_simhash" -> { (s, dir) =>
       graft.ml.Dedup.simhashGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
     },
@@ -494,6 +498,27 @@ object SparkEntry {
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
         |)
         |SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id""".stripMargin,
+
+    "q_simhash_hamming" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substring(md5(tok), 25, 8)) AS BIGINT) for tok in toks] AS hs
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, CAST(list_sum([
+        |    CASE WHEN list_sum([CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+        |      THEN 1 ELSE -1 END for h in hs]) > 0
+        |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+        |    for j in range(0, 32)]) AS BIGINT) AS sim
+        |  FROM h
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH t AS (

@@ -174,6 +174,36 @@ object Dedup {
       .groupBy(simhashFromHashes(col("__hs")).as("simhash"))
       .agg(min(col("__id")).as("rep_id"), count(lit(1)).as("cnt"))
 
+  /** SimHash near-dup pairs within hamming distance `k`: split the 32-bit
+    * fingerprint into `bands` bit-chunks; by pigeonhole any pair within
+    * hamming k must agree exactly on at least one chunk when bands > k,
+    * so candidates come from equi-joins on (chunk index, chunk value) and
+    * are verified with bit_count(xor) — no O(n²) scan.
+    * (hamming-0 grouping is `simhashGroups`; this is the banded-k search
+    * extension noted there.) */
+  def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
+    val bits = 32 / bands
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(col("id"))
+      .select(col("id"), simhashFromHashes(simhashTokenHashes(col("__t"))).as("sim"))
+      .localCheckpoint()
+    val banded = sh.select(col("id"), col("sim"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sim"), b * bits) % (1L << bits)): _*)))
+      .toDF("id", "sim", "band", "chunk")
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("l.sim").as("sim_a"),
+        col("r.id").as("id_b"), col("r.sim").as("sim_b"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= k)
+  }
+
   /** Exact n-gram jaccard pairs within a blocking column (e.g. a source or
     * length bucket) — the quadratic fallback, kept sub-quadratic by the
     * block. */
@@ -188,10 +218,16 @@ object Dedup {
       .select(col("blk"), col("id"),
         transform(shingles(col("__t"), n), s => xxhash64(s)).as("hs"))
       .filter(size(col("hs")) > 0)
+      .withColumn("sz", size(col("hs")))
       .localCheckpoint() // materialize once; both join sides read it
-    val l = docs.select(col("blk"), col("id").as("id_a"), col("hs").as("hs_a"))
-    val r = docs.select(col("blk"), col("id").as("id_b"), col("hs").as("hs_b"))
-    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
+    val l = docs.select(col("blk"), col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
+    val r = docs.select(col("blk"), col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
+    // size-ratio prune: jaccard >= θ forces min|sh| >= θ·max|sh|
+    // (|a∩b| ≤ min, |a∪b| ≥ max) — most pairs die on two int compares
+    // before any array is touched
+    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .select(col("blk"), col("id_a"), col("id_b"),
         graft.functions.ArrayFns.jaccardLong(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
