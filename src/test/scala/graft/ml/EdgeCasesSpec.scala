@@ -1,0 +1,52 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: null text, empty frames, unicode — the
+  * shapes a 100 TB corpus WILL contain somewhere. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val messy = Seq(
+    (1L, "normal words here repeated words here"),
+    (2L, null.asInstanceOf[String]),
+    (3L, ""),
+    (4L, "     "),
+    (5L, "中文 文本 処理 emoji 🙂 mixed ascii"),
+  ).toDF("doc_id", "text")
+
+  test("minhash pairs: null/empty/whitespace docs don't crash or pair") {
+    val pairs = Dedup.minhashPairs(messy, "text", "doc_id", threshold = 0.5)
+    val ids = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(!ids.contains(2L)) // null text never pairs
+  }
+
+  test("simhash groups handle null and unicode") {
+    val out = Dedup.simhashGroups(messy, "text", "doc_id")
+    assert(out.agg(sum("cnt")).as[Long].head() == 5L) // every doc lands somewhere
+  }
+
+  test("simhash hamming pairs run on messy input") {
+    Dedup.simhashHammingPairs(messy, "text", "doc_id").count() // no crash
+  }
+
+  test("empty input frames flow through every dedup operator") {
+    val empty = messy.limit(0)
+    assert(Dedup.minhashPairs(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.exact(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.simhashGroups(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty.withColumn("blk", lit("x")),
+      "text", "doc_id", "blk").count() == 0)
+    assert(Dedup.clusters(
+      Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")).count() == 0)
+  }
+
+  test("text profile survives null and empty docs") {
+    val out = TextAnalysis.profile(messy, "text")
+    assert(out.count() == 5)
+    val unicodeRow = out.filter(col("doc_id") === 5L).collect().head
+    assert(unicodeRow.getInt(unicodeRow.fieldIndex("n_tokens")) == 7)
+  }
+}
