@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: these assert the physical plans stay the
+  * plans we designed for cluster scale — predicate pushdown into scans,
+  * broadcast joins for dims and bucketed range joins, and no accidental
+  * nested-loop/cartesian fallbacks. A change that silently degrades one
+  * of these shapes would still pass value-level tests but die at 100 TB. */
+class PlanQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.count() // run so AQE finalizes join strategies
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("condition DSL predicates push into the parquet scan") {
+    val plan = executedPlan("q_condition_dsl")
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("StringStartsWith") || plan.contains("EqualTo(event_type"),
+      s"DSL predicate not pushed:\n$plan")
+  }
+
+  test("dimension joins broadcast; the fact side never nested-loops") {
+    val plan = executedPlan("q5_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("geoip range join plans as broadcast HASH join, not nested loop") {
+    val plan = executedPlan("q_geoip")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("minhash LSH never degenerates into a cartesian product") {
+    val plan = executedPlan("q_dedup_minhash")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("aggregations run partial then final (map-side combine)") {
+    val plan = executedPlan("q1_pricing")
+    // two HashAggregate levels around one exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("Exchange"), plan)
+  }
+
+  test("column pruning reaches the scan for narrow projections") {
+    val df = SparkEntry.queries("q_json_convert")(spark, dir)
+    df.count()
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scan.contains("event_type"), s"unused column not pruned: $scan")
+  }
+}
