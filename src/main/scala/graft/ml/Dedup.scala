@@ -189,18 +189,23 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"), simhashFromHashes(simhashTokenHashes(col("__t"))).as("sim"))
       .localCheckpoint()
+    def chunk(sim: Column, b: Int): Column =
+      shiftright(sim, b * bits) % (1L << bits)
     val banded = sh.select(col("id"), col("sim"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("sim"), b * bits) % (1L << bits)): _*)))
+        posexplode(array((0 until bands).map(b => chunk(col("sim"), b)): _*)))
       .toDF("id", "sim", "band", "chunk")
-    val cand = banded.as("l").join(banded.as("r"),
+    // dedup WITHOUT a distinct shuffle: a pair that collides in several
+    // bands is kept only where `band` is its FIRST matching band — cheap
+    // shift/mask math per joined row instead of re-shuffling millions of
+    // duplicate candidates
+    val firstBand = coalesce((0 until bands).map(b =>
+      when(chunk(col("l.sim"), b) === chunk(col("r.sim"), b), lit(b))): _*)
+    banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("l.sim").as("sim_a"),
-        col("r.id").as("id_b"), col("r.sim").as("sim_b"))
-      .distinct()
-    cand.select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("l.band") === firstBand)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
       .filter(col("hamming") <= k)
   }
 
