@@ -174,6 +174,12 @@ object SparkEntry {
         emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5,
         numPlanes = 6, dim = 64)
     },
+    "q_ann_int8" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ml.Similarity.int8TopK(
+        emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5, rerank = 50)
+    },
     "q_ann_ivf" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
@@ -321,6 +327,34 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER
         |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
         |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_ann_int8" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, v, [CAST(round(x * 127.0 / s) AS INT) for x in v] AS q, s AS scale
+        |  FROM (SELECT vec_id, v, list_max([abs(x) for x in v]) AS s FROM c)),
+        |qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq, scale AS qscale
+        |       FROM qz WHERE vec_id < 5),
+        |approx AS (
+        |  SELECT qs.query_id, qz.vec_id, qs.qv, qz.v,
+        |    list_reduce(list_zip(CAST(qs.qq AS DOUBLE[]), CAST(qz.q AS DOUBLE[]))
+        |      .apply(x -> x[1]*x[2]), (a,b) -> a+b) * qs.qscale * qz.scale / (127.0*127.0) AS approx
+        |  FROM qz, qs),
+        |cand AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS arank
+        |    FROM approx)
+        |  WHERE arank <= 50)
+        |SELECT query_id, vec_id, rank, sim FROM (
+        |  SELECT query_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM (
+        |    SELECT query_id, vec_id,
+        |      list_reduce(list_zip(qv, v).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |      sqrt(list_reduce(list_zip(qv, qv).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |           list_reduce(list_zip(v, v).apply(x -> x[1]*x[2]), (a,b) -> a+b)) AS sim
+        |    FROM cand))
         |WHERE rank <= 5""".stripMargin,
 
     "q_ann_ivf" ->

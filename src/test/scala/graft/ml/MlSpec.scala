@@ -75,6 +75,16 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("int8 two-stage topk equals exact brute force when rerank covers the corpus") {
+    val emb = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 2), "embedding", "vec_id", 3)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val viaInt8 = Similarity.int8TopK(emb, emb.filter($"vec_id" < 2), "embedding", "vec_id", 3, rerank = 30)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaInt8 == exact)
+  }
+
   test("text profile: deterministic stats and langid") {
     val out = TextAnalysis.profile(docs, "text").collect().head
     assert(out.getInt(out.fieldIndex("n_tokens")) == 9)
