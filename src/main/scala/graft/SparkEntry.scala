@@ -257,6 +257,12 @@ object SparkEntry {
           col("channels"), col("content_md5"))
     },
 
+    "q_rolling_fp" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", graft.ml.TextAnalysis.rollingHash($"text").as("rhash"))
+    },
+
     // ---- end-to-end corpus cleaning: quality filter -> near-dup drop ----
     // The composed training-data pipeline: profile stats gate the corpus,
     // then minhash-LSH pairs drop later near-duplicates.
@@ -626,6 +632,15 @@ object SparkEntry {
         |  CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 512 + 1 AS INT) AS height,
         |  CAST(CAST(('0x' || substring(md5(text), 9, 1)) AS BIGINT) % 4 + 1 AS INT) AS channels,
         |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+
+    "q_rolling_fp" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) > 0 THEN
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ord(c) AS BIGINT) for c in string_split(text, '')]),
+        |      (a, c) -> (a * 31 + c) % 1000000007)
+        |  ELSE 0 END AS rhash
         |FROM documents""".stripMargin,
 
     "q_corpus_clean" ->

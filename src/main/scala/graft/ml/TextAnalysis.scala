@@ -89,6 +89,17 @@ object TextAnalysis {
   def docFingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), """\s+""", " "))
 
+  /** True rolling polynomial hash over the code points:
+    * h = fold(h·31 + cp) mod 1e9+7. Cheap, incremental (a streaming
+    * ingester can maintain it per chunk), and reproducible in any engine —
+    * DuckDB folds the same recurrence with list_reduce. */
+  def rollingHash(text: Column): Column = {
+    val chars = split(text, "")
+    when(length(text) > 0,
+      aggregate(chars, lit(0L), (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L))
+      .otherwise(lit(0L))
+  }
+
   /** One-stop profile projection for a documents table. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
