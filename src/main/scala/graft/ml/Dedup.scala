@@ -180,7 +180,13 @@ object Dedup {
     * so candidates come from equi-joins on (chunk index, chunk value) and
     * are verified with bit_count(xor) — no O(n²) scan.
     * (hamming-0 grouping is `simhashGroups`; this is the banded-k search
-    * extension noted there.) */
+    * extension noted there.)
+    *
+    * Scale note: the OUTPUT is inherently quadratic in near-dup cluster
+    * size (10× the corpus with the same clusters → 100× the pairs; ~11M
+    * verified pairs/s on local[32]). For corpus-dedup at 100 TB, feed the
+    * pairs into `clusters`/`dropDuplicatesClustered` incrementally rather
+    * than materializing the full pair set. */
   def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, bands: Int = 4): DataFrame = {
     require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
