@@ -39,6 +39,25 @@ object GeoIp {
       (ipl / 256L).cast("long") % 256,
       ipl % 256)
 
+  /** CIDR string → (ip_from, ip_to) columns; e.g. "10.1.0.0/16".
+    * The reference ships binary ipip.net datx/ipdb files — any tabular
+    * form with a CIDR or from/to columns loads into the same range dim. */
+  def cidrToRange(cidr: Column): (Column, Column) = {
+    val parts = split(cidr, "/")
+    val base = ipToLong(element_at(parts, 1))
+    val prefix = element_at(parts, 2).cast("int")
+    val span = pow(lit(2.0), lit(32) - prefix).cast("long")
+    val from = (base / span).cast("long") * span
+    (from, from + span - 1)
+  }
+
+  /** Load a CSV of `cidr,attr1,attr2,…` (header row) into a ranges dim. */
+  def loadCidrCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    val (from, to) = cidrToRange(col("cidr"))
+    raw.withColumn("ip_from", from).withColumn("ip_to", to).drop("cidr")
+  }
+
   /** Enrich `df` with the attribute columns of `ranges` (which must carry
     * `ip_from`/`ip_to` longs; every other column is an attribute). Left
     * join — unmatched IPs keep null attributes, like the reference leaves

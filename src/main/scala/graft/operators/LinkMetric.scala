@@ -103,10 +103,22 @@ object LinkStatsMetric {
   private val Dec = DecimalType(18, 4)
 
   /** The last link field is the numeric being aggregated
-    * (reference: link_stats_metric.go:127-159 emission shape). */
-  private def aggCols(valueField: String): Seq[Column] = {
+    * (reference: link_stats_metric.go:127-159 emission shape). With
+    * `reduce`, rows are upstream PARTIAL stats (count/sum/min/max columns)
+    * and are merged instead of re-counted
+    * (link_stats_metric.go:198-227 merge semantics). */
+  private def aggCols(c: Config, df: DataFrame): Seq[Column] = {
+    val valueField = c.fieldsLink.split("->").map(_.trim).last
     val v = col(s"`$valueField`")
-    Seq(
+    if (c.reduce && Seq("count", "sum", "min", "max").forall(df.columns.contains)) {
+      val cnt = sum(col("count").cast("long")).as("count")
+      Seq(cnt,
+        sum(col("sum").cast(Dec)).cast("double").as("sum"),
+        min(col("min").cast("double")).as("min"),
+        max(col("max").cast("double")).as("max"),
+        (sum(col("sum").cast(Dec)).cast("double") /
+          sum(col("count").cast("long"))).as("mean"))
+    } else Seq(
       count(v).as("count"),
       sum(v.cast(Dec)).cast("double").as("sum"),
       min(v.cast("double")).as("min"),
@@ -126,7 +138,7 @@ object LinkStatsMetric {
       } else df
     LinkMetric.finish(bounded
       .groupBy(win +: groupFields.map(f => col(s"`$f`")): _*)
-      .agg(aggCols(fields.last).head, aggCols(fields.last).tail: _*))
+      .agg(aggCols(c, bounded).head, aggCols(c, bounded).tail: _*))
   }
 
   def streaming(c: Config)(df: DataFrame): DataFrame = {
@@ -134,6 +146,6 @@ object LinkStatsMetric {
     val groupFields = fields.init
     LinkMetric.finish(df.withWatermark(s"`${c.tsColumn}`", s"${c.reserveWindowSec} seconds")
       .groupBy(win +: groupFields.map(f => col(s"`$f`")): _*)
-      .agg(aggCols(fields.last).head, aggCols(fields.last).tail: _*))
+      .agg(aggCols(c, df).head, aggCols(c, df).tail: _*))
   }
 }

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions.lit
 
 class LinkMetricSpec extends SparkSpec {
   import spark.implicits._
@@ -33,6 +34,27 @@ class LinkMetricSpec extends SparkSpec {
     val out = LinkMetric.batch(LinkMetric.Config("et", 60, reduce = true))(df)
       .orderBy("et").collect()
     assert(out.map(r => r.getLong(r.fieldIndex("count"))).toSeq == Seq(12L, 2L))
+  }
+
+  test("batch LinkStatsMetric: reduce merges upstream partial stats") {
+    val partials = Seq(
+      (ts("2024-01-01 00:00:10"), "a", 2L, 40.0, 10.0, 30.0),
+      (ts("2024-01-01 00:00:20"), "a", 3L, 60.0, 5.0, 50.0),
+    ).toDF("@timestamp", "et", "count", "sum", "min", "max")
+    val out = LinkStatsMetric.batch(LinkMetric.Config("et->value", 60, reduce = true))(partials)
+      .collect().head
+    assert(out.getLong(out.fieldIndex("count")) == 5L)
+    assert(out.getDouble(out.fieldIndex("sum")) == 100.0)
+    assert(out.getDouble(out.fieldIndex("min")) == 5.0)
+    assert(out.getDouble(out.fieldIndex("max")) == 50.0)
+    assert(out.getDouble(out.fieldIndex("mean")) == 20.0)
+  }
+
+  test("cidr ranges load into the geoip dim") {
+    val (from, to) = GeoIp.cidrToRange(lit("10.1.0.0/16"))
+    val r = spark.range(1).select(from.as("f"), to.as("t")).collect().head
+    assert(r.getLong(0) == 167837696L)              // 10.1.0.0
+    assert(r.getLong(1) == 167837696L + 65535L)     // 10.1.255.255
   }
 
   test("batch LinkMetric: reserveWindow drops old events") {
