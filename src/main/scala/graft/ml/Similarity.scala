@@ -32,10 +32,15 @@ object Similarity {
     * The query side is broadcast — the corpus side is scanned once. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
+    // self-dots are precomputed per vector so each scored pair costs ONE
+    // dot product instead of three — sim values stay bit-identical
+    // (same doubles multiplied in the same order)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qsd", dot(col("qv"), col("qv")))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("csd", dot(col("cv"), col("cv")))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / sqrt(col("qsd") * col("csd")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -78,11 +83,13 @@ object Similarity {
       vecCol: String, idCol: String, k: Int, numPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
-      srpBucket(col(vecCol), numPlanes, dim).as("bucket"))
+      srpBucket(col(vecCol), numPlanes, dim).as("bucket"),
+      dot(col(vecCol), col(vecCol)).as("csd"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      srpBucket(col(vecCol), numPlanes, dim).as("bucket"))
+      srpBucket(col(vecCol), numPlanes, dim).as("bucket"),
+      dot(col(vecCol), col(vecCol)).as("qsd"))
     val scored = c.join(broadcast(q), "bucket")
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / sqrt(col("qsd") * col("csd")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -181,11 +188,12 @@ object Similarity {
   def cosineDupPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      srpBucket(col(vecCol), numPlanes, dim).as("bucket"))
-    val l = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      srpBucket(col(vecCol), numPlanes, dim).as("bucket"),
+      dot(col(vecCol), col(vecCol)).as("sd"))
+    val l = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("sd").as("sd_a"))
+    val r = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("sd").as("sd_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("sim", dot(col("v_a"), col("v_b")) / sqrt(col("sd_a") * col("sd_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
