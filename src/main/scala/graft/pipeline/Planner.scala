@@ -82,6 +82,33 @@ object Planner {
       case "Translate" =>
         box(TranslateFilter(conf.strReq("source"), conf.strReq("target"),
           conf.strMap("dictionary")))
+      case "IPIP" =>
+        // reference: filter/ipip.go:32-135 — src IP field, interval DB,
+        // optional target wrapping. The binary datx/ipdb file becomes a
+        // tabular range dim (CIDR CSV via GeoIp.loadCidrCsv); the lookup is
+        // a broadcast bucketed range HASH join, not a per-event trie walk.
+        // Default target "geoip" nests attributes in a struct like the
+        // reference; `target: ''` spreads them top-level.
+        val ipSrc = conf.strReq("src")
+        val database = conf.strReq("database")
+        val ipTarget = conf.str("target").getOrElse("geoip")
+        val bucketBits = conf.int("bucket_bits", 16)
+        df => {
+          val ranges = graft.operators.GeoIp.loadCidrCsv(df.sparkSession, database)
+          val attrs = ranges.columns.filterNot(Set("ip_from", "ip_to")).toSeq
+          val cond = ifConds.map(ConditionFilter.compile(_, df)).reduceOption(_ && _)
+          val enriched = graft.operators.GeoIp.enrich(df, ranges, ipSrc, bucketBits)
+          // honor the box `if`: rows failing the guard keep null attributes
+          val gated = cond match {
+            case Some(c) => attrs.foldLeft(enriched)((d, a) =>
+              d.withColumn(a, when(c, col(s"`$a`"))))
+            case None => enriched
+          }
+          if (ipTarget.isEmpty) gated
+          else gated
+            .withColumn(ipTarget, struct(attrs.map(a => col(s"`$a`")): _*))
+            .drop(attrs: _*)
+        }
       case "Drop" => box(DropFilter)
       case "Filters" =>
         val inner = conf("filters").asInstanceOf[Seq[Any]].map {

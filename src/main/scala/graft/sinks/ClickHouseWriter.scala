@@ -99,6 +99,26 @@ object ClickHouseWriter {
       else None
     }
 
+  /** Run `desc table` over JDBC against the first live host and parse the
+    * result set into columns (reference: clickhouse_output.go:65-153 runs
+    * this once at startup). Driver-side, once per writeBatch — the schema
+    * is then frozen into the conform projection. */
+  def descTable(jdbcUrls: Seq[String], table: String): Seq[ChColumn] = {
+    val url = new HostSelector(jdbcUrls).select()
+      .getOrElse(sys.error("no live ClickHouse host"))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(s"desc table $table")
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      val nCols = rs.getMetaData.getColumnCount
+      while (rs.next()) {
+        val extra = if (nCols >= 3) Option(rs.getString(3)).getOrElse("") else ""
+        lines += s"${rs.getString(1)}\t${rs.getString(2)}\t$extra"
+      }
+      parseDescTable(lines.toSeq)
+    } finally conn.close()
+  }
+
   /** JDBC batch write with per-partition round-robin over hosts. The
     * ClickHouse JDBC driver must be on the executor classpath; everything
     * above this point (schema conform, SQL, batching policy) is

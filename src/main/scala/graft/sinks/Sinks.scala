@@ -15,8 +15,13 @@ object Sinks {
   def writeBatch(name: String, conf: Map[String, Any], df: DataFrame): DataFrame = {
     name match {
       case "Stdout" =>
-        df.select(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("json"))
-          .collect().foreach(r => println(r.getString(0)))
+        // toLocalIterator streams one partition at a time to the driver —
+        // bounded memory at any scale, unlike a collect()
+        // (reference: output/stdout_output.go prints per event in-flow)
+        val it = df.select(
+          to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("json"))
+          .toLocalIterator()
+        while (it.hasNext) println(it.next().getString(0))
       case "Dot" =>
         println("." * df.count().min(1000).toInt)
       case "Parquet" =>
@@ -52,11 +57,37 @@ object Sinks {
           }
       case "Elasticsearch" =>
         writeElasticsearch(conf, df)
+      case "ClickHouse" =>
+        writeClickHouse(conf, df)
       case "Influxdb" =>
         writeInflux(conf, df)
       case other => sys.error(s"unknown output '$other'")
     }
     df
+  }
+
+  /** ClickHouse dispatch (reference: output/clickhouse_output.go:350-507).
+    * Table schema comes from `desc table` against a live host at plan time
+    * — the reference's startup desc (clickhouse_output.go:65-153) — unless
+    * the config pins `columns` ("name Type" strings, the offline/test
+    * form). `conform` then turns the per-event convert loop into one
+    * codegen'd projection and the JDBC write batches `bulk_actions` rows
+    * per executeBatch inside foreachPartition. */
+  def writeClickHouse(conf: Map[String, Any], df: DataFrame): Unit = {
+    val table = conf.strReq("table")
+    val hosts = conf.strSeq("hosts")
+    val bulkActions = conf.int("bulk_actions", 1000)
+    val schema = conf.get("columns") match {
+      case Some(cols: Seq[_]) => cols.map { c =>
+        c.toString.split("\\s+", 2) match {
+          case Array(n, t) => ClickHouseWriter.ChColumn(n, t.trim)
+          case _ => sys.error(s"ClickHouse columns entries must be 'name Type': $c")
+        }
+      }
+      case Some(other) => sys.error(s"ClickHouse columns must be a list: $other")
+      case None => ClickHouseWriter.descTable(hosts, table)
+    }
+    ClickHouseWriter.write(df, hosts, table, schema, bulkActions)
   }
 
   /** ES bulk over foreachPartition: one EsBulkWriter per partition, index

@@ -93,4 +93,54 @@ class PipelineSpec extends SparkSpec {
     Planner.fromYaml(yaml).runBatch(spark)
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  test("IPIP filter dispatches from YAML: CIDR database, target struct, if-guard") {
+    val dir = Files.createTempDirectory("graft_ipip")
+    val db = dir.resolve("geo.csv")
+    Files.write(db, java.util.Arrays.asList(
+      "cidr,country_name,isp",
+      "10.0.0.0/8,Wonderland,ACME",
+      "192.168.0.0/16,Oz,EMCA"))
+
+    val input = Seq(
+      ("e1", "10.1.2.3"),
+      ("e2", "192.168.7.9"),
+      ("e3", "172.16.0.1"), // no range matches → null attributes
+    ).toDF("id", "ip")
+
+    val yaml =
+      s"""filters:
+         |  - IPIP:
+         |      src: ip
+         |      database: $db
+         |""".stripMargin
+    val out = Planner.fromYaml(yaml).transform(input)
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    def geo(id: String, f: String): Any = {
+      val r = rows(id)
+      val s = r.getStruct(r.fieldIndex("geoip"))
+      if (s == null || s.isNullAt(s.fieldIndex(f))) null else s.get(s.fieldIndex(f))
+    }
+    assert(geo("e1", "country_name") == "Wonderland" && geo("e1", "isp") == "ACME")
+    assert(geo("e2", "country_name") == "Oz")
+    assert(geo("e3", "country_name") == null)
+
+    // top-level form (`target: ''`) with an if-guard
+    val yamlTop =
+      s"""filters:
+         |  - IPIP:
+         |      src: ip
+         |      database: $db
+         |      target: ''
+         |      if: ['HasPrefix(ip,"10.")']
+         |""".stripMargin
+    val topRows = Planner.fromYaml(yamlTop).transform(input)
+      .collect().map(r => r.getString(r.fieldIndex("id")) -> r).toMap
+    def attr(id: String, f: String): Any = {
+      val r = topRows(id)
+      if (r.isNullAt(r.fieldIndex(f))) null else r.get(r.fieldIndex(f))
+    }
+    assert(attr("e1", "country_name") == "Wonderland")
+    assert(attr("e2", "country_name") == null) // guard blocked the 192.* row
+  }
 }

@@ -52,4 +52,38 @@ class ClickHouseSpec extends SparkSpec {
     assert(insertSql("t", Seq(ChColumn("a", "String"), ChColumn("b", "Int64"))) ==
       "INSERT INTO t (a,b) VALUES (?,?)")
   }
+
+  test("sink router dispatches ClickHouse output through the JDBC batch path") {
+    // Derby in-memory stands in for the ClickHouse server: the dispatch,
+    // conform projection, prepared-statement batching, and commit all run
+    // for real; only the SQL dialect at the far end differs.
+    val url = "jdbc:derby:memory:chroute;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    try setup.createStatement().executeUpdate(
+      "CREATE TABLE events_out (name VARCHAR(64), v BIGINT, missing_col BIGINT)")
+    finally setup.close()
+
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("name", "v")
+    Sinks.writeBatch("ClickHouse", Map(
+      "table" -> "events_out",
+      "hosts" -> Seq(url),
+      "bulk_actions" -> 2, // force a mid-stream executeBatch + the tail flush
+      "columns" -> Seq("name String", "v Int64", "missing_col Int64")), df)
+
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT name, v, missing_col FROM events_out ORDER BY v")
+      val rows = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toList
+      assert(rows == List(("a", 1L, 0L), ("b", 2L, 0L), ("c", 3L, 0L)))
+    } finally conn.close()
+  }
+
+  test("unknown output still errors so typos don't silently drop events") {
+    val df = Seq(1).toDF("x")
+    val e = intercept[RuntimeException](Sinks.writeBatch("Clickhouse", Map.empty, df))
+    assert(e.getMessage.contains("unknown output"))
+  }
 }
