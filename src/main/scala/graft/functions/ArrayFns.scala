@@ -36,6 +36,15 @@ object ArrayFns {
   def jaccardLong(a: Column, b: Column): Column =
     col(JaccardLongExpr(expr(a), expr(b)))
 
+  /** Fused filter+project jaccard: the similarity when ≥ `threshold`, else
+    * NULL. `select(jaccardThreshold(...)).filter(isNotNull)` evaluates the
+    * kernel ONCE per candidate pair — the plain
+    * `select(jaccard).filter(jaccard >= θ)` form gets its predicate pushed
+    * below the projection (plus an inferred isnotnull conjunct), costing
+    * 2-3 kernel evaluations per pair. */
+  def jaccardThreshold(a: Column, b: Column, threshold: Double): Column =
+    col(JaccardThresholdExpr(expr(a), expr(b), threshold))
+
   /** Sequential-order dot product of two double arrays — bit-identical to
     * `aggregate(zip_with(a,b,*), 0d, +)` (left fold, 0.0 seed), so oracle
     * SQL using list_reduce reproduces it exactly. */
@@ -172,6 +181,28 @@ case class JaccardLongExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "jaccard_long"
+}
+
+case class JaccardThresholdExpr(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val j = ArrayFns.jaccardLongKernel(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (j >= threshold) j else null
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |double ${ev.value}_j = graft.functions.ArrayFns.jaccardLongKernel($a, $b);
+         |if (${ev.value}_j >= ${threshold}D) { ${ev.value} = ${ev.value}_j; }
+         |else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_threshold"
 }
 
 case class SimHash32Expr(child: Expression) extends UnaryExpression {

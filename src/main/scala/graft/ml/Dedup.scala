@@ -132,10 +132,13 @@ object Dedup {
     // intersect cost drop by the average shingle length.
     val a = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val b = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    // fused threshold form: ONE kernel eval per candidate pair (the
+    // filter-below-project rewrite of `jaccard >= θ` would re-eval it)
     cand.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
-        graft.functions.ArrayFns.jaccardLong(col("hs_a"), col("hs_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        graft.functions.ArrayFns.jaccardThreshold(col("hs_a"), col("hs_b"), threshold)
+          .as("jaccard"))
+      .filter(col("jaccard").isNotNull)
   }
 
   /** |a ∩ b| / |a ∪ b| over distinct-element arrays (built-in form; the
@@ -240,8 +243,9 @@ object Dedup {
         least(col("sz_a"), col("sz_b")).cast("double") >=
           lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .select(col("blk"), col("id_a"), col("id_b"),
-        graft.functions.ArrayFns.jaccardLong(col("hs_a"), col("hs_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        graft.functions.ArrayFns.jaccardThreshold(col("hs_a"), col("hs_b"), threshold)
+          .as("jaccard"))
+      .filter(col("jaccard").isNotNull)
   }
 
   /** Keep one representative row per near-dup cluster: pairs → connected

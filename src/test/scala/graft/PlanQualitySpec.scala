@@ -51,6 +51,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Exchange"), plan)
   }
 
+  test("top-k rank filters run as WindowGroupLimit (per-partition top-k)") {
+    // Spark 4's InferWindowGroupLimit turns `row_number() <= k` into a
+    // partial top-k BEFORE the window's shuffle, so the full scored set
+    // never moves. A refactor that breaks the filter shape (or a Spark
+    // regression) silently reverts to shuffling everything — catch it.
+    for (q <- Seq("q_embed_topk", "q_ann_int8")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q lost the rank-limit pushdown:\n$plan")
+    }
+  }
+
+  test("fused jaccard threshold evaluates the kernel once per candidate pair") {
+    val df = SparkEntry.queries("q_ngram_jaccard")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the fused form appears exactly twice: once as the pushed-down
+    // isnotnull join post-condition (the per-pair decision) and once in
+    // the survivor projection. The unfused `jaccard >= θ` form costs a
+    // third per-pair eval (the threshold compare + an inferred isnotnull
+    // each re-evaluate the kernel) — catch a regression to it.
+    assert("jaccard_threshold".r.findAllIn(plan).length <= 2, plan)
+    assert(!plan.contains("jaccard_long("), plan)
+  }
+
   test("column pruning reaches the scan for narrow projections") {
     val df = SparkEntry.queries("q_json_convert")(spark, dir)
     df.count()
