@@ -149,6 +149,22 @@ object SparkEntry {
       chain.foldLeft(ev.toDF())((d, f) => f(d))
     },
 
+    // Sprig template surface through Add (reference registers sprig's
+    // FuncMap for every template render: template_value_render.go:41-44)
+    "q_sprig" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("maybe", when($"event_id" % 3 === 0, $"event_type"))
+        .withColumn("is_even", $"event_id" % 2 === 0)
+      val chain = FilterBox(AddFilter(Map(
+        "filled" -> "{{default \"none\" .maybe}}",
+        "flag" -> "{{ternary \"even\" \"odd\" .is_even}}",
+        "b64" -> "{{b64enc .event_type}}",
+        "short" -> "{{trunc 3 .event_type}}",
+        "usum" -> "{{add .user_id 7}}"))).stage(ev)
+      chain.select($"event_id", $"filled", $"flag", $"b64", $"short", $"usum")
+    },
+
     // ---- training-data pipeline operators: dedup ----
     "q_dedup_exact" -> { (s, dir) =>
       graft.ml.Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
@@ -495,6 +511,15 @@ object SparkEntry {
         |  CASE event_type WHEN 'error' THEN 'E' WHEN 'purchase' THEN 'P'
         |    WHEN 'signup' THEN 'S' ELSE NULL END AS code,
         |  user_id AS uid
+        |FROM events""".stripMargin,
+
+    "q_sprig" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN event_type ELSE 'none' END AS filled,
+        |  CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END AS flag,
+        |  to_base64(CAST(event_type AS BLOB)) AS b64,
+        |  substring(event_type, 1, 3) AS short,
+        |  CAST(user_id + 7 AS VARCHAR) AS usum
         |FROM events""".stripMargin,
 
     "q_dedup_exact" ->

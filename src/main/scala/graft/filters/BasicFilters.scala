@@ -178,27 +178,92 @@ final case class ReplaceFilter(field: String, oldStr: String, newStr: String,
     }
 }
 
-/** Translate: dictionary enrichment. Small dicts become a literal map
-  * lookup (zero shuffle); big dicts should use `TranslateFilter.joined`
-  * which broadcast-joins a dict DataFrame. (reference: filter/translate.go) */
+/** Translate: dictionary enrichment (reference: filter/translate.go).
+  *
+  * Three dictionary sources, by scale:
+  *   - inline `dictionary` map → a literal map lookup baked into the plan
+  *     (zero shuffle, codegen'd — the common small-dict case);
+  *   - `dictionary_path` (file / file:// / http(s):// YAML) with
+  *     `refresh_interval` → an executor-local TTL-cached lookup; each JVM
+  *     re-reads the dict when the interval elapses, the Spark analogue of
+  *     the reference's background reload goroutine (translate.go:79-131).
+  *     Because the lookup runs at EXECUTION time, every streaming
+  *     micro-batch sees the freshest dict without replanning.
+  *   - `TranslateFilter.joined` → broadcast join against a dict DataFrame
+  *     for dictionaries too large to ship per executor. */
 final case class TranslateFilter(src: String, target: String,
-    dict: Map[String, String]) extends EventFilter {
+    dict: Map[String, String],
+    dictPath: Option[String] = None,
+    refreshIntervalSec: Int = 300) extends EventFilter {
   def transform(df: DataFrame, cond: Column): DataFrame = {
-    val m = typedlit(dict)
     val key = FieldPath.resolve(df, src).getOrElse(lit(null)).cast("string")
-    StageCols.setField(df, target, element_at(m, key), cond, overwrite = true)
+    val value = dictPath match {
+      case Some(p) =>
+        val ttl = refreshIntervalSec
+        val lookup = udf { (k: String) =>
+          if (k == null) null
+          else TranslateFilter.DictCache.get(p, ttl).getOrElse(k, null)
+        }
+        lookup(key)
+      case None => element_at(typedlit(dict), key)
+    }
+    StageCols.setField(df, target, value, cond, overwrite = true)
   }
 }
 
 object TranslateFilter {
   /** Broadcast-join variant for dictionaries too large to inline in the
     * plan. At scale this is the one to use: the dict is broadcast once,
-    * the fact side never shuffles. */
+    * the fact side never shuffles. In a streaming pipeline the static
+    * dict side is re-planned per micro-batch, so a dict re-read through
+    * `spark.read` hot-reloads there too. */
   def joined(df: DataFrame, dictDf: DataFrame, srcCol: String,
       keyCol: String, valueCol: String, target: String): DataFrame = {
     val d = dictDf.select(col(keyCol).as("__graft_k"), col(valueCol).as(target))
     df.join(broadcast(d), col(srcCol) === col("__graft_k"), "left")
       .drop("__graft_k")
+  }
+
+  /** Per-JVM dictionary cache with TTL refresh. `ttlSec <= 0` re-reads on
+    * every call (test/dev); a failed refresh keeps serving the last good
+    * dict like the reference (translate.go logs and keeps the old map). */
+  object DictCache {
+    private final case class Entry(dict: Map[String, String], loadedAt: Long)
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+    def get(path: String, ttlSec: Int): Map[String, String] = {
+      val now = System.currentTimeMillis()
+      val cur = cache.get(path)
+      if (cur != null && ttlSec > 0 && now - cur.loadedAt < ttlSec * 1000L) cur.dict
+      else {
+        val d =
+          try load(path)
+          catch { case _: Exception if cur != null => cur.dict }
+        cache.put(path, Entry(d, now))
+        d
+      }
+    }
+
+    /** Read YAML `key: value` pairs from a filesystem path or URL. */
+    def load(path: String): Map[String, String] = {
+      val text =
+        if (path.startsWith("http://") || path.startsWith("https://") ||
+            path.startsWith("file:")) {
+          val in = java.net.URI.create(path).toURL.openStream()
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } else
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+      val root = new org.yaml.snakeyaml.Yaml().load[Object](text)
+      root match {
+        case m: java.util.Map[_, _] =>
+          import scala.jdk.CollectionConverters._
+          m.asScala.map { case (k, v) =>
+            k.toString -> (if (v == null) null else v.toString)
+          }.toMap
+        case other => sys.error(s"Translate dictionary at $path is not a map: $other")
+      }
+    }
   }
 }
 

@@ -43,12 +43,10 @@ object Grok {
     "UUID" -> """[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}""",
   )
 
-  /** Load "NAME regex" pattern files (reference: filter/grok.go loads
-    * pattern files/dirs/URLs at build time; same line format as
-    * logstash-patterns-core). Blank lines and #comments skipped. */
-  def loadPatternFile(path: String): Map[String, String] = {
-    val src = scala.io.Source.fromFile(path, "UTF-8")
-    try src.getLines().flatMap { line =>
+  /** Parse "NAME regex" pattern lines (the logstash-patterns-core format).
+    * Blank lines and #comments skipped. */
+  def parsePatternLines(lines: Iterator[String]): Map[String, String] =
+    lines.flatMap { line =>
       val l = line.trim
       if (l.isEmpty || l.startsWith("#")) None
       else l.split("\\s+", 2) match {
@@ -56,14 +54,35 @@ object Grok {
         case _ => None
       }
     }.toMap
+
+  /** Load a "NAME regex" pattern file (reference: filter/grok.go:139-160
+    * loads pattern files, dirs, and http(s) URLs at build time). */
+  def loadPatternFile(path: String): Map[String, String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parsePatternLines(src.getLines())
     finally src.close()
   }
 
+  /** Load a pattern set from a URL (http(s):// in production; file:// for
+    * zero-egress tests — same stream handling either way). */
+  def loadPatternUrl(url: String): Map[String, String] = {
+    val in = java.net.URI.create(url).toURL.openStream()
+    try parsePatternLines(
+      new String(in.readAllBytes(), "UTF-8").linesIterator)
+    finally in.close()
+  }
+
+  private def isUrl(p: String): Boolean =
+    p.startsWith("http://") || p.startsWith("https://") || p.startsWith("file:")
+
   def loadPatternPaths(paths: Seq[String]): Map[String, String] =
     paths.flatMap { p =>
-      val f = new java.io.File(p)
-      if (f.isDirectory) f.listFiles().toSeq.map(_.getPath).flatMap(loadPatternFile)
-      else loadPatternFile(p)
+      if (isUrl(p)) loadPatternUrl(p)
+      else {
+        val f = new java.io.File(p)
+        if (f.isDirectory) f.listFiles().toSeq.map(_.getPath).flatMap(loadPatternFile)
+        else loadPatternFile(p)
+      }
     }.toMap
 
   private val Ref = """%\{(\w+)(?::(\w+))?\}""".r

@@ -81,7 +81,8 @@ object Planner {
           conf.bool("overwrite", true), conf.bool("infer", false)))
       case "Translate" =>
         box(TranslateFilter(conf.strReq("source"), conf.strReq("target"),
-          conf.strMap("dictionary")))
+          conf.strMap("dictionary"), conf.str("dictionary_path"),
+          conf.int("refresh_interval", 300)))
       case "IPIP" =>
         // reference: filter/ipip.go:32-135 — src IP field, interval DB,
         // optional target wrapping. The binary datx/ipdb file becomes a

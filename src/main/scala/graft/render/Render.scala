@@ -68,6 +68,13 @@ object Render {
       path.stripPrefix(".").split('.').toSeq.map(FieldPath.Key))
       .map(_._1).getOrElse(lit(null))
 
+  /** Sprig's "empty" test (default/ternary/coalesce truthiness): null,
+    * empty string, zero, or boolean false. */
+  private def isEmptyCol(c: Column): Column = {
+    val s = c.cast("string")
+    c.isNull || s === "" || s === "0" || s === "0.0" || s === "false"
+  }
+
   /** One `{{ … }}` body → Column. */
   private def templateExpr(body: String, df: DataFrame): Column = {
     // split on spaces outside double quotes
@@ -77,6 +84,9 @@ object Render {
       else if (t.startsWith("\"") && t.endsWith("\"")) lit(t.substring(1, t.length - 1))
       else scala.util.Try(lit(t.toLong)).getOrElse(
         scala.util.Try(lit(t.toDouble)).getOrElse(lit(t)))
+    // static-int argument (template-compile-time constant, e.g. trunc/repeat)
+    def argInt(t: String): Int = t.stripPrefix("\"").stripSuffix("\"").toInt
+    def unquote(t: String): String = t.stripPrefix("\"").stripSuffix("\"")
     toks match {
       case Seq(p) if p.startsWith(".") => fieldRef(p, df)
       case Seq("now") => current_timestamp()
@@ -94,6 +104,92 @@ object Render {
       case Seq("lower", a) => lower(arg(a).cast("string"))
       case Seq("trim", a) => trim(arg(a).cast("string"))
       case Seq("title", a) => initcap(arg(a).cast("string"))
+
+      // ---- sprig surface (the reference registers sprig's whole FuncMap,
+      //      template_value_render.go:41-44; this is the used subset) ----
+      case Seq("default", d, v) =>
+        when(isEmptyCol(arg(v)), arg(d)).otherwise(arg(v))
+      case Seq("ternary", t, f, c) =>
+        when(!isEmptyCol(arg(c)), arg(t)).otherwise(arg(f))
+      case Seq("coalesce", xs @ _*) =>
+        // sprig coalesce: first non-EMPTY (not merely non-null)
+        xs.map(arg).foldRight(lit(null): Column)((c, acc) =>
+          when(!isEmptyCol(c), c).otherwise(acc))
+      case Seq("empty", a) => isEmptyCol(arg(a))
+      case Seq("b64enc", a) => base64(arg(a).cast("string").cast("binary"))
+      case Seq("b64dec", a) => unbase64(arg(a).cast("string")).cast("string")
+      case Seq("trunc", n, s) =>
+        // sprig v3 trunc: first n chars; negative n keeps the last -n
+        val k = argInt(n)
+        if (k >= 0) substring(arg(s).cast("string"), 1, k)
+        else substring(arg(s).cast("string"), k, -k)
+      case Seq("abbrev", n, s) =>
+        val k = argInt(n)
+        val c = arg(s).cast("string")
+        when(length(c) <= k, c)
+          .otherwise(concat(substring(c, 1, k - 3), lit("...")))
+      case Seq("substr", st, en, s) =>
+        val (a0, b0) = (argInt(st), argInt(en))
+        substring(arg(s).cast("string"), a0 + 1, b0 - a0)
+      case Seq("repeat", n, s) =>
+        repeat(arg(s).cast("string"), argInt(n))
+      case Seq("quote", a) => concat(lit("\""), arg(a).cast("string"), lit("\""))
+      case Seq("trimPrefix", p, s) =>
+        val c = arg(s).cast("string")
+        val k = unquote(p).length
+        when(c.startsWith(unquote(p)), c.substr(lit(k + 1), length(c))).otherwise(c)
+      case Seq("trimSuffix", sfx, s) =>
+        val c = arg(s).cast("string")
+        val k = unquote(sfx).length
+        when(c.endsWith(unquote(sfx)), substring(c, lit(1), length(c) - k))
+          .otherwise(c)
+      case Seq("add", xs @ _*) if xs.nonEmpty =>
+        xs.map(arg(_).cast("long")).reduce(_ + _)
+      case Seq("sub", a, b) => arg(a).cast("long") - arg(b).cast("long")
+      case Seq("mul", xs @ _*) if xs.nonEmpty =>
+        xs.map(arg(_).cast("long")).reduce(_ * _)
+      case Seq("div", a, b) => (arg(a).cast("long") / arg(b).cast("long")).cast("long")
+      case Seq("max", xs @ _*) if xs.nonEmpty =>
+        if (xs.length == 1) arg(xs.head).cast("long")
+        else greatest(xs.map(arg(_).cast("long")): _*)
+      case Seq("min", xs @ _*) if xs.nonEmpty =>
+        if (xs.length == 1) arg(xs.head).cast("long")
+        else least(xs.map(arg(_).cast("long")): _*)
+      case Seq("round", a, n) => round(arg(a).cast("double"), argInt(n))
+
+      // ---- Go strings.* registered on top of sprig
+      //      (template_value_render.go:46-51; Go argument order) ----
+      case Seq("compare", a, b) =>
+        when(arg(a).cast("string") < arg(b).cast("string"), lit(-1))
+          .when(arg(a).cast("string") === arg(b).cast("string"), lit(0))
+          .otherwise(lit(1))
+      case Seq("contains", s, sub) =>
+        arg(s).cast("string").contains(arg(sub).cast("string"))
+      case Seq("containsAny", s, chars) =>
+        val set = unquote(chars)
+        if (set.isEmpty) lit(false)
+        else set.map(ch => arg(s).cast("string")
+          .contains(lit(ch.toString))).reduce(_ || _)
+      case Seq("hasprefix", s, p) =>
+        arg(s).cast("string").startsWith(arg(p).cast("string"))
+      case Seq("hassuffix", s, p) =>
+        arg(s).cast("string").endsWith(arg(p).cast("string"))
+      case Seq("replace", s, o, n, cnt) =>
+        // Go strings.Replace(s, old, new, n); n < 0 = all
+        val k = argInt(cnt)
+        val c = arg(s).cast("string")
+        if (k < 0) replace(c, arg(o).cast("string"), arg(n).cast("string"))
+        else concat_ws(unquote(n),
+          split(c, java.util.regex.Pattern.quote(unquote(o)), k + 1))
+
+      // ---- sprig date math over Go durations ----
+      case Seq("dateModify", d, t) =>
+        val secs = graft.conditions.GoDuration.parseSeconds(unquote(d))
+        timestamp_seconds(unix_timestamp(arg(t).cast("timestamp")) + lit(secs.toLong))
+      case Seq("date", f, t) =>
+        date_format(arg(t).cast("timestamp"),
+          graft.filters.GoTimeLayout.translate(unquote(f)))
+
       case other => sys.error(s"unsupported template expression '${other.mkString(" ")}'")
     }
   }

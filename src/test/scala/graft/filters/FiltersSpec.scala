@@ -40,6 +40,46 @@ class FiltersSpec extends SparkSpec {
     assert(render("x{{.missing}}y") == "xy") // absent field renders empty
   }
 
+  test("sprig template functions: default/ternary/b64/trunc/strings/date math") {
+    import graft.render.Render
+    val df = Seq((7L, "abc def", "", java.sql.Timestamp.valueOf("2024-03-05 10:20:30")))
+      .toDF("n", "s", "blank", "ts")
+    def render(t: String): String =
+      df.select(Render.compile(t)(df).cast("string")).collect().head.getString(0)
+    assert(render("""{{default "fallback" .missing}}""") == "fallback")
+    assert(render("""{{default "fallback" .blank}}""") == "fallback") // "" is empty
+    assert(render("""{{default "fallback" .s}}""") == "abc def")
+    assert(render("""{{ternary "yes" "no" .n}}""") == "yes")
+    assert(render("""{{ternary "yes" "no" .blank}}""") == "no")
+    assert(render("""{{coalesce .missing .blank .s}}""") == "abc def")
+    assert(render("""{{b64enc .s}}""") == java.util.Base64.getEncoder
+      .encodeToString("abc def".getBytes("UTF-8")))
+    assert(render("""{{b64dec "YWJjIGRlZg=="}}""") == "abc def")
+    assert(render("""{{trunc 3 .s}}""") == "abc")
+    assert(render("""{{trunc -3 .s}}""") == "def")
+    assert(render("""{{abbrev 6 .s}}""") == "abc...")
+    assert(render("""{{substr 4 7 .s}}""") == "def")
+    assert(render("""{{repeat 3 "ab"}}""") == "ababab")
+    assert(render("""{{add .n 3 2}}""") == "12")
+    assert(render("""{{sub .n 3}}""") == "4")
+    assert(render("""{{mul .n 3}}""") == "21")
+    assert(render("""{{div .n 2}}""") == "3")
+    assert(render("""{{max .n 10 2}}""") == "10")
+    assert(render("""{{min .n 10 2}}""") == "2")
+    assert(render("""{{contains .s "c d"}}""") == "true")
+    assert(render("""{{containsAny .s "xyzb"}}""") == "true")
+    assert(render("""{{containsAny .s "xyz"}}""") == "false")
+    assert(render("""{{hasprefix .s "abc"}}""") == "true")
+    assert(render("""{{hassuffix .s "def"}}""") == "true")
+    assert(render("""{{compare "a" "b"}}""") == "-1")
+    assert(render("""{{replace .s "ab" "X" -1}}""") == "Xc def")
+    assert(render("""{{trimPrefix "abc" .s}}""") == " def")
+    assert(render("""{{trimSuffix "def" .s}}""") == "abc ")
+    assert(render("""{{quote .s}}""") == "\"abc def\"")
+    assert(render("""{{dateModify "-1h30m" .ts}}""") == "2024-03-05 08:50:30")
+    assert(render("""{{date "2006/01/02 15:04" .ts}}""") == "2024/03/05 10:20")
+  }
+
   test("Remove: unconditional drops column; conditional nulls per-row") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "junk")
     assert(!FilterBox(RemoveFilter(Seq("junk"))).stage(df).columns.contains("junk"))
@@ -128,6 +168,14 @@ class FiltersSpec extends SparkSpec {
     val out = FilterBox(gf).stage(Seq("AB-12 hello").toDF("message")).collect().head
     assert(out.getString(out.fieldIndex("id")) == "AB-12")
     assert(out.getString(out.fieldIndex("w")) == "hello")
+
+    // URL form (reference grok.go:139-160 loads http(s) pattern sets;
+    // file:// exercises the same stream path without egress)
+    val viaUrl = GrokFilter("message", Seq("^%{MYLINE}$"),
+      patternPaths = Seq(f.toUri.toString))
+    val out2 = FilterBox(viaUrl).stage(Seq("CD-7 bye").toDF("message")).collect().head
+    assert(out2.getString(out2.fieldIndex("id")) == "CD-7")
+    assert(out2.getString(out2.fieldIndex("w")) == "bye")
   }
 
   test("Json: schema'd merge to root and map target") {
@@ -190,6 +238,46 @@ class FiltersSpec extends SparkSpec {
     val dict = Seq(("error", "E2")).toDF("k", "v")
     val joined = TranslateFilter.joined(df, dict, "level", "k", "v", "code")
     assert(joined.orderBy("id").select("code").as[String].collect().toSeq == Seq("E2", null))
+  }
+
+  test("Translate: YAML file dictionary hot-reloads on refresh_interval") {
+    val dictFile = java.nio.file.Files.createTempFile("graft_dict", ".yml")
+    java.nio.file.Files.writeString(dictFile, "error: E\ninfo: I\n")
+    val df = Seq(("error", 1), ("info", 2), ("unknown", 3)).toDF("level", "id")
+
+    // refresh_interval 0 = re-read on every lookup (dev/test cadence)
+    val stage = FilterBox(TranslateFilter("level", "code", Map.empty,
+      Some(dictFile.toString), refreshIntervalSec = 0)).stage
+    assert(stage(df).orderBy("id").select("code").as[String].collect().toSeq ==
+      Seq("E", "I", null))
+
+    // mutate the dict; the SAME compiled stage sees the new mapping
+    java.nio.file.Files.writeString(dictFile, "error: E9\nunknown: U\n")
+    assert(stage(df).orderBy("id").select("code").as[String].collect().toSeq ==
+      Seq("E9", null, "U"))
+
+    // file:// URL form (zero-egress stand-in for the reference's http dicts)
+    val viaUrl = FilterBox(TranslateFilter("level", "code", Map.empty,
+      Some(dictFile.toUri.toString), refreshIntervalSec = 0)).stage(df)
+    assert(viaUrl.orderBy("id").select("code").as[String].collect().toSeq ==
+      Seq("E9", null, "U"))
+
+    // a broken refresh keeps serving the last good dict
+    java.nio.file.Files.delete(dictFile)
+    assert(stage(df).orderBy("id").select("code").as[String].collect().toSeq ==
+      Seq("E9", null, "U"))
+  }
+
+  test("Translate: TTL caches between refreshes") {
+    val dictFile = java.nio.file.Files.createTempFile("graft_dict_ttl", ".yml")
+    java.nio.file.Files.writeString(dictFile, "a: 1\n")
+    val path = dictFile.toString
+    assert(TranslateFilter.DictCache.get(path, 3600) == Map("a" -> "1"))
+    java.nio.file.Files.writeString(dictFile, "a: 2\n")
+    // within the interval the cached dict is served
+    assert(TranslateFilter.DictCache.get(path, 3600) == Map("a" -> "1"))
+    // interval 0 forces the re-read
+    assert(TranslateFilter.DictCache.get(path, 0) == Map("a" -> "2"))
   }
 
   test("Drop under condition; guard keeps non-matching rows") {

@@ -47,6 +47,41 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Translate dictionary_path re-resolves across streaming micro-batches") {
+    val dictFile = java.nio.file.Files.createTempFile("graft_sdict", ".yml")
+    java.nio.file.Files.writeString(dictFile, "error: E\n")
+    val outDir = "/tmp/graft_translate_stream_" + System.nanoTime()
+    val yaml =
+      s"""inputs:
+         |  - Text: {path: unused}
+         |filters:
+         |  - Translate:
+         |      source: message
+         |      target: code
+         |      dictionary_path: $dictFile
+         |      refresh_interval: 0
+         |outputs:
+         |  - Parquet: {path: $outDir, mode: append}
+         |""".stripMargin
+    val pipeline = Planner.fromYaml(yaml)
+    val mem = MemoryStream[String](spark)
+    val src = mem.toDF().select(col("value").as("message"))
+    val q = Planner.startForeachBatch(pipeline, pipeline.transform(src),
+      checkpoint = Some("/tmp/graft_sdict_ckpt_" + System.nanoTime()))
+    try {
+      mem.addData("error")
+      q.processAllAvailable()
+      // the dict changes BETWEEN micro-batches; the running query (one
+      // compiled plan) must pick up the new mapping on the next batch
+      java.nio.file.Files.writeString(dictFile, "error: E2\n")
+      mem.addData("error")
+      q.processAllAvailable()
+      val codes = spark.read.parquet(outDir)
+        .select("code").as[String].collect().toSeq.sorted
+      assert(codes == Seq("E", "E2"))
+    } finally q.stop()
+  }
+
   test("streaming LinkStatsMetric in update mode re-emits running totals (accumulateMode=cumulative)") {
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val src = mem.toDF().toDF("@timestamp", "event_type", "value")
