@@ -29,7 +29,13 @@ object Codecs {
       valueCol: String = "value"): DataFrame = {
     val raw = col(valueCol).cast("string")
     val parsed = from_json(raw, schema)
-    val failed = parsed.isNull || to_json(parsed) === lit("{}")
+    // Parse-only failure test, like the reference's Unmarshal-into-map:
+    // invalid JSON (try_parse_json null) or valid JSON that is not an
+    // object (a bare scalar/array can't become an event). An empty object
+    // or one missing every schema field parses fine — null fields, no
+    // fallback — which the old `to_json(parsed) == "{}"` probe got wrong.
+    val failed = raw.isNull || try_parse_json(raw).isNull ||
+      !startswith(ltrim(raw), lit("{"))
     df.select(
       when(!failed, parsed).as("json"),
       when(failed, raw).as("message"),

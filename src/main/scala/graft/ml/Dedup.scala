@@ -262,7 +262,14 @@ object Dedup {
     * round count is the graph diameter (near-dup clusters are shallow, so
     * a handful). `localCheckpoint` every few rounds truncates lineage so
     * plans don't grow exponentially at scale; the per-round driver action
-    * reads ONE count, not the data. */
+    * reads ONE count, not the data.
+    *
+    * `maxIters` is a CORRECTNESS knob, not a tuning one: a pair graph
+    * whose diameter exceeds it returns non-minimal representatives for
+    * the unconverged ids. The loop throws in that case rather than
+    * silently handing `dropDuplicatesClustered` extra "representatives";
+    * raise `maxIters` (rounds are cheap — one shuffle join each) if a
+    * corpus legitimately chains duplicates thousands deep. */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -285,6 +292,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"clusters: label propagation did not converge within $maxIters " +
+        "iterations — the pair graph's diameter exceeds maxIters and some " +
+        "ids still carry non-minimal representatives. Raise maxIters.")
     labels
   }
 

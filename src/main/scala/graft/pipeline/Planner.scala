@@ -158,7 +158,16 @@ object Planner {
   private def metricStage(df: DataFrame, cfg: LinkMetric.Config,
       batchForm: DataFrame => DataFrame,
       streamForm: DataFrame => DataFrame): DataFrame =
-    if (df.isStreaming) streamForm(df)
+    if (df.isStreaming) {
+      // fail fast rather than silently dropping the originals: a raw ∪
+      // aggregated stream needs the foreachBatch fan-out of SURVEY §3.3,
+      // which this single-query chain cannot express
+      if (!cfg.dropOriginalEvent) throw new IllegalArgumentException(
+        "LinkMetric: drop_original_event: false is not supported on " +
+          "streaming pipelines (the aggregated stream cannot union the raw " +
+          "events inside one streaming query; use a foreachBatch fan-out)")
+      streamForm(df)
+    }
     else if (cfg.dropOriginalEvent) batchForm(df)
     else df.unionByName(batchForm(df), allowMissingColumns = true)
 

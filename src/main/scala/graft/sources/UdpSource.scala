@@ -50,11 +50,23 @@ object UdpSource {
   /** One listener per port per JVM; (message, addr, epochMicros) log. */
   private val buffers = new util.concurrent.ConcurrentHashMap[Int, Listener]()
 
-  def listener(port: Int, maxLength: Int): Listener =
-    buffers.computeIfAbsent(port, p => new Listener(p, maxLength).start())
+  def listener(port: Int, maxLength: Int, maxBuffer: Int = 65536): Listener =
+    buffers.computeIfAbsent(port, p => new Listener(p, maxLength, maxBuffer).start())
 
-  final class Listener(port: Int, maxLength: Int) {
+  private[sources] def release(port: Int): Unit = {
+    val l = buffers.remove(port)
+    if (l != null) l.close()
+  }
+
+  /** Bounded datagram log with monotonically increasing LOGICAL offsets:
+    * `base` is the offset of buf(0), so committed/overflowed entries can
+    * be physically dropped while planned offsets stay valid. When the
+    * buffer is full the OLDEST uncommitted datagrams are dropped — the
+    * analogue of the reference's bounded channel back-pressure
+    * (input/udp_input.go's 10-slot channel; UDP is lossy by contract). */
+  final class Listener(port: Int, maxLength: Int, maxBuffer: Int) {
     private val buf = ArrayBuffer[(String, String, Long)]()
+    private var base = 0L
     private val socket = new DatagramSocket(port)
     val boundPort: Int = socket.getLocalPort
     private val thread = new Thread(() => {
@@ -65,7 +77,12 @@ object UdpSource {
           val msg = new String(packet.getData, packet.getOffset, packet.getLength, "UTF-8")
           val addr = packet.getAddress.getHostAddress
           buf.synchronized {
-            buf += ((msg, addr, System.currentTimeMillis() * 1000L)): Unit
+            buf += ((msg, addr, System.currentTimeMillis() * 1000L))
+            if (buf.length > maxBuffer) {
+              val drop = buf.length - maxBuffer
+              buf.remove(0, drop)
+              base += drop
+            }
           }
         } catch { case _: Exception => () }
       }
@@ -73,9 +90,19 @@ object UdpSource {
     thread.setDaemon(true)
 
     def start(): this.type = { thread.start(); this }
-    def size: Long = buf.synchronized(buf.length.toLong)
+    /** Logical end offset (total datagrams ever appended). */
+    def size: Long = buf.synchronized(base + buf.length)
     def slice(from: Long, until: Long): Array[(String, String, Long)] =
-      buf.synchronized(buf.slice(from.toInt, until.toInt).toArray)
+      buf.synchronized {
+        val lo = math.max(from - base, 0L).toInt
+        val hi = math.max(until - base, 0L).toInt
+        buf.slice(lo, hi).toArray
+      }
+    /** Drop entries below the committed offset (micro-batch completed). */
+    def trim(upTo: Long): Unit = buf.synchronized {
+      val drop = math.min(math.max(upTo - base, 0L), buf.length.toLong).toInt
+      if (drop > 0) { buf.remove(0, drop); base += drop }
+    }
     def close(): Unit = socket.close()
   }
 }
@@ -107,8 +134,11 @@ final class UdpMicroBatchStream(port: Int, maxLength: Int, addRemote: Boolean)
   override def initialOffset(): Offset = UdpOffset(0L)
   override def latestOffset(): Offset = UdpOffset(listener.size)
   override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  // consumed rows are physically dropped once the micro-batch commits —
+  // with the buffer cap this bounds driver memory for the query lifetime
+  override def commit(end: Offset): Unit =
+    listener.trim(end.asInstanceOf[UdpOffset].n)
+  override def stop(): Unit = UdpSource.release(port)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val rows = listener.slice(start.asInstanceOf[UdpOffset].n,

@@ -26,6 +26,22 @@ class CodecsSpec extends SparkSpec {
     assert(out(1).getString(out(1).fieldIndex("message")) == "not json at all")
   }
 
+  test("jsonDecode: empty/field-less objects parse (no fallback); non-objects fall back") {
+    val schema = StructType(Seq(StructField("a", LongType)))
+    val out = Codecs.jsonDecode(
+      Seq("{}", """{"other": 1}""", "42", "[1,2]").toDF("value"), schema)
+      .collect()
+    // valid objects missing every schema field are PARSED events with null
+    // fields, not parse failures (the old to_json probe misrouted them)
+    assert(out(0).isNullAt(out(0).fieldIndex("a")) &&
+      out(0).isNullAt(out(0).fieldIndex("message")))
+    assert(out(1).isNullAt(out(1).fieldIndex("a")) &&
+      out(1).isNullAt(out(1).fieldIndex("message")))
+    // valid JSON that is not an object cannot become an event → plain path
+    assert(out(2).getString(out(2).fieldIndex("message")) == "42")
+    assert(out(3).getString(out(3).fieldIndex("message")) == "[1,2]")
+  }
+
   test("jsonEncode/formatEncode render rows to text") {
     val df = Seq((1L, "x")).toDF("id", "name")
     val js = Codecs.jsonEncode(df).as[String].head()

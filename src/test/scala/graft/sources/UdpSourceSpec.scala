@@ -34,4 +34,31 @@ class UdpSourceSpec extends SparkSpec {
       assert(rows.forall(_._2 == "127.0.0.1"))
     } finally q.stop()
   }
+
+  test("listener buffer is bounded: overflow drops oldest, commit trims") {
+    val l = new UdpSource.Listener(0, 1024, maxBuffer = 4).start()
+    val sender = new DatagramSocket()
+    try {
+      val addr = InetAddress.getByName("127.0.0.1")
+      for (i <- 0 until 10) {
+        val before = l.size
+        val bytes = s"m$i".getBytes("UTF-8")
+        val deadline = System.currentTimeMillis() + 5000
+        while (l.size == before && System.currentTimeMillis() < deadline) {
+          sender.send(new DatagramPacket(bytes, bytes.length, addr, l.boundPort))
+          Thread.sleep(10)
+        }
+      }
+      // logical offset counts every datagram; physical buffer holds ≤ 4
+      assert(l.size >= 10)
+      val held = l.slice(0, l.size)
+      assert(held.length <= 4)
+      assert(held.last._1.startsWith("m")) // newest survive, oldest dropped
+      // committing the consumed range empties the physical buffer but
+      // leaves the logical offset monotonic
+      val end = l.size
+      l.trim(end)
+      assert(l.slice(0, end).isEmpty && l.size == end)
+    } finally { sender.close(); l.close() }
+  }
 }
