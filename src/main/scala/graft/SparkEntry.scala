@@ -149,6 +149,36 @@ object SparkEntry {
       chain.foldLeft(ev.toDF())((d, f) => f(d))
     },
 
+    // ClickHouse conform projection: the reference's desc-table-driven
+    // per-event type conversion (clickhouse_output.go:406-445) as one
+    // codegen'd SELECT — cast what exists, default what is missing or
+    // fails to cast. Oracle mirrors it with TRY_CAST + COALESCE.
+    "q_ch_conform" -> { (s, dir) =>
+      import graft.sinks.ClickHouseWriter.ChColumn
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("etype_num", col("event_type"))
+      graft.sinks.ClickHouseWriter.conform(ev, Seq(
+        ChColumn("event_id", "Int64"),
+        ChColumn("event_type", "LowCardinality(String)"),
+        ChColumn("user_id", "Nullable(Int64)"),
+        ChColumn("value", "Float64"),
+        ChColumn("etype_num", "Int32"), // string → failed cast → default 0
+        ChColumn("note", "String")))    // missing column → default ''
+    },
+
+    // Translate via a file dictionary (the production form: every real
+    // gohangout Translate points at a reloadable YAML path)
+    "q_translate_file" -> { (s, dir) =>
+      import s.implicits._
+      val dictFile = java.nio.file.Files.createTempFile("graft_q_dict", ".yml")
+      java.nio.file.Files.writeString(dictFile,
+        "error: E\npurchase: P\nsignup: S\n")
+      val ev = Tables.load(s, dir, "events")
+      FilterBox(TranslateFilter("event_type", "code", Map.empty,
+        Some(dictFile.toString), refreshIntervalSec = 300)).stage(ev)
+        .select($"event_id", $"event_type", $"code")
+    },
+
     // Sprig template surface through Add (reference registers sprig's
     // FuncMap for every template render: template_value_render.go:41-44)
     "q_sprig" -> { (s, dir) =>
@@ -308,6 +338,32 @@ object SparkEntry {
       graft.ml.TextAnalysis.profile(Tables.load(s, dir, "documents"), "text")
         .select("doc_id", "n_tokens", "n_regex_tokens", "mean_word_len",
           "stopword_ratio", "distinct_ratio", "quality", "lang_guess", "fingerprint")
+    },
+
+    // PII scrubbing over synthesized addresses/IPs/phones (documents
+    // carry no real PII, so the query plants deterministic ones)
+    "q_pii_scrub" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("text2", concat($"text",
+          lit(" contact user"), $"doc_id", lit("@example.com at 10.2."),
+          $"doc_id" % 256, lit(".7 or 555-123-4567")))
+        .select($"doc_id", graft.ml.TextAnalysis.scrubPii($"text2").as("clean"))
+    },
+
+    // per-doc rare-term extraction (log-free tf-idf; see topTfidfTerms)
+    "q_tfidf" -> { (s, dir) =>
+      graft.ml.TextAnalysis.topTfidfTerms(
+        Tables.load(s, dir, "documents"), "text", "doc_id", k = 3)
+    },
+
+    // benchmark decontamination: first 10 docs play the benchmark set
+    "q_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      graft.ml.Dedup.decontaminate(docs, docs.filter($"doc_id" < 10),
+          "text", "doc_id", n = 5)
+        .select($"doc_id", $"source")
     },
 
     // ---- join pipeline (Translate/IPIP-style enrichment at scale:
@@ -511,6 +567,21 @@ object SparkEntry {
         |  CASE event_type WHEN 'error' THEN 'E' WHEN 'purchase' THEN 'P'
         |    WHEN 'signup' THEN 'S' ELSE NULL END AS code,
         |  user_id AS uid
+        |FROM events""".stripMargin,
+
+    "q_ch_conform" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  event_type,
+        |  CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(value AS DOUBLE) AS value,
+        |  COALESCE(TRY_CAST(event_type AS INTEGER), 0) AS etype_num,
+        |  '' AS note
+        |FROM events""".stripMargin,
+
+    "q_translate_file" ->
+      """SELECT event_id, event_type,
+        |  CASE event_type WHEN 'error' THEN 'E' WHEN 'purchase' THEN 'P'
+        |    WHEN 'signup' THEN 'S' ELSE NULL END AS code
         |FROM events""".stripMargin,
 
     "q_sprig" ->
@@ -769,6 +840,51 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_guess,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM m""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com at 10.2.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      '.7 or 555-123-4567',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM documents""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT id, token, score, rank FROM (
+        |  SELECT tf.id, tf.token,
+        |    CAST(tf.tf * n.n AS DOUBLE) / dfreq.df AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.id
+        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dfreq.df DESC, tf.token) AS INT) AS rank
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+5], ' ')
+        |    for i in range(0, greatest(len(toks)-5, 0)+1)]) AS sh
+        |  FROM t
+        |), c AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 10
+        |), flat AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM s
+        |), bad AS (
+        |  SELECT DISTINCT flat.doc_id FROM flat JOIN c USING (g)
+        |)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,

@@ -58,6 +58,13 @@ object ArrayFns {
   def simhash32(hashes: Column): Column =
     col(SimHash32Expr(expr(hashes)))
 
+  /** 64-bit SimHash over full 64-bit token hashes. The corpus-scale
+    * variant: at 500k docs a 32-bit fingerprint saturates (birthday
+    * collisions put ~10^8 random pairs inside hamming ≤ 3); 64 bits push
+    * that below one expected false pair until ~10^8 docs. */
+  def simhash64(hashes: Column): Column =
+    col(SimHash64Expr(expr(hashes)))
+
   // ---- static kernels (called from generated code) ------------------------
 
   /** splitmix64-style seeded mixer — only needs to be a good hash, no
@@ -147,6 +154,25 @@ object ArrayFns {
     out
   }
 
+  def simhash64Kernel(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   def dotDKernel(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -214,6 +240,17 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "simhash32"
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    ArrayFns.simhash64Kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayFns.simhash64Kernel($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
 }
 
 case class DotDExpr(left: Expression, right: Expression)

@@ -218,6 +218,39 @@ object Dedup {
       .filter(col("hamming") <= k)
   }
 
+  /** 64-bit simhash hamming-k pairs — the CORPUS-SCALE variant of
+    * `simhashHammingPairs`. The 100x stress run showed the 32-bit
+    * fingerprint saturating at 500k docs (~2·10^8 random pairs land inside
+    * hamming ≤ 3 by birthday collision alone); with 64 bits the expected
+    * random-pair count stays below one until ~10^8 docs. Token hashes are
+    * xxhash64 (no cross-engine md5 contract needed here), chunks are
+    * 64/bands bits, same pigeonhole + first-band dedup plan. */
+  def simhashHammingPairs64(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, bands: Int = 8): DataFrame = {
+    require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
+    require(64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(col("id"))
+      .select(col("id"), graft.functions.ArrayFns.simhash64(
+        transform(array_distinct(tokens(col("__t"))), t => xxhash64(t))).as("sim"))
+      .localCheckpoint()
+    def chunk(sim: Column, b: Int): Column =
+      shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
+    val banded = sh.select(col("id"), col("sim"),
+        posexplode(array((0 until bands).map(b => chunk(col("sim"), b)): _*)))
+      .toDF("id", "sim", "band", "chunk")
+    val firstBand = coalesce((0 until bands).map(b =>
+      when(chunk(col("l.sim"), b) === chunk(col("r.sim"), b), lit(b))): _*)
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
+          col("l.id") < col("r.id"))
+      .filter(col("l.band") === firstBand)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
+      .filter(col("hamming") <= k)
+  }
+
   /** Exact n-gram jaccard pairs within a blocking column (e.g. a source or
     * length bucket) — the quadratic fallback, kept sub-quadratic by the
     * block. */
@@ -306,6 +339,28 @@ object Dedup {
     df.join(reps, df(idCol) === reps("id"), "left")
       .filter(col("rep").isNull || col("rep") === df(idCol))
       .drop("id", "rep")
+  }
+
+  /** Benchmark decontamination: drop every document sharing ANY word
+    * n-gram with the contamination corpus (eval benchmarks, held-out
+    * sets). The standard n-gram-overlap decontamination pass of LLM
+    * training pipelines.
+    *
+    * Scale shape: the contamination side (benchmarks — thousands of docs)
+    * collapses to a distinct set of 64-bit shingle hashes and BROADCASTS;
+    * the corpus side explodes to (id, hash) and semi-joins without ever
+    * shuffling the documents. Matching on xxhash64 of the shingle instead
+    * of the string keeps the probe rows at 8 bytes (collision odds ~2^-64
+    * per pair, the same contract as minhashPairs' verify). */
+  def decontaminate(df: DataFrame, contamination: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val contam = contamination
+      .select(explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("h"))
+      .distinct()
+    val probe = df.select(col(idCol),
+      explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("h"))
+    val bad = probe.join(broadcast(contam), "h").select(col(idCol)).distinct()
+    df.join(bad, Seq(idCol), "left_anti")
   }
 
   /** Streaming exact dedup: drop re-occurrences of the key within the

@@ -100,6 +100,47 @@ object TextAnalysis {
       .otherwise(lit(0L))
   }
 
+  /** PII scrubbing for training corpora: emails, IPv4s, and phone-shaped
+    * digit runs become typed placeholder tokens. Conservative regexes kept
+    * to the RE2-compatible subset (no lookaround) so the same patterns run
+    * in Java, RE2, and the DuckDB oracle; order matters (emails first —
+    * an address must not first lose its digits to the phone pass).
+    * All regexp_replace: codegen'd, no UDF. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>")
+    val ip = regexp_replace(email,
+      """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>")
+    regexp_replace(ip, """\b\d{3}[- ]\d{3,4}[- ]\d{4}\b""", "<PHONE>")
+  }
+
+  /** Per-document top-k rare terms, tf-idf style. Rarity weight is the
+    * LOG-FREE form tf · N / df — a monotone rarity measure whose double
+    * arithmetic (integer multiply, one correctly-rounded divide) is
+    * bit-identical across engines, unlike libm's log. Plan shape at scale:
+    * token explode → (doc, token) partial-agg tf → token-agg df (shuffle
+    * keyed by token, cardinality = vocabulary) → broadcast df back →
+    * per-doc top-k via row_number (WindowGroupLimit prunes per partition
+    * before the shuffle). The one driver action is the corpus count.
+    */
+  def topTfidfTerms(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    val n = df.count()
+    val toks = df.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .select(col("id"), col("token"),
+        ((col("tf") * lit(n)).cast("double") / col("df")).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("score").desc, col("token"))).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** One-stop profile projection for a documents table. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -107,6 +107,48 @@ class MlSpec extends SparkSpec {
     assert(kept == Set(0L, 3L)) // 0 represents {0,1,2}; 3 untouched
   }
 
+  test("simhashHammingPairs64: dup pair at hamming 0, unrelated docs apart") {
+    val pairs = Dedup.simhashHammingPairs64(docs, "text", "doc_id", k = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dups collide at hamming 0
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)))
+  }
+
+  test("scrubPii replaces emails, IPv4s, and phone shapes with placeholders") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "server 10.0.255.3 and call 555-123-4567",
+      "no pii here 12.5 percent").toDF("text")
+    val out = df.select(TextAnalysis.scrubPii(col("text"))).as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "server <IP> and call <PHONE>")
+    assert(out(2) == "no pii here 12.5 percent")
+  }
+
+  test("topTfidfTerms ranks copy-specific terms above corpus-wide ones") {
+    val corpus = Seq(
+      (0L, "alpha alpha shared"),
+      (1L, "beta shared shared"),
+      (2L, "gamma shared other")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTfidfTerms(corpus, "text", "doc_id", k = 1)
+      .select("id", "token").as[(Long, String)].collect().toMap
+    // each doc's rarest/heaviest term wins over 'shared' (df=3)
+    assert(top == Map(0L -> "alpha", 1L -> "beta", 2L -> "gamma"))
+  }
+
+  test("decontaminate drops docs sharing an n-gram with the contamination set") {
+    val corpus = Seq(
+      (0L, "the secret benchmark answer is forty two exactly"),
+      (1L, "a totally unrelated document about spark shuffles here"),
+      (2L, "prefix words then the secret benchmark answer is forty two"),
+    ).toDF("doc_id", "text")
+    val contam = Seq((99L, "the secret benchmark answer is forty two"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, contam, "text", "doc_id", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L)) // 0 and 2 share 5-grams with the benchmark
+  }
+
   test("streaming dedup drops key re-occurrences within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
