@@ -302,11 +302,21 @@ object Dedup {
     * the unconverged ids. The loop throws in that case rather than
     * silently handing `dropDuplicatesClustered` extra "representatives";
     * raise `maxIters` (rounds are cheap — one shuffle join each) if a
-    * corpus legitimately chains duplicates thousands deep. */
-  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * corpus legitimately chains duplicates thousands deep.
+    *
+    * Adaptive: when the (already-thresholded, tiny-schema) edge list fits
+    * under `driverEdgeLimit`, connectivity runs as a driver union-find
+    * over `toLocalIterator` — graph connectivity on a few thousand edges
+    * should not pay per-round shuffle fixed costs. The distributed loop
+    * is the ≥limit path; same AQE-style size-based strategy switch as a
+    * broadcast-join decision, and the iterator keeps driver memory
+    * bounded by the checked count. */
+  def clusters(pairs: DataFrame, maxIters: Int = 20,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
+    if (edges.count() <= driverEdgeLimit) return clustersLocal(edges)
     // seed with min(id, min neighbor): round one of propagation happens
     // inside the initial aggregation
     var labels = edges.groupBy("src").agg(min("dst").as("__mn"))
@@ -330,6 +340,47 @@ object Dedup {
         "iterations — the pair graph's diameter exceeds maxIters and some " +
         "ids still carry non-minimal representatives. Raise maxIters.")
     labels
+  }
+
+  /** Driver union-find over a bounded edge list (see `clusters`): path-
+    * halving find, min-id representative per component, result re-
+    * parallelized with the same (id, rep) schema as the distributed path. */
+  private def clustersLocal(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = edges.sparkSession
+    val idType = edges.schema.head.dataType
+    val lt: (Any, Any) => Boolean = idType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+      case _: FloatType | _: DoubleType =>
+        (a, b) => a.asInstanceOf[Number].doubleValue < b.asInstanceOf[Number].doubleValue
+      case _ => (a, b) => a.toString < b.toString
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    val it = edges.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val s = row.get(0); val d = row.get(1)
+      if (!parent.contains(s)) parent(s) = s
+      if (!parent.contains(d)) parent(d) = d
+      val rs = find(s); val rd = find(d)
+      if (rs != rd) parent(rs) = rd
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keysIterator.foreach { x =>
+      val r = find(x)
+      if (!minOfRoot.contains(r) || lt(x, minOfRoot(r))) minOfRoot(r) = x
+    }
+    val rows = parent.keysIterator.map(x => Row(x, minOfRoot(find(x)))).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 500000)),
+      StructType(Seq(StructField("id", idType), StructField("rep", idType))))
   }
 
   /** One row per cluster: representative = min id (reference policy is

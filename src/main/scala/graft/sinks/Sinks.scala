@@ -28,13 +28,7 @@ object Sinks {
         df.write.mode(conf.str("mode").getOrElse("overwrite"))
           .parquet(conf.strReq("path"))
       case "Kafka" =>
-        // optional render-derived message key (reference:
-        // output/kafka_output.go:34-85 `key` option)
-        val valueCol = to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("value")
-        val cols = conf.str("key")
-          .map(k => Seq(Render.compile(k)(df).cast("string").as("key"), valueCol))
-          .getOrElse(Seq(valueCol))
-        df.select(cols: _*)
+        kafkaProjection(conf, df)
           .write.format("kafka")
           .option("kafka.bootstrap.servers", conf.strMap("producer_settings")
             .getOrElse("bootstrap.servers", sys.error("Kafka output needs bootstrap.servers")))
@@ -64,6 +58,18 @@ object Sinks {
       case other => sys.error(s"unknown output '$other'")
     }
     df
+  }
+
+  /** Kafka record projection: JSON value plus the optional render-derived
+    * message key (reference: output/kafka_output.go:34-85 `key` option).
+    * Factored from the writer so the record shape is spec-testable
+    * without a broker. */
+  def kafkaProjection(conf: Map[String, Any], df: DataFrame): DataFrame = {
+    val valueCol = to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("value")
+    val cols = conf.str("key")
+      .map(k => Seq(Render.compile(k)(df).cast("string").as("key"), valueCol))
+      .getOrElse(Seq(valueCol))
+    df.select(cols: _*)
   }
 
   /** ClickHouse dispatch (reference: output/clickhouse_output.go:350-507).

@@ -93,11 +93,21 @@ class MlSpec extends SparkSpec {
     assert(q > 0 && q <= 1.1)
   }
 
-  test("clusters: transitive min-id components") {
+  test("clusters: transitive min-id components (local and distributed paths)") {
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (7L, 9L, 1.0))
       .toDF("id_a", "id_b", "jaccard")
-    val reps = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
-    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    // small edge list → driver union-find fast path
+    val local = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(local == expected)
+    // driverEdgeLimit 0 forces the iterative shuffle-join path
+    val dist = Dedup.clusters(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
+    // string ids through the local path (generic min ordering)
+    val sPairs = Seq(("b", "a", 1.0), ("b", "c", 1.0)).toDF("id_a", "id_b", "jaccard")
+    val sReps = Dedup.clusters(sPairs).as[(String, String)].collect().toMap
+    assert(sReps == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
   test("dropDuplicatesClustered keeps one representative per component") {

@@ -139,6 +139,21 @@ class SinksSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("kafka projection: JSON value, optional rendered message key") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("click", 7L)).toDF("event_type", "user_id")
+    val plain = Sinks.kafkaProjection(Map.empty, df).collect().head
+    assert(plain.schema.fieldNames.toSeq == Seq("value"))
+    assert(plain.getString(0) == """{"event_type":"click","user_id":7}""")
+
+    val keyed = Sinks.kafkaProjection(
+      Map("key" -> "{{.event_type}}-{{.user_id}}"), df).collect().head
+    assert(keyed.schema.fieldNames.toSeq == Seq("key", "value"))
+    assert(keyed.getString(0) == "click-7")
+    assert(keyed.getString(1) == """{"event_type":"click","user_id":7}""")
+  }
+
   test("influx line protocol escaping and types") {
     val line = Sinks.influxLine("cpu load", Seq("host" -> "h 1"),
       Seq("value" -> 0.5, "n" -> 3L, "s" -> "a\"b"), 1700000000000000000L)
