@@ -251,30 +251,47 @@ object Dedup {
       .filter(col("hamming") <= k)
   }
 
-  /** Exact n-gram jaccard pairs within a blocking column (e.g. a source or
-    * length bucket) — the quadratic fallback, kept sub-quadratic by the
-    * block. */
+  /** Exact n-gram jaccard pairs within a blocking column, with PREFIX
+    * FILTERING for candidate generation (the AllPairs/PPJoin family):
+    * under a global order on shingle hashes, jaccard(a,b) ≥ θ forces
+    * |a∩b| ≥ θ·|a|, so a and b must share an element among their first
+    * |s| − ⌈θ·|s|⌉ + 1 ≤ ⌊(1−θ)·|s|⌋ + 1 smallest hashes. Candidates
+    * come from an equi-join on (block, prefix-hash) — near-linear in the
+    * true-similar mass — instead of the all-pairs-within-block cross
+    * join, whose quadratic candidate count is what dies at corpus scale.
+    * Every candidate is then verified with the fused exact-jaccard
+    * kernel, so the OUTPUT is identical to the quadratic formulation. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // Shingles are hashed to longs behind a repartition barrier: computed
-    // once, spread over all cores, reused by both join sides (ReuseExchange),
-    // and the quadratic intersect runs over 8-byte longs instead of strings.
+    // once, spread over all cores, reused by every consumer (candidate
+    // prefixes + both verify sides), and the intersects run over 8-byte
+    // longs instead of strings. Sorted once so the prefix is a slice.
     val docs = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(textCol).as("__t"))
       .repartition(col("id")) // spread before the expensive shingling
       .select(col("blk"), col("id"),
-        transform(shingles(col("__t"), n), s => xxhash64(s)).as("hs"))
+        array_sort(transform(shingles(col("__t"), n), s => xxhash64(s))).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
-      .localCheckpoint() // materialize once; both join sides read it
-    val l = docs.select(col("blk"), col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
-    val r = docs.select(col("blk"), col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
-    // size-ratio prune: jaccard >= θ forces min|sh| >= θ·max|sh|
-    // (|a∩b| ≤ min, |a∪b| ≥ max) — most pairs die on two int compares
-    // before any array is touched
-    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b") &&
-        least(col("sz_a"), col("sz_b")).cast("double") >=
-          lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .localCheckpoint() // materialize once; all consumers read it
+    val prefixLen = (size(col("hs")).cast("double") * (1.0 - threshold))
+      .cast("int") + 1
+    val pref = docs.select(col("blk"), col("id"), col("sz"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("ph"))
+    // candidates: shared prefix hash within the block + the size-ratio
+    // prune (jaccard ≥ θ forces min|sh| ≥ θ·max|sh|); distinct because a
+    // pair can share several prefix hashes
+    val cand = pref.as("l").join(pref.as("r"),
+        col("l.blk") === col("r.blk") && col("l.ph") === col("r.ph") &&
+          col("l.id") < col("r.id") &&
+          least(col("l.sz"), col("r.sz")).cast("double") >=
+            lit(threshold) * greatest(col("l.sz"), col("r.sz")))
+      .select(col("l.blk").as("blk"), col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val a = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    cand.join(a, "id_a").join(b, "id_b")
       .select(col("blk"), col("id_a"), col("id_b"),
         graft.functions.ArrayFns.jaccardThreshold(col("hs_a"), col("hs_b"), threshold)
           .as("jaccard"))
