@@ -15,44 +15,53 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or at runtime via `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("minhash_bands"),
-      new ExpressionInfo(classOf[MinHashBandsExpr].getName, "minhash_bands"),
-      (args: Seq[Expression]) => {
-        require(args.length == 3, "minhash_bands(hashes, numHashes, bands)")
-        MinHashBandsExpr(args(0),
-          args(1).eval().asInstanceOf[Number].intValue(),
-          args(2).eval().asInstanceOf[Number].intValue())
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("jaccard_long"),
-      new ExpressionInfo(classOf[JaccardLongExpr].getName, "jaccard_long"),
-      (args: Seq[Expression]) => JaccardLongExpr(args(0), args(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("dot_d"),
-      new ExpressionInfo(classOf[DotDExpr].getName, "dot_d"),
-      (args: Seq[Expression]) => DotDExpr(args(0), args(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
 }
 
 object GraftExtensions {
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+  private def doubleArg(e: Expression): Double = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL literal 0.4
+    case n: java.lang.Number => n.doubleValue()
+    case other => sys.error(s"expected a numeric literal, got $other")
+  }
+
+  /** (identifier, info, builder) for every graft kernel. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandsExpr].getName, "minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_bands(hashes, numHashes, bands)")
+        MinHashBandsExpr(args(0), intArg(args(1)), intArg(args(2)))
+      }),
+    (new FunctionIdentifier("jaccard_long"),
+      new ExpressionInfo(classOf[JaccardLongExpr].getName, "jaccard_long"),
+      (args: Seq[Expression]) => JaccardLongExpr(args(0), args(1))),
+    (new FunctionIdentifier("jaccard_threshold"),
+      new ExpressionInfo(classOf[JaccardThresholdExpr].getName, "jaccard_threshold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "jaccard_threshold(a, b, threshold)")
+        JaccardThresholdExpr(args(0), args(1), doubleArg(args(2)))
+      }),
+    (new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
+      (args: Seq[Expression]) => SimHash32Expr(args(0))),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args(0))),
+    (new FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotDExpr].getName, "dot_d"),
+      (args: Seq[Expression]) => DotDExpr(args(0), args(1))))
+
   /** Runtime registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      new FunctionIdentifier("minhash_bands"),
-      new ExpressionInfo(classOf[MinHashBandsExpr].getName, "minhash_bands"),
-      (args: Seq[Expression]) => MinHashBandsExpr(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue()))
-    reg.registerFunction(
-      new FunctionIdentifier("jaccard_long"),
-      new ExpressionInfo(classOf[JaccardLongExpr].getName, "jaccard_long"),
-      (args: Seq[Expression]) => JaccardLongExpr(args(0), args(1)))
-    reg.registerFunction(
-      new FunctionIdentifier("dot_d"),
-      new ExpressionInfo(classOf[DotDExpr].getName, "dot_d"),
-      (args: Seq[Expression]) => DotDExpr(args(0), args(1)))
+    functions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
   }
 }

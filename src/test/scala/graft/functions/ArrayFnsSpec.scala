@@ -55,6 +55,16 @@ class ArrayFnsSpec extends SparkSpec {
     val b = spark.sql(
       "SELECT size(minhash_bands(array(1L,2L,3L), 64, 32)) AS n").collect().head.getInt(0)
     assert(b == 32)
+    val jt = spark.sql(
+      "SELECT jaccard_threshold(array(1L,2L,3L), array(2L,3L,4L), 0.4) AS j,"
+        + " jaccard_threshold(array(1L,2L,3L), array(2L,3L,4L), 0.6) AS below")
+      .collect().head
+    assert(jt.getDouble(0) == 0.5 && jt.isNullAt(1))
+    val s32 = spark.sql("SELECT simhash32(array(5L)) AS s").collect().head.getLong(0)
+    assert(s32 == 5L) // single hash votes its own low bits
+    val s64 = spark.sql(
+      "SELECT simhash64(array(4294967296L)) AS s").collect().head.getLong(0)
+    assert(s64 == 4294967296L) // bit 32 survives only in the 64-bit variant
   }
 
   test("kernels survive whole-stage codegen in a realistic plan") {
