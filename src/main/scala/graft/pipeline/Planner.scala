@@ -248,14 +248,13 @@ object Planner {
           .option("add_remote_addr", conf.bool("add_remote_addr", true))
           .load()
       case "TCP" =>
-        // reference: input/tcp_input.go — line-oriented socket (dev/test
-        // only; Spark's socket source is not fault-tolerant)
-        spark.readStream.format("socket")
-          .option("host", conf.str("host").getOrElse("localhost"))
+        // reference: input/tcp_input.go — line-oriented LISTENER (custom
+        // DSv2 micro-batch source; the reference accepts connections,
+        // unlike Spark's dial-out socket source)
+        spark.readStream.format("graft-tcp")
           .option("port", conf.int("port", 9999))
+          .option("max_buffer", conf.int("max_buffer", 65536))
           .load()
-          .select(col("value").as("message"),
-            current_timestamp().as("@timestamp"))
       case other => sys.error(s"unknown streaming input '$other'")
     }
 

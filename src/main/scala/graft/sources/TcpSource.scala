@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.net.ServerSocket
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** TCP line input (reference: input/tcp_input.go) as a DataSource V2
+  * MicroBatchStream — replaces Spark's dev-only `socket` source for the
+  * reference's TCP listener shape: the driver ACCEPTS connections (the
+  * reference listens; Spark's socket source dials out), each connection's
+  * lines land in a shared `BoundedLog`, and micro-batches ship [start,
+  * end) slices inside their InputPartitions so executors need no network
+  * access. Like the UDP twin this is an edge-ingest/dev source: offsets
+  * restart from the live buffer on recovery, durability belongs to the
+  * downstream sink.
+  *
+  * Usage: `spark.readStream.format("graft-tcp").option("port", 9999)`.
+  * Schema: message STRING, remote_addr STRING, `@timestamp` TIMESTAMP.
+  */
+class TcpSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tcp"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    UdpSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TcpTable(properties.getOrDefault("port", "9999").toInt,
+      properties.getOrDefault("max_buffer", "65536").toInt)
+}
+
+object TcpSource {
+  private val listeners = new util.concurrent.ConcurrentHashMap[Int, Listener]()
+
+  def listener(port: Int, maxBuffer: Int = 65536): Listener =
+    listeners.computeIfAbsent(port, p => new Listener(p, maxBuffer).start())
+
+  private[sources] def release(port: Int): Unit = {
+    val l = listeners.remove(port)
+    if (l != null) l.close()
+  }
+
+  /** Accept loop + one reader thread per connection, all daemons; lines
+    * append to the shared bounded log. */
+  final class Listener(port: Int, maxBuffer: Int) {
+    private val log = new BoundedLog(maxBuffer)
+    private val server = new ServerSocket(port)
+    val boundPort: Int = server.getLocalPort
+    private val acceptThread = new Thread(() => {
+      while (!server.isClosed) {
+        try {
+          val sock = server.accept()
+          val addr = sock.getInetAddress.getHostAddress
+          val t = new Thread(() => {
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+            try {
+              var line = in.readLine()
+              while (line != null) {
+                log.append(line, addr, System.currentTimeMillis() * 1000L)
+                line = in.readLine()
+              }
+            } catch { case _: Exception => () }
+            finally sock.close()
+          }, s"graft-tcp-$port-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: Exception => () }
+      }
+    }, s"graft-tcp-$port-accept")
+    acceptThread.setDaemon(true)
+
+    def start(): this.type = { acceptThread.start(); this }
+    def size: Long = log.end
+    def slice(from: Long, until: Long): Array[(String, String, Long)] =
+      log.slice(from, until)
+    def trim(upTo: Long): Unit = log.trim(upTo)
+    def close(): Unit = server.close()
+  }
+}
+
+final class TcpTable(port: Int, maxBuffer: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"tcp:$port"
+  override def schema(): StructType = UdpSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = UdpSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new TcpMicroBatchStream(port, maxBuffer)
+      }
+    }
+}
+
+final class TcpMicroBatchStream(port: Int, maxBuffer: Int)
+    extends MicroBatchStream {
+  private lazy val listener = TcpSource.listener(port, maxBuffer)
+
+  override def initialOffset(): Offset = UdpOffset(0L)
+  override def latestOffset(): Offset = UdpOffset(listener.size)
+  override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
+  override def commit(end: Offset): Unit =
+    listener.trim(end.asInstanceOf[UdpOffset].n)
+  override def stop(): Unit = TcpSource.release(port)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val rows = listener.slice(start.asInstanceOf[UdpOffset].n,
+      end.asInstanceOf[UdpOffset].n)
+    Array(UdpPartition(rows, addRemote = true))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[UdpPartition]
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < p.rows.length }
+        override def get(): InternalRow = {
+          val (msg, addr, ts) = p.rows(i)
+          InternalRow(UTF8String.fromString(msg), UTF8String.fromString(addr), ts)
+        }
+        override def close(): Unit = ()
+      }
+    }
+}

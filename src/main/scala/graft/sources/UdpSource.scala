@@ -2,7 +2,6 @@ package graft.sources
 
 import java.net.{DatagramPacket, DatagramSocket}
 import java.util
-import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -58,15 +57,11 @@ object UdpSource {
     if (l != null) l.close()
   }
 
-  /** Bounded datagram log with monotonically increasing LOGICAL offsets:
-    * `base` is the offset of buf(0), so committed/overflowed entries can
-    * be physically dropped while planned offsets stay valid. When the
-    * buffer is full the OLDEST uncommitted datagrams are dropped — the
-    * analogue of the reference's bounded channel back-pressure
-    * (input/udp_input.go's 10-slot channel; UDP is lossy by contract). */
+  /** Datagram listener over a `BoundedLog` (the reference's bounded
+    * channel, input/udp_input.go's 10-slot channel scaled up; UDP is
+    * lossy by contract, so overflow drops oldest). */
   final class Listener(port: Int, maxLength: Int, maxBuffer: Int) {
-    private val buf = ArrayBuffer[(String, String, Long)]()
-    private var base = 0L
+    private val log = new BoundedLog(maxBuffer)
     private val socket = new DatagramSocket(port)
     val boundPort: Int = socket.getLocalPort
     private val thread = new Thread(() => {
@@ -76,14 +71,7 @@ object UdpSource {
           socket.receive(packet)
           val msg = new String(packet.getData, packet.getOffset, packet.getLength, "UTF-8")
           val addr = packet.getAddress.getHostAddress
-          buf.synchronized {
-            buf += ((msg, addr, System.currentTimeMillis() * 1000L))
-            if (buf.length > maxBuffer) {
-              val drop = buf.length - maxBuffer
-              buf.remove(0, drop)
-              base += drop
-            }
-          }
+          log.append(msg, addr, System.currentTimeMillis() * 1000L)
         } catch { case _: Exception => () }
       }
     }, s"graft-udp-$port")
@@ -91,18 +79,11 @@ object UdpSource {
 
     def start(): this.type = { thread.start(); this }
     /** Logical end offset (total datagrams ever appended). */
-    def size: Long = buf.synchronized(base + buf.length)
+    def size: Long = log.end
     def slice(from: Long, until: Long): Array[(String, String, Long)] =
-      buf.synchronized {
-        val lo = math.max(from - base, 0L).toInt
-        val hi = math.max(until - base, 0L).toInt
-        buf.slice(lo, hi).toArray
-      }
+      log.slice(from, until)
     /** Drop entries below the committed offset (micro-batch completed). */
-    def trim(upTo: Long): Unit = buf.synchronized {
-      val drop = math.min(math.max(upTo - base, 0L), buf.length.toLong).toInt
-      if (drop > 0) { buf.remove(0, drop); base += drop }
-    }
+    def trim(upTo: Long): Unit = log.trim(upTo)
     def close(): Unit = socket.close()
   }
 }

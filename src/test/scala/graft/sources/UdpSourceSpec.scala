@@ -35,6 +35,28 @@ class UdpSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tcp micro-batch source receives connection lines end-to-end") {
+    val port = 30000 + scala.util.Random.nextInt(20000)
+    val df = spark.readStream.format("graft-tcp").option("port", port).load()
+    assert(df.schema.fieldNames.toSeq == Seq("message", "remote_addr", "@timestamp"))
+    val l = TcpSource.listener(port) // bind before the client connects
+    val q = df.writeStream.format("memory").queryName("tcp_in").start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+      out.print("hello tcp\nsecond line\n"); out.flush()
+      val deadline = System.currentTimeMillis() + 10000
+      while (l.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      sock.close()
+      q.processAllAvailable()
+      val rows = spark.sql("select message, remote_addr from tcp_in")
+        .as[(String, String)].collect().toSet
+      assert(rows.map(_._1) == Set("hello tcp", "second line"))
+      assert(rows.forall(_._2 == "127.0.0.1"))
+    } finally q.stop()
+  }
+
   test("listener buffer is bounded: overflow drops oldest, commit trims") {
     val l = new UdpSource.Listener(0, 1024, maxBuffer = 4).start()
     val sender = new DatagramSocket()
