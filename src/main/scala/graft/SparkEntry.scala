@@ -29,15 +29,20 @@ object SparkEntry {
     * and q_dedup_clusters in a Verify/Bench run — memoize the (tiny,
     * post-threshold) result behind an eager localCheckpoint so the
     * expensive shingle+band+verify plan executes once per (session, dir).
-    * This is the per-run analogue of caching a derived table two queries
-    * share; the checkpoint materializes only surviving pairs (3 columns). */
+    * WEAKLY keyed by the session object: a stopped session's entries (and
+    * their checkpointed blocks) become collectable instead of leaking for
+    * the JVM lifetime, and identity-hash reuse can't alias two sessions. */
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   private def sharedMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent(s.hashCode() + "|" + dir, _ =>
-      graft.ml.Dedup.minhashPairs(Tables.load(s, dir, "documents"),
-        "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 32,
-        threshold = 0.9).localCheckpoint())
+    pairsMemo.synchronized {
+      pairsMemo
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir,
+          graft.ml.Dedup.minhashPairs(Tables.load(s, dir, "documents"),
+            "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 32,
+            threshold = 0.9).localCheckpoint())
+    }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -586,11 +591,12 @@ object SparkEntry {
 
     "q_sprig" ->
       """SELECT event_id,
-        |  CASE WHEN event_id % 3 = 0 THEN event_type ELSE 'none' END AS filled,
+        |  CASE WHEN event_id % 3 = 0 AND event_type IS NOT NULL
+        |    THEN event_type ELSE 'none' END AS filled,
         |  CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END AS flag,
-        |  to_base64(CAST(event_type AS BLOB)) AS b64,
-        |  substring(event_type, 1, 3) AS short,
-        |  CAST(user_id + 7 AS VARCHAR) AS usum
+        |  COALESCE(to_base64(CAST(event_type AS BLOB)), '') AS b64,
+        |  COALESCE(substring(event_type, 1, 3), '') AS short,
+        |  COALESCE(CAST(user_id + 7 AS VARCHAR), '') AS usum
         |FROM events""".stripMargin,
 
     "q_dedup_exact" ->

@@ -33,9 +33,10 @@ object Codecs {
     // invalid JSON (try_parse_json null) or valid JSON that is not an
     // object (a bare scalar/array can't become an event). An empty object
     // or one missing every schema field parses fine — null fields, no
-    // fallback — which the old `to_json(parsed) == "{}"` probe got wrong.
+    // fallback. The object probe is a regex (ltrim strips only ASCII
+    // spaces; JSON allows leading tabs/newlines too).
     val failed = raw.isNull || try_parse_json(raw).isNull ||
-      !startswith(ltrim(raw), lit("{"))
+      !raw.rlike("""^\s*\{""")
     df.select(
       when(!failed, parsed).as("json"),
       when(failed, raw).as("message"),

@@ -62,13 +62,7 @@ final case class FilterBox(
           out = out.withColumn(name, when(succ, lit(null)).otherwise(col(s"`$name`")))
       }
       failTag.foreach { tag =>
-        val failed = guard && !succ
-        val tagCol =
-          if (out.columns.contains("tags"))
-            when(failed, array_union(
-              coalesce(col("tags"), array()), array(lit(tag)))).otherwise(col("tags"))
-          else when(failed, array(lit(tag))).cast(ArrayType(StringType))
-        out = out.withColumn("tags", tagCol)
+        out = StageCols.appendTag(out, tag, guard && !succ)
       }
       out.drop(StageCols.Succ)
     }
@@ -85,6 +79,17 @@ object StageCols {
     if (t.startsWith("[") && t.endsWith("]") && !t.drop(1).contains("["))
       t.substring(1, t.length - 1)
     else t
+  }
+
+  /** Append `tag` to the `tags` array for rows where `failed` holds
+    * (reference: topology/filter.go:81-91 failure tagging). */
+  def appendTag(df: DataFrame, tag: String, failed: Column): DataFrame = {
+    val tagCol =
+      if (df.columns.contains("tags"))
+        when(failed, array_union(
+          coalesce(col("tags"), array()), array(lit(tag)))).otherwise(col("tags"))
+      else when(failed, array(lit(tag))).cast(ArrayType(StringType))
+    df.withColumn("tags", tagCol)
   }
 
   /** Reference FieldSetter semantics: set k→v for rows where cond holds;

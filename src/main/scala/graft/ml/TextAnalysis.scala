@@ -119,9 +119,12 @@ object TextAnalysis {
     * arithmetic (integer multiply, one correctly-rounded divide) is
     * bit-identical across engines, unlike libm's log. Plan shape at scale:
     * token explode → (doc, token) partial-agg tf → token-agg df (shuffle
-    * keyed by token, cardinality = vocabulary) → broadcast df back →
-    * per-doc top-k via row_number (WindowGroupLimit prunes per partition
-    * before the shuffle). The one driver action is the corpus count.
+    * keyed by token, cardinality = vocabulary) → join df back on `token`
+    * (no broadcast hint: the vocabulary of a web-scale corpus runs to
+    * 10⁸+ tokens and must NOT be collected to the driver; AQE broadcasts
+    * small ones on its own) → per-doc top-k via row_number
+    * (WindowGroupLimit prunes per partition before the shuffle). The one
+    * driver action is the corpus count.
     */
   def topTfidfTerms(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5): DataFrame = {
@@ -131,7 +134,7 @@ object TextAnalysis {
       .filter(col("token") =!= "")
     val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "token")
+    val scored = tf.join(dfreq, "token")
       .select(col("id"), col("token"),
         ((col("tf") * lit(n)).cast("double") / col("df")).as("score"))
     import org.apache.spark.sql.expressions.Window

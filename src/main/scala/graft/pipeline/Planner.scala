@@ -97,16 +97,34 @@ object Planner {
         df => {
           val ranges = graft.operators.GeoIp.loadCidrCsv(df.sparkSession, database)
           val attrs = ranges.columns.filterNot(Set("ip_from", "ip_to")).toSeq
-          val cond = ifConds.map(ConditionFilter.compile(_, df)).reduceOption(_ && _)
+          val guard = ifConds.map(ConditionFilter.compile(_, df))
+            .reduceOption(_ && _).getOrElse(lit(true))
           val enriched = graft.operators.GeoIp.enrich(df, ranges, ipSrc, bucketBits)
           // honor the box `if`: rows failing the guard keep null attributes
-          val gated = cond match {
-            case Some(c) => attrs.foldLeft(enriched)((d, a) =>
-              d.withColumn(a, when(c, col(s"`$a`"))))
-            case None => enriched
+          val gated =
+            if (ifConds.isEmpty) enriched
+            else attrs.foldLeft(enriched)((d, a) =>
+              d.withColumn(a, when(guard, col(s"`$a`"))))
+          // box post-processing mirrors FilterBox: success = guarded rows
+          // with a range hit (the reference returns `event, false` on a
+          // lookup miss, filter/ipip.go:97-101)
+          val matched = attrs.map(a => col(s"`$a`").isNotNull).reduce(_ || _)
+          val succ = guard && matched
+          var out = gated
+          addFields.foreach { case (k, v) =>
+            out = graft.filters.StageCols.setField(
+              out, k, graft.render.Render.compile(v)(out), succ, overwrite = true)
           }
-          if (ipTarget.isEmpty) gated
-          else gated
+          removeFields.foreach { f =>
+            val n = graft.filters.StageCols.topLevel(f)
+            if (out.columns.contains(n))
+              out = out.withColumn(n, when(succ, lit(null)).otherwise(col(s"`$n`")))
+          }
+          failTag.foreach { tag =>
+            out = graft.filters.StageCols.appendTag(out, tag, guard && !matched)
+          }
+          if (ipTarget.isEmpty) out
+          else out
             .withColumn(ipTarget, struct(attrs.map(a => col(s"`$a`")): _*))
             .drop(attrs: _*)
         }

@@ -68,11 +68,20 @@ object Render {
       path.stripPrefix(".").split('.').toSeq.map(FieldPath.Key))
       .map(_._1).getOrElse(lit(null))
 
-  /** Sprig's "empty" test (default/ternary/coalesce truthiness): null,
-    * empty string, zero, or boolean false. */
-  private def isEmptyCol(c: Column): Column = {
-    val s = c.cast("string")
-    c.isNull || s === "" || s === "0" || s === "0.0" || s === "false"
+  /** Sprig's "empty" test (default/ternary/coalesce truthiness): the zero
+    * VALUE of the argument's own type — null, "" for strings, 0 for
+    * numerics, false for booleans. Type-aware like sprig's reflect-based
+    * check: the STRING "0" is non-empty/truthy (a string-image comparison
+    * would misfire on text that merely looks falsy). */
+  private def isEmptyCol(c: Column, df: DataFrame): Column = {
+    import org.apache.spark.sql.types._
+    val dt = df.select(c).schema.head.dataType
+    dt match {
+      case StringType => c.isNull || c === ""
+      case _: NumericType => c.isNull || c === 0
+      case BooleanType => c.isNull || !c
+      case _ => c.isNull
+    }
   }
 
   /** One `{{ … }}` body → Column. */
@@ -107,15 +116,19 @@ object Render {
 
       // ---- sprig surface (the reference registers sprig's whole FuncMap,
       //      template_value_render.go:41-44; this is the used subset) ----
+      // branch values render as strings (the template output is a string
+      // either way, and mixed-type branches must not ANSI-coerce)
       case Seq("default", d, v) =>
-        when(isEmptyCol(arg(v)), arg(d)).otherwise(arg(v))
+        when(isEmptyCol(arg(v), df), arg(d).cast("string"))
+          .otherwise(arg(v).cast("string"))
       case Seq("ternary", t, f, c) =>
-        when(!isEmptyCol(arg(c)), arg(t)).otherwise(arg(f))
+        when(!isEmptyCol(arg(c), df), arg(t).cast("string"))
+          .otherwise(arg(f).cast("string"))
       case Seq("coalesce", xs @ _*) =>
         // sprig coalesce: first non-EMPTY (not merely non-null)
-        xs.map(arg).foldRight(lit(null): Column)((c, acc) =>
-          when(!isEmptyCol(c), c).otherwise(acc))
-      case Seq("empty", a) => isEmptyCol(arg(a))
+        xs.map(arg).foldRight(lit(null).cast("string"): Column)((c, acc) =>
+          when(!isEmptyCol(c, df), c.cast("string")).otherwise(acc))
+      case Seq("empty", a) => isEmptyCol(arg(a), df)
       case Seq("b64enc", a) => base64(arg(a).cast("string").cast("binary"))
       case Seq("b64dec", a) => unbase64(arg(a).cast("string")).cast("string")
       case Seq("trunc", n, s) =>

@@ -15,6 +15,7 @@ final class BoundedLog(maxEntries: Int) {
   private val buf = ArrayBuffer[(String, String, Long)]()
   private var base = 0L
 
+  /** Lossy append (UDP contract): overflow drops the oldest entries. */
   def append(msg: String, addr: String, tsMicros: Long): Unit = synchronized {
     buf += ((msg, addr, tsMicros))
     if (buf.length > maxEntries) {
@@ -22,6 +23,29 @@ final class BoundedLog(maxEntries: Int) {
       buf.remove(0, drop)
       base += drop
     }
+  }
+
+  /** Blocking append (TCP contract): like the reference's bounded channel
+    * the writer WAITS for the consumer instead of losing acknowledged
+    * reliable-transport data — back-pressure propagates to the client
+    * through the unread socket. Unblocked by trim/rebase. */
+  def appendBlocking(msg: String, addr: String, tsMicros: Long): Unit =
+    synchronized {
+      while (buf.length >= maxEntries) wait()
+      buf += ((msg, addr, tsMicros))
+    }
+
+  /** Fast-forward the logical offset after a checkpointed restart: a fresh
+    * (empty) log would otherwise restart at 0 while Spark resumes from the
+    * checkpointed offset, silently skipping every line until the log
+    * caught up. Data during the downtime is gone either way (socket
+    * source); this keeps post-restart lines flowing immediately. */
+  def rebaseTo(offset: Long): Unit = synchronized {
+    if (offset > base + buf.length) {
+      buf.clear()
+      base = offset
+    }
+    notifyAll()
   }
 
   /** Logical end offset (total entries ever appended). */
@@ -38,5 +62,6 @@ final class BoundedLog(maxEntries: Int) {
   def trim(upTo: Long): Unit = synchronized {
     val drop = math.min(math.max(upTo - base, 0L), buf.length.toLong).toInt
     if (drop > 0) { buf.remove(0, drop); base += drop }
+    notifyAll()
   }
 }

@@ -42,15 +42,22 @@ object TcpSource {
   def listener(port: Int, maxBuffer: Int = 65536): Listener =
     listeners.computeIfAbsent(port, p => new Listener(p, maxBuffer).start())
 
+  /** Ref-counted release: the listener is shared per port per JVM, so the
+    * server socket closes only when the LAST stream consumer stops. */
   private[sources] def release(port: Int): Unit = {
-    val l = listeners.remove(port)
-    if (l != null) l.close()
+    val l = listeners.get(port)
+    if (l != null && l.releaseRef() <= 0) {
+      listeners.remove(port)
+      l.close()
+    }
   }
 
   /** Accept loop + one reader thread per connection, all daemons; lines
-    * append to the shared bounded log. */
+    * append to the shared bounded log with BLOCKING back-pressure (TCP is
+    * reliable — a full log must slow the client, not lose its lines). */
   final class Listener(port: Int, maxBuffer: Int) {
     private val log = new BoundedLog(maxBuffer)
+    private val refs = new java.util.concurrent.atomic.AtomicInteger(0)
     private val server = new ServerSocket(port)
     val boundPort: Int = server.getLocalPort
     private val acceptThread = new Thread(() => {
@@ -64,7 +71,7 @@ object TcpSource {
             try {
               var line = in.readLine()
               while (line != null) {
-                log.append(line, addr, System.currentTimeMillis() * 1000L)
+                log.appendBlocking(line, addr, System.currentTimeMillis() * 1000L)
                 line = in.readLine()
               }
             } catch { case _: Exception => () }
@@ -78,10 +85,14 @@ object TcpSource {
     acceptThread.setDaemon(true)
 
     def start(): this.type = { acceptThread.start(); this }
+    def acquire(): this.type = { refs.incrementAndGet(); this }
+    def releaseRef(): Int = refs.decrementAndGet()
+    def singleConsumer: Boolean = refs.get() <= 1
     def size: Long = log.end
     def slice(from: Long, until: Long): Array[(String, String, Long)] =
       log.slice(from, until)
     def trim(upTo: Long): Unit = log.trim(upTo)
+    def rebaseTo(offset: Long): Unit = log.rebaseTo(offset)
     def close(): Unit = server.close()
   }
 }
@@ -104,13 +115,17 @@ final class TcpTable(port: Int, maxBuffer: Int)
 
 final class TcpMicroBatchStream(port: Int, maxBuffer: Int)
     extends MicroBatchStream {
-  private lazy val listener = TcpSource.listener(port, maxBuffer)
+  private lazy val listener = TcpSource.listener(port, maxBuffer).acquire()
 
   override def initialOffset(): Offset = UdpOffset(0L)
   override def latestOffset(): Offset = UdpOffset(listener.size)
-  override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val o = UdpOffset(json.toLong)
+    listener.rebaseTo(o.n) // checkpointed restart: fast-forward a fresh log
+    o
+  }
   override def commit(end: Offset): Unit =
-    listener.trim(end.asInstanceOf[UdpOffset].n)
+    if (listener.singleConsumer) listener.trim(end.asInstanceOf[UdpOffset].n)
   override def stop(): Unit = TcpSource.release(port)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

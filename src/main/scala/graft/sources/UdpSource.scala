@@ -52,9 +52,14 @@ object UdpSource {
   def listener(port: Int, maxLength: Int, maxBuffer: Int = 65536): Listener =
     buffers.computeIfAbsent(port, p => new Listener(p, maxLength, maxBuffer).start())
 
+  /** Ref-counted release: the listener is shared per port per JVM, so the
+    * socket closes only when the LAST stream consumer stops. */
   private[sources] def release(port: Int): Unit = {
-    val l = buffers.remove(port)
-    if (l != null) l.close()
+    val l = buffers.get(port)
+    if (l != null && l.releaseRef() <= 0) {
+      buffers.remove(port)
+      l.close()
+    }
   }
 
   /** Datagram listener over a `BoundedLog` (the reference's bounded
@@ -62,6 +67,7 @@ object UdpSource {
     * lossy by contract, so overflow drops oldest). */
   final class Listener(port: Int, maxLength: Int, maxBuffer: Int) {
     private val log = new BoundedLog(maxBuffer)
+    private val refs = new java.util.concurrent.atomic.AtomicInteger(0)
     private val socket = new DatagramSocket(port)
     val boundPort: Int = socket.getLocalPort
     private val thread = new Thread(() => {
@@ -78,12 +84,18 @@ object UdpSource {
     thread.setDaemon(true)
 
     def start(): this.type = { thread.start(); this }
+    def acquire(): this.type = { refs.incrementAndGet(); this }
+    def releaseRef(): Int = refs.decrementAndGet()
+    /** trim-on-commit is only safe when this stream is the sole reader —
+      * a second consumer still needs the uncommitted-by-it rows. */
+    def singleConsumer: Boolean = refs.get() <= 1
     /** Logical end offset (total datagrams ever appended). */
     def size: Long = log.end
     def slice(from: Long, until: Long): Array[(String, String, Long)] =
       log.slice(from, until)
     /** Drop entries below the committed offset (micro-batch completed). */
     def trim(upTo: Long): Unit = log.trim(upTo)
+    def rebaseTo(offset: Long): Unit = log.rebaseTo(offset)
     def close(): Unit = socket.close()
   }
 }
@@ -110,15 +122,21 @@ final class UdpTable(port: Int, maxLength: Int, addRemote: Boolean)
 
 final class UdpMicroBatchStream(port: Int, maxLength: Int, addRemote: Boolean)
     extends MicroBatchStream {
-  private lazy val listener = UdpSource.listener(port, maxLength)
+  private lazy val listener = UdpSource.listener(port, maxLength).acquire()
 
   override def initialOffset(): Offset = UdpOffset(0L)
   override def latestOffset(): Offset = UdpOffset(listener.size)
-  override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val o = UdpOffset(json.toLong)
+    listener.rebaseTo(o.n) // checkpointed restart: fast-forward a fresh log
+    o
+  }
   // consumed rows are physically dropped once the micro-batch commits —
-  // with the buffer cap this bounds driver memory for the query lifetime
+  // with the buffer cap this bounds driver memory for the query lifetime.
+  // Skipped when another stream shares the port listener (it still needs
+  // the rows this stream has consumed).
   override def commit(end: Offset): Unit =
-    listener.trim(end.asInstanceOf[UdpOffset].n)
+    if (listener.singleConsumer) listener.trim(end.asInstanceOf[UdpOffset].n)
   override def stop(): Unit = UdpSource.release(port)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -29,10 +29,11 @@ class CodecsSpec extends SparkSpec {
   test("jsonDecode: empty/field-less objects parse (no fallback); non-objects fall back") {
     val schema = StructType(Seq(StructField("a", LongType)))
     val out = Codecs.jsonDecode(
-      Seq("{}", """{"other": 1}""", "42", "[1,2]").toDF("value"), schema)
+      Seq("{}", "\n\t{\"other\": 1}", "42", "[1,2]").toDF("value"), schema)
       .collect()
     // valid objects missing every schema field are PARSED events with null
-    // fields, not parse failures (the old to_json probe misrouted them)
+    // fields, not parse failures (the old to_json probe misrouted them);
+    // leading tabs/newlines before the brace are still objects
     assert(out(0).isNullAt(out(0).fieldIndex("a")) &&
       out(0).isNullAt(out(0).fieldIndex("message")))
     assert(out(1).isNullAt(out(1).fieldIndex("a")) &&

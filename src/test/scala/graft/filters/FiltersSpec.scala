@@ -51,6 +51,15 @@ class FiltersSpec extends SparkSpec {
     assert(render("""{{default "fallback" .s}}""") == "abc def")
     assert(render("""{{ternary "yes" "no" .n}}""") == "yes")
     assert(render("""{{ternary "yes" "no" .blank}}""") == "no")
+    // sprig emptiness is the zero value of the argument's OWN type: the
+    // STRING "0" is non-empty/truthy (only numeric 0 / bool false count)
+    val zdf = Seq(("0", 0L, false)).toDF("zstr", "znum", "zbool")
+    def zrender(t: String): String =
+      zdf.select(Render.compile(t)(zdf).cast("string")).collect().head.getString(0)
+    assert(zrender("""{{default "d" .zstr}}""") == "0")
+    assert(zrender("""{{ternary "y" "n" .zstr}}""") == "y")
+    assert(zrender("""{{default "d" .znum}}""") == "d")
+    assert(zrender("""{{ternary "y" "n" .zbool}}""") == "n")
     assert(render("""{{coalesce .missing .blank .s}}""") == "abc def")
     assert(render("""{{b64enc .s}}""") == java.util.Base64.getEncoder
       .encodeToString("abc def".getBytes("UTF-8")))

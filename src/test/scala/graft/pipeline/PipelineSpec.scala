@@ -142,5 +142,26 @@ class PipelineSpec extends SparkSpec {
     }
     assert(attr("e1", "country_name") == "Wonderland")
     assert(attr("e2", "country_name") == null) // guard blocked the 192.* row
+
+    // box options: add_fields on lookup hit, failTag on lookup miss
+    val yamlBox =
+      s"""filters:
+         |  - IPIP:
+         |      src: ip
+         |      database: $db
+         |      add_fields: {located: "yes"}
+         |      failTag: _geolookup_failure
+         |""".stripMargin
+    val boxRows = Planner.fromYaml(yamlBox).transform(input)
+      .collect().map(r => r.getString(r.fieldIndex("id")) -> r).toMap
+    def s(id: String, f: String): Any = {
+      val r = boxRows(id)
+      if (r.isNullAt(r.fieldIndex(f))) null else r.get(r.fieldIndex(f))
+    }
+    assert(s("e1", "located") == "yes")
+    assert(s("e3", "located") == null) // miss → add_fields skipped
+    val e3 = boxRows("e3")
+    assert(e3.getSeq[String](e3.fieldIndex("tags")) == Seq("_geolookup_failure"))
+    assert(s("e1", "tags") == null)
   }
 }

@@ -57,6 +57,29 @@ class UdpSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("BoundedLog.appendBlocking waits for trim instead of dropping (TCP)") {
+    val log = new BoundedLog(2)
+    log.append("a", "x", 0L); log.append("b", "x", 0L)
+    @volatile var appended = false
+    val t = new Thread(() => { log.appendBlocking("c", "x", 0L); appended = true })
+    t.setDaemon(true); t.start()
+    Thread.sleep(200)
+    assert(!appended) // full log blocks the reliable-transport writer
+    log.trim(1)       // consumer commits → space frees → writer resumes
+    t.join(5000)
+    assert(appended && log.end == 3)
+    assert(log.slice(1, 3).map(_._1).toSeq == Seq("b", "c"))
+  }
+
+  test("BoundedLog.rebaseTo fast-forwards a fresh log after restart") {
+    val log = new BoundedLog(10)
+    log.rebaseTo(500) // checkpointed offset from a previous incarnation
+    assert(log.end == 500)
+    log.append("post-restart", "x", 0L)
+    assert(log.slice(500, 501).map(_._1).toSeq == Seq("post-restart"))
+    assert(log.slice(0, 500).isEmpty) // downtime range is gone, not wrong
+  }
+
   test("listener buffer is bounded: overflow drops oldest, commit trims") {
     val l = new UdpSource.Listener(0, 1024, maxBuffer = 4).start()
     val sender = new DatagramSocket()

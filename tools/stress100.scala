@@ -33,8 +33,16 @@ val pairs = t("minhash pairs 500k docs") {
   val p = graft.ml.Dedup.minhashPairs(big, "text", "doc_id").localCheckpoint()
   println("[STRESS] pairs: " + p.count()); p
 }
-t("clusters (label propagation) over 100x pairs") {
-  println("[STRESS] cluster labels: " + graft.ml.Dedup.clusters(pairs).count())
+// driverEdgeLimit = 0 forces the DISTRIBUTED label-propagation loop (the
+// at-scale path this stress exists to measure); the adaptive default
+// would take the driver union-find fast path on this pair count
+t("clusters (distributed label propagation) over 100x pairs") {
+  println("[STRESS] cluster labels: " +
+    graft.ml.Dedup.clusters(pairs, driverEdgeLimit = 0L).count())
+}
+t("clusters (driver union-find fast path) over 100x pairs") {
+  println("[STRESS] cluster labels (local): " +
+    graft.ml.Dedup.clusters(pairs).count())
 }
 t("simhash hamming pairs 500k docs (32-bit)") {
   println("[STRESS] hamming32 pairs: " +
