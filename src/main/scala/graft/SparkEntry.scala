@@ -345,6 +345,12 @@ object SparkEntry {
           "stopword_ratio", "distinct_ratio", "quality", "lang_guess", "fingerprint")
     },
 
+    // Repetition scoring (Gopher-rule family: boilerplate/spam signal)
+    "q_repetition" -> { (s, dir) =>
+      graft.ml.TextAnalysis.repetitionStats(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+    },
+
     // PII scrubbing over synthesized addresses/IPs/phones (documents
     // carry no real PII, so the query plants deterministic ones)
     "q_pii_scrub" -> { (s, dir) =>
@@ -846,6 +852,39 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_guess,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM m""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    string_split_regex(text, '\s+') AS toks
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, len, unnest([array_to_string(toks[i+1:i+2], ' ')
+        |    for i in range(0, greatest(len(toks)-1, 0))]) AS g
+        |  FROM t
+        |), c2 AS (
+        |  SELECT doc_id, len, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3
+        |), m2 AS (
+        |  SELECT doc_id, CAST(max(c * length(g)) AS DOUBLE) / len AS top2_frac
+        |  FROM c2 GROUP BY doc_id, len
+        |), g5 AS (
+        |  SELECT doc_id, len, unnest([array_to_string(toks[i+1:i+5], ' ')
+        |    for i in range(0, greatest(len(toks)-4, 0))]) AS g
+        |  FROM t
+        |), c5 AS (
+        |  SELECT doc_id, len, g, count(*) AS c FROM g5 GROUP BY 1, 2, 3
+        |), m5 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS DOUBLE)
+        |      / len AS dup5_frac
+        |  FROM c5 GROUP BY doc_id, len
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(m2.top2_frac, 0.0) AS top2_frac,
+        |  COALESCE(m5.dup5_frac, 0.0) AS dup5_frac
+        |FROM documents d
+        |LEFT JOIN m2 ON d.doc_id = m2.doc_id
+        |LEFT JOIN m5 ON d.doc_id = m5.doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """SELECT doc_id,

@@ -100,6 +100,49 @@ object TextAnalysis {
       .otherwise(lit(0L))
   }
 
+  /** All word n-grams in order, WITH repeats (unlike Dedup.shingles'
+    * distinct sets): size−n+1 grams, none for docs shorter than n tokens.
+    * Built from zipped shifted slices — one pass, no per-position lambda. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val shifted = (1 until n).map(k =>
+      slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))))
+    array_compact(shifted.foldLeft(toks)((acc, s) =>
+      zip_with(acc, s, (a, b) => concat(a, lit(" "), b))))
+  }
+
+  /** Repetition scoring (the Gopher-rules family of quality signals):
+    *   - top2_frac: characters covered by the most frequent word 2-gram,
+    *     count × len(gram) / len(text)
+    *   - dup5_frac: characters in 5-grams occurring ≥ 2 times,
+    *     Σ count × len(gram) / len(text)
+    * High values flag boilerplate/spam/templated text. All integer
+    * arithmetic plus one correctly-rounded double divide — exact in the
+    * oracle. Scale shape: explode → two-level agg with map-side combine;
+    * shuffle keys are (doc, gram) then doc. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+        length(col(textCol)).as("len"), col(textCol).as("__t"))
+      .repartition(col("doc_id"))
+    def gramCounts(n: Int) = base
+      .select(col("doc_id"), col("len"),
+        explode(ngramsAll(col("__t"), n)).as("g"))
+      .groupBy("doc_id", "len", "g").agg(count(lit(1)).as("c"))
+    val top2 = gramCounts(2)
+      .groupBy("doc_id", "len").agg(max(col("c") * length(col("g"))).as("m"))
+      .select(col("doc_id"), (col("m").cast("double") / col("len")).as("top2_frac"))
+    val dup5 = gramCounts(5)
+      .groupBy("doc_id", "len")
+      .agg(sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(0L)).as("s"))
+      .select(col("doc_id"), (col("s").cast("double") / col("len")).as("dup5_frac"))
+    df.select(col(idCol).as("doc_id"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+  }
+
   /** PII scrubbing for training corpora: emails, IPv4s, and phone-shaped
     * digit runs become typed placeholder tokens. Conservative regexes kept
     * to the RE2-compatible subset (no lookaround) so the same patterns run

@@ -124,6 +124,21 @@ class MlSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)))
   }
 
+  test("repetitionStats: boilerplate scores high, varied text scores low") {
+    val corpus = Seq(
+      (0L, "buy now buy now buy now buy now"),          // 'buy now' ×4
+      (1L, "one two three four five six seven eight"),  // no repeats
+      (2L, "a b c d e a b c d e a b c d e"),            // repeated 5-gram
+      (3L, "xy")).toDF("doc_id", "text")                // shorter than n
+    val out = TextAnalysis.repetitionStats(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // doc 0: 'buy now' occurs 4x, 7 chars, len 31 → 28/31
+    assert(math.abs(out(0L)._1 - 28.0 / 31.0) < 1e-12)
+    assert(out(1L)._1 > 0 && out(1L)._2 == 0.0) // some top 2-gram, no dup 5-grams
+    assert(out(2L)._2 > 1.0) // heavy 5-gram duplication overlaps > len
+    assert(out(3L) == (0.0, 0.0)) // too short for any gram
+  }
+
   test("scrubPii replaces emails, IPv4s, and phone shapes with placeholders") {
     val df = Seq(
       "mail bob.smith+x@corp.example.org now",
