@@ -220,41 +220,49 @@ object Planner {
       case other => sys.error(s"unknown batch input '$other'")
     }
 
+  /** Kafka reader options from a YAML input conf (reference:
+    * input/kafka_input.go:54-104). Factored from the reader so the
+    * subscribe/assign/group/backpressure mapping is spec-testable without
+    * a broker: group-consume (`topic`) vs static partition `assign`;
+    * `max_offsets_per_trigger` is the micro-batch analogue of the
+    * reference's bounded in-flight channel (messages_queue_length). */
+  def kafkaOptions(conf: Map[String, Any]): Map[String, String] = {
+    val settings = conf.strMap("consumer_settings")
+    val base = Map("kafka.bootstrap.servers" -> settings.getOrElse(
+      "bootstrap.servers",
+      sys.error("Kafka input needs consumer_settings.bootstrap.servers")))
+    val sub = conf.str("assign") match {
+      case Some(assignJson) => Map("assign" -> assignJson)
+      case None => Map("subscribe" -> conf.anyMap("topic").keys.mkString(","))
+    }
+    base ++ sub ++
+      conf.str("max_offsets_per_trigger").map("maxOffsetsPerTrigger" -> _) ++
+      settings.get("group.id").map("kafka.group.id" -> _) ++
+      (if (settings.get("from.beginning").contains("true"))
+         Map("startingOffsets" -> "earliest")
+       else Map.empty)
+  }
+
+  /** Kafka record frame → event frame, with optional `@metadata`
+    * decoration (input/kafka_input.go:138-144). Input needs value/
+    * timestamp/topic/partition/offset columns — testable on a manual df. */
+  def kafkaDecode(raw: DataFrame, decorate: Boolean): DataFrame = {
+    val decoded = raw.select(col("value").cast("string").as("message"),
+      col("timestamp").as("@timestamp"), col("topic"), col("partition"), col("offset"))
+    if (decorate)
+      decoded.withColumn("@metadata",
+        struct(col("topic"), col("partition"), col("offset")))
+        .drop("topic", "partition", "offset")
+    else decoded.drop("topic", "partition", "offset")
+  }
+
   /** Streaming inputs (Kafka plumbing mirrors input/kafka_input.go). */
   def streamingInput(spark: SparkSession, name: String, conf: Map[String, Any]): DataFrame =
     name match {
       case "Kafka" =>
-        val settings = conf.strMap("consumer_settings")
-        var r = spark.readStream.format("kafka")
-          .option("kafka.bootstrap.servers", settings.getOrElse("bootstrap.servers",
-            sys.error("Kafka input needs consumer_settings.bootstrap.servers")))
-        // group-consume (`topic`) or static partition assignment (`assign`)
-        // — reference: input/kafka_input.go:54-104
-        conf.str("assign") match {
-          case Some(assignJson) => r = r.option("assign", assignJson)
-          case None => r = r.option("subscribe", conf.anyMap("topic").keys.mkString(","))
-        }
-        // backpressure: the reference bounds its in-flight channel
-        // (messages_queue_length); the micro-batch analogue caps records
-        // per trigger
-        conf.str("max_offsets_per_trigger")
-          .foreach(m => r = r.option("maxOffsetsPerTrigger", m))
-        settings.get("group.id").foreach(g => r = r.option("kafka.group.id", g))
-        if (settings.get("from.beginning").contains("true"))
-          r = r.option("startingOffsets", "earliest")
-        val raw = r.load()
-        val decoded = conf.str("codec").getOrElse("plain") match {
-          case "json" => raw.select(col("value").cast("string").as("message"),
-            col("timestamp").as("@timestamp"), col("topic"), col("partition"), col("offset"))
-          case _ => raw.select(col("value").cast("string").as("message"),
-            col("timestamp").as("@timestamp"), col("topic"), col("partition"), col("offset"))
-        }
-        // @metadata decoration (input/kafka_input.go:138-144)
-        if (conf.bool("decorate_events", false))
-          decoded.withColumn("@metadata",
-            struct(col("topic"), col("partition"), col("offset")))
-            .drop("topic", "partition", "offset")
-        else decoded.drop("topic", "partition", "offset")
+        val raw = spark.readStream.format("kafka")
+          .options(kafkaOptions(conf)).load()
+        kafkaDecode(raw, conf.bool("decorate_events", false))
       case "Rate" =>
         spark.readStream.format("rate")
           .option("rowsPerSecond", conf.int("rows_per_second", 10)).load()

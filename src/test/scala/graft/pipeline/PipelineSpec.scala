@@ -94,6 +94,44 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("Kafka input options: subscribe vs assign, group, backpressure, offsets") {
+    val subscribed = Planner.kafkaOptions(Map(
+      "topic" -> Map("logs" -> 2, "metrics" -> 1),
+      "consumer_settings" -> Map(
+        "bootstrap.servers" -> "k1:9092,k2:9092",
+        "group.id" -> "graft",
+        "from.beginning" -> "true"),
+      "max_offsets_per_trigger" -> "50000"))
+    assert(subscribed("kafka.bootstrap.servers") == "k1:9092,k2:9092")
+    assert(subscribed("subscribe").split(",").toSet == Set("logs", "metrics"))
+    assert(subscribed("kafka.group.id") == "graft")
+    assert(subscribed("startingOffsets") == "earliest")
+    assert(subscribed("maxOffsetsPerTrigger") == "50000")
+
+    val assigned = Planner.kafkaOptions(Map(
+      "assign" -> """{"logs":[0,1]}""",
+      "consumer_settings" -> Map("bootstrap.servers" -> "k1:9092")))
+    assert(assigned("assign") == """{"logs":[0,1]}""")
+    assert(!assigned.contains("subscribe") && !assigned.contains("startingOffsets"))
+
+    val err = intercept[RuntimeException](Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1), "consumer_settings" -> Map.empty[String, String])))
+    assert(err.getMessage.contains("bootstrap.servers"))
+  }
+
+  test("Kafka decode: message/@timestamp projection and @metadata decoration") {
+    val raw = Seq(("payload", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        "logs", 3, 42L))
+      .toDF("value", "timestamp", "topic", "partition", "offset")
+    val plain = Planner.kafkaDecode(raw, decorate = false)
+    assert(plain.columns.toSeq == Seq("message", "@timestamp"))
+    assert(plain.collect().head.getString(0) == "payload")
+
+    val dec = Planner.kafkaDecode(raw, decorate = true).collect().head
+    val meta = dec.getStruct(dec.fieldIndex("@metadata"))
+    assert(meta.getString(0) == "logs" && meta.getInt(1) == 3 && meta.getLong(2) == 42L)
+  }
+
   test("IPIP filter dispatches from YAML: CIDR database, target struct, if-guard") {
     val dir = Files.createTempDirectory("graft_ipip")
     val db = dir.resolve("geo.csv")
