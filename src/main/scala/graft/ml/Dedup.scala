@@ -439,4 +439,19 @@ object Dedup {
       keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Streaming NEAR-dup dedup: fingerprint each document with the 64-bit
+    * simhash and drop fingerprint re-occurrences within the watermark —
+    * docs whose token sets agree bit-for-bit in simhash space (hamming 0,
+    * which at 64 bits means near-identical token multisets) keep only
+    * their first arrival. State is one row per distinct fingerprint per
+    * lateness window, so it runs indefinitely; the batch hamming-k pair
+    * search remains the offline path for k > 0. */
+  def streamingNearDedup(df: DataFrame, textCol: String, tsCol: String,
+      lateness: String): DataFrame =
+    df.withColumn("__graft_sim", graft.functions.ArrayFns.simhash64(
+        transform(array_distinct(tokens(col(textCol))), t => xxhash64(t))))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__graft_sim")
+      .drop("__graft_sim")
 }

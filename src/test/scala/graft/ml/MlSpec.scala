@@ -188,6 +188,26 @@ class MlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDedup keeps first arrival per simhash fingerprint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val src = mem.toDF().toDF("ts", "text")
+    val q = Dedup.streamingNearDedup(src, "text", "ts", "10 seconds")
+      .writeStream.format("memory").queryName("near_dedup").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        (ts("2024-01-01 00:00:01"), "the quick brown fox jumps"),
+        (ts("2024-01-01 00:00:02"), "jumps the quick brown fox"), // same token set
+        (ts("2024-01-01 00:00:03"), "completely different words entirely here"))
+      q.processAllAvailable()
+      val texts = spark.sql("select text from near_dedup")
+        .as[String].collect().toSet
+      assert(texts == Set("the quick brown fox jumps",
+        "completely different words entirely here"))
+    } finally q.stop()
+  }
+
   test("dropDuplicates removes the later doc of each pair") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.9)
     val kept = Dedup.dropDuplicates(docs, pairs, "doc_id")
