@@ -4,6 +4,24 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+/** A built IVF index: coarse centroids + per-vector posting-list
+  * assignment. `save` writes the posting lists PARTITIONED BY cell so a
+  * probe of `nprobe` cells reads only those directories (partition
+  * pruning — the on-disk layout that makes IVF sublinear at 100 TB). */
+final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
+  def save(path: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$path/assigned")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+}
+
+object IvfIndex {
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
+}
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * All vector math is double-precision left folds over built-in lambda
@@ -113,10 +131,18 @@ object Similarity {
     * out partitioned by `cell_id` so probes touch only matching files
     * (partition pruning), making the per-query cost sublinear. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, k: Int, numCells: Int = 16, nprobe: Int = 3): DataFrame = {
+      idCol: String, k: Int, numCells: Int = 16, nprobe: Int = 3): DataFrame =
+    ivfSearch(buildIvfIndex(corpus, vecCol, idCol, numCells),
+      queries, vecCol, idCol, k, nprobe)
+
+  /** Coarse centroids + posting-list assignment — the BUILD-ONCE half of
+    * IVF. Persist with [[IvfIndex.save]] (partitioned by cell) and serve
+    * many query batches against the loaded index; re-running the
+    * assignment per query batch is the anti-pattern this API removes. */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      numCells: Int = 16): IvfIndex = {
     val cents = corpus.filter(col(idCol) < numCells)
       .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("centroid"))
-
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
     val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(cents))
@@ -124,17 +150,23 @@ object Similarity {
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("cv"), col("cell_id"))
+    IvfIndex(cents, assigned)
+  }
 
+  /** The QUERY half of IVF: rank cells per query, score only the `nprobe`
+    * nearest posting lists. Against a saved index the cell join prunes to
+    * matching `cell_id=` partitions. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, nprobe: Int = 3): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell_id"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("csim", cosine(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell_id"))
-
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), "cell_id")
+    index.assigned.join(broadcast(probes), "cell_id")
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

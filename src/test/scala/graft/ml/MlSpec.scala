@@ -75,6 +75,27 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("ivf index: save/load round-trip serves identical results, cell-partitioned") {
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))).toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 3)
+    val direct = Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+      k = 3, numCells = 8, nprobe = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", numCells = 8).save(dir)
+    // posting lists land one directory per cell → probes prune partitions
+    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("cell_id="))
+    assert(cellDirs.nonEmpty)
+    val loaded = IvfIndex.load(spark, dir)
+    val served = Similarity.ivfSearch(loaded, queries, "embedding", "vec_id",
+      k = 3, nprobe = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(served == direct)
+  }
+
   test("int8 two-stage topk equals exact brute force when rerank covers the corpus") {
     val emb = (0L until 30L).map(i =>
       (i, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))).toDF("vec_id", "embedding")
