@@ -31,12 +31,10 @@ object Dedup {
     * clipped shingle the slice-based formulation produced. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val shifted = (1 until n).map(k =>
-      slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))))
-    val zipped = shifted.foldLeft(toks)((acc, s) =>
-      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+    // shared zipped-shifted-slices core (TextAnalysis.ngramsAll); docs
+    // shorter than n tokens contribute their single clipped shingle
     array_distinct(when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(array_compact(zipped)))
+      .otherwise(TextAnalysis.ngramsAll(text, n)))
   }
 
   /** Exact dedup: one representative (min id) + count per identical value.
@@ -225,6 +223,14 @@ object Dedup {
     * random-pair count stays below one until ~10^8 docs. Token hashes are
     * xxhash64 (no cross-engine md5 contract needed here), chunks are
     * 64/bands bits, same pigeonhole + first-band dedup plan. */
+  /** 64-bit simhash over the DISTINCT-token set of a document — the shared
+    * fingerprint contract of `simhashHammingPairs64` and
+    * `streamingNearDedup` (must stay identical or batch and streaming
+    * dedup different things). */
+  def simhash64Fingerprint(text: Column): Column =
+    graft.functions.ArrayFns.simhash64(
+      transform(array_distinct(tokens(text)), t => xxhash64(t)))
+
   def simhashHammingPairs64(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, bands: Int = 8): DataFrame = {
     require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
@@ -232,8 +238,7 @@ object Dedup {
     val bits = 64 / bands
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
-      .select(col("id"), graft.functions.ArrayFns.simhash64(
-        transform(array_distinct(tokens(col("__t"))), t => xxhash64(t))).as("sim"))
+      .select(col("id"), simhash64Fingerprint(col("__t")).as("sim"))
       .localCheckpoint()
     def chunk(sim: Column, b: Int): Column =
       shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
@@ -441,16 +446,15 @@ object Dedup {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Streaming NEAR-dup dedup: fingerprint each document with the 64-bit
-    * simhash and drop fingerprint re-occurrences within the watermark —
-    * docs whose token sets agree bit-for-bit in simhash space (hamming 0,
-    * which at 64 bits means near-identical token multisets) keep only
-    * their first arrival. State is one row per distinct fingerprint per
-    * lateness window, so it runs indefinitely; the batch hamming-k pair
-    * search remains the offline path for k > 0. */
+    * simhash (over its distinct-token SET — repetition and order are
+    * deliberately ignored, so a token-shuffled or repetition-padded copy
+    * still dedups) and drop fingerprint re-occurrences within the
+    * watermark: first arrival wins. State is one row per distinct
+    * fingerprint per lateness window, so it runs indefinitely; the batch
+    * hamming-k pair search remains the offline path for k > 0. */
   def streamingNearDedup(df: DataFrame, textCol: String, tsCol: String,
       lateness: String): DataFrame =
-    df.withColumn("__graft_sim", graft.functions.ArrayFns.simhash64(
-        transform(array_distinct(tokens(col(textCol))), t => xxhash64(t))))
+    df.withColumn("__graft_sim", simhash64Fingerprint(col(textCol)))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("__graft_sim")
       .drop("__graft_sim")

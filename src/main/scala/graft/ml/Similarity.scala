@@ -19,7 +19,11 @@ final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
 object IvfIndex {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
     IvfIndex(spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/assigned"))
+      // partition-column inference narrows cell_id to int — restore the
+      // build-time long so loaded and freshly-built indexes are
+      // schema-identical (union-safe, no cast inside the probe join)
+      spark.read.parquet(s"$path/assigned")
+        .withColumn("cell_id", col("cell_id").cast("long")))
 }
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -141,33 +145,42 @@ object Similarity {
     * assignment per query batch is the anti-pattern this API removes. */
   def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
       numCells: Int = 16): IvfIndex = {
+    // self-dots ride along (and PERSIST with the index): each scored pair
+    // downstream costs one dot product instead of three — same doubles
+    // multiplied in the same order, so sim values are bit-identical
     val cents = corpus.filter(col(idCol) < numCells)
-      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("centroid"))
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("centroid"),
+        dot(col(vecCol), col(vecCol)).as("centsd"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
-    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        dot(col(vecCol), col(vecCol)).as("csd"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("cv"), col("centroid")))
+      .withColumn("csim",
+        dot(col("cv"), col("centroid")) / sqrt(col("csd") * col("centsd")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
-      .select(col("vec_id"), col("cv"), col("cell_id"))
-    IvfIndex(cents, assigned)
+      .select(col("vec_id"), col("cv"), col("csd"), col("cell_id"))
+    IvfIndex(cents.select("cell_id", "centroid", "centsd"), assigned)
   }
 
   /** The QUERY half of IVF: rank cells per query, score only the `nprobe`
     * nearest posting lists. Against a saved index the cell join prunes to
-    * matching `cell_id=` partitions. */
+    * matching `cell_id=` partitions; candidate self-dots come precomputed
+    * from the index. */
   def ivfSearch(index: IvfIndex, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, nprobe: Int = 3): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell_id"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qsd", dot(col("qv"), col("qv")))
       .crossJoin(broadcast(index.centroids))
-      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("csim",
+        dot(col("qv"), col("centroid")) / sqrt(col("qsd") * col("centsd")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell_id"))
+      .select(col("query_id"), col("qv"), col("qsd"), col("cell_id"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     index.assigned.join(broadcast(probes), "cell_id")
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / sqrt(col("qsd") * col("csd")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "rank", "sim")

@@ -121,9 +121,14 @@ object TextAnalysis {
     * oracle. Scale shape: explode → two-level agg with map-side combine;
     * shuffle keys are (doc, gram) then doc. */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // materialize the repartitioned corpus once: BOTH gram passes (2- and
+    // 5-grams) consume it, and without the checkpoint each would re-scan
+    // and re-shuffle the full text (the repo's standard multi-consumer
+    // barrier — see Dedup.minhashPairs)
     val base = df.select(col(idCol).as("doc_id"),
         length(col(textCol)).as("len"), col(textCol).as("__t"))
       .repartition(col("doc_id"))
+      .localCheckpoint()
     def gramCounts(n: Int) = base
       .select(col("doc_id"), col("len"),
         explode(ngramsAll(col("__t"), n)).as("g"))

@@ -231,8 +231,21 @@ object Planner {
     val base = Map("kafka.bootstrap.servers" -> settings.getOrElse(
       "bootstrap.servers",
       sys.error("Kafka input needs consumer_settings.bootstrap.servers")))
-    val sub = conf.str("assign") match {
-      case Some(assignJson) => Map("assign" -> assignJson)
+    // `assign` in a reference config is a YAML map (topic → partitions);
+    // render it to the JSON the Kafka source expects. A pre-rendered JSON
+    // string passes through.
+    val sub = conf.get("assign") match {
+      case Some(m: Map[_, _]) =>
+        val body = m.map { case (t, ps) =>
+          val parts = ps match {
+            case s: Seq[_] => s.map(_.toString).mkString(",")
+            case one => one.toString
+          }
+          s""""$t":[$parts]"""
+        }.mkString(",")
+        Map("assign" -> s"{$body}")
+      case Some(s: String) => Map("assign" -> s)
+      case Some(other) => sys.error(s"Kafka assign must be a map or JSON string: $other")
       case None => Map("subscribe" -> conf.anyMap("topic").keys.mkString(","))
     }
     base ++ sub ++
@@ -244,16 +257,41 @@ object Planner {
   }
 
   /** Kafka record frame → event frame, with optional `@metadata`
-    * decoration (input/kafka_input.go:138-144). Input needs value/
-    * timestamp/topic/partition/offset columns — testable on a manual df. */
-  def kafkaDecode(raw: DataFrame, decorate: Boolean): DataFrame = {
+    * decoration (input/kafka_input.go:138-144) and codec handling:
+    * `plain` keeps the raw `message`; `json` parses it into columns with
+    * the plain fallback on non-object/invalid records (same probe as
+    * `Codecs.jsonDecode`). Spark parses with a DECLARED schema, so
+    * `codec: json` requires a `schema` (DDL) — failing fast here beats
+    * silently shipping unparsed messages to a migrated pipeline. Input
+    * needs value/timestamp/topic/partition/offset columns — testable on
+    * a manual df. */
+  def kafkaDecode(raw: DataFrame, decorate: Boolean,
+      codec: String = "plain",
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val decoded = raw.select(col("value").cast("string").as("message"),
       col("timestamp").as("@timestamp"), col("topic"), col("partition"), col("offset"))
-    if (decorate)
-      decoded.withColumn("@metadata",
-        struct(col("topic"), col("partition"), col("offset")))
-        .drop("topic", "partition", "offset")
-    else decoded.drop("topic", "partition", "offset")
+    val withMeta =
+      if (decorate)
+        decoded.withColumn("@metadata",
+          struct(col("topic"), col("partition"), col("offset")))
+          .drop("topic", "partition", "offset")
+      else decoded.drop("topic", "partition", "offset")
+    codec match {
+      case "json" =>
+        val sch = schema.getOrElse(sys.error(
+          "Kafka codec 'json' needs a `schema` (DDL string): Spark parses " +
+            "with a declared schema. Omit `codec` for raw message passthrough."))
+        val msg = col("message")
+        val failed = msg.isNull || try_parse_json(msg).isNull ||
+          !msg.rlike("""^\s*\{""")
+        val parsed = withMeta
+          .withColumn("__graft_json", when(!failed, from_json(msg, sch)))
+          .withColumn("message", when(failed, msg))
+        parsed.select(col("__graft_json.*") +:
+          parsed.columns.filterNot(_ == "__graft_json")
+            .map(c => col(s"`$c`")): _*)
+      case _ => withMeta
+    }
   }
 
   /** Streaming inputs (Kafka plumbing mirrors input/kafka_input.go). */
@@ -262,7 +300,9 @@ object Planner {
       case "Kafka" =>
         val raw = spark.readStream.format("kafka")
           .options(kafkaOptions(conf)).load()
-        kafkaDecode(raw, conf.bool("decorate_events", false))
+        kafkaDecode(raw, conf.bool("decorate_events", false),
+          conf.str("codec").getOrElse("plain"),
+          conf.str("schema").map(org.apache.spark.sql.types.StructType.fromDDL))
       case "Rate" =>
         spark.readStream.format("rate")
           .option("rowsPerSecond", conf.int("rows_per_second", 10)).load()

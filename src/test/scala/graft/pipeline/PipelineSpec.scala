@@ -114,6 +114,12 @@ class PipelineSpec extends SparkSpec {
     assert(assigned("assign") == """{"logs":[0,1]}""")
     assert(!assigned.contains("subscribe") && !assigned.contains("startingOffsets"))
 
+    // reference configs write assign as a YAML map → rendered to JSON
+    val assignedMap = Planner.kafkaOptions(Map(
+      "assign" -> Map("logs" -> Seq(0, 1), "metrics" -> Seq(2)),
+      "consumer_settings" -> Map("bootstrap.servers" -> "k1:9092")))
+    assert(assignedMap("assign") == """{"logs":[0,1],"metrics":[2]}""")
+
     val err = intercept[RuntimeException](Planner.kafkaOptions(Map(
       "topic" -> Map("t" -> 1), "consumer_settings" -> Map.empty[String, String])))
     assert(err.getMessage.contains("bootstrap.servers"))
@@ -130,6 +136,23 @@ class PipelineSpec extends SparkSpec {
     val dec = Planner.kafkaDecode(raw, decorate = true).collect().head
     val meta = dec.getStruct(dec.fieldIndex("@metadata"))
     assert(meta.getString(0) == "logs" && meta.getInt(1) == 3 && meta.getLong(2) == 42L)
+
+    // codec json parses with the declared schema, plain fallback otherwise
+    val jsonRaw = Seq(
+      ("""{"a": 5, "b": "x"}""", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        "t", 0, 1L),
+      ("not json", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "t", 0, 2L))
+      .toDF("value", "timestamp", "topic", "partition", "offset")
+    val parsed = Planner.kafkaDecode(jsonRaw, decorate = false, codec = "json",
+        schema = Some(org.apache.spark.sql.types.StructType.fromDDL("a LONG, b STRING")))
+      .orderBy(org.apache.spark.sql.functions.col("a").asc_nulls_last).collect()
+    assert(parsed(0).getLong(parsed(0).fieldIndex("a")) == 5L)
+    assert(parsed(0).isNullAt(parsed(0).fieldIndex("message")))
+    assert(parsed(1).getString(parsed(1).fieldIndex("message")) == "not json")
+
+    val noSchema = intercept[RuntimeException](
+      Planner.kafkaDecode(jsonRaw, decorate = false, codec = "json"))
+    assert(noSchema.getMessage.contains("schema"))
   }
 
   test("IPIP filter dispatches from YAML: CIDR database, target struct, if-guard") {
