@@ -49,4 +49,28 @@ class EdgeCasesSpec extends SparkSpec {
     val unicodeRow = out.filter(col("doc_id") === 5L).collect().head
     assert(unicodeRow.getInt(unicodeRow.fieldIndex("n_tokens")) == 7)
   }
+
+  test("round-3 operators survive messy and empty input") {
+    val empty = messy.limit(0)
+    // decontaminate: empty contamination set keeps everything (incl. null)
+    assert(Dedup.decontaminate(messy, empty, "text", "doc_id").count() == 5)
+    // null/empty docs share the degenerate clipped shingle with each
+    // other but must not crash; a null-text contamination row is inert
+    Dedup.decontaminate(messy, messy.filter($"doc_id" === 2L), "text", "doc_id").count()
+    assert(Dedup.decontaminate(empty, messy, "text", "doc_id").count() == 0)
+    // simhash64 hamming + fingerprint on messy input
+    Dedup.simhashHammingPairs64(messy, "text", "doc_id").count()
+    // tf-idf: null text contributes no tokens, empty corpus yields empty
+    val tfidf = TextAnalysis.topTfidfTerms(messy, "text", "doc_id", k = 2)
+    assert(!tfidf.select("id").as[Long].collect().contains(2L))
+    assert(TextAnalysis.topTfidfTerms(empty, "text", "doc_id").count() == 0)
+    // repetition: every doc keeps a row; null/empty score 0
+    val rep = TextAnalysis.repetitionStats(messy, "text", "doc_id")
+    assert(rep.count() == 5)
+    val nullRow = rep.filter(col("doc_id") === 2L).collect().head
+    assert(nullRow.getDouble(1) == 0.0 && nullRow.getDouble(2) == 0.0)
+    // PII scrub passes null through
+    val scrubbed = messy.select(TextAnalysis.scrubPii($"text")).collect()
+    assert(scrubbed(1).isNullAt(0))
+  }
 }
