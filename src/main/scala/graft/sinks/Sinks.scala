@@ -23,7 +23,8 @@ object Sinks {
           .toLocalIterator()
         while (it.hasNext) println(it.next().getString(0))
       case "Dot" =>
-        println("." * df.count().min(1000).toInt)
+        // limit caps the scan — a debug sink must not force a full count
+        println("." * df.limit(1000).count().toInt)
       case "Parquet" =>
         df.write.mode(conf.str("mode").getOrElse("overwrite"))
           .parquet(conf.strReq("path"))

@@ -47,6 +47,47 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pipeline routes micro-batches into the ClickHouse JDBC sink") {
+    val url = "jdbc:derby:memory:chstream;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    try setup.createStatement().executeUpdate(
+      "CREATE TABLE stream_out (message VARCHAR(64), n BIGINT)")
+    finally setup.close()
+
+    val yaml =
+      s"""inputs:
+         |  - Text: {path: unused}
+         |filters:
+         |  - Convert:
+         |      fields:
+         |        n: {to: int}
+         |outputs:
+         |  - ClickHouse:
+         |      table: stream_out
+         |      hosts: ['$url']
+         |      columns: ['message String', 'n Int64']
+         |""".stripMargin
+    val pipeline = Planner.fromYaml(yaml)
+    val mem = MemoryStream[(String, String)](spark)
+    val src = mem.toDF().toDF("message", "n")
+    val q = Planner.startForeachBatch(pipeline, pipeline.transform(src),
+      checkpoint = Some("/tmp/graft_ch_ckpt_" + System.nanoTime()))
+    try {
+      mem.addData(("a", "1"), ("b", "2"))
+      q.processAllAvailable()
+      mem.addData(("c", "3"))
+      q.processAllAvailable()
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT message, n FROM stream_out ORDER BY n")
+        val rows = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getString(1), r.getLong(2))).toList
+        assert(rows == List(("a", 1L), ("b", 2L), ("c", 3L)))
+      } finally conn.close()
+    } finally q.stop()
+  }
+
   test("Translate dictionary_path re-resolves across streaming micro-batches") {
     val dictFile = java.nio.file.Files.createTempFile("graft_sdict", ".yml")
     java.nio.file.Files.writeString(dictFile, "error: E\n")
