@@ -246,6 +246,13 @@ object SparkEntry {
         emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5,
         numCells = 16, nprobe = 3)
     },
+    "q_ann_pq" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ml.Similarity.pqTopK(
+        emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5,
+        m = 8, kc = 16, rerank = 50)
+    },
     "q_cosine_dup" -> { (s, dir) =>
       graft.ml.Similarity.cosineDupPairs(Tables.load(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.4, numPlanes = 4, dim = 64)
@@ -484,6 +491,54 @@ object SparkEntry {
         |      sqrt(list_reduce(list_zip(p.qv, p.qv).apply(x -> x[1]*x[2]), (x,y) -> x+y) *
         |           list_reduce(list_zip(a.v, a.v).apply(x -> x[1]*x[2]), (x,y) -> x+y)) AS sim
         |    FROM asg a JOIN probes p USING (cell_id)) sc)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_ann_pq" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, v FROM c WHERE vec_id < 16),
+        |cents AS (
+        |  SELECT sp.s, seeds.cid, seeds.v[sp.s*8+1 : sp.s*8+8] AS cv,
+        |    list_reduce(list_zip(seeds.v[sp.s*8+1 : sp.s*8+8],
+        |                         seeds.v[sp.s*8+1 : sp.s*8+8])
+        |      .apply(x -> x[1]*x[2]), (a,b) -> a+b) AS csq
+        |  FROM seeds, (SELECT unnest(range(0, 8)) AS s) sp),
+        |codes AS (
+        |  SELECT vec_id, s, cid AS code FROM (
+        |    SELECT c.vec_id, cents.s, cents.cid,
+        |      row_number() OVER (PARTITION BY c.vec_id, cents.s ORDER BY
+        |        (-2.0 * list_reduce(list_zip(c.v[cents.s*8+1 : cents.s*8+8], cents.cv)
+        |           .apply(x -> x[1]*x[2]), (a,b) -> a+b)) + cents.csq ASC, cents.cid)
+        |        AS rn
+        |    FROM c, cents) WHERE rn = 1),
+        |qdots AS (
+        |  SELECT q.vec_id AS query_id, cents.s, cents.cid,
+        |    list_reduce(list_zip(q.v[cents.s*8+1 : cents.s*8+8], cents.cv)
+        |      .apply(x -> x[1]*x[2]), (a,b) -> a+b) AS d
+        |  FROM c q, cents WHERE q.vec_id < 5),
+        |approx AS (
+        |  SELECT qd.query_id, codes.vec_id,
+        |    list_reduce(list(qd.d ORDER BY qd.s), (a,b) -> a+b) AS approx
+        |  FROM codes JOIN qdots qd ON qd.s = codes.s AND qd.cid = codes.code
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY approx DESC, vec_id) AS arank
+        |    FROM approx)
+        |  WHERE arank <= 50)
+        |SELECT query_id, vec_id, rank, sim FROM (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    list_reduce(list_zip(q.v, t.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |    sqrt(list_reduce(list_zip(q.v, q.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |         list_reduce(list_zip(t.v, t.v).apply(x -> x[1]*x[2]), (a,b) -> a+b)) AS sim,
+        |    CAST(row_number() OVER (PARTITION BY cand.query_id ORDER BY
+        |      list_reduce(list_zip(q.v, t.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |      sqrt(list_reduce(list_zip(q.v, q.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |           list_reduce(list_zip(t.v, t.v).apply(x -> x[1]*x[2]), (a,b) -> a+b))
+        |      DESC, cand.vec_id) AS INT) AS rank
+        |  FROM cand
+        |  JOIN c q ON q.vec_id = cand.query_id
+        |  JOIN c t ON t.vec_id = cand.vec_id)
         |WHERE rank <= 5""".stripMargin,
 
     "q_cosine_dup" ->

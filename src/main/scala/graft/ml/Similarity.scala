@@ -228,6 +228,91 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "sim")
   }
 
+  /** Product-quantization codebooks: `m` subspaces of dim/m dims, `kc`
+    * centroids per subspace, seeded deterministically from the first `kc`
+    * corpus vectors (same convention as the IVF coarse centroids — a
+    * production build would train k-means offline; encode/search are
+    * identical). A PQ code is m small ints: dim×4 bytes become m bytes —
+    * the storage form that fits billion-vector corpora in memory.
+    * The codebook is a bounded model object (m·kc·dim doubles), pulled
+    * with take(kc) and embedded as plan literals so encode/ADC stay
+    * codegen'd. */
+  final case class PqModel(m: Int, subDim: Int,
+      centroids: Array[Array[Array[Double]]]) // [subspace][centroid][component]
+
+  def trainPq(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int = 8, kc: Int = 16): PqModel = {
+    val rows = corpus.filter(col(idCol) < kc).orderBy(col(idCol))
+      .select(col(vecCol).cast("array<double>")).take(kc)
+    val vecs = rows.map(_.getSeq[Double](0).toArray)
+    require(vecs.length == kc, s"need $kc seed vectors with $idCol < $kc")
+    val dim = vecs.head.length
+    require(dim % m == 0, "m must divide the embedding dim")
+    val d = dim / m
+    PqModel(m, d,
+      Array.tabulate(m)(s => vecs.map(v => v.slice(s * d, (s + 1) * d))))
+  }
+
+  /** Per-subspace nearest-centroid code (argmin squared L2; `‖v_s‖²` is
+    * constant per candidate so `-2·dot + ‖c‖²` suffices). The
+    * (dist, id) struct array + array_min gives the argmin with id
+    * tie-break in one codegen'd expression. */
+  def pqEncode(model: PqModel, vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    array((0 until model.m).map { s =>
+      val sub = slice(v, lit(s * model.subDim + 1), lit(model.subDim))
+      val cands = model.centroids(s).zipWithIndex.map { case (c, i) =>
+        val csq = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(
+          (lit(-2.0) * graft.functions.ArrayFns.dotD(sub,
+            typedlit(c.toSeq).cast("array<double>")) + lit(csq)).as("dist"),
+          lit(i).as("c"))
+      }
+      array_min(array(cands: _*)).getField("c")
+    }: _*)
+  }
+
+  /** ADC lookup tables for one query: per subspace, dot(q_s, centroid_c)
+    * for every centroid — m·kc dot products per QUERY row (queries are
+    * few and broadcast), after which each candidate costs m array
+    * lookups + m−1 adds. */
+  private def pqLut(model: PqModel, vec: Column, s: Int): Column = {
+    val sub = slice(vec.cast("array<double>"), lit(s * model.subDim + 1),
+      lit(model.subDim))
+    array(model.centroids(s).map(c =>
+      graft.functions.ArrayFns.dotD(sub,
+        typedlit(c.toSeq).cast("array<double>"))): _*)
+  }
+
+  /** PQ two-stage top-k: ADC-approximate dot over the m-byte codes cuts
+    * the corpus to `rerank` candidates per query, exact cosine reranks.
+    * Same contract as int8TopK with 4×–32× smaller candidate state. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, m: Int = 8, kc: Int = 16,
+      rerank: Int = 50): DataFrame = {
+    val model = trainPq(corpus, vecCol, idCol, m, kc)
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      pqEncode(model, col(vecCol)).as("code"))
+    val qCols = Seq(col(idCol).as("query_id"), col(vecCol).as("qv")) ++
+      (0 until m).map(s => pqLut(model, col(vecCol), s).as(s"lut$s"))
+    val q = queries.select(qCols: _*)
+    val approx = (0 until m).map(s =>
+      element_at(col(s"lut$s"), element_at(col("code"), s + 1) + 1))
+      .reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val cand = c.crossJoin(broadcast(q))
+      .withColumn("approx", approx)
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * SRP bucket (same-bucket pairs only — the LSH analogue for vectors). */
   def cosineDupPairs(df: DataFrame, vecCol: String, idCol: String,

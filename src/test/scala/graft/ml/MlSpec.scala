@@ -106,6 +106,28 @@ class MlSpec extends SparkSpec {
     assert(viaInt8 == exact)
   }
 
+  test("pq topk equals exact brute force when rerank covers the corpus") {
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat))).toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 3)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+      k = 3, m = 4, kc = 8, rerank = 40)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pq == exact) // rerank ≥ corpus → ADC only orders candidates
+
+    // codes: m entries, each a valid centroid id
+    val model = Similarity.trainPq(emb, "embedding", "vec_id", m = 4, kc = 8)
+    val codes = emb.select(Similarity.pqEncode(model, $"embedding"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(i => i >= 0 && i < 8)))
+    // a seed vector encodes to itself in every subspace (distance 0)
+    val selfCode = emb.filter($"vec_id" === 5L)
+      .select(Similarity.pqEncode(model, $"embedding")).as[Seq[Int]].head()
+    assert(selfCode == Seq(5, 5, 5, 5))
+  }
+
   test("text profile: deterministic stats and langid") {
     val out = TextAnalysis.profile(docs, "text").collect().head
     assert(out.getInt(out.fieldIndex("n_tokens")) == 9)
