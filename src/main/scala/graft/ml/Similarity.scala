@@ -143,14 +143,52 @@ object Similarity {
     * IVF. Persist with [[IvfIndex.save]] (partitioned by cell) and serve
     * many query batches against the loaded index; re-running the
     * assignment per query batch is the anti-pattern this API removes. */
+  /** Lloyd k-means over the embedding column: seeds from the first `k`
+    * vectors (deterministic), then `iters` rounds of assign (broadcast
+    * centroids, argmax cosine) + recompute (per-cluster component-wise
+    * mean via posexplode/groupBy — shuffle key is (cluster, component),
+    * bounded by k·dim). Returns a `(cell_id, centroid)` frame for
+    * `buildIvfIndex(corpus, …, centroids = Some(trained))`; each round is
+    * one job and the driver never holds vector data. */
+  def trainKmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vsd", dot(col("v"), col("v")))
+      .localCheckpoint()
+    var cents = vecs.filter(col("vid") < k)
+      .select(col("vid").cast("long").as("cell_id"), col("v").as("centroid"))
+    for (_ <- 0 until iters) {
+      val c = cents
+        .withColumn("centsd", dot(col("centroid"), col("centroid")))
+      val wAssign = Window.partitionBy("vid").orderBy(col("csim").desc, col("cell_id"))
+      val assigned = vecs.crossJoin(broadcast(c))
+        .withColumn("csim",
+          dot(col("v"), col("centroid")) / sqrt(col("vsd") * col("centsd")))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("cell_id"), col("v"))
+      cents = assigned
+        .select(col("cell_id"), posexplode(col("v")))
+        .groupBy("cell_id", "pos").agg(avg("col").as("mean"))
+        .groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean"))))
+          .getField("mean").as("centroid"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
-      numCells: Int = 16): IvfIndex = {
+      numCells: Int = 16, centroids: Option[DataFrame] = None): IvfIndex = {
     // self-dots ride along (and PERSIST with the index): each scored pair
     // downstream costs one dot product instead of three — same doubles
     // multiplied in the same order, so sim values are bit-identical
-    val cents = corpus.filter(col(idCol) < numCells)
-      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("centroid"),
-        dot(col(vecCol), col(vecCol)).as("centsd"))
+    val cents = centroids
+      .getOrElse(corpus.filter(col(idCol) < numCells)
+        .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("centroid")))
+      .select(col("cell_id"), col("centroid"),
+        dot(col("centroid"), col("centroid")).as("centsd"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
     val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
         dot(col(vecCol), col(vecCol)).as("csd"))

@@ -106,6 +106,32 @@ class MlSpec extends SparkSpec {
     assert(viaInt8 == exact)
   }
 
+  test("kmeans centroids improve assignment quality and plug into IVF") {
+    // two well-separated blobs; seeds (vec 0,1) both land in blob A, so
+    // training MUST move a centroid to blob B
+    val blobA = (0L until 10L).map(i => (i, Array.tabulate(4)(d =>
+      (1.0 + 0.01 * i + 0.001 * d).toFloat)))
+    val blobB = (10L until 20L).map(i => (i, Array.tabulate(4)(d =>
+      (-1.0 - 0.01 * i + 0.001 * d).toFloat)))
+    val emb = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val trained = Similarity.trainKmeansCentroids(emb, "embedding", "vec_id",
+      k = 2, iters = 3)
+    val cents = trained.collect().map(r => r.getSeq[Double](1))
+    assert(cents.length == 2)
+    // one centroid per blob: their first components have opposite signs
+    assert(cents.map(c => math.signum(c.head)).toSet == Set(1.0, -1.0))
+
+    // trained centroids drive the IVF build/search path
+    val idx = Similarity.buildIvfIndex(emb, "embedding", "vec_id",
+      centroids = Some(trained))
+    val res = Similarity.ivfSearch(idx, emb.filter($"vec_id" === 0L || $"vec_id" === 15L),
+      "embedding", "vec_id", k = 3, nprobe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    // nprobe=1 with clean blobs → neighbors come from the query's own blob
+    assert(res(0L).map(_._2).forall(_ < 10L))
+    assert(res(15L).map(_._2).forall(_ >= 10L))
+  }
+
   test("pq topk equals exact brute force when rerank covers the corpus") {
     val emb = (0L until 40L).map(i =>
       (i, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat))).toDF("vec_id", "embedding")
