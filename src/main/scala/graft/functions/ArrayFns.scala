@@ -45,6 +45,16 @@ object ArrayFns {
   def jaccardThreshold(a: Column, b: Column, threshold: Double): Column =
     col(JaccardThresholdExpr(expr(a), expr(b), threshold))
 
+  /** Fused PQ encode: all `m` subspace codes in one pass over the vector.
+    * Bit-identical to the per-subspace slice/dotD/array_min expression
+    * form (same left-fold dots, same `-2·dot + ‖c‖²` distance, strict-<
+    * argmin keeping the earliest centroid on ties) — one kernel call per
+    * row instead of m·kc interpreted slices. `flat` is the codebook
+    * flattened [subspace][centroid][component]. */
+  def pqEncode(vec: Column, m: Int, kc: Int, subDim: Int,
+      flat: Seq[Double]): Column =
+    col(PqEncodeExpr(expr(vec), m, kc, subDim, flat))
+
   /** Sequential-order dot product of two double arrays — bit-identical to
     * `aggregate(zip_with(a,b,*), 0d, +)` (left fold, 0.0 seed), so oracle
     * SQL using list_reduce reproduces it exactly. */
@@ -251,6 +261,59 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+case class PqEncodeExpr(child: Expression, m: Int, kc: Int, subDim: Int,
+    flat: Seq[Double]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val cents: Array[Double] = flat.toArray
+  @transient private lazy val csq: Array[Double] = {
+    val out = new Array[Double](m * kc)
+    var i = 0
+    while (i < m * kc) {
+      var acc = 0.0
+      var d = 0
+      while (d < subDim) { val x = cents(i * subDim + d); acc += x * x; d += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  def encode(v: ArrayData): ArrayData = {
+    val codes = new Array[Int](m)
+    val n = v.numElements()
+    var s = 0
+    while (s < m) {
+      val vbase = s * subDim
+      val dlim = math.max(0, math.min(subDim, n - vbase))
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var c = 0
+      while (c < kc) {
+        val cbase = (s * kc + c) * subDim
+        var dot = 0.0
+        var d = 0
+        while (d < dlim) { dot += v.getDouble(vbase + d) * cents(cbase + d); d += 1 }
+        val dist = -2.0 * dot + csq(s * kc + c)
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(input: Any): Any = encode(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncoder", this, classOf[PqEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
 }
 
 case class DotDExpr(left: Expression, right: Expression)
