@@ -94,6 +94,32 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("CLI main runs a batch config end-to-end and detects streaming specs") {
+    val dir = Files.createTempDirectory("graft_cli")
+    val in = dir.resolve("in.txt")
+    Files.write(in, java.util.Arrays.asList("alpha 1", "beta 2"))
+    val out = dir.resolve("out").toString
+    val cfg = dir.resolve("pipeline.yml")
+    Files.writeString(cfg,
+      s"""inputs:
+         |  - Text: {path: $in}
+         |filters:
+         |  - Grok:
+         |      src: message
+         |      match: ['^%{WORD:w} %{INT:n}$$']
+         |outputs:
+         |  - Parquet: {path: $out}
+         |""".stripMargin)
+    graft.Main.run(spark, cfg.toString)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 2)
+    assert(rows.select("w").collect().map(_.getString(0)).toSet == Set("alpha", "beta"))
+
+    assert(!graft.Main.isStreamingSpec(Planner.fromFile(cfg.toString).spec))
+    assert(graft.Main.isStreamingSpec(PipelineConfig.parse(
+      "inputs:\n  - Kafka: {topic: {t: 1}}\noutputs:\n  - Stdout: {}\n")))
+  }
+
   test("Kafka input options: subscribe vs assign, group, backpressure, offsets") {
     val subscribed = Planner.kafkaOptions(Map(
       "topic" -> Map("logs" -> 2, "metrics" -> 1),
