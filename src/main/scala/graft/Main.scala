@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicReference
+
 import org.apache.spark.sql.SparkSession
 
 import graft.pipeline.Planner
@@ -41,27 +43,64 @@ object Main {
 
   /** Run the pipeline at `configPath`; returns when a batch pipeline
     * finishes or a streaming one terminates. Factored from main so tests
-    * drive it without process-level plumbing. */
+    * drive it without process-level plumbing.
+    *
+    * The active query lives in an AtomicReference: the watcher/signal
+    * thread swaps in the replacement before stopping the old query, and
+    * the main thread loops on awaitTermination until the query that
+    * terminated is still the active one (i.e. it stopped for a reason
+    * other than a reload swap). */
   def run(spark: SparkSession, configPath: String, watch: Boolean = false): Unit = {
     val pipeline = Planner.fromFile(configPath)
     if (!isStreamingSpec(pipeline.spec)) {
       pipeline.runBatch(spark): Unit
     } else {
-      var query = Planner.runStreaming(spark, pipeline)
+      val query = new AtomicReference(Planner.runStreaming(spark, pipeline))
+      // reference hot reload: rebuild the topology from the changed file
+      // and swap the running query (gohangout restarts its
+      // input/filter/output chain in place)
+      val reload: () => Unit = { () =>
+        val next = Planner.fromFile(configPath)
+        val old = query.get()
+        query.set(Planner.runStreaming(spark, next))
+        old.stop()
+      }
       val watcher =
-        if (watch)
-          Some(new graft.streaming.ConfigWatcher(configPath, 2000)({ () =>
-            // reference hot reload: rebuild the topology from the changed
-            // file and swap the running query (gohangout restarts its
-            // input/filter/output chain in place)
-            val next = Planner.fromFile(configPath)
-            val old = query
-            query = Planner.runStreaming(spark, next)
-            old.stop()
-          }).start())
+        if (watch) Some(new graft.streaming.ConfigWatcher(configPath, 2000)(reload).start())
         else None
-      try query.awaitTermination()
-      finally watcher.foreach(_.stop())
+      if (watch) trapReloadSignal(reload): Unit
+      try {
+        var q = query.get()
+        q.awaitTermination()
+        // a swap stopped q; keep waiting on whatever replaced it
+        while (q ne query.get()) {
+          q = query.get()
+          q.awaitTermination()
+        }
+      } finally watcher.foreach(_.stop())
     }
   }
+
+  /** Trap SIGUSR1 → reload, the reference's manual-reload trigger
+    * (reference: gohangout.go:149-155 traps syscall.SIGUSR1 and re-reads
+    * the config). `sun.misc.Signal` lives in jdk.unsupported and JVMs may
+    * reserve USR1 (e.g. for their own use under -Xrs), so failure to
+    * install is a logged no-op, not an error. Returns whether the handler
+    * was installed. */
+  def trapReloadSignal(onReload: () => Unit): Boolean =
+    try {
+      sun.misc.Signal.handle(
+        new sun.misc.Signal("USR1"),
+        (_: sun.misc.Signal) =>
+          try onReload()
+          catch {
+            case e: Exception =>
+              System.err.println(s"[graft] SIGUSR1 reload failed: ${e.getMessage}")
+          })
+      true
+    } catch {
+      case _: Throwable =>
+        System.err.println("[graft] SIGUSR1 unavailable on this JVM; use --watch")
+        false
+    }
 }

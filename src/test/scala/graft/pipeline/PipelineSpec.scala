@@ -120,6 +120,17 @@ class PipelineSpec extends SparkSpec {
       "inputs:\n  - Kafka: {topic: {t: 1}}\noutputs:\n  - Stdout: {}\n")))
   }
 
+  test("SIGUSR1 triggers the same reload path as a config-file change") {
+    // reference: gohangout.go:149-155 (kill -USR1 → re-read config). The
+    // handler seam is the reload closure Main.run hands to ConfigWatcher.
+    val fired = new java.util.concurrent.CountDownLatch(1)
+    val installed = graft.Main.trapReloadSignal(() => fired.countDown())
+    if (!installed) cancel("JVM reserves SIGUSR1 here; trap degraded to no-op as designed")
+    sun.misc.Signal.raise(new sun.misc.Signal("USR1"))
+    assert(fired.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "USR1 handler did not run")
+  }
+
   test("Kafka input options: subscribe vs assign, group, backpressure, offsets") {
     val subscribed = Planner.kafkaOptions(Map(
       "topic" -> Map("logs" -> 2, "metrics" -> 1),
