@@ -280,8 +280,13 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
       .localCheckpoint() // materialize once; all consumers read it
-    val prefixLen = (size(col("hs")).cast("double") * (1.0 - threshold))
-      .cast("int") + 1
+    // exact prefix bound |s| − ⌈θ·|s|⌉ + 1, computed in that integer form:
+    // the (1−θ)·|s| float shortcut can truncate one short (θ=0.9, |s|=10 →
+    // 10×0.0999… → 0 → prefix 1 instead of 2) and silently drop qualifying
+    // pairs. The 1e-9 epsilon keeps ceil from rounding an exactly-integral
+    // θ·|s| up a step when the product lands a ulp high.
+    val prefixLen = (size(col("hs")) -
+      ceil(size(col("hs")) * lit(threshold) - lit(1e-9)).cast("int") + 1)
     val pref = docs.select(col("blk"), col("id"), col("sz"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("ph"))
     // candidates: shared prefix hash within the block + the size-ratio

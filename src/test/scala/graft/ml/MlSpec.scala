@@ -283,4 +283,42 @@ class MlSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept.contains(0L) && !kept.contains(1L) && kept.contains(3L))
   }
+
+  test("prefix-filtered ngram jaccard equals the quadratic formulation at high thresholds") {
+    // the documented guarantee is OUTPUT identical to all-pairs-within-
+    // block; θ=0.9/0.7 exercise the prefix-length bound where a float
+    // (1−θ)·|s| shortcut truncates one short (0.5 is exact and masks it)
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 60).map(i => s"w$i")
+    // sliding windows over a token stream → many partially-overlapping
+    // shingle sets across the whole jaccard range
+    val stream = Vector.fill(400)(vocab(rnd.nextInt(vocab.size)))
+    val genDocs = (0 until 120).map { i =>
+      val start = rnd.nextInt(stream.size - 40)
+      val len = 10 + rnd.nextInt(30)
+      (i.toLong, stream.slice(start, start + len).mkString(" "))
+    } ++ Seq( // exact dups and near-subsets: pairs sitting at the bound
+      (200L, stream.take(12).mkString(" ")),   // exact dup of 201
+      (201L, stream.take(12).mkString(" ")),
+      (202L, stream.take(13).mkString(" ")),   // near-superset: sits at the bound
+      (203L, stream.slice(1, 13).mkString(" ")))
+    val df = genDocs.toDF("doc_id", "text").withColumn("blk", lit("all"))
+
+    def quadratic(threshold: Double): Set[(Long, Long)] = {
+      val d = df.select($"doc_id".as("id"),
+          array_sort(transform(Dedup.shingles($"text", 3), s => xxhash64(s))).as("hs"))
+        .filter(size($"hs") > 0)
+      d.as("l").join(d.as("r"), $"l.id" < $"r.id")
+        .select($"l.id".as("id_a"), $"r.id".as("id_b"),
+          Dedup.jaccardCol($"l.hs", $"r.hs").as("j"))
+        .filter($"j" >= threshold)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    for (theta <- Seq(0.9, 0.7, 0.5)) {
+      val fast = Dedup.ngramJaccardPairs(df, "text", "doc_id", "blk",
+          n = 3, threshold = theta)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(fast == quadratic(theta), s"pair sets diverge at threshold $theta")
+    }
+  }
 }
