@@ -199,6 +199,15 @@ final case class TranslateFilter(src: String, target: String,
     val key = FieldPath.resolve(df, src).getOrElse(lit(null)).cast("string")
     val value = dictPath match {
       case Some(p) =>
+        // the lookup runs on EXECUTORS: a plain filesystem path must be
+        // visible there — shared storage in cluster mode, or a file shipped
+        // via spark-submit --files (DictCache.load falls back to the
+        // SparkFiles copy). An http(s) URL works everywhere and is the
+        // form that supports live TTL reload in cluster mode; a missing
+        // file FAILS the task rather than silently translating to null.
+        // (Auto-addFile was rejected: Spark pins an added file's contents,
+        // so the refresh_interval reload contract would break the job the
+        // first time the dictionary legitimately changed.)
         val ttl = refreshIntervalSec
         val lookup = udf { (k: String) =>
           if (k == null) null
@@ -244,16 +253,30 @@ object TranslateFilter {
       }
     }
 
-    /** Read YAML `key: value` pairs from a filesystem path or URL. */
+    /** Read YAML `key: value` pairs from a filesystem path or URL. A plain
+      * path missing on this node (executor in cluster mode) falls back to
+      * the SparkFiles copy the driver shipped via addFile; if neither
+      * exists this THROWS (fail fast) rather than serving nulls. */
     def load(path: String): Map[String, String] = {
       val text =
         if (path.startsWith("http://") || path.startsWith("https://") ||
             path.startsWith("file:")) {
           val in = java.net.URI.create(path).toURL.openStream()
           try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        } else
-          new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(path)), "UTF-8")
+        } else {
+          val direct = java.nio.file.Paths.get(path)
+          val resolved =
+            if (java.nio.file.Files.isRegularFile(direct)) direct
+            else {
+              val shipped = java.nio.file.Paths.get(
+                org.apache.spark.SparkFiles.get(new java.io.File(path).getName))
+              if (java.nio.file.Files.isRegularFile(shipped)) shipped
+              else sys.error(s"Translate dictionary not found at $path (nor in " +
+                "SparkFiles) — in cluster mode use shared storage or an " +
+                "http(s) URL, or keep the file present when the plan is built")
+            }
+          new String(java.nio.file.Files.readAllBytes(resolved), "UTF-8")
+        }
       val root = new org.yaml.snakeyaml.Yaml().load[Object](text)
       root match {
         case m: java.util.Map[_, _] =>

@@ -158,6 +158,12 @@ object Similarity {
       .localCheckpoint()
     var cents = vecs.filter(col("vid") < k)
       .select(col("vid").cast("long").as("cell_id"), col("v").as("centroid"))
+    // same guard as trainPq: sparse or non-zero-based ids would silently
+    // seed fewer than k centroids and hand back a degenerate index
+    val seeds = cents.count()
+    require(seeds == k, s"trainKmeansCentroids: expected $k seed vectors " +
+      s"with $idCol in [0, $k) but found $seeds — ids must be dense from 0 " +
+      "(or pass pre-trained centroids to buildIvfIndex)")
     for (_ <- 0 until iters) {
       val c = cents
         .withColumn("centsd", dot(col("centroid"), col("centroid")))

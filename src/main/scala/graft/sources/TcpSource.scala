@@ -39,12 +39,16 @@ class TcpSourceProvider extends TableProvider with DataSourceRegister {
 object TcpSource {
   private val listeners = new util.concurrent.ConcurrentHashMap[Int, Listener]()
 
-  def listener(port: Int, maxBuffer: Int = 65536): Listener =
+  // acquire and release both lock the map: without this, a release racing
+  // a fresh computeIfAbsent could hand the new stream a listener whose
+  // refcount just hit 0 and whose socket is closing underneath it
+  def listener(port: Int, maxBuffer: Int = 65536): Listener = listeners.synchronized {
     listeners.computeIfAbsent(port, p => new Listener(p, maxBuffer).start())
+  }
 
   /** Ref-counted release: the listener is shared per port per JVM, so the
     * server socket closes only when the LAST stream consumer stops. */
-  private[sources] def release(port: Int): Unit = {
+  private[sources] def release(port: Int): Unit = listeners.synchronized {
     val l = listeners.get(port)
     if (l != null && l.releaseRef() <= 0) {
       listeners.remove(port)
@@ -115,7 +119,15 @@ final class TcpTable(port: Int, maxBuffer: Int)
 
 final class TcpMicroBatchStream(port: Int, maxBuffer: Int)
     extends MicroBatchStream {
-  private lazy val listener = TcpSource.listener(port, maxBuffer).acquire()
+  // stop() may run without the lazy listener ever initializing (query fails
+  // before offsets are read); an unconditional release would then decrement
+  // ANOTHER stream's refcount and close the shared listener under it
+  @volatile private var acquired = false
+  private lazy val listener = {
+    val l = TcpSource.listener(port, maxBuffer).acquire()
+    acquired = true
+    l
+  }
 
   override def initialOffset(): Offset = UdpOffset(0L)
   override def latestOffset(): Offset = UdpOffset(listener.size)
@@ -126,7 +138,7 @@ final class TcpMicroBatchStream(port: Int, maxBuffer: Int)
   }
   override def commit(end: Offset): Unit =
     if (listener.singleConsumer) listener.trim(end.asInstanceOf[UdpOffset].n)
-  override def stop(): Unit = TcpSource.release(port)
+  override def stop(): Unit = if (acquired) TcpSource.release(port)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val rows = listener.slice(start.asInstanceOf[UdpOffset].n,

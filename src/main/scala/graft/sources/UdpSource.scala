@@ -49,12 +49,17 @@ object UdpSource {
   /** One listener per port per JVM; (message, addr, epochMicros) log. */
   private val buffers = new util.concurrent.ConcurrentHashMap[Int, Listener]()
 
+  // acquire and release both lock the map: without this, a release racing
+  // a fresh computeIfAbsent could hand the new stream a listener whose
+  // refcount just hit 0 and whose socket is closing underneath it
   def listener(port: Int, maxLength: Int, maxBuffer: Int = 65536): Listener =
-    buffers.computeIfAbsent(port, p => new Listener(p, maxLength, maxBuffer).start())
+    buffers.synchronized {
+      buffers.computeIfAbsent(port, p => new Listener(p, maxLength, maxBuffer).start())
+    }
 
   /** Ref-counted release: the listener is shared per port per JVM, so the
     * socket closes only when the LAST stream consumer stops. */
-  private[sources] def release(port: Int): Unit = {
+  private[sources] def release(port: Int): Unit = buffers.synchronized {
     val l = buffers.get(port)
     if (l != null && l.releaseRef() <= 0) {
       buffers.remove(port)
@@ -122,7 +127,15 @@ final class UdpTable(port: Int, maxLength: Int, addRemote: Boolean)
 
 final class UdpMicroBatchStream(port: Int, maxLength: Int, addRemote: Boolean)
     extends MicroBatchStream {
-  private lazy val listener = UdpSource.listener(port, maxLength).acquire()
+  // stop() may run without the lazy listener ever initializing (query fails
+  // before offsets are read); an unconditional release would then decrement
+  // ANOTHER stream's refcount and close the shared listener under it
+  @volatile private var acquired = false
+  private lazy val listener = {
+    val l = UdpSource.listener(port, maxLength).acquire()
+    acquired = true
+    l
+  }
 
   override def initialOffset(): Offset = UdpOffset(0L)
   override def latestOffset(): Offset = UdpOffset(listener.size)
@@ -137,7 +150,7 @@ final class UdpMicroBatchStream(port: Int, maxLength: Int, addRemote: Boolean)
   // the rows this stream has consumed).
   override def commit(end: Offset): Unit =
     if (listener.singleConsumer) listener.trim(end.asInstanceOf[UdpOffset].n)
-  override def stop(): Unit = UdpSource.release(port)
+  override def stop(): Unit = if (acquired) UdpSource.release(port)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val rows = listener.slice(start.asInstanceOf[UdpOffset].n,
