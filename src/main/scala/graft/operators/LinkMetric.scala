@@ -136,9 +136,10 @@ object LinkStatsMetric {
         else df.filter(ts >= lit(new java.sql.Timestamp(
           maxTs.getTime - c.reserveWindowSec * 1000)))
       } else df
+    val aggs = aggCols(c, bounded)
     LinkMetric.finish(bounded
       .groupBy(win +: groupFields.map(f => col(s"`$f`")): _*)
-      .agg(aggCols(c, bounded).head, aggCols(c, bounded).tail: _*))
+      .agg(aggs.head, aggs.tail: _*))
   }
 
   def streaming(c: Config)(df: DataFrame): DataFrame = {

@@ -157,24 +157,48 @@ object Sinks {
     s"$head $fieldPart $tsNanos"
   }
 
+  /** One client per executor JVM — HttpClient owns a connection pool and
+    * a selector thread; building one per partition per batch leaked both. */
+  private lazy val httpClient = java.net.http.HttpClient.newHttpClient()
+
+  /** Event-time nanos projection for the Influx sink. A time-series point
+    * must carry the EVENT's time: stamping the wall clock (the old
+    * behavior) rewrites history on any replay or backfill. Matches the
+    * reference's configurable `timestamp` key encoded as UnixNano
+    * (reference: output/influxdb_output.go:55-58,134-137); wall clock is
+    * only the fallback when the column is absent or the value is null. */
+  def influxTsNanos(df: DataFrame, tsField: String): Option[org.apache.spark.sql.Column] =
+    if (df.columns.contains(tsField))
+      Some(unix_micros(col(s"`$tsField`").cast("timestamp")) * 1000L)
+    else None
+
   private def writeInflux(conf: Map[String, Any], df: DataFrame): Unit = {
     val measurement = conf.strReq("measurement")
     val tags = conf.strSeq("tags")
     val fields = conf.strSeq("fields")
     val hosts = conf.strSeq("hosts")
     val db = conf.strReq("db")
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    val tsField = conf.str("timestamp").getOrElse("@timestamp")
+    val tsNanosCol = influxTsNanos(df, tsField)
+    val hasTs = tsNanosCol.isDefined
+    val projected = tsNanosCol.map(c => df.withColumn("__graft_ts_nanos", c)).getOrElse(df)
+    projected.foreachPartition { (rows: Iterator[Row]) =>
       val selector = new HostSelector(hosts)
       val lines = rows.map { r =>
         val tagVals = tags.map(t => t -> Option(r.getAs[Any](t)).map(_.toString).orNull)
         val fieldVals = fields.map(f => f -> r.getAs[Any](f))
-        influxLine(measurement, tagVals, fieldVals, System.currentTimeMillis() * 1000000L)
+        val nanos =
+          (if (hasTs) Option(r.getAs[Any]("__graft_ts_nanos")) else None) match {
+            case Some(n: Long) => n
+            case _ => System.currentTimeMillis() * 1000000L
+          }
+        influxLine(measurement, tagVals, fieldVals, nanos)
       }.mkString("\n")
       if (lines.nonEmpty) selector.select().foreach { host =>
         val req = java.net.http.HttpRequest.newBuilder(
             java.net.URI.create(s"$host/write?db=$db"))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(lines)).build()
-        java.net.http.HttpClient.newHttpClient()
+        httpClient
           .send(req, java.net.http.HttpResponse.BodyHandlers.discarding()): Unit
       }
     }

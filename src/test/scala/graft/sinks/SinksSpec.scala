@@ -4,6 +4,7 @@ import java.io.ByteArrayInputStream
 import java.util.concurrent.atomic.AtomicInteger
 import java.util.zip.GZIPInputStream
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class SinksSpec extends AnyFunSuite {
@@ -158,5 +159,22 @@ class SinksSpec extends AnyFunSuite {
     val line = Sinks.influxLine("cpu load", Seq("host" -> "h 1"),
       Seq("value" -> 0.5, "n" -> 3L, "s" -> "a\"b"), 1700000000000000000L)
     assert(line == "cpu\\ load,host=h\\ 1 value=0.5,n=3i,s=\"a\\\"b\" 1700000000000000000")
+  }
+
+  test("influx timestamp is the EVENT's time as UnixNano, not the wall clock") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // reference influxdb_output.go:55-58,134-137: the configured timestamp
+    // key is encoded per event; a replay must reproduce the same points
+    val micros = 1709294400123456L // 2024-03-01T12:00:00.123456Z
+    val df = Seq(1L).toDF("v")
+      .select(timestamp_micros(lit(micros)).as("@timestamp"), $"v")
+    val nanos = df.select(Sinks.influxTsNanos(df, "@timestamp").get.as("n"))
+      .as[Long].head()
+    assert(nanos == micros * 1000L)
+    val line = Sinks.influxLine("m", Nil, Seq("v" -> 1L), nanos)
+    assert(line.endsWith(s" $nanos"))
+    // no timestamp column → no event-time projection (wall-clock fallback)
+    assert(Sinks.influxTsNanos(df.select($"v"), "@timestamp").isEmpty)
   }
 }
