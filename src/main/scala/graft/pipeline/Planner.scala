@@ -171,23 +171,44 @@ object Planner {
     * synthetic metric events re-enter the pipeline; `drop_original_event:
     * false` keeps the originals flowing alongside). Batch: UNION ALL of
     * originals and metric events (missing columns null-padded). Streaming
-    * keeps the aggregate-only form — union of a raw and an aggregated
-    * stream needs a foreachBatch fan-out (SURVEY §3.3). */
+    * with re-entry runs through `runStreaming`'s stage split: the metric
+    * stage lands INSIDE foreachBatch where each micro-batch is a plain
+    * DataFrame and the same UNION ALL applies (SURVEY §3.3 fan-out). A
+    * direct `transform` of a streaming frame still cannot express it and
+    * fails fast rather than silently dropping the originals. */
   private def metricStage(df: DataFrame, cfg: LinkMetric.Config,
       batchForm: DataFrame => DataFrame,
       streamForm: DataFrame => DataFrame): DataFrame =
     if (df.isStreaming) {
-      // fail fast rather than silently dropping the originals: a raw ∪
-      // aggregated stream needs the foreachBatch fan-out of SURVEY §3.3,
-      // which this single-query chain cannot express
       if (!cfg.dropOriginalEvent) throw new IllegalArgumentException(
-        "LinkMetric: drop_original_event: false is not supported on " +
-          "streaming pipelines (the aggregated stream cannot union the raw " +
-          "events inside one streaming query; use a foreachBatch fan-out)")
+        "LinkMetric: drop_original_event: false cannot run inside a single " +
+          "streaming query (the aggregated stream cannot union the raw " +
+          "events). Planner.runStreaming handles this automatically by " +
+          "running the metric stage per micro-batch inside foreachBatch; " +
+          "use it (or startForeachBatch with streamingSplit) instead of " +
+          "transform() on the streaming frame.")
       streamForm(df)
     }
     else if (cfg.dropOriginalEvent) batchForm(df)
     else df.unionByName(batchForm(df), allowMissingColumns = true)
+
+  /** Split a stage list for streaming execution: everything before the
+    * first re-entrant metric stage (`drop_original_event: false`) runs in
+    * the streaming query proper; that stage and everything after it run
+    * per micro-batch inside foreachBatch, where the batch UNION ALL
+    * re-entry is expressible and downstream filters see originals AND
+    * metric events exactly like the reference's mid-pipeline re-injection
+    * (filter/link_metric.go:248-274, topology/filter.go:35-37). The
+    * micro-batch boundary doubles as the emission cadence, the same
+    * trigger-interval role it already plays for the bulk sinks. */
+  def streamingSplit(stages: Seq[(String, Map[String, Any])])
+      : (Seq[(String, Map[String, Any])], Seq[(String, Map[String, Any])]) = {
+    val idx = stages.indexWhere { case (n, c) =>
+      (n == "LinkMetric" || n == "LinkStatsMetric") &&
+        !c.bool("drop_original_event", true)
+    }
+    if (idx < 0) (stages, Nil) else stages.splitAt(idx)
+  }
 
   // ---- inputs -------------------------------------------------------------
 
@@ -359,16 +380,25 @@ object Planner {
     val in = pipeline.spec.inputs
       .map { case (n, c) => streamingInput(spark, n, c) }
       .reduceLeft(_.unionByName(_, allowMissingColumns = true))
-    startForeachBatch(pipeline, pipeline.transform(in), checkpoint)
+    val (streamStages, perBatchStages) = streamingSplit(pipeline.stages)
+    val streamed = streamStages.foldLeft(in) { case (d, (n, c)) => filterStage(n, c)(d) }
+    startForeachBatch(pipeline, streamed, checkpoint, perBatchStages)
   }
 
   /** foreachBatch writer over an already-transformed streaming frame —
-    * also the seam tests use to drive a MemoryStream through the chain. */
+    * also the seam tests use to drive a MemoryStream through the chain.
+    * `perBatchStages` (from `streamingSplit`) are the tail of the filter
+    * chain re-applied to every micro-batch DataFrame — the fan-out that
+    * lets a metric stage UNION ALL its synthetic events with the raw
+    * batch before the sinks see it. */
   def startForeachBatch(pipeline: Pipeline, transformed: DataFrame,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      perBatchStages: Seq[(String, Map[String, Any])] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     var w = transformed.writeStream
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
-    w.foreachBatch { (batch: DataFrame, _: Long) =>
+    w.foreachBatch { (raw: DataFrame, _: Long) =>
+      val batch = perBatchStages.foldLeft(raw) { case (d, (n, c)) => filterStage(n, c)(d) }
       pipeline.spec.outputs.foreach { case (n, c) =>
         val guarded = c.strSeq("if")
           .map(cond => ConditionFilter.compile(cond, batch))

@@ -187,6 +187,58 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(metric.length == 1 && metric.head.getLong(metric.head.fieldIndex("count")) == 2L)
   }
 
+  test("drop_original_event=false on a STREAMING run re-enters metric events (foreachBatch fan-out)") {
+    // reference: filter/link_metric.go:248-274 + topology/filter.go:35-37 —
+    // synthetic metric events re-enter the pipeline mid-chain while the
+    // originals keep flowing. Streaming mapping: streamingSplit puts the
+    // metric stage (and everything after) inside foreachBatch, where each
+    // micro-batch is a plain DataFrame and the batch UNION ALL applies.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val outDir = "/tmp/graft_reentry_out_" + System.nanoTime()
+    val yaml =
+      s"""inputs:
+         |  - Text: {path: unused}
+         |filters:
+         |  - Add:
+         |      fields: {stage_pre: ran}
+         |  - LinkMetric:
+         |      fieldsLink: event_type
+         |      batchWindow: 60
+         |      drop_original_event: false
+         |  - Add:
+         |      fields: {stage_post: ran}
+         |outputs:
+         |  - Parquet: {path: $outDir, mode: append}
+         |""".stripMargin
+    val pipeline = Planner.fromYaml(yaml)
+    val (pre, perBatch) = Planner.streamingSplit(pipeline.stages)
+    assert(pre.map(_._1) == Seq("Add") && perBatch.map(_._1) == Seq("LinkMetric", "Add"))
+
+    val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val src: org.apache.spark.sql.DataFrame = mem.toDF().toDF("@timestamp", "event_type")
+    // same wiring as Planner.runStreaming, with a MemoryStream as the input
+    val streamed = pre.foldLeft(src) { case (d, (n, c)) => Planner.filterStage(n, c)(d) }
+    assert(streamed.isStreaming)
+    val q = Planner.startForeachBatch(pipeline, streamed,
+      checkpoint = Some("/tmp/graft_reentry_ckpt_" + System.nanoTime()), perBatch)
+    try {
+      mem.addData((ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:20"), "a"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 3) // 2 originals + 1 metric event, ONE streaming run
+      val originals = out.filter(col("count").isNull).collect()
+      val metrics = out.filter(col("count").isNotNull).collect()
+      assert(originals.length == 2 && metrics.length == 1)
+      assert(metrics.head.getLong(metrics.head.fieldIndex("count")) == 2L)
+      // the post-metric filter saw BOTH originals and the re-entered metric
+      assert(out.filter(col("stage_post") === "ran").count() == 3)
+      // a second micro-batch keeps emitting per-cadence metrics
+      mem.addData((ts("2024-01-01 00:01:10"), "b"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 5)
+    } finally q.stop()
+  }
+
   test("config scrub redacts secret-ish keys") {
     val scrubbed = PipelineConfig.scrub(Map(
       "bootstrap.servers" -> "k:9092",
