@@ -262,6 +262,13 @@ object SparkEntry {
         "text", "doc_id", blockCol = "source", n = 3, threshold = 0.8)
     },
 
+    // exact duplicated-passage spans: verbatim 8-token windows shared
+    // across >= 2 docs, merged to maximal [start, end) token spans
+    "q_passage_dedup" -> { (s, dir) =>
+      graft.ml.Dedup.duplicatedPassages(Tables.load(s, dir, "documents"),
+        "text", "doc_id", k = 8, minDocs = 2)
+    },
+
     // ---- failure channel: FilterBox failTag on grok mismatch ----
     // (reference: topology/filter.go:81-91 appends failTag to `tags`)
     "q_fail_tag" -> { (s, dir) =>
@@ -372,6 +379,13 @@ object SparkEntry {
     // per-doc rare-term extraction (log-free tf-idf; see topTfidfTerms)
     "q_tfidf" -> { (s, dir) =>
       graft.ml.TextAnalysis.topTfidfTerms(
+        Tables.load(s, dir, "documents"), "text", "doc_id", k = 3)
+    },
+
+    // textbook log-weighted tf-idf; score quantized to 6 decimals so the
+    // ln() of both engines agrees bit-for-bit in the compare
+    "q_tfidf_log" -> { (s, dir) =>
+      graft.ml.TextAnalysis.topTfidfTermsLog(
         Tables.load(s, dir, "documents"), "text", "doc_id", k = 3)
     },
 
@@ -567,6 +581,31 @@ object SparkEntry {
         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "q_passage_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(toks[i+1:i+8], ' ')}
+        |    for i in range(0, greatest(len(toks)-7, 0))], recursive := true)
+        |  FROM t
+        |), dup AS (
+        |  SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |), hits AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (gram)
+        |), b AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > COALESCE(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS boundary
+        |  FROM hits
+        |), s AS (
+        |  SELECT doc_id, pos,
+        |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 8 AS BIGINT) AS span_end
+        |FROM s GROUP BY doc_id, span""".stripMargin,
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -966,6 +1005,24 @@ object SparkEntry {
         |    CAST(tf.tf * n.n AS DOUBLE) / dfreq.df AS score,
         |    CAST(row_number() OVER (PARTITION BY tf.id
         |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dfreq.df DESC, tf.token) AS INT) AS rank
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_tfidf_log" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT id, token, score, rank FROM (
+        |  SELECT tf.id, tf.token,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.id
+        |      ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) DESC,
+        |        tf.token) AS INT) AS rank
         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
         |WHERE rank <= 3""".stripMargin,
 

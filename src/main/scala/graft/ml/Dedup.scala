@@ -441,6 +441,95 @@ object Dedup {
     df.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Exact duplicated-PASSAGE detection — the substring-dedup family
+    * (suffix-array dedup a la "Deduplicating Training Data Makes Language
+    * Models Better"): minhash/simhash catch near-dup DOCUMENTS, this
+    * catches long verbatim passages shared between otherwise-distinct
+    * documents (licenses, boilerplate, quoted chunks).
+    *
+    * Scalable shape: every k-token window is fingerprinted (one zipped
+    * n-gram pass, then xxhash64 so the shuffle carries 8-byte keys),
+    * windows whose fingerprint appears in ≥ `minDocs` distinct docs are
+    * duplicated, and per doc the overlapping/abutting duplicated windows
+    * merge into maximal [span_start, span_end) token spans via a running-
+    * max window function — no self-join, no driver actions; shuffle keys
+    * are fingerprint then doc id. A suffix array finds variable-length
+    * repeats exactly; the fixed-k window form finds every repeat of
+    * length ≥ k (shorter ones are below the dedup threshold by contract)
+    * and is embarrassingly parallel.
+    *
+    * Output: (doc_id, span_start, span_end) token-offset spans, span_end
+    * exclusive. */
+  def duplicatedPassages(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val hits = duplicatedWindows(df, textCol, idCol, k, minDocs)
+      .select(col("id"), col("pos"))
+    mergeSpans(hits, k)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** (id, pos, fp) of k-token windows duplicated across ≥ minDocs docs,
+    * with per-fp ownership (`min_id`) for keep-first policies. */
+  private def duplicatedWindows(df: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocs: Int): DataFrame = {
+    // repartition spreads the gram-hashing over all cores; localCheckpoint
+    // materializes the window table once for the group and probe sides
+    val wins = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(col("id"))
+      .select(col("id"),
+        posexplode(transform(TextAnalysis.ngramsAll(col("__t"), k), g => xxhash64(g))))
+      .toDF("id", "pos", "fp")
+      .localCheckpoint()
+    val dup = wins.groupBy("fp")
+      .agg(count_distinct(col("id")).as("nd"), min(col("id")).as("min_id"))
+      .filter(col("nd") >= minDocs)
+      .select("fp", "min_id")
+    wins.join(dup, "fp")
+  }
+
+  /** Merge [pos, pos+k) windows into maximal spans per id: running max of
+    * prior window ends marks span boundaries, a running sum numbers the
+    * spans — two window passes over data already partitioned by id. */
+  private def mergeSpans(hits: DataFrame, k: Int): DataFrame = {
+    val order = Window.partitionBy("id").orderBy("pos")
+    val prior = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("boundary",
+        when(col("pos") > coalesce(max(col("pos") + k).over(prior), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("span", sum("boundary").over(order))
+      .groupBy("id", "span")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + k).cast("long").as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  /** Passage REMOVAL with keep-first policy: the min-id holder of a
+    * duplicated window keeps its text; every other doc has the merged
+    * spans cut out (tokens re-joined with single spaces). Spans per doc
+    * collect into one array (passages per doc are few — they are ≥ k
+    * tokens each, so at most |tokens|/k spans), then one codegen'd
+    * filter pass over the token array drops covered positions — no
+    * per-token join. */
+  def stripDuplicatedPassages(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val hits = duplicatedWindows(df, textCol, idCol, k, minDocs)
+      .filter(col("id") =!= col("min_id")) // first doc keeps the passage
+      .select(col("id"), col("pos"))
+    val spans = mergeSpans(hits, k)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.join(spans, df(idCol) === spans("id"), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol)).otherwise(
+          array_join(filter(tokens(col(textCol)), (tok, i) =>
+            !exists(col("__spans"), s =>
+              i >= s.getField("span_start") && i < s.getField("span_end"))),
+            " ")))
+      .drop("id", "__spans")
+  }
+
   /** Streaming exact dedup: drop re-occurrences of the key within the
     * watermark horizon — state is bounded by the lateness window
     * (Spark's dropDuplicatesWithinWatermark; the streaming analogue of

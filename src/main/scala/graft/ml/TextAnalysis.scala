@@ -175,7 +175,26 @@ object TextAnalysis {
     * driver action is the corpus count.
     */
   def topTfidfTerms(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5): DataFrame =
+    topTfidfBy(df, textCol, idCol, k) { (tf, dfq, n) =>
+      (tf * lit(n)).cast("double") / dfq
+    }
+
+  /** Standard LOG-weighted tf-idf (score = tf · ln(N/df)) beside the
+    * log-free form above. libm's ln is not bit-reproducible across math
+    * libraries, so the score is quantized to 6 decimals BEFORE ranking:
+    * sub-ulp engine differences neither reorder the top-k nor perturb the
+    * emitted value, keeping the output exactly comparable while the
+    * weighting is the textbook one. Same plan shape (no vocabulary
+    * broadcast, WindowGroupLimit top-k). */
+  def topTfidfTermsLog(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame =
+    topTfidfBy(df, textCol, idCol, k) { (tf, dfq, n) =>
+      round(tf * log(lit(n).cast("double") / dfq.cast("double")), 6)
+    }
+
+  private def topTfidfBy(df: DataFrame, textCol: String, idCol: String, k: Int)(
+      weight: (Column, Column, Long) => Column): DataFrame = {
     val n = df.count()
     val toks = df.select(col(idCol).as("id"),
         explode(tokens(lower(col(textCol)))).as("token"))
@@ -184,7 +203,7 @@ object TextAnalysis {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "token")
       .select(col("id"), col("token"),
-        ((col("tf") * lit(n)).cast("double") / col("df")).as("score"))
+        weight(col("tf"), col("df"), n).as("score"))
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn("rank", row_number().over(

@@ -284,6 +284,34 @@ class MlSpec extends SparkSpec {
     assert(kept.contains(0L) && !kept.contains(1L) && kept.contains(3L))
   }
 
+  test("duplicatedPassages finds planted shared passages as merged token spans") {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ") // 10 shared tokens
+    val corpus = Seq(
+      (0L, s"alpha beta gamma $passage tail0 tail1"),          // passage at pos 3
+      (1L, s"one two three four five $passage end"),           // passage at pos 5
+      (2L, "completely unrelated text with enough tokens here to matter"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedPassages(corpus, "text", "doc_id", k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // only windows fully inside the passage are duplicated → the merged
+    // span is exactly the passage's token range in each doc
+    assert(spans == Set((0L, 3L, 13L), (1L, 5L, 15L)))
+  }
+
+  test("stripDuplicatedPassages keeps the first doc's text, cuts the rest") {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"alpha beta gamma $passage tail0 tail1"),
+      (1L, s"one two three four five $passage end"),
+      (2L, "completely unrelated text with enough tokens here to matter"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedPassages(corpus, "text", "doc_id", k = 8)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(0L) == s"alpha beta gamma $passage tail0 tail1") // min-id keeps
+    assert(out(1L) == "one two three four five end")            // passage cut
+    assert(out(2L) == "completely unrelated text with enough tokens here to matter")
+  }
+
   test("prefix-filtered ngram jaccard equals the quadratic formulation at high thresholds") {
     // the documented guarantee is OUTPUT identical to all-pairs-within-
     // block; θ=0.9/0.7 exercise the prefix-length bound where a float
