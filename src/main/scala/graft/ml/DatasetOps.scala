@@ -1,0 +1,175 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Dataset-assembly operators for training-data pipelines: deterministic
+  * sampling / mixing, train-val-test split assignment, sequence packing
+  * into fixed token budgets, URL canonicalization, and Bloom-filter
+  * decontamination.
+  *
+  * Everything is deterministic (hash-derived, never `rand()`): re-running
+  * the pipeline over the same corpus reproduces the same sample, the same
+  * splits, and the same packing — a hard requirement when a 100-TB mix is
+  * assembled incrementally or audited after the fact. All kernels are
+  * codegen'd built-ins; the only shuffles are the ones the semantics
+  * require (packing's per-shard ordering, URL-dedup's group-by).
+  */
+object DatasetOps {
+
+  /** Deterministic per-row fraction in [0, 1): xxhash64 of the key column
+    * scattered to 9 decimal digits. The production default — keys can be
+    * any type (ids, URLs, content digests). */
+  def hash01(key: Column, seed: Int = 0): Column =
+    pmod(xxhash64(key, lit(seed)), lit(1000000000L)).cast("double") / 1e9
+
+  /** Portable low-discrepancy fraction for NUMERIC ids — the same value
+    * is computable in any ANSI SQL engine (the oracle cross-checks it),
+    * unlike xxhash64. Knuth multiplicative scatter with all intermediates
+    * bounded far under 2^63 so ANSI overflow checking never trips:
+    * u = ((id mod 2^20) * 2654435761 + seed') mod 2^32, scaled to [0,1).
+    * Ids denser than 2^20 within one group recycle fractions — use
+    * [[hash01]] outside oracle-compared paths. */
+  def portable01(id: Column, seed: Int = 0): Column =
+    pmod(pmod(id.cast("long"), lit(1048576L)) * lit(2654435761L)
+      + lit(seed.toLong * 97L + 12345L), lit(4294967296L))
+      .cast("double") / 4294967296.0
+
+  /** Weighted dataset mixing: keep each row with its group's sampling
+    * rate (e.g. {web → 0.3, books → 1.0, code → 0.8}). A pure codegen'd
+    * filter — no shuffle, no driver state; the weight table rides in the
+    * plan as a map literal. Combined with a deterministic `frac` the
+    * same mix is reproducible run-over-run, and complementary rates
+    * produce disjoint samples (u < 0.3 vs 0.3 <= u < 0.6). */
+  def sampleByWeights(df: DataFrame, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      frac: Column): DataFrame = {
+    val table =
+      if (weights.isEmpty) typedLit(Map.empty[String, Double])
+      else map(weights.toSeq.sortBy(_._1)
+        .flatMap { case (k, w) => Seq(lit(k), lit(w)) }: _*)
+    df.filter(frac < coalesce(element_at(table, col(groupCol)),
+      lit(defaultWeight)))
+  }
+
+  /** Train/val/test (or arbitrary) split assignment from cumulative
+    * fraction thresholds: `splits = Seq("train" -> 0.9, "val" -> 0.05,
+    * "test" -> 0.05)` labels u < 0.90 train, u < 0.95 val, rest test.
+    * Pure projection — rows never move; downstream writers partition by
+    * the label. Fractions must sum to ~1 (the last split absorbs any
+    * remainder). */
+  def assignSplits(df: DataFrame, frac: Column,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits: need at least one split")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), upper), rest) =>
+      when(frac < upper, name).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Sequence packing: lay documents head-to-tail per shard and cut the
+    * stream into fixed `budget`-token training contexts. Emits, per doc:
+    * `n_tokens`, `seq_start` (token offset within the shard's stream),
+    * `bin` (context index of the doc's first token), `bin_offset`
+    * (offset within that context) and `bins_spanned` (contexts the doc
+    * straddles — consumers either split the doc across contexts or
+    * re-pad, both standard).
+    *
+    * Scale shape: ONE window partition per shard (`groupCol`), ordered by
+    * id — the per-shard sort is the semantics (packing requires a total
+    * order within the stream being packed); shards are the unit of
+    * parallelism exactly as they are in a real pretraining mix. Never
+    * pack an unsharded 100-TB corpus in one window — that is a
+    * single-reducer sort by construction. */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "packSequences: budget must be positive")
+    val tok = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val prior = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tok)
+      .withColumn("seq_start",
+        coalesce(sum(col("n_tokens")).over(prior), lit(0L)))
+      .withColumn("bin", floor(col("seq_start") / budget))
+      .withColumn("bin_offset", pmod(col("seq_start"), lit(budget.toLong)))
+      .withColumn("bins_spanned",
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          floor((col("seq_start") + col("n_tokens") - 1) / budget)
+            - col("bin") + 1))
+  }
+
+  /** Canonicalize an absolute http(s) URL so trivially-distinct spellings
+    * of the same resource dedup together: lowercase scheme + host, strip
+    * the default port (http:80 / https:443), strip the fragment, drop
+    * `utm_*` tracking params, sort the remaining query params, and give
+    * bare authorities a "/" path. Pure codegen'd string/array kernels —
+    * a projection, usable inside any filter chain at full scan speed.
+    * Non-URL garbage degrades to "://" + remnants rather than throwing;
+    * feed it well-formed absolute URLs. */
+  def normalizeUrl(u0: Column): Column = {
+    val u = regexp_replace(u0, "#.*$", "") // fragment first: query regex keys off it
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(u, "^[^/]*://([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portOut = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(u, "^[^/]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val params = array_sort(filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val query = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(params, "&")))
+    concat(scheme, lit("://"), host, portOut, path, query)
+  }
+
+  /** URL-level dedup over [[normalizeUrl]]: one row per canonical URL
+    * with the smallest id as keeper and the duplicate count. Shuffle key
+    * is the canonical URL string; at web scale swap the key for its
+    * 16-byte digest the same way Dedup.exact does. */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(normalizeUrl(col(urlCol)).as("url_norm"), col(idCol).as("id"))
+      .groupBy("url_norm")
+      .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  /** Bloom-filter benchmark decontamination — the at-scale variant of
+    * Dedup.decontaminate. The exact-set broadcast caps out when the
+    * contamination set reaches ~10^8 distinct n-grams; a Bloom filter at
+    * the same count and 1% FPR is ~120 MB regardless of gram length, and
+    * false positives only ever REMOVE extra corpus docs (conservative in
+    * the decontamination direction — never leaks a benchmark doc in).
+    *
+    * Build: one pass over the benchmark set (`stat.bloomFilter` tree-
+    * aggregates partial sketches; the driver holds only the final
+    * `numBits/8`-byte sketch). Probe: the sketch embeds in the plan as a
+    * literal and every corpus doc evaluates a codegen'd
+    * `BloomFilterMightContain` over its gram hashes — no join, no
+    * shuffle; the corpus streams through a filter. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 5,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    // same shingle semantics as Dedup.decontaminate so the two variants
+    // agree except for the documented false-positive direction
+    val bf = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val hs = transform(Dedup.shingles(col(textCol), n), g => xxhash64(g))
+    val tainted = exists(hs, h =>
+      Bridge.column(BloomFilterMightContain(
+        Bridge.expression(lit(bytes)), Bridge.expression(h))))
+    corpus.filter(!coalesce(tainted, lit(false)))
+  }
+}

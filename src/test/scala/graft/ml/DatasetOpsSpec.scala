@@ -1,0 +1,107 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DatasetOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpus = (0L until 100L)
+    .map(i => (i, s"src${i % 4}", s"tok${i} " * (i % 7 + 1).toInt))
+    .toDF("doc_id", "source", "text")
+
+  test("sampleByWeights is deterministic and respects per-group rates") {
+    val frac = DatasetOps.hash01(col("doc_id"), seed = 7)
+    val keep = DatasetOps.sampleByWeights(corpus, "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5, frac)
+    val bySrc = keep.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.getOrElse("src0", 0L) == 25L) // weight 1.0 keeps all
+    assert(!bySrc.contains("src1"))            // weight 0.0 drops all
+    assert(bySrc.getOrElse("src2", 0L) > 0 && bySrc("src2") < 25) // ~half
+    // re-running produces the identical sample
+    val again = DatasetOps.sampleByWeights(corpus, "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), 0.5, frac)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == keep.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("complementary rates produce disjoint nested samples") {
+    val frac = DatasetOps.hash01(col("doc_id"), seed = 3)
+    val p30 = corpus.filter(frac < 0.3).select("doc_id").as[Long].collect().toSet
+    val p60 = corpus.filter(frac < 0.6).select("doc_id").as[Long].collect().toSet
+    assert(p30.subsetOf(p60)) // nested: raising the rate only adds docs
+  }
+
+  test("assignSplits labels by cumulative thresholds, covering every row") {
+    val out = DatasetOps.assignSplits(corpus,
+      DatasetOps.portable01(col("doc_id"), seed = 1),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 100L)
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts("train") > counts.getOrElse("val", 0L))
+  }
+
+  test("packSequences lays docs head-to-tail per shard within the budget") {
+    val docs = Seq(
+      (0L, "a", "t1 t2 t3"),       // 3 tokens, start 0, bin 0
+      (1L, "a", "t1 t2 t3 t4"),    // 4 tokens, start 3, bin 0
+      (2L, "a", "t1 t2 t3 t4 t5"), // 5 tokens, start 7, bin 0, spans into bin 1
+      (3L, "a", "t1"),             // 1 token,  start 12, bin 1
+      (4L, "b", "t1 t2"))          // other shard restarts at 0
+      .toDF("doc_id", "shard", "text")
+    val out = DatasetOps.packSequences(docs, "text", "doc_id", "shard", budget = 10)
+      .select("doc_id", "seq_start", "bin", "bin_offset", "bins_spanned")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == (0L, 0L, 0L, 0L, 1L))
+    assert(out(1L) == (1L, 3L, 0L, 3L, 1L))
+    assert(out(2L) == (2L, 7L, 0L, 7L, 2L)) // tokens 7..11 straddle the cut at 10
+    assert(out(3L) == (3L, 12L, 1L, 2L, 1L))
+    assert(out(4L) == (4L, 0L, 0L, 0L, 1L))
+  }
+
+  test("normalizeUrl canonicalizes scheme, host, port, params, fragment") {
+    val cases = Seq(
+      ("HTTPS://Example.COM:443/path?utm_source=x&b=2&a=1#frag",
+       "https://example.com/path?a=1&b=2"),
+      ("http://host.org:8080/a/b?z=1",
+       "http://host.org:8080/a/b?z=1"),  // non-default port survives
+      ("http://HOST.org:80",
+       "http://host.org/"),              // default port stripped, bare path -> /
+      ("https://h.io/?utm_campaign=c&utm_medium=m",
+       "https://h.io/"))                 // all params tracking -> no query
+    val out = cases.map(_._1).toDF("u")
+      .select(DatasetOps.normalizeUrl(col("u"))).as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) => assert(got == want) }
+  }
+
+  test("dedupByUrl groups URL spellings of the same resource") {
+    val urls = Seq(
+      (1L, "https://Example.com/x?b=2&a=1"),
+      (2L, "HTTPS://example.COM:443/x?a=1&b=2#sec"),
+      (3L, "https://example.com/y"))
+      .toDF("id", "url")
+    val out = DatasetOps.dedupByUrl(urls, "url", "id")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("https://example.com/x?a=1&b=2") == (1L, 2L))
+    assert(out("https://example.com/y") == (3L, 1L))
+  }
+
+  test("bloomDecontaminate removes benchmark-overlapping docs, keeps the rest") {
+    val passage = (1 to 10).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"clean doc with its own words one two three four five six"),
+      (1L, s"prefix words then $passage and a tail"),
+      (2L, (1 to 12).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val benchmark = Seq(Tuple1(passage)).toDF("text")
+    val kept = DatasetOps.bloomDecontaminate(corpus, benchmark,
+        "text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
+    // agrees with the exact-set variant on the same inputs
+    val exact = Dedup.decontaminate(corpus, benchmark, "text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == exact)
+  }
+}
