@@ -256,6 +256,49 @@ object Dedup {
       .filter(col("hamming") <= k)
   }
 
+  /** Hamming-k near-dup DROP with pair generation FUSED into the plan —
+    * the incremental-consumption path for `simhashHammingPairs64`, whose
+    * pair OUTPUT is inherently quadratic in cluster size. Policy is
+    * "first doc wins": a doc is dropped iff some SMALLER id sits within
+    * hamming ≤ k — exactly `dropDuplicates(df,
+    * simhashHammingPairs64(df, …), idCol)`, including on chain graphs
+    * (a<b<c with edges (a,b),(b,c) only: b and c both drop). The
+    * connected-component rep policy stays `dropDuplicatesClustered` over
+    * the explicit pairs.
+    *
+    * Scale shape: the banded candidate join's output rows flow STRAIGHT
+    * into a partial aggregate keyed on the larger id — map-side combine
+    * collapses a cluster's quadratic pair stream to one row per dropped
+    * id before anything reaches a shuffle, so every materialized frame
+    * (banded fingerprints, distinct drop-ids, the anti-join) is linear in
+    * corpus size. No first-band dedup filter needed: the aggregate
+    * absorbs multi-band collisions cheaper than the per-row chunk
+    * recomputation would. */
+  def dropDuplicatesHamming64(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, bands: Int = 8): DataFrame = {
+    require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
+    require(64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(col("id"))
+      .select(col("id"), simhash64Fingerprint(col("__t")).as("sim"))
+      .localCheckpoint() // fingerprint once; both join sides read it
+    def chunk(sim: Column, b: Int): Column =
+      shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
+    val banded = sh.select(col("id"), col("sim"),
+        posexplode(array((0 until bands).map(b => chunk(col("sim"), b)): _*)))
+      .toDF("id", "sim", "band", "chunk")
+    // hamming verify lives in the join condition; only the larger id
+    // survives into the aggregate
+    val drops = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
+          col("l.id") < col("r.id") &&
+          bit_count(col("l.sim").bitwiseXOR(col("r.sim"))) <= k)
+      .select(col("r.id").as("__drop"))
+      .distinct()
+    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Exact n-gram jaccard pairs within a blocking column, with PREFIX
     * FILTERING for candidate generation (the AllPairs/PPJoin family):
     * under a global order on shingle hashes, jaccard(a,b) ≥ θ forces
@@ -528,6 +571,49 @@ object Dedup {
               i >= s.getField("span_start") && i < s.getField("span_end"))),
             " ")))
       .drop("id", "__spans")
+  }
+
+  /** LINE-level boilerplate removal (the CCNet-family pass): any line —
+    * or delimiter-separated segment — whose NORMALIZED form (trim +
+    * lowercase) appears in ≥ `minDocs` distinct documents is boilerplate
+    * (cookie banners, site nav, license headers) and is cut from every
+    * document it appears in; line order and the spelling of surviving
+    * lines are preserved. Blank lines never count as boilerplate (they
+    * would erase formatting corpus-wide) and are always kept. Documents
+    * reduced to nothing come back with empty text, not dropped — this is
+    * a rewrite pass, not a filter.
+    *
+    * Scale shape: lines explode once behind a repartition +
+    * localCheckpoint (the count side and the rebuild side both read the
+    * materialized frame); the doc-count aggregate runs on (8-byte line
+    * hash, id) with map-side partials; the boilerplate set joins back by
+    * hash as a left_anti equi-join — no broadcast ASSUMPTION (the set is
+    * usually tiny and AQE will broadcast it, but the plan stays correct
+    * when a pathological corpus makes it large). Reassembly is an
+    * array_sort over collected (pos, line) structs per doc — no window
+    * sort. */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+      minDocs: Int = 3, delim: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(col("id"))
+      .select(col("id"),
+        posexplode(split(col("__t"), java.util.regex.Pattern.quote(delim))))
+      .toDF("id", "pos", "line")
+      .withColumn("h", xxhash64(lower(trim(col("line")))))
+      .localCheckpoint()
+    val bp = lines.filter(trim(col("line")) =!= "")
+      .select(col("h"), col("id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val rebuilt = lines.join(bp, Seq("h"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), delim).as("__cleaned"))
+    df.join(rebuilt, df(idCol) === rebuilt("id"), "left")
+      .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
+      .drop("id", "__cleaned")
   }
 
   /** Streaming exact dedup: drop re-occurrences of the key within the

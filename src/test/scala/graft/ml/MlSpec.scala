@@ -193,6 +193,57 @@ class MlSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)))
   }
 
+  test("dropDuplicatesHamming64 equals the pairs->drop path, never materializing pairs") {
+    // planted near-dup families: 0=1 (exact), 4≈5≈6 (one token swapped),
+    // plus unrelated docs — enough structure that multi-band collisions
+    // and chains both occur
+    val corpus = (0L until 40L).map { i =>
+      val fam = i % 8
+      val text =
+        if (fam <= 1) "the quick brown fox jumps over the lazy dog " + (i / 8)
+        else if (fam <= 2) s"alpha beta gamma delta epsilon zeta ${i / 8} eta theta"
+        else (0 until 12).map(t => s"w${(i * 31 + t * 7) % 97}").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val fused = Dedup.dropDuplicatesHamming64(corpus, "text", "doc_id", k = 3)
+    val pairs = Dedup.simhashHammingPairs64(corpus, "text", "doc_id", k = 3)
+    val viaPairs = Dedup.dropDuplicates(corpus, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val fusedIds = fused.select("doc_id").as[Long].collect().toSet
+    assert(fusedIds == viaPairs)
+    assert(fusedIds.nonEmpty && fusedIds.size < 40) // something actually dropped
+    // on the clique-shaped dup families the cluster-rep policy agrees too
+    val viaClusters = Dedup.dropDuplicatesClustered(corpus, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fusedIds == viaClusters)
+    // plan guard: the candidate join feeds an aggregate keyed on the drop
+    // id alone — the pair set itself never becomes a materialized frame
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate(keys=[__drop"),
+      s"expected fused join->aggregate on __drop, got:\n$plan")
+  }
+
+  test("removeBoilerplateLines cuts corpus-wide lines, keeps structure and spelling") {
+    val corpus = Seq(
+      (0L, "COOKIE BANNER\nunique body zero\nfooter 0"),
+      (1L, "cookie banner\nunique body one\n\nfooter 1"),   // case + blank line
+      (2L, "  Cookie Banner \nunique body two\nfooter 2"),  // padding normalizes away
+      (3L, "no banner here\njust text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(corpus, "text", "doc_id", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "unique body zero\nfooter 0")       // banner cut
+    assert(out(1L) == "unique body one\n\nfooter 1")      // blank line survives
+    assert(out(2L) == "unique body two\nfooter 2")
+    assert(out(3L) == "no banner here\njust text")        // untouched
+    // a doc that is ALL boilerplate comes back empty, not dropped
+    val allBp = corpus.union(Seq((4L, "cookie banner")).toDF("doc_id", "text"))
+    val out2 = Dedup.removeBoilerplateLines(allBp, "text", "doc_id", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out2(4L) == "")
+    assert(out2.keySet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("repetitionStats: boilerplate scores high, varied text scores low") {
     val corpus = Seq(
       (0L, "buy now buy now buy now buy now"),          // 'buy now' ×4
