@@ -16,6 +16,14 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // Shared memoized frames (minhash pair frame feeds q_dedup_minhash
+    // AND q_dedup_clusters) are built ONCE here and attributed to their
+    // own JSON key — otherwise the build cost lands on whichever consumer
+    // the map yields first and round-over-round comparisons drift with
+    // map order.
+    val tShared = System.nanoTime()
+    try SparkEntry.prebuildShared(spark, sfDir) catch { case _: Throwable => () }
+    val sharedSec = (System.nanoTime() - tShared) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -23,8 +31,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = (if (results.nonEmpty) results.values.sum else 0.0) + sharedSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shared":{"minhash_pairs_build":$sharedSec},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

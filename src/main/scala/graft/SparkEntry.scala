@@ -44,6 +44,16 @@ object SparkEntry {
             threshold = 0.9).localCheckpoint())
     }
 
+  /** Force-build the memoized shared frames for (session, dir). Bench
+    * times this call as its own JSON line so the per-query numbers are
+    * memo HITS for every consumer regardless of map order — without it,
+    * round-over-round comparisons depended on which consumer happened to
+    * run first and absorb the build. */
+  def prebuildShared(s: SparkSession, dir: String): Unit = {
+    sharedMinhashPairs(s, dir) // eager localCheckpoint: building IS materializing
+    ()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation core (LinkStatsMetric-style partial/final agg) ----
@@ -269,6 +279,24 @@ object SparkEntry {
         "text", "doc_id", k = 8, minDocs = 2)
     },
 
+    // CCNet-style line-level boilerplate removal: multi-line docs are
+    // synthesized (corpus text has no newlines) with a corpus-wide cookie
+    // banner (case varies per row — the normalize-then-hash must unify
+    // them), a 1-in-3 section header, the unique body, and a unique
+    // footer; lines in >= 100 docs get cut, spelling of the rest survives
+    "q_line_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id",
+        concat_ws("\n",
+          when($"doc_id" % 2 === 0, lit("Cookie Notice: We Use Cookies"))
+            .otherwise(lit("COOKIE NOTICE: WE USE COOKIES")),
+          concat(lit("Section "), ($"doc_id" % 3).cast("string")),
+          $"text",
+          concat(lit("footer id "), $"doc_id".cast("string"))).as("text"))
+      graft.ml.Dedup.removeBoilerplateLines(docs, "text", "doc_id",
+        minDocs = 100)
+    },
+
     // ---- failure channel: FilterBox failTag on grok mismatch ----
     // (reference: topology/filter.go:81-91 appends failTag to `tags`)
     "q_fail_tag" -> { (s, dir) =>
@@ -395,6 +423,61 @@ object SparkEntry {
       val docs = Tables.load(s, dir, "documents")
       graft.ml.Dedup.decontaminate(docs, docs.filter($"doc_id" < 10),
           "text", "doc_id", n = 5)
+        .select($"doc_id", $"source")
+    },
+
+    // ---- dataset assembly: deterministic mixing / splits / packing ----
+    // (portable01 hash so the oracle computes the identical fractions)
+    "q_mix_sample" -> { (s, dir) =>
+      import s.implicits._
+      graft.ml.DatasetOps.sampleByWeights(
+        Tables.load(s, dir, "documents"), "source",
+        Map("src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.0),
+        defaultWeight = 0.5,
+        graft.ml.DatasetOps.portable01($"doc_id", seed = 7))
+        .select($"doc_id", $"source")
+    },
+
+    "q_split_assign" -> { (s, dir) =>
+      import s.implicits._
+      graft.ml.DatasetOps.assignSplits(
+        Tables.load(s, dir, "documents"),
+        graft.ml.DatasetOps.portable01($"doc_id", seed = 1),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select($"doc_id", $"split")
+    },
+
+    "q_seq_pack" -> { (s, dir) =>
+      import s.implicits._
+      graft.ml.DatasetOps.packSequences(
+        Tables.load(s, dir, "documents"), "text", "doc_id", "source",
+        budget = 512)
+        .select($"doc_id", $"n_tokens", $"seq_start", $"bin", $"bin_offset",
+          $"bins_spanned")
+    },
+
+    // URL canonicalization + dedup: URLs synthesized from events columns
+    // (the corpus tables carry no URL column) — casing, default port,
+    // tracking params, fragment and param order all vary per row
+    "q_url_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", concat(
+          lit("HTTPS://Cdn.Example.COM:443/"), $"event_type",
+          lit("/p?utm_source=t&id="), ($"user_id" % 7).cast("string"),
+          lit("&x=1#s"), $"event_id".cast("string")).as("url"))
+      graft.ml.DatasetOps.dedupByUrl(ev, "url", "event_id")
+    },
+
+    // Bloom-filter decontamination (probabilistic — no SQL oracle;
+    // driver records the weaker rows-only check; DatasetOpsSpec pins the
+    // semantics against the exact-set variant)
+    "q_bloom_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      graft.ml.DatasetOps.bloomDecontaminate(docs,
+          docs.filter($"doc_id" < 10), "text", "doc_id", n = 5,
+          expectedItems = 1L << 16)
         .select($"doc_id", $"source")
     },
 
@@ -605,6 +688,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(max(pos) + 8 AS BIGINT) AS span_end
         |FROM s GROUP BY doc_id, span""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'Cookie Notice: We Use Cookies'
+        |          ELSE 'COOKIE NOTICE: WE USE COOKIES' END)
+        |    || chr(10) || 'Section ' || CAST(doc_id % 3 AS VARCHAR)
+        |    || chr(10) || text
+        |    || chr(10) || 'footer id ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+        |  FROM raw
+        |), bp AS (
+        |  SELECT lower(trim(line)) AS nl FROM lines WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 100
+        |)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM lines
+        |WHERE lower(trim(line)) NOT IN (SELECT nl FROM bp)
+        |GROUP BY doc_id""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1042,6 +1148,82 @@ object SparkEntry {
         |)
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // portable01(seed=7): ((id % 2^20) * 2654435761 + 7*97+12345) % 2^32 / 2^32
+    "q_mix_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(((doc_id % 1048576) * 2654435761 + 13024) % 4294967296 AS DOUBLE)
+        |    / 4294967296.0
+        |  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+        |    WHEN 'src2' THEN 0.0 ELSE 0.5 END""".stripMargin,
+
+    // portable01(seed=1): additive constant 1*97+12345 = 12442
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(((doc_id % 1048576) * 2654435761 + 12442) % 4294967296 AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents)""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_start
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, seq_start,
+        |  CAST(floor(seq_start / 512.0) AS BIGINT) AS bin,
+        |  seq_start % 512 AS bin_offset,
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |    ELSE CAST(floor((seq_start + n_tokens - 1) / 512.0) AS BIGINT)
+        |      - CAST(floor(seq_start / 512.0) AS BIGINT) + 1 END AS bins_spanned
+        |FROM w""".stripMargin,
+
+    "q_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT event_id,
+        |    'HTTPS://Cdn.Example.COM:443/' || event_type || '/p?utm_source=t&id='
+        |      || CAST(user_id % 7 AS VARCHAR) || '&x=1#s'
+        |      || CAST(event_id AS VARCHAR) AS u0
+        |  FROM events
+        |), nf AS (
+        |  SELECT event_id, regexp_replace(u0, '#.*$', '') AS u FROM raw
+        |), p AS (
+        |  SELECT event_id,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(u, '^[^/]*://([^/?#]*)', 1) AS hostport,
+        |    regexp_extract(u, '^[^/]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS rawq
+        |  FROM nf
+        |), q AS (
+        |  SELECT event_id, scheme,
+        |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |    list_sort(list_filter(string_split(rawq, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS params
+        |  FROM p
+        |), n AS (
+        |  SELECT event_id,
+        |    scheme || '://' || host ||
+        |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |      OR (scheme = 'https' AND port = '443') THEN ''
+        |      ELSE ':' || port END ||
+        |    path ||
+        |    CASE WHEN len(params) = 0 THEN ''
+        |      ELSE '?' || array_to_string(params, '&') END AS url_norm
+        |  FROM q
+        |)
+        |SELECT url_norm, min(event_id) AS keeper_id, count(*) AS n_dups
+        |FROM n GROUP BY url_norm""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,
