@@ -512,22 +512,32 @@ object Dedup {
   }
 
   /** (id, pos, fp) of k-token windows duplicated across ≥ minDocs docs,
-    * with per-fp ownership (`min_id`) for keep-first policies. */
+    * with per-fp ownership (`min_id`) for keep-first policies.
+    *
+    * Single-shuffle shape: the window table flows ONCE into an fp-
+    * partitioned sort and never materializes (the former groupBy + join-
+    * back needed a localCheckpoint to avoid scanning the corpus twice —
+    * at 100 TB that checkpoint is a corpus-sized write). Distinct-doc
+    * counting is skew-safe: rows sort by (fp, id), a lag boundary marks
+    * each first-row-per-doc, and a whole-partition sum counts them — no
+    * per-group set state, so a window shared by millions of docs sorts
+    * and spills instead of collecting an in-memory set. Both window
+    * passes and min_id reuse the one exchange. */
   private def duplicatedWindows(df: DataFrame, textCol: String, idCol: String,
       k: Int, minDocs: Int): DataFrame = {
-    // repartition spreads the gram-hashing over all cores; localCheckpoint
-    // materializes the window table once for the group and probe sides
-    val wins = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .repartition(col("id"))
-      .select(col("id"),
-        posexplode(transform(TextAnalysis.ngramsAll(col("__t"), k), g => xxhash64(g))))
+    val wins = df.select(col(idCol).as("id"),
+        posexplode(transform(TextAnalysis.ngramsAll(col(textCol), k), g => xxhash64(g))))
       .toDF("id", "pos", "fp")
-      .localCheckpoint()
-    val dup = wins.groupBy("fp")
-      .agg(count_distinct(col("id")).as("nd"), min(col("id")).as("min_id"))
+    val byFpOrd = Window.partitionBy("fp").orderBy("id")
+    val byFp = Window.partitionBy("fp")
+    wins
+      .withColumn("newdoc",
+        when(lag(col("id"), 1).over(byFpOrd).isNull ||
+          lag(col("id"), 1).over(byFpOrd) =!= col("id"), 1L).otherwise(0L))
+      .withColumn("nd", sum(col("newdoc")).over(byFp))
+      .withColumn("min_id", min(col("id")).over(byFp))
       .filter(col("nd") >= minDocs)
-      .select("fp", "min_id")
-    wins.join(dup, "fp")
+      .select("id", "pos", "fp", "min_id")
   }
 
   /** Merge [pos, pos+k) windows into maximal spans per id: running max of
