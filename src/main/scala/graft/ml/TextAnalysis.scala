@@ -211,6 +211,55 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Exact corpus heavy hitters: word n-grams (lowercased, whitespace
+    * tokens) occurring at least `minCount` times across the corpus.
+    * Plan shape: explode → groupBy(gram) with map-side partial
+    * aggregation — each mapper emits each distinct gram once, so shuffle
+    * volume is per-partition vocabulary, not corpus size. The threshold
+    * filter runs post-agg, so OUTPUT is bounded even when the vocabulary
+    * is not. For corpora whose per-partition vocabulary itself is the
+    * bottleneck (trillions of distinct grams at 100 TB), use
+    * [[heavyHittersApprox]], whose first-pass state is bounded by
+    * 1/support regardless of vocabulary size. */
+  def heavyHitters(df: DataFrame, textCol: String, n: Int,
+      minCount: Long): DataFrame =
+    df.select(explode(ngramsAll(lower(col(textCol)), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Web-scale heavy hitters, two passes (candidates + exact recount):
+    *
+    * Pass 1 — `stat.freqItems` (Karp/Misra-Gries streaming summary,
+    * ≤ 1/minFrac counters per partition, merged on the driver) yields a
+    * candidate SUPERSET: every gram with frequency > minFrac·total is
+    * guaranteed present. No full-vocabulary shuffle ever happens — this
+    * is the difference from [[heavyHitters]] at 100 TB, where the
+    * distinct-gram cardinality exceeds what a groupBy shuffle can carry.
+    *
+    * Pass 2 — one exact aggregate in which candidate grams keep their
+    * identity and every other gram collapses into a single NULL bucket,
+    * so the same pass yields both exact candidate counts and the exact
+    * corpus total (≤ 1/minFrac + 1 groups; the tiny localCheckpoint stops
+    * the total-sum action from re-scanning the corpus).
+    *
+    * The final strict `cnt > minFrac·total` filter makes the output
+    * EXACTLY the true heavy hitters — false-positive candidates are
+    * eliminated by their exact counts, and the oracle reproduces the
+    * result with a plain GROUP BY. */
+  def heavyHittersApprox(df: DataFrame, textCol: String, n: Int,
+      minFrac: Double): DataFrame = {
+    require(minFrac > 0 && minFrac < 1, "heavyHittersApprox: 0 < minFrac < 1")
+    val grams = df.select(explode(ngramsAll(lower(col(textCol)), n)).as("gram"))
+    val cands = grams.stat.freqItems(Seq("gram"), minFrac)
+      .head.getSeq[Any](0).map(String.valueOf(_))
+    val counted = grams
+      .groupBy(when(col("gram").isInCollection(cands), col("gram")).as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = counted.agg(sum(col("cnt"))).head.getLong(0)
+    counted.filter(col("gram").isNotNull && col("cnt") > lit(minFrac) * total)
+  }
+
   /** One-stop profile projection for a documents table. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

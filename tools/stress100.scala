@@ -54,4 +54,10 @@ t("simhash hamming pairs 500k docs (64-bit)") {
   println("[STRESS] hamming64 pairs: " +
     graft.ml.Dedup.simhashHammingPairs64(big, "text", "doc_id").count())
 }
+// fused drop: same banded join, but pairs collapse map-side into the
+// distinct drop-id aggregate - the incremental-consumption path
+t("fused hamming-64 drop (dropDuplicatesHamming64) 500k docs") {
+  println("[STRESS] survivors: " +
+    graft.ml.Dedup.dropDuplicatesHamming64(big, "text", "doc_id").count())
+}
 System.exit(0)
