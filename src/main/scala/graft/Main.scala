@@ -59,10 +59,12 @@ object Main {
       // reference hot reload: rebuild the topology from the changed file
       // and swap the running query (gohangout restarts its
       // input/filter/output chain in place)
+      // getAndSet: reload is reachable from BOTH the watcher thread and
+      // the SIGUSR1 handler — each must stop exactly the query it
+      // displaced, or two racing reloads can leak a running replacement
       val reload: () => Unit = { () =>
         val next = Planner.fromFile(configPath)
-        val old = query.get()
-        query.set(Planner.runStreaming(spark, next))
+        val old = query.getAndSet(Planner.runStreaming(spark, next))
         old.stop()
       }
       val watcher =

@@ -225,6 +225,20 @@ object SparkEntry {
       graft.ml.Dedup.simhashHammingPairs(Tables.load(s, dir, "documents"),
         "text", "doc_id", k = 3, bands = 4)
     },
+    // fused pairs→drop kernel (dropDuplicatesHamming64's plan) gated via
+    // the oracle-reproducible 32-bit md5 simhash fingerprint
+    "q_hamming_drop" -> { (s, dir) =>
+      import s.implicits._
+      graft.ml.Dedup.dropDuplicatesHammingBy(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        graft.ml.Dedup.simhash32, totalBits = 32, k = 3, bands = 4)
+        .select($"doc_id", $"source")
+    },
+    // corpus heavy hitters: exact 2-gram counts over the threshold
+    "q_heavy_hitters" -> { (s, dir) =>
+      graft.ml.TextAnalysis.heavyHitters(
+        Tables.load(s, dir, "documents"), "text", n = 2, minCount = 20L)
+    },
     "q_dedup_simhash" -> { (s, dir) =>
       graft.ml.Dedup.simhashGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
     },
@@ -469,9 +483,12 @@ object SparkEntry {
       graft.ml.DatasetOps.dedupByUrl(ev, "url", "event_id")
     },
 
-    // Bloom-filter decontamination (probabilistic — no SQL oracle;
-    // driver records the weaker rows-only check; DatasetOpsSpec pins the
-    // semantics against the exact-set variant)
+    // Bloom-filter decontamination. Probabilistic in general, but the
+    // sketch below is ~30x oversized (2^16 capacity vs ~2k inserted
+    // grams) so the effective FPR is ≪ 1e-6 and the exact-set SQL is a
+    // safe oracle at sf0.01. If a testdata regeneration ever flakes the
+    // hash compare, a Bloom false positive removed an extra doc — bump
+    // expectedItems rather than chasing an engine bug.
     "q_bloom_decontam" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
@@ -876,6 +893,42 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
 
+    // the pairs→drop policy over the same 32-bit simhash recursion: a doc
+    // drops iff some smaller id sits within hamming ≤ 3
+    "q_hamming_drop" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substring(md5(tok), 25, 8)) AS BIGINT) for tok in toks] AS hs
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, CAST(list_sum([
+        |    CASE WHEN list_sum([CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+        |      THEN 1 ELSE -1 END for h in hs]) > 0
+        |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+        |    for j in range(0, 32)]) AS BIGINT) AS sim
+        |  FROM h
+        |), drops AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT unnest([array_to_string(toks[i+1:i+2], ' ')
+        |    for i in range(0, greatest(len(toks)-1, 0))]) AS gram
+        |  FROM t
+        |)
+        |SELECT gram, count(*) AS cnt FROM g
+        |GROUP BY gram HAVING count(*) >= 20""".stripMargin,
+
     "q_dedup_simhash" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
@@ -1149,6 +1202,26 @@ object SparkEntry {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
+    // Oracle for the Bloom variant is the exact-set computation (same
+    // n=5 shingles): the sketch is oversized ~30x at this SF, so false
+    // positives are vanishingly unlikely and both variants must agree.
+    "q_bloom_decontam" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+5], ' ')
+        |    for i in range(0, greatest(len(toks)-5, 0)+1)]) AS sh
+        |  FROM t
+        |), c AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 10
+        |), flat AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM s
+        |), bad AS (
+        |  SELECT DISTINCT flat.doc_id FROM flat JOIN c USING (g)
+        |)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
     // portable01(seed=7): ((id % 2^20) * 2654435761 + 7*97+12345) % 2^32 / 2^32
     "q_mix_sample" ->
       """SELECT doc_id, source FROM documents
@@ -1179,9 +1252,11 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_start
         |  FROM t
         |)
-        |SELECT doc_id, n_tokens, seq_start,
+        |-- DuckDB's sum() OVER yields HUGEINT; cast back to BIGINT so the
+        |-- driver's value hash matches Spark's LongType output.
+        |SELECT doc_id, n_tokens, CAST(seq_start AS BIGINT) AS seq_start,
         |  CAST(floor(seq_start / 512.0) AS BIGINT) AS bin,
-        |  seq_start % 512 AS bin_offset,
+        |  CAST(seq_start % 512 AS BIGINT) AS bin_offset,
         |  CASE WHEN n_tokens = 0 THEN 0
         |    ELSE CAST(floor((seq_start + n_tokens - 1) / 512.0) AS BIGINT)
         |      - CAST(floor(seq_start / 512.0) AS BIGINT) + 1 END AS bins_spanned

@@ -64,7 +64,11 @@ object DatasetOps {
   def assignSplits(df: DataFrame, frac: Column,
       splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "assignSplits: need at least one split")
-    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // accumulate exactly: a double scan of 0.8+0.1 yields 0.9000000000000001,
+    // a one-ulp disagreement with any literal-threshold reimplementation
+    val cum = splits.scanLeft(BigDecimal(0)) { case (acc, (_, w)) =>
+      acc + BigDecimal(w.toString)
+    }.tail.map(_.toDouble)
     val expr = splits.init.zip(cum.init).foldRight(
       lit(splits.last._1): Column) { case (((name, _), upper), rest) =>
       when(frac < upper, name).otherwise(rest)
@@ -105,25 +109,29 @@ object DatasetOps {
 
   /** Canonicalize an absolute http(s) URL so trivially-distinct spellings
     * of the same resource dedup together: lowercase scheme + host, strip
-    * the default port (http:80 / https:443), strip the fragment, drop
-    * `utm_*` tracking params, sort the remaining query params, and give
-    * bare authorities a "/" path. Pure codegen'd string/array kernels —
-    * a projection, usable inside any filter chain at full scan speed.
-    * Non-URL garbage degrades to "://" + remnants rather than throwing;
-    * feed it well-formed absolute URLs. */
+    * the default port (http:80 / https:443), strip the fragment and any
+    * userinfo, drop `utm_*` tracking params, sort the remaining query
+    * params, and give bare authorities a "/" path. Built on
+    * `try_parse_url` (one RFC-grade parse instead of eight hand regexes —
+    * userinfo@ and bracketed IPv6 authorities parse correctly); still a
+    * pure projection usable inside any filter chain at full scan speed.
+    * Non-URL garbage canonicalizes to NULL (try_, never throws) — filter
+    * nulls or let them share one dedup group, as the pipeline prefers. */
   def normalizeUrl(u0: Column): Column = {
-    val u = regexp_replace(u0, "#.*$", "") // fragment first: query regex keys off it
-    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = regexp_extract(u, "^[^/]*://([^/?#]*)", 1)
-    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    def part(p: String): Column = try_parse_url(u0, lit(p))
+    val scheme = lower(part("PROTOCOL"))
+    val host = lower(part("HOST"))
+    // parse_url has no PORT part; a digits-only anchored match on the
+    // AUTHORITY is safe past userinfo colons and bracketed IPv6 literals
+    val port = regexp_extract(coalesce(part("AUTHORITY"), lit("")), ":([0-9]+)$", 1)
     val portOut = when(port === "" ||
         (scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"), lit(""))
       .otherwise(concat(lit(":"), port))
-    val rawPath = regexp_extract(u, "^[^/]*://[^/?#]*([^?#]*)", 1)
-    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val params = array_sort(filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+    val rawPath = part("PATH")
+    val path = when(rawPath.isNull || rawPath === "", lit("/")).otherwise(rawPath)
+    val params = array_sort(filter(
+      split(coalesce(part("QUERY"), lit("")), "&"),
       p => p =!= "" && !p.startsWith("utm_")))
     val query = when(size(params) === 0, lit(""))
       .otherwise(concat(lit("?"), array_join(params, "&")))
@@ -148,28 +156,45 @@ object DatasetOps {
     *
     * Build: one pass over the benchmark set (`stat.bloomFilter` tree-
     * aggregates partial sketches; the driver holds only the final
-    * `numBits/8`-byte sketch). Probe: the sketch embeds in the plan as a
-    * literal and every corpus doc evaluates a codegen'd
-    * `BloomFilterMightContain` over its gram hashes — no join, no
-    * shuffle; the corpus streams through a filter. */
+    * `numBits/8`-byte sketch). Probe, two runtime shapes by sketch size:
+    *   - below `literalMaxItems`: the sketch embeds in the plan as a
+    *     literal and every corpus doc evaluates a codegen'd
+    *     `BloomFilterMightContain` over its gram hashes — no join, no
+    *     shuffle; the corpus streams through a filter.
+    *   - at/above it (a 10^8-gram sketch is ~120 MB — too big to ship
+    *     inside every serialized task's plan): the sketch rides a Spark
+    *     broadcast variable (one torrent copy per executor) and the probe
+    *     is a short-circuiting predicate over it. Non-codegen, but the
+    *     per-row work is identical hash probes; the literal form's plan
+    *     serialization cost dominates far before codegen matters. */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 5,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+      literalMaxItems: Long = 10000000L): DataFrame = {
     // same shingle semantics as Dedup.decontaminate so the two variants
     // agree except for the documented false-positive direction
     val bf = benchmark
       .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
       .select(xxhash64(col("g")).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
     val hs = transform(Dedup.shingles(col(textCol), n), g => xxhash64(g))
-    val tainted = exists(hs, h =>
-      Bridge.column(BloomFilterMightContain(
-        Bridge.expression(lit(bytes)), Bridge.expression(h))))
+    val tainted =
+      if (expectedItems < literalMaxItems) {
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        exists(hs, h =>
+          Bridge.column(BloomFilterMightContain(
+            Bridge.expression(lit(bytes)), Bridge.expression(h))))
+      } else {
+        val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+        val probe = udf { arr: Seq[Long] =>
+          arr != null && arr.exists(bc.value.mightContainLong)
+        }
+        probe(hs)
+      }
     corpus.filter(!coalesce(tainted, lit(false)))
   }
 }

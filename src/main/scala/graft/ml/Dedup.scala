@@ -275,13 +275,24 @@ object Dedup {
     * absorbs multi-band collisions cheaper than the per-row chunk
     * recomputation would. */
   def dropDuplicatesHamming64(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, bands: Int = 8): DataFrame =
+    dropDuplicatesHammingBy(df, textCol, idCol, simhash64Fingerprint, 64, k, bands)
+
+  /** The fused drop kernel behind [[dropDuplicatesHamming64]], over an
+    * arbitrary `totalBits`-bit fingerprint of the text column. The
+    * oracle-reproducible 32-bit md5 simhash (`simhash32`) runs the SAME
+    * banded-join → drop-aggregate → anti-join plan through the driver's
+    * SQL gate (`q_hamming_drop`); production corpus dedup stays on the
+    * 64-bit xxhash64 default. */
+  def dropDuplicatesHammingBy(df: DataFrame, textCol: String, idCol: String,
+      fingerprint: Column => Column, totalBits: Int,
       k: Int = 3, bands: Int = 8): DataFrame = {
     require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
-    require(64 % bands == 0, "bands must divide 64")
-    val bits = 64 / bands
+    require(totalBits % bands == 0, "bands must divide the fingerprint width")
+    val bits = totalBits / bands
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .repartition(col("id"))
-      .select(col("id"), simhash64Fingerprint(col("__t")).as("sim"))
+      .repartition(col("id")) // spread before the hash-heavy fingerprint
+      .select(col("id"), fingerprint(col("__t")).as("sim"))
       .localCheckpoint() // fingerprint once; both join sides read it
     def chunk(sim: Column, b: Int): Column =
       shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
@@ -456,10 +467,13 @@ object Dedup {
   /** One row per cluster: representative = min id (reference policy is
     * "first doc wins"); rows not in any pair keep themselves. */
   def dropDuplicatesClustered(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
-    val reps = clusters(pairs)
-    df.join(reps, df(idCol) === reps("id"), "left")
-      .filter(col("rep").isNull || col("rep") === df(idCol))
-      .drop("id", "rep")
+    // reserved join-key names: a plain drop("id"/"rep") would also eat a
+    // caller column that happens to carry one of those names
+    val reps = clusters(pairs).select(
+      col("id").as("__graft_join_id"), col("rep").as("__graft_rep"))
+    df.join(reps, df(idCol) === col("__graft_join_id"), "left")
+      .filter(col("__graft_rep").isNull || col("__graft_rep") === df(idCol))
+      .drop("__graft_join_id", "__graft_rep")
   }
 
   /** Benchmark decontamination: drop every document sharing ANY word
@@ -573,14 +587,15 @@ object Dedup {
     val spans = mergeSpans(hits, k)
       .groupBy("id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    df.join(spans, df(idCol) === spans("id"), "left")
+      .withColumnRenamed("id", "__graft_join_id") // don't shadow a caller "id"
+    df.join(spans, df(idCol) === col("__graft_join_id"), "left")
       .withColumn(textCol,
         when(col("__spans").isNull, col(textCol)).otherwise(
           array_join(filter(tokens(col(textCol)), (tok, i) =>
             !exists(col("__spans"), s =>
               i >= s.getField("span_start") && i < s.getField("span_end"))),
             " ")))
-      .drop("id", "__spans")
+      .drop("__graft_join_id", "__spans")
   }
 
   /** LINE-level boilerplate removal (the CCNet-family pass): any line —
@@ -621,9 +636,10 @@ object Dedup {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), delim).as("__cleaned"))
-    df.join(rebuilt, df(idCol) === rebuilt("id"), "left")
+      .withColumnRenamed("id", "__graft_join_id") // don't shadow a caller "id"
+    df.join(rebuilt, df(idCol) === col("__graft_join_id"), "left")
       .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
-      .drop("id", "__cleaned")
+      .drop("__graft_join_id", "__cleaned")
   }
 
   /** Streaming exact dedup: drop re-occurrences of the key within the

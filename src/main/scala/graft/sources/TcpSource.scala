@@ -39,11 +39,13 @@ class TcpSourceProvider extends TableProvider with DataSourceRegister {
 object TcpSource {
   private val listeners = new util.concurrent.ConcurrentHashMap[Int, Listener]()
 
-  // acquire and release both lock the map: without this, a release racing
-  // a fresh computeIfAbsent could hand the new stream a listener whose
-  // refcount just hit 0 and whose socket is closing underneath it
+  // acquire and release both lock the map, and the refcount increment
+  // happens INSIDE the lock: if the caller acquired after returning, a
+  // concurrent release could drop the count to 0 and close the socket in
+  // the gap, handing out a dead listener. Every listener() call must be
+  // paired with a release(port).
   def listener(port: Int, maxBuffer: Int = 65536): Listener = listeners.synchronized {
-    listeners.computeIfAbsent(port, p => new Listener(p, maxBuffer).start())
+    listeners.computeIfAbsent(port, p => new Listener(p, maxBuffer).start()).acquire()
   }
 
   /** Ref-counted release: the listener is shared per port per JVM, so the
@@ -124,7 +126,7 @@ final class TcpMicroBatchStream(port: Int, maxBuffer: Int)
   // ANOTHER stream's refcount and close the shared listener under it
   @volatile private var acquired = false
   private lazy val listener = {
-    val l = TcpSource.listener(port, maxBuffer).acquire()
+    val l = TcpSource.listener(port, maxBuffer) // acquires inside the lock
     acquired = true
     l
   }

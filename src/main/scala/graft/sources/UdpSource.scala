@@ -49,12 +49,15 @@ object UdpSource {
   /** One listener per port per JVM; (message, addr, epochMicros) log. */
   private val buffers = new util.concurrent.ConcurrentHashMap[Int, Listener]()
 
-  // acquire and release both lock the map: without this, a release racing
-  // a fresh computeIfAbsent could hand the new stream a listener whose
-  // refcount just hit 0 and whose socket is closing underneath it
+  // acquire and release both lock the map, and the refcount increment
+  // happens INSIDE the lock: if the caller acquired after returning, a
+  // concurrent release could drop the count to 0 and close the socket in
+  // the gap, handing out a dead listener. Every listener() call must be
+  // paired with a release(port).
   def listener(port: Int, maxLength: Int, maxBuffer: Int = 65536): Listener =
     buffers.synchronized {
       buffers.computeIfAbsent(port, p => new Listener(p, maxLength, maxBuffer).start())
+        .acquire()
     }
 
   /** Ref-counted release: the listener is shared per port per JVM, so the
@@ -132,7 +135,7 @@ final class UdpMicroBatchStream(port: Int, maxLength: Int, addRemote: Boolean)
   // ANOTHER stream's refcount and close the shared listener under it
   @volatile private var acquired = false
   private lazy val listener = {
-    val l = UdpSource.listener(port, maxLength).acquire()
+    val l = UdpSource.listener(port, maxLength) // acquires inside the lock
     acquired = true
     l
   }

@@ -76,6 +76,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("jaccard_long("), plan)
   }
 
+  test("passage dedup keeps its single-shuffle window shape") {
+    // the round-4 refactor: the corpus's token windows flow through ONE
+    // fp-partitioned exchange into the lag/sum/min window stack, then one
+    // id-partitioned exchange for the span merge — no groupBy+join-back
+    // (which re-scanned the corpus) and no corpus-sized checkpoint. At
+    // 23% of the whole bench this shape must not silently regress.
+    val df = SparkEntry.queries("q_passage_dedup")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected exactly 2 exchanges (fp, id), got $exchanges:\n$plan")
+    assert(!plan.contains("Scan ExistingRDD"), // a checkpoint would scan an RDD
+      s"passage dedup re-introduced a materialization barrier:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"passage dedup re-introduced a join-back:\n$plan")
+  }
+
   test("column pruning reaches the scan for narrow projections") {
     val df = SparkEntry.queries("q_json_convert")(spark, dir)
     df.count()

@@ -223,6 +223,60 @@ class MlSpec extends SparkSpec {
       s"expected fused join->aggregate on __drop, got:\n$plan")
   }
 
+  test("dropDuplicatesHammingBy(32-bit) equals pairs->drop over simhashHammingPairs") {
+    val corpus = (0L until 30L).map { i =>
+      val text =
+        if (i % 5 <= 1) "the quick brown fox jumps over the lazy dog " + (i / 5)
+        else (0 until 10).map(t => s"w${(i * 17 + t * 3) % 71}").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val fused = Dedup.dropDuplicatesHammingBy(corpus, "text", "doc_id",
+        Dedup.simhash32, totalBits = 32, k = 3, bands = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val viaPairs = Dedup.dropDuplicates(corpus,
+        Dedup.simhashHammingPairs(corpus, "text", "doc_id", k = 3, bands = 4),
+        "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fused == viaPairs && fused.size < 30)
+  }
+
+  test("dedup join-backs never eat an unrelated caller column named 'id'") {
+    val pairs = Seq((0L, 1L, 1.0), (1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val withId = docs.withColumn("id", concat(lit("row-"), $"doc_id"))
+    val kept = Dedup.dropDuplicatesClustered(withId, pairs, "doc_id")
+    assert(kept.columns.contains("id"))
+    assert(kept.select("id").as[String].collect().toSet == Set("row-0", "row-3"))
+    // same guard for the rewrite passes
+    val stripped = Dedup.stripDuplicatedPassages(withId, "text", "doc_id", k = 8)
+    assert(stripped.columns.contains("id"))
+    val cleaned = Dedup.removeBoilerplateLines(withId, "text", "doc_id")
+    assert(cleaned.columns.contains("id"))
+  }
+
+  test("heavyHitters exact and approx paths agree and are exactly the true hitters") {
+    // corpus where 'buy now' dominates, some mid-frequency grams, a long
+    // random tail — the freqItems candidate superset must be pruned back
+    // to EXACTLY the grams over the support threshold
+    val rnd = new scala.util.Random(7)
+    val corpus = ((0 until 30).map(i => (i.toLong, "buy now " * 3 + s"filler$i")) ++
+      (30 until 40).map(i => (i.toLong, "mid freq gram here " + i)) ++
+      (40 until 140).map(i =>
+        (i.toLong, Vector.fill(8)(s"t${rnd.nextInt(500)}").mkString(" "))))
+      .toDF("doc_id", "text")
+    val exact = TextAnalysis.heavyHitters(corpus, "text", n = 2, minCount = 30L)
+      .as[(String, Long)].collect().toMap
+    assert(exact.contains("buy now") && exact("buy now") >= 60L)
+    // approx with matching support: minFrac chosen so minCount ≈ minFrac·total
+    val grams = corpus.select(explode(TextAnalysis.ngramsAll(lower($"text"), 2)))
+    val total = grams.count()
+    val minFrac = 30.0 / total
+    val approx = TextAnalysis.heavyHittersApprox(corpus, "text", n = 2, minFrac)
+      .as[(String, Long)].collect().toMap
+    // strict > vs >= at the exact boundary: compare on the common contract
+    val exactStrict = exact.filter(_._2 > minFrac * total)
+    assert(approx == exactStrict)
+  }
+
   test("removeBoilerplateLines cuts corpus-wide lines, keeps structure and spelling") {
     val corpus = Seq(
       (0L, "COOKIE BANNER\nunique body zero\nfooter 0"),

@@ -12,7 +12,8 @@ class UdpSourceSpec extends SparkSpec {
     val df = spark.readStream.format("graft-udp").option("port", port).load()
     assert(df.schema.fieldNames.toSeq == Seq("message", "remote_addr", "@timestamp"))
     // bind the listener BEFORE sending — datagrams to an unbound port are
-    // silently dropped (the whole point of UDP)
+    // silently dropped (the whole point of UDP); listener() acquires a
+    // ref, released in the outer finally
     val l = UdpSource.listener(port, 65536)
     val q = df.writeStream.format("memory").queryName("udp_in").start()
     try {
@@ -32,14 +33,14 @@ class UdpSourceSpec extends SparkSpec {
         .as[(String, String)].collect().toSet
       assert(rows.map(_._1) == Set("hello udp", "second packet"))
       assert(rows.forall(_._2 == "127.0.0.1"))
-    } finally q.stop()
+    } finally { q.stop(); UdpSource.release(port) }
   }
 
   test("tcp micro-batch source receives connection lines end-to-end") {
     val port = 30000 + scala.util.Random.nextInt(20000)
     val df = spark.readStream.format("graft-tcp").option("port", port).load()
     assert(df.schema.fieldNames.toSeq == Seq("message", "remote_addr", "@timestamp"))
-    val l = TcpSource.listener(port) // bind before the client connects
+    val l = TcpSource.listener(port) // bind before the client connects (ref released below)
     val q = df.writeStream.format("memory").queryName("tcp_in").start()
     try {
       val sock = new java.net.Socket("127.0.0.1", port)
@@ -54,7 +55,7 @@ class UdpSourceSpec extends SparkSpec {
         .as[(String, String)].collect().toSet
       assert(rows.map(_._1) == Set("hello tcp", "second line"))
       assert(rows.forall(_._2 == "127.0.0.1"))
-    } finally q.stop()
+    } finally { q.stop(); TcpSource.release(port) }
   }
 
   test("BoundedLog.appendBlocking waits for trim instead of dropping (TCP)") {

@@ -60,4 +60,19 @@ t("fused hamming-64 drop (dropDuplicatesHamming64) 500k docs") {
   println("[STRESS] survivors: " +
     graft.ml.Dedup.dropDuplicatesHamming64(big, "text", "doc_id").count())
 }
+// passage-dedup linearity: rows into the fp-partitioned sort = total
+// token-window count, so 10x vs 100x copies should time ~linearly (the
+// salting keeps cross-copy fingerprints disjoint - duplicated-span
+// structure per copy is constant)
+val big10 = (0 until 10).map(i => d1.select(
+  (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+  regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text"))).reduce(_ union _)
+t("passage dedup 50k docs (10x)") {
+  println("[STRESS] spans(10x): " +
+    graft.ml.Dedup.duplicatedPassages(big10, "text", "doc_id").count())
+}
+t("passage dedup 500k docs (100x)") {
+  println("[STRESS] spans(100x): " +
+    graft.ml.Dedup.duplicatedPassages(big, "text", "doc_id").count())
+}
 System.exit(0)
