@@ -281,6 +281,15 @@ object SparkEntry {
       graft.ml.Similarity.cosineDupPairs(Tables.load(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.4, numPlanes = 4, dim = 64)
     },
+    // SemDeDup: centroid-bucketed keep-first semantic dedup; the synthetic
+    // embeddings carry no true near-dups, so the 0.4 threshold (same as
+    // q_cosine_dup) is what makes the drop set non-trivial at this SF
+    "q_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      graft.ml.Similarity.semanticDedup(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", numCells = 16, threshold = 0.4)
+        .select($"vec_id")
+    },
     "q_ngram_jaccard" -> { (s, dir) =>
       graft.ml.Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
         "text", "doc_id", blockCol = "source", n = 3, threshold = 0.8)
@@ -665,6 +674,30 @@ object SparkEntry {
         |         list_reduce(list_zip(t.v, t.v).apply(x -> x[1]*x[2]), (x,y) -> x+y)) AS sim
         |  FROM b a JOIN b t ON a.bucket = t.bucket AND a.vec_id < t.vec_id)
         |WHERE sim >= 0.4""".stripMargin,
+
+    // SemDeDup: the asg CTE mirrors q_ann_ivf's seeded-centroid
+    // assignment (same csim tie-break), then keep-first drop within cells
+    "q_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, v AS cent FROM c WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT c.vec_id, c.v, cents.cell_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_reduce(list_zip(c.v, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |        sqrt(list_reduce(list_zip(c.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |             list_reduce(list_zip(cents.cent, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b))
+        |        DESC, cents.cell_id) AS rn
+        |    FROM c, cents) WHERE rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_zip(a.v, b.v).apply(x -> x[1]*x[2]), (x,y) -> x+y) /
+        |    sqrt(list_reduce(list_zip(a.v, a.v).apply(x -> x[1]*x[2]), (x,y) -> x+y) *
+        |         list_reduce(list_zip(b.v, b.v).apply(x -> x[1]*x[2]), (x,y) -> x+y)) >= 0.4
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH t AS (

@@ -354,6 +354,39 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "sim")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): bucket the corpus by nearest coarse centroid, then
+    * inside each bucket drop every doc whose embedding sits within
+    * cosine ≥ `threshold` of an EARLIER (smaller-id) doc — the policy
+    * that catches paraphrases and translations no token-level dedup
+    * sees. Keep-first matches `dropDuplicatesHamming64`'s contract,
+    * chains included (a<b<c with edges (a,b),(b,c): b and c drop).
+    *
+    * Scale shape: the assignment is the IVF build (one broadcast cross
+    * join against `numCells` centroids — never corpus×corpus); the pair
+    * join is quadratic only WITHIN a cell, which is the SemDeDup design
+    * point — pick numCells ≈ n/10⁴ (paper setting) so cells stay
+    * bounded, or pass k-means `centroids` from
+    * [[trainKmeansCentroids]]. The cosine verify lives in the join
+    * condition and survivors collapse map-side into the distinct
+    * drop-id aggregate, so no quadratic pair set is ever materialized
+    * (same fused shape as Dedup.dropDuplicatesHammingBy). */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      numCells: Int = 16, threshold: Double = 0.95,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val assigned = buildIvfIndex(df, vecCol, idCol, numCells, centroids)
+      .assigned.localCheckpoint() // assign once; both pair-join sides read it
+    val drops = assigned.as("l").join(assigned.as("r"),
+        col("l.cell_id") === col("r.cell_id") &&
+          col("l.vec_id") < col("r.vec_id") &&
+          dot(col("l.cv"), col("r.cv")) /
+            sqrt(col("l.csd") * col("r.csd")) >= threshold)
+      .select(col("r.vec_id").as("__drop"))
+      .distinct()
+    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * SRP bucket (same-bucket pairs only — the LSH analogue for vectors). */
   def cosineDupPairs(df: DataFrame, vecCol: String, idCol: String,

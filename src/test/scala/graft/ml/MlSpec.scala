@@ -253,6 +253,24 @@ class MlSpec extends SparkSpec {
     assert(cleaned.columns.contains("id"))
   }
 
+  test("semanticDedup drops later members of embedding clusters, keeps distinct docs") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 24L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // planted paraphrases: positively scaled copies sit at cosine exactly 1
+    // with their originals (and assign to the same cell — the centroid
+    // argmax is scale-invariant)
+    val copies = Seq(
+      (100L, base(3)._2.map(x => x * 2.0f)),
+      (101L, base(7)._2.map(x => x * 0.5f)))
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(emb, "embedding", "vec_id",
+        numCells = 4, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(100L) && !kept.contains(101L)) // copies drop
+    assert((0L until 24L).toSet.subsetOf(kept))          // originals all keep
+  }
+
   test("heavyHitters exact and approx paths agree and are exactly the true hitters") {
     // corpus where 'buy now' dominates, some mid-frequency grams, a long
     // random tail — the freqItems candidate superset must be pruned back
