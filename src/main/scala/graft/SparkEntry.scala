@@ -239,6 +239,13 @@ object SparkEntry {
       graft.ml.TextAnalysis.heavyHitters(
         Tables.load(s, dir, "documents"), "text", n = 2, minCount = 20L)
     },
+    // two-pass freqItems path: candidates + exact recount. By design the
+    // output is EXACTLY the true heavy hitters above minFrac·total, so the
+    // plain GROUP BY oracle applies verbatim.
+    "q_heavy_hitters_approx" -> { (s, dir) =>
+      graft.ml.TextAnalysis.heavyHittersApprox(
+        Tables.load(s, dir, "documents"), "text", n = 2, minFrac = 0.0005)
+    },
     "q_dedup_simhash" -> { (s, dir) =>
       graft.ml.Dedup.simhashGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
     },
@@ -379,6 +386,22 @@ object SparkEntry {
       graft.ml.Multimodal.decodeStub(media)
         .select(col("media_id"), col("byte_len"), col("width"), col("height"),
           col("channels"), col("content_md5"))
+    },
+    // the mapPartitions decode SEAM itself (one decoder per partition),
+    // gated through the deterministic StubDecoder whose md5 arithmetic the
+    // oracle reproduces — q_multimodal covers only the expression-level stub
+    "q_multimodal_meta" -> { (s, dir) =>
+      val media = graft.ml.Multimodal.fromText(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+      graft.ml.Multimodal.decodePartitions(media)
+        .select(col("media_id"),
+          col("meta.media_type").as("media_type"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.channels").as("channels"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"))
     },
 
     "q_rolling_fp" -> { (s, dir) =>
@@ -962,6 +985,21 @@ object SparkEntry {
         |SELECT gram, count(*) AS cnt FROM g
         |GROUP BY gram HAVING count(*) >= 20""".stripMargin,
 
+    // heavyHittersApprox outputs EXACTLY the true heavy hitters (candidates
+    // from freqItems are a guaranteed superset; the exact recount + strict
+    // threshold eliminates false positives), so the oracle is a plain
+    // GROUP BY with the strict fraction-of-total threshold.
+    "q_heavy_hitters_approx" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT unnest([array_to_string(toks[i+1:i+2], ' ')
+        |    for i in range(0, greatest(len(toks)-1, 0))]) AS gram
+        |  FROM t
+        |), tot AS (SELECT count(*) AS c FROM g)
+        |SELECT gram, count(*) AS cnt FROM g
+        |GROUP BY gram HAVING count(*) > 0.0005 * (SELECT c FROM tot)""".stripMargin,
+
     "q_dedup_simhash" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
@@ -1034,6 +1072,21 @@ object SparkEntry {
         |  CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 512 + 1 AS INT) AS height,
         |  CAST(CAST(('0x' || substring(md5(text), 9, 1)) AS BIGINT) % 4 + 1 AS INT) AS channels,
         |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+
+    // StubDecoder mirrors decodeStub's md5 arithmetic plus fixed audio
+    // fields (16 kHz, duration = bytes·1000/16000 in integer division) —
+    // both engines floor the non-negative division identically.
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  'image' AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 512 + 1 AS INT) AS width,
+        |  CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 512 + 1 AS INT) AS height,
+        |  CAST(CAST(('0x' || substring(md5(text), 9, 1)) AS BIGINT) % 4 + 1 AS INT) AS channels,
+        |  CAST(16000 AS INT) AS sample_rate,
+        |  CAST(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 1000 // 16000 AS BIGINT)
+        |    AS duration_ms
         |FROM documents""".stripMargin,
 
     "q_rolling_fp" ->

@@ -109,18 +109,19 @@ object Multimodal {
     * Payload bytes never survive past this operator — the output row is
     * metadata-only, so whatever shuffles next is narrow. */
   def decodePartitions(df: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
-    val spark = df.sparkSession
-    val inEncoder = org.apache.spark.sql.Encoders.row(df.schema)
     val outSchema = StructType(Seq(
       StructField("media_id", df.schema("media_id").dataType),
       StructField("meta", metaSchema)))
-    val rdd = df.select("media_id", "media_type", "content")
+    // the OUTPUT schema's encoder, declared up front — the previous
+    // createDataFrame round-trip only worked because EliminateSerialization
+    // happened to cancel the mismatched input encoder
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select("media_id", "media_type", "content")
       .mapPartitions { rows =>
         val d = decoder // one per partition; real libs init native state here
         rows.map { r =>
           Row(r.get(0), d.decode(r.getString(1), r.getAs[Array[Byte]](2)))
         }
-      }(inEncoder.asInstanceOf[org.apache.spark.sql.Encoder[Row]])
-    spark.createDataFrame(rdd.rdd, outSchema)
+      }(outEncoder)
   }
 }
