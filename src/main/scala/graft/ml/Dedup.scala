@@ -44,6 +44,17 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("string")).as("content_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("cnt"))
 
+  /** Keep-first EXACT dedup as a corpus transform: drop every row whose
+    * text matches an earlier (smaller-id) row byte-for-byte. One window
+    * pass whose shuffle key is the 16-byte md5 digest — the text itself
+    * never keys a shuffle — and no join-back. The aggregate view of the
+    * same policy (representative + count per group) is [[exact]]. */
+  def dropDuplicatesExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("string"))).orderBy(col(idCol))
+    df.withColumn("__graft_rank", row_number().over(w))
+      .filter(col("__graft_rank") === 1).drop("__graft_rank")
+  }
+
   /** Order-insensitive token-set fingerprint (sorted distinct tokens). */
   def fingerprintCol(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))

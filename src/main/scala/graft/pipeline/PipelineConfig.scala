@@ -70,6 +70,8 @@ object PipelineConfig {
       m.get(k).map(_.toString.toLong).getOrElse(default)
     def bool(k: String, default: Boolean): Boolean =
       m.get(k).map(_.toString.toBoolean).getOrElse(default)
+    def dbl(k: String, default: Double): Double =
+      m.get(k).map(_.toString.toDouble).getOrElse(default)
     def strSeq(k: String): Seq[String] =
       m.get(k).map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
     def anyMap(k: String): Map[String, Any] =

@@ -163,7 +163,115 @@ object Planner {
         df => if (df.isStreaming) LinkMetricExact.streaming(cfg)(df)
               else LinkMetric.batch(LinkMetric.Config(cfg.fieldsLink,
                 cfg.batchWindowSec, cfg.reserveWindowSec, cfg.tsColumn))(df)
+      case name if CorpusStages.contains(name) =>
+        if (ifConds.nonEmpty || addFields.nonEmpty || removeFields.nonEmpty ||
+            failTag.nonEmpty)
+          sys.error(s"$name is a corpus-level stage: the per-event box " +
+            "options (if / add_fields / remove_fields / failTag) do not " +
+            "apply — filter or enrich with a preceding stage instead")
+        corpusStage(name, conf)
       case other => sys.error(s"unknown filter '$other'")
+    }
+  }
+
+  // ---- corpus-level stages (LLM-data operator family) -----------------------
+
+  private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
+    "AssignSplits", "PackSequences", "UrlDedup", "TextProfile")
+
+  /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
+    * way the reference registers every filter
+    * (reference: filter/filter.go:16-22) — so a config-driven user can run
+    * a clean → dedup → decontaminate → mix assembly through `graft.Main`
+    * without touching the Scala API. Unlike per-event filters these change
+    * corpus CARDINALITY (dedup drops rows, mix samples), so the FilterBox
+    * options are rejected rather than silently misapplied.
+    *
+    * Shared keys: `src` (text column, default "text"), `id_field`
+    * (default "id"). Each stage is a thin shim over the library call —
+    * semantics, plan shape, and specs live with the operators. */
+  def corpusStage(name: String, conf: Map[String, Any]): DataFrame => DataFrame = {
+    val text = conf.str("src").getOrElse("text")
+    val id = conf.str("id_field").getOrElse("id")
+    name match {
+      case "Dedup" => conf.str("method").getOrElse("exact") match {
+        case "exact" =>
+          df => graft.ml.Dedup.dropDuplicatesExact(df, text, id)
+        case "minhash" =>
+          df => graft.ml.Dedup.dropDuplicates(df,
+            graft.ml.Dedup.minhashPairs(df, text, id,
+              conf.int("shingle_size", 3), conf.int("num_hashes", 64),
+              conf.int("bands", 32), conf.dbl("threshold", 0.9)), id)
+        case "hamming" =>
+          df => graft.ml.Dedup.dropDuplicatesHamming64(df, text, id,
+            conf.int("k", 3), conf.int("bands", 8))
+        case other => sys.error(
+          s"Dedup method must be exact|minhash|hamming, got '$other'")
+      }
+      case "Decontaminate" =>
+        // `benchmark` is an input spec like the top-level `inputs` entries:
+        // {input: Parquet, path: …} — plus an optional `src` naming the
+        // benchmark frame's text column when it differs from the corpus's
+        val bm = conf.anyMap("benchmark")
+        if (bm.isEmpty) sys.error("Decontaminate needs a `benchmark` input " +
+          "spec, e.g. benchmark: {input: Parquet, path: /data/bench.parquet}")
+        val n = conf.int("ngram", 5)
+        df => {
+          val loaded = input(df.sparkSession, bm.strReq("input"), bm)
+          val bench = bm.str("src").filter(_ != text)
+            .map(loaded.withColumnRenamed(_, text)).getOrElse(loaded)
+          conf.str("method").getOrElse("exact") match {
+            case "exact" =>
+              graft.ml.Dedup.decontaminate(df, bench, text, id, n)
+            case "bloom" =>
+              graft.ml.DatasetOps.bloomDecontaminate(df, bench, text, id, n,
+                conf.long("expected_items", 1L << 20), conf.dbl("fpp", 0.01))
+            case other => sys.error(
+              s"Decontaminate method must be exact|bloom, got '$other'")
+          }
+        }
+      case "Mix" =>
+        val group = conf.strReq("group_field")
+        val weights = conf.strMap("weights").map { case (k, v) => k -> v.toDouble }
+        val defaultW = conf.dbl("default_weight", 1.0)
+        val seed = conf.int("seed", 0)
+        df => graft.ml.DatasetOps.sampleByWeights(df, group, weights, defaultW,
+          graft.ml.DatasetOps.hash01(col(s"`${conf.str("key_field").getOrElse(id)}`"), seed))
+      case "AssignSplits" =>
+        // ordered single-entry maps, like the filter list itself:
+        //   splits: [{train: 0.9}, {val: 0.05}, {test: 0.05}]
+        val splits = conf.getOrElse("splits",
+          sys.error("AssignSplits needs `splits`, e.g. " +
+            "splits: [{train: 0.9}, {val: 0.05}, {test: 0.05}]"))
+          .asInstanceOf[Seq[Any]].map {
+            case m: Map[_, _] if m.size == 1 =>
+              val (k, v) = m.head
+              k.toString -> v.toString.toDouble
+            case other => sys.error(s"bad splits entry (want {name: frac}): $other")
+          }
+        val seed = conf.int("seed", 0)
+        val target = conf.str("target").getOrElse("split")
+        df => graft.ml.DatasetOps.assignSplits(df,
+          graft.ml.DatasetOps.hash01(col(s"`${conf.str("key_field").getOrElse(id)}`"), seed),
+          splits, target)
+      case "PackSequences" =>
+        df => graft.ml.DatasetOps.packSequences(df, text, id,
+          conf.strReq("group_field"), conf.int("budget", 2048))
+      case "UrlDedup" =>
+        val url = conf.str("src").getOrElse("url")
+        conf.str("mode").getOrElse("drop") match {
+          case "drop" => // keep only each canonical URL's min-id row
+            df => df.join(
+              graft.ml.DatasetOps.dedupByUrl(df, url, id)
+                .select(col("keeper_id").as(id)),
+              Seq(id), "left_semi")
+          case "summary" => // the aggregate view (url_norm, keeper_id, n_dups)
+            df => graft.ml.DatasetOps.dedupByUrl(df, url, id)
+          case other => sys.error(s"UrlDedup mode must be drop|summary, got '$other'")
+        }
+      case "TextProfile" =>
+        df => graft.ml.TextAnalysis.profile(df, text)
+      case other => sys.error(s"unknown corpus stage '$other'")
     }
   }
 
