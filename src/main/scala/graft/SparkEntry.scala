@@ -1348,6 +1348,12 @@ object SparkEntry {
         |      - CAST(floor(seq_start / 512.0) AS BIGINT) + 1 END AS bins_spanned
         |FROM w""".stripMargin,
 
+    // NOTE: this oracle re-derives normalization with regexes and is only
+    // equivalent to the try_parse_url-based normalizeUrl on WELL-FORMED
+    // urls like the synthesized set below — userinfo@host, bracketed
+    // IPv6, and unparseable strings diverge (normalizeUrl handles them
+    // via the real parser; the regexes here would not). Those paths are
+    // covered value-by-value in DatasetOpsSpec instead.
     "q_url_dedup" ->
       """WITH raw AS (
         |  SELECT event_id,

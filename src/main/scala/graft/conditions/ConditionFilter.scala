@@ -40,23 +40,78 @@ object ConditionFilter {
   private val TplEqNum =
     """^\{\{\s*if\s+eq\s+(\.[\w.@-]+)\s+([-0-9.]+)\s*\}\}y\{\{\s*end\s*\}\}$""".r
 
+  private val TplIf =
+    """(?s)^\{\{\s*if\s+(.+?)\s*\}\}(.*?)(?:\{\{\s*else\s*\}\}(.*?))?\{\{\s*end\s*\}\}$""".r
+
   /** Template conditions (reference: condition_filter/filter.go:23-41 —
-    * render the Go template, pass when the result is "y"). We support the
-    * documented forms `{{if .a.b}}y{{end}}` (Go truthiness: present,
-    * non-empty, non-zero) and `{{if eq .a.b <lit>}}y{{end}}`; anything
-    * fancier belongs in the DSL, which the reference itself recommends
-    * over templates for speed (README.md:609). */
+    * render the Go template, pass when the result equals "y").
+    *
+    * Three regex fast paths cover the documented forms; beyond them the
+    * RENDER-AND-COMPARE fallback mirrors the reference exactly: a single
+    * (non-nested) `{{if COND}}THEN{{else}}ELSE{{end}}` compiles COND to a
+    * boolean Column (Go truthiness, the six template comparisons, not,
+    * contains/hasprefix/hassuffix), renders each branch through the
+    * shared template renderer, and passes iff the rendered string is
+    * "y"; a template with no `if` block at all renders whole and
+    * compares (`{{.flag}}` passes iff the field holds "y"). Nested `if`
+    * and parenthesized and/or pipelines stay unsupported — rewrite in
+    * the DSL, which the reference's own README recommends over templates
+    * for speed (README.md:609); see MIGRATION.md for the rewrites. */
   private def templateCondition(t: String, df: DataFrame): Column = {
     def path(p: String): Column =
       graft.paths.FieldPath.resolveSegs(df,
         p.stripPrefix(".").split('.').toSeq.map(graft.paths.FieldPath.Key))
         .map(_._1).getOrElse(lit(null))
+    // Go-template truthiness as the reference's events see it (JSON
+    // numbers render as their string image, so "0" is the zero value)
+    def truthy(c: Column): Column =
+      c.isNotNull && c.cast("string") =!= "" && c.cast("string") =!= "0"
+    def condExpr(body: String): Column = {
+      val toks = """"[^"]*"|\S+""".r.findAllIn(body).toSeq
+      def isQuoted(x: String) = x.startsWith("\"") && x.endsWith("\"")
+      def isNum(x: String) = scala.util.Try(x.toDouble).isSuccess
+      def cmp(a: String, b: String)(f: (Column, Column) => Column): Column =
+        if (isQuoted(a) || isQuoted(b)) {
+          def s(x: String) =
+            if (isQuoted(x)) lit(x.substring(1, x.length - 1)) else path(x).cast("string")
+          f(s(a), s(b))
+        } else if (isNum(a) || isNum(b)) {
+          def n(x: String) = if (isNum(x)) lit(x.toDouble) else path(x).cast("double")
+          f(n(a), n(b))
+        } else f(path(a), path(b))
+      toks match {
+        case Seq(p) if p.startsWith(".") => truthy(path(p))
+        case Seq("not", rest @ _*) => !condExpr(rest.mkString(" "))
+        case Seq("eq", a, b) => cmp(a, b)(_ === _)
+        case Seq("ne", a, b) => cmp(a, b)(_ =!= _)
+        case Seq("lt", a, b) => cmp(a, b)(_ < _)
+        case Seq("le", a, b) => cmp(a, b)(_ <= _)
+        case Seq("gt", a, b) => cmp(a, b)(_ > _)
+        case Seq("ge", a, b) => cmp(a, b)(_ >= _)
+        case Seq("contains", s, sub) =>
+          cmp(s, sub)((a, b) => a.cast("string").contains(b.cast("string")))
+        case Seq("hasprefix", s, p) =>
+          cmp(s, p)((a, b) => a.cast("string").startsWith(b.cast("string")))
+        case Seq("hassuffix", s, p) =>
+          cmp(s, p)((a, b) => a.cast("string").endsWith(b.cast("string")))
+        case other =>
+          sys.error(s"unsupported template if-condition '${other.mkString(" ")}'")
+      }
+    }
+    // a branch renders through the shared template machinery ({{.field}}
+    // interpolation etc.); plain text is its own literal
+    def branch(b: String): Column =
+      graft.render.Render.compile(b)(df).cast("string")
     t match {
-      case TplExist(p) =>
-        val c = path(p)
-        c.isNotNull && c.cast("string") =!= "" && c.cast("string") =!= "0"
+      case TplExist(p) => truthy(path(p))
       case TplEqStr(p, s) => path(p).cast("string") === lit(s)
       case TplEqNum(p, n) => path(p).cast("double") === lit(n.toDouble)
+      case TplIf(c, thenB, elseB) if !thenB.contains("{{if") =>
+        val rendered = when(condExpr(c), branch(thenB))
+          .otherwise(branch(Option(elseB).getOrElse("")))
+        coalesce(rendered, lit("")) === "y"
+      case flat if !flat.contains("{{if") =>
+        coalesce(branch(flat), lit("")) === "y"
       case other => sys.error(s"unsupported template condition '$other'")
     }
   }

@@ -166,7 +166,16 @@ object DatasetOps {
     *     broadcast variable (one torrent copy per executor) and the probe
     *     is a short-circuiting predicate over it. Non-codegen, but the
     *     per-row work is identical hash probes; the literal form's plan
-    *     serialization cost dominates far before codegen matters. */
+    *     serialization cost dominates far before codegen matters.
+    *
+    * Broadcast lifetime: the sketch broadcast is held by the returned
+    * plan's probe closure. Executors keep their ~120 MB copy until the
+    * caller drops the DataFrame, after which the ContextCleaner
+    * garbage-collects the broadcast fleet-wide — so a long-lived session
+    * looping over corpora should not retain old frames (or should call
+    * `spark.sparkContext.broadcast`-level cleanup via dropping
+    * references); sketches do NOT accumulate for the app lifetime unless
+    * the frames themselves are retained. */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 5,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01,

@@ -120,7 +120,12 @@ object Multimodal {
       .mapPartitions { rows =>
         val d = decoder // one per partition; real libs init native state here
         rows.map { r =>
-          Row(r.get(0), d.decode(r.getString(1), r.getAs[Array[Byte]](2)))
+          val bytes = r.getAs[Array[Byte]](2)
+          // null payload/type → null meta, not a partition-killing NPE:
+          // at corpus scale a few corrupt rows are a certainty and the
+          // decoder contract stays "non-null bytes in"
+          if (bytes == null || r.isNullAt(1)) Row(r.get(0), null)
+          else Row(r.get(0), d.decode(r.getString(1), bytes))
         }
       }(outEncoder)
   }

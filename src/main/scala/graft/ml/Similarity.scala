@@ -47,8 +47,15 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.ArrayFns.dotD(a.cast("array<double>"), b.cast("array<double>"))
 
+  /** num / denom with a NULL (never ANSI-throwing) zero denominator: a
+    * zero-norm vector yields null similarity — ranked last by the
+    * NULLS LAST desc windows, never ≥ any threshold — instead of one
+    * degenerate row killing a corpus-scale job under ANSI mode. */
+  private[ml] def overNorm(num: Column, denom: Column): Column =
+    num / nullif(denom, lit(0d))
+
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    overNorm(dot(a, b), sqrt(dot(a, a) * dot(b, b)))
 
   /** Brute-force cosine top-k of `corpus` for each row of `queries`.
     * The query side is broadcast — the corpus side is scanned once. */
@@ -62,7 +69,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("csd", dot(col("cv"), col("cv")))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("sim", dot(col("qv"), col("cv")) / sqrt(col("qsd") * col("csd")))
+      .withColumn("sim", overNorm(dot(col("qv"), col("cv")), sqrt(col("qsd") * col("csd"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -111,7 +118,7 @@ object Similarity {
       srpBucket(col(vecCol), numPlanes, dim).as("bucket"),
       dot(col(vecCol), col(vecCol)).as("qsd"))
     val scored = c.join(broadcast(q), "bucket")
-      .withColumn("sim", dot(col("qv"), col("cv")) / sqrt(col("qsd") * col("csd")))
+      .withColumn("sim", overNorm(dot(col("qv"), col("cv")), sqrt(col("qsd") * col("csd"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -170,7 +177,7 @@ object Similarity {
       val wAssign = Window.partitionBy("vid").orderBy(col("csim").desc, col("cell_id"))
       val assigned = vecs.crossJoin(broadcast(c))
         .withColumn("csim",
-          dot(col("v"), col("centroid")) / sqrt(col("vsd") * col("centsd")))
+          overNorm(dot(col("v"), col("centroid")), sqrt(col("vsd") * col("centsd"))))
         .withColumn("crank", row_number().over(wAssign))
         .filter(col("crank") === 1)
         .select(col("cell_id"), col("v"))
@@ -191,16 +198,35 @@ object Similarity {
     // downstream costs one dot product instead of three — same doubles
     // multiplied in the same order, so sim values are bit-identical
     val cents = centroids
-      .getOrElse(corpus.filter(col(idCol) < numCells)
-        .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("centroid")))
+      .getOrElse {
+        // same guard as trainKmeansCentroids/trainPq: sparse, non-dense or
+        // duplicated ids would silently seed a degenerate index (fewer
+        // cells than asked — in the worst case zero, making downstream
+        // semanticDedup a silent no-op)
+        val seeded = corpus.filter(col(idCol) < numCells)
+          .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("centroid"))
+        val n = seeded.count()
+        require(n == numCells, s"buildIvfIndex: seeded-centroid path " +
+          s"expects $numCells distinct ids in [0, $numCells) but found $n — " +
+          "ids must be dense from 0, or pass trained `centroids` " +
+          "(e.g. trainKmeansCentroids)")
+        seeded
+      }
       .select(col("cell_id"), col("centroid"),
         dot(col("centroid"), col("centroid")).as("centsd"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
-    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+    // cv is cast to double ONCE here: every downstream consumer (probe
+    // scoring, semanticDedup's quadratic within-cell join condition)
+    // calls dot(), whose array<double> cast then folds to a no-op.
+    // Without this the cast re-allocates both arrays PER PAIR inside the
+    // join condition — measured 10×+ on hot cells (stress_semdedup).
+    // Same doubles either way, so sims stay bit-identical.
+    val assigned = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("cv"),
         dot(col(vecCol), col(vecCol)).as("csd"))
       .crossJoin(broadcast(cents))
       .withColumn("csim",
-        dot(col("cv"), col("centroid")) / sqrt(col("csd") * col("centsd")))
+        overNorm(dot(col("cv"), col("centroid")), sqrt(col("csd") * col("centsd"))))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("cv"), col("csd"), col("cell_id"))
@@ -218,13 +244,13 @@ object Similarity {
       .withColumn("qsd", dot(col("qv"), col("qv")))
       .crossJoin(broadcast(index.centroids))
       .withColumn("csim",
-        dot(col("qv"), col("centroid")) / sqrt(col("qsd") * col("centsd")))
+        overNorm(dot(col("qv"), col("centroid")), sqrt(col("qsd") * col("centsd"))))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("qsd"), col("cell_id"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     index.assigned.join(broadcast(probes), "cell_id")
-      .withColumn("sim", dot(col("qv"), col("cv")) / sqrt(col("qsd") * col("csd")))
+      .withColumn("sim", overNorm(dot(col("qv"), col("cv")), sqrt(col("qsd") * col("csd"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "rank", "sim")
@@ -237,7 +263,7 @@ object Similarity {
     val v = vec.cast("array<double>")
     val s = array_max(transform(v, x => abs(x)))
     struct(
-      transform(v, x => round(x * 127.0 / s).cast("int")).as("q"),
+      transform(v, x => round(x * 127.0 / nullif(s, lit(0d))).cast("int")).as("q"),
       s.as("scale"))
   }
 
@@ -371,17 +397,60 @@ object Similarity {
     * [[trainKmeansCentroids]]. The cosine verify lives in the join
     * condition and survivors collapse map-side into the distinct
     * drop-id aggregate, so no quadratic pair set is ever materialized
-    * (same fused shape as Dedup.dropDuplicatesHammingBy). */
+    * (same fused shape as Dedup.dropDuplicatesHammingBy).
+    *
+    * The assignment memo is `persist(MEMORY_AND_DISK)`, not
+    * localCheckpoint: it is corpus-sized, and persist keeps lineage so a
+    * lost executor recomputes its partitions instead of failing the
+    * whole job (localCheckpoint blocks are unrecoverable — the wrong
+    * trade for the one frame here that scales with the corpus). It stays
+    * cached after return (both sides of the lazy self-join read it);
+    * Spark evicts LRU, or call `spark.catalog.clearCache()` between
+    * corpus-sized runs.
+    *
+    * `maxCellSize > 0` bounds the quadratic against HOT cells (one
+    * centroid near a dense mode otherwise makes its cell's join
+    * O(cell²) regardless of numCells): cells above the cap re-split on
+    * SRP sign bits of the vector itself. Near-parallel vectors — the
+    * only pairs that can pass cosine ≥ threshold — agree with a random
+    * hyperplane sign with prob 1 − θ/π (≈ 0.90 per bit at θ = 0.95), so
+    * true dups still co-bucket with high probability while the hot
+    * cell's pair count drops ~4× per split bit. This is the standard
+    * LSH recall-for-cost dial; the default 0 keeps exact
+    * SemDeDup-within-cell semantics (and is what the driver gate
+    * checks). */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
       numCells: Int = 16, threshold: Double = 0.95,
-      centroids: Option[DataFrame] = None): DataFrame = {
-    val assigned = buildIvfIndex(df, vecCol, idCol, numCells, centroids)
-      .assigned.localCheckpoint() // assign once; both pair-join sides read it
+      centroids: Option[DataFrame] = None,
+      maxCellSize: Long = 0L, dim: Int = 64): DataFrame = {
+    val base = buildIvfIndex(df, vecCol, idCol, numCells, centroids)
+      .assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned =
+      if (maxCellSize <= 0L) base.withColumn("sub", lit(0L))
+      else {
+        val maxBits = 12 // 4096-way worst-case split of one hot cell
+        // per-cell split width: ceil(log2(n / cap)), capped; the counts
+        // frame is numCells rows — broadcast back onto the memoized
+        // assignment, so the corpus is still read once
+        val bits = least(greatest(
+          ceil(log(2.0, col("__n").cast("double") / maxCellSize)), lit(0.0)),
+          lit(maxBits.toDouble))
+        val cellBits = base.groupBy("cell_id").agg(count(lit(1)).as("__n"))
+          .select(col("cell_id"),
+            (pow(lit(2.0), bits) - 1).cast("long").as("__mask"))
+        base.join(broadcast(cellBits), "cell_id")
+          .withColumn("sub",
+            when(col("__mask") > 0,
+              srpBucket(col("cv"), maxBits, dim).bitwiseAND(col("__mask")))
+              .otherwise(lit(0L)))
+          .drop("__mask")
+      }
     val drops = assigned.as("l").join(assigned.as("r"),
         col("l.cell_id") === col("r.cell_id") &&
+          col("l.sub") === col("r.sub") &&
           col("l.vec_id") < col("r.vec_id") &&
-          dot(col("l.cv"), col("r.cv")) /
-            sqrt(col("l.csd") * col("r.csd")) >= threshold)
+          overNorm(dot(col("l.cv"), col("r.cv")),
+            sqrt(col("l.csd") * col("r.csd"))) >= threshold)
       .select(col("r.vec_id").as("__drop"))
       .distinct()
     df.join(drops, col(idCol) === col("__drop"), "left_anti")
@@ -391,13 +460,16 @@ object Similarity {
     * SRP bucket (same-bucket pairs only — the LSH analogue for vectors). */
   def cosineDupPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // double-cast once (see buildIvfIndex): the per-pair sim below then
+    // reads pre-cast arrays instead of re-allocating casts per pair
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"),
       srpBucket(col(vecCol), numPlanes, dim).as("bucket"),
       dot(col(vecCol), col(vecCol)).as("sd"))
     val l = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("sd").as("sd_a"))
     val r = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("sd").as("sd_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", dot(col("v_a"), col("v_b")) / sqrt(col("sd_a") * col("sd_b")))
+      .withColumn("sim", overNorm(dot(col("v_a"), col("v_b")), sqrt(col("sd_a") * col("sd_b"))))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -93,6 +93,44 @@ class PlanQualitySpec extends SparkSpec {
       s"passage dedup re-introduced a join-back:\n$plan")
   }
 
+  test("fused hamming drop: verify in the join condition, map-side drop collapse, no pair frame") {
+    val df = SparkEntry.queries("q_hamming_drop")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // candidates come from a banded EQUI-join — never a cross/nested-loop
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the hamming verify lives IN the join condition (one eval per
+    // candidate, nothing materialized between join and verify)
+    val verifyLine = plan.linesIterator.find(_.contains("bit_count")).getOrElse("")
+    assert(verifyLine.contains("Join"), s"hamming verify left the join condition:\n$plan")
+    // the pair stream collapses map-side: partial + final HashAggregate
+    // on the drop id, then straight into the left_anti — a pair frame
+    // materialized between them would show as an extra exchange/scan
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("semantic dedup: one memoized assignment, cosine in the cell join, fused drop") {
+    val df = SparkEntry.queries("q_semantic_dedup")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the pair join is an EQUI-join on cell_id with the cosine verify
+    // fused into its condition — the only row-multiplying step, bounded
+    // by cell population
+    val pairLine = plan.linesIterator
+      .find(l => l.contains("Join [cell_id") && l.contains("dot_d")).getOrElse("")
+    assert(pairLine.nonEmpty, s"cell pair join lost the fused cosine verify:\n$plan")
+    // the centroid assignment is computed once and memoized (persist —
+    // lineage-preserving, unlike a checkpoint's raw RDD scan); both join
+    // sides read the cache
+    assert(plan.contains("InMemoryRelation"), s"assignment memo gone:\n$plan")
+    // fused drop aggregate + anti join, same shape as hamming drop
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("column pruning reaches the scan for narrow projections") {
     val df = SparkEntry.queries("q_json_convert")(spark, dir)
     df.count()

@@ -17,6 +17,29 @@ class ConditionFilterSpec extends SparkSpec {
     assert(run("""{{if eq .name "app"}}y{{end}}""") == Set("app"))
     assert(run("""{{if eq .age 20}}y{{end}}""") == Set("app"))
   }
+
+  test("template conditions: render-and-compare beyond the documented fast paths") {
+    import spark.implicits._
+    val df = Seq(("app", 20L, "", "y"), ("web", 0L, "x", "n"),
+      ("worker-api", 35L, "err", "y")).toDF("name", "age", "tag", "flag")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    // comparisons beyond eq (reference renders the template, passes on "y")
+    assert(run("""{{if gt .age 20}}y{{end}}""") == Set("worker-api"))
+    assert(run("""{{if le .age 20}}y{{end}}""") == Set("app", "web"))
+    assert(run("""{{if ne .name "web"}}y{{end}}""") == Set("app", "worker-api"))
+    // explicit else branch: pass only where the RENDERED result is "y"
+    assert(run("""{{if eq .name "web"}}n{{else}}y{{end}}""") == Set("app", "worker-api"))
+    // negation and registered string predicates inside if
+    assert(run("""{{if not .tag}}y{{end}}""") == Set("app"))
+    assert(run("""{{if hasprefix .name "worker"}}y{{end}}""") == Set("worker-api"))
+    assert(run("""{{if contains .name "e"}}y{{end}}""") == Set("web", "worker-api"))
+    // branch bodies render through the template machinery: the field's
+    // own value decides the pass
+    assert(run("""{{if .name}}{{.flag}}{{else}}n{{end}}""") == Set("app", "worker-api"))
+    // flat template with no if at all — render the field, compare to "y"
+    assert(run("""{{.flag}}""") == Set("app", "worker-api"))
+  }
   import spark.implicits._
 
   // events-like frame: typed columns + a JSON overflow string column

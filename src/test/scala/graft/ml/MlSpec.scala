@@ -271,6 +271,65 @@ class MlSpec extends SparkSpec {
     assert((0L until 24L).toSet.subsetOf(kept))          // originals all keep
   }
 
+  test("semanticDedup maxCellSize re-splits hot cells: drops can only shrink, " +
+      "positively-scaled dups still drop, huge cap is a no-op") {
+    val rnd = new scala.util.Random(13)
+    // one dense mode: 40 vectors near a single direction land in ONE cell
+    // (the hot-cell shape maxCellSize exists for), plus scattered others
+    val hot = (0L until 40L).map { i =>
+      val noise = Array.fill(16)((rnd.nextGaussian() * 0.05).toFloat)
+      (i, Array.tabulate(16)(d => (if (d == 0) 10.0f else 0.0f) + noise(d)))
+    }
+    val scattered = (40L until 56L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // positive scaling preserves every SRP sign bit, so these planted
+    // dups co-bucket under ANY re-split depth — they must always drop
+    val copies = Seq((200L, hot(5)._2.map(_ * 3.0f)),
+      (201L, scattered(2)._2.map(_ * 0.25f)))
+    val emb = (hot ++ scattered ++ copies).toDF("vec_id", "embedding")
+    def kept(cap: Long) = Similarity.semanticDedup(emb, "embedding", "vec_id",
+        numCells = 4, threshold = 0.999, maxCellSize = cap, dim = 16)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = kept(0L)
+    val capped = kept(8L)
+    assert(!exact.contains(200L) && !exact.contains(201L))
+    assert(!capped.contains(200L) && !capped.contains(201L))
+    // re-splitting only removes comparisons — never introduces new drops
+    assert(exact.subsetOf(capped))
+    // a cap nothing exceeds leaves the exact semantics untouched
+    assert(kept(1000000L) == exact)
+  }
+
+  test("semanticDedup over trained k-means centroids drops planted paraphrases") {
+    // two angular blobs whose members share a dominant direction (so
+    // k-means separates them) but carry enough per-doc spread that no two
+    // ORIGINALS sit above the dedup threshold — only the scaled copies do
+    val rnd = new scala.util.Random(17)
+    val blobA = (0L until 12L).map(i => (i, Array.tabulate(8)(d =>
+      ((if (d == 0) 5.0 else 0.0) + rnd.nextGaussian() * 0.4).toFloat)))
+    val blobB = (12L until 24L).map(i => (i, Array.tabulate(8)(d =>
+      ((if (d == 0) -5.0 else 0.0) + rnd.nextGaussian() * 0.4).toFloat)))
+    val copies = Seq((300L, blobA(4)._2.map(_ * 2.0f)),
+      (301L, blobB(3)._2.map(_ * 0.5f)))
+    val emb = (blobA ++ blobB ++ copies).toDF("vec_id", "embedding")
+    val trained = Similarity.trainKmeansCentroids(emb, "embedding", "vec_id",
+      k = 2, iters = 3)
+    val kept = Similarity.semanticDedup(emb, "embedding", "vec_id",
+        threshold = 0.9999, centroids = Some(trained))
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(300L) && !kept.contains(301L))
+    assert((0L until 24L).toSet.subsetOf(kept))
+  }
+
+  test("buildIvfIndex rejects sparse / non-zero-based ids instead of silently no-opping") {
+    val emb = (1000L until 1016L).map(i =>
+      (i, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", numCells = 8)
+    }
+    assert(e.getMessage.contains("dense from 0"))
+  }
+
   test("heavyHitters exact and approx paths agree and are exactly the true hitters") {
     // corpus where 'buy now' dominates, some mid-frequency grams, a long
     // random tail — the freqItems candidate superset must be pruned back
