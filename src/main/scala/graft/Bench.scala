@@ -34,11 +34,19 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 0 until rounds; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    for (r <- 0 until rounds) {
+      // identical plans across rounds would hit the previous round's
+      // persisted frames (joinBackOnce pins drop sets in the cache) and
+      // turn the median into a warm-cache number — clear between rounds
+      // so every sample pays the full derivation. prebuildShared's memo
+      // is localCheckpoint-based (an RDD, not the cache) and survives.
+      spark.catalog.clearCache()
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted

@@ -318,7 +318,7 @@ object Dedup {
           bit_count(col("l.sim").bitwiseXOR(col("r.sim"))) <= k)
       .select(col("r.id").as("__drop"))
       .distinct()
-    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+    joinBackOnce(df, drops, col(idCol) === col("__drop"), "left_anti")
   }
 
   /** Exact n-gram jaccard pairs within a blocking column, with PREFIX
@@ -373,12 +373,37 @@ object Dedup {
       .filter(col("jaccard").isNotNull)
   }
 
+  /** `df` LEFT ANTI/SEMI joined against a derived id set, with the id set
+    * PERSISTED first. Not an optimization nicety: when `df` is a UNION
+    * (multi-file corpora, Mix pipelines), the optimizer's
+    * PushdownLeftSemiOrAntiJoin duplicates the join's right side into
+    * every union branch — and since cache substitution runs BEFORE the
+    * optimizer, an un-persisted right side means the ENTIRE
+    * drop-derivation pipeline (banded joins, pair scoring, distinct)
+    * re-executes once per branch. Measured 100× the intended work on a
+    * 100-file corpus (tools/stress_semdedup.scala) before this barrier;
+    * with the persist, the branches share one cached computation and the
+    * pushdown duplicates only a cache scan. The id frame is at worst
+    * linear in corpus size and spills (MEMORY_AND_DISK); entries are
+    * evicted LRU — long-lived sessions looping corpora should
+    * `spark.catalog.clearCache()` between runs. */
+  private[graft] def joinBackOnce(df: DataFrame, ids: DataFrame,
+      usingColumns: Seq[String], joinType: String): DataFrame =
+    df.join(ids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      usingColumns, joinType)
+
+  private[graft] def joinBackOnce(df: DataFrame, ids: DataFrame,
+      cond: org.apache.spark.sql.Column, joinType: String): DataFrame =
+    df.join(ids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      cond, joinType)
+
   /** Keep one representative row per near-dup cluster: pairs → connected
     * components via min-id propagation (bounded iterations), then
     * anti-join. For the common "drop anything matching an earlier doc"
     * policy a single pass suffices: drop every id_b. */
   def dropDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
-    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    joinBackOnce(df, pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** Connected components over dup pairs: (id, rep) where rep is the min
     * id reachable through the pair graph (including the id itself).
@@ -506,7 +531,7 @@ object Dedup {
     val probe = df.select(col(idCol),
       explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("h"))
     val bad = probe.join(broadcast(contam), "h").select(col(idCol)).distinct()
-    df.join(bad, Seq(idCol), "left_anti")
+    joinBackOnce(df, bad, Seq(idCol), "left_anti")
   }
 
   /** Exact duplicated-PASSAGE detection — the substring-dedup family

@@ -453,7 +453,10 @@ object Similarity {
             sqrt(col("l.csd") * col("r.csd"))) >= threshold)
       .select(col("r.vec_id").as("__drop"))
       .distinct()
-    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+    // persist-pinned anti join: see Dedup.joinBackOnce — without it a
+    // union-shaped corpus re-runs the whole pair pipeline per branch
+    graft.ml.Dedup.joinBackOnce(df, drops,
+      col(idCol) === col("__drop"), "left_anti")
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by

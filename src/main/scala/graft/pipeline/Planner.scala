@@ -177,7 +177,8 @@ object Planner {
   // ---- corpus-level stages (LLM-data operator family) -----------------------
 
   private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
-    "AssignSplits", "PackSequences", "UrlDedup", "TextProfile")
+    "AssignSplits", "PackSequences", "UrlDedup", "TextProfile",
+    "SemanticDedup")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -261,7 +262,7 @@ object Planner {
         val url = conf.str("src").getOrElse("url")
         conf.str("mode").getOrElse("drop") match {
           case "drop" => // keep only each canonical URL's min-id row
-            df => df.join(
+            df => graft.ml.Dedup.joinBackOnce(df,
               graft.ml.DatasetOps.dedupByUrl(df, url, id)
                 .select(col("keeper_id").as(id)),
               Seq(id), "left_semi")
@@ -271,6 +272,14 @@ object Planner {
         }
       case "TextProfile" =>
         df => graft.ml.TextAnalysis.profile(df, text)
+      case "SemanticDedup" =>
+        // embedding-space dedup: `src` names the vector column here
+        val vec = conf.str("src").getOrElse("embedding")
+        df => graft.ml.Similarity.semanticDedup(df, vec, id,
+          conf.int("num_cells", 16), conf.dbl("threshold", 0.95),
+          centroids = None,
+          maxCellSize = conf.long("max_cell_size", 0L),
+          dim = conf.int("dim", 64))
       case other => sys.error(s"unknown corpus stage '$other'")
     }
   }

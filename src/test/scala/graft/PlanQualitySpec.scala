@@ -131,6 +131,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("anti join-backs over a UNION corpus don't re-derive the drop set per branch") {
+    // PushdownLeftSemiOrAntiJoin clones the anti join's right side into
+    // every union branch. Un-persisted, that re-runs the ENTIRE drop
+    // pipeline once per branch (measured 100× work on a 100-file corpus);
+    // joinBackOnce pins it behind a cache so branches share one
+    // computation. Guard: after optimization, no anti/semi right side may
+    // contain a join or aggregate — only the cached id scan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docsU = (0 until 5).map(i => docs.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val embU = (0 until 5).map(i => emb.select(
+      (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    val cases = Seq(
+      "hamming drop" -> graft.ml.Dedup.dropDuplicatesHamming64(docsU, "text", "doc_id"),
+      "semantic dedup" -> graft.ml.Similarity.semanticDedup(embU, "embedding", "vec_id"),
+      "decontaminate" -> graft.ml.Dedup.decontaminate(
+        docsU, docs.limit(10), "text", "doc_id"))
+    for ((name, out) <- cases) {
+      val antiRights = out.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftAnti || j.joinType == LeftSemi => j.right
+      }
+      assert(antiRights.nonEmpty, s"$name lost its anti join")
+      for (r <- antiRights)
+        assert(r.collect { case a: Aggregate => a; case j: Join => j }.isEmpty,
+          s"$name re-derives the drop set inside a union branch:\n$r")
+    }
+  }
+
   test("column pruning reaches the scan for narrow projections") {
     val df = SparkEntry.queries("q_json_convert")(spark, dir)
     df.count()

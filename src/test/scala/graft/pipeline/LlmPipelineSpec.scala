@@ -109,6 +109,56 @@ class LlmPipelineSpec extends SparkSpec {
     assert(hamming.select("id").as[Long].collect().toSet == Set(0L, 1L, 2L))
   }
 
+  test("multi-input corpus (UNION ALL) runs the dedup chain without per-branch re-derivation") {
+    // two inputs → UNION ALL → dedup → decontaminate: the exact shape
+    // that triggered the PushdownLeftSemiOrAntiJoin branch explosion
+    // (see Dedup.joinBackOnce). Asserts semantics across the union AND
+    // the plan-level guard.
+    val inA = tmp("llm-a"); val inB = tmp("llm-b"); val bench = tmp("llm-bm")
+    val out = tmp("llm-u-out")
+    Seq((0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five six")).toDF("id", "text")
+      .write.mode("overwrite").parquet(inA)
+    Seq((10L, "alpha beta gamma delta epsilon"), // cross-input exact dup of 0
+      (11L, "the quick brown fox jumps over everything")) // contaminated
+      .toDF("id", "text").write.mode("overwrite").parquet(inB)
+    Seq("quick brown fox jumps over").toDF("text")
+      .write.mode("overwrite").parquet(bench)
+    val yaml =
+      s"""inputs:
+         |  - Parquet: {path: $inA}
+         |  - Parquet: {path: $inB}
+         |filters:
+         |  - Dedup: {src: text, id_field: id, method: exact}
+         |  - Decontaminate:
+         |      src: text
+         |      id_field: id
+         |      ngram: 5
+         |      benchmark: {input: Parquet, path: $bench}
+         |outputs:
+         |  - Parquet: {path: $out}
+         |""".stripMargin
+    val cfg = java.nio.file.Files.createTempFile("llm-union", ".yml")
+    java.nio.file.Files.write(cfg, yaml.getBytes("UTF-8"))
+    graft.Main.run(spark, cfg.toString)
+    // 10 drops as an exact dup ACROSS inputs; 11 drops as contaminated
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSet
+      == Set(0L, 1L))
+  }
+
+  test("SemanticDedup dispatches embedding-space dedup with the cell-size cap") {
+    val rnd = new scala.util.Random(29)
+    val base = (0L until 20L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // a positively-scaled copy sits at cosine exactly 1 with id 3
+    val df = (base :+ ((100L, base(3)._2.map(_ * 2.0f))))
+      .toDF("id", "embedding")
+    val kept = Planner.corpusStage("SemanticDedup", Map(
+      "src" -> "embedding", "num_cells" -> 4, "threshold" -> 0.999,
+      "max_cell_size" -> 8, "dim" -> 16))(df)
+    assert(kept.select("id").as[Long].collect().toSet == (0L until 20L).toSet)
+  }
+
   test("UrlDedup summary mode exposes the aggregate view") {
     val df = Seq(
       (0L, "https://x.com/a?utm_source=feed"),
