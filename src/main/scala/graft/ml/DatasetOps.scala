@@ -117,25 +117,47 @@ object DatasetOps {
     * pure projection usable inside any filter chain at full scan speed.
     * Non-URL garbage canonicalizes to NULL (try_, never throws) — filter
     * nulls or let them share one dedup group, as the pipeline prefers. */
-  def normalizeUrl(u0: Column): Column = {
+  def normalizeUrl(u0: Column): Column =
+    graft.functions.UrlFns.urlNormalize(u0)
+
+  /** The composed-expression formulation normalizeUrl used before the
+    * native kernel — kept as the executable SEMANTICS REFERENCE (the
+    * UrlFnsSpec equivalence battery runs both and diffs). Five parses +
+    * an interpreted higher-order function per row vs the kernel's one
+    * parse: ~5× slower at 100k rows; do not use on the hot path. */
+  private[graft] def normalizeUrlComposed(u0: Column): Column = {
     def part(p: String): Column = try_parse_url(u0, lit(p))
-    val scheme = lower(part("PROTOCOL"))
-    val host = lower(part("HOST"))
-    // parse_url has no PORT part; a digits-only anchored match on the
-    // AUTHORITY is safe past userinfo colons and bracketed IPv6 literals
-    val port = regexp_extract(coalesce(part("AUTHORITY"), lit("")), ":([0-9]+)$", 1)
-    val portOut = when(port === "" ||
-        (scheme === "http" && port === "80") ||
-        (scheme === "https" && port === "443"), lit(""))
-      .otherwise(concat(lit(":"), port))
-    val rawPath = part("PATH")
-    val path = when(rawPath.isNull || rawPath === "", lit("/")).otherwise(rawPath)
-    val params = array_sort(filter(
-      split(coalesce(part("QUERY"), lit("")), "&"),
-      p => p =!= "" && !p.startsWith("utm_")))
-    val query = when(size(params) === 0, lit(""))
-      .otherwise(concat(lit("?"), array_join(params, "&")))
-    concat(scheme, lit("://"), host, portOut, path, query)
+    // Columns are expression TREES: binding `val scheme = …` and
+    // referencing it three times embeds three copies of the parse — the
+    // naive form cost 14 url parses and two query filter+sorts PER ROW
+    // (measured ~6× the whole projection). transform-over-a-1-element-
+    // array is the public let-binding idiom: the struct of parts is
+    // evaluated once, and the lambda reads fields.
+    val parts = struct(
+      lower(part("PROTOCOL")).as("scheme"),
+      lower(part("HOST")).as("host"),
+      // parse_url has no PORT part; a digits-only anchored match on the
+      // AUTHORITY is safe past userinfo colons and bracketed IPv6 literals
+      regexp_extract(coalesce(part("AUTHORITY"), lit("")), ":([0-9]+)$", 1)
+        .as("port"),
+      part("PATH").as("rawpath"),
+      array_sort(filter(split(coalesce(part("QUERY"), lit("")), "&"),
+        p => p =!= "" && !p.startsWith("utm_"))).as("params"))
+    element_at(transform(array(parts), { s =>
+      val scheme = s.getField("scheme")
+      val host = s.getField("host")
+      val port = s.getField("port")
+      val rawPath = s.getField("rawpath")
+      val params = s.getField("params")
+      val portOut = when(port === "" ||
+          (scheme === "http" && port === "80") ||
+          (scheme === "https" && port === "443"), lit(""))
+        .otherwise(concat(lit(":"), port))
+      val path = when(rawPath.isNull || rawPath === "", lit("/")).otherwise(rawPath)
+      val query = when(size(params) === 0, lit(""))
+        .otherwise(concat(lit("?"), array_join(params, "&")))
+      concat(scheme, lit("://"), host, portOut, path, query)
+    }), 1)
   }
 
   /** URL-level dedup over [[normalizeUrl]]: one row per canonical URL
