@@ -29,13 +29,14 @@ object TextAnalysis {
     "the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "for",
     "on", "with", "as", "at", "by", "from", "or", "be", "are")
 
-  def meanWordLen(text: Column): Column = {
-    val t = tokens(text)
-    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
-  }
+  def meanWordLen(text: Column): Column = meanWordLenOf(tokens(text))
 
-  def stopwordRatio(text: Column): Column = {
-    val t = tokens(text)
+  private def meanWordLenOf(t: Column): Column =
+    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
+
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  private def stopwordRatioOf(t: Column): Column = {
     val sw = array(stopwords.map(lit(_)): _*)
     size(filter(t, x => array_contains(sw, lower(x)))).cast("double") / size(t)
   }
@@ -44,10 +45,11 @@ object TextAnalysis {
     (length(text) - length(regexp_replace(text, """[.,!?;:'"()\[\]]""", "")))
       .cast("double") / length(text)
 
-  def distinctTokenRatio(text: Column): Column = {
-    val t = tokens(text)
+  def distinctTokenRatio(text: Column): Column =
+    distinctTokenRatioOf(tokens(text))
+
+  private def distinctTokenRatioOf(t: Column): Column =
     size(array_distinct(t)).cast("double") / size(t)
-  }
 
   /** Composite quality score in [0,1]-ish: weights chosen to mirror common
     * curation heuristics (richness up, extreme word length down). */
@@ -263,13 +265,46 @@ object TextAnalysis {
   /** One-stop profile projection for a documents table. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
+    // Column vals referenced N times embed N COPIES of the expression
+    // (the normalizeUrl lesson): the naive single-projection form
+    // re-tokenized each row ~13× and langGuess's argmax re-ran each
+    // language filter ~6× (~40 tokenizer/filter passes per row). Binding
+    // the tokenizations, per-language scores, and ratios as real columns
+    // makes every later reference an attribute; CollapseProject keeps
+    // the projections separate (non-cheap producers, multi-referenced),
+    // so each computes exactly once per row. Values are bit-identical —
+    // same subexpressions, same order.
+    val toks = col("__toks")
+    val ltoks = col("__ltoks")
+    val withLang = langMarkers.foldLeft(
+      df.withColumn("__toks", tokens(t))
+        .withColumn("__ltoks", tokens(lower(t)))) {
+      case (d, (lang, markers)) =>
+        val m = array(markers.map(lit(_)): _*)
+        d.withColumn(s"__lang_$lang",
+          size(filter(ltoks, x => array_contains(m, x))))
+    }
+    val best = langMarkers.map { case (l, _) => col(s"__lang_$l") }
+      .reduce(greatest(_, _))
+    val guess = langMarkers.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (lang, _)) =>
+        when(col(s"__lang_$lang") === best && col(s"__lang_$lang") > 0,
+          lit(lang)).otherwise(acc)
+    }
+    withLang
+      .withColumn("n_tokens", size(toks))
       .withColumn("n_regex_tokens", regexTokenCount(t))
-      .withColumn("mean_word_len", meanWordLen(t))
-      .withColumn("stopword_ratio", stopwordRatio(t))
-      .withColumn("distinct_ratio", distinctTokenRatio(t))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("lang_guess", langGuess(t))
+      .withColumn("mean_word_len", meanWordLenOf(toks))
+      .withColumn("stopword_ratio", stopwordRatioOf(toks))
+      .withColumn("distinct_ratio", distinctTokenRatioOf(toks))
+      // same formula over the already-bound ratio columns — identical
+      // doubles in the identical order, zero recomputation
+      .withColumn("quality", col("distinct_ratio") * 0.5 +
+        (lit(1.0) - abs(col("mean_word_len") - 5.0) / 10.0) * 0.3 +
+        col("stopword_ratio") * 0.2)
+      .withColumn("lang_guess", guess)
       .withColumn("fingerprint", docFingerprint(t))
+      .drop("__toks", "__ltoks")
+      .drop(langMarkers.map { case (l, _) => s"__lang_$l" }: _*)
   }
 }
