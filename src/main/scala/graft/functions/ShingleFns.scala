@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word-shingle (n-gram set) construction as ONE native kernel call.
+  *
+  * The composed form (regex split → zipped shifted slices → zip_with
+  * concat → array_distinct, short-doc clip via when) costs ~0.9 s per
+  * full sf0.1 corpus pass — higher-order functions interpret per
+  * element, and every stage materializes an intermediate array. The
+  * kernel builds the distinct grams in one pass. `hashedShingles`
+  * additionally fuses the xxhash64 most callers apply next (the
+  * interpreted `transform(…, xxhash64)` per-element eval disappears);
+  * hash bytes/seed are exactly Spark's XxHash64 over the gram string.
+  *
+  * Semantics are EXACTLY `Dedup.shinglesComposed` (ShingleFnsSpec pins
+  * the equivalence on an edge battery): Java `\s+` split with -1 limit
+  * (leading empty token on leading whitespace, unicode spaces NOT \s),
+  * grams joined with ' ', docs shorter than n clip to their single
+  * space-joined gram, distinct keeps first-occurrence order. */
+object ShingleFns {
+  private def col(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def expr(c: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  def shingles(text: Column, n: Int): Column = col(ShinglesExpr(expr(text), n))
+  def hashedShingles(text: Column, n: Int): Column =
+    col(HashedShinglesExpr(expr(text), n))
+
+  // ---- static kernels (called from generated code) ------------------------
+
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  private def gramStrings(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
+    val toks = Ws.split(text.toString, -1)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) out.add(String.join(" ", toks: _*))
+    else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    out
+  }
+
+  def shinglesKernel(text: UTF8String, n: Int): ArrayData = {
+    val grams = gramStrings(text, n)
+    val arr = new Array[Any](grams.size)
+    val it = grams.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def hashedShinglesKernel(text: UTF8String, n: Int): ArrayData = {
+    val grams = gramStrings(text, n)
+    val arr = new Array[Long](grams.size)
+    val it = grams.iterator(); var i = 0
+    while (it.hasNext) {
+      val u = UTF8String.fromString(it.next())
+      // exactly Spark's XxHash64 over a string value (seed 42)
+      arr(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+}
+
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleFns.shinglesKernel(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.shinglesKernel($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "shingles"
+}
+
+case class HashedShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleFns.hashedShinglesKernel(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.hashedShinglesKernel($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_shingles"
+}

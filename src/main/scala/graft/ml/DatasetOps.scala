@@ -205,10 +205,10 @@ object DatasetOps {
     // same shingle semantics as Dedup.decontaminate so the two variants
     // agree except for the documented false-positive direction
     val bf = benchmark
-      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
-      .select(xxhash64(col("g")).as("h"))
+      .select(explode(
+        graft.functions.ShingleFns.hashedShingles(col(textCol), n)).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
-    val hs = transform(Dedup.shingles(col(textCol), n), g => xxhash64(g))
+    val hs = graft.functions.ShingleFns.hashedShingles(col(textCol), n)
     val tainted =
       if (expectedItems < literalMaxItems) {
         val bytes = {

@@ -29,7 +29,13 @@ object Dedup {
     * codegen). Positions past `size-n` concat a null tail element and are
     * swept by array_compact; docs shorter than n tokens produce the single
     * clipped shingle the slice-based formulation produced. */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShingleFns.shingles(text, n)
+
+  /** The composed-expression formulation shingles used before the native
+    * kernel — kept as the executable SEMANTICS REFERENCE
+    * (ShingleFnsSpec diffs kernel vs this on the edge battery). */
+  private[graft] def shinglesComposed(text: Column, n: Int): Column = {
     val toks = tokens(text)
     // shared zipped-shifted-slices core (TextAnalysis.ngramsAll); docs
     // shorter than n tokens contribute their single clipped shingle
@@ -120,7 +126,7 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
       .select(col("id"),
-        transform(shingles(col("__t"), shingleSize), s => xxhash64(s)).as("hs"))
+        graft.functions.ShingleFns.hashedShingles(col("__t"), shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
       .localCheckpoint()
 
@@ -341,7 +347,7 @@ object Dedup {
         col(textCol).as("__t"))
       .repartition(col("id")) // spread before the expensive shingling
       .select(col("blk"), col("id"),
-        array_sort(transform(shingles(col("__t"), n), s => xxhash64(s))).as("hs"))
+        array_sort(graft.functions.ShingleFns.hashedShingles(col("__t"), n)).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
       .localCheckpoint() // materialize once; all consumers read it
@@ -526,10 +532,10 @@ object Dedup {
   def decontaminate(df: DataFrame, contamination: DataFrame,
       textCol: String, idCol: String, n: Int = 5): DataFrame = {
     val contam = contamination
-      .select(explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("h"))
+      .select(explode(graft.functions.ShingleFns.hashedShingles(col(textCol), n)).as("h"))
       .distinct()
     val probe = df.select(col(idCol),
-      explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("h"))
+      explode(graft.functions.ShingleFns.hashedShingles(col(textCol), n)).as("h"))
     val bad = probe.join(broadcast(contam), "h").select(col(idCol)).distinct()
     joinBackOnce(df, bad, Seq(idCol), "left_anti")
   }

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The native shingle kernels must be VALUE-IDENTICAL to the composed
+  * formulation (split → zipped slices → zip_with → array_distinct) that
+  * the DuckDB oracles were written against — including the hashed form,
+  * which must equal transform(shingles, xxhash64) element for element. */
+class ShingleFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val battery = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "  leading whitespace token semantics test case here",   // leading "" token
+    "trailing whitespace stays significant too   ",
+    "tabs\tand\nnewlines\r\nsplit like spaces here now",
+    "one",
+    "two tokens",
+    "exactly five tokens right here now",
+    "a a a a a a a a",                                       // repeats → distinct
+    "a b a b a b a b a b",                                   // repeated grams
+    "  nbsp and em-space are NOT \\s whitespace",  // unicode ws
+    "punct, stays. inside! tokens? ok;",
+    "",
+    null,
+  )
+
+  for (n <- Seq(1, 3, 5)) {
+    test(s"shingles kernel equals the composed formulation at n=$n") {
+      val df = battery.toDF("t")
+      val rows = df.select(
+        ShingleFns.shingles($"t", n).as("k"),
+        graft.ml.Dedup.shinglesComposed($"t", n).as("c")).collect()
+      for ((r, t) <- rows.zip(battery)) {
+        val k = if (r.isNullAt(0)) null else r.getSeq[String](0)
+        val c = if (r.isNullAt(1)) null else r.getSeq[String](1)
+        assert(k == c, s"text '$t' n=$n: kernel=$k composed=$c")
+      }
+    }
+
+    test(s"hashedShingles equals transform(shingles, xxhash64) at n=$n") {
+      val df = battery.toDF("t")
+      val rows = df.select(
+        ShingleFns.hashedShingles($"t", n).as("k"),
+        transform(graft.ml.Dedup.shinglesComposed($"t", n),
+          s => xxhash64(s)).as("c")).collect()
+      for ((r, t) <- rows.zip(battery)) {
+        val k = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+        val c = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+        assert(k == c, s"text '$t' n=$n: kernel=$k composed=$c")
+      }
+    }
+  }
+}
