@@ -30,6 +30,9 @@ object ShingleFns {
   def shingles(text: Column, n: Int): Column = col(ShinglesExpr(expr(text), n))
   def hashedShingles(text: Column, n: Int): Column =
     col(HashedShinglesExpr(expr(text), n))
+  def ngramsAll(text: Column, n: Int): Column = col(NgramsAllExpr(expr(text), n))
+  def hashedNgramsAll(text: Column, n: Int): Column =
+    col(HashedNgramsAllExpr(expr(text), n))
 
   // ---- static kernels (called from generated code) ------------------------
 
@@ -57,6 +60,49 @@ object ShingleFns {
     out
   }
 
+  /** ALL in-order n-grams WITH repeats (TextAnalysis.ngramsAll
+    * semantics): size−n+1 grams, an EMPTY array for docs shorter than n
+    * tokens (unlike shingles' clipped singleton). */
+  private def gramArray(text: UTF8String, n: Int): Array[String] = {
+    val toks = Ws.split(text.toString, -1)
+    if (toks.length < n) return Array.empty[String]
+    val out = new Array[String](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  def ngramsAllKernel(text: UTF8String, n: Int): ArrayData = {
+    val grams = gramArray(text, n)
+    val arr = new Array[Any](grams.length)
+    var i = 0
+    while (i < grams.length) { arr(i) = UTF8String.fromString(grams(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def hashedNgramsAllKernel(text: UTF8String, n: Int): ArrayData = {
+    val grams = gramArray(text, n)
+    val arr = new Array[Long](grams.length)
+    var i = 0
+    while (i < grams.length) {
+      val u = UTF8String.fromString(grams(i))
+      arr(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   def shinglesKernel(text: UTF8String, n: Int): ArrayData = {
     val grams = gramStrings(text, n)
     val arr = new Array[Any](grams.size)
@@ -77,6 +123,31 @@ object ShingleFns {
     }
     new GenericArrayData(arr)
   }
+}
+
+case class NgramsAllExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleFns.ngramsAllKernel(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.ngramsAllKernel($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "ngrams_all"
+}
+
+case class HashedNgramsAllExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleFns.hashedNgramsAllKernel(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleFns.hashedNgramsAllKernel($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_ngrams_all"
 }
 
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {

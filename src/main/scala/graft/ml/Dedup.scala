@@ -40,7 +40,7 @@ object Dedup {
     // shared zipped-shifted-slices core (TextAnalysis.ngramsAll); docs
     // shorter than n tokens contribute their single clipped shingle
     array_distinct(when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(TextAnalysis.ngramsAll(text, n)))
+      .otherwise(TextAnalysis.ngramsAllComposed(text, n)))
   }
 
   /** Exact dedup: one representative (min id) + count per identical value.
@@ -582,7 +582,7 @@ object Dedup {
   private def duplicatedWindows(df: DataFrame, textCol: String, idCol: String,
       k: Int, minDocs: Int): DataFrame = {
     val wins = df.select(col(idCol).as("id"),
-        posexplode(transform(TextAnalysis.ngramsAll(col(textCol), k), g => xxhash64(g))))
+        posexplode(graft.functions.ShingleFns.hashedNgramsAll(col(textCol), k)))
       .toDF("id", "pos", "fp")
     val byFpOrd = Window.partitionBy("fp").orderBy("id")
     val byFp = Window.partitionBy("fp")

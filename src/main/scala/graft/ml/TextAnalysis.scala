@@ -103,9 +103,17 @@ object TextAnalysis {
   }
 
   /** All word n-grams in order, WITH repeats (unlike Dedup.shingles'
-    * distinct sets): size−n+1 grams, none for docs shorter than n tokens.
-    * Built from zipped shifted slices — one pass, no per-position lambda. */
-  def ngramsAll(text: Column, n: Int): Column = {
+    * distinct sets): size−n+1 grams, none for docs shorter than n
+    * tokens. Native one-pass kernel (ShingleFns). */
+  def ngramsAll(text: Column, n: Int): Column =
+    graft.functions.ShingleFns.ngramsAll(text, n)
+
+  /** The composed formulation ngramsAll used before the native kernel —
+    * kept as the executable SEMANTICS REFERENCE (ShingleFnsSpec diffs
+    * kernel vs this; shinglesComposed builds on it). Zipped shifted
+    * slices: positions past `size-n` concat a null tail element and are
+    * swept by array_compact. */
+  private[graft] def ngramsAllComposed(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val shifted = (1 until n).map(k =>
       slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))))

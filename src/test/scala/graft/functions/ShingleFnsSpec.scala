@@ -51,5 +51,30 @@ class ShingleFnsSpec extends SparkSpec {
         assert(k == c, s"text '$t' n=$n: kernel=$k composed=$c")
       }
     }
+
+    test(s"ngramsAll kernel equals the composed formulation at n=$n") {
+      val df = battery.toDF("t")
+      val rows = df.select(
+        ShingleFns.ngramsAll($"t", n).as("k"),
+        graft.ml.TextAnalysis.ngramsAllComposed($"t", n).as("c")).collect()
+      for ((r, t) <- rows.zip(battery)) {
+        val k = if (r.isNullAt(0)) null else r.getSeq[String](0)
+        val c = if (r.isNullAt(1)) null else r.getSeq[String](1)
+        assert(k == c, s"text '$t' n=$n: kernel=$k composed=$c")
+      }
+    }
+
+    test(s"hashedNgramsAll equals transform(ngramsAll, xxhash64) at n=$n") {
+      val df = battery.toDF("t")
+      val rows = df.select(
+        ShingleFns.hashedNgramsAll($"t", n).as("k"),
+        transform(graft.ml.TextAnalysis.ngramsAllComposed($"t", n),
+          g => xxhash64(g)).as("c")).collect()
+      for ((r, t) <- rows.zip(battery)) {
+        val k = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+        val c = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+        assert(k == c, s"text '$t' n=$n: kernel=$k composed=$c")
+      }
+    }
   }
 }
