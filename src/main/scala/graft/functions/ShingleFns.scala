@@ -33,6 +33,7 @@ object ShingleFns {
   def ngramsAll(text: Column, n: Int): Column = col(NgramsAllExpr(expr(text), n))
   def hashedNgramsAll(text: Column, n: Int): Column =
     col(HashedNgramsAllExpr(expr(text), n))
+  def md5TokenHashes(text: Column): Column = col(Md5TokenHashesExpr(expr(text)))
 
   // ---- static kernels (called from generated code) ------------------------
 
@@ -103,6 +104,31 @@ object ShingleFns {
     new GenericArrayData(arr)
   }
 
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Per-DISTINCT-token 32-bit md5 hashes (Dedup.simhashTokenHashes
+    * semantics): low 4 digest bytes as an unsigned value — exactly
+    * `conv(substring(md5(t), 25, 8), 16, 10).cast("long")` over
+    * `array_distinct(tokens(text))`, fused into one pass. */
+  def md5TokenHashesKernel(text: UTF8String): ArrayData = {
+    val toks = Ws.split(text.toString, -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var t = 0
+    while (t < toks.length) { seen.add(toks(t)); t += 1 }
+    val arr = new Array[Long](seen.size)
+    val md = Md5.get()
+    val it = seen.iterator(); var i = 0
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      arr(i) = ((d(12) & 0xffL) << 24) | ((d(13) & 0xffL) << 16) |
+        ((d(14) & 0xffL) << 8) | (d(15) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   def shinglesKernel(text: UTF8String, n: Int): ArrayData = {
     val grams = gramStrings(text, n)
     val arr = new Array[Any](grams.size)
@@ -123,6 +149,17 @@ object ShingleFns {
     }
     new GenericArrayData(arr)
   }
+}
+
+case class Md5TokenHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleFns.md5TokenHashesKernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.md5TokenHashesKernel($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "md5_token_hashes"
 }
 
 case class NgramsAllExpr(child: Expression, n: Int) extends UnaryExpression {

@@ -164,8 +164,13 @@ object Dedup {
   }
 
   /** Per-token 32-bit hashes: low 8 hex chars of md5 — deliberately
-    * reproducible in any engine (the oracle recomputes it in SQL). */
+    * reproducible in any engine (the oracle recomputes it in SQL).
+    * Native fused kernel; ShingleFnsSpec pins it against the composed
+    * form below. */
   def simhashTokenHashes(text: Column): Column =
+    graft.functions.ShingleFns.md5TokenHashes(text)
+
+  private[graft] def simhashTokenHashesComposed(text: Column): Column =
     transform(array_distinct(tokens(text)),
       t => conv(substring(md5(t), 25, 8), 16, 10).cast("long"))
 
@@ -245,8 +250,10 @@ object Dedup {
     * `streamingNearDedup` (must stay identical or batch and streaming
     * dedup different things). */
   def simhash64Fingerprint(text: Column): Column =
+    // hashedShingles at n=1 IS xxhash64 over the distinct tokens in
+    // first-occurrence order (ShingleFnsSpec proves the n=1 equivalence)
     graft.functions.ArrayFns.simhash64(
-      transform(array_distinct(tokens(text)), t => xxhash64(t)))
+      graft.functions.ShingleFns.hashedShingles(text, 1))
 
   def simhashHammingPairs64(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, bands: Int = 8): DataFrame = {

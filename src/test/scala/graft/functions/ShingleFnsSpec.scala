@@ -26,6 +26,18 @@ class ShingleFnsSpec extends SparkSpec {
     null,
   )
 
+  test("md5TokenHashes equals the composed md5/conv formulation") {
+    val df = battery.toDF("t")
+    val rows = df.select(
+      ShingleFns.md5TokenHashes($"t").as("k"),
+      graft.ml.Dedup.simhashTokenHashesComposed($"t").as("c")).collect()
+    for ((r, t) <- rows.zip(battery)) {
+      val k = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+      val c = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+      assert(k == c, s"text '$t': kernel=$k composed=$c")
+    }
+  }
+
   for (n <- Seq(1, 3, 5)) {
     test(s"shingles kernel equals the composed formulation at n=$n") {
       val df = battery.toDF("t")
