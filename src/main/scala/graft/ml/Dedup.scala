@@ -116,19 +116,21 @@ object Dedup {
     require(rows * bands == numHashes, "bands must divide numHashes")
 
     // The repartition spreads a few-split input across all cores BEFORE
-    // the expensive shingling; localCheckpoint then materializes the
-    // hashed-shingle table ONCE for all four consumers (both bucket-join
-    // sides, both verify-join sides) — exchange reuse alone does not
-    // dedupe these stages under AQE, and without it the corpus is scanned
-    // and shingled four times. Only the 64-bit hashes survive (the string
-    // shingles are dead after hashing), so the checkpoint holds
-    // ~8 bytes × shingles per doc.
+    // the expensive shingling; the persist memoizes the hashed-shingle
+    // table ONCE for all four consumers (both bucket-join sides, both
+    // verify-join sides) — exchange reuse alone does not dedupe these
+    // stages under AQE, and without it the corpus is scanned and shingled
+    // four times. Only the 64-bit hashes survive (the string shingles are
+    // dead after hashing), so the memo holds ~8 bytes × shingles per doc.
     val docs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
       .select(col("id"),
         graft.functions.ShingleFns.hashedShingles(col("__t"), shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
-      .localCheckpoint()
+      // persist, not localCheckpoint: corpus-sized memo — keep lineage so
+      // a lost executor recomputes instead of failing the job (same
+      // rationale as semanticDedup's assignment memo)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = docs.select(col("id"),
         posexplode(graft.functions.ArrayFns.minhashBands(col("hs"), numHashes, bands)))
@@ -217,7 +219,7 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
       .select(col("id"), simhashFromHashes(simhashTokenHashes(col("__t"))).as("sim"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: persist keeps lineage (see minhashPairs)
     def chunk(sim: Column, b: Int): Column =
       shiftright(sim, b * bits) % (1L << bits)
     val banded = sh.select(col("id"), col("sim"),
@@ -263,7 +265,7 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
       .select(col("id"), simhash64Fingerprint(col("__t")).as("sim"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: persist keeps lineage (see minhashPairs)
     def chunk(sim: Column, b: Int): Column =
       shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
     val banded = sh.select(col("id"), col("sim"),
@@ -317,7 +319,8 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id")) // spread before the hash-heavy fingerprint
       .select(col("id"), fingerprint(col("__t")).as("sim"))
-      .localCheckpoint() // fingerprint once; both join sides read it
+      // fingerprint once (both join sides read it); persist keeps lineage
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def chunk(sim: Column, b: Int): Column =
       shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
     val banded = sh.select(col("id"), col("sim"),
@@ -357,7 +360,7 @@ object Dedup {
         array_sort(graft.functions.ShingleFns.hashedShingles(col("__t"), n)).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
-      .localCheckpoint() // materialize once; all consumers read it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // memoize once; all consumers read it, lineage survives
     // exact prefix bound |s| − ⌈θ·|s|⌉ + 1, computed in that integer form:
     // the (1−θ)·|s| float shortcut can truncate one short (θ=0.9, |s|=10 →
     // 10×0.0999… → 0 → prefix 1 instead of 2) and silently drop qualifying
@@ -445,7 +448,7 @@ object Dedup {
       driverEdgeLimit: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (edges.count() <= driverEdgeLimit) return clustersLocal(edges)
     // seed with min(id, min neighbor): round one of propagation happens
     // inside the initial aggregation
@@ -674,7 +677,7 @@ object Dedup {
         posexplode(split(col("__t"), java.util.regex.Pattern.quote(delim))))
       .toDF("id", "pos", "line")
       .withColumn("h", xxhash64(lower(trim(col("line")))))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: persist keeps lineage (see minhashPairs)
     val bp = lines.filter(trim(col("line")) =!= "")
       .select(col("h"), col("id")).distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))

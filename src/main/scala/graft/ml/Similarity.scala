@@ -162,7 +162,7 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("vid"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vsd", dot(col("v"), col("v")))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: lineage survives executor loss
     var cents = vecs.filter(col("vid") < k)
       .select(col("vid").cast("long").as("cell_id"), col("v").as("centroid"))
     // same guard as trainPq: sparse or non-zero-based ids would silently
