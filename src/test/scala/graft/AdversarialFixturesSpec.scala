@@ -62,4 +62,27 @@ class AdversarialFixturesSpec extends SparkSpec {
       val n = q(spark, dir).count()
       assert(n >= 0L) // executed end-to-end without throwing
     }
+
+  test("dedup transforms on hostile fixtures keep output within the input id set") {
+    import org.apache.spark.sql.functions._
+    val docs = core.Tables.load(spark, dir, "documents")
+    val docIds = docs.select("doc_id").as[Long].collect().toSet
+    val nDocs = docs.count()
+    for ((label, out) <- Seq(
+      "hamming drop" -> ml.Dedup.dropDuplicatesHamming64(docs, "text", "doc_id"),
+      "exact drop" -> ml.Dedup.dropDuplicatesExact(docs, "text", "doc_id"),
+      "line dedup" -> ml.Dedup.removeBoilerplateLines(docs, "text", "doc_id"))) {
+      val ids = out.select(col("doc_id").cast("long")).as[Long].collect()
+      assert(ids.toSet.subsetOf(docIds), s"$label emitted ids outside the input")
+      assert(ids.length <= nDocs, s"$label grew the corpus")
+    }
+    // a row-preserving transform must keep exact cardinality even over
+    // null/empty/unicode-ws text
+    assert(ml.TextAnalysis.profile(docs, "text").count() == nDocs)
+    val emb = core.Tables.load(spark, dir, "embeddings")
+    val vecIds = emb.select("vec_id").as[Long].collect().toSet
+    val sem = ml.Similarity.semanticDedup(emb, "embedding", "vec_id")
+      .select("vec_id").as[Long].collect()
+    assert(sem.toSet.subsetOf(vecIds) && sem.length <= emb.count())
+  }
 }
