@@ -34,6 +34,7 @@ object ShingleFns {
   def hashedNgramsAll(text: Column, n: Int): Column =
     col(HashedNgramsAllExpr(expr(text), n))
   def md5TokenHashes(text: Column): Column = col(Md5TokenHashesExpr(expr(text)))
+  def tokenCounts(text: Column): Column = col(TokenCountsExpr(expr(text)))
 
   // ---- static kernels (called from generated code) ------------------------
 
@@ -129,6 +130,30 @@ object ShingleFns {
     new GenericArrayData(arr)
   }
 
+  /** Per-document term frequencies in one pass: (token, count) structs
+    * for every distinct NON-EMPTY whitespace token, first-occurrence
+    * order. Map-side pre-aggregation for tf-idf: explode emits one row
+    * per distinct term instead of one per token, and the
+    * groupBy(id, token) shuffle aggregation disappears entirely. */
+  def tokenCountsKernel(text: UTF8String): ArrayData = {
+    val toks = Ws.split(text.toString, -1)
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) counts.merge(toks(t), 1L, (a, b) => a + b)
+      t += 1
+    }
+    val arr = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator(); var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      arr(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   def shinglesKernel(text: UTF8String, n: Int): ArrayData = {
     val grams = gramStrings(text, n)
     val arr = new Array[Any](grams.size)
@@ -149,6 +174,21 @@ object ShingleFns {
     }
     new GenericArrayData(arr)
   }
+}
+
+case class TokenCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleFns.tokenCountsKernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.tokenCountsKernel($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "token_counts"
 }
 
 case class Md5TokenHashesExpr(child: Expression) extends UnaryExpression {

@@ -206,10 +206,13 @@ object TextAnalysis {
   private def topTfidfBy(df: DataFrame, textCol: String, idCol: String, k: Int)(
       weight: (Column, Column, Long) => Column): DataFrame = {
     val n = df.count()
-    val toks = df.select(col(idCol).as("id"),
-        explode(tokens(lower(col(textCol)))).as("token"))
-      .filter(col("token") =!= "")
-    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    // per-doc term frequencies come pre-aggregated from the kernel: one
+    // exploded row per DISTINCT term instead of one per token, and no
+    // groupBy(id, token) shuffle at all (ShingleFnsSpec pins the kernel
+    // against the explode+groupBy formulation)
+    val tf = df.select(col(idCol).as("id"),
+        explode(graft.functions.ShingleFns.tokenCounts(lower(col(textCol)))).as("tc"))
+      .select(col("id"), col("tc.token").as("token"), col("tc.cnt").as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "token")
       .select(col("id"), col("token"),

@@ -38,6 +38,19 @@ class ShingleFnsSpec extends SparkSpec {
     }
   }
 
+  test("tokenCounts equals the explode+groupBy term-frequency formulation") {
+    val df = battery.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val viaKernel = df.select($"id",
+        explode(ShingleFns.tokenCounts($"t")).as("tc"))
+      .select($"id", $"tc.token", $"tc.cnt")
+      .as[(Long, String, Long)].collect().toSet
+    val viaAgg = df.select($"id", explode(split($"t", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"id", $"token").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaKernel == viaAgg)
+  }
+
   for (n <- Seq(1, 3, 5)) {
     test(s"shingles kernel equals the composed formulation at n=$n") {
       val df = battery.toDF("t")
