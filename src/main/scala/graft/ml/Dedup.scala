@@ -219,7 +219,16 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
       .select(col("id"), simhashFromHashes(simhashTokenHashes(col("__t"))).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: persist keeps lineage (see minhashPairs)
+      // localCheckpoint, deliberately NOT persist: this memo feeds a banded
+      // SELF-JOIN whose output (pair stream) is far larger than its input.
+      // A cached InMemoryRelation advertises its true (tiny) size and AQE
+      // then coalesces the join's exchanges to a handful of partitions —
+      // the quadratic pair stream runs nearly serially (measured 17 s ->
+      // 100 s at 500k docs, tools/prof_hamming64b.scala). The RDD-backed
+      // checkpoint reports unknown size, keeping full parallelism. The
+      // fault-tolerance trade is real (lost executor = failed job); a
+      // reliable checkpoint() to DFS is the cluster-scale alternative.
+      .localCheckpoint()
     def chunk(sim: Column, b: Int): Column =
       shiftright(sim, b * bits) % (1L << bits)
     val banded = sh.select(col("id"), col("sim"),
@@ -265,7 +274,16 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
       .select(col("id"), simhash64Fingerprint(col("__t")).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: persist keeps lineage (see minhashPairs)
+      // localCheckpoint, deliberately NOT persist: this memo feeds a banded
+      // SELF-JOIN whose output (pair stream) is far larger than its input.
+      // A cached InMemoryRelation advertises its true (tiny) size and AQE
+      // then coalesces the join's exchanges to a handful of partitions —
+      // the quadratic pair stream runs nearly serially (measured 17 s ->
+      // 100 s at 500k docs, tools/prof_hamming64b.scala). The RDD-backed
+      // checkpoint reports unknown size, keeping full parallelism. The
+      // fault-tolerance trade is real (lost executor = failed job); a
+      // reliable checkpoint() to DFS is the cluster-scale alternative.
+      .localCheckpoint()
     def chunk(sim: Column, b: Int): Column =
       shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
     val banded = sh.select(col("id"), col("sim"),
@@ -319,8 +337,9 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id")) // spread before the hash-heavy fingerprint
       .select(col("id"), fingerprint(col("__t")).as("sim"))
-      // fingerprint once (both join sides read it); persist keeps lineage
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // fingerprint once (both join sides read it); see the
+      // exploding-self-join localCheckpoint rationale in simhashHammingPairs
+      .localCheckpoint()
     def chunk(sim: Column, b: Int): Column =
       shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
     val banded = sh.select(col("id"), col("sim"),
