@@ -62,10 +62,20 @@ object ConditionFilter {
       graft.paths.FieldPath.resolveSegs(df,
         p.stripPrefix(".").split('.').toSeq.map(graft.paths.FieldPath.Key))
         .map(_._1).getOrElse(lit(null))
-    // Go-template truthiness as the reference's events see it (JSON
-    // numbers render as their string image, so "0" is the zero value)
-    def truthy(c: Column): Column =
-      c.isNotNull && c.cast("string") =!= "" && c.cast("string") =!= "0"
+    // Go-template truthiness by the RESOLVED column type (Go treats the
+    // type's zero value as false): booleans are themselves, numbers
+    // compare against 0, strings against "" — so string "0" is truthy
+    // (non-empty) while numeric 0 and boolean false are not, exactly as
+    // a Go template over a parsed JSON event behaves
+    def truthy(c: Column): Column = {
+      import org.apache.spark.sql.types._
+      df.select(c).schema.head.dataType match {
+        case BooleanType => coalesce(c, lit(false))
+        case _: NumericType => c.isNotNull && c =!= lit(0)
+        case NullType => lit(false)
+        case _ => c.isNotNull && c.cast("string") =!= ""
+      }
+    }
     def condExpr(body: String): Column = {
       val toks = """"[^"]*"|\S+""".r.findAllIn(body).toSeq
       def isQuoted(x: String) = x.startsWith("\"") && x.endsWith("\"")
@@ -106,7 +116,10 @@ object ConditionFilter {
       case TplExist(p) => truthy(path(p))
       case TplEqStr(p, s) => path(p).cast("string") === lit(s)
       case TplEqNum(p, n) => path(p).cast("double") === lit(n.toDouble)
-      case TplIf(c, thenB, elseB) if !thenB.contains("{{if") =>
+      // nested {{if}} in EITHER branch falls through to the loud
+      // unsupported-condition error (not a confusing Render failure)
+      case TplIf(c, thenB, elseB) if !thenB.contains("{{if") &&
+          !Option(elseB).exists(_.contains("{{if")) =>
         val rendered = when(condExpr(c), branch(thenB))
           .otherwise(branch(Option(elseB).getOrElse("")))
         coalesce(rendered, lit("")) === "y"

@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Owned lifecycle for the corpus-sized persisted memos the dedup/ANN
+  * family pins (joinBackOnce drop sets, hashed-shingle tables, semantic
+  * assignment memos). Spark's CacheManager holds strong references, so a
+  * long-lived session looping corpora (`graft.Main --watch`) would
+  * otherwise accumulate MEMORY_AND_DISK blocks until LRU thrash; the
+  * registry gives pipeline drivers one `drain()` to call when a run's
+  * consuming actions are done (Planner.runBatch after its sinks,
+  * foreachBatch after each micro-batch, Bench/Verify between queries).
+  *
+  * `memo` is persist-with-registration, NOT eager materialization: the
+  * frames it pins are read lazily by the caller's later action, and the
+  * whole point of the persist is that the FIRST action fills the cache
+  * (see Dedup.joinBackOnce on why un-persisted anti-join sides re-derive
+  * per union branch). drain() therefore belongs strictly AFTER the
+  * consuming action; draining early is safe for correctness (the plan
+  * recomputes) but re-opens the union re-derivation cost.
+  */
+object CacheRegistry {
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** persist(MEMORY_AND_DISK) + register for the next drain(). */
+  def memo(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    live.add(p)
+    p
+  }
+
+  /** Unpersist every registered frame. Non-blocking: the executors free
+    * the blocks asynchronously while the driver moves on. */
+  def drain(): Unit = {
+    var d = live.poll()
+    while (d != null) {
+      try d.unpersist(blocking = false) catch { case _: Throwable => () }
+      d = live.poll()
+    }
+  }
+
+  /** Registered-but-not-yet-drained count (spec hook). */
+  def size: Int = live.size
+}

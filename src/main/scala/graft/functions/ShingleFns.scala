@@ -22,37 +22,54 @@ import org.apache.spark.unsafe.types.UTF8String
   * the equivalence on an edge battery): Java `\s+` split with -1 limit
   * (leading empty token on leading whitespace, unicode spaces NOT \s),
   * grams joined with ' ', docs shorter than n clip to their single
-  * space-joined gram, distinct keeps first-occurrence order. */
+  * space-joined gram, distinct keeps first-occurrence order.
+  *
+  * `unicode = true` opts a kernel into `UNICODE_CHARACTER_CLASS`
+  * tokenization (NBSP, ideographic space, … split like ASCII blanks) —
+  * the right mode for real multilingual corpora, where NBSP-joined
+  * tokens would otherwise never dedup. Default stays the Java-`\s+`
+  * contract so hashes/gates and the cross-engine oracle are unchanged;
+  * the two modes hash identically on pure-ASCII-whitespace text. */
 object ShingleFns {
   private def col(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
   private def expr(c: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(c)
 
-  def shingles(text: Column, n: Int): Column = col(ShinglesExpr(expr(text), n))
-  def hashedShingles(text: Column, n: Int): Column =
-    col(HashedShinglesExpr(expr(text), n))
-  def ngramsAll(text: Column, n: Int): Column = col(NgramsAllExpr(expr(text), n))
-  def hashedNgramsAll(text: Column, n: Int): Column =
-    col(HashedNgramsAllExpr(expr(text), n))
-  def md5TokenHashes(text: Column): Column = col(Md5TokenHashesExpr(expr(text)))
-  def tokenCounts(text: Column): Column = col(TokenCountsExpr(expr(text)))
+  def shingles(text: Column, n: Int, unicode: Boolean = false): Column =
+    col(ShinglesExpr(expr(text), n, unicode))
+  def hashedShingles(text: Column, n: Int, unicode: Boolean = false): Column =
+    col(HashedShinglesExpr(expr(text), n, unicode))
+  def ngramsAll(text: Column, n: Int, unicode: Boolean = false): Column =
+    col(NgramsAllExpr(expr(text), n, unicode))
+  def hashedNgramsAll(text: Column, n: Int, unicode: Boolean = false): Column =
+    col(HashedNgramsAllExpr(expr(text), n, unicode))
+  def md5TokenHashes(text: Column, unicode: Boolean = false): Column =
+    col(Md5TokenHashesExpr(expr(text), unicode))
+  def tokenCounts(text: Column, unicode: Boolean = false): Column =
+    col(TokenCountsExpr(expr(text), unicode))
 
   // ---- static kernels (called from generated code) ------------------------
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
+  private val WsUnicode = java.util.regex.Pattern.compile("\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
-  private def gramStrings(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
-    val toks = Ws.split(text.toString, -1)
+  private def toks(text: UTF8String, unicode: Boolean): Array[String] =
+    (if (unicode) WsUnicode else Ws).split(text.toString, -1)
+
+  private def gramStrings(text: UTF8String, n: Int,
+      unicode: Boolean): java.util.LinkedHashSet[String] = {
+    val ts = toks(text, unicode)
     val out = new java.util.LinkedHashSet[String]()
-    if (toks.length < n) out.add(String.join(" ", toks: _*))
+    if (ts.length < n) out.add(String.join(" ", ts: _*))
     else {
       val sb = new java.lang.StringBuilder
       var i = 0
-      while (i + n <= toks.length) {
+      while (i + n <= ts.length) {
         sb.setLength(0)
         var j = 0
         while (j < n) {
           if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
+          sb.append(ts(i + j))
           j += 1
         }
         out.add(sb.toString)
@@ -65,18 +82,18 @@ object ShingleFns {
   /** ALL in-order n-grams WITH repeats (TextAnalysis.ngramsAll
     * semantics): size−n+1 grams, an EMPTY array for docs shorter than n
     * tokens (unlike shingles' clipped singleton). */
-  private def gramArray(text: UTF8String, n: Int): Array[String] = {
-    val toks = Ws.split(text.toString, -1)
-    if (toks.length < n) return Array.empty[String]
-    val out = new Array[String](toks.length - n + 1)
+  private def gramArray(text: UTF8String, n: Int, unicode: Boolean): Array[String] = {
+    val ts = toks(text, unicode)
+    if (ts.length < n) return Array.empty[String]
+    val out = new Array[String](ts.length - n + 1)
     val sb = new java.lang.StringBuilder
     var i = 0
-    while (i + n <= toks.length) {
+    while (i + n <= ts.length) {
       sb.setLength(0)
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
+        sb.append(ts(i + j))
         j += 1
       }
       out(i) = sb.toString
@@ -85,16 +102,16 @@ object ShingleFns {
     out
   }
 
-  def ngramsAllKernel(text: UTF8String, n: Int): ArrayData = {
-    val grams = gramArray(text, n)
+  def ngramsAllKernel(text: UTF8String, n: Int, unicode: Boolean): ArrayData = {
+    val grams = gramArray(text, n, unicode)
     val arr = new Array[Any](grams.length)
     var i = 0
     while (i < grams.length) { arr(i) = UTF8String.fromString(grams(i)); i += 1 }
     new GenericArrayData(arr)
   }
 
-  def hashedNgramsAllKernel(text: UTF8String, n: Int): ArrayData = {
-    val grams = gramArray(text, n)
+  def hashedNgramsAllKernel(text: UTF8String, n: Int, unicode: Boolean): ArrayData = {
+    val grams = gramArray(text, n, unicode)
     val arr = new Array[Long](grams.length)
     var i = 0
     while (i < grams.length) {
@@ -112,11 +129,11 @@ object ShingleFns {
     * semantics): low 4 digest bytes as an unsigned value — exactly
     * `conv(substring(md5(t), 25, 8), 16, 10).cast("long")` over
     * `array_distinct(tokens(text))`, fused into one pass. */
-  def md5TokenHashesKernel(text: UTF8String): ArrayData = {
-    val toks = Ws.split(text.toString, -1)
+  def md5TokenHashesKernel(text: UTF8String, unicode: Boolean): ArrayData = {
+    val ts = toks(text, unicode)
     val seen = new java.util.LinkedHashSet[String]()
     var t = 0
-    while (t < toks.length) { seen.add(toks(t)); t += 1 }
+    while (t < ts.length) { seen.add(ts(t)); t += 1 }
     val arr = new Array[Long](seen.size)
     val md = Md5.get()
     val it = seen.iterator(); var i = 0
@@ -135,12 +152,12 @@ object ShingleFns {
     * order. Map-side pre-aggregation for tf-idf: explode emits one row
     * per distinct term instead of one per token, and the
     * groupBy(id, token) shuffle aggregation disappears entirely. */
-  def tokenCountsKernel(text: UTF8String): ArrayData = {
-    val toks = Ws.split(text.toString, -1)
+  def tokenCountsKernel(text: UTF8String, unicode: Boolean): ArrayData = {
+    val ts = toks(text, unicode)
     val counts = new java.util.LinkedHashMap[String, Long]()
     var t = 0
-    while (t < toks.length) {
-      if (toks(t).nonEmpty) counts.merge(toks(t), 1L, (a, b) => a + b)
+    while (t < ts.length) {
+      if (ts(t).nonEmpty) counts.merge(ts(t), 1L, (a, b) => a + b)
       t += 1
     }
     val arr = new Array[Any](counts.size)
@@ -154,16 +171,16 @@ object ShingleFns {
     new GenericArrayData(arr)
   }
 
-  def shinglesKernel(text: UTF8String, n: Int): ArrayData = {
-    val grams = gramStrings(text, n)
+  def shinglesKernel(text: UTF8String, n: Int, unicode: Boolean): ArrayData = {
+    val grams = gramStrings(text, n, unicode)
     val arr = new Array[Any](grams.size)
     val it = grams.iterator(); var i = 0
     while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(arr)
   }
 
-  def hashedShinglesKernel(text: UTF8String, n: Int): ArrayData = {
-    val grams = gramStrings(text, n)
+  def hashedShinglesKernel(text: UTF8String, n: Int, unicode: Boolean): ArrayData = {
+    val grams = gramStrings(text, n, unicode)
     val arr = new Array[Long](grams.size)
     val it = grams.iterator(); var i = 0
     while (it.hasNext) {
@@ -176,76 +193,82 @@ object ShingleFns {
   }
 }
 
-case class TokenCountsExpr(child: Expression) extends UnaryExpression {
+case class TokenCountsExpr(child: Expression, unicode: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("token", StringType, nullable = false),
       org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false))),
     containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    ShingleFns.tokenCountsKernel(input.asInstanceOf[UTF8String])
+    ShingleFns.tokenCountsKernel(input.asInstanceOf[UTF8String], unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.tokenCountsKernel($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.tokenCountsKernel($c, $unicode)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "token_counts"
 }
 
-case class Md5TokenHashesExpr(child: Expression) extends UnaryExpression {
+case class Md5TokenHashesExpr(child: Expression, unicode: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    ShingleFns.md5TokenHashesKernel(input.asInstanceOf[UTF8String])
+    ShingleFns.md5TokenHashesKernel(input.asInstanceOf[UTF8String], unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.md5TokenHashesKernel($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.md5TokenHashesKernel($c, $unicode)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "md5_token_hashes"
 }
 
-case class NgramsAllExpr(child: Expression, n: Int) extends UnaryExpression {
+case class NgramsAllExpr(child: Expression, n: Int, unicode: Boolean = false)
+    extends UnaryExpression {
   require(n >= 1, "n-gram size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    ShingleFns.ngramsAllKernel(input.asInstanceOf[UTF8String], n)
+    ShingleFns.ngramsAllKernel(input.asInstanceOf[UTF8String], n, unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.ngramsAllKernel($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.ngramsAllKernel($c, $n, $unicode)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "ngrams_all"
 }
 
-case class HashedNgramsAllExpr(child: Expression, n: Int) extends UnaryExpression {
+case class HashedNgramsAllExpr(child: Expression, n: Int, unicode: Boolean = false)
+    extends UnaryExpression {
   require(n >= 1, "n-gram size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    ShingleFns.hashedNgramsAllKernel(input.asInstanceOf[UTF8String], n)
+    ShingleFns.hashedNgramsAllKernel(input.asInstanceOf[UTF8String], n, unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ShingleFns.hashedNgramsAllKernel($c, $n)")
+      s"graft.functions.ShingleFns.hashedNgramsAllKernel($c, $n, $unicode)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "hashed_ngrams_all"
 }
 
-case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class ShinglesExpr(child: Expression, n: Int, unicode: Boolean = false)
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    ShingleFns.shinglesKernel(input.asInstanceOf[UTF8String], n)
+    ShingleFns.shinglesKernel(input.asInstanceOf[UTF8String], n, unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.shinglesKernel($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.shinglesKernel($c, $n, $unicode)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "shingles"
 }
 
-case class HashedShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class HashedShinglesExpr(child: Expression, n: Int, unicode: Boolean = false)
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    ShingleFns.hashedShinglesKernel(input.asInstanceOf[UTF8String], n)
+    ShingleFns.hashedShinglesKernel(input.asInstanceOf[UTF8String], n, unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.hashedShinglesKernel($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleFns.hashedShinglesKernel($c, $n, $unicode)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "hashed_shingles"

@@ -21,6 +21,33 @@ object Dedup {
 
   def tokens(text: Column): Column = split(text, """\s+""")
 
+  /** Materialization barrier for memos that feed exploding SELF-JOINs
+    * (banded fingerprint tables). These must NOT be `persist`ed: a cached
+    * InMemoryRelation advertises its true (tiny) size and AQE then
+    * coalesces the join's exchanges to a handful of partitions while the
+    * join OUTPUT explodes — measured 17 s → 100 s at 500k docs
+    * (tools/profile.scala hamming64-2x2). An RDD-scan barrier reports
+    * unknown size, keeping full parallelism.
+    *
+    * Which barrier is a deployment choice: `localCheckpoint()` (default)
+    * is fast but trades fault tolerance — a lost executor fails the job.
+    * On a real cluster set `spark.sql.graft.checkpointDir` to a DFS path
+    * and the same memo goes through reliable `checkpoint()` instead:
+    * identical plan shape (LogicalRDD, unknown stats ⇒ no AQE coalesce),
+    * executor loss recovers from the checkpoint files. */
+  private[graft] def explodingMemo(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    ss.conf.getOption("spark.sql.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = ss.sparkContext
+        // setCheckpointDir appends a per-context UUID subdir; only set it
+        // when unset so repeated calls (and user-owned settings) stick
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   /** Distinct word n-gram shingles.
     *
     * Built from zipped shifted arrays instead of a per-position
@@ -129,8 +156,9 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       // persist, not localCheckpoint: corpus-sized memo — keep lineage so
       // a lost executor recomputes instead of failing the job (same
-      // rationale as semanticDedup's assignment memo)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // rationale as semanticDedup's assignment memo). Registered so
+      // pipeline drivers can drain it once the consuming action is done.
+      .transform(graft.core.CacheRegistry.memo)
 
     val banded = docs.select(col("id"),
         posexplode(graft.functions.ArrayFns.minhashBands(col("hs"), numHashes, bands)))
@@ -219,16 +247,9 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
       .select(col("id"), simhashFromHashes(simhashTokenHashes(col("__t"))).as("sim"))
-      // localCheckpoint, deliberately NOT persist: this memo feeds a banded
-      // SELF-JOIN whose output (pair stream) is far larger than its input.
-      // A cached InMemoryRelation advertises its true (tiny) size and AQE
-      // then coalesces the join's exchanges to a handful of partitions —
-      // the quadratic pair stream runs nearly serially (measured 17 s ->
-      // 100 s at 500k docs, tools/prof_hamming64b.scala). The RDD-backed
-      // checkpoint reports unknown size, keeping full parallelism. The
-      // fault-tolerance trade is real (lost executor = failed job); a
-      // reliable checkpoint() to DFS is the cluster-scale alternative.
-      .localCheckpoint()
+      // exploding-self-join memo: RDD barrier, never persist (AQE would
+      // coalesce under the quadratic pair output — see explodingMemo)
+      .transform(explodingMemo)
     def chunk(sim: Column, b: Int): Column =
       shiftright(sim, b * bits) % (1L << bits)
     val banded = sh.select(col("id"), col("sim"),
@@ -274,16 +295,9 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
       .select(col("id"), simhash64Fingerprint(col("__t")).as("sim"))
-      // localCheckpoint, deliberately NOT persist: this memo feeds a banded
-      // SELF-JOIN whose output (pair stream) is far larger than its input.
-      // A cached InMemoryRelation advertises its true (tiny) size and AQE
-      // then coalesces the join's exchanges to a handful of partitions —
-      // the quadratic pair stream runs nearly serially (measured 17 s ->
-      // 100 s at 500k docs, tools/prof_hamming64b.scala). The RDD-backed
-      // checkpoint reports unknown size, keeping full parallelism. The
-      // fault-tolerance trade is real (lost executor = failed job); a
-      // reliable checkpoint() to DFS is the cluster-scale alternative.
-      .localCheckpoint()
+      // exploding-self-join memo: RDD barrier, never persist (AQE would
+      // coalesce under the quadratic pair output — see explodingMemo)
+      .transform(explodingMemo)
     def chunk(sim: Column, b: Int): Column =
       shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
     val banded = sh.select(col("id"), col("sim"),
@@ -337,9 +351,9 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id")) // spread before the hash-heavy fingerprint
       .select(col("id"), fingerprint(col("__t")).as("sim"))
-      // fingerprint once (both join sides read it); see the
-      // exploding-self-join localCheckpoint rationale in simhashHammingPairs
-      .localCheckpoint()
+      // fingerprint once (both join sides read it); exploding-self-join
+      // memo — RDD barrier, never persist (see explodingMemo)
+      .transform(explodingMemo)
     def chunk(sim: Column, b: Int): Column =
       shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
     val banded = sh.select(col("id"), col("sim"),
@@ -379,7 +393,7 @@ object Dedup {
         array_sort(graft.functions.ShingleFns.hashedShingles(col("__t"), n)).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // memoize once; all consumers read it, lineage survives
+      .transform(graft.core.CacheRegistry.memo) // memoize once; all consumers read it, lineage survives, drain()-owned
     // exact prefix bound |s| − ⌈θ·|s|⌉ + 1, computed in that integer form:
     // the (1−θ)·|s| float shortcut can truncate one short (θ=0.9, |s|=10 →
     // 10×0.0999… → 0 → prefix 1 instead of 2) and silently drop qualifying
@@ -419,18 +433,17 @@ object Dedup {
     * 100-file corpus (tools/stress_semdedup.scala) before this barrier;
     * with the persist, the branches share one cached computation and the
     * pushdown duplicates only a cache scan. The id frame is at worst
-    * linear in corpus size and spills (MEMORY_AND_DISK); entries are
-    * evicted LRU — long-lived sessions looping corpora should
-    * `spark.catalog.clearCache()` between runs. */
+    * linear in corpus size and spills (MEMORY_AND_DISK); the persist is
+    * registered with CacheRegistry, and the pipeline drivers (runBatch,
+    * foreachBatch, Bench, Verify) drain it once the consuming action
+    * completes — ad-hoc Scala callers own the drain themselves. */
   private[graft] def joinBackOnce(df: DataFrame, ids: DataFrame,
       usingColumns: Seq[String], joinType: String): DataFrame =
-    df.join(ids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      usingColumns, joinType)
+    df.join(graft.core.CacheRegistry.memo(ids), usingColumns, joinType)
 
   private[graft] def joinBackOnce(df: DataFrame, ids: DataFrame,
       cond: org.apache.spark.sql.Column, joinType: String): DataFrame =
-    df.join(ids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      cond, joinType)
+    df.join(graft.core.CacheRegistry.memo(ids), cond, joinType)
 
   /** Keep one representative row per near-dup cluster: pairs → connected
     * components via min-id propagation (bounded iterations), then
@@ -468,7 +481,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (edges.count() <= driverEdgeLimit) return clustersLocal(edges)
+    // every consumer of `edges` finishes INSIDE this function (the local
+    // union-find iterates it; the distributed loop's surviving labels are
+    // localCheckpoint'd, cutting their lineage from it) — so its persist
+    // is owned here, not registry-drained: unpersist on every exit.
+    if (edges.count() <= driverEdgeLimit)
+      try return clustersLocal(edges) finally edges.unpersist(blocking = false)
     // seed with min(id, min neighbor): round one of propagation happens
     // inside the initial aggregation
     var labels = edges.groupBy("src").agg(min("dst").as("__mn"))
@@ -487,6 +505,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    edges.unpersist(blocking = false)
     if (!converged) throw new IllegalStateException(
       s"clusters: label propagation did not converge within $maxIters " +
         "iterations — the pair graph's diameter exceeds maxIters and some " +
@@ -696,7 +715,7 @@ object Dedup {
         posexplode(split(col("__t"), java.util.regex.Pattern.quote(delim))))
       .toDF("id", "pos", "line")
       .withColumn("h", xxhash64(lower(trim(col("line")))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: persist keeps lineage (see minhashPairs)
+      .transform(graft.core.CacheRegistry.memo) // corpus-sized memo: persist keeps lineage (see minhashPairs), drain()-owned
     val bp = lines.filter(trim(col("line")) =!= "")
       .select(col("h"), col("id")).distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))

@@ -162,7 +162,7 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("vid"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vsd", dot(col("v"), col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: lineage survives executor loss
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: lineage survives executor loss; owned here (unpersisted before return)
     var cents = vecs.filter(col("vid") < k)
       .select(col("vid").cast("long").as("cell_id"), col("v").as("centroid"))
     // same guard as trainPq: sparse or non-zero-based ids would silently
@@ -189,6 +189,10 @@ object Similarity {
           .getField("mean").as("centroid"))
         .localCheckpoint()
     }
+    // every consumer of `vecs` ran inside the loop (each round's cents is
+    // localCheckpoint'd, cutting its lineage from vecs) — owned persist,
+    // freed on exit rather than left for a registry drain
+    vecs.unpersist(blocking = false)
     cents
   }
 
@@ -202,15 +206,30 @@ object Similarity {
         // same guard as trainKmeansCentroids/trainPq: sparse, non-dense or
         // duplicated ids would silently seed a degenerate index (fewer
         // cells than asked — in the worst case zero, making downstream
-        // semanticDedup a silent no-op)
+        // semanticDedup a silent no-op). A corpus SMALLER than numCells
+        // with dense-from-0 ids is legal: the cell count clamps to the
+        // corpus size (every doc its own cell — still a correct, exact
+        // index; the Planner SemanticDedup default of 16 cells must not
+        // hard-fail a 10-doc corpus).
         val seeded = corpus.filter(col(idCol) < numCells)
           .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("centroid"))
-        val n = seeded.count()
-        require(n == numCells, s"buildIvfIndex: seeded-centroid path " +
-          s"expects $numCells distinct ids in [0, $numCells) but found $n — " +
-          "ids must be dense from 0, or pass trained `centroids` " +
-          "(e.g. trainKmeansCentroids)")
-        seeded
+        val st = seeded.agg(count(lit(1)).as("n"),
+          count_distinct(col("cell_id")).as("d"),
+          min(col("cell_id")).as("lo"), max(col("cell_id")).as("hi")).head()
+        val (n, d) = (st.getLong(0), st.getLong(1))
+        if (n == numCells && d == numCells) seeded
+        else {
+          val total = corpus.count()
+          require(total > 0, "buildIvfIndex: empty corpus")
+          require(total == n && n == d &&
+            st.getLong(2) == 0L && st.getLong(3) == total - 1,
+            s"buildIvfIndex: seeded-centroid path expects $numCells distinct " +
+              s"ids in [0, $numCells) (or a corpus smaller than $numCells " +
+              s"with ids dense from 0) but found $d distinct over $n rows — " +
+              "pass trained `centroids` (e.g. trainKmeansCentroids) for " +
+              "sparse or non-zero-based ids")
+          seeded
+        }
       }
       .select(col("cell_id"), col("centroid"),
         dot(col("centroid"), col("centroid")).as("centsd"))
@@ -423,8 +442,8 @@ object Similarity {
       numCells: Int = 16, threshold: Double = 0.95,
       centroids: Option[DataFrame] = None,
       maxCellSize: Long = 0L, dim: Int = 64): DataFrame = {
-    val base = buildIvfIndex(df, vecCol, idCol, numCells, centroids)
-      .assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.core.CacheRegistry.memo(
+      buildIvfIndex(df, vecCol, idCol, numCells, centroids).assigned)
     val assigned =
       if (maxCellSize <= 0L) base.withColumn("sub", lit(0L))
       else {

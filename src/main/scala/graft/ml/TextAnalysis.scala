@@ -138,7 +138,7 @@ object TextAnalysis {
     val base = df.select(col(idCol).as("doc_id"),
         length(col(textCol)).as("len"), col(textCol).as("__t"))
       .repartition(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: lineage survives executor loss
+      .transform(graft.core.CacheRegistry.memo) // corpus-sized memo: lineage survives executor loss, drain()-owned
     def gramCounts(n: Int) = base
       .select(col("doc_id"), col("len"),
         explode(ngramsAll(col("__t"), n)).as("g"))

@@ -178,7 +178,7 @@ object Planner {
 
   private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
     "AssignSplits", "PackSequences", "UrlDedup", "TextProfile",
-    "SemanticDedup")
+    "SemanticDedup", "PassageDedup", "LineDedup")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -206,8 +206,25 @@ object Planner {
         case "hamming" =>
           df => graft.ml.Dedup.dropDuplicatesHamming64(df, text, id,
             conf.int("k", 3), conf.int("bands", 8))
+        case "clustered" =>
+          // connected-component representative policy: keep one row per
+          // near-dup CLUSTER (min id), vs the drop-anything-matching-an-
+          // earlier-doc policy of the other methods. `pairs` picks the
+          // edge generator.
+          df => {
+            val pairs = conf.str("pairs").getOrElse("minhash") match {
+              case "minhash" => graft.ml.Dedup.minhashPairs(df, text, id,
+                conf.int("shingle_size", 3), conf.int("num_hashes", 64),
+                conf.int("bands", 32), conf.dbl("threshold", 0.9))
+              case "hamming" => graft.ml.Dedup.simhashHammingPairs64(df, text, id,
+                conf.int("k", 3), conf.int("bands", 8))
+              case other => sys.error(
+                s"Dedup clustered pairs must be minhash|hamming, got '$other'")
+            }
+            graft.ml.Dedup.dropDuplicatesClustered(df, pairs, id)
+          }
         case other => sys.error(
-          s"Dedup method must be exact|minhash|hamming, got '$other'")
+          s"Dedup method must be exact|minhash|hamming|clustered, got '$other'")
       }
       case "Decontaminate" =>
         // `benchmark` is an input spec like the top-level `inputs` entries:
@@ -272,6 +289,25 @@ object Planner {
         }
       case "TextProfile" =>
         df => graft.ml.TextAnalysis.profile(df, text)
+      case "PassageDedup" =>
+        // verbatim-passage rewrite (suffix-array-dedup family): strip
+        // k-token windows duplicated across ≥ min_docs docs, keep-first.
+        // mode: spans emits the (doc_id, span) table instead of rewriting.
+        conf.str("mode").getOrElse("strip") match {
+          case "strip" =>
+            df => graft.ml.Dedup.stripDuplicatedPassages(df, text, id,
+              conf.int("k", 8), conf.int("min_docs", 2))
+          case "spans" =>
+            df => graft.ml.Dedup.duplicatedPassages(df, text, id,
+              conf.int("k", 8), conf.int("min_docs", 2))
+          case other => sys.error(
+            s"PassageDedup mode must be strip|spans, got '$other'")
+        }
+      case "LineDedup" =>
+        // CCNet-family boilerplate-line removal: cut any line appearing in
+        // ≥ min_docs distinct docs; rewrite pass, cardinality preserved
+        df => graft.ml.Dedup.removeBoilerplateLines(df, text, id,
+          conf.int("min_docs", 3), conf.str("delim").getOrElse("\n"))
       case "SemanticDedup" =>
         // embedding-space dedup: `src` names the vector column here
         val vec = conf.str("src").getOrElse("embedding")
@@ -476,13 +512,17 @@ object Planner {
       val in = spec.inputs.map { case (n, c) => input(spark, n, c) }
         .reduceLeft(_.unionByName(_, allowMissingColumns = true))
       val transformed = transform(in)
-      spec.outputs.map { case (n, c) =>
+      try spec.outputs.map { case (n, c) =>
         val guarded = c.strSeq("if")
           .map(cond => ConditionFilter.compile(cond, transformed))
           .reduceOption(_ && _)
           .map(transformed.filter).getOrElse(transformed)
         n -> graft.sinks.Sinks.writeBatch(n, c, guarded)
       }.toMap
+      // the sinks were the run's consuming actions: free the corpus-stage
+      // memos (joinBackOnce drop sets, shingle/assignment tables) so a
+      // long-lived session looping corpora doesn't accumulate cache
+      finally graft.core.CacheRegistry.drain()
     }
   }
 
@@ -516,13 +556,17 @@ object Planner {
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.foreachBatch { (raw: DataFrame, _: Long) =>
       val batch = perBatchStages.foldLeft(raw) { case (d, (n, c)) => filterStage(n, c)(d) }
-      pipeline.spec.outputs.foreach { case (n, c) =>
+      try pipeline.spec.outputs.foreach { case (n, c) =>
         val guarded = c.strSeq("if")
           .map(cond => ConditionFilter.compile(cond, batch))
           .reduceOption(_ && _)
           .map(batch.filter).getOrElse(batch)
         graft.sinks.Sinks.writeBatch(n, c, guarded): Unit
       }
+      // per-micro-batch memos (a corpus stage in the per-batch tail) are
+      // consumed once the batch's sinks finish — drain or they accumulate
+      // one cache entry per micro-batch for the query's lifetime
+      finally graft.core.CacheRegistry.drain()
     }.start()
   }
 

@@ -40,6 +40,38 @@ class ConditionFilterSpec extends SparkSpec {
     // flat template with no if at all — render the field, compare to "y"
     assert(run("""{{.flag}}""") == Set("app", "worker-api"))
   }
+
+  test("template truthiness follows the resolved type's Go zero value") {
+    import spark.implicits._
+    val df = Seq(("a", "0", 0L, 0.5, true), ("b", "", 3L, 0.0, false))
+      .toDF("name", "s", "n", "d", "b")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    // string "0" is a NON-EMPTY string → truthy in Go (only "" is the
+    // string zero value); numeric zero and boolean false are falsy
+    assert(run("""{{if .s}}y{{end}}""") == Set("a"))
+    assert(run("""{{if .n}}y{{end}}""") == Set("b"))
+    assert(run("""{{if .d}}y{{end}}""") == Set("a"))
+    assert(run("""{{if .b}}y{{end}}""") == Set("a"))
+    assert(run("""{{if not .b}}y{{end}}""") == Set("b"))
+    // missing field resolves to the null literal → falsy, not an error
+    assert(run("""{{if .nope}}y{{end}}""") == Set.empty)
+  }
+
+  test("nested {{if}} in either branch hits the loud unsupported-condition error") {
+    import spark.implicits._
+    val df = Seq(("a", "y")).toDF("name", "flag")
+    val inThen = intercept[RuntimeException] {
+      ConditionFilter.compile(
+        """{{if .name}}{{if .flag}}y{{end}}{{end}}""", df)
+    }
+    assert(inThen.getMessage.contains("unsupported template condition"))
+    val inElse = intercept[RuntimeException] {
+      ConditionFilter.compile(
+        """{{if .name}}n{{else}}{{if .flag}}y{{end}}{{end}}""", df)
+    }
+    assert(inElse.getMessage.contains("unsupported template condition"))
+  }
   import spark.implicits._
 
   // events-like frame: typed columns + a JSON overflow string column

@@ -26,6 +26,36 @@ class ShingleFnsSpec extends SparkSpec {
     null,
   )
 
+  test("unicode mode splits non-ASCII whitespace; default pins Java \\s+ semantics") {
+    import spark.implicits._
+    // NBSP (U+00A0) and ideographic space (U+3000) join tokens under the
+    // default Java \s+ contract (oracle-parity mode) but are word breaks
+    // for a real multilingual corpus — the opt-in UNICODE_CHARACTER_CLASS
+    // mode splits them like ASCII blanks
+    val nbsp = "alpha\u00A0beta gamma\u3000delta"
+    val ascii = "alpha beta gamma delta"
+    val df = Seq((nbsp, ascii)).toDF("nb", "as")
+    val r = df.select(
+      ShingleFns.shingles($"nb", 2).as("d"),
+      ShingleFns.shingles($"nb", 2, unicode = true).as("u"),
+      ShingleFns.shingles($"as", 2).as("a"),
+      ShingleFns.shingles($"as", 2, unicode = true).as("au")).head()
+    // default: NBSP/ideographic-joined words stay single tokens — two
+    // tokens total, one 2-gram
+    assert(r.getSeq[String](0) == Seq("alpha\u00A0beta gamma\u3000delta"))
+    // unicode: four tokens, normal 2-gram shingles
+    assert(r.getSeq[String](1) == Seq("alpha beta", "beta gamma", "gamma delta"))
+    // pure-ASCII-whitespace text is identical in both modes (so the flag
+    // cannot change any gate/oracle hash on the test corpora)
+    assert(r.getSeq[String](2) == r.getSeq[String](3))
+    // hashed form agrees with the string form under unicode mode too
+    val h = df.select(
+      ShingleFns.hashedShingles($"nb", 2, unicode = true).as("hu"),
+      transform(ShingleFns.shingles($"nb", 2, unicode = true), g => xxhash64(g)).as("hc"))
+      .head()
+    assert(h.getSeq[Long](0) == h.getSeq[Long](1))
+  }
+
   test("md5TokenHashes equals the composed md5/conv formulation") {
     val df = battery.toDF("t")
     val rows = df.select(

@@ -330,6 +330,56 @@ class MlSpec extends SparkSpec {
     assert(e.getMessage.contains("dense from 0"))
   }
 
+  test("buildIvfIndex clamps cells to a smaller dense-id corpus instead of failing") {
+    // a sub-numCells corpus with dense-from-0 ids is legal (every doc its
+    // own cell) — the Planner SemanticDedup default of 16 cells must not
+    // hard-fail a 5-doc corpus (it used to dedup correctly, then r6's
+    // dense-id guard over-rejected it)
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 5L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    // id 5 is an EXACT copy of 2: with every doc its own centroid, only an
+    // exact tie (csim 1 vs 1, smaller cell_id wins) co-buckets the pair
+    val emb = (base :+ ((5L, base(2)._2)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(emb, "embedding", "vec_id", numCells = 16)
+    assert(idx.centroids.count() == 6 && idx.assigned.count() == 6)
+    val kept = Similarity.semanticDedup(emb, "embedding", "vec_id",
+      numCells = 16, threshold = 0.999, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0L until 5L).toSet)
+    // empty corpus still errors loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 0), "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("exploding-self-join memos honor spark.sql.graft.checkpointDir") {
+    // with the config set, the hamming fingerprint memo goes through
+    // reliable checkpoint() — same survivors, checkpoint files on disk
+    // (the cluster-scale alternative to localCheckpoint's lost-executor-
+    // kills-job trade; plan shape unchanged, see Dedup.explodingMemo)
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (2L, "completely unrelated content about distributed query engines"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+    ).toDF("id", "text")
+    val expected = Dedup.dropDuplicatesHamming64(df, "text", "id")
+      .select("id").as[Long].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.sql.graft.checkpointDir", dir)
+    try {
+      val got = Dedup.dropDuplicatesHamming64(df, "text", "id")
+        .select("id").as[Long].collect().toSet
+      assert(got == expected)
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)),
+        s"no reliable checkpoint files under $dir")
+    } finally spark.conf.unset("spark.sql.graft.checkpointDir")
+  }
+
   test("heavyHitters exact and approx paths agree and are exactly the true hitters") {
     // corpus where 'buy now' dominates, some mid-frequency grams, a long
     // random tail — the freqItems candidate superset must be pruned back

@@ -62,6 +62,14 @@ class LlmPipelineSpec extends SparkSpec {
 
     graft.Main.run(spark, cfg.toString)
 
+    // owned cache lifecycle: the corpus stages' persisted memos
+    // (joinBackOnce drop sets, shingle tables) must be drained once the
+    // pipeline's sinks finish — a --watch session looping corpora must
+    // not accumulate MEMORY_AND_DISK blocks run over run
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "corpus pipeline left frames in the cache manager after runBatch")
+    assert(graft.core.CacheRegistry.size == 0)
+
     val result = spark.read.parquet(out)
     val byId = result.collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
 
@@ -157,6 +165,96 @@ class LlmPipelineSpec extends SparkSpec {
       "src" -> "embedding", "num_cells" -> 4, "threshold" -> 0.999,
       "max_cell_size" -> 8, "dim" -> 16))(df)
     assert(kept.select("id").as[Long].collect().toSet == (0L until 20L).toSet)
+  }
+
+  test("Dedup dispatches the clustered-representative policy") {
+    // same near-dup fixture as the minhash dispatch test; clustered keeps
+    // the connected-component min id (policy semantics proven in MlSpec —
+    // this covers the YAML dispatch and option plumbing)
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (2L, "completely unrelated content about distributed query engines"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+    ).toDF("id", "text")
+    val kept = Planner.corpusStage("Dedup", Map(
+      "method" -> "clustered", "pairs" -> "minhash", "threshold" -> 0.7))(df)
+    assert(kept.select("id").as[Long].collect().toSet == Set(0L, 2L))
+    val keptHam = Planner.corpusStage("Dedup", Map(
+      "method" -> "clustered", "pairs" -> "hamming", "k" -> 3))(df)
+    assert(keptHam.select("id").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    val e = intercept[RuntimeException] {
+      Planner.corpusStage("Dedup", Map(
+        "method" -> "clustered", "pairs" -> "nope"))(df).count()
+    }
+    assert(e.getMessage.contains("minhash|hamming"))
+  }
+
+  test("PassageDedup strips duplicated passages, keep-first; spans mode emits the table") {
+    val df = Seq(
+      (0L, "licensed under apache two zero unique alpha"),
+      (1L, "other content licensed under apache two zero"),
+      (2L, "totally different text with no shared windows here"),
+    ).toDF("id", "text")
+    val stripped = Planner.corpusStage("PassageDedup", Map(
+      "k" -> 4, "min_docs" -> 2))(df)
+      .orderBy("id").select("text").as[String].collect()
+    // doc 0 (min id) keeps the passage; doc 1 loses tokens 2..6
+    assert(stripped(0) == "licensed under apache two zero unique alpha")
+    assert(stripped(1) == "other content")
+    assert(stripped(2) == "totally different text with no shared windows here")
+    val spans = Planner.corpusStage("PassageDedup", Map(
+      "k" -> 4, "min_docs" -> 2, "mode" -> "spans"))(df)
+    assert(spans.columns.toSeq == Seq("doc_id", "span_start", "span_end"))
+    // spans mode reports BOTH holders of the duplicated window range
+    assert(spans.select("doc_id").as[Long].collect().toSet == Set(0L, 1L))
+  }
+
+  test("LineDedup cuts boilerplate lines appearing across min_docs documents") {
+    val df = Seq(
+      (0L, "keep me\nSUBSCRIBE NOW\nunique zero"),
+      (1L, "subscribe now\nunique one"),
+      (2L, "unique two"),
+    ).toDF("id", "text")
+    val cleaned = Planner.corpusStage("LineDedup", Map("min_docs" -> 2))(df)
+      .orderBy("id").select("text").as[String].collect()
+    // normalized (trim+lower) "subscribe now" hits 2 docs → cut from both,
+    // surviving lines keep their spelling and order
+    assert(cleaned(0) == "keep me\nunique zero")
+    assert(cleaned(1) == "unique one")
+    assert(cleaned(2) == "unique two")
+  }
+
+  test("rewrite stages run YAML-chained through graft.Main") {
+    val in = tmp("llm-rw-in"); val out = tmp("llm-rw-out")
+    Seq(
+      (0L, "visit our sponsor\nlicensed under apache two zero unique alpha"),
+      (1L, "visit our sponsor\nother content licensed under apache two zero"),
+      (2L, "visit our sponsor\ncompletely unrelated body text"),
+      (3L, "completely unrelated body text"), // near-dup of 2 post-LineDedup
+    ).toDF("id", "text").write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""inputs:
+         |  - Parquet: {path: $in}
+         |filters:
+         |  - LineDedup: {src: text, id_field: id, min_docs: 3}
+         |  - Dedup: {src: text, id_field: id, method: clustered}
+         |  - PassageDedup: {src: text, id_field: id, k: 4, min_docs: 2}
+         |outputs:
+         |  - Parquet: {path: $out}
+         |""".stripMargin
+    val cfg = java.nio.file.Files.createTempFile("llm-rewrite", ".yml")
+    java.nio.file.Files.write(cfg, yaml.getBytes("UTF-8"))
+    graft.Main.run(spark, cfg.toString)
+    val result = spark.read.parquet(out).orderBy("id")
+      .select("id", "text").as[(Long, String)].collect()
+    // LineDedup cuts "visit our sponsor" (3 docs); clustered dedup drops 3
+    // (exact dup of 2 once the boilerplate line is gone — pair (2,3),
+    // rep 2); PassageDedup then strips the apache passage from doc 1
+    assert(result.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(result(1)._2 == "other content")
+    assert(result(2)._2 == "completely unrelated body text")
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("UrlDedup summary mode exposes the aggregate view") {

@@ -239,6 +239,66 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two-tier reduce: downstream streaming instance merges upstream partial counts exactly") {
+    // the reference's count-golden integration topology
+    // (test/itest.sh:100-140): tier-1 instances each emit PARTIAL
+    // LinkMetric counts for the windows they saw; a tier-2 instance with
+    // `reduce: true` consumes those metric events and emits the exact
+    // window totals. Here the process pipe is a parquet directory: two
+    // tier-1 streaming pipelines (separate queries = separate "processes")
+    // append their partials, tier-2 streams the directory back through
+    // LinkMetric reduce and must land on byte-exact totals.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = "/tmp/graft_tier1_out_" + System.nanoTime()
+    val yaml =
+      s"""inputs:
+         |  - Text: {path: unused}
+         |filters:
+         |  - LinkMetric: {fieldsLink: event_type, batchWindow: 60, reserveWindow: 120}
+         |outputs:
+         |  - Parquet: {path: $dir, mode: append}
+         |""".stripMargin
+    val pipeline = Planner.fromYaml(yaml)
+    def runTier1(data: Seq[(java.sql.Timestamp, String)]): Unit = {
+      val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+      val src = mem.toDF().toDF("@timestamp", "event_type")
+      val q = Planner.startForeachBatch(pipeline, pipeline.transform(src),
+        checkpoint = Some("/tmp/graft_tier1_ckpt_" + System.nanoTime()))
+      try {
+        mem.addData(data: _*)
+        q.processAllAvailable()
+        // advance the watermark past the data window so the append-mode
+        // aggregation finalizes and emits the partial
+        mem.addData((ts("2024-01-01 02:00:00"), "zz"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // two upstream instances see different slices of the SAME window
+    runTier1(Seq((ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:20"), "a"),
+      (ts("2024-01-01 00:00:30"), "b")))
+    runTier1(Seq((ts("2024-01-01 00:00:40"), "a"), (ts("2024-01-01 00:00:50"), "a"),
+      (ts("2024-01-01 00:00:55"), "a")))
+    // what's on disk is partials, not totals: two (window, "a") rows
+    val partials = spark.read.parquet(dir)
+    assert(partials.filter(col("event_type") === "a").count() == 2)
+
+    val src2 = spark.readStream.schema(partials.schema).parquet(dir)
+    val stage2 = Planner.filterStage("LinkMetric", Map(
+      "fieldsLink" -> "event_type", "batchWindow" -> 60L, "reduce" -> true))
+    val q2 = stage2(src2).writeStream.format("memory").queryName("tier2_reduce")
+      .outputMode("update").start()
+    try {
+      q2.processAllAvailable()
+      val totals = spark.sql("select * from tier2_reduce")
+        .filter(col("`@timestamp`") === lit(ts("2024-01-01 00:00:00")))
+        .collect()
+        .map(r => r.getString(r.fieldIndex("event_type")) ->
+          r.getLong(r.fieldIndex("count"))).toMap
+      assert(totals == Map("a" -> 5L, "b" -> 1L),
+        s"tier-2 reduce totals wrong: $totals")
+    } finally q2.stop()
+  }
+
   test("config scrub redacts secret-ish keys") {
     val scrubbed = PipelineConfig.scrub(Map(
       "bootstrap.servers" -> "k:9092",
