@@ -1,6 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 object Bench {
+
+  private def jnum(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,6 +46,7 @@ object Bench {
       // so every sample pays the full derivation. prebuildShared's memo
       // is localCheckpoint-based (an RDD, not the cache) and survives.
       spark.catalog.clearCache()
+      graft.core.CacheRegistry.drain()
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -53,17 +59,76 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val med = names.map(n => n -> median(samples(n)))
-    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Cross-scale stress datapoints (run ONCE, after the query rounds, so
+    // they can't pollute per-query samples): the sf0.1 bench is trivially
+    // fast and real regressions hide at 100× — surface the corpus-scale
+    // numbers as driver-parsed JSON instead of SURVEY prose. Corpus
+    // construction matches tools/stress100.scala (per-copy word salt:
+    // cross-copy jaccard 0, cluster sizes constant, honest linear scale)
+    // and tools/stress_semdedup.scala (positive scaling: every copy is a
+    // true semantic dup of its original).
+    val stress = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val stressCopies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "100").toInt
+    val semCopies = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_COPIES", "50").toInt
+    if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") != "0") {
+      spark.catalog.clearCache()
+      graft.core.CacheRegistry.drain()
+      def timed(key: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        try { f; stress(key) = (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => stress(key) = -1.0 }
+        spark.catalog.clearCache()
+        graft.core.CacheRegistry.drain()
+      }
+      val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bigDocs = (0 until stressCopies).map(i => d1.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text")))
+        .reduce(_ union _)
+      stress("doc_copies") = stressCopies.toDouble
+      timed("minhash")(
+        graft.ml.Dedup.minhashPairs(bigDocs, "text", "doc_id").count())
+      timed("hamming64_drop")(
+        graft.ml.Dedup.dropDuplicatesHamming64(bigDocs, "text", "doc_id").count())
+      timed("passage")(
+        graft.ml.Dedup.duplicatedPassages(bigDocs, "text", "doc_id").count())
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val bigVecs = (0 until semCopies).map(i => e1.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * (1.0f + i / 128.0f)).as("embedding")))
+        .reduce(_ union _)
+      stress("vec_copies") = semCopies.toDouble
+      timed("semdedup")(
+        graft.ml.Similarity.semanticDedup(bigVecs, "embedding", "vec_id",
+          numCells = 16, threshold = 0.95, maxCellSize = 2000L).count())
+    }
+
+    // Per-query spread and raw samples go to a SIDE FILE: the driver
+    // captures only the tail of the run's output, and r6's inline
+    // spread/runs arrays pushed the parsed line's head past the capture
+    // window (BENCH_r06 parsed:null). The driver-parsed line below stays
+    // compact — one median scalar per query, 3 decimals.
+    val detail = {
+      val spread = names.map { n =>
+        val s = samples(n)
+        "\"" + n + "\":" + (s.max - s.min)
+      }.mkString("{", ",", "}")
+      val runs = names.map { n =>
+        "\"" + n + "\":" + samples(n).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s"""{"rounds":$rounds,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
-    val spread = names.map { n =>
-      val s = samples(n)
-      s"\"" + n + "\":" + (s.max - s.min)
-    }.mkString("{", ",", "}")
-    val runs = names.map { n =>
-      s"\"" + n + "\":" + samples(n).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    val stressJson = stress.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
     val total = med.map(_._2).sum + sharedSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"rounds":$rounds,"shared":{"minhash_pairs_build":$sharedSec},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"rounds":$rounds,"shared":{"minhash_pairs_build":${jnum(sharedSec)}},"stress":$stressJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
