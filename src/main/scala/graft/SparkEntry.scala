@@ -217,6 +217,17 @@ object SparkEntry {
     "q_dedup_fingerprint" -> { (s, dir) =>
       graft.ml.Dedup.fingerprint(Tables.load(s, dir, "documents"), "text", "doc_id")
     },
+    // incremental (cross-run) dedup: docs with id < 250 play "yesterday's
+    // crawl" whose fingerprints live in the seen store; today's increment
+    // (id >= 250) drops anything already seen
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val seen = graft.ml.Dedup.contentFingerprints(
+        docs.filter(col("doc_id") < 250), "text")
+      graft.ml.Dedup.dropSeen(docs.filter(col("doc_id") >= 250), seen,
+          "text", "doc_id")
+        .select(col("doc_id"), col("text"))
+    },
     "q_dedup_minhash" -> { (s, dir) => sharedMinhashPairs(s, dir) },
     "q_dedup_clusters" -> { (s, dir) =>
       graft.ml.Dedup.clusters(sharedMinhashPairs(s, dir))
@@ -887,6 +898,12 @@ object SparkEntry {
         |    string_split_regex(text, '\s+'))), ' ')) AS fingerprint,
         |  min(doc_id) AS rep_id, count(*) AS cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """SELECT doc_id, text FROM documents d
+        |WHERE doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id < 250 AND md5(s.text) = md5(d.text))""".stripMargin,
 
     "q_dedup_minhash" ->
       """WITH t AS (

@@ -40,23 +40,22 @@ object ConditionFilter {
   private val TplEqNum =
     """^\{\{\s*if\s+eq\s+(\.[\w.@-]+)\s+([-0-9.]+)\s*\}\}y\{\{\s*end\s*\}\}$""".r
 
-  private val TplIf =
-    """(?s)^\{\{\s*if\s+(.+?)\s*\}\}(.*?)(?:\{\{\s*else\s*\}\}(.*?))?\{\{\s*end\s*\}\}$""".r
 
   /** Template conditions (reference: condition_filter/filter.go:23-41 —
     * render the Go template, pass when the result equals "y").
     *
     * Three regex fast paths cover the documented forms; beyond them the
-    * RENDER-AND-COMPARE fallback mirrors the reference exactly: a single
-    * (non-nested) `{{if COND}}THEN{{else}}ELSE{{end}}` compiles COND to a
-    * boolean Column (Go truthiness, the six template comparisons, not,
-    * contains/hasprefix/hassuffix), renders each branch through the
-    * shared template renderer, and passes iff the rendered string is
-    * "y"; a template with no `if` block at all renders whole and
-    * compares (`{{.flag}}` passes iff the field holds "y"). Nested `if`
-    * and parenthesized and/or pipelines stay unsupported — rewrite in
-    * the DSL, which the reference's own README recommends over templates
-    * for speed (README.md:609); see MIGRATION.md for the rewrites. */
+    * RENDER-AND-COMPARE fallback mirrors the reference exactly: the
+    * template — `{{if COND}}…{{else if COND}}…{{else}}…{{end}}` blocks
+    * nested to any depth, interleaved with literals and `{{.field}}` /
+    * template-function interpolation — compiles recursively to ONE string
+    * Column (each if-block becomes a `when(cond, then).otherwise(else)`),
+    * and the condition passes iff the rendered string is "y". COND
+    * supports Go truthiness, the six template comparisons, not, and
+    * contains/hasprefix/hassuffix; parenthesized and/or pipelines stay
+    * unsupported — rewrite in the DSL, which the reference's own README
+    * recommends over templates for speed (README.md:609); see
+    * MIGRATION.md. */
   private def templateCondition(t: String, df: DataFrame): Column = {
     def path(p: String): Column =
       graft.paths.FieldPath.resolveSegs(df,
@@ -108,25 +107,106 @@ object ConditionFilter {
           sys.error(s"unsupported template if-condition '${other.mkString(" ")}'")
       }
     }
-    // a branch renders through the shared template machinery ({{.field}}
-    // interpolation etc.); plain text is its own literal
-    def branch(b: String): Column =
-      graft.render.Render.compile(b)(df).cast("string")
     t match {
       case TplExist(p) => truthy(path(p))
       case TplEqStr(p, s) => path(p).cast("string") === lit(s)
       case TplEqNum(p, n) => path(p).cast("double") === lit(n.toDouble)
-      // nested {{if}} in EITHER branch falls through to the loud
-      // unsupported-condition error (not a confusing Render failure)
-      case TplIf(c, thenB, elseB) if !thenB.contains("{{if") &&
-          !Option(elseB).exists(_.contains("{{if")) =>
-        val rendered = when(condExpr(c), branch(thenB))
-          .otherwise(branch(Option(elseB).getOrElse("")))
-        coalesce(rendered, lit("")) === "y"
-      case flat if !flat.contains("{{if") =>
-        coalesce(branch(flat), lit("")) === "y"
-      case other => sys.error(s"unsupported template condition '$other'")
+      case other =>
+        coalesce(renderTemplate(other, df, condExpr), lit("")) === "y"
     }
+  }
+
+  // --- recursive Go-template-subset renderer ---------------------------------
+
+  private sealed trait TTok
+  private final case class TText(s: String) extends TTok
+  private final case class TAction(body: String) extends TTok
+
+  /** Split a template into literal runs and `{{…}}` action bodies (same
+    * action regex as Render.template — `}` cannot appear inside one). */
+  private def tokenizeTemplate(t: String): Vector[TTok] = {
+    val seg = """\{\{\s*([^}]+?)\s*\}\}""".r
+    val out = Vector.newBuilder[TTok]
+    var last = 0
+    for (m <- seg.findAllMatchIn(t)) {
+      if (m.start > last) out += TText(t.substring(last, m.start))
+      out += TAction(m.group(1))
+      last = m.end
+    }
+    if (last < t.length) out += TText(t.substring(last))
+    out.result()
+  }
+
+  /** Render a template to one string Column: literals stay literals,
+    * non-if actions go through the shared Render machinery ({{.field}}
+    * interpolation, template functions), and every
+    * `{{if}}…{{else if}}…{{else}}…{{end}}` block — nested to any depth —
+    * compiles to `when(cond, then).otherwise(else)`. A null condition
+    * (missing field in a comparison) takes the else branch, matching a
+    * Go template's zero-value behavior. */
+  private def renderTemplate(t: String, df: DataFrame,
+      condExpr: String => Column): Column = {
+    val toks = tokenizeTemplate(t)
+
+    def concatParts(parts: Vector[Column]): Column =
+      if (parts.isEmpty) lit("")
+      else if (parts.length == 1) coalesce(parts.head, lit(""))
+      else concat(parts.map(coalesce(_, lit(""))): _*)
+
+    def isTerminator(b: String): Boolean =
+      b == "else" || b == "end" || b.startsWith("else if ")
+
+    // renders tokens from `pos` until a terminator action or the end;
+    // returns (rendered, index of the terminator or toks.length)
+    def renderUntil(pos: Int): (Column, Int) = {
+      var parts = Vector.empty[Column]
+      var i = pos
+      while (i < toks.length) {
+        toks(i) match {
+          case TText(s) => parts :+= lit(s); i += 1
+          case TAction(b) if b.startsWith("if ") =>
+            val (c, next) = parseIf(b.stripPrefix("if ").trim, i + 1)
+            parts :+= c
+            i = next
+          case TAction(b) if isTerminator(b) =>
+            return (concatParts(parts), i)
+          case TAction(other) =>
+            parts :+= graft.render.Render.compile(s"{{$other}}")(df).cast("string")
+            i += 1
+        }
+      }
+      (concatParts(parts), i)
+    }
+
+    // `pos` is the first token after an if/else-if action; consumes
+    // through the block's shared {{end}} and returns (rendered, after-end)
+    def parseIf(cond: String, pos: Int): (Column, Int) = {
+      val (thenC, term) = renderUntil(pos)
+      toks.lift(term) match {
+        case Some(TAction("end")) =>
+          (when(condExpr(cond), thenC).otherwise(lit("")), term + 1)
+        case Some(TAction("else")) =>
+          val (elseC, term2) = renderUntil(term + 1)
+          toks.lift(term2) match {
+            case Some(TAction("end")) =>
+              (when(condExpr(cond), thenC).otherwise(elseC), term2 + 1)
+            case _ => sys.error(
+              s"unsupported template condition '$t' ({{else}} without {{end}})")
+          }
+        case Some(TAction(b)) if b.startsWith("else if ") =>
+          // Go's chained form: the else-if opens a new conditional that
+          // shares this block's {{end}}
+          val (elseC, next) = parseIf(b.stripPrefix("else if ").trim, term + 1)
+          (when(condExpr(cond), thenC).otherwise(elseC), next)
+        case _ => sys.error(
+          s"unsupported template condition '$t' ({{if}} without {{end}})")
+      }
+    }
+
+    val (rendered, end) = renderUntil(0)
+    if (end != toks.length) sys.error(
+      s"unsupported template condition '$t' (unbalanced {{else}}/{{end}})")
+    rendered
   }
 
   /** Late-bound form for pipeline composition. */

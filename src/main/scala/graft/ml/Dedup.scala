@@ -732,6 +732,50 @@ object Dedup {
       .drop("__graft_join_id", "__cleaned")
   }
 
+  /** Distinct 16-byte content fingerprints of a corpus — the SEEN-STORE
+    * row format for [[dropSeen]] (one `fp` string per distinct text). */
+  def contentFingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(col(textCol).cast("string")).as("fp")).distinct()
+
+  /** INCREMENTAL exact dedup — the daily-crawl pattern at corpus scale:
+    * drop every document whose content fingerprint was already seen by a
+    * previous run, WITHOUT re-reading the corpus-so-far. `seen` is a
+    * fingerprint table ([[contentFingerprints]] rows, usually a parquet
+    * store that grows with each increment via [[appendToSeenStore]]).
+    *
+    * Scale shape: the anti join shuffles 16-byte fingerprints, never
+    * text — increment side is one day's crawl, store side is one row per
+    * distinct doc EVER seen (10^10 rows ≈ 160 GB at 100 TB corpus scale:
+    * big but shuffle-able; bucket the store on `fp` to make the join
+    * shuffle-free on the store side, or pre-filter the increment through
+    * a Bloom filter of the store — the bloomDecontaminate pattern — when
+    * the store outgrows comfortable shuffles). A plain scan-backed anti
+    * join needs no joinBackOnce persist: the pushed-down right side is a
+    * parquet scan, not a derivation pipeline. Within-increment dups are
+    * NOT dropped here — compose with [[dropDuplicatesExact]] first. */
+  def dropSeen(df: DataFrame, seen: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.join(seen.select(col("fp")).distinct(),
+      md5(col(textCol).cast("string")) === col("fp"), "left_anti")
+
+  /** Append this increment's NEW fingerprints to the seen store (dedup'd
+    * against the store first, so re-running an increment doesn't grow
+    * it). Returns how many were added. At-least-once, not transactional:
+    * a failure between the anti-join and the write can lose the
+    * increment's fps (re-run the update), never corrupt existing rows. */
+  def appendToSeenStore(df: DataFrame, textCol: String, storePath: String): Long = {
+    val spark = df.sparkSession
+    val fresh = contentFingerprints(df, textCol)
+    val existing =
+      try Some(spark.read.parquet(storePath)) catch { case _: Throwable => None }
+    val newFps = existing.map(s => fresh.join(s, Seq("fp"), "left_anti"))
+      .getOrElse(fresh)
+      .localCheckpoint() // count + write must see the SAME frame (the store changes under it)
+    val n = newFps.count()
+    if (n > 0) newFps.write.mode("append").parquet(storePath)
+    n
+  }
+
   /** Streaming exact dedup: drop re-occurrences of the key within the
     * watermark horizon — state is bounded by the lateness window
     * (Spark's dropDuplicatesWithinWatermark; the streaming analogue of

@@ -206,6 +206,38 @@ object Planner {
         case "hamming" =>
           df => graft.ml.Dedup.dropDuplicatesHamming64(df, text, id,
             conf.int("k", 3), conf.int("bands", 8))
+        case "incremental" =>
+          // cross-run dedup: drop docs whose fingerprint a previous run
+          // recorded in `store` (plus within-increment keep-first), the
+          // daily-crawl pattern. `update_store: true` appends this
+          // increment's new fingerprints — against a SNAPSHOT of the
+          // pre-update store, or the lazy anti-join would re-list the
+          // store's files at sink time, see its own update and drop
+          // everything. The snapshot materializes store fingerprints
+          // (fine at pipeline scale; for a 10^10-row store run
+          // Dedup.appendToSeenStore as a separate post-run step instead).
+          val store = conf.str("store").getOrElse(sys.error(
+            "Dedup method incremental needs `store` (fingerprint parquet path)"))
+          val update = conf.bool("update_store", false)
+          df => {
+            val spark = df.sparkSession
+            val seen0 =
+              try spark.read.parquet(store).select("fp")
+              catch { case _: Throwable =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("fp",
+                      org.apache.spark.sql.types.StringType))))
+              }
+            val deduped = graft.ml.Dedup.dropDuplicatesExact(df, text, id)
+            if (!update) graft.ml.Dedup.dropSeen(deduped, seen0, text, id)
+            else {
+              val snap = seen0.localCheckpoint()
+              graft.ml.Dedup.appendToSeenStore(df, text, store): Unit
+              graft.ml.Dedup.dropSeen(deduped, snap, text, id)
+            }
+          }
         case "clustered" =>
           // connected-component representative policy: keep one row per
           // near-dup CLUSTER (min id), vs the drop-anything-matching-an-
@@ -224,7 +256,7 @@ object Planner {
             graft.ml.Dedup.dropDuplicatesClustered(df, pairs, id)
           }
         case other => sys.error(
-          s"Dedup method must be exact|minhash|hamming|clustered, got '$other'")
+          s"Dedup method must be exact|minhash|hamming|clustered|incremental, got '$other'")
       }
       case "Decontaminate" =>
         // `benchmark` is an input spec like the top-level `inputs` entries:

@@ -58,19 +58,43 @@ class ConditionFilterSpec extends SparkSpec {
     assert(run("""{{if .nope}}y{{end}}""") == Set.empty)
   }
 
-  test("nested {{if}} in either branch hits the loud unsupported-condition error") {
+  test("nested {{if}} blocks compile recursively in either branch") {
+    import spark.implicits._
+    val df = Seq(("app", 20L, "", "y"), ("web", 0L, "x", "n"),
+      ("worker-api", 35L, "err", "y")).toDF("name", "age", "tag", "flag")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    // nested in THEN: name truthy AND tag truthy
+    assert(run("""{{if .name}}{{if .tag}}y{{end}}{{end}}""") == Set("web", "worker-api"))
+    // nested in ELSE: tag falsy AND flag renders the decision
+    assert(run("""{{if .tag}}n{{else}}{{if .flag}}{{.flag}}{{end}}{{end}}""") == Set("app"))
+    // two levels deep with literals around the blocks
+    assert(run("""{{if .name}}{{if gt .age 10}}{{if le .age 30}}y{{end}}{{end}}{{end}}""")
+      == Set("app"))
+    // Go's chained else-if shares one {{end}}
+    assert(run("""{{if eq .name "app"}}y{{else if eq .name "web"}}y{{else}}n{{end}}""")
+      == Set("app", "web"))
+    // missing field in a nested comparison → null condition → else branch
+    assert(run("""{{if .name}}{{if eq .nope "x"}}n{{else}}y{{end}}{{end}}""")
+      == Set("app", "web", "worker-api"))
+  }
+
+  test("malformed or genuinely unsupported templates still error loudly") {
     import spark.implicits._
     val df = Seq(("a", "y")).toDF("name", "flag")
-    val inThen = intercept[RuntimeException] {
-      ConditionFilter.compile(
-        """{{if .name}}{{if .flag}}y{{end}}{{end}}""", df)
+    val unbalanced = intercept[RuntimeException] {
+      ConditionFilter.compile("""{{if .name}}y""", df)
     }
-    assert(inThen.getMessage.contains("unsupported template condition"))
-    val inElse = intercept[RuntimeException] {
-      ConditionFilter.compile(
-        """{{if .name}}n{{else}}{{if .flag}}y{{end}}{{end}}""", df)
+    assert(unbalanced.getMessage.contains("unsupported template condition"))
+    val strayEnd = intercept[RuntimeException] {
+      ConditionFilter.compile("""{{.flag}}{{end}}""", df)
     }
-    assert(inElse.getMessage.contains("unsupported template condition"))
+    assert(strayEnd.getMessage.contains("unsupported template condition"))
+    // and/or pipelines stay DSL-only (documented in MIGRATION.md)
+    val andCond = intercept[RuntimeException] {
+      ConditionFilter.compile("""{{if and .name .flag}}y{{end}}""", df)
+    }
+    assert(andCond.getMessage.contains("unsupported template if-condition"))
   }
   import spark.implicits._
 

@@ -354,6 +354,31 @@ class MlSpec extends SparkSpec {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("incremental dedup: dropSeen + appendToSeenStore round-trip across runs") {
+    val store = java.nio.file.Files.createTempDirectory("graft-seen").toString + "/fps"
+    val day1 = Seq((0L, "alpha beta gamma"), (1L, "one two three"))
+      .toDF("id", "text")
+    // first run: nothing seen yet, everything survives; store gains 2 fps
+    assert(Dedup.dropSeen(day1,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType)))),
+      "text", "id").count() == 2)
+    assert(Dedup.appendToSeenStore(day1, "text", store) == 2)
+    // second run: one repeat, one new doc — only the new one survives
+    val day2 = Seq((10L, "alpha beta gamma"), (11L, "fresh new content"))
+      .toDF("id", "text")
+    val seen = spark.read.parquet(store)
+    val kept = Dedup.dropSeen(day2, seen, "text", "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+    // appending day2 adds ONLY the unseen fingerprint (idempotent growth)
+    assert(Dedup.appendToSeenStore(day2, "text", store) == 1)
+    assert(Dedup.appendToSeenStore(day2, "text", store) == 0) // re-run: no growth
+    assert(spark.read.parquet(store).count() == 3)
+  }
+
   test("exploding-self-join memos honor spark.sql.graft.checkpointDir") {
     // with the config set, the hamming fingerprint memo goes through
     // reliable checkpoint() — same survivors, checkpoint files on disk

@@ -257,6 +257,27 @@ class LlmPipelineSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("Dedup incremental dispatches cross-run dedup against a seen store") {
+    val store = tmp("llm-seen") + "/fps"
+    val day1 = Seq((0L, "alpha beta gamma"), (1L, "one two three"),
+      (2L, "alpha beta gamma")) // within-increment exact dup of 0
+      .toDF("id", "text")
+    val stage = Planner.corpusStage("Dedup", Map(
+      "method" -> "incremental", "store" -> store, "update_store" -> true))
+    // first run: no store yet — within-increment keep-first only, and the
+    // update must NOT make the run drop its own fingerprints (snapshot
+    // ordering), so 0 and 1 survive
+    assert(stage(day1).select("id").as[Long].collect().toSet == Set(0L, 1L))
+    // second run, new stage instance: repeats of day1 drop, new doc stays
+    val day2 = Seq((10L, "one two three"), (11L, "fresh new content"))
+      .toDF("id", "text")
+    val stage2 = Planner.corpusStage("Dedup", Map(
+      "method" -> "incremental", "store" -> store, "update_store" -> true))
+    assert(stage2(day2).select("id").as[Long].collect().toSet == Set(11L))
+    // store carries day1 + day2 distinct fingerprints
+    assert(spark.read.parquet(store).count() == 3)
+  }
+
   test("UrlDedup summary mode exposes the aggregate view") {
     val df = Seq(
       (0L, "https://x.com/a?utm_source=feed"),

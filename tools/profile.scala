@@ -15,6 +15,12 @@
 //   shingle     - shingle kernel vs composed HOF formulation per corpus
 //                 pass (the r6 native-kernel family's headline lever).
 //   text        - TextAnalysis.profile full-column corpus pass.
+//   ckptdir     - fused hamming64 drop at 500k docs, localCheckpoint
+//                 default vs spark.sql.graft.checkpointDir reliable
+//                 checkpoint: asserts identical survivors and shows the
+//                 DFS barrier keeps full join parallelism (no AQE
+//                 coalesce regression) at the cost of the checkpoint
+//                 write itself.
 //   all         - every scenario in sequence (default).
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -86,6 +92,29 @@ if (want("hamming2x2")) {
   }
 }
 
+if (want("ckptdir")) {
+  val d1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+  val big = (0 until 100).map(i => d1.select(
+    (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+    regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text"))).reduce(_ union _)
+  big.count()
+  var localSurvivors = 0L
+  t("hamming64 drop 500k, localCheckpoint (default)") {
+    localSurvivors =
+      graft.ml.Dedup.dropDuplicatesHamming64(big, "text", "doc_id").count()
+    println("[PROF] survivors: " + localSurvivors)
+  }
+  graft.core.CacheRegistry.drain(); spark.catalog.clearCache()
+  val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-prof").toString
+  spark.conf.set("spark.sql.graft.checkpointDir", dir)
+  t(s"hamming64 drop 500k, reliable checkpoint -> $dir") {
+    val n = graft.ml.Dedup.dropDuplicatesHamming64(big, "text", "doc_id").count()
+    println("[PROF] survivors: " + n)
+    assert(n == localSurvivors, s"survivor mismatch: $n vs $localSurvivors")
+  }
+  spark.conf.unset("spark.sql.graft.checkpointDir")
+}
+
 if (want("url")) {
   val dir = "/root/testdata/sf0.1"
   val ev = graft.core.Tables.load(spark, dir, "events")
@@ -105,15 +134,24 @@ if (want("url")) {
 
 if (want("shingle")) {
   val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").localCheckpoint()
+  // the pre-kernel slice-based HOF formulation (Dedup.shinglesComposed is
+  // private[graft]; this inline twin is only a cost reference - the
+  // value-equivalence spec lives in ShingleFnsSpec)
+  def composed(text: Column, n: Int): Column = {
+    val toks = split(text, "\\s+")
+    array_distinct(when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+  }
   t3("tokens only")(docs.select(sum(size(split(col("text"), "\\s+")))).collect())
   t3("shingles kernel n=5")(docs.select(sum(size(
     graft.functions.ShingleFns.shingles(col("text"), 5)))).collect())
   t3("shingles composed n=5")(docs.select(sum(size(
-    graft.ml.Dedup.shinglesComposed(col("text"), 5)))).collect())
+    composed(col("text"), 5)))).collect())
   t3("hashedShingles kernel n=5")(docs.select(sum(size(
     graft.functions.ShingleFns.hashedShingles(col("text"), 5)))).collect())
   t3("shingles composed + xxhash n=5")(docs.select(sum(size(
-    transform(graft.ml.Dedup.shinglesComposed(col("text"), 5), s => xxhash64(s))))).collect())
+    transform(composed(col("text"), 5), s => xxhash64(s))))).collect())
 }
 
 if (want("text")) {
