@@ -228,6 +228,18 @@ object SparkEntry {
           "text", "doc_id")
         .select(col("doc_id"), col("text"))
     },
+    // incremental NEAR-dup: same yesterday/today split, but the store
+    // holds simhash fingerprints and "seen" means within hamming ≤ 3 —
+    // 32-bit md5 simhash so the oracle re-derives identical fingerprints
+    "q_dedup_incremental_near" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") < 250)
+        .select(graft.ml.Dedup.simhash32(col("text")).as("sim")).distinct()
+      graft.ml.Dedup.dropSeenNearBy(docs.filter(col("doc_id") >= 250), seen,
+          "text", "doc_id", graft.ml.Dedup.simhash32, totalBits = 32,
+          k = 3, bands = 4)
+        .select(col("doc_id"), col("source"))
+    },
     "q_dedup_minhash" -> { (s, dir) => sharedMinhashPairs(s, dir) },
     "q_dedup_clusters" -> { (s, dir) =>
       graft.ml.Dedup.clusters(sharedMinhashPairs(s, dir))
@@ -904,6 +916,29 @@ object SparkEntry {
         |WHERE doc_id >= 250
         |  AND NOT EXISTS (SELECT 1 FROM documents s
         |                  WHERE s.doc_id < 250 AND md5(s.text) = md5(d.text))""".stripMargin,
+
+    "q_dedup_incremental_near" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substring(md5(tok), 25, 8)) AS BIGINT) for tok in toks] AS hs
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, CAST(list_sum([
+        |    CASE WHEN list_sum([CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+        |      THEN 1 ELSE -1 END for h in hs]) > 0
+        |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+        |    for j in range(0, 32)]) AS BIGINT) AS sim
+        |  FROM h
+        |), drops AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM s a JOIN s b ON a.doc_id < 250 AND b.doc_id >= 250
+        |  WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
 
     "q_dedup_minhash" ->
       """WITH t AS (

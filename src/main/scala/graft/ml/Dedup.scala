@@ -763,17 +763,67 @@ object Dedup {
     * it). Returns how many were added. At-least-once, not transactional:
     * a failure between the anti-join and the write can lose the
     * increment's fps (re-run the update), never corrupt existing rows. */
-  def appendToSeenStore(df: DataFrame, textCol: String, storePath: String): Long = {
-    val spark = df.sparkSession
-    val fresh = contentFingerprints(df, textCol)
+  def appendToSeenStore(df: DataFrame, textCol: String, storePath: String): Long =
+    appendFps(contentFingerprints(df, textCol), "fp", storePath)
+
+  private def appendFps(fresh: DataFrame, keyCol: String, storePath: String): Long = {
+    val spark = fresh.sparkSession
     val existing =
       try Some(spark.read.parquet(storePath)) catch { case _: Throwable => None }
-    val newFps = existing.map(s => fresh.join(s, Seq("fp"), "left_anti"))
+    val newFps = existing.map(s => fresh.join(s, Seq(keyCol), "left_anti"))
       .getOrElse(fresh)
       .localCheckpoint() // count + write must see the SAME frame (the store changes under it)
     val n = newFps.count()
     if (n > 0) newFps.write.mode("append").parquet(storePath)
     n
+  }
+
+  /** Distinct 64-bit simhash fingerprints — the NEAR-dup seen-store row
+    * format for [[dropSeenNear]] (one `sim` long per distinct
+    * fingerprint; the shared contract of `simhashHammingPairs64` /
+    * `streamingNearDedup`, so batch, streaming, and incremental near-dup
+    * all agree on what "the same document" means). */
+  def simhashFingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.select(simhash64Fingerprint(col(textCol)).as("sim")).distinct()
+
+  def appendToSimhashStore(df: DataFrame, textCol: String, storePath: String): Long =
+    appendFps(simhashFingerprints(df, textCol), "sim", storePath)
+
+  /** Incremental NEAR-dup dedup: drop every document within hamming ≤ `k`
+    * of ANY fingerprint in the seen store — [[dropSeen]]'s analogue for
+    * paraphrase-level repeats across daily increments. Same pigeonhole
+    * banding as the self-join family, but increment × store: both sides
+    * explode to (band, chunk) keys and equi-join, so cost is near-linear
+    * in true matches, never O(increment × store). The drop set derives
+    * through a join pipeline, so it goes through the joinBackOnce persist
+    * (union-shaped increments must not re-derive it per branch). */
+  def dropSeenNear(df: DataFrame, seen: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, bands: Int = 8): DataFrame =
+    dropSeenNearBy(df, seen, textCol, idCol, simhash64Fingerprint, 64, k, bands)
+
+  /** [[dropSeenNear]] over an arbitrary `totalBits`-bit fingerprint (the
+    * oracle-reproducible 32-bit md5 simhash runs the same plan through
+    * the driver's SQL gate; production stays on the 64-bit default). */
+  def dropSeenNearBy(df: DataFrame, seen: DataFrame, textCol: String,
+      idCol: String, fingerprint: Column => Column, totalBits: Int,
+      k: Int, bands: Int): DataFrame = {
+    require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
+    require(totalBits % bands == 0, "bands must divide the fingerprint width")
+    val bits = totalBits / bands
+    def chunk(sim: Column, b: Int): Column =
+      shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
+    val inc = df.select(col(idCol).as("__gid"), fingerprint(col(textCol)).as("__sim"))
+      .select(col("__gid"), col("__sim"),
+        posexplode(array((0 until bands).map(b => chunk(col("__sim"), b)): _*)))
+      .toDF("__gid", "__sim", "band", "chunk")
+    val st = seen.select(col("sim").as("__ssim"),
+        posexplode(array((0 until bands).map(b => chunk(col("sim"), b)): _*)))
+      .toDF("__ssim", "band", "chunk")
+    val drops = inc.join(st, Seq("band", "chunk"))
+      .filter(bit_count(col("__sim").bitwiseXOR(col("__ssim"))) <= k)
+      .select(col("__gid").as("__drop"))
+      .distinct()
+    joinBackOnce(df, drops, col(idCol) === col("__drop"), "left_anti")
   }
 
   /** Streaming exact dedup: drop re-occurrences of the key within the

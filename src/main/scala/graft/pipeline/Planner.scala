@@ -219,23 +219,44 @@ object Planner {
           val store = conf.str("store").getOrElse(sys.error(
             "Dedup method incremental needs `store` (fingerprint parquet path)"))
           val update = conf.bool("update_store", false)
+          // near: true switches to simhash64 hamming-k against a sim-long
+          // store (paraphrase-level cross-run dedup) — k/bands as in
+          // method hamming; default stays exact md5 fingerprints
+          val near = conf.bool("near", false)
+          val (kOpt, bandsOpt) = (conf.int("k", 3), conf.int("bands", 8))
           df => {
             val spark = df.sparkSession
-            val seen0 =
-              try spark.read.parquet(store).select("fp")
-              catch { case _: Throwable =>
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField("fp",
-                      org.apache.spark.sql.types.StringType))))
+            def emptySeen(colName: String, dt: org.apache.spark.sql.types.DataType) =
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField(colName, dt))))
+            if (near) {
+              val seen0 =
+                try spark.read.parquet(store).select("sim")
+                catch { case _: Throwable =>
+                  emptySeen("sim", org.apache.spark.sql.types.LongType) }
+              val deduped = graft.ml.Dedup.dropDuplicatesHamming64(
+                df, text, id, kOpt, bandsOpt)
+              if (!update)
+                graft.ml.Dedup.dropSeenNear(deduped, seen0, text, id, kOpt, bandsOpt)
+              else {
+                val snap = seen0.localCheckpoint()
+                graft.ml.Dedup.appendToSimhashStore(df, text, store): Unit
+                graft.ml.Dedup.dropSeenNear(deduped, snap, text, id, kOpt, bandsOpt)
               }
-            val deduped = graft.ml.Dedup.dropDuplicatesExact(df, text, id)
-            if (!update) graft.ml.Dedup.dropSeen(deduped, seen0, text, id)
-            else {
-              val snap = seen0.localCheckpoint()
-              graft.ml.Dedup.appendToSeenStore(df, text, store): Unit
-              graft.ml.Dedup.dropSeen(deduped, snap, text, id)
+            } else {
+              val seen0 =
+                try spark.read.parquet(store).select("fp")
+                catch { case _: Throwable =>
+                  emptySeen("fp", org.apache.spark.sql.types.StringType) }
+              val deduped = graft.ml.Dedup.dropDuplicatesExact(df, text, id)
+              if (!update) graft.ml.Dedup.dropSeen(deduped, seen0, text, id)
+              else {
+                val snap = seen0.localCheckpoint()
+                graft.ml.Dedup.appendToSeenStore(df, text, store): Unit
+                graft.ml.Dedup.dropSeen(deduped, snap, text, id)
+              }
             }
           }
         case "clustered" =>

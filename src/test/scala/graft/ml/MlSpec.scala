@@ -379,6 +379,28 @@ class MlSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == 3)
   }
 
+  test("incremental NEAR-dup: dropSeenNear catches token-shuffled repeats across runs") {
+    val store = java.nio.file.Files.createTempDirectory("graft-simstore").toString + "/sims"
+    val day1 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "completely unrelated content about distributed query engines"))
+      .toDF("id", "text")
+    assert(Dedup.appendToSimhashStore(day1, "text", store) == 2)
+    val day2 = Seq(
+      // token-shuffled copy of day1's doc 0: simhash64 is over the
+      // distinct-token SET, so hamming distance is 0 — a near repeat
+      (10L, "again and again the lazy dog jumps over the quick brown fox"),
+      (11L, "entirely novel text with fresh vocabulary throughout"))
+      .toDF("id", "text")
+    val seen = spark.read.parquet(store)
+    val kept = Dedup.dropSeenNear(day2, seen, "text", "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+    // idempotent store growth, same as the exact store
+    assert(Dedup.appendToSimhashStore(day2, "text", store) == 1)
+    assert(Dedup.appendToSimhashStore(day2, "text", store) == 0)
+  }
+
   test("exploding-self-join memos honor spark.sql.graft.checkpointDir") {
     // with the config set, the hamming fingerprint memo goes through
     // reliable checkpoint() — same survivors, checkpoint files on disk

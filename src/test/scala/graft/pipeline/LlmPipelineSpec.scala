@@ -278,6 +278,21 @@ class LlmPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == 3)
   }
 
+  test("Dedup incremental near dispatches simhash-store cross-run near-dedup") {
+    val store = tmp("llm-seen-near") + "/sims"
+    val day1 = Seq((0L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    val mk = () => Planner.corpusStage("Dedup", Map(
+      "method" -> "incremental", "near" -> true, "store" -> store,
+      "update_store" -> true))
+    assert(mk()(day1).select("id").as[Long].collect().toSet == Set(0L))
+    val day2 = Seq(
+      (10L, "again and again the lazy dog jumps over the quick brown fox"), // token shuffle of 0
+      (11L, "entirely novel text with fresh vocabulary throughout"))
+      .toDF("id", "text")
+    assert(mk()(day2).select("id").as[Long].collect().toSet == Set(11L))
+  }
+
   test("UrlDedup summary mode exposes the aggregate view") {
     val df = Seq(
       (0L, "https://x.com/a?utm_source=feed"),
