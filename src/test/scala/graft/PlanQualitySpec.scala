@@ -131,6 +131,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("incremental dedup: fingerprint anti join stays a hash join on 16-byte keys") {
+    val plan = executedPlan("q_dedup_incremental")
+    // the seen-store probe must anti HASH join on the md5 key — a nested
+    // loop here would be increment × store at every daily run
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("incremental near-dup: banded store join, never increment × store") {
+    val plan = executedPlan("q_dedup_incremental_near")
+    // candidate generation equi-joins on (band, chunk); hamming verify is
+    // a post-join filter over two longs. A cartesian/nested-loop fallback
+    // would make every increment scan the whole fingerprint store.
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("anti join-backs over a UNION corpus don't re-derive the drop set per branch") {
     // PushdownLeftSemiOrAntiJoin clones the anti join's right side into
     // every union branch. Un-persisted, that re-runs the ENTIRE drop
