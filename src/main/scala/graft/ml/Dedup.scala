@@ -534,7 +534,12 @@ object Dedup {
       while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
       r
     }
-    val it = edges.toLocalIterator()
+    // coalesce(1): toLocalIterator launches ONE JOB PER PARTITION, and a
+    // few-hundred-row edge list spread over 32 shuffle partitions pays
+    // ~25 ms scheduling per partition — 0.8 s of fixed cost measured at
+    // sf0.1. One narrow coalesce reads the cached blocks in one task;
+    // driver memory stays bounded by driverEdgeLimit either way.
+    val it = edges.coalesce(1).toLocalIterator()
     while (it.hasNext) {
       val row = it.next()
       val s = row.get(0); val d = row.get(1)

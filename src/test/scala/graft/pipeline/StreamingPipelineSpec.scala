@@ -299,6 +299,61 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("two-tier reduce merges partial STATS exactly (LinkStatsMetric)") {
+    // stats twin of the count-golden test: tier-1 instances emit partial
+    // count/sum/min/max/mean; tier-2 `reduce: true` must merge them to
+    // the exact whole-window stats (mean re-derived from merged
+    // count/sum, not averaged averages — the classic partial-merge bug)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = "/tmp/graft_tier1s_out_" + System.nanoTime()
+    val yaml =
+      s"""inputs:
+         |  - Text: {path: unused}
+         |filters:
+         |  - LinkStatsMetric: {fieldsLink: 'event_type->value', batchWindow: 60, reserveWindow: 120}
+         |outputs:
+         |  - Parquet: {path: $dir, mode: append}
+         |""".stripMargin
+    val pipeline = Planner.fromYaml(yaml)
+    def runTier1(data: Seq[(java.sql.Timestamp, String, Double)]): Unit = {
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+      val src = mem.toDF().toDF("@timestamp", "event_type", "value")
+      val q = Planner.startForeachBatch(pipeline, pipeline.transform(src),
+        checkpoint = Some("/tmp/graft_tier1s_ckpt_" + System.nanoTime()))
+      try {
+        mem.addData(data: _*)
+        q.processAllAvailable()
+        mem.addData((ts("2024-01-01 02:00:00"), "zz", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // instance A: values 10, 30 → count 2, sum 40, mean 20
+    runTier1(Seq((ts("2024-01-01 00:00:10"), "a", 10.0),
+      (ts("2024-01-01 00:00:20"), "a", 30.0)))
+    // instance B: value 80 → count 1, sum 80, mean 80
+    runTier1(Seq((ts("2024-01-01 00:00:40"), "a", 80.0)))
+
+    val partials = spark.read.parquet(dir)
+    assert(partials.filter(col("event_type") === "a").count() == 2)
+
+    val src2 = spark.readStream.schema(partials.schema).parquet(dir)
+    val stage2 = Planner.filterStage("LinkStatsMetric", Map(
+      "fieldsLink" -> "event_type->value", "batchWindow" -> 60L, "reduce" -> true))
+    val q2 = stage2(src2).writeStream.format("memory").queryName("tier2s_reduce")
+      .outputMode("update").start()
+    try {
+      q2.processAllAvailable()
+      val r = spark.sql("select * from tier2s_reduce")
+        .filter(col("event_type") === "a").collect().head
+      def d(c: String) = r.getDouble(r.fieldIndex(c))
+      assert(r.getLong(r.fieldIndex("count")) == 3L)
+      assert(d("sum") == 120.0 && d("min") == 10.0 && d("max") == 80.0)
+      // exact global mean 40.0 — averaging the two partial means (20, 80)
+      // would give 50 and fail here
+      assert(d("mean") == 40.0)
+    } finally q2.stop()
+  }
+
   test("config scrub redacts secret-ish keys") {
     val scrubbed = PipelineConfig.scrub(Map(
       "bootstrap.servers" -> "k:9092",
