@@ -362,13 +362,23 @@ object Planner {
         df => graft.ml.Dedup.removeBoilerplateLines(df, text, id,
           conf.int("min_docs", 3), conf.str("delim").getOrElse("\n"))
       case "SemanticDedup" =>
-        // embedding-space dedup: `src` names the vector column here
+        // embedding-space dedup: `src` names the vector column here.
+        // `kmeans: true` trains Lloyd centroids on the corpus first (the
+        // SemDeDup paper path — tighter cells than the seeded default,
+        // which just takes the first num_cells vectors)
         val vec = conf.str("src").getOrElse("embedding")
-        df => graft.ml.Similarity.semanticDedup(df, vec, id,
-          conf.int("num_cells", 16), conf.dbl("threshold", 0.95),
-          centroids = None,
-          maxCellSize = conf.long("max_cell_size", 0L),
-          dim = conf.int("dim", 64))
+        val cells = conf.int("num_cells", 16)
+        df => {
+          val trained =
+            if (conf.bool("kmeans", false))
+              Some(graft.ml.Similarity.trainKmeansCentroids(df, vec, id,
+                cells, conf.int("kmeans_iters", 5)))
+            else None
+          graft.ml.Similarity.semanticDedup(df, vec, id, cells,
+            conf.dbl("threshold", 0.95), centroids = trained,
+            maxCellSize = conf.long("max_cell_size", 0L),
+            dim = conf.int("dim", 64))
+        }
       case other => sys.error(s"unknown corpus stage '$other'")
     }
   }

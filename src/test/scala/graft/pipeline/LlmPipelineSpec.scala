@@ -293,6 +293,19 @@ class LlmPipelineSpec extends SparkSpec {
     assert(mk()(day2).select("id").as[Long].collect().toSet == Set(11L))
   }
 
+  test("SemanticDedup kmeans option trains centroids before the cell join") {
+    val rnd = new scala.util.Random(41)
+    val base = (0L until 20L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // positively-scaled copy: cosine exactly 1 with id 7 → must drop
+    val df = (base :+ ((100L, base(7)._2.map(_ * 2.0f))))
+      .toDF("id", "embedding")
+    val kept = Planner.corpusStage("SemanticDedup", Map(
+      "src" -> "embedding", "num_cells" -> 4, "threshold" -> 0.999,
+      "kmeans" -> true, "kmeans_iters" -> 3, "dim" -> 16))(df)
+    assert(kept.select("id").as[Long].collect().toSet == (0L until 20L).toSet)
+  }
+
   test("UrlDedup summary mode exposes the aggregate view") {
     val df = Seq(
       (0L, "https://x.com/a?utm_source=feed"),
