@@ -4,7 +4,12 @@ import org.apache.spark.sql.functions._
 
 object Bench {
 
-  private def jnum(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f interpolator formats with the JVM default locale,
+  // and a comma-decimal locale would render 1.234 as "1,234" — malformed
+  // JSON, which is exactly the driver-parse failure this line exists to
+  // avoid.
+  private def jnum(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -224,8 +224,7 @@ object SparkEntry {
       val docs = Tables.load(s, dir, "documents")
       val seen = graft.ml.Dedup.contentFingerprints(
         docs.filter(col("doc_id") < 250), "text")
-      graft.ml.Dedup.dropSeen(docs.filter(col("doc_id") >= 250), seen,
-          "text", "doc_id")
+      graft.ml.Dedup.dropSeen(docs.filter(col("doc_id") >= 250), seen, "text")
         .select(col("doc_id"), col("text"))
     },
     // incremental NEAR-dup: same yesterday/today split, but the store

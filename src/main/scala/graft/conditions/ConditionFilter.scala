@@ -65,16 +65,32 @@ object ConditionFilter {
     // type's zero value as false): booleans are themselves, numbers
     // compare against 0, strings against "" — so string "0" is truthy
     // (non-empty) while numeric 0 and boolean false are not, exactly as
-    // a Go template over a parsed JSON event behaves
-    def truthy(c: Column): Column = {
-      import org.apache.spark.sql.types._
-      df.select(c).schema.head.dataType match {
-        case BooleanType => coalesce(c, lit(false))
-        case _: NumericType => c.isNotNull && c =!= lit(0)
-        case NullType => lit(false)
-        case _ => c.isNotNull && c.cast("string") =!= ""
+    // a Go template over a parsed JSON event behaves. A path that ends
+    // inside a JSON OVERFLOW column yields the string IMAGE of a parsed
+    // scalar (get_json_object) — there the image gets value semantics:
+    // "0"/"0.0" read as the number zero (falsy, like the reference's
+    // float64 0), "false" as boolean false; a json STRING "0" is
+    // indistinguishable from the number and also reads falsy (documented
+    // divergence, the number case is overwhelmingly the common one).
+    def truthy(p: String): Column =
+      graft.paths.FieldPath.resolveSegsDetailed(df,
+        p.stripPrefix(".").split('.').toSeq.map(graft.paths.FieldPath.Key)) match {
+        case None => lit(false)
+        case Some((c, _, true)) =>
+          // try_cast, not cast: a non-numeric image ("true", "abc")
+          // must fall through to the non-empty-string arm, not throw
+          // under ANSI mode
+          c.isNotNull && c =!= "" && c =!= "false" &&
+            !coalesce(c.try_cast("double") === 0.0, lit(false))
+        case Some((c, dt, false)) =>
+          import org.apache.spark.sql.types._
+          dt match {
+            case BooleanType => coalesce(c, lit(false))
+            case _: NumericType => c.isNotNull && c =!= lit(0)
+            case NullType => lit(false)
+            case _ => c.isNotNull && c.cast("string") =!= ""
+          }
       }
-    }
     def condExpr(body: String): Column = {
       val toks = """"[^"]*"|\S+""".r.findAllIn(body).toSeq
       def isQuoted(x: String) = x.startsWith("\"") && x.endsWith("\"")
@@ -89,7 +105,7 @@ object ConditionFilter {
           f(n(a), n(b))
         } else f(path(a), path(b))
       toks match {
-        case Seq(p) if p.startsWith(".") => truthy(path(p))
+        case Seq(p) if p.startsWith(".") => truthy(p)
         case Seq("not", rest @ _*) => !condExpr(rest.mkString(" "))
         case Seq("eq", a, b) => cmp(a, b)(_ === _)
         case Seq("ne", a, b) => cmp(a, b)(_ =!= _)
@@ -108,7 +124,7 @@ object ConditionFilter {
       }
     }
     t match {
-      case TplExist(p) => truthy(path(p))
+      case TplExist(p) => truthy(p)
       case TplEqStr(p, s) => path(p).cast("string") === lit(s)
       case TplEqNum(p, n) => path(p).cast("double") === lit(n.toDouble)
       case other =>
@@ -153,8 +169,10 @@ object ConditionFilter {
       else if (parts.length == 1) coalesce(parts.head, lit(""))
       else concat(parts.map(coalesce(_, lit(""))): _*)
 
+    // `else   if` with any internal whitespace is valid in Go's parser
+    val ElseIf = """^else\s+if\s+(.*)$""".r
     def isTerminator(b: String): Boolean =
-      b == "else" || b == "end" || b.startsWith("else if ")
+      b == "else" || b == "end" || ElseIf.matches(b)
 
     // renders tokens from `pos` until a terminator action or the end;
     // returns (rendered, index of the terminator or toks.length)
@@ -193,10 +211,10 @@ object ConditionFilter {
             case _ => sys.error(
               s"unsupported template condition '$t' ({{else}} without {{end}})")
           }
-        case Some(TAction(b)) if b.startsWith("else if ") =>
+        case Some(TAction(ElseIf(cond2))) =>
           // Go's chained form: the else-if opens a new conditional that
           // shares this block's {{end}}
-          val (elseC, next) = parseIf(b.stripPrefix("else if ").trim, term + 1)
+          val (elseC, next) = parseIf(cond2.trim, term + 1)
           (when(condExpr(cond), thenC).otherwise(elseC), next)
         case _ => sys.error(
           s"unsupported template condition '$t' ({{if}} without {{end}})")

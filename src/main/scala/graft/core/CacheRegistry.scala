@@ -19,27 +19,38 @@ import org.apache.spark.storage.StorageLevel
   * per union branch). drain() therefore belongs strictly AFTER the
   * consuming action; draining early is safe for correctness (the plan
   * recomputes) but re-opens the union re-derivation cost.
+  *
+  * THREAD-scoped, not global: plans are built and consumed on the thread
+  * that drives them (runBatch on the caller's thread, each streaming
+  * query's foreachBatch on its own micro-batch thread), so a per-thread
+  * queue means two concurrent pipelines cannot drain each other's
+  * not-yet-consumed memos — a global queue would let query A's
+  * post-batch drain unpersist query B's drop-set memo mid-derivation,
+  * resurfacing the union re-derivation cost intermittently.
   */
 object CacheRegistry {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val local =
+    ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](
+      () => new java.util.ArrayDeque[DataFrame]())
 
-  /** persist(MEMORY_AND_DISK) + register for the next drain(). */
+  /** persist(MEMORY_AND_DISK) + register for this thread's next drain(). */
   def memo(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    live.add(p)
+    local.get.add(p)
     p
   }
 
-  /** Unpersist every registered frame. Non-blocking: the executors free
-    * the blocks asynchronously while the driver moves on. */
+  /** Unpersist every frame registered on this thread. Non-blocking: the
+    * executors free the blocks asynchronously while the driver moves on. */
   def drain(): Unit = {
-    var d = live.poll()
+    val q = local.get
+    var d = q.poll()
     while (d != null) {
       try d.unpersist(blocking = false) catch { case _: Throwable => () }
-      d = live.poll()
+      d = q.poll()
     }
   }
 
-  /** Registered-but-not-yet-drained count (spec hook). */
-  def size: Int = live.size
+  /** Registered-but-not-yet-drained count on this thread (spec hook). */
+  def size: Int = local.get.size
 }

@@ -758,8 +758,7 @@ object Dedup {
     * join needs no joinBackOnce persist: the pushed-down right side is a
     * parquet scan, not a derivation pipeline. Within-increment dups are
     * NOT dropped here — compose with [[dropDuplicatesExact]] first. */
-  def dropSeen(df: DataFrame, seen: DataFrame, textCol: String,
-      idCol: String): DataFrame =
+  def dropSeen(df: DataFrame, seen: DataFrame, textCol: String): DataFrame =
     df.join(seen.select(col("fp")).distinct(),
       md5(col(textCol).cast("string")) === col("fp"), "left_anti")
 
@@ -773,8 +772,15 @@ object Dedup {
 
   private def appendFps(fresh: DataFrame, keyCol: String, storePath: String): Long = {
     val spark = fresh.sparkSession
+    // only a genuinely ABSENT store counts as empty — a transient read
+    // failure must propagate, or this append would re-write every
+    // fingerprint and the store would grow on each flaky re-run
     val existing =
-      try Some(spark.read.parquet(storePath)) catch { case _: Throwable => None }
+      try Some(spark.read.parquet(storePath))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
     val newFps = existing.map(s => fresh.join(s, Seq(keyCol), "left_anti"))
       .getOrElse(fresh)
       .localCheckpoint() // count + write must see the SAME frame (the store changes under it)

@@ -64,7 +64,16 @@ object FieldPath {
   def resolveTyped(df: DataFrame, path: String): Option[(Column, DataType)] =
     resolveSegs(df, parse(path))
 
-  def resolveSegs(df: DataFrame, segs: Seq[Seg]): Option[(Column, DataType)] = {
+  def resolveSegs(df: DataFrame, segs: Seq[Seg]): Option[(Column, DataType)] =
+    resolveSegsDetailed(df, segs).map(t => (t._1, t._2))
+
+  /** Like [[resolveSegs]], plus whether the path descended INTO a JSON
+    * overflow string column — the result is then the STRING IMAGE of a
+    * parsed-json scalar (get_json_object), not a typed column, which
+    * matters to consumers applying type-based semantics (template
+    * truthiness treats the image "0" as the number zero, not as a
+    * non-empty string). */
+  def resolveSegsDetailed(df: DataFrame, segs: Seq[Seg]): Option[(Column, DataType, Boolean)] = {
     require(segs.nonEmpty, "empty field path")
     segs.head match {
       case Idx(_) => None
@@ -76,8 +85,8 @@ object FieldPath {
     }
   }
 
-  private def walk(cur: Column, tpe: DataType, rest: Seq[Seg]): Option[(Column, DataType)] =
-    if (rest.isEmpty) Some((cur, tpe))
+  private def walk(cur: Column, tpe: DataType, rest: Seq[Seg]): Option[(Column, DataType, Boolean)] =
+    if (rest.isEmpty) Some((cur, tpe, false))
     else (tpe, rest.head) match {
       case (st: StructType, Key(k)) =>
         st.fields.find(_.name.equalsIgnoreCase(k)) match {
@@ -92,7 +101,7 @@ object FieldPath {
           case Key(k) => s".$k"
           case Idx(i) => s"[$i]"
         }.mkString
-        Some((get_json_object(cur, jp), StringType))
+        Some((get_json_object(cur, jp), StringType, true))
       case _ => None
     }
 }

@@ -209,13 +209,11 @@ object Planner {
         case "incremental" =>
           // cross-run dedup: drop docs whose fingerprint a previous run
           // recorded in `store` (plus within-increment keep-first), the
-          // daily-crawl pattern. `update_store: true` appends this
-          // increment's new fingerprints — against a SNAPSHOT of the
-          // pre-update store, or the lazy anti-join would re-list the
-          // store's files at sink time, see its own update and drop
-          // everything. The snapshot materializes store fingerprints
-          // (fine at pipeline scale; for a 10^10-row store run
-          // Dedup.appendToSeenStore as a separate post-run step instead).
+          // daily-crawl pattern. `update_store: true` registers the store
+          // append as a POST-COMMIT hook — it runs only after the run's
+          // sinks succeed, because an eager update would poison a failed
+          // run's retry (the re-run would read its own fingerprints from
+          // the store and anti-join the whole increment away).
           val store = conf.str("store").getOrElse(sys.error(
             "Dedup method incremental needs `store` (fingerprint parquet path)"))
           val update = conf.bool("update_store", false)
@@ -226,37 +224,34 @@ object Planner {
           val (kOpt, bandsOpt) = (conf.int("k", 3), conf.int("bands", 8))
           df => {
             val spark = df.sparkSession
-            def emptySeen(colName: String, dt: org.apache.spark.sql.types.DataType) =
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField(colName, dt))))
+            // only a genuinely ABSENT store reads as empty; any other
+            // failure (permissions, corrupt footer, missing column) must
+            // fail the run — silently deduping against an empty set
+            // would leak every known duplicate into the output
+            def readSeen(colName: String,
+                dt: org.apache.spark.sql.types.DataType) =
+              try spark.read.parquet(store).select(colName)
+              catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if e.getCondition == "PATH_NOT_FOUND" =>
+                  spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                    org.apache.spark.sql.types.StructType(Seq(
+                      org.apache.spark.sql.types.StructField(colName, dt))))
+              }
             if (near) {
-              val seen0 =
-                try spark.read.parquet(store).select("sim")
-                catch { case _: Throwable =>
-                  emptySeen("sim", org.apache.spark.sql.types.LongType) }
-              val deduped = graft.ml.Dedup.dropDuplicatesHamming64(
-                df, text, id, kOpt, bandsOpt)
-              if (!update)
-                graft.ml.Dedup.dropSeenNear(deduped, seen0, text, id, kOpt, bandsOpt)
-              else {
-                val snap = seen0.localCheckpoint()
-                graft.ml.Dedup.appendToSimhashStore(df, text, store): Unit
-                graft.ml.Dedup.dropSeenNear(deduped, snap, text, id, kOpt, bandsOpt)
-              }
+              val seen0 = readSeen("sim", org.apache.spark.sql.types.LongType)
+              if (update) graft.core.PostCommit.register(
+                () => { graft.ml.Dedup.appendToSimhashStore(df, text, store): Unit })
+              graft.ml.Dedup.dropSeenNear(
+                graft.ml.Dedup.dropDuplicatesHamming64(df, text, id, kOpt, bandsOpt),
+                seen0, text, id, kOpt, bandsOpt)
             } else {
-              val seen0 =
-                try spark.read.parquet(store).select("fp")
-                catch { case _: Throwable =>
-                  emptySeen("fp", org.apache.spark.sql.types.StringType) }
-              val deduped = graft.ml.Dedup.dropDuplicatesExact(df, text, id)
-              if (!update) graft.ml.Dedup.dropSeen(deduped, seen0, text, id)
-              else {
-                val snap = seen0.localCheckpoint()
-                graft.ml.Dedup.appendToSeenStore(df, text, store): Unit
-                graft.ml.Dedup.dropSeen(deduped, snap, text, id)
-              }
+              val seen0 = readSeen("fp", org.apache.spark.sql.types.StringType)
+              if (update) graft.core.PostCommit.register(
+                () => { graft.ml.Dedup.appendToSeenStore(df, text, store): Unit })
+              graft.ml.Dedup.dropSeen(
+                graft.ml.Dedup.dropDuplicatesExact(df, text, id), seen0, text)
             }
           }
         case "clustered" =>
@@ -575,17 +570,27 @@ object Planner {
       val in = spec.inputs.map { case (n, c) => input(spark, n, c) }
         .reduceLeft(_.unionByName(_, allowMissingColumns = true))
       val transformed = transform(in)
-      try spec.outputs.map { case (n, c) =>
-        val guarded = c.strSeq("if")
-          .map(cond => ConditionFilter.compile(cond, transformed))
-          .reduceOption(_ && _)
-          .map(transformed.filter).getOrElse(transformed)
-        n -> graft.sinks.Sinks.writeBatch(n, c, guarded)
-      }.toMap
-      // the sinks were the run's consuming actions: free the corpus-stage
-      // memos (joinBackOnce drop sets, shingle/assignment tables) so a
-      // long-lived session looping corpora doesn't accumulate cache
-      finally graft.core.CacheRegistry.drain()
+      try {
+        val out = spec.outputs.map { case (n, c) =>
+          val guarded = c.strSeq("if")
+            .map(cond => ConditionFilter.compile(cond, transformed))
+            .reduceOption(_ && _)
+            .map(transformed.filter).getOrElse(transformed)
+          n -> graft.sinks.Sinks.writeBatch(n, c, guarded)
+        }.toMap
+        // deferred stage side effects (seen-store updates) run only once
+        // every sink has succeeded — updating earlier would poison a
+        // failed run's retry (see PostCommit)
+        graft.core.PostCommit.drain()
+        out
+      } finally {
+        graft.core.PostCommit.clear() // failed run: drop unexecuted hooks
+        // the sinks were the run's consuming actions: free the
+        // corpus-stage memos (joinBackOnce drop sets, shingle/assignment
+        // tables) so a long-lived session looping corpora doesn't
+        // accumulate cache
+        graft.core.CacheRegistry.drain()
+      }
     }
   }
 
@@ -619,17 +624,22 @@ object Planner {
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.foreachBatch { (raw: DataFrame, _: Long) =>
       val batch = perBatchStages.foldLeft(raw) { case (d, (n, c)) => filterStage(n, c)(d) }
-      try pipeline.spec.outputs.foreach { case (n, c) =>
-        val guarded = c.strSeq("if")
-          .map(cond => ConditionFilter.compile(cond, batch))
-          .reduceOption(_ && _)
-          .map(batch.filter).getOrElse(batch)
-        graft.sinks.Sinks.writeBatch(n, c, guarded): Unit
+      try {
+        pipeline.spec.outputs.foreach { case (n, c) =>
+          val guarded = c.strSeq("if")
+            .map(cond => ConditionFilter.compile(cond, batch))
+            .reduceOption(_ && _)
+            .map(batch.filter).getOrElse(batch)
+          graft.sinks.Sinks.writeBatch(n, c, guarded): Unit
+        }
+        graft.core.PostCommit.drain() // batch committed: run deferred stage effects
+      } finally {
+        graft.core.PostCommit.clear()
+        // per-micro-batch memos (a corpus stage in the per-batch tail) are
+        // consumed once the batch's sinks finish — drain or they accumulate
+        // one cache entry per micro-batch for the query's lifetime
+        graft.core.CacheRegistry.drain()
       }
-      // per-micro-batch memos (a corpus stage in the per-batch tail) are
-      // consumed once the batch's sinks finish — drain or they accumulate
-      // one cache entry per micro-batch for the query's lifetime
-      finally graft.core.CacheRegistry.drain()
     }.start()
   }
 

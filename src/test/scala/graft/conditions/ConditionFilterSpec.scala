@@ -58,6 +58,25 @@ class ConditionFilterSpec extends SparkSpec {
     assert(run("""{{if .nope}}y{{end}}""") == Set.empty)
   }
 
+  test("template truthiness inside a JSON overflow column reads the parsed value") {
+    import spark.implicits._
+    // paths into a json STRING column resolve via get_json_object, so
+    // every scalar arrives as its string image — truthiness must treat
+    // "0"/"0.0"/"false" as the zero VALUES the reference's parsed event
+    // holds (float64 0 / bool false), not as non-empty strings
+    val df = Seq(
+      ("a", """{"k": 87, "b": true}"""),
+      ("b", """{"k": 0, "b": false}"""),
+      ("c", null.asInstanceOf[String]),
+      ("d", """{"k": 1.5}"""),
+    ).toDF("name", "props")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    assert(run("""{{if .props.k}}y{{end}}""") == Set("a", "d"))
+    assert(run("""{{if .props.b}}y{{end}}""") == Set("a"))
+    assert(run("""{{if .props.missing}}y{{end}}""") == Set.empty)
+  }
+
   test("nested {{if}} blocks compile recursively in either branch") {
     import spark.implicits._
     val df = Seq(("app", 20L, "", "y"), ("web", 0L, "x", "n"),

@@ -364,13 +364,13 @@ class MlSpec extends SparkSpec {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("fp",
             org.apache.spark.sql.types.StringType)))),
-      "text", "id").count() == 2)
+      "text").count() == 2)
     assert(Dedup.appendToSeenStore(day1, "text", store) == 2)
     // second run: one repeat, one new doc — only the new one survives
     val day2 = Seq((10L, "alpha beta gamma"), (11L, "fresh new content"))
       .toDF("id", "text")
     val seen = spark.read.parquet(store)
-    val kept = Dedup.dropSeen(day2, seen, "text", "id")
+    val kept = Dedup.dropSeen(day2, seen, "text")
       .select("id").as[Long].collect().toSet
     assert(kept == Set(11L))
     // appending day2 adds ONLY the unseen fingerprint (idempotent growth)

@@ -264,17 +264,29 @@ class LlmPipelineSpec extends SparkSpec {
       .toDF("id", "text")
     val stage = Planner.corpusStage("Dedup", Map(
       "method" -> "incremental", "store" -> store, "update_store" -> true))
-    // first run: no store yet — within-increment keep-first only, and the
-    // update must NOT make the run drop its own fingerprints (snapshot
-    // ordering), so 0 and 1 survive
+    // first run: no store yet — within-increment keep-first only, so 0
+    // and 1 survive. The store update is a POST-COMMIT hook (it must not
+    // run before the run's sinks succeed, or a failed run's retry would
+    // drop its own increment) — drained here the way runBatch drains it.
     assert(stage(day1).select("id").as[Long].collect().toSet == Set(0L, 1L))
+    assert(graft.core.PostCommit.size == 1)
+    graft.core.PostCommit.drain()
     // second run, new stage instance: repeats of day1 drop, new doc stays
     val day2 = Seq((10L, "one two three"), (11L, "fresh new content"))
       .toDF("id", "text")
     val stage2 = Planner.corpusStage("Dedup", Map(
       "method" -> "incremental", "store" -> store, "update_store" -> true))
     assert(stage2(day2).select("id").as[Long].collect().toSet == Set(11L))
+    graft.core.PostCommit.drain()
     // store carries day1 + day2 distinct fingerprints
+    assert(spark.read.parquet(store).count() == 3)
+    // a run whose sinks FAIL clears its hook instead of running it — the
+    // store must not grow (retry-safety, see Planner.runBatch)
+    val stage3 = Planner.corpusStage("Dedup", Map(
+      "method" -> "incremental", "store" -> store, "update_store" -> true))
+    stage3(Seq((20L, "doomed run content")).toDF("id", "text")): Unit
+    graft.core.PostCommit.clear()
+    graft.core.PostCommit.drain()
     assert(spark.read.parquet(store).count() == 3)
   }
 
@@ -286,11 +298,43 @@ class LlmPipelineSpec extends SparkSpec {
       "method" -> "incremental", "near" -> true, "store" -> store,
       "update_store" -> true))
     assert(mk()(day1).select("id").as[Long].collect().toSet == Set(0L))
+    graft.core.PostCommit.drain() // what runBatch does after its sinks
     val day2 = Seq(
       (10L, "again and again the lazy dog jumps over the quick brown fox"), // token shuffle of 0
       (11L, "entirely novel text with fresh vocabulary throughout"))
       .toDF("id", "text")
     assert(mk()(day2).select("id").as[Long].collect().toSet == Set(11L))
+    graft.core.PostCommit.drain()
+  }
+
+  test("incremental dedup through graft.Main: store updates after sinks, runs chain") {
+    val in1 = tmp("llm-inc1"); val in2 = tmp("llm-inc2")
+    val out1 = tmp("llm-inc-out1"); val out2 = tmp("llm-inc-out2")
+    val store = tmp("llm-inc-store") + "/fps"
+    Seq((0L, "alpha beta gamma"), (1L, "one two three"))
+      .toDF("id", "text").write.mode("overwrite").parquet(in1)
+    Seq((10L, "alpha beta gamma"), (11L, "fresh new content"))
+      .toDF("id", "text").write.mode("overwrite").parquet(in2)
+    def yaml(in: String, out: String) =
+      s"""inputs:
+         |  - Parquet: {path: $in}
+         |filters:
+         |  - Dedup: {method: incremental, store: $store, update_store: true}
+         |outputs:
+         |  - Parquet: {path: $out}
+         |""".stripMargin
+    val cfg1 = java.nio.file.Files.createTempFile("llm-inc1", ".yml")
+    java.nio.file.Files.write(cfg1, yaml(in1, out1).getBytes("UTF-8"))
+    graft.Main.run(spark, cfg1.toString)
+    // runBatch drained the post-commit hook: store holds day1's fps
+    assert(spark.read.parquet(store).count() == 2)
+    assert(graft.core.PostCommit.size == 0)
+    val cfg2 = java.nio.file.Files.createTempFile("llm-inc2", ".yml")
+    java.nio.file.Files.write(cfg2, yaml(in2, out2).getBytes("UTF-8"))
+    graft.Main.run(spark, cfg2.toString)
+    // day2's repeat of day1 dropped; only the fresh doc written
+    assert(spark.read.parquet(out2).select("id").as[Long].collect().toSet == Set(11L))
+    assert(spark.read.parquet(store).count() == 3)
   }
 
   test("SemanticDedup kmeans option trains centroids before the cell join") {
