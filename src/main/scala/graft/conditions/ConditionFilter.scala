@@ -79,8 +79,12 @@ object ConditionFilter {
         case Some((c, _, true)) =>
           // try_cast, not cast: a non-numeric image ("true", "abc")
           // must fall through to the non-empty-string arm, not throw
-          // under ANSI mode
+          // under ANSI mode. "[]"/"{}" — the images of a parsed empty
+          // array/object — read falsy like Go's zero-length slice/map
+          // (a json STRING "[]" is indistinguishable from the array and
+          // also reads falsy; same documented-divergence class as "0")
           c.isNotNull && c =!= "" && c =!= "false" &&
+            c =!= "[]" && c =!= "{}" &&
             !coalesce(c.try_cast("double") === 0.0, lit(false))
         case Some((c, dt, false)) =>
           import org.apache.spark.sql.types._
@@ -88,6 +92,8 @@ object ConditionFilter {
             case BooleanType => coalesce(c, lit(false))
             case _: NumericType => c.isNotNull && c =!= lit(0)
             case NullType => lit(false)
+            // Go's IsTrue: zero-length slice/map is falsy
+            case _: ArrayType | _: MapType => c.isNotNull && size(c) > 0
             case _ => c.isNotNull && c.cast("string") =!= ""
           }
       }
@@ -169,8 +175,10 @@ object ConditionFilter {
       else if (parts.length == 1) coalesce(parts.head, lit(""))
       else concat(parts.map(coalesce(_, lit(""))): _*)
 
-    // `else   if` with any internal whitespace is valid in Go's parser
+    // `else   if` / `if\t.x` with any internal whitespace are valid in
+    // Go's parser — keyword matching is whitespace-kind-agnostic
     val ElseIf = """^else\s+if\s+(.*)$""".r
+    val If = """^if\s+(.*)$""".r
     def isTerminator(b: String): Boolean =
       b == "else" || b == "end" || ElseIf.matches(b)
 
@@ -182,8 +190,9 @@ object ConditionFilter {
       while (i < toks.length) {
         toks(i) match {
           case TText(s) => parts :+= lit(s); i += 1
-          case TAction(b) if b.startsWith("if ") =>
-            val (c, next) = parseIf(b.stripPrefix("if ").trim, i + 1)
+          case TAction(b @ If(_)) =>
+            val If(cond) = b: @unchecked
+            val (c, next) = parseIf(cond.trim, i + 1)
             parts :+= c
             i = next
           case TAction(b) if isTerminator(b) =>

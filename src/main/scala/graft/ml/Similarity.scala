@@ -150,11 +150,16 @@ object Similarity {
     * IVF. Persist with [[IvfIndex.save]] (partitioned by cell) and serve
     * many query batches against the loaded index; re-running the
     * assignment per query batch is the anti-pattern this API removes. */
-  /** Lloyd k-means over the embedding column: seeds from the first `k`
-    * vectors (deterministic), then `iters` rounds of assign (broadcast
+  /** Lloyd k-means over the embedding column: seeds from the `k`
+    * smallest-id vectors (id-INDEPENDENT — a `TakeOrderedAndProject` over
+    * (id, hash(v)), so sparse or non-zero-based ids from an upstream
+    * dedup stage seed fine; deterministic even under duplicate ids via
+    * the hash tiebreak), then `iters` rounds of assign (broadcast
     * centroids, argmax cosine) + recompute (per-cluster component-wise
     * mean via posexplode/groupBy — shuffle key is (cluster, component),
-    * bounded by k·dim). Returns a `(cell_id, centroid)` frame for
+    * bounded by k·dim). A corpus smaller than `k` clamps to one cell per
+    * vector, mirroring `buildIvfIndex`'s seeded clamp. Returns a
+    * `(cell_id, centroid)` frame for
     * `buildIvfIndex(corpus, …, centroids = Some(trained))`; each round is
     * one job and the driver never holds vector data. */
   def trainKmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
@@ -163,14 +168,16 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vsd", dot(col("v"), col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: lineage survives executor loss; owned here (unpersisted before return)
-    var cents = vecs.filter(col("vid") < k)
-      .select(col("vid").cast("long").as("cell_id"), col("v").as("centroid"))
-    // same guard as trainPq: sparse or non-zero-based ids would silently
-    // seed fewer than k centroids and hand back a degenerate index
+    // orderBy+limit collapses to TakeOrderedAndProject (no global sort
+    // materialization); the k seed rows then get dense cell ids via a
+    // single-partition window over just those k rows
+    var cents = vecs.orderBy(col("vid"), hash(col("v"))).limit(k)
+      .withColumn("cell_id",
+        row_number().over(Window.orderBy(col("vid"), hash(col("v"))))
+          .cast("long") - 1)
+      .select(col("cell_id"), col("v").as("centroid"))
     val seeds = cents.count()
-    require(seeds == k, s"trainKmeansCentroids: expected $k seed vectors " +
-      s"with $idCol in [0, $k) but found $seeds — ids must be dense from 0 " +
-      "(or pass pre-trained centroids to buildIvfIndex)")
+    require(seeds > 0, "trainKmeansCentroids: empty corpus")
     for (_ <- 0 until iters) {
       val c = cents
         .withColumn("centsd", dot(col("centroid"), col("centroid")))

@@ -565,12 +565,21 @@ object Planner {
     def transform(df: DataFrame): DataFrame =
       stages.foldLeft(df) { case (d, (n, c)) => filterStage(n, c)(d) }
 
-    /** Batch run: union inputs, transform, route to sinks. */
+    /** Batch run: union inputs, transform, route to sinks.
+      * The whole run — INCLUDING the stage plan build — sits inside the
+      * try/finally: a stage that throws mid-chain (an AnalysisException
+      * from a missing column, say) after an earlier incremental-dedup
+      * stage already registered its store update must not leak that hook
+      * to the NEXT run on this thread, whose successful sinks would drain
+      * it and append the failed run's fingerprints to the seen store —
+      * poisoning the failed increment's retry (the exact bug PostCommit
+      * exists to prevent). Same for CacheRegistry memos (benign, but they
+      * would accumulate). */
     def runBatch(spark: SparkSession): Map[String, DataFrame] = {
-      val in = spec.inputs.map { case (n, c) => input(spark, n, c) }
-        .reduceLeft(_.unionByName(_, allowMissingColumns = true))
-      val transformed = transform(in)
       try {
+        val in = spec.inputs.map { case (n, c) => input(spark, n, c) }
+          .reduceLeft(_.unionByName(_, allowMissingColumns = true))
+        val transformed = transform(in)
         val out = spec.outputs.map { case (n, c) =>
           val guarded = c.strSeq("if")
             .map(cond => ConditionFilter.compile(cond, transformed))
@@ -623,8 +632,11 @@ object Planner {
     var w = transformed.writeStream
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.foreachBatch { (raw: DataFrame, _: Long) =>
-      val batch = perBatchStages.foldLeft(raw) { case (d, (n, c)) => filterStage(n, c)(d) }
       try {
+        // stage build inside the try for the same reason as runBatch: a
+        // throwing per-batch stage must not leak an earlier stage's
+        // post-commit hook into the next micro-batch on this thread
+        val batch = perBatchStages.foldLeft(raw) { case (d, (n, c)) => filterStage(n, c)(d) }
         pipeline.spec.outputs.foreach { case (n, c) =>
           val guarded = c.strSeq("if")
             .map(cond => ConditionFilter.compile(cond, batch))

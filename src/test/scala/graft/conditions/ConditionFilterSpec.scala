@@ -58,6 +58,22 @@ class ConditionFilterSpec extends SparkSpec {
     assert(run("""{{if .nope}}y{{end}}""") == Set.empty)
   }
 
+  test("template truthiness: empty collections are falsy like Go's zero slice/map") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq("x"), Map("k" -> "v")),
+      ("b", Seq.empty[String], Map.empty[String, String]),
+      ("c", null.asInstanceOf[Seq[String]], null.asInstanceOf[Map[String, String]]),
+    ).toDF("name", "arr", "m")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    // Go's IsTrue: len(slice)>0 / len(map)>0 — a typed empty array/map is
+    // falsy, null is falsy, only a populated collection passes
+    assert(run("""{{if .arr}}y{{end}}""") == Set("a"))
+    assert(run("""{{if .m}}y{{end}}""") == Set("a"))
+    assert(run("""{{if not .arr}}y{{end}}""") == Set("b", "c"))
+  }
+
   test("template truthiness inside a JSON overflow column reads the parsed value") {
     import spark.implicits._
     // paths into a json STRING column resolve via get_json_object, so
@@ -75,6 +91,32 @@ class ConditionFilterSpec extends SparkSpec {
     assert(run("""{{if .props.k}}y{{end}}""") == Set("a", "d"))
     assert(run("""{{if .props.b}}y{{end}}""") == Set("a"))
     assert(run("""{{if .props.missing}}y{{end}}""") == Set.empty)
+  }
+
+  test("template truthiness: overflow images of empty array/object are falsy") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", """{"arr": [1,2], "obj": {"k":1}}"""),
+      ("b", """{"arr": [], "obj": {}}"""),
+    ).toDF("name", "props")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    // the overflow image of a parsed [] / {} reads falsy, matching Go's
+    // zero-length slice/map (a json STRING "[]" is indistinguishable —
+    // same documented-divergence class as string-"0")
+    assert(run("""{{if .props.arr}}y{{end}}""") == Set("a"))
+    assert(run("""{{if .props.obj}}y{{end}}""") == Set("a"))
+  }
+
+  test("if keyword accepts any whitespace, matching Go's parser") {
+    import spark.implicits._
+    val df = Seq(("app", ""), ("web", "x")).toDF("name", "tag")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    // {{if\t.tag}} — tab after the keyword parses as a conditional, not a
+    // generic action (Go's lexer treats any space run after `if` alike)
+    assert(run("{{if\t.tag}}y{{end}}") == Set("web"))
+    assert(run("{{if \t eq .name \"app\"}}y{{end}}") == Set("app"))
   }
 
   test("nested {{if}} blocks compile recursively in either branch") {

@@ -132,6 +132,29 @@ class MlSpec extends SparkSpec {
     assert(res(15L).map(_._2).forall(_ >= 10L))
   }
 
+  test("kmeans seeding is id-independent: sparse ids train, small corpora clamp") {
+    // ids as an upstream Dedup stage leaves them: sparse, non-zero-based —
+    // the seeded-ivf path rejects these, the TRAINED path must not
+    val blobA = (1000L until 1010L).map(i => (i, Array.tabulate(4)(d =>
+      (1.0 + 0.01 * i + 0.001 * d).toFloat)))
+    val blobB = (9000L until 9010L).map(i => (i, Array.tabulate(4)(d =>
+      (-1.0 - 0.01 * i + 0.001 * d).toFloat)))
+    val emb = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val trained = Similarity.trainKmeansCentroids(emb, "embedding", "vec_id",
+      k = 2, iters = 3)
+    val cents = trained.collect().map(r => r.getSeq[Double](1))
+    assert(cents.length == 2)
+    assert(cents.map(c => math.signum(c.head)).toSet == Set(1.0, -1.0))
+    // corpus smaller than k clamps to one cell per vector (mirrors the
+    // buildIvfIndex seeded clamp) instead of failing
+    val tiny = (500L until 503L).map(i =>
+      (i, Array.tabulate(4)(d => if (d == (i % 4)) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val clamped = Similarity.trainKmeansCentroids(tiny, "embedding", "vec_id",
+      k = 8, iters = 2)
+    assert(clamped.count() == 3)
+  }
+
   test("pq topk equals exact brute force when rerank covers the corpus") {
     val emb = (0L until 40L).map(i =>
       (i, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat))).toDF("vec_id", "embedding")

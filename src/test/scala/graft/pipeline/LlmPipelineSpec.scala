@@ -307,6 +307,48 @@ class LlmPipelineSpec extends SparkSpec {
     graft.core.PostCommit.drain()
   }
 
+  test("a stage that throws AFTER incremental dedup registered its hook cannot poison the next run") {
+    // the failure mode: Dedup(incremental) registers its store-update as a
+    // post-commit hook, then a LATER stage's plan build throws (here: a
+    // Dedup on a column that doesn't exist → AnalysisException). If the
+    // hook survived on the thread, the NEXT successful runBatch would
+    // drain it after its own sinks — appending the FAILED run's
+    // fingerprints to the seen store, so the failed increment's retry
+    // anti-joins itself away. runBatch's try now wraps the stage build.
+    val inBad = tmp("llm-poison-bad"); val inGood = tmp("llm-poison-good")
+    val outGood = tmp("llm-poison-out")
+    val store = tmp("llm-poison-store") + "/fps"
+    Seq((0L, "doomed text one"), (1L, "doomed text two"))
+      .toDF("id", "text").write.mode("overwrite").parquet(inBad)
+    Seq((10L, "healthy text one"), (11L, "healthy text two"))
+      .toDF("id", "text").write.mode("overwrite").parquet(inGood)
+    val badYaml =
+      s"""inputs:
+         |  - Parquet: {path: $inBad}
+         |filters:
+         |  - Dedup: {method: incremental, store: $store, update_store: true}
+         |  - Dedup: {src: no_such_column, method: exact}
+         |outputs:
+         |  - Parquet: {path: ${tmp("llm-poison-sink")}}
+         |""".stripMargin
+    intercept[Exception] { Planner.fromYaml(badYaml).runBatch(spark) }
+    // the failed build's hook is gone and its memos are drained
+    assert(graft.core.PostCommit.size == 0)
+    assert(graft.core.CacheRegistry.size == 0)
+    val goodYaml =
+      s"""inputs:
+         |  - Parquet: {path: $inGood}
+         |filters:
+         |  - Dedup: {method: incremental, store: $store, update_store: true}
+         |outputs:
+         |  - Parquet: {path: $outGood}
+         |""".stripMargin
+    Planner.fromYaml(goodYaml).runBatch(spark): Unit
+    // store holds ONLY the successful run's fingerprints — had the failed
+    // run's hook leaked, count would be 4 and "doomed"'s retry would lose
+    assert(spark.read.parquet(store).count() == 2)
+  }
+
   test("incremental dedup through graft.Main: store updates after sinks, runs chain") {
     val in1 = tmp("llm-inc1"); val in2 = tmp("llm-inc2")
     val out1 = tmp("llm-inc-out1"); val out2 = tmp("llm-inc-out2")
@@ -348,6 +390,14 @@ class LlmPipelineSpec extends SparkSpec {
       "src" -> "embedding", "num_cells" -> 4, "threshold" -> 0.999,
       "kmeans" -> true, "kmeans_iters" -> 3, "dim" -> 16))(df)
     assert(kept.select("id").as[Long].collect().toSet == (0L until 20L).toSet)
+    // mid-pipeline corpora have SPARSE ids (an upstream dedup dropped
+    // rows) — the kmeans path must not depend on ids dense in [0, k)
+    val sparse = df.withColumn("id", col("id") * 37 + 1000)
+    val keptSparse = Planner.corpusStage("SemanticDedup", Map(
+      "src" -> "embedding", "num_cells" -> 4, "threshold" -> 0.999,
+      "kmeans" -> true, "kmeans_iters" -> 3, "dim" -> 16))(sparse)
+    assert(keptSparse.select("id").as[Long].collect().toSet ==
+      (0L until 20L).map(_ * 37 + 1000).toSet)
   }
 
   test("UrlDedup summary mode exposes the aggregate view") {
