@@ -33,6 +33,58 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // Cross-scale stress datapoints — run FIRST, before the query rounds,
+    // in the freshest JVM state this process will ever have: r7's driver
+    // run recorded semdedup at 108.5 s where three same-code re-runs gave
+    // 27-36 s, and the only difference was what had already churned the
+    // JVM/machine. Each op is BEST-of-2 with a GC settle between — the
+    // min is the contention-robust statistic for a fixed workload (noise
+    // only ever adds time); both samples go to bench_detail.json so a
+    // suspicious min is auditable.
+    val stress = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val stressSamples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    val stressCopies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "100").toInt
+    val semCopies = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_COPIES", "50").toInt
+    val stressRuns = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "2").toInt
+    if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") != "0") {
+      spark.catalog.clearCache()
+      graft.core.CacheRegistry.drain()
+      def timed(key: String)(f: => Long): Unit = {
+        val xs = (0 until stressRuns).map { _ =>
+          System.gc() // settle: don't bill a prior op's garbage to this one
+          val t0 = System.nanoTime()
+          val ok = try { f; true } catch { case _: Throwable => false }
+          spark.catalog.clearCache()
+          graft.core.CacheRegistry.drain()
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }.toVector
+        stressSamples(key) = xs
+        stress(key) = if (xs.exists(_ < 0)) -1.0 else xs.min
+      }
+      val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bigDocs = (0 until stressCopies).map(i => d1.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text")))
+        .reduce(_ union _)
+      stress("doc_copies") = stressCopies.toDouble
+      timed("minhash")(
+        graft.ml.Dedup.minhashPairs(bigDocs, "text", "doc_id").count())
+      timed("hamming64_drop")(
+        graft.ml.Dedup.dropDuplicatesHamming64(bigDocs, "text", "doc_id").count())
+      timed("passage")(
+        graft.ml.Dedup.duplicatedPassages(bigDocs, "text", "doc_id").count())
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val bigVecs = (0 until semCopies).map(i => e1.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * (1.0f + i / 128.0f)).as("embedding")))
+        .reduce(_ union _)
+      stress("vec_copies") = semCopies.toDouble
+      timed("semdedup")(
+        graft.ml.Similarity.semanticDedup(bigVecs, "embedding", "vec_id",
+          numCells = 16, threshold = 0.95, maxCellSize = 2000L).count())
+      System.gc() // leave the query rounds a settled heap
+    }
+
     // Shared memoized frames (minhash pair frame feeds q_dedup_minhash
     // AND q_dedup_clusters) are built ONCE here and attributed to their
     // own JSON key — otherwise the build cost lands on whichever consumer
@@ -65,50 +117,6 @@ object Bench {
     }
     val med = names.map(n => n -> median(samples(n)))
 
-    // Cross-scale stress datapoints (run ONCE, after the query rounds, so
-    // they can't pollute per-query samples): the sf0.1 bench is trivially
-    // fast and real regressions hide at 100× — surface the corpus-scale
-    // numbers as driver-parsed JSON instead of SURVEY prose. Corpus
-    // construction matches tools/stress100.scala (per-copy word salt:
-    // cross-copy jaccard 0, cluster sizes constant, honest linear scale)
-    // and tools/stress_semdedup.scala (positive scaling: every copy is a
-    // true semantic dup of its original).
-    val stress = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val stressCopies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "100").toInt
-    val semCopies = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_COPIES", "50").toInt
-    if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") != "0") {
-      spark.catalog.clearCache()
-      graft.core.CacheRegistry.drain()
-      def timed(key: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime()
-        try { f; stress(key) = (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => stress(key) = -1.0 }
-        spark.catalog.clearCache()
-        graft.core.CacheRegistry.drain()
-      }
-      val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
-      val bigDocs = (0 until stressCopies).map(i => d1.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text")))
-        .reduce(_ union _)
-      stress("doc_copies") = stressCopies.toDouble
-      timed("minhash")(
-        graft.ml.Dedup.minhashPairs(bigDocs, "text", "doc_id").count())
-      timed("hamming64_drop")(
-        graft.ml.Dedup.dropDuplicatesHamming64(bigDocs, "text", "doc_id").count())
-      timed("passage")(
-        graft.ml.Dedup.duplicatedPassages(bigDocs, "text", "doc_id").count())
-      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val bigVecs = (0 until semCopies).map(i => e1.select(
-        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-        transform(col("embedding"), x => x * (1.0f + i / 128.0f)).as("embedding")))
-        .reduce(_ union _)
-      stress("vec_copies") = semCopies.toDouble
-      timed("semdedup")(
-        graft.ml.Similarity.semanticDedup(bigVecs, "embedding", "vec_id",
-          numCells = 16, threshold = 0.95, maxCellSize = 2000L).count())
-    }
-
     // Per-query spread and raw samples go to a SIDE FILE: the driver
     // captures only the tail of the run's output, and r6's inline
     // spread/runs arrays pushed the parsed line's head past the capture
@@ -122,7 +130,10 @@ object Bench {
       val runs = names.map { n =>
         "\"" + n + "\":" + samples(n).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      s"""{"rounds":$rounds,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
+      val stressRuns = stressSamples.map { case (k, xs) =>
+        "\"" + k + "\":" + xs.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s"""{"rounds":$rounds,"spread":$spread,"runs":$runs,"stress_runs":$stressRuns,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))

@@ -239,6 +239,33 @@ object SparkEntry {
           k = 3, bands = 4)
         .select(col("doc_id"), col("source"))
     },
+    // the same yesterday/today splits through the STORE-PATH variants: a
+    // throwaway store is appended (compact rows + Bloom / banded sidecar)
+    // then today's half dedups against it — the gate drives the whole
+    // sidecar write→read path and must produce exactly the frame-level
+    // gates' rows, so they share oracle SQL
+    "q_dedup_store_exact" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-store-exact").toString + "/fps"
+      graft.ml.Dedup.appendToSeenStore(
+        docs.filter(col("doc_id") < 250), "text", store)
+      graft.ml.Dedup.dropSeenStore(
+        docs.filter(col("doc_id") >= 250), store, "text")
+        .select(col("doc_id"), col("text"))
+    },
+    "q_dedup_store_near" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-store-near").toString + "/sims"
+      graft.ml.Dedup.appendToNearStore(
+        docs.filter(col("doc_id") < 250), "text", store,
+        graft.ml.Dedup.simhash32, totalBits = 32, bands = 4)
+      graft.ml.Dedup.dropSeenNearStoreBy(
+        docs.filter(col("doc_id") >= 250), store, "text", "doc_id",
+        graft.ml.Dedup.simhash32, totalBits = 32, k = 3, bands = 4)
+        .select(col("doc_id"), col("source"))
+    },
     "q_dedup_minhash" -> { (s, dir) => sharedMinhashPairs(s, dir) },
     "q_dedup_clusters" -> { (s, dir) =>
       graft.ml.Dedup.clusters(sharedMinhashPairs(s, dir))
@@ -424,6 +451,20 @@ object SparkEntry {
           col("meta.channels").as("channels"),
           col("meta.sample_rate").as("sample_rate"),
           col("meta.duration_ms").as("duration_ms"))
+    },
+
+    // REAL decode: synthesized PNGs (dims a pure function of doc_id) go
+    // through javax.imageio header parsing — the oracle predicts the dims
+    // arithmetically, so only a genuine decode matches
+    "q_multimodal_decode" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val media = graft.ml.Multimodal.synthesizeImages(docs, "doc_id")
+      graft.ml.Multimodal.decodePartitions(media, graft.ml.Multimodal.ImageIoDecoder)
+        .select(col("media_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.channels").as("channels"),
+          col("meta.format").as("format"))
     },
 
     "q_rolling_fp" -> { (s, dir) =>
@@ -939,6 +980,37 @@ object SparkEntry {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
 
+    // store-path twins of the two incremental gates: identical row
+    // contract, so identical oracle SQL
+    "q_dedup_store_exact" ->
+      """SELECT doc_id, text FROM documents d
+        |WHERE doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id < 250 AND md5(s.text) = md5(d.text))""".stripMargin,
+
+    "q_dedup_store_near" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substring(md5(tok), 25, 8)) AS BIGINT) for tok in toks] AS hs
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, CAST(list_sum([
+        |    CASE WHEN list_sum([CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+        |      THEN 1 ELSE -1 END for h in hs]) > 0
+        |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+        |    for j in range(0, 32)]) AS BIGINT) AS sim
+        |  FROM h
+        |), drops AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM s a JOIN s b ON a.doc_id < 250 AND b.doc_id >= 250
+        |  WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
+
     "q_dedup_minhash" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
@@ -1138,6 +1210,14 @@ object SparkEntry {
         |  CAST(16000 AS INT) AS sample_rate,
         |  CAST(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 1000 // 16000 AS BIGINT)
         |    AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 64 + 1 AS INT) AS width,
+        |  CAST(doc_id % 48 + 1 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  'png' AS format
         |FROM documents""".stripMargin,
 
     "q_rolling_fp" ->

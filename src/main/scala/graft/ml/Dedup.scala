@@ -762,31 +762,180 @@ object Dedup {
     df.join(seen.select(col("fp")).distinct(),
       md5(col(textCol).cast("string")) === col("fp"), "left_anti")
 
+  // ---- incremental seen-store layout ------------------------------------
+  //
+  //   store/                     compact fingerprint rows (`fp` string |
+  //                              `sim` long) — the SOURCE OF TRUTH; what
+  //                              r7 stores already hold and what the
+  //                              DuckDB oracle reads
+  //   store/_bloom/bloom.bin     exact-store sidecar: [rows: long]
+  //                              [BloomFilter over xxhash64(fp)]; valid
+  //                              iff rows == current store row count
+  //   store/_banded/data/band=B/chunk=C/
+  //                              near-store banded index: each sim
+  //                              re-keyed by its pigeonhole chunks ONCE
+  //                              at append time, so no per-run explode
+  //   store/_banded/_meta.json   {"bits":..,"bands":..,"rows":..} — valid
+  //                              iff rows == compact row count and the
+  //                              banding matches the query's
+  //
+  // Underscore-prefixed children are invisible to parquet discovery, so a
+  // v1 reader (or the oracle) pointed at `store` still sees exactly the
+  // compact rows; sidecars are derived indexes, rebuilt from the compact
+  // rows whenever their validity marker goes stale (self-healing
+  // migration — the first append against an r7 store materializes them).
+  // Single-writer per store: concurrent appenders can duplicate rows and
+  // race the sidecar markers (same as the r7 contract).
+
   /** Append this increment's NEW fingerprints to the seen store (dedup'd
     * against the store first, so re-running an increment doesn't grow
-    * it). Returns how many were added. At-least-once, not transactional:
+    * it), then refresh the Bloom sidecar [[dropSeenStore]] prefilters
+    * with. Returns how many were added. At-least-once, not transactional:
     * a failure between the anti-join and the write can lose the
-    * increment's fps (re-run the update), never corrupt existing rows. */
-  def appendToSeenStore(df: DataFrame, textCol: String, storePath: String): Long =
-    appendFps(contentFingerprints(df, textCol), "fp", storePath)
+    * increment's fps (re-run the update), never corrupt existing rows; a
+    * failure before the sidecar write leaves a stale sidecar that readers
+    * detect and ignore. */
+  def appendToSeenStore(df: DataFrame, textCol: String, storePath: String): Long = {
+    val n = appendFps(contentFingerprints(df, textCol), "fp", storePath)._1
+    refreshBloomSidecar(df.sparkSession, storePath)
+    n
+  }
 
-  private def appendFps(fresh: DataFrame, keyCol: String, storePath: String): Long = {
+  private def appendFps(fresh: DataFrame, keyCol: String,
+      storePath: String): (Long, DataFrame) = {
     val spark = fresh.sparkSession
-    // only a genuinely ABSENT store counts as empty — a transient read
-    // failure must propagate, or this append would re-write every
-    // fingerprint and the store would grow on each flaky re-run
-    val existing =
-      try Some(spark.read.parquet(storePath))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => None
-      }
-    val newFps = existing.map(s => fresh.join(s, Seq(keyCol), "left_anti"))
-      .getOrElse(fresh)
-      .localCheckpoint() // count + write must see the SAME frame (the store changes under it)
+    // count + write + sidecar update must see the SAME frame (the store
+    // changes under it). explodingMemo supplies the barrier: fast
+    // localCheckpoint by default, reliable DFS checkpoint when
+    // `spark.sql.graft.checkpointDir` is set — a lost executor during a
+    // daily store append must not fail the run on a real cluster.
+    val newFps = explodingMemo(
+      readStoreOpt(spark, storePath)
+        .map(s => fresh.join(s, Seq(keyCol), "left_anti"))
+        .getOrElse(fresh))
     val n = newFps.count()
     if (n > 0) newFps.write.mode("append").parquet(storePath)
-    n
+    (n, newFps)
+  }
+
+  /** Only a genuinely ABSENT store counts as empty — a transient read
+    * failure must propagate, or dedup would silently run against an empty
+    * set and leak every known duplicate (and an append would re-write
+    * every fingerprint). */
+  private def readStoreOpt(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[DataFrame] =
+    try Some(spark.read.parquet(storePath))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bloomPath(storePath: String) = s"$storePath/_bloom/bloom.bin"
+
+  /** (Re)build the exact-store Bloom sidecar over the FULL store when its
+    * validity marker (covered row count) is stale. Skipped above
+    * `spark.sql.graft.storeBloomMaxItems` (default 1e8 ≈ 115 MB at 1%
+    * fpp): one driver-held filter stops scaling there — shard by fp
+    * prefix before raising it. The build is one extra store scan per
+    * append (the append's anti-join already paid one). */
+  private def refreshBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Unit = {
+    val maxItems =
+      spark.conf.get("spark.sql.graft.storeBloomMaxItems", "100000000").toLong
+    val fpp = spark.conf.get("spark.sql.graft.storeBloomFpp", "0.01").toDouble
+    if (maxItems <= 0) return
+    val rows = readStoreOpt(spark, storePath).map(_.count()).getOrElse(0L)
+    if (rows == 0 || rows > maxItems) return
+    if (loadBloomSidecar(spark, storePath).exists(_._1 == rows)) return
+    val bf = spark.read.parquet(storePath)
+      .select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", rows, fpp)
+    val p = new org.apache.hadoop.fs.Path(bloomPath(storePath))
+    val out = new java.io.DataOutputStream(hadoopFs(spark, storePath).create(p, true))
+    try { out.writeLong(rows); bf.writeTo(out) } finally out.close()
+  }
+
+  private def loadBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[(Long, org.apache.spark.util.sketch.BloomFilter)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(bloomPath(storePath))
+      val f = hadoopFs(spark, storePath)
+      if (!f.exists(p)) None
+      else {
+        val in = new java.io.DataInputStream(f.open(p))
+        try Some((in.readLong(),
+          org.apache.spark.util.sketch.BloomFilter.readFrom(in)))
+        finally in.close()
+      }
+    } catch {
+      // partial/corrupt sidecar (crashed writer) → treat as absent; the
+      // reader falls back to the exact anti-join and the next append
+      // rewrites it
+      case _: java.io.IOException => None
+    }
+
+  /** Codegen'd might-contain probe of a long column against a driver-held
+    * Bloom filter: plan-literal bytes while the filter is small enough to
+    * inline, broadcast + udf beyond (a multi-hundred-MB literal would
+    * bloat every task binary) — the bloomDecontaminate trade. */
+  private def bloomMightContainLong(spark: org.apache.spark.sql.SparkSession,
+      bf: org.apache.spark.util.sketch.BloomFilter, h: Column,
+      literalMaxBytes: Int = 8 << 20): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    if (bytes.length <= literalMaxBytes)
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.graftbridge.Bridge.expression(lit(bytes)),
+          org.apache.spark.sql.graftbridge.Bridge.expression(h)))
+    else {
+      val bc = spark.sparkContext.broadcast(bf)
+      val probe = udf { x: java.lang.Long =>
+        x != null && bc.value.mightContainLong(x) }
+      probe(h)
+    }
+  }
+
+  /** [[dropSeen]] against a STORE PATH, using the Bloom sidecar to keep
+    * the store scan-only: increment rows failing the Bloom probe are
+    * definitely-unseen (no false negatives over a valid sidecar) and skip
+    * the join entirely; the survivors' fingerprints — true dups plus ~1%
+    * false positives — confirm through `store ⋈ broadcast(candidates)`
+    * (the store STREAMS through a broadcast semi join; it is never
+    * shuffled) and the matched set anti-joins back, also broadcast. At
+    * 10^10 store rows the per-run cost is one store scan, vs shuffling
+    * 160 GB of fingerprints every day through the plain anti join. Falls
+    * back to [[dropSeen]] when the sidecar is stale/absent or the
+    * candidate set exceeds `spark.sql.graft.incrementalBroadcastRows`
+    * (a dup-heavy increment, where the Bloom prunes nothing anyway). */
+  def dropSeenStore(df: DataFrame, storePath: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    readStoreOpt(spark, storePath) match {
+      case None => df
+      case Some(seen) =>
+        val rows = seen.count() // parquet footer count — cheap at any scale
+        loadBloomSidecar(spark, storePath).filter(_._1 == rows).map(_._2) match {
+          case None => dropSeen(df, seen, textCol)
+          case Some(bf) =>
+            val fpc = md5(col(textCol).cast("string"))
+            val bcastRows = spark.conf
+              .get("spark.sql.graft.incrementalBroadcastRows", "1000000").toLong
+            val cand = graft.core.CacheRegistry.memo(
+              df.filter(bloomMightContainLong(spark, bf, xxhash64(fpc)))
+                .select(fpc.as("fp")).distinct())
+            val nCand = cand.count()
+            if (nCand == 0L) df
+            else if (nCand <= bcastRows) {
+              val matched = seen.join(broadcast(cand), Seq("fp"), "left_semi")
+              df.join(broadcast(matched), fpc === matched("fp"), "left_anti")
+            } else dropSeen(df, seen, textCol)
+        }
+    }
   }
 
   /** Distinct 64-bit simhash fingerprints — the NEAR-dup seen-store row
@@ -798,7 +947,93 @@ object Dedup {
     df.select(simhash64Fingerprint(col(textCol)).as("sim")).distinct()
 
   def appendToSimhashStore(df: DataFrame, textCol: String, storePath: String): Long =
-    appendFps(simhashFingerprints(df, textCol), "sim", storePath)
+    appendToNearStore(df, textCol, storePath)
+
+  /** Append NEW simhash fingerprints to a near-dup seen store AND keep
+    * its banded sidecar current: the fresh sims' (band, chunk) rows are
+    * written once here, so [[dropSeenNearStore]] never explodes the store
+    * at query time. Generic over the fingerprint/banding so the 32-bit
+    * oracle variant runs the same code path as the 64-bit production
+    * default. */
+  def appendToNearStore(df: DataFrame, textCol: String, storePath: String,
+      fingerprint: Column => Column = simhash64Fingerprint(_),
+      totalBits: Int = 64, bands: Int = 8): Long = {
+    val spark = df.sparkSession
+    val fresh = df.select(fingerprint(col(textCol)).as("sim")).distinct()
+    val (n, newSims) = appendFps(fresh, "sim", storePath)
+    refreshBandedSidecar(spark, storePath, newSims, n, totalBits, bands)
+    n
+  }
+
+  private def bandedDataPath(storePath: String) = s"$storePath/_banded/data"
+  private def bandedMetaPath(storePath: String) = s"$storePath/_banded/_meta.json"
+
+  private def simChunk(sim: Column, b: Int, bits: Int): Column =
+    shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
+
+  private def bandedRows(sims: DataFrame, totalBits: Int, bands: Int): DataFrame = {
+    val bits = totalBits / bands
+    sims.select(col("sim"),
+        posexplode(array((0 until bands).map(b => simChunk(col("sim"), b, bits)): _*)))
+      .toDF("sim", "band", "chunk")
+  }
+
+  private def loadBandedMeta(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[(Int, Int, Long)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(bandedMetaPath(storePath))
+      val f = hadoopFs(spark, storePath)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val M = """\{"bits":(\d+),"bands":(\d+),"rows":(\d+)\}""".r
+        txt.trim match {
+          case M(bi, ba, r) => Some((bi.toInt, ba.toInt, r.toLong))
+          case _ => None
+        }
+      }
+    } catch { case _: java.io.IOException => None }
+
+  private def writeBandedMeta(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, totalBits: Int, bands: Int, rows: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(bandedMetaPath(storePath))
+    val out = hadoopFs(spark, storePath).create(p, true)
+    try out.write(
+      s"""{"bits":$totalBits,"bands":$bands,"rows":$rows}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Keep the banded sidecar covering the compact store. Normal appends
+    * add only the fresh sims' banded rows; an absent, stale, or
+    * differently-banded sidecar rebuilds in full from the compact rows
+    * (the migration path for r7 stores — and the self-heal after a
+    * crashed append, whose stale marker readers already ignore). Meta is
+    * written AFTER the data, so a failure between the two leaves a stale
+    * marker, never a wrong one. */
+  private def refreshBandedSidecar(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, newSims: DataFrame, nNew: Long,
+      totalBits: Int, bands: Int): Unit = {
+    val rows = readStoreOpt(spark, storePath).map(_.count()).getOrElse(0L)
+    if (rows == 0) return
+    def write(sims: DataFrame, append: Boolean): Unit = {
+      bandedRows(sims, totalBits, bands).write
+        .mode(if (append) "append" else "overwrite")
+        .partitionBy("band", "chunk")
+        .parquet(bandedDataPath(storePath))
+      writeBandedMeta(spark, storePath, totalBits, bands, rows)
+    }
+    loadBandedMeta(spark, storePath) match {
+      case Some((bi, ba, covered))
+          if bi == totalBits && ba == bands && covered == rows => ()
+      case Some((bi, ba, covered))
+          if bi == totalBits && ba == bands && nNew > 0 && covered == rows - nNew =>
+        write(newSims, append = true)
+      case _ =>
+        write(spark.read.parquet(storePath).select("sim"), append = false)
+    }
+  }
 
   /** Incremental NEAR-dup dedup: drop every document within hamming ≤ `k`
     * of ANY fingerprint in the seen store — [[dropSeen]]'s analogue for
@@ -835,6 +1070,70 @@ object Dedup {
       .select(col("__gid").as("__drop"))
       .distinct()
     joinBackOnce(df, drops, col(idCol) === col("__drop"), "left_anti")
+  }
+
+  /** [[dropSeenNear]] against a STORE PATH, joining the increment's
+    * banded keys directly against the pre-banded sidecar
+    * ([[appendToNearStore]] wrote it once) instead of re-exploding the
+    * whole store ×bands on every run — at a 10^10-fp store that explode
+    * was ~10^11 rows of per-run shuffle work, forever. The store side of
+    * the join is a plain partitioned scan (no Generate); when the
+    * increment's key set fits `spark.sql.graft.incrementalBroadcastRows`
+    * it broadcasts, so the store is never shuffled either — and dynamic
+    * partition pruning can skip (band, chunk) directories the increment
+    * doesn't touch. Falls back to the explode path when the sidecar is
+    * absent, stale, or banded differently (r7 stores migrate on their
+    * next append). */
+  def dropSeenNearStore(df: DataFrame, storePath: String, textCol: String,
+      idCol: String, k: Int = 3, bands: Int = 8): DataFrame =
+    dropSeenNearStoreBy(df, storePath, textCol, idCol,
+      simhash64Fingerprint(_), 64, k, bands)
+
+  def dropSeenNearStoreBy(df: DataFrame, storePath: String, textCol: String,
+      idCol: String, fingerprint: Column => Column, totalBits: Int,
+      k: Int, bands: Int): DataFrame = {
+    require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
+    require(totalBits % bands == 0, "bands must divide the fingerprint width")
+    val spark = df.sparkSession
+    readStoreOpt(spark, storePath) match {
+      case None => df
+      case Some(compact) =>
+        val rows = compact.count()
+        val bandedOk = loadBandedMeta(spark, storePath).exists {
+          case (bi, ba, covered) =>
+            bi == totalBits && ba == bands && covered == rows
+        }
+        if (!bandedOk)
+          dropSeenNearBy(df, compact.select(col("sim")), textCol, idCol,
+            fingerprint, totalBits, k, bands)
+        else {
+          val bits = totalBits / bands
+          // partition discovery types band/chunk as ints — align both
+          // join sides explicitly
+          val st = spark.read.parquet(bandedDataPath(storePath))
+            .select(col("sim").as("__ssim"),
+              col("band").cast("int").as("band"),
+              col("chunk").cast("long").as("chunk"))
+          val inc = graft.core.CacheRegistry.memo(
+            df.select(col(idCol).as("__gid"),
+                fingerprint(col(textCol)).as("__sim"))
+              .select(col("__gid"), col("__sim"),
+                posexplode(array((0 until bands).map(b =>
+                  simChunk(col("__sim"), b, bits)): _*)))
+              .toDF("__gid", "__sim", "band", "chunk")
+              .select(col("__gid"), col("__sim"),
+                col("band").cast("int").as("band"),
+                col("chunk").cast("long").as("chunk")))
+          val bcastRows = spark.conf
+            .get("spark.sql.graft.incrementalBroadcastRows", "1000000").toLong
+          val probe = if (inc.count() <= bcastRows) broadcast(inc) else inc
+          val drops = st.join(probe, Seq("band", "chunk"))
+            .filter(bit_count(col("__sim").bitwiseXOR(col("__ssim"))) <= k)
+            .select(col("__gid").as("__drop"))
+            .distinct()
+          joinBackOnce(df, drops, col(idCol) === col("__drop"), "left_anti")
+        }
+    }
   }
 
   /** Streaming exact dedup: drop re-occurrences of the key within the

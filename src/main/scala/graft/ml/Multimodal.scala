@@ -104,6 +104,81 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder on JDK `javax.imageio` (no extra deps, works
+    * offline): width/height/format come off the container header and
+    * channels off the reader's advertised `ColorModel` — a header-only
+    * parse, never a full pixel decode, so a 50 MB JPEG costs a few KB of
+    * reads. Non-image media and undecodable bytes degrade to a
+    * null-dims row (media_type + byte_len still populated) rather than
+    * killing the partition — at corpus scale truncated payloads are a
+    * certainty, and a null-dims row is filterable downstream. */
+  object ImageIoDecoder extends Decoder {
+    private def unreadable(mediaType: String, len: Long): Row =
+      Row(mediaType, len, null, null, null, null, null, null)
+    def decode(mediaType: String, content: Array[Byte]): Row =
+      if (mediaType != "image") unreadable(mediaType, content.length.toLong)
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) unreadable(mediaType, content.length.toLong)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true) // seekForward + ignoreMetadata
+              val types = r.getImageTypes(0)
+              val channels: Integer =
+                if (types != null && types.hasNext)
+                  Integer.valueOf(types.next().getColorModel.getNumComponents)
+                else null
+              Row("image", content.length.toLong,
+                Integer.valueOf(r.getWidth(0)), Integer.valueOf(r.getHeight(0)),
+                channels, null, null,
+                r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { // truncated/corrupt payload past the magic bytes
+        case _: Exception => unreadable(mediaType, content.length.toLong)
+      }
+  }
+
+  /** Deterministic PNG fixtures at corpus scale: one `(id % 64 + 1) ×
+    * (id % 48 + 1)` RGB image per row, encoded per-partition (the encode
+    * twin of [[decodePartitions]] — same one-library-instance-per-
+    * partition shape a real transcoder needs). Exists because this
+    * container ships no media files; the oracle can predict the decoded
+    * dims from the id alone, which is what makes [[ImageIoDecoder]]
+    * gateable: only a real header parse reproduces them. */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue
+        val (w, h) = ((id % 64 + 1).toInt, (id % 48 + 1).toInt)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) { // deterministic pixels: content is a pure f(id)
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 2654435761L + x * 31 + y) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(r.get(0), "image", bos.toByteArray)
+      }
+    }(outEncoder)
+  }
+
   /** mapPartitions decode: init the (expensive) decoder once per
     * partition, stream rows through it, emit `(media_id, meta)`.
     * Payload bytes never survive past this operator — the output row is

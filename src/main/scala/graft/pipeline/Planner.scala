@@ -223,35 +223,25 @@ object Planner {
           val near = conf.bool("near", false)
           val (kOpt, bandsOpt) = (conf.int("k", 3), conf.int("bands", 8))
           df => {
-            val spark = df.sparkSession
-            // only a genuinely ABSENT store reads as empty; any other
-            // failure (permissions, corrupt footer, missing column) must
-            // fail the run — silently deduping against an empty set
-            // would leak every known duplicate into the output
-            def readSeen(colName: String,
-                dt: org.apache.spark.sql.types.DataType) =
-              try spark.read.parquet(store).select(colName)
-              catch {
-                case e: org.apache.spark.sql.AnalysisException
-                    if e.getCondition == "PATH_NOT_FOUND" =>
-                  spark.createDataFrame(
-                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                    org.apache.spark.sql.types.StructType(Seq(
-                      org.apache.spark.sql.types.StructField(colName, dt))))
-              }
+            // the store-PATH variants own the read (only a genuinely
+            // ABSENT path reads as empty; any other failure — permissions,
+            // corrupt footer — fails the run, because silently deduping
+            // against an empty set would leak every known duplicate) and
+            // use the sidecar indexes the appends maintain: Bloom
+            // prefilter + scan-only confirm for exact, the pre-banded
+            // (band, chunk) layout for near — the store is scanned, never
+            // exploded or shuffled, per run.
             if (near) {
-              val seen0 = readSeen("sim", org.apache.spark.sql.types.LongType)
               if (update) graft.core.PostCommit.register(
                 () => { graft.ml.Dedup.appendToSimhashStore(df, text, store): Unit })
-              graft.ml.Dedup.dropSeenNear(
+              graft.ml.Dedup.dropSeenNearStore(
                 graft.ml.Dedup.dropDuplicatesHamming64(df, text, id, kOpt, bandsOpt),
-                seen0, text, id, kOpt, bandsOpt)
+                store, text, id, kOpt, bandsOpt)
             } else {
-              val seen0 = readSeen("fp", org.apache.spark.sql.types.StringType)
               if (update) graft.core.PostCommit.register(
                 () => { graft.ml.Dedup.appendToSeenStore(df, text, store): Unit })
-              graft.ml.Dedup.dropSeen(
-                graft.ml.Dedup.dropDuplicatesExact(df, text, id), seen0, text)
+              graft.ml.Dedup.dropSeenStore(
+                graft.ml.Dedup.dropDuplicatesExact(df, text, id), store, text)
             }
           }
         case "clustered" =>

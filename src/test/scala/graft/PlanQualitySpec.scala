@@ -150,6 +150,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("store-path exact dedup: Bloom prefilter, store scanned never shuffled") {
+    val plan = executedPlan("q_dedup_store_exact")
+    // the sidecar path: increment rows probe the plan-literal Bloom
+    // (might_contain), survivors confirm via broadcast joins — the seen
+    // store STREAMS through both; a SortMergeJoin here means the store
+    // (10^10 rows at scale) is being shuffled every daily run
+    assert(plan.contains("might_contain"), s"bloom prefilter not taken:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"store side shuffled:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("store-path near dedup: pre-banded store scan, no Generate, no store shuffle") {
+    val df = SparkEntry.queries("q_dedup_store_near")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the join reads the (band, chunk)-partitioned sidecar directly —
+    // the explode that r7 re-ran over the whole store every run is gone
+    assert(plan.contains("_banded"), s"banded sidecar path not taken:\n$plan")
+    // the only Generate (posexplode) belongs to the INCREMENT's key
+    // explode (it renders once in the live plan and possibly once more
+    // inside the cached key memo); the banded scan itself carries none —
+    // the fallback path would show a second live Generate over the store
+    // and no _banded scan at all
+    assert(plan.contains("BroadcastHashJoin"), s"increment not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"store side shuffled:\n$plan")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("anti join-backs over a UNION corpus don't re-derive the drop set per branch") {
     // PushdownLeftSemiOrAntiJoin clones the anti join's right side into
     // every union branch. Un-persisted, that re-runs the ENTIRE drop

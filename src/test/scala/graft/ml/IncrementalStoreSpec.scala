@@ -1,0 +1,189 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The seen-store LAYOUT contract: compact rows stay the r7-compatible
+  * source of truth, while appends maintain the derived sidecars —
+  * `_bloom` for the exact store, the pre-banded `_banded` index for the
+  * near store — and the store-path drop variants use them to keep the
+  * per-run cost one store SCAN (no explode, no store-side shuffle).
+  * Stale/absent sidecars must degrade to the exact fallback paths, and
+  * the first append against a sidecar-less (r7) store must migrate it. */
+class IncrementalStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val day1 = Seq(
+    (0L, "alpha beta gamma"),
+    (1L, "one two three"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"))
+    .toDF("id", "text")
+  private val day2 = Seq(
+    (10L, "alpha beta gamma"), // exact repeat of day1 doc 0
+    (11L, "fresh new content"))
+    .toDF("id", "text")
+
+  test("exact store: append writes the Bloom sidecar, dropSeenStore uses it") {
+    val store = tmp("inc-bloom") + "/fps"
+    assert(Dedup.appendToSeenStore(day1, "text", store) == 3)
+    assert(new java.io.File(s"$store/_bloom/bloom.bin").isFile,
+      "append must leave a Bloom sidecar")
+    // the sidecar is invisible to compact readers (underscore prefix)
+    assert(spark.read.parquet(store).count() == 3)
+    val kept = Dedup.dropSeenStore(day2, store, "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+    // absent store: everything survives
+    val keptAbsent = Dedup.dropSeenStore(day2, tmp("inc-none") + "/nope", "text")
+      .select("id").as[Long].collect().toSet
+    assert(keptAbsent == Set(10L, 11L))
+    // growth keeps the sidecar valid: append day2, re-drop → nothing kept
+    assert(Dedup.appendToSeenStore(day2, "text", store) == 1)
+    assert(Dedup.dropSeenStore(day2, store, "text").count() == 0)
+  }
+
+  test("exact store: a STALE Bloom sidecar is detected and falls back, correctly") {
+    val store = tmp("inc-stale") + "/fps"
+    assert(Dedup.appendToSeenStore(day1, "text", store) == 3)
+    // grow the store behind the sidecar's back (what a crashed append
+    // leaves: rows written, sidecar not refreshed)
+    Dedup.contentFingerprints(day2, "text")
+      .write.mode("append").parquet(store)
+    // day2's fps ARE in the store now, but not in the bloom — a reader
+    // trusting the stale sidecar would keep them; the validity marker
+    // (covered rows != store rows) forces the exact anti-join instead
+    assert(Dedup.dropSeenStore(day2, store, "text").count() == 0)
+  }
+
+  test("exact store: bloom can be disabled; dropSeenStore still exact") {
+    val store = tmp("inc-nobloom") + "/fps"
+    spark.conf.set("spark.sql.graft.storeBloomMaxItems", "0")
+    try {
+      assert(Dedup.appendToSeenStore(day1, "text", store) == 3)
+      assert(!new java.io.File(s"$store/_bloom/bloom.bin").exists)
+      val kept = Dedup.dropSeenStore(day2, store, "text")
+        .select("id").as[Long].collect().toSet
+      assert(kept == Set(11L))
+    } finally spark.conf.unset("spark.sql.graft.storeBloomMaxItems")
+  }
+
+  test("store appends honor spark.sql.graft.checkpointDir (reliable barrier)") {
+    // the count+write barrier rides explodingMemo: with the config set, a
+    // daily store append survives executor loss from DFS checkpoint files
+    // instead of failing the run (same switch the dedup memos use)
+    val dir = tmp("inc-ckpt")
+    val store = tmp("inc-ckpt-store") + "/fps"
+    spark.conf.set("spark.sql.graft.checkpointDir", dir)
+    try {
+      // the JVM-shared SparkContext keeps whatever checkpoint root the
+      // FIRST explodingMemo call pinned (suite order isn't ours to pick),
+      // so assert growth under the EFFECTIVE root, not under `dir`
+      def countFiles(f: java.io.File): Int =
+        if (f.isFile) 1 else Option(f.listFiles).toSeq.flatten.map(countFiles).sum
+      def effectiveRoot() = new java.io.File(
+        spark.sparkContext.getCheckpointDir
+          .map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath)
+          .getOrElse(dir))
+      val before = countFiles(effectiveRoot())
+      assert(Dedup.appendToSeenStore(day1, "text", store) == 3)
+      assert(Dedup.appendToSeenStore(day2, "text", store) == 1)
+      assert(spark.read.parquet(store).count() == 4)
+      assert(countFiles(effectiveRoot()) > before,
+        s"no new reliable checkpoint files under ${effectiveRoot()}")
+    } finally spark.conf.unset("spark.sql.graft.checkpointDir")
+  }
+
+  private val near1 = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "completely unrelated content about distributed query engines"))
+    .toDF("id", "text")
+  private val near2 = Seq(
+    // token-shuffled copy of near1 doc 0 — hamming 0 on the token-set
+    // simhash, a near repeat
+    (10L, "again and again the lazy dog jumps over the quick brown fox"),
+    (11L, "entirely novel text with fresh vocabulary throughout"))
+    .toDF("id", "text")
+
+  test("near store: append writes the banded sidecar; dropSeenNearStore joins it") {
+    val store = tmp("inc-banded") + "/sims"
+    assert(Dedup.appendToNearStore(near1, "text", store) == 2)
+    // banded layout: partition dirs band=*/chunk=* under _banded/data,
+    // one banded row per (sim, band); meta covers the compact rows
+    val bandDirs = Option(new java.io.File(s"$store/_banded/data").listFiles)
+      .toSeq.flatten.filter(_.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty)
+    assert(spark.read.parquet(s"$store/_banded/data").count() == 2 * 8)
+    // compact readers still see exactly the compact rows
+    assert(spark.read.parquet(store).count() == 2)
+    val kept = Dedup.dropSeenNearStore(near2, store, "text", "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+    // the store side of the banded join must NOT re-explode: no Generate
+    // over the _banded scan in the executed plan
+    val plan = Dedup.dropSeenNearStore(near2, store, "text", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_banded"), "banded path not taken")
+    val bandedScanGenerates = plan.linesIterator
+      .filter(_.contains("Generate")).count(_.contains("_banded"))
+    assert(bandedScanGenerates == 0)
+    // idempotent growth keeps sidecar coverage
+    assert(Dedup.appendToNearStore(near2, "text", store) == 1)
+    assert(spark.read.parquet(s"$store/_banded/data").count() == 3 * 8)
+    assert(Dedup.dropSeenNearStore(near2, store, "text", "id").count() == 0)
+  }
+
+  test("near store: an r7 store (no sidecar) falls back, then migrates on next append") {
+    val store = tmp("inc-migrate") + "/sims"
+    // v1 layout: compact sim rows only, written without the sidecar
+    Dedup.simhashFingerprints(near1, "text")
+      .write.mode("overwrite").parquet(store)
+    assert(!new java.io.File(s"$store/_banded").exists)
+    // fallback path (explode the compact store) is still correct
+    val kept = Dedup.dropSeenNearStore(near2, store, "text", "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+    // first append against the v1 store materializes the FULL banded
+    // index (2 old + 1 new sims), not just the increment's rows
+    assert(Dedup.appendToNearStore(near2, "text", store) == 1)
+    assert(spark.read.parquet(s"$store/_banded/data").count() == 3 * 8)
+    val kept2 = Dedup.dropSeenNearStore(near2, store, "text", "id").count()
+    assert(kept2 == 0)
+  }
+
+  test("near store: a stale banded sidecar (crashed append) degrades correctly") {
+    val store = tmp("inc-banded-stale") + "/sims"
+    assert(Dedup.appendToNearStore(near1, "text", store) == 2)
+    // rows land behind the sidecar's back
+    Dedup.simhashFingerprints(near2, "text")
+      .write.mode("append").parquet(store)
+    // near2's own sims are now in the compact store; a reader trusting
+    // the stale banded index would miss them — coverage check must force
+    // the explode fallback, which sees them
+    assert(Dedup.dropSeenNearStore(near2, store, "text", "id").count() == 0)
+    // next append self-heals: full rebuild, coverage restored
+    assert(Dedup.appendToNearStore(near1, "text", store) == 0)
+    assert(spark.read.parquet(s"$store/_banded/data").count() ==
+      spark.read.parquet(store).count() * 8)
+  }
+
+  test("near store: 32-bit banding is layout-isolated from the 64-bit default") {
+    val store = tmp("inc-32") + "/sims"
+    assert(Dedup.appendToNearStore(near1, "text", store,
+      Dedup.simhash32, totalBits = 32, bands = 4) == 2)
+    assert(spark.read.parquet(s"$store/_banded/data").count() == 2 * 4)
+    val kept = Dedup.dropSeenNearStoreBy(near2, store, "text", "id",
+      Dedup.simhash32, totalBits = 32, k = 3, bands = 4)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+    // a query with MISMATCHED banding must not trust this sidecar: it
+    // falls back to the compact rows with its own banding (the 64-bit
+    // fingerprints share nothing with a 32-bit store, so nothing drops —
+    // what matters here is the _banded scan is NOT in the plan)
+    val q64 = Dedup.dropSeenNearStore(near2, store, "text", "id")
+    assert(!q64.queryExecution.executedPlan.toString.contains("_banded"))
+    assert(q64.select("id").as[Long].collect().toSet == Set(10L, 11L))
+  }
+}

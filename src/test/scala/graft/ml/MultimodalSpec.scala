@@ -56,6 +56,64 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded(1).getLong(decoded(1).fieldIndex("byte_len")) == 16L)
   }
 
+  private def encode(w: Int, h: Int, imgType: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    img.setRGB(0, 0, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos))
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder reads real PNG/JPEG headers: dims, channels, format") {
+    val png = Multimodal.ImageIoDecoder.decode("image",
+      encode(17, 9, java.awt.image.BufferedImage.TYPE_3BYTE_BGR, "png"))
+    assert(png.getInt(2) == 17 && png.getInt(3) == 9)
+    assert(png.getInt(4) == 3)
+    assert(png.getString(7) == "png")
+    val gray = Multimodal.ImageIoDecoder.decode("image",
+      encode(5, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY, "png"))
+    assert(gray.getInt(2) == 5 && gray.getInt(4) == 1)
+    val jpg = Multimodal.ImageIoDecoder.decode("image",
+      encode(33, 21, java.awt.image.BufferedImage.TYPE_3BYTE_BGR, "jpg"))
+    assert(jpg.getInt(2) == 33 && jpg.getInt(3) == 21)
+    assert(jpg.getString(7) == "jpeg")
+  }
+
+  test("ImageIoDecoder: corrupt or non-image bytes → null dims, not a throw") {
+    val junk = Multimodal.ImageIoDecoder.decode("image",
+      "definitely not an image".getBytes("UTF-8"))
+    assert(junk.isNullAt(2) && junk.isNullAt(3) && junk.isNullAt(4))
+    assert(junk.getLong(1) == 23L)
+    // a PNG truncated after its magic bytes: a reader IS found, then fails
+    val truncated = Multimodal.ImageIoDecoder.decode("image",
+      encode(17, 9, java.awt.image.BufferedImage.TYPE_3BYTE_BGR, "png").take(12))
+    assert(truncated.isNullAt(2))
+    // non-image media types aren't guessed at
+    val audio = Multimodal.ImageIoDecoder.decode("audio", Array[Byte](1, 2, 3))
+    assert(audio.getString(0) == "audio" && audio.isNullAt(2))
+  }
+
+  test("synthesizeImages → ImageIoDecoder round-trip recovers f(id) dims") {
+    val ids = Seq(0L, 1L, 63L, 64L, 100L).toDF("doc_id")
+    val out = Multimodal.decodePartitions(
+        Multimodal.synthesizeImages(ids, "doc_id"), Multimodal.ImageIoDecoder)
+      .select(col("media_id"), col("meta.width"), col("meta.height"),
+        col("meta.channels"), col("meta.format"))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 64 + 1).toInt, s"width for $id")
+      assert(r.getInt(2) == (id % 48 + 1).toInt, s"height for $id")
+      assert(r.getInt(3) == 3 && r.getString(4) == "png")
+    }
+    // determinism across runs (the oracle hash-compares whole frames)
+    val again = Multimodal.synthesizeImages(ids, "doc_id")
+      .select(md5(col("content"))).as[String].collect().sorted
+    val first = Multimodal.synthesizeImages(ids, "doc_id")
+      .select(md5(col("content"))).as[String].collect().sorted
+    assert(again.sameElements(first))
+  }
+
   test("decodePartitions matches decodeStub's expression math") {
     val viaPartitions = Multimodal.decodePartitions(media)
       .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),
