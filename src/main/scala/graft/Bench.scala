@@ -73,6 +73,23 @@ object Bench {
         graft.ml.Dedup.dropDuplicatesHamming64(bigDocs, "text", "doc_id").count())
       timed("passage")(
         graft.ml.Dedup.duplicatedPassages(bigDocs, "text", "doc_id").count())
+      // SKEWED twin (VERDICT r7 task 7): 1% of docs collapse onto one
+      // boilerplate text — the hot exact-dup cluster real crawls have.
+      // The star-reduction inside the fused drop keeps this linear; the
+      // uniform/skew ratio is the driver-visible regression guard.
+      val hotText = "common boilerplate navigation header about contact " +
+        "privacy terms copyright all rights reserved site map search login"
+      val skewDocs = bigDocs.withColumn("text",
+        when(pmod(col("doc_id"), lit(100)) === 0, lit(hotText))
+          .otherwise(col("text")))
+      timed("hamming64_drop_skew")(
+        graft.ml.Dedup.dropDuplicatesHamming64(skewDocs, "text", "doc_id").count())
+      // star-reduced pair enumeration over the same hot cluster (the raw
+      // list is C(5000,2)=12.5M pairs / 151 s — quadratic by contract;
+      // collapse_exact is the at-scale form the clustered stage uses)
+      timed("minhash_skew_collapse")(
+        graft.ml.Dedup.minhashPairs(skewDocs, "text", "doc_id",
+          collapseExact = true).count())
       val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val bigVecs = (0 until semCopies).map(i => e1.select(
         (col("vec_id") + lit(i * 10000000L)).as("vec_id"),

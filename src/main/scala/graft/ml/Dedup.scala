@@ -138,7 +138,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, collapseExact: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
 
@@ -149,16 +149,42 @@ object Dedup {
     // stages under AQE, and without it the corpus is scanned and shingled
     // four times. Only the 64-bit hashes survive (the string shingles are
     // dead after hashing), so the memo holds ~8 bytes × shingles per doc.
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
       .select(col("id"),
         graft.functions.ShingleFns.hashedShingles(col("__t"), shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
-      // persist, not localCheckpoint: corpus-sized memo — keep lineage so
-      // a lost executor recomputes instead of failing the job (same
-      // rationale as semanticDedup's assignment memo). Registered so
-      // pipeline drivers can drain it once the consuming action is done.
-      .transform(graft.core.CacheRegistry.memo)
+    // collapseExact STAR-REDUCES identical shingle sets: one min-id rep
+    // per set enters the LSH pipeline; members attach to their rep as
+    // (rep, member, 1.0) edges — LINEAR in cluster size where the raw
+    // enumeration is quadratic (measured: 1% of a 500k corpus sharing one
+    // boilerplate text = 12.5M raw pairs, 151 s vs 20.6 s uniform). The
+    // pair LIST shrinks (member×member and member×x edges go through the
+    // rep), but the induced clustering is IDENTICAL: jaccard(x, m) =
+    // jaccard(x, rep(m)) for identical sets, so every component keeps
+    // exactly its members (spec'd in MlSpec). Default off — the raw
+    // enumeration is the oracle-gated contract.
+    val docs0 =
+      if (!collapseExact) base
+      else {
+        val keyed = base
+          .withColumn("__rep",
+            min(col("id")).over(Window.partitionBy(array_sort(col("hs")))))
+          // persist, not localCheckpoint: corpus-sized memo — keep
+          // lineage so a lost executor recomputes instead of failing the
+          // job. Registered; pipeline drivers drain it post-action.
+          .transform(graft.core.CacheRegistry.memo)
+        keyed
+      }
+    val memberPairs =
+      if (!collapseExact) None
+      else Some(docs0.filter(col("id") =!= col("__rep"))
+        .select(col("__rep").as("id_a"), col("id").as("id_b"),
+          lit(1.0).as("jaccard")))
+    val docs =
+      if (!collapseExact)
+        base.transform(graft.core.CacheRegistry.memo) // see memo note above
+      else docs0.filter(col("id") === col("__rep")).select("id", "hs")
 
     val banded = docs.select(col("id"),
         posexplode(graft.functions.ArrayFns.minhashBands(col("hs"), numHashes, bands)))
@@ -179,11 +205,12 @@ object Dedup {
     val b = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
     // fused threshold form: ONE kernel eval per candidate pair (the
     // filter-below-project rewrite of `jaccard >= θ` would re-eval it)
-    cand.join(a, "id_a").join(b, "id_b")
+    val repPairs = cand.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.ArrayFns.jaccardThreshold(col("hs_a"), col("hs_b"), threshold)
           .as("jaccard"))
       .filter(col("jaccard").isNotNull)
+    memberPairs.map(repPairs.unionByName(_)).getOrElse(repPairs)
   }
 
   /** |a ∩ b| / |a ∪ b| over distinct-element arrays (built-in form; the
@@ -351,22 +378,40 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id")) // spread before the hash-heavy fingerprint
       .select(col("id"), fingerprint(col("__t")).as("sim"))
-      // fingerprint once (both join sides read it); exploding-self-join
-      // memo — RDD barrier, never persist (see explodingMemo)
+    // EXACT-dup collapse before banding: only the min-id representative
+    // per distinct fingerprint enters the self-join; the rest are
+    // hamming-0 drops by definition. Real crawls concentrate mass on
+    // identical fingerprints (empty docs, boilerplate) — un-collapsed,
+    // such a cluster lands in ONE (band, chunk) bucket per band and the
+    // join goes quadratic in its size (10% boilerplate at 500k docs is
+    // 2.5e9×8 bucket pairs). The drop SET is unchanged: a member drops
+    // via its rep here; a doc within hamming ≤ k of member m is within k
+    // of rep(m) too (same sim), and rep(m).id ≤ m.id, so every banded
+    // witness survives collapse. Spec'd output-identical (MlSpec skew
+    // battery).
+    // one barrier, after the rep-tagging window (the window's sim-shuffle
+    // already materializes the fingerprints once; a second memo on `sh`
+    // would just double the checkpoint): exploding-self-join memo — RDD
+    // barrier, never persist (see explodingMemo)
+    val w = Window.partitionBy("sim")
+    val tagged = sh.withColumn("__rep", min(col("id")).over(w))
       .transform(explodingMemo)
+    val memberDrops = tagged.filter(col("id") =!= col("__rep"))
+      .select(col("id").as("__drop"))
+    val reps = tagged.filter(col("id") === col("__rep")).select("id", "sim")
     def chunk(sim: Column, b: Int): Column =
       shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
-    val banded = sh.select(col("id"), col("sim"),
+    val banded = reps.select(col("id"), col("sim"),
         posexplode(array((0 until bands).map(b => chunk(col("sim"), b)): _*)))
       .toDF("id", "sim", "band", "chunk")
     // hamming verify lives in the join condition; only the larger id
     // survives into the aggregate
-    val drops = banded.as("l").join(banded.as("r"),
+    val repDrops = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
           col("l.id") < col("r.id") &&
           bit_count(col("l.sim").bitwiseXOR(col("r.sim"))) <= k)
       .select(col("r.id").as("__drop"))
-      .distinct()
+    val drops = memberDrops.union(repDrops).distinct()
     joinBackOnce(df, drops, col(idCol) === col("__drop"), "left_anti")
   }
 
@@ -1018,7 +1063,13 @@ object Dedup {
     val rows = readStoreOpt(spark, storePath).map(_.count()).getOrElse(0L)
     if (rows == 0) return
     def write(sims: DataFrame, append: Boolean): Unit = {
-      bandedRows(sims, totalBits, bands).write
+      // cluster rows by their target partition before partitionBy, or
+      // every input task opens a writer per (band, chunk) it touches —
+      // #tasks × #dirs small files (measured 5 s on a 250-sim store);
+      // clustered, each partition dir gets files from one task
+      bandedRows(sims, totalBits, bands)
+        .repartition(col("band"), col("chunk"))
+        .write
         .mode(if (append) "append" else "overwrite")
         .partitionBy("band", "chunk")
         .parquet(bandedDataPath(storePath))
@@ -1058,18 +1109,26 @@ object Dedup {
     val bits = totalBits / bands
     def chunk(sim: Column, b: Int): Column =
       shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
-    val inc = df.select(col(idCol).as("__gid"), fingerprint(col(textCol)).as("__sim"))
-      .select(col("__gid"), col("__sim"),
+    // the increment joins by DISTINCT fingerprint, not per-doc rows: a
+    // boilerplate-heavy increment (the exact-dup hot cluster crawls
+    // concentrate on) collapses to one banded key set per distinct sim,
+    // and the matched sims anti-join the docs back — re-keying by the
+    // (codegen'd) fingerprint, so the whole drop resolution is one
+    // broadcastable join instead of carrying every doc id through the
+    // banded equi-join
+    val inc = df.select(fingerprint(col(textCol)).as("__sim")).distinct()
+      .select(col("__sim"),
         posexplode(array((0 until bands).map(b => chunk(col("__sim"), b)): _*)))
-      .toDF("__gid", "__sim", "band", "chunk")
+      .toDF("__sim", "band", "chunk")
     val st = seen.select(col("sim").as("__ssim"),
         posexplode(array((0 until bands).map(b => chunk(col("sim"), b)): _*)))
       .toDF("__ssim", "band", "chunk")
-    val drops = inc.join(st, Seq("band", "chunk"))
+    val droppedSims = inc.join(st, Seq("band", "chunk"))
       .filter(bit_count(col("__sim").bitwiseXOR(col("__ssim"))) <= k)
-      .select(col("__gid").as("__drop"))
+      .select(col("__sim").as("__dsim"))
       .distinct()
-    joinBackOnce(df, drops, col(idCol) === col("__drop"), "left_anti")
+    joinBackOnce(df, droppedSims,
+      fingerprint(col(textCol)) === col("__dsim"), "left_anti")
   }
 
   /** [[dropSeenNear]] against a STORE PATH, joining the increment's
@@ -1114,24 +1173,28 @@ object Dedup {
             .select(col("sim").as("__ssim"),
               col("band").cast("int").as("band"),
               col("chunk").cast("long").as("chunk"))
+          // DISTINCT increment sims only (see dropSeenNearBy): the banded
+          // probe carries one key set per distinct fingerprint — a
+          // boilerplate-heavy increment collapses instead of multiplying
+          // the broadcast — and matched sims re-key the docs directly
           val inc = graft.core.CacheRegistry.memo(
-            df.select(col(idCol).as("__gid"),
-                fingerprint(col(textCol)).as("__sim"))
-              .select(col("__gid"), col("__sim"),
+            df.select(fingerprint(col(textCol)).as("__sim")).distinct()
+              .select(col("__sim"),
                 posexplode(array((0 until bands).map(b =>
                   simChunk(col("__sim"), b, bits)): _*)))
-              .toDF("__gid", "__sim", "band", "chunk")
-              .select(col("__gid"), col("__sim"),
+              .toDF("__sim", "band", "chunk")
+              .select(col("__sim"),
                 col("band").cast("int").as("band"),
                 col("chunk").cast("long").as("chunk")))
           val bcastRows = spark.conf
             .get("spark.sql.graft.incrementalBroadcastRows", "1000000").toLong
           val probe = if (inc.count() <= bcastRows) broadcast(inc) else inc
-          val drops = st.join(probe, Seq("band", "chunk"))
+          val droppedSims = st.join(probe, Seq("band", "chunk"))
             .filter(bit_count(col("__sim").bitwiseXOR(col("__ssim"))) <= k)
-            .select(col("__gid").as("__drop"))
+            .select(col("__sim").as("__dsim"))
             .distinct()
-          joinBackOnce(df, drops, col(idCol) === col("__drop"), "left_anti")
+          joinBackOnce(df, droppedSims,
+            fingerprint(col(textCol)) === col("__dsim"), "left_anti")
         }
     }
   }

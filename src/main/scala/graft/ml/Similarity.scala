@@ -220,19 +220,34 @@ object Similarity {
         // hard-fail a 10-doc corpus).
         val seeded = corpus.filter(col(idCol) < numCells)
           .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("centroid"))
-        val st = seeded.agg(count(lit(1)).as("n"),
-          count_distinct(col("cell_id")).as("d"),
-          min(col("cell_id")).as("lo"), max(col("cell_id")).as("hi")).head()
-        val (n, d) = (st.getLong(0), st.getLong(1))
-        if (n == numCells && d == numCells) seeded
+        // Validation via CollectLimit, not a full-scan aggregate: at most
+        // numCells + 1 matching ids are fetched, so the scan EARLY-
+        // TERMINATES once the fast path is provable (dense ids have their
+        // 16 seeds in the first row groups). numCells + 1 rows back ⇒ a
+        // duplicate id exists (only numCells distinct values fit under
+        // the filter) ⇒ same degenerate-index rejection as before. The
+        // r7 count/count_distinct aggregate paid a full corpus scan plus
+        // a distinct exchange on every semanticDedup call — measured
+        // 0.205 s vs 0.114 s for the r6 plain count at sf0.1, the one
+        // real code cost in the r6→r7 gate delta.
+        val ids = seeded.select(col("cell_id")).head(numCells + 1)
+          .map(_.getLong(0))
+        def dense(upTo: Int) = ids.length == upTo &&
+          ids.distinct.length == upTo && ids.forall(i => i >= 0 && i < upTo)
+        if (dense(numCells)) seeded
         else {
+          // corpus smaller than numCells with ids dense from 0 is legal:
+          // the cell count clamps to the corpus size (every doc its own
+          // cell — still a correct, exact index; the Planner SemanticDedup
+          // default of 16 cells must not hard-fail a 10-doc corpus). Only
+          // this degraded path pays the corpus count.
           val total = corpus.count()
           require(total > 0, "buildIvfIndex: empty corpus")
-          require(total == n && n == d &&
-            st.getLong(2) == 0L && st.getLong(3) == total - 1,
+          require(total < numCells && dense(total.toInt),
             s"buildIvfIndex: seeded-centroid path expects $numCells distinct " +
               s"ids in [0, $numCells) (or a corpus smaller than $numCells " +
-              s"with ids dense from 0) but found $d distinct over $n rows — " +
+              s"with ids dense from 0) but found ids " +
+              s"[${ids.sorted.take(8).mkString(",")}…] over ≥${ids.length} rows — " +
               "pass trained `centroids` (e.g. trainKmeansCentroids) for " +
               "sparse or non-zero-based ids")
           seeded

@@ -251,9 +251,14 @@ object Planner {
           // edge generator.
           df => {
             val pairs = conf.str("pairs").getOrElse("minhash") match {
+              // collapse_exact defaults ON here: the clustered policy only
+              // consumes the pair graph's connected components, which the
+              // star-reduction provably preserves — and a boilerplate-heavy
+              // corpus otherwise pays a quadratic pair enumeration
               case "minhash" => graft.ml.Dedup.minhashPairs(df, text, id,
                 conf.int("shingle_size", 3), conf.int("num_hashes", 64),
-                conf.int("bands", 32), conf.dbl("threshold", 0.9))
+                conf.int("bands", 32), conf.dbl("threshold", 0.9),
+                collapseExact = conf.bool("collapse_exact", true))
               case "hamming" => graft.ml.Dedup.simhashHammingPairs64(df, text, id,
                 conf.int("k", 3), conf.int("bands", 8))
               case other => sys.error(

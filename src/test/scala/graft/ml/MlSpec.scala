@@ -246,6 +246,41 @@ class MlSpec extends SparkSpec {
       s"expected fused join->aggregate on __drop, got:\n$plan")
   }
 
+  test("exact-dup collapse: drop set and clusters invariant under star-reduction") {
+    // a third of the corpus shares ONE boilerplate text — the hot
+    // exact-dup cluster real crawls concentrate on (uncollapsed, its
+    // banded bucket pairs grow quadratically: measured 151 s vs 20.6 s
+    // uniform for minhash pair enumeration at 500k docs / 1% hot)
+    val corpus = (0L until 60L).map { i =>
+      val text =
+        if (i % 3 == 0) "copyright all rights reserved privacy terms site map"
+        else if (i % 3 == 1) "the quick brown fox jumps over the lazy dog " + (i / 6)
+        else (0 until 12).map(t => s"w${(i * 29 + t * 5) % 89}").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    // hamming: the internally-collapsed fused drop equals the raw
+    // pairs->drop path on a hot-cluster corpus too
+    val fused = Dedup.dropDuplicatesHamming64(corpus, "text", "doc_id", k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val viaPairs = Dedup.dropDuplicates(corpus,
+        Dedup.simhashHammingPairs64(corpus, "text", "doc_id", k = 3), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fused == viaPairs)
+    assert(!fused.exists(d => d % 3 == 0 && d != 0L)) // hot cluster → one rep
+    // minhash: star-reduced pairs induce EXACTLY the raw list's
+    // components, with linear member edges instead of C(20,2)
+    val raw = Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5)
+    val star = Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5,
+      collapseExact = true)
+    def comps(p: org.apache.spark.sql.DataFrame) =
+      Dedup.clusters(p).select("id", "rep").as[(Long, Long)].collect().toMap
+    assert(comps(star) == comps(raw))
+    assert(star.count() < raw.count())
+    // member edges attach to the min-id rep at jaccard exactly 1.0
+    val memberEdges = star.filter($"id_a" === 0L && $"jaccard" === 1.0).count()
+    assert(memberEdges == 19L, s"expected 19 star edges from rep 0, got $memberEdges")
+  }
+
   test("dropDuplicatesHammingBy(32-bit) equals pairs->drop over simhashHammingPairs") {
     val corpus = (0L until 30L).map { i =>
       val text =
@@ -440,13 +475,21 @@ class MlSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set("spark.sql.graft.checkpointDir", dir)
     try {
+      // the JVM-shared SparkContext keeps whatever checkpoint root the
+      // FIRST explodingMemo call pinned (suite order isn't ours to pick):
+      // assert growth under the EFFECTIVE root, not under `dir`
+      def countFiles(f: java.io.File): Int =
+        if (f.isFile) 1 else Option(f.listFiles).toSeq.flatten.map(countFiles).sum
+      def effectiveRoot() = new java.io.File(
+        spark.sparkContext.getCheckpointDir
+          .map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath)
+          .getOrElse(dir))
+      val before = countFiles(effectiveRoot())
       val got = Dedup.dropDuplicatesHamming64(df, "text", "id")
         .select("id").as[Long].collect().toSet
       assert(got == expected)
-      def anyFile(f: java.io.File): Boolean =
-        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
-      assert(anyFile(new java.io.File(dir)),
-        s"no reliable checkpoint files under $dir")
+      assert(countFiles(effectiveRoot()) > before,
+        s"no new reliable checkpoint files under ${effectiveRoot()}")
     } finally spark.conf.unset("spark.sql.graft.checkpointDir")
   }
 

@@ -299,6 +299,75 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("two-tier reduce over the TCP network path (live socket)") {
+    // the reference's process-pipe topology (test/itest.sh:100-140) in its
+    // NETWORK form: tier-1 instances ship their partial LinkMetric counts
+    // as JSON lines over a TCP output to a tier-2 instance listening on
+    // `graft-tcp` with `reduce: true` — same count-golden totals as the
+    // parquet-pipe twin above, but through a real socket (serialize →
+    // dial → accept → buffer → micro-batch → parse → merge).
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val port = { val s = new java.net.ServerSocket(0)
+      val p = s.getLocalPort; s.close(); p }
+    // tier-2 starts FIRST: the driver-side listener must be accepting
+    // before tier-1's sink dials out
+    val metricSchema = new org.apache.spark.sql.types.StructType()
+      .add("@timestamp", org.apache.spark.sql.types.TimestampType)
+      .add("event_type", org.apache.spark.sql.types.StringType)
+      .add("count", org.apache.spark.sql.types.LongType)
+    val src2 = spark.readStream.format("graft-tcp").option("port", port).load()
+      .select(from_json(col("message"), metricSchema).as("m"))
+      .select(col("m.`@timestamp`").as("@timestamp"),
+        col("m.event_type").as("event_type"), col("m.count").as("count"))
+    val stage2 = Planner.filterStage("LinkMetric", Map(
+      "fieldsLink" -> "event_type", "batchWindow" -> 60L, "reduce" -> true))
+    val q2 = stage2(src2).writeStream.format("memory")
+      .queryName("tier2_tcp_reduce").outputMode("update").start()
+    try {
+      val yaml =
+        s"""inputs:
+           |  - Text: {path: unused}
+           |filters:
+           |  - LinkMetric: {fieldsLink: event_type, batchWindow: 60, reserveWindow: 120}
+           |outputs:
+           |  - TCP: {address: "127.0.0.1:$port"}
+           |""".stripMargin
+      val pipeline = Planner.fromYaml(yaml)
+      def runTier1(data: Seq[(java.sql.Timestamp, String)]): Unit = {
+        val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+        val src = mem.toDF().toDF("@timestamp", "event_type")
+        val q = Planner.startForeachBatch(pipeline, pipeline.transform(src),
+          checkpoint = Some("/tmp/graft_tier1tcp_ckpt_" + System.nanoTime()))
+        try {
+          mem.addData(data: _*)
+          q.processAllAvailable()
+          mem.addData((ts("2024-01-01 02:00:00"), "zz")) // watermark push
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      runTier1(Seq((ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:20"), "a"),
+        (ts("2024-01-01 00:00:30"), "b")))
+      runTier1(Seq((ts("2024-01-01 00:00:40"), "a"), (ts("2024-01-01 00:00:50"), "a"),
+        (ts("2024-01-01 00:00:55"), "a")))
+      // socket delivery is asynchronous (accept thread → BoundedLog →
+      // next micro-batch): poll to the golden totals instead of assuming
+      // one processAllAvailable sees everything
+      var totals = Map.empty[String, Long]
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (totals != Map("a" -> 5L, "b" -> 1L) && System.nanoTime() < deadline) {
+        q2.processAllAvailable()
+        totals = spark.sql("select * from tier2_tcp_reduce")
+          .filter(col("`@timestamp`") === lit(ts("2024-01-01 00:00:00")))
+          .collect()
+          .map(r => r.getString(r.fieldIndex("event_type")) ->
+            r.getLong(r.fieldIndex("count"))).toMap
+        if (totals != Map("a" -> 5L, "b" -> 1L)) Thread.sleep(200)
+      }
+      assert(totals == Map("a" -> 5L, "b" -> 1L),
+        s"tier-2 totals over the TCP path wrong: $totals")
+    } finally q2.stop()
+  }
+
   test("two-tier reduce merges partial STATS exactly (LinkStatsMetric)") {
     // stats twin of the count-golden test: tier-1 instances emit partial
     // count/sum/min/max/mean; tier-2 `reduce: true` must merge them to
