@@ -426,19 +426,39 @@ object Dedup {
     * Every candidate is then verified with the fused exact-jaccard
     * kernel, so the OUTPUT is identical to the quadratic formulation. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      blockCol: String, n: Int = 3, threshold: Double = 0.5,
+      collapseExact: Boolean = false): DataFrame = {
     // Shingles are hashed to longs behind a repartition barrier: computed
     // once, spread over all cores, reused by every consumer (candidate
     // prefixes + both verify sides), and the intersects run over 8-byte
     // longs instead of strings. Sorted once so the prefix is a slice.
-    val docs = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(textCol).as("__t"))
       .repartition(col("id")) // spread before the expensive shingling
       .select(col("blk"), col("id"),
         array_sort(graft.functions.ShingleFns.hashedShingles(col("__t"), n)).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
+    // collapseExact: identical shingle sets DEFEAT the prefix filter (they
+    // share every prefix hash), so an exact-dup boilerplate cluster still
+    // goes quadratic through the candidate join — star-reduce it exactly
+    // like minhashPairs: min-id rep per (block, set) into the PPJoin
+    // pipeline, members attach as (rep, member, 1.0) edges. Components
+    // within a block are invariant (jaccard(x, m) = jaccard(x, rep(m))).
+    val keyed =
+      if (!collapseExact) base
+      else base.withColumn("__rep",
+        min(col("id")).over(Window.partitionBy(col("blk"), col("hs"))))
+    val docsAll = keyed
       .transform(graft.core.CacheRegistry.memo) // memoize once; all consumers read it, lineage survives, drain()-owned
+    val memberPairs =
+      if (!collapseExact) None
+      else Some(docsAll.filter(col("id") =!= col("__rep"))
+        .select(col("blk"), col("__rep").as("id_a"), col("id").as("id_b"),
+          lit(1.0).as("jaccard")))
+    val docs =
+      if (!collapseExact) docsAll
+      else docsAll.filter(col("id") === col("__rep")).drop("__rep")
     // exact prefix bound |s| − ⌈θ·|s|⌉ + 1, computed in that integer form:
     // the (1−θ)·|s| float shortcut can truncate one short (θ=0.9, |s|=10 →
     // 10×0.0999… → 0 → prefix 1 instead of 2) and silently drop qualifying
@@ -460,11 +480,12 @@ object Dedup {
       .distinct()
     val a = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val b = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
-    cand.join(a, "id_a").join(b, "id_b")
+    val repPairs = cand.join(a, "id_a").join(b, "id_b")
       .select(col("blk"), col("id_a"), col("id_b"),
         graft.functions.ArrayFns.jaccardThreshold(col("hs_a"), col("hs_b"), threshold)
           .as("jaccard"))
       .filter(col("jaccard").isNotNull)
+    memberPairs.map(repPairs.unionByName(_)).getOrElse(repPairs)
   }
 
   /** `df` LEFT ANTI/SEMI joined against a derived id set, with the id set
@@ -816,7 +837,7 @@ object Dedup {
   //   store/_bloom/bloom.bin     exact-store sidecar: [rows: long]
   //                              [BloomFilter over xxhash64(fp)]; valid
   //                              iff rows == current store row count
-  //   store/_banded/data/band=B/chunk=C/
+  //   store/_banded/data/band=B/
   //                              near-store banded index: each sim
   //                              re-keyed by its pigeonhole chunks ONCE
   //                              at append time, so no per-run explode
@@ -994,6 +1015,78 @@ object Dedup {
   def appendToSimhashStore(df: DataFrame, textCol: String, storePath: String): Long =
     appendToNearStore(df, textCol, storePath)
 
+  // ---- store maintenance --------------------------------------------------
+
+  /** Data files of a seen store's compact level (excludes `_`-prefixed
+    * sidecars and hidden files) — the count a compaction policy gates on:
+    * every daily append adds a file set, and by day-300 reads are paying
+    * hundreds of parquet footers before any real work. */
+  def storeDataFiles(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Seq[org.apache.hadoop.fs.Path] = {
+    val fs = hadoopFs(spark, storePath)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+  }
+
+  /** Compact an EXACT seen store in place: rewrite the fingerprint rows
+    * (distinct — a crashed append's double-write heals here) into
+    * ~`targetFiles` files and refresh the Bloom sidecar. Loss-free at
+    * every crash point: the new files land in the store BEFORE the old
+    * ones are deleted, and the in-between state is duplicate rows, which
+    * every reader already tolerates (dropSeen distincts, appendFps
+    * anti-joins, sidecar validity markers detect the row-count change
+    * and mark themselves stale). Single-writer, same contract as append.
+    * Returns the store's distinct row count. */
+  def compactSeenStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, targetFiles: Int = 32): Long =
+    compactStore(spark, storePath, "fp", targetFiles)(
+      refreshBloomSidecar(spark, storePath))
+
+  /** [[compactSeenStore]] for a near-dup (simhash) store; rebuilds the
+    * banded sidecar if compaction changed the row count (a still-valid
+    * sidecar is left alone). */
+  def compactNearStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, targetFiles: Int = 32,
+      totalBits: Int = 64, bands: Int = 8): Long =
+    compactStore(spark, storePath, "sim", targetFiles)(
+      refreshBandedSidecar(spark, storePath,
+        spark.read.parquet(storePath).select("sim"), 0, totalBits, bands))
+
+  private def compactStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, keyCol: String, targetFiles: Int)
+      (refreshSidecars: => Unit): Long =
+    readStoreOpt(spark, storePath) match {
+      case None => 0L
+      case Some(s0) =>
+        val fs = hadoopFs(spark, storePath)
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val oldFiles = storeDataFiles(spark, storePath) // listed BEFORE the new files land
+        val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true) // prior crashed compaction
+        s0.select(keyCol).distinct()
+          .repartition(math.max(targetFiles, 1))
+          .write.mode("overwrite").parquet(tmp.toString)
+        // land new files under a unique prefix, THEN delete the old set —
+        // the only crash windows leave either the tmp dir (invisible to
+        // readers, cleaned next run) or duplicated rows (tolerated)
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        fs.listStatus(tmp).filter(st => st.isFile &&
+            st.getPath.getName.startsWith("part-"))
+          .foreach { st =>
+            if (!fs.rename(st.getPath,
+                new org.apache.hadoop.fs.Path(root, s"compact-$tag-${st.getPath.getName}")))
+              sys.error(s"compactStore: rename failed for ${st.getPath}")
+          }
+        fs.delete(tmp, true)
+        oldFiles.foreach(p => fs.delete(p, false))
+        refreshSidecars
+        spark.read.parquet(storePath).count()
+    }
+
   /** Append NEW simhash fingerprints to a near-dup seen store AND keep
     * its banded sidecar current: the fresh sims' (band, chunk) rows are
     * written once here, so [[dropSeenNearStore]] never explodes the store
@@ -1063,15 +1156,20 @@ object Dedup {
     val rows = readStoreOpt(spark, storePath).map(_.count()).getOrElse(0L)
     if (rows == 0) return
     def write(sims: DataFrame, append: Boolean): Unit = {
-      // cluster rows by their target partition before partitionBy, or
-      // every input task opens a writer per (band, chunk) it touches —
-      // #tasks × #dirs small files (measured 5 s on a 250-sim store);
-      // clustered, each partition dir gets files from one task
+      // directory-partition by BAND only (≤ `bands` dirs): per-(band,
+      // chunk) dirs would mean 2^bits dirs per band — thousands of tiny
+      // files and dir creations per append (measured 5-22 s on a 250-sim
+      // store). Chunk locality comes from clustering instead: rows are
+      // hash-distributed on (band, chunk) and sorted by chunk inside each
+      // band's files, so parquet row-group min/max stats skip chunks the
+      // increment doesn't probe, while each write task emits at most one
+      // file per band dir.
       bandedRows(sims, totalBits, bands)
         .repartition(col("band"), col("chunk"))
+        .sortWithinPartitions("band", "chunk")
         .write
         .mode(if (append) "append" else "overwrite")
-        .partitionBy("band", "chunk")
+        .partitionBy("band")
         .parquet(bandedDataPath(storePath))
       writeBandedMeta(spark, storePath, totalBits, bands, rows)
     }
@@ -1139,7 +1237,8 @@ object Dedup {
     * the join is a plain partitioned scan (no Generate); when the
     * increment's key set fits `spark.sql.graft.incrementalBroadcastRows`
     * it broadcasts, so the store is never shuffled either — and dynamic
-    * partition pruning can skip (band, chunk) directories the increment
+    * partition pruning can skip band directories (and chunk-sorted
+    * row-group stats skip chunk ranges) the increment
     * doesn't touch. Falls back to the explode path when the sidecar is
     * absent, stale, or banded differently (r7 stores migrate on their
     * next append). */

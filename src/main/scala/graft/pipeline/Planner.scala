@@ -222,6 +222,18 @@ object Planner {
           // method hamming; default stays exact md5 fingerprints
           val near = conf.bool("near", false)
           val (kOpt, bandsOpt) = (conf.int("k", 3), conf.int("bands", 8))
+          // compact_files: when the store's compact level exceeds this
+          // many data files after an update, rewrite it (daily appends
+          // add a file set each; day-300 reads otherwise pay hundreds of
+          // parquet footers). 0 disables.
+          val compactFiles = conf.int("compact_files", 0)
+          def maybeCompact(spark: SparkSession): Unit =
+            if (compactFiles > 0 &&
+                graft.ml.Dedup.storeDataFiles(spark, store).size > compactFiles) {
+              if (near) graft.ml.Dedup.compactNearStore(spark, store,
+                bands = bandsOpt): Unit
+              else graft.ml.Dedup.compactSeenStore(spark, store): Unit
+            }
           df => {
             // the store-PATH variants own the read (only a genuinely
             // ABSENT path reads as empty; any other failure — permissions,
@@ -233,13 +245,15 @@ object Planner {
             // exploded or shuffled, per run.
             if (near) {
               if (update) graft.core.PostCommit.register(
-                () => { graft.ml.Dedup.appendToSimhashStore(df, text, store): Unit })
+                () => { graft.ml.Dedup.appendToSimhashStore(df, text, store)
+                  maybeCompact(df.sparkSession) })
               graft.ml.Dedup.dropSeenNearStore(
                 graft.ml.Dedup.dropDuplicatesHamming64(df, text, id, kOpt, bandsOpt),
                 store, text, id, kOpt, bandsOpt)
             } else {
               if (update) graft.core.PostCommit.register(
-                () => { graft.ml.Dedup.appendToSeenStore(df, text, store): Unit })
+                () => { graft.ml.Dedup.appendToSeenStore(df, text, store)
+                  maybeCompact(df.sparkSession) })
               graft.ml.Dedup.dropSeenStore(
                 graft.ml.Dedup.dropDuplicatesExact(df, text, id), store, text)
             }

@@ -186,4 +186,45 @@ class IncrementalStoreSpec extends SparkSpec {
     assert(!q64.queryExecution.executedPlan.toString.contains("_banded"))
     assert(q64.select("id").as[Long].collect().toSet == Set(10L, 11L))
   }
+
+  test("compactSeenStore: append files collapse, dups heal, bloom stays valid") {
+    val store = tmp("inc-compact") + "/fps"
+    for (i <- 0 until 5)
+      Dedup.appendToSeenStore(Seq((i.toLong, s"doc $i")).toDF("id", "text"),
+        "text", store)
+    assert(Dedup.storeDataFiles(spark, store).size >= 5)
+    // a crashed append's double-write: duplicate row behind the sidecar
+    Dedup.contentFingerprints(Seq((0L, "doc 0")).toDF("id", "text"), "text")
+      .write.mode("append").parquet(store)
+    assert(spark.read.parquet(store).count() == 6)
+    assert(Dedup.compactSeenStore(spark, store, targetFiles = 2) == 5)
+    assert(Dedup.storeDataFiles(spark, store).size <= 2)
+    assert(spark.read.parquet(store).count() == 5)
+    // the compacted store still dedups (and the refreshed Bloom sidecar
+    // is valid for it — the might_contain path, not the fallback)
+    val kept = Dedup.dropSeenStore(
+        Seq((100L, "doc 3"), (101L, "brand new")).toDF("id", "text"),
+        store, "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(101L))
+    // appends continue normally post-compaction
+    assert(Dedup.appendToSeenStore(
+      Seq((7L, "later doc")).toDF("id", "text"), "text", store) == 1)
+  }
+
+  test("compactNearStore heals duplicate sims and re-covers the banded sidecar") {
+    val store = tmp("inc-compact-near") + "/sims"
+    assert(Dedup.appendToNearStore(near1, "text", store) == 2)
+    assert(Dedup.appendToNearStore(near2, "text", store) == 1)
+    // duplicate a sim row behind the sidecar's back
+    Dedup.simhashFingerprints(near1, "text").limit(1)
+      .write.mode("append").parquet(store)
+    assert(spark.read.parquet(store).count() == 4)
+    assert(Dedup.compactNearStore(spark, store) == 3)
+    // banded sidecar rebuilt to cover the compacted rows exactly
+    assert(spark.read.parquet(s"$store/_banded/data").count() == 3 * 8)
+    val q = Dedup.dropSeenNearStore(near2, store, "text", "id")
+    assert(q.queryExecution.executedPlan.toString.contains("_banded"))
+    assert(q.count() == 0)
+  }
 }

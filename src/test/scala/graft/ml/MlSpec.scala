@@ -279,6 +279,16 @@ class MlSpec extends SparkSpec {
     // member edges attach to the min-id rep at jaccard exactly 1.0
     val memberEdges = star.filter($"id_a" === 0L && $"jaccard" === 1.0).count()
     assert(memberEdges == 19L, s"expected 19 star edges from rep 0, got $memberEdges")
+    // ngram jaccard honors the same contract (identical sets defeat the
+    // PPJoin prefix filter, so the hot cluster is quadratic there too)
+    val blocked = corpus.withColumn("blk", lit("all"))
+    val rawNg = Dedup.ngramJaccardPairs(blocked, "text", "doc_id", "blk",
+      n = 3, threshold = 0.5)
+    val starNg = Dedup.ngramJaccardPairs(blocked, "text", "doc_id", "blk",
+      n = 3, threshold = 0.5, collapseExact = true)
+    assert(comps(starNg) == comps(rawNg))
+    assert(starNg.count() < rawNg.count())
+    assert(starNg.filter($"id_a" === 0L && $"jaccard" === 1.0).count() == 19L)
   }
 
   test("dropDuplicatesHammingBy(32-bit) equals pairs->drop over simhashHammingPairs") {
