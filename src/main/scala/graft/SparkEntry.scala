@@ -248,8 +248,13 @@ object SparkEntry {
       val docs = Tables.load(s, dir, "documents")
       val store = java.nio.file.Files
         .createTempDirectory("graft-store-exact").toString + "/fps"
+      // doc 300 seeds the store from the increment's half: the gate must
+      // exercise a TRUE store hit (drop) — without one, a well-sized
+      // bloom yields zero candidates and the probe/join path would go
+      // untested (its plan shape is pinned in PlanQualitySpec)
       graft.ml.Dedup.appendToSeenStore(
-        docs.filter(col("doc_id") < 250), "text", store)
+        docs.filter(col("doc_id") < 250 || col("doc_id") === 300),
+        "text", store)
       graft.ml.Dedup.dropSeenStore(
         docs.filter(col("doc_id") >= 250), store, "text")
         .select(col("doc_id"), col("text"))
@@ -986,7 +991,8 @@ object SparkEntry {
       """SELECT doc_id, text FROM documents d
         |WHERE doc_id >= 250
         |  AND NOT EXISTS (SELECT 1 FROM documents s
-        |                  WHERE s.doc_id < 250 AND md5(s.text) = md5(d.text))""".stripMargin,
+        |                  WHERE (s.doc_id < 250 OR s.doc_id = 300)
+        |                    AND md5(s.text) = md5(d.text))""".stripMargin,
 
     "q_dedup_store_near" ->
       """WITH t AS (

@@ -1,5 +1,7 @@
 package graft.ml
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -277,6 +279,9 @@ object Dedup {
       // exploding-self-join memo: RDD barrier, never persist (AQE would
       // coalesce under the quadratic pair output — see explodingMemo)
       .transform(explodingMemo)
+    // deliberately NOT simChunk: this 32-bit variant's chunks must stay
+    // bit-identical to the oracle SQL's `>> b*bits % 2^bits` (signed
+    // shift is safe — md5-derived sims are non-negative 32-bit values)
     def chunk(sim: Column, b: Int): Column =
       shiftright(sim, b * bits) % (1L << bits)
     val banded = sh.select(col("id"), col("sim"),
@@ -325,8 +330,7 @@ object Dedup {
       // exploding-self-join memo: RDD barrier, never persist (AQE would
       // coalesce under the quadratic pair output — see explodingMemo)
       .transform(explodingMemo)
-    def chunk(sim: Column, b: Int): Column =
-      shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
+    def chunk(sim: Column, b: Int): Column = simChunk(sim, b, bits)
     val banded = sh.select(col("id"), col("sim"),
         posexplode(array((0 until bands).map(b => chunk(col("sim"), b)): _*)))
       .toDF("id", "sim", "band", "chunk")
@@ -394,13 +398,17 @@ object Dedup {
     // would just double the checkpoint): exploding-self-join memo — RDD
     // barrier, never persist (see explodingMemo)
     val w = Window.partitionBy("sim")
-    val tagged = sh.withColumn("__rep", min(col("id")).over(w))
+    // null fingerprints (null/absent text) are each their own rep: the
+    // banded join below can never match them (null chunks fail the
+    // equi-join), so pre-collapse they were always KEPT — collapsing the
+    // null "cluster" would silently drop all-but-one null-text doc.
+    val tagged = sh.withColumn("__rep",
+        when(col("sim").isNull, col("id")).otherwise(min(col("id")).over(w)))
       .transform(explodingMemo)
     val memberDrops = tagged.filter(col("id") =!= col("__rep"))
       .select(col("id").as("__drop"))
     val reps = tagged.filter(col("id") === col("__rep")).select("id", "sim")
-    def chunk(sim: Column, b: Int): Column =
-      shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
+    def chunk(sim: Column, b: Int): Column = simChunk(sim, b, bits)
     val banded = reps.select(col("id"), col("sim"),
         posexplode(array((0 until bands).map(b => chunk(col("sim"), b)): _*)))
       .toDF("id", "sim", "band", "chunk")
@@ -862,8 +870,8 @@ object Dedup {
     * failure before the sidecar write leaves a stale sidecar that readers
     * detect and ignore. */
   def appendToSeenStore(df: DataFrame, textCol: String, storePath: String): Long = {
-    val n = appendFps(contentFingerprints(df, textCol), "fp", storePath)._1
-    refreshBloomSidecar(df.sparkSession, storePath)
+    val (n, newFps) = appendFps(contentFingerprints(df, textCol), "fp", storePath)
+    updateBloomSidecar(df.sparkSession, storePath, newFps, n)
     n
   }
 
@@ -875,10 +883,14 @@ object Dedup {
     // localCheckpoint by default, reliable DFS checkpoint when
     // `spark.sql.graft.checkpointDir` is set — a lost executor during a
     // daily store append must not fail the run on a real cluster.
+    // Null keys (null/absent text) never leave the anti-join's left side
+    // (null = null is null), so unfiltered they'd re-append one null row
+    // EVERY run; they also can't match any future probe — drop them.
     val newFps = explodingMemo(
       readStoreOpt(spark, storePath)
         .map(s => fresh.join(s, Seq(keyCol), "left_anti"))
-        .getOrElse(fresh))
+        .getOrElse(fresh)
+        .filter(col(keyCol).isNotNull))
     val n = newFps.count()
     if (n > 0) newFps.write.mode("append").parquet(storePath)
     (n, newFps)
@@ -909,21 +921,100 @@ object Dedup {
     * prefix before raising it. The build is one extra store scan per
     * append (the append's anti-join already paid one). */
   private def refreshBloomSidecar(spark: org.apache.spark.sql.SparkSession,
-      storePath: String): Unit = {
+      storePath: String, force: Boolean = false): Unit = {
     val maxItems =
       spark.conf.get("spark.sql.graft.storeBloomMaxItems", "100000000").toLong
     val fpp = spark.conf.get("spark.sql.graft.storeBloomFpp", "0.01").toDouble
     if (maxItems <= 0) return
     val rows = readStoreOpt(spark, storePath).map(_.count()).getOrElse(0L)
     if (rows == 0 || rows > maxItems) return
-    if (loadBloomSidecar(spark, storePath).exists(_._1 == rows)) return
+    // `force` bypasses the covered==rows short-circuit: after a
+    // compaction every data file was rewritten, and a distinct-count can
+    // COINCIDENTALLY land back on the covered value (dups removed == fps
+    // a crashed append added) — trusting the marker then would keep a
+    // bloom missing real fingerprints, leaking their duplicates forever.
+    if (!force && loadBloomCovered(spark, storePath).contains(rows)) return
+    // sized with 2× headroom (capped at maxItems): a filter sized for
+    // exactly `rows` is at capacity the moment it's built, which would
+    // force updateBloomSidecar's incremental path into a full rebuild on
+    // the very next append
+    val sizedFor = math.min(maxItems, math.max(rows * 2, 1L << 20))
     val bf = spark.read.parquet(storePath)
       .select(xxhash64(col("fp")).as("h"))
-      .stat.bloomFilter("h", rows, fpp)
+      .stat.bloomFilter("h", sizedFor, fpp)
+    writeBloomSidecar(spark, storePath, rows, bf)
+  }
+
+  private def writeBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, rows: Long,
+      bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
     val p = new org.apache.hadoop.fs.Path(bloomPath(storePath))
     val out = new java.io.DataOutputStream(hadoopFs(spark, storePath).create(p, true))
     try { out.writeLong(rows); bf.writeTo(out) } finally out.close()
   }
+
+  /** How many items a filter of this size holds at the target fpp —
+    * inverted from the optimal-bits formula (bits = −n·ln p / ln²2), so
+    * the incremental path can tell when a store has outgrown the filter
+    * it was built with and a full rebuild is due. */
+  private def bloomCapacity(bf: org.apache.spark.util.sketch.BloomFilter,
+      fpp: Double): Long =
+    (bf.bitSize() * math.log(2) * math.log(2) / -math.log(fpp)).toLong
+
+  /** Keep the Bloom sidecar current across a daily append WITHOUT the
+    * full-store scan [[refreshBloomSidecar]] pays: bloom insertion is
+    * append-only, so the increment's fingerprints fold into the EXISTING
+    * filter driver-side (the newFps frame is already memoized — the
+    * collect re-reads a checkpoint, bounded by
+    * `spark.sql.graft.storeBloomIncrementalMax`). Falls back to the full
+    * rebuild when the sidecar is stale/absent, the increment is too big
+    * to collect, or the store has outgrown the filter's sized-for
+    * capacity (fpp would degrade past the configured target). At a
+    * 10^8-row store the per-day sidecar cost drops from a full scan +
+    * rebuild to one bounded collect + insert. */
+  private def updateBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, newFps: DataFrame, nNew: Long): Unit = {
+    val maxItems =
+      spark.conf.get("spark.sql.graft.storeBloomMaxItems", "100000000").toLong
+    val fpp = spark.conf.get("spark.sql.graft.storeBloomFpp", "0.01").toDouble
+    val incrMax = spark.conf
+      .get("spark.sql.graft.storeBloomIncrementalMax", "4000000").toLong
+    if (maxItems <= 0) return
+    val rows = readStoreOpt(spark, storePath).map(_.count()).getOrElse(0L)
+    if (rows == 0 || rows > maxItems) return
+    loadBloomCovered(spark, storePath) match {
+      case Some(covered) if covered == rows => () // no-op append, marker current
+      case Some(covered)
+          if nNew > 0 && covered == rows - nNew && nNew <= incrMax =>
+        loadBloomSidecar(spark, storePath) match {
+          case Some((c2, bf)) if c2 == covered && rows <= bloomCapacity(bf, fpp) =>
+            // bounded drain (nNew ≤ incrMax), streamed partition-by-
+            // partition off the increment's checkpoint — never a
+            // whole-frame collect
+            newFps.select(xxhash64(col("fp")).as("h"))
+              .toLocalIterator().asScala
+              .foreach(r => bf.putLong(r.getLong(0)))
+            writeBloomSidecar(spark, storePath, rows, bf)
+          case _ => refreshBloomSidecar(spark, storePath)
+        }
+      case _ => refreshBloomSidecar(spark, storePath)
+    }
+  }
+
+  /** Just the sidecar's covered-row marker (leading long) — the validity
+    * check a no-op append performs must not deserialize a ~115 MB filter
+    * to read 8 bytes. */
+  private def loadBloomCovered(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(bloomPath(storePath))
+      val f = hadoopFs(spark, storePath)
+      if (!f.exists(p)) None
+      else {
+        val in = new java.io.DataInputStream(f.open(p))
+        try Some(in.readLong()) finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
 
   private def loadBloomSidecar(spark: org.apache.spark.sql.SparkSession,
       storePath: String): Option[(Long, org.apache.spark.util.sketch.BloomFilter)] =
@@ -1044,17 +1135,17 @@ object Dedup {
   def compactSeenStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, targetFiles: Int = 32): Long =
     compactStore(spark, storePath, "fp", targetFiles)(
-      refreshBloomSidecar(spark, storePath))
+      refreshBloomSidecar(spark, storePath, force = true))
 
-  /** [[compactSeenStore]] for a near-dup (simhash) store; rebuilds the
-    * banded sidecar if compaction changed the row count (a still-valid
-    * sidecar is left alone). */
+  /** [[compactSeenStore]] for a near-dup (simhash) store; always rebuilds
+    * the banded sidecar (compaction rewrote the rows it derives from). */
   def compactNearStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, targetFiles: Int = 32,
       totalBits: Int = 64, bands: Int = 8): Long =
     compactStore(spark, storePath, "sim", targetFiles)(
       refreshBandedSidecar(spark, storePath,
-        spark.read.parquet(storePath).select("sim"), 0, totalBits, bands))
+        spark.read.parquet(storePath).select("sim"), 0, totalBits, bands,
+        force = true))
 
   private def compactStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, keyCol: String, targetFiles: Int)
@@ -1152,7 +1243,7 @@ object Dedup {
     * marker, never a wrong one. */
   private def refreshBandedSidecar(spark: org.apache.spark.sql.SparkSession,
       storePath: String, newSims: DataFrame, nNew: Long,
-      totalBits: Int, bands: Int): Unit = {
+      totalBits: Int, bands: Int, force: Boolean = false): Unit = {
     val rows = readStoreOpt(spark, storePath).map(_.count()).getOrElse(0L)
     if (rows == 0) return
     def write(sims: DataFrame, append: Boolean): Unit = {
@@ -1173,7 +1264,11 @@ object Dedup {
         .parquet(bandedDataPath(storePath))
       writeBandedMeta(spark, storePath, totalBits, bands, rows)
     }
-    loadBandedMeta(spark, storePath) match {
+    // `force` (compaction rewrote every data file): the marker can
+    // coincidentally equal the new distinct count while the sim SET
+    // changed — always rebuild from the compacted rows.
+    if (force) write(spark.read.parquet(storePath).select("sim"), append = false)
+    else loadBandedMeta(spark, storePath) match {
       case Some((bi, ba, covered))
           if bi == totalBits && ba == bands && covered == rows => ()
       case Some((bi, ba, covered))
@@ -1205,8 +1300,7 @@ object Dedup {
     require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
     require(totalBits % bands == 0, "bands must divide the fingerprint width")
     val bits = totalBits / bands
-    def chunk(sim: Column, b: Int): Column =
-      shiftrightunsigned(sim, b * bits).bitwiseAND(lit((1L << bits) - 1))
+    def chunk(sim: Column, b: Int): Column = simChunk(sim, b, bits)
     // the increment joins by DISTINCT fingerprint, not per-doc rows: a
     // boilerplate-heavy increment (the exact-dup hot cluster crawls
     // concentrate on) collapses to one banded key set per distinct sim,

@@ -167,6 +167,12 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("vid"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vsd", dot(col("v"), col("v")))
+      // unique per-ROW key for the assignment argmax: partitioning that
+      // window by vid would collapse duplicate-id rows to one surviving
+      // vector per id — every row must contribute to its cell's mean.
+      // Only uniqueness matters (values never leave this function), and
+      // the persist below pins one materialization for all rounds.
+      .withColumn("__rid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized memo: lineage survives executor loss; owned here (unpersisted before return)
     // orderBy+limit collapses to TakeOrderedAndProject (no global sort
     // materialization); the k seed rows then get dense cell ids via a
@@ -181,7 +187,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val c = cents
         .withColumn("centsd", dot(col("centroid"), col("centroid")))
-      val wAssign = Window.partitionBy("vid").orderBy(col("csim").desc, col("cell_id"))
+      val wAssign = Window.partitionBy("__rid").orderBy(col("csim").desc, col("cell_id"))
       val assigned = vecs.crossJoin(broadcast(c))
         .withColumn("csim",
           overNorm(dot(col("v"), col("centroid")), sqrt(col("vsd") * col("centsd"))))

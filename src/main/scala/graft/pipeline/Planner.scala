@@ -244,8 +244,13 @@ object Planner {
             // (band, chunk) layout for near — the store is scanned, never
             // exploded or shuffled, per run.
             if (near) {
+              // append with the CONFIGURED banding — the default-bands
+              // alias would write an 8-band sidecar that a non-default
+              // `bands` query permanently rejects (silent explode
+              // fallback on every run)
               if (update) graft.core.PostCommit.register(
-                () => { graft.ml.Dedup.appendToSimhashStore(df, text, store)
+                () => { graft.ml.Dedup.appendToNearStore(df, text, store,
+                    bands = bandsOpt)
                   maybeCompact(df.sparkSession) })
               graft.ml.Dedup.dropSeenNearStore(
                 graft.ml.Dedup.dropDuplicatesHamming64(df, text, id, kOpt, bandsOpt),

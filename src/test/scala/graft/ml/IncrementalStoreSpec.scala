@@ -212,6 +212,48 @@ class IncrementalStoreSpec extends SparkSpec {
       Seq((7L, "later doc")).toDF("id", "text"), "text", store) == 1)
   }
 
+  test("bloom sidecar stays valid across appends (incremental fold path)") {
+    val store = tmp("inc-bloom-fold") + "/fps"
+    assert(Dedup.appendToSeenStore(day1, "text", store) == 3)
+    assert(Dedup.appendToSeenStore(day2, "text", store) == 1)
+    // the marker covers the post-append count without a full rebuild
+    // having been forced (the increment folded into the existing filter)
+    val in = new java.io.DataInputStream(
+      new java.io.FileInputStream(s"$store/_bloom/bloom.bin"))
+    val covered = try in.readLong() finally in.close()
+    assert(covered == 4)
+    // ...and the folded filter really holds the increment's fingerprint:
+    // a repeat of day2's new doc drops through the might_contain path
+    val day3 = Seq((20L, "fresh new content"), (21L, "never seen before"))
+      .toDF("id", "text")
+    assert(Dedup.dropSeenStore(day3, store, "text")
+      .select("id").as[Long].collect().toSet == Set(21L))
+  }
+
+  test("compaction force-rebuilds the bloom even when counts coincide") {
+    val store = tmp("inc-coincide") + "/fps"
+    // build a store whose marker counts ROWS including a duplicate: the
+    // filter covers 3 rows but holds only 2 distinct fps
+    assert(Dedup.appendToSeenStore(
+      Seq((0L, "doc zero")).toDF("id", "text"), "text", store) == 1)
+    Dedup.contentFingerprints(Seq((0L, "doc zero")).toDF("id", "text"), "text")
+      .write.mode("append").parquet(store) // crashed append's double-write
+    assert(Dedup.appendToSeenStore(
+      Seq((1L, "doc one")).toDF("id", "text"), "text", store) == 1)
+    // a crashed append lands a fp the filter has NEVER seen (marker stale)
+    Dedup.contentFingerprints(Seq((9L, "zeta")).toDF("id", "text"), "text")
+      .write.mode("append").parquet(store)
+    // compaction's distinct count (3) COINCIDES with the stale marker's
+    // covered value — a marker-trusting refresh would keep the filter
+    // that misses "zeta" and leak its duplicates forever
+    assert(Dedup.compactSeenStore(spark, store, targetFiles = 1) == 3)
+    val kept = Dedup.dropSeenStore(
+        Seq((30L, "zeta"), (31L, "genuinely new")).toDF("id", "text"),
+        store, "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(31L))
+  }
+
   test("compactNearStore heals duplicate sims and re-covers the banded sidecar") {
     val store = tmp("inc-compact-near") + "/sims"
     assert(Dedup.appendToNearStore(near1, "text", store) == 2)

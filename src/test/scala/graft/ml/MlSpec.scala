@@ -155,6 +155,36 @@ class MlSpec extends SparkSpec {
     assert(clamped.count() == 3)
   }
 
+  test("kmeans: duplicate ids all contribute to the trained mean") {
+    // the assignment argmax is keyed per ROW, not per id — a corpus that
+    // duplicates an id must not silently train on a one-vector-per-id
+    // subset. k=1/iters=1 makes the centroid the plain mean of ALL rows.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)), // same id, different vector
+      (2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.trainKmeansCentroids(emb, "embedding", "vec_id",
+      k = 1, iters = 1).select("centroid").as[Seq[Double]].collect()
+    assert(c.length == 1)
+    assert(math.abs(c(0)(0) - 2.0 / 3) < 1e-9, c(0).toString)
+    assert(math.abs(c(0)(1) - 1.0 / 3) < 1e-9, c(0).toString)
+  }
+
+  test("dropDuplicatesHamming64 keeps every null-text document") {
+    // null fingerprints can never band-match (null chunks fail the
+    // equi-join), so nulls were always kept — the exact-dup collapse
+    // must not turn the null "cluster" into all-but-one drops
+    val df = Seq(
+      (0L, Option("the quick brown fox jumps over the lazy dog")),
+      (1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option.empty[String]),
+      (4L, Option("the quick brown fox jumps over the lazy dog")))
+      .toDF("id", "text")
+    val kept = Dedup.dropDuplicatesHamming64(df, "text", "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L)) // 4 drops as exact dup of 0
+  }
+
   test("pq topk equals exact brute force when rerank covers the corpus") {
     val emb = (0L until 40L).map(i =>
       (i, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat))).toDF("vec_id", "embedding")

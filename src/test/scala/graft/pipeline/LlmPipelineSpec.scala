@@ -307,6 +307,31 @@ class LlmPipelineSpec extends SparkSpec {
     graft.core.PostCommit.drain()
   }
 
+  test("Dedup incremental near appends with the CONFIGURED banding") {
+    // a default-bands append against a bands:16 pipeline would write an
+    // 8-band sidecar every query rejects — silent explode fallback on
+    // every future run
+    val store = tmp("llm-seen-near16") + "/sims"
+    val mk = () => Planner.corpusStage("Dedup", Map(
+      "method" -> "incremental", "near" -> true, "store" -> store,
+      "update_store" -> true, "bands" -> 16))
+    val day1 = Seq((0L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    assert(mk()(day1).count() == 1)
+    graft.core.PostCommit.drain()
+    val meta = scala.io.Source.fromFile(s"$store/_banded/_meta.json").mkString
+    assert(meta.contains("\"bands\":16"), meta)
+    val day2 = Seq(
+      (10L, "again and again the lazy dog jumps over the quick brown fox"),
+      (11L, "entirely novel text with fresh vocabulary throughout"))
+      .toDF("id", "text")
+    val q = mk()(day2)
+    // the bands=16 query ACCEPTS the sidecar (pre-banded path, no explode)
+    assert(q.queryExecution.executedPlan.toString.contains("_banded"))
+    assert(q.select("id").as[Long].collect().toSet == Set(11L))
+    graft.core.PostCommit.drain()
+  }
+
   test("a stage that throws AFTER incremental dedup registered its hook cannot poison the next run") {
     // the failure mode: Dedup(incremental) registers its store-update as a
     // post-commit hook, then a LATER stage's plan build throws (here: a
