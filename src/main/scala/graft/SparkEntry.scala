@@ -561,6 +561,14 @@ object SparkEntry {
         .select($"doc_id", $"split")
     },
 
+    "q_global_shuffle" -> { (s, dir) =>
+      // the (key, pos) mapping carries the shuffle ORDER through the
+      // driver's row-sorted compare; the corpus-scale path is
+      // globalShuffle (range shuffle + sort, plan-pinned)
+      graft.ml.DatasetOps.shuffleWithPosition(
+        Tables.load(s, dir, "documents").select("doc_id"), "doc_id", "sd")
+    },
+
     "q_seq_pack" -> { (s, dir) =>
       import s.implicits._
       graft.ml.DatasetOps.packSequences(
@@ -1463,6 +1471,12 @@ object SparkEntry {
         |    CAST(((doc_id % 1048576) * 2654435761 + 12442) % 4294967296 AS DOUBLE)
         |      / 4294967296.0 AS u
         |  FROM documents)""".stripMargin,
+
+    "q_global_shuffle" ->
+      """SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|', 'sd')), doc_id)
+        |  AS pos
+        |FROM documents""".stripMargin,
 
     "q_seq_pack" ->
       """WITH t AS (

@@ -38,6 +38,33 @@ object DatasetOps {
       + lit(seed.toLong * 97L + 12345L), lit(4294967296L))
       .cast("double") / 4294967296.0
 
+  /** Deterministic GLOBAL SHUFFLE for training-data export: order the
+    * corpus by a seeded md5 of the key — one range shuffle + per-partition
+    * sort (the TeraSort plan; Spark's orderBy samples range bounds, so no
+    * single-partition stage and no driver state at any scale), and the
+    * order is a pure function of (key, seed): re-running on a different
+    * cluster size, or re-exporting after an audit, reproduces byte-for-byte
+    * the same sequence. Epoch re-shuffles are just a new seed. The key
+    * tiebreak makes rows with equal hashes (duplicate keys) stable too. */
+  def globalShuffle(df: DataFrame, keyCol: String, seed: String = ""): DataFrame =
+    df.orderBy(shuffleHash(col(keyCol), seed), col(keyCol))
+
+  /** [[globalShuffle]] with the 1-based position materialized — the
+    * oracle-checkable form (a row-sorted compare can't see ORDER, the
+    * (key, pos) mapping carries it). The global window is single-partition
+    * by construction: use it for gates and small exports, `globalShuffle`
+    * for the corpus-scale path. */
+  def shuffleWithPosition(df: DataFrame, keyCol: String,
+      seed: String = ""): DataFrame =
+    df.select(col(keyCol), row_number()
+      .over(Window.orderBy(shuffleHash(col(keyCol), seed), col(keyCol)))
+      .cast("long").as("pos"))
+
+  // md5 over "key|seed" — string-ordered; reproducible in any engine
+  // (the oracle's ORDER BY md5(concat(CAST(k AS VARCHAR), '|', seed)))
+  private def shuffleHash(key: Column, seed: String): Column =
+    md5(concat_ws("|", key.cast("string"), lit(seed)))
+
   /** Weighted dataset mixing: keep each row with its group's sampling
     * rate (e.g. {web → 0.3, books → 1.0, code → 0.8}). A pure codegen'd
     * filter — no shuffle, no driver state; the weight table rides in the

@@ -178,7 +178,7 @@ object Planner {
 
   private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
     "AssignSplits", "PackSequences", "UrlDedup", "TextProfile",
-    "SemanticDedup", "PassageDedup", "LineDedup")
+    "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -310,6 +310,13 @@ object Planner {
               s"Decontaminate method must be exact|bloom, got '$other'")
           }
         }
+      case "Shuffle" =>
+        // deterministic global shuffle before export/packing: the order is
+        // a pure function of (key_field, seed) — epoch re-shuffles are a
+        // seed change, and re-runs reproduce the exact sequence
+        val key = conf.str("key_field").getOrElse(id)
+        val seed = conf.str("seed").getOrElse("")
+        df => graft.ml.DatasetOps.globalShuffle(df, key, seed)
       case "Mix" =>
         val group = conf.strReq("group_field")
         val weights = conf.strMap("weights").map { case (k, v) => k -> v.toDouble }
@@ -418,19 +425,30 @@ object Planner {
     else df.unionByName(batchForm(df), allowMissingColumns = true)
 
   /** Split a stage list for streaming execution: everything before the
-    * first re-entrant metric stage (`drop_original_event: false`) runs in
-    * the streaming query proper; that stage and everything after it run
-    * per micro-batch inside foreachBatch, where the batch UNION ALL
-    * re-entry is expressible and downstream filters see originals AND
-    * metric events exactly like the reference's mid-pipeline re-injection
-    * (filter/link_metric.go:248-274, topology/filter.go:35-37). The
-    * micro-batch boundary doubles as the emission cadence, the same
+    * first per-batch-only stage runs in the streaming query proper; that
+    * stage and everything after it run per micro-batch inside
+    * foreachBatch. Two stage classes force the split:
+    *
+    *  - a re-entrant metric stage (`drop_original_event: false`), where
+    *    the batch UNION ALL re-entry is expressible and downstream
+    *    filters see originals AND metric events exactly like the
+    *    reference's mid-pipeline re-injection
+    *    (filter/link_metric.go:248-274, topology/filter.go:35-37);
+    *  - any corpus stage (Dedup, Mix, …): they change cardinality via
+    *    eager counts/windows an unbounded stream cannot express — inside
+    *    foreachBatch each micro-batch IS the corpus. Incremental Dedup
+    *    composes with this into continuous cross-batch dedup: the seen
+    *    store advances via the PostCommit hook the foreachBatch writer
+    *    already drains after each batch's sinks commit.
+    *
+    * The micro-batch boundary doubles as the emission cadence, the same
     * trigger-interval role it already plays for the bulk sinks. */
   def streamingSplit(stages: Seq[(String, Map[String, Any])])
       : (Seq[(String, Map[String, Any])], Seq[(String, Map[String, Any])]) = {
     val idx = stages.indexWhere { case (n, c) =>
-      (n == "LinkMetric" || n == "LinkStatsMetric") &&
-        !c.bool("drop_original_event", true)
+      CorpusStages.contains(n) ||
+        ((n == "LinkMetric" || n == "LinkStatsMetric") &&
+          !c.bool("drop_original_event", true))
     }
     if (idx < 0) (stages, Nil) else stages.splitAt(idx)
   }

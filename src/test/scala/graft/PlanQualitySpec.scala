@@ -221,4 +221,18 @@ class PlanQualitySpec extends SparkSpec {
       .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!scan.contains("event_type"), s"unused column not pruned: $scan")
   }
+
+  test("global shuffle is a range shuffle + sort, never a single-partition stage") {
+    // the TeraSort plan: orderBy samples range bounds and sorts within
+    // partitions — a Window/single-partition Exchange here would funnel
+    // the whole corpus through one task at export time
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val df = graft.ml.DatasetOps.globalShuffle(docs, "doc_id", "x")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort"), plan)
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }

@@ -155,6 +155,21 @@ class MlSpec extends SparkSpec {
     assert(clamped.count() == 3)
   }
 
+  test("globalShuffle: reproducible permutation; the seed is the epoch") {
+    val df = (0L until 200L).toDF("id")
+    val a = DatasetOps.globalShuffle(df, "id", "s1").select("id").as[Long].collect()
+    val b = DatasetOps.globalShuffle(df, "id", "s1").select("id").as[Long].collect()
+    val c = DatasetOps.globalShuffle(df, "id", "s2").select("id").as[Long].collect()
+    assert(a.toSeq == b.toSeq)           // same seed → same order, always
+    assert(a.toSet == (0L until 200L).toSet) // a permutation, not a sample
+    assert(a.toSeq != c.toSeq)           // new seed → new epoch order
+    assert(a.toSeq != (0L until 200L).toSeq) // and it actually shuffles
+    // the position form agrees with the order form
+    val pos = DatasetOps.shuffleWithPosition(df, "id", "s1")
+      .orderBy("pos").select("id").as[Long].collect()
+    assert(pos.toSeq == a.toSeq)
+  }
+
   test("kmeans: duplicate ids all contribute to the trained mean") {
     // the assignment argmax is keyed per ROW, not per id — a corpus that
     // duplicates an id must not silently train on a one-vector-per-id

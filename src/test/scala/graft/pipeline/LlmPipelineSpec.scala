@@ -307,6 +307,28 @@ class LlmPipelineSpec extends SparkSpec {
     graft.core.PostCommit.drain()
   }
 
+  test("compact_files rewrites the store once appends exceed the threshold") {
+    val store = tmp("llm-compact") + "/fps"
+    def run(id: Long, txt: String): Unit = {
+      val stage = Planner.corpusStage("Dedup", Map(
+        "method" -> "incremental", "store" -> store, "update_store" -> true,
+        "compact_files" -> 2))
+      stage(Seq((id, txt)).toDF("id", "text")).count(): Unit
+      graft.core.PostCommit.drain()
+    }
+    run(0L, "doc a"); run(1L, "doc b"); run(2L, "doc c"); run(3L, "doc d")
+    // the post-update hook compacted once the data-file count crossed the
+    // threshold: compaction's renamed files are the observable
+    assert(graft.ml.Dedup.storeDataFiles(spark, store)
+      .exists(_.getName.startsWith("compact-")), "no compaction ran")
+    assert(spark.read.parquet(store).count() == 4)
+    // the compacted store still dedups through the stage
+    val stage = Planner.corpusStage("Dedup", Map(
+      "method" -> "incremental", "store" -> store))
+    assert(stage(Seq((9L, "doc b"), (10L, "doc z")).toDF("id", "text"))
+      .select("id").as[Long].collect().toSet == Set(10L))
+  }
+
   test("Dedup incremental near appends with the CONFIGURED banding") {
     // a default-bands append against a bands:16 pipeline would write an
     // 8-band sidecar every query rejects — silent explode fallback on

@@ -47,6 +47,49 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup streams: the seen store advances per committed micro-batch") {
+    // continuous ingestion with cross-batch dedup — the corpus stage runs
+    // per micro-batch inside foreachBatch (streamingSplit routes it
+    // there; a streaming frame can't express its eager counts/windows),
+    // and the store append rides the per-batch PostCommit drain, so a
+    // batch's fingerprints are seen by every LATER batch but never by
+    // itself (retry-safe, same contract as the batch runner).
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-stream-inc").toString
+    val store = s"$base/fps"
+    val outDir = s"$base/out"
+    val yaml =
+      s"""inputs:
+        |  - Text: {path: unused}
+        |filters:
+        |  - Dedup: {method: incremental, store: $store, update_store: true,
+        |            src: message, id_field: id}
+        |outputs:
+        |  - Parquet: {path: $outDir, mode: append}
+        |""".stripMargin
+    val pipeline = Planner.fromYaml(yaml)
+    val (streamStages, perBatch) = Planner.streamingSplit(pipeline.stages)
+    assert(streamStages.isEmpty && perBatch.size == 1,
+      "corpus stage must land in the per-batch tail")
+    val mem = MemoryStream[(Long, String)](spark)
+    val src = mem.toDF().toDF("id", "message")
+    val q = Planner.startForeachBatch(pipeline, src,
+      checkpoint = Some(s"$base/ckpt"), perBatchStages = perBatch)
+    try {
+      mem.addData((0L, "alpha content"), (1L, "beta content"),
+        (2L, "alpha content")) // within-batch dup of 0
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() == 2)
+      mem.addData((10L, "alpha content"), // cross-batch repeat of 0
+        (11L, "fresh gamma content"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() == 3)
+      val out = spark.read.parquet(outDir)
+        .select("id").as[Long].collect().toSet
+      assert(out == Set(0L, 1L, 11L))
+    } finally q.stop()
+  }
+
   test("streaming pipeline routes micro-batches into the ClickHouse JDBC sink") {
     val url = "jdbc:derby:memory:chstream;create=true"
     val setup = java.sql.DriverManager.getConnection(url)
