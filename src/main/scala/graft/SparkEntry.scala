@@ -21,6 +21,24 @@ object SparkEntry {
     * binary fraction), so Spark and DuckDB round identically. */
   private val Dec = DecimalType(18, 4)
 
+  /** Throwaway stores the store-path gates build live under one JVM-owned
+    * root, deleted on exit — a bench session runs every gate several
+    * times, and orphaned per-run store dirs would otherwise accumulate in
+    * the system tmp for the machine's lifetime. */
+  private lazy val gateTmpRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-gates")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p
+  }
+  private def gateTmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(gateTmpRoot, prefix).toString
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
@@ -246,8 +264,7 @@ object SparkEntry {
     // gates' rows, so they share oracle SQL
     "q_dedup_store_exact" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-store-exact").toString + "/fps"
+      val store = gateTmpDir("store-exact") + "/fps"
       // doc 300 seeds the store from the increment's half: the gate must
       // exercise a TRUE store hit (drop) — without one, a well-sized
       // bloom yields zero candidates and the probe/join path would go
@@ -261,8 +278,7 @@ object SparkEntry {
     },
     "q_dedup_store_near" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-store-near").toString + "/sims"
+      val store = gateTmpDir("store-near") + "/sims"
       graft.ml.Dedup.appendToNearStore(
         docs.filter(col("doc_id") < 250), "text", store,
         graft.ml.Dedup.simhash32, totalBits = 32, bands = 4)

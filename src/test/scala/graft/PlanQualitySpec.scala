@@ -167,9 +167,13 @@ class PlanQualitySpec extends SparkSpec {
     val df = SparkEntry.queries("q_dedup_store_near")(spark, dir)
     df.count()
     val plan = df.queryExecution.executedPlan.toString
-    // the join reads the (band, chunk)-partitioned sidecar directly —
-    // the explode that r7 re-ran over the whole store every run is gone
-    assert(plan.contains("_banded"), s"banded sidecar path not taken:\n$plan")
+    // the join reads the band-partitioned sidecar directly — the explode
+    // that r7 re-ran over the whole store every run is gone. The marker is
+    // the scan's band partition filter, not the "_banded" path substring:
+    // Spark truncates FileScan Locations at ~100 chars, so a longer tmp
+    // prefix would cut the path out of the plan string.
+    assert(plan.contains("PartitionFilters: [isnotnull(band"),
+      s"banded sidecar path not taken:\n$plan")
     // the only Generate (posexplode) belongs to the INCREMENT's key
     // explode (it renders once in the live plan and possibly once more
     // inside the cached key memo); the banded scan itself carries none —
