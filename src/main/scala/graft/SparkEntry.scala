@@ -585,6 +585,12 @@ object SparkEntry {
         Tables.load(s, dir, "documents").select("doc_id"), "doc_id", "sd")
     },
 
+    "q_quota_sample" -> { (s, dir) =>
+      graft.ml.DatasetOps.sampleQuota(
+        Tables.load(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", 30, "qs")
+    },
+
     "q_seq_pack" -> { (s, dir) =>
       import s.implicits._
       graft.ml.DatasetOps.packSequences(
@@ -1493,6 +1499,15 @@ object SparkEntry {
         |    ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|', 'sd')), doc_id)
         |  AS pos
         |FROM documents""".stripMargin,
+
+    "q_quota_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|', 'qs')), doc_id)
+        |    AS qr
+        |  FROM documents)
+        |WHERE qr <= 30""".stripMargin,
 
     "q_seq_pack" ->
       """WITH t AS (

@@ -65,6 +65,26 @@ object DatasetOps {
   private def shuffleHash(key: Column, seed: String): Column =
     md5(concat_ws("|", key.cast("string"), lit(seed)))
 
+  /** Deterministic per-group QUOTA sampling: keep at most `n` rows per
+    * group, chosen by the seeded key hash — the hard-cap companion to
+    * rate-based [[sampleByWeights]] (e.g. "≤ 1M docs per domain" for
+    * source balance). Re-runs pick the same rows, and because selection
+    * ranks a pure hash, growing a group only ever REPLACES members with
+    * lower-hash arrivals — never reshuffles the survivors' order.
+    * Plans as WindowGroupLimit (plan-pinned): per-partition top-n per
+    * group before the shuffle, so executor state is bounded by n per
+    * group regardless of group skew — never a global sort, never a full
+    * per-group materialization. */
+  def sampleQuota(df: DataFrame, groupCol: String, keyCol: String, n: Int,
+      seed: String = ""): DataFrame = {
+    require(n > 0, "sampleQuota: n must be positive")
+    df.withColumn("__qr", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(shuffleHash(col(keyCol), seed), col(keyCol))))
+      .filter(col("__qr") <= n)
+      .drop("__qr")
+  }
+
   /** Weighted dataset mixing: keep each row with its group's sampling
     * rate (e.g. {web → 0.3, books → 1.0, code → 0.8}). A pure codegen'd
     * filter — no shuffle, no driver state; the weight table rides in the

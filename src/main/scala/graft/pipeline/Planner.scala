@@ -178,7 +178,7 @@ object Planner {
 
   private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
     "AssignSplits", "PackSequences", "UrlDedup", "TextProfile",
-    "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle")
+    "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -317,6 +317,17 @@ object Planner {
         val key = conf.str("key_field").getOrElse(id)
         val seed = conf.str("seed").getOrElse("")
         df => graft.ml.DatasetOps.globalShuffle(df, key, seed)
+      case "QuotaSample" =>
+        // hard per-group cap (≤ n rows per group_field value), hash-chosen
+        // — the source-balancing companion to Mix's rate sampling
+        val group = conf.strReq("group_field")
+        val n = conf.int("n", 0) match {
+          case v if v > 0 => v
+          case _ => sys.error("QuotaSample needs a positive `n` (max rows per group)")
+        }
+        val key = conf.str("key_field").getOrElse(id)
+        val seed = conf.str("seed").getOrElse("")
+        df => graft.ml.DatasetOps.sampleQuota(df, group, key, n, seed)
       case "Mix" =>
         val group = conf.strReq("group_field")
         val weights = conf.strMap("weights").map { case (k, v) => k -> v.toDouble }

@@ -226,6 +226,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!scan.contains("event_type"), s"unused column not pruned: $scan")
   }
 
+  test("quota sampling runs as WindowGroupLimit, bounded state per group") {
+    val plan = executedPlan("q_quota_sample")
+    // per-partition top-n per group BEFORE the shuffle: a plain Window
+    // here would materialize every group in full on one task
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
+  }
+
   test("global shuffle is a range shuffle + sort, never a single-partition stage") {
     // the TeraSort plan: orderBy samples range bounds and sorts within
     // partitions — a Window/single-partition Exchange here would funnel

@@ -170,6 +170,29 @@ class MlSpec extends SparkSpec {
     assert(pos.toSeq == a.toSeq)
   }
 
+  test("sampleQuota: deterministic per-group caps; growth replaces, never reshuffles") {
+    val df = (0L until 100L).map(i => (i, if (i < 80) "web" else "books"))
+      .toDF("id", "src")
+    val a = DatasetOps.sampleQuota(df, "src", "id", 10, "q1")
+      .select("id", "src").as[(Long, String)].collect().toSet
+    val b = DatasetOps.sampleQuota(df, "src", "id", 10, "q1")
+      .select("id", "src").as[(Long, String)].collect().toSet
+    assert(a == b) // same seed → same members
+    assert(a.count(_._2 == "web") == 10 && a.count(_._2 == "books") == 10)
+    // a group smaller than the cap survives whole
+    assert(DatasetOps.sampleQuota(df, "src", "id", 50, "q1")
+      .filter($"src" === "books").count() == 20)
+    // growing a group only swaps members in/out by hash rank — the
+    // incremental-assembly property: survivors never depend on arrival
+    // order, only on the hash population
+    val grown = df.union(Seq((200L, "web"), (201L, "web")).toDF("id", "src"))
+    val a2 = DatasetOps.sampleQuota(grown, "src", "id", 10, "q1")
+      .select("id", "src").as[(Long, String)].collect().toSet
+    assert(a2.count(_._2 == "web") == 10)
+    assert((a2 -- a).forall(r => r._1 >= 200L || r._2 == "books"),
+      "pre-existing non-members entered the sample without new arrivals displacing them")
+  }
+
   test("kmeans: duplicate ids all contribute to the trained mean") {
     // the assignment argmax is keyed per ROW, not per id — a corpus that
     // duplicates an id must not silently train on a one-vector-per-id
