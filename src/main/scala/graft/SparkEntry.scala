@@ -1496,7 +1496,8 @@ object SparkEntry {
 
     "q_global_shuffle" ->
       """SELECT doc_id, row_number() OVER (
-        |    ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|', 'sd')), doc_id)
+        |    ORDER BY md5(concat(coalesce(CAST(doc_id AS VARCHAR), ''), '|', 'sd')),
+        |      doc_id)
         |  AS pos
         |FROM documents""".stripMargin,
 
@@ -1504,7 +1505,8 @@ object SparkEntry {
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (
         |      PARTITION BY source
-        |      ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|', 'qs')), doc_id)
+        |      ORDER BY md5(concat(coalesce(CAST(doc_id AS VARCHAR), ''), '|', 'qs')),
+        |        doc_id)
         |    AS qr
         |  FROM documents)
         |WHERE qr <= 30""".stripMargin,

@@ -44,8 +44,11 @@ object DatasetOps {
     * single-partition stage and no driver state at any scale), and the
     * order is a pure function of (key, seed): re-running on a different
     * cluster size, or re-exporting after an audit, reproduces byte-for-byte
-    * the same sequence. Epoch re-shuffles are just a new seed. The key
-    * tiebreak makes rows with equal hashes (duplicate keys) stable too. */
+    * the same sequence. Epoch re-shuffles are just a new seed. Full
+    * determinism requires the key to uniquely identify a row — rows that
+    * SHARE a key value share the hash and the tiebreak, so their mutual
+    * order is partition-arbitrary (exact-dedup, or pick a unique key,
+    * first). */
   def globalShuffle(df: DataFrame, keyCol: String, seed: String = ""): DataFrame =
     df.orderBy(shuffleHash(col(keyCol), seed), col(keyCol))
 
@@ -61,15 +64,21 @@ object DatasetOps {
       .cast("long").as("pos"))
 
   // md5 over "key|seed" — string-ordered; reproducible in any engine
-  // (the oracle's ORDER BY md5(concat(CAST(k AS VARCHAR), '|', seed)))
+  // (the oracle's ORDER BY md5(concat(coalesce(CAST(k AS VARCHAR), ''),
+  // '|', seed))). The explicit coalesce matters: engines disagree on
+  // null-in-concat (Spark concat → null, DuckDB concat skips, concat_ws
+  // drops the separator too) — pinning null → '' renders "|seed" in all
+  // of them.
   private def shuffleHash(key: Column, seed: String): Column =
-    md5(concat_ws("|", key.cast("string"), lit(seed)))
+    md5(concat_ws("|", coalesce(key.cast("string"), lit("")), lit(seed)))
 
   /** Deterministic per-group QUOTA sampling: keep at most `n` rows per
     * group, chosen by the seeded key hash — the hard-cap companion to
     * rate-based [[sampleByWeights]] (e.g. "≤ 1M docs per domain" for
-    * source balance). Re-runs pick the same rows, and because selection
-    * ranks a pure hash, growing a group only ever REPLACES members with
+    * source balance). Re-runs pick the same rows (same caveat as
+    * [[globalShuffle]]: rows sharing a key are interchangeable at the
+    * quota boundary — use a unique key), and because selection ranks a
+    * pure hash, growing a group only ever REPLACES members with
     * lower-hash arrivals — never reshuffles the survivors' order.
     * Plans as WindowGroupLimit (plan-pinned): per-partition top-n per
     * group before the shuffle, so executor state is bounded by n per
@@ -78,11 +87,11 @@ object DatasetOps {
   def sampleQuota(df: DataFrame, groupCol: String, keyCol: String, n: Int,
       seed: String = ""): DataFrame = {
     require(n > 0, "sampleQuota: n must be positive")
-    df.withColumn("__qr", row_number().over(
+    df.withColumn("__graft_qr", row_number().over(
         Window.partitionBy(col(groupCol))
           .orderBy(shuffleHash(col(keyCol), seed), col(keyCol))))
-      .filter(col("__qr") <= n)
-      .drop("__qr")
+      .filter(col("__graft_qr") <= n)
+      .drop("__graft_qr")
   }
 
   /** Weighted dataset mixing: keep each row with its group's sampling

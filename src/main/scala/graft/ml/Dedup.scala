@@ -397,13 +397,17 @@ object Dedup {
     // already materializes the fingerprints once; a second memo on `sh`
     // would just double the checkpoint): exploding-self-join memo — RDD
     // barrier, never persist (see explodingMemo)
-    val w = Window.partitionBy("sim")
     // null fingerprints (null/absent text) are each their own rep: the
     // banded join below can never match them (null chunks fail the
     // equi-join), so pre-collapse they were always KEPT — collapsing the
-    // null "cluster" would silently drop all-but-one null-text doc.
-    val tagged = sh.withColumn("__rep",
-        when(col("sim").isNull, col("id")).otherwise(min(col("id")).over(w)))
+    // null "cluster" would silently drop all-but-one null-text doc. The
+    // second partition key (id, only when sim is null) does it INSIDE the
+    // window: a plain partitionBy(sim) would also funnel every null-text
+    // row of the corpus through one task's window state just to compute a
+    // min the null branch discards.
+    val w = Window.partitionBy(col("sim"),
+      when(col("sim").isNull, col("id")))
+    val tagged = sh.withColumn("__rep", min(col("id")).over(w))
       .transform(explodingMemo)
     val memberDrops = tagged.filter(col("id") =!= col("__rep"))
       .select(col("id").as("__drop"))
@@ -948,9 +952,20 @@ object Dedup {
   private def writeBloomSidecar(spark: org.apache.spark.sql.SparkSession,
       storePath: String, rows: Long,
       bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    // write to a sibling then rename: the marker leads the filter bytes in
+    // one file, so an in-place write killed mid-filter would leave a VALID
+    // 8-byte marker over a truncated body — and the cheap marker-only
+    // validity check would then trust it forever (the full-deserialize
+    // check used to heal this by IOException). A crash now leaves either
+    // the old intact sidecar or a dangling .tmp nobody reads.
+    val fs = hadoopFs(spark, storePath)
     val p = new org.apache.hadoop.fs.Path(bloomPath(storePath))
-    val out = new java.io.DataOutputStream(hadoopFs(spark, storePath).create(p, true))
+    val tmp = new org.apache.hadoop.fs.Path(bloomPath(storePath) + ".tmp")
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
     try { out.writeLong(rows); bf.writeTo(out) } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      sys.error(s"writeBloomSidecar: rename failed for $tmp")
   }
 
   /** How many items a filter of this size holds at the target fpp —

@@ -445,24 +445,35 @@ object Planner {
     *    filters see originals AND metric events exactly like the
     *    reference's mid-pipeline re-injection
     *    (filter/link_metric.go:248-274, topology/filter.go:35-37);
-    *  - any corpus stage (Dedup, Mix, …): they change cardinality via
-    *    eager counts/windows an unbounded stream cannot express — inside
-    *    foreachBatch each micro-batch IS the corpus. Incremental Dedup
-    *    composes with this into continuous cross-batch dedup: the seen
-    *    store advances via the PostCommit hook the foreachBatch writer
-    *    already drains after each batch's sinks commit.
+    *  - an EAGER corpus stage (Dedup, PackSequences, Shuffle, …): they
+    *    change cardinality or order via eager counts/windows/joins an
+    *    unbounded stream cannot express — inside foreachBatch each
+    *    micro-batch IS the corpus. Incremental Dedup composes with this
+    *    into continuous cross-batch dedup: the seen store advances via
+    *    the PostCommit hook the foreachBatch writer already drains after
+    *    each batch's sinks commit. Pure row-wise corpus stages (Mix,
+    *    AssignSplits, TextProfile — codegen filters/projections) stay on
+    *    the stream side: forcing THEM per-batch would also demote any
+    *    downstream watermarked metric stage to per-batch aggregation,
+    *    fragmenting its windows across triggers.
     *
     * The micro-batch boundary doubles as the emission cadence, the same
     * trigger-interval role it already plays for the bulk sinks. */
   def streamingSplit(stages: Seq[(String, Map[String, Any])])
       : (Seq[(String, Map[String, Any])], Seq[(String, Map[String, Any])]) = {
     val idx = stages.indexWhere { case (n, c) =>
-      CorpusStages.contains(n) ||
+      (CorpusStages.contains(n) && !StreamableCorpusStages.contains(n)) ||
         ((n == "LinkMetric" || n == "LinkStatsMetric") &&
           !c.bool("drop_original_event", true))
     }
     if (idx < 0) (stages, Nil) else stages.splitAt(idx)
   }
+
+  /** The corpus stages that are pure row-wise filters/projections — no
+    * eager action, no window, no join — and therefore run unchanged on a
+    * streaming frame. Everything in [[CorpusStages]] but not here is
+    * forced into the foreachBatch tail by [[streamingSplit]]. */
+  private val StreamableCorpusStages = Set("Mix", "AssignSplits", "TextProfile")
 
   // ---- inputs -------------------------------------------------------------
 

@@ -121,14 +121,17 @@ class IncrementalStoreSpec extends SparkSpec {
     val kept = Dedup.dropSeenNearStore(near2, store, "text", "id")
       .select("id").as[Long].collect().toSet
     assert(kept == Set(11L))
-    // the store side of the banded join must NOT re-explode: no Generate
-    // over the _banded scan in the executed plan
+    // the store side of the banded join must NOT re-explode: the banded
+    // scan appears (band partition filter — the "_banded" path substring
+    // is FileScan-Location-truncation-fragile) and every Generate in the
+    // plan belongs to the increment's __sim key explode
     val plan = Dedup.dropSeenNearStore(near2, store, "text", "id")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("_banded"), "banded path not taken")
-    val bandedScanGenerates = plan.linesIterator
-      .filter(_.contains("Generate")).count(_.contains("_banded"))
-    assert(bandedScanGenerates == 0)
+    assert(plan.contains("PartitionFilters: [isnotnull(band"),
+      "banded path not taken")
+    val storeGenerates = plan.linesIterator
+      .filter(_.contains("Generate")).count(!_.contains("__sim"))
+    assert(storeGenerates == 0, s"store-side explode:\n$plan")
     // idempotent growth keeps sidecar coverage
     assert(Dedup.appendToNearStore(near2, "text", store) == 1)
     assert(spark.read.parquet(s"$store/_banded/data").count() == 3 * 8)
@@ -266,7 +269,8 @@ class IncrementalStoreSpec extends SparkSpec {
     // banded sidecar rebuilt to cover the compacted rows exactly
     assert(spark.read.parquet(s"$store/_banded/data").count() == 3 * 8)
     val q = Dedup.dropSeenNearStore(near2, store, "text", "id")
-    assert(q.queryExecution.executedPlan.toString.contains("_banded"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(band")) // truncation-proof marker
     assert(q.count() == 0)
   }
 }

@@ -348,8 +348,11 @@ class LlmPipelineSpec extends SparkSpec {
       (11L, "entirely novel text with fresh vocabulary throughout"))
       .toDF("id", "text")
     val q = mk()(day2)
-    // the bands=16 query ACCEPTS the sidecar (pre-banded path, no explode)
-    assert(q.queryExecution.executedPlan.toString.contains("_banded"))
+    // the bands=16 query ACCEPTS the sidecar (pre-banded path, no explode).
+    // Marker = the band partition filter: FileScan Locations truncate at
+    // ~100 chars, so the "_banded" path substring is tmp-prefix-fragile.
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(band"))
     assert(q.select("id").as[Long].collect().toSet == Set(11L))
     graft.core.PostCommit.drain()
   }

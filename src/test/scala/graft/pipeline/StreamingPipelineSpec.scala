@@ -47,6 +47,19 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSplit keeps row-wise corpus stages on the stream side") {
+    // Mix is a pure codegen filter — forcing it per-batch would drag a
+    // downstream watermarked metric stage into foreachBatch too, turning
+    // its windowed aggregation into fragmented per-trigger partials
+    val stages = Seq(
+      "Mix" -> Map[String, Any]("group_field" -> "src"),
+      "LinkMetric" -> Map[String, Any]("fieldsLink" -> "a->b"),
+      "Dedup" -> Map[String, Any]("method" -> "exact"))
+    val (stream, perBatch) = Planner.streamingSplit(stages)
+    assert(stream.map(_._1) == Seq("Mix", "LinkMetric"))
+    assert(perBatch.map(_._1) == Seq("Dedup"))
+  }
+
   test("incremental dedup streams: the seen store advances per committed micro-batch") {
     // continuous ingestion with cross-batch dedup — the corpus stage runs
     // per micro-batch inside foreachBatch (streamingSplit routes it
