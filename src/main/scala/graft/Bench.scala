@@ -90,6 +90,37 @@ object Bench {
       timed("minhash_skew_collapse")(
         graft.ml.Dedup.minhashPairs(skewDocs, "text", "doc_id",
           collapseExact = true).count())
+      // INCREMENTAL STORE (VERDICT r7 task 3's "Done ="): a seen store
+      // ~16× the daily increment. The recurring per-day cost is
+      // store_drop — one store scan + Bloom-prefiltered broadcast
+      // probes, never a store shuffle — and must sit far below
+      // store_build (the one-time backfill, whose anti-join + bloom
+      // build DO scan/shuffle the corpus).
+      val storeRoot = java.nio.file.Files
+        .createTempDirectory("graft-stress-store").toString
+      // fresh store per sample — a re-append to the same store is a
+      // no-op (anti-join drops everything), and best-of-2 would then
+      // report the no-op as the "build" cost
+      var storeN = 0
+      timed("store_build") {
+        storeN += 1
+        graft.ml.Dedup.appendToSeenStore(bigDocs, "text", s"$storeRoot/fps$storeN")
+      }
+      val storeDir = s"$storeRoot/fps$storeN"
+      val increment = bigDocs
+        .filter(pmod(col("doc_id"), lit(20)) === 0) // ~25k seen texts, fresh ids
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+        .union(d1.select((col("doc_id") + lit(950000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "zz_$1").as("text"))) // ~5k unseen
+      timed("store_drop")(
+        graft.ml.Dedup.dropSeenStore(increment, storeDir, "text").count())
+      locally {
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rmrf))
+          f.delete(): Unit
+        }
+        rmrf(new java.io.File(storeRoot))
+      }
       val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val bigVecs = (0 until semCopies).map(i => e1.select(
         (col("vec_id") + lit(i * 10000000L)).as("vec_id"),

@@ -837,7 +837,10 @@ object Dedup {
     * parquet scan, not a derivation pipeline. Within-increment dups are
     * NOT dropped here — compose with [[dropDuplicatesExact]] first. */
   def dropSeen(df: DataFrame, seen: DataFrame, textCol: String): DataFrame =
-    df.join(seen.select(col("fp")).distinct(),
+    // joinBackOnce, not a raw join: a union-shaped increment would
+    // otherwise re-run the store-side distinct once per branch (the
+    // PushdownLeftSemiOrAntiJoin trap joinBackOnce exists for)
+    joinBackOnce(df, seen.select(col("fp")).distinct(),
       md5(col(textCol).cast("string")) === col("fp"), "left_anti")
 
   // ---- incremental seen-store layout ------------------------------------
@@ -1097,13 +1100,39 @@ object Dedup {
             val fpc = md5(col(textCol).cast("string"))
             val bcastRows = spark.conf
               .get("spark.sql.graft.incrementalBroadcastRows", "1000000").toLong
+            // the increment's distinct fps are CACHED before the bloom
+            // probe, and the cache boundary is the point: the probe's
+            // filter carries the serialized-filter plan literal, and over
+            // a union-shaped increment Catalyst pushes it below the
+            // distinct (its condition only references the grouping key)
+            // and into EVERY branch — measured 21 literal copies in one
+            // 26.8 MiB task binary, a 2 GB plan string, and driver OOM on
+            // a 21-branch union. Cache substitution runs BEFORE the
+            // optimizer, so the filter stops at the cached scan: one
+            // literal, one probe stage. Per-row pruning is not lost —
+            // every increment row flows through the final broadcast anti
+            // join regardless.
+            val incFps = graft.core.CacheRegistry.memo(
+              df.select(fpc.as("fp")).distinct())
             val cand = graft.core.CacheRegistry.memo(
-              df.filter(bloomMightContainLong(spark, bf, xxhash64(fpc)))
-                .select(fpc.as("fp")).distinct())
+              incFps.filter(bloomMightContainLong(spark, bf, xxhash64(col("fp")))))
             val nCand = cand.count()
             if (nCand == 0L) df
             else if (nCand <= bcastRows) {
-              val matched = seen.join(broadcast(cand), Seq("fp"), "left_semi")
+              // matched goes through a CHECKPOINT barrier, not just a
+              // cache: the optimizer pushes LeftAnti below a union-shaped
+              // increment, and an un-persisted right side re-derives the
+              // whole store-semi-bloom pipeline once per branch (measured:
+              // a 2 GB plan string, 21 bloom-literal copies in one
+              // 26.8 MiB task binary, driver OOM on a 21-branch union). A
+              // cached right side fixes the COMPUTE but still renders its
+              // whole nested tree per branch (a 211 MB plan string); the
+              // checkpoint cuts lineage so each branch anti-joins a
+              // broadcast of a plain RDD scan. matched ≤ bcastRows, so
+              // the checkpoint is increment-sized; explodingMemo's
+              // checkpointDir switch keeps the cluster-reliable form.
+              val matched = explodingMemo(
+                seen.join(broadcast(cand), Seq("fp"), "left_semi"))
               df.join(broadcast(matched), fpc === matched("fp"), "left_anti")
             } else dropSeen(df, seen, textCol)
         }

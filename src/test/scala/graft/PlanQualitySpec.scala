@@ -152,13 +152,18 @@ class PlanQualitySpec extends SparkSpec {
 
   test("store-path exact dedup: Bloom prefilter, store scanned never shuffled") {
     val plan = executedPlan("q_dedup_store_exact")
-    // the sidecar path: increment rows probe the plan-literal Bloom
-    // (might_contain), survivors confirm via broadcast joins — the seen
-    // store STREAMS through both; a SortMergeJoin here means the store
-    // (10^10 rows at scale) is being shuffled every daily run
-    assert(plan.contains("might_contain"), s"bloom prefilter not taken:\n$plan")
+    // the sidecar path: the bloom probe + store-semi confirm run EAGERLY
+    // behind matched's checkpoint barrier (their shape is pinned in
+    // IncrementalStoreSpec — one literal, bounded plan, coincidence and
+    // fold specs), so the visible plan is the final form: the increment
+    // anti-joins a BROADCAST of the checkpointed matched set. A
+    // SortMergeJoin here means the store (10^10 rows at scale) is being
+    // shuffled every daily run; a missing ExistingRDD scan means the
+    // barrier (and with it the per-union-branch re-derivation guard) is
+    // gone.
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("Scan ExistingRDD"), s"matched not barriered:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"store side shuffled:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }

@@ -215,6 +215,27 @@ class IncrementalStoreSpec extends SparkSpec {
       Seq((7L, "later doc")).toDF("id", "text"), "text", store) == 1)
   }
 
+  test("union-shaped increments keep ONE bloom literal and a bounded plan") {
+    // the failure mode this pins against: Catalyst pushes the probe's
+    // plan-literal filter below the distinct and into every union branch,
+    // and the LeftAnti below the union re-derives the matched pipeline
+    // per branch — measured as a 2 GB plan string, 21 literal copies in
+    // one 26.8 MiB task binary, and driver OOM. The cache boundaries in
+    // dropSeenStore must keep both at one copy.
+    val store = tmp("inc-union") + "/fps"
+    assert(Dedup.appendToSeenStore(day1, "text", store) == 3)
+    val inc = (0 until 21).map(i => Seq(
+        (i * 100L, "alpha beta gamma"),           // seen in day1
+        (i * 100L + 1, s"branch $i novel text"))  // fresh
+        .toDF("id", "text"))
+      .reduce(_ union _)
+    val q = Dedup.dropSeenStore(inc, store, "text")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.length < 1000000, s"plan exploded: ${plan.length} chars")
+    assert(q.select("id").as[Long].collect().toSet ==
+      (0 until 21).map(i => i * 100L + 1).toSet)
+  }
+
   test("bloom sidecar stays valid across appends (incremental fold path)") {
     val store = tmp("inc-bloom-fold") + "/fps"
     assert(Dedup.appendToSeenStore(day1, "text", store) == 3)
