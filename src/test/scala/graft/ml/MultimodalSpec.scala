@@ -114,6 +114,44 @@ class MultimodalSpec extends SparkSpec {
     assert(again.sameElements(first))
   }
 
+  test("synthesizeWavs → WavDecoder round-trip recovers f(id) audio meta") {
+    val ids = Seq(0L, 1L, 7L, 8L, 1999L, 2000L, 12345L).toDF("doc_id")
+    val out = Multimodal.decodePartitions(
+        Multimodal.synthesizeWavs(ids, "doc_id"), Multimodal.WavDecoder)
+      .select(col("media_id"), col("meta.channels"), col("meta.sample_rate"),
+        col("meta.duration_ms"), col("meta.format"), col("meta.byte_len"))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val sr = (8000 + (id % 8) * 1000).toInt
+      val n  = (id % 2000 + 100).toInt
+      assert(r.getInt(1) == 1, s"channels for $id")
+      assert(r.getInt(2) == sr, s"sample_rate for $id")
+      assert(r.getLong(3) == n.toLong * 1000 / sr, s"duration for $id")
+      assert(r.getString(4) == "wav")
+      assert(r.getLong(5) == 44L + n * 2, s"byte_len for $id")
+    }
+  }
+
+  test("WavDecoder: corrupt, truncated, or non-WAV bytes → null dims, not a throw") {
+    // not RIFF at all
+    val junk = Multimodal.WavDecoder.decode("audio", "not audio".getBytes("UTF-8"))
+    assert(junk.getString(0) == "audio" && junk.isNullAt(4) && junk.isNullAt(5))
+    // RIFF/WAVE magic but truncated before any complete chunk
+    val wav = Multimodal.synthesizeWavs(Seq(42L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    assert(Multimodal.WavDecoder.decode("audio", wav.take(20)).isNullAt(5))
+    // data chunk size that lies past the buffer is still header-parseable
+    // (the walk reads sizes, never the payload)
+    assert(Multimodal.WavDecoder.decode("audio", wav.take(60)).getInt(4) > 0)
+    // non-audio media types aren't guessed at
+    assert(Multimodal.WavDecoder.decode("video", wav).isNullAt(5))
+    // declared-image bytes routed by the dispatcher stay image-parsed
+    val viaDispatch = Multimodal.HeaderDecoder.decode("audio", wav)
+    assert(viaDispatch.getString(7) == "wav" && viaDispatch.getInt(4) == 1)
+    assert(Multimodal.HeaderDecoder.decode("video", wav).isNullAt(4))
+  }
+
   test("decodePartitions matches decodeStub's expression math") {
     val viaPartitions = Multimodal.decodePartitions(media)
       .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),

@@ -9,6 +9,7 @@ the sfDir parquet tables, and compares against the Spark parquet dump at
 exact value equality.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -33,7 +34,24 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # Completeness gate: Verify writes errors.json (always, empty when
+    # clean) and an output dir per declared query. A query that errored or
+    # vanished is a hard FAIL here, never a silent omission.
+    try:
+        errors = json.load(open(f"{out_dir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
+    for name, msg in sorted(errors.items()):
+        print(f"FAIL {name}: verify ERRORED: {msg[:300]}")
+        failures += 1
+    missing = [n for n in sorted(oracle) if n not in errors
+               and not os.path.isdir(f"{out_dir}/{n}")]
+    for name in missing:
+        print(f"FAIL {name}: no output dir and no error recorded — query vanished")
+        failures += 1
     for name, sql in sorted(oracle.items()):
+        if name in errors or name in missing:
+            continue
         try:
             want = normalize(con.sql(sql).df())
             got = normalize(
