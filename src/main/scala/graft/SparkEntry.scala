@@ -517,6 +517,20 @@ object SparkEntry {
           col("meta.format").as("format"))
     },
 
+    // REAL video decode: synthesized minimal MP4s (timescale/duration/
+    // dims pure functions of doc_id) through the ISO-BMFF box walk —
+    // mdat is skipped by size, mvhd/tkhd must be genuinely parsed
+    "q_multimodal_video" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val media = graft.ml.Multimodal.synthesizeMp4s(docs, "doc_id")
+      graft.ml.Multimodal.decodePartitions(media, graft.ml.Multimodal.Mp4Decoder)
+        .select(col("media_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.format").as("format"))
+    },
+
     "q_rolling_fp" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -1295,6 +1309,17 @@ object SparkEntry {
         |  CAST((doc_id % 2000 + 100) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT)
         |    AS duration_ms,
         |  'wav' AS format
+        |FROM documents""".stripMargin,
+
+    // Mp4Decoder derives duration_ms = duration_units*1000 // timescale
+    // — non-negative, both engines floor identically.
+    "q_multimodal_video" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 320 + 16 AS INT) AS width,
+        |  CAST(doc_id % 240 + 16 AS INT) AS height,
+        |  CAST((doc_id % 50000 + 600) * 1000 // (600 + (doc_id % 4) * 200) AS BIGINT)
+        |    AS duration_ms,
+        |  'mp4' AS format
         |FROM documents""".stripMargin,
 
     "q_rolling_fp" ->

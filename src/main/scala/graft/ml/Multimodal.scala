@@ -193,13 +193,87 @@ object Multimodal {
     }
   }
 
+  /** REAL video header decoder for MP4/ISO-BMFF payloads — the container
+    * is a walk of big-endian `[4-byte size][4-byte type]` boxes, pure JDK.
+    * Reads `moov/mvhd` (timescale + duration → `duration_ms`) and the
+    * first `trak/tkhd` (16.16-fixed width/height). Header-only: `mdat`
+    * (the actual frames, ~all the bytes at corpus scale) is skipped by
+    * size, so cost is independent of clip length. Non-video media,
+    * non-ISO-BMFF bytes, and truncated headers degrade to the null-dims
+    * row, same contract as [[ImageIoDecoder]]/[[WavDecoder]]. */
+  object Mp4Decoder extends Decoder {
+    private def unreadable(mediaType: String, len: Long): Row =
+      Row(mediaType, len, null, null, null, null, null, null)
+    private def be32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) << 24 | (b(off + 1) & 0xffL) << 16 |
+        (b(off + 2) & 0xffL) << 8 | (b(off + 3) & 0xffL)
+    private def be64(b: Array[Byte], off: Int): Long =
+      be32(b, off) << 32 | be32(b, off + 4)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private case class Scan(var durationMs: java.lang.Long = null,
+        var width: Integer = null, var height: Integer = null)
+    /** Walk sibling boxes in [from, to); recurse into moov/trak. */
+    private def walk(b: Array[Byte], from: Int, to: Int, s: Scan): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val size = be32(b, off)
+        // size==1 means 64-bit extended size; size==0 means to-end-of-file
+        val (boxSize, hdr) =
+          if (size == 1 && off + 16 <= to) (be64(b, off + 8), 16)
+          else if (size == 0) ((to - off).toLong, 8)
+          else (size, 8)
+        if (boxSize < hdr || boxSize > to - off) return // corrupt: stop
+        val bodyOff = off + hdr
+        val bodyEnd = off + boxSize.toInt
+        tag(b, off + 4) match {
+          case "moov" | "trak" => walk(b, bodyOff, bodyEnd, s)
+          case "mvhd" if s.durationMs == null && bodyOff + 4 <= bodyEnd =>
+            val v = b(bodyOff) & 0xff
+            // v0: 4-byte times at body+12 (timescale) +16 (duration);
+            // v1: 8-byte times, timescale still 4 bytes at body+20
+            val (ts, dur) =
+              if (v == 1 && bodyOff + 32 <= bodyEnd)
+                (be32(b, bodyOff + 20), be64(b, bodyOff + 24))
+              else if (v == 0 && bodyOff + 20 <= bodyEnd)
+                (be32(b, bodyOff + 12), be32(b, bodyOff + 16))
+              else (0L, 0L)
+            if (ts > 0) s.durationMs = java.lang.Long.valueOf(dur * 1000L / ts)
+          case "tkhd" if s.width == null =>
+            val v = b(bodyOff) & 0xff
+            // width/height: 16.16 fixed, after version+flags(4),
+            // times+track_id+reserved+duration (20 v0 / 32 v1),
+            // reserved(8), layer/group/volume/reserved(8), matrix(36)
+            val dimOff = if (v == 1) bodyOff + 88 else bodyOff + 76
+            if (dimOff + 8 <= bodyEnd) {
+              s.width = Integer.valueOf((be32(b, dimOff) >> 16).toInt)
+              s.height = Integer.valueOf((be32(b, dimOff + 4) >> 16).toInt)
+            }
+          case _ => ()
+        }
+        off = bodyEnd
+      }
+    }
+    def decode(mediaType: String, content: Array[Byte]): Row = {
+      val len = content.length.toLong
+      if (mediaType != "video" || content.length < 16 ||
+          tag(content, 4) != "ftyp") return unreadable(mediaType, len)
+      val s = Scan()
+      try walk(content, 0, content.length, s)
+      catch { case _: IndexOutOfBoundsException => return unreadable(mediaType, len) }
+      if (s.durationMs == null) unreadable(mediaType, len)
+      else Row(mediaType, len, s.width, s.height, null, null, s.durationMs, "mp4")
+    }
+  }
+
   /** Dispatch on `media_type` for mixed corpora: images through the real
-    * header parse, audio through the RIFF walk, everything else (video —
-    * the remaining stub boundary) to the null-dims row. */
+    * ImageIO header parse, audio through the RIFF walk, video through the
+    * ISO-BMFF box walk; anything else to the null-dims row. */
   object HeaderDecoder extends Decoder {
     def decode(mediaType: String, content: Array[Byte]): Row = mediaType match {
       case "image" => ImageIoDecoder.decode(mediaType, content)
       case "audio" => WavDecoder.decode(mediaType, content)
+      case "video" => Mp4Decoder.decode(mediaType, content)
       case _ => Row(mediaType, content.length.toLong,
         null, null, null, null, null, null)
     }
@@ -237,6 +311,63 @@ object Multimodal {
           i += 1
         }
         Row(r.get(0), "audio", bb.array())
+      }
+    }(outEncoder)
+  }
+
+  /** Deterministic MP4 fixtures, the video twin of [[synthesizeWavs]]:
+    * a minimal ISO-BMFF container (`ftyp` + `moov[mvhd + trak[tkhd]]` +
+    * a small `mdat`) where `timescale = 600 + (id % 4) * 200`,
+    * `duration_units = id % 50000 + 600`, `width = id % 320 + 16`,
+    * `height = id % 240 + 16` — so the oracle predicts
+    * `duration_ms = units * 1000 // timescale` and the dims
+    * arithmetically, and only a genuine box walk reproduces them. */
+  def synthesizeMp4s(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue
+        val timescale = (600 + (id % 4) * 200).toInt
+        val duration = (id % 50000 + 600).toInt
+        val (w, h) = ((id % 320 + 16).toInt, (id % 240 + 16).toInt)
+        val mdatBytes = (id % 64 + 8).toInt
+        val bb = java.nio.ByteBuffer // big-endian default
+          .allocate(20 + 8 + 108 + 8 + 92 + 8 + mdatBytes)
+        def fourcc(s: String) = bb.put(s.getBytes("US-ASCII")): Unit
+        // ftyp
+        bb.putInt(20); fourcc("ftyp"); fourcc("isom"); bb.putInt(0); fourcc("isom")
+        // moov wraps mvhd(108) + trak(8+92)
+        bb.putInt(8 + 108 + 8 + 92); fourcc("moov")
+        bb.putInt(108); fourcc("mvhd")
+        bb.putInt(0) // version 0 + flags
+        bb.putInt(0).putInt(0) // creation, modification
+        bb.putInt(timescale).putInt(duration)
+        bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, reserved
+        bb.putInt(0).putInt(0) // reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt) // identity matrix
+        (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+        bb.putInt(2) // next_track_ID
+        bb.putInt(8 + 92); fourcc("trak")
+        bb.putInt(92); fourcc("tkhd")
+        bb.putInt(0x000007) // version 0 + enabled flags
+        bb.putInt(0).putInt(0) // creation, modification
+        bb.putInt(1).putInt(0) // track_ID, reserved
+        bb.putInt(duration)
+        bb.putInt(0).putInt(0) // reserved
+        bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)
+        bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+        // mdat: deterministic filler the decoder must SKIP by size
+        bb.putInt(8 + mdatBytes); fourcc("mdat")
+        var i = 0
+        while (i < mdatBytes) { bb.put(((id * 31 + i * 7) & 0xff).toByte); i += 1 }
+        Row(r.get(0), "video", bb.array())
       }
     }(outEncoder)
   }

@@ -152,6 +152,43 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.HeaderDecoder.decode("video", wav).isNullAt(4))
   }
 
+  test("synthesizeMp4s → Mp4Decoder round-trip recovers f(id) video meta") {
+    val ids = Seq(0L, 1L, 3L, 4L, 319L, 50000L, 98765L).toDF("doc_id")
+    val out = Multimodal.decodePartitions(
+        Multimodal.synthesizeMp4s(ids, "doc_id"), Multimodal.Mp4Decoder)
+      .select(col("media_id"), col("meta.width"), col("meta.height"),
+        col("meta.duration_ms"), col("meta.format"), col("meta.channels"))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ts = (600 + (id % 4) * 200).toInt
+      val units = (id % 50000 + 600).toLong
+      assert(r.getInt(1) == (id % 320 + 16).toInt, s"width for $id")
+      assert(r.getInt(2) == (id % 240 + 16).toInt, s"height for $id")
+      assert(r.getLong(3) == units * 1000 / ts, s"duration for $id")
+      assert(r.getString(4) == "mp4")
+      assert(r.isNullAt(5)) // no audio channel info in a video header
+    }
+  }
+
+  test("Mp4Decoder: corrupt, truncated, or non-MP4 bytes → null dims, not a throw") {
+    val junk = Multimodal.Mp4Decoder.decode("video", "no ftyp here....".getBytes("UTF-8"))
+    assert(junk.getString(0) == "video" && junk.isNullAt(2) && junk.isNullAt(6))
+    val mp4 = Multimodal.synthesizeMp4s(Seq(7L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    // truncated inside moov: the walk sees an over-long box and stops
+    assert(Multimodal.Mp4Decoder.decode("video", mp4.take(40)).isNullAt(6))
+    // truncation past moov but inside mdat: header already parsed —
+    // exactly the header-only property that makes this scale
+    val pastMoov = mp4.take(20 + 8 + 108 + 8 + 92 + 8)
+    assert(Multimodal.Mp4Decoder.decode("video", pastMoov).getLong(6) ==
+      (7L % 50000 + 600) * 1000 / (600 + (7 % 4) * 200))
+    // non-video media types aren't guessed at
+    assert(Multimodal.Mp4Decoder.decode("audio", mp4).isNullAt(6))
+    // dispatcher routes video to the box walk
+    assert(Multimodal.HeaderDecoder.decode("video", mp4).getString(7) == "mp4")
+  }
+
   test("decodePartitions matches decodeStub's expression math") {
     val viaPartitions = Multimodal.decodePartitions(media)
       .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),
