@@ -181,9 +181,12 @@ object Bench {
     // the map yields first and round-over-round comparisons drift with
     // map order.
     val tShared = System.nanoTime()
-    try SparkEntry.prebuildShared(spark, sfDir) catch { case _: Throwable => () }
+    if (rounds > 0)
+      try SparkEntry.prebuildShared(spark, sfDir) catch { case _: Throwable => () }
     val sharedSec = (System.nanoTime() - tShared) / 1e9
-    val names = SparkEntry.queries.keys.toSeq
+    // SPARK_GRAFT_BENCH_RUNS=0 → stress-only run (probe-reproducibility
+    // measurements without paying 3 query rounds)
+    val names = if (rounds > 0) SparkEntry.queries.keys.toSeq else Seq.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (r <- 0 until rounds) {
