@@ -531,6 +531,28 @@ object SparkEntry {
           col("meta.format").as("format"))
     },
 
+    // MIXED corpus through the media_type/magic dispatcher: one gate
+    // proving image+WAV+MP4+FLAC rows coexist in a single frame and each
+    // routes to its real header parse (the shape an actual multimodal
+    // training corpus has)
+    "q_multimodal_mixed" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      def part(m: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === m)
+      val media = mm.synthesizeImages(part(0), "doc_id")
+        .unionByName(mm.synthesizeWavs(part(1), "doc_id"))
+        .unionByName(mm.synthesizeMp4s(part(2), "doc_id"))
+        .unionByName(mm.synthesizeFlacs(part(3), "doc_id"))
+      mm.decodePartitions(media, mm.HeaderDecoder)
+        .select(col("media_id"),
+          col("meta.media_type").as("media_type"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.format").as("format"))
+    },
+
     "q_rolling_fp" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -1320,6 +1342,26 @@ object SparkEntry {
         |  CAST((doc_id % 50000 + 600) * 1000 // (600 + (doc_id % 4) * 200) AS BIGINT)
         |    AS duration_ms,
         |  'mp4' AS format
+        |FROM documents""".stripMargin,
+
+    // doc_id%4==2 rows have timescale 600+2*200=1000, so their
+    // duration_ms collapses to the raw duration units
+    "q_multimodal_mixed" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 2 THEN 'video'
+        |    ELSE 'audio' END AS media_type,
+        |  CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 64 + 1 AS INT)
+        |    WHEN 2 THEN CAST(doc_id % 320 + 16 AS INT) END AS width,
+        |  CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 48 + 1 AS INT)
+        |    WHEN 2 THEN CAST(doc_id % 240 + 16 AS INT) END AS height,
+        |  CASE WHEN doc_id % 4 IN (1, 3)
+        |    THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 4 IN (1, 3)
+        |    THEN CAST((doc_id % 2000 + 100) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT)
+        |    WHEN doc_id % 4 = 2 THEN CAST(doc_id % 50000 + 600 AS BIGINT)
+        |  END AS duration_ms,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |    WHEN 2 THEN 'mp4' ELSE 'flac' END AS format
         |FROM documents""".stripMargin,
 
     "q_rolling_fp" ->

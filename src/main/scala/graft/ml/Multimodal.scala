@@ -193,6 +193,66 @@ object Multimodal {
     }
   }
 
+  /** REAL audio header decoder for FLAC payloads — the STREAMINFO
+    * metadata block is mandatory and first, so the parse is fixed-offset:
+    * after the 4-byte magic and 4-byte block header, bytes 10-17 of the
+    * block body pack `sample_rate(20) | channels-1(3) | bps-1(5) |
+    * total_samples(36)` big-endian, and `duration_ms = total_samples *
+    * 1000 / sample_rate`. Header-only (frames never read); corrupt or
+    * non-FLAC bytes degrade to the null-dims row. */
+  object FlacDecoder extends Decoder {
+    private def unreadable(mediaType: String, len: Long): Row =
+      Row(mediaType, len, null, null, null, null, null, null)
+    def decode(mediaType: String, content: Array[Byte]): Row = {
+      val len = content.length.toLong
+      // magic + block header + 34-byte STREAMINFO
+      if (mediaType != "audio" || content.length < 42 ||
+          content(0) != 'f' || content(1) != 'L' ||
+          content(2) != 'a' || content(3) != 'C' ||
+          (content(4) & 0x7f) != 0) // first block must be STREAMINFO
+        return unreadable(mediaType, len)
+      var packed = 0L // body bytes 10-17, big-endian
+      var i = 0
+      while (i < 8) { packed = packed << 8 | (content(18 + i) & 0xffL); i += 1 }
+      val sampleRate = (packed >>> 44).toInt
+      val channels = ((packed >>> 41) & 0x7).toInt + 1
+      val totalSamples = packed & ((1L << 36) - 1)
+      if (sampleRate <= 0) unreadable(mediaType, len)
+      else Row(mediaType, len, null, null, Integer.valueOf(channels),
+        Integer.valueOf(sampleRate),
+        java.lang.Long.valueOf(totalSamples * 1000L / sampleRate), "flac")
+    }
+  }
+
+  /** Deterministic FLAC fixtures sharing [[synthesizeWavs]]'s id-derived
+    * parameters (rate `8000 + (id % 8) * 1000`, samples `id % 2000 +
+    * 100`), so the same oracle arithmetic gates both audio containers. */
+  def synthesizeFlacs(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue
+        val sampleRate = 8000L + (id % 8) * 1000
+        val totalSamples = id % 2000 + 100
+        val bb = java.nio.ByteBuffer.allocate(42) // BE default
+        bb.put("fLaC".getBytes("US-ASCII"))
+        bb.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte) // last STREAMINFO, len 34
+        bb.putShort(4096).putShort(4096) // min/max block size
+        bb.put(0.toByte).put(0.toByte).put(0.toByte) // min frame size (unknown)
+        bb.put(0.toByte).put(0.toByte).put(0.toByte) // max frame size
+        // rate(20) | channels-1(3) | bps-1(5) | total_samples(36)
+        bb.putLong(sampleRate << 44 | 0L << 41 | 15L << 36 | totalSamples)
+        // md5 of the (absent) audio stream: zeros = "unknown" per spec
+        // — and the 42-byte header IS the whole fixture (header-only parse)
+        Row(r.get(0), "audio", bb.array())
+      }
+    }(outEncoder)
+  }
+
   /** REAL video header decoder for MP4/ISO-BMFF payloads — the container
     * is a walk of big-endian `[4-byte size][4-byte type]` boxes, pure JDK.
     * Reads `moov/mvhd` (timescale + duration → `duration_ms`) and the
@@ -267,12 +327,16 @@ object Multimodal {
   }
 
   /** Dispatch on `media_type` for mixed corpora: images through the real
-    * ImageIO header parse, audio through the RIFF walk, video through the
-    * ISO-BMFF box walk; anything else to the null-dims row. */
+    * ImageIO header parse, audio by container magic (RIFF → WAV walk,
+    * fLaC → STREAMINFO), video through the ISO-BMFF box walk; anything
+    * else to the null-dims row. */
   object HeaderDecoder extends Decoder {
     def decode(mediaType: String, content: Array[Byte]): Row = mediaType match {
       case "image" => ImageIoDecoder.decode(mediaType, content)
-      case "audio" => WavDecoder.decode(mediaType, content)
+      case "audio" =>
+        if (content.length >= 4 && content(0) == 'f' && content(1) == 'L' &&
+          content(2) == 'a' && content(3) == 'C') FlacDecoder.decode(mediaType, content)
+        else WavDecoder.decode(mediaType, content)
       case "video" => Mp4Decoder.decode(mediaType, content)
       case _ => Row(mediaType, content.length.toLong,
         null, null, null, null, null, null)

@@ -189,6 +189,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.HeaderDecoder.decode("video", mp4).getString(7) == "mp4")
   }
 
+  test("synthesizeFlacs → FlacDecoder round-trip recovers f(id) audio meta") {
+    val ids = Seq(0L, 1L, 7L, 8L, 1999L, 54321L).toDF("doc_id")
+    val out = Multimodal.decodePartitions(
+        Multimodal.synthesizeFlacs(ids, "doc_id"), Multimodal.FlacDecoder)
+      .select(col("media_id"), col("meta.channels"), col("meta.sample_rate"),
+        col("meta.duration_ms"), col("meta.format"))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val sr = (8000 + (id % 8) * 1000).toInt
+      val n  = id % 2000 + 100
+      assert(r.getInt(1) == 1 && r.getInt(2) == sr, s"meta for $id")
+      assert(r.getLong(3) == n * 1000 / sr, s"duration for $id")
+      assert(r.getString(4) == "flac")
+    }
+    // corrupt / truncated / non-audio degrade, never throw
+    assert(Multimodal.FlacDecoder.decode("audio", "fLaX nope".getBytes).isNullAt(5))
+    assert(Multimodal.FlacDecoder.decode("audio", Array[Byte]('f', 'L', 'a', 'C')).isNullAt(5))
+    assert(Multimodal.FlacDecoder.decode("image", Array[Byte](1)).isNullAt(5))
+  }
+
+  test("HeaderDecoder sniffs audio container magic: RIFF → wav, fLaC → flac") {
+    val wav = Multimodal.synthesizeWavs(Seq(5L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    val flac = Multimodal.synthesizeFlacs(Seq(5L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    assert(Multimodal.HeaderDecoder.decode("audio", wav).getString(7) == "wav")
+    assert(Multimodal.HeaderDecoder.decode("audio", flac).getString(7) == "flac")
+    // same id ⇒ same predicted rate/duration through BOTH containers
+    val w = Multimodal.HeaderDecoder.decode("audio", wav)
+    val f = Multimodal.HeaderDecoder.decode("audio", flac)
+    assert(w.getInt(5) == f.getInt(5) && w.getLong(6) == f.getLong(6))
+  }
+
   test("decodePartitions matches decodeStub's expression math") {
     val viaPartitions = Multimodal.decodePartitions(media)
       .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),
