@@ -251,4 +251,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("multimodal decode stays narrow: no shuffle between synthesis and decode") {
+    // the decode seam is mapPartitions over mapPartitions (plus a union
+    // for the mixed gate) — payload bytes must never cross an Exchange;
+    // at 100 TB of media an accidental shuffle here moves the whole
+    // corpus instead of the metadata
+    for (q <- Seq("q_multimodal_decode", "q_multimodal_audio",
+        "q_multimodal_video", "q_multimodal_mixed")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q shuffles payload bytes:\n$plan")
+    }
+  }
 }
