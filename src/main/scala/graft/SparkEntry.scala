@@ -567,6 +567,20 @@ object SparkEntry {
           col("meta.format").as("format"))
     },
 
+    // REAL MP3 decode: synthesized MPEG-1 Layer III frames (bitrate/rate
+    // indices and byte length pure functions of doc_id) — the oracle
+    // reproduces the header tables and the CBR duration arithmetic
+    "q_multimodal_mp3" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      mm.decodePartitions(mm.synthesizeMp3s(docs, "doc_id"), mm.Mp3Decoder)
+        .select(col("media_id"),
+          col("meta.channels").as("channels"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.format").as("format"))
+    },
+
     "q_rolling_fp" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -1376,6 +1390,19 @@ object SparkEntry {
         |  END AS duration_ms,
         |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
         |    WHEN 2 THEN 'mp4' ELSE 'flac' END AS format
+        |FROM documents""".stripMargin,
+
+    // duration = total_bytes*8*1000 // (kbps*1000) which reduces to
+    // total_bytes*8 // kbps (shared factor 1000); total = 4 + id%512+128
+    "q_multimodal_mp3" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(list_extract([44100, 48000, 32000], CAST(doc_id % 3 + 1 AS INT)) AS INT)
+        |    AS sample_rate,
+        |  CAST((doc_id % 512 + 132) * 8 //
+        |    list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+        |      CAST(doc_id % 14 + 1 AS INT)) AS BIGINT) AS duration_ms,
+        |  'mp3' AS format
         |FROM documents""".stripMargin,
 
     "q_rolling_fp" ->

@@ -253,6 +253,85 @@ object Multimodal {
     }(outEncoder)
   }
 
+  /** REAL audio header decoder for MP3 (MPEG-1 Layer III) payloads —
+    * skips an optional ID3v2 tag (synchsafe length), validates the frame
+    * sync, reads sample rate / channel mode off the 4-byte frame header,
+    * and estimates `duration_ms = audio_bytes * 8 / bitrate` (exact for
+    * CBR, the estimate every tag-less player shows for VBR). Header-only;
+    * corrupt/unsupported (MPEG-2/2.5, other layers, bad indices) degrade
+    * to the null-dims row. */
+  object Mp3Decoder extends Decoder {
+    // MPEG-1 Layer III bitrate table, kbps, index 1-14 (0/15 invalid)
+    private val bitrateKbps = Array(0, 32, 40, 48, 56, 64, 80, 96,
+      112, 128, 160, 192, 224, 256, 320, 0)
+    private val sampleRates = Array(44100, 48000, 32000)
+    private def unreadable(mediaType: String, len: Long): Row =
+      Row(mediaType, len, null, null, null, null, null, null)
+    def decode(mediaType: String, content: Array[Byte]): Row = {
+      val len = content.length.toLong
+      if (mediaType != "audio") return unreadable(mediaType, len)
+      var off = 0
+      if (content.length >= 10 && content(0) == 'I' && content(1) == 'D' &&
+          content(2) == '3') {
+        // ID3v2: 4 synchsafe size bytes (7 bits each) at offset 6
+        var size = 0
+        var i = 6
+        while (i < 10) { size = size << 7 | (content(i) & 0x7f); i += 1 }
+        off = 10 + size
+      }
+      if (off < 0 || off + 4 > content.length) return unreadable(mediaType, len)
+      val b1 = content(off + 1) & 0xff
+      val b2 = content(off + 2) & 0xff
+      val b3 = content(off + 3) & 0xff
+      val version = (b1 >> 3) & 3
+      val layer = (b1 >> 1) & 3
+      if ((content(off) & 0xff) != 0xff || (b1 & 0xe0) != 0xe0 ||
+          version != 3 || layer != 1) // MPEG-1 Layer III only
+        return unreadable(mediaType, len)
+      val brIdx = (b2 >> 4) & 0xf
+      val srIdx = (b2 >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3)
+        return unreadable(mediaType, len)
+      val channels = if (((b3 >> 6) & 3) == 3) 1 else 2
+      val bitrateBps = bitrateKbps(brIdx) * 1000L
+      Row(mediaType, len, null, null, Integer.valueOf(channels),
+        Integer.valueOf(sampleRates(srIdx)),
+        java.lang.Long.valueOf((len - off) * 8L * 1000L / bitrateBps), "mp3")
+    }
+  }
+
+  /** Deterministic MP3 fixtures: one MPEG-1 Layer III frame header with
+    * `bitrate_index = id % 14 + 1`, `sample_rate_index = id % 3`, mono,
+    * followed by `id % 512 + 128` filler bytes — so the oracle predicts
+    * sample_rate (table lookup) and the CBR duration estimate
+    * arithmetically. */
+  def synthesizeMp3s(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue
+        val brIdx = (id % 14 + 1).toInt
+        val srIdx = (id % 3).toInt
+        val filler = (id % 512 + 128).toInt
+        val bytes = new Array[Byte](4 + filler)
+        bytes(0) = 0xff.toByte
+        bytes(1) = 0xfb.toByte // sync | MPEG-1 | Layer III | no CRC
+        bytes(2) = (brIdx << 4 | srIdx << 2).toByte
+        bytes(3) = 0xc0.toByte // mono
+        var i = 0
+        while (i < filler) { // deterministic filler: content is f(id)
+          bytes(4 + i) = ((id * 31 + i * 7) & 0xff).toByte
+          i += 1
+        }
+        Row(r.get(0), "audio", bytes)
+      }
+    }(outEncoder)
+  }
+
   /** REAL video header decoder for MP4/ISO-BMFF payloads — the container
     * is a walk of big-endian `[4-byte size][4-byte type]` boxes, pure JDK.
     * Reads `moov/mvhd` (timescale + duration → `duration_ms`) and the
@@ -336,6 +415,9 @@ object Multimodal {
       case "audio" =>
         if (content.length >= 4 && content(0) == 'f' && content(1) == 'L' &&
           content(2) == 'a' && content(3) == 'C') FlacDecoder.decode(mediaType, content)
+        else if (content.length >= 4 && ((content(0) == 'I' && content(1) == 'D' &&
+          content(2) == '3') || ((content(0) & 0xff) == 0xff &&
+          (content(1) & 0xe0) == 0xe0))) Mp3Decoder.decode(mediaType, content)
         else WavDecoder.decode(mediaType, content)
       case "video" => Mp4Decoder.decode(mediaType, content)
       case _ => Row(mediaType, content.length.toLong,

@@ -223,6 +223,48 @@ class MultimodalSpec extends SparkSpec {
     assert(w.getInt(5) == f.getInt(5) && w.getLong(6) == f.getLong(6))
   }
 
+  test("synthesizeMp3s → Mp3Decoder round-trip recovers f(id) audio meta") {
+    val ids = Seq(0L, 1L, 2L, 13L, 14L, 511L, 99999L).toDF("doc_id")
+    val rates = Array(44100, 48000, 32000)
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val out = Multimodal.decodePartitions(
+        Multimodal.synthesizeMp3s(ids, "doc_id"), Multimodal.Mp3Decoder)
+      .select(col("media_id"), col("meta.channels"), col("meta.sample_rate"),
+        col("meta.duration_ms"), col("meta.format"))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val br = kbps((id % 14 + 1).toInt)
+      assert(r.getInt(1) == 1 && r.getInt(2) == rates((id % 3).toInt), s"meta for $id")
+      assert(r.getLong(3) == (id % 512 + 132) * 8 / br, s"duration for $id")
+      assert(r.getString(4) == "mp3")
+    }
+  }
+
+  test("Mp3Decoder: ID3v2 skip, corrupt sync, unsupported version → safe") {
+    val mp3 = Multimodal.synthesizeMp3s(Seq(9L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    // prepend an ID3v2 tag (synchsafe size 200) + 200 tag bytes: the
+    // duration must count only the audio bytes after the tag
+    val tag = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0, 0, (200 >> 7).toByte, (200 & 0x7f).toByte) ++
+      new Array[Byte](200)
+    val tagged = Multimodal.Mp3Decoder.decode("audio", tag ++ mp3)
+    val bare = Multimodal.Mp3Decoder.decode("audio", mp3)
+    assert(tagged.getLong(6) == bare.getLong(6), "ID3 bytes leaked into duration")
+    assert(tagged.getInt(5) == bare.getInt(5))
+    // corrupt: bad sync, truncated, reserved bitrate index, MPEG-2 version
+    assert(Multimodal.Mp3Decoder.decode("audio", "random junk".getBytes).isNullAt(5))
+    assert(Multimodal.Mp3Decoder.decode("audio", mp3.take(3)).isNullAt(5))
+    val badBr = mp3.clone(); badBr(2) = (15 << 4).toByte
+    assert(Multimodal.Mp3Decoder.decode("audio", badBr).isNullAt(5))
+    val mpeg2 = mp3.clone(); mpeg2(1) = 0xf3.toByte
+    assert(Multimodal.Mp3Decoder.decode("audio", mpeg2).isNullAt(5))
+    // dispatcher sniffs both bare-sync and ID3-prefixed payloads to mp3
+    assert(Multimodal.HeaderDecoder.decode("audio", mp3).getString(7) == "mp3")
+    assert(Multimodal.HeaderDecoder.decode("audio", tag ++ mp3).getString(7) == "mp3")
+  }
+
   test("decodePartitions matches decodeStub's expression math") {
     val viaPartitions = Multimodal.decodePartitions(media)
       .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),
