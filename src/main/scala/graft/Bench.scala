@@ -45,7 +45,11 @@ object Bench {
     val stressSamples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val stressCopies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "100").toInt
     val semCopies = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_COPIES", "50").toInt
-    val stressRuns = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "2").toInt
+    // min-of-3 by default: a same-session A/B (this round) showed min-of-2
+    // still moving 45-67% probe-normalized on two ops when the machine
+    // slowed 20% mid-block — the third sample tightens the floor for ~3
+    // extra minutes of driver time
+    val stressRuns = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "3").toInt
     if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") != "0") {
       spark.catalog.clearCache()
       graft.core.CacheRegistry.drain()
@@ -131,6 +135,11 @@ object Bench {
           regexp_replace(col("text"), "(\\S+)", "zz_$1").as("text"))) // ~5k unseen
       timed("store_drop")(
         graft.ml.Dedup.dropSeenStore(increment, storeDir, "text").count())
+      // mid-block probe sample: contention can ramp DURING the block
+      // (observed: ops slowed while the pre-block probe stayed fast,
+      // which over-amplified stress_norm) — sampling the floor at three
+      // points brackets the ops it normalizes
+      val probeMid = probeOnce()
       // NEAR STORE + SKEWED INCREMENT (VERDICT r9 stretch 8): the banded
       // store probe DISTINCTs increment fingerprints before the join, so
       // a boilerplate-heavy increment (99% of rows one hot text — the
@@ -166,9 +175,9 @@ object Bench {
       timed("semdedup")(
         graft.ml.Similarity.semanticDedup(bigVecs, "embedding", "vec_id",
           numCells = 16, threshold = 0.95, maxCellSize = 2000L).count())
-      // one post-block probe sample: contention can ramp mid-run, and the
-      // min over pre+post samples is the best available machine floor
-      val probeAll = probePre :+ probeOnce()
+      // pre + mid + post probe samples: the min is the machine floor the
+      // stress ops are normalized against
+      val probeAll = probePre :+ probeMid :+ probeOnce()
       stressSamples("probe") = probeAll
       stress("probe") = probeAll.min
       System.gc() // leave the query rounds a settled heap
