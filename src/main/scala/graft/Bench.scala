@@ -175,6 +175,26 @@ object Bench {
       timed("semdedup")(
         graft.ml.Similarity.semanticDedup(bigVecs, "embedding", "vec_id",
           numCells = 16, threshold = 0.95, maxCellSize = 2000L).count())
+      // MULTIMODAL HEADER THROUGHPUT: synthesize-and-decode a mixed
+      // audio/video corpus (WAV/MP4/FLAC/Ogg/WebM by id%5 — PNG excluded
+      // because ImageIO *encode* would dominate the fixture side) fused
+      // in one pass, stressCopies × documents rows. The decoders are
+      // header-only, so this is the per-row fixed cost a 100 TB media
+      // scan pays; a regression here means a decoder started reading
+      // payload bytes.
+      locally {
+        val mm = graft.ml.Multimodal
+        val ids = bigDocs.select(col("doc_id"))
+        def cls(m: Int) = ids.filter(pmod(col("doc_id"), lit(5)) === m)
+        val bigMedia = mm.synthesizeWavs(cls(0), "doc_id")
+          .unionByName(mm.synthesizeMp4s(cls(1), "doc_id"))
+          .unionByName(mm.synthesizeFlacs(cls(2), "doc_id"))
+          .unionByName(mm.synthesizeOggs(cls(3), "doc_id"))
+          .unionByName(mm.synthesizeMkvs(cls(4), "doc_id"))
+        timed("decode_headers")(
+          mm.decodePartitions(bigMedia, mm.HeaderDecoder)
+            .agg(sum(col("meta.duration_ms"))).count())
+      }
       // pre + mid + post probe samples: the min is the machine floor the
       // stress ops are normalized against
       val probeAll = probePre :+ probeMid :+ probeOnce()

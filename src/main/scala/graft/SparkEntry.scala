@@ -76,9 +76,11 @@ object SparkEntry {
             .localCheckpoint())
     }
 
-  /** The mixed-modality fixture (PNG+WAV+MP4+FLAC by doc_id%4) memoized
-    * for the same reason: q_multimodal_mixed times the dispatcher and
-    * header parses, not per-round fixture synthesis. */
+  /** The mixed-modality fixture (PNG+WAV+MP4+FLAC+Ogg+WebM by doc_id%6)
+    * memoized for the same reason: q_multimodal_mixed times the
+    * dispatcher and header parses, not per-round fixture synthesis.
+    * doc_id%6==4 rows are even ids, so [[graft.ml.Multimodal.synthesizeOggs]]'s
+    * parity split makes them all Vorbis — the oracle leans on that. */
   private def sharedSynthMixed(s: SparkSession, dir: String): DataFrame =
     pairsMemo.synchronized {
       pairsMemo
@@ -86,11 +88,13 @@ object SparkEntry {
         .getOrElseUpdate(dir + "#synth_mixed", {
           val mm = graft.ml.Multimodal
           val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-          def part(m: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === m)
+          def part(m: Int) = docs.filter(pmod(col("doc_id"), lit(6)) === m)
           mm.synthesizeImages(part(0), "doc_id")
             .unionByName(mm.synthesizeWavs(part(1), "doc_id"))
             .unionByName(mm.synthesizeMp4s(part(2), "doc_id"))
             .unionByName(mm.synthesizeFlacs(part(3), "doc_id"))
+            .unionByName(mm.synthesizeOggs(part(4), "doc_id"))
+            .unionByName(mm.synthesizeMkvs(part(5), "doc_id"))
             .localCheckpoint()
         })
     }
@@ -552,9 +556,9 @@ object SparkEntry {
     },
 
     // MIXED corpus through the media_type/magic dispatcher: one gate
-    // proving image+WAV+MP4+FLAC rows coexist in a single frame and each
-    // routes to its real header parse (the shape an actual multimodal
-    // training corpus has)
+    // proving image+WAV+MP4+FLAC+Ogg+WebM rows coexist in a single frame
+    // and each routes to its real header parse (the shape an actual
+    // multimodal training corpus has)
     "q_multimodal_mixed" -> { (s, dir) =>
       val mm = graft.ml.Multimodal
       mm.decodePartitions(sharedSynthMixed(s, dir), mm.HeaderDecoder)
@@ -577,6 +581,37 @@ object SparkEntry {
         .select(col("media_id"),
           col("meta.channels").as("channels"),
           col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.format").as("format"))
+    },
+
+    // REAL Ogg decode: synthesized two-page Ogg streams alternating
+    // Vorbis/Opus id headers by id parity — the oracle predicts
+    // channels/sample_rate/duration_ms arithmetically (Vorbis duration
+    // from the final granule ÷ rate, Opus from 48 kHz granules minus
+    // pre-skip), so only a genuine page+id-header parse matches
+    "q_multimodal_ogg" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      mm.decodePartitions(mm.synthesizeOggs(docs, "doc_id"), mm.OggDecoder)
+        .select(col("media_id"),
+          col("meta.channels").as("channels"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.format").as("format"))
+    },
+
+    // REAL Matroska/WebM decode: synthesized EBML containers (Info
+    // duration/scale + Tracks video dims pure functions of doc_id, plus
+    // a filler element the walker must skip by size) — only a genuine
+    // EBML varint walk reproduces the oracle's arithmetic
+    "q_multimodal_webm" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      mm.decodePartitions(mm.synthesizeMkvs(docs, "doc_id"), mm.MkvDecoder)
+        .select(col("media_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
           col("meta.duration_ms").as("duration_ms"),
           col("meta.format").as("format"))
     },
@@ -1372,24 +1407,33 @@ object SparkEntry {
         |  'mp4' AS format
         |FROM documents""".stripMargin,
 
-    // doc_id%4==2 rows have timescale 600+2*200=1000, so their
-    // duration_ms collapses to the raw duration units
+    // Six modality classes by doc_id%6. Audio classes 1 (WAV), 3 (FLAC)
+    // and 4 (Ogg — even ids, so always the Vorbis arm of the parity
+    // split) share the same rate/sample arithmetic; video class 2 (MP4)
+    // keeps the general timescale formula and class 5 (WebM) has
+    // TimestampScale = 1 ms so duration is the raw float
     "q_multimodal_mixed" ->
       """SELECT doc_id AS media_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 2 THEN 'video'
+        |  CASE WHEN doc_id % 6 = 0 THEN 'image'
+        |    WHEN doc_id % 6 IN (2, 5) THEN 'video'
         |    ELSE 'audio' END AS media_type,
-        |  CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 64 + 1 AS INT)
-        |    WHEN 2 THEN CAST(doc_id % 320 + 16 AS INT) END AS width,
-        |  CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 48 + 1 AS INT)
-        |    WHEN 2 THEN CAST(doc_id % 240 + 16 AS INT) END AS height,
-        |  CASE WHEN doc_id % 4 IN (1, 3)
+        |  CASE WHEN doc_id % 6 = 0 THEN CAST(doc_id % 64 + 1 AS INT)
+        |    WHEN doc_id % 6 IN (2, 5) THEN CAST(doc_id % 320 + 16 AS INT)
+        |  END AS width,
+        |  CASE WHEN doc_id % 6 = 0 THEN CAST(doc_id % 48 + 1 AS INT)
+        |    WHEN doc_id % 6 IN (2, 5) THEN CAST(doc_id % 240 + 16 AS INT)
+        |  END AS height,
+        |  CASE WHEN doc_id % 6 IN (1, 3, 4)
         |    THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate,
-        |  CASE WHEN doc_id % 4 IN (1, 3)
+        |  CASE WHEN doc_id % 6 IN (1, 3, 4)
         |    THEN CAST((doc_id % 2000 + 100) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT)
-        |    WHEN doc_id % 4 = 2 THEN CAST(doc_id % 50000 + 600 AS BIGINT)
+        |    WHEN doc_id % 6 = 2
+        |    THEN CAST((doc_id % 50000 + 600) * 1000 // (600 + (doc_id % 4) * 200) AS BIGINT)
+        |    WHEN doc_id % 6 = 5 THEN CAST(doc_id % 50000 + 600 AS BIGINT)
         |  END AS duration_ms,
-        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-        |    WHEN 2 THEN 'mp4' ELSE 'flac' END AS format
+        |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |    WHEN 2 THEN 'mp4' WHEN 3 THEN 'flac' WHEN 4 THEN 'vorbis'
+        |    ELSE 'webm' END AS format
         |FROM documents""".stripMargin,
 
     // duration = total_bytes*8*1000 // (kbps*1000) which reduces to
@@ -1403,6 +1447,30 @@ object SparkEntry {
         |    list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
         |      CAST(doc_id % 14 + 1 AS INT)) AS BIGINT) AS duration_ms,
         |  'mp3' AS format
+        |FROM documents""".stripMargin,
+
+    // Vorbis rows: duration = granule*1000 // rate with granule =
+    // id%2000+100; Opus rows: granule = (id%2000+100)*48 + pre_skip(312)
+    // at 48 kHz, so duration collapses to exactly id%2000+100 ms
+    "q_multimodal_ogg" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 AS INT) AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT)
+        |    ELSE 48000 END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN CAST((doc_id % 2000 + 100) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT)
+        |    ELSE CAST(doc_id % 2000 + 100 AS BIGINT) END AS duration_ms,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS format
+        |FROM documents""".stripMargin,
+
+    // TimestampScale is 1 ms/tick in the fixture, so duration_ms is the
+    // raw Duration float truncated to BIGINT
+    "q_multimodal_webm" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 320 + 16 AS INT) AS width,
+        |  CAST(doc_id % 240 + 16 AS INT) AS height,
+        |  CAST(doc_id % 50000 + 600 AS BIGINT) AS duration_ms,
+        |  'webm' AS format
         |FROM documents""".stripMargin,
 
     "q_rolling_fp" ->

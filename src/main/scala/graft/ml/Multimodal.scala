@@ -9,15 +9,21 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extract / resize / frame-sample are
   * per-partition batch operations.
   *
-  * Decode status: image and WAV-audio header decoding are REAL —
-  * [[ImageIoDecoder]] parses container headers via JDK `javax.imageio`
-  * and [[WavDecoder]] parses RIFF/WAVE headers directly, both zero-dep
-  * and header-only. The remaining stub boundary is non-WAV audio and
-  * video (no ffmpeg-class library in this container): [[StubDecoder]]
-  * derives deterministic md5-based fake features there, and `Decoder` is
-  * the seam where a real transcoder would plug in. Everything Spark-side
-  * — schema, partitioning, batch shape, shuffle behavior — is real and
-  * tested either way.
+  * Decode status: header decoding is REAL and zero-dep for the common
+  * containers — images via JDK `javax.imageio` ([[ImageIoDecoder]]),
+  * audio via RIFF/WAVE ([[WavDecoder]]), FLAC STREAMINFO
+  * ([[FlacDecoder]]), MP3 frame headers ([[Mp3Decoder]]) and
+  * Ogg-contained Vorbis/Opus ([[OggDecoder]]); video via ISO-BMFF/MP4
+  * ([[Mp4Decoder]]) and Matroska/WebM EBML ([[MkvDecoder]]); all
+  * header-only (payload bytes skipped by size, cost independent of clip
+  * length). [[HeaderDecoder]] dispatches on media_type + container
+  * magic. The remaining stub boundary is codec-level work — pixel/PCM
+  * decode, frame extraction — which needs an ffmpeg-class library this
+  * container doesn't have: [[StubDecoder]] derives deterministic
+  * md5-based fake features there, and `Decoder` is the seam where a
+  * real transcoder would plug in. Everything Spark-side — schema,
+  * partitioning, batch shape, shuffle behavior — is real and tested
+  * either way.
   *
   * Scale notes:
   *   - binary payloads dominate row size, so ops that only need metadata
@@ -332,6 +338,144 @@ object Multimodal {
     }(outEncoder)
   }
 
+  /** REAL audio header decoder for Ogg-contained Vorbis and Opus — the
+    * identification header is the first packet of the first (BOS) page,
+    * reachable by a fixed page-header walk: `"OggS"` magic, 27-byte
+    * header, segment table, then the packet. `\x01vorbis` carries
+    * channels + sample_rate directly; `OpusHead` carries channels,
+    * pre-skip and the input sample rate (Opus granules always tick at
+    * 48 kHz regardless). Duration comes from the LAST page's granule
+    * position — found by scanning backward for the final `"OggS"`, and
+    * because an Ogg page is at most 27+255+255·255 ≈ 64 KB, the scan is
+    * bounded to the payload tail: still header-only at corpus scale.
+    * Vorbis: `duration_ms = granule * 1000 / sample_rate`; Opus:
+    * `(granule - pre_skip) * 1000 / 48000`. Corrupt/truncated/non-Ogg
+    * bytes degrade to the null-dims row, same contract as the other
+    * decoders. */
+  object OggDecoder extends Decoder {
+    private def unreadable(mediaType: String, len: Long): Row =
+      Row(mediaType, len, null, null, null, null, null, null)
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | (b(off + 1) & 0xff) << 8
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
+        (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+    private def le64(b: Array[Byte], off: Int): Long =
+      le32(b, off) | le32(b, off + 4) << 32
+    private def isOggS(b: Array[Byte], off: Int): Boolean =
+      b(off) == 'O' && b(off + 1) == 'g' && b(off + 2) == 'g' && b(off + 3) == 'S'
+    /** Granule position of the last page: backward magic scan bounded to
+      * one max-page-size window off the tail. */
+    private def lastGranule(b: Array[Byte]): Long = {
+      val floor = math.max(0, b.length - (27 + 255 + 255 * 255 + 4))
+      var off = b.length - 14 // need magic + version + type + granule
+      while (off >= floor) {
+        if (isOggS(b, off) && b(off + 4) == 0) return le64(b, off + 6)
+        off -= 1
+      }
+      -1L
+    }
+    def decode(mediaType: String, content: Array[Byte]): Row = {
+      val len = content.length.toLong
+      if (mediaType != "audio" || content.length < 58 ||
+          !isOggS(content, 0) || content(4) != 0)
+        return unreadable(mediaType, len)
+      val nSegs = content(26) & 0xff
+      val p = 27 + nSegs // first packet of the BOS page
+      if (p + 19 > content.length) return unreadable(mediaType, len)
+      val granule = lastGranule(content)
+      if (granule < 0) return unreadable(mediaType, len)
+      if (content(p) == 0x01 && content(p + 1) == 'v' && content(p + 2) == 'o' &&
+          content(p + 3) == 'r' && content(p + 4) == 'b' &&
+          content(p + 5) == 'i' && content(p + 6) == 's') {
+        if (p + 16 > content.length) return unreadable(mediaType, len)
+        val channels = content(p + 11) & 0xff
+        val rate = le32(content, p + 12).toInt
+        if (rate <= 0) return unreadable(mediaType, len)
+        Row(mediaType, len, null, null, Integer.valueOf(channels),
+          Integer.valueOf(rate),
+          java.lang.Long.valueOf(granule * 1000L / rate), "vorbis")
+      } else if (content(p) == 'O' && content(p + 1) == 'p' &&
+          content(p + 2) == 'u' && content(p + 3) == 's' &&
+          content(p + 4) == 'H' && content(p + 5) == 'e' &&
+          content(p + 6) == 'a' && content(p + 7) == 'd') {
+        val channels = content(p + 9) & 0xff
+        val preSkip = le16(content, p + 10)
+        val inputRate = le32(content, p + 12).toInt
+        // Opus granules tick at 48 kHz independent of the input rate
+        Row(mediaType, len, null, null, Integer.valueOf(channels),
+          Integer.valueOf(inputRate),
+          java.lang.Long.valueOf(math.max(0L, granule - preSkip) * 1000L / 48000L),
+          "opus")
+      } else unreadable(mediaType, len)
+    }
+  }
+
+  /** Deterministic Ogg fixtures alternating codec by id parity: even →
+    * Vorbis id header with `rate = 8000 + (id % 8) * 1000` and final
+    * granule `id % 2000 + 100`; odd → Opus id header (input rate 48000,
+    * pre-skip 312) with granule `(id % 2000 + 100) * 48 + 312`, so
+    * `duration_ms` is exactly `id % 2000 + 100`. Two pages each: a BOS
+    * page carrying the id packet and an EOS page carrying the granule. */
+  def synthesizeOggs(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue
+        val vorbis = id % 2 == 0
+        val idPacket: Array[Byte] =
+          if (vorbis) {
+            val rate = (8000 + (id % 8) * 1000).toInt
+            val bb = java.nio.ByteBuffer.allocate(30)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put(0x01.toByte).put("vorbis".getBytes("US-ASCII"))
+            bb.putInt(0) // vorbis_version
+            bb.put(1.toByte) // channels: mono
+            bb.putInt(rate)
+            bb.putInt(0).putInt(rate * 16).putInt(0) // bitrate max/nom/min
+            bb.put(0xb8.toByte) // blocksizes 2^8 / 2^11
+            bb.put(1.toByte) // framing bit
+            bb.array()
+          } else {
+            val bb = java.nio.ByteBuffer.allocate(19)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("OpusHead".getBytes("US-ASCII"))
+            bb.put(1.toByte) // version
+            bb.put(1.toByte) // channels: mono
+            bb.putShort(312.toShort) // pre-skip
+            bb.putInt(48000) // input sample rate
+            bb.putShort(0.toShort) // output gain
+            bb.put(0.toByte) // mapping family
+            bb.array()
+          }
+        val granule =
+          if (vorbis) id % 2000 + 100
+          else (id % 2000 + 100) * 48 + 312
+        def page(headerType: Int, gp: Long, seq: Int,
+            packet: Array[Byte]): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(27 + 1 + packet.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("OggS".getBytes("US-ASCII")).put(0.toByte)
+            .put(headerType.toByte).putLong(gp)
+            .putInt((id & 0x7fffffff).toInt) // bitstream serial
+            .putInt(seq).putInt(0) // CRC left zero: header-only parse
+            .put(1.toByte).put(packet.length.toByte) // one-lace segment table
+            .put(packet)
+          bb.array()
+        }
+        val audioPayload = Array.tabulate((id % 32 + 4).toInt)(i =>
+          ((id * 31 + i * 7) & 0xff).toByte) // deterministic: f(id)
+        val content = page(0x02, 0L, 0, idPacket) ++
+          page(0x04, granule, 1, audioPayload)
+        Row(r.get(0), "audio", content)
+      }
+    }(outEncoder)
+  }
+
   /** REAL video header decoder for MP4/ISO-BMFF payloads — the container
     * is a walk of big-endian `[4-byte size][4-byte type]` boxes, pure JDK.
     * Reads `moov/mvhd` (timescale + duration → `duration_ms`) and the
@@ -405,21 +549,185 @@ object Multimodal {
     }
   }
 
+  /** REAL video header decoder for Matroska/WebM payloads — the
+    * container is EBML: `[varint id][varint size][body]` elements, where
+    * the id keeps its length-marker bits and the size strips them. The
+    * walk recurses only into the master elements on the path to what we
+    * need — `Segment → Info` (TimestampScale, default 1 ms/tick, and the
+    * float Duration → `duration_ms = duration * scale_ns / 1e6`) and
+    * `Segment → Tracks → TrackEntry → Video` (PixelWidth/PixelHeight) —
+    * and skips everything else (Clusters, i.e. all the frames) by size,
+    * so cost is independent of clip length. An unknown-size Segment
+    * (all-ones varint, what live-muxed streams emit) extends to
+    * end-of-buffer. Corrupt/truncated/non-EBML bytes degrade to the
+    * null-dims row. */
+  object MkvDecoder extends Decoder {
+    private def unreadable(mediaType: String, len: Long): Row =
+      Row(mediaType, len, null, null, null, null, null, null)
+    /** EBML id: leading-zero count of the first byte gives the length;
+      * marker bits KEPT (ids are compared as stored). Returns -1 on
+      * malformed/truncated. */
+    private def readId(b: Array[Byte], off: Int, to: Int): (Long, Int) = {
+      if (off >= to) return (-1L, 0)
+      val first = b(off) & 0xff
+      val n = Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (n < 1 || n > 4 || off + n > to) return (-1L, 0)
+      var v = 0L
+      var i = 0
+      while (i < n) { v = v << 8 | (b(off + i) & 0xffL); i += 1 }
+      (v, n)
+    }
+    /** EBML size: marker bit STRIPPED; all-ones payload = unknown size,
+      * returned as -2. Returns -1 on malformed/truncated. */
+    private def readSize(b: Array[Byte], off: Int, to: Int): (Long, Int) = {
+      if (off >= to) return (-1L, 0)
+      val first = b(off) & 0xff
+      val n = Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (n < 1 || n > 8 || off + n > to) return (-1L, 0)
+      var v = (first & (0xff >>> n)).toLong
+      var i = 1
+      while (i < n) { v = v << 8 | (b(off + i) & 0xffL); i += 1 }
+      val allOnes = (1L << (7 * n)) - 1
+      (if (v == allOnes) -2L else v, n)
+    }
+    private def beUint(b: Array[Byte], off: Int, len: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < len) { v = v << 8 | (b(off + i) & 0xffL); i += 1 }
+      v
+    }
+    private case class Scan(var scaleNs: Long = 1000000L,
+        var duration: java.lang.Double = null,
+        var width: Integer = null, var height: Integer = null)
+    // Master elements we recurse into (ids as stored, marker kept)
+    private val SEGMENT = 0x18538067L
+    private val INFO = 0x1549A966L
+    private val TRACKS = 0x1654AE6BL
+    private val TRACK_ENTRY = 0xAEL
+    private val VIDEO = 0xE0L
+    private def walk(b: Array[Byte], from: Int, to: Int, s: Scan): Unit = {
+      var off = from
+      while (off < to) {
+        val (id, idLen) = readId(b, off, to)
+        if (id < 0) return
+        val (size, szLen) = readSize(b, off + idLen, to)
+        if (size == -1L) return
+        val bodyOff = off + idLen + szLen
+        val bodyEnd =
+          if (size == -2L) to // unknown size: runs to end of scope
+          else if (size > to - bodyOff) return // truncated: stop
+          else bodyOff + size.toInt
+        id match {
+          case SEGMENT | INFO | TRACKS | TRACK_ENTRY | VIDEO =>
+            walk(b, bodyOff, bodyEnd, s)
+          case 0x2AD7B1L => s.scaleNs = beUint(b, bodyOff, bodyEnd - bodyOff)
+          case 0x4489L if s.duration == null =>
+            val n = bodyEnd - bodyOff
+            if (n == 4) s.duration = java.lang.Double.valueOf(
+              java.lang.Float.intBitsToFloat(beUint(b, bodyOff, 4).toInt).toDouble)
+            else if (n == 8) s.duration = java.lang.Double.valueOf(
+              java.lang.Double.longBitsToDouble(beUint(b, bodyOff, 8)))
+          case 0xB0L if s.width == null =>
+            s.width = Integer.valueOf(beUint(b, bodyOff, bodyEnd - bodyOff).toInt)
+          case 0xBAL if s.height == null =>
+            s.height = Integer.valueOf(beUint(b, bodyOff, bodyEnd - bodyOff).toInt)
+          case _ => ()
+        }
+        if (bodyEnd <= off) return // no forward progress: corrupt
+        off = bodyEnd
+      }
+    }
+    def decode(mediaType: String, content: Array[Byte]): Row = {
+      val len = content.length.toLong
+      if (mediaType != "video" || content.length < 8 ||
+          (content(0) & 0xff) != 0x1A || (content(1) & 0xff) != 0x45 ||
+          (content(2) & 0xff) != 0xDF || (content(3) & 0xff) != 0xA3)
+        return unreadable(mediaType, len)
+      val s = Scan()
+      walk(content, 0, content.length, s)
+      if (s.duration == null || s.scaleNs <= 0) unreadable(mediaType, len)
+      else Row(mediaType, len, s.width, s.height, null, null,
+        java.lang.Long.valueOf(
+          (s.duration.doubleValue * s.scaleNs / 1e6).toLong), "webm")
+    }
+  }
+
+  /** Deterministic Matroska/WebM fixtures, EBML twin of [[synthesizeMp4s]]
+    * with the same id arithmetic: `duration_ms = id % 50000 + 600`
+    * (TimestampScale 1 ms, Duration an 8-byte float), `width = id % 320 +
+    * 16`, `height = id % 240 + 16`, plus a skipped filler element standing
+    * in for Clusters — so the oracle predicts everything arithmetically
+    * and only a genuine EBML walk reproduces it. */
+  def synthesizeMkvs(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue
+        val bb = java.nio.ByteBuffer.allocate(256) // BE default
+        def id4(v: Long) = bb.putInt(v.toInt): Unit
+        def sz1(v: Int) = bb.put((0x80 | v).toByte): Unit
+        // EBML header: DocType "webm" only (readers skip unknown leaves)
+        id4(0x1A45DFA3L); sz1(7)
+        bb.putShort(0x4282.toShort); sz1(4)
+        bb.put("webm".getBytes("US-ASCII"))
+        // Segment body, sized after the fact
+        id4(SEG_ID); sz1(0)
+        val segSizeAt = bb.position() - 1
+        val segStart = bb.position()
+        // Info { TimestampScale = 1e6 ns, Duration = f64(id%50000+600) }
+        id4(0x1549A966L); sz1(7 + 11) // TimestampScale(7) + Duration(11)
+        bb.put(0x2A.toByte).put(0xD7.toByte).put(0xB1.toByte); sz1(3)
+        bb.put(0x0F.toByte).putShort(0x4240.toShort) // 1_000_000
+        bb.putShort(0x4489.toShort); sz1(8)
+        bb.putDouble((id % 50000 + 600).toDouble)
+        // Tracks { TrackEntry { Video { PixelWidth, PixelHeight } } }
+        id4(0x1654AE6BL); sz1(12)
+        bb.put(0xAE.toByte); sz1(10)
+        bb.put(0xE0.toByte); sz1(8)
+        bb.put(0xB0.toByte); sz1(2)
+        bb.putShort((id % 320 + 16).toShort)
+        bb.put(0xBA.toByte); sz1(2)
+        bb.putShort((id % 240 + 16).toShort)
+        // filler leaf (EBML Void, id 0xEC) the walker must skip by size —
+        // stands in for Cluster frame data
+        val fill = (id % 32 + 4).toInt
+        bb.put(0xEC.toByte); sz1(fill)
+        var i = 0
+        while (i < fill) { bb.put(((id * 31 + i * 7) & 0xff).toByte); i += 1 }
+        bb.put(segSizeAt, (0x80 | (bb.position() - segStart)).toByte)
+        val content = java.util.Arrays.copyOf(bb.array(), bb.position())
+        Row(r.get(0), "video", content)
+      }
+    }(outEncoder)
+  }
+  private val SEG_ID = 0x18538067L
+
   /** Dispatch on `media_type` for mixed corpora: images through the real
     * ImageIO header parse, audio by container magic (RIFF → WAV walk,
-    * fLaC → STREAMINFO), video through the ISO-BMFF box walk; anything
-    * else to the null-dims row. */
+    * fLaC → STREAMINFO, ID3/sync → MP3 frame header, OggS →
+    * Vorbis/Opus), video by magic (ftyp → ISO-BMFF box walk, EBML →
+    * Matroska); anything else to the null-dims row. */
   object HeaderDecoder extends Decoder {
     def decode(mediaType: String, content: Array[Byte]): Row = mediaType match {
       case "image" => ImageIoDecoder.decode(mediaType, content)
       case "audio" =>
         if (content.length >= 4 && content(0) == 'f' && content(1) == 'L' &&
           content(2) == 'a' && content(3) == 'C') FlacDecoder.decode(mediaType, content)
+        else if (content.length >= 4 && content(0) == 'O' && content(1) == 'g' &&
+          content(2) == 'g' && content(3) == 'S') OggDecoder.decode(mediaType, content)
         else if (content.length >= 4 && ((content(0) == 'I' && content(1) == 'D' &&
           content(2) == '3') || ((content(0) & 0xff) == 0xff &&
           (content(1) & 0xe0) == 0xe0))) Mp3Decoder.decode(mediaType, content)
         else WavDecoder.decode(mediaType, content)
-      case "video" => Mp4Decoder.decode(mediaType, content)
+      case "video" =>
+        if (content.length >= 4 && (content(0) & 0xff) == 0x1A &&
+          (content(1) & 0xff) == 0x45 && (content(2) & 0xff) == 0xDF &&
+          (content(3) & 0xff) == 0xA3) MkvDecoder.decode(mediaType, content)
+        else Mp4Decoder.decode(mediaType, content)
       case _ => Row(mediaType, content.length.toLong,
         null, null, null, null, null, null)
     }

@@ -258,7 +258,8 @@ class PlanQualitySpec extends SparkSpec {
     // at 100 TB of media an accidental shuffle here moves the whole
     // corpus instead of the metadata
     for (q <- Seq("q_multimodal_decode", "q_multimodal_audio",
-        "q_multimodal_video", "q_multimodal_mixed", "q_multimodal_mp3")) {
+        "q_multimodal_video", "q_multimodal_mixed", "q_multimodal_mp3",
+        "q_multimodal_ogg", "q_multimodal_webm")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.count()
       val plan = df.queryExecution.executedPlan.toString

@@ -265,6 +265,100 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.HeaderDecoder.decode("audio", tag ++ mp3).getString(7) == "mp3")
   }
 
+  test("synthesizeOggs → OggDecoder round-trip recovers f(id) audio meta") {
+    val ids = Seq(0L, 1L, 2L, 7L, 8L, 1999L, 2000L, 54321L).toDF("doc_id")
+    val out = Multimodal.decodePartitions(
+        Multimodal.synthesizeOggs(ids, "doc_id"), Multimodal.OggDecoder)
+      .select(col("media_id"), col("meta.channels"), col("meta.sample_rate"),
+        col("meta.duration_ms"), col("meta.format"))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 1, s"channels for $id")
+      if (id % 2 == 0) { // Vorbis: granule ticks at the stream rate
+        val sr = (8000 + (id % 8) * 1000).toInt
+        assert(r.getInt(2) == sr, s"sample_rate for $id")
+        assert(r.getLong(3) == (id % 2000 + 100) * 1000 / sr, s"duration for $id")
+        assert(r.getString(4) == "vorbis")
+      } else { // Opus: 48 kHz granules minus pre-skip → exactly the ms
+        assert(r.getInt(2) == 48000, s"sample_rate for $id")
+        assert(r.getLong(3) == id % 2000 + 100, s"duration for $id")
+        assert(r.getString(4) == "opus")
+      }
+    }
+  }
+
+  test("OggDecoder: corrupt, truncated, or non-Ogg bytes → null dims, not a throw") {
+    assert(Multimodal.OggDecoder.decode("audio", "not an ogg stream at all!!".getBytes)
+      .isNullAt(5))
+    val ogg = Multimodal.synthesizeOggs(Seq(6L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    // truncated before the id packet completes
+    assert(Multimodal.OggDecoder.decode("audio", ogg.take(30)).isNullAt(5))
+    // BOS page alone still has ITS granule (0), so the parse degrades to
+    // duration 0 rather than erroring — the id header is intact
+    val bosOnly = Multimodal.OggDecoder.decode("audio", ogg.take(58))
+    assert(bosOnly.getLong(6) == 0L && bosOnly.getString(7) == "vorbis")
+    // unknown first packet (neither vorbis nor OpusHead)
+    val alien = ogg.clone(); alien(28) = 'x'
+    assert(Multimodal.OggDecoder.decode("audio", alien).isNullAt(5))
+    // non-audio media types aren't guessed at
+    assert(Multimodal.OggDecoder.decode("video", ogg).isNullAt(5))
+    // dispatcher sniffs OggS to the Ogg parse
+    assert(Multimodal.HeaderDecoder.decode("audio", ogg).getString(7) == "vorbis")
+  }
+
+  test("synthesizeMkvs → MkvDecoder round-trip recovers f(id) video meta") {
+    val ids = Seq(0L, 1L, 3L, 4L, 319L, 50000L, 98765L).toDF("doc_id")
+    val out = Multimodal.decodePartitions(
+        Multimodal.synthesizeMkvs(ids, "doc_id"), Multimodal.MkvDecoder)
+      .select(col("media_id"), col("meta.width"), col("meta.height"),
+        col("meta.duration_ms"), col("meta.format"), col("meta.channels"))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 320 + 16).toInt, s"width for $id")
+      assert(r.getInt(2) == (id % 240 + 16).toInt, s"height for $id")
+      assert(r.getLong(3) == id % 50000 + 600, s"duration for $id")
+      assert(r.getString(4) == "webm")
+      assert(r.isNullAt(5)) // video: no channels
+    }
+  }
+
+  test("MkvDecoder: corrupt, truncated, or non-EBML bytes → null dims, not a throw") {
+    assert(Multimodal.MkvDecoder.decode("video", "definitely not matroska".getBytes)
+      .isNullAt(6))
+    val mkv = Multimodal.synthesizeMkvs(Seq(11L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    // truncated inside the Segment: the walk stops without throwing
+    assert(Multimodal.MkvDecoder.decode("video", mkv.take(20)).isNullAt(6))
+    // dims survive truncation that still contains Info+Tracks (drop the
+    // trailing Void filler only)
+    val noFiller = mkv.take(mkv.length - (11 % 32 + 4).toInt - 2)
+    // Segment size now lies past the buffer; walker treats that as
+    // truncated and stops at the last complete element it entered
+    assert(Multimodal.MkvDecoder.decode("video", noFiller).isNullAt(6))
+    // non-video media types aren't guessed at
+    assert(Multimodal.MkvDecoder.decode("audio", mkv).isNullAt(6))
+    // dispatcher: EBML magic → Matroska walk, ftyp stays on the BMFF walk
+    assert(Multimodal.HeaderDecoder.decode("video", mkv).getString(7) == "webm")
+    val mp4 = Multimodal.synthesizeMp4s(Seq(11L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    assert(Multimodal.HeaderDecoder.decode("video", mp4).getString(7) == "mp4")
+  }
+
+  test("unknown-size Segment (live-mux shape) still parses to end-of-buffer") {
+    val mkv = Multimodal.synthesizeMkvs(Seq(23L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    // Segment header is at offset 12 (4B EBML id + 1B size + 7B body):
+    // id 0x18538067 at 12..15, 1-byte size at 16 → 0xFF = unknown size
+    assert((mkv(12) & 0xff) == 0x18 && (mkv(15) & 0xff) == 0x67, "fixture layout moved")
+    val live = mkv.clone(); live(16) = 0xff.toByte
+    val out = Multimodal.MkvDecoder.decode("video", live)
+    assert(out.getLong(6) == 23L % 50000 + 600)
+    assert(out.getInt(2) == (23 % 320 + 16))
+  }
+
   test("decodePartitions matches decodeStub's expression math") {
     val viaPartitions = Multimodal.decodePartitions(media)
       .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),
