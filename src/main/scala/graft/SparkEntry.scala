@@ -616,6 +616,15 @@ object SparkEntry {
           col("meta.format").as("format"))
     },
 
+    // Document chunking: 64-token windows striding by 48 (overlap 16) —
+    // shuffle-free projection+explode; the oracle re-derives the window
+    // arithmetic and the re-joined chunk text
+    "q_doc_chunk" -> { (s, dir) =>
+      graft.ml.DatasetOps.chunkDocuments(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        maxTokens = 64, overlap = 16)
+    },
+
     "q_rolling_fp" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -1472,6 +1481,27 @@ object SparkEntry {
         |  CAST(doc_id % 50000 + 600 AS BIGINT) AS duration_ms,
         |  'webm' AS format
         |FROM documents""".stripMargin,
+
+    // chunk count = (n - 64 + 47) // 48 + 1 for n > 64 (integer form on
+    // both sides); DuckDB list slice is 1-based inclusive like Spark's
+    // slice(arr, start, length) with length 64
+    "q_doc_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), n AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+        |), c AS (
+        |  SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 64 THEN 1
+        |      ELSE (n - 64 + 47) // 48 + 1 END AS n_chunks
+        |  FROM n
+        |)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[CAST(u.i*48+1 AS BIGINT):CAST(u.i*48+64 AS BIGINT)], ' ')
+        |    AS chunk_text,
+        |  n AS n_tokens,
+        |  CAST(LEAST(n - u.i*48, 64) AS BIGINT) AS chunk_tokens
+        |FROM c, unnest(generate_series(0, c.n_chunks - 1)) AS u(i)""".stripMargin,
 
     "q_rolling_fp" ->
       """SELECT doc_id,

@@ -8,8 +8,8 @@ import org.apache.spark.sql.graftbridge.Bridge
 
 /** Dataset-assembly operators for training-data pipelines: deterministic
   * sampling / mixing, train-val-test split assignment, sequence packing
-  * into fixed token budgets, URL canonicalization, and Bloom-filter
-  * decontamination.
+  * into fixed token budgets, document chunking into overlapping context
+  * windows, URL canonicalization, and Bloom-filter decontamination.
   *
   * Everything is deterministic (hash-derived, never `rand()`): re-running
   * the pipeline over the same corpus reproduces the same sample, the same
@@ -161,6 +161,45 @@ object DatasetOps {
         when(col("n_tokens") === 0, lit(0L)).otherwise(
           floor((col("seq_start") + col("n_tokens") - 1) / budget)
             - col("bin") + 1))
+  }
+
+  /** Document chunking — [[packSequences]]'s inverse twin: split LONG
+    * documents into fixed `maxTokens`-window chunks with `overlap`
+    * carried tokens between consecutive windows (the standard
+    * context-window prep for embedding / retrieval corpora). Emits one
+    * row per (doc, chunk): `chunk_id` (0-based), `chunk_text` (the
+    * window re-joined on single spaces), `n_tokens` (whole-doc count)
+    * and `chunk_tokens` (tokens actually in this window — only the last
+    * chunk is ever short). A doc that fits in one window emits exactly
+    * one chunk; chunk boundaries stride by `maxTokens - overlap`.
+    *
+    * Scale shape: pure projection + explode — no shuffle, no window, no
+    * state; each task chunks its own partition's docs, so this runs at
+    * full scan speed on any corpus size. The explode's fan-out is
+    * `ceil(tokens/stride)` rows per doc — bounded and proportional to
+    * output, never quadratic. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "chunkDocuments: maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "chunkDocuments: overlap must be in [0, maxTokens)")
+    val step = maxTokens - overlap
+    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      // exact integer form (n - max + step - 1) div step + 1, so the
+      // oracle's `//` arithmetic matches bit-for-bit
+      .withColumn("_n_chunks",
+        when(col("n_tokens") <= maxTokens, lit(1L)).otherwise(
+          expr(s"(n_tokens - $maxTokens + ${step - 1}) DIV $step") + 1L))
+      .select(col(idCol), col("_toks"), col("n_tokens"),
+        explode(sequence(lit(0L), col("_n_chunks") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("_toks"),
+          (col("chunk_id") * step + 1).cast("int"), lit(maxTokens)), " ")
+          .as("chunk_text"),
+        col("n_tokens"),
+        least(col("n_tokens") - col("chunk_id") * step, lit(maxTokens.toLong))
+          .as("chunk_tokens"))
   }
 
   /** Canonicalize an absolute http(s) URL so trivially-distinct spellings

@@ -177,7 +177,7 @@ object Planner {
   // ---- corpus-level stages (LLM-data operator family) -----------------------
 
   private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
-    "AssignSplits", "PackSequences", "UrlDedup", "TextProfile",
+    "AssignSplits", "PackSequences", "Chunk", "UrlDedup", "TextProfile",
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
@@ -355,6 +355,9 @@ object Planner {
       case "PackSequences" =>
         df => graft.ml.DatasetOps.packSequences(df, text, id,
           conf.strReq("group_field"), conf.int("budget", 2048))
+      case "Chunk" =>
+        df => graft.ml.DatasetOps.chunkDocuments(df, text, id,
+          conf.int("max_tokens", 512), conf.int("overlap", 0))
       case "UrlDedup" =>
         val url = conf.str("src").getOrElse("url")
         conf.str("mode").getOrElse("drop") match {

@@ -153,4 +153,46 @@ class DatasetOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(viaBroadcast == Set(0L, 2L) && viaBroadcast == viaLiteral)
   }
+
+  test("chunkDocuments: windows stride by maxTokens-overlap, last chunk short") {
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 toks: 1 chunk
+      (1L, (1 to 16).map(i => s"w$i").mkString(" ")),  // 16: exactly max
+      (2L, (1 to 17).map(i => s"w$i").mkString(" ")),  // 17: 2 chunks
+      (3L, (1 to 40).map(i => s"w$i").mkString(" ")),  // 40: 3 chunks
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = DatasetOps.chunkDocuments(docs, "text", "doc_id",
+        maxTokens = 16, overlap = 4)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(0L).length == 1 && byDoc(1L).length == 1)
+    assert(byDoc(2L).length == 2 && byDoc(3L).length == 3)
+    assert(byDoc(4L).length == 1 && byDoc(4L).head._3 == "solo")
+    // stride is 12: chunk 1 of doc 2 re-covers tokens 13..16 (overlap 4)
+    val d2 = byDoc(2L)
+    assert(d2(0)._3 == (1 to 16).map(i => s"w$i").mkString(" "))
+    assert(d2(1)._3 == (13 to 17).map(i => s"w$i").mkString(" "))
+    assert(d2(0)._5 == 16L && d2(1)._5 == 5L) // last chunk short
+    // doc 3: chunks cover 1-16, 13-28, 25-40; every token appears
+    val d3 = byDoc(3L)
+    assert(d3(2)._3 == (25 to 40).map(i => s"w$i").mkString(" "))
+    assert(d3.forall(_._4 == 40L)) // n_tokens is the whole-doc count
+    // no shuffle: chunking must stay a scan-speed projection
+    val plan = DatasetOps.chunkDocuments(docs, "text", "doc_id", 16, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+  }
+
+  test("chunkDocuments: zero overlap partitions tokens exactly") {
+    val docs = Seq((7L, (1 to 33).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = DatasetOps.chunkDocuments(docs, "text", "doc_id",
+        maxTokens = 8, overlap = 0)
+      .orderBy("chunk_id").as[(Long, Long, String, Long, Long)].collect()
+    assert(out.length == 5) // ceil(33/8)
+    assert(out.map(_._5).sum == 33L) // disjoint cover, nothing dropped
+    assert(out.flatMap(_._3.split(" ")).toSeq == (1 to 33).map(i => s"t$i"))
+  }
 }

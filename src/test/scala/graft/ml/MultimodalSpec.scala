@@ -359,6 +359,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getInt(2) == (23 % 320 + 16))
   }
 
+  test("decoder fuzz: random, truncated, and bit-flipped bytes never throw") {
+    // At 100 TB of crawled media, every corruption shape WILL occur; the
+    // decoder contract is null-dims degradation, never a partition kill.
+    val rnd = new scala.util.Random(0x60ff) // seeded: reproducible
+    def fixture(kind: String): Array[Byte] = {
+      val one = Seq(13L).toDF("doc_id")
+      val df = kind match {
+        case "wav" => Multimodal.synthesizeWavs(one, "doc_id")
+        case "flac" => Multimodal.synthesizeFlacs(one, "doc_id")
+        case "mp3" => Multimodal.synthesizeMp3s(one, "doc_id")
+        case "ogg" => Multimodal.synthesizeOggs(one, "doc_id")
+        case "mp4" => Multimodal.synthesizeMp4s(one, "doc_id")
+        case "mkv" => Multimodal.synthesizeMkvs(one, "doc_id")
+        case "png" => Multimodal.synthesizeImages(one, "doc_id")
+      }
+      df.select(col("content")).head().getAs[Array[Byte]](0)
+    }
+    val decoders = Seq[(String, Multimodal.Decoder)](
+      "audio" -> Multimodal.WavDecoder, "audio" -> Multimodal.FlacDecoder,
+      "audio" -> Multimodal.Mp3Decoder, "audio" -> Multimodal.OggDecoder,
+      "video" -> Multimodal.Mp4Decoder, "video" -> Multimodal.MkvDecoder,
+      "image" -> Multimodal.ImageIoDecoder,
+      "audio" -> Multimodal.HeaderDecoder, "video" -> Multimodal.HeaderDecoder,
+      "image" -> Multimodal.HeaderDecoder)
+    def check(mt: String, d: Multimodal.Decoder, bytes: Array[Byte]): Unit = {
+      val row = d.decode(mt, bytes) // must not throw
+      assert(row.getString(0) == mt && row.getLong(1) == bytes.length.toLong)
+    }
+    // pure random garbage, lengths 0..300
+    for (_ <- 1 to 50; (mt, d) <- decoders) {
+      val bytes = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(bytes)
+      check(mt, d, bytes)
+    }
+    for (kind <- Seq("wav", "flac", "mp3", "ogg", "mp4", "mkv", "png")) {
+      val good = fixture(kind)
+      for ((mt, d) <- decoders) {
+        // every truncation point of a valid container
+        var n = 0
+        while (n <= good.length) {
+          check(mt, d, java.util.Arrays.copyOf(good, n))
+          n += 1
+        }
+        // single-byte flips at 40 random offsets
+        for (_ <- 1 to 40) {
+          val mut = good.clone()
+          val at = rnd.nextInt(mut.length)
+          mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+          check(mt, d, mut)
+        }
+      }
+    }
+  }
+
   test("decodePartitions matches decodeStub's expression math") {
     val viaPartitions = Multimodal.decodePartitions(media)
       .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),

@@ -464,6 +464,24 @@ class LlmPipelineSpec extends SparkSpec {
       summary.head.getLong(1) == 0L && summary.head.getLong(2) == 2L)
   }
 
+  test("Chunk dispatches overlapping context-window splitting") {
+    val df = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (1L, "tiny doc"))
+      .toDF("id", "text")
+    val out = Planner.filterStage("Chunk",
+      Map("src" -> "text", "id_field" -> "id",
+        "max_tokens" -> 4, "overlap" -> 1))(df)
+      .orderBy("id", "chunk_id")
+      .select("id", "chunk_id", "chunk_text", "chunk_tokens")
+      .as[(Long, Long, String, Long)].collect()
+    // doc 0: 10 tokens, stride 3 → chunks at 1-4, 4-7, 7-10 → 3 chunks
+    assert(out.count(_._1 == 0L) == 3)
+    assert(out.filter(_._1 == 0L).map(_._3).toSeq ==
+      Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq("tiny doc"))
+  }
+
   test("corpus stages reject per-event box options") {
     val df = Seq((0L, "a")).toDF("id", "text")
     val e = intercept[RuntimeException] {
