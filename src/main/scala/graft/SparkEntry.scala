@@ -99,6 +99,20 @@ object SparkEntry {
         })
     }
 
+  /** The brightness-variant PNG corpus is shared by q_image_phash and
+    * q_image_resize and, like [[sharedSynthImages]], is pure ImageIO
+    * encode churn — memoized so those gates time pixel decode (and the
+    * resample chain), not per-round fixture synthesis. */
+  private def sharedSynthVariants(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.synchronized {
+      pairsMemo
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir + "#synth_variants",
+          graft.ml.Multimodal.synthesizeImageVariants(
+            Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+            .localCheckpoint())
+    }
+
   /** Force-build the memoized shared frames for (session, dir). Bench
     * times this call as its own JSON line so the per-query numbers are
     * memo HITS for every consumer regardless of map order — without it,
@@ -108,6 +122,7 @@ object SparkEntry {
     sharedMinhashPairs(s, dir) // eager localCheckpoint: building IS materializing
     sharedSynthImages(s, dir)
     sharedSynthMixed(s, dir)
+    sharedSynthVariants(s, dir)
     ()
   }
 
@@ -614,6 +629,73 @@ object SparkEntry {
           col("meta.height").as("height"),
           col("meta.duration_ms").as("duration_ms"),
           col("meta.format").as("format"))
+    },
+
+    // REAL pixel decode → perceptual average-hash near-dup: brightness
+    // variants of the same scene (different PNG bytes, different md5)
+    // must land in one aHash bucket. The oracle recomputes the full
+    // raster sum AND the 8×8 sampled hash arithmetically from doc_id —
+    // only genuinely decoding every pixel reproduces both.
+    "q_image_phash" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val px = mm.decodeImagePixels(sharedSynthVariants(s, dir))
+        .select(col("media_id"),
+          col("px.width").as("width"), col("px.height").as("height"),
+          col("px.px_sum").as("px_sum"),
+          col("px.ahash_hi").as("ahash_hi"), col("px.ahash_lo").as("ahash_lo"))
+        .withColumn("delta", expr("((media_id div 127) % 3) * 6"))
+      // hash-bucket stats: n_variants > 1 proves byte-distinct images
+      // collided perceptually; the group frame is tiny (post-decode
+      // metadata), so it broadcasts back onto the per-image rows
+      val groups = px.groupBy("ahash_hi", "ahash_lo")
+        .agg(count(lit(1)).as("n_group"),
+          countDistinct(col("delta")).as("n_variants"))
+      px.join(broadcast(groups), Seq("ahash_hi", "ahash_lo"))
+        .select(col("media_id"), col("width"), col("height"), col("px_sum"),
+          col("ahash_hi"), col("ahash_lo"), col("n_group"), col("n_variants"))
+    },
+
+    // REAL resize: decode → integer box-filter downscale to 8×6 →
+    // re-encode PNG → decode AGAIN. The oracle re-derives every output
+    // pixel's block average from the fixture arithmetic, so the whole
+    // decode→resample→encode→decode chain must be bit-exact to match.
+    "q_image_resize" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val resized = mm.resizeImages(sharedSynthVariants(s, dir), 8, 6)
+      mm.decodeImagePixels(resized)
+        .select(col("media_id"),
+          col("px.width").as("width"), col("px.height").as("height"),
+          col("px.px_sum").as("px_sum"),
+          col("px.ahash_hi").as("ahash_hi"), col("px.ahash_lo").as("ahash_lo"))
+    },
+
+    // REAL PCM decode: the synthesized WAV samples are a pure function
+    // of doc_id, so energy/peak/zero-crossings have closed forms the
+    // oracle re-derives — only reading every 16-bit sample matches.
+    "q_audio_pcm" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      mm.decodeWavPcm(mm.synthesizeWavs(docs, "doc_id"))
+        .select(col("media_id"),
+          col("pcm.n_samples").as("n_samples"),
+          col("pcm.sum_sq").as("sum_sq"),
+          col("pcm.peak").as("peak"),
+          col("pcm.zero_cross").as("zero_cross"))
+    },
+
+    // Unicode NFC normalization via the codegen'd kernel expression —
+    // decomposed combining sequences and the Å singleton appended to
+    // every document must compose; the oracle is DuckDB's own
+    // nfc_normalize over the identical construction
+    "q_text_normalize" -> { (s, dir) =>
+      // "e"+U+0301 (combining acute), "A"+U+030A (combining ring),
+      // U+212B (ANGSTROM SIGN, an NFC singleton -> U+00C5)
+      val pre = concat(col("text"), lit("e\u0301 A\u030A \u212B"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(pre).as("n_pre"),
+          graft.functions.NormalizeFns.nfc(pre).as("norm"))
+        .withColumn("n_post", length(col("norm")))
     },
 
     // Document chunking: 64-token windows striding by 48 (overlap 16) —
@@ -1480,6 +1562,132 @@ object SparkEntry {
         |  CAST(doc_id % 240 + 16 AS INT) AS height,
         |  CAST(doc_id % 50000 + 600 AS BIGINT) AS duration_ms,
         |  'webm' AS format
+        |FROM documents""".stripMargin,
+
+    // The aHash oracle re-derives the decoder's arithmetic end to end:
+    // the variant fixture's pixel function is pure integer math on
+    // (seed, delta, x, y), so DuckDB recomputes the full-raster channel
+    // sum AND the 8x8 sampled average-hash (as two 32-bit halves:
+    // 1<<63 overflows DuckDB's checked BIGINT shift) and then the same
+    // hash-bucket stats. Only a real every-pixel PNG decode matches.
+    "q_image_phash" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 127 AS seed, (doc_id // 127 % 3) * 6 AS delta,
+        |    (doc_id % 127) % 64 + 8 AS w, (doc_id % 127) % 48 + 8 AS h
+        |  FROM documents
+        |), samp AS (
+        |  SELECT b.doc_id, j.j * 8 + i.i AS k,
+        |    (((hv >> 16) & 255) % 224) + (((hv >> 8) & 255) % 224) + ((hv & 255) % 224)
+        |      + 3 * b.delta AS g
+        |  FROM base b, range(8) i(i), range(8) j(j),
+        |    LATERAL (SELECT b.seed * 2654435761 + (i.i * b.w // 8) * 131
+        |      + (j.j * b.h // 8) * 7 AS hv) v
+        |), tot AS (
+        |  SELECT doc_id, sum(g) AS tot FROM samp GROUP BY doc_id
+        |), hashes AS (
+        |  SELECT s.doc_id,
+        |    bit_or(CASE WHEN 64 * s.g > t.tot AND s.k >= 32
+        |      THEN 1::BIGINT << CAST(s.k - 32 AS INT) ELSE 0 END) AS ahash_hi,
+        |    bit_or(CASE WHEN 64 * s.g > t.tot AND s.k < 32
+        |      THEN 1::BIGINT << CAST(s.k AS INT) ELSE 0 END) AS ahash_lo
+        |  FROM samp s JOIN tot t USING (doc_id) GROUP BY s.doc_id
+        |), fullsum AS (
+        |  SELECT b.doc_id,
+        |    SUM((((hv >> 16) & 255) % 224) + (((hv >> 8) & 255) % 224)
+        |      + ((hv & 255) % 224) + 3 * b.delta) AS px_sum
+        |  FROM base b,
+        |    unnest(generate_series(0, b.w - 1)) x(x),
+        |    unnest(generate_series(0, b.h - 1)) y(y),
+        |    LATERAL (SELECT b.seed * 2654435761 + x.x * 131 + y.y * 7 AS hv) v
+        |  GROUP BY b.doc_id
+        |), grp AS (
+        |  SELECT h.ahash_hi, h.ahash_lo, CAST(count(*) AS BIGINT) AS n_group,
+        |    CAST(count(DISTINCT b.delta) AS BIGINT) AS n_variants
+        |  FROM hashes h JOIN base b USING (doc_id) GROUP BY 1, 2
+        |)
+        |SELECT b.doc_id AS media_id, CAST(b.w AS INT) AS width,
+        |  CAST(b.h AS INT) AS height, CAST(f.px_sum AS BIGINT) AS px_sum,
+        |  h.ahash_hi, h.ahash_lo, g.n_group, g.n_variants
+        |FROM base b JOIN hashes h USING (doc_id) JOIN fullsum f USING (doc_id)
+        |  JOIN grp g ON g.ahash_hi = h.ahash_hi AND g.ahash_lo = h.ahash_lo""".stripMargin,
+
+    // The resize oracle recomputes the 8×6 box-filter: each output
+    // pixel is the per-channel integer-mean of its input block (the
+    // uniform +delta commutes with the floor-mean), then the same
+    // px_sum/aHash reduction as q_image_phash over the tiny raster
+    "q_image_resize" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 127 AS seed, (doc_id // 127 % 3) * 6 AS delta,
+        |    (doc_id % 127) % 64 + 8 AS w, (doc_id % 127) % 48 + 8 AS h
+        |  FROM documents
+        |), blk AS (
+        |  SELECT b.doc_id, b.delta, i.i, j.j,
+        |    SUM(((hv >> 16) & 255) % 224) AS rs,
+        |    SUM(((hv >> 8) & 255) % 224) AS gs,
+        |    SUM((hv & 255) % 224) AS bs,
+        |    COUNT(*) AS n
+        |  FROM base b, range(8) i(i), range(6) j(j),
+        |    unnest(generate_series(i.i * b.w // 8, (i.i + 1) * b.w // 8 - 1)) x(x),
+        |    unnest(generate_series(j.j * b.h // 6, (j.j + 1) * b.h // 6 - 1)) y(y),
+        |    LATERAL (SELECT b.seed * 2654435761 + x.x * 131 + y.y * 7 AS hv) v
+        |  GROUP BY 1, 2, 3, 4
+        |), opx AS (
+        |  SELECT doc_id, i, j,
+        |    (rs // n + delta) + (gs // n + delta) + (bs // n + delta) AS g
+        |  FROM blk
+        |), tot AS (
+        |  SELECT doc_id, sum(g) AS px_sum FROM opx GROUP BY doc_id
+        |), sg AS (
+        |  SELECT o.doc_id, sj.j * 8 + si.i AS k, o.g
+        |  FROM range(8) si(i), range(8) sj(j), opx o
+        |  WHERE o.i = si.i AND o.j = sj.j * 6 // 8
+        |), stot AS (
+        |  SELECT doc_id, sum(g) AS tot FROM sg GROUP BY doc_id
+        |), hashes AS (
+        |  SELECT s.doc_id,
+        |    bit_or(CASE WHEN 64 * s.g > t.tot AND s.k >= 32
+        |      THEN 1::BIGINT << CAST(s.k - 32 AS INT) ELSE 0 END) AS ahash_hi,
+        |    bit_or(CASE WHEN 64 * s.g > t.tot AND s.k < 32
+        |      THEN 1::BIGINT << CAST(s.k AS INT) ELSE 0 END) AS ahash_lo
+        |  FROM sg s JOIN stot t USING (doc_id) GROUP BY s.doc_id
+        |)
+        |SELECT b.doc_id AS media_id, CAST(8 AS INT) AS width,
+        |  CAST(6 AS INT) AS height, CAST(t.px_sum AS BIGINT) AS px_sum,
+        |  h.ahash_hi, h.ahash_lo
+        |FROM base b JOIN tot t USING (doc_id) JOIN hashes h USING (doc_id)""".stripMargin,
+
+    // The PCM oracle regenerates the fixture's sample stream (pure
+    // f(doc_id, i)) and reduces it with the same integer arithmetic:
+    // signed-16 reinterpretation, energy, peak, lag-based sign changes
+    "q_audio_pcm" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, i.i,
+        |    CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS s
+        |  FROM documents d,
+        |    unnest(generate_series(0, d.doc_id % 2000 + 100 - 1)) i(i),
+        |    LATERAL (SELECT (d.doc_id * 31 + i.i * 7) & 65535 AS x) v
+        |), lagd AS (
+        |  SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM s
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(s)) AS INT) AS peak,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND (s >= 0) != (prev >= 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM lagd GROUP BY doc_id""".stripMargin,
+
+    // DuckDB's own nfc_normalize over the identical decomposed
+    // construction; lengths count codepoints on both engines
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  length(text || 'e' || chr(769) || ' A' || chr(778) || ' ' || chr(8491))
+        |    AS n_pre,
+        |  nfc_normalize(text || 'e' || chr(769) || ' A' || chr(778) || ' ' || chr(8491))
+        |    AS norm,
+        |  length(nfc_normalize(text || 'e' || chr(769) || ' A' || chr(778) || ' '
+        |    || chr(8491))) AS n_post
         |FROM documents""".stripMargin,
 
     // chunk count = (n - 64 + 47) // 48 + 1 for n > 64 (integer form on

@@ -29,6 +29,8 @@ object GraftExtensions {
     case n: java.lang.Number => n.doubleValue()
     case other => sys.error(s"expected a numeric literal, got $other")
   }
+  private def stringArg(e: Expression): String =
+    e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
 
   /** (identifier, info, builder) for every graft kernel. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -55,7 +57,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64Expr(args(0))),
     (new FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotDExpr].getName, "dot_d"),
-      (args: Seq[Expression]) => DotDExpr(args(0), args(1))))
+      (args: Seq[Expression]) => DotDExpr(args(0), args(1))),
+    (new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName, "unicode_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+        UnicodeNormalizeExpr(args(0), stringArg(args(1)))
+      }))
 
   /** Runtime registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

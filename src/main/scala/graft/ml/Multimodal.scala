@@ -861,6 +861,270 @@ object Multimodal {
     }(outEncoder)
   }
 
+  // ---- pixel/PCM-level decode: the codec layer ---------------------------
+
+  /** Deterministic PNG *variant* fixtures for perceptual-hash dedup:
+    * ids sharing `seed = id % 127` render the SAME scene (dims and base
+    * pixels pure functions of the seed) at one of three brightness
+    * offsets `delta = (id / 127 % 3) * 6` added to every channel.
+    * Channels are synthesized `< 224` so `+delta ≤ 12` never clamps —
+    * the shift stays exactly linear, which is what lets the oracle
+    * reason about it arithmetically. Variant bytes (and md5s) differ,
+    * but a brightness-invariant perceptual hash must collide them —
+    * the near-dup-image case a 100 TB crawl corpus is full of
+    * (same picture re-encoded/re-exposed on different pages). */
+  def synthesizeImageVariants(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue
+        val seed = id % 127
+        val delta = (id / 127 % 3).toInt * 6
+        val (w, h) = ((seed % 64 + 8).toInt, (seed % 48 + 8).toInt)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val hv = seed * 2654435761L + x * 131L + y * 7L
+            val rC = (((hv >> 16) & 0xff) % 224).toInt + delta
+            val gC = (((hv >> 8) & 0xff) % 224).toInt + delta
+            val bC = ((hv & 0xff) % 224).toInt + delta
+            img.setRGB(x, y, rC << 16 | gC << 8 | bC)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(r.get(0), "image", bos.toByteArray)
+      }
+    }(outEncoder)
+  }
+
+  /** Pixel-stat struct emitted by [[decodeImagePixels]]. */
+  val pixelSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("px_sum", LongType),
+    StructField("ahash_hi", LongType),
+    StructField("ahash_lo", LongType)))
+
+  /** REAL pixel decode → perceptual average-hash (aHash). Unlike the
+    * header decoders this reads EVERY pixel: `ImageIO.read` (pure JDK,
+    * lossless for PNG) → full-image channel sum (`px_sum`, proof the
+    * whole raster was decoded) → an 8×8 grid sampled at
+    * `(i*w/8, j*h/8)` with integer gray `r+g+b`, one hash bit per cell
+    * set iff `64*gray > total` — all-integer arithmetic, so the hash is
+    * bit-reproducible anywhere, and a uniform per-channel brightness
+    * shift d moves every gray by 3d and the total by 192d: bits are
+    * invariant, which is exactly the near-dup robustness aHash is for.
+    * The 64 bits ride as two 32-bit halves (`ahash_hi`/`ahash_lo`)
+    * because signed-64 `1<<63` overflows in engines with checked
+    * arithmetic (the DuckDB oracle among them).
+    * Corrupt/non-image bytes → null struct, same degradation contract
+    * as the header decoders. Output is metadata-only — payload bytes
+    * die here, so the hash groupBy that follows shuffles 16-byte rows,
+    * not the corpus. */
+  def decodeImagePixels(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema("media_id").dataType),
+      StructField("px", pixelSchema)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img =
+          try {
+            if (bytes == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: Exception => null }
+        if (img == null) Row(r.get(0), null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var pxSum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              pxSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val g = new Array[Long](64)
+          var tot = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val p = img.getRGB(i * w / 8, j * h / 8)
+              val v = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              g(j * 8 + i) = v
+              tot += v
+              i += 1
+            }
+            j += 1
+          }
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (64L * g(k) > tot) hash |= 1L << k
+            k += 1
+          }
+          Row(r.get(0), Row(Integer.valueOf(w), Integer.valueOf(h),
+            java.lang.Long.valueOf(pxSum),
+            java.lang.Long.valueOf(hash >>> 32),
+            java.lang.Long.valueOf(hash & 0xffffffffL)))
+        }
+      }
+    }(outEncoder)
+  }
+
+  /** REAL image resize: decode → box-filter area-average downscale →
+    * re-encode PNG. Output pixel (i,j) averages the input block
+    * `[i*w/outW, (i+1)*w/outW) × [j*h/outH, (j+1)*h/outH)` with
+    * per-channel integer division — all-integer, so the resized raster
+    * is bit-reproducible and oracle-derivable, unlike
+    * `Image.getScaledInstance` whose filter kernels are unspecified.
+    * One pass over the input raster (each input pixel lands in exactly
+    * one block); images already at-or-below the target in either
+    * dimension pass through unchanged (downscale-only — thumbnail
+    * semantics; a 100 TB corpus pass must never inflate payloads).
+    * Undecodable bytes pass through unchanged too, preserving the
+    * degrade-don't-throw contract. */
+  def resizeImages(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema("media_id").dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select("media_id", "media_type", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val img =
+          try {
+            if (bytes == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: Exception => null }
+        if (img == null || img.getWidth < outW || img.getHeight < outH)
+          Row(r.get(0), r.get(1), bytes)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var j = 0
+          while (j < outH) {
+            val y0 = j * h / outH
+            val y1 = (j + 1) * h / outH
+            var i = 0
+            while (i < outW) {
+              val x0 = i * w / outW
+              val x1 = (i + 1) * w / outW
+              var rs = 0L; var gs = 0L; var bs = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val p = img.getRGB(x, y)
+                  rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (x1 - x0).toLong * (y1 - y0)
+              out.setRGB(i, j,
+                ((rs / n) << 16 | (gs / n) << 8 | (bs / n)).toInt)
+              i += 1
+            }
+            j += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row(r.get(0), r.get(1), bos.toByteArray)
+        }
+      }
+    }(outEncoder)
+  }
+
+  /** PCM-stat struct emitted by [[decodeWavPcm]]. */
+  val pcmSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("sum_sq", LongType),
+    StructField("peak", IntegerType),
+    StructField("zero_cross", LongType)))
+
+  /** REAL PCM decode for 16-bit WAV payloads: walk the RIFF chunks to
+    * `fmt `/`data` like [[WavDecoder]], then actually READ the samples
+    * (little-endian signed 16-bit, any channel count interleaved) and
+    * reduce them to the signal features an audio-corpus curation pass
+    * filters on: `sum_sq` (energy — silence detection), `peak`
+    * (clipping detection), `zero_cross` (crude pitch/noise proxy,
+    * counted when consecutive samples change `>= 0` sign). All-integer,
+    * single pass, no sample array materialized — a clip streams through
+    * at memory O(1). Non-PCM16/corrupt/truncated → null struct. */
+  def decodeWavPcm(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema("media_id").dataType),
+      StructField("pcm", pcmSchema)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val b = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val stats = if (b == null) null else wavPcmStats(b)
+        Row(r.get(0), stats)
+      }
+    }(outEncoder)
+  }
+
+  private def wavPcmStats(b: Array[Byte]): Row = {
+    def tag(off: Int) = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(off: Int): Long = (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
+      (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+    def le16(off: Int): Int = (b(off) & 0xff) | (b(off + 1) & 0xff) << 8
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1L
+    var off = 12
+    while (off + 8 <= b.length && (bits < 0 || dataOff < 0)) {
+      val id = tag(off)
+      val size = le32(off + 4)
+      if (size > Int.MaxValue - 9L) return null
+      if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length) bits = le16(off + 22)
+      else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size.toInt + (size % 2).toInt
+    }
+    if (bits != 16 || dataOff < 0) return null
+    val end = math.min(dataOff + dataLen, b.length.toLong).toInt - 1
+    var i = dataOff
+    var n = 0L
+    var sumSq = 0L
+    var peak = 0
+    var zc = 0L
+    var prevNonNeg = false
+    while (i < end) {
+      val s = (le16(i) << 16) >> 16 // sign-extend
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s
+      val nonNeg = s >= 0
+      if (n > 0 && nonNeg != prevNonNeg) zc += 1
+      prevNonNeg = nonNeg
+      n += 1
+      i += 2
+    }
+    Row(java.lang.Long.valueOf(n), java.lang.Long.valueOf(sumSq),
+      Integer.valueOf(peak), java.lang.Long.valueOf(zc))
+  }
+
   /** mapPartitions decode: init the (expensive) decoder once per
     * partition, stream rows through it, emit `(media_id, meta)`.
     * Payload bytes never survive past this operator — the output row is

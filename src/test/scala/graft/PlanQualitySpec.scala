@@ -259,11 +259,25 @@ class PlanQualitySpec extends SparkSpec {
     // corpus instead of the metadata
     for (q <- Seq("q_multimodal_decode", "q_multimodal_audio",
         "q_multimodal_video", "q_multimodal_mixed", "q_multimodal_mp3",
-        "q_multimodal_ogg", "q_multimodal_webm")) {
+        "q_multimodal_ogg", "q_multimodal_webm",
+        "q_audio_pcm", "q_image_resize")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.count()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$q shuffles payload bytes:\n$plan")
     }
+  }
+
+  test("perceptual-hash dedup: payload dies at the decode seam, group stats broadcast back") {
+    // q_image_phash shuffles only the post-decode 16-byte metadata rows
+    // (one hashpartitioning exchange for the hash groupBy); the join of
+    // per-image rows against the tiny bucket-stat frame must broadcast,
+    // never sort-merge — at corpus scale the stats frame is O(distinct
+    // hashes), the image frame is the corpus
+    val df = SparkEntry.queries("q_image_phash")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 }

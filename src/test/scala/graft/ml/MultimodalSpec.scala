@@ -427,4 +427,152 @@ class MultimodalSpec extends SparkSpec {
       assert(p.getLong(3) == e.getLong(3))
     }
   }
+  test("synthesizeImageVariants -> decodeImagePixels: every-pixel decode matches the arithmetic") {
+    val ids = Seq(0L, 1L, 126L, 127L, 253L, 254L, 381L, 5000L).toDF("doc_id")
+    val out = Multimodal.decodeImagePixels(
+        Multimodal.synthesizeImageVariants(ids, "doc_id"))
+      .select(col("media_id"), col("px.width"), col("px.height"),
+        col("px.px_sum"), col("px.ahash_hi"), col("px.ahash_lo"))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val seed = id % 127
+      val delta = (id / 127 % 3).toInt * 6
+      val (w, h) = ((seed % 64 + 8).toInt, (seed % 48 + 8).toInt)
+      def px(x: Int, y: Int): Long = {
+        val hv = seed * 2654435761L + x * 131L + y * 7L
+        (((hv >> 16) & 0xff) % 224) + (((hv >> 8) & 0xff) % 224) + ((hv & 0xff) % 224) + 3L * delta
+      }
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"dims for $id")
+      var pxSum = 0L
+      for (y <- 0 until h; x <- 0 until w) pxSum += px(x, y)
+      assert(r.getLong(3) == pxSum, s"px_sum for $id")
+      val g = for (j <- 0 until 8; i <- 0 until 8) yield px(i * w / 8, j * h / 8)
+      val tot = g.sum
+      var hash = 0L
+      g.zipWithIndex.foreach { case (v, k) => if (64L * v > tot) hash |= 1L << k }
+      assert(r.getLong(4) == (hash >>> 32) && r.getLong(5) == (hash & 0xffffffffL),
+        s"ahash for $id")
+    }
+  }
+
+  test("perceptual hash: brightness variants collide, bytes differ") {
+    // ids 0, 127, 254 share seed 0 with deltas 0, 6, 12: same scene,
+    // shifted exposure -> different PNG bytes, identical aHash
+    val ids = Seq(0L, 127L, 254L).toDF("doc_id")
+    val media = Multimodal.synthesizeImageVariants(ids, "doc_id")
+    val md5s = media.select(md5(col("content"))).as[String].collect().toSet
+    assert(md5s.size == 3, "variant bytes must differ")
+    val hashes = Multimodal.decodeImagePixels(media)
+      .select(col("px.ahash_hi"), col("px.ahash_lo")).distinct().collect()
+    assert(hashes.length == 1, "variant hashes must collide")
+  }
+
+  test("decodeImagePixels: corrupt or non-image bytes -> null struct, not a throw") {
+    val junk = Multimodal.fromText(
+      Seq((1L, "definitely not a png")).toDF("doc_id", "text"), "text", "doc_id")
+    val r = Multimodal.decodeImagePixels(junk).collect()
+    assert(r.length == 1 && r(0).isNullAt(1))
+    // truncated real PNG: magic survives, decode fails, row degrades
+    val png = Multimodal.synthesizeImageVariants(Seq(9L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    val truncated = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, "image",
+        java.util.Arrays.copyOf(png, 24))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    assert(Multimodal.decodeImagePixels(truncated).head().isNullAt(1))
+  }
+
+  test("decodeWavPcm: every-sample decode matches the arithmetic") {
+    val ids = Seq(0L, 1L, 7L, 1999L, 2000L, 12345L).toDF("doc_id")
+    val out = Multimodal.decodeWavPcm(Multimodal.synthesizeWavs(ids, "doc_id"))
+      .select(col("media_id"), col("pcm.n_samples"), col("pcm.sum_sq"),
+        col("pcm.peak"), col("pcm.zero_cross"))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = (id % 2000 + 100).toInt
+      val samples = (0 until n).map { i =>
+        val x = (id * 31 + i * 7) & 0xffff
+        (if (x >= 32768) x - 65536 else x).toInt
+      }
+      assert(r.getLong(1) == n.toLong, s"n_samples for $id")
+      assert(r.getLong(2) == samples.map(s => s.toLong * s).sum, s"sum_sq for $id")
+      assert(r.getInt(3) == samples.map(math.abs).max, s"peak for $id")
+      val zc = samples.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      assert(r.getLong(4) == zc.toLong, s"zero_cross for $id")
+    }
+  }
+
+  test("decodeWavPcm: corrupt, truncated, or non-PCM16 bytes -> null struct") {
+    val junk = Multimodal.fromText(
+      Seq((1L, "not a wav")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(Multimodal.decodeWavPcm(junk).head().isNullAt(1))
+    // a valid WAV truncated mid-data still reduces the samples present
+    val wav = Multimodal.synthesizeWavs(Seq(3L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    val cut = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(3L, "audio",
+        java.util.Arrays.copyOf(wav, 44 + 10))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    val partial = Multimodal.decodeWavPcm(cut).head()
+    assert(!partial.isNullAt(1) && partial.getStruct(1).getLong(0) == 5L)
+  }
+
+  test("resizeImages: integer box-filter downscale matches the arithmetic, re-encoded losslessly") {
+    val ids = Seq(0L, 5L, 126L, 381L).toDF("doc_id")
+    val out = Multimodal.decodeImagePixels(
+        Multimodal.resizeImages(Multimodal.synthesizeImageVariants(ids, "doc_id"), 8, 6))
+      .select(col("media_id"), col("px.width"), col("px.height"), col("px.px_sum"))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val seed = id % 127
+      val delta = (id / 127 % 3).toInt * 6
+      val (w, h) = ((seed % 64 + 8).toInt, (seed % 48 + 8).toInt)
+      def ch(x: Int, y: Int): (Long, Long, Long) = {
+        val hv = seed * 2654435761L + x * 131L + y * 7L
+        ((((hv >> 16) & 0xff) % 224) + delta, (((hv >> 8) & 0xff) % 224) + delta,
+          ((hv & 0xff) % 224) + delta)
+      }
+      var pxSum = 0L
+      for (j <- 0 until 6; i <- 0 until 8) {
+        val (x0, x1) = (i * w / 8, (i + 1) * w / 8)
+        val (y0, y1) = (j * h / 6, (j + 1) * h / 6)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        for (y <- y0 until y1; x <- x0 until x1) {
+          val (r0, g0, b0) = ch(x, y); rs += r0; gs += g0; bs += b0
+        }
+        val n = (x1 - x0).toLong * (y1 - y0)
+        pxSum += rs / n + gs / n + bs / n
+      }
+      assert(r.getInt(1) == 8 && r.getInt(2) == 6, s"resized dims for $id")
+      assert(r.getLong(3) == pxSum, s"resized px_sum for $id")
+    }
+  }
+
+  test("resizeImages: smaller-than-target and undecodable payloads pass through") {
+    // 8x8 fixture resized to 16x16 must NOT inflate: bytes unchanged
+    val small = Multimodal.synthesizeImageVariants(Seq(0L).toDF("doc_id"), "doc_id")
+    val origMd5 = small.select(md5(col("content"))).as[String].head()
+    val up = Multimodal.resizeImages(small, 16, 16)
+      .select(md5(col("content"))).as[String].head()
+    assert(up == origMd5)
+    val junk = Multimodal.fromText(
+      Seq((1L, "not an image")).toDF("doc_id", "text"), "text", "doc_id")
+    val through = Multimodal.resizeImages(junk, 8, 6).head()
+    assert(new String(through.getAs[Array[Byte]](2), "UTF-8") == "not an image")
+  }
 }
