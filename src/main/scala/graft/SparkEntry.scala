@@ -642,7 +642,8 @@ object SparkEntry {
         .select(col("media_id"),
           col("px.width").as("width"), col("px.height").as("height"),
           col("px.px_sum").as("px_sum"),
-          col("px.ahash_hi").as("ahash_hi"), col("px.ahash_lo").as("ahash_lo"))
+          col("px.ahash_hi").as("ahash_hi"), col("px.ahash_lo").as("ahash_lo"),
+          col("px.dhash_hi").as("dhash_hi"), col("px.dhash_lo").as("dhash_lo"))
         .withColumn("delta", expr("((media_id div 127) % 3) * 6"))
       // hash-bucket stats: n_variants > 1 proves byte-distinct images
       // collided perceptually; the group frame is tiny (post-decode
@@ -652,7 +653,8 @@ object SparkEntry {
           countDistinct(col("delta")).as("n_variants"))
       px.join(broadcast(groups), Seq("ahash_hi", "ahash_lo"))
         .select(col("media_id"), col("width"), col("height"), col("px_sum"),
-          col("ahash_hi"), col("ahash_lo"), col("n_group"), col("n_variants"))
+          col("ahash_hi"), col("ahash_lo"), col("dhash_hi"), col("dhash_lo"),
+          col("n_group"), col("n_variants"))
     },
 
     // REAL resize: decode → integer box-filter downscale to 8×6 →
@@ -676,6 +678,22 @@ object SparkEntry {
       val mm = graft.ml.Multimodal
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
       mm.decodeWavPcm(mm.synthesizeWavs(docs, "doc_id"))
+        .select(col("media_id"),
+          col("pcm.n_samples").as("n_samples"),
+          col("pcm.sum_sq").as("sum_sq"),
+          col("pcm.peak").as("peak"),
+          col("pcm.zero_cross").as("zero_cross"))
+    },
+
+    // REAL resample: decode the 16-bit PCM, linearly interpolate to a
+    // common 16 kHz in truncating integer arithmetic, re-encode the
+    // RIFF container, decode AGAIN and reduce — the oracle re-derives
+    // every interpolated sample, so the whole chain must be bit-exact
+    "q_audio_resample" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val at16k = mm.resamplePcm(mm.synthesizeWavs(docs, "doc_id"), 16000)
+      mm.decodeWavPcm(at16k)
         .select(col("media_id"),
           col("pcm.n_samples").as("n_samples"),
           col("pcm.sum_sq").as("sum_sq"),
@@ -1600,6 +1618,26 @@ object SparkEntry {
         |    unnest(generate_series(0, b.h - 1)) y(y),
         |    LATERAL (SELECT b.seed * 2654435761 + x.x * 131 + y.y * 7 AS hv) v
         |  GROUP BY b.doc_id
+        |), samp9 AS (
+        |  SELECT b.doc_id, i.i, j.j,
+        |    (((hv >> 16) & 255) % 224) + (((hv >> 8) & 255) % 224)
+        |      + ((hv & 255) % 224) + 3 * b.delta AS g
+        |  FROM base b, range(9) i(i), range(8) j(j),
+        |    LATERAL (SELECT b.seed * 2654435761 + (i.i * b.w // 9) * 131
+        |      + (j.j * b.h // 8) * 7 AS hv) v
+        |), dbits AS (
+        |  SELECT a.doc_id, a.j * 8 + a.i - 1 AS k,
+        |    CASE WHEN a.g > p.g THEN 1 ELSE 0 END AS bit
+        |  FROM samp9 a JOIN samp9 p
+        |    ON p.doc_id = a.doc_id AND p.j = a.j AND p.i = a.i - 1
+        |  WHERE a.i >= 1
+        |), dh AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN bit = 1 AND k >= 32
+        |      THEN 1::BIGINT << CAST(k - 32 AS INT) ELSE 0 END) AS dhash_hi,
+        |    bit_or(CASE WHEN bit = 1 AND k < 32
+        |      THEN 1::BIGINT << CAST(k AS INT) ELSE 0 END) AS dhash_lo
+        |  FROM dbits GROUP BY doc_id
         |), grp AS (
         |  SELECT h.ahash_hi, h.ahash_lo, CAST(count(*) AS BIGINT) AS n_group,
         |    CAST(count(DISTINCT b.delta) AS BIGINT) AS n_variants
@@ -1607,8 +1645,10 @@ object SparkEntry {
         |)
         |SELECT b.doc_id AS media_id, CAST(b.w AS INT) AS width,
         |  CAST(b.h AS INT) AS height, CAST(f.px_sum AS BIGINT) AS px_sum,
-        |  h.ahash_hi, h.ahash_lo, g.n_group, g.n_variants
+        |  h.ahash_hi, h.ahash_lo, d.dhash_hi, d.dhash_lo,
+        |  g.n_group, g.n_variants
         |FROM base b JOIN hashes h USING (doc_id) JOIN fullsum f USING (doc_id)
+        |  JOIN dh d USING (doc_id)
         |  JOIN grp g ON g.ahash_hi = h.ahash_hi AND g.ahash_lo = h.ahash_lo""".stripMargin,
 
     // The resize oracle recomputes the 8×6 box-filter: each output
@@ -1669,6 +1709,43 @@ object SparkEntry {
         |), lagd AS (
         |  SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
         |  FROM s
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(s)) AS INT) AS peak,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND (s >= 0) != (prev >= 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM lagd GROUP BY doc_id""".stripMargin,
+
+    // The resample oracle regenerates the input stream, interpolates at
+    // k*sr/16000 with the same truncating // and % (DuckDB and Scala
+    // both truncate toward zero on negatives — verified), and reduces
+    // with the q_audio_pcm arithmetic
+    "q_audio_resample" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 2000 + 100 AS n,
+        |    CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sr
+        |  FROM documents
+        |), s AS (
+        |  SELECT p.doc_id, i.i,
+        |    CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS s
+        |  FROM p, unnest(generate_series(0, p.n - 1)) i(i),
+        |    LATERAL (SELECT (p.doc_id * 31 + i.i * 7) & 65535 AS x) v
+        |), ok AS (
+        |  SELECT p.doc_id, k.k,
+        |    (k.k * p.sr) // 16000 AS idx, (k.k * p.sr) % 16000 AS frac
+        |  FROM p, unnest(generate_series(0, (p.n - 1) * 16000 // p.sr)) k(k)
+        |), ov AS (
+        |  SELECT o.doc_id, o.k,
+        |    CASE WHEN o.frac = 0 THEN a.s
+        |      ELSE a.s + ((b.s - a.s) * o.frac) // 16000 END AS s
+        |  FROM ok o
+        |  JOIN s a ON a.doc_id = o.doc_id AND a.i = o.idx
+        |  LEFT JOIN s b ON b.doc_id = o.doc_id AND b.i = o.idx + 1
+        |), lagd AS (
+        |  SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |  FROM ov
         |)
         |SELECT doc_id AS media_id,
         |  CAST(count(*) AS BIGINT) AS n_samples,

@@ -913,7 +913,9 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("px_sum", LongType),
     StructField("ahash_hi", LongType),
-    StructField("ahash_lo", LongType)))
+    StructField("ahash_lo", LongType),
+    StructField("dhash_hi", LongType),
+    StructField("dhash_lo", LongType)))
 
   /** REAL pixel decode → perceptual average-hash (aHash). Unlike the
     * header decoders this reads EVERY pixel: `ImageIO.read` (pure JDK,
@@ -978,10 +980,34 @@ object Multimodal {
             if (64L * g(k) > tot) hash |= 1L << k
             k += 1
           }
+          // dHash on a 9×8 grid: bit (j*8+i) = gray right-neighbor
+          // strictly brighter — gradient signs survive any monotone
+          // global tone change (brightness AND contrast), the standard
+          // complement to aHash's mean-threshold
+          var dhash = 0L
+          j = 0
+          while (j < 8) {
+            val y = j * h / 8
+            var prev = {
+              val p = img.getRGB(0, y)
+              ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            }
+            var i = 1
+            while (i <= 8) {
+              val p = img.getRGB(i * w / 9, y)
+              val cur = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              if (cur > prev) dhash |= 1L << (j * 8 + i - 1)
+              prev = cur
+              i += 1
+            }
+            j += 1
+          }
           Row(r.get(0), Row(Integer.valueOf(w), Integer.valueOf(h),
             java.lang.Long.valueOf(pxSum),
             java.lang.Long.valueOf(hash >>> 32),
-            java.lang.Long.valueOf(hash & 0xffffffffL)))
+            java.lang.Long.valueOf(hash & 0xffffffffL),
+            java.lang.Long.valueOf(dhash >>> 32),
+            java.lang.Long.valueOf(dhash & 0xffffffffL)))
         }
       }
     }(outEncoder)
@@ -1082,6 +1108,81 @@ object Multimodal {
         Row(r.get(0), stats)
       }
     }(outEncoder)
+  }
+
+  /** REAL audio resample for 16-bit mono WAV payloads: linear
+    * interpolation at rational positions `k * in_rate / out_rate`, all
+    * in truncating integer arithmetic (`idx = pos / out`, `frac = pos %
+    * out`, `s = s0 + (s1 - s0) * frac / out`) so the resampled stream
+    * is bit-reproducible and oracle-derivable. The output is a fresh
+    * RIFF container at the target rate — decode→process→re-encode, the
+    * audio twin of [[resizeImages]]. Already-at-rate, multi-channel,
+    * non-PCM16 or undecodable payloads pass through unchanged (the
+    * degrade-don't-throw contract; a corpus pass must not lose rows). */
+  def resamplePcm(df: DataFrame, outRate: Int): DataFrame = {
+    require(outRate > 0, "resample target rate must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema("media_id").dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select("media_id", "media_type", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val res = if (bytes == null) null else resampleWav(bytes, outRate)
+        Row(r.get(0), r.get(1), if (res == null) bytes else res)
+      }
+    }(outEncoder)
+  }
+
+  private def resampleWav(b: Array[Byte], outRate: Int): Array[Byte] = {
+    def tag(off: Int) = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(off: Int): Long = (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
+      (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+    def le16(off: Int): Int = (b(off) & 0xff) | (b(off + 1) & 0xff) << 8
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var channels = -1; var bits = -1; var sr = -1
+    var dataOff = -1; var dataLen = -1L
+    var off = 12
+    while (off + 8 <= b.length && (bits < 0 || dataOff < 0)) {
+      val id = tag(off)
+      val size = le32(off + 4)
+      if (size > Int.MaxValue - 9L) return null
+      if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length) {
+        channels = le16(off + 10); sr = le32(off + 12).toInt; bits = le16(off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size.toInt + (size % 2).toInt
+    }
+    if (channels != 1 || bits != 16 || sr <= 0 || sr == outRate || dataOff < 0)
+      return null
+    val n = (math.min(dataOff + dataLen, b.length.toLong).toInt - dataOff) / 2
+    if (n == 0) return null
+    def sample(i: Int): Long = {
+      val x = le16(dataOff + 2 * i)
+      ((x << 16) >> 16).toLong // sign-extend
+    }
+    val nOut = ((n - 1).toLong * outRate / sr + 1).toInt
+    val out = java.nio.ByteBuffer.allocate(44 + nOut * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + nOut * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(outRate).putInt(outRate * 2)
+      .putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(nOut * 2)
+    var k = 0
+    while (k < nOut) {
+      val pos = k.toLong * sr
+      val idx = (pos / outRate).toInt
+      val frac = pos % outRate
+      val v =
+        if (frac == 0L) sample(idx)
+        else sample(idx) + (sample(idx + 1) - sample(idx)) * frac / outRate
+      out.putShort(v.toShort)
+      k += 1
+    }
+    out.array()
   }
 
   private def wavPcmStats(b: Array[Byte]): Row = {
