@@ -685,6 +685,17 @@ object SparkEntry {
           col("pcm.zero_cross").as("zero_cross"))
     },
 
+    // REAL container-level frame sampling: fixtures carry a genuine
+    // stbl (stsz per-frame sizes + stco absolute offsets); the sampler
+    // must walk moov→trak→mdia→minf→stbl, address each chosen frame's
+    // byte range, and checksum the actual payload bytes — offsets,
+    // sizes, and sums are all id-arithmetic the oracle re-derives
+    "q_video_frames" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      mm.sampleFrames(mm.synthesizeMp4sSampled(docs, "doc_id"), n = 4)
+    },
+
     // REAL resample: decode the 16-bit PCM, linearly interpolate to a
     // common 16 kHz in truncating integer arithmetic, re-encode the
     // RIFF container, decode AGAIN and reduce — the oracle re-derives
@@ -1717,6 +1728,37 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND (s >= 0) != (prev >= 0)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
         |FROM lagd GROUP BY doc_id""".stripMargin,
+
+    // Frame-sample oracle: container geometry (every box length down to
+    // mdat's first payload byte), per-frame sizes, evenly-spaced frame
+    // choice k*(nf-1)//3, prefix-sum offsets, and payload byte sums are
+    // all closed-form in doc_id
+    "q_video_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(doc_id % 24 + 4 AS BIGINT) AS nf FROM documents
+        |), geom AS (
+        |  SELECT doc_id, nf,
+        |    20 + (8 + 108 + (8 + 92 + (8 + (8 + (8 + (20 + 4*nf)
+        |      + (16 + 4*nf)))))) + 8 AS mdat_start
+        |  FROM p
+        |), kk AS (
+        |  SELECT g.doc_id, g.nf, g.mdat_start, r.i AS k,
+        |    CAST((r.i * (g.nf - 1)) // 3 AS INT) AS frame_idx
+        |  FROM geom g, range(4) r(i)
+        |), fr AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, frame_idx,
+        |    CAST((doc_id * 7 + frame_idx * 13) % 200 + 20 AS INT) AS frame_size,
+        |    CAST(mdat_start + COALESCE(
+        |      (SELECT SUM((doc_id * 7 + gg.g * 13) % 200 + 20)
+        |       FROM unnest(generate_series(0, frame_idx - 1)) gg(g)), 0) AS BIGINT)
+        |      AS frame_offset
+        |  FROM kk
+        |)
+        |SELECT doc_id AS media_id, k, frame_idx, frame_offset, frame_size,
+        |  CAST((SELECT SUM((doc_id * 11 + frame_idx * 17 + jj.j * 5) % 251)
+        |    FROM unnest(generate_series(0, frame_size - 1)) jj(j)) AS BIGINT)
+        |    AS byte_sum
+        |FROM fr""".stripMargin,
 
     // The resample oracle regenerates the input stream, interpolates at
     // k*sr/16000 with the same truncating // and % (DuckDB and Scala

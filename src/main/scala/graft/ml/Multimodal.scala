@@ -826,6 +826,182 @@ object Multimodal {
     }(outEncoder)
   }
 
+  /** Deterministic MP4 fixtures WITH a real sample table: `ftyp` +
+    * `moov[mvhd + trak[tkhd + mdia[minf[stbl[stsz + stco]]]]]` + `mdat`
+    * where frame f of `n_frames = id % 24 + 4` has
+    * `size_f = (id*7 + f*13) % 200 + 20` bytes, byte j of frame f is
+    * `(id*11 + f*17 + j*5) % 251`, and `stco` carries one absolute file
+    * offset per frame — everything a container-level frame sampler
+    * needs, all pure f(id) so the oracle can re-derive offsets, sizes,
+    * and payload checksums arithmetically. */
+  def synthesizeMp4sSampled(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue
+        val nf = (id % 24 + 4).toInt
+        def fsize(f: Int): Int = ((id * 7 + f * 13) % 200 + 20).toInt
+        val sizes = (0 until nf).map(fsize)
+        val mdatPayload = sizes.sum
+        val stszLen = 20 + 4 * nf
+        val stcoLen = 16 + 4 * nf
+        val stblLen = 8 + stszLen + stcoLen
+        val minfLen = 8 + stblLen
+        val mdiaLen = 8 + minfLen
+        val trakLen = 8 + 92 + mdiaLen
+        val moovLen = 8 + 108 + trakLen
+        val mdatStart = 20 + moovLen + 8 // first payload byte (abs offset)
+        val bb = java.nio.ByteBuffer.allocate(20 + moovLen + 8 + mdatPayload)
+        def fourcc(s: String) = bb.put(s.getBytes("US-ASCII")): Unit
+        bb.putInt(20); fourcc("ftyp"); fourcc("isom"); bb.putInt(0); fourcc("isom")
+        bb.putInt(moovLen); fourcc("moov")
+        bb.putInt(108); fourcc("mvhd")
+        bb.putInt(0); bb.putInt(0).putInt(0)
+        bb.putInt(600).putInt(nf * 100) // timescale, duration
+        bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        bb.putInt(0).putInt(0)
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+        (0 until 6).foreach(_ => bb.putInt(0))
+        bb.putInt(2)
+        bb.putInt(trakLen); fourcc("trak")
+        bb.putInt(92); fourcc("tkhd")
+        bb.putInt(0x000007); bb.putInt(0).putInt(0)
+        bb.putInt(1).putInt(0); bb.putInt(nf * 100)
+        bb.putInt(0).putInt(0)
+        bb.putShort(0).putShort(0).putShort(0).putShort(0)
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+        bb.putInt(320 << 16).putInt(240 << 16)
+        bb.putInt(mdiaLen); fourcc("mdia")
+        bb.putInt(minfLen); fourcc("minf")
+        bb.putInt(stblLen); fourcc("stbl")
+        bb.putInt(stszLen); fourcc("stsz")
+        bb.putInt(0) // version/flags
+        bb.putInt(0) // sample_size = 0 -> per-sample table follows
+        bb.putInt(nf)
+        sizes.foreach(bb.putInt)
+        bb.putInt(stcoLen); fourcc("stco")
+        bb.putInt(0)
+        bb.putInt(nf)
+        var acc = mdatStart
+        sizes.foreach { sz => bb.putInt(acc); acc += sz }
+        bb.putInt(8 + mdatPayload); fourcc("mdat")
+        var f = 0
+        while (f < nf) {
+          var j = 0
+          val sz = sizes(f)
+          while (j < sz) {
+            bb.put(((id * 11 + f * 17 + j * 5) % 251).toByte)
+            j += 1
+          }
+          f += 1
+        }
+        Row(r.get(0), "video", bb.array())
+      }
+    }(outEncoder)
+  }
+
+  /** REAL container-level frame sampling: walk
+    * `moov→trak→mdia→minf→stbl`, read the `stsz` per-sample sizes and
+    * `stco` chunk offsets, pick `n` evenly spaced frames
+    * (`f_k = k*(nf-1)/(n-1)`), and slice each frame's ACTUAL bytes out
+    * of the payload — the access pattern of a video training pipeline
+    * (sample k frames per clip for a vision encoder), minus only the
+    * codec: what comes out is the exact on-disk frame range, checksummed
+    * here (`byte_sum`) because this container has no decoder to hand
+    * the bytes to. Header walk + n range reads per clip — cost is
+    * O(frames sampled), never O(clip length). Corrupt/truncated/
+    * non-MP4 payloads emit zero rows (degrade, don't throw). */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "must sample at least one frame")
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema("media_id").dataType),
+      StructField("k", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_offset", LongType),
+      StructField("frame_size", IntegerType),
+      StructField("byte_sum", LongType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val idx = if (b == null) null else frameIndex(b)
+        if (idx == null || idx._1.length == 0) Iterator.empty
+        else {
+          val (sizes, offsets) = idx
+          val nf = sizes.length
+          (0 until n).iterator.map { k =>
+            val f = if (n == 1) 0 else (k.toLong * (nf - 1) / (n - 1)).toInt
+            val off = offsets(f)
+            val sz = sizes(f)
+            var sum = 0L
+            var j = 0
+            val end = math.min(off + sz, b.length.toLong).toInt
+            var p = off.toInt
+            while (p < end) { sum += b(p) & 0xff; p += 1 }
+            Row(r.get(0), Integer.valueOf(k), Integer.valueOf(f),
+              java.lang.Long.valueOf(off), Integer.valueOf(sz),
+              java.lang.Long.valueOf(sum))
+          }
+        }
+      }
+    }(outEncoder)
+  }
+
+  /** stsz sizes + stco offsets from the stbl, or null when the walk
+    * fails anywhere (non-MP4, truncated, sizes lying past the buffer). */
+  private def frameIndex(b: Array[Byte]): (Array[Int], Array[Long]) = {
+    def be32(off: Int): Long =
+      if (off + 4 > b.length) -1L
+      else (b(off) & 0xffL) << 24 | (b(off + 1) & 0xffL) << 16 |
+        (b(off + 2) & 0xffL) << 8 | (b(off + 3) & 0xffL)
+    def tag(off: Int): String =
+      if (off + 4 > b.length) ""
+      else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // find child box `name` in [from, to); returns body range or null
+    def child(from: Long, to: Long, name: String): (Long, Long) = {
+      var off = from
+      while (off + 8 <= to) {
+        val size = be32(off.toInt)
+        if (size < 8) return null
+        if (tag(off.toInt + 4) == name) {
+          val end = math.min(off + size, to)
+          return (off + 8, end)
+        }
+        off += size
+      }
+      null
+    }
+    try {
+      var stbl = child(0L, b.length.toLong, "moov")
+      for (name <- Seq("trak", "mdia", "minf", "stbl") if stbl != null)
+        stbl = child(stbl._1, stbl._2, name)
+      if (stbl == null) return null
+      val stsz = child(stbl._1, stbl._2, "stsz")
+      val stco = child(stbl._1, stbl._2, "stco")
+      if (stsz == null || stco == null) return null
+      val uniform = be32(stsz._1.toInt + 4)
+      val nSz = be32(stsz._1.toInt + 8)
+      val nCo = be32(stco._1.toInt + 4)
+      if (nSz < 0 || nSz != nCo || nSz > (b.length / 4) + 1) return null
+      val n = nSz.toInt
+      val sizes = new Array[Int](n)
+      val offsets = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        sizes(i) =
+          if (uniform != 0) uniform.toInt else be32(stsz._1.toInt + 12 + 4 * i).toInt
+        offsets(i) = be32(stco._1.toInt + 8 + 4 * i)
+        if (sizes(i) < 0 || offsets(i) < 0) return null
+        i += 1
+      }
+      (sizes, offsets)
+    } catch { case _: Exception => null }
+  }
+
   /** Deterministic PNG fixtures at corpus scale: one `(id % 64 + 1) ×
     * (id % 48 + 1)` RGB image per row, encoded per-partition (the encode
     * twin of [[decodePartitions]] — same one-library-instance-per-

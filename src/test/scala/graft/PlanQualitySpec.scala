@@ -260,7 +260,8 @@ class PlanQualitySpec extends SparkSpec {
     for (q <- Seq("q_multimodal_decode", "q_multimodal_audio",
         "q_multimodal_video", "q_multimodal_mixed", "q_multimodal_mp3",
         "q_multimodal_ogg", "q_multimodal_webm",
-        "q_audio_pcm", "q_image_resize", "q_audio_resample")) {
+        "q_audio_pcm", "q_image_resize", "q_audio_resample",
+        "q_video_frames")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.count()
       val plan = df.queryExecution.executedPlan.toString

@@ -630,4 +630,57 @@ class MultimodalSpec extends SparkSpec {
     val through = Multimodal.resamplePcm(junk, 16000).head()
     assert(new String(through.getAs[Array[Byte]](2), "UTF-8") == "not audio")
   }
+
+  test("sampleFrames: stbl walk + byte-range reads match the arithmetic") {
+    val ids = Seq(0L, 3L, 23L, 24L, 499L).toDF("doc_id")
+    val out = Multimodal.sampleFrames(
+        Multimodal.synthesizeMp4sSampled(ids, "doc_id"), n = 4)
+      .orderBy("media_id", "k").collect()
+    assert(out.length == 5 * 4)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nf = (id % 24 + 4).toInt
+      def fsize(f: Int) = ((id * 7 + f * 13) % 200 + 20).toInt
+      val k = r.getInt(1)
+      val f = (k.toLong * (nf - 1) / 3).toInt
+      assert(r.getInt(2) == f, s"frame_idx for $id/$k")
+      val stsz = 20 + 4 * nf
+      val stco = 16 + 4 * nf
+      val mdatStart = 20 + (8 + 108 + (8 + 92 + (8 + (8 + (8 + stsz + stco))))) + 8
+      val off = mdatStart + (0 until f).map(fsize).sum
+      assert(r.getLong(3) == off.toLong, s"offset for $id/$k")
+      assert(r.getInt(4) == fsize(f), s"size for $id/$k")
+      val bs = (0 until fsize(f)).map(j => (id * 11 + f * 17 + j * 5) % 251).sum
+      assert(r.getLong(5) == bs, s"byte_sum for $id/$k")
+    }
+  }
+
+  test("sampleFrames: corrupt, truncated, or non-MP4 bytes emit zero rows") {
+    val junk = Multimodal.fromText(
+      Seq((1L, "definitely not an mp4")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(Multimodal.sampleFrames(junk, 4).count() == 0L)
+    // truncation INSIDE the stbl: the moov walk dies cleanly
+    val full = Multimodal.synthesizeMp4sSampled(Seq(7L).toDF("doc_id"), "doc_id")
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    val cut = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(7L, "video",
+        java.util.Arrays.copyOf(full, 150))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    assert(Multimodal.sampleFrames(cut, 4).count() == 0L)
+  }
+
+  test("synthesizeMp4sSampled still reads as a valid MP4 through Mp4Decoder") {
+    // the sampled fixture nests deeper (mdia/minf/stbl) but keeps the
+    // mvhd/tkhd the header decoder reads — one fixture, both consumers
+    val meta = Multimodal.decodePartitions(
+        Multimodal.synthesizeMp4sSampled(Seq(11L).toDF("doc_id"), "doc_id"),
+        Multimodal.Mp4Decoder).select(col("meta.format"), col("meta.width")).head()
+    assert(meta.getString(0) == "mp4" && meta.getInt(1) == 320)
+  }
 }
