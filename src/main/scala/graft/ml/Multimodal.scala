@@ -35,6 +35,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default ImageInputStream cache backs every read with a
+    * temp FILE — at corpus scale that's a disk write-and-delete per
+    * image decoded. For in-memory byte-array payloads the memory cache
+    * is strictly better; disable once per JVM (touched at the top of
+    * every image-handling partition closure, so executors get it too). */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried next to the opaque payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -1016,6 +1024,7 @@ object Multimodal {
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.select(idCol).mapPartitions { rows =>
+      imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val (w, h) = ((id % 64 + 1).toInt, (id % 48 + 1).toInt)
@@ -1056,6 +1065,7 @@ object Multimodal {
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.select(idCol).mapPartitions { rows =>
+      imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val seed = id % 127
@@ -1115,6 +1125,7 @@ object Multimodal {
       StructField("px", pixelSchema)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.select("media_id", "content").mapPartitions { rows =>
+      imageIoNoDiskCache
       rows.map { r =>
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         val img =
@@ -1209,6 +1220,7 @@ object Multimodal {
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.select("media_id", "media_type", "content").mapPartitions { rows =>
+      imageIoNoDiskCache
       rows.map { r =>
         val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         val img =
@@ -1416,6 +1428,7 @@ object Multimodal {
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.select("media_id", "media_type", "content")
       .mapPartitions { rows =>
+        imageIoNoDiskCache
         val d = decoder // one per partition; real libs init native state here
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](2)
