@@ -195,6 +195,22 @@ object Bench {
           mm.decodePartitions(bigMedia, mm.HeaderDecoder)
             .agg(sum(col("meta.duration_ms"))).count())
       }
+      // PIXEL-DECODE THROUGHPUT: unlike decode_headers this reads EVERY
+      // payload byte — full PNG decode plus the aHash/dHash reduction,
+      // the payload-proportional cost of an image near-dup pass. The
+      // fixture is PNG-*encode*-heavy, so it is built and checkpointed
+      // OUTSIDE the timed region (the localCheckpoint survives the
+      // between-sample cache clears); the datapoint times decode+hash
+      // only. A regression here means the decode path started paying
+      // per-image constant costs again (e.g. the ImageIO disk cache).
+      locally {
+        val mm = graft.ml.Multimodal
+        val bigPngs = mm.synthesizeImageVariants(
+          bigDocs.select(col("doc_id")), "doc_id").localCheckpoint()
+        timed("decode_pixels")(
+          mm.decodeImagePixels(bigPngs)
+            .agg(sum(col("px.px_sum"))).count())
+      }
       // pre + mid + post probe samples: the min is the machine floor the
       // stress ops are normalized against
       val probeAll = probePre :+ probeMid :+ probeOnce()

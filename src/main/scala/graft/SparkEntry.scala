@@ -712,6 +712,35 @@ object SparkEntry {
           col("pcm.zero_cross").as("zero_cross"))
     },
 
+    // END-TO-END multimodal curation in ONE declarative plan: a mixed
+    // corpus routes by modality — images through pixel decode +
+    // perceptual-hash dedup (first representative per aHash bucket),
+    // audio through PCM energy gating (mean-square threshold — silence
+    // filtering), video through sampled-frame size gating (bitrate
+    // proxy) — and the survivors union. The shape of a real
+    // training-corpus intake pass; every rule is oracle-reproducible.
+    "q_multimodal_curate" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      def cls(m: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === m)
+      val imgKeep = mm.decodeImagePixels(mm.synthesizeImageVariants(cls(0), "doc_id"))
+        .groupBy(col("px.ahash_hi"), col("px.ahash_lo"))
+        .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("metric"))
+        .select(col("media_id"), lit("image").as("media_type"), col("metric"))
+      val audKeep = mm.decodeWavPcm(mm.synthesizeWavs(cls(1), "doc_id"))
+        // `div`, not `/`: float division + cast can be off-by-one on
+        // big longs; both engines floor exactly on the integer path
+        .select(col("media_id"),
+          expr("pcm.sum_sq div pcm.n_samples").as("metric"))
+        .filter(col("metric") >= 80000000L)
+        .select(col("media_id"), lit("audio").as("media_type"), col("metric"))
+      val vidKeep = mm.sampleFrames(mm.synthesizeMp4sSampled(cls(2), "doc_id"), n = 2)
+        .groupBy("media_id").agg(sum(col("frame_size")).as("metric"))
+        .filter(col("metric") >= 240L)
+        .select(col("media_id"), lit("video").as("media_type"), col("metric"))
+      imgKeep.unionByName(audKeep).unionByName(vidKeep)
+    },
+
     // Unicode NFC normalization via the codegen'd kernel expression —
     // decomposed combining sequences and the Å singleton appended to
     // every document must compose; the oracle is DuckDB's own
@@ -1796,6 +1825,62 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND (s >= 0) != (prev >= 0)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
         |FROM lagd GROUP BY doc_id""".stripMargin,
+
+    // Curation oracle: the image arm re-derives the aHash buckets and
+    // picks min-id per bucket; the audio arm regenerates the PCM stream
+    // and gates on integer mean-square energy; the video arm sums the
+    // two sampled frame sizes (n=2 -> frames 0 and nf-1) — all pure
+    // doc_id arithmetic
+    "q_multimodal_curate" ->
+      """WITH imgbase AS (
+        |  SELECT doc_id, doc_id % 127 AS seed, (doc_id // 127 % 3) * 6 AS delta,
+        |    (doc_id % 127) % 64 + 8 AS w, (doc_id % 127) % 48 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), samp AS (
+        |  SELECT b.doc_id, j.j * 8 + i.i AS k,
+        |    (((hv >> 16) & 255) % 224) + (((hv >> 8) & 255) % 224)
+        |      + ((hv & 255) % 224) + 3 * b.delta AS g
+        |  FROM imgbase b, range(8) i(i), range(8) j(j),
+        |    LATERAL (SELECT b.seed * 2654435761 + (i.i * b.w // 8) * 131
+        |      + (j.j * b.h // 8) * 7 AS hv) v
+        |), tot AS (
+        |  SELECT doc_id, sum(g) AS tot FROM samp GROUP BY doc_id
+        |), hashes AS (
+        |  SELECT s.doc_id,
+        |    bit_or(CASE WHEN 64 * s.g > t.tot AND s.k >= 32
+        |      THEN 1::BIGINT << CAST(s.k - 32 AS INT) ELSE 0 END) AS hi,
+        |    bit_or(CASE WHEN 64 * s.g > t.tot AND s.k < 32
+        |      THEN 1::BIGINT << CAST(s.k AS INT) ELSE 0 END) AS lo
+        |  FROM samp s JOIN tot t USING (doc_id) GROUP BY s.doc_id
+        |), img_keep AS (
+        |  SELECT min(doc_id) AS media_id, 'image' AS media_type,
+        |    CAST(count(*) AS BIGINT) AS metric
+        |  FROM hashes GROUP BY hi, lo
+        |), pcm AS (
+        |  SELECT d.doc_id, d.doc_id % 2000 + 100 AS n,
+        |    CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS s
+        |  FROM documents d,
+        |    unnest(generate_series(0, d.doc_id % 2000 + 100 - 1)) i(i),
+        |    LATERAL (SELECT (d.doc_id * 31 + i.i * 7) & 65535 AS x) v
+        |  WHERE d.doc_id % 3 = 1
+        |), aud AS (
+        |  SELECT doc_id AS media_id, CAST(sum(s * s) // max(n) AS BIGINT) AS metric
+        |  FROM pcm GROUP BY doc_id
+        |), aud_keep AS (
+        |  SELECT media_id, 'audio' AS media_type, metric FROM aud
+        |  WHERE metric >= 80000000
+        |), vid AS (
+        |  SELECT d.doc_id AS media_id,
+        |    CAST((d.doc_id * 7) % 200 + 20
+        |      + (d.doc_id * 7 + (d.doc_id % 24 + 3) * 13) % 200 + 20 AS BIGINT)
+        |      AS metric
+        |  FROM documents d WHERE d.doc_id % 3 = 2
+        |), vid_keep AS (
+        |  SELECT media_id, 'video' AS media_type, metric FROM vid
+        |  WHERE metric >= 240
+        |)
+        |SELECT * FROM img_keep UNION ALL SELECT * FROM aud_keep
+        |UNION ALL SELECT * FROM vid_keep""".stripMargin,
 
     // DuckDB's own nfc_normalize over the identical decomposed
     // construction; lengths count codepoints on both engines
