@@ -756,6 +756,14 @@ object SparkEntry {
         .withColumn("n_post", length(col("norm")))
     },
 
+    // Distributed column profiling: unpivot + one groupBy over column
+    // names — per-column nulls/cardinality/range, the intake QA pass
+    "q_column_profile" -> { (s, dir) =>
+      graft.ml.DatasetOps.profileColumns(
+        Tables.load(s, dir, "documents"),
+        Seq("text", "lang", "source", "n_chars"))
+    },
+
     // Document chunking: 64-token windows striding by 48 (overlap 16) —
     // shuffle-free projection+explode; the oracle re-derives the window
     // arithmetic and the re-joined chunk text
@@ -1893,6 +1901,22 @@ object SparkEntry {
         |  length(nfc_normalize(text || 'e' || chr(769) || ' A' || chr(778) || ' '
         |    || chr(8491))) AS n_post
         |FROM documents""".stripMargin,
+
+    // Both engines compare strings bytewise (binary collation), so
+    // min/max over the cast-to-string melt agree; countDistinct and
+    // min/max skip NULLs on both
+    "q_column_profile" ->
+      """WITH m AS (
+        |  SELECT 'text' AS col_name, CAST(text AS VARCHAR) AS value FROM documents
+        |  UNION ALL SELECT 'lang', CAST(lang AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        |)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+        |  min(value) AS min_val, max(value) AS max_val
+        |FROM m GROUP BY col_name""".stripMargin,
 
     // chunk count = (n - 64 + 47) // 48 + 1 for n > 64 (integer form on
     // both sides); DuckDB list slice is 1-based inclusive like Spark's

@@ -323,4 +323,23 @@ object DatasetOps {
       }
     corpus.filter(!coalesce(tainted, lit(false)))
   }
+  /** Distributed column profiling — the corpus-QA pass a data intake
+    * runs before anything else (null bleed, cardinality collapse, and
+    * range drift all show up here first). One unpivot (cast-to-string
+    * melt, column-pruned at the scan) and one groupBy over k column
+    * names: fully distributed, no driver collect, shuffle bounded by
+    * k × distinct values. Exact distinct counts — at true corpus scale
+    * swap `countDistinct` for `approx_count_distinct`, trading the
+    * oracle-checkable answer for a sketch merge. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: need at least one column")
+    df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .unpivot(Array.empty[Column], cols.map(col).toArray, "col_name", "value")
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("value")).as("n_distinct"),
+        min(col("value")).as("min_val"),
+        max(col("value")).as("max_val"))
+  }
 }

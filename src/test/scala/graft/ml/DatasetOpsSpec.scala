@@ -195,4 +195,20 @@ class DatasetOpsSpec extends SparkSpec {
     assert(out.map(_._5).sum == 33L) // disjoint cover, nothing dropped
     assert(out.flatMap(_._3.split(" ")).toSeq == (1 to 33).map(i => s"t$i"))
   }
+
+  test("profileColumns: per-column nulls, cardinality, and range in one pass") {
+    val df = Seq(
+      (Some("a"), Some(1)), (Some("b"), Some(2)), (Some("a"), None),
+      (None, Some(10))).toDF("s", "n")
+    val out = DatasetOps.profileColumns(df, Seq("s", "n"))
+      .orderBy("col_name").collect()
+    assert(out.length == 2)
+    val n = out(0); val s = out(1)
+    assert(n.getString(0) == "n" && s.getString(0) == "s")
+    assert(s.getLong(1) == 4L && s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.getString(4) == "a" && s.getString(5) == "b")
+    assert(n.getLong(1) == 4L && n.getLong(2) == 1L && n.getLong(3) == 3L)
+    // string ordering: "1" < "10" < "2" bytewise
+    assert(n.getString(4) == "1" && n.getString(5) == "2")
+  }
 }

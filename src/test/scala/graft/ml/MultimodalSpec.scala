@@ -683,4 +683,76 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.Mp4Decoder).select(col("meta.format"), col("meta.width")).head()
     assert(meta.getString(0) == "mp4" && meta.getInt(1) == 320)
   }
+
+  test("codec-path fuzz: corrupt buffers flow through pixel/PCM/resample/frame ops") {
+    // same contract as the header-decoder fuzz, for the five codec-level
+    // operators: a corrupt payload degrades (null struct, pass-through,
+    // or zero rows) — it never kills the partition
+    val rnd = new scala.util.Random(0x70ff)
+    def good(kind: String): Array[Byte] = {
+      val one = Seq(29L).toDF("doc_id")
+      val df = kind match {
+        case "png" => Multimodal.synthesizeImageVariants(one, "doc_id")
+        case "wav" => Multimodal.synthesizeWavs(one, "doc_id")
+        case "mp4" => Multimodal.synthesizeMp4sSampled(one, "doc_id")
+      }
+      df.select(col("content")).head().getAs[Array[Byte]](0)
+    }
+    val buffers = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    for (_ <- 1 to 40) {
+      val b = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(b); buffers += b
+    }
+    for (kind <- Seq("png", "wav", "mp4")) {
+      val g = good(kind)
+      for (_ <- 1 to 40) buffers += java.util.Arrays.copyOf(g, rnd.nextInt(g.length + 1))
+      for (_ <- 1 to 40) {
+        val mut = g.clone()
+        mut(rnd.nextInt(mut.length)) = (mut(rnd.nextInt(mut.length)) ^ 0x41).toByte
+        buffers += mut
+      }
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(buffers.zipWithIndex.map { case (b, i) =>
+        org.apache.spark.sql.Row(i.toLong, "image", b)
+      }.toSeq: _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("media_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val corpus = spark.createDataFrame(rows, schema)
+    val n = buffers.length.toLong
+    // every operator must traverse the full corrupt corpus
+    assert(Multimodal.decodeImagePixels(corpus).count() == n)
+    assert(Multimodal.decodeWavPcm(corpus).count() == n)
+    assert(Multimodal.resizeImages(corpus, 8, 6).count() == n)
+    assert(Multimodal.resamplePcm(corpus, 16000).count() == n)
+    assert(Multimodal.sampleFrames(corpus, 4).count() <= n * 4) // emits only parseable clips
+  }
+
+  test("decode seam works under Structured Streaming: per-batch pixel decode to a memory sink") {
+    // a media corpus can arrive as a stream (e.g. Kafka of payload
+    // pointers + bytes); the decode seam is mapPartitions-shaped, which
+    // streams per micro-batch with no state — pin that the whole
+    // synthesize->decode chain survives planning as a streaming query
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[Long](spark)
+    val media = Multimodal.synthesizeImageVariants(mem.toDF().withColumnRenamed("value", "doc_id"), "doc_id")
+    val decoded = Multimodal.decodeImagePixels(media)
+      .select(col("media_id"), col("px.width").as("w"), col("px.ahash_hi").as("hi"))
+    val q = decoded.writeStream.format("memory").queryName("mm_stream_decode")
+      .outputMode("append").start()
+    try {
+      mem.addData(0L, 127L, 254L, 5L)
+      q.processAllAvailable()
+      val out = spark.table("mm_stream_decode").collect()
+      assert(out.length == 4)
+      // seed-0 variants (0, 127, 254) share dims AND aHash in-stream
+      val seed0 = out.filter(r => Set(0L, 127L, 254L)(r.getLong(0)))
+      assert(seed0.map(_.getInt(1)).toSet == Set(8))
+      assert(seed0.map(_.getLong(2)).toSet.size == 1)
+    } finally q.stop()
+  }
 }
