@@ -30,6 +30,9 @@ object NormalizeFns {
   def nfkc(text: Column): Column = col(UnicodeNormalizeExpr(expr(text), "NFKC"))
   /** Compatibility decomposition. */
   def nfkd(text: Column): Column = col(UnicodeNormalizeExpr(expr(text), "NFKD"))
+  /** Form by name — the YAML/stage entry point. */
+  def normalize(text: Column, form: String): Column =
+    col(UnicodeNormalizeExpr(expr(text), form))
 
   // ---- static kernel (called from generated code) -------------------------
 

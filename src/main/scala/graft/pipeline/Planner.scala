@@ -178,7 +178,9 @@ object Planner {
 
   private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
     "AssignSplits", "PackSequences", "Chunk", "UrlDedup", "TextProfile",
-    "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample")
+    "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
+    "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
+    "MediaResample", "MediaFrames")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -372,6 +374,43 @@ object Planner {
         }
       case "TextProfile" =>
         df => graft.ml.TextAnalysis.profile(df, text)
+      case "Normalize" =>
+        // unicode normalization of the text column IN PLACE (or to
+        // `target`) — run it before any Dedup/Decontaminate stage so
+        // decomposed variants of the same visible text hash identically
+        val form = conf.str("form").getOrElse("NFC").toUpperCase
+        val target = conf.str("target").getOrElse(text)
+        df => df.withColumn(target,
+          graft.functions.NormalizeFns.normalize(col(s"`$text`"), form))
+      case "ColumnProfile" =>
+        val cols = conf.strSeq("columns")
+        if (cols.isEmpty) sys.error("ColumnProfile needs `columns: [a, b, …]`")
+        df => graft.ml.DatasetOps.profileColumns(df, cols)
+      // media stages operate on the (media_id, media_type, content)
+      // frame shape ([[graft.ml.Multimodal]]); `src`/`id_field` don't
+      // apply — the payload column is `content` by contract
+      case "MediaDecode" =>
+        conf.str("method").getOrElse("headers") match {
+          case "headers" => df => graft.ml.Multimodal.decodePartitions(
+            df, graft.ml.Multimodal.HeaderDecoder)
+          case "pixels" => df => graft.ml.Multimodal.decodeImagePixels(df)
+          case "pcm" => df => graft.ml.Multimodal.decodeWavPcm(df)
+          case other => sys.error(
+            s"MediaDecode method must be headers|pixels|pcm, got '$other'")
+        }
+      case "MediaResize" =>
+        val w = conf.int("width", 0)
+        val h = conf.int("height", 0)
+        if (w <= 0 || h <= 0) sys.error("MediaResize needs positive `width` and `height`")
+        df => graft.ml.Multimodal.resizeImages(df, w, h)
+      case "MediaResample" =>
+        val rate = conf.int("rate", 0)
+        if (rate <= 0) sys.error("MediaResample needs a positive `rate`")
+        df => graft.ml.Multimodal.resamplePcm(df, rate)
+      case "MediaFrames" =>
+        val n = conf.int("n", 0)
+        if (n <= 0) sys.error("MediaFrames needs a positive `n`")
+        df => graft.ml.Multimodal.sampleFrames(df, n)
       case "PassageDedup" =>
         // verbatim-passage rewrite (suffix-array-dedup family): strip
         // k-token windows duplicated across ≥ min_docs docs, keep-first.

@@ -489,4 +489,44 @@ class LlmPipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("corpus-level"))
   }
+
+  test("Normalize stage composes decomposed text in place; ColumnProfile profiles") {
+    val df = Seq((1L, "cafe\u0301"), (2L, "plain")).toDF("id", "text")
+    val out = Planner.corpusStage("Normalize", Map.empty[String, Any])(df)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "caf\u00e9" && out(1).getString(1) == "plain")
+    // to a separate target column, NFKC
+    val kc = Planner.corpusStage("Normalize",
+      Map("form" -> "nfkc", "target" -> "norm"))(Seq((1L, "\uFB01")).toDF("id", "text"))
+      .head()
+    assert(kc.getString(kc.fieldIndex("norm")) == "fi")
+    val prof = Planner.corpusStage("ColumnProfile",
+      Map("columns" -> Seq("text")))(df).head()
+    assert(prof.getString(0) == "text" && prof.getLong(1) == 2L)
+    intercept[RuntimeException] {
+      Planner.corpusStage("ColumnProfile", Map.empty[String, Any])(df)
+    }
+  }
+
+  test("Media stages route the multimodal ops by config") {
+    val mm = graft.ml.Multimodal
+    val media = mm.synthesizeImageVariants(Seq(0L, 127L).toDF("doc_id"), "doc_id")
+    val px = Planner.corpusStage("MediaDecode", Map("method" -> "pixels"))(media)
+    assert(px.select(col("px.ahash_hi")).distinct().count() == 1L)
+    val resized = Planner.corpusStage("MediaResize",
+      Map("width" -> 8, "height" -> 6))(media)
+    assert(Planner.corpusStage("MediaDecode", Map("method" -> "pixels"))(resized)
+      .select(col("px.width")).distinct().head().getInt(0) == 8)
+    val wavs = mm.synthesizeWavs(Seq(3L).toDF("doc_id"), "doc_id")
+    val pcm = Planner.corpusStage("MediaDecode", Map("method" -> "pcm"))(
+      Planner.corpusStage("MediaResample", Map("rate" -> 16000))(wavs))
+    assert(pcm.select(col("pcm.n_samples")).head().getLong(0) > 103L)
+    val clips = mm.synthesizeMp4sSampled(Seq(9L).toDF("doc_id"), "doc_id")
+    assert(Planner.corpusStage("MediaFrames", Map("n" -> 3))(clips).count() == 3L)
+    val meta = Planner.corpusStage("MediaDecode", Map.empty[String, Any])(wavs)
+    assert(meta.select(col("meta.format")).head().getString(0) == "wav")
+    intercept[RuntimeException] {
+      Planner.corpusStage("MediaDecode", Map("method" -> "nope"))(media)
+    }
+  }
 }
