@@ -408,6 +408,29 @@ object SparkEntry {
         emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5,
         m = 8, kc = 16, rerank = 50)
     },
+    // ANN QUALITY measurement: recall@5 of the IVF and SRP-LSH indexes
+    // against the exact brute-force top-5, per query — the metric that
+    // decides nprobe/numPlanes at corpus scale. Counts, not ratios, so
+    // the compare stays integer-exact.
+    "q_ann_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 5)
+      val exact = graft.ml.Similarity.bruteForceTopK(
+          emb, qs, "embedding", "vec_id", k = 5)
+        .select($"query_id", $"vec_id")
+      def arm(name: String, approx: DataFrame) =
+        exact.join(approx.select($"query_id", $"vec_id", lit(1).as("hit")),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy($"query_id")
+          .agg(count(lit(1)).as("n_exact"), count($"hit").as("n_hit"))
+          .select(lit(name).as("method"), $"query_id", $"n_exact", $"n_hit")
+      arm("ivf", graft.ml.Similarity.ivfTopK(
+          emb, qs, "embedding", "vec_id", k = 5, numCells = 16, nprobe = 3))
+        .unionByName(arm("lsh", graft.ml.Similarity.annTopK(
+          emb, qs, "embedding", "vec_id", k = 5, numPlanes = 6, dim = 64)))
+    },
+
     "q_cosine_dup" -> { (s, dir) =>
       graft.ml.Similarity.cosineDupPairs(Tables.load(s, dir, "embeddings"),
         "embedding", "vec_id", threshold = 0.4, numPlanes = 4, dim = 64)
@@ -943,11 +966,24 @@ object SparkEntry {
   private def srpBucketSql(numPlanes: Int, dim: Int): String =
     s"""list_sum([CASE WHEN list_reduce([v[i+1] * ((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 25, 8)) AS BIGINT) % 2001 - 1000) / 1000.0) for i in range(0, $dim)], (x, y) -> x + y) >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END for p in range(0, $numPlanes)])"""
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q_ann_lsh" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared ANN oracle bodies: each is a complete SELECT used both as
+    * its own gate's oracle and as a subquery arm of q_ann_recall. */
+  private val embTopkOracle: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_reduce(list_zip(q.qv, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |    sqrt(list_reduce(list_zip(q.qv, q.qv).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |         list_reduce(list_zip(c.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b)) AS sim
+        |  FROM c, q)
+        |SELECT query_id, vec_id, rank, sim FROM (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin
+  private val annLshOracle: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |b AS (SELECT vec_id, v, ${srpBucketSql(6, 64)} AS bucket FROM c),
         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
         |scored AS (
@@ -960,7 +996,44 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER
         |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
         |  FROM scored)
-        |WHERE rank <= 5""".stripMargin,
+        |WHERE rank <= 5""".stripMargin
+  private val annIvfOracle: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, v AS cent FROM c WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT c.vec_id, c.v, cents.cell_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_reduce(list_zip(c.v, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |        sqrt(list_reduce(list_zip(c.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |             list_reduce(list_zip(cents.cent, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b))
+        |        DESC, cents.cell_id) AS rn
+        |    FROM c, cents) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, cell_id FROM (
+        |    SELECT q.vec_id AS query_id, q.v AS qv, cents.cell_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_zip(q.v, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |        sqrt(list_reduce(list_zip(q.v, q.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |             list_reduce(list_zip(cents.cent, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b))
+        |        DESC, cents.cell_id) AS rn
+        |    FROM c q, cents WHERE q.vec_id < 5) WHERE rn <= 3)
+        |SELECT query_id, vec_id, rank, sim FROM (
+        |  SELECT sc.query_id, sc.vec_id, sc.sim,
+        |    CAST(row_number() OVER (PARTITION BY sc.query_id ORDER BY sc.sim DESC, sc.vec_id) AS INT) AS rank
+        |  FROM (
+        |    SELECT p.query_id, a.vec_id,
+        |      list_reduce(list_zip(p.qv, a.v).apply(x -> x[1]*x[2]), (x,y) -> x+y) /
+        |      sqrt(list_reduce(list_zip(p.qv, p.qv).apply(x -> x[1]*x[2]), (x,y) -> x+y) *
+        |           list_reduce(list_zip(a.v, a.v).apply(x -> x[1]*x[2]), (x,y) -> x+y)) AS sim
+        |    FROM asg a JOIN probes p USING (cell_id)) sc)
+        |WHERE rank <= 5""".stripMargin
+
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" -> annLshOracle,
 
     "q_ann_int8" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -990,37 +1063,31 @@ object SparkEntry {
         |    FROM cand))
         |WHERE rank <= 5""".stripMargin,
 
-    "q_ann_ivf" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cell_id, v AS cent FROM c WHERE vec_id < 16),
-        |asg AS (
-        |  SELECT vec_id, v, cell_id FROM (
-        |    SELECT c.vec_id, c.v, cents.cell_id,
-        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |        list_reduce(list_zip(c.v, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
-        |        sqrt(list_reduce(list_zip(c.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
-        |             list_reduce(list_zip(cents.cent, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b))
-        |        DESC, cents.cell_id) AS rn
-        |    FROM c, cents) WHERE rn = 1),
-        |probes AS (
-        |  SELECT query_id, qv, cell_id FROM (
-        |    SELECT q.vec_id AS query_id, q.v AS qv, cents.cell_id,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_reduce(list_zip(q.v, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
-        |        sqrt(list_reduce(list_zip(q.v, q.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
-        |             list_reduce(list_zip(cents.cent, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b))
-        |        DESC, cents.cell_id) AS rn
-        |    FROM c q, cents WHERE q.vec_id < 5) WHERE rn <= 3)
-        |SELECT query_id, vec_id, rank, sim FROM (
-        |  SELECT sc.query_id, sc.vec_id, sc.sim,
-        |    CAST(row_number() OVER (PARTITION BY sc.query_id ORDER BY sc.sim DESC, sc.vec_id) AS INT) AS rank
-        |  FROM (
-        |    SELECT p.query_id, a.vec_id,
-        |      list_reduce(list_zip(p.qv, a.v).apply(x -> x[1]*x[2]), (x,y) -> x+y) /
-        |      sqrt(list_reduce(list_zip(p.qv, p.qv).apply(x -> x[1]*x[2]), (x,y) -> x+y) *
-        |           list_reduce(list_zip(a.v, a.v).apply(x -> x[1]*x[2]), (x,y) -> x+y)) AS sim
-        |    FROM asg a JOIN probes p USING (cell_id)) sc)
-        |WHERE rank <= 5""".stripMargin,
+    "q_ann_ivf" -> annIvfOracle,
+
+    // recall@5 by LEFT JOIN of each index arm onto the exact top-5;
+    // count(vec_id) skips the misses' NULLs on both engines. The arms
+    // reuse the gate oracles verbatim as subqueries, so membership
+    // agreement is already established by those gates
+    "q_ann_recall" ->
+      s"""WITH exact AS ($embTopkOracle),
+        |ivf AS ($annIvfOracle),
+        |lsh AS ($annLshOracle),
+        |arm_ivf AS (
+        |  SELECT 'ivf' AS method, e.query_id,
+        |    CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(count(a.vec_id) AS BIGINT) AS n_hit
+        |  FROM exact e LEFT JOIN ivf a
+        |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |  GROUP BY e.query_id),
+        |arm_lsh AS (
+        |  SELECT 'lsh' AS method, e.query_id,
+        |    CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(count(a.vec_id) AS BIGINT) AS n_hit
+        |  FROM exact e LEFT JOIN lsh a
+        |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |  GROUP BY e.query_id)
+        |SELECT * FROM arm_ivf UNION ALL SELECT * FROM arm_lsh""".stripMargin,
 
     "q_ann_pq" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1461,20 +1528,7 @@ object SparkEntry {
         |  min(doc_id) AS rep_id, count(*) AS cnt
         |FROM h GROUP BY 1""".stripMargin,
 
-    "q_embed_topk" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, c.vec_id,
-        |    list_reduce(list_zip(q.qv, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
-        |    sqrt(list_reduce(list_zip(q.qv, q.qv).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
-        |         list_reduce(list_zip(c.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b)) AS sim
-        |  FROM c, q)
-        |SELECT query_id, vec_id, rank, sim FROM (
-        |  SELECT *, CAST(row_number() OVER
-        |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin,
+    "q_embed_topk" -> embTopkOracle,
 
     "q_codec_roundtrip" ->
       "SELECT event_id, event_type, user_id FROM events",
