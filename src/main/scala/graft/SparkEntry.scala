@@ -429,6 +429,11 @@ object SparkEntry {
           emb, qs, "embedding", "vec_id", k = 5, numCells = 16, nprobe = 3))
         .unionByName(arm("lsh", graft.ml.Similarity.annTopK(
           emb, qs, "embedding", "vec_id", k = 5, numPlanes = 6, dim = 64)))
+        // multi-probe arm: same index, 6 extra one-bit-flip probes —
+        // the recall gain this gate exists to make measurable
+        .unionByName(arm("lsh_mp", graft.ml.Similarity.annTopK(
+          emb, qs, "embedding", "vec_id", k = 5, numPlanes = 6, dim = 64,
+          probes = 6)))
     },
 
     "q_cosine_dup" -> { (s, dir) =>
@@ -997,6 +1002,26 @@ object SparkEntry {
         |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin
+  /** The multi-probe arm: q_ann_lsh's oracle plus the 6 one-bit-flip
+    * probe buckets per query (bucket XOR 2^p). */
+  private val annLshMpOracle: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v, ${srpBucketSql(6, 64)} AS bucket FROM c),
+      |q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+      |q AS (SELECT query_id, qv, xor(bucket, CAST(f.f AS BIGINT)) AS bucket
+      |      FROM q0, (VALUES (0), (1), (2), (4), (8), (16), (32)) f(f)),
+      |scored AS (
+      |  SELECT q.query_id, b.vec_id,
+      |    list_reduce(list_zip(q.qv, b.v).apply(x -> x[1]*x[2]), (a,bb) -> a+bb) /
+      |    sqrt(list_reduce(list_zip(q.qv, q.qv).apply(x -> x[1]*x[2]), (a,bb) -> a+bb) *
+      |         list_reduce(list_zip(b.v, b.v).apply(x -> x[1]*x[2]), (a,bb) -> a+bb)) AS sim
+      |  FROM b JOIN q USING (bucket))
+      |SELECT query_id, vec_id, rank, sim FROM (
+      |  SELECT *, CAST(row_number() OVER
+      |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
   private val annIvfOracle: String =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cell_id, v AS cent FROM c WHERE vec_id < 16),
@@ -1073,6 +1098,7 @@ object SparkEntry {
       s"""WITH exact AS ($embTopkOracle),
         |ivf AS ($annIvfOracle),
         |lsh AS ($annLshOracle),
+        |lshmp AS ($annLshMpOracle),
         |arm_ivf AS (
         |  SELECT 'ivf' AS method, e.query_id,
         |    CAST(count(*) AS BIGINT) AS n_exact,
@@ -1086,8 +1112,16 @@ object SparkEntry {
         |    CAST(count(a.vec_id) AS BIGINT) AS n_hit
         |  FROM exact e LEFT JOIN lsh a
         |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |  GROUP BY e.query_id),
+        |arm_lshmp AS (
+        |  SELECT 'lsh_mp' AS method, e.query_id,
+        |    CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(count(a.vec_id) AS BIGINT) AS n_hit
+        |  FROM exact e LEFT JOIN lshmp a
+        |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
         |  GROUP BY e.query_id)
-        |SELECT * FROM arm_ivf UNION ALL SELECT * FROM arm_lsh""".stripMargin,
+        |SELECT * FROM arm_ivf UNION ALL SELECT * FROM arm_lsh
+        |UNION ALL SELECT * FROM arm_lshmp""".stripMargin,
 
     "q_ann_pq" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

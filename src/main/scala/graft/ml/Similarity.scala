@@ -105,18 +105,33 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** ANN top-k: queries probe only their SRP bucket. Trades recall for a
-    * `2^numPlanes`-way partition of the corpus; multi-probe (flipping one
-    * bit) is the standard recall knob. */
+  /** ANN top-k: queries probe their SRP bucket, plus — with `probes` > 0
+    * — the `probes` buckets one bit-flip away (multi-probe LSH, the
+    * standard recall knob: a near neighbor that lands across ONE
+    * hyperplane is recovered without doubling the plane count). Probe
+    * buckets are distinct values, so the bucket join still yields each
+    * (query, candidate) pair at most once — no dedup stage. The probe
+    * fan-out multiplies only the BROADCAST side (queries × probes+1);
+    * the corpus side is untouched, which is what keeps multi-probe
+    * nearly free at corpus scale. */
   def annTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, numPlanes: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= numPlanes,
+      s"probes must be in [0, numPlanes=$numPlanes], got $probes")
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
       srpBucket(col(vecCol), numPlanes, dim).as("bucket"),
       dot(col(vecCol), col(vecCol)).as("csd"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       srpBucket(col(vecCol), numPlanes, dim).as("bucket"),
       dot(col(vecCol), col(vecCol)).as("qsd"))
+    val q =
+      if (probes == 0) q0
+      else q0
+        .withColumn("flip",
+          explode(array((lit(0L) +: (0 until probes).map(p => lit(1L << p))): _*)))
+        .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
+        .drop("flip")
     val scored = c.join(broadcast(q), "bucket")
       .withColumn("sim", overNorm(dot(col("qv"), col("cv")), sqrt(col("qsd") * col("csd"))))
     val w = Window.partitionBy(col("query_id"))

@@ -772,4 +772,30 @@ class MlSpec extends SparkSpec {
       assert(fast == quadratic(theta), s"pair sets diverge at threshold $theta")
     }
   }
+
+  test("multi-probe LSH: candidate set is a superset of single-probe, probes=0 is identical") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter(col("vec_id") < 3)
+    def hits(probes: Int): Map[(Long, Long), Int] =
+      Similarity.annTopK(emb, qs, "embedding", "vec_id", k = 10,
+          numPlanes = 6, dim = 64, probes = probes)
+        .select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val single = hits(0)
+    val zeroExplicit = hits(0)
+    assert(single == zeroExplicit)
+    // multi-probe searches strictly more buckets: every single-probe
+    // RESULT survives or is displaced only by a better candidate, and
+    // the result count never shrinks
+    val multi = hits(6)
+    val perQueryS = single.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    val perQueryM = multi.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    perQueryS.foreach { case (q, n) =>
+      assert(perQueryM.getOrElse(q, 0) >= n, s"query $q lost candidates")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.annTopK(emb, qs, "embedding", "vec_id", k = 3,
+        numPlanes = 4, dim = 64, probes = 7)
+    }
+  }
 }
