@@ -341,6 +341,21 @@ object SparkEntry {
         graft.ml.Dedup.simhash32, totalBits = 32, k = 3, bands = 4)
         .select(col("doc_id"), col("source"))
     },
+    // EMBEDDING seen-store: the semantic twin of the text stores — run 1
+    // banks vectors, run 2 drops increment rows near (cosine >= 0.4) any
+    // stored vector via the SRP-bucketed, store-scan-only probe with two
+    // one-bit multi-probes
+    "q_dedup_store_sem" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val store = gateTmpDir("store-sem") + "/vecs"
+      graft.ml.Similarity.appendToVecStore(
+        emb.filter(col("vec_id") < 250), "embedding", store)
+      graft.ml.Similarity.dropSeenSemantic(
+        emb.filter(col("vec_id") >= 250), store, "embedding", "vec_id",
+        dim = 64, numPlanes = 6, threshold = 0.4, probes = 2)
+        .select(col("vec_id"))
+    },
+
     "q_dedup_minhash" -> { (s, dir) => sharedMinhashPairs(s, dir) },
     "q_dedup_clusters" -> { (s, dir) =>
       graft.ml.Dedup.clusters(sharedMinhashPairs(s, dir))
@@ -1409,6 +1424,26 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM documents s
         |                  WHERE (s.doc_id < 250 OR s.doc_id = 300)
         |                    AND md5(s.text) = md5(d.text))""".stripMargin,
+
+    // Store = vec_id < 250's buckets; increment probes its own bucket
+    // plus flips of bits 0 and 1; cosine is the same sequential
+    // double fold both engines use everywhere else
+    "q_dedup_store_sem" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, ${srpBucketSql(6, 64)} AS bucket FROM c),
+        |store AS (SELECT v, bucket FROM b WHERE vec_id < 250),
+        |inc AS (SELECT vec_id, v, bucket FROM b WHERE vec_id >= 250),
+        |pr AS (SELECT vec_id, v, xor(bucket, CAST(f.f AS BIGINT)) AS bucket
+        |       FROM inc, (VALUES (0), (1), (2)) f(f)),
+        |matched AS (
+        |  SELECT DISTINCT p.vec_id
+        |  FROM pr p JOIN store s USING (bucket)
+        |  WHERE list_reduce(list_zip(p.v, s.v).apply(x -> x[1]*x[2]), (a,bb) -> a+bb) /
+        |    sqrt(list_reduce(list_zip(p.v, p.v).apply(x -> x[1]*x[2]), (a,bb) -> a+bb) *
+        |         list_reduce(list_zip(s.v, s.v).apply(x -> x[1]*x[2]), (a,bb) -> a+bb))
+        |    >= 0.4)
+        |SELECT vec_id FROM inc
+        |WHERE vec_id NOT IN (SELECT vec_id FROM matched)""".stripMargin,
 
     "q_dedup_store_near" ->
       """WITH t AS (

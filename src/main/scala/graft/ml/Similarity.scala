@@ -538,4 +538,77 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+  // ---- incremental semantic (embedding) seen-store ------------------------
+
+  private def readVecStoreOpt(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[DataFrame] =
+    try Some(spark.read.parquet(storePath))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
+
+  /** Append the increment's distinct embeddings (one `array<double>` row
+    * `v` per distinct vector) to a parquet vector store, skipping vectors
+    * already present — exact array equality is the cheap exactness layer;
+    * NEAR matching happens at probe time in [[dropSeenSemantic]]. The
+    * localCheckpoint is the same barrier the text stores use: count,
+    * write, and any sidecar must see one frame while the store changes
+    * under them. */
+  def appendToVecStore(df: DataFrame, vecCol: String, storePath: String): Long = {
+    val spark = df.sparkSession
+    val fresh0 = df.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull).distinct()
+    val fresh = readVecStoreOpt(spark, storePath)
+      .map(s => fresh0.join(s, Seq("v"), "left_anti"))
+      .getOrElse(fresh0)
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(storePath)
+    n
+  }
+
+  /** Cross-run semantic dedup: drop increment rows whose embedding is
+    * NEAR (cosine >= threshold) any stored vector — the embedding twin of
+    * `Dedup.dropSeenStore`/`dropSeenNearStore`, with the same scale
+    * contract: the store is SRP-bucketed on the fly and joined against
+    * the BROADCAST increment, so it streams through one scan and never
+    * shuffles; the recurring per-run cost is O(store scan) however many
+    * runs have accumulated. Candidate recall is the SRP bucket's —
+    * `probes` widens it via one-bit flips, multiplying only the
+    * broadcast side (the [[annTopK]] knob). An absent store (first run)
+    * passes everything through. */
+  def dropSeenSemantic(df: DataFrame, storePath: String, vecCol: String,
+      idCol: String, dim: Int, numPlanes: Int = 6, threshold: Double = 0.95,
+      probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= numPlanes,
+      s"probes must be in [0, numPlanes=$numPlanes], got $probes")
+    readVecStoreOpt(df.sparkSession, storePath) match {
+      case None => df
+      case Some(seen) =>
+        val sv = seen.select(col("v"),
+          srpBucket(col("v"), numPlanes, dim).as("bucket"),
+          dot(col("v"), col("v")).as("ssd"))
+        val q0 = df.select(col(idCol).as("_qid"),
+            col(vecCol).cast("array<double>").as("qv"))
+          .withColumn("bucket", srpBucket(col("qv"), numPlanes, dim))
+          .withColumn("qsd", dot(col("qv"), col("qv")))
+        val q =
+          if (probes == 0) q0
+          else q0
+            .withColumn("flip", explode(array(
+              (lit(0L) +: (0 until probes).map(p => lit(1L << p))): _*)))
+            .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
+            .drop("flip")
+        // no distinct on matched: LeftAnti tolerates duplicate right rows,
+        // and skipping it keeps the WHOLE plan exchange-free (store scan →
+        // broadcast probe join → broadcast anti join; the only data that
+        // moves is the increment, twice, by broadcast)
+        val matched = sv.join(broadcast(q), "bucket")
+          .filter(overNorm(dot(col("qv"), col("v")),
+            sqrt(col("qsd") * col("ssd"))) >= threshold)
+          .select(col("_qid"))
+        df.join(broadcast(matched), col(idCol) === col("_qid"), "left_anti")
+    }
+  }
 }

@@ -798,4 +798,33 @@ class MlSpec extends SparkSpec {
         numPlanes = 4, dim = 64, probes = 7)
     }
   }
+
+  test("semantic vec store: bank run 1, near-drop run 2, store streams through broadcast joins") {
+    val dir = java.nio.file.Files.createTempDirectory("vecstore").toString + "/vecs"
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val inc = emb.filter(col("vec_id") >= 250)
+    // absent store (first run): everything passes through
+    assert(Similarity.dropSeenSemantic(inc, dir, "embedding", "vec_id",
+      dim = 64, threshold = 0.4).count() == inc.count())
+    assert(Similarity.appendToVecStore(
+      emb.filter(col("vec_id") < 250), "embedding", dir) == 250L)
+    // idempotent append: identical vectors add zero rows
+    assert(Similarity.appendToVecStore(
+      emb.filter(col("vec_id") < 250), "embedding", dir) == 0L)
+    val kept = Similarity.dropSeenSemantic(inc, dir, "embedding", "vec_id",
+      dim = 64, numPlanes = 6, threshold = 0.4, probes = 2)
+    val keptN = kept.count()
+    assert(keptN < inc.count() && keptN > 0)
+    // replaying the banked split itself: every row is its own stored
+    // vector (cosine 1, same bucket) -> empty
+    assert(Similarity.dropSeenSemantic(emb.filter(col("vec_id") < 250), dir,
+      "embedding", "vec_id", dim = 64, numPlanes = 6, threshold = 0.4)
+      .count() == 0L)
+    // scale contract: the store side is never shuffled — both the probe
+    // join and the anti join broadcast the (small) increment side
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
