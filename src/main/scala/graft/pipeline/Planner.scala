@@ -437,16 +437,36 @@ object Planner {
         // which just takes the first num_cells vectors)
         val vec = conf.str("src").getOrElse("embedding")
         val cells = conf.int("num_cells", 16)
-        df => {
-          val trained =
-            if (conf.bool("kmeans", false))
-              Some(graft.ml.Similarity.trainKmeansCentroids(df, vec, id,
-                cells, conf.int("kmeans_iters", 5)))
-            else None
-          graft.ml.Similarity.semanticDedup(df, vec, id, cells,
-            conf.dbl("threshold", 0.95), centroids = trained,
-            maxCellSize = conf.long("max_cell_size", 0L),
-            dim = conf.int("dim", 64))
+        // `store: <path>` switches to CROSS-RUN mode: drop rows near any
+        // previously banked vector, then bank this run's survivors —
+        // the embedding twin of Dedup method=incremental
+        conf.str("store") match {
+          case Some(store) =>
+            df => {
+              val kept = graft.ml.Similarity.dropSeenSemantic(df, store,
+                vec, id, dim = conf.int("dim", 64),
+                numPlanes = conf.int("num_planes", 6),
+                threshold = conf.dbl("threshold", 0.95),
+                probes = conf.int("probes", 0))
+              // bank AFTER the sinks commit (PostCommit), for the same
+              // retry-poisoning reason as the text stores
+              graft.core.PostCommit.register(
+                () => { graft.ml.Similarity.appendToVecStore(
+                  kept, vec, store): Unit })
+              kept
+            }
+          case None =>
+            df => {
+              val trained =
+                if (conf.bool("kmeans", false))
+                  Some(graft.ml.Similarity.trainKmeansCentroids(df, vec, id,
+                    cells, conf.int("kmeans_iters", 5)))
+                else None
+              graft.ml.Similarity.semanticDedup(df, vec, id, cells,
+                conf.dbl("threshold", 0.95), centroids = trained,
+                maxCellSize = conf.long("max_cell_size", 0L),
+                dim = conf.int("dim", 64))
+            }
         }
       case other => sys.error(s"unknown corpus stage '$other'")
     }

@@ -529,4 +529,26 @@ class LlmPipelineSpec extends SparkSpec {
       Planner.corpusStage("MediaDecode", Map("method" -> "nope"))(media)
     }
   }
+
+  test("SemanticDedup store mode: cross-run drop + post-commit banking") {
+    val store = tmp("semstore") + "/vecs"
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val stage = Planner.corpusStage("SemanticDedup", Map(
+      "src" -> "embedding", "id_field" -> "vec_id", "store" -> store,
+      "threshold" -> 0.4, "probes" -> 2))
+    // run 1: empty store, everything survives; banking is DEFERRED
+    val run1 = stage(emb.filter(col("vec_id") < 250))
+    assert(run1.count() == 250L)
+    assert(graft.core.PostCommit.size == 1)
+    graft.core.PostCommit.drain() // the sink succeeded
+    // run 2: near-stored rows drop, survivors bank on drain
+    val run2 = stage(emb.filter(col("vec_id") >= 250))
+    val kept = run2.count()
+    assert(kept < 250L && kept > 0L)
+    graft.core.PostCommit.drain()
+    // run 3: replaying run 2's input drops EVERYTHING (all banked now)
+    val run3 = stage(emb.filter(col("vec_id") >= 250))
+    assert(run3.count() == 0L)
+    graft.core.PostCommit.clear()
+  }
 }
