@@ -799,6 +799,21 @@ object SparkEntry {
         .withColumn("n_post", length(col("norm")))
     },
 
+    // HTML -> text extraction: wrap every document in a realistic page
+    // (head/style/script blocks, tags, double-encoded entities) and
+    // recover the text — script/style content must vanish, entities
+    // decode once, whitespace collapses
+    "q_html_strip" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1>T</h1><p>"),
+        col("text"),
+        lit("</p><script>var x=1;</script>&amp; &lt;tail&gt;&nbsp;&quot;q&quot;" +
+          "&amp;lt;keep&amp;gt;</body></html>"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), graft.ml.TextAnalysis.stripHtml(html).as("clean"))
+        .withColumn("n_clean", length(col("clean")))
+    },
+
     // Distributed column profiling: unpivot + one groupBy over column
     // names — per-column nulls/cardinality/range, the intake QA pass
     "q_column_profile" -> { (s, dir) =>
@@ -2024,6 +2039,32 @@ object SparkEntry {
         |  length(nfc_normalize(text || 'e' || chr(769) || ' A' || chr(778) || ' '
         |    || chr(8491))) AS n_post
         |FROM documents""".stripMargin,
+
+    // Same regex chain (RE2-safe patterns), same entity order with
+    // &amp; LAST so double-encoded entities decode exactly once
+    "q_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style></head><body><h1>T</h1><p>'
+        |    || text ||
+        |    '</p><script>var x=1;</script>&amp; &lt;tail&gt;&nbsp;&quot;q&quot;&amp;lt;keep&amp;gt;</body></html>'
+        |    AS html
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(html,
+        |          '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'isg'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS decoded
+        |  FROM h
+        |)
+        |SELECT doc_id,
+        |  trim(regexp_replace(decoded, '\s+', ' ', 'g')) AS clean,
+        |  length(trim(regexp_replace(decoded, '\s+', ' ', 'g'))) AS n_clean
+        |FROM s""".stripMargin,
 
     // Both engines compare strings bytewise (binary collation), so
     // min/max over the cast-to-string melt agree; countDistinct and

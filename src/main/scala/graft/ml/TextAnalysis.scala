@@ -164,6 +164,23 @@ object TextAnalysis {
     * in Java, RE2, and the DuckDB oracle; order matters (emails first —
     * an address must not first lose its digits to the phone pass).
     * All regexp_replace: codegen'd, no UDF. */
+  /** HTML → text extraction, the crawl-corpus first step: script/style
+    * blocks go with their CONTENT, remaining tags become spaces, the
+    * five ubiquitous entities decode, whitespace collapses. Pure
+    * codegen'd regexp_replace/replace chain — no parser dependency, and
+    * the regexes are RE2-safe so the DuckDB oracle applies the identical
+    * transform. (A browser-grade extractor handles malformed nesting
+    * better; at corpus scale this is the standard cheap pass.) */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def scrubPii(text: Column): Column = {
     val email = regexp_replace(text,
       """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>")

@@ -180,7 +180,7 @@ object Planner {
     "AssignSplits", "PackSequences", "Chunk", "UrlDedup", "TextProfile",
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
-    "MediaResample", "MediaFrames")
+    "MediaResample", "MediaFrames", "StripHtml")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -382,6 +382,12 @@ object Planner {
         val target = conf.str("target").getOrElse(text)
         df => df.withColumn(target,
           graft.functions.NormalizeFns.normalize(col(s"`$text`"), form))
+      case "StripHtml" =>
+        // crawl-page text extraction, in place or to `target` — run it
+        // before Normalize/Dedup so markup variance doesn't defeat them
+        val target = conf.str("target").getOrElse(text)
+        df => df.withColumn(target,
+          graft.ml.TextAnalysis.stripHtml(col(s"`$text`")))
       case "ColumnProfile" =>
         val cols = conf.strSeq("columns")
         if (cols.isEmpty) sys.error("ColumnProfile needs `columns: [a, b, …]`")

@@ -73,4 +73,28 @@ class EdgeCasesSpec extends SparkSpec {
     val scrubbed = messy.select(TextAnalysis.scrubPii($"text")).collect()
     assert(scrubbed(1).isNullAt(0))
   }
+
+  test("stripHtml: blocks vanish with content, tags become spaces, entities decode once") {
+    val rows = Seq(
+      "<p>Hello <b>world</b></p>",
+      "<script>alert('x')</script>keep<style>a{}</style>",
+      "A &amp; B &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f",
+      "&amp;lt;double&amp;gt;",            // double-encoded: decodes ONCE
+      "<SCRIPT TYPE='x'>UPPER.case()</ScRiPt>done",
+      "no markup at all",
+      "")
+      .toDF("text").select(TextAnalysis.stripHtml(col("text")).as("c"))
+      .as[String].collect()
+    assert(rows(0) == "Hello world")
+    assert(rows(1) == "keep")
+    assert(rows(2) == "A & B <c> \"d\" 'e' f")
+    assert(rows(3) == "&lt;double&gt;")
+    assert(rows(4) == "done")
+    assert(rows(5) == "no markup at all")
+    assert(rows(6) == "")
+    // null propagates, never throws
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.stripHtml(col("text"))).collect()
+    assert(n(0).isNullAt(0))
+  }
 }

@@ -500,6 +500,9 @@ class LlmPipelineSpec extends SparkSpec {
       Map("form" -> "nfkc", "target" -> "norm"))(Seq((1L, "\uFB01")).toDF("id", "text"))
       .head()
     assert(kc.getString(kc.fieldIndex("norm")) == "fi")
+    val stripped = Planner.corpusStage("StripHtml", Map.empty[String, Any])(
+      Seq((9L, "<p>hi</p>")).toDF("id", "text")).head()
+    assert(stripped.getString(stripped.fieldIndex("text")) == "hi")
     val prof = Planner.corpusStage("ColumnProfile",
       Map("columns" -> Seq("text")))(df).head()
     assert(prof.getString(0) == "text" && prof.getLong(1) == 2L)
