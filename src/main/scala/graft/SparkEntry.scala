@@ -158,6 +158,45 @@ object SparkEntry {
         Tables.load(s, dir, "events"))
     },
 
+    // ---- sessionization: native session_window per-session summary ----
+    // 30-minute inactivity gap on the events stream; sum decimal-stabilized
+    // like q1_pricing so the float total is order-independent.
+    "q_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sessionize.summarize(
+        Tables.load(s, dir, "events"), "user_id", "ts", gapSec = 1800L,
+        extraAggs = Seq(sum($"value".cast(Dec)).cast("double").as("sum_value")))
+    },
+
+    // ---- as-of join: each event → the user's most recent prior purchase
+    //      (union + one keyed window; no inequality join, no explosion) ----
+    "q_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      graft.operators.AsOfJoin.leftAsOf(
+        ev.select($"event_id", $"user_id", $"ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"), suffix = "_purchase")
+        .select($"event_id", $"user_id", $"ts", $"ts_purchase", $"value_purchase")
+    },
+
+    // Same join bounded to a 2-hour lookback: matches older than the
+    // tolerance null out atomically (ts and value together).
+    "q_asof_tolerance" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      graft.operators.AsOfJoin.leftAsOf(
+        ev.select($"event_id", $"user_id", $"ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"), suffix = "_purchase",
+        toleranceSec = Some(7200L))
+        .select($"event_id", $"user_id", $"ts", $"ts_purchase", $"value_purchase")
+    },
+
     // ---- condition DSL (reference: condition_filter) compiled to a
     //      pushed-down Catalyst predicate ----
     "q_condition_dsl" -> { (s, dir) =>
@@ -1321,6 +1360,45 @@ object SparkEntry {
         |  max(value) AS max,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // session partition re-derived independently: lag-gap flag → running
+    // sum → group. A gap of exactly 1800 s starts a new session (>=),
+    // matching session_window's half-open [start, last+gap) range.
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |c AS (
+        |  SELECT user_id, ts, value,
+        |    sum(s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM c GROUP BY user_id, sid""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN (inclusive >=) is the independent
+    // oracle for the union+window implementation.
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  p.ts AS ts_purchase, p.value AS value_purchase
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(tp) <= 7200000000 THEN tp END AS ts_purchase,
+        |  CASE WHEN epoch_us(ts) - epoch_us(tp) <= 7200000000 THEN vp END AS value_purchase
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, p.ts AS tp, p.value AS vp
+        |  FROM events e ASOF LEFT JOIN (
+        |    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts)""".stripMargin,
 
     "q_condition_dsl" ->
       """SELECT event_id, event_type, value, user_id

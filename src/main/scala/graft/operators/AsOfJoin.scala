@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the single most
+  * recent right row with `right.ts <= left.ts` within the same key — the
+  * "last touch" / latest-dimension-version lookup a log-enrichment pipeline
+  * needs (e.g. each event joined to the user's most recent prior purchase).
+  *
+  * Spark has no ASOF JOIN operator; the naive encoding
+  * (`JOIN ON key AND r.ts <= l.ts` + max-per-group) is an inequality join
+  * Catalyst can only run as a broadcast-nested-loop or a per-key explosion
+  * — quadratic in events-per-key, hopeless at 100 TB. This implementation
+  * composes it from primitives Catalyst DOES optimize:
+  *
+  *   1. UNION the two sides into one frame tagged `__side` (0=right,
+  *      1=left), right payload carried as ONE struct column (atomic: the
+  *      matched columns always come from the same right row, even when
+  *      some right values are legitimately null).
+  *   2. One window `partitionBy(keys).orderBy(ts, side).rowsBetween(-∞, 0)`
+  *      carrying `last(struct, ignoreNulls=true)` — the most recent right
+  *      row at-or-before each left row. At equal timestamps the right row
+  *      sorts first (side 0 < 1), so `r.ts == l.ts` matches — the same
+  *      inclusive `>=` contract as DuckDB/Pandas ASOF.
+  *   3. Keep left rows, unpack the struct; optionally null the match out
+  *      when it is older than `toleranceSec`.
+  *
+  * Scale shape: cost is ONE hash exchange on the keys plus a per-partition
+  * sort — identical to what a sort-merge equi-join would pay, with zero
+  * row amplification. Skewed keys degrade to a big sort per key, never to
+  * a cross product; AQE's skew handling applies to the exchange as usual.
+  */
+object AsOfJoin {
+
+  /** Left as-of join.
+    *
+    * @param left      probe side; all its columns are preserved
+    * @param right     reference side (e.g. dimension versions, prior events)
+    * @param keys      equi-join key columns (present on both sides)
+    * @param leftTs    event-time column on `left` (TimestampType or numeric)
+    * @param rightTs   event-time column on `right`
+    * @param valueCols right columns to carry onto matched left rows
+    * @param suffix    appended to carried right column names (collision-proof)
+    * @param toleranceSec if set, matches older than this many seconds before
+    *                  `leftTs` are nulled out (the "within tolerance" form)
+    * @return left columns + (rightTs+suffix) + each valueCol+suffix, null
+    *         where no right row is at-or-before the left row
+    */
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      suffix: String = "_right",
+      toleranceSec: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "AsOfJoin: at least one key column")
+    val ts    = "__graft_asof_ts"
+    val side  = "__graft_asof_side"
+    val carry = "__graft_asof_carry"
+    val leftPayload = left.columns.filterNot(keys.contains).toSeq
+
+    val l = left
+      .withColumn(ts, col(leftTs))
+      .withColumn(side, lit(1))
+      .withColumn(carry, lit(null).cast(
+        right.select(struct((rightTs +: valueCols).map(col): _*)).schema.head.dataType))
+      .select((keys ++ Seq(ts, side, carry) ++ leftPayload).map(col): _*)
+
+    val r = right
+      .withColumn(ts, col(rightTs))
+      .withColumn(side, lit(0))
+      .withColumn(carry, struct((rightTs +: valueCols).map(col): _*))
+      .select((keys.map(col) ++ Seq(col(ts), col(side), col(carry))
+        ++ leftPayload.map(c => lit(null).cast(l.schema(c).dataType).as(c))): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = l.unionByName(r)
+      .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+
+    val withTol = toleranceSec match {
+      case Some(tol) =>
+        // Tolerance compares event times in microseconds so it works for
+        // TimestampType; the whole struct nulls atomically.
+        val age = unix_micros(col(ts)) - unix_micros(col(carry)(rightTs))
+        matched.withColumn(carry,
+          when(col(carry).isNotNull && age <= tol * 1000000L, col(carry)))
+      case None => matched
+    }
+
+    val out = (keys ++ leftPayload).map(col) ++
+      (rightTs +: valueCols).map(c => col(carry)(c).as(c + suffix))
+    withTol.select(out: _*)
+  }
+
+  /** Convenience: carried-column expression for callers composing further. */
+  def carried(name: String, suffix: String = "_right"): Column = col(name + suffix)
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization: partition each key's event stream into sessions
+  * separated by an inactivity gap — the standard "30-minute web session"
+  * log-analytics operator, and the grouping a behavioral training corpus
+  * (user → session → event sequence) is built on.
+  *
+  * Two forms, spec-pinned to produce the SAME partition of events:
+  *
+  *   - [[assign]]: per-event session sequence number via window functions
+  *     (lag → gap flag → running sum). Use when downstream needs the
+  *     events themselves grouped (sequence packing, funnel analysis).
+  *   - [[summarize]]: per-session aggregate via Spark's native
+  *     `session_window` — Catalyst's own merging-interval aggregation,
+  *     which also runs under Structured Streaming with watermark-based
+  *     state eviction (the batch and streaming plans share this one
+  *     declaration).
+  *
+  * Gap rule (both forms): an event at `ts` joins the current session iff
+  * `ts - previous < gap`, i.e. a gap of EXACTLY `gapSec` starts a new
+  * session — matching `session_window`'s half-open `[start, last+gap)`
+  * range semantics.
+  *
+  * Scale shape: both forms pay exactly one hash exchange on the key.
+  * `assign` adds a per-partition sort (window); `summarize`'s aggregation
+  * groups by (key, merged interval) with partial aggregation upstream of
+  * the exchange. Session count per key is bounded by event count; state
+  * per key is one open interval — this is why `session_window` streams at
+  * 100 TB where a collect-the-user's-history UDF would not.
+  */
+object Sessionize {
+
+  /** Adds `session_seq` (1-based per key, in event-time order) to every
+    * row. One exchange + one sort; both window frames share it. */
+  def assign(df: DataFrame, keyCol: String, tsCol: String, gapSec: Long,
+             outCol: String = "session_seq"): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    val prev  = lag(col(tsCol), 1).over(byKey)
+    val isNew = when(prev.isNull
+      .or(unix_micros(col(tsCol)) - unix_micros(prev) >= gapSec * 1000000L), 1L)
+      .otherwise(0L)
+    df.withColumn(outCol,
+      sum(isNew).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session summary rows: key, first/last event time, event count,
+    * plus caller aggregates. Session identity comes from `session_window`;
+    * the window struct itself is dropped (its `end` is `last + gap`, an
+    * implementation detail — `session_last` is the real max event time). */
+  def summarize(df: DataFrame, keyCol: String, tsCol: String, gapSec: Long,
+                extraAggs: Seq[Column] = Seq.empty): DataFrame = {
+    val aggs = Seq(
+      min(col(tsCol)).as("session_start"),
+      max(col(tsCol)).as("session_last"),
+      count(lit(1)).as("n_events")) ++ extraAggs
+    df.groupBy(col(keyCol), session_window(col(tsCol), s"$gapSec seconds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("session_window")
+  }
+}

@@ -163,6 +163,40 @@ object Planner {
         df => if (df.isStreaming) LinkMetricExact.streaming(cfg)(df)
               else LinkMetric.batch(LinkMetric.Config(cfg.fieldsLink,
                 cfg.batchWindowSec, cfg.reserveWindowSec, cfg.tsColumn))(df)
+      case "Sessionize" =>
+        // per-event session sequence by inactivity gap (batch analytics /
+        // sequence-grouping prep); `summary: true` emits one row per
+        // session via the native session_window aggregation instead
+        val key = conf.strReq("key")
+        val tsc = conf.str("timestamp").getOrElse("@timestamp")
+        val gap = conf.long("gap", 1800)
+        df =>
+          if (conf.bool("summary", false))
+            graft.operators.Sessionize.summarize(df, key, tsc, gap)
+          else graft.operators.Sessionize.assign(df, key, tsc, gap,
+            conf.str("target").getOrElse("session_seq"))
+      case "AsOfJoin" =>
+        // point-in-time enrichment: attach the most recent at-or-before
+        // `right` row per key. `right` is an input spec like Decontaminate's
+        // `benchmark`; carried columns get `suffix` appended.
+        val rm = conf.anyMap("right")
+        if (rm.isEmpty) sys.error("AsOfJoin needs a `right` input spec, " +
+          "e.g. right: {input: Parquet, path: /data/dim.parquet}")
+        val keys = conf.strSeq("keys")
+        if (keys.isEmpty) sys.error("AsOfJoin needs `keys`")
+        val lts = conf.str("timestamp").getOrElse("@timestamp")
+        val rts = conf.str("right_timestamp").getOrElse(lts)
+        df => {
+          val right = input(df.sparkSession, rm.strReq("input"), rm)
+          val vals = conf.strSeq("values") match {
+            case Seq() => right.columns.toSeq.filterNot(keys.contains)
+              .filterNot(_ == rts)
+            case vs => vs
+          }
+          graft.operators.AsOfJoin.leftAsOf(df, right, keys, lts, rts, vals,
+            conf.str("suffix").getOrElse("_right"),
+            conf.long("tolerance", -1) match { case t if t >= 0 => Some(t); case _ => None })
+        }
       case name if CorpusStages.contains(name) =>
         if (ifConds.nonEmpty || addFields.nonEmpty || removeFields.nonEmpty ||
             failTag.nonEmpty)

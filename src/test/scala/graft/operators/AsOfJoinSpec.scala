@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private lazy val left = Seq(
+    (1L, 1L, ts(100)), // before any right row for key 1
+    (2L, 1L, ts(200)), // exactly at a right ts — inclusive match
+    (3L, 1L, ts(250)),
+    (4L, 1L, ts(900)), // far after the last right row
+    (5L, 2L, ts(500)), // key with no right rows at all
+  ).toDF("id", "k", "t")
+
+  private lazy val right = Seq(
+    (1L, ts(200), "a"),
+    (1L, ts(240), "b"),
+    (3L, ts(100), "zz"), // key never probed
+  ).toDF("k", "rt", "v")
+
+  private def run(tol: Option[Long] = None) =
+    AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt", Seq("v"),
+        suffix = "_m", toleranceSec = tol)
+      .select($"id", $"rt_m", $"v_m")
+      .as[(Long, Option[Timestamp], Option[String])]
+      .collect().map(r => r._1 -> ((r._2.map(_.getTime / 1000), r._3))).toMap
+
+  test("most recent at-or-before match, inclusive ties, null when none") {
+    val m = run()
+    assert(m(1L) == ((None, None)))                    // no row at-or-before
+    assert(m(2L) == ((Some(200L), Some("a"))))         // tie: r.ts == l.ts matches
+    assert(m(3L) == ((Some(240L), Some("b"))))         // latest of two priors
+    assert(m(4L) == ((Some(240L), Some("b"))))         // carries arbitrarily far
+    assert(m(5L) == ((None, None)))                    // key absent on right
+  }
+
+  test("tolerance nulls ts and value atomically") {
+    val m = run(tol = Some(100L))
+    assert(m(2L) == ((Some(200L), Some("a"))))         // age 0 <= 100
+    assert(m(3L) == ((Some(240L), Some("b"))))         // age 10 <= 100
+    assert(m(4L) == ((None, None)))                    // age 660 > 100: both null
+  }
+
+  test("carried columns stay atomic when right values are null") {
+    // Right rows where v is null must still count as the MATCH (the row
+    // exists); a per-column last(ignoreNulls) would skip back to an older
+    // row's v — the struct carry must not.
+    val r2 = Seq((1L, ts(200), Some("old")), (1L, ts(240), None))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.leftAsOf(
+        left.filter($"id" === 3L), r2, Seq("k"), "t", "rt", Seq("v"), suffix = "_m")
+      .select($"rt_m", $"v_m").as[(Option[Timestamp], Option[String])].head()
+    assert(out._1.map(_.getTime / 1000).contains(240L))
+    assert(out._2.isEmpty) // the matched row's own null v, not "old"
+  }
+
+  test("plan: one exchange, no join operator, no cartesian product") {
+    val plan = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one keyed exchange:\n$plan")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  // gap = 60 s. Key 1: boundary cases (59 s gap merges, exactly 60 s
+  // splits); key 2: a lone event.
+  private lazy val events = Seq(
+    (1L, ts(0)), (1L, ts(59)),        // session 1 (gap 59 < 60)
+    (1L, ts(118)),                    // still session 1 (59 after prev)
+    (1L, ts(178)),                    // exactly 60 after prev → session 2
+    (1L, ts(1000)),                   // session 3
+    (2L, ts(42)),                     // session 1 of key 2
+  ).toDF("k", "t")
+
+  test("assign: gap >= timeout starts a new session; exact boundary splits") {
+    val m = Sessionize.assign(events, "k", "t", gapSec = 60L)
+      .select($"k", (unix_micros($"t") / 1000000L).cast("long"), $"session_seq")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, s, sid) => (k, s) -> sid }.toMap
+    assert(m((1L, 0L)) == 1L && m((1L, 59L)) == 1L && m((1L, 118L)) == 1L)
+    assert(m((1L, 178L)) == 2L)
+    assert(m((1L, 1000L)) == 3L)
+    assert(m((2L, 42L)) == 1L)
+  }
+
+  test("summarize via session_window partitions events identically to assign") {
+    // Independent derivations of the same partition: per-session
+    // (first, last, count) sets must match exactly — including on the
+    // events table's real data.
+    val ev = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").as("k"), col("ts").as("t"))
+      .unionByName(events)
+    val fromAssign = Sessionize.assign(ev, "k", "t", 1800L)
+      .groupBy($"k", $"session_seq")
+      .agg(min($"t").as("session_start"), max($"t").as("session_last"),
+        count(lit(1)).as("n_events"))
+      .drop("session_seq")
+    val fromWindow = Sessionize.summarize(ev, "k", "t", 1800L)
+    assert(fromAssign.exceptAll(fromWindow).isEmpty && fromWindow.exceptAll(fromAssign).isEmpty)
+  }
+
+  test("plan: summarize pays one exchange, partial aggregation below it") {
+    val plan = Sessionize.summarize(events, "k", "t", 60L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one keyed exchange:\n$plan")
+  }
+}

@@ -262,4 +262,38 @@ class PipelineSpec extends SparkSpec {
     assert(e3.getSeq[String](e3.fieldIndex("tags")) == Seq("_geolookup_failure"))
     assert(s("e1", "tags") == null)
   }
+
+  test("Sessionize and AsOfJoin dispatch from YAML") {
+    val dir = Files.createTempDirectory("graft_asof")
+    val dimPath = dir.resolve("dim.parquet").toString
+    // slowly-changing dimension: (k, version ts, label)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "v1"),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "v2"))
+      .toDF("k", "ts", "label").write.parquet(dimPath)
+
+    val input = Seq(
+      (10L, 1L, java.sql.Timestamp.valueOf("2024-01-01 06:00:00")), // → v1, session 1
+      (11L, 1L, java.sql.Timestamp.valueOf("2024-01-01 06:30:00")), // → v1, session 1
+      (12L, 1L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00")), // → v2, session 2
+    ).toDF("id", "k", "ts")
+
+    val yaml =
+      s"""filters:
+         |  - AsOfJoin:
+         |      right: {input: Parquet, path: $dimPath}
+         |      keys: [k]
+         |      timestamp: ts
+         |      suffix: _dim
+         |  - Sessionize:
+         |      key: k
+         |      timestamp: ts
+         |      gap: 3600
+         |""".stripMargin
+    val out = Planner.fromYaml(yaml).transform(input)
+      .select("id", "label_dim", "session_seq").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(10L) == (("v1", 1L)))
+    assert(out(11L) == (("v1", 1L)))
+    assert(out(12L) == (("v2", 2L)))
+  }
 }
