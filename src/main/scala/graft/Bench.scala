@@ -211,6 +211,40 @@ object Bench {
           mm.decodeImagePixels(bigPngs)
             .agg(sum(col("px.px_sum"))).count())
       }
+      // AS-OF JOIN + SESSIONIZE at 100×: both ops are one keyed exchange
+      // plus a per-partition sort, so cost should scale ~linearly in rows
+      // per key. Uniform twin: copies get DISTINCT user_ids (more keys,
+      // same chain length — the healthy sharded shape). Skew twin: copies
+      // KEEP their user_ids, so every per-key chain grows stressCopies× —
+      // the long-sort shape a hot entity produces at 100 TB. The
+      // uniform/skew ratio is the driver-visible guard that neither op
+      // degrades super-linearly in chain length.
+      locally {
+        val ev = graft.core.Tables.load(spark, sfDir, "events")
+        def copies(shiftKeys: Boolean) = (0 until stressCopies).map { i =>
+          val uid = if (shiftKeys) col("user_id") + lit(i * 1000000L)
+                    else col("user_id")
+          ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            uid.as("user_id"), col("ts"), col("event_type"), col("value"))
+        }.reduce(_ union _)
+        val bigEv     = copies(shiftKeys = true)
+        val bigEvSkew = copies(shiftKeys = false)
+        stress("event_copies") = stressCopies.toDouble
+        def asof(d: DataFrame): Long =
+          graft.operators.AsOfJoin.leftAsOf(
+            d.select(col("event_id"), col("user_id"), col("ts")),
+            d.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("value")),
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("value")).count()
+        timed("asof")(asof(bigEv))
+        timed("asof_skew")(asof(bigEvSkew))
+        timed("sessionize")(
+          graft.operators.Sessionize.summarize(bigEv, "user_id", "ts", 1800L).count())
+        timed("sessionize_skew")(
+          graft.operators.Sessionize
+            .summarize(bigEvSkew, "user_id", "ts", 1800L).count())
+      }
       // pre + mid + post probe samples: the min is the machine floor the
       // stress ops are normalized against
       val probeAll = probePre :+ probeMid :+ probeOnce()

@@ -49,6 +49,32 @@ class SessionizeSpec extends SparkSpec {
     assert(fromAssign.exceptAll(fromWindow).isEmpty && fromWindow.exceptAll(fromAssign).isEmpty)
   }
 
+  test("summarize streams: a session emits once the watermark passes its close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF.toDF("k", "t").withWatermark("t", "0 seconds")
+    val agg = Sessionize.summarize(df, "k", "t", gapSec = 60L)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_append").start()
+    try {
+      mem.addData((1L, ts(0)), (1L, ts(30)))
+      q.processAllAvailable()
+      // session [0, 30+60) still open — nothing emitted
+      assert(spark.table("sess_append").count() == 0)
+      // events far past the close advance the watermark over two batches
+      mem.addData((1L, ts(500)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(1000)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_append").collect()
+      val closed = rows.find(r => r.getLong(r.fieldIndex("k")) == 1L &&
+        r.getLong(r.fieldIndex("n_events")) == 2L)
+      assert(closed.isDefined, rows.mkString("; "))
+      assert(closed.get.getTimestamp(closed.get.fieldIndex("session_last")).getTime == 30000L)
+    } finally q.stop()
+  }
+
   test("plan: summarize pays one exchange, partial aggregation below it") {
     val plan = Sessionize.summarize(events, "k", "t", 60L)
       .queryExecution.executedPlan.toString
