@@ -168,6 +168,22 @@ object SparkEntry {
         extraAggs = Seq(sum($"value".cast(Dec)).cast("double").as("sum_value")))
     },
 
+    // Session-grouped event sequences: user → session → time-ordered
+    // event-type string (the behavioral-corpus "document"). Composes
+    // Sessionize.assign with an ordered collect; the struct sort key
+    // (ts, event_type) keeps tie order deterministic on both engines.
+    "q_session_seq" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sessionize
+        .assign(Tables.load(s, dir, "events"), "user_id", "ts", 1800L)
+        .groupBy($"user_id", $"session_seq")
+        .agg(
+          count(lit(1)).as("n_events"),
+          array_join(sort_array(collect_list(struct($"ts", $"event_type")))
+            .getField("event_type"), ",").as("seq"))
+        .drop("session_seq")
+    },
+
     // ---- as-of join: each event → the user's most recent prior purchase
     //      (union + one keyed window; no inequality join, no explosion) ----
     "q_asof_join" -> { (s, dir) =>
@@ -899,6 +915,14 @@ object SparkEntry {
           "stopword_ratio", "distinct_ratio", "quality", "lang_guess", "fingerprint")
     },
 
+    // Global quality-band cut: keep the top 30% of documents by quality
+    // score — threshold is an exact corpus-wide percentile re-entering
+    // the plan as a broadcast one-row frame (no driver collect)
+    "q_quality_band" -> { (s, dir) =>
+      graft.ml.TextAnalysis.qualityBand(
+        Tables.load(s, dir, "documents"), "text", "doc_id", p = 0.7)
+    },
+
     // Repetition scoring (Gopher-rule family: boilerplate/spam signal)
     "q_repetition" -> { (s, dir) =>
       graft.ml.TextAnalysis.repetitionStats(
@@ -1379,6 +1403,22 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM c GROUP BY user_id, sid""".stripMargin,
+
+    "q_session_seq" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |c AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, ',' ORDER BY ts, event_type) AS seq
         |FROM c GROUP BY user_id, sid""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN (inclusive >=) is the independent
@@ -2212,6 +2252,30 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_tokens, distinct_ratio FROM good
         |WHERE doc_id NOT IN (SELECT id_b FROM j WHERE jaccard >= 0.9)""".stripMargin,
+
+    // same score derivation as q_text_profile (parity proven there);
+    // threshold = quantile_cont == Spark's interpolated percentile. The
+    // threshold itself is NOT output, so a last-bit interpolation
+    // difference cannot flip the hash — membership only moves if a score
+    // sits strictly between the two engines' thresholds, and both
+    // interpolate between the same adjacent order statistics.
+    "q_quality_band" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks) AS mwl,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','of','to','and','in','is','it','that','for',
+        |       'on','with','as','at','by','from','or','be','are'], lower(x)))) AS DOUBLE)
+        |      / len(toks) AS swr,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, dr * 0.5 + (1.0 - abs(mwl - 5.0) / 10.0) * 0.3
+        |    + swr * 0.2 AS score FROM m
+        |), thr AS (SELECT quantile_cont(score, 0.7) AS th FROM s)
+        |SELECT doc_id, score FROM s, thr WHERE score >= th""".stripMargin,
 
     "q_text_profile" ->
       """WITH t AS (

@@ -335,4 +335,34 @@ object TextAnalysis {
       .drop("__toks", "__ltoks")
       .drop(langMarkers.map { case (l, _) => s"__lang_$l" }: _*)
   }
+
+  /** Global quality-band filter: keep documents whose [[qualityScore]] is
+    * at or above the corpus-wide p-quantile — "train on the top 30%", the
+    * standard curation cut after scoring.
+    *
+    * The threshold re-enters the plan as a broadcast one-row frame (a
+    * 1-row BroadcastNestedLoopJoin), NOT a driver collect: the whole
+    * thing is one declarative plan — two scans of the corpus (one to
+    * aggregate the threshold, one to filter), which is the floor for any
+    * global-quantile cut.
+    *
+    * `exact = true` uses the exact interpolated percentile — its
+    * aggregation buffer grows with the number of DISTINCT scores (fine
+    * to ~1e7; this is the form the DuckDB gate checks, `quantile_cont`
+    * semantics). `exact = false` swaps in `approx_percentile` (constant
+    * memory, rank error ~1/accuracy) — the same plan shape at 100 TB
+    * where materializing every distinct double is not an option.
+    */
+  def qualityBand(df: DataFrame, textCol: String, idCol: String, p: Double,
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    val scored = df.select(col(idCol),
+      qualityScore(col(textCol)).as("score"))
+    val thrExpr =
+      if (exact) expr(s"percentile(score, $p)")
+      else expr(s"approx_percentile(score, $p, $accuracy)")
+    val thr = scored.agg(thrExpr.as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("score") >= col("__thr"))
+      .drop("__thr")
+  }
 }

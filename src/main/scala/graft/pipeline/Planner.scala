@@ -214,7 +214,7 @@ object Planner {
     "AssignSplits", "PackSequences", "Chunk", "UrlDedup", "TextProfile",
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
-    "MediaResample", "MediaFrames", "StripHtml")
+    "MediaResample", "MediaFrames", "StripHtml", "QualityBand")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -408,6 +408,13 @@ object Planner {
         }
       case "TextProfile" =>
         df => graft.ml.TextAnalysis.profile(df, text)
+      case "QualityBand" =>
+        // global top-(1-p) quality cut; `exact: false` switches to the
+        // constant-memory approx threshold for corpus-scale runs
+        val p = conf.dbl("p", 0.7)
+        val exact = conf.bool("exact", true)
+        df => graft.ml.TextAnalysis.qualityBand(df, text, id, p, exact,
+          conf.int("accuracy", 10000))
       case "Normalize" =>
         // unicode normalization of the text column IN PLACE (or to
         // `target`) — run it before any Dedup/Decontaminate stage so

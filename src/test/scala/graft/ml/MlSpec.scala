@@ -827,4 +827,36 @@ class MlSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("qualityBand: top-p cut keeps ~p of docs; approx agrees on clear margins") {
+    import spark.implicits._
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count()
+    val exact = TextAnalysis.qualityBand(docs, "text", "doc_id", p = 0.7)
+    val kept = exact.count()
+    // p = 0.7 keeps the top ~30% (score >= 70th percentile)
+    assert(kept >= (n * 0.25).toLong && kept <= (n * 0.35).toLong,
+      s"kept $kept of $n")
+    // threshold is the broadcast side of a 1-row nested-loop join —
+    // no collect, no hash exchange beyond the aggregate's own
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+
+    // the approx path (100 TB form) selects the same set except possibly
+    // within the sketch's rank error of the boundary
+    val approx = TextAnalysis
+      .qualityBand(docs, "text", "doc_id", p = 0.7, exact = false)
+    val exIds = exact.select("doc_id").as[Long].collect().toSet
+    val apIds = approx.select("doc_id").as[Long].collect().toSet
+    val sym = (exIds diff apIds).size + (apIds diff exIds).size
+    assert(sym <= (n * 0.02).toInt + 1, s"exact/approx diverge on $sym docs")
+  }
+
+  test("qualityBand boundary: all-equal scores keep every doc (score == threshold)") {
+    import spark.implicits._
+    val same = (1L to 20L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.qualityBand(same, "text", "doc_id", 0.7).count() == 20L)
+  }
 }
