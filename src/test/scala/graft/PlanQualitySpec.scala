@@ -281,4 +281,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("session sequences: the groupBy reuses the window's partitioning — one exchange total") {
+    // assign's window hash-partitions by user_id; the (user_id,
+    // session_seq) aggregation is clustered by a superset of that key,
+    // so EnsureRequirements must NOT insert a second exchange. At 100 TB
+    // a redundant shuffle here doubles the job's network cost.
+    val plan = executedPlan("q_session_seq")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one keyed exchange:\n$plan")
+  }
+
+  test("as-of join gate: no join operator at all, one keyed exchange") {
+    for (q <- Seq("q_asof_join", "q_asof_tolerance")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Join"), s"$q planned a join:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"$q: expected one keyed exchange:\n$plan")
+    }
+  }
+
+  test("quality band: threshold broadcasts as one row; corpus side never shuffles") {
+    // two scans of documents (threshold aggregate + filter) joined by a
+    // 1-row BroadcastNestedLoopJoin — the corpus side must not pay a
+    // hash exchange, and the aggregate must combine map-side (its
+    // exchange carries one row per partition, not the corpus)
+    val plan = executedPlan("q_quality_band")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 0, s"corpus-side shuffle crept in:\n$plan")
+  }
 }
