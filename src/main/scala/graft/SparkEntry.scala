@@ -198,6 +198,28 @@ object SparkEntry {
         .select($"event_id", $"user_id", $"ts", $"ts_purchase", $"value_purchase")
     },
 
+    // Cross-run temporal store: the purchase history accumulates over two
+    // "daily" appends split at Jan 15, then the second half's events
+    // enrich against the store — the output must equal a from-scratch
+    // as-of against the full history (matches for ts >= T can only come
+    // from rows the store retains).
+    "q_asof_store" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val T  = lit("2024-01-15 00:00:00").cast("timestamp")
+      val purch = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      val store = gateTmpDir("asof-store") + "/versions"
+      graft.operators.AsOfJoin.appendToTemporalStore(
+        purch.filter($"ts" < T), Seq("user_id"), "ts", Seq("value"), store)
+      graft.operators.AsOfJoin.appendToTemporalStore(
+        purch.filter($"ts" >= T), Seq("user_id"), "ts", Seq("value"), store)
+      graft.operators.AsOfJoin.enrichFromTemporalStore(
+        ev.filter($"ts" >= T).select($"event_id", $"user_id", $"ts"), store,
+        Seq("user_id"), "ts", "ts", Seq("value"), suffix = "_purchase")
+        .select($"event_id", $"user_id", $"ts", $"ts_purchase", $"value_purchase")
+    },
+
     // Same join bounded to a 2-hour lookback: matches older than the
     // tolerance null out atomically (ts and value together).
     "q_asof_tolerance" -> { (s, dir) =>
@@ -1427,6 +1449,17 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.ts,
         |  p.ts AS ts_purchase, p.value AS value_purchase
         |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+    // store-backed enrichment must reproduce the from-scratch as-of over
+    // the full purchase history for every event at-or-after the split
+    "q_asof_store" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  p.ts AS ts_purchase, p.value AS value_purchase
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') e
+        |ASOF LEFT JOIN (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
 

@@ -103,4 +103,60 @@ object AsOfJoin {
 
   /** Convenience: carried-column expression for callers composing further. */
   def carried(name: String, suffix: String = "_right"): Column = col(name + suffix)
+
+  // ---- cross-run temporal store -----------------------------------------
+  //
+  // The incremental twin of [[leftAsOf]], following the seen-store family's
+  // contract (Dedup.appendToSeenStore): a parquet dir accumulates the
+  // reference side's version history (keys | ts | values — a
+  // slowly-changing-dimension log), each run appends its increment, and
+  // enrichment as-of joins today's events against the store WITHOUT
+  // re-reading or re-deriving the right side's past. Append is idempotent
+  // (increment anti-joins the store on keys+ts first, so a re-run of the
+  // same day adds nothing) and at-least-once crash-safe: append-mode
+  // parquet writes can never corrupt existing rows. Single-writer per
+  // store, like the other stores.
+  //
+  // Scale shape: the store is O(total versions ever), one row each — at
+  // dimension-table rates (prices, configs, user attributes) that is
+  // orders of magnitude below event volume. Enrichment pays the same ONE
+  // keyed exchange as leftAsOf over store ∪ increment; the store side
+  // arrives pre-projected from its parquet scan.
+
+  /** Append the increment's (keys, ts, values) rows to the store at
+    * `storePath`. Rows with a null key or null timestamp can never match
+    * a probe (and would re-append every run), so they are dropped.
+    * Returns the number of rows actually added. */
+  def appendToTemporalStore(right: DataFrame, keys: Seq[String], tsCol: String,
+      valueCols: Seq[String], storePath: String): Long = {
+    val spark = right.sparkSession
+    val proj = right
+      .select((keys ++ (tsCol +: valueCols)).map(col): _*)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+    val fresh =
+      try proj.join(spark.read.parquet(storePath),
+        keys :+ tsCol, "left_anti")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => proj
+      }
+    // count + write must see the same frame (the anti-join's right side
+    // changes under it once the write lands)
+    val materialized = fresh.localCheckpoint()
+    val n = materialized.count()
+    if (n > 0) materialized.write.mode("append").parquet(storePath)
+    n
+  }
+
+  /** As-of enrich `left` against the accumulated store: for each left
+    * row, the most recent stored version at-or-before `leftTs` per key.
+    * Same output contract as [[leftAsOf]]. */
+  def enrichFromTemporalStore(left: DataFrame, storePath: String,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      valueCols: Seq[String], suffix: String = "_right",
+      toleranceSec: Option[Long] = None): DataFrame = {
+    val store = left.sparkSession.read.parquet(storePath)
+      .select((keys ++ (rightTs +: valueCols)).map(col): _*)
+    leftAsOf(left, store, keys, leftTs, rightTs, valueCols, suffix, toleranceSec)
+  }
 }

@@ -61,6 +61,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out._2.isEmpty) // the matched row's own null v, not "old"
   }
 
+  test("temporal store: idempotent appends, null keys dropped, enrich matches direct as-of") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tstore").toString + "/v"
+    val inc1 = Seq((1L, ts(200), "a"), (1L, ts(240), "b")).toDF("k", "rt", "v")
+    assert(AsOfJoin.appendToTemporalStore(inc1, Seq("k"), "rt", Seq("v"), dir) == 2L)
+    // replaying the same increment adds nothing
+    assert(AsOfJoin.appendToTemporalStore(inc1, Seq("k"), "rt", Seq("v"), dir) == 0L)
+    // null key / null ts rows can never match a probe — dropped at append
+    val dirty = Seq(
+      (Some(3L), Some(ts(100)), "zz"),
+      (None, Some(ts(1)), "nokey"),
+      (Some(4L), None, "nots"),
+    ).toDF("k", "rt", "v")
+    assert(AsOfJoin.appendToTemporalStore(dirty, Seq("k"), "rt", Seq("v"), dir) == 1L)
+
+    val direct  = run()
+    val stored = AsOfJoin.enrichFromTemporalStore(left, dir,
+        Seq("k"), "t", "rt", Seq("v"), suffix = "_m")
+      .select($"id", $"rt_m", $"v_m")
+      .as[(Long, Option[Timestamp], Option[String])]
+      .collect().map(r => r._1 -> ((r._2.map(_.getTime / 1000), r._3))).toMap
+    assert(stored == direct)
+  }
+
   test("plan: one exchange, no join operator, no cartesian product") {
     val plan = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt", Seq("v"))
       .queryExecution.executedPlan.toString
