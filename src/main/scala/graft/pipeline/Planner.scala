@@ -171,10 +171,20 @@ object Planner {
         val tsc = conf.str("timestamp").getOrElse("@timestamp")
         val gap = conf.long("gap", 1800)
         df =>
-          if (conf.bool("summary", false))
-            graft.operators.Sessionize.summarize(df, key, tsc, gap)
-          else graft.operators.Sessionize.assign(df, key, tsc, gap,
-            conf.str("target").getOrElse("session_seq"))
+          if (conf.bool("summary", false)) {
+            // summary streams natively (session_window + watermark state
+            // eviction); `lateness` bounds how out-of-order events may be
+            val d = if (df.isStreaming)
+              df.withWatermark(tsc, conf.str("lateness").getOrElse("0 seconds"))
+            else df
+            graft.operators.Sessionize.summarize(d, key, tsc, gap)
+          } else {
+            if (df.isStreaming) sys.error("Sessionize assign (per-event " +
+              "session_seq) is batch-only — window functions don't stream; " +
+              "use `summary: true` for streaming session aggregates")
+            graft.operators.Sessionize.assign(df, key, tsc, gap,
+              conf.str("target").getOrElse("session_seq"))
+          }
       case "AsOfJoin" =>
         // point-in-time enrichment: attach the most recent at-or-before
         // `right` row per key. `right` is an input spec like Decontaminate's
@@ -187,6 +197,10 @@ object Planner {
         val lts = conf.str("timestamp").getOrElse("@timestamp")
         val rts = conf.str("right_timestamp").getOrElse(lts)
         df => {
+          if (df.isStreaming) sys.error("AsOfJoin is batch-only (one keyed " +
+            "window over left ∪ right) — for streaming enrichment run it " +
+            "inside foreachBatch against a temporal store " +
+            "(AsOfJoin.enrichFromTemporalStore)")
           val right = input(df.sparkSession, rm.strReq("input"), rm)
           val vals = conf.strSeq("values") match {
             case Seq() => right.columns.toSeq.filterNot(keys.contains)

@@ -512,4 +512,42 @@ class StreamingPipelineSpec extends SparkSpec {
         r.getLong(r.fieldIndex("count")) == 2L))
     } finally q.stop()
   }
+
+  test("Sessionize stage: summary streams with watermark eviction; assign rejects streams") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val src = mem.toDF.toDF("uid", "t")
+    val stage = Planner.filterStage("Sessionize", Map(
+      "key" -> "uid", "timestamp" -> "t", "gap" -> 60L, "summary" -> true))
+    val q = stage(src).writeStream.outputMode("append")
+      .format("memory").queryName("sess_yaml").start()
+    try {
+      mem.addData((7L, ts("2024-01-01 00:00:10")), (7L, ts("2024-01-01 00:00:40")))
+      q.processAllAvailable()
+      mem.addData((7L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      mem.addData((7L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from sess_yaml").collect()
+      assert(rows.exists(r => r.getLong(r.fieldIndex("uid")) == 7L &&
+        r.getLong(r.fieldIndex("n_events")) == 2L), rows.mkString("; "))
+    } finally q.stop()
+
+    val assignStage = Planner.filterStage("Sessionize", Map(
+      "key" -> "uid", "timestamp" -> "t"))
+    val err = intercept[RuntimeException](assignStage(src))
+    assert(err.getMessage.contains("batch-only"))
+  }
+
+  test("AsOfJoin stage rejects streaming input with a pointer to the temporal store") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val src = mem.toDF.toDF("uid", "t")
+    val stage = Planner.filterStage("AsOfJoin", Map(
+      "right" -> Map[String, Any]("input" -> "Parquet", "path" -> "/nonexistent"),
+      "keys" -> Seq("uid"), "timestamp" -> "t"))
+    val err = intercept[RuntimeException](stage(src))
+    assert(err.getMessage.contains("foreachBatch"))
+  }
 }
