@@ -198,6 +198,20 @@ object SparkEntry {
         .select($"event_id", $"user_id", $"ts", $"ts_purchase", $"value_purchase")
     },
 
+    // Forward as-of: each event → the user's NEXT purchase at-or-after
+    // (time-to-next-event enrichment; descending window walk)
+    "q_asof_forward" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      graft.operators.AsOfJoin.leftAsOfForward(
+        ev.select($"event_id", $"user_id", $"ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"), suffix = "_purchase")
+        .select($"event_id", $"user_id", $"ts", $"ts_purchase", $"value_purchase")
+    },
+
     // Cross-run temporal store: the purchase history accumulates over two
     // "daily" appends split at Jan 15, then the second half's events
     // enrich against the store — the output must equal a from-scratch
@@ -1451,6 +1465,15 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+    // DuckDB ASOF with the comparison flipped picks the nearest
+    // at-or-after — the independent check of the descending-walk variant
+    "q_asof_forward" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  p.ts AS ts_purchase, p.value AS value_purchase
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
 
     // store-backed enrichment must reproduce the from-scratch as-of over
     // the full purchase history for every event at-or-after the split

@@ -56,7 +56,39 @@ object AsOfJoin {
       rightTs: String,
       valueCols: Seq[String],
       suffix: String = "_right",
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None): DataFrame =
+    joinAsOf(left, right, keys, leftTs, rightTs, valueCols, suffix,
+      toleranceSec, forward = false)
+
+  /** Forward variant: the single EARLIEST right row with
+    * `right.ts >= left.ts` per key — "the next purchase after this
+    * event", forward-fill, time-to-next-event features. Same plan shape
+    * and tie contract (equal timestamps match) as [[leftAsOf]], with the
+    * window walked in descending time order so "last right seen" is the
+    * nearest at-or-after. `toleranceSec` bounds how far AHEAD the match
+    * may be. */
+  def leftAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      suffix: String = "_right",
+      toleranceSec: Option[Long] = None): DataFrame =
+    joinAsOf(left, right, keys, leftTs, rightTs, valueCols, suffix,
+      toleranceSec, forward = true)
+
+  private def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      suffix: String,
+      toleranceSec: Option[Long],
+      forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "AsOfJoin: at least one key column")
     val ts    = "__graft_asof_ts"
     val side  = "__graft_asof_side"
@@ -77,9 +109,13 @@ object AsOfJoin {
       .select((keys.map(col) ++ Seq(col(ts), col(side), col(carry))
         ++ leftPayload.map(c => lit(null).cast(l.schema(c).dataType).as(c))): _*)
 
+    // Backward walks time ascending ("last right seen" = most recent
+    // at-or-before); forward walks it descending ("last right seen" =
+    // nearest at-or-after). Either way the right row sorts before the
+    // left row at equal timestamps (side 0 < 1), keeping ties inclusive.
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(side).asc)
+      .orderBy(if (forward) col(ts).desc else col(ts).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = l.unionByName(r)
@@ -89,8 +125,11 @@ object AsOfJoin {
     val withTol = toleranceSec match {
       case Some(tol) =>
         // Tolerance compares event times in microseconds so it works for
-        // TimestampType; the whole struct nulls atomically.
-        val age = unix_micros(col(ts)) - unix_micros(col(carry)(rightTs))
+        // TimestampType; the whole struct nulls atomically. Age is
+        // non-negative in both directions by construction.
+        val age =
+          if (forward) unix_micros(col(carry)(rightTs)) - unix_micros(col(ts))
+          else unix_micros(col(ts)) - unix_micros(col(carry)(rightTs))
         matched.withColumn(carry,
           when(col(carry).isNotNull && age <= tol * 1000000L, col(carry)))
       case None => matched

@@ -207,9 +207,18 @@ object Planner {
               .filterNot(_ == rts)
             case vs => vs
           }
-          graft.operators.AsOfJoin.leftAsOf(df, right, keys, lts, rts, vals,
-            conf.str("suffix").getOrElse("_right"),
-            conf.long("tolerance", -1) match { case t if t >= 0 => Some(t); case _ => None })
+          val tol = conf.long("tolerance", -1) match {
+            case t if t >= 0 => Some(t); case _ => None
+          }
+          val sfx = conf.str("suffix").getOrElse("_right")
+          conf.str("direction").getOrElse("backward") match {
+            case "backward" => graft.operators.AsOfJoin
+              .leftAsOf(df, right, keys, lts, rts, vals, sfx, tol)
+            case "forward" => graft.operators.AsOfJoin
+              .leftAsOfForward(df, right, keys, lts, rts, vals, sfx, tol)
+            case other =>
+              sys.error(s"AsOfJoin direction must be backward|forward, got '$other'")
+          }
         }
       case name if CorpusStages.contains(name) =>
         if (ifConds.nonEmpty || addFields.nonEmpty || removeFields.nonEmpty ||

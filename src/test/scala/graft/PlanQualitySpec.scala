@@ -293,7 +293,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("as-of join gate: no join operator at all, one keyed exchange") {
-    for (q <- Seq("q_asof_join", "q_asof_tolerance")) {
+    for (q <- Seq("q_asof_join", "q_asof_tolerance", "q_asof_forward")) {
       val plan = executedPlan(q)
       assert(!plan.contains("Join"), s"$q planned a join:\n$plan")
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

@@ -61,6 +61,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out._2.isEmpty) // the matched row's own null v, not "old"
   }
 
+  test("forward: earliest at-or-after match, inclusive ties, bounded by tolerance") {
+    def runF(tol: Option[Long] = None) =
+      AsOfJoin.leftAsOfForward(left, right, Seq("k"), "t", "rt", Seq("v"),
+          suffix = "_m", toleranceSec = tol)
+        .select($"id", $"rt_m", $"v_m")
+        .as[(Long, Option[Timestamp], Option[String])]
+        .collect().map(r => r._1 -> ((r._2.map(_.getTime / 1000), r._3))).toMap
+    val m = runF()
+    assert(m(1L) == ((Some(200L), Some("a"))))   // next right after 100
+    assert(m(2L) == ((Some(200L), Some("a"))))   // tie: r.ts == l.ts matches
+    assert(m(3L) == ((None, None)))              // nothing at-or-after 250? 240<250 → none
+    assert(m(4L) == ((None, None)))              // past the last right row
+    assert(m(5L) == ((None, None)))              // key absent on right
+    val mt = runF(tol = Some(50L))
+    assert(mt(1L) == ((None, None)))             // 100 ahead > 50: nulled
+    assert(mt(2L) == ((Some(200L), Some("a"))))  // 0 ahead
+  }
+
   test("temporal store: idempotent appends, null keys dropped, enrich matches direct as-of") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tstore").toString + "/v"
     val inc1 = Seq((1L, ts(200), "a"), (1L, ts(240), "b")).toDF("k", "rt", "v")
