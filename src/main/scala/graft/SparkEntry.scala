@@ -158,6 +158,16 @@ object SparkEntry {
         Tables.load(s, dir, "events"))
     },
 
+    // LinkStatsMetric with exact latency-style percentiles per (hour ×
+    // event_type) — the quantile columns the reference's users compute
+    // downstream in ClickHouse, as one windowed aggregation here
+    "q_link_stats_pct" -> { (s, dir) =>
+      graft.operators.LinkStatsMetric.batch(graft.operators.LinkMetric.Config(
+        fieldsLink = "event_type->value", batchWindowSec = 3600,
+        tsColumn = "ts", percentiles = Seq(0.5, 0.95, 0.99)))(
+        Tables.load(s, dir, "events"))
+    },
+
     // ---- sessionization: native session_window per-session summary ----
     // 30-minute inactivity gap on the events stream; sum decimal-stabilized
     // like q1_pricing so the float total is order-independent.
@@ -1419,6 +1429,21 @@ object SparkEntry {
         |  min(value) AS min,
         |  max(value) AS max,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // quantile_cont is bit-identical to Spark's interpolated percentile
+    // (same (n-1)*p + lerp definition); the other columns mirror
+    // q_link_stats
+    "q_link_stats_pct" ->
+      """SELECT date_trunc('hour', ts) AS "@timestamp", event_type,
+        |  count(value) AS count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum,
+        |  min(value) AS min,
+        |  max(value) AS max,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // session partition re-derived independently: lag-gap flag → running

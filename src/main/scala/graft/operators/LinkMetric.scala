@@ -46,7 +46,16 @@ object LinkMetric {
         * instead of counting rows. Within one Spark job this tiering is
         * Catalyst's own partial/final aggregation; the flag exists for the
         * cross-pipeline topology where an upstream job emitted partials. */
-      reduce: Boolean = false)
+      reduce: Boolean = false,
+      /** Beyond the reference: exact value percentiles per (window ×
+        * group), e.g. Seq(0.5, 0.95, 0.99) → columns p50/p95/p99 — the
+        * latency-quantile shape the reference's users compute downstream
+        * in ClickHouse. LinkStatsMetric only; incompatible with `reduce`
+        * (order statistics don't merge from count/sum/min/max partials).
+        * Memory: the aggregation buffers each group's values — bounded by
+        * rows per (window × group), the same contract as any exact
+        * quantile. */
+      percentiles: Seq[Double] = Nil)
 
   private[operators] def parts(c: Config, df: DataFrame): (Column, Seq[String], Column) = {
     val fields = c.fieldsLink.split("->").map(_.trim).toSeq
@@ -107,10 +116,20 @@ object LinkStatsMetric {
     * `reduce`, rows are upstream PARTIAL stats (count/sum/min/max columns)
     * and are merged instead of re-counted
     * (link_stats_metric.go:198-227 merge semantics). */
+  /** "p50", "p95", "p99_9" — decimal point becomes '_' so the label is a
+    * plain column name; BigDecimal-from-string keeps 0.95 exact. */
+  private[operators] def pctLabel(p: Double): String =
+    "p" + (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros
+      .toPlainString.replace(".", "_")
+
   private def aggCols(c: Config, df: DataFrame): Seq[Column] = {
     val valueField = c.fieldsLink.split("->").map(_.trim).last
     val v = col(s"`$valueField`")
     if (c.reduce && Seq("count", "sum", "min", "max").forall(df.columns.contains)) {
+      if (c.percentiles.nonEmpty)
+        sys.error("LinkStatsMetric: percentiles are incompatible with " +
+          "reduce — order statistics cannot be merged from partial " +
+          "count/sum/min/max rows")
       val cnt = sum(col("count").cast("long")).as("count")
       Seq(cnt,
         sum(col("sum").cast(Dec)).cast("double").as("sum"),
@@ -123,7 +142,12 @@ object LinkStatsMetric {
       sum(v.cast(Dec)).cast("double").as("sum"),
       min(v.cast("double")).as("min"),
       max(v.cast("double")).as("max"),
-      (sum(v.cast(Dec)).cast("double") / count(v)).as("mean"))
+      (sum(v.cast(Dec)).cast("double") / count(v)).as("mean")) ++
+      c.percentiles.map(p =>
+        // exact interpolated percentile — bit-identical to DuckDB's
+        // quantile_cont (verified on the events table), unlike
+        // percentile_approx whose summaries return discrete data points
+        percentile(v.cast("double"), lit(p)).as(pctLabel(p)))
   }
 
   def batch(c: Config)(df: DataFrame): DataFrame = {

@@ -150,7 +150,8 @@ object Planner {
           conf.long("batchWindow", 60), conf.long("reserveWindow", 0),
           conf.str("timestamp").getOrElse("@timestamp"),
           conf.bool("drop_original_event", true),
-          conf.bool("reduce", false))
+          conf.bool("reduce", false),
+          conf.strSeq("percentiles").map(_.toDouble))
         df => metricStage(df, cfg, LinkStatsMetric.batch(cfg), LinkStatsMetric.streaming(cfg))
       case "LinkMetricExact" =>
         // exact reference emission cadence (windowOffset / accumulateMode)

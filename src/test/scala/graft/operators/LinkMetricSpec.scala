@@ -124,4 +124,31 @@ class LinkMetricSpec extends SparkSpec {
       assert(updates(1).getDouble(updates(1).fieldIndex("mean")) == 20.0)
     } finally q.stop()
   }
+
+  test("LinkStatsMetric percentiles: exact interpolated quantiles per window-group") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:10"), "a", 10.0),
+      (ts("2024-01-01 00:00:20"), "a", 20.0),
+      (ts("2024-01-01 00:00:30"), "a", 30.0),
+      (ts("2024-01-01 00:00:40"), "a", 40.0),
+    ).toDF("@timestamp", "et", "v")
+    val out = LinkStatsMetric.batch(LinkMetric.Config("et->v", 60,
+      percentiles = Seq(0.5, 0.95)))(df)
+    val r = out.collect().head
+    // (n-1)*p interpolation: p50 over 10..40 = 25.0; p95 = 10 + 0.95*30 = 38.5
+    assert(r.getDouble(r.fieldIndex("p50")) == 25.0)
+    assert(r.getDouble(r.fieldIndex("p95")) == 38.5)
+  }
+
+  test("LinkStatsMetric percentiles: label formatting and reduce incompatibility") {
+    assert(LinkStatsMetric.pctLabel(0.5) == "p50")
+    assert(LinkStatsMetric.pctLabel(0.95) == "p95")
+    assert(LinkStatsMetric.pctLabel(0.999) == "p99_9")
+    val partials = Seq((ts("2024-01-01 00:00:10"), "a", 2L, 5.0, 1.0, 4.0))
+      .toDF("@timestamp", "et", "count", "sum", "min", "max")
+    val err = intercept[RuntimeException](
+      LinkStatsMetric.batch(LinkMetric.Config("et->sum", 60, reduce = true,
+        percentiles = Seq(0.5)))(partials).collect())
+    assert(err.getMessage.contains("incompatible"))
+  }
 }
