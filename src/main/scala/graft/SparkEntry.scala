@@ -158,6 +158,17 @@ object SparkEntry {
         Tables.load(s, dir, "events"))
     },
 
+    // windowFunnel view→click→purchase within one day: deepest ordered
+    // chain per user (ClickHouse-parity funnel, one aggregation)
+    "q_funnel" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Funnel.windowFunnel(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        Seq($"event_type" === "view", $"event_type" === "click",
+          $"event_type" === "purchase"),
+        windowSec = 86400L)
+    },
+
     // LinkStatsMetric with exact latency-style percentiles per (hour ×
     // event_type) — the quantile columns the reference's users compute
     // downstream in ClickHouse, as one windowed aggregation here
@@ -1430,6 +1441,29 @@ object SparkEntry {
         |  max(value) AS max,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // independent derivation: the DP's level-k is equivalent to an
+    // EXISTS chain e1 <= e2 <= ... <= ek within the window (non-strict
+    // ties, inclusive window) — spelled as joins, feasible at oracle SF
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |l2 AS (
+        |  SELECT DISTINCT v.user_id FROM v JOIN c ON v.user_id = c.user_id
+        |  WHERE c.ts >= v.ts
+        |    AND epoch_us(c.ts) - epoch_us(v.ts) <= 86400000000),
+        |l3 AS (
+        |  SELECT DISTINCT v.user_id
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |       JOIN p ON v.user_id = p.user_id
+        |  WHERE c.ts >= v.ts AND p.ts >= c.ts
+        |    AND epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000)
+        |SELECT user_id,
+        |  CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3
+        |       WHEN user_id IN (SELECT user_id FROM l2) THEN 2
+        |       ELSE 1 END AS funnel_level
+        |FROM (SELECT DISTINCT user_id FROM v)""".stripMargin,
 
     // quantile_cont is bit-identical to Spark's interpolated percentile
     // (same (n-1)*p + lerp definition); the other columns mirror
