@@ -158,6 +158,15 @@ object SparkEntry {
         Tables.load(s, dir, "events"))
     },
 
+    // weekly signup-cohort retention matrix (cohort × period offset →
+    // distinct active users); one per-user agg + one matrix agg
+    "q_retention" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Retention.cohorts(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        $"event_type" === "signup", periodSec = 604800L, maxOffset = 8)
+    },
+
     // windowFunnel view→click→purchase within one day: deepest ordered
     // chain per user (ClickHouse-parity funnel, one aggregation)
     "q_funnel" -> { (s, dir) =>
@@ -1441,6 +1450,23 @@ object SparkEntry {
         |  max(value) AS max,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // anchor = first signup period per user; activity = distinct periods;
+    // count(*) is already per-distinct-user after the DISTINCT join
+    "q_retention" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'
+        |             THEN epoch_us(ts) // 604800000000 END) AS cohort_period
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS p
+        |        FROM events)
+        |SELECT a.cohort_period, act.p - a.cohort_period AS period_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN act ON a.user_id = act.user_id
+        |WHERE a.cohort_period IS NOT NULL
+        |  AND act.p - a.cohort_period BETWEEN 0 AND 8
+        |GROUP BY 1, 2""".stripMargin,
 
     // independent derivation: the DP's level-k is equivalent to an
     // EXISTS chain e1 <= e2 <= ... <= ek within the window (non-strict

@@ -1,0 +1,44 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("cohort matrix: anchor at first signup, distinct periods, offset bounds") {
+    // period = 100 s. u1 signs up in period 0, active 0/1/3 (twice in 1 —
+    // counted once); u2 signs up in period 1, active 1 only; u3 never
+    // signs up → absent; u4 activity BEFORE its signup → negative offset
+    // dropped, signup period kept
+    val df = Seq(
+      (1L, 10L, "signup"), (1L, 150L, "view"), (1L, 160L, "view"),
+      (1L, 310L, "view"),
+      (2L, 110L, "signup"),
+      (3L, 50L, "view"),
+      (4L, 20L, "view"), (4L, 250L, "signup"),
+    ).map { case (u, t, e) => (u, ts(t), e) }.toDF("u", "t", "e")
+    val m = Retention.cohorts(df, "u", "t", col("e") === "signup",
+        periodSec = 100L, maxOffset = 10)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    assert(m == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L, // u1
+      (1L, 0L) -> 1L,                                 // u2
+      (2L, 0L) -> 1L))                                // u4 (pre-signup view dropped)
+  }
+
+  test("plan: two exchanges — per-user agg, then the matrix agg") {
+    val df = Seq((1L, ts(10), "signup")).toDF("u", "t", "e")
+    val out = Retention.cohorts(df, "u", "t", col("e") === "signup", 100L, 5)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected exactly two keyed exchanges:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+}
