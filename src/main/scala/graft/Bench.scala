@@ -244,6 +244,18 @@ object Bench {
         timed("sessionize_skew")(
           graft.operators.Sessionize
             .summarize(bigEvSkew, "user_id", "ts", 1800L).count())
+        // funnel/retention at 100×: the funnel's per-user DP folds a
+        // 100×-longer matched-event list under skew (same users, all
+        // copies) — the guard that the fold stays linear in list length
+        def funnelOf(d: DataFrame): Long =
+          graft.operators.Funnel.windowFunnel(d, "user_id", "ts",
+            Seq(col("event_type") === "view", col("event_type") === "click",
+              col("event_type") === "purchase"), 86400L).count()
+        timed("funnel")(funnelOf(bigEv))
+        timed("funnel_skew")(funnelOf(bigEvSkew))
+        timed("retention")(
+          graft.operators.Retention.cohorts(bigEv, "user_id", "ts",
+            col("event_type") === "signup", 604800L, 8).count())
       }
       // pre + mid + post probe samples: the min is the machine floor the
       // stress ops are normalized against

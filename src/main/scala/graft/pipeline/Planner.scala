@@ -186,6 +186,23 @@ object Planner {
             graft.operators.Sessionize.assign(df, key, tsc, gap,
               conf.str("target").getOrElse("session_seq"))
           }
+      case "Funnel" =>
+        // ordered steps as condition-DSL strings — the same predicate
+        // language as `if` guards, compiled per step
+        val steps = conf.strSeq("steps")
+        if (steps.isEmpty) sys.error("Funnel needs `steps`, e.g. " +
+          """steps: ['EQ(event_type,"view")', 'EQ(event_type,"click")']""")
+        val key = conf.strReq("key")
+        val tsc = conf.str("timestamp").getOrElse("@timestamp")
+        val win = conf.long("window", 86400)
+        df => graft.operators.Funnel.windowFunnel(df, key, tsc,
+          steps.map(graft.conditions.ConditionFilter.compile(_, df, tsc)), win)
+      case "Retention" =>
+        val key = conf.strReq("key")
+        val tsc = conf.str("timestamp").getOrElse("@timestamp")
+        df => graft.operators.Retention.cohorts(df, key, tsc,
+          graft.conditions.ConditionFilter.compile(conf.strReq("anchor"), df, tsc),
+          conf.long("period", 604800), conf.int("max_offset", 52))
       case "AsOfJoin" =>
         // point-in-time enrichment: attach the most recent at-or-before
         // `right` row per key. `right` is an input spec like Decontaminate's

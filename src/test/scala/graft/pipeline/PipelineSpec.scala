@@ -263,6 +263,42 @@ class PipelineSpec extends SparkSpec {
     assert(s("e1", "tags") == null)
   }
 
+  test("Funnel and Retention dispatch from YAML with DSL step predicates") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = Seq(
+      (1L, t("2024-01-01 00:00:00"), "signup"),
+      (1L, t("2024-01-01 00:10:00"), "view"),
+      (1L, t("2024-01-01 00:20:00"), "click"),
+      (2L, t("2024-01-08 12:00:00"), "signup"),
+      (2L, t("2024-01-15 12:00:00"), "view"),
+    ).toDF("uid", "ts", "et")
+
+    val funnel = Planner.fromYaml(
+      """filters:
+        |  - Funnel:
+        |      key: uid
+        |      timestamp: ts
+        |      window: 3600
+        |      steps: ['EQ(et,"view")', 'EQ(et,"click")']
+        |""".stripMargin).transform(input)
+      .as[(Long, Int)].collect().toMap
+    assert(funnel == Map(1L -> 2, 2L -> 1))
+
+    val retention = Planner.fromYaml(
+      """filters:
+        |  - Retention:
+        |      key: uid
+        |      timestamp: ts
+        |      anchor: 'EQ(et,"signup")'
+        |      period: 604800
+        |""".stripMargin).transform(input)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    // both users active in their signup week; u2 active again a week later
+    assert(retention.values.sum == 3L)
+    assert(retention.count { case ((_, o), _) => o == 1L } == 1)
+  }
+
   test("Sessionize and AsOfJoin dispatch from YAML") {
     val dir = Files.createTempDirectory("graft_asof")
     val dimPath = dir.resolve("dim.parquet").toString
