@@ -73,4 +73,82 @@ object Funnel {
             when(element_at(acc, i) >= 0L && t - element_at(acc, i) <= winUs,
               greatest(v, element_at(acc, i))).otherwise(v))))
     })
+
+  // ---- streaming form ----------------------------------------------------
+
+  /** Keyed DP state: `dp` is the same latest-start-per-level array the
+    * batch fold uses; `buf` holds events still inside the lateness bound
+    * (they fold only once the watermark passes them, in (ts, step) order —
+    * out-of-order arrival within the bound cannot corrupt the DP);
+    * `emitted` is the deepest level already reported. */
+  final case class FunnelState(dp: Seq[Long], buf: Seq[(Long, Int)], emitted: Int)
+  final case class FunnelEmit(user: String, funnel_level: Int)
+
+  /** Streaming windowFunnel: per-user funnel levels over an unbounded
+    * stream via flatMapGroupsWithState. Emits one Append-mode row each
+    * time a user's CONFIRMED level deepens (levels are monotone, so each
+    * level is reported at most once). Confirmed = derived only from
+    * events at-or-before the watermark; `latenessSec` is the reorder
+    * bound, exactly the batch semantics once the stream drains.
+    *
+    * Watermark note: Catalyst pushes the step filter BELOW the watermark
+    * collector (that pushdown is what keeps unmatched traffic off the
+    * shuffle), so event time advances with MATCHED events — if the funnel
+    * steps go quiet, buffered near-complete chains wait for the next
+    * matched event, like any event-time stream waits for data.
+    *
+    * State per user: n longs + the within-lateness buffer — bounded by
+    * the lateness window's matched events, not history. That bound is
+    * what lets the funnel run forever on a cluster. */
+  def streamingWindowFunnel(df: DataFrame, userCol: String, tsCol: String,
+      steps: Seq[Column], windowSec: Long, latenessSec: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "Funnel: at least one step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = steps.size
+    val winUs = windowSec * 1000000L
+
+    val stepArr = array(steps.zipWithIndex.map { case (c, i) =>
+      when(c, lit(i)).otherwise(lit(-1))
+    }: _*)
+    val matched = df
+      .withWatermark(tsCol, s"$latenessSec seconds")
+      .withColumn("__steps", filter(stepArr, s => s >= 0))
+      .filter(size(col("__steps")) > 0)
+      // no cast on the ts column — it would strip the watermark tag
+      .select(col(tsCol).as("__t"), col(userCol).cast("string").as("__u"),
+        explode(col("__steps")).as("__step"))
+      .as[(java.sql.Timestamp, String, Int)]
+
+    matched.groupByKey(_._2)
+      .flatMapGroupsWithState[FunnelState, FunnelEmit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (key, events, state) =>
+        val st = state.getOption.getOrElse(FunnelState(Seq.fill(n)(-1L), Nil, 0))
+        val micros = events.map { case (ts, _, s) =>
+          (ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L, s)
+        }.toSeq
+        val wmMs = state.getCurrentWatermarkMs()
+        val wmUs = wmMs * 1000L
+        val all = st.buf ++ micros
+        // events at-or-before the watermark are final-ordered: fold them
+        // by (ts, step); the rest wait for the next watermark advance
+        val (ready, wait) = all.partition { case (t, _) => wmMs > 0 && t <= wmUs }
+        val dp = ready.sorted.foldLeft(st.dp.toArray) { case (acc, (t, s)) =>
+          val ok = s == 0 || (acc(s - 1) >= 0L && t - acc(s - 1) <= winUs)
+          if (ok) acc(s) = math.max(acc(s), if (s == 0) t else acc(s - 1))
+          acc
+        }
+        val level = dp.takeWhile(_ >= 0L).length
+        val out = if (level > st.emitted) Iterator.single(FunnelEmit(key, level))
+                  else Iterator.empty
+        state.update(FunnelState(dp.toSeq, wait, math.max(level, st.emitted)))
+        // a group with buffered events must be re-invoked once the
+        // watermark passes the earliest of them, even with no new data —
+        // that is exactly what the event-time timeout provides
+        if (wait.nonEmpty)
+          state.setTimeoutTimestamp(math.max(wait.map(_._1).min / 1000L, wmMs + 1L))
+        out
+      }.toDF()
+  }
 }

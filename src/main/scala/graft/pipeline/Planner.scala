@@ -195,8 +195,14 @@ object Planner {
         val key = conf.strReq("key")
         val tsc = conf.str("timestamp").getOrElse("@timestamp")
         val win = conf.long("window", 86400)
-        df => graft.operators.Funnel.windowFunnel(df, key, tsc,
-          steps.map(graft.conditions.ConditionFilter.compile(_, df, tsc)), win)
+        df => {
+          val compiled = steps.map(
+            graft.conditions.ConditionFilter.compile(_, df, tsc))
+          if (df.isStreaming)
+            graft.operators.Funnel.streamingWindowFunnel(df, key, tsc,
+              compiled, win, conf.long("lateness", 0))
+          else graft.operators.Funnel.windowFunnel(df, key, tsc, compiled, win)
+        }
       case "Retention" =>
         val key = conf.strReq("key")
         val tsc = conf.str("timestamp").getOrElse("@timestamp")

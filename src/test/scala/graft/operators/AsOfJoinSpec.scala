@@ -102,6 +102,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(stored == direct)
   }
 
+  test("streaming enrichment recipe: foreachBatch as-of against the temporal store") {
+    // the pattern the Planner's streaming error message points at: each
+    // micro-batch of left events enriches against the accumulated store
+    // (a plain batch as-of inside foreachBatch), while right-side
+    // increments append between batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_tstore_s").toString + "/v"
+    AsOfJoin.appendToTemporalStore(
+      Seq((1L, ts(200), "a")).toDF("k", "rt", "v"), Seq("k"), "rt", Seq("v"), dir)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String])]
+    val mem = MemoryStream[(Long, Long, Long)] // (id, k, epochSec)
+    val q = mem.toDF.toDF("id", "k", "tsec")
+      .select($"id", $"k", timestamp_seconds($"tsec").as("t"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = AsOfJoin.enrichFromTemporalStore(batch, dir,
+            Seq("k"), "t", "rt", Seq("v"), suffix = "_m")
+          .select($"id", $"v_m").as[(Long, Option[String])].collect()
+        collected.synchronized { collected ++= out }
+        ()
+      }.start()
+    try {
+      mem.addData((1L, 1L, 250L))
+      q.processAllAvailable()
+      // store grows between micro-batches; the next batch sees the new version
+      AsOfJoin.appendToTemporalStore(
+        Seq((1L, ts(300), "b")).toDF("k", "rt", "v"), Seq("k"), "rt", Seq("v"), dir)
+      mem.addData((2L, 1L, 350L), (3L, 1L, 100L))
+      q.processAllAvailable()
+      val m = collected.synchronized(collected.toMap)
+      assert(m == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("plan: one exchange, no join operator, no cartesian product") {
     val plan = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt", Seq("v"))
       .queryExecution.executedPlan.toString

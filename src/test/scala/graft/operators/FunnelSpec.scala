@@ -43,6 +43,60 @@ class FunnelSpec extends SparkSpec {
     assert(m == Map(1L -> 3))
   }
 
+  test("streaming funnel: levels confirm as the watermark passes, out-of-order heals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val T = 10000L
+    val mem = MemoryStream[(Long, Long, String)] // (u, sec, type)
+    val src = mem.toDF.toDF("u", "sec", "e")
+      .select($"u", org.apache.spark.sql.functions.timestamp_seconds($"sec").as("t"), $"e")
+    val out = Funnel.streamingWindowFunnel(src, "u", "t",
+      Seq(col("e") === "A", col("e") === "B", col("e") === "C"),
+      windowSec = 100L, latenessSec = 200L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_stream").start()
+    def rows() = spark.table("funnel_stream")
+      .as[(String, Int)].collect().toSeq.sorted
+    try {
+      // u1's chain arrives OUT OF ORDER within the 200 s lateness bound:
+      // C before B across batches
+      mem.addData((1L, T, "A"), (1L, T + 99, "C"))
+      q.processAllAvailable()
+      assert(rows().isEmpty) // watermark unset: nothing confirmed yet
+      mem.addData((1L, T + 50, "B"))
+      q.processAllAvailable()
+      // watermark now T+99-200 < T: still nothing confirmed
+      mem.addData((2L, T + 1000, "A"))
+      q.processAllAvailable()
+      // watermark (from earlier batches) still below u1's chain: nothing yet
+      // (matched events drive the watermark — the step filter sits below
+      // the watermark collector by design)
+      mem.addData((3L, T + 3000, "A"))
+      q.processAllAvailable()
+      // the data batch advances the watermark past u1's chain AND the
+      // follow-up no-data batch (Spark runs one when the watermark moves)
+      // passes u2's lone A: u1's A,B,C fold IN TS ORDER → level 3
+      // reported once, not via levels 1 and 2; u2 confirms level 1
+      assert(rows() == Seq(("1", 3), ("2", 1)))
+      mem.addData((3L, T + 4000, "A"))
+      q.processAllAvailable()
+      assert(rows() == Seq(("1", 3), ("2", 1), ("3", 1)))
+      mem.addData((3L, T + 5000, "A"))
+      q.processAllAvailable()
+      assert(rows() == Seq(("1", 3), ("2", 1), ("3", 1)))
+      // final streaming levels equal the batch operator on the same events
+      val batch = Seq((1L, T, "A"), (1L, T + 99, "C"), (1L, T + 50, "B"),
+          (2L, T + 1000, "A"), (3L, T + 3000, "A"), (3L, T + 4000, "A"),
+          (3L, T + 5000, "A"))
+        .map { case (u, s, e) => (u, ts(s), e) }.toDF("u", "t", "e")
+      val expect = Funnel.windowFunnel(batch, "u", "t",
+          Seq(col("e") === "A", col("e") === "B", col("e") === "C"), 100L)
+        .as[(Long, Int)].collect().map { case (u, l) => (u.toString, l) }.toSeq.sorted
+      assert(rows() == expect)
+    } finally q.stop()
+  }
+
   test("plan: step predicates filter before the single keyed exchange") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, ts(0), "A"), (1L, ts(1), "X")).toDF("u", "t", "e")
