@@ -620,7 +620,11 @@ object Planner {
     val idx = stages.indexWhere { case (n, c) =>
       (CorpusStages.contains(n) && !StreamableCorpusStages.contains(n)) ||
         ((n == "LinkMetric" || n == "LinkStatsMetric") &&
-          !c.bool("drop_original_event", true))
+          !c.bool("drop_original_event", true)) ||
+        // batch-only analytics run per-micro-batch: as-of enrichment
+        // (window over left ∪ right — correct per batch against a full
+        // right side / temporal store) and per-event session ids
+        n == "AsOfJoin" || (n == "Sessionize" && !c.bool("summary", false))
     }
     if (idx < 0) (stages, Nil) else stages.splitAt(idx)
   }

@@ -58,6 +58,16 @@ class StreamingPipelineSpec extends SparkSpec {
     val (stream, perBatch) = Planner.streamingSplit(stages)
     assert(stream.map(_._1) == Seq("Mix", "LinkMetric"))
     assert(perBatch.map(_._1) == Seq("Dedup"))
+
+    // batch-only analytics demote to the foreachBatch tail; session
+    // SUMMARIES (native session_window) stay streaming
+    val analytic = Seq(
+      "Sessionize" -> Map[String, Any]("key" -> "u", "summary" -> true),
+      "AsOfJoin" -> Map[String, Any]("keys" -> Seq("u")),
+      "Sessionize" -> Map[String, Any]("key" -> "u"))
+    val (s2, b2) = Planner.streamingSplit(analytic)
+    assert(s2.map(_._1) == Seq("Sessionize"))
+    assert(b2.map(_._1) == Seq("AsOfJoin", "Sessionize"))
   }
 
   test("incremental dedup streams: the seen store advances per committed micro-batch") {
