@@ -61,4 +61,60 @@ object Sessionize {
       .agg(aggs.head, aggs.tail: _*)
       .drop("session_window")
   }
+
+  // ---- streaming per-event assignment ------------------------------------
+
+  /** Keyed session state: the last CONFIRMED event time and session
+    * sequence, plus the buffer of events still inside the lateness
+    * bound (they assign only once the watermark passes them, in ts
+    * order — out-of-order arrival within the bound gets the same ids
+    * the batch operator would give). */
+  final case class SessState(lastTsUs: Long, seq: Long, buf: Seq[Long])
+  final case class SessEmit(key: String, ts: java.sql.Timestamp, session_seq: Long)
+
+  /** Streaming [[assign]]: emits each event with its session sequence
+    * once the watermark confirms its position — the per-event form the
+    * native `session_window` cannot give (it only aggregates). Same
+    * state pattern as the streaming funnel: O(1) confirmed state per key
+    * plus the within-lateness buffer, event-time timeouts re-invoking
+    * keys whose buffered events the watermark has passed. Output contract
+    * is (key, ts, session_seq) — join back on (key, ts) when the full
+    * event row is needed downstream. */
+  def streamingAssign(df: DataFrame, keyCol: String, tsCol: String,
+      gapSec: Long, latenessSec: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapUs = gapSec * 1000000L
+
+    df.withWatermark(tsCol, s"$latenessSec seconds")
+      // no cast on the ts column — it would strip the watermark tag
+      .select(col(tsCol).as("__t"), col(keyCol).cast("string").as("__k"))
+      .as[(java.sql.Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[SessState, SessEmit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (key, events, state) =>
+        val st = state.getOption.getOrElse(SessState(-1L, 0L, Nil))
+        val micros = events.map { case (ts, _) =>
+          ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+        }.toSeq
+        val wmMs = state.getCurrentWatermarkMs()
+        val wmUs = wmMs * 1000L
+        val (ready, wait) = (st.buf ++ micros)
+          .partition(t => wmMs > 0 && t <= wmUs)
+        var last = st.lastTsUs
+        var seq = st.seq
+        val emits = ready.sorted.map { t =>
+          if (last < 0 || t - last >= gapUs) seq += 1
+          last = t
+          val ts = new java.sql.Timestamp(t / 1000L)
+          ts.setNanos((t % 1000000L).toInt * 1000)
+          SessEmit(key, ts, seq)
+        }
+        state.update(SessState(last, seq, wait))
+        if (wait.nonEmpty)
+          state.setTimeoutTimestamp(math.max(wait.min / 1000L, wmMs + 1L))
+        emits.iterator
+      }.toDF()
+  }
 }

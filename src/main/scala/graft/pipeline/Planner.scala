@@ -179,10 +179,13 @@ object Planner {
               df.withWatermark(tsc, conf.str("lateness").getOrElse("0 seconds"))
             else df
             graft.operators.Sessionize.summarize(d, key, tsc, gap)
+          } else if (df.isStreaming) {
+            // per-event ids must see sessions ACROSS micro-batches, so a
+            // per-batch window would be wrong — the keyed-state form
+            // confirms each event's id once the watermark passes it
+            graft.operators.Sessionize.streamingAssign(df, key, tsc, gap,
+              conf.long("lateness", 0))
           } else {
-            if (df.isStreaming) sys.error("Sessionize assign (per-event " +
-              "session_seq) is batch-only — window functions don't stream; " +
-              "use `summary: true` for streaming session aggregates")
             graft.operators.Sessionize.assign(df, key, tsc, gap,
               conf.str("target").getOrElse("session_seq"))
           }
@@ -621,10 +624,10 @@ object Planner {
       (CorpusStages.contains(n) && !StreamableCorpusStages.contains(n)) ||
         ((n == "LinkMetric" || n == "LinkStatsMetric") &&
           !c.bool("drop_original_event", true)) ||
-        // batch-only analytics run per-micro-batch: as-of enrichment
-        // (window over left ∪ right — correct per batch against a full
-        // right side / temporal store) and per-event session ids
-        n == "AsOfJoin" || (n == "Sessionize" && !c.bool("summary", false))
+        // as-of enrichment runs per-micro-batch (window over left ∪
+        // right — correct per batch against a full right side / temporal
+        // store); Sessionize streams natively in BOTH forms, so it stays
+        n == "AsOfJoin"
     }
     if (idx < 0) (stages, Nil) else stages.splitAt(idx)
   }

@@ -75,6 +75,38 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAssign heals out-of-order arrival to the batch ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val T = 20000L
+    val mem = MemoryStream[(Long, Timestamp)]
+    val out = Sessionize.streamingAssign(
+      mem.toDF.toDF("k", "t"), "k", "t", gapSec = 60L, latenessSec = 300L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sa_stream").start()
+    try {
+      // arrival order scrambles two sessions; lateness 300 covers it
+      mem.addData((1L, ts(T + 200)), (1L, ts(T)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(T + 30)), (1L, ts(T + 230)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(T + 9000))) // advance watermark far past both
+      q.processAllAvailable()
+      mem.addData((1L, ts(T + 9001)))
+      q.processAllAvailable()
+      val got = spark.table("sa_stream")
+        .select((unix_micros($"ts") / 1000000L).cast("long"), $"session_seq")
+        .as[(Long, Long)].collect().toMap
+      val want = Sessionize.assign(
+          Seq((1L, ts(T)), (1L, ts(T + 30)), (1L, ts(T + 200)), (1L, ts(T + 230)))
+            .toDF("k", "t"), "k", "t", 60L)
+        .select((unix_micros($"t") / 1000000L).cast("long"), $"session_seq")
+        .as[(Long, Long)].collect().toMap
+      assert(want.forall { case (t, s) => got.get(t).contains(s) },
+        s"got $got want $want")
+    } finally q.stop()
+  }
+
   test("plan: summarize pays one exchange, partial aggregation below it") {
     val plan = Sessionize.summarize(events, "k", "t", 60L)
       .queryExecution.executedPlan.toString

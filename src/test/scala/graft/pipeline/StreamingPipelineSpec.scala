@@ -59,15 +59,15 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(stream.map(_._1) == Seq("Mix", "LinkMetric"))
     assert(perBatch.map(_._1) == Seq("Dedup"))
 
-    // batch-only analytics demote to the foreachBatch tail; session
-    // SUMMARIES (native session_window) stay streaming
+    // as-of enrichment demotes to the foreachBatch tail; BOTH Sessionize
+    // forms stream natively (session_window / keyed-state assign)
     val analytic = Seq(
       "Sessionize" -> Map[String, Any]("key" -> "u", "summary" -> true),
-      "AsOfJoin" -> Map[String, Any]("keys" -> Seq("u")),
-      "Sessionize" -> Map[String, Any]("key" -> "u"))
+      "Sessionize" -> Map[String, Any]("key" -> "u"),
+      "AsOfJoin" -> Map[String, Any]("keys" -> Seq("u")))
     val (s2, b2) = Planner.streamingSplit(analytic)
-    assert(s2.map(_._1) == Seq("Sessionize"))
-    assert(b2.map(_._1) == Seq("AsOfJoin", "Sessionize"))
+    assert(s2.map(_._1) == Seq("Sessionize", "Sessionize"))
+    assert(b2.map(_._1) == Seq("AsOfJoin"))
   }
 
   test("incremental dedup streams: the seen store advances per committed micro-batch") {
@@ -523,7 +523,7 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("Sessionize stage: summary streams with watermark eviction; assign rejects streams") {
+  test("Sessionize stage: summary streams with watermark eviction; assign streams with keyed state") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
@@ -544,10 +544,34 @@ class StreamingPipelineSpec extends SparkSpec {
         r.getLong(r.fieldIndex("n_events")) == 2L), rows.mkString("; "))
     } finally q.stop()
 
-    val assignStage = Planner.filterStage("Sessionize", Map(
-      "key" -> "uid", "timestamp" -> "t"))
-    val err = intercept[RuntimeException](assignStage(src))
-    assert(err.getMessage.contains("batch-only"))
+    // assign on a stream dispatches to the keyed-state form: per-event
+    // session ids confirmed as the watermark passes, ACROSS batches
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp)]
+    val assigned = Planner.filterStage("Sessionize", Map(
+      "key" -> "uid", "timestamp" -> "t", "gap" -> 60L))(
+      mem2.toDF.toDF("uid", "t"))
+    assert(assigned.isStreaming)
+    val q2 = assigned.writeStream.outputMode("append")
+      .format("memory").queryName("sess_assign_yaml").start()
+    try {
+      // session 1 spans two micro-batches; the gap to 02:00 starts
+      // session 2 — a per-batch window could never see that
+      mem2.addData((9L, ts("2024-01-01 00:00:10")))
+      q2.processAllAvailable()
+      mem2.addData((9L, ts("2024-01-01 00:00:40")))
+      q2.processAllAvailable()
+      mem2.addData((9L, ts("2024-01-01 02:00:00")))
+      q2.processAllAvailable()
+      mem2.addData((9L, ts("2024-01-01 03:00:00")))
+      q2.processAllAvailable()
+      val out = spark.table("sess_assign_yaml")
+        .select("ts", "session_seq").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(out == Map(
+        "2024-01-01 00:00:10.0" -> 1L,
+        "2024-01-01 00:00:40.0" -> 1L,
+        "2024-01-01 02:00:00.0" -> 2L))
+    } finally q2.stop()
   }
 
   test("AsOfJoin stage rejects streaming input with a pointer to the temporal store") {
