@@ -46,4 +46,67 @@ object Retention {
       .groupBy(col("cohort_period"), col("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  // ---- streaming form ----------------------------------------------------
+
+  /** Keyed state: the user's confirmed anchor period (-1 until their
+    * first anchor event passes the watermark — watermark-ordered folding
+    * makes the anchor FINAL once set, no earlier event can still
+    * arrive), a bitmask of offsets already reported (maxOffset ≤ 63
+    * keeps the whole state in two longs), and the within-lateness
+    * buffer. */
+  final case class RetState(anchor: Long, emitted: Long, buf: Seq[(Long, Boolean)])
+  final case class RetEmit(user: String, cohort_period: Long, period_offset: Long)
+
+  /** Streaming cohorts: emits one (user, cohort, offset) row the first
+    * time each retention cell is confirmed for a user — append-only
+    * events a downstream count aggregates into the live matrix (the
+    * rows are per-user distinct by construction, exactly like the batch
+    * operator's exploded frame). */
+  def streamingCohortEvents(df: DataFrame, userCol: String, tsCol: String,
+      anchor: Column, periodSec: Long, maxOffset: Int,
+      latenessSec: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(maxOffset >= 0 && maxOffset <= 63,
+      "streaming retention keeps offsets in a long bitmask: maxOffset <= 63")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pUs = periodSec * 1000000L
+
+    df.withWatermark(tsCol, s"$latenessSec seconds")
+      // no cast on the ts column — it would strip the watermark tag
+      .select(col(tsCol).as("__t"), col(userCol).cast("string").as("__u"),
+        anchor.as("__a"))
+      .as[(java.sql.Timestamp, String, Boolean)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[RetState, RetEmit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (key, events, state) =>
+        val st = state.getOption.getOrElse(RetState(-1L, 0L, Nil))
+        val micros = events.map { case (ts, _, a) =>
+          (ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L, a)
+        }.toSeq
+        val wmMs = state.getCurrentWatermarkMs()
+        val wmUs = wmMs * 1000L
+        val (ready, wait) = (st.buf ++ micros)
+          .partition { case (t, _) => wmMs > 0 && t <= wmUs }
+        var anchorP = st.anchor
+        var emitted = st.emitted
+        val out = Seq.newBuilder[RetEmit]
+        ready.sortBy(_._1).foreach { case (t, isAnchor) =>
+          val p = t / pUs
+          if (anchorP < 0 && isAnchor) anchorP = p
+          if (anchorP >= 0) {
+            val off = p - anchorP
+            if (off >= 0 && off <= maxOffset && (emitted & (1L << off)) == 0L) {
+              emitted |= 1L << off
+              out += RetEmit(key, anchorP, off)
+            }
+          }
+        }
+        state.update(RetState(anchorP, emitted, wait))
+        if (wait.nonEmpty)
+          state.setTimeoutTimestamp(math.max(wait.map(_._1).min / 1000L, wmMs + 1L))
+        out.result().iterator
+      }.toDF()
+  }
 }

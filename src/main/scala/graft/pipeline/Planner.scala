@@ -209,9 +209,18 @@ object Planner {
       case "Retention" =>
         val key = conf.strReq("key")
         val tsc = conf.str("timestamp").getOrElse("@timestamp")
-        df => graft.operators.Retention.cohorts(df, key, tsc,
-          graft.conditions.ConditionFilter.compile(conf.strReq("anchor"), df, tsc),
-          conf.long("period", 604800), conf.int("max_offset", 52))
+        df => {
+          val anchor = graft.conditions.ConditionFilter
+            .compile(conf.strReq("anchor"), df, tsc)
+          if (df.isStreaming)
+            // append-mode per-user cohort events; the consumer counts
+            // them into the live matrix
+            graft.operators.Retention.streamingCohortEvents(df, key, tsc,
+              anchor, conf.long("period", 604800), conf.int("max_offset", 52),
+              conf.long("lateness", 0))
+          else graft.operators.Retention.cohorts(df, key, tsc, anchor,
+            conf.long("period", 604800), conf.int("max_offset", 52))
+        }
       case "AsOfJoin" =>
         // point-in-time enrichment: attach the most recent at-or-before
         // `right` row per key. `right` is an input spec like Decontaminate's

@@ -33,6 +33,45 @@ class RetentionSpec extends SparkSpec {
       (2L, 0L) -> 1L))                                // u4 (pre-signup view dropped)
   }
 
+  test("streaming cohort events equal the batch matrix, pre-anchor activity included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val src = mem.toDF.toDF("u", "sec", "e")
+      .select($"u", org.apache.spark.sql.functions.timestamp_seconds($"sec").as("t"), $"e")
+    val out = Retention.streamingCohortEvents(src, "u", "t",
+      col("e") === "signup", periodSec = 100L, maxOffset = 10, latenessSec = 50L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ret_stream").start()
+    val fixture = Seq(
+      (1L, 10010L, "view"),   // same period as the signup, EARLIER ts
+      (1L, 10020L, "signup"),
+      (1L, 10150L, "view"),   // offset 1
+      (1L, 10160L, "view"),   // offset 1 again — no second emission
+      (2L, 10350L, "signup"),
+    )
+    try {
+      fixture.foreach { r => mem.addData(r); q.processAllAvailable() }
+      mem.addData((2L, 11000L, "view")); q.processAllAvailable() // offset 6 + wm push
+      mem.addData((2L, 12000L, "view")); q.processAllAvailable() // confirm 11000
+      val got = spark.table("ret_stream")
+        .as[(String, Long, Long)].collect()
+        .map { case (u, c, o) => (u.toLong, c, o) }.toSet
+      // batch equivalent over the confirmed events (all but the last
+      // watermark-pusher, which is still inside the lateness bound)
+      val confirmed = (fixture :+ ((2L, 11000L, "view")))
+        .map { case (u, s, e) => (u, new java.sql.Timestamp(s * 1000L), e) }
+        .toDF("u", "t", "e")
+      val matrix = Retention.cohorts(confirmed, "u", "t",
+          col("e") === "signup", 100L, 10)
+        .as[(Long, Long, Long)].collect().toSet
+      // per-user events roll up to the same matrix
+      val rolled = got.groupBy { case (_, c, o) => (c, o) }
+        .map { case ((c, o), users) => (c, o, users.size.toLong) }.toSet
+      assert(rolled == matrix, s"rolled $rolled matrix $matrix")
+    } finally q.stop()
+  }
+
   test("plan: two exchanges — per-user agg, then the matrix agg") {
     val df = Seq((1L, ts(10), "signup")).toDF("u", "t", "e")
     val out = Retention.cohorts(df, "u", "t", col("e") === "signup", 100L, 5)
