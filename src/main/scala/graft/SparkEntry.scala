@@ -167,6 +167,14 @@ object SparkEntry {
         $"event_type" === "signup", periodSec = 604800L, maxOffset = 8)
     },
 
+    // unique-users-per-hour-per-type: the cardinality metric (exact
+    // batch form of LinkUniqMetric; streams/reduce switch to HLL)
+    "q_link_uniq" -> { (s, dir) =>
+      graft.operators.LinkUniqMetric.batch(graft.operators.LinkMetric.Config(
+        fieldsLink = "event_type->user_id", batchWindowSec = 3600,
+        tsColumn = "ts"))(Tables.load(s, dir, "events"))
+    },
+
     // windowFunnel view→click→purchase within one day: deepest ordered
     // chain per user (ClickHouse-parity funnel, one aggregation)
     "q_funnel" -> { (s, dir) =>
@@ -1449,6 +1457,11 @@ object SparkEntry {
         |  min(value) AS min,
         |  max(value) AS max,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_link_uniq" ->
+      """SELECT date_trunc('hour', ts) AS "@timestamp", event_type,
+        |  count(DISTINCT user_id) AS uniq
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // anchor = first signup period per user; activity = distinct periods;

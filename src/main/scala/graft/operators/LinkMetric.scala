@@ -174,3 +174,48 @@ object LinkStatsMetric {
       .agg(aggCols(c, df).head, aggCols(c, df).tail: _*))
   }
 }
+
+/** LinkUniqMetric: distinct-count per (window × group) — "unique users
+  * per hour per event type", the cardinality sibling of LinkStatsMetric
+  * (the reference's users compute it downstream with ClickHouse `uniq`).
+  * As with LinkStatsMetric, the LAST link field is the one aggregated:
+  * `fieldsLink: "event_type->user_id"` counts distinct user_ids.
+  *
+  * Batch is EXACT (`count_distinct`, Catalyst's expand+two-phase
+  * aggregation — the shuffle carries (group, value) partials, not rows).
+  * Streaming and `reduce` use `approx_count_distinct` (HLL±5%%):
+  * exact distinct state is unbounded per group and exact partials don't
+  * merge, so the sketch is the honest contract at scale — same tradeoff
+  * ClickHouse's `uniq` makes. */
+object LinkUniqMetric {
+  import LinkMetric.Config
+
+  private def uniqField(c: Config): Column = {
+    val f = c.fieldsLink.split("->").map(_.trim).last
+    col(s"`$f`")
+  }
+
+  def batch(c: Config)(df: DataFrame): DataFrame = {
+    val (win, fields, ts) = LinkMetric.parts(c, df)
+    val bounded =
+      if (c.reserveWindowSec > 0) {
+        val maxTs = df.select(max(ts)).head.getTimestamp(0)
+        if (maxTs == null) df
+        else df.filter(ts >= lit(new java.sql.Timestamp(
+          maxTs.getTime - c.reserveWindowSec * 1000)))
+      } else df
+    val agg = if (c.reduce) approx_count_distinct(uniqField(c)).as("uniq")
+              else count_distinct(uniqField(c)).as("uniq")
+    LinkMetric.finish(bounded
+      .groupBy(win +: fields.init.map(f => col(s"`$f`")): _*)
+      .agg(agg))
+  }
+
+  def streaming(c: Config)(df: DataFrame): DataFrame = {
+    val (win, fields, _) = LinkMetric.parts(c, df)
+    LinkMetric.finish(
+      df.withWatermark(s"`${c.tsColumn}`", s"${c.reserveWindowSec} seconds")
+        .groupBy(win +: fields.init.map(f => col(s"`$f`")): _*)
+        .agg(approx_count_distinct(uniqField(c)).as("uniq")))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.conditions.ConditionFilter
 import graft.filters._
-import graft.operators.{LinkMetric, LinkMetricExact, LinkStatsMetric}
+import graft.operators.{LinkMetric, LinkMetricExact, LinkStatsMetric, LinkUniqMetric}
 import PipelineConfig.ConfigOps
 
 /** Spec → executable pipeline (reference: gohangout.go:80-111
@@ -153,6 +153,14 @@ object Planner {
           conf.bool("reduce", false),
           conf.strSeq("percentiles").map(_.toDouble))
         df => metricStage(df, cfg, LinkStatsMetric.batch(cfg), LinkStatsMetric.streaming(cfg))
+      case "LinkUniqMetric" =>
+        // distinct-count sibling: exact in batch, HLL on streams/reduce
+        val cfg = LinkMetric.Config(conf.strReq("fieldsLink"),
+          conf.long("batchWindow", 60), conf.long("reserveWindow", 0),
+          conf.str("timestamp").getOrElse("@timestamp"),
+          conf.bool("drop_original_event", true),
+          conf.bool("reduce", false))
+        df => metricStage(df, cfg, LinkUniqMetric.batch(cfg), LinkUniqMetric.streaming(cfg))
       case "LinkMetricExact" =>
         // exact reference emission cadence (windowOffset / accumulateMode)
         // via flatMapGroupsWithState; batch falls back to the windowed agg

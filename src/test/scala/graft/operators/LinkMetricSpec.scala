@@ -151,4 +151,25 @@ class LinkMetricSpec extends SparkSpec {
         percentiles = Seq(0.5)))(partials).collect())
     assert(err.getMessage.contains("incompatible"))
   }
+
+  test("LinkUniqMetric: exact distinct per window-group in batch, HLL under reduce") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:10"), "a", 7L),
+      (ts("2024-01-01 00:00:20"), "a", 7L),   // duplicate user
+      (ts("2024-01-01 00:00:30"), "a", 8L),
+      (ts("2024-01-01 00:00:40"), "b", 7L),
+      (ts("2024-01-01 00:01:10"), "a", 7L),   // next window
+    ).toDF("@timestamp", "et", "uid")
+    val out = LinkUniqMetric.batch(LinkMetric.Config("et->uid", 60))(df)
+      .collect().map(r => (r.getTimestamp(r.fieldIndex("@timestamp")).getTime / 1000,
+        r.getString(r.fieldIndex("et"))) -> r.getLong(r.fieldIndex("uniq"))).toMap
+    val w0 = ts("2024-01-01 00:00:00").getTime / 1000
+    val w1 = ts("2024-01-01 00:01:00").getTime / 1000
+    assert(out == Map((w0, "a") -> 2L, (w0, "b") -> 1L, (w1, "a") -> 1L))
+    // reduce mode swaps in the mergeable sketch — on 2 values it is exact
+    val approx = LinkUniqMetric.batch(LinkMetric.Config("et->uid", 60, reduce = true))(df)
+      .filter(org.apache.spark.sql.functions.col("et") === "a").collect()
+      .map(r => r.getLong(r.fieldIndex("uniq"))).sorted.toSeq
+    assert(approx == Seq(1L, 2L))
+  }
 }
