@@ -186,6 +186,17 @@ object SparkEntry {
         windowSec = 86400L)
     },
 
+    // the funnel chart itself: users reaching at least each step
+    "q_funnel_conversion" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Funnel.conversion(
+        graft.operators.Funnel.windowFunnel(
+          Tables.load(s, dir, "events"), "user_id", "ts",
+          Seq($"event_type" === "view", $"event_type" === "click",
+            $"event_type" === "purchase"),
+          windowSec = 86400L))
+    },
+
     // LinkStatsMetric with exact latency-style percentiles per (hour ×
     // event_type) — the quantile columns the reference's users compute
     // downstream in ClickHouse, as one windowed aggregation here
@@ -1480,6 +1491,30 @@ object SparkEntry {
         |WHERE a.cohort_period IS NOT NULL
         |  AND act.p - a.cohort_period BETWEEN 0 AND 8
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel_conversion" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |l2 AS (
+        |  SELECT DISTINCT v.user_id FROM v JOIN c ON v.user_id = c.user_id
+        |  WHERE c.ts >= v.ts
+        |    AND epoch_us(c.ts) - epoch_us(v.ts) <= 86400000000),
+        |l3 AS (
+        |  SELECT DISTINCT v.user_id
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |       JOIN p ON v.user_id = p.user_id
+        |  WHERE c.ts >= v.ts AND p.ts >= c.ts
+        |    AND epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000),
+        |f AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3
+        |         WHEN user_id IN (SELECT user_id FROM l2) THEN 2
+        |         ELSE 1 END AS funnel_level
+        |  FROM (SELECT DISTINCT user_id FROM v))
+        |SELECT level, count(*) AS n_users FROM (
+        |  SELECT unnest(generate_series(1, funnel_level)) AS level FROM f)
+        |GROUP BY 1""".stripMargin,
 
     // independent derivation: the DP's level-k is equivalent to an
     // EXISTS chain e1 <= e2 <= ... <= ek within the window (non-strict

@@ -59,6 +59,17 @@ object Funnel {
       .filter(col("funnel_level") > 0)
   }
 
+  /** Conversion summary over [[windowFunnel]]'s output: one row per step
+    * with how many users reached AT LEAST that level — the funnel chart
+    * itself. The explode is bounded by steps × users-at-level-1; the
+    * final aggregation is O(steps) rows. */
+  def conversion(levels: DataFrame): DataFrame =
+    levels
+      .select(explode(sequence(lit(1L), col("funnel_level").cast("long")))
+        .as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** Sequential DP over the sorted (ts, step) list. `acc` inside the
     * lambda is the PRE-update array, read with 1-based element_at: at
     * slot i (0-based, == step s), `element_at(acc, i)` is the level-s
