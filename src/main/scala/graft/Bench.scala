@@ -8,8 +8,56 @@ object Bench {
   // and a comma-decimal locale would render 1.234 as "1,234" — malformed
   // JSON, which is exactly the driver-parse failure this line exists to
   // avoid.
-  private def jnum(v: Double): String =
+  private[graft] def jnum(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The driver captures only the LAST ~2,000 chars of the run's output,
+    * and the parsed JSON line must fit entirely inside that window (plus
+    * sbt's trailing "[success] ..." line) or the round's bench is
+    * machine-unreadable (r6 and r10 both hit this — parsed:null). Budget
+    * below this bound; `renderParsedLine` enforces it by construction. */
+  private[graft] val MaxLineChars = 1800
+
+  /** Fixed headline subset whose medians ride the parsed line — a stable,
+    * deterministic set so cross-round comparisons read the same keys every
+    * round. The FULL per-query medians/mins/spreads/samples live in
+    * bench_detail.json; the parsed line must never again grow with the
+    * gate count (89 medians inline is what overflowed r10's line). */
+  private[graft] val headline: Seq[String] = Seq(
+    "q1_pricing", "q_dedup_minhash", "q_dedup_store_exact",
+    "q_dedup_store_near", "q_image_phash", "q_quality_band",
+    "q_multimodal_curate", "q_ann_ivf", "q_sessionize", "q_funnel")
+
+  /** Render the one driver-parsed JSON line. Pure so a spec can pin the
+    * length invariant at any gate count: if the assembled line would
+    * exceed [[MaxLineChars]], progressively drop the optional payloads
+    * (headline queries map first, then stress_norm, then stress) — the
+    * driver's contract needs `value` and `errors` above all. */
+  private[graft] def renderParsedLine(
+      total: Double,
+      queryMedians: Seq[(String, Double)],
+      errored: Seq[String],
+      rounds: Int,
+      sharedSec: Double,
+      stress: Seq[(String, Double)],
+      stressNorm: Seq[(String, Double)],
+      sfDir: String): String = {
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+        .mkString("{", ",", "}")
+    val head = queryMedians.filter { case (k, _) => headline.contains(k) }
+    val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def assemble(qs: Seq[(String, Double)], st: Seq[(String, Double)],
+        norm: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":$errJson,"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"stress":${obj(st)},"stress_norm":${obj(norm)},"sf":"$sfDir"}"""
+    val candidates = Iterator(
+      assemble(head, stress, stressNorm),
+      assemble(Seq.empty, stress, stressNorm),
+      assemble(Seq.empty, stress, Seq.empty),
+      assemble(Seq.empty, Seq.empty, Seq.empty))
+    candidates.find(_.length <= MaxLineChars)
+      .getOrElse(assemble(Seq.empty, Seq.empty, Seq.empty))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -311,12 +359,16 @@ object Bench {
     }
     val errored = med.collect { case (n, v) if v < 0 => n }
 
-    // Per-query spread and raw samples go to a SIDE FILE: the driver
-    // captures only the tail of the run's output, and r6's inline
-    // spread/runs arrays pushed the parsed line's head past the capture
-    // window (BENCH_r06 parsed:null). The driver-parsed line below stays
-    // compact — one median scalar per query, 3 decimals.
+    // Per-query medians, spread and raw samples go to a SIDE FILE: the
+    // driver captures only the tail of the run's output, and both r6's
+    // inline spread/runs arrays and r10's 89 inline medians pushed the
+    // parsed line past the capture window (parsed:null). The driver-parsed
+    // line below carries only the total, errors, a fixed headline median
+    // subset, and the stress block — everything per-query lives here.
     val detail = {
+      val meds = med.map { case (n, v) =>
+        "\"" + n + "\":" + v
+      }.mkString("{", ",", "}")
       val spread = names.map { n =>
         val s = samples(n)
         "\"" + n + "\":" + (s.max - s.min)
@@ -333,25 +385,20 @@ object Bench {
       val stressRuns = stressSamples.map { case (k, xs) =>
         "\"" + k + "\":" + xs.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      s"""{"rounds":$rounds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"sf":"$sfDir"}"""
+      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
 
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
-      .mkString("{", ",", "}")
-    val stressJson = stress.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
-      .mkString("{", ",", "}")
     // probe-normalized stress datapoints: the cross-round comparable form
-    val normJson = stress.get("probe").filter(_ > 0).map { p =>
+    val norm = stress.get("probe").filter(_ > 0).map { p =>
       stressSamples.keys.filter(k => k != "probe" && stress(k) > 0)
-        .map(k => "\"" + k + "\":" + jnum(stress(k) / p))
-        .mkString("{", ",", "}")
-    }.getOrElse("{}")
-    val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+        .map(k => k -> stress(k) / p).toSeq
+    }.getOrElse(Seq.empty)
     val total = med.collect { case (_, v) if v >= 0 => v }.sum + sharedSec
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"stress":$stressJson,"stress_norm":$normJson,"sf":"$sfDir"}""")
+    println(renderParsedLine(total, med, errored, rounds, sharedSec,
+      stress.toSeq, norm, sfDir))
     spark.stop()
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The driver captures only the last ~2,000 chars of the bench run's
+  * output; if the parsed JSON line outgrows that window the round's bench
+  * is machine-unreadable (r6 and r10 both shipped parsed:null this way).
+  * These tests pin the invariant at gate counts far beyond today's so
+  * adding queries or stress datapoints can never overflow it again. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private def fakeQueries(n: Int): Seq[(String, Double)] =
+    (0 until n).map(i => s"q_generated_operator_name_$i" -> (i * 0.137 + 0.05))
+
+  // name lengths match the real stress block (minhash_skew_collapse,
+  // near_store_drop_skew, … average ~13 chars)
+  private def fakeStress(n: Int): Seq[(String, Double)] =
+    (0 until n).map(i => s"stress_pt_$i" -> (i * 1.37 + 0.5))
+
+  test("parsed line stays under the driver capture window at 150 queries") {
+    val line = Bench.renderParsedLine(
+      total = 123.456,
+      queryMedians = Bench.headline.map(_ -> 1.234) ++ fakeQueries(150),
+      errored = Seq.empty, rounds = 3, sharedSec = 3.2,
+      stress = fakeStress(26), stressNorm = fakeStress(22),
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= Bench.MaxLineChars, s"line was ${line.length} chars")
+    val node = mapper.readTree(line)
+    assert(node.get("value").asDouble() >= 123.455 && node.get("value").asDouble() <= 123.457)
+    assert(node.get("errors").isArray)
+    // all headline medians survive at today's stress-block size
+    Bench.headline.foreach { q =>
+      assert(node.get("queries").has(q), s"headline $q missing")
+    }
+  }
+
+  test("line never exceeds the bound even with absurd payloads") {
+    val line = Bench.renderParsedLine(
+      total = 1.0,
+      queryMedians = fakeQueries(500),
+      errored = (0 until 20).map(i => s"q_errored_operator_$i"),
+      rounds = 3, sharedSec = 0.1,
+      stress = fakeStress(200), stressNorm = fakeStress(200),
+      sfDir = "/root/testdata/sf0.1")
+    // optional payloads (queries, stress_norm, stress) are shed in order;
+    // value + errors always remain parseable
+    val node = mapper.readTree(line)
+    assert(node.get("value").asDouble() >= 0.999 && node.get("value").asDouble() <= 1.001)
+    assert(node.get("errors").size() === 20)
+    assert(line.length <= Bench.MaxLineChars ||
+      node.get("stress").size() === 0)
+  }
+
+  test("errored queries are reported, never silently timed") {
+    val line = Bench.renderParsedLine(
+      total = 10.0, queryMedians = fakeQueries(5),
+      errored = Seq("q_broken"), rounds = 3, sharedSec = 0.5,
+      stress = Seq.empty, stressNorm = Seq.empty, sfDir = "/sf")
+    val node = mapper.readTree(line)
+    assert(node.get("errors").get(0).asText() === "q_broken")
+  }
+}
