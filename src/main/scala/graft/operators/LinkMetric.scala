@@ -65,18 +65,30 @@ object LinkMetric {
     (win, fields, ts)
   }
 
+  /** Batch analogue of the watermark lateness bound, WITHOUT a driver-side
+    * action: the max event time aggregates to a 1-row frame that re-enters
+    * the plan via `crossJoin(broadcast(...))` (the qualityBand pattern,
+    * TextAnalysis.scala), so constructing a metric stage launches no job
+    * and the bound composes lazily with whatever the caller plans around
+    * it. Costs one extra scan of `df` at execution time — the same work
+    * the eager `max(ts).head` did, now inside the one query. */
+  private[operators] def boundByReserve(df: DataFrame, ts: Column,
+      reserveSec: Long): DataFrame =
+    if (reserveSec <= 0) df
+    else {
+      val boundCol = "__graft_reserve_max_us"
+      val bound = broadcast(df.select(max(unix_micros(ts)).as(boundCol)))
+      df.crossJoin(bound)
+        .filter(unix_micros(ts) >= col(boundCol) - lit(reserveSec * 1000000L))
+        .drop(boundCol)
+    }
+
   /** Batch form. Events older than reserveWindow (relative to the max
     * event time, the batch analogue of the watermark) are dropped like the
     * reference drops them on arrival (link_metric.go:214-216). */
   def batch(c: Config)(df: DataFrame): DataFrame = {
     val (win, fields, ts) = parts(c, df)
-    val bounded =
-      if (c.reserveWindowSec > 0) {
-        val maxTs = df.select(max(ts)).head.getTimestamp(0)
-        if (maxTs == null) df
-        else df.filter(ts >= lit(new java.sql.Timestamp(
-          maxTs.getTime - c.reserveWindowSec * 1000)))
-      } else df
+    val bounded = boundByReserve(df, ts, c.reserveWindowSec)
     finish(bounded
       .groupBy(win +: fields.map(f => col(s"`$f`")): _*)
       .agg(countAgg(c, bounded)))
@@ -153,13 +165,7 @@ object LinkStatsMetric {
   def batch(c: Config)(df: DataFrame): DataFrame = {
     val (win, fields, ts) = LinkMetric.parts(c, df)
     val groupFields = fields.init
-    val bounded =
-      if (c.reserveWindowSec > 0) {
-        val maxTs = df.select(max(ts)).head.getTimestamp(0)
-        if (maxTs == null) df
-        else df.filter(ts >= lit(new java.sql.Timestamp(
-          maxTs.getTime - c.reserveWindowSec * 1000)))
-      } else df
+    val bounded = LinkMetric.boundByReserve(df, ts, c.reserveWindowSec)
     val aggs = aggCols(c, bounded)
     LinkMetric.finish(bounded
       .groupBy(win +: groupFields.map(f => col(s"`$f`")): _*)
@@ -186,7 +192,13 @@ object LinkStatsMetric {
   * Streaming and `reduce` use `approx_count_distinct` (HLL±5%%):
   * exact distinct state is unbounded per group and exact partials don't
   * merge, so the sketch is the honest contract at scale — same tradeoff
-  * ClickHouse's `uniq` makes. */
+  * ClickHouse's `uniq` makes.
+  *
+  * `reduce` contract: unlike LinkMetric/LinkStatsMetric, this flag does
+  * NOT merge upstream partial rows — a partial distinct COUNT carries no
+  * mergeable set. It only switches the aggregate to the HLL sketch over
+  * raw rows; input that already carries a `uniq` column under reduce is
+  * rejected at plan time. */
 object LinkUniqMetric {
   import LinkMetric.Config
 
@@ -197,13 +209,16 @@ object LinkUniqMetric {
 
   def batch(c: Config)(df: DataFrame): DataFrame = {
     val (win, fields, ts) = LinkMetric.parts(c, df)
-    val bounded =
-      if (c.reserveWindowSec > 0) {
-        val maxTs = df.select(max(ts)).head.getTimestamp(0)
-        if (maxTs == null) df
-        else df.filter(ts >= lit(new java.sql.Timestamp(
-          maxTs.getTime - c.reserveWindowSec * 1000)))
-      } else df
+    val bounded = LinkMetric.boundByReserve(df, ts, c.reserveWindowSec)
+    // `reduce` here only swaps the exact count for the mergeable HLL
+    // sketch — unlike LinkMetric/LinkStatsMetric it CANNOT merge upstream
+    // partials (a partial `uniq` count is not a distinct set). Feeding
+    // rows that already carry a `uniq` column under reduce would silently
+    // compute distinct-of-partial-counts, so fail fast instead.
+    if (c.reduce && df.columns.contains("uniq"))
+      sys.error("LinkUniqMetric: input already carries a `uniq` column — " +
+        "distinct counts cannot be merged from upstream partial counts " +
+        "(use approx partials end-to-end, or aggregate raw rows here)")
     val agg = if (c.reduce) approx_count_distinct(uniqField(c)).as("uniq")
               else count_distinct(uniqField(c)).as("uniq")
     LinkMetric.finish(bounded
