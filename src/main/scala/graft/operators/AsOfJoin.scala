@@ -102,7 +102,14 @@ object AsOfJoin {
         right.select(struct((rightTs +: valueCols).map(col): _*)).schema.head.dataType))
       .select((keys ++ Seq(ts, side, carry) ++ leftPayload).map(col): _*)
 
+    // Join semantics on NULL keys: an equi-join (and the DuckDB ASOF
+    // oracle) never matches NULL = NULL, but Window.partitionBy groups
+    // null keys into one partition — so null-key RIGHT rows are dropped
+    // here (they can match nothing), and null-key left rows then see an
+    // all-left partition and carry a null match, exactly like a left
+    // join. Mirrors appendToTemporalStore's null-key drop.
     val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn(ts, col(rightTs))
       .withColumn(side, lit(0))
       .withColumn(carry, struct((rightTs +: valueCols).map(col): _*))

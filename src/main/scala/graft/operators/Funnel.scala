@@ -43,18 +43,18 @@ object Funnel {
       when(c, lit(i)).otherwise(lit(-1))
     }: _*)
     val matched = df
-      .withColumn("__steps", filter(stepArr, s => s >= 0))
-      .filter(size(col("__steps")) > 0)
-      .select(col(userCol), unix_micros(col(tsCol)).as("__ts"),
-        explode(col("__steps")).as("__step"))
+      .withColumn("__graft_steps", filter(stepArr, s => s >= 0))
+      .filter(size(col("__graft_steps")) > 0)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__graft_ts"),
+        explode(col("__graft_steps")).as("__graft_step"))
 
     // tie order (__ts, __step): at one timestamp the earlier step folds
     // first, so a later step at the same instant may extend it
-    val sorted = sort_array(collect_list(struct(col("__ts"), col("__step"))))
+    val sorted = sort_array(collect_list(struct(col("__graft_ts"), col("__graft_step"))))
     matched.groupBy(col(userCol))
-      .agg(sorted.as("__events"))
+      .agg(sorted.as("__graft_events"))
       .select(col(userCol),
-        size(filter(fold(col("__events"), steps.size, winUs), v => v >= 0L))
+        size(filter(fold(col("__graft_events"), steps.size, winUs), v => v >= 0L))
           .as("funnel_level"))
       .filter(col("funnel_level") > 0)
   }
@@ -76,8 +76,8 @@ object Funnel {
     * start, i.e. the previous level's. Step 0 restarts the window at t. */
   private def fold(events: Column, n: Int, winUs: Long): Column =
     aggregate(events, array_repeat(lit(-1L), n), (acc, x) => {
-      val t = x.getField("__ts")
-      val s = x.getField("__step")
+      val t = x.getField("__graft_ts")
+      val s = x.getField("__graft_step")
       transform(acc, (v, i) =>
         when(i =!= s, v).otherwise(
           when(s === 0, greatest(v, t)).otherwise(
@@ -125,11 +125,11 @@ object Funnel {
     }: _*)
     val matched = df
       .withWatermark(tsCol, s"$latenessSec seconds")
-      .withColumn("__steps", filter(stepArr, s => s >= 0))
-      .filter(size(col("__steps")) > 0)
+      .withColumn("__graft_steps", filter(stepArr, s => s >= 0))
+      .filter(size(col("__graft_steps")) > 0)
       // no cast on the ts column — it would strip the watermark tag
-      .select(col(tsCol).as("__t"), col(userCol).cast("string").as("__u"),
-        explode(col("__steps")).as("__step"))
+      .select(col(tsCol).as("__graft_t"), col(userCol).cast("string").as("__graft_u"),
+        explode(col("__graft_steps")).as("__graft_step"))
       .as[(java.sql.Timestamp, String, Int)]
 
     matched.groupByKey(_._2)

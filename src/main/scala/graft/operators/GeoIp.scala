@@ -66,15 +66,15 @@ object GeoIp {
   def enrich(df: DataFrame, ranges: DataFrame, ipCol: String,
       bucketBits: Int = 16): DataFrame = {
     val shift = 32 - bucketBits
-    val b = ranges.withColumn("__b",
+    val b = ranges.withColumn("__graft_b",
       explode(sequence(shiftright(col("ip_from"), shift),
         shiftright(col("ip_to"), shift))))
-    val probe = df.withColumn("__ipl", ipToLong(col(ipCol)))
-      .withColumn("__b", shiftright(col("__ipl"), shift))
+    val probe = df.withColumn("__graft_ipl", ipToLong(col(ipCol)))
+      .withColumn("__graft_b", shiftright(col("__graft_ipl"), shift))
     probe.join(broadcast(b),
-        probe("__b") === b("__b") &&
-          col("__ipl") >= col("ip_from") && col("__ipl") <= col("ip_to"),
+        probe("__graft_b") === b("__graft_b") &&
+          col("__graft_ipl") >= col("ip_from") && col("__graft_ipl") <= col("ip_to"),
         "left")
-      .drop("__b", "__ipl", "ip_from", "ip_to")
+      .drop("__graft_b", "__graft_ipl", "ip_from", "ip_to")
   }
 }

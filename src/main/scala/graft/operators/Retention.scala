@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort retention: users are anchored to the period of their FIRST
@@ -8,13 +9,22 @@ import org.apache.spark.sql.functions._
   * they appear in at all increments that cohort's retention counter —
   * the (cohort × offset) matrix every product-analytics stack draws.
   *
-  * Shape: ONE aggregation per user collects both the anchor period and
-  * the distinct active periods (`min(when(anchor, p))` +
-  * `collect_set(p)` share the single keyed exchange), then the exploded
-  * (cohort, offset, user) rows — already distinct per user by
-  * construction, so a plain count, no count-distinct shuffle — aggregate
-  * to the matrix. Two exchanges total; per-user state is the distinct
-  * period set, bounded by `maxOffset`, not event count.
+  * Shape — every buffer bounded or spillable, no `collect_set`:
+  *
+  *   1. `groupBy(user, period)` reduces raw events to distinct
+  *      (user, period, has_anchor) rows — the ONLY full-volume exchange,
+  *      with map-side partial aggregation (shuffle carries one row per
+  *      (user × period) per map partition) and an O(1) agg buffer.
+  *   2. A window over `user` stamps each period row with the user's
+  *      cohort (min anchored period). This exchange carries only the
+  *      distinct-period rows — cardinality rides in ROWS, which spill,
+  *      not in an in-memory set: a user active hourly for 10 years is
+  *      87k 16-byte rows through a spillable sort, where the previous
+  *      `collect_set` held them all in one agg buffer.
+  *   3. Offsets outside [0, maxOffset] are filtered BEFORE the final
+  *      matrix aggregation, so it sees at most maxOffset+1 rows per user
+  *      (rows are distinct per (user, period) by construction — a plain
+  *      count, no count-distinct shuffle).
   */
 object Retention {
 
@@ -32,17 +42,18 @@ object Retention {
       val us = unix_micros(ts)
       ((us - pmod(us, lit(pUs))) / lit(pUs)).cast("long")
     }
-    val perUser = df
-      .groupBy(col(userCol))
-      .agg(
-        min(when(anchor, period(col(tsCol)))).as("__cohort"),
-        collect_set(period(col(tsCol))).as("__periods"))
-      .filter(col("__cohort").isNotNull)
-    perUser
-      .select(col("__cohort").as("cohort_period"),
-        explode(filter(
-          transform(col("__periods"), p => p - col("__cohort")),
-          o => o >= 0 && o <= maxOffset)).as("period_offset"))
+    val perPeriod = df
+      .groupBy(col(userCol), period(col(tsCol)).as("__graft_period"))
+      .agg(max(when(anchor, lit(1)).otherwise(lit(0))).as("__graft_has_anchor"))
+    val byUser = Window.partitionBy(col(userCol))
+    perPeriod
+      .withColumn("__graft_cohort",
+        min(when(col("__graft_has_anchor") === 1, col("__graft_period")))
+          .over(byUser))
+      .filter(col("__graft_cohort").isNotNull)
+      .select(col("__graft_cohort").as("cohort_period"),
+        (col("__graft_period") - col("__graft_cohort")).as("period_offset"))
+      .filter(col("period_offset") >= 0 && col("period_offset") <= maxOffset)
       .groupBy(col("cohort_period"), col("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
@@ -75,8 +86,8 @@ object Retention {
 
     df.withWatermark(tsCol, s"$latenessSec seconds")
       // no cast on the ts column — it would strip the watermark tag
-      .select(col(tsCol).as("__t"), col(userCol).cast("string").as("__u"),
-        anchor.as("__a"))
+      .select(col(tsCol).as("__graft_t"), col(userCol).cast("string").as("__graft_u"),
+        anchor.as("__graft_a"))
       .as[(java.sql.Timestamp, String, Boolean)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[RetState, RetEmit](

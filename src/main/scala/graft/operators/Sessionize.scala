@@ -89,7 +89,7 @@ object Sessionize {
 
     df.withWatermark(tsCol, s"$latenessSec seconds")
       // no cast on the ts column — it would strip the watermark tag
-      .select(col(tsCol).as("__t"), col(keyCol).cast("string").as("__k"))
+      .select(col(tsCol).as("__graft_t"), col(keyCol).cast("string").as("__graft_k"))
       .as[(java.sql.Timestamp, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[SessState, SessEmit](

@@ -190,9 +190,20 @@ object Planner {
           } else if (df.isStreaming) {
             // per-event ids must see sessions ACROSS micro-batches, so a
             // per-batch window would be wrong — the keyed-state form
-            // confirms each event's id once the watermark passes it
+            // confirms each event's id once the watermark passes it.
+            // Schema parity with the batch branch: the emitted (key, ts,
+            // session_seq) triple is aliased back to the configured
+            // key/timestamp names, the key cast back to its input type,
+            // and `target` honored. Payload columns are NOT carried (the
+            // keyed state confirms events out of batch order — join back
+            // on (key, ts) downstream when the full row is needed); that
+            // drop is the documented streaming contract, the names are
+            // not allowed to drift with it.
+            val keyType = df.schema(df.schema.fieldIndex(key)).dataType
             graft.operators.Sessionize.streamingAssign(df, key, tsc, gap,
-              conf.long("lateness", 0))
+                conf.long("lateness", 0))
+              .select(col("key").cast(keyType).as(key), col("ts").as(tsc),
+                col("session_seq").as(conf.str("target").getOrElse("session_seq")))
           } else {
             graft.operators.Sessionize.assign(df, key, tsc, gap,
               conf.str("target").getOrElse("session_seq"))

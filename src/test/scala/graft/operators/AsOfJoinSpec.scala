@@ -147,4 +147,20 @@ class AsOfJoinSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected exactly one keyed exchange:\n$plan")
   }
+
+  test("null join keys never match: right null-key rows are dropped") {
+    val l = Seq(
+      (1L, Option(1L), ts(300)),
+      (2L, Option.empty[Long], ts(300)), // null key — must carry null match
+    ).toDF("id", "k", "t")
+    val r = Seq(
+      (Option(1L), ts(200), "real"),
+      (Option.empty[Long], ts(100), "phantom"), // must match NOTHING
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.leftAsOf(l, r, Seq("k"), "t", "t", Seq("v"))
+      .select(col("id"), col("v_right")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(out(1L).contains("real"))
+    assert(out(2L).isEmpty, "null key matched a null-key right row")
+  }
 }

@@ -72,12 +72,32 @@ class RetentionSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("plan: two exchanges — per-user agg, then the matrix agg") {
+  test("plan: three keyed exchanges, no set aggregation, no join") {
     val df = Seq((1L, ts(10), "signup")).toDF("u", "t", "e")
     val out = Retention.cohorts(df, "u", "t", col("e") === "signup", 100L, 5)
     val plan = out.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 2, s"expected exactly two keyed exchanges:\n$plan")
+    // (user, period) reduce → cohort window over user → matrix agg; only
+    // the first carries raw-event volume, and nothing buffers an
+    // unbounded in-memory set — a user's period history rides in rows
+    // through the window's spillable sort
+    assert(exchanges == 3, s"expected exactly three keyed exchanges:\n$plan")
     assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("collect_set"),
+      s"per-user period state must not be an in-memory set:\n$plan")
+  }
+
+  test("history far beyond maxOffset stays correct and set-free") {
+    // one user active in 500 distinct periods (span 100× maxOffset):
+    // the matrix must stop at maxOffset and the plan must carry the
+    // period history as rows, never as a collected set
+    val rows = (0L until 500L).map(p => (1L, ts(p * 100L + 5L),
+      if (p == 3L) "signup" else "view"))
+    val df = rows.toDF("u", "t", "e")
+    val out = Retention.cohorts(df, "u", "t", col("e") === "signup", 100L, 5)
+    assert(!out.queryExecution.executedPlan.toString.contains("collect_set"))
+    val m = out.as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    assert(m == (0L to 5L).map(o => (3L, o) -> 1L).toMap)
   }
 }

@@ -548,9 +548,14 @@ class StreamingPipelineSpec extends SparkSpec {
     // session ids confirmed as the watermark passes, ACROSS batches
     val mem2 = MemoryStream[(Long, java.sql.Timestamp)]
     val assigned = Planner.filterStage("Sessionize", Map(
-      "key" -> "uid", "timestamp" -> "t", "gap" -> 60L))(
+      "key" -> "uid", "timestamp" -> "t", "gap" -> 60L, "target" -> "sid"))(
       mem2.toDF.toDF("uid", "t"))
     assert(assigned.isStreaming)
+    // schema parity with batch: configured names, key keeps its input
+    // type, `target` honored (only the payload drop differs, documented)
+    assert(assigned.columns.toSeq == Seq("uid", "t", "sid"))
+    assert(assigned.schema("uid").dataType ==
+      org.apache.spark.sql.types.LongType)
     val q2 = assigned.writeStream.outputMode("append")
       .format("memory").queryName("sess_assign_yaml").start()
     try {
@@ -565,7 +570,7 @@ class StreamingPipelineSpec extends SparkSpec {
       mem2.addData((9L, ts("2024-01-01 03:00:00")))
       q2.processAllAvailable()
       val out = spark.table("sess_assign_yaml")
-        .select("ts", "session_seq").collect()
+        .select("t", "sid").collect()
         .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
       assert(out == Map(
         "2024-01-01 00:00:10.0" -> 1L,
