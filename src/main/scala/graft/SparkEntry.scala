@@ -186,6 +186,39 @@ object SparkEntry {
         windowSec = 86400L)
     },
 
+    // ClickHouse windowFunnel strict modes (scan-order semantics, oracle
+    // replays the same scan as a recursive CTE): strict_order — a
+    // non-step event after the first step-1 event freezes the scan, as
+    // does a step whose predecessor level is unreached
+    "q_funnel_strict" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Funnel.windowFunnel(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        Seq($"event_type" === "view", $"event_type" === "click",
+          $"event_type" === "purchase"),
+        windowSec = 86400L, strictOrder = true)
+    },
+
+    // strict_deduplication — repeating an already-satisfied step freezes
+    "q_funnel_dedup" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Funnel.windowFunnel(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        Seq($"event_type" === "view", $"event_type" === "click",
+          $"event_type" === "purchase"),
+        windowSec = 86400L, strictDedup = true)
+    },
+
+    // strict_increase — chains only extend on strictly increasing ts
+    "q_funnel_increase" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Funnel.windowFunnel(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        Seq($"event_type" === "view", $"event_type" === "click",
+          $"event_type" === "purchase"),
+        windowSec = 86400L, strictIncrease = true)
+    },
+
     // the funnel chart itself: users reaching at least each step
     "q_funnel_conversion" -> { (s, dir) =>
       import s.implicits._
@@ -1233,9 +1266,84 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin
 
 
+  /** Strict-mode funnel oracle: the modes are scan-order-defined (a
+    * violation freezes the scan), so unlike q_funnel's declarative
+    * EXISTS-chain oracle this one REPLAYS the identical scan as a
+    * recursive CTE — per user, event rn joins the rn-1 state row, state
+    * being the per-level chain starts s1..s3 / last-times l1..l3 and the
+    * frozen / first-event flags, exactly the strictLevel fold's slots.
+    * Validated against an independent Python reimplementation on the
+    * sf0.01 events table (all three modes byte-identical). */
+  private def funnelStrictOracle(mode: String): String = {
+    val (evFilter, viol, inc) = mode match {
+      case "strict_order" => ("",
+        "(q0.s = -1 AND q0.fe) OR (q0.s = 1 AND q0.s1 < 0) OR (q0.s = 2 AND q0.s2 < 0)",
+        false)
+      case "strict_dedup" => ("WHERE s >= 0",
+        "(q0.s = 0 AND q0.s1 >= 0) OR (q0.s = 1 AND q0.s2 >= 0) OR (q0.s = 2 AND q0.s3 >= 0)",
+        false)
+      case "strict_increase" => ("WHERE s >= 0", "FALSE", true)
+    }
+    val ext1Inc = if (inc) " AND q2.l1 < q2.t" else ""
+    val ext2Inc = if (inc) " AND q2.l2 < q2.t" else ""
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, epoch_us(ts) AS t,
+       |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+       |         WHEN 'purchase' THEN 2 ELSE -1 END AS s
+       |  FROM events
+       |), evf AS (SELECT * FROM ev $evFilter),
+       |ordered AS (
+       |  SELECT user_id, t, s,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY t, s) AS rn
+       |  FROM evf
+       |),
+       |ucnt AS (SELECT user_id, max(rn) AS cnt FROM ordered GROUP BY user_id),
+       |st AS (
+       |  SELECT user_id, CAST(0 AS BIGINT) AS rn,
+       |    CAST(-1 AS BIGINT) AS s1, CAST(-1 AS BIGINT) AS s2, CAST(-1 AS BIGINT) AS s3,
+       |    CAST(-1 AS BIGINT) AS l1, CAST(-1 AS BIGINT) AS l2, CAST(-1 AS BIGINT) AS l3,
+       |    FALSE AS frozen, FALSE AS fe
+       |  FROM ucnt
+       |  UNION ALL
+       |  SELECT q3.user_id, q3.rn,
+       |    CASE WHEN q3.go AND q3.s = 0 THEN q3.t ELSE q3.s1 END,
+       |    CASE WHEN q3.ext1 THEN q3.s1 ELSE q3.s2 END,
+       |    CASE WHEN q3.ext2 THEN q3.s2 ELSE q3.s3 END,
+       |    CASE WHEN q3.go AND q3.s = 0 THEN q3.t ELSE q3.l1 END,
+       |    CASE WHEN q3.ext1 THEN q3.t ELSE q3.l2 END,
+       |    CASE WHEN q3.ext2 THEN q3.t ELSE q3.l3 END,
+       |    q3.frozen OR q3.viol,
+       |    q3.fe OR (q3.go AND q3.s = 0)
+       |  FROM (
+       |    SELECT q2.*,
+       |      q2.go AND q2.s = 1 AND q2.s1 >= 0 AND q2.t - q2.s1 <= 86400000000$ext1Inc AS ext1,
+       |      q2.go AND q2.s = 2 AND q2.s2 >= 0 AND q2.t - q2.s2 <= 86400000000$ext2Inc AS ext2
+       |    FROM (
+       |      SELECT q1.*, (NOT q1.frozen) AND NOT q1.viol AS go
+       |      FROM (
+       |        SELECT q0.*, (NOT q0.frozen) AND ($viol) AS viol
+       |        FROM (
+       |          SELECT st.user_id, o.rn, o.t, o.s,
+       |                 st.s1, st.s2, st.s3, st.l1, st.l2, st.l3, st.frozen, st.fe
+       |          FROM st JOIN ordered o
+       |            ON o.user_id = st.user_id AND o.rn = st.rn + 1
+       |        ) q0
+       |      ) q1
+       |    ) q2
+       |  ) q3
+       |)
+       |SELECT st.user_id,
+       |  CASE WHEN s3 >= 0 THEN 3 WHEN s2 >= 0 THEN 2 ELSE 1 END AS funnel_level
+       |FROM st JOIN ucnt USING (user_id)
+       |WHERE st.rn = ucnt.cnt AND s1 >= 0""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_funnel_strict" -> funnelStrictOracle("strict_order"),
+    "q_funnel_dedup" -> funnelStrictOracle("strict_dedup"),
+    "q_funnel_increase" -> funnelStrictOracle("strict_increase"),
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_int8" ->

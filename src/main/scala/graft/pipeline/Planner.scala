@@ -217,13 +217,26 @@ object Planner {
         val key = conf.strReq("key")
         val tsc = conf.str("timestamp").getOrElse("@timestamp")
         val win = conf.long("window", 86400)
+        // ClickHouse windowFunnel mode flags, e.g. mode: strict_order or
+        // modes: [strict_deduplication, strict_increase]
+        val modes = (conf.strSeq("modes") ++ conf.str("mode").toSeq).toSet
+        val known = Set("strict_order", "strict_dedup", "strict_deduplication",
+          "strict_increase")
+        val unknown = modes -- known
+        if (unknown.nonEmpty) sys.error(s"Funnel: unknown mode(s) " +
+          s"${unknown.mkString(", ")} (known: ${known.mkString(", ")})")
+        val so = modes.contains("strict_order")
+        val sd = modes.contains("strict_dedup") ||
+          modes.contains("strict_deduplication")
+        val si = modes.contains("strict_increase")
         df => {
           val compiled = steps.map(
             graft.conditions.ConditionFilter.compile(_, df, tsc))
           if (df.isStreaming)
             graft.operators.Funnel.streamingWindowFunnel(df, key, tsc,
-              compiled, win, conf.long("lateness", 0))
-          else graft.operators.Funnel.windowFunnel(df, key, tsc, compiled, win)
+              compiled, win, conf.long("lateness", 0), so, sd, si)
+          else graft.operators.Funnel.windowFunnel(df, key, tsc, compiled,
+            win, so, sd, si)
         }
       case "Retention" =>
         val key = conf.strReq("key")

@@ -107,4 +107,93 @@ class FunnelSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one keyed exchange:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
   }
+
+  private def runStrict(rows: Seq[(Long, Long, String)], windowSec: Long = 1000L,
+      so: Boolean = false, sd: Boolean = false, si: Boolean = false) = {
+    val df = rows.map { case (u, t, e) => (u, ts(t), e) }.toDF("u", "t", "e")
+    import org.apache.spark.sql.functions.col
+    Funnel.windowFunnel(df, "u", "t",
+        Seq(col("e") === "A", col("e") === "B", col("e") === "C"), windowSec,
+        strictOrder = so, strictDedup = sd, strictIncrease = si)
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("strict_order: a non-step event after the first A freezes the scan") {
+    val m = runStrict(Seq(
+      (1L, 1L, "A"), (1L, 2L, "X"), (1L, 3L, "B"), (1L, 4L, "C"), // X breaks -> 1
+      (2L, 1L, "X"), (2L, 2L, "A"), (2L, 3L, "B"), (2L, 4L, "C"), // X before any A ignored -> 3
+      (3L, 1L, "A"), (3L, 2L, "C"), (3L, 3L, "B"),                // C skips level 2 -> freeze at 1
+      (4L, 1L, "A"), (4L, 2L, "B"), (4L, 3L, "C"),                // clean chain -> 3
+      (5L, 1L, "X"), (5L, 2L, "X"),                               // never matched -> absent
+    ), so = true)
+    assert(m == Map(1L -> 1, 2L -> 3, 3L -> 1, 4L -> 3))
+  }
+
+  test("strict_dedup: repeating an already-satisfied step freezes the scan") {
+    val m = runStrict(Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"),                // 2nd A -> freeze at 1
+      (2L, 1L, "A"), (2L, 2L, "B"), (2L, 3L, "A"), (2L, 4L, "C"), // 3rd ev A -> freeze at 2
+      (3L, 1L, "A"), (3L, 2L, "B"), (3L, 3L, "C"),                // clean -> 3
+    ), sd = true)
+    assert(m == Map(1L -> 1, 2L -> 2, 3L -> 3))
+    // without the mode, user 1 reaches 2 and user 2 reaches 3
+    val d = runStrict(Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "B"), (2L, 3L, "A"), (2L, 4L, "C"),
+    ))
+    assert(d == Map(1L -> 2, 2L -> 3))
+  }
+
+  test("strict_increase: simultaneous events cannot stack a chain") {
+    val m = runStrict(Seq(
+      (1L, 5L, "A"), (1L, 5L, "B"),                               // tie -> 1
+      (2L, 5L, "A"), (2L, 6L, "B"), (2L, 6L, "C"),                // B=C tie -> 2
+      (3L, 5L, "A"), (3L, 6L, "B"), (3L, 7L, "C"),                // increasing -> 3
+    ), si = true)
+    assert(m == Map(1L -> 1, 2L -> 2, 3L -> 3))
+    // default mode stacks ties (inclusive <=)
+    val d = runStrict(Seq((1L, 5L, "A"), (1L, 5L, "B")))
+    assert(d == Map(1L -> 2))
+  }
+
+  test("strict modes compose: dedup + increase") {
+    val m = runStrict(Seq(
+      // tie A,B cannot stack (increase); the second B then repeats a
+      // level the chain never reached... it repeats step 2? starts(2)
+      // unset, so not a dup — it extends normally off A@5 at t=6
+      (1L, 5L, "A"), (1L, 5L, "B"), (1L, 6L, "B"), (1L, 7L, "C"),
+    ), sd = true, si = true)
+    assert(m == Map(1L -> 3))
+  }
+
+  test("streaming strict modes match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (1L, 10001L, "A"), (1L, 10002L, "X"), (1L, 10003L, "B"), (1L, 10004L, "C"),
+      (2L, 10001L, "X"), (2L, 10002L, "A"), (2L, 10003L, "B"), (2L, 10004L, "C"),
+      (3L, 10001L, "A"), (3L, 10002L, "C"), (3L, 10003L, "B"),
+    )
+    val mem = MemoryStream[(Long, Long, String)]
+    val src = mem.toDF.toDF("u", "sec", "e")
+      .select($"u", org.apache.spark.sql.functions.timestamp_seconds($"sec").as("t"), $"e")
+    val out = Funnel.streamingWindowFunnel(src, "u", "t",
+      Seq(col("e") === "A", col("e") === "B", col("e") === "C"),
+      windowSec = 1000L, latenessSec = 1L, strictOrder = true)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_strict_stream").start()
+    try {
+      // feed in global event-time order: the watermark is query-wide, so
+      // a user fed "later" with old timestamps would arrive late-dropped
+      fixture.sortBy(_._2).foreach { r => mem.addData(r); q.processAllAvailable() }
+      mem.addData((9L, 20000L, "X")); q.processAllAvailable() // push watermark
+      mem.addData((9L, 30000L, "X")); q.processAllAvailable()
+      val got = spark.table("funnel_strict_stream")
+        .as[(String, Int)].collect().toMap
+      // emissions are monotone-deepening per user; final levels must
+      // match the batch strict_order result
+      assert(got == Map("1" -> 1, "2" -> 3, "3" -> 1), got.toString)
+    } finally q.stop()
+  }
 }
