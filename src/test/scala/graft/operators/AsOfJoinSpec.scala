@@ -163,4 +163,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1L).contains("real"))
     assert(out(2L).isEmpty, "null key matched a null-key right row")
   }
+
+  test("temporal store compaction: identical enrichment, fewer files, idempotent appends") {
+    val store = java.nio.file.Files.createTempDirectory("graft_tstore_compact")
+      .toString + "/prices"
+    val keys = Seq("k")
+    // two daily appends, deliberately many small files
+    val day1 = Seq((1L, ts(100), "a"), (1L, ts(200), "b"), (2L, ts(150), "x"))
+      .toDF("k", "t", "v").repartition(4)
+    val day2 = Seq((1L, ts(300), "c"), (2L, ts(250), "y"))
+      .toDF("k", "t", "v").repartition(4)
+    assert(AsOfJoin.appendToTemporalStore(day1, keys, "t", Seq("v"), store) == 3L)
+    assert(AsOfJoin.appendToTemporalStore(day2, keys, "t", Seq("v"), store) == 2L)
+    def dataFiles() = new java.io.File(store).listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    assert(before >= 4, s"fixture should start fragmented, had $before files")
+    val probe = Seq((10L, 1L, ts(250)), (11L, 2L, ts(260)), (12L, 3L, ts(100)))
+      .toDF("id", "k", "t")
+    def enrich() = AsOfJoin.enrichFromTemporalStore(probe, store, keys, "t", "t", Seq("v"))
+      .select(col("id"), col("v_right")).as[(Long, Option[String])]
+      .collect().toMap
+    val pre = enrich()
+    val n = AsOfJoin.compactTemporalStore(spark, store, keys, "t", targetFiles = 1)
+    assert(n == 5L)
+    assert(dataFiles() < before, s"compaction must shrink the file count")
+    assert(enrich() == pre)
+    assert(pre == Map(10L -> Some("b"), 11L -> Some("y"), 12L -> None))
+    // a replayed day still appends nothing against the compacted store
+    assert(AsOfJoin.appendToTemporalStore(day2, keys, "t", Seq("v"), store) == 0L)
+    // and compaction is idempotent
+    assert(AsOfJoin.compactTemporalStore(spark, store, keys, "t", 1) == 5L)
+    assert(enrich() == pre)
+  }
 }

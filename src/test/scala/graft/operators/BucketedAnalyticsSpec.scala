@@ -62,4 +62,27 @@ class BucketedAnalyticsSpec extends SparkSpec {
     val b = Sessionize.summarize(plain, "user_id", "ts", 1800L)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("as-of join on bucketed sides: the union defeats bucketing — pinned at one exchange") {
+    // Finding (deliberate, documented): leftAsOf plans left ∪ right →
+    // window(user). Even with BOTH sides read from the same bucketed
+    // table, Union's output partitioning is unknown to Catalyst (it
+    // concatenates children's partitions; it cannot claim hash(user)
+    // even when every child has it), so the window re-shuffles. The
+    // operator therefore pays exactly ONE keyed exchange on bucketed
+    // input — same as unbucketed, already its contract — and bucketing
+    // buys as-of joins nothing until Spark learns union-preserved
+    // distributions. Pinned so an upgrade that fixes OR worsens this
+    // surfaces here.
+    val ev = spark.table(table)
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val j = AsOfJoin.leftAsOf(
+      ev.select(col("event_id"), col("user_id"), col("ts")), right,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      valueCols = Seq("value"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(exchanges(plan) == 1, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
 }
