@@ -305,7 +305,8 @@ object Planner {
     "AssignSplits", "PackSequences", "Chunk", "UrlDedup", "TextProfile",
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
-    "MediaResample", "MediaFrames", "StripHtml", "QualityBand")
+    "MediaResample", "MediaFrames", "StripHtml", "QualityBand",
+    "SemanticSearch")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -605,6 +606,40 @@ object Planner {
                 maxCellSize = conf.long("max_cell_size", 0L),
                 dim = conf.int("dim", 64))
             }
+        }
+      case "SemanticSearch" =>
+        // ANN top-k of a query panel against the corpus's embedding
+        // column: (query_id, vec_id, rank, sim). The DEFAULT arm is IVF
+        // (num_cells 16, nprobe 2) — measured on the q_ann_recall gate
+        // fixture at 24/25 recall probing 2/16 cells, where SRP-LSH
+        // reaches only 19/25 even at planes=4/probes=4 (probing ~31% of
+        // the corpus); see MIGRATION.md's recall/cost table. `lsh` stays
+        // available for streams of ephemeral queries where the one-time
+        // IVF index build doesn't amortize, `brute` as the exact
+        // baseline.
+        val vec = conf.str("src").getOrElse("embedding")
+        val k = conf.int("k", 10)
+        df => {
+          val queries = conf.anyMap("queries") match {
+            case m if m.nonEmpty => input(df.sparkSession, m.strReq("input"), m)
+            case _ => conf.str("query_where") match {
+              case Some(cond) => df.filter(graft.conditions.ConditionFilter
+                .compile(cond, df, "@timestamp"))
+              case None => sys.error("SemanticSearch needs `queries` " +
+                "(an input spec) or `query_where` (condition DSL over the corpus)")
+            }
+          }
+          conf.str("method").getOrElse("ivf") match {
+            case "ivf" => graft.ml.Similarity.ivfTopK(df, queries, vec, id,
+              k, conf.int("num_cells", 16), conf.int("nprobe", 2))
+            case "lsh" => graft.ml.Similarity.annTopK(df, queries, vec, id,
+              k, conf.int("num_planes", 8), conf.int("dim", 64),
+              conf.int("probes", 0))
+            case "brute" => graft.ml.Similarity.bruteForceTopK(
+              df, queries, vec, id, k)
+            case other => sys.error(s"SemanticSearch: unknown method " +
+              s"'$other' (ivf | lsh | brute)")
+          }
         }
       case other => sys.error(s"unknown corpus stage '$other'")
     }

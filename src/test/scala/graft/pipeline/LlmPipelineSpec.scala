@@ -554,4 +554,31 @@ class LlmPipelineSpec extends SparkSpec {
     assert(run3.count() == 0L)
     graft.core.PostCommit.clear()
   }
+
+  test("SemanticSearch dispatches ANN top-k with IVF as the default arm") {
+    val rnd = new scala.util.Random(31)
+    val df = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "embedding")
+    // panel from the corpus itself via condition DSL; default method=ivf
+    val out = Planner.corpusStage("SemanticSearch", Map(
+      "src" -> "embedding", "id_field" -> "id", "k" -> 3,
+      "num_cells" -> 4, "nprobe" -> 4,
+      "query_where" -> "EQ(id,0) || EQ(id,1)"))(df)
+    assert(out.columns.toSeq == Seq("query_id", "vec_id", "rank", "sim"))
+    val rows = out.as[(Long, Long, Int, Double)].collect()
+    assert(rows.map(_._1).toSet == Set(0L, 1L))
+    assert(rows.count(_._1 == 0L) == 3 && rows.count(_._1 == 1L) == 3)
+    // nprobe == num_cells makes IVF exhaustive: each query's own vector
+    // must rank first at sim ~ 1
+    assert(rows.filter(r => r._1 == r._2).forall(r => r._3 == 1 && r._4 > 0.999))
+    // explicit arms still dispatch
+    val brute = Planner.corpusStage("SemanticSearch", Map(
+      "src" -> "embedding", "id_field" -> "id", "k" -> 3,
+      "method" -> "brute", "query_where" -> "EQ(id,0) || EQ(id,1)"))(df)
+    assert(brute.count() == 6)
+    intercept[RuntimeException] {
+      Planner.corpusStage("SemanticSearch", Map(
+        "method" -> "faiss", "query_where" -> "EQ(id,0) || EQ(id,1)"))(df).count()
+    }
+  }
 }

@@ -332,4 +332,37 @@ class PipelineSpec extends SparkSpec {
     assert(out(11L) == (("v1", 1L)))
     assert(out(12L) == (("v2", 2L)))
   }
+
+  test("analytics chain from MIGRATION.md: Sessionize then strict-order Funnel") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = Seq(
+      // u1: clean view->click->purchase chain -> level 3
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:05:00"), "click"),
+      (1L, t("2024-01-01 10:10:00"), "purchase"),
+      // u2: an error event between view and click freezes strict_order -> 1
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      (2L, t("2024-01-01 10:01:00"), "error"),
+      (2L, t("2024-01-01 10:05:00"), "click"),
+      (2L, t("2024-01-01 10:10:00"), "purchase"),
+    ).toDF("user_id", "ts", "event_type")
+    val yaml =
+      """filters:
+        |  - Sessionize:
+        |      key: user_id
+        |      timestamp: ts
+        |      gap: 1800
+        |      target: session_seq
+        |  - Funnel:
+        |      key: user_id
+        |      timestamp: ts
+        |      steps: ['EQ(event_type,"view")', 'EQ(event_type,"click")',
+        |              'EQ(event_type,"purchase")']
+        |      window: 86400
+        |      mode: strict_order
+        |""".stripMargin
+    val out = Planner.fromYaml(yaml).transform(input)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1))
+  }
 }
