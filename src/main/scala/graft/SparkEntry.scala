@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -113,6 +113,18 @@ object SparkEntry {
             .localCheckpoint())
     }
 
+  /** Smooth-gradient corpus for the lossy-transcode gate — memoized for
+    * the same reason as [[sharedSynthVariants]] (encode churn). */
+  private def sharedSynthSmooth(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.synchronized {
+      pairsMemo
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir + "#synth_smooth",
+          graft.ml.Multimodal.synthesizeSmoothImages(
+            Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+            .localCheckpoint())
+    }
+
   /** Force-build the memoized shared frames for (session, dir). Bench
     * times this call as its own JSON line so the per-query numbers are
     * memo HITS for every consumer regardless of map order — without it,
@@ -123,6 +135,7 @@ object SparkEntry {
     sharedSynthImages(s, dir)
     sharedSynthMixed(s, dir)
     sharedSynthVariants(s, dir)
+    sharedSynthSmooth(s, dir)
     ()
   }
 
@@ -873,6 +886,34 @@ object SparkEntry {
           col("n_group"), col("n_variants"))
     },
 
+    // Cross-format perceptual dedup — the actual web-crawl near-dup
+    // case: the SAME picture JPEG-re-encoded (quality 0.9) is
+    // byte-distinct and raster-nonidentical, yet both hashes collide
+    // within small hamming balls on the smooth pyramid fixture
+    // (measured max 5/64 aHash and 11/128 dHash across the full
+    // parameter space at sf0.01 AND sf0.1; thresholds 8/16 with
+    // margin). The oracle states the invariants as constants per row —
+    // Spark must really decode the JPEG bytes to satisfy them.
+    "q_image_phash_jpeg" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val smooth = sharedSynthSmooth(s, dir)
+      val jp = mm.transcodeImages(smooth, "jpg", 0.9f)
+      def ham(a: Column, b: Column) = bit_count(a.bitwiseXOR(b))
+      def dec(d: DataFrame, p: String) = mm.decodeImagePixels(d)
+        .select(col("media_id"),
+          col("px.width").as(p + "w"), col("px.height").as(p + "h"),
+          col("px.ahash_hi").as(p + "ah"), col("px.ahash_lo").as(p + "al"),
+          col("px.dhash_hi").as(p + "dh"), col("px.dhash_lo").as(p + "dl"))
+      dec(smooth, "p").join(dec(jp, "j"), "media_id")
+        .select(col("media_id"),
+          (col("pw") === col("jw") && col("ph") === col("jh"))
+            .as("dims_match"),
+          ((ham(col("pdh"), col("jdh")) + ham(col("pdl"), col("jdl"))) <= 16)
+            .as("dhash_close"),
+          ((ham(col("pah"), col("jah")) + ham(col("pal"), col("jal"))) <= 8)
+            .as("ahash_close"))
+    },
+
     // REAL resize: decode → integer box-filter downscale to 8×6 →
     // re-encode PNG → decode AGAIN. The oracle re-derives every output
     // pixel's block average from the fixture arithmetic, so the whole
@@ -1344,6 +1385,16 @@ object SparkEntry {
     "q_funnel_strict" -> funnelStrictOracle("strict_order"),
     "q_funnel_dedup" -> funnelStrictOracle("strict_dedup"),
     "q_funnel_increase" -> funnelStrictOracle("strict_increase"),
+
+    // the JPEG transcode is lossy, so unlike q_image_phash the oracle
+    // cannot re-derive pixel values — it states the measured invariants
+    // (dims preserved, both hashes within their hamming balls) as
+    // per-row constants; only a real JPEG decode on the Spark side
+    // satisfies them
+    "q_image_phash_jpeg" ->
+      """SELECT doc_id AS media_id, TRUE AS dims_match,
+        |  TRUE AS dhash_close, TRUE AS ahash_close
+        |FROM documents""".stripMargin,
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_int8" ->

@@ -1212,6 +1212,112 @@ object Multimodal {
     * semantics; a 100 TB corpus pass must never inflate payloads).
     * Undecodable bytes pass through unchanged too, preserving the
     * degrade-don't-throw contract. */
+  /** Smooth synthetic images (directional integer gradients, orientation
+    * and ramp per id) for the LOSSY-transcode fixtures: perceptual-hash
+    * bits over smooth content are stable under JPEG re-encode — the
+    * natural-image property the hashes rely on — where the noise fixture
+    * ([[synthesizeImageVariants]]) flips up to half its aHash bits at
+    * quality 0.9 (every cell average sits at the corpus mean; measured).
+    * Deterministic integer arithmetic only, so oracles can re-derive
+    * dimensions and the Spark side must really decode to match. */
+  def synthesizeSmoothImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(idCol).mapPartitions { rows =>
+      imageIoNoDiskCache
+      rows.map { r =>
+        val id = r.getAs[Number](0).longValue
+        val seed = id % 127
+        val (w, h) = ((seed % 64 + 8).toInt, (seed % 48 + 8).toInt)
+        // a brightness pyramid whose apex position is a function of the
+        // id: low-frequency (JPEG-robust) yet hash-DISCRIMINATING —
+        // aHash/dHash bits follow the apex, so distinct ids hash apart
+        // while a lossy re-encode of the same id collides
+        val cx = ((id * 7 + 3) % w).toInt
+        val cy = ((id * 11 + 5) % h).toInt
+        val base = (id % 97).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val d = math.abs(x - cx) * 200 / w + math.abs(y - cy) * 160 / h
+            val v = (230 - d).max(0)
+            val rC = (base / 3 + v).min(255)
+            val gC = (base / 2 + v * 3 / 4).min(255)
+            val bC = (base + v / 2).min(255)
+            img.setRGB(x, y, rC << 16 | gC << 8 | bC)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(r.get(0), "image", bos.toByteArray)
+      }
+    }(outEncoder)
+  }
+
+  /** Re-encode every decodable image to `format` ("jpg", "png", "gif",
+    * "bmp" — whatever the JDK's ImageIO writes) at `quality` (lossy
+    * formats only; NaN = writer default). The web-crawl near-dup shape:
+    * the SAME picture re-encoded lossily is byte-distinct and
+    * raster-nonidentical, yet must collide perceptually — pair this with
+    * [[decodeImagePixels]] to prove the hash path across formats.
+    * Undecodable bytes pass through unchanged (degrade-don't-throw);
+    * decode+encode both run inside the one mapPartitions, payload never
+    * crossing an exchange. */
+  def transcodeImages(df: DataFrame, format: String,
+      quality: Float = Float.NaN): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema("media_id").dataType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select("media_id", "media_type", "content").mapPartitions { rows =>
+      imageIoNoDiskCache
+      rows.map { r =>
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val img =
+          try {
+            if (bytes == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: Exception => null }
+        if (img == null) Row(r.get(0), r.get(1), bytes)
+        else {
+          // JPEG writers reject images with alpha; normalize to 3BYTE_BGR
+          val rgb =
+            if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) img
+            else {
+              val c = new java.awt.image.BufferedImage(img.getWidth,
+                img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              val g = c.createGraphics(); g.drawImage(img, 0, 0, null)
+              g.dispose(); c
+            }
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName(format).next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          val params = writer.getDefaultWriteParam
+          if (!quality.isNaN && params.canWriteCompressed) {
+            params.setCompressionMode(
+              javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            params.setCompressionQuality(quality)
+          }
+          writer.write(null,
+            new javax.imageio.IIOImage(rgb, null, null), params)
+          writer.dispose(); ios.close()
+          Row(r.get(0), "image", bos.toByteArray)
+        }
+      }
+    }(outEncoder)
+  }
+
   def resizeImages(df: DataFrame, outW: Int, outH: Int): DataFrame = {
     require(outW > 0 && outH > 0, "resize target must be positive")
     val outSchema = StructType(Seq(

@@ -755,4 +755,30 @@ class MultimodalSpec extends SparkSpec {
       assert(seed0.map(_.getLong(2)).toSet.size == 1)
     } finally q.stop()
   }
+
+  test("transcodeImages: JPEG re-encode keeps dims, changes bytes, degrades gracefully") {
+    val mm = graft.ml.Multimodal
+    val ids = spark.range(0, 50).select(col("id").as("doc_id"))
+    val smooth = mm.synthesizeSmoothImages(ids, "doc_id")
+    val jp = mm.transcodeImages(smooth, "jpg", 0.9f)
+    // byte-distinct payloads (lossy re-encode), same count
+    val joined = smooth.select(col("media_id"), col("content").as("png"))
+      .join(jp.select(col("media_id"), col("content").as("jpg")), "media_id")
+    assert(joined.count() == 50)
+    assert(joined.filter(col("png") === col("jpg")).count() == 0)
+    // dims preserved through decode of the JPEG bytes
+    val dims = mm.decodeImagePixels(jp)
+      .select(col("px.width"), col("px.height")).collect()
+    assert(dims.forall(r => r.getInt(0) >= 8 && r.getInt(1) >= 8))
+    // discrimination: distinct ids produce many distinct dhashes (the
+    // fixture is not a single constant gradient)
+    val nd = mm.decodeImagePixels(smooth)
+      .select(col("px.dhash_hi"), col("px.dhash_lo")).distinct().count()
+    assert(nd > 10, s"smooth fixture collapsed to $nd dhash values")
+    // undecodable bytes pass through unchanged (degrade, never throw)
+    val junk = Seq((1L, "image", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "media_type", "content")
+    val out = mm.transcodeImages(junk, "jpg").collect()(0)
+    assert(out.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3))
+  }
 }
