@@ -232,6 +232,36 @@ object SparkEntry {
         windowSec = 86400L, strictIncrease = true)
     },
 
+    // ClickHouse sequenceCount('(?1).*(?2).*(?3)'): greedy non-overlapping
+    // chain completions per user, oracle replays the same 2-slot scan
+    "q_sequence_count" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Funnel.sequenceCount(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        Seq($"event_type" === "view", $"event_type" === "click",
+          $"event_type" === "purchase"))
+    },
+
+    // ClickHouse sequenceMatch: chain occurs at least once — checked
+    // against an INDEPENDENT declarative EXISTS oracle (not the scan
+    // replay), pinning greedy-existence == exists-chain
+    "q_sequence_match" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Funnel.sequenceMatch(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        Seq($"event_type" === "view", $"event_type" === "click",
+          $"event_type" === "purchase"))
+    },
+
+    // ClickHouse retention(signup, view, purchase): per-user flag columns
+    "q_retention_flags" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Retention.retentionFlags(
+        Tables.load(s, dir, "events"), "user_id",
+        Seq($"event_type" === "signup", $"event_type" === "view",
+          $"event_type" === "purchase"))
+    },
+
     // the funnel chart itself: users reaching at least each step
     "q_funnel_conversion" -> { (s, dir) =>
       import s.implicits._
@@ -1385,6 +1415,63 @@ object SparkEntry {
     "q_funnel_strict" -> funnelStrictOracle("strict_order"),
     "q_funnel_dedup" -> funnelStrictOracle("strict_dedup"),
     "q_funnel_increase" -> funnelStrictOracle("strict_increase"),
+
+    // greedy non-overlapping chain count, replayed as a (ptr, cnt) scan —
+    // the sequence family's recursive-CTE oracle (steps are disjoint
+    // event types here, so one CASE per event suffices)
+    "q_sequence_count" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |         WHEN 'purchase' THEN 2 ELSE -1 END AS s
+        |  FROM events
+        |), evf AS (SELECT * FROM ev WHERE s >= 0),
+        |ordered AS (
+        |  SELECT user_id, t, s,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY t, s) AS rn
+        |  FROM evf
+        |),
+        |ucnt AS (SELECT user_id, max(rn) AS cnt FROM ordered GROUP BY user_id),
+        |st AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS rn,
+        |         CAST(0 AS BIGINT) AS ptr, CAST(0 AS BIGINT) AS cnt
+        |  FROM ucnt
+        |  UNION ALL
+        |  SELECT q.user_id, q.rn,
+        |    CASE WHEN q.np = 3 THEN 0 ELSE q.np END,
+        |    CASE WHEN q.np = 3 THEN q.cnt + 1 ELSE q.cnt END
+        |  FROM (
+        |    SELECT st.user_id, o.rn, st.cnt,
+        |      CASE WHEN o.s = st.ptr THEN st.ptr + 1 ELSE st.ptr END AS np
+        |    FROM st JOIN ordered o
+        |      ON o.user_id = st.user_id AND o.rn = st.rn + 1) q
+        |)
+        |SELECT st.user_id, st.cnt AS n_matches
+        |FROM st JOIN ucnt USING (user_id) WHERE st.rn = ucnt.cnt""".stripMargin,
+
+    // INDEPENDENT declarative oracle: exists view ≤ click ≤ purchase —
+    // greedy existence must equal the exists-chain reading
+    "q_sequence_match" ->
+      """WITH m AS (
+        |  SELECT DISTINCT v.user_id
+        |  FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |  JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = v.user_id AND c.ts >= v.ts
+        |  JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT user_id, user_id IN (SELECT user_id FROM m) AS matched
+        |FROM (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type IN ('view', 'click', 'purchase'))""".stripMargin,
+
+    "q_retention_flags" ->
+      """SELECT user_id, c1 AS r1,
+        |  CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END AS r2,
+        |  CASE WHEN c1 = 1 AND c3 = 1 THEN 1 ELSE 0 END AS r3
+        |FROM (SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+        |  FROM events GROUP BY user_id)""".stripMargin,
 
     // the JPEG transcode is lossy, so unlike q_image_phash the oracle
     // cannot re-derive pixel values — it states the measured invariants

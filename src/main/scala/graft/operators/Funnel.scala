@@ -174,6 +174,55 @@ object Funnel {
               greatest(v, element_at(acc, i))).otherwise(v))))
     })
 
+  // ---- sequenceMatch / sequenceCount (ClickHouse parity) -----------------
+
+  /** ClickHouse `sequenceCount('(?1).*(?2).*…')`: the number of
+    * NON-OVERLAPPING left-to-right completions of the step chain in a
+    * user's time-ordered events — no window bound, any events may sit
+    * between steps. Greedy earliest-completion is optimal for maximal
+    * non-overlapping chains (interval scheduling), so the whole scan is
+    * a 2-slot [pointer, count] fold — same shuffle shape as
+    * [[windowFunnel]] (matched events only ride the exchange; one keyed
+    * agg). Ties and multi-step events follow the funnel contract: (ts,
+    * step) fold order, an event matching several steps contributes one
+    * list element per step.
+    *
+    * @return (userCol, n_matches) for every user with ≥1 matched event */
+  def sequenceCount(df: DataFrame, userCol: String, tsCol: String,
+      steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "sequenceCount: at least one step")
+    val n = steps.size
+    val stepArr = array(steps.zipWithIndex.map { case (c, i) =>
+      when(c, lit(i)).otherwise(lit(-1))
+    }: _*)
+    val matched = df
+      .withColumn("__graft_steps", filter(stepArr, s => s >= 0))
+      .filter(size(col("__graft_steps")) > 0)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__graft_ts"),
+        explode(col("__graft_steps")).as("__graft_step"))
+    val sorted = sort_array(collect_list(struct(col("__graft_ts"), col("__graft_step"))))
+    val folded = aggregate(sorted, array(lit(0L), lit(0L)), (acc, x) => {
+      val s = x.getField("__graft_step").cast("long")
+      val ptr = element_at(acc, 1)
+      val np = when(s === ptr, ptr + 1L).otherwise(ptr)
+      array(when(np === n, 0L).otherwise(np),
+        when(np === n, element_at(acc, 2) + 1L).otherwise(element_at(acc, 2)))
+    })
+    matched.groupBy(col(userCol))
+      .agg(element_at(folded, 2).as("n_matches"))
+  }
+
+  /** ClickHouse `sequenceMatch('(?1).*(?2).*…')`: does the chain occur
+    * at least once (time-ordered, anything between steps, no window)?
+    * Defined as `sequenceCount >= 1` — greedy existence equals the
+    * declarative "exists events e1 ≤ e2 ≤ … matching the steps in
+    * order", which is what the gate's independent EXISTS oracle checks.
+    * @return (userCol, matched) for every user with ≥1 matched event */
+  def sequenceMatch(df: DataFrame, userCol: String, tsCol: String,
+      steps: Seq[Column]): DataFrame =
+    sequenceCount(df, userCol, tsCol, steps)
+      .select(col(userCol), (col("n_matches") >= 1L).as("matched"))
+
   // ---- streaming form ----------------------------------------------------
 
   /** Keyed DP state: `dp` is the same latest-start-per-level array the

@@ -58,6 +58,28 @@ object Retention {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** ClickHouse `retention(cond1, …, condN)`: per user, r1 = 1 iff any
+    * event matches cond1 (the anchor), and r_i = 1 iff BOTH cond1 and
+    * cond_i matched (any time — CH applies no ordering between the
+    * anchor and the later conditions, and neither does this). One keyed
+    * aggregation, O(N) agg buffer; the flags come out as flat int
+    * columns r1..rN (the downstream ratio r_i/r1 is the retention
+    * curve). Users with no matching event at all still appear (all
+    * zeros), exactly like CH's per-group aggregate. */
+  def retentionFlags(df: DataFrame, userCol: String,
+      conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "retentionFlags: at least one condition")
+    val raw = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, lit(1)).otherwise(lit(0))).as(s"__graft_c${i + 1}")
+    }
+    val flags = col("__graft_c1").as("r1") +: (2 to conds.size).map(i =>
+      when(col("__graft_c1") === 1 && col(s"__graft_c$i") === 1, lit(1))
+        .otherwise(lit(0)).as(s"r$i"))
+    df.groupBy(col(userCol))
+      .agg(raw.head, raw.tail: _*)
+      .select(col(userCol) +: flags: _*)
+  }
+
   // ---- streaming form ----------------------------------------------------
 
   /** Keyed state: the user's confirmed anchor period (-1 until their

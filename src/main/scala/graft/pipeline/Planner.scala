@@ -238,10 +238,38 @@ object Planner {
           else graft.operators.Funnel.windowFunnel(df, key, tsc, compiled,
             win, so, sd, si)
         }
-      case "Retention" =>
+      case "SequenceCount" | "SequenceMatch" =>
+        // ClickHouse sequenceCount / sequenceMatch('(?1).*(?2).*…'):
+        // chain steps as condition-DSL strings, like Funnel
+        val steps = conf.strSeq("steps")
+        if (steps.isEmpty) sys.error(s"$name needs `steps`, e.g. " +
+          """steps: ['EQ(event_type,"view")', 'EQ(event_type,"click")']""")
         val key = conf.strReq("key")
         val tsc = conf.str("timestamp").getOrElse("@timestamp")
         df => {
+          if (df.isStreaming) sys.error(s"$name is batch-only — on a " +
+            "stream run windowFunnel (bounded state) or aggregate per " +
+            "micro-batch inside foreachBatch")
+          val compiled = steps.map(
+            graft.conditions.ConditionFilter.compile(_, df, tsc))
+          if (name == "SequenceCount")
+            graft.operators.Funnel.sequenceCount(df, key, tsc, compiled)
+          else graft.operators.Funnel.sequenceMatch(df, key, tsc, compiled)
+        }
+      case "Retention" =>
+        val key = conf.strReq("key")
+        val tsc = conf.str("timestamp").getOrElse("@timestamp")
+        // `conditions: [...]` → ClickHouse retention() flag columns
+        // (r1..rN per user, unordered anchor/condition semantics);
+        // `anchor:` → the (cohort × offset) matrix
+        val flagConds = conf.strSeq("conditions")
+        if (flagConds.nonEmpty) { df =>
+          if (df.isStreaming) sys.error("Retention conditions-mode is " +
+            "batch-only — use anchor-mode streaming cohort events instead")
+          graft.operators.Retention.retentionFlags(df, key,
+            flagConds.map(graft.conditions.ConditionFilter.compile(_, df, tsc)))
+        }
+        else df => {
           val anchor = graft.conditions.ConditionFilter
             .compile(conf.strReq("anchor"), df, tsc)
           if (df.isStreaming)

@@ -196,4 +196,40 @@ class FunnelSpec extends SparkSpec {
       assert(got == Map("1" -> 1, "2" -> 3, "3" -> 1), got.toString)
     } finally q.stop()
   }
+
+  test("sequenceCount: greedy non-overlapping chains; sequenceMatch: existence") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // u1: A B C A B C -> 2 chains
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"),
+      (1L, 4L, "A"), (1L, 5L, "B"), (1L, 6L, "C"),
+      // u2: A A B B C -> 1 chain (non-overlapping)
+      (2L, 1L, "A"), (2L, 2L, "A"), (2L, 3L, "B"), (2L, 4L, "B"), (2L, 5L, "C"),
+      // u3: C B A -> 0 (wrong order)
+      (3L, 1L, "C"), (3L, 2L, "B"), (3L, 3L, "A"),
+      // u4: A B only -> 0 chains, but present (has matched events)
+      (4L, 1L, "A"), (4L, 2L, "B"),
+      // u5: intervening non-step events don't break the chain
+      (5L, 1L, "A"), (5L, 2L, "X"), (5L, 3L, "B"), (5L, 4L, "X"), (5L, 5L, "C"),
+      // u6: no matched events at all -> absent
+      (6L, 1L, "X"),
+    ).map { case (u, t, e) => (u, ts(t), e) }.toDF("u", "t", "e")
+    val steps = Seq(col("e") === "A", col("e") === "B", col("e") === "C")
+    val counts = Funnel.sequenceCount(df, "u", "t", steps)
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 1L))
+    val matched = Funnel.sequenceMatch(df, "u", "t", steps)
+      .as[(Long, Boolean)].collect().toMap
+    assert(matched == Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true))
+  }
+
+  test("sequence chain may stack at equal timestamps (ts, step) order") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 5L, "A"), (1L, 5L, "B"))
+      .map { case (u, t, e) => (u, ts(t), e) }.toDF("u", "t", "e")
+    val n = Funnel.sequenceCount(df, "u", "t",
+      Seq(col("e") === "A", col("e") === "B")).as[(Long, Long)].collect().toMap
+    assert(n == Map(1L -> 1L))
+  }
 }

@@ -100,4 +100,19 @@ class RetentionSpec extends SparkSpec {
       .map { case (c, o, n) => (c, o) -> n }.toMap
     assert(m == (0L to 5L).map(o => (3L, o) -> 1L).toMap)
   }
+
+  test("retentionFlags: ClickHouse retention() semantics, unordered") {
+    val df = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "view"),                 // r = 1,1,0
+      (2L, 10L, "view"), (2L, 20L, "signup"),                 // unordered: 1,1,0
+      (3L, 10L, "view"), (3L, 20L, "purchase"),               // no anchor: 0,0,0
+      (4L, 10L, "signup"), (4L, 20L, "purchase"),             // 1,0,1
+    ).map { case (u, t, e) => (u, ts(t), e) }.toDF("u", "t", "e")
+    val m = Retention.retentionFlags(df, "u",
+        Seq(col("e") === "signup", col("e") === "view", col("e") === "purchase"))
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m == Map(1L -> ((1, 1, 0)), 2L -> ((1, 1, 0)),
+      3L -> ((0, 0, 0)), 4L -> ((1, 0, 1))))
+  }
 }

@@ -365,4 +365,25 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out == Map(1L -> 3, 2L -> 1))
   }
+
+  test("SequenceCount and Retention conditions-mode dispatch from YAML") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = Seq(
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:05:00"), "click"),
+      (1L, t("2024-01-01 10:06:00"), "view"),
+      (1L, t("2024-01-01 10:07:00"), "click"),
+    ).toDF("user_id", "ts", "event_type")
+    val seq = Planner.filterStage("SequenceCount", Map(
+      "key" -> "user_id", "timestamp" -> "ts",
+      "steps" -> List("EQ(event_type,\"view\")", "EQ(event_type,\"click\")")))(input)
+    assert(seq.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 2L))
+    val flags = Planner.filterStage("Retention", Map(
+      "key" -> "user_id", "timestamp" -> "ts",
+      "conditions" -> List("EQ(event_type,\"view\")", "EQ(event_type,\"click\")")))(input)
+    assert(flags.columns.toSeq == Seq("user_id", "r1", "r2"))
+    assert(flags.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1L, 1, 1)))
+  }
 }
