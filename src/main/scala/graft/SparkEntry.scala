@@ -944,6 +944,33 @@ object SparkEntry {
             .as("ahash_close"))
     },
 
+    // ImageIO's remaining writable formats, proven through the SAME
+    // decode path: BMP is lossless by format; GIF is palette-quantized
+    // but the smooth fixture keeps ≤231 distinct colors per image, so
+    // its round-trip is also bit-exact — px_sum AND both hashes must
+    // survive the transcode unchanged, which only a real decode of the
+    // re-encoded bytes can demonstrate
+    "q_image_formats" -> { (s, dir) =>
+      val mm = graft.ml.Multimodal
+      val smooth = sharedSynthSmooth(s, dir)
+      def dec(d: DataFrame, p: String) = mm.decodeImagePixels(d)
+        .select(col("media_id"),
+          col("px.width").as(p + "w"), col("px.height").as(p + "h"),
+          col("px.px_sum").as(p + "s"),
+          col("px.ahash_hi").as(p + "ah"), col("px.ahash_lo").as(p + "al"),
+          col("px.dhash_hi").as(p + "dh"), col("px.dhash_lo").as(p + "dl"))
+      def arm(fmt: String) =
+        dec(smooth, "p").join(dec(mm.transcodeImages(smooth, fmt), "j"),
+            "media_id")
+          .select(lit(fmt).as("fmt"), col("media_id"),
+            (col("pw") === col("jw") && col("ph") === col("jh"))
+              .as("dims_match"),
+            (col("ps") === col("js") && col("pah") === col("jah") &&
+              col("pal") === col("jal") && col("pdh") === col("jdh") &&
+              col("pdl") === col("jdl")).as("pixel_exact"))
+      arm("bmp").unionByName(arm("gif"))
+    },
+
     // REAL resize: decode → integer box-filter downscale to 8×6 →
     // re-encode PNG → decode AGAIN. The oracle re-derives every output
     // pixel's block average from the fixture arithmetic, so the whole
@@ -1472,6 +1499,13 @@ object SparkEntry {
         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
         |  FROM events GROUP BY user_id)""".stripMargin,
+
+    // BMP is lossless and GIF's palette covers the ≤231-color fixture:
+    // the round-trip must be bit-exact per row, stated as constants
+    "q_image_formats" ->
+      """SELECT f.fmt, d.doc_id AS media_id,
+        |  TRUE AS dims_match, TRUE AS pixel_exact
+        |FROM documents d, (SELECT unnest(['bmp', 'gif']) AS fmt) f""".stripMargin,
 
     // the JPEG transcode is lossy, so unlike q_image_phash the oracle
     // cannot re-derive pixel values — it states the measured invariants
