@@ -262,6 +262,31 @@ object SparkEntry {
           $"event_type" === "purchase"))
     },
 
+    // the honest cross-pipeline distinct merge: two disjoint halves of
+    // the events each emit HLL-sketch partials per (hour × type), the
+    // partial streams union, and the merge's estimate must land within
+    // 5% (+1) of the exact distinct — only a real set-union sketch can
+    // do that (summing partial counts would double-count users active
+    // in both halves)
+    "q_link_uniq_sketch" -> { (s, dir) =>
+      val cfg = graft.operators.LinkMetric.Config(
+        fieldsLink = "event_type->user_id", batchWindowSec = 3600,
+        tsColumn = "ts")
+      val ev = Tables.load(s, dir, "events")
+      val p1 = graft.operators.LinkUniqMetric.batchSketch(cfg)(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      val p2 = graft.operators.LinkUniqMetric.batchSketch(cfg)(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      val merged = graft.operators.LinkUniqMetric.mergeSketches(cfg)(
+        p1.unionByName(p2))
+      val exact = graft.operators.LinkUniqMetric.batch(cfg)(ev)
+        .withColumnRenamed("uniq", "exact_uniq")
+      merged.join(exact, Seq("@timestamp", "event_type"))
+        .select(col("@timestamp"), col("event_type"), col("exact_uniq"),
+          (abs(col("uniq") - col("exact_uniq")) <=
+            col("exact_uniq") * 0.05 + 1).as("within_5pct"))
+    },
+
     // the funnel chart itself: users reaching at least each step
     "q_funnel_conversion" -> { (s, dir) =>
       import s.implicits._
@@ -1753,6 +1778,14 @@ object SparkEntry {
     "q_link_uniq" ->
       """SELECT date_trunc('hour', ts) AS "@timestamp", event_type,
         |  count(DISTINCT user_id) AS uniq
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // exact distinct per cell is SQL; the sketch estimate's 5% envelope
+    // is stated as a constant — only a true set-union merge of the two
+    // halves' sketches satisfies it on the Spark side
+    "q_link_uniq_sketch" ->
+      """SELECT date_trunc('hour', ts) AS "@timestamp", event_type,
+        |  count(DISTINCT user_id) AS exact_uniq, TRUE AS within_5pct
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // anchor = first signup period per user; activity = distinct periods;

@@ -233,4 +233,49 @@ object LinkUniqMetric {
         .groupBy(win +: fields.init.map(f => col(s"`$f`")): _*)
         .agg(approx_count_distinct(uniqField(c)).as("uniq")))
   }
+
+  // ---- mergeable sketch topology ------------------------------------------
+  //
+  // The HONEST cross-pipeline distinct merge the plain `reduce` flag
+  // cannot be: a partial distinct COUNT carries no mergeable set, but a
+  // DataSketches HLL SKETCH does. Upstream jobs emit one sketch per
+  // (window × group) via [[batchSketch]]; any number of such partial
+  // streams union and [[mergeSketches]] folds them with hll_union_agg —
+  // the two-tier topology the reference runs between workers, with
+  // set-union semantics instead of double counting. Shuffle carries one
+  // ~KB sketch per group per upstream partial, never raw values.
+
+  /** Partial form: (window, groups, uniq_sketch binary). */
+  def batchSketch(c: Config)(df: DataFrame): DataFrame = {
+    val (win, fields, ts) = LinkMetric.parts(c, df)
+    val bounded = LinkMetric.boundByReserve(df, ts, c.reserveWindowSec)
+    LinkMetric.finish(bounded
+      .groupBy(win +: fields.init.map(f => col(s"`$f`")): _*)
+      .agg(hll_sketch_agg(uniqField(c)).as("uniq_sketch")))
+  }
+
+  /** Streaming twin of [[batchSketch]]: watermark + windowed sketch
+    * aggregation (HLL sketches merge, so Catalyst's partial/final and
+    * the state-store updates are both sound). */
+  def streamingSketch(c: Config)(df: DataFrame): DataFrame = {
+    val (win, fields, _) = LinkMetric.parts(c, df)
+    LinkMetric.finish(
+      df.withWatermark(s"`${c.tsColumn}`", s"${c.reserveWindowSec} seconds")
+        .groupBy(win +: fields.init.map(f => col(s"`$f`")): _*)
+        .agg(hll_sketch_agg(uniqField(c)).as("uniq_sketch")))
+  }
+
+  /** Final form over unioned partials: re-groups on (@timestamp,
+    * groups) — the window column [[batchSketch]] emitted — and unions
+    * the sketches; `uniq` is the estimate. Works identically on a
+    * stream of partial rows (the aggregate is mergeable by
+    * construction). */
+  def mergeSketches(c: Config)(df: DataFrame): DataFrame = {
+    require(df.columns.contains("uniq_sketch"),
+      "LinkUniqMetric.mergeSketches: input must carry uniq_sketch " +
+        "partials (produced by batchSketch)")
+    val groups = c.fieldsLink.split("->").map(_.trim).init.toSeq
+    df.groupBy((("@timestamp" +: groups)).map(f => col(s"`$f`")): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("uniq_sketch"))).as("uniq"))
+  }
 }

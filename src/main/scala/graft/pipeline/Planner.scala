@@ -154,13 +154,28 @@ object Planner {
           conf.strSeq("percentiles").map(_.toDouble))
         df => metricStage(df, cfg, LinkStatsMetric.batch(cfg), LinkStatsMetric.streaming(cfg))
       case "LinkUniqMetric" =>
-        // distinct-count sibling: exact in batch, HLL on streams/reduce
+        // distinct-count sibling: exact in batch, HLL on streams/reduce.
+        // `sketch: true` switches to the MERGEABLE topology: raw input →
+        // one HLL sketch per (window × group) (the partial that can
+        // cross pipelines); input already carrying `uniq_sketch` →
+        // set-union merge + estimate
         val cfg = LinkMetric.Config(conf.strReq("fieldsLink"),
           conf.long("batchWindow", 60), conf.long("reserveWindow", 0),
           conf.str("timestamp").getOrElse("@timestamp"),
           conf.bool("drop_original_event", true),
           conf.bool("reduce", false))
-        df => metricStage(df, cfg, LinkUniqMetric.batch(cfg), LinkUniqMetric.streaming(cfg))
+        val sketch = conf.bool("sketch", false)
+        df =>
+          if (sketch && df.columns.contains("uniq_sketch")) {
+            if (df.isStreaming) sys.error("LinkUniqMetric sketch-merge is " +
+              "batch-only (the partial rows carry no event-time watermark); " +
+              "merge per micro-batch inside foreachBatch instead")
+            LinkUniqMetric.mergeSketches(cfg)(df)
+          }
+          else if (sketch) metricStage(df, cfg,
+            LinkUniqMetric.batchSketch(cfg), LinkUniqMetric.streamingSketch(cfg))
+          else metricStage(df, cfg,
+            LinkUniqMetric.batch(cfg), LinkUniqMetric.streaming(cfg))
       case "LinkMetricExact" =>
         // exact reference emission cadence (windowOffset / accumulateMode)
         // via flatMapGroupsWithState; batch falls back to the windowed agg

@@ -211,4 +211,25 @@ class LinkMetricSpec extends SparkSpec {
         s"stage construction launched jobs: $observed")
     } finally sc.removeSparkListener(listener)
   }
+
+  test("LinkUniqMetric sketch partials union-merge to the exact distinct") {
+    // two "pipelines" see overlapping user sets in one window: summing
+    // partial counts would give 6; the sketch union must give 4
+    val cfg = LinkMetric.Config("et->u", 60)
+    val half1 = Seq(
+      (ts("2024-01-01 00:00:10"), "a", 1L), (ts("2024-01-01 00:00:20"), "a", 2L),
+      (ts("2024-01-01 00:00:30"), "a", 3L),
+    ).toDF("@timestamp", "et", "u")
+    val half2 = Seq(
+      (ts("2024-01-01 00:00:40"), "a", 2L), (ts("2024-01-01 00:00:50"), "a", 3L),
+      (ts("2024-01-01 00:00:55"), "a", 4L),
+    ).toDF("@timestamp", "et", "u")
+    val partials = LinkUniqMetric.batchSketch(cfg)(half1)
+      .unionByName(LinkUniqMetric.batchSketch(cfg)(half2))
+    assert(partials.columns.contains("uniq_sketch"))
+    assert(partials.count() == 2) // one sketch row per half for the window
+    val merged = LinkUniqMetric.mergeSketches(cfg)(partials).collect()
+    assert(merged.length == 1)
+    assert(merged(0).getLong(merged(0).fieldIndex("uniq")) == 4L)
+  }
 }
