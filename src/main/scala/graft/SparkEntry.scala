@@ -348,6 +348,21 @@ object SparkEntry {
         .select($"event_id", $"user_id", $"ts", $"ts_purchase", $"value_purchase")
     },
 
+    // Nearest as-of (pandas merge_asof direction='nearest'): the
+    // purchase minimizing |ts difference|, backward on ties — one
+    // union, one exchange, two window walks
+    "q_asof_nearest" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      graft.operators.AsOfJoin.leftAsOfNearest(
+        ev.select($"event_id", $"user_id", $"ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"), suffix = "_purchase")
+        .select($"event_id", $"user_id", $"ts", $"ts_purchase", $"value_purchase")
+    },
+
     // Forward as-of: each event → the user's NEXT purchase at-or-after
     // (time-to-next-event enrichment; descending window walk)
     "q_asof_forward" -> { (s, dir) =>
@@ -1911,6 +1926,26 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+    // independent oracle for 'nearest': a correlated min-|distance|
+    // subquery per event, ORDER BY (abs distance, ts) so equal-distance
+    // ties resolve backward — the documented Spark-side convention.
+    // (user_id, ts) is unique among purchases at every SF (verified),
+    // so the picked row determines value_purchase too.
+    "q_asof_nearest" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  (SELECT p.ts FROM
+        |     (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |   WHERE p.user_id = e.user_id
+        |   ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)), p.ts LIMIT 1)
+        |    AS ts_purchase,
+        |  (SELECT p.value FROM
+        |     (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |   WHERE p.user_id = e.user_id
+        |   ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)), p.ts LIMIT 1)
+        |    AS value_purchase
+        |FROM events e""".stripMargin,
 
     // DuckDB ASOF with the comparison flipped picks the nearest
     // at-or-after — the independent check of the descending-walk variant

@@ -79,6 +79,76 @@ object AsOfJoin {
     joinAsOf(left, right, keys, leftTs, rightTs, valueCols, suffix,
       toleranceSec, forward = true)
 
+  /** Nearest variant (pandas merge_asof direction='nearest'): the single
+    * right row minimizing |right.ts - left.ts| per key, backward winning
+    * ties. Same ONE keyed exchange as [[leftAsOf]] — the union frame is
+    * walked by two window functions over the same partitioning (one sort
+    * ascending, one descending; Catalyst reuses the exchange), then the
+    * smaller age wins per row. `toleranceSec` bounds the distance in
+    * both directions. */
+  def leftAsOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      suffix: String = "_right",
+      toleranceSec: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "AsOfJoin: at least one key column")
+    val ts    = "__graft_asof_ts"
+    val side  = "__graft_asof_side"
+    val carry = "__graft_asof_carry"
+    val cB    = "__graft_asof_carry_b"
+    val cF    = "__graft_asof_carry_f"
+    val leftPayload = left.columns.filterNot(keys.contains).toSeq
+
+    val l = left
+      .withColumn(ts, col(leftTs))
+      .withColumn(side, lit(1))
+      .withColumn(carry, lit(null).cast(
+        right.select(struct((rightTs +: valueCols).map(col): _*)).schema.head.dataType))
+      .select((keys ++ Seq(ts, side, carry) ++ leftPayload).map(col): _*)
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn(ts, col(rightTs))
+      .withColumn(side, lit(0))
+      .withColumn(carry, struct((rightTs +: valueCols).map(col): _*))
+      .select((keys.map(col) ++ Seq(col(ts), col(side), col(carry))
+        ++ leftPayload.map(c => lit(null).cast(l.schema(c).dataType).as(c))): _*)
+
+    // ONE union, ONE keyed exchange, TWO sorts: both windows partition on
+    // the same keys (Catalyst reuses the exchange between them), one
+    // walking time ascending (most recent at-or-before), one descending
+    // (nearest at-or-after); side ASC in both keeps equal-timestamp
+    // right rows ahead of the left row in walk order — ties inclusive,
+    // the same contract as leftAsOf/leftAsOfForward.
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).desc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = l.unionByName(r)
+      .withColumn(cB, last(col(carry), ignoreNulls = true).over(wB))
+      .withColumn(cF, last(col(carry), ignoreNulls = true).over(wF))
+      .filter(col(side) === 1)
+
+    val ageB = unix_micros(col(ts)) - unix_micros(col(cB)(rightTs))
+    val ageF = unix_micros(col(cF)(rightTs)) - unix_micros(col(ts))
+    val tolUs = toleranceSec.map(_ * 1000000L)
+    val okB = col(cB).isNotNull && tolUs.map(t => ageB <= t).getOrElse(lit(true))
+    val okF = col(cF).isNotNull && tolUs.map(t => ageF <= t).getOrElse(lit(true))
+    // nearest wins; ties go backward (the pandas merge_asof convention
+    // documented here as: at equal distance the earlier version wins)
+    val pick = when(okB && (!okF || ageB <= ageF), col(cB))
+      .otherwise(when(okF, col(cF)))
+    val out = (keys ++ leftPayload).map(col) ++
+      (rightTs +: valueCols).map(c => pick(c).as(c + suffix))
+    matched.select(out: _*)
+  }
+
   private def joinAsOf(
       left: DataFrame,
       right: DataFrame,

@@ -327,8 +327,10 @@ object Planner {
               .leftAsOf(df, right, keys, lts, rts, vals, sfx, tol)
             case "forward" => graft.operators.AsOfJoin
               .leftAsOfForward(df, right, keys, lts, rts, vals, sfx, tol)
+            case "nearest" => graft.operators.AsOfJoin
+              .leftAsOfNearest(df, right, keys, lts, rts, vals, sfx, tol)
             case other =>
-              sys.error(s"AsOfJoin direction must be backward|forward, got '$other'")
+              sys.error(s"AsOfJoin direction must be backward|forward|nearest, got '$other'")
           }
         }
       case name if CorpusStages.contains(name) =>

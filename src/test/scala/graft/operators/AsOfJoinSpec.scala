@@ -196,4 +196,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(AsOfJoin.compactTemporalStore(spark, store, keys, "t", 1) == 5L)
     assert(enrich() == pre)
   }
+
+  test("nearest: min |distance|, backward ties, tolerance, one exchange") {
+    val l = Seq(
+      (1L, 1L, ts(250)), // b@240 d10 vs c@260 d10 — tie -> backward b
+      (2L, 1L, ts(255)), // b d15 vs c d5 -> c
+      (3L, 1L, ts(100)), // nothing before -> a@200 forward
+      (4L, 1L, ts(900)), // nothing after -> c@260 backward
+      (5L, 2L, ts(500)), // no right rows -> null
+    ).toDF("id", "k", "t")
+    val r = Seq(
+      (1L, ts(200), "a"), (1L, ts(240), "b"), (1L, ts(260), "c"),
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.leftAsOfNearest(l, r, Seq("k"), "t", "t", Seq("v"))
+      .select(col("id"), col("v_right")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(1L -> Some("b"), 2L -> Some("c"), 3L -> Some("a"),
+      4L -> Some("c"), 5L -> None))
+    // tolerance bounds the distance symmetrically
+    val tol = AsOfJoin.leftAsOfNearest(l, r, Seq("k"), "t", "t", Seq("v"),
+        toleranceSec = Some(50L))
+      .select(col("id"), col("v_right")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(tol == Map(1L -> Some("b"), 2L -> Some("c"), 3L -> None,
+      4L -> None, 5L -> None))
+    // plan: ONE keyed exchange feeding both window sorts
+    val plan = AsOfJoin.leftAsOfNearest(l, r, Seq("k"), "t", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
 }
