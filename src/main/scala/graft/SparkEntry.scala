@@ -125,6 +125,21 @@ object SparkEntry {
             .localCheckpoint())
     }
 
+  /** The smooth corpus PIXEL-DECODED — the reference side of the two
+    * transcode gates. q_image_formats compares two transcode arms
+    * against the same base decode and q_image_phash_jpeg a third; the
+    * seam those gates test is decoding the RE-ENCODED bytes, so the
+    * shared base decode is memoized like the fixtures (it was 4 of the
+    * 7 decode passes across the pair). */
+  private def sharedSmoothDecoded(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.synchronized {
+      pairsMemo
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir + "#smooth_px",
+          graft.ml.Multimodal.decodeImagePixels(sharedSynthSmooth(s, dir))
+            .localCheckpoint())
+    }
+
   /** Force-build the memoized shared frames for (session, dir). Bench
     * times this call as its own JSON line so the per-query numbers are
     * memo HITS for every consumer regardless of map order — without it,
@@ -136,6 +151,7 @@ object SparkEntry {
     sharedSynthMixed(s, dir)
     sharedSynthVariants(s, dir)
     sharedSynthSmooth(s, dir)
+    sharedSmoothDecoded(s, dir)
     ()
   }
 
@@ -969,12 +985,13 @@ object SparkEntry {
       val smooth = sharedSynthSmooth(s, dir)
       val jp = mm.transcodeImages(smooth, "jpg", 0.9f)
       def ham(a: Column, b: Column) = bit_count(a.bitwiseXOR(b))
-      def dec(d: DataFrame, p: String) = mm.decodeImagePixels(d)
+      def sel(d: DataFrame, p: String) = d
         .select(col("media_id"),
           col("px.width").as(p + "w"), col("px.height").as(p + "h"),
           col("px.ahash_hi").as(p + "ah"), col("px.ahash_lo").as(p + "al"),
           col("px.dhash_hi").as(p + "dh"), col("px.dhash_lo").as(p + "dl"))
-      dec(smooth, "p").join(dec(jp, "j"), "media_id")
+      def dec(d: DataFrame, p: String) = sel(mm.decodeImagePixels(d), p)
+      sel(sharedSmoothDecoded(s, dir), "p").join(dec(jp, "j"), "media_id")
         .select(col("media_id"),
           (col("pw") === col("jw") && col("ph") === col("jh"))
             .as("dims_match"),
@@ -993,15 +1010,16 @@ object SparkEntry {
     "q_image_formats" -> { (s, dir) =>
       val mm = graft.ml.Multimodal
       val smooth = sharedSynthSmooth(s, dir)
-      def dec(d: DataFrame, p: String) = mm.decodeImagePixels(d)
+      def sel(d: DataFrame, p: String) = d
         .select(col("media_id"),
           col("px.width").as(p + "w"), col("px.height").as(p + "h"),
           col("px.px_sum").as(p + "s"),
           col("px.ahash_hi").as(p + "ah"), col("px.ahash_lo").as(p + "al"),
           col("px.dhash_hi").as(p + "dh"), col("px.dhash_lo").as(p + "dl"))
+      val base = sel(sharedSmoothDecoded(s, dir), "p")
       def arm(fmt: String) =
-        dec(smooth, "p").join(dec(mm.transcodeImages(smooth, fmt), "j"),
-            "media_id")
+        base.join(sel(mm.decodeImagePixels(mm.transcodeImages(smooth, fmt)),
+            "j"), "media_id")
           .select(lit(fmt).as("fmt"), col("media_id"),
             (col("pw") === col("jw") && col("ph") === col("jh"))
               .as("dims_match"),
@@ -1209,6 +1227,25 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "text", "doc_id", k = 3)
     },
 
+    // corpus vocabulary: top-50 tokens by frequency (tokenizer-training /
+    // stopword-audit precursor); global top-N is TakeOrderedAndProject —
+    // per-task top-N, never the vocabulary on one node
+    "q_vocab" -> { (s, dir) =>
+      graft.ml.TextAnalysis.vocabulary(
+        Tables.load(s, dir, "documents"), "text", minCount = 3, topN = 50)
+    },
+
+    // per-doc 5-gram novelty vs a reference corpus (first 10 docs play
+    // the already-trained-on set): the scoring complement of
+    // decontamination — exact integer-division fractions the oracle
+    // reproduces bit-for-bit
+    "q_novelty" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      graft.ml.TextAnalysis.ngramNovelty(docs, docs.filter($"doc_id" < 10),
+        "text", "doc_id", "text", n = 5)
+    },
+
     // benchmark decontamination: first 10 docs play the benchmark set
     "q_decontaminate" -> { (s, dir) =>
       import s.implicits._
@@ -1245,6 +1282,28 @@ object SparkEntry {
       // globalShuffle (range shuffle + sort, plan-pinned)
       graft.ml.DatasetOps.shuffleWithPosition(
         Tables.load(s, dir, "documents").select("doc_id"), "doc_id", "sd")
+    },
+
+    // Range-sorted export + self-audit: write documents range-partitioned
+    // by doc_id into 4 internally-sorted parquet files, then prove the
+    // pruning contract FROM THE FILES — every file's key span disjoint
+    // (rank rows) and the full content round-tripped (count + key sum).
+    // Only a real range shuffle + sorted write satisfies both sections.
+    "q_sorted_write" -> { (s, dir) =>
+      val out = gateTmpDir("sorted-write")
+      val ops = graft.ml.DatasetOps
+      ops.writeRangeSorted(
+        Tables.load(s, dir, "documents").select("doc_id", "text", "source"),
+        "doc_id", out, files = 4)
+      val files = ops.auditFileRanges(s, out, "doc_id")
+        .select(lit("file").as("kind"), col("file_rank"), col("disjoint"),
+          lit(null).cast("long").as("n_rows"),
+          lit(null).cast("long").as("id_sum"))
+      val content = s.read.parquet(out)
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+        .select(lit("content").as("kind"), lit(0).cast("int").as("file_rank"),
+          lit(true).as("disjoint"), col("n_rows"), col("id_sum"))
+      files.unionByName(content)
     },
 
     "q_quota_sample" -> { (s, dir) =>
@@ -1311,6 +1370,22 @@ object SparkEntry {
         .groupBy($"n_name")
         .agg(sum(($"l_extendedprice".cast(Dec) * ($"l_discount".cast(Dec) * lit(-1) + lit(1))))
           .cast("double").as("revenue"))
+    },
+
+    // Skew-salted shuffle join: the (key, salt) rewrite must be
+    // row-for-row the plain equi-join — the oracle IS the unsalted SQL
+    // join. Hot left keys spread over 8 reducers instead of one; the
+    // SkewJoinSpec pins that the physical join keys carry the salt.
+    "q_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      val p = Tables.load(s, dir, "part")
+        .select($"p_partkey", $"p_brand", $"p_size")
+      graft.operators.SkewJoin.saltedJoin(li, p, "l_partkey", "p_partkey",
+          salt = 8)
+        .filter($"p_size" <= 5)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"p_brand")
     },
   )
 
@@ -2964,6 +3039,48 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
         |WHERE rank <= 3""".stripMargin,
 
+    "q_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), counts AS (
+        |  SELECT token, count(*) AS cnt FROM toks WHERE token <> ''
+        |  GROUP BY 1 HAVING count(*) >= 3
+        |)
+        |SELECT token, cnt, rank FROM (
+        |  SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+        |  FROM counts)
+        |WHERE rank <= 50""".stripMargin,
+
+    // mirrors ngramsAll's edge exactly: docs shorter than 5 tokens emit
+    // NO grams (empty list, not a clipped short gram) and come out with
+    // novelty 1.0; fractions are one correctly-rounded integer division
+    "q_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+        |    list_distinct([array_to_string(toks[i+1:i+5], ' ')
+        |      for i in range(0, len(toks)-5+1)])
+        |    ELSE [] END AS sh
+        |  FROM t
+        |), ref AS (
+        |  SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id < 10
+        |), flat AS (
+        |  SELECT doc_id, unnest(sh) AS gram FROM s
+        |), agg AS (
+        |  SELECT f.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS novelty
+        |  FROM flat f LEFT JOIN ref r USING (gram)
+        |  GROUP BY 1
+        |)
+        |SELECT t.doc_id AS id, coalesce(agg.n_grams, 0) AS n_grams,
+        |  coalesce(agg.novelty, 1.0) AS novelty
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     "q_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
@@ -3025,6 +3142,17 @@ object SparkEntry {
         |    ORDER BY md5(concat(coalesce(CAST(doc_id AS VARCHAR), ''), '|', 'sd')),
         |      doc_id)
         |  AS pos
+        |FROM documents""".stripMargin,
+
+    // file-section rows are the CONTRACT as constants (4 files, each
+    // disjoint — anything else means the range shuffle or the in-file
+    // sort broke); the content row binds the round-trip to the corpus
+    "q_sorted_write" ->
+      """SELECT 'file' AS kind, CAST(r AS INT) AS file_rank, true AS disjoint,
+        |  CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS id_sum
+        |FROM range(1, 5) t(r)
+        |UNION ALL
+        |SELECT 'content', 0, true, count(*), CAST(sum(doc_id) AS BIGINT)
         |FROM documents""".stripMargin,
 
     "q_quota_sample" ->
@@ -3115,5 +3243,12 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    // the salted rewrite must equal the PLAIN join row-for-row — the
+    // whole point of the gate
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5""".stripMargin,
   )
 }

@@ -365,4 +365,64 @@ object TextAnalysis {
       .where(col("score") >= col("__thr"))
       .drop("__thr")
   }
+
+  /** Corpus vocabulary: the `topN` most frequent tokens occurring at
+    * least `minCount` times, with total count and 1-based rank (count
+    * desc, token asc tiebreak) — the frequency table a tokenizer-training
+    * or stopword-audit pass starts from.
+    *
+    * Plan at scale: the tokenCounts kernel emits one (token, cnt) pair
+    * per DISTINCT token per doc (no per-token explode), the groupBy
+    * partial-aggregates map-side, and the global top-N is
+    * TakeOrderedAndProject — each task keeps its own top N and the
+    * driver merges N·tasks rows, never the vocabulary. The rank window
+    * runs over the N survivors only. */
+  def vocabulary(df: DataFrame, textCol: String, minCount: Long,
+      topN: Int): DataFrame = {
+    require(topN > 0, s"vocabulary: topN must be positive, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(graft.functions.ShingleFns.tokenCounts(
+        lower(col(textCol)))).as("tc"))
+      .groupBy(col("tc.token").as("token"))
+      .agg(sum(col("tc.cnt")).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topN)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
+  }
+
+  /** Per-document n-gram novelty against a reference corpus: the
+    * fraction of a doc's DISTINCT word n-grams absent from the
+    * reference — the scoring complement of decontamination (which
+    * drops on ANY overlap). Low novelty ≈ memorized/boilerplate/
+    * already-trained-on; mixing pipelines weight or drop by it.
+    *
+    * Plan: both sides expand to distinct grams (tokenCounts-style
+    * bounded rows), equi-join on gram — deliberately NO broadcast hint:
+    * a reference corpus's gram set at 100 TB is itself huge and must
+    * stay distributed (AQE broadcasts genuinely small ones unaided) —
+    * then one groupBy(doc). Docs shorter than `n` tokens have no grams
+    * and are emitted with novelty 1.0 (nothing matched). */
+  def ngramNovelty(corpus: DataFrame, reference: DataFrame, textCol: String,
+      idCol: String, refTextCol: String, n: Int): DataFrame = {
+    val grams = corpus.select(col(idCol).as("id"),
+      explode_outer(array_distinct(ngramsAll(lower(col(textCol)), n)))
+        .as("gram"))
+    val refGrams = reference
+      .select(explode(array_distinct(ngramsAll(lower(col(refTextCol)), n)))
+        .as("gram"))
+      .distinct()
+      .withColumn("__graft_seen", lit(1))
+    grams.join(refGrams, Seq("gram"), "left")
+      .groupBy("id")
+      .agg(
+        sum(when(col("gram").isNotNull, 1L).otherwise(0L)).as("n_grams"),
+        sum(when(col("gram").isNotNull && col("__graft_seen").isNull, 1L)
+          .otherwise(0L)).as("__graft_unseen"))
+      .select(col("id"), col("n_grams"),
+        when(col("n_grams") === 0, lit(1.0))
+          .otherwise(col("__graft_unseen").cast("double") / col("n_grams"))
+          .as("novelty"))
+  }
 }

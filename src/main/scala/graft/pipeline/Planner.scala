@@ -333,6 +333,24 @@ object Planner {
               sys.error(s"AsOfJoin direction must be backward|forward|nearest, got '$other'")
           }
         }
+      case "SaltedJoin" =>
+        // skew-resilient equi-join enrichment: `right` is an input spec
+        // like AsOfJoin's; hot keys spread over `salt` reducers and the
+        // result is row-for-row the plain join (SkewJoin scaladoc)
+        val rm = conf.anyMap("right")
+        if (rm.isEmpty) sys.error("SaltedJoin needs a `right` input spec, " +
+          "e.g. right: {input: Parquet, path: /data/dim.parquet}")
+        val lk = conf.strReq("key")
+        val rk = conf.str("right_key").getOrElse(lk)
+        val salt = conf.int("salt", 16)
+        val jt = conf.str("join_type").getOrElse("inner")
+        df => {
+          if (df.isStreaming) sys.error("SaltedJoin is batch-only (the " +
+            "right side re-loads per plan); for streams run it inside " +
+            "foreachBatch")
+          graft.operators.SkewJoin.saltedJoin(df,
+            input(df.sparkSession, rm.strReq("input"), rm), lk, rk, salt, jt)
+        }
       case name if CorpusStages.contains(name) =>
         if (ifConds.nonEmpty || addFields.nonEmpty || removeFields.nonEmpty ||
             failTag.nonEmpty)
@@ -351,7 +369,7 @@ object Planner {
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
     "MediaResample", "MediaFrames", "StripHtml", "QualityBand",
-    "SemanticSearch")
+    "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -685,6 +703,39 @@ object Planner {
             case other => sys.error(s"SemanticSearch: unknown method " +
               s"'$other' (ivf | lsh | brute)")
           }
+        }
+      case "Vocabulary" =>
+        // corpus frequency table: top-N tokens ≥ min_count, with rank —
+        // the tokenizer-training / stopword-audit precursor
+        df => graft.ml.TextAnalysis.vocabulary(df, text,
+          conf.long("min_count", 1L), conf.int("top_n", 10000))
+      case "Novelty" =>
+        // per-doc n-gram novelty vs a reference corpus (the scoring
+        // complement of Decontaminate); `reference` is an input spec
+        val rm = conf.anyMap("reference")
+        if (rm.isEmpty) sys.error("Novelty needs a `reference` input spec, " +
+          "e.g. reference: {input: Parquet, path: /data/seen.parquet}")
+        val n = conf.int("ngram", 5)
+        df => {
+          val ref = input(df.sparkSession, rm.strReq("input"), rm)
+          graft.ml.TextAnalysis.ngramNovelty(df, ref, text, id,
+            rm.str("src").getOrElse(text), n)
+        }
+      case "RangeSortedExport" =>
+        // tee-style sorted export: write the corpus range-partitioned +
+        // internally sorted by `key_field` (file-level min/max pruning
+        // downstream), pass the frame through unchanged. The write runs
+        // when the stage executes — a terminal Export before the sink.
+        val key = conf.str("key_field").getOrElse(id)
+        val path = conf.strReq("path")
+        val files = conf.int("files", 0) match {
+          case v if v > 0 => v
+          case _ => sys.error("RangeSortedExport needs a positive `files`")
+        }
+        val maxRec = conf.long("max_records_per_file", 0L)
+        df => {
+          graft.ml.DatasetOps.writeRangeSorted(df, key, path, files, maxRec)
+          df
         }
       case other => sys.error(s"unknown corpus stage '$other'")
     }

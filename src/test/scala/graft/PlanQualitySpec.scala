@@ -312,4 +312,33 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 0, s"corpus-side shuffle crept in:\n$plan")
   }
+
+  test("salted join: never a cartesian; shuffled form carries the salt in its keys") {
+    val plan = executedPlan("q_salted_join")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // at gate scale AQE may broadcast the small dim (fine — salting is
+    // then a no-op); force the shuffled path to pin the scale shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_salted_join")(spark, dir)
+      df.count()
+      val shuffled = df.queryExecution.executedPlan.toString
+      assert(shuffled.contains("__graft_salt"),
+        s"salt missing from the shuffled join keys:\n$shuffled")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("vocabulary: global top-N is TakeOrdered, never a single-partition sort") {
+    val plan = executedPlan("q_vocab")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // map-side combine on the token counts
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("novelty: reference grams join without a broadcast hint collapse to cartesian") {
+    val plan = executedPlan("q_novelty")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

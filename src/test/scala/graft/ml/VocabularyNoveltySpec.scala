@@ -1,0 +1,52 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class VocabularyNoveltySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabulary counts, filters by minCount, ranks count-desc then token") {
+    val docs = Seq(
+      (0L, "the cat sat"),
+      (1L, "the cat ran"),
+      (2L, "THE dog ran"),     // lowercased: 'the' counts 3
+      (3L, "zebra")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, "text", minCount = 2, topN = 10)
+      .as[(String, Long, Int)].collect().toSeq
+    // the:3, then cat:2/ran:2 tied -> lexicographic
+    assert(out == Seq(("the", 3L, 1), ("cat", 2L, 2), ("ran", 2L, 3)))
+  }
+
+  test("vocabulary topN cuts after ranking") {
+    val docs = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, "text", minCount = 1, topN = 2)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(out == Seq(("a", 3L, 1), ("b", 2L, 2)))
+  }
+
+  test("ngramNovelty: seen fraction, unseen docs, and short docs") {
+    val ref = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),        // both 3-grams seen -> 0.0
+      (1L, "one two three four"),            // nothing seen -> 1.0
+      (2L, "alpha beta gamma nine ten"),     // 1 of 3 grams seen -> 2/3
+      (3L, "too short")).toDF("doc_id", "text") // < n tokens -> no grams
+    val out = TextAnalysis.ngramNovelty(docs, ref, "text", "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((2L, 0.0)))
+    assert(out(1L) == ((2L, 1.0)))
+    assert(out(2L) == ((3L, 2.0 / 3.0)))
+    assert(out(3L) == ((0L, 1.0))) // emitted, novelty defaults high
+    assert(out.size == 4)          // every doc present, even gram-free ones
+  }
+
+  test("ngramNovelty dedups grams within a doc before scoring") {
+    val ref = Seq((0L, "x y z")).toDF("doc_id", "text")
+    // 'x y z' appears twice but counts once among the doc's DISTINCT grams
+    val docs = Seq((1L, "x y z x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, ref, "text", "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect().head
+    // distinct grams: "x y z", "y z x", "z x y" -> 1 seen of 3
+    assert(out == ((1L, 3L, 2.0 / 3.0)))
+  }
+}

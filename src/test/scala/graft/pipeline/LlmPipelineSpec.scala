@@ -581,4 +581,60 @@ class LlmPipelineSpec extends SparkSpec {
         "method" -> "faiss", "query_where" -> "EQ(id,0) || EQ(id,1)"))(df).count()
     }
   }
+
+  test("Vocabulary and Novelty stages dispatch the text-analysis ops") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat")).toDF("id", "text")
+    val vocab = Planner.corpusStage("Vocabulary",
+      Map("src" -> "text", "min_count" -> 2, "top_n" -> 2))(docs)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(vocab == Seq(("the", 3L, 1), ("sat", 2L, 2)))
+
+    val ref = tmp("novelty-ref")
+    Seq("the cat sat on the mat today").toDF("text")
+      .write.mode("overwrite").parquet(ref)
+    val nov = Planner.corpusStage("Novelty", Map(
+      "src" -> "text", "id_field" -> "id", "ngram" -> 3,
+      "reference" -> Map("input" -> "Parquet", "path" -> ref)))(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(nov(0L) == 0.0)   // every 3-gram of doc 0 is in the reference
+    assert(nov(1L) == 1.0)   // none of doc 1's are
+    intercept[RuntimeException] {
+      Planner.corpusStage("Novelty", Map("src" -> "text"))(docs)
+    }
+  }
+
+  test("SaltedJoin stage enriches against a right input spec") {
+    val dim = tmp("salted-dim")
+    Seq((0L, "zero"), (1L, "one")).toDF("k", "name")
+      .write.mode("overwrite").parquet(dim)
+    val facts = Seq((0L, 10L), (0L, 11L), (1L, 12L), (2L, 13L))
+      .toDF("k", "row_id")
+    val out = Planner.filterStage("SaltedJoin", Map(
+      "key" -> "k", "salt" -> 4, "join_type" -> "left",
+      "right" -> Map("input" -> "Parquet", "path" -> dim)))(facts)
+      .orderBy("row_id").select("k", "row_id", "name")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(out == Seq((0L, 10L, Some("zero")), (0L, 11L, Some("zero")),
+      (1L, 12L, Some("one")), (2L, 13L, None)))
+    intercept[RuntimeException] {
+      Planner.filterStage("SaltedJoin", Map("key" -> "k"))(facts)
+    }
+  }
+
+  test("RangeSortedExport tees a sorted, range-partitioned export") {
+    val out = tmp("range-export")
+    val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("id", "text")
+    val passed = Planner.corpusStage("RangeSortedExport", Map(
+      "id_field" -> "id", "path" -> out, "files" -> 3))(docs)
+    assert(passed.count() == 200L) // pass-through, cardinality intact
+    val audit = graft.ml.DatasetOps.auditFileRanges(spark, out, "id")
+      .as[(Int, Long, Boolean)].collect()
+    assert(audit.length == 3 && audit.forall(_._3))
+    assert(spark.read.parquet(out).count() == 200L)
+    intercept[RuntimeException] {
+      Planner.corpusStage("RangeSortedExport", Map("path" -> out))(docs)
+    }
+  }
 }
