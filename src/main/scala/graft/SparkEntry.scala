@@ -1387,6 +1387,45 @@ object SparkEntry {
         .filter($"p_size" <= 5)
         .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"p_brand")
     },
+
+    // Corpus snapshot diff: the old version dropped every %10==3 doc and
+    // carried a stale text for %10==5 — the diff must read added/changed
+    // exactly, moving only (id, hash) rows through the join
+    "q_corpus_diff" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val old = docs.filter($"doc_id" % 10 =!= 3)
+        .withColumn("text", when($"doc_id" % 10 === 5,
+          concat($"text", lit(" v2"))).otherwise($"text"))
+      graft.ml.DatasetOps.corpusDiff(old, docs, "doc_id", "text")
+    },
+
+    // Inverted index in row form: tokens seen in ≥5 docs, first 3
+    // postings each — df and rank computed in ONE window pass, never a
+    // collect_list of a stop-word's full posting chain
+    "q_inverted_index" -> { (s, dir) =>
+      graft.ml.TextAnalysis.invertedIndex(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        minDf = 5L, maxPostings = 3)
+    },
+
+    // Morton z-value over (l_orderkey, l_partkey): equi-width buckets
+    // from lazily-broadcast bounds, bit-interleave in a codegen'd
+    // kernel — the clustering key writeZOrdered sorts exports by
+    "q_zorder" -> { (s, dir) =>
+      graft.ml.DatasetOps.withZValue(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey"), bits = 8, zName = "z")
+        .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+    },
+
+    // Exact KNN self-join (every vector's 3 nearest others) — the
+    // verifiable baseline; the IVF-celled scale arm is recall-gated in
+    // KnnJoinSpec against this exact result
+    "q_knn" -> { (s, dir) =>
+      graft.ml.Similarity.knnJoinBrute(
+        Tables.load(s, dir, "embeddings"), "embedding", "vec_id", k = 3)
+    },
   )
 
   /** DuckDB SQL for the SRP-LSH bucket id over a DOUBLE[] column `v`:
@@ -3250,5 +3289,68 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, p_brand
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 5""".stripMargin,
+
+    // the oracle compares TEXTS where the engine compares xxhash64
+    // fingerprints — equal verdicts modulo a ~2^-64 collision
+    "q_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |), j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text <> n.text THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN documents n ON o.doc_id = n.doc_id)
+        |SELECT id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), w AS (
+        |  SELECT token, doc_id,
+        |    count(*) OVER (PARTITION BY token) AS df,
+        |    CAST(row_number() OVER (PARTITION BY token ORDER BY doc_id)
+        |      AS INT) AS posting_rank
+        |  FROM t WHERE token <> '')
+        |SELECT token, df, posting_rank, doc_id FROM w
+        |WHERE df >= 5 AND posting_rank <= 3""".stripMargin,
+
+    // bucket arithmetic and bit interleave replayed term-by-term; `//`
+    // is DuckDB integer division (inputs non-negative after the shift)
+    "q_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((ba >> $i) & 1) << ${2 * i})",
+        s"(((bb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH b AS (
+        |  SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+        |         min(l_partkey) AS mnp, max(l_partkey) AS mxp
+        |  FROM lineitem
+        |), k AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    ((l_orderkey - mno) * 256) // (mxo - mno + 1) AS ba,
+        |    ((l_partkey - mnp) * 256) // (mxp - mnp + 1) AS bb
+        |  FROM lineitem CROSS JOIN b)
+        |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z
+        |FROM k""".stripMargin
+    },
+
+    "q_knn" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    list_reduce(list_zip(q.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |    sqrt(list_reduce(list_zip(q.v, q.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |         list_reduce(list_zip(c.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b)) AS sim
+        |  FROM c q JOIN c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, vec_id, rank, sim FROM (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
   )
 }

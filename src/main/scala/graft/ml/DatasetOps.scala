@@ -370,6 +370,113 @@ object DatasetOps {
      else w).parquet(path)
   }
 
+  /** Equi-width bucket index in [0, 2^bits) for a numeric column, with
+    * the domain bounds supplied as columns (from a broadcast 1-row
+    * bounds frame — see [[withZValue]]). Exact integer arithmetic:
+    * ((x − min) · 2^bits) div (max − min + 1); callers must keep
+    * (max − min + 1) · 2^bits below 2^63 (true for any id/timestamp
+    * domain at bits ≤ 16). NULLs bucket to 0. */
+  private def equiWidthBucket(x: Column, mn: Column, mx: Column,
+      bits: Int): Column = {
+    val idiv = (a: Column, b: Column) => Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(a), Bridge.expression(b)))
+    val nb = 1L << bits
+    idiv((coalesce(x.cast("long"), mn) - mn) * nb, mx - mn + 1L)
+  }
+
+  /** Append a Morton z-value column interleaving `cols`' equi-width
+    * bucket indices. The per-column min/max bounds aggregate to a 1-row
+    * frame that re-enters the plan via `crossJoin(broadcast(...))` —
+    * the whole computation stays one lazy query (no driver action), and
+    * the corpus side is scanned once. */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      zName: String = "z"): DataFrame = {
+    require(cols.nonEmpty, "withZValue: need at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__graft_zmin_$c"),
+      max(col(c).cast("long")).as(s"__graft_zmax_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val buckets = cols.map(c => equiWidthBucket(col(c),
+      col(s"__graft_zmin_$c"), col(s"__graft_zmax_$c"), bits))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(zName,
+        graft.functions.ZOrderFns.interleaveBits(buckets, bits))
+      .drop(cols.flatMap(c =>
+        Seq(s"__graft_zmin_$c", s"__graft_zmax_$c")): _*)
+  }
+
+  /** Z-order clustered parquet export: cluster the corpus by the Morton
+    * interleave of `cols` so every output file covers a bounded
+    * hyper-rectangle of the multi-column key space — footer min/max
+    * pruning then works for predicates on ANY clustered column, where
+    * [[writeRangeSorted]] prunes only on its single sort key. The
+    * at-scale layout for a corpus queried by more than one dimension
+    * (e.g. (source, date) or (user, time)).
+    *
+    * Plan: bounds agg (broadcast 1-row) → z-value (codegen'd
+    * interleave) → ONE range shuffle on z → per-partition sort → write
+    * with the scratch z column dropped (a projection after the sort —
+    * order survives, no extra exchange). */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
+      files: Int, bits: Int = 8, maxRecordsPerFile: Long = 0L): Unit = {
+    require(files > 0, s"writeZOrdered: files must be positive, got $files")
+    val z = "__graft_z"
+    val w = withZValue(df, cols, bits, z)
+      .repartitionByRange(files, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(path)
+  }
+
+  /** Audit a [[writeZOrdered]] export: one row per file with its row
+    * count and each clustered column's [min, max] span — the spans ARE
+    * the pruning contract (a predicate on any clustered column skips
+    * every file whose span excludes it). Distributed except the final
+    * per-file frame (file count rows, never row count). */
+  def auditFileRectangles(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.parquet(path)
+      .withColumn("__graft_f", input_file_name())
+      .groupBy("__graft_f")
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__graft_f")
+  }
+
+  /** Snapshot diff between two corpus versions: which documents were
+    * added, removed, or changed from `oldDf` to `newDf` — the audit a
+    * recurring crawl/refresh pipeline runs before committing a new
+    * corpus version (unexpected mass-removal or mass-change is the
+    * classic sign of an upstream extraction regression).
+    *
+    * Plan at scale: each side projects to (id, xxhash64(content)) BEFORE
+    * the shuffle — the join moves 16-byte rows, never document bodies —
+    * then one full-outer sort-merge join on id. Content equality is
+    * hash equality (64-bit; a collision misreports `changed` as
+    * `unchanged` with probability ~2^-64 per pair). Unchanged rows are
+    * dropped by default — at 100 TB they are ~all the corpus and
+    * downstream only acts on the delta; pass `includeUnchanged = true`
+    * for full-audit exports. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String, includeUnchanged: Boolean = false): DataFrame = {
+    def fp(df: DataFrame, h: String) = df.select(col(idCol).as("id"),
+      xxhash64(col(textCol)).as(h))
+    val joined = fp(oldDf, "__graft_old").join(fp(newDf, "__graft_new"),
+      Seq("id"), "full_outer")
+    val status = when(col("__graft_old").isNull, "added")
+      .when(col("__graft_new").isNull, "removed")
+      .when(col("__graft_old") =!= col("__graft_new"), "changed")
+      .otherwise("unchanged")
+    val tagged = joined.select(col("id"), status.as("status"))
+    if (includeUnchanged) tagged
+    else tagged.filter(col("status") =!= "unchanged")
+  }
+
   /** Audit a [[writeRangeSorted]] export's pruning contract from the
     * files alone: per file, its key span; globally, whether spans are
     * pairwise disjoint. Returns one row per file ranked by span start —

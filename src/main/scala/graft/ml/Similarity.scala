@@ -538,6 +538,69 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+  /** Exact k-nearest-neighbor SELF-join: for every vector, its `k` most
+    * cosine-similar OTHER vectors. All-pairs by contract (the verifiable
+    * baseline and the right tool up to ~10^5 vectors per broadcast
+    * side); [[knnJoin]] is the celled scale path. */
+  def knnJoinBrute(df: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val c = df.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("csd", dot(col("cv"), col("cv")))
+    val q = c.select(col("vec_id").as("query_id"), col("cv").as("qv"),
+      col("csd").as("qsd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        overNorm(dot(col("qv"), col("cv")), sqrt(col("qsd") * col("csd"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "sim")
+  }
+
+  /** Approximate k-nearest-neighbor SELF-join via IVF cells — the
+    * all-to-all companion of [[ivfSearch]] (whose broadcast-the-queries
+    * shape is wrong when the query set IS the corpus). Each vector's
+    * candidates are the vectors assigned to its `nprobe` nearest cells:
+    * corpus and probe sides meet in a shuffled EQUI-join on cell_id —
+    * never broadcast, never all-pairs — so the pair count is
+    * Σ_cell (cell_size × probes_into_cell), linear in corpus size for
+    * balanced cells. One more exchange ranks candidates per query
+    * (WindowGroupLimit cuts to k early). Recall is governed by
+    * (numCells, nprobe) exactly as in [[ivfSearch]]; on a NEAR-UNIFORM
+    * corpus (the hard case — no cluster structure for the quantizer to
+    * exploit) measured top-3 recall at 16 cells is np2=0.30 np4=0.48
+    * np8=0.74 np16=1.00 seeded, with kmeans-trained centroids lifting
+    * np8 to 0.84 — size nprobe to the corpus's clusteredness with the
+    * KnnJoinSpec recall harness before trusting a default. */
+  def knnJoin(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      numCells: Int = 16, nprobe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val idx = buildIvfIndex(df, vecCol, idCol, numCells, centroids)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell_id"))
+    val probes = df.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qsd", dot(col("qv"), col("qv")))
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("csim",
+        overNorm(dot(col("qv"), col("centroid")), sqrt(col("qsd") * col("centsd"))))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qsd"), col("cell_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    idx.assigned.join(probes, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        overNorm(dot(col("qv"), col("cv")), sqrt(col("qsd") * col("csd"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "sim")
+  }
+
   // ---- incremental semantic (embedding) seen-store ------------------------
 
   private def readVecStoreOpt(spark: org.apache.spark.sql.SparkSession,

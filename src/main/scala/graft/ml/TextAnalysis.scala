@@ -392,6 +392,37 @@ object TextAnalysis {
         .over(Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
   }
 
+  /** Inverted-index build: one row per (token, posting) with the token's
+    * document frequency and the posting's 1-based rank — the
+    * search-shard artifact (token → sorted doc-id list) in row form,
+    * bounded to `maxPostings` docs per token so a stop-word's posting
+    * list cannot grow with the corpus.
+    *
+    * Plan at scale: the tokenCounts kernel emits one row per DISTINCT
+    * (doc, token) — no per-occurrence explode — then ONE exchange on
+    * token drives both window functions (`count` for df and
+    * `row_number` for rank share the partition), and the rank cut runs
+    * as WindowGroupLimit pushdown where eligible. No groupBy, no
+    * collect_list: per-token state is the spillable window sort, never
+    * an agg buffer holding a stop-word's million postings. */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+      minDf: Long = 1L, maxPostings: Int = Int.MaxValue): DataFrame = {
+    require(maxPostings > 0,
+      s"invertedIndex: maxPostings must be positive, got $maxPostings")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("token"))
+    val postings = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ShingleFns.tokenCounts(lower(col(textCol))))
+          .as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"))
+    postings
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("posting_rank",
+        row_number().over(w.orderBy(col("doc_id"))).cast("int"))
+      .filter(col("df") >= minDf && col("posting_rank") <= maxPostings)
+      .select("token", "df", "posting_rank", "doc_id")
+  }
+
   /** Per-document n-gram novelty against a reference corpus: the
     * fraction of a doc's DISTINCT word n-grams absent from the
     * reference — the scoring complement of decontamination (which

@@ -369,7 +369,8 @@ object Planner {
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
     "MediaResample", "MediaFrames", "StripHtml", "QualityBand",
-    "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport")
+    "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
+    "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -720,6 +721,50 @@ object Planner {
           val ref = input(df.sparkSession, rm.strReq("input"), rm)
           graft.ml.TextAnalysis.ngramNovelty(df, ref, text, id,
             rm.str("src").getOrElse(text), n)
+        }
+      case "CorpusDiff" =>
+        // snapshot diff vs a previous corpus version: `old` is an input
+        // spec; emits (id, status ∈ added|removed|changed) — the
+        // pre-commit audit of a recurring crawl/refresh
+        val om = conf.anyMap("old")
+        if (om.isEmpty) sys.error("CorpusDiff needs an `old` input spec, " +
+          "e.g. old: {input: Parquet, path: /data/corpus_v1.parquet}")
+        val unchanged = conf.bool("include_unchanged", false)
+        df => {
+          val old = input(df.sparkSession, om.strReq("input"), om)
+          graft.ml.DatasetOps.corpusDiff(old, df, id, text, unchanged)
+        }
+      case "InvertedIndex" =>
+        // token → bounded posting rows with document frequency
+        df => graft.ml.TextAnalysis.invertedIndex(df, text, id,
+          conf.long("min_df", 1L), conf.int("max_postings", 1000))
+      case "KnnJoin" =>
+        // every row's k nearest neighbors by embedding cosine; `ivf`
+        // (default) is the celled scale arm, `brute` the exact baseline
+        val vec = conf.str("src").getOrElse("embedding")
+        val k = conf.int("k", 10)
+        df => conf.str("method").getOrElse("ivf") match {
+          case "ivf" => graft.ml.Similarity.knnJoin(df, vec, id, k,
+            conf.int("num_cells", 16), conf.int("nprobe", 2))
+          case "brute" => graft.ml.Similarity.knnJoinBrute(df, vec, id, k)
+          case other => sys.error(s"KnnJoin: unknown method '$other' (ivf | brute)")
+        }
+      case "ZOrderExport" =>
+        // tee-style multi-column clustered export (see RangeSortedExport
+        // for the single-key form): `by` lists the clustered columns
+        val by = conf.strSeq("by")
+        if (by.isEmpty) sys.error("ZOrderExport needs `by` (the clustered " +
+          "columns), e.g. by: [source, doc_id]")
+        val path = conf.strReq("path")
+        val files = conf.int("files", 0) match {
+          case v if v > 0 => v
+          case _ => sys.error("ZOrderExport needs a positive `files`")
+        }
+        val bits = conf.int("bits", 8)
+        val maxRec = conf.long("max_records_per_file", 0L)
+        df => {
+          graft.ml.DatasetOps.writeZOrdered(df, by, path, files, bits, maxRec)
+          df
         }
       case "RangeSortedExport" =>
         // tee-style sorted export: write the corpus range-partitioned +

@@ -341,4 +341,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("zorder: bounds broadcast as one row; the corpus never hash-shuffles") {
+    val plan = executedPlan("q_zorder")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 0, s"corpus-side shuffle crept in:\n$plan")
+    assert(plan.contains("interleave_bits"), plan)
+  }
+
+  test("inverted index: df and rank share ONE exchange on token") {
+    val plan = executedPlan("q_inverted_index")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one token exchange:\n$plan")
+  }
+
+  test("corpus diff: hash-projected full-outer merge join, no cartesian") {
+    val plan = executedPlan("q_corpus_diff")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("FullOuter"), plan)
+    // the join moves (id, hash) rows only — each exchange's direct child
+    // is the Project that already reduced the document to its xxhash64
+    val lines = plan.linesIterator.toVector
+    val exchangeChildren = lines.zip(lines.drop(1)).collect {
+      case (ex, child) if ex.contains("Exchange hashpartitioning") => child
+    }
+    assert(exchangeChildren.size == 2 &&
+      exchangeChildren.forall(_.contains("xxhash64")),
+      s"document bodies crossed an exchange:\n$plan")
+  }
 }

@@ -623,6 +623,61 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("CorpusDiff stage diffs against an `old` input spec") {
+    val oldPath = tmp("diff-old")
+    Seq((0L, "same"), (1L, "stale"), (2L, "gone")).toDF("id", "text")
+      .write.mode("overwrite").parquet(oldPath)
+    val neu = Seq((0L, "same"), (1L, "fresh"), (3L, "born"))
+      .toDF("id", "text")
+    val out = Planner.corpusStage("CorpusDiff", Map(
+      "id_field" -> "id", "src" -> "text",
+      "old" -> Map("input" -> "Parquet", "path" -> oldPath)))(neu)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "changed", 2L -> "removed", 3L -> "added"))
+    intercept[RuntimeException] {
+      Planner.corpusStage("CorpusDiff", Map("src" -> "text"))(neu)
+    }
+  }
+
+  test("InvertedIndex and KnnJoin stages dispatch with their knobs") {
+    val docs = Seq((0L, "a b"), (1L, "a c")).toDF("id", "text")
+    val idx = Planner.corpusStage("InvertedIndex", Map(
+      "id_field" -> "id", "src" -> "text", "min_df" -> 2))(docs)
+      .as[(String, Long, Int, Long)].collect().toSet
+    assert(idx == Set(("a", 2L, 1, 0L), ("a", 2L, 2, 1L)))
+
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("id", "embedding")
+    val knn = Planner.corpusStage("KnnJoin", Map(
+      "id_field" -> "id", "method" -> "brute", "k" -> 1))(vecs)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert(knn(0L) == 1L && knn(1L) == 0L) // mutual nearest
+    assert(knn(2L) == 1L) // v1 has the only non-zero cosine with v2
+    intercept[RuntimeException] {
+      Planner.corpusStage("KnnJoin", Map("method" -> "faiss"))(vecs)
+    }
+  }
+
+  test("ZOrderExport tees a z-clustered export") {
+    val out = tmp("zorder-export")
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L)
+      yield (a, b)).toDF("a", "b")
+    val passed = Planner.corpusStage("ZOrderExport", Map(
+      "by" -> Seq("a", "b"), "path" -> out, "files" -> 4))(grid)
+    assert(passed.count() == 256L) // pass-through
+    val rects = graft.ml.DatasetOps.auditFileRectangles(spark, out,
+        Seq("a", "b"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rects.length == 4 && rects.map(_._5).sum == 256L)
+    rects.foreach { case (amin, amax, bmin, bmax, _) =>
+      assert(amax - amin <= 8 && bmax - bmin <= 8)
+    }
+    intercept[RuntimeException] {
+      Planner.corpusStage("ZOrderExport", Map("path" -> out))(grid)
+    }
+  }
+
   test("RangeSortedExport tees a sorted, range-partitioned export") {
     val out = tmp("range-export")
     val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("id", "text")
