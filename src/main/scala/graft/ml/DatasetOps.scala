@@ -116,7 +116,13 @@ object DatasetOps {
     * "test" -> 0.05)` labels u < 0.90 train, u < 0.95 val, rest test.
     * Pure projection — rows never move; downstream writers partition by
     * the label. Fractions must sum to ~1 (the last split absorbs any
-    * remainder). */
+    * remainder).
+    *
+    * Leakage-free (grouped) splits: key `frac` by the LEAKAGE UNIT, not
+    * the row — `assignSplits(df, hash01(col("domain")), …)` sends every
+    * page of a domain to the same split, the standard guard against
+    * near-duplicate train/test contamination. Any row-level frac splits
+    * a domain's near-identical pages across train and test. */
   def assignSplits(df: DataFrame, frac: Column,
       splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "assignSplits: need at least one split")

@@ -398,28 +398,44 @@ object TextAnalysis {
     * bounded to `maxPostings` docs per token so a stop-word's posting
     * list cannot grow with the corpus.
     *
-    * Plan at scale: the tokenCounts kernel emits one row per DISTINCT
-    * (doc, token) — no per-occurrence explode — then ONE exchange on
-    * token drives both window functions (`count` for df and
-    * `row_number` for rank share the partition), and the rank cut runs
-    * as WindowGroupLimit pushdown where eligible. No groupBy, no
-    * collect_list: per-token state is the spillable window sort, never
-    * an agg buffer holding a stop-word's million postings. */
+    * Plan at scale — a stop-word must never become a straggler. The
+    * tokenCounts kernel emits one row per DISTINCT (doc, token) (no
+    * per-occurrence explode); then df and rank deliberately take
+    * SEPARATE bounded paths instead of one shared window:
+    *
+    *   - df: groupBy(token).count — partial aggregation collapses each
+    *     mapper's postings to its distinct tokens BEFORE the shuffle,
+    *     so "the"-appears-in-every-doc moves as one long per mapper;
+    *   - rank: row_number window whose `<= maxPostings` filter runs as
+    *     WindowGroupLimit with a PARTIAL (map-side) pass — each mapper
+    *     forwards at most maxPostings rows per token, so the reducer
+    *     sees maxPostings × mappers, never the corpus;
+    *   - the final equi-join re-uses the token partitioning both
+    *     children already have (no third exchange).
+    *
+    * A single window computing `count().over(token)` + row_number — the
+    * "obvious" one-exchange shape — would funnel EVERY posting of every
+    * stop-word through that token's one reducer: at web scale that is a
+    * corpus-sized partition on one task. Two bounded exchanges beat one
+    * unbounded one. */
   def invertedIndex(df: DataFrame, textCol: String, idCol: String,
       minDf: Long = 1L, maxPostings: Int = Int.MaxValue): DataFrame = {
     require(maxPostings > 0,
       s"invertedIndex: maxPostings must be positive, got $maxPostings")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("token"))
     val postings = df.select(col(idCol).as("doc_id"),
         explode(graft.functions.ShingleFns.tokenCounts(lower(col(textCol))))
           .as("tc"))
       .select(col("doc_id"), col("tc.token").as("token"))
-    postings
-      .withColumn("df", count(lit(1)).over(w))
-      .withColumn("posting_rank",
-        row_number().over(w.orderBy(col("doc_id"))).cast("int"))
-      .filter(col("df") >= minDf && col("posting_rank") <= maxPostings)
+    val dfCounts = postings.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val ranked = postings
+      .withColumn("posting_rank", row_number()
+        .over(Window.partitionBy(col("token")).orderBy(col("doc_id")))
+        .cast("int"))
+      .filter(col("posting_rank") <= maxPostings)
+    ranked.join(dfCounts, Seq("token"))
       .select("token", "df", "posting_rank", "doc_id")
   }
 

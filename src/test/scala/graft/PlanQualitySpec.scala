@@ -349,10 +349,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("interleave_bits"), plan)
   }
 
-  test("inverted index: df and rank share ONE exchange on token") {
+  test("inverted index: two BOUNDED token exchanges, never a stop-word straggler") {
     val plan = executedPlan("q_inverted_index")
+    // df path: partial agg collapses postings map-side before its shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // rank path: the maxPostings cut runs as a map-side (Partial)
+    // WindowGroupLimit, so no token's full posting chain crosses the wire
+    assert(plan.contains("WindowGroupLimit") &&
+      plan.contains("Partial"), s"map-side posting cut missing:\n$plan")
+    // the final join reuses the token partitioning: exactly the two
+    // child exchanges, none for the join itself
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 1, s"expected one token exchange:\n$plan")
+    assert(exchanges <= 2, s"expected at most two token exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("corpus diff: hash-projected full-outer merge join, no cartesian") {

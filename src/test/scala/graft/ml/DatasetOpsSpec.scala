@@ -42,6 +42,22 @@ class DatasetOpsSpec extends SparkSpec {
     assert(counts("train") > counts.getOrElse("val", 0L))
   }
 
+  test("assignSplits keyed by the leakage unit keeps whole groups in one split") {
+    // 30 domains x 5 pages: frac over the DOMAIN, so a domain's near-dup
+    // pages can never straddle train/test
+    val pages = (for (d <- 0L until 30L; p <- 0 until 5)
+      yield (d * 100 + p, s"domain$d")).toDF("doc_id", "domain")
+    val out = DatasetOps.assignSplits(pages,
+      DatasetOps.hash01(col("domain"), seed = 7),
+      Seq("train" -> 0.8, "test" -> 0.2))
+    val perDomain = out.groupBy("domain")
+      .agg(countDistinct(col("split")).as("n"))
+      .as[(String, Long)].collect()
+    assert(perDomain.forall(_._2 == 1L),
+      s"split leaked across a domain: ${perDomain.filter(_._2 > 1).mkString}")
+    assert(out.select("split").distinct().count() == 2) // both splits used
+  }
+
   test("packSequences lays docs head-to-tail per shard within the budget") {
     val docs = Seq(
       (0L, "a", "t1 t2 t3"),       // 3 tokens, start 0, bin 0
