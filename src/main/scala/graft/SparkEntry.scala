@@ -1419,12 +1419,39 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("z"))
     },
 
+    // Token-budget mixture plan: relative weights + a 30k-token budget
+    // sized against each source's REAL token mass; src0's 3× weight
+    // overshoots its mass, so its rate clamps at 1 and the deficit
+    // column carries the shortfall (the audit the clamp would otherwise
+    // hide)
+    "q_mix_plan" -> { (s, dir) =>
+      graft.ml.DatasetOps.planMixture(
+        Tables.load(s, dir, "documents"), "source", "text",
+        Map("src0" -> 3.0, "src1" -> 2.0), defaultWeight = 1.0,
+        totalBudget = 30000L)
+    },
+
+    // the plan applied: per-source keep rates decided by the portable
+    // per-doc fraction — reproducible, broadcast-rate, shuffle-free
+    "q_mix_apply" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val plan = graft.ml.DatasetOps.planMixture(docs, "source", "text",
+        Map("src0" -> 3.0, "src1" -> 2.0), 1.0, 30000L)
+      graft.ml.DatasetOps.applyMixture(docs, plan, "source",
+          graft.ml.DatasetOps.portable01(col("doc_id"), seed = 3))
+        .select("doc_id", "source")
+    },
+
     // Exact KNN self-join (every vector's 3 nearest others) — the
     // verifiable baseline; the IVF-celled scale arm is recall-gated in
-    // KnnJoinSpec against this exact result
+    // KnnJoinSpec against this exact result. Bounded to a 2k-vector
+    // panel (a no-op at verify SF): brute is quadratic BY CONTRACT, and
+    // the bench should time the kernel, not pay 25M pairs per round
     "q_knn" -> { (s, dir) =>
+      import s.implicits._
       graft.ml.Similarity.knnJoinBrute(
-        Tables.load(s, dir, "embeddings"), "embedding", "vec_id", k = 3)
+        Tables.load(s, dir, "embeddings").filter($"vec_id" < 2000),
+        "embedding", "vec_id", k = 3)
     },
   )
 
@@ -3339,8 +3366,46 @@ object SparkEntry {
         |FROM k""".stripMargin
     },
 
+    // weights are small exact-representable doubles, so Σweight is
+    // order-independent and the double arithmetic replays bit-for-bit
+    "q_mix_plan" ->
+      """WITH t AS (
+        |  SELECT source AS "group",
+        |    len(string_split_regex(text, '\s+')) AS tc
+        |  FROM documents
+        |), p AS (
+        |  SELECT "group", CAST(sum(tc) AS BIGINT) AS n_tokens,
+        |    CASE "group" WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+        |      ELSE 1.0 END AS weight
+        |  FROM t GROUP BY 1
+        |), w AS (SELECT sum(weight) AS ws FROM p)
+        |SELECT "group", n_tokens, weight,
+        |  30000.0 * weight / ws AS target_tokens,
+        |  least(1.0, (30000.0 * weight / ws) / n_tokens) AS rate,
+        |  greatest(0.0, (30000.0 * weight / ws) - n_tokens) AS deficit
+        |FROM p CROSS JOIN w""".stripMargin,
+
+    // portable01(seed=3): additive constant 3*97+12345 = 12636
+    "q_mix_apply" ->
+      """WITH t AS (
+        |  SELECT source AS g, len(string_split_regex(text, '\s+')) AS tc
+        |  FROM documents
+        |), p AS (
+        |  SELECT g, CAST(sum(tc) AS BIGINT) AS n_tokens,
+        |    CASE g WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+        |      ELSE 1.0 END AS weight
+        |  FROM t GROUP BY 1
+        |), w AS (SELECT sum(weight) AS ws FROM p),
+        |r AS (
+        |  SELECT g, least(1.0, (30000.0 * weight / ws) / n_tokens) AS rate
+        |  FROM p CROSS JOIN w)
+        |SELECT doc_id, source FROM documents JOIN r ON source = r.g
+        |WHERE CAST(((doc_id % 1048576) * 2654435761 + 12636) % 4294967296
+        |    AS DOUBLE) / 4294967296.0 < rate""".stripMargin,
+
     "q_knn" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 2000),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id,
         |    list_reduce(list_zip(q.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) /

@@ -111,6 +111,62 @@ object DatasetOps {
       lit(defaultWeight)))
   }
 
+  /** Token-budget mixture planning: turn RELATIVE source weights plus a
+    * TOTAL token budget into per-source sampling rates sized against
+    * each source's actual token mass — the step between "we want
+    * 30% web / 50% books / 20% code" and a runnable [[sampleByWeights]]
+    * filter. Emits one row per source:
+    * (group, n_tokens, weight, target_tokens, rate, deficit) where
+    * `target_tokens = budget · weight / Σweights`,
+    * `rate = min(1, target / n_tokens)` and `deficit` is the token
+    * shortfall of a source too small for its target (rate clamped at 1
+    * — rerun with redistributed weights, or accept the under-fill; the
+    * deficit column is the audit that makes the clamp visible instead
+    * of silent).
+    *
+    * Plan at scale: ONE map-side-combined aggregation over the corpus
+    * (shuffle key = source, rows = distinct sources), then the weight
+    * normalization over the tiny per-source frame via a broadcast 1-row
+    * Σweights — no driver action, composes lazily. */
+  def planMixture(df: DataFrame, groupCol: String, textCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, "planMixture: totalBudget must be positive")
+    val table =
+      if (weights.isEmpty) typedLit(Map.empty[String, Double])
+      else map(weights.toSeq.sortBy(_._1)
+        .flatMap { case (k, w) => Seq(lit(k), lit(w)) }: _*)
+    val perSource = df.groupBy(col(groupCol).as("group"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("n_tokens"))
+      .withColumn("weight",
+        coalesce(element_at(table, col("group")), lit(defaultWeight)))
+    val wsum = perSource.agg(sum(col("weight")).as("__graft_wsum"))
+    perSource.crossJoin(broadcast(wsum))
+      .withColumn("target_tokens",
+        lit(totalBudget.toDouble) * col("weight") / col("__graft_wsum"))
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens") / col("n_tokens")))
+      .withColumn("deficit",
+        greatest(lit(0.0), col("target_tokens") - col("n_tokens")))
+      .drop("__graft_wsum")
+  }
+
+  /** Apply a [[planMixture]] plan: keep each row with its source's
+    * planned rate, decided by the deterministic `frac` (same contract
+    * as [[sampleByWeights]] — reproducible, complementary-rate
+    * disjoint). The plan frame is sources-sized and broadcasts; rows
+    * never shuffle. Sources absent from the plan are dropped (rate 0) —
+    * they contributed no tokens when the plan was made, so keeping them
+    * would exceed the budget unaudited. */
+  def applyMixture(df: DataFrame, plan: DataFrame, groupCol: String,
+      frac: Column): DataFrame = {
+    val rates = plan.select(col("group").as(groupCol), col("rate"))
+    df.join(broadcast(rates), Seq(groupCol), "left")
+      .filter(frac < coalesce(col("rate"), lit(0.0)))
+      .select(df.columns.map(col): _*) // using-join fronts the key; restore
+  }
+
   /** Train/val/test (or arbitrary) split assignment from cumulative
     * fraction thresholds: `splits = Seq("train" -> 0.9, "val" -> 0.05,
     * "test" -> 0.05)` labels u < 0.90 train, u < 0.95 val, rest test.

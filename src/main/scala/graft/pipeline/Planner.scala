@@ -370,7 +370,7 @@ object Planner {
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
     "MediaResample", "MediaFrames", "StripHtml", "QualityBand",
     "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
-    "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin")
+    "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -721,6 +721,31 @@ object Planner {
           val ref = input(df.sparkSession, rm.strReq("input"), rm)
           graft.ml.TextAnalysis.ngramNovelty(df, ref, text, id,
             rm.str("src").getOrElse(text), n)
+        }
+      case "BudgetMix" =>
+        // token-budget mixture: size per-source rates against real token
+        // mass (planMixture), then sample — `emit: plan` returns the
+        // per-source audit frame instead of the sampled rows
+        val group = conf.str("group_field").getOrElse(sys.error(
+          "BudgetMix needs `group_field` (the source column)"))
+        val weights = conf.anyMap("weights")
+          .map { case (k, v) => k -> v.toString.toDouble }
+        val dflt = conf.dbl("default_weight", 1.0)
+        val budget = conf.long("budget", 0L) match {
+          case b if b > 0 => b
+          case _ => sys.error("BudgetMix needs a positive `budget` (tokens)")
+        }
+        val keyField = conf.str("key_field").getOrElse(id)
+        val seed = conf.int("seed", 0)
+        df => {
+          val plan = graft.ml.DatasetOps.planMixture(df, group, text,
+            weights, dflt, budget)
+          conf.str("emit").getOrElse("apply") match {
+            case "plan" => plan
+            case "apply" => graft.ml.DatasetOps.applyMixture(df, plan, group,
+              graft.ml.DatasetOps.hash01(col(keyField), seed))
+            case other => sys.error(s"BudgetMix: unknown emit '$other' (plan | apply)")
+          }
         }
       case "CorpusDiff" =>
         // snapshot diff vs a previous corpus version: `old` is an input

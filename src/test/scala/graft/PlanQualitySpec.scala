@@ -364,6 +364,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("mixture apply: rates broadcast back; the corpus never sort-merges") {
+    val plan = executedPlan("q_mix_apply")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // both hash exchanges aggregate per-source (token mass; the source
+    // distinct feeding Σweights) — each bounded by distinct sources.
+    // Document rows themselves never shuffle: every hashpartitioning
+    // exchange sits above a partial HashAggregate keyed on the source.
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.contains("Exchange hashpartitioning"))
+        assert(lines.drop(i + 1).take(2).exists(c =>
+          c.contains("HashAggregate")),
+          s"a non-aggregated exchange moved document rows:\n$plan")
+    }
+  }
+
   test("corpus diff: hash-projected full-outer merge join, no cartesian") {
     val plan = executedPlan("q_corpus_diff")
     assert(!plan.contains("CartesianProduct"), plan)

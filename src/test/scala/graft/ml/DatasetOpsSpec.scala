@@ -58,6 +58,42 @@ class DatasetOpsSpec extends SparkSpec {
     assert(out.select("split").distinct().count() == 2) // both splits used
   }
 
+  test("planMixture sizes rates against token mass; deficit makes clamps visible") {
+    // web: 10 tokens, books: 40 tokens
+    val docs = Seq(
+      (0L, "web", "a b c d e"), (1L, "web", "f g h i j"),
+      (2L, "books", (1 to 40).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val plan = DatasetOps.planMixture(docs, "source", "text",
+        Map("web" -> 3.0), defaultWeight = 1.0, totalBudget = 40L)
+      .select("group", "n_tokens", "weight", "target_tokens", "rate", "deficit")
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // wsum = 4; web target = 40*3/4 = 30 > 10 tokens -> clamp, deficit 20
+    assert(plan("web") == (("web", 10L, 3.0, 30.0, 1.0, 20.0)))
+    // books target = 10 of 40 tokens -> rate 0.25, no deficit
+    assert(plan("books") == (("books", 40L, 1.0, 10.0, 0.25, 0.0)))
+  }
+
+  test("applyMixture keeps rows by planned rate; unplanned sources drop") {
+    val docs = (0L until 100L).map(i => (i, "web", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val plan = Seq(("web", 0.5)).toDF("group", "rate")
+    val kept = DatasetOps.applyMixture(docs, plan, "source",
+      DatasetOps.portable01(col("doc_id")))
+    val n = kept.count()
+    assert(n > 25 && n < 75, s"rate 0.5 kept $n of 100")
+    assert(kept.columns.toSeq == docs.columns.toSeq) // rate col dropped
+    // a source absent from the plan contributes nothing
+    val stray = docs.withColumn("source", lit("books"))
+    assert(DatasetOps.applyMixture(stray, plan, "source",
+      DatasetOps.portable01(col("doc_id"))).count() == 0L)
+    // determinism: same frac, same sample
+    assert(DatasetOps.applyMixture(docs, plan, "source",
+      DatasetOps.portable01(col("doc_id"))).agg(sum("doc_id")).head.getLong(0) ==
+      kept.agg(sum("doc_id")).head.getLong(0))
+  }
+
   test("packSequences lays docs head-to-tail per shard within the budget") {
     val docs = Seq(
       (0L, "a", "t1 t2 t3"),       // 3 tokens, start 0, bin 0

@@ -659,6 +659,30 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("BudgetMix plans and applies a token-budget mixture") {
+    val docs = Seq(
+      (0L, "web", "a b c d e"), (1L, "web", "f g h i j"),
+      (2L, "books", (1 to 40).map(i => s"t$i").mkString(" ")))
+      .toDF("id", "source", "text")
+    val plan = Planner.corpusStage("BudgetMix", Map(
+      "group_field" -> "source", "src" -> "text", "budget" -> 40,
+      "weights" -> Map("web" -> 3.0), "emit" -> "plan"))(docs)
+    assert(plan.filter($"group" === "web").select("rate")
+      .as[Double].head() == 1.0)
+    val applied = Planner.corpusStage("BudgetMix", Map(
+      "group_field" -> "source", "src" -> "text", "budget" -> 40,
+      "weights" -> Map("web" -> 3.0), "id_field" -> "id"))(docs)
+    // web rate clamps at 1 -> both web docs survive; books rate 0.25
+    assert(applied.filter($"source" === "web").count() == 2L)
+    intercept[RuntimeException] {
+      Planner.corpusStage("BudgetMix", Map("group_field" -> "source"))(docs)
+    }
+    intercept[RuntimeException] {
+      Planner.corpusStage("BudgetMix", Map("group_field" -> "source",
+        "budget" -> 40, "emit" -> "nope"))(docs)
+    }
+  }
+
   test("ZOrderExport tees a z-clustered export") {
     val out = tmp("zorder-export")
     val grid = (for (a <- 0L until 16L; b <- 0L until 16L)
