@@ -214,6 +214,21 @@ object Bench {
         }
         rmrf(new java.io.File(storeRoot))
       }
+      // INVERTED INDEX at 100×, uniform vs stop-word twin: the copies'
+      // word-prefix salting makes every token copy-local (uniform); the
+      // skew twin appends one shared token to EVERY doc — a 500k-row
+      // posting chain for a single key, the stop-word shape. The df path
+      // collapses it map-side (partial agg) and the rank path cuts it
+      // map-side (WindowGroupLimit Partial), so skew/uniform must stay
+      // ≈1 — the driver-visible guard that neither path ever funnels a
+      // stop-word's full chain through one reducer.
+      timed("inverted_index")(
+        graft.ml.TextAnalysis.invertedIndex(bigDocs, "text", "doc_id",
+          minDf = 2L, maxPostings = 100).count())
+      timed("inverted_index_stopword")(
+        graft.ml.TextAnalysis.invertedIndex(
+          bigDocs.withColumn("text", concat(col("text"), lit(" thetoken"))),
+          "text", "doc_id", minDf = 2L, maxPostings = 100).count())
       val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val bigVecs = (0 until semCopies).map(i => e1.select(
         (col("vec_id") + lit(i * 10000000L)).as("vec_id"),

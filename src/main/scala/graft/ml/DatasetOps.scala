@@ -455,6 +455,13 @@ object DatasetOps {
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 8,
       zName: String = "z"): DataFrame = {
     require(cols.nonEmpty, "withZValue: need at least one column")
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"withZValue: column '$c' is $dt — z-order needs NUMERIC keys; " +
+          "cast timestamps with unix_timestamp() and hash string keys " +
+          "(e.g. xxhash64) to a long first")
+    }
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__graft_zmin_$c"),
       max(col(c).cast("long")).as(s"__graft_zmax_$c")))
@@ -523,7 +530,12 @@ object DatasetOps {
     * `unchanged` with probability ~2^-64 per pair). Unchanged rows are
     * dropped by default — at 100 TB they are ~all the corpus and
     * downstream only acts on the delta; pass `includeUnchanged = true`
-    * for full-audit exports. */
+    * for full-audit exports.
+    *
+    * Contract: `idCol` uniquely identifies a document within each
+    * version (duplicate ids multiply through the join, exactly as in
+    * SQL); a null id never matches the other side, so null-id rows
+    * surface as removed + added rather than compared. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String, includeUnchanged: Boolean = false): DataFrame = {
     def fp(df: DataFrame, h: String) = df.select(col(idCol).as("id"),

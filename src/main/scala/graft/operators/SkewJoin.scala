@@ -65,6 +65,11 @@ object SkewJoin {
         " (right/full outer would emit unmatched right rows once per replica)")
     require(left.columns.contains(leftKey), s"left key '$leftKey' missing")
     require(right.columns.contains(rightKey), s"right key '$rightKey' missing")
+    require(!left.columns.contains(SaltCol) && !right.columns.contains(SaltCol),
+      s"saltedJoin: input already carries the scratch column '$SaltCol'")
+    require(rightKey == leftKey || !right.columns.contains(leftKey),
+      s"saltedJoin: right side has both '$rightKey' and a '$leftKey' column — " +
+        s"renaming the key would collide; rename the right-side '$leftKey' first")
 
     val l = left.withColumn(SaltCol,
       pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong)).cast("int"))

@@ -107,5 +107,9 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DatasetOps.writeZOrdered(grid, Seq("a", "b"), tmp("z"), files = 0)
     }
+    // string keys need an explicit hash-to-long first
+    intercept[IllegalArgumentException] {
+      DatasetOps.withZValue(grid, Seq("a", "payload"), bits = 4)
+    }
   }
 }

@@ -70,6 +70,19 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("scratch-column and rename collisions are rejected up front") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(left.withColumn("__graft_salt", lit(1)),
+        right, "k", "k", 4)
+    }
+    // right carries BOTH its key and a column named like the left key —
+    // the rename would silently produce two 'k' columns
+    val clash = right.withColumnRenamed("k", "rk").withColumn("k", lit(0L))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(left, clash, "k", "rk", 4)
+    }
+  }
+
   test("the physical join keys carry the salt (the skew spread is real)") {
     // force the shuffled path — a broadcast join has no shuffle to salt
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
