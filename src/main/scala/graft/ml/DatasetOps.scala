@@ -161,9 +161,15 @@ object DatasetOps {
     * would exceed the budget unaudited. */
   def applyMixture(df: DataFrame, plan: DataFrame, groupCol: String,
       frac: Column): DataFrame = {
-    val rates = plan.select(col("group").as(groupCol), col("rate"))
+    // scratch-prefix the joined rate so a corpus carrying its own `rate`
+    // column (an upstream quality score, say) can't make the join
+    // ambiguous — the same __graft_ convention as every other operator
+    val rateCol = "__graft_mix_rate"
+    require(!df.columns.contains(rateCol),
+      s"applyMixture: input already carries the scratch column '$rateCol'")
+    val rates = plan.select(col("group").as(groupCol), col("rate").as(rateCol))
     df.join(broadcast(rates), Seq(groupCol), "left")
-      .filter(frac < coalesce(col("rate"), lit(0.0)))
+      .filter(frac < coalesce(col(rateCol), lit(0.0)))
       .select(df.columns.map(col): _*) // using-join fronts the key; restore
   }
 

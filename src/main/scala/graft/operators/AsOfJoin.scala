@@ -95,27 +95,13 @@ object AsOfJoin {
       valueCols: Seq[String],
       suffix: String = "_right",
       toleranceSec: Option[Long] = None): DataFrame = {
-    require(keys.nonEmpty, "AsOfJoin: at least one key column")
-    val ts    = "__graft_asof_ts"
-    val side  = "__graft_asof_side"
-    val carry = "__graft_asof_carry"
+    val ts    = TsCol
+    val side  = SideCol
+    val carry = CarryCol
     val cB    = "__graft_asof_carry_b"
     val cF    = "__graft_asof_carry_f"
-    val leftPayload = left.columns.filterNot(keys.contains).toSeq
-
-    val l = left
-      .withColumn(ts, col(leftTs))
-      .withColumn(side, lit(1))
-      .withColumn(carry, lit(null).cast(
-        right.select(struct((rightTs +: valueCols).map(col): _*)).schema.head.dataType))
-      .select((keys ++ Seq(ts, side, carry) ++ leftPayload).map(col): _*)
-    val r = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .withColumn(ts, col(rightTs))
-      .withColumn(side, lit(0))
-      .withColumn(carry, struct((rightTs +: valueCols).map(col): _*))
-      .select((keys.map(col) ++ Seq(col(ts), col(side), col(carry))
-        ++ leftPayload.map(c => lit(null).cast(l.schema(c).dataType).as(c))): _*)
+    val (unioned, leftPayload) =
+      asOfUnionFrame(left, right, keys, leftTs, rightTs, valueCols)
 
     // ONE union, ONE keyed exchange, TWO sorts: both windows partition on
     // the same keys (Catalyst reuses the exchange between them), one
@@ -130,7 +116,7 @@ object AsOfJoin {
       .orderBy(col(ts).desc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = l.unionByName(r)
+    val matched = unioned
       .withColumn(cB, last(col(carry), ignoreNulls = true).over(wB))
       .withColumn(cF, last(col(carry), ignoreNulls = true).over(wF))
       .filter(col(side) === 1)
@@ -149,6 +135,46 @@ object AsOfJoin {
     matched.select(out: _*)
   }
 
+  private val TsCol    = "__graft_asof_ts"
+  private val SideCol  = "__graft_asof_side"
+  private val CarryCol = "__graft_asof_carry"
+
+  /** Shared union/carry construction for EVERY as-of direction: left
+    * rows (side 1, typed-null carry) unioned with right rows (side 0,
+    * carry struct of rightTs + valueCols), padded to one schema.
+    *
+    * Join semantics on NULL keys live HERE so all directions inherit
+    * them: an equi-join (and the DuckDB ASOF oracle) never matches
+    * NULL = NULL, but Window.partitionBy groups null keys into one
+    * partition — so null-key RIGHT rows are dropped (they can match
+    * nothing), and null-key left rows then see an all-left partition
+    * and carry a null match, exactly like a left join. Mirrors
+    * appendToTemporalStore's null-key drop. */
+  private def asOfUnionFrame(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): (DataFrame, Seq[String]) = {
+    require(keys.nonEmpty, "AsOfJoin: at least one key column")
+    val leftPayload = left.columns.filterNot(keys.contains).toSeq
+    val l = left
+      .withColumn(TsCol, col(leftTs))
+      .withColumn(SideCol, lit(1))
+      .withColumn(CarryCol, lit(null).cast(
+        right.select(struct((rightTs +: valueCols).map(col): _*)).schema.head.dataType))
+      .select((keys ++ Seq(TsCol, SideCol, CarryCol) ++ leftPayload).map(col): _*)
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn(TsCol, col(rightTs))
+      .withColumn(SideCol, lit(0))
+      .withColumn(CarryCol, struct((rightTs +: valueCols).map(col): _*))
+      .select((keys.map(col) ++ Seq(col(TsCol), col(SideCol), col(CarryCol))
+        ++ leftPayload.map(c => lit(null).cast(l.schema(c).dataType).as(c))): _*)
+    (l.unionByName(r), leftPayload)
+  }
+
   private def joinAsOf(
       left: DataFrame,
       right: DataFrame,
@@ -159,32 +185,11 @@ object AsOfJoin {
       suffix: String,
       toleranceSec: Option[Long],
       forward: Boolean): DataFrame = {
-    require(keys.nonEmpty, "AsOfJoin: at least one key column")
-    val ts    = "__graft_asof_ts"
-    val side  = "__graft_asof_side"
-    val carry = "__graft_asof_carry"
-    val leftPayload = left.columns.filterNot(keys.contains).toSeq
-
-    val l = left
-      .withColumn(ts, col(leftTs))
-      .withColumn(side, lit(1))
-      .withColumn(carry, lit(null).cast(
-        right.select(struct((rightTs +: valueCols).map(col): _*)).schema.head.dataType))
-      .select((keys ++ Seq(ts, side, carry) ++ leftPayload).map(col): _*)
-
-    // Join semantics on NULL keys: an equi-join (and the DuckDB ASOF
-    // oracle) never matches NULL = NULL, but Window.partitionBy groups
-    // null keys into one partition — so null-key RIGHT rows are dropped
-    // here (they can match nothing), and null-key left rows then see an
-    // all-left partition and carry a null match, exactly like a left
-    // join. Mirrors appendToTemporalStore's null-key drop.
-    val r = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .withColumn(ts, col(rightTs))
-      .withColumn(side, lit(0))
-      .withColumn(carry, struct((rightTs +: valueCols).map(col): _*))
-      .select((keys.map(col) ++ Seq(col(ts), col(side), col(carry))
-        ++ leftPayload.map(c => lit(null).cast(l.schema(c).dataType).as(c))): _*)
+    val ts    = TsCol
+    val side  = SideCol
+    val carry = CarryCol
+    val (unioned, leftPayload) =
+      asOfUnionFrame(left, right, keys, leftTs, rightTs, valueCols)
 
     // Backward walks time ascending ("last right seen" = most recent
     // at-or-before); forward walks it descending ("last right seen" =
@@ -195,7 +200,7 @@ object AsOfJoin {
       .orderBy(if (forward) col(ts).desc else col(ts).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = l.unionByName(r)
+    val matched = unioned
       .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
 

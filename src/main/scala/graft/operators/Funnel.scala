@@ -231,7 +231,15 @@ object Funnel {
     * strict scan's flags; `buf` holds events still inside the lateness
     * bound (they fold only once the watermark passes them, in (ts, step)
     * order — out-of-order arrival within the bound cannot corrupt the
-    * DP); `emitted` is the deepest level already reported. */
+    * DP); `emitted` is the deepest level already reported.
+    *
+    * STATE-SCHEMA COMPATIBILITY: adding the strict-mode fields widened
+    * this encoder from (dp, buf, emitted) — a checkpoint written by the
+    * pre-strict release does NOT restore into it. Restarting an existing
+    * streaming funnel across that upgrade needs a fresh checkpoint
+    * directory (levels re-derive from the replayed source); plan the
+    * cutover like any Spark state-schema change. Future fields should
+    * extend a new versioned wrapper rather than widen this class again. */
   final case class FunnelState(dp: Seq[Long], lasts: Seq[Long],
     frozen: Boolean, first: Boolean, buf: Seq[(Long, Int)], emitted: Int)
   final case class FunnelEmit(user: String, funnel_level: Int)

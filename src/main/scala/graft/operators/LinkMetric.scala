@@ -79,7 +79,13 @@ object LinkMetric {
       val boundCol = "__graft_reserve_max_us"
       val bound = broadcast(df.select(max(unix_micros(ts)).as(boundCol)))
       df.crossJoin(bound)
-        .filter(unix_micros(ts) >= col(boundCol) - lit(reserveSec * 1000000L))
+        // a null max (every ts null — a broken upstream Date stage) must
+        // KEEP the frame, matching the old eager `if (maxTs == null) df`
+        // path: the condition would otherwise be NULL for every row and
+        // silently drop the whole input instead of surfacing null-window
+        // aggregate rows
+        .filter(col(boundCol).isNull ||
+          unix_micros(ts) >= col(boundCol) - lit(reserveSec * 1000000L))
         .drop(boundCol)
     }
 

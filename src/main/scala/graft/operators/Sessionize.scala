@@ -81,7 +81,15 @@ object Sessionize {
     * is (key, ts, session_seq) — join back on (key, ts) when the full
     * event row is needed downstream. */
   def streamingAssign(df: DataFrame, keyCol: String, tsCol: String,
-      gapSec: Long, latenessSec: Long): DataFrame = {
+      gapSec: Long, latenessSec: Long,
+      target: String = "session_seq"): DataFrame = {
+    // schema parity with batch `assign` lives HERE, not at call sites:
+    // the emitted triple comes back under the configured key/timestamp
+    // names with the key cast back to its input type, so every caller
+    // (YAML dispatch or direct API) sees the same contract. Payload
+    // columns are NOT carried — the keyed state confirms events out of
+    // batch order; join back on (key, ts) when the full row is needed.
+    val keyType = df.schema(df.schema.fieldIndex(keyCol)).dataType
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = df.sparkSession
     import spark.implicits._
@@ -116,5 +124,7 @@ object Sessionize {
           state.setTimeoutTimestamp(math.max(wait.min / 1000L, wmMs + 1L))
         emits.iterator
       }.toDF()
+      .select(col("key").cast(keyType).as(keyCol), col("ts").as(tsCol),
+        col("session_seq").as(target))
   }
 }

@@ -206,19 +206,13 @@ object Planner {
             // per-event ids must see sessions ACROSS micro-batches, so a
             // per-batch window would be wrong — the keyed-state form
             // confirms each event's id once the watermark passes it.
-            // Schema parity with the batch branch: the emitted (key, ts,
-            // session_seq) triple is aliased back to the configured
-            // key/timestamp names, the key cast back to its input type,
-            // and `target` honored. Payload columns are NOT carried (the
-            // keyed state confirms events out of batch order — join back
-            // on (key, ts) downstream when the full row is needed); that
-            // drop is the documented streaming contract, the names are
-            // not allowed to drift with it.
-            val keyType = df.schema(df.schema.fieldIndex(key)).dataType
+            // Schema parity (configured names, key type, `target`, the
+            // documented payload drop) is the OPERATOR's contract —
+            // streamingAssign restores it for every caller, not just
+            // this dispatch.
             graft.operators.Sessionize.streamingAssign(df, key, tsc, gap,
-                conf.long("lateness", 0))
-              .select(col("key").cast(keyType).as(key), col("ts").as(tsc),
-                col("session_seq").as(conf.str("target").getOrElse("session_seq")))
+              conf.long("lateness", 0),
+              conf.str("target").getOrElse("session_seq"))
           } else {
             graft.operators.Sessionize.assign(df, key, tsc, gap,
               conf.str("target").getOrElse("session_seq"))
@@ -688,7 +682,8 @@ object Planner {
             case m if m.nonEmpty => input(df.sparkSession, m.strReq("input"), m)
             case _ => conf.str("query_where") match {
               case Some(cond) => df.filter(graft.conditions.ConditionFilter
-                .compile(cond, df, "@timestamp"))
+                .compile(cond, df,
+                  conf.str("timestamp").getOrElse("@timestamp")))
               case None => sys.error("SemanticSearch needs `queries` " +
                 "(an input spec) or `query_where` (condition DSL over the corpus)")
             }

@@ -25,6 +25,28 @@ class LinkMetricSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(r.fieldIndex("count"))).toSeq == Seq(2L, 1L, 1L))
   }
 
+  test("reserve bound with an all-null ts keeps the frame (no silent drop)") {
+    // a broken upstream Date stage nulls every timestamp; the lazy
+    // reserve bound aggregates to NULL and must KEEP rows — matching
+    // the old eager `if (maxTs == null) df` path — so the breakage
+    // surfaces downstream instead of the whole input silently vanishing
+    // at the bound filter. (The window aggregation itself then drops
+    // null event times, as any event-time aggregation does.)
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("et", "uid")
+      .withColumn("@timestamp", lit(null).cast("timestamp"))
+    val bounded = LinkMetric.boundByReserve(df,
+      org.apache.spark.sql.functions.col("@timestamp"), 600L)
+    assert(bounded.count() == 3L, "all-null ts dropped at the reserve bound")
+    // mixed null/real ts: a REAL bound exists, and a null ts can't
+    // satisfy it — dropped, exactly as the eager path always did
+    val mixed = Seq(
+      (Some(ts("2024-01-01 00:00:10")), "a"),
+      (None, "b")).toDF("@timestamp", "et")
+    assert(LinkMetric.boundByReserve(mixed,
+      org.apache.spark.sql.functions.col("@timestamp"), 600L).count() == 1L)
+  }
+
   test("batch LinkMetric: reduce mode sums upstream partial counts") {
     val df = Seq(
       (ts("2024-01-01 00:00:10"), "a", 5L),

@@ -94,8 +94,13 @@ class SessionizeSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData((1L, ts(T + 9001)))
       q.processAllAvailable()
+      // output comes back under the CONFIGURED names with the key's
+      // input type — the operator-level schema-parity contract
+      assert(spark.table("sa_stream").columns.toSeq == Seq("k", "t", "session_seq"))
+      assert(spark.table("sa_stream").schema("k").dataType ==
+        org.apache.spark.sql.types.LongType)
       val got = spark.table("sa_stream")
-        .select((unix_micros($"ts") / 1000000L).cast("long"), $"session_seq")
+        .select((unix_micros($"t") / 1000000L).cast("long"), $"session_seq")
         .as[(Long, Long)].collect().toMap
       val want = Sessionize.assign(
           Seq((1L, ts(T)), (1L, ts(T + 30)), (1L, ts(T + 200)), (1L, ts(T + 230)))
