@@ -1246,6 +1246,16 @@ object SparkEntry {
         "text", "doc_id", "text", n = 5)
     },
 
+    // the audit twin of q_decontaminate: WHICH benchmark item leaked
+    // into WHICH doc, with the shared distinct-gram count
+    "q_contamination_report" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      graft.ml.Dedup.contaminationReport(docs,
+        docs.filter($"doc_id" < 10).withColumnRenamed("doc_id", "bid"),
+        "text", "doc_id", "bid", n = 5)
+    },
+
     // benchmark decontamination: first 10 docs play the benchmark set
     "q_decontaminate" -> { (s, dir) =>
       import s.implicits._
@@ -3146,6 +3156,23 @@ object SparkEntry {
         |SELECT t.doc_id AS id, coalesce(agg.n_grams, 0) AS n_grams,
         |  coalesce(agg.novelty, 1.0) AS novelty
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q_contamination_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+5], ' ')
+        |    for i in range(0, greatest(len(toks)-5, 0)+1)]) AS sh
+        |  FROM t
+        |), bd AS (
+        |  SELECT DISTINCT doc_id AS bench_id, unnest(sh) AS g
+        |  FROM s WHERE doc_id < 10
+        |), flat AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM s
+        |)
+        |SELECT f.doc_id, bd.bench_id, count(*) AS shared_grams
+        |FROM flat f JOIN bd USING (g)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_decontaminate" ->
       """WITH t AS (

@@ -671,6 +671,31 @@ object Dedup {
     joinBackOnce(df, bad, Seq(idCol), "left_anti")
   }
 
+  /** Contamination REPORT — the audit complement of [[decontaminate]]:
+    * instead of silently dropping, emit (doc_id, bench_id,
+    * shared_grams) per contaminated (document, benchmark-item) pair so
+    * a release review can see WHICH benchmark leaked WHERE and how much
+    * (one shared gram = a single quoted phrase; hundreds = the item is
+    * embedded verbatim). Same fingerprints as decontaminate (distinct
+    * hashed shingles, so counts are per-distinct-gram, not
+    * per-occurrence) and the same broadcast contract: the benchmark
+    * side is small, the corpus never shuffles — the groupBy keys are
+    * (doc, bench) pairs that already matched, a frame bounded by real
+    * contamination, not corpus size. */
+  def contaminationReport(df: DataFrame, contamination: DataFrame,
+      textCol: String, idCol: String, benchIdCol: String,
+      n: Int = 5): DataFrame = {
+    val contam = contamination
+      .select(col(benchIdCol).as("bench_id"),
+        explode(graft.functions.ShingleFns.hashedShingles(col(textCol), n)).as("h"))
+      .distinct()
+    val probe = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.ShingleFns.hashedShingles(col(textCol), n)).as("h"))
+    probe.join(broadcast(contam), "h")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Exact duplicated-PASSAGE detection — the substring-dedup family
     * (suffix-array dedup a la "Deduplicating Training Data Makes Language
     * Models Better"): minhash/simhash catch near-dup DOCUMENTS, this

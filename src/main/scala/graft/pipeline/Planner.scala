@@ -492,8 +492,13 @@ object Planner {
             case "bloom" =>
               graft.ml.DatasetOps.bloomDecontaminate(df, bench, text, id, n,
                 conf.long("expected_items", 1L << 20), conf.dbl("fpp", 0.01))
+            // audit twin: emit (doc_id, bench_id, shared_grams) instead
+            // of dropping — `bench_id` names the benchmark's id column
+            case "report" =>
+              graft.ml.Dedup.contaminationReport(df, bench, text, id,
+                bm.str("id_field").getOrElse(id), n)
             case other => sys.error(
-              s"Decontaminate method must be exact|bloom, got '$other'")
+              s"Decontaminate method must be exact|bloom|report, got '$other'")
           }
         }
       case "Shuffle" =>

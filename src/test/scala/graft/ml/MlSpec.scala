@@ -666,6 +666,27 @@ class MlSpec extends SparkSpec {
     assert(kept == Set(1L)) // 0 and 2 share 5-grams with the benchmark
   }
 
+  test("contaminationReport names the leak: (doc, bench item, shared grams)") {
+    val corpus = Seq(
+      (0L, "the secret benchmark answer is forty two exactly"),
+      (1L, "a totally unrelated document about spark shuffles here"),
+      (2L, "prefix words then the secret benchmark answer is forty two"),
+    ).toDF("doc_id", "text")
+    val contam = Seq(
+      (99L, "the secret benchmark answer is forty two"),
+      (98L, "nothing from this item appears anywhere at all"))
+      .toDF("bid", "text")
+    val out = Dedup.contaminationReport(corpus, contam, "text", "doc_id",
+        "bid", n = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // bench 99 (7 tokens) has 3 distinct 5-grams; docs 0 and 2 embed all 3
+    assert(out == Map((0L, 99L) -> 3L, (2L, 99L) -> 3L))
+    // the CLEAN doc and the CLEAN benchmark item produce no rows —
+    // output is bounded by real contamination, never corpus × benchmark
+    assert(!out.keySet.exists { case (d, b) => d == 1L || b == 98L })
+  }
+
   test("streaming dedup drops key re-occurrences within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(java.sql.Timestamp, String)](spark)

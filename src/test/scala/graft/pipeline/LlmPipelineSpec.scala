@@ -623,6 +623,20 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("Decontaminate emit=report dispatches the contamination audit") {
+    val bench = tmp("contam-bench")
+    Seq((9L, "alpha beta gamma delta epsilon"))
+      .toDF("id", "text").write.mode("overwrite").parquet(bench)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "nothing shared here at all today")).toDF("id", "text")
+    val rep = Planner.corpusStage("Decontaminate", Map(
+      "src" -> "text", "id_field" -> "id", "method" -> "report",
+      "benchmark" -> Map("input" -> "Parquet", "path" -> bench)))(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rep == Seq((0L, 9L, 1L)))
+  }
+
   test("CorpusDiff stage diffs against an `old` input spec") {
     val oldPath = tmp("diff-old")
     Seq((0L, "same"), (1L, "stale"), (2L, "gone")).toDF("id", "text")
