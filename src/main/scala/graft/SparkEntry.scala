@@ -1454,13 +1454,13 @@ object SparkEntry {
 
     // Exact KNN self-join (every vector's 3 nearest others) — the
     // verifiable baseline; the IVF-celled scale arm is recall-gated in
-    // KnnJoinSpec against this exact result. Bounded to a 2k-vector
+    // KnnJoinSpec against this exact result. Bounded to a 1k-vector
     // panel (a no-op at verify SF): brute is quadratic BY CONTRACT, and
     // the bench should time the kernel, not pay 25M pairs per round
     "q_knn" -> { (s, dir) =>
       import s.implicits._
       graft.ml.Similarity.knnJoinBrute(
-        Tables.load(s, dir, "embeddings").filter($"vec_id" < 2000),
+        Tables.load(s, dir, "embeddings").filter($"vec_id" < 1000),
         "embedding", "vec_id", k = 3)
     },
   )
@@ -3432,7 +3432,7 @@ object SparkEntry {
 
     "q_knn" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id < 2000),
+        |  FROM embeddings WHERE vec_id < 1000),
         |scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id,
         |    list_reduce(list_zip(q.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) /

@@ -96,6 +96,55 @@ class LlmPipelineSpec extends SparkSpec {
       packed(4L, "bins_spanned") == 1)
   }
 
+  test("budget-driven curation chain: dedup, budget mix, splits, sorted tee") {
+    val in = tmp("bm-in")
+    val tee = tmp("bm-tee")
+    val out = tmp("bm-out")
+    // web: 60 docs x 5 tokens = 300 tokens; books: 20 docs x 5 = 100
+    (0L until 80L).map { i =>
+      val src = if (i < 60) "web" else "books"
+      (i, src, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e")
+    }.toDF("id", "source", "text").write.mode("overwrite").parquet(in)
+
+    val yaml =
+      s"""inputs:
+         |  - Parquet:
+         |      path: $in
+         |filters:
+         |  - Dedup: {src: text, id_field: id, method: exact}
+         |  - BudgetMix:
+         |      group_field: source
+         |      src: text
+         |      budget: 200
+         |      weights: {books: 1.0, web: 1.0}
+         |      id_field: id
+         |  - AssignSplits:
+         |      splits: [{train: 0.9}, {holdout: 0.1}]
+         |  - RangeSortedExport: {key_field: id, path: $tee, files: 2}
+         |outputs:
+         |  - Parquet:
+         |      path: $out
+         |""".stripMargin
+    val cfg = java.nio.file.Files.createTempFile("bm-pipeline", ".yml")
+    java.nio.file.Files.write(cfg, yaml.getBytes("UTF-8"))
+    graft.Main.run(spark, cfg.toString)
+
+    val result = spark.read.parquet(out)
+    // budget 200 over equal weights: 100 tokens per source — books
+    // (exactly 100) clamps to keep-all, web keeps ~1/3 of its 60 docs
+    val bySrc = result.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("books") == 20L, s"books under-kept: $bySrc")
+    assert(bySrc("web") < 40L && bySrc("web") > 5L, s"web rate off: $bySrc")
+    assert(result.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "holdout")))
+    // the tee exported the same post-mix rows, range-sorted + disjoint
+    assert(spark.read.parquet(tee).count() == result.count())
+    val audit = graft.ml.DatasetOps.auditFileRanges(spark, tee, "id")
+      .as[(Int, Long, Boolean)].collect()
+    assert(audit.length == 2 && audit.forall(_._3))
+  }
+
   test("Dedup dispatches minhash and hamming methods") {
     // 1 is a punctuation-level near-dup of 0 (jaccard ~0.82 — minhash
     // territory; one changed token flips >3 of 64 simhash bits, so the
