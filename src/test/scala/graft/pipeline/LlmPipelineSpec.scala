@@ -717,6 +717,13 @@ class LlmPipelineSpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
     assert(knn(0L) == 1L && knn(1L) == 0L) // mutual nearest
     assert(knn(2L) == 1L) // v1 has the only non-zero cosine with v2
+    // ivf + kmeans path dispatches (trained centroids, then the celled
+    // join); the tiny corpus clamps cells to corpus size
+    val knnIvf = Planner.corpusStage("KnnJoin", Map(
+      "id_field" -> "id", "method" -> "ivf", "k" -> 1,
+      "num_cells" -> 2, "nprobe" -> 2, "kmeans" -> true))(vecs)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert(knnIvf(0L) == 1L && knnIvf(1L) == 0L)
     intercept[RuntimeException] {
       Planner.corpusStage("KnnJoin", Map("method" -> "faiss"))(vecs)
     }
