@@ -660,13 +660,20 @@ object Dedup {
     * shuffling the documents. Matching on xxhash64 of the shingle instead
     * of the string keeps the probe rows at 8 bytes (collision odds ~2^-64
     * per pair, the same contract as minhashPairs' verify). */
+  /** One row per (carried id columns, distinct hashed shingle) — the
+    * shared fingerprint expansion of the decontamination family. Both
+    * the drop path and the report MUST build from here so the audit
+    * always describes exactly what the drop would remove. */
+  private def shingleFingerprints(df: DataFrame, textCol: String, n: Int,
+      carry: Seq[Column]): DataFrame =
+    df.select(carry :+
+      explode(graft.functions.ShingleFns.hashedShingles(col(textCol), n))
+        .as("h"): _*)
+
   def decontaminate(df: DataFrame, contamination: DataFrame,
       textCol: String, idCol: String, n: Int = 5): DataFrame = {
-    val contam = contamination
-      .select(explode(graft.functions.ShingleFns.hashedShingles(col(textCol), n)).as("h"))
-      .distinct()
-    val probe = df.select(col(idCol),
-      explode(graft.functions.ShingleFns.hashedShingles(col(textCol), n)).as("h"))
+    val contam = shingleFingerprints(contamination, textCol, n, Nil).distinct()
+    val probe = shingleFingerprints(df, textCol, n, Seq(col(idCol)))
     val bad = probe.join(broadcast(contam), "h").select(col(idCol)).distinct()
     joinBackOnce(df, bad, Seq(idCol), "left_anti")
   }
@@ -685,12 +692,10 @@ object Dedup {
   def contaminationReport(df: DataFrame, contamination: DataFrame,
       textCol: String, idCol: String, benchIdCol: String,
       n: Int = 5): DataFrame = {
-    val contam = contamination
-      .select(col(benchIdCol).as("bench_id"),
-        explode(graft.functions.ShingleFns.hashedShingles(col(textCol), n)).as("h"))
-      .distinct()
-    val probe = df.select(col(idCol).as("doc_id"),
-      explode(graft.functions.ShingleFns.hashedShingles(col(textCol), n)).as("h"))
+    val contam = shingleFingerprints(contamination, textCol, n,
+      Seq(col(benchIdCol).as("bench_id"))).distinct()
+    val probe = shingleFingerprints(df, textCol, n,
+      Seq(col(idCol).as("doc_id")))
     probe.join(broadcast(contam), "h")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("shared_grams"))

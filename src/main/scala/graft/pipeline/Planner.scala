@@ -658,17 +658,11 @@ object Planner {
               kept
             }
           case None =>
-            df => {
-              val trained =
-                if (conf.bool("kmeans", false))
-                  Some(graft.ml.Similarity.trainKmeansCentroids(df, vec, id,
-                    cells, conf.int("kmeans_iters", 5)))
-                else None
-              graft.ml.Similarity.semanticDedup(df, vec, id, cells,
-                conf.dbl("threshold", 0.95), centroids = trained,
-                maxCellSize = conf.long("max_cell_size", 0L),
-                dim = conf.int("dim", 64))
-            }
+            df => graft.ml.Similarity.semanticDedup(df, vec, id, cells,
+              conf.dbl("threshold", 0.95),
+              centroids = trainedCentroids(conf, df, vec, id, cells),
+              maxCellSize = conf.long("max_cell_size", 0L),
+              dim = conf.int("dim", 64))
         }
       case "SemanticSearch" =>
         // ANN top-k of a query panel against the corpus's embedding
@@ -770,17 +764,12 @@ object Planner {
         val k = conf.int("k", 10)
         df => conf.str("method").getOrElse("ivf") match {
           case "ivf" =>
+            // `kmeans: true` lifts np8 recall 0.74 → 0.84 on the
+            // near-uniform fixture; shared option contract
             val cells = conf.int("num_cells", 16)
-            // `kmeans: true` trains Lloyd centroids first — measured on
-            // the near-uniform fixture it lifts np8 recall 0.74 → 0.84;
-            // same option contract as SemanticDedup
-            val cents =
-              if (conf.bool("kmeans", false))
-                Some(graft.ml.Similarity.trainKmeansCentroids(df, vec, id,
-                  cells, conf.int("kmeans_iters", 5)))
-              else None
             graft.ml.Similarity.knnJoin(df, vec, id, k,
-              cells, conf.int("nprobe", 2), cents)
+              cells, conf.int("nprobe", 2),
+              trainedCentroids(conf, df, vec, id, cells))
           case "brute" => graft.ml.Similarity.knnJoinBrute(df, vec, id, k)
           case other => sys.error(s"KnnJoin: unknown method '$other' (ivf | brute)")
         }
@@ -883,6 +872,16 @@ object Planner {
     }
     if (idx < 0) (stages, Nil) else stages.splitAt(idx)
   }
+
+  /** The shared `kmeans:`/`kmeans_iters:` option contract of
+    * SemanticDedup and KnnJoin: optionally train Lloyd centroids before
+    * the celled pass — ONE definition so the two stages cannot drift. */
+  private def trainedCentroids(conf: Map[String, Any], df: DataFrame,
+      vec: String, id: String, cells: Int): Option[DataFrame] =
+    if (conf.bool("kmeans", false))
+      Some(graft.ml.Similarity.trainKmeansCentroids(df, vec, id, cells,
+        conf.int("kmeans_iters", 5)))
+    else None
 
   /** The corpus stages that are pure row-wise filters/projections — no
     * eager action, no window, no join — and therefore run unchanged on a

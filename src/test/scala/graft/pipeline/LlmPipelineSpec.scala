@@ -672,7 +672,7 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
-  test("Decontaminate emit=report dispatches the contamination audit") {
+  test("Decontaminate method=report dispatches the contamination audit") {
     val bench = tmp("contam-bench")
     Seq((9L, "alpha beta gamma delta epsilon"))
       .toDF("id", "text").write.mode("overwrite").parquet(bench)
