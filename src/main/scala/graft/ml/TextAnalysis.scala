@@ -105,8 +105,8 @@ object TextAnalysis {
   /** All word n-grams in order, WITH repeats (unlike Dedup.shingles'
     * distinct sets): size−n+1 grams, none for docs shorter than n
     * tokens. Native one-pass kernel (ShingleFns). */
-  def ngramsAll(text: Column, n: Int): Column =
-    graft.functions.ShingleFns.ngramsAll(text, n)
+  def ngramsAll(text: Column, n: Int, unicode: Boolean = false): Column =
+    graft.functions.ShingleFns.ngramsAll(text, n, unicode)
 
   /** The composed formulation ngramsAll used before the native kernel —
     * kept as the executable SEMANTICS REFERENCE (ShingleFnsSpec diffs
@@ -378,11 +378,11 @@ object TextAnalysis {
     * driver merges N·tasks rows, never the vocabulary. The rank window
     * runs over the N survivors only. */
   def vocabulary(df: DataFrame, textCol: String, minCount: Long,
-      topN: Int): DataFrame = {
+      topN: Int, unicode: Boolean = false): DataFrame = {
     require(topN > 0, s"vocabulary: topN must be positive, got $topN")
     import org.apache.spark.sql.expressions.Window
     df.select(explode(graft.functions.ShingleFns.tokenCounts(
-        lower(col(textCol)))).as("tc"))
+        lower(col(textCol)), unicode)).as("tc"))
       .groupBy(col("tc.token").as("token"))
       .agg(sum(col("tc.cnt")).as("cnt"))
       .filter(col("cnt") >= minCount)
@@ -419,13 +419,14 @@ object TextAnalysis {
     * corpus-sized partition on one task. Two bounded exchanges beat one
     * unbounded one. */
   def invertedIndex(df: DataFrame, textCol: String, idCol: String,
-      minDf: Long = 1L, maxPostings: Int = Int.MaxValue): DataFrame = {
+      minDf: Long = 1L, maxPostings: Int = Int.MaxValue,
+      unicode: Boolean = false): DataFrame = {
     require(maxPostings > 0,
       s"invertedIndex: maxPostings must be positive, got $maxPostings")
     import org.apache.spark.sql.expressions.Window
     val postings = df.select(col(idCol).as("doc_id"),
-        explode(graft.functions.ShingleFns.tokenCounts(lower(col(textCol))))
-          .as("tc"))
+        explode(graft.functions.ShingleFns.tokenCounts(lower(col(textCol)),
+          unicode)).as("tc"))
       .select(col("doc_id"), col("tc.token").as("token"))
     val dfCounts = postings.groupBy("token")
       .agg(count(lit(1)).as("df"))
@@ -452,12 +453,14 @@ object TextAnalysis {
     * then one groupBy(doc). Docs shorter than `n` tokens have no grams
     * and are emitted with novelty 1.0 (nothing matched). */
   def ngramNovelty(corpus: DataFrame, reference: DataFrame, textCol: String,
-      idCol: String, refTextCol: String, n: Int): DataFrame = {
+      idCol: String, refTextCol: String, n: Int,
+      unicode: Boolean = false): DataFrame = {
     val grams = corpus.select(col(idCol).as("id"),
-      explode_outer(array_distinct(ngramsAll(lower(col(textCol)), n)))
+      explode_outer(array_distinct(ngramsAll(lower(col(textCol)), n, unicode)))
         .as("gram"))
     val refGrams = reference
-      .select(explode(array_distinct(ngramsAll(lower(col(refTextCol)), n)))
+      .select(explode(array_distinct(
+          ngramsAll(lower(col(refTextCol)), n, unicode)))
         .as("gram"))
       .distinct()
       .withColumn("__graft_seen", lit(1))

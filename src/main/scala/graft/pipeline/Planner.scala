@@ -703,7 +703,8 @@ object Planner {
         // corpus frequency table: top-N tokens ≥ min_count, with rank —
         // the tokenizer-training / stopword-audit precursor
         df => graft.ml.TextAnalysis.vocabulary(df, text,
-          conf.long("min_count", 1L), conf.int("top_n", 10000))
+          conf.long("min_count", 1L), conf.int("top_n", 10000),
+          conf.bool("unicode", false))
       case "Novelty" =>
         // per-doc n-gram novelty vs a reference corpus (the scoring
         // complement of Decontaminate); `reference` is an input spec
@@ -714,7 +715,7 @@ object Planner {
         df => {
           val ref = input(df.sparkSession, rm.strReq("input"), rm)
           graft.ml.TextAnalysis.ngramNovelty(df, ref, text, id,
-            rm.str("src").getOrElse(text), n)
+            rm.str("src").getOrElse(text), n, conf.bool("unicode", false))
         }
       case "BudgetMix" =>
         // token-budget mixture: size per-source rates against real token
@@ -756,7 +757,8 @@ object Planner {
       case "InvertedIndex" =>
         // token → bounded posting rows with document frequency
         df => graft.ml.TextAnalysis.invertedIndex(df, text, id,
-          conf.long("min_df", 1L), conf.int("max_postings", 1000))
+          conf.long("min_df", 1L), conf.int("max_postings", 1000),
+          conf.bool("unicode", false))
       case "KnnJoin" =>
         // every row's k nearest neighbors by embedding cosine; `ivf`
         // (default) is the celled scale arm, `brute` the exact baseline

@@ -40,6 +40,20 @@ class VocabularyNoveltySpec extends SparkSpec {
     assert(out.size == 4)          // every doc present, even gram-free ones
   }
 
+  test("unicode mode splits NBSP-joined tokens; default keeps the \\s+ contract") {
+    val nbsp = " "
+    val docs = Seq((0L, s"alpha${nbsp}beta alpha")).toDF("doc_id", "text")
+    // default: "alpha beta" is ONE token (oracle-reproducible \s+)
+    val plain = TextAnalysis.vocabulary(docs, "text", minCount = 1, topN = 10)
+      .as[(String, Long, Int)].collect().map(_._1).toSet
+    assert(plain == Set(s"alpha${nbsp}beta", "alpha"))
+    // unicode: NBSP splits like a blank — the multilingual-corpus mode
+    val uni = TextAnalysis.vocabulary(docs, "text", minCount = 1, topN = 10,
+        unicode = true)
+      .as[(String, Long, Int)].collect().map(t => t._1 -> t._2).toMap
+    assert(uni == Map("alpha" -> 2L, "beta" -> 1L))
+  }
+
   test("ngramNovelty dedups grams within a doc before scoring") {
     val ref = Seq((0L, "x y z")).toDF("doc_id", "text")
     // 'x y z' appears twice but counts once among the doc's DISTINCT grams
