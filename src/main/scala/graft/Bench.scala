@@ -26,7 +26,9 @@ object Bench {
   private[graft] val headline: Seq[String] = Seq(
     "q1_pricing", "q_dedup_minhash", "q_dedup_store_exact",
     "q_dedup_store_near", "q_image_phash", "q_quality_band",
-    "q_multimodal_curate", "q_ann_ivf", "q_sessionize", "q_funnel")
+    "q_multimodal_curate", "q_ann_ivf", "q_sessionize", "q_funnel",
+    // round-11 additions (additive — earlier keys stay comparable)
+    "q_knn", "q_sorted_write")
 
   /** Render the one driver-parsed JSON line. Pure so a spec can pin the
     * length invariant at any gate count: if the assembled line would
