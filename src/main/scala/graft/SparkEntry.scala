@@ -1235,6 +1235,20 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "text", minCount = 3, topN = 50)
     },
 
+    // incremental vocabulary: even docs appended as run 1, odds as run 2
+    // (with a compaction between), then the ranked view from the STORE —
+    // which must equal the whole-corpus vocabulary (the q_vocab oracle)
+    "q_vocab_store" -> { (s, dir) =>
+      import s.implicits._
+      val ta = graft.ml.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val store = gateTmpDir("vocab-store") + "/vocab"
+      ta.appendToVocabStore(docs.filter($"doc_id" % 2 === 0), "text", store)
+      ta.compactVocabStore(s, store, targetFiles = 4)
+      ta.appendToVocabStore(docs.filter($"doc_id" % 2 === 1), "text", store)
+      ta.vocabularyFromStore(s, store, minCount = 3, topN = 50)
+    },
+
     // per-doc 5-gram novelty vs a reference corpus (first 10 docs play
     // the already-trained-on set): the scoring complement of
     // decontamination — exact integer-division fractions the oracle
@@ -1473,6 +1487,22 @@ object SparkEntry {
 
   /** Shared ANN oracle bodies: each is a complete SELECT used both as
     * its own gate's oracle and as a subquery arm of q_ann_recall. */
+  /** Shared by q_vocab (direct) and q_vocab_store (store-merged): the
+    * incremental store must reproduce the whole-corpus vocabulary. */
+  private val vocabOracle: String =
+    """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), counts AS (
+        |  SELECT token, count(*) AS cnt FROM toks WHERE token <> ''
+        |  GROUP BY 1 HAVING count(*) >= 3
+        |)
+        |SELECT token, cnt, rank FROM (
+        |  SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+        |  FROM counts)
+        |WHERE rank <= 50""".stripMargin
+
   private val embTopkOracle: String =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
@@ -3115,19 +3145,10 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
         |WHERE rank <= 3""".stripMargin,
 
-    "q_vocab" ->
-      """WITH toks AS (
-        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
-        |  FROM documents
-        |), counts AS (
-        |  SELECT token, count(*) AS cnt FROM toks WHERE token <> ''
-        |  GROUP BY 1 HAVING count(*) >= 3
-        |)
-        |SELECT token, cnt, rank FROM (
-        |  SELECT token, cnt,
-        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
-        |  FROM counts)
-        |WHERE rank <= 50""".stripMargin,
+    "q_vocab" -> vocabOracle,
+
+    // the store path must reproduce the whole-corpus vocabulary exactly
+    "q_vocab_store" -> vocabOracle,
 
     // mirrors ngramsAll's edge exactly: docs shorter than 5 tokens emit
     // NO grams (empty list, not a clipped short gram) and come out with

@@ -937,7 +937,7 @@ object Dedup {
     * failure must propagate, or dedup would silently run against an empty
     * set and leak every known duplicate (and an append would re-write
     * every fingerprint). */
-  private def readStoreOpt(spark: org.apache.spark.sql.SparkSession,
+  private[ml] def readStoreOpt(spark: org.apache.spark.sql.SparkSession,
       storePath: String): Option[DataFrame] =
     try Some(spark.read.parquet(storePath))
     catch {
@@ -1224,6 +1224,17 @@ object Dedup {
   private def compactStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, keyCol: String, targetFiles: Int)
       (refreshSidecars: => Unit): Long =
+    compactStoreWith(spark, storePath, targetFiles)(
+      _.select(keyCol).distinct())(refreshSidecars)
+
+  /** The tmp+rename compaction contract with a caller-chosen rewrite
+    * (distinct for the key stores, groupBy-sum for the vocabulary
+    * store). Crash windows leave either the tmp dir (invisible to
+    * readers, cleaned next run) or duplicated rows (tolerated by every
+    * store's read semantics). */
+  private[ml] def compactStoreWith(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, targetFiles: Int)
+      (rewrite: DataFrame => DataFrame)(refreshSidecars: => Unit): Long =
     readStoreOpt(spark, storePath) match {
       case None => 0L
       case Some(s0) =>
@@ -1232,7 +1243,7 @@ object Dedup {
         val oldFiles = storeDataFiles(spark, storePath) // listed BEFORE the new files land
         val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
         if (fs.exists(tmp)) fs.delete(tmp, true) // prior crashed compaction
-        s0.select(keyCol).distinct()
+        rewrite(s0)
           .repartition(math.max(targetFiles, 1))
           .write.mode("overwrite").parquet(tmp.toString)
         // land new files under a unique prefix, THEN delete the old set —

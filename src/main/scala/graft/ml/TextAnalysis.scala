@@ -377,20 +377,97 @@ object TextAnalysis {
     * TakeOrderedAndProject — each task keeps its own top N and the
     * driver merges N·tasks rows, never the vocabulary. The rank window
     * runs over the N survivors only. */
-  def vocabulary(df: DataFrame, textCol: String, minCount: Long,
-      topN: Int, unicode: Boolean = false): DataFrame = {
-    require(topN > 0, s"vocabulary: topN must be positive, got $topN")
-    import org.apache.spark.sql.expressions.Window
+  /** Corpus token counts as a (token, cnt) frame — the partial every
+    * vocabulary consumer (direct ranking, the incremental store)
+    * aggregates from. Map-side combined; shuffle rows = distinct
+    * tokens. */
+  private def tokenCountFrame(df: DataFrame, textCol: String,
+      unicode: Boolean): DataFrame =
     df.select(explode(graft.functions.ShingleFns.tokenCounts(
         lower(col(textCol)), unicode)).as("tc"))
       .groupBy(col("tc.token").as("token"))
       .agg(sum(col("tc.cnt")).as("cnt"))
+
+  /** Rank a merged (token, cnt) frame: ≥ minCount, top-N by count
+    * (token asc tiebreak), 1-based rank. TakeOrderedAndProject keeps
+    * the global top-N per-task. */
+  private def rankVocabulary(counts: DataFrame, minCount: Long,
+      topN: Int): DataFrame = {
+    require(topN > 0, s"vocabulary: topN must be positive, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .groupBy("token").agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("token"))
       .limit(topN)
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
   }
+
+  def vocabulary(df: DataFrame, textCol: String, minCount: Long,
+      topN: Int, unicode: Boolean = false): DataFrame =
+    rankVocabulary(tokenCountFrame(df, textCol, unicode), minCount, topN)
+
+  // ---- incremental vocabulary store --------------------------------------
+
+  /** Append an increment's token counts to a cross-run vocabulary store
+    * (a parquet dir of (token, cnt) PARTIALS — the read path merges by
+    * sum, so the store equals the vocabulary of every increment ever
+    * appended). The incremental tokenizer-stats path: a daily corpus
+    * build extends its frequency table without re-scanning history.
+    *
+    * Contract differences from the seen-store family, because counts
+    * MERGE where fingerprints dedup: an append is NOT idempotent —
+    * re-appending the same increment double-counts — so drive it from
+    * the PostCommit hook exactly like Dedup's incremental stores (the
+    * YAML Vocabulary stage with `store:` does). Partials accumulate one
+    * file set per append; [[compactVocabStore]] folds them (tmp+rename
+    * crash contract shared with the other stores — a crash leaves
+    * either an invisible tmp dir or duplicate PARTIALS, which the
+    * summing read tolerates only until the duplicated append is
+    * compacted in, hence compaction only ever rewrites what a clean
+    * read saw). Returns the number of distinct tokens appended. */
+  def appendToVocabStore(df: DataFrame, textCol: String, storePath: String,
+      unicode: Boolean = false): Long = {
+    val counts = Dedup.explodingMemo(
+      tokenCountFrame(df, textCol, unicode).filter(col("token").isNotNull))
+    val n = counts.count()
+    if (n > 0) counts.write.mode("append").parquet(storePath)
+    n
+  }
+
+  /** The merged (token, cnt) view of a vocabulary store — one row per
+    * token, partials summed. Empty frame for an absent store. */
+  def readVocabStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    Dedup.readStoreOpt(spark, storePath)
+      .map(_.groupBy("token").agg(sum(col("cnt")).as("cnt")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("token", "cnt")
+      }
+
+  /** [[vocabulary]] over a store plus an optional not-yet-appended
+    * increment — the emit-now/append-post-commit pair the YAML stage
+    * uses so a failed run's retry cannot double-count. */
+  def vocabularyFromStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, minCount: Long, topN: Int,
+      increment: Option[DataFrame] = None, textCol: String = "text",
+      unicode: Boolean = false): DataFrame = {
+    val stored = readVocabStore(spark, storePath)
+    val merged = increment
+      .map(inc => stored.unionByName(tokenCountFrame(inc, textCol, unicode)))
+      .getOrElse(stored)
+    rankVocabulary(merged, minCount, topN)
+  }
+
+  /** Fold a vocabulary store's accumulated partials into one summed row
+    * per token across `targetFiles` files. Idempotent; same crash
+    * contract as the seen-store compactions. */
+  def compactVocabStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, targetFiles: Int = 32): Long =
+    Dedup.compactStoreWith(spark, storePath, targetFiles)(
+      _.groupBy("token").agg(sum(col("cnt")).as("cnt")))(())
 
   /** Inverted-index build: one row per (token, posting) with the token's
     * document frequency and the posting's 1-based rank — the

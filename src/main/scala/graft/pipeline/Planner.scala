@@ -701,10 +701,32 @@ object Planner {
         }
       case "Vocabulary" =>
         // corpus frequency table: top-N tokens ≥ min_count, with rank —
-        // the tokenizer-training / stopword-audit precursor
-        df => graft.ml.TextAnalysis.vocabulary(df, text,
-          conf.long("min_count", 1L), conf.int("top_n", 10000),
-          conf.bool("unicode", false))
+        // the tokenizer-training / stopword-audit precursor. With
+        // `store:` the emitted vocabulary covers store + THIS increment,
+        // and the increment's counts append via the PostCommit hook
+        // (after the run's sinks succeed) — a vocab append is NOT
+        // idempotent (counts merge), so an eager append would
+        // double-count a failed run's retry
+        val minCount = conf.long("min_count", 1L)
+        val topN = conf.int("top_n", 10000)
+        val uni = conf.bool("unicode", false)
+        conf.str("store") match {
+          case Some(store) =>
+            val compactAt = conf.int("compact_files", 0)
+            df => {
+              graft.core.PostCommit.register { () =>
+                graft.ml.TextAnalysis.appendToVocabStore(df, text, store, uni): Unit
+                if (compactAt > 0 && graft.ml.Dedup.storeDataFiles(
+                    df.sparkSession, store).size > compactAt)
+                  graft.ml.TextAnalysis.compactVocabStore(
+                    df.sparkSession, store): Unit
+              }
+              graft.ml.TextAnalysis.vocabularyFromStore(df.sparkSession,
+                store, minCount, topN, Some(df), text, uni)
+            }
+          case None =>
+            df => graft.ml.TextAnalysis.vocabulary(df, text, minCount, topN, uni)
+        }
       case "Novelty" =>
         // per-doc n-gram novelty vs a reference corpus (the scoring
         // complement of Decontaminate); `reference` is an input spec

@@ -54,6 +54,39 @@ class VocabularyNoveltySpec extends SparkSpec {
     assert(uni == Map("alpha" -> 2L, "beta" -> 1L))
   }
 
+  test("vocab store: increments merge by sum; compaction folds partials") {
+    val store = java.nio.file.Files
+      .createTempDirectory("vocab-store").toString + "/v"
+    val run1 = Seq((0L, "alpha beta alpha")).toDF("doc_id", "text")
+    val run2 = Seq((1L, "alpha gamma")).toDF("doc_id", "text")
+    assert(TextAnalysis.appendToVocabStore(run1, "text", store) == 2L)
+    assert(TextAnalysis.appendToVocabStore(run2, "text", store) == 2L)
+    def merged = TextAnalysis.readVocabStore(spark, store)
+      .as[(String, Long)].collect().toMap
+    assert(merged == Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L))
+    // compaction folds the partial files but never the counts
+    val before = graft.ml.Dedup.storeDataFiles(spark, store).size
+    TextAnalysis.compactVocabStore(spark, store, targetFiles = 1)
+    assert(graft.ml.Dedup.storeDataFiles(spark, store).size < before)
+    assert(merged == Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L))
+    // a replayed append DOUBLE-COUNTS (counts merge, unlike the
+    // anti-joined seen stores) — the documented reason the YAML stage
+    // defers appends to the PostCommit hook
+    TextAnalysis.appendToVocabStore(run2, "text", store)
+    assert(merged("alpha") == 4L)
+    // ranked view over store + a not-yet-appended increment
+    val v = TextAnalysis.vocabularyFromStore(spark, store, 1L, 10,
+        increment = Some(Seq((2L, "beta")).toDF("doc_id", "text")))
+      .as[(String, Long, Int)].collect().toSeq
+    assert(v.head == (("alpha", 4L, 1)))
+    val vCounts = v.map(t => t._1 -> t._2).toMap
+    assert(vCounts("beta") == 2L)
+    // absent store reads empty, ranks only the increment
+    val fresh = TextAnalysis.vocabularyFromStore(spark, store + "-none", 1L,
+        10, increment = Some(run1)).as[(String, Long, Int)].collect()
+    assert(fresh.map(t => t._1 -> t._2).toMap == Map("alpha" -> 2L, "beta" -> 1L))
+  }
+
   test("ngramNovelty dedups grams within a doc before scoring") {
     val ref = Seq((0L, "x y z")).toDF("doc_id", "text")
     // 'x y z' appears twice but counts once among the doc's DISTINCT grams

@@ -654,6 +654,26 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("Vocabulary store option: emit covers the increment, append is post-commit") {
+    val store = tmp("vocab-yaml") + "/v"
+    val run1 = Seq((0L, "alpha beta alpha")).toDF("id", "text")
+    val stage = Planner.corpusStage("Vocabulary", Map(
+      "src" -> "text", "min_count" -> 1, "top_n" -> 10, "store" -> store))
+    // emitted vocabulary INCLUDES the not-yet-appended increment…
+    val v1 = stage(run1).as[(String, Long, Int)].collect()
+    assert(v1.map(t => t._1 -> t._2).toMap == Map("alpha" -> 2L, "beta" -> 1L))
+    // …but the store only advances when the run's sinks commit
+    assert(graft.ml.Dedup.storeDataFiles(spark, store).isEmpty)
+    graft.core.PostCommit.drain()
+    assert(graft.ml.TextAnalysis.readVocabStore(spark, store)
+      .as[(String, Long)].collect().toMap == Map("alpha" -> 2L, "beta" -> 1L))
+    // run 2 merges store + its own increment
+    val v2 = stage(Seq((1L, "alpha")).toDF("id", "text"))
+      .as[(String, Long, Int)].collect()
+    graft.core.PostCommit.drain()
+    assert(v2.map(t => t._1 -> t._2).toMap == Map("alpha" -> 3L, "beta" -> 1L))
+  }
+
   test("SaltedJoin stage enriches against a right input spec") {
     val dim = tmp("salted-dim")
     Seq((0L, "zero"), (1L, "one")).toDF("k", "name")
