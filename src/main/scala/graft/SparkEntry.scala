@@ -1249,6 +1249,35 @@ object SparkEntry {
       ta.vocabularyFromStore(s, store, minCount = 3, topN = 50)
     },
 
+    // BPE encode with a FIXED merge table: the full token sequence and
+    // count per doc, which the oracle replays with a recursive CTE
+    // applying the same leftmost-lowest-rank merge loop (the CTE itself
+    // was validated against an independent Python BPE before landing)
+    "q_bpe_encode" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val enc = graft.ml.Bpe.encode(docs, "text", bpeGateMerges)
+      enc.filter(size(col("bpe_tokens")) > 0)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_tokens"),
+          array_join(col("bpe_tokens"), "|").as("bpe"))
+    },
+
+    // BPE end-to-end on TRAINED merges: distributed word counts → driver
+    // merge learning → broadcast-free plan-embedded encode; the oracle
+    // checks losslessness (tokens re-concatenate to the normalized text)
+    // — merge CONTENT is pinned by q_bpe_encode and the BpeSpec trainer
+    // fixtures
+    "q_bpe_roundtrip" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.ml.Bpe.train(docs, "text", numMerges = 40, maxWords = 1000)
+      val codec = graft.functions.BpeCodec(merges, unicode = false)
+      docs.select(col("doc_id"),
+        array_join(transform(
+          filter(split(lower(col("text")), "\\s+"), w => length(w) > 0),
+          w => concat_ws("", graft.functions.BpeFns.bpeTokens(w, codec))),
+          " ").as("rejoined"))
+    },
+
     // per-doc 5-gram novelty vs a reference corpus (first 10 docs play
     // the already-trained-on set): the scoring complement of
     // decontamination — exact integer-division fractions the oracle
@@ -1487,6 +1516,15 @@ object SparkEntry {
 
   /** Shared ANN oracle bodies: each is a complete SELECT used both as
     * its own gate's oracle and as a subquery arm of q_ann_recall. */
+  /** Fixed merge table for q_bpe_encode — multi-level chains (t+a+b+l+e,
+    * s+c+a+n, a+g+g) plus overlapping rules ((t,a) vs (ta,b); (r,o) vs
+    * (o,r)) so rank precedence and leftmost choice are both exercised.
+    * The oracle inlines the same table as VALUES. */
+  private val bpeGateMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "s" -> "c", "sc" -> "a", "sca" -> "n", "a" -> "g", "ag" -> "g",
+    "r" -> "o", "ro" -> "w", "o" -> "r", "e" -> "r")
+
   /** Shared by q_vocab (direct) and q_vocab_store (store-merged): the
     * incremental store must reproduce the whole-corpus vocabulary. */
   private val vocabOracle: String =
@@ -3149,6 +3187,50 @@ object SparkEntry {
 
     // the store path must reproduce the whole-corpus vocabulary exactly
     "q_vocab_store" -> vocabOracle,
+
+    // recursive-CTE replay of the BPE encoder: per DISTINCT word, start
+    // from code points and repeatedly merge the LEFTMOST occurrence of
+    // the LOWEST-ranked adjacent pair (ORDER BY rnk, i LIMIT 1) until no
+    // pair applies; per doc, word token lists rejoin in word order. The
+    // merge VALUES are exactly SparkEntry.bpeGateMerges.
+    "q_bpe_encode" ->
+      """WITH RECURSIVE
+        |merges(l, r, rnk) AS (VALUES ('t','a',0),('ta','b',1),('tab','l',2),
+        |  ('tabl','e',3),('s','c',4),('sc','a',5),('sca','n',6),('a','g',7),
+        |  ('ag','g',8),('r','o',9),('ro','w',10),('o','r',11),('e','r',12)),
+        |sp AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |wp AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws FROM sp),
+        |words AS (SELECT doc_id, i, ws[i] AS word FROM wp WHERE ws[i] <> ''),
+        |dw AS (SELECT DISTINCT word FROM words),
+        |enc(word, syms, step) AS (
+        |  SELECT word, string_split(word, ''), 0 FROM dw
+        |  UNION ALL
+        |  SELECT word,
+        |    list_concat(list_concat(syms[1:p-1], [syms[p] || syms[p+1]]), syms[p+2:]),
+        |    step + 1
+        |  FROM (
+        |    SELECT word, syms, step,
+        |      (SELECT t.i FROM unnest(generate_series(1, greatest(len(syms)-1, 0))) AS t(i)
+        |        JOIN merges m ON m.l = syms[t.i] AND m.r = syms[t.i+1]
+        |        ORDER BY m.rnk, t.i LIMIT 1) AS p
+        |    FROM enc) s WHERE p IS NOT NULL
+        |),
+        |fin AS (SELECT word, syms FROM enc QUALIFY step = max(step) OVER (PARTITION BY word)),
+        |wt AS (SELECT doc_id, i, f.syms FROM words w JOIN fin f USING (word))
+        |SELECT doc_id,
+        |  CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+        |  string_agg(list_aggregate(syms, 'string_agg', '|'), '|' ORDER BY i) AS bpe
+        |FROM wt GROUP BY doc_id""".stripMargin,
+
+    // losslessness of the trained-merge encode: concatenating each
+    // word's BPE tokens reproduces the word, so the rejoined doc equals
+    // its normalized (lowercased, single-spaced, empty-dropped) text
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  coalesce(list_aggregate(
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> ''),
+        |    'string_agg', ' '), '') AS rejoined
+        |FROM documents""".stripMargin,
 
     // mirrors ngramsAll's edge exactly: docs shorter than 5 tokens emit
     // NO grams (empty list, not a clipped short gram) and come out with

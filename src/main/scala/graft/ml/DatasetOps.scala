@@ -127,17 +127,23 @@ object DatasetOps {
     * Plan at scale: ONE map-side-combined aggregation over the corpus
     * (shuffle key = source, rows = distinct sources), then the weight
     * normalization over the tiny per-source frame via a broadcast 1-row
-    * Σweights — no driver action, composes lazily. */
+    * Σweights — no driver action, composes lazily.
+    *
+    * `tokenCounter` sets how a row's token mass is measured — default
+    * whitespace tokens; pass [[Bpe.tokenCounter]] to size the budget in
+    * REAL tokenizer tokens (whitespace under-counts code/CJK text 2-4×,
+    * and a budget sized in the wrong unit misses by the same factor). */
   def planMixture(df: DataFrame, groupCol: String, textCol: String,
       weights: Map[String, Double], defaultWeight: Double,
-      totalBudget: Long): DataFrame = {
+      totalBudget: Long,
+      tokenCounter: Column => Column = TextAnalysis.tokenCount): DataFrame = {
     require(totalBudget > 0, "planMixture: totalBudget must be positive")
     val table =
       if (weights.isEmpty) typedLit(Map.empty[String, Double])
       else map(weights.toSeq.sortBy(_._1)
         .flatMap { case (k, w) => Seq(lit(k), lit(w)) }: _*)
     val perSource = df.groupBy(col(groupCol).as("group"))
-      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .agg(sum(tokenCounter(col(textCol)).cast("long"))
         .as("n_tokens"))
       .withColumn("weight",
         coalesce(element_at(table, col("group")), lit(defaultWeight)))
