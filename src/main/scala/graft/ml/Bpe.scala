@@ -1,5 +1,7 @@
 package graft.ml
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,12 +45,13 @@ object Bpe {
       s"Bpe.train: maxWords must be in (0, 2e6] (driver-side table), got $maxWords")
     // bounded driver materialization: top-maxWords by count is
     // TakeOrderedAndProject (per-task top-N merged on the driver — the
-    // vocabulary never lands on one node even when the corpus is 100 TB)
+    // vocabulary never lands on one node even when the corpus is 100 TB);
+    // drained via toLocalIterator like every other bounded driver pull
     val top = counts.groupBy("token").agg(sum(col("cnt")).as("cnt"))
       .filter(col("token").isNotNull && length(col("token")) > 0)
       .orderBy(col("cnt").desc, col("token"))
       .limit(maxWords)
-      .collect()
+      .toLocalIterator().asScala.toArray
 
     // mutable word symbol sequences + frequency
     val words = top.map(r => toSyms(r.getString(0)))
@@ -159,11 +162,11 @@ object Bpe {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Load a merge list saved by [[saveModel]] (bounded collect: the model
+  /** Load a merge list saved by [[saveModel]] (bounded drain: the model
     * is numMerges rows by construction). */
   def loadModel(spark: SparkSession, path: String): Seq[(String, String)] =
     spark.read.parquet(path).orderBy("rank")
-      .select("l", "r").collect()
+      .select("l", "r").toLocalIterator().asScala
       .map(r => (r.getString(0), r.getString(1))).toSeq
 
   // ---- application --------------------------------------------------------
