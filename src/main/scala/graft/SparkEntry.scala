@@ -1289,6 +1289,25 @@ object SparkEntry {
         "text", "doc_id", "text", n = 5)
     },
 
+    // stupid-backoff trigram LM perplexity scoring (the CCNet-style
+    // quality arm): model trained on the first 10 docs, every doc scored.
+    // Gate columns are the branch-decision integers plus sum_prob, whose
+    // ratio-of-counts arithmetic (IEEE divide/multiply/add only, no
+    // transcendentals, position-ordered sum) replays bit-for-bit in the
+    // oracle — validated against an independent Python stupid-backoff
+    // before landing. log_prob/perplexity (ln/exp are not cross-engine
+    // reproducible) are spec-pinned in NgramLmSpec instead.
+    "q_ngram_lm" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.ml.NgramLm.train(docs.filter($"doc_id" < 10),
+        "text", order = 3, minCount = 2)
+      graft.ml.NgramLm.score(docs, model, "text", "doc_id",
+          order = 3, alpha = 0.4)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("matched_full"), col("backoff"), col("oov"), col("sum_prob"))
+    },
+
     // the audit twin of q_decontaminate: WHICH benchmark item leaked
     // into WHICH doc, with the shared distinct-gram count
     "q_contamination_report" -> { (s, dir) =>
@@ -3259,6 +3278,69 @@ object SparkEntry {
         |SELECT t.doc_id AS id, coalesce(agg.n_grams, 0) AS n_grams,
         |  coalesce(agg.novelty, 1.0) AS novelty
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // independent replay of the stupid-backoff scorer: positional gram
+    // lattice via generate_series, model = count ≥ 2 grams of docs < 10,
+    // backoff CASE identical to NgramLm.score. Float literals MUST be
+    // ::DOUBLE — bare 0.4 is DECIMAL in DuckDB and 0.4*0.4 folds to
+    // exact 0.16, not the IEEE product the engine computes. sum in pos
+    // order via list(... ORDER BY pos) → list_aggregate.
+    "q_ngram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos, k AS lvl,
+        |         array_to_string(toks[i-k+1:i], ' ') AS gram
+        |  FROM t, unnest(generate_series(1, 3)) ks(k),
+        |       unnest(generate_series(1, len(toks))) s(i)
+        |  WHERE i >= k
+        |), mdl AS (
+        |  SELECT lvl, gram, count(*) AS cnt FROM g WHERE doc_id < 10
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), ntot AS (
+        |  SELECT count(*)::DOUBLE AS n FROM g WHERE doc_id < 10 AND lvl = 1
+        |), pv AS (
+        |  SELECT doc_id, pos,
+        |    max(CASE WHEN lvl=1 THEN cnt END) AS c1,
+        |    max(CASE WHEN lvl=2 THEN cnt END) AS c2,
+        |    max(CASE WHEN lvl=3 THEN cnt END) AS c3
+        |  FROM (SELECT doc_id, pos, lvl, cnt
+        |        FROM g LEFT JOIN mdl USING (lvl, gram)) j
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT doc_id, pos, c1, c2, c3,
+        |    lag(c1) OVER (PARTITION BY doc_id ORDER BY pos) AS c1p,
+        |    lag(c2) OVER (PARTITION BY doc_id ORDER BY pos) AS c2p
+        |  FROM pv
+        |), s AS (
+        |  SELECT doc_id, pos, least(3, pos + 1) AS kmax,
+        |    CASE
+        |      WHEN pos >= 2 AND c3 IS NOT NULL THEN 3
+        |      WHEN pos >= 1 AND c2 IS NOT NULL THEN 2
+        |      WHEN c1 IS NOT NULL THEN 1
+        |      ELSE 0 END AS used,
+        |    CASE
+        |      WHEN pos >= 2 AND c3 IS NOT NULL THEN c3::DOUBLE / c2p::DOUBLE
+        |      WHEN pos >= 1 AND c2 IS NOT NULL THEN
+        |        (CASE WHEN least(3, pos+1) = 2 THEN 1.0::DOUBLE
+        |              ELSE 0.4::DOUBLE END) * (c2::DOUBLE / c1p::DOUBLE)
+        |      WHEN c1 IS NOT NULL THEN
+        |        (CASE least(3, pos+1) - 1 WHEN 0 THEN 1.0::DOUBLE
+        |              WHEN 1 THEN 0.4::DOUBLE
+        |              ELSE 0.4::DOUBLE * 0.4::DOUBLE END)
+        |          * (c1::DOUBLE / (SELECT n FROM ntot))
+        |      ELSE 0.0::DOUBLE END AS sv
+        |  FROM w
+        |)
+        |SELECT doc_id,
+        |  count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN used = kmax THEN 1 ELSE 0 END)::BIGINT AS matched_full,
+        |  sum(CASE WHEN used > 0 AND used < kmax THEN 1 ELSE 0 END)::BIGINT
+        |    AS backoff,
+        |  sum(CASE WHEN used = 0 THEN 1 ELSE 0 END)::BIGINT AS oov,
+        |  list_aggregate(list(sv ORDER BY pos), 'sum') AS sum_prob
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     "q_contamination_report" ->
       """WITH t AS (

@@ -364,7 +364,8 @@ object Planner {
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
     "MediaResample", "MediaFrames", "StripHtml", "QualityBand",
     "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
-    "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix")
+    "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
+    "PerplexityScore")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -738,6 +739,30 @@ object Planner {
           val ref = input(df.sparkSession, rm.strReq("input"), rm)
           graft.ml.TextAnalysis.ngramNovelty(df, ref, text, id,
             rm.str("src").getOrElse(text), n, conf.bool("unicode", false))
+        }
+      case "PerplexityScore" =>
+        // stupid-backoff n-gram LM scoring (the CCNet-style quality arm):
+        // emits the per-doc score frame (id, n_tokens, matched_full,
+        // backoff, oov, sum_prob, log_prob, perplexity). Model comes from
+        // `model_path` (a parquet written from NgramLm.train's frame) or
+        // is trained on a `reference` input spec, like Novelty.
+        val order = conf.int("order", 3)
+        val alpha = conf.dbl("alpha", 0.4)
+        val uni = conf.bool("unicode", false)
+        df => {
+          val model = conf.str("model_path") match {
+            case Some(p) => df.sparkSession.read.parquet(p)
+            case None =>
+              val rm = conf.anyMap("reference")
+              if (rm.isEmpty) sys.error("PerplexityScore needs `model_path` " +
+                "or a `reference` input spec, e.g. reference: {input: " +
+                "Parquet, path: /data/wiki.parquet}")
+              graft.ml.NgramLm.train(
+                input(df.sparkSession, rm.strReq("input"), rm),
+                rm.str("src").getOrElse(text), order,
+                conf.long("min_count", 2L), uni)
+          }
+          graft.ml.NgramLm.score(df, model, text, id, order, alpha, uni)
         }
       case "BudgetMix" =>
         // token-budget mixture: size per-source rates against real token

@@ -654,6 +654,37 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("PerplexityScore stage trains from a reference spec or loads a saved model") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "zzz qqq vvv")).toDF("id", "text")
+    val ref = tmp("lm-ref")
+    Seq.fill(5)("the cat sat on the mat").toDF("text")
+      .write.mode("overwrite").parquet(ref)
+
+    val scored = Planner.corpusStage("PerplexityScore", Map(
+      "src" -> "text", "id_field" -> "id", "order" -> 3, "min_count" -> 2,
+      "reference" -> Map("input" -> "Parquet", "path" -> ref)))(docs)
+      .orderBy("id").collect()
+    assert(scored(0).getLong(4) == 0)                    // no OOV in doc 0
+    assert(scored(1).getLong(4) == 3)                    // all OOV in doc 1
+    assert(scored(0).getDouble(7) < scored(1).getDouble(7))  // ppl ordering
+
+    // model round-trip: persist the trained counts, score via model_path
+    val mp = tmp("lm-model")
+    graft.ml.NgramLm.train(spark.read.parquet(ref), "text", 3, minCount = 2)
+      .write.mode("overwrite").parquet(mp)
+    val viaModel = Planner.corpusStage("PerplexityScore", Map(
+      "src" -> "text", "id_field" -> "id", "model_path" -> mp))(docs)
+      .orderBy("id").collect()
+    assert(viaModel.map(_.getDouble(5)).toSeq ==
+      scored.map(_.getDouble(5)).toSeq)
+
+    intercept[RuntimeException] {
+      Planner.corpusStage("PerplexityScore", Map("src" -> "text"))(docs)
+    }
+  }
+
   test("Vocabulary store option: emit covers the increment, append is post-commit") {
     val store = tmp("vocab-yaml") + "/v"
     val run1 = Seq((0L, "alpha beta alpha")).toDF("id", "text")
