@@ -1308,6 +1308,34 @@ object SparkEntry {
           col("matched_full"), col("backoff"), col("oov"), col("sum_prob"))
     },
 
+    // WARC web-crawl ingestion round-trip: the first 200 documents are
+    // serialized as per-record gzip members of one .warc.gz (bounded
+    // toLocalIterator drain — fixture synthesis, not an operator path),
+    // then read back through WarcReader's streaming parser; the oracle
+    // is the documents table itself. Proves header parsing, HTTP
+    // envelope split, multi-member gzip, and byte-exact payloads.
+    "q_warc_read" -> { (s, dir) =>
+      import scala.jdk.CollectionConverters._
+      val docs = Tables.load(s, dir, "documents")
+      val fpath = java.nio.file.Paths.get(gateTmpDir("warc"), "docs.warc.gz")
+      val os = java.nio.file.Files.newOutputStream(fpath)
+      try {
+        docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+          .orderBy("doc_id").toLocalIterator().asScala.foreach { r =>
+            os.write(graft.sources.WarcReader.gzipMember(
+              graft.sources.WarcReader.responseRecord(
+                s"http://docs.example/${r.getLong(0)}",
+                "2026-01-01T00:00:00Z", s"<urn:uuid:${r.getLong(0)}>",
+                r.getString(1).getBytes("UTF-8"))))
+          }
+      } finally os.close()
+      graft.sources.WarcReader.read(s, fpath.toString)
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          decode(col("payload"), "UTF-8").as("text"))
+    },
+
     // the audit twin of q_decontaminate: WHICH benchmark item leaked
     // into WHICH doc, with the shared distinct-gram count
     "q_contamination_report" -> { (s, dir) =>
@@ -3341,6 +3369,10 @@ object SparkEntry {
         |  sum(CASE WHEN used = 0 THEN 1 ELSE 0 END)::BIGINT AS oov,
         |  list_aggregate(list(sv ORDER BY pos), 'sum') AS sum_prob
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // byte-exact WARC round-trip: what went in comes out
+    "q_warc_read" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200",
 
     "q_contamination_report" ->
       """WITH t AS (

@@ -966,6 +966,12 @@ object Planner {
         spark.range(n).select(
           (rand() * (to - from) + from).cast("long").as("message"),
           current_timestamp().as("@timestamp"))
+      case "Warc" =>
+        // web-crawl archives (.warc / .warc.gz), one task per file —
+        // the CommonCrawl ingestion head of the curation family
+        graft.sources.WarcReader.read(spark, conf.strReq("path"),
+          conf.int("max_record_bytes", 16 << 20),
+          conf.bool("parse_http", true))
       case other => sys.error(s"unknown batch input '$other'")
     }
 

@@ -1,0 +1,239 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Batch WARC reader — the web-crawl ingestion path (CommonCrawl-style
+  * `.warc` / `.warc.gz` archives) feeding the text-curation family
+  * (StripHtml → Normalize → Dedup → PerplexityScore → …).
+  *
+  * Scale model, matching how production crawl processing works: WARC
+  * gzip members are not byte-splittable without an external index, so
+  * parallelism is ONE FILE PER TASK — a crawl segment is tens of
+  * thousands of ~1 GB files, far more than any cluster's task slots, so
+  * per-file tasks saturate 1000 executors without splitting. Each task
+  * STREAMS its file (Hadoop FS → gzip → record parser): memory is
+  * bounded by one record (`maxRecordBytes` clips outliers and flags
+  * them `truncated` rather than OOMing the executor), never the file.
+  * The file listing itself is a driver-side glob — the same listing
+  * Spark's own FileSourceScan does.
+  *
+  * Format per ISO 28500 (WARC 1.0/1.1): `WARC/1.x` version line, CRLF
+  * header lines to an empty line, Content-Length payload bytes, CRLF
+  * CRLF trailer. `.gz` files are concatenated per-record gzip members —
+  * Java's GZIPInputStream consumes multi-member streams natively.
+  * `parseHttp` additionally splits response records' HTTP envelope into
+  * status + Content-Type + body, which is what the text pipeline wants.
+  */
+object WarcReader {
+
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("record_index", IntegerType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("truncated", BooleanType, nullable = false)))
+
+  /** Read every WARC file matching `pattern` (glob, any Hadoop FS). */
+  def read(spark: SparkSession, pattern: String,
+      maxRecordBytes: Int = 16 << 20, parseHttp: Boolean = true): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(conf)
+    val statuses = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = statuses.filter(_.isFile).map(_.getPath.toString)
+    readPaths(spark, files, maxRecordBytes, parseHttp)
+  }
+
+  /** Read an explicit file list, one task per file. */
+  def readPaths(spark: SparkSession, paths: Seq[String],
+      maxRecordBytes: Int = 16 << 20, parseHttp: Boolean = true): DataFrame = {
+    require(maxRecordBytes > 0, "maxRecordBytes must be positive")
+    val sc = spark.sparkContext
+    val confBc = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    val n = math.max(paths.size, 1)
+    val rows = sc.parallelize(paths, n).flatMap { file =>
+      val fs = new Path(file).getFileSystem(confBc.value.value)
+      val raw = fs.open(new Path(file))
+      val in: InputStream =
+        if (file.endsWith(".gz")) new GZIPInputStream(new BufferedInputStream(raw))
+        else new BufferedInputStream(raw)
+      new WarcRecordIterator(file, in, maxRecordBytes, parseHttp)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Streaming record iterator over one (decompressed) WARC stream.
+    * Bounded memory: header lines + min(Content-Length, maxRecordBytes). */
+  private final class WarcRecordIterator(file: String, in: InputStream,
+      maxRecordBytes: Int, parseHttp: Boolean)
+      extends Iterator[Row] {
+    private var nextRow: Row = _
+    private var idx = 0
+    private var closed = false
+
+    override def hasNext: Boolean = {
+      if (nextRow == null && !closed) advance()
+      nextRow != null
+    }
+    override def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = nextRow; nextRow = null; r
+    }
+
+    private def close(): Unit = if (!closed) { closed = true; in.close() }
+
+    private def advance(): Unit = {
+      try {
+        // skip inter-record CRLFs / junk to the next version line
+        var line = readLine()
+        while (line != null && !line.startsWith("WARC/")) line = readLine()
+        if (line == null) { close(); return }
+
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var h = readLine()
+        while (h != null && h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i > 0) headers(h.substring(0, i).trim.toLowerCase) =
+            h.substring(i + 1).trim
+          h = readLine()
+        }
+        val len = headers.get("content-length").flatMap(s =>
+          scala.util.Try(s.toLong).toOption).getOrElse(0L)
+        val keep = math.min(len, maxRecordBytes.toLong).toInt
+        val payload = readFully(keep)
+        skipFully(len - keep)
+
+        val warcType = headers.get("warc-type").orNull
+        var status: Integer = null
+        var httpCt: String = null
+        var body = payload
+        if (parseHttp && warcType == "response" && startsWithHttp(payload)) {
+          val sep = indexOfCrlfCrlf(payload)
+          if (sep >= 0) {
+            val head = new String(payload, 0, sep, "ISO-8859-1")
+            val lines = head.split("\r\n")
+            val parts = lines.head.split(" ", 3)
+            if (parts.length >= 2)
+              status = scala.util.Try(Integer.valueOf(parts(1))).toOption.orNull
+            httpCt = lines.tail.collectFirst {
+              case l if l.toLowerCase.startsWith("content-type:") =>
+                l.substring(13).trim
+            }.orNull
+            body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+          }
+        }
+        val lenBoxed: java.lang.Long =
+          if (headers.contains("content-length")) java.lang.Long.valueOf(len)
+          else null
+        nextRow = Row(file, idx, warcType, headers.get("warc-record-id").orNull,
+          headers.get("warc-target-uri").orNull, headers.get("warc-date").orNull,
+          headers.get("content-type").orNull, lenBoxed,
+          status, httpCt, body, len > keep)
+        idx += 1
+      } catch {
+        case _: EOFException => close()
+      }
+    }
+
+    /** CRLF (or bare LF, tolerated) terminated line; null at EOF. */
+    private def readLine(): String = {
+      val buf = new ByteArrayOutputStream(64)
+      var b = in.read()
+      if (b < 0) return null
+      while (b >= 0 && b != '\n') {
+        buf.write(b)
+        b = in.read()
+      }
+      val bytes = buf.toByteArray
+      val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+        bytes.length - 1 else bytes.length
+      new String(bytes, 0, n, "ISO-8859-1")
+    }
+
+    private def readFully(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(out, off, n - off)
+        if (r < 0) throw new EOFException("truncated WARC record")
+        off += r
+      }
+      out
+    }
+
+    private def skipFully(n: Long): Unit = {
+      var left = n
+      val junk = new Array[Byte](8192)
+      while (left > 0) {
+        val r = in.read(junk, 0, math.min(left, junk.length.toLong).toInt)
+        if (r < 0) throw new EOFException("truncated WARC record")
+        left -= r
+      }
+    }
+
+    private def startsWithHttp(p: Array[Byte]): Boolean =
+      p.length >= 5 && p(0) == 'H' && p(1) == 'T' && p(2) == 'T' &&
+        p(3) == 'P' && p(4) == '/'
+
+    private def indexOfCrlfCrlf(p: Array[Byte]): Int = {
+      var i = 0
+      while (i + 3 < p.length) {
+        if (p(i) == '\r' && p(i + 1) == '\n' && p(i + 2) == '\r' &&
+          p(i + 3) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+  }
+
+  // ---- fixture synthesis (tests + gate; the format is its own spec) -------
+
+  /** Serialize one WARC response record wrapping `body` as an HTTP 200. */
+  def responseRecord(uri: String, date: String, recordId: String,
+      body: Array[Byte], httpContentType: String = "text/plain"): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
+    val payload = http ++ body
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: $recordId\r\n" +
+      s"WARC-Target-URI: $uri\r\nWARC-Date: $date\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  /** Gzip one record as its own member (the standard .warc.gz layout). */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record); gz.close()
+    bos.toByteArray
+  }
+
+  /** Hadoop Configuration is not Serializable; ship it via writeFields,
+    * the standard wrapper pattern. */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+}
