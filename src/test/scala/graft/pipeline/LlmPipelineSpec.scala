@@ -145,6 +145,54 @@ class LlmPipelineSpec extends SparkSpec {
     assert(audit.length == 2 && audit.forall(_._3))
   }
 
+  test("WARC-headed crawl curation: Warc input → Convert → StripHtml → Dedup") {
+    // the CommonCrawl ingestion story end-to-end: a .warc.gz of HTML
+    // pages enters as binary payloads, is cast to text, markup-stripped,
+    // then exact-deduped — record 1 is byte-distinct from record 0 but
+    // text-identical once tags go, so only the strip makes them collide
+    val dir = tmp("warc-chain")
+    val out = tmp("warc-chain-out")
+    val pages = Seq(
+      ("http://x.example/0", "<html><body><p>alpha beta gamma</p></body></html>"),
+      ("http://x.example/1", "<html><body><div>alpha beta gamma</div></body></html>"),
+      ("http://x.example/2",
+        "<html><script>var x=1;</script><body>unique page &amp; two</body></html>"))
+    val bytes = pages.map { case (u, h) =>
+      graft.sources.WarcReader.gzipMember(
+        graft.sources.WarcReader.responseRecord(u, "2026-01-01T00:00:00Z",
+          s"<urn:uuid:${u.hashCode}>", h.getBytes("UTF-8"),
+          httpContentType = "text/html"))
+    }.reduce(_ ++ _)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "crawl.warc.gz"), bytes)
+
+    val yaml =
+      s"""inputs:
+         |  - Warc:
+         |      path: $dir/*.warc.gz
+         |filters:
+         |  - Convert:
+         |      fields:
+         |        payload: {to: string}
+         |  - StripHtml: {src: payload, target: text}
+         |  - Dedup: {src: text, id_field: record_index, method: exact}
+         |outputs:
+         |  - Parquet:
+         |      path: $out
+         |""".stripMargin
+    val cfg = java.nio.file.Files.createTempFile("warc-pipeline", ".yml")
+    java.nio.file.Files.write(cfg, yaml.getBytes("UTF-8"))
+    graft.Main.run(spark, cfg.toString)
+
+    val rows = spark.read.parquet(out)
+      .select("target_uri", "text").as[(String, String)].collect().toMap
+    // keep-first: record 0 survives, its markup-variant 1 is dropped
+    assert(rows.keySet == Set("http://x.example/0", "http://x.example/2"), rows)
+    assert(rows("http://x.example/0") == "alpha beta gamma")
+    // script block gone, entity decoded
+    assert(rows("http://x.example/2") == "unique page & two")
+  }
+
   test("Dedup dispatches minhash and hamming methods") {
     // 1 is a punctuation-level near-dup of 0 (jaccard ~0.82 — minhash
     // territory; one changed token flips >3 of 64 simhash bits, so the
