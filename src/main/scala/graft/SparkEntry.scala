@@ -1197,6 +1197,19 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "text", "doc_id", p = 0.7)
     },
 
+    // Gopher/C4 fixed-threshold heuristic rules, one boolean per rule —
+    // the published curation pass that precedes model-based scoring.
+    // minStopHits=1 because the fixture's only Gopher stop word is 'the'
+    // (382/500 docs); word-count bound splits the corpus near its median.
+    "q_quality_rules" -> { (s, dir) =>
+      graft.ml.TextAnalysis.gopherRules(
+        Tables.load(s, dir, "documents"), "text", minStopHits = 1)
+        .select("doc_id", "n_words", "stop_hits", "rule_word_count",
+          "rule_mean_word_len", "rule_symbol_ratio", "rule_alpha",
+          "rule_bullet", "rule_ellipsis", "rule_stopwords",
+          "rule_no_brace", "rule_no_lorem", "keep")
+    },
+
     // Repetition scoring (Gopher-rule family: boilerplate/spam signal)
     "q_repetition" -> { (s, dir) =>
       graft.ml.TextAnalysis.repetitionStats(
@@ -3079,6 +3092,46 @@ object SparkEntry {
         |    + swr * 0.2 AS score FROM m
         |), thr AS (SELECT quantile_cont(score, 0.7) AS th FROM s)
         |SELECT doc_id, score FROM s, thr WHERE score >= th""".stripMargin,
+
+    // every ratio is one exact int→double division compared to a double
+    // literal — identical correctly-rounded ops in both engines, so the
+    // rule booleans replay bit-for-bit
+    "q_quality_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> strlen(x) > 0) AS words,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, len(words) AS n_words, len(lines) AS n_lines,
+        |    list_sum([strlen(x) for x in words]) AS sumlen,
+        |    len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+        |    len(string_split(text, '#')) - 1 + len(string_split(text, '...')) - 1 AS sym_cnt,
+        |    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_cnt,
+        |    len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullet_cnt,
+        |    len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ellipsis_cnt,
+        |    contains(text, '{') AS has_brace,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem
+        |  FROM w
+        |), r AS (
+        |  SELECT doc_id, n_words, stop_hits,
+        |    n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+        |    n_words > 0 AND CAST(sumlen AS DOUBLE) / n_words >= 3.0
+        |      AND CAST(sumlen AS DOUBLE) / n_words <= 10.0 AS rule_mean_word_len,
+        |    n_words > 0 AND CAST(sym_cnt AS DOUBLE) / n_words < 0.1 AS rule_symbol_ratio,
+        |    n_words > 0 AND CAST(alpha_cnt AS DOUBLE) / n_words >= 0.8 AS rule_alpha,
+        |    CAST(bullet_cnt AS DOUBLE) / n_lines < 0.9 AS rule_bullet,
+        |    CAST(ellipsis_cnt AS DOUBLE) / n_lines < 0.3 AS rule_ellipsis,
+        |    stop_hits >= 1 AS rule_stopwords,
+        |    NOT has_brace AS rule_no_brace,
+        |    NOT has_lorem AS rule_no_lorem
+        |  FROM m
+        |)
+        |SELECT *, rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+        |  AND rule_alpha AND rule_bullet AND rule_ellipsis AND rule_stopwords
+        |  AND rule_no_brace AND rule_no_lorem AS keep
+        |FROM r""".stripMargin,
 
     "q_text_profile" ->
       """WITH t AS (

@@ -336,6 +336,89 @@ object TextAnalysis {
       .drop(langMarkers.map { case (l, _) => s"__lang_$l" }: _*)
   }
 
+  /** Fixed stop-word set of the Gopher rule (Rae et al. 2021 §A1.1):
+    * a document must contain at least `minStopHits` DISTINCT of these. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/C4-style heuristic quality rules — the published
+    * fixed-threshold curation pass (Rae et al. 2021 "Scaling Language
+    * Models" §A1.1 repetition/quality filters; Raffel et al. 2020 "C4"
+    * §2.2 brace / lorem-ipsum checks) that precedes any model-based
+    * scoring in crawl pipelines. Emits one boolean per rule plus the
+    * integer metrics they threshold and `keep` = AND of all rules;
+    * `drop = true` instead filters to keepers with the original schema.
+    *
+    * Rules (each individually visible so a pipeline can audit WHY a
+    * document fell):
+    *   - `rule_word_count`:    minWords ≤ #words ≤ maxWords
+    *   - `rule_mean_word_len`: minMeanWordLen ≤ Σlen/#words ≤ maxMeanWordLen
+    *   - `rule_symbol_ratio`:  (#'#' + #'...') / #words < maxSymbolRatio
+    *   - `rule_alpha`:         words containing a letter / #words ≥ minAlphaFrac
+    *   - `rule_bullet`:        lines starting with a bullet / #lines < maxBulletFrac
+    *   - `rule_ellipsis`:      lines ending with an ellipsis / #lines < maxEllipsisFrac
+    *   - `rule_stopwords`:     distinct [[gopherStopwords]] present ≥ minStopHits
+    *   - `rule_no_brace`:      no '{' (C4's code-page drop)
+    *   - `rule_no_lorem`:      no 'lorem ipsum' (case-folded)
+    *
+    * Determinism contract for the oracle: every ratio is one exact
+    * int→double division compared against a double literal — both
+    * engines perform the identical correctly-rounded operation, so the
+    * booleans replay bit-for-bit. Plan shape: a pure per-row projection
+    * (tokenizations bound once as real columns, the [[profile]] lesson) —
+    * no shuffle, no UDF, whole-stage codegen; at 100 TB this runs at
+    * scan speed and composes with any downstream stage.
+    */
+  def gopherRules(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+      drop: Boolean = false): DataFrame = {
+    val t = col(s"`$textCol`")
+    val words = col("__graft_qr_words")
+    val lines = col("__graft_qr_lines")
+    val nw = col("n_words")
+    val nl = size(lines)
+    val bound = df
+      .withColumn("__graft_qr_words", filter(tokens(t), w => length(w) > 0))
+      .withColumn("__graft_qr_lines", split(t, "\n", -1))
+      .withColumn("n_words", size(words))
+      .withColumn("stop_hits", size(array_intersect(
+        array_distinct(transform(words, w => lower(w))),
+        array(gopherStopwords.map(lit(_)): _*))))
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nw
+    val symCnt = (size(split(t, "#", -1)) - 1) +
+      (size(split(t, """\.\.\.""", -1)) - 1)
+    val alphaCnt = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val bulletCnt = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+    val ellipsisCnt =
+      size(filter(lines, l => rtrim(l).rlike("""(\.\.\.|…)$""")))
+    val nonEmpty = nw > 0
+    val flagged = bound
+      .withColumn("rule_word_count", nw >= minWords && nw <= maxWords)
+      .withColumn("rule_mean_word_len", nonEmpty &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen)
+      .withColumn("rule_symbol_ratio", nonEmpty &&
+        symCnt.cast("double") / nw < maxSymbolRatio)
+      .withColumn("rule_alpha", nonEmpty &&
+        alphaCnt.cast("double") / nw >= minAlphaFrac)
+      .withColumn("rule_bullet", bulletCnt.cast("double") / nl < maxBulletFrac)
+      .withColumn("rule_ellipsis",
+        ellipsisCnt.cast("double") / nl < maxEllipsisFrac)
+      .withColumn("rule_stopwords", col("stop_hits") >= minStopHits)
+      .withColumn("rule_no_brace", !t.contains("{"))
+      .withColumn("rule_no_lorem", !lower(t).contains("lorem ipsum"))
+    val ruleCols = flagged.columns.filter(_.startsWith("rule_"))
+    val keep = ruleCols.map(col).reduce(_ && _)
+    val out = flagged.withColumn("keep", keep)
+      .drop("__graft_qr_words", "__graft_qr_lines")
+    if (drop) out.filter(col("keep")).select(df.columns.map(c => col(s"`$c`")): _*)
+    else out
+  }
+
   /** Global quality-band filter: keep documents whose [[qualityScore]] is
     * at or above the corpus-wide p-quantile — "train on the top 30%", the
     * standard curation cut after scoring.

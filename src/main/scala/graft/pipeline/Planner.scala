@@ -365,7 +365,7 @@ object Planner {
     "MediaResample", "MediaFrames", "StripHtml", "QualityBand",
     "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
     "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
-    "PerplexityScore")
+    "PerplexityScore", "QualityRules")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -564,6 +564,21 @@ object Planner {
         }
       case "TextProfile" =>
         df => graft.ml.TextAnalysis.profile(df, text)
+      case "QualityRules" =>
+        // Gopher/C4 fixed-threshold pass; `mode: drop` keeps the original
+        // schema and filters, `flag` (default) adds per-rule booleans
+        val dropMode = conf.str("mode").getOrElse("flag") match {
+          case "drop" => true
+          case "flag" => false
+          case other => sys.error(s"QualityRules mode must be flag|drop, got '$other'")
+        }
+        df => graft.ml.TextAnalysis.gopherRules(df, text,
+          conf.int("min_words", 50), conf.int("max_words", 100000),
+          conf.dbl("min_mean_word_len", 3.0), conf.dbl("max_mean_word_len", 10.0),
+          conf.dbl("max_symbol_ratio", 0.1),
+          conf.dbl("max_bullet_frac", 0.9), conf.dbl("max_ellipsis_frac", 0.3),
+          conf.dbl("min_alpha_frac", 0.8), conf.int("min_stop_hits", 2),
+          drop = dropMode)
       case "QualityBand" =>
         // global top-(1-p) quality cut; `exact: false` switches to the
         // constant-memory approx threshold for corpus-scale runs

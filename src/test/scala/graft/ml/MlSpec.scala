@@ -253,6 +253,52 @@ class MlSpec extends SparkSpec {
     assert(q > 0 && q <= 1.1)
   }
 
+  test("gopherRules: each rule trips on its own pathology, clean text keeps") {
+    val good = (1 to 60).map(i => s"word$i").mkString("the quick brown fox and that dog have fun with it ", " ", "")
+    val fixtures = Seq(
+      (0L, good),                                           // passes everything
+      (1L, "too short to keep and that is that"),           // word count < 50
+      (2L, good + " ###### # # # # # # # # # #"),           // symbol ratio
+      (3L, good.split(" ").map(w => s"$w 99 77 55").mkString(" ")), // alpha frac
+      (4L, good + "\n" + (1 to 30).map(i => s"- bullet $i").mkString("\n")), // bullets
+      (5L, good + "\n" + (1 to 9).map(i => s"line $i trails off...").mkString("\n")), // ellipses
+      (6L, good + " { code block }"),                       // C4 brace
+      (7L, good + " some Lorem Ipsum filler"),              // C4 lorem
+      (8L, (1 to 60).map(i => s"zz$i").mkString(" ")),      // no gopher stop words
+      (9L, (1 to 60).map(_ => "extraordinarily").mkString("the of and that ", " ", "")), // mean word len
+    ).toDF("doc_id", "text")
+
+    val out = TextAnalysis.gopherRules(fixtures, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rule(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+
+    assert(rule(0L, "keep"), "clean doc must keep")
+    assert(!rule(1L, "rule_word_count") && !rule(1L, "keep"))
+    assert(!rule(2L, "rule_symbol_ratio") && rule(2L, "rule_word_count"))
+    assert(!rule(3L, "rule_alpha"))
+    assert(!rule(4L, "rule_bullet"))
+    assert(!rule(5L, "rule_ellipsis") && rule(5L, "rule_bullet"))
+    assert(!rule(6L, "rule_no_brace") && rule(6L, "rule_no_lorem"))
+    assert(!rule(7L, "rule_no_lorem"))
+    assert(!rule(8L, "rule_stopwords") && out(8L).getInt(out(8L).fieldIndex("stop_hits")) == 0)
+    assert(!rule(9L, "rule_mean_word_len"))
+    // every non-keeper fell for exactly the reason planted
+    assert((1L to 9L).forall(id => !rule(id, "keep")))
+
+    // drop mode: original schema, keepers only
+    val dropped = TextAnalysis.gopherRules(fixtures, "text", drop = true)
+    assert(dropped.columns.toSeq == Seq("doc_id", "text"))
+    assert(dropped.select("doc_id").as[Long].collect().toSeq == Seq(0L))
+
+    // empty text: no NaN leaks, all ratio rules false
+    val empty = TextAnalysis.gopherRules(Seq((0L, "")).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(!empty.getBoolean(empty.fieldIndex("rule_mean_word_len")))
+    assert(!empty.getBoolean(empty.fieldIndex("rule_symbol_ratio")))
+    assert(!empty.getBoolean(empty.fieldIndex("keep")))
+  }
+
   test("clusters: transitive min-id components (local and distributed paths)") {
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (7L, 9L, 1.0))
       .toDF("id_a", "id_b", "jaccard")

@@ -608,6 +608,25 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("QualityRules stage dispatches Gopher/C4 rules with flag and drop modes") {
+    val good = (1 to 60).map(i => s"word$i")
+      .mkString("the fox and that dog have fun with it ", " ", "")
+    val df = Seq((0L, good), (1L, "the shortest way of things"),
+      (2L, good + " { brace }")).toDF("id", "text")
+    val flagged = Planner.corpusStage("QualityRules",
+      Map("src" -> "text", "min_stop_hits" -> 2))(df)
+    assert(flagged.filter(col("keep")).select("id").as[Long].collect().toSeq == Seq(0L))
+    assert(flagged.columns.contains("rule_no_brace"))
+    val dropped = Planner.corpusStage("QualityRules",
+      Map("src" -> "text", "mode" -> "drop", "min_words" -> 3))(df)
+    // min_words relaxed: only the brace doc falls
+    assert(dropped.columns.toSeq == Seq("id", "text"))
+    assert(dropped.select("id").as[Long].collect().toSet == Set(0L, 1L))
+    intercept[RuntimeException] {
+      Planner.corpusStage("QualityRules", Map("src" -> "text", "mode" -> "bogus"))(df)
+    }
+  }
+
   test("Media stages route the multimodal ops by config") {
     val mm = graft.ml.Multimodal
     val media = mm.synthesizeImageVariants(Seq(0L, 127L).toDF("doc_id"), "doc_id")
