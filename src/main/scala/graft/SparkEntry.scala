@@ -1349,6 +1349,26 @@ object SparkEntry {
           decode(col("payload"), "UTF-8").as("text"))
     },
 
+    // the write twin of q_warc_read: the first 200 documents exported as
+    // WET-style conversion records by the DISTRIBUTED writer (4 partitions
+    // → 4 .warc.gz files), then read back through the glob reader —
+    // proves the round trip through both operator paths end to end
+    "q_warc_write" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val out = gateTmpDir("warc-write")
+      val summary = graft.sources.WarcWriter.write(
+        docs.filter(col("doc_id") < 200)
+          .select(concat(lit("http://docs.example/"), col("doc_id")).as("uri"),
+            col("text")).repartition(4),
+        out, "uri", "text", date = "2026-01-01T00:00:00Z")
+      assert(summary.agg(sum("records")).head.getLong(0) == 200L)
+      graft.sources.WarcReader.read(s, s"$out/*.warc.gz")
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          decode(col("payload"), "UTF-8").as("text"))
+    },
+
     // the audit twin of q_decontaminate: WHICH benchmark item leaked
     // into WHICH doc, with the shared distinct-gram count
     "q_contamination_report" -> { (s, dir) =>
@@ -3425,6 +3445,10 @@ object SparkEntry {
 
     // byte-exact WARC round-trip: what went in comes out
     "q_warc_read" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 200",
+
+    // distributed-writer round-trip: same contract, through WarcWriter
+    "q_warc_write" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 200",
 
     "q_contamination_report" ->

@@ -28,6 +28,14 @@ object Sinks {
       case "Parquet" =>
         df.write.mode(conf.str("mode").getOrElse("overwrite"))
           .parquet(conf.strReq("path"))
+      case "Warc" =>
+        // WET-style conversion-record export, one .warc.gz per partition;
+        // the scalar aggregate forces the distributed write without
+        // collecting the per-file summary to the driver
+        val summary = graft.sources.WarcWriter.write(df,
+          conf.strReq("path"), conf.strReq("uri_field"), conf.strReq("src"))
+        val total = summary.agg(coalesce(sum("records"), lit(0L))).head.getLong(0)
+        System.err.println(s"[warc] wrote $total records to ${conf.strReq("path")}")
       case "Kafka" =>
         kafkaProjection(conf, df)
           .write.format("kafka")

@@ -5,6 +5,7 @@ import java.util.zip.GZIPInputStream
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Batch WARC reader — the web-crawl ingestion path (CommonCrawl-style
@@ -221,9 +222,19 @@ object WarcReader {
     bos.toByteArray
   }
 
+  /** Serialize one WARC conversion record (ISO 28500 §6.8 — the record
+    * type WET text extracts use): plain payload, no HTTP envelope. */
+  def conversionRecord(uri: String, date: String, recordId: String,
+      body: Array[Byte]): Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: $recordId\r\n" +
+      s"WARC-Target-URI: $uri\r\nWARC-Date: $date\r\n" +
+      s"Content-Type: text/plain\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+
   /** Hadoop Configuration is not Serializable; ship it via writeFields,
     * the standard wrapper pattern. */
-  private final class SerializableHadoopConf(
+  private[sources] final class SerializableHadoopConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -235,5 +246,55 @@ object WarcReader {
       value = new org.apache.hadoop.conf.Configuration(false)
       value.readFields(in)
     }
+  }
+}
+
+/** Distributed WET-style WARC export — the curated corpus back out in the
+  * crawl interchange format. Each partition streams its rows into ONE
+  * `part-NNNNN.warc.gz` of per-record gzip members (the layout
+  * [[WarcReader]] and every WARC tool consume): no shuffle, no driver
+  * traffic, memory bounded by one record. File names are deterministic
+  * per partition index and created with overwrite, so a retried or
+  * speculative task rewrites its own file instead of corrupting the
+  * directory. Returns a per-file summary frame (file, records, bytes) —
+  * the caller's action on it IS the write; keep it to an aggregate
+  * (count/sum) rather than a collect at 100k-partition scale. */
+object WarcWriter {
+
+  val summarySchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("records", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  /** Write `df`'s (`uriCol`, `textCol`) as conversion records under `dir`.
+    * `date` stamps every record (pass a fixed one for reproducible
+    * output); record ids are `<urn:graft:<part>-<n>>`, unique per file. */
+  def write(df: DataFrame, dir: String, uriCol: String, textCol: String,
+      date: String = java.time.Instant.now()
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString): DataFrame = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val confBc = sc.broadcast(
+      new WarcReader.SerializableHadoopConf(sc.hadoopConfiguration))
+    val rows = df.select(col(s"`$uriCol`").cast("string"),
+        col(s"`$textCol`").cast("string")).rdd
+      .mapPartitionsWithIndex { (part, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val file = new Path(dir, f"part-$part%05d.warc.gz")
+          val fs = file.getFileSystem(confBc.value.value)
+          val out = fs.create(file, true)
+          var n = 0L
+          try it.foreach { r =>
+            val body = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+            out.write(WarcReader.gzipMember(WarcReader.conversionRecord(
+              Option(r.getString(0)).getOrElse(""), date,
+              s"<urn:graft:$part-$n>", body)))
+            n += 1
+          } finally out.close()
+          Iterator(Row(file.toString, n, fs.getFileStatus(file).getLen))
+        }
+      }
+    spark.createDataFrame(rows, summarySchema)
   }
 }

@@ -41,6 +41,20 @@ class SinksSpec extends AnyFunSuite {
     assert(EsBulkWriter.sniffNodes("not json").isEmpty)
   }
 
+  test("Warc sink dispatches the WET export and forces the write") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc-sink").toString
+    val df = Seq(("http://s.example/1", "one"), ("http://s.example/2", "two"))
+      .toDF("uri", "text")
+    Sinks.writeBatch("Warc",
+      Map("path" -> dir, "uri_field" -> "uri", "src" -> "text"), df)
+    val back = graft.sources.WarcReader.read(spark, s"$dir/*.warc.gz")
+    assert(back.count() == 2)
+    assert(back.select("warc_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("conversion"))
+  }
+
   test("TCP sink writes JSON lines to a live socket") {
     val spark = graft.TestSpark.spark
     import spark.implicits._

@@ -94,6 +94,47 @@ class WarcReaderSpec extends SparkSpec {
     assert(row.getAs[Array[Byte]]("payload").toSeq == body.toSeq)
   }
 
+  test("WarcWriter: distributed conversion-record export round-trips through the reader") {
+    import spark.implicits._
+    val dir = tmpDir("warc-write")
+    val docs = Seq(
+      ("http://w.example/0", "alpha"),
+      ("http://w.example/1", "beta"),
+      ("http://w.example/2", "gamma"),
+      ("http://w.example/3", "delta"))
+      .toDF("uri", "text").repartition(3)
+
+    val s = WarcWriter.write(docs, dir, "uri", "text",
+      date = "2026-01-01T00:00:00Z").collect()
+    assert(s.map(_.getLong(1)).sum == 4L)
+    assert(s.length <= 3 && s.forall(_.getLong(2) > 0L))
+
+    val back = WarcReader.read(spark, s"$dir/*.warc.gz")
+    val rows = back.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[String]("warc_type") == "conversion"))
+    assert(rows.forall(_.getAs[String]("warc_date") == "2026-01-01T00:00:00Z"))
+    assert(rows.map(r => r.getAs[String]("target_uri") ->
+      new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap ==
+      Map("http://w.example/0" -> "alpha", "http://w.example/1" -> "beta",
+        "http://w.example/2" -> "gamma", "http://w.example/3" -> "delta"))
+    // record ids unique across files
+    assert(rows.map(_.getAs[String]("record_id")).distinct.length == 4)
+  }
+
+  test("WarcWriter: empty partitions write no file; null text becomes empty body") {
+    import spark.implicits._
+    val dir = tmpDir("warc-write-empty")
+    val docs = Seq(("http://w.example/9", null: String))
+      .toDF("uri", "text").repartition(4)
+    val s = WarcWriter.write(docs, dir, "uri", "text",
+      date = "2026-01-01T00:00:00Z").collect()
+    assert(s.length == 1 && s.head.getLong(1) == 1L)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".warc.gz")) == 1)
+    val row = WarcReader.read(spark, s"$dir/*.warc.gz").collect().head
+    assert(row.getAs[Array[Byte]]("payload").isEmpty)
+  }
+
   test("many files fan out one task per file") {
     val dir = tmpDir("warc-many")
     (0 until 5).foreach { i =>
