@@ -1467,6 +1467,37 @@ object SparkEntry {
       graft.ml.DatasetOps.dedupByUrl(ev, "url", "event_id")
     },
 
+    // Crawl outlink extraction: deterministic hrefs (mixed quoting/case)
+    // appended to each document, exploded to (doc, url, host)
+    "q_outlinks" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val html = docs.select(col("doc_id"), concat(
+        col("text"),
+        lit(" <a href=\"http://h"), (col("doc_id") % 13).cast("string"),
+        lit(".example/p/"), col("doc_id").cast("string"), lit("\">x</a>"),
+        lit(" <A HREF='HTTPS://H"), ((col("doc_id") + 5) % 13).cast("string"),
+        lit(".EXAMPLE/q'>y</A>")).as("html"))
+      graft.ml.LinkGraph.extractOutlinks(html, "html", "doc_id")
+        .select(col("doc_id"), col("dst_url"),
+          graft.ml.LinkGraph.host(col("dst_url")).as("dst_host"))
+    },
+
+    // Fixed-point PageRank over a host graph derived from doc_id residues
+    // (quadratic + affine link rules mod 13 → uneven in-degrees). Scaled
+    // INTEGER arithmetic end to end: bit-reproducible at any partition
+    // count, and the oracle replays the identical `div`/`%` lattice
+    "q_pagerank" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val r = docs.select((col("doc_id") % 13).as("r")).distinct()
+      val edges = r.select(
+          concat(lit("h"), col("r").cast("string")).as("src"),
+          concat(lit("h"), ((col("r") * col("r") + 1) % 13).cast("string")).as("dst"))
+        .union(r.select(
+          concat(lit("h"), col("r").cast("string")).as("src"),
+          concat(lit("h"), ((col("r") * 2 + 5) % 13).cast("string")).as("dst")))
+      graft.ml.LinkGraph.pageRank(edges, "src", "dst", iterations = 5)
+    },
+
     // Bloom-filter decontamination. Probabilistic in general, but the
     // sketch below is ~30x oversized (2^16 capacity vs ~2k inserted
     // grams) so the effective FPR is ≪ 1e-6 and the exact-set SQL is a
@@ -3579,6 +3610,52 @@ object SparkEntry {
     // IPv6, and unparseable strings diverge (normalizeUrl handles them
     // via the real parser; the regexes here would not). Those paths are
     // covered value-by-value in DatasetOpsSpec instead.
+    "q_outlinks" ->
+      """WITH h AS (
+        |  SELECT doc_id, text || ' <a href="http://h' || CAST(doc_id % 13 AS VARCHAR)
+        |    || '.example/p/' || CAST(doc_id AS VARCHAR) || '">x</a>'
+        |    || ' <A HREF=''HTTPS://H' || CAST((doc_id + 5) % 13 AS VARCHAR)
+        |    || '.EXAMPLE/q''>y</A>' AS html
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '(?i)href\s*=\s*["'']([^"''#]+)', 1)) AS dst_url
+        |  FROM h
+        |)
+        |SELECT doc_id, dst_url,
+        |  CASE WHEN regexp_extract(lower(dst_url), '^https?://([^/:?#]+)', 1) = ''
+        |       THEN NULL
+        |       ELSE regexp_extract(lower(dst_url), '^https?://([^/:?#]+)', 1) END AS dst_host
+        |FROM l WHERE strlen(dst_url) > 0""".stripMargin,
+
+    // the identical div/% integer lattice, unrolled per iteration —
+    // DuckDB `//` is exact integer division (its `/` is float)
+    "q_pagerank" ->
+      """WITH r AS (SELECT DISTINCT doc_id % 13 AS r FROM documents),
+        |e0 AS (
+        |  SELECT 'h' || CAST(r AS VARCHAR) AS src,
+        |         'h' || CAST((r*r + 1) % 13 AS VARCHAR) AS dst FROM r
+        |  UNION ALL
+        |  SELECT 'h' || CAST(r AS VARCHAR),
+        |         'h' || CAST((r*2 + 5) % 13 AS VARCHAR) FROM r
+        |),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |d AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.od FROM e JOIN d USING (src)),
+        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rk FROM n),
+        |c1 AS (SELECT ed.dst, SUM(r0.rk // ed.od) AS m FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst),
+        |r1 AS (SELECT n.node, 150000000000 + COALESCE((c1.m // 100) * 85 + ((c1.m % 100) * 85) // 100, 0) AS rk FROM n LEFT JOIN c1 ON n.node = c1.dst),
+        |c2 AS (SELECT ed.dst, SUM(r1.rk // ed.od) AS m FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst),
+        |r2 AS (SELECT n.node, 150000000000 + COALESCE((c2.m // 100) * 85 + ((c2.m % 100) * 85) // 100, 0) AS rk FROM n LEFT JOIN c2 ON n.node = c2.dst),
+        |c3 AS (SELECT ed.dst, SUM(r2.rk // ed.od) AS m FROM ed JOIN r2 ON ed.src = r2.node GROUP BY ed.dst),
+        |r3 AS (SELECT n.node, 150000000000 + COALESCE((c3.m // 100) * 85 + ((c3.m % 100) * 85) // 100, 0) AS rk FROM n LEFT JOIN c3 ON n.node = c3.dst),
+        |c4 AS (SELECT ed.dst, SUM(r3.rk // ed.od) AS m FROM ed JOIN r3 ON ed.src = r3.node GROUP BY ed.dst),
+        |r4 AS (SELECT n.node, 150000000000 + COALESCE((c4.m // 100) * 85 + ((c4.m % 100) * 85) // 100, 0) AS rk FROM n LEFT JOIN c4 ON n.node = c4.dst),
+        |c5 AS (SELECT ed.dst, SUM(r4.rk // ed.od) AS m FROM ed JOIN r4 ON ed.src = r4.node GROUP BY ed.dst),
+        |r5 AS (SELECT n.node, 150000000000 + COALESCE((c5.m // 100) * 85 + ((c5.m % 100) * 85) // 100, 0) AS rk FROM n LEFT JOIN c5 ON n.node = c5.dst)
+        |SELECT node, rk AS rank_scaled FROM r5""".stripMargin,
+
     "q_url_dedup" ->
       """WITH raw AS (
         |  SELECT event_id,

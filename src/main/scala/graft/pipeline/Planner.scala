@@ -365,7 +365,7 @@ object Planner {
     "MediaResample", "MediaFrames", "StripHtml", "QualityBand",
     "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
     "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
-    "PerplexityScore", "QualityRules")
+    "PerplexityScore", "QualityRules", "Outlinks", "HostGraph", "PageRank")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -564,6 +564,19 @@ object Planner {
         }
       case "TextProfile" =>
         df => graft.ml.TextAnalysis.profile(df, text)
+      case "Outlinks" =>
+        // href extraction: (id_field, dst_url, dst_host) exploded per link
+        df => graft.ml.LinkGraph.extractOutlinks(df, text, id)
+          .withColumn("dst_host", graft.ml.LinkGraph.host(col("dst_url")))
+      case "HostGraph" =>
+        val dst = conf.strReq("dst")
+        df => graft.ml.LinkGraph.hostGraph(df, conf.str("src").getOrElse("src_url"), dst)
+      case "PageRank" =>
+        val dst = conf.str("dst").getOrElse("dst_host")
+        val src = conf.str("src").getOrElse("src_host")
+        df => graft.ml.LinkGraph.pageRank(df, src, dst,
+          conf.int("iterations", 5), conf.int("damping_pct", 85),
+          conf.int("scale_digits", 12))
       case "QualityRules" =>
         // Gopher/C4 fixed-threshold pass; `mode: drop` keeps the original
         // schema and filters, `flag` (default) adds per-rule booleans

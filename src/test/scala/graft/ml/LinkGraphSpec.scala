@@ -1,0 +1,79 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractOutlinks: hrefs in any quote/case, fragments and empties dropped") {
+    val docs = Seq(
+      (0L, """<a href="http://a.example/x">x</a> text <A HREF='https://B.example/y?q=1'>y</A>"""),
+      (1L, """<a href="#frag">skip</a> <a href="">skip</a> <a href="/relative/path">rel</a>"""),
+      (2L, "no links at all")).toDF("doc_id", "text")
+    val out = LinkGraph.extractOutlinks(docs, "text", "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set(
+      0L -> "http://a.example/x",
+      0L -> "https://B.example/y?q=1",
+      1L -> "/relative/path"))
+  }
+
+  test("host: absolute http(s) lowercased; relative/other schemes null") {
+    val got = Seq("http://A.Example:8080/p", "https://b.example/x?y#z",
+      "ftp://c.example/f", "/rel", "mailto:x@example.org")
+      .toDF("u").select(LinkGraph.host(col("u"))).as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("a.example"), Some("b.example"), None, None, None))
+  }
+
+  test("hostGraph: aggregates link multiplicity, drops self-loops and relative links") {
+    val links = Seq(
+      ("http://a.example/1", "http://b.example/x"),
+      ("http://a.example/2", "http://B.EXAMPLE/y"),
+      ("http://a.example/3", "http://a.example/self"),
+      ("http://a.example/4", "/relative"),
+      ("http://c.example/1", "http://b.example/z")).toDF("src", "dst")
+    val g = LinkGraph.hostGraph(links, "src", "dst")
+      .as[(String, String, Long)].collect().toSet
+    assert(g == Set(("a.example", "b.example", 2L), ("c.example", "b.example", 1L)))
+  }
+
+  test("pageRank: hand-computed fixed-point ranks on a 3-node graph") {
+    // A -> B, A -> C, B -> C, C -> A
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")).toDF("s", "d")
+    val got = LinkGraph.pageRank(edges, "s", "d", iterations = 2)
+      .as[(String, Long)].collect().toMap
+
+    // replay the integer arithmetic by hand (scale 10^12, damping 85)
+    val one = 1000000000000L
+    val base = 15L * one / 100
+    def damp(m: Long): Long = (m / 100) * 85 + ((m % 100) * 85) / 100
+    // iter 1: all ranks 1.0; A gets C's 1.0, B gets A/2, C gets A/2 + B
+    var (ra, rb, rc) = (base + damp(one), base + damp(one / 2), base + damp(one / 2 + one))
+    // iter 2
+    val (na, nb, nc) = (base + damp(rc), base + damp(ra / 2), base + damp(ra / 2 + rb))
+    assert(got == Map("A" -> na, "B" -> nb, "C" -> nc))
+    // after an even iteration the C→A backedge has just paid out: A leads
+    assert(got("A") > got("C") && got("C") > got("B"))
+  }
+
+  test("pageRank: node with no in-links floors at base; dangling node keeps a rank row") {
+    // D -> E; E has no outlinks (dangling), D no in-links
+    val edges = Seq(("D", "E")).toDF("s", "d")
+    val got = LinkGraph.pageRank(edges, "s", "d", iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val one = 1000000000000L
+    assert(got("D") == 15L * one / 100)
+    assert(got.contains("E") && got("E") > got("D"))
+  }
+
+  test("pageRank is partition-count invariant (integer arithmetic, no float drift)") {
+    val edges = (0L until 200L).map(i => (s"h${i % 13}", s"h${(i * i + 1) % 13}"))
+      .toDF("s", "d")
+    val r1 = LinkGraph.pageRank(edges.repartition(1), "s", "d")
+      .as[(String, Long)].collect().toMap
+    val r32 = LinkGraph.pageRank(edges.repartition(32), "s", "d")
+      .as[(String, Long)].collect().toMap
+    assert(r1 == r32)
+  }
+}

@@ -627,6 +627,26 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("Outlinks/HostGraph/PageRank stages chain the link-graph family") {
+    val pages = Seq(
+      (0L, "http://a.example/0",
+        """<a href="http://b.example/x">b</a> <a href="http://c.example/y">c</a>"""),
+      (1L, "http://b.example/1", """<a href="http://c.example/z">c</a>"""),
+      (2L, "http://c.example/2", """<a href="http://a.example/w">a</a>"""))
+      .toDF("id", "url", "html")
+    val links = Planner.corpusStage("Outlinks", Map("src" -> "html"))(pages)
+      .join(pages.select(col("id"), col("url").as("src_url")), "id")
+    val hosts = Planner.corpusStage("HostGraph",
+      Map("src" -> "src_url", "dst" -> "dst_url"))(links)
+    assert(hosts.count() == 4)
+    val ranks = Planner.corpusStage("PageRank",
+      Map("src" -> "src_host", "dst" -> "dst_host", "iterations" -> 2))(hosts)
+    val byNode = ranks.as[(String, Long)].collect().toMap
+    assert(byNode.keySet == Set("a.example", "b.example", "c.example"))
+    // c receives from both a and b: highest in-mass after two rounds
+    assert(byNode("c.example") > byNode("b.example"))
+  }
+
   test("Media stages route the multimodal ops by config") {
     val mm = graft.ml.Multimodal
     val media = mm.synthesizeImageVariants(Seq(0L, 127L).toDF("doc_id"), "doc_id")
