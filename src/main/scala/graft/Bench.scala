@@ -322,6 +322,29 @@ object Bench {
           graft.operators.Retention.cohorts(bigEv, "user_id", "ts",
             col("event_type") === "signup", 604800L, 8).count())
       }
+      // PAGERANK at 100×: 5 iterations of join + partial-agg over a
+      // 2-edges-per-doc list (~2·copies·|docs| edges). Uniform twin:
+      // residue-rule targets spread in-degree. Hub twin: HALF of all
+      // edges point at one host — the in-degree skew real webgraphs have.
+      // Map-side combine must absorb the hub's rank-mass sum before the
+      // shuffle; the uniform/hub ratio is the guard that a hot host never
+      // funnels its full in-edge list through one reducer.
+      locally {
+        def edges(hub: Boolean) = {
+          val dst2 = if (hub) lit(0L) else pmod(col("doc_id") * 13 + 1, lit(50000L))
+          val src = concat(lit("h"), col("doc_id").cast("string"))
+          bigDocs.select(src.as("src"),
+              concat(lit("h"), pmod(col("doc_id") * 7 + 3, lit(50000L))
+                .cast("string")).as("dst"))
+            .union(bigDocs.select(src.as("src"),
+              concat(lit("h"), dst2.cast("string")).as("dst")))
+        }
+        def rank(d: DataFrame): Long =
+          graft.ml.LinkGraph.pageRank(d, "src", "dst")
+            .agg(sum("rank_scaled")).count()
+        timed("pagerank")(rank(edges(hub = false)))
+        timed("pagerank_hub")(rank(edges(hub = true)))
+      }
       // pre + mid + post probe samples: the min is the machine floor the
       // stress ops are normalized against
       val probeAll = probePre :+ probeMid :+ probeOnce()

@@ -381,6 +381,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("quality rules and outlink extraction are shuffle-free projections") {
+    // both must run at scan speed: any Exchange means a per-row heuristic
+    // started paying a distribution cost
+    Seq("q_quality_rules", "q_outlinks").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"), s"$q shuffled:\n$plan")
+    }
+  }
+
+  test("pagerank: per-iteration rank mass aggregates map-side before its exchange") {
+    val plan = executedPlan("q_pagerank")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // every contribution shuffle must sit above a partial HashAggregate —
+    // the map-side combine that absorbs hub hosts' in-degree skew. (The
+    // join-side exchanges move (node, rank) rows, which is fine; what may
+    // never happen is a hub's raw in-edge contribution list crossing the
+    // wire to one reducer.)
+    val lines = plan.linesIterator.toVector
+    val partials = lines.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum"))
+    assert(partials >= 5, s"iterations lost their map-side combine:\n$plan")
+  }
+
   test("corpus diff: hash-projected full-outer merge join, no cartesian") {
     val plan = executedPlan("q_corpus_diff")
     assert(!plan.contains("CartesianProduct"), plan)
