@@ -1210,6 +1210,21 @@ object SparkEntry {
           "rule_no_brace", "rule_no_lorem", "keep")
     },
 
+    // C4 line-level filter over synthesized multi-line pages: line 1 is
+    // the document with a terminal period, line 2 is too short, line 3
+    // qualifies, line 4 qualifies only for even doc_ids (odd ones lack
+    // terminal punctuation) — so keep flips with parity
+    "q_c4_lines" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val multi = docs.select(col("doc_id"), concat(
+        col("text"), lit(".\nshort one\nthis line has six words total."),
+        when(col("doc_id") % 2 === 0,
+          lit("\nanother full sentence with many words here."))
+          .otherwise(lit("\nno punct line here at all"))).as("text"))
+      graft.ml.TextAnalysis.c4LineFilter(multi, "text")
+        .select("doc_id", "clean_text", "n_lines_kept", "keep")
+    },
+
     // Repetition scoring (Gopher-rule family: boilerplate/spam signal)
     "q_repetition" -> { (s, dir) =>
       graft.ml.TextAnalysis.repetitionStats(
@@ -3143,6 +3158,23 @@ object SparkEntry {
         |    + swr * 0.2 AS score FROM m
         |), thr AS (SELECT quantile_cont(score, 0.7) AS th FROM s)
         |SELECT doc_id, score FROM s, thr WHERE score >= th""".stripMargin,
+
+    "q_c4_lines" ->
+      """WITH h AS (
+        |  SELECT doc_id, text || '.' || chr(10) || 'short one' || chr(10) ||
+        |    'this line has six words total.' || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'another full sentence with many words here.'
+        |         ELSE 'no punct line here at all' END AS t
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, list_filter(string_split(t, chr(10)), l ->
+        |    len(list_filter(string_split_regex(l, '\s+'), w -> strlen(w) > 0)) >= 5
+        |    AND regexp_matches(rtrim(l), '[.!?"]$')) AS kept
+        |  FROM h
+        |)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  len(kept) AS n_lines_kept, len(kept) >= 3 AS keep
+        |FROM k""".stripMargin,
 
     // every ratio is one exact int→double division compared to a double
     // literal — identical correctly-rounded ops in both engines, so the

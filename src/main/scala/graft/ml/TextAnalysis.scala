@@ -419,6 +419,35 @@ object TextAnalysis {
     else out
   }
 
+  /** C4's line-level filter (Raffel et al. 2020 §2.2): keep only lines
+    * with at least `minWordsPerLine` words that end in terminal
+    * punctuation (`.!?"`), rewrite the document from the surviving lines,
+    * and flag documents keeping fewer than `minLines` of them. Emits
+    * `clean_text`, `n_lines_kept`, `keep`; `drop = true` filters to
+    * keepers and substitutes the cleaned text in place.
+    *
+    * Pure per-row array expressions (a lambda filter over the line
+    * split, a nested word count inside it) — no shuffle, no UDF, stays
+    * in whole-stage codegen; the DuckDB oracle replays the identical
+    * lattice. */
+  def c4LineFilter(df: DataFrame, textCol: String,
+      minWordsPerLine: Int = 5, minLines: Int = 3,
+      drop: Boolean = false): DataFrame = {
+    val t = col(s"`$textCol`")
+    val kept = filter(split(t, "\n", -1), l =>
+      size(filter(tokens(l), w => length(w) > 0)) >= minWordsPerLine &&
+        rtrim(l).rlike("""[.!?"]$"""))
+    val bound = df.withColumn("__graft_c4_kept", kept)
+      .withColumn("clean_text", array_join(col("__graft_c4_kept"), "\n"))
+      .withColumn("n_lines_kept", size(col("__graft_c4_kept")))
+      .withColumn("keep", col("n_lines_kept") >= minLines)
+      .drop("__graft_c4_kept")
+    if (drop)
+      bound.filter(col("keep")).withColumn(textCol, col("clean_text"))
+        .select(df.columns.map(c => col(s"`$c`")): _*)
+    else bound
+  }
+
   /** Global quality-band filter: keep documents whose [[qualityScore]] is
     * at or above the corpus-wide p-quantile — "train on the top 30%", the
     * standard curation cut after scoring.

@@ -365,7 +365,8 @@ object Planner {
     "MediaResample", "MediaFrames", "StripHtml", "QualityBand",
     "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
     "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
-    "PerplexityScore", "QualityRules", "Outlinks", "HostGraph", "PageRank")
+    "PerplexityScore", "QualityRules", "Outlinks", "HostGraph", "PageRank",
+    "LineFilter")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -577,6 +578,15 @@ object Planner {
         df => graft.ml.LinkGraph.pageRank(df, src, dst,
           conf.int("iterations", 5), conf.int("damping_pct", 85),
           conf.int("scale_digits", 12))
+      case "LineFilter" =>
+        // C4's line-level pass: mode drop rewrites text from the kept lines
+        val dropMode = conf.str("mode").getOrElse("flag") match {
+          case "drop" => true
+          case "flag" => false
+          case other => sys.error(s"LineFilter mode must be flag|drop, got '$other'")
+        }
+        df => graft.ml.TextAnalysis.c4LineFilter(df, text,
+          conf.int("min_words_per_line", 5), conf.int("min_lines", 3), dropMode)
       case "QualityRules" =>
         // Gopher/C4 fixed-threshold pass; `mode: drop` keeps the original
         // schema and filters, `flag` (default) adds per-rule booleans

@@ -299,6 +299,33 @@ class MlSpec extends SparkSpec {
     assert(!empty.getBoolean(empty.fieldIndex("keep")))
   }
 
+  test("c4LineFilter: keeps punctuated 5-word lines, rewrites text, flags thin pages") {
+    val pages = Seq(
+      (0L, "First full sentence with plenty of words.\nnope\n" +
+        "Second proper sentence right here today.\nAnd a third one lands cleanly!"),
+      (1L, "Only one good sentence appears in this page.\nfragment\nanother fragment"),
+      (2L, "no terminal punctuation on this line at all\nshort.\n"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(pages, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getBoolean(out(0L).fieldIndex("keep")))
+    assert(out(0L).getInt(out(0L).fieldIndex("n_lines_kept")) == 3)
+    assert(out(0L).getString(out(0L).fieldIndex("clean_text")) ==
+      "First full sentence with plenty of words.\n" +
+      "Second proper sentence right here today.\nAnd a third one lands cleanly!")
+    assert(!out(1L).getBoolean(out(1L).fieldIndex("keep")))
+    assert(out(1L).getInt(out(1L).fieldIndex("n_lines_kept")) == 1)
+    assert(out(2L).getInt(out(2L).fieldIndex("n_lines_kept")) == 0)
+    assert(out(2L).getString(out(2L).fieldIndex("clean_text")) == "")
+
+    // drop mode: original schema, cleaned text substituted in place
+    val dropped = TextAnalysis.c4LineFilter(pages, "text", drop = true)
+    assert(dropped.columns.toSeq == Seq("doc_id", "text"))
+    val kept = dropped.as[(Long, String)].collect().toMap
+    assert(kept.keySet == Set(0L))
+    assert(!kept(0L).contains("nope"))
+  }
+
   test("clusters: transitive min-id components (local and distributed paths)") {
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (7L, 9L, 1.0))
       .toDF("id_a", "id_b", "jaccard")
