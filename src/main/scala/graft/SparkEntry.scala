@@ -1497,6 +1497,18 @@ object SparkEntry {
           graft.ml.LinkGraph.host(col("dst_url")).as("dst_host"))
     },
 
+    // Host-graph aggregation over synthesized absolute URLs (self-loops
+    // at residue 6 are dropped; multiplicities = docs per residue pair)
+    "q_host_graph" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val links = docs.select(
+        concat(lit("http://h"), (col("doc_id") % 13).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string")).as("src_url"),
+        concat(lit("https://h"), ((col("doc_id") * 3 + 1) % 13).cast("string"),
+          lit(".example/q")).as("dst_url"))
+      graft.ml.LinkGraph.hostGraph(links, "src_url", "dst_url")
+    },
+
     // Fixed-point PageRank over a host graph derived from doc_id residues
     // (quadratic + affine link rules mod 13 → uneven in-degrees). Scaled
     // INTEGER arithmetic end to end: bit-reproducible at any partition
@@ -3659,6 +3671,21 @@ object SparkEntry {
         |       THEN NULL
         |       ELSE regexp_extract(lower(dst_url), '^https?://([^/:?#]+)', 1) END AS dst_host
         |FROM l WHERE strlen(dst_url) > 0""".stripMargin,
+
+    "q_host_graph" ->
+      """WITH l AS (
+        |  SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR) || '.example/p/'
+        |           || CAST(doc_id AS VARCHAR) AS src_url,
+        |         'https://h' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR)
+        |           || '.example/q' AS dst_url
+        |  FROM documents
+        |), h AS (
+        |  SELECT regexp_extract(lower(src_url), '^https?://([^/:?#]+)', 1) AS src_host,
+        |         regexp_extract(lower(dst_url), '^https?://([^/:?#]+)', 1) AS dst_host
+        |  FROM l
+        |)
+        |SELECT src_host, dst_host, COUNT(*) AS n_links FROM h
+        |WHERE src_host <> dst_host GROUP BY 1, 2""".stripMargin,
 
     // the identical div/% integer lattice, unrolled per iteration —
     // DuckDB `//` is exact integer division (its `/` is float)

@@ -974,7 +974,8 @@ object Planner {
     * eager action, no window, no join — and therefore run unchanged on a
     * streaming frame. Everything in [[CorpusStages]] but not here is
     * forced into the foreachBatch tail by [[streamingSplit]]. */
-  private val StreamableCorpusStages = Set("Mix", "AssignSplits", "TextProfile")
+  private val StreamableCorpusStages = Set("Mix", "AssignSplits", "TextProfile",
+    "StripHtml", "Normalize", "QualityRules", "LineFilter", "Outlinks")
 
   // ---- inputs -------------------------------------------------------------
 

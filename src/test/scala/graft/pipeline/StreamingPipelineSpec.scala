@@ -68,6 +68,19 @@ class StreamingPipelineSpec extends SparkSpec {
     val (s2, b2) = Planner.streamingSplit(analytic)
     assert(s2.map(_._1) == Seq("Sessionize", "Sessionize"))
     assert(b2.map(_._1) == Seq("AsOfJoin"))
+
+    // the curation-on-ingest chain is all row-wise: streams natively up
+    // to the first cardinality-global stage (dedup needs the corpus)
+    val curation = Seq(
+      "StripHtml" -> Map[String, Any]("src" -> "text"),
+      "LineFilter" -> Map[String, Any]("src" -> "text", "mode" -> "drop"),
+      "QualityRules" -> Map[String, Any]("src" -> "text", "mode" -> "drop"),
+      "Outlinks" -> Map[String, Any]("src" -> "text"),
+      "Dedup" -> Map[String, Any]("method" -> "exact"))
+    val (s3, b3) = Planner.streamingSplit(curation)
+    assert(s3.map(_._1) ==
+      Seq("StripHtml", "LineFilter", "QualityRules", "Outlinks"))
+    assert(b3.map(_._1) == Seq("Dedup"))
   }
 
   test("incremental dedup streams: the seen store advances per committed micro-batch") {
