@@ -3212,12 +3212,12 @@ object SparkEntry {
         |), r AS (
         |  SELECT doc_id, n_words, stop_hits,
         |    n_words >= 50 AND n_words <= 100000 AS rule_word_count,
-        |    n_words > 0 AND CAST(sumlen AS DOUBLE) / n_words >= 3.0
-        |      AND CAST(sumlen AS DOUBLE) / n_words <= 10.0 AS rule_mean_word_len,
-        |    n_words > 0 AND CAST(sym_cnt AS DOUBLE) / n_words < 0.1 AS rule_symbol_ratio,
-        |    n_words > 0 AND CAST(alpha_cnt AS DOUBLE) / n_words >= 0.8 AS rule_alpha,
-        |    CAST(bullet_cnt AS DOUBLE) / n_lines < 0.9 AS rule_bullet,
-        |    CAST(ellipsis_cnt AS DOUBLE) / n_lines < 0.3 AS rule_ellipsis,
+        |    n_words > 0 AND CAST(sumlen AS DOUBLE) >= 3.0::DOUBLE * n_words
+        |      AND CAST(sumlen AS DOUBLE) <= 10.0::DOUBLE * n_words AS rule_mean_word_len,
+        |    n_words > 0 AND CAST(sym_cnt AS DOUBLE) < 0.1::DOUBLE * n_words AS rule_symbol_ratio,
+        |    n_words > 0 AND CAST(alpha_cnt AS DOUBLE) >= 0.8::DOUBLE * n_words AS rule_alpha,
+        |    CAST(bullet_cnt AS DOUBLE) < 0.9::DOUBLE * n_lines AS rule_bullet,
+        |    CAST(ellipsis_cnt AS DOUBLE) < 0.3::DOUBLE * n_lines AS rule_ellipsis,
         |    stop_hits >= 1 AS rule_stopwords,
         |    NOT has_brace AS rule_no_brace,
         |    NOT has_lorem AS rule_no_lorem

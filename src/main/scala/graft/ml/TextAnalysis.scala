@@ -361,10 +361,15 @@ object TextAnalysis {
     *   - `rule_no_brace`:      no '{' (C4's code-page drop)
     *   - `rule_no_lorem`:      no 'lorem ipsum' (case-folded)
     *
-    * Determinism contract for the oracle: every ratio is one exact
-    * int→double division compared against a double literal — both
-    * engines perform the identical correctly-rounded operation, so the
-    * booleans replay bit-for-bit. Plan shape: a pure per-row projection
+    * Determinism contract for the oracle: every ratio rule is in
+    * MULTIPLY form — `count ⋛ threshold × denominator`, one
+    * correctly-rounded double multiply against an exact integer, never
+    * a division. Identical in both engines (the oracle's literals carry
+    * `::DOUBLE`; DuckDB folds bare decimals exactly), exact at
+    * knife-edge thresholds, and — decisively — safe on empty documents
+    * under ANSI mode, where subexpression elimination in a fused Filter
+    * predicate evaluates a guarded `x / n_words` BEFORE its
+    * `n_words > 0 &&` short-circuit and throws. Plan shape: a pure per-row projection
     * (tokenizations bound once as real columns, the [[profile]] lesson) —
     * no shuffle, no UDF, whole-stage codegen; at 100 TB this runs at
     * scan speed and composes with any downstream stage.
@@ -388,8 +393,16 @@ object TextAnalysis {
       .withColumn("stop_hits", size(array_intersect(
         array_distinct(transform(words, w => lower(w))),
         array(gopherStopwords.map(lit(_)): _*))))
-    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-      .cast("double") / nw
+    // every ratio rule is in MULTIPLY form (count vs threshold × denom),
+    // never count/denom: (a) no division by an empty doc's zero word
+    // count — under ANSI mode, subexpression elimination in a fused
+    // Filter predicate evaluates shared subexpressions BEFORE the
+    // `nonEmpty &&` short-circuit, so a guarded division still throws
+    // DIVIDE_BY_ZERO (found live: a streaming drop-mode chain died on a
+    // page whose lines were all filtered); (b) exact — threshold × int
+    // is one correctly-rounded double op, where count/denom ROUNDS and
+    // can flip a knife-edge comparison
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
     val symCnt = (size(split(t, "#", -1)) - 1) +
       (size(split(t, """\.\.\.""", -1)) - 1)
     val alphaCnt = size(filter(words, w => w.rlike("[A-Za-z]")))
@@ -400,14 +413,16 @@ object TextAnalysis {
     val flagged = bound
       .withColumn("rule_word_count", nw >= minWords && nw <= maxWords)
       .withColumn("rule_mean_word_len", nonEmpty &&
-        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen)
+        sumLen.cast("double") >= lit(minMeanWordLen) * nw &&
+        sumLen.cast("double") <= lit(maxMeanWordLen) * nw)
       .withColumn("rule_symbol_ratio", nonEmpty &&
-        symCnt.cast("double") / nw < maxSymbolRatio)
+        symCnt.cast("double") < lit(maxSymbolRatio) * nw)
       .withColumn("rule_alpha", nonEmpty &&
-        alphaCnt.cast("double") / nw >= minAlphaFrac)
-      .withColumn("rule_bullet", bulletCnt.cast("double") / nl < maxBulletFrac)
+        alphaCnt.cast("double") >= lit(minAlphaFrac) * nw)
+      .withColumn("rule_bullet",
+        bulletCnt.cast("double") < lit(maxBulletFrac) * nl)
       .withColumn("rule_ellipsis",
-        ellipsisCnt.cast("double") / nl < maxEllipsisFrac)
+        ellipsisCnt.cast("double") < lit(maxEllipsisFrac) * nl)
       .withColumn("rule_stopwords", col("stop_hits") >= minStopHits)
       .withColumn("rule_no_brace", !t.contains("{"))
       .withColumn("rule_no_lorem", !lower(t).contains("lorem ipsum"))

@@ -83,6 +83,40 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(b3.map(_._1) == Seq("Dedup"))
   }
 
+  test("curation-on-ingest runs live on the stream: strip, line filter, rules") {
+    // the whitelist isn't just routing — the stages must actually execute
+    // on an unbounded frame (no eager action, no window sneaking in)
+    val yaml =
+      s"""inputs:
+        |  - Text: {path: unused}
+        |filters:
+        |  - StripHtml: {src: text}
+        |  - LineFilter: {src: text, mode: drop, min_lines: 1}
+        |  - QualityRules: {src: text, mode: drop, min_words: 5, min_stop_hits: 1}
+        |outputs:
+        |  - Stdout: {}
+        |""".stripMargin
+    val pipeline = Planner.fromYaml(yaml)
+    val (streamStages, perBatch) = Planner.streamingSplit(pipeline.stages)
+    assert(perBatch.isEmpty, "pure curation chain must stay on the stream side")
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val src = mem.toDF().toDF("id", "text")
+    val transformed = pipeline.transform(src)
+    assert(transformed.isStreaming)
+    val q = transformed.writeStream.format("memory")
+      .queryName("curation_live").start()
+    try {
+      mem.addData(
+        (0L, "<p>the quick brown fox jumps over the lazy dog today.</p>"),
+        (1L, "<p>too short.</p>"),                      // line filter kills all lines
+        (2L, "zz yy xx ww vv uu tt ss rr qq pp oo."))   // no stop words
+      q.processAllAvailable()
+      val got = spark.table("curation_live").select("id").collect().map(_.getLong(0))
+      assert(got.toSeq == Seq(0L), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("incremental dedup streams: the seen store advances per committed micro-batch") {
     // continuous ingestion with cross-batch dedup — the corpus stage runs
     // per micro-batch inside foreachBatch (streamingSplit routes it
