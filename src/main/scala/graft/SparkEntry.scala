@@ -1509,6 +1509,24 @@ object SparkEntry {
       graft.ml.LinkGraph.hostGraph(links, "src_url", "dst_url")
     },
 
+    // Cross-crawl webgraph store: the same link set appended as two
+    // "crawls" (doc_id halves), partials summed on read — the merged
+    // store must reproduce the whole-corpus host graph exactly
+    "q_host_graph_store" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def links(d: DataFrame) = d.select(
+        concat(lit("http://h"), (col("doc_id") % 13).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string")).as("src_url"),
+        concat(lit("https://h"), ((col("doc_id") * 3 + 1) % 13).cast("string"),
+          lit(".example/q")).as("dst_url"))
+      val store = gateTmpDir("host-graph") + "/edges"
+      graft.ml.LinkGraph.appendToHostGraphStore(
+        links(docs.filter(col("doc_id") < 250)), "src_url", "dst_url", store)
+      graft.ml.LinkGraph.appendToHostGraphStore(
+        links(docs.filter(col("doc_id") >= 250)), "src_url", "dst_url", store)
+      graft.ml.LinkGraph.readHostGraphStore(s, store)
+    },
+
     // Fixed-point PageRank over a host graph derived from doc_id residues
     // (quadratic + affine link rules mod 13 → uneven in-degrees). Scaled
     // INTEGER arithmetic end to end: bit-reproducible at any partition
@@ -3673,6 +3691,22 @@ object SparkEntry {
         |FROM l WHERE strlen(dst_url) > 0""".stripMargin,
 
     "q_host_graph" ->
+      """WITH l AS (
+        |  SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR) || '.example/p/'
+        |           || CAST(doc_id AS VARCHAR) AS src_url,
+        |         'https://h' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR)
+        |           || '.example/q' AS dst_url
+        |  FROM documents
+        |), h AS (
+        |  SELECT regexp_extract(lower(src_url), '^https?://([^/:?#]+)', 1) AS src_host,
+        |         regexp_extract(lower(dst_url), '^https?://([^/:?#]+)', 1) AS dst_host
+        |  FROM l
+        |)
+        |SELECT src_host, dst_host, COUNT(*) AS n_links FROM h
+        |WHERE src_host <> dst_host GROUP BY 1, 2""".stripMargin,
+
+    // store path must reproduce the whole-corpus host graph
+    "q_host_graph_store" ->
       """WITH l AS (
         |  SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR) || '.example/p/'
         |           || CAST(doc_id AS VARCHAR) AS src_url,

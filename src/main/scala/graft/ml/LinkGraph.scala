@@ -48,6 +48,47 @@ object LinkGraph {
         col("src_host") =!= col("dst_host"))
       .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
 
+  // ---- incremental host-graph store ---------------------------------------
+
+  /** Append an increment's host-level edge counts to a cross-crawl
+    * webgraph store — a parquet dir of (src_host, dst_host, n_links)
+    * PARTIALS whose read path merges by sum, so the store equals the
+    * [[hostGraph]] of every crawl ever appended. A daily crawl extends
+    * the webgraph without re-scanning history; [[pageRank]] then runs
+    * over the merged view.
+    *
+    * Same contract as the vocabulary store (counts MERGE, fingerprints
+    * dedup): an append is NOT idempotent — drive it from the PostCommit
+    * hook so a failed run's retry cannot double-count — and
+    * [[compactHostGraphStore]] folds accumulated partials with the
+    * shared tmp+rename crash contract. Returns distinct edges appended. */
+  def appendToHostGraphStore(links: DataFrame, srcUrlCol: String,
+      dstUrlCol: String, storePath: String): Long = {
+    val g = Dedup.explodingMemo(hostGraph(links, srcUrlCol, dstUrlCol))
+    val n = g.count()
+    if (n > 0) g.write.mode("append").parquet(storePath)
+    n
+  }
+
+  /** The merged (src_host, dst_host, n_links) view of a host-graph
+    * store — one row per edge, partials summed. Empty for an absent
+    * store. The store is SCANNED and aggregated, never joined raw. */
+  def readHostGraphStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    Dedup.readStoreOpt(spark, storePath)
+      .map(_.groupBy("src_host", "dst_host").agg(sum("n_links").as("n_links")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, String, Long)].toDF("src_host", "dst_host", "n_links")
+      }
+
+  /** Fold a host-graph store's partials into one summed row per edge
+    * across `targetFiles` files. Idempotent; shared crash contract. */
+  def compactHostGraphStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, targetFiles: Int = 32): Long =
+    Dedup.compactStoreWith(spark, storePath, targetFiles)(
+      _.groupBy("src_host", "dst_host").agg(sum(col("n_links")).as("n_links")))(())
+
   /** Fixed-point PageRank over an edge list: returns (node, rank_scaled)
     * where rank_scaled = rank × 10^scaleDigits (LONG). Init rank 1.0 per
     * node; per iteration every node gets `(100-dampingPct)/100` base plus

@@ -571,7 +571,30 @@ object Planner {
           .withColumn("dst_host", graft.ml.LinkGraph.host(col("dst_url")))
       case "HostGraph" =>
         val dst = conf.strReq("dst")
-        df => graft.ml.LinkGraph.hostGraph(df, conf.str("src").getOrElse("src_url"), dst)
+        val srcUrl = conf.str("src").getOrElse("src_url")
+        conf.str("store") match {
+          case Some(store) =>
+            // cross-crawl webgraph: emitted graph covers store + THIS
+            // increment; the increment's counts append via PostCommit
+            // (counts merge — an eager append would double-count a
+            // failed run's retry), same contract as the Vocabulary store
+            val compactAt = conf.int("compact_files", 0)
+            df => {
+              graft.core.PostCommit.register { () =>
+                graft.ml.LinkGraph.appendToHostGraphStore(df, srcUrl, dst, store): Unit
+                if (compactAt > 0 && graft.ml.Dedup.storeDataFiles(
+                    df.sparkSession, store).size > compactAt)
+                  graft.ml.LinkGraph.compactHostGraphStore(
+                    df.sparkSession, store): Unit
+              }
+              graft.ml.LinkGraph.readHostGraphStore(df.sparkSession, store)
+                .unionByName(graft.ml.LinkGraph.hostGraph(df, srcUrl, dst))
+                .groupBy("src_host", "dst_host")
+                .agg(sum("n_links").as("n_links"))
+            }
+          case None =>
+            df => graft.ml.LinkGraph.hostGraph(df, srcUrl, dst)
+        }
       case "PageRank" =>
         val dst = conf.str("dst").getOrElse("dst_host")
         val src = conf.str("src").getOrElse("src_host")

@@ -67,6 +67,43 @@ class LinkGraphSpec extends SparkSpec {
     assert(got.contains("E") && got("E") > got("D"))
   }
 
+  test("host-graph store: appends merge by sum; compaction preserves the view") {
+    val store = java.nio.file.Files.createTempDirectory("hg-store").toString + "/edges"
+    val crawl1 = Seq(
+      ("http://a.example/1", "http://b.example/x"),
+      ("http://a.example/2", "http://b.example/y"),
+      ("http://c.example/1", "http://b.example/z")).toDF("src", "dst")
+    val crawl2 = Seq(
+      ("http://a.example/9", "http://b.example/w"),  // a→b again: counts sum
+      ("http://b.example/1", "http://c.example/q")). // new edge
+      toDF("src", "dst")
+
+    assert(LinkGraph.appendToHostGraphStore(crawl1, "src", "dst", store) == 2L)
+    assert(LinkGraph.appendToHostGraphStore(crawl2, "src", "dst", store) == 2L)
+    val merged = LinkGraph.readHostGraphStore(spark, store)
+      .as[(String, String, Long)].collect().toSet
+    assert(merged == Set(
+      ("a.example", "b.example", 3L),
+      ("c.example", "b.example", 1L),
+      ("b.example", "c.example", 1L)))
+
+    // compaction folds partials; the merged view is unchanged and the
+    // accumulated graph ranks identically
+    val before = LinkGraph.pageRank(
+      LinkGraph.readHostGraphStore(spark, store), "src_host", "dst_host")
+      .as[(String, Long)].collect().toMap
+    LinkGraph.compactHostGraphStore(spark, store, targetFiles = 1)
+    assert(LinkGraph.readHostGraphStore(spark, store)
+      .as[(String, String, Long)].collect().toSet == merged)
+    val after = LinkGraph.pageRank(
+      LinkGraph.readHostGraphStore(spark, store), "src_host", "dst_host")
+      .as[(String, Long)].collect().toMap
+    assert(before == after)
+
+    // absent store reads empty, not an error
+    assert(LinkGraph.readHostGraphStore(spark, store + "-nope").count() == 0L)
+  }
+
   test("pageRank is partition-count invariant (integer arithmetic, no float drift)") {
     val edges = (0L until 200L).map(i => (s"h${i % 13}", s"h${(i * i + 1) % 13}"))
       .toDF("s", "d")

@@ -792,6 +792,29 @@ class LlmPipelineSpec extends SparkSpec {
     assert(v2.map(t => t._1 -> t._2).toMap == Map("alpha" -> 3L, "beta" -> 1L))
   }
 
+  test("HostGraph store option: emit covers the increment, append is post-commit") {
+    val store = tmp("hg-yaml") + "/edges"
+    val stage = Planner.corpusStage("HostGraph", Map(
+      "src" -> "src_url", "dst" -> "dst_url", "store" -> store))
+    val crawl1 = Seq(("http://a.example/1", "http://b.example/x"))
+      .toDF("src_url", "dst_url")
+    // emitted graph INCLUDES the not-yet-appended increment…
+    val g1 = stage(crawl1).as[(String, String, Long)].collect().toSet
+    assert(g1 == Set(("a.example", "b.example", 1L)))
+    // …but the store only advances when the run's sinks commit
+    assert(graft.ml.Dedup.storeDataFiles(spark, store).isEmpty)
+    graft.core.PostCommit.drain()
+    // run 2 merges store + its own increment
+    val crawl2 = Seq(("http://a.example/2", "http://b.example/y"),
+      ("http://b.example/1", "http://c.example/z")).toDF("src_url", "dst_url")
+    val g2 = stage(crawl2).as[(String, String, Long)].collect().toSet
+    graft.core.PostCommit.drain()
+    assert(g2 == Set(("a.example", "b.example", 2L),
+      ("b.example", "c.example", 1L)))
+    assert(graft.ml.LinkGraph.readHostGraphStore(spark, store)
+      .as[(String, String, Long)].collect().toSet == g2)
+  }
+
   test("SaltedJoin stage enriches against a right input spec") {
     val dim = tmp("salted-dim")
     Seq((0L, "zero"), (1L, "one")).toDF("k", "name")
