@@ -1509,6 +1509,30 @@ object SparkEntry {
       graft.ml.LinkGraph.hostGraph(links, "src_url", "dst_url")
     },
 
+    // Domain-suffix blocklist: hosts sub.h{k}.example; entries block k=3,7
+    // at the registrable-domain level (subdomain matches by suffix) and
+    // k=5 only at the exact subdomain
+    "q_block_hosts" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(lit("http://sub.h"),
+          (col("doc_id") % 10).cast("string"), lit(".example/p/"),
+          col("doc_id").cast("string")).as("url"))
+      val bl = Seq("h3.example", "h7.example", "sub.h5.example").toDF("domain")
+      graft.ml.Blocklist.dropBlockedHosts(docs, "url", bl)
+        .select("doc_id", "url")
+    },
+
+    // Blocked-term presence (distinct case-folded whole tokens): keep
+    // documents with fewer than 2 of the listed terms
+    "q_block_terms" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val terms = Seq("slow", "merge").toDF("term")
+      graft.ml.Blocklist.flagBlockedTerms(docs, "text", "doc_id", terms,
+        maxHits = 2).select("doc_id", "bad_hits", "keep")
+    },
+
     // Cross-crawl webgraph store: the same link set appended as two
     // "crawls" (doc_id halves), partials summed on read — the merged
     // store must reproduce the whole-corpus host graph exactly
@@ -3704,6 +3728,24 @@ object SparkEntry {
         |)
         |SELECT src_host, dst_host, COUNT(*) AS n_links FROM h
         |WHERE src_host <> dst_host GROUP BY 1, 2""".stripMargin,
+
+    // suffix semantics replayed as residue membership
+    "q_block_hosts" ->
+      """SELECT doc_id, 'http://sub.h' || CAST(doc_id % 10 AS VARCHAR)
+        |  || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+        |FROM documents WHERE doc_id % 10 NOT IN (3, 5, 7)""".stripMargin,
+
+    "q_block_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> strlen(x) > 0)) AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_intersect(toks, ['slow', 'merge'])) AS BIGINT) AS bad_hits
+        |  FROM t
+        |)
+        |SELECT doc_id, bad_hits, bad_hits < 2 AS keep FROM m""".stripMargin,
 
     // store path must reproduce the whole-corpus host graph
     "q_host_graph_store" ->

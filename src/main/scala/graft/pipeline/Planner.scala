@@ -366,7 +366,7 @@ object Planner {
     "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
     "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
     "PerplexityScore", "QualityRules", "Outlinks", "HostGraph", "PageRank",
-    "LineFilter")
+    "LineFilter", "BlockHosts", "BlockTerms")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -610,6 +610,44 @@ object Planner {
         }
         df => graft.ml.TextAnalysis.c4LineFilter(df, text,
           conf.int("min_words_per_line", 5), conf.int("min_lines", 3), dropMode)
+      case "BlockHosts" =>
+        // domain-suffix blocklist drop: `domains: [a.com, …]` inline or
+        // `blocklist: {input: Parquet, path: …}` (+`domain_field`) at scale
+        val inline = conf.strSeq("domains")
+        val spec = conf.anyMap("blocklist")
+        if (inline.isEmpty && spec.isEmpty)
+          sys.error("BlockHosts needs `domains: [...]` or a `blocklist:` input spec")
+        val urlCol = conf.str("src").getOrElse("url")
+        df => {
+          val bl =
+            if (inline.nonEmpty) {
+              import df.sparkSession.implicits._
+              inline.toDF("domain")
+            } else input(df.sparkSession, spec.strReq("input"), spec)
+              .withColumnRenamed(spec.str("domain_field").getOrElse("domain"), "domain")
+          graft.ml.Blocklist.dropBlockedHosts(df, urlCol, bl)
+        }
+      case "BlockTerms" =>
+        // blocked-term presence: `terms: [..]` inline or `blocklist:` spec
+        val inline = conf.strSeq("terms")
+        val spec = conf.anyMap("blocklist")
+        if (inline.isEmpty && spec.isEmpty)
+          sys.error("BlockTerms needs `terms: [...]` or a `blocklist:` input spec")
+        val dropMode = conf.str("mode").getOrElse("flag") match {
+          case "drop" => true
+          case "flag" => false
+          case other => sys.error(s"BlockTerms mode must be flag|drop, got '$other'")
+        }
+        df => {
+          val tl =
+            if (inline.nonEmpty) {
+              import df.sparkSession.implicits._
+              inline.toDF("term")
+            } else input(df.sparkSession, spec.strReq("input"), spec)
+              .withColumnRenamed(spec.str("term_field").getOrElse("term"), "term")
+          graft.ml.Blocklist.flagBlockedTerms(df, text, id, tl,
+            maxHits = conf.int("max_hits", 1), drop = dropMode)
+        }
       case "QualityRules" =>
         // Gopher/C4 fixed-threshold pass; `mode: drop` keeps the original
         // schema and filters, `flag` (default) adds per-rule booleans
