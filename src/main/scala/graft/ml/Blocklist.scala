@@ -29,13 +29,16 @@ object Blocklist {
       transform(split(host, "\\."),
         (_, i) => array_join(slice(split(host, "\\."), i + 1, lit(127)), ".")),
       s => length(s) > 0)
-    val matched = df.withColumn("__graft_bl_sfx", suffixes)
-      .select(col("*"), explode(col("__graft_bl_sfx")).as("__graft_bl_one"))
+    val matchedUrls = df
+      .select(col(s"`$urlCol`"), explode(suffixes).as("__graft_bl_one"))
       .join(blocklist.select(col(s"`$domainCol`").as("__graft_bl_one")),
         Seq("__graft_bl_one"), "left_semi")
-      .drop("__graft_bl_one", "__graft_bl_sfx")
-    df.join(matched.select(col(s"`$urlCol`")).distinct(),
-      Seq(urlCol), "left_anti")
+      .select(col(s"`$urlCol`")).distinct()
+    // joinBackOnce memoizes the (small) matched-URL set: the anti join
+    // must not re-derive the explode+semi-join per consumer, and a UNION
+    // corpus must not re-run it per branch (the pushdown-duplication trap
+    // the dedup family measured)
+    Dedup.joinBackOnce(df, matchedUrls, Seq(urlCol), "left_anti")
   }
 
   /** Per-document blocked-term hits: `(…, bad_hits, n_words, keep)` where
@@ -57,8 +60,7 @@ object Blocklist {
       .join(terms.select(lower(col(s"`$termCol`")).as("__graft_bl_tok")),
         Seq("__graft_bl_tok"), "left_semi")
       .groupBy(col(s"`$idCol`")).agg(count(lit(1)).as("bad_hits"))
-    val flagged = df
-      .join(toks, Seq(idCol), "left")
+    val flagged = Dedup.joinBackOnce(df, toks, Seq(idCol), "left")
       .withColumn("bad_hits", coalesce(col("bad_hits"), lit(0L)))
       .withColumn("keep", col("bad_hits") < maxHits)
     if (drop) flagged.filter(col("keep"))
