@@ -381,12 +381,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("quality rules and outlink extraction are shuffle-free projections") {
-    // both must run at scan speed: any Exchange means a per-row heuristic
+  test("quality rules, line filter, and outlink extraction are shuffle-free projections") {
+    // all must run at scan speed: any Exchange means a per-row heuristic
     // started paying a distribution cost
-    Seq("q_quality_rules", "q_outlinks").foreach { q =>
+    Seq("q_quality_rules", "q_outlinks", "q_c4_lines").foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("Exchange"), s"$q shuffled:\n$plan")
+    }
+  }
+
+  test("blocklist joins: no cartesian, drop sets memoized not re-derived") {
+    Seq("q_block_hosts", "q_block_terms").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      // the matched set / hit counts enter through the CacheRegistry memo
+      // — a UNION corpus must re-scan a cache, not re-run the derivation
+      assert(plan.contains("InMemoryTableScan") || plan.contains("Scan In-memory"),
+        s"$q drop set not memoized:\n$plan")
     }
   }
 
