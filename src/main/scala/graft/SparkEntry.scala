@@ -1509,6 +1509,15 @@ object SparkEntry {
       graft.ml.LinkGraph.hostGraph(links, "src_url", "dst_url")
     },
 
+    // Compression-ratio spam signal (deflate_len codegen Expression).
+    // NO SQL ORACLE — DuckDB has no deflate — so this is a rows-only
+    // gate; the ratio VALUES are pinned by CompressFnsSpec fixtures
+    "q_compression_ratio" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        graft.functions.CompressFns.compressionRatio(col("text"))
+          .as("compression_ratio"))
+    },
+
     // Domain-suffix blocklist: hosts sub.h{k}.example; entries block k=3,7
     // at the registrable-domain level (subdomain matches by suffix) and
     // k=5 only at the exact subdomain

@@ -63,7 +63,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD')")
         UnicodeNormalizeExpr(args(0), stringArg(args(1)))
-      }))
+      }),
+    (new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLenExpr].getName, "deflate_len"),
+      (args: Seq[Expression]) => DeflateLenExpr(args(0))))
 
   /** Runtime registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

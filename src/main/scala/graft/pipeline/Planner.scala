@@ -366,7 +366,7 @@ object Planner {
     "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
     "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
     "PerplexityScore", "QualityRules", "Outlinks", "HostGraph", "PageRank",
-    "LineFilter", "BlockHosts", "BlockTerms")
+    "LineFilter", "BlockHosts", "BlockTerms", "CompressionRatio")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -610,6 +610,22 @@ object Planner {
         }
         df => graft.ml.TextAnalysis.c4LineFilter(df, text,
           conf.int("min_words_per_line", 5), conf.int("min_lines", 3), dropMode)
+      case "CompressionRatio" =>
+        // deflate(text)/octet_length — repetitive/machine-generated pages
+        // compress far below prose; `min` + mode drop cuts them
+        val minR = conf.dbl("min", 0.0)
+        val dropMode = conf.str("mode").getOrElse("flag") match {
+          case "drop" => true
+          case "flag" => false
+          case other => sys.error(s"CompressionRatio mode must be flag|drop, got '$other'")
+        }
+        df => {
+          val flagged = df.withColumn("compression_ratio",
+            graft.functions.CompressFns.compressionRatio(col(s"`$text`")))
+          if (dropMode) flagged.filter(col("compression_ratio") >= minR)
+            .drop("compression_ratio")
+          else flagged
+        }
       case "BlockHosts" =>
         // domain-suffix blocklist drop: `domains: [a.com, …]` inline or
         // `blocklist: {input: Parquet, path: …}` (+`domain_field`) at scale
@@ -1036,7 +1052,8 @@ object Planner {
     * streaming frame. Everything in [[CorpusStages]] but not here is
     * forced into the foreachBatch tail by [[streamingSplit]]. */
   private val StreamableCorpusStages = Set("Mix", "AssignSplits", "TextProfile",
-    "StripHtml", "Normalize", "QualityRules", "LineFilter", "Outlinks")
+    "StripHtml", "Normalize", "QualityRules", "LineFilter", "Outlinks",
+    "CompressionRatio")
 
   // ---- inputs -------------------------------------------------------------
 
