@@ -1509,6 +1509,15 @@ object SparkEntry {
       graft.ml.LinkGraph.hostGraph(links, "src_url", "dst_url")
     },
 
+    // Cavnar–Trenkle trigram language ID: rank profiles trained on the
+    // labeled corpus, every doc classified by integer out-of-place
+    // distance — training AND inference in one deterministic plan
+    "q_langid" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val profiles = graft.ml.LangId.trainProfiles(docs, "text", "lang", topK = 100)
+      graft.ml.LangId.classify(docs, "text", "doc_id", profiles, topK = 100)
+    },
+
     // Compression-ratio spam signal (deflate_len codegen Expression).
     // NO SQL ORACLE — DuckDB has no deflate — so this is a rows-only
     // gate; the ratio VALUES are pinned by CompressFnsSpec fixtures
@@ -3737,6 +3746,42 @@ object SparkEntry {
         |)
         |SELECT src_host, dst_host, COUNT(*) AS n_links FROM h
         |WHERE src_host <> dst_host GROUP BY 1, 2""".stripMargin,
+
+    // the identical integer rank lattice: binary string collation for the
+    // tiebreaks matches Spark's UTF8 byte order; length() (chars, not
+    // strlen's bytes) matches Spark's character semantics on CJK text
+    "q_langid" ->
+      """WITH g AS (
+        |  SELECT lang, doc_id, unnest(list_transform(
+        |    range(1, greatest(length(lower(text)) - 1, 1)),
+        |    i -> substr(lower(text), i::INT, 3))) AS gram
+        |  FROM documents
+        |), lp AS (
+        |  SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+        |), prof AS (
+        |  SELECT lang, gram, rank FROM (
+        |    SELECT lang, gram, row_number() OVER
+        |      (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |    FROM lp) WHERE rank <= 100
+        |), dg AS (
+        |  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+        |), dr AS (
+        |  SELECT doc_id, gram, doc_rank FROM (
+        |    SELECT doc_id, gram, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS doc_rank
+        |    FROM dg) WHERE doc_rank <= 100
+        |), langs AS (SELECT DISTINCT lang FROM prof),
+        |d AS (
+        |  SELECT dr.doc_id, langs.lang,
+        |    CAST(SUM(COALESCE(abs(dr.doc_rank - prof.rank), 100)) AS BIGINT) AS distance
+        |  FROM dr CROSS JOIN langs
+        |  LEFT JOIN prof ON prof.lang = langs.lang AND prof.gram = dr.gram
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, lang AS lang_guess, distance FROM (
+        |  SELECT doc_id, lang, distance, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY distance, lang) AS rn
+        |  FROM d) WHERE rn = 1""".stripMargin,
 
     // suffix semantics replayed as residue membership
     "q_block_hosts" ->

@@ -366,7 +366,7 @@ object Planner {
     "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
     "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
     "PerplexityScore", "QualityRules", "Outlinks", "HostGraph", "PageRank",
-    "LineFilter", "BlockHosts", "BlockTerms", "CompressionRatio")
+    "LineFilter", "BlockHosts", "BlockTerms", "CompressionRatio", "LangId")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -878,6 +878,26 @@ object Planner {
                 conf.long("min_count", 2L), uni)
           }
           graft.ml.NgramLm.score(df, model, text, id, order, alpha, uni)
+        }
+      case "LangId" =>
+        // Cavnar–Trenkle trigram language ID: profiles come from
+        // `profiles_path` (a parquet of trainProfiles' frame) or are
+        // trained on a labeled `reference` input spec (`lang_field`)
+        val topK = conf.int("top_k", 100)
+        df => {
+          val profiles = conf.str("profiles_path") match {
+            case Some(p) => df.sparkSession.read.parquet(p)
+            case None =>
+              val rm = conf.anyMap("reference")
+              if (rm.isEmpty) sys.error("LangId needs `profiles_path` or a " +
+                "labeled `reference` input spec, e.g. reference: {input: " +
+                "Parquet, path: /data/labeled.parquet, lang_field: lang}")
+              graft.ml.LangId.trainProfiles(
+                input(df.sparkSession, rm.strReq("input"), rm),
+                rm.str("src").getOrElse(text),
+                rm.str("lang_field").getOrElse("lang"), topK)
+          }
+          graft.ml.LangId.classify(df, text, id, profiles, topK)
         }
       case "BudgetMix" =>
         // token-budget mixture: size per-source rates against real token

@@ -792,6 +792,33 @@ class LlmPipelineSpec extends SparkSpec {
     assert(v2.map(t => t._1 -> t._2).toMap == Map("alpha" -> 3L, "beta" -> 1L))
   }
 
+  test("LangId stage trains from a labeled reference or loads saved profiles") {
+    val ref = tmp("langid-ref")
+    Seq(
+      ("en", "the cat and the dog run through the field with the fox and they play together"),
+      ("de", "die katze und der hund laufen durch das feld mit dem fuchs und sie spielen zusammen"))
+      .toDF("lang", "text").write.mode("overwrite").parquet(ref)
+    val docs = Seq((0L, "the dog and the cat in the field"),
+      (1L, "der hund und die katze mit dem fuchs")).toDF("id", "text")
+    val out = Planner.corpusStage("LangId", Map(
+      "src" -> "text", "id_field" -> "id",
+      "reference" -> Map[String, Any]("input" -> "Parquet", "path" -> ref)))(docs)
+      .select("id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(out == Map(0L -> "en", 1L -> "de"))
+
+    // saved-profiles path serves identically
+    val profDir = tmp("langid-prof")
+    graft.ml.LangId.trainProfiles(
+      spark.read.parquet(ref), "text", "lang").write.mode("overwrite").parquet(profDir)
+    val out2 = Planner.corpusStage("LangId", Map(
+      "src" -> "text", "id_field" -> "id", "profiles_path" -> profDir))(docs)
+      .select("id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(out2 == out)
+    intercept[RuntimeException] {
+      Planner.corpusStage("LangId", Map("src" -> "text"))(docs)
+    }
+  }
+
   test("HostGraph store option: emit covers the increment, append is post-commit") {
     val store = tmp("hg-yaml") + "/edges"
     val stage = Planner.corpusStage("HostGraph", Map(
