@@ -632,6 +632,13 @@ object SparkEntry {
     "q_dedup_clusters" -> { (s, dir) =>
       graft.ml.Dedup.clusters(sharedMinhashPairs(s, dir))
     },
+    // best-of policy: keep each near-dup cluster's LONGEST member
+    // (n_chars score, id tiebreak) instead of the min-id one
+    "q_dedup_best" -> { (s, dir) =>
+      graft.ml.Dedup.dropDuplicatesClusteredBest(
+        Tables.load(s, dir, "documents"), sharedMinhashPairs(s, dir),
+        "doc_id", "n_chars").select("doc_id", "n_chars")
+    },
     "q_simhash_hamming" -> { (s, dir) =>
       graft.ml.Dedup.simhashHammingPairs(Tables.load(s, dir, "documents"),
         "text", "doc_id", k = 3, bands = 4)
@@ -2594,6 +2601,40 @@ object SparkEntry {
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
         |)
         |SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id""".stripMargin,
+
+    // same recursive components, then per-cluster argmax by n_chars
+    "q_dedup_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+        |    for i in range(0, greatest(len(toks)-3, 0)+1)]) AS sh
+        |  FROM t
+        |), j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.9
+        |  UNION
+        |  SELECT id_b, id_a FROM j WHERE jaccard >= 0.9
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+        |), comp AS (
+        |  SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id
+        |), m AS (
+        |  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep, d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |), k AS (
+        |  SELECT doc_id, n_chars, row_number() OVER
+        |    (PARTITION BY rep ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM m
+        |)
+        |SELECT doc_id, n_chars FROM k WHERE rn = 1""".stripMargin,
 
     "q_simhash_hamming" ->
       """WITH t AS (

@@ -649,6 +649,30 @@ object Dedup {
       .drop("__graft_join_id", "__graft_rep")
   }
 
+  /** One row per cluster, representative = BEST by `scoreCol` (ties →
+    * min id) — the curation policy that keeps the longest / highest-
+    * quality member of a near-dup cluster instead of whichever crawled
+    * first. Rows not in any pair keep themselves.
+    *
+    * Plan: cluster membership joins in as (id, rep); the per-cluster
+    * argmax is a rank-1 window whose filter runs as WindowGroupLimit —
+    * each mapper forwards one candidate per cluster, so a boilerplate
+    * mega-cluster never funnels its full membership through a reducer. */
+  def dropDuplicatesClusteredBest(df: DataFrame, pairs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val reps = clusters(pairs).select(
+      col("id").as("__graft_join_id"), col("rep").as("__graft_rep"))
+    val withRep = df.join(reps, df(idCol) === col("__graft_join_id"), "left")
+      .withColumn("__graft_rep", coalesce(col("__graft_rep"), df(idCol)))
+      .drop("__graft_join_id")
+    withRep
+      .withColumn("__graft_best", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__graft_rep")
+          .orderBy(col(s"`$scoreCol`").desc, col(s"`$idCol`"))))
+      .filter(col("__graft_best") === 1)
+      .drop("__graft_rep", "__graft_best")
+  }
+
   /** Benchmark decontamination: drop every document sharing ANY word
     * n-gram with the contamination corpus (eval benchmarks, held-out
     * sets). The standard n-gram-overlap decontamination pass of LLM

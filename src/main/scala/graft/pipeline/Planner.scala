@@ -471,7 +471,15 @@ object Planner {
               case other => sys.error(
                 s"Dedup clustered pairs must be minhash|hamming, got '$other'")
             }
-            graft.ml.Dedup.dropDuplicatesClustered(df, pairs, id)
+            conf.str("policy").getOrElse("min_id") match {
+              case "min_id" => graft.ml.Dedup.dropDuplicatesClustered(df, pairs, id)
+              // keep the cluster's BEST member by a score column instead
+              // of whichever crawled first
+              case "best" => graft.ml.Dedup.dropDuplicatesClusteredBest(
+                df, pairs, id, conf.strReq("score_field"))
+              case other => sys.error(
+                s"Dedup clustered policy must be min_id|best, got '$other'")
+            }
           }
         case other => sys.error(
           s"Dedup method must be exact|minhash|hamming|clustered|incremental, got '$other'")

@@ -343,6 +343,21 @@ class MlSpec extends SparkSpec {
     assert(sReps == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
+  test("dropDuplicatesClusteredBest keeps the highest-scoring member per component") {
+    val scored = Seq(
+      (0L, "aa", 10L), (1L, "aa", 30L), (2L, "aa", 30L), // cluster {0,1,2}: best = 1 (score tie → min id)
+      (3L, "bb", 5L),                                    // singleton keeps itself
+      (4L, "cc", 1L), (5L, "cc", 2L))                    // cluster {4,5}: best = 5
+      .toDF("doc_id", "grp", "score")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropDuplicatesClusteredBest(scored, pairs, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // schema passes through untouched
+    assert(Dedup.dropDuplicatesClusteredBest(scored, pairs, "doc_id", "score")
+      .columns.toSeq == Seq("doc_id", "grp", "score"))
+  }
+
   test("dropDuplicatesClustered keeps one representative per component") {
     val pairs = Seq((0L, 1L, 1.0), (1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
     val kept = Dedup.dropDuplicatesClustered(docs, pairs, "doc_id")
