@@ -1516,6 +1516,18 @@ object SparkEntry {
       graft.ml.LinkGraph.hostGraph(links, "src_url", "dst_url")
     },
 
+    // Chunk-embedding mean-pool: 10 consecutive vec_ids per "document";
+    // ordered element-wise fold so the double sums replay bit-for-bit
+    "q_vec_pool" -> { (s, dir) =>
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      // the vector column itself can't hash-compare (array of doubles) —
+      // pin it through one more ordered fold: dim + bit-exact element sum
+      graft.ml.Similarity.poolEmbeddings(
+        vecs.withColumn("doc", col("vec_id") % 50), "embedding", "doc", "vec_id")
+        .select(col("doc"), col("n_chunks"), size(col("embedding")).as("dim"),
+          aggregate(col("embedding"), lit(0.0d), (a, x) => a + x).as("vec_sum"))
+    },
+
     // Cavnar–Trenkle trigram language ID: rank profiles trained on the
     // labeled corpus, every doc classified by integer out-of-place
     // distance — training AND inference in one deterministic plan
@@ -3787,6 +3799,22 @@ object SparkEntry {
         |)
         |SELECT src_host, dst_host, COUNT(*) AS n_links FROM h
         |WHERE src_host <> dst_host GROUP BY 1, 2""".stripMargin,
+
+    // ordered per-dimension folds (list built ORDER BY vec_id, summed
+    // left-to-right) — the proven bit-exact double-sum replay pattern
+    "q_vec_pool" ->
+      """WITH g AS (
+        |  SELECT vec_id % 50 AS doc, vec_id, embedding FROM embeddings
+        |), c AS (
+        |  SELECT doc, list(embedding ORDER BY vec_id) AS vecs,
+        |         COUNT(*) AS n_chunks
+        |  FROM g GROUP BY doc
+        |)
+        |SELECT doc, n_chunks, len(vecs[1]) AS dim,
+        |  list_aggregate(list_transform(range(1, len(vecs[1]) + 1),
+        |    d -> list_aggregate(list_transform(vecs, v -> v[d]::DOUBLE), 'sum')
+        |      / n_chunks), 'sum') AS vec_sum
+        |FROM c""".stripMargin,
 
     // the identical integer rank lattice: binary string collation for the
     // tiebreaks matches Spark's UTF8 byte order; length() (chars, not

@@ -59,6 +59,37 @@ object Similarity {
 
   /** Brute-force cosine top-k of `corpus` for each row of `queries`.
     * The query side is broadcast — the corpus side is scanned once. */
+  /** Pool chunk embeddings into one vector per group — the embed-then-
+    * pool step of retrieval pipelines (document = mean of its chunk
+    * vectors; `mode = "sum"` skips the divide). Returns
+    * (groupCol, n_chunks, embedding).
+    *
+    * Determinism contract: chunk vectors are collected PER GROUP sorted
+    * by `orderCol`, then folded element-wise in that order (double
+    * arithmetic) — a plain per-dimension SUM would add in partition
+    * order and drift between runs/engines. The collect is bounded by a
+    * group's chunk count (documents chunk to dozens, not millions);
+    * this is NOT a corpus-wide collect. One shuffle, keyed by group. */
+  def poolEmbeddings(df: DataFrame, vecCol: String, groupCol: String,
+      orderCol: String, mode: String = "mean"): DataFrame = {
+    require(mode == "mean" || mode == "sum", s"pool mode mean|sum, got '$mode'")
+    val vecs = col("__graft_pool_vecs")
+    val acc = aggregate(
+      transform(vecs, v => transform(v, x => x.cast("double"))),
+      transform(element_at(vecs, 1), _ => lit(0.0d)),
+      (a, v) => zip_with(a, v, _ + _))
+    val pooled = if (mode == "mean")
+      transform(acc, x => x / size(vecs)) else acc
+    df.groupBy(col(s"`$groupCol`"))
+      .agg(sort_array(collect_list(struct(
+        col(s"`$orderCol`").as("o"), col(s"`$vecCol`").as("v")))).as("__graft_pool_sorted"))
+      .withColumn("__graft_pool_vecs",
+        transform(col("__graft_pool_sorted"), s => s.getField("v")))
+      .filter(size(vecs) > 0)
+      .select(col(s"`$groupCol`"), size(vecs).as("n_chunks"),
+        pooled.as("embedding"))
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
     // self-dots are precomputed per vector so each scored pair costs ONE

@@ -366,7 +366,8 @@ object Planner {
     "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
     "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
     "PerplexityScore", "QualityRules", "Outlinks", "HostGraph", "PageRank",
-    "LineFilter", "BlockHosts", "BlockTerms", "CompressionRatio", "LangId")
+    "LineFilter", "BlockHosts", "BlockTerms", "CompressionRatio", "LangId",
+    "PoolEmbeddings")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -618,6 +619,14 @@ object Planner {
         }
         df => graft.ml.TextAnalysis.c4LineFilter(df, text,
           conf.int("min_words_per_line", 5), conf.int("min_lines", 3), dropMode)
+      case "PoolEmbeddings" =>
+        // chunk→document vector pooling (ordered fold, reproducible)
+        df => graft.ml.Similarity.poolEmbeddings(df,
+          conf.str("src").getOrElse("embedding"),
+          conf.str("group_field").getOrElse(sys.error(
+            "PoolEmbeddings needs group_field")),
+          conf.str("order_field").getOrElse(id),
+          conf.str("mode").getOrElse("mean"))
       case "CompressionRatio" =>
         // deflate(text)/octet_length — repetitive/machine-generated pages
         // compress far below prose; `min` + mode drop cuts them

@@ -343,6 +343,35 @@ class MlSpec extends SparkSpec {
     assert(sReps == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
+  test("poolEmbeddings: hand-computed mean, sum mode, and partition invariance") {
+    val chunks = Seq(
+      (0L, 10L, Seq(1.0f, 2.0f)), (1L, 10L, Seq(3.0f, 6.0f)),
+      (2L, 20L, Seq(5.0f, 5.0f))).toDF("chunk_id", "doc", "embedding")
+    val mean = Similarity.poolEmbeddings(chunks, "embedding", "doc", "chunk_id")
+      .as[(Long, Int, Seq[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(mean(10L) == (2, Seq(2.0, 4.0)))
+    assert(mean(20L) == (1, Seq(5.0, 5.0)))
+    val summed = Similarity.poolEmbeddings(chunks, "embedding", "doc",
+      "chunk_id", mode = "sum").as[(Long, Int, Seq[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(summed(10L) == (2, Seq(4.0, 8.0)))
+
+    // ordered fold: identical bits regardless of partitioning
+    val many = (0L until 1000L).map(i =>
+      (i, i % 7, Seq((i * 0.731f), (i * -0.317f)))).toDF("chunk_id", "doc", "embedding")
+    val r1 = Similarity.poolEmbeddings(many.repartition(1), "embedding", "doc", "chunk_id")
+      .as[(Long, Int, Seq[Double])].collect().toSet
+    val r32 = Similarity.poolEmbeddings(many.repartition(32), "embedding", "doc", "chunk_id")
+      .as[(Long, Int, Seq[Double])].collect().toSet
+    assert(r1 == r32, "pooled doubles must not drift with partitioning")
+
+    // YAML dispatch
+    val staged = graft.pipeline.Planner.corpusStage("PoolEmbeddings",
+      Map("group_field" -> "doc", "order_field" -> "chunk_id"))(chunks)
+    assert(staged.columns.toSeq == Seq("doc", "n_chunks", "embedding"))
+  }
+
   test("dropDuplicatesClusteredBest keeps the highest-scoring member per component") {
     val scored = Seq(
       (0L, "aa", 10L), (1L, "aa", 30L), (2L, "aa", 30L), // cluster {0,1,2}: best = 1 (score tie → min id)
