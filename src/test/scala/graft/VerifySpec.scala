@@ -46,7 +46,15 @@ class VerifySpec extends SparkSpec {
     // the driver compares oracle_sql keys against dump dirs — a queries
     // entry without an oracle silently downgrades to a rows-only check,
     // and an oracle without a query FAILs on a missing dir. Keep the two
-    // maps in lockstep so neither drift mode can start.
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+    // maps in lockstep so neither drift mode can start. Exceptions are
+    // EXPLICIT: each rows-only gate here must document at its queries
+    // entry why no SQL oracle can exist, and its values must be
+    // spec-pinned elsewhere.
+    val rowsOnly = Set(
+      "q_compression_ratio") // DuckDB has no deflate; CompressFnsSpec pins values
+    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet -- rowsOnly == SparkEntry.oracleSql.keySet)
+    assert((SparkEntry.oracleSql.keySet & rowsOnly).isEmpty,
+      "a rows-only gate grew an oracle — remove it from the allowlist")
   }
 }
