@@ -28,7 +28,7 @@ object Bench {
     "q_dedup_store_near", "q_image_phash", "q_quality_band",
     "q_multimodal_curate", "q_ann_ivf", "q_sessionize", "q_funnel",
     // round-11 additions (additive — earlier keys stay comparable)
-    "q_knn", "q_sorted_write")
+    "q_knn", "q_sorted_write", "q_langid", "q_pagerank")
 
   /** Render the one driver-parsed JSON line. Pure so a spec can pin the
     * length invariant at any gate count: if the assembled line would
@@ -344,6 +344,25 @@ object Bench {
             .agg(sum("rank_scaled")).count()
         timed("pagerank")(rank(edges(hub = false)))
         timed("pagerank_hub")(rank(edges(hub = true)))
+      }
+      // LANGID at 100×: train + classify fused over the copied corpus
+      // (labels synthesized — this measures the trigram explode, the two
+      // rank windows, and the distance lattice, not accuracy). The
+      // throughput shape a 100 TB language-routing pass pays.
+      locally {
+        // EXPLICIT cap at 20 copies (recorded as langid_copies): the
+        // trigram lattice is ~90 s/run at 100 copies — a 20× datapoint
+        // already pins the scaling without tripling the stress block
+        val langidCopies = math.min(stressCopies, 20)
+        val labeled = bigDocs
+          .filter(col("doc_id") < langidCopies * 10000000L)
+          .withColumn("lang",
+            concat(lit("l"), pmod(col("doc_id"), lit(5)).cast("string")))
+        stress("langid_copies") = langidCopies.toDouble
+        timed("langid") {
+          val prof = graft.ml.LangId.trainProfiles(labeled, "text", "lang")
+          graft.ml.LangId.classify(labeled, "text", "doc_id", prof).count()
+        }
       }
       // pre + mid + post probe samples: the min is the machine floor the
       // stress ops are normalized against
