@@ -3912,7 +3912,7 @@ object SparkEntry {
         |r4 AS (SELECT n.node, 150000000000 + COALESCE((c4.m // 100) * 85 + ((c4.m % 100) * 85) // 100, 0) AS rk FROM n LEFT JOIN c4 ON n.node = c4.dst),
         |c5 AS (SELECT ed.dst, SUM(r4.rk // ed.od) AS m FROM ed JOIN r4 ON ed.src = r4.node GROUP BY ed.dst),
         |r5 AS (SELECT n.node, 150000000000 + COALESCE((c5.m // 100) * 85 + ((c5.m % 100) * 85) // 100, 0) AS rk FROM n LEFT JOIN c5 ON n.node = c5.dst)
-        |SELECT node, rk AS rank_scaled FROM r5""".stripMargin,
+        |SELECT node, CAST(rk AS BIGINT) AS rank_scaled FROM r5""".stripMargin,
 
     "q_url_dedup" ->
       """WITH raw AS (

@@ -50,32 +50,85 @@ object LangId {
     * distance). Lower distance = better match; ties break to the
     * lexicographically first language (deterministic).
     *
-    * Plan: per-doc rank window (WindowGroupLimit-pruned like training) →
-    * cross join the tiny language list (broadcast — |langs| rows) →
-    * left join profiles on (lang, gram) (profiles ≤ langs × topK rows,
-    * AQE broadcasts) → one partial-agg'd groupBy(doc, lang) → argmin
-    * window per doc. Document text dies at the explode; only gram-rank
-    * rows shuffle. */
+    * Plan: ZERO exchanges — the profile table (≤ |langs| × topK rows by
+    * [[trainProfiles]] construction, the same bounded-model contract as
+    * BPE's merge list at [[Bpe.encode]]) is collected once and embedded
+    * in the plan as one map literal per language, so classification is a
+    * single narrow map over the corpus. Per row: sort the trigram array,
+    * run-length-encode it into (cnt, gram) pairs, rank the top-K pairs by
+    * (cnt desc, gram asc), then fold the out-of-place distance against
+    * each language's literal map and argmin via struct ordering. A doc of
+    * L chars costs O(L log L) in-row — no shuffle, no window, nothing
+    * leaves the partition. Docs with no trigrams (null / < 3 chars) emit
+    * no row, matching the previous explode-based semantics. */
   def classify(df: DataFrame, textCol: String, idCol: String,
       profiles: DataFrame, topK: Int = 100): DataFrame = {
-    val docRanks = df
-      .select(col(s"`$idCol`"), explode(trigrams(col(s"`$textCol`"))).as("gram"))
-      .groupBy(col(s"`$idCol`"), col("gram")).agg(count(lit(1)).as("cnt"))
-      .withColumn("doc_rank", row_number().over(
-        Window.partitionBy(s"`$idCol`").orderBy(col("cnt").desc, col("gram"))))
-      .filter(col("doc_rank") <= topK).select(col(s"`$idCol`"), col("gram"),
-        col("doc_rank"))
-    val langs = profiles.select("lang").distinct()
-    val dist = docRanks
-      .crossJoin(broadcast(langs))
-      .join(profiles.withColumnRenamed("rank", "prof_rank"),
-        Seq("lang", "gram"), "left")
-      .groupBy(col(s"`$idCol`"), col("lang"))
-      .agg(sum(coalesce(abs(col("doc_rank") - col("prof_rank")),
-        lit(topK.toLong))).as("distance"))
-    dist.withColumn("__graft_li_best", row_number().over(
-        Window.partitionBy(s"`$idCol`").orderBy(col("distance"), col("lang"))))
-      .filter(col("__graft_li_best") === 1)
-      .select(col(s"`$idCol`"), col("lang").as("lang_guess"), col("distance"))
+    val profRows = profiles
+      .select(col("lang").cast("string"), col("gram").cast("string"),
+        col("rank").cast("int"))
+      .collect()
+    require(profRows.length <= 2000000,
+      s"profile table too large to embed in the plan: ${profRows.length} " +
+        "rows (expected <= |langs| * topK)")
+    val byLang: Seq[(String, Map[String, Int])] = profRows
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        (l, rs.map(r => r.getString(1) -> r.getInt(2)).toMap)
+      }
+      .toSeq.sortBy(_._1)
+
+    val grams = trigrams(col(s"`$textCol`"))
+
+    if (byLang.isEmpty)
+      // no profiles → no verdicts, but keep the output schema stable
+      return df.select(col(s"`$idCol`"),
+        lit(null).cast("string").as("lang_guess"),
+        lit(null).cast("long").as("distance")).filter(lit(false))
+
+    // let-binding: evaluate `value` exactly ONCE and expose it to `body`
+    // as a lambda variable. Plain withColumn intermediates get re-inlined
+    // by plan rewrites (CollapseProject / ConvertToLocalRelation), which
+    // turns every element access into a full re-sort — O(L²·log L) per
+    // row; a lambda variable is bound once by construction.
+    def bound(value: Column, body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
+
+    val best = bound(array_sort(grams), sorted => {
+      val n = size(sorted)
+      // run starts: 1-based positions where a new distinct gram begins
+      val startsE = filter(sequence(lit(1), n), i =>
+        (i === 1) || (element_at(sorted, i) =!= element_at(sorted, i - 1)))
+      bound(startsE, starts => {
+        // (negcnt, gram) per run — negated count so the default struct
+        // sort yields (cnt desc, gram asc), the training tiebreak
+        val runs = transform(starts, (s, j) => struct(
+          (s - coalesce(try_element_at(starts, j + lit(2)), n + 1))
+            .as("negcnt"),
+          element_at(sorted, s).as("gram")))
+        bound(slice(array_sort(runs), 1, topK), ranked => {
+          // one (distance, lang) struct per language, distance folded
+          // in-row against that language's literal rank map; unseen
+          // gram → topK penalty; argmin via struct ordering
+          val distStructs = byLang.map { case (l, m) =>
+            val mLit = typedlit(m)
+            val terms = transform(ranked, (e, j) =>
+              coalesce(
+                abs(j + lit(1) - try_element_at(mLit, e.getField("gram")))
+                  .cast("long"),
+                lit(topK.toLong)))
+            struct(
+              aggregate(terms, lit(0L), (a, x) => a + x).as("distance"),
+              lit(l).as("lang"))
+          }
+          array_min(array(distStructs: _*))
+        })
+      })
+    })
+
+    df.filter(size(grams) > 0)
+      .withColumn("__graft_li_best", best)
+      .select(col(s"`$idCol`"),
+        col("__graft_li_best.lang").as("lang_guess"),
+        col("__graft_li_best.distance").as("distance"))
   }
 }

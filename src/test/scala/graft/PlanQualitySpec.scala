@@ -417,6 +417,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(partials >= 5, s"iterations lost their map-side combine:\n$plan")
   }
 
+  test("langid classify: zero exchanges, no window — a single narrow map") {
+    // The profile table is embedded in the plan as map literals (the BPE
+    // merge-table contract), so classification must not pay ANY shuffle,
+    // window, or generate: one projection over the corpus, argmin in-row.
+    // The r11 shape (explode → 2 groupBy exchanges → 2 windows → profile
+    // join) was the slowest headline query at 5.1 s; this pin keeps the
+    // rewrite from regressing back.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val profiles = graft.ml.LangId.trainProfiles(docs, "text", "lang")
+    val out = graft.ml.LangId.classify(docs, "text", "doc_id", profiles)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classify gained a shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"classify gained a window:\n$plan")
+    assert(!plan.contains("Generate"), s"classify gained an explode:\n$plan")
+    assert(!plan.contains("Join"), s"classify gained a join:\n$plan")
+  }
+
   test("corpus diff: hash-projected full-outer merge join, no cartesian") {
     val plan = executedPlan("q_corpus_diff")
     assert(!plan.contains("CartesianProduct"), plan)

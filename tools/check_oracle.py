@@ -68,6 +68,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
             failures += 1
             continue
+        # Driver-hash parity: the driver hashes rendered values, so an
+        # int64 Spark column vs a float64 oracle column (DuckDB HUGEINT →
+        # pandas float64, e.g. SUM(BIGINT)) hash-mismatches even when the
+        # values compare equal. Flag any int/float kind split as FAIL.
+        kind_bad = [c for c in want.columns
+                    if {want[c].dtype.kind, got[c].dtype.kind} == {"i", "f"}]
+        if kind_bad:
+            print(f"FAIL {name}: int/float dtype split on {kind_bad} "
+                  f"(driver hash would mismatch)")
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(want, got, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(got)} rows)")
