@@ -384,7 +384,13 @@ object Bench {
     val sharedSec = (System.nanoTime() - tShared) / 1e9
     // SPARK_GRAFT_BENCH_RUNS=0 → stress-only run (probe-reproducibility
     // measurements without paying 3 query rounds)
-    val names = if (rounds > 0) SparkEntry.queries.keys.toSeq else Seq.empty[String]
+    // SPARK_GRAFT_ONLY=a,b,c → time only those queries (builder-side fast
+    // iteration, the Verify third-arg convention; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names =
+      if (rounds > 0)
+        SparkEntry.queries.keys.toSeq.filter(n => only.forall(_.contains(n)))
+      else Seq.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (r <- 0 until rounds) {
