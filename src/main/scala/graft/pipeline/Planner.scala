@@ -352,6 +352,30 @@ object Planner {
             "options (if / add_fields / remove_fields / failTag) do not " +
             "apply — filter or enrich with a preceding stage instead")
         corpusStage(name, conf)
+      case "Custom" =>
+        // third-party operator escape hatch (reference plugin surface:
+        // filter/filter.go:40-61): `class:` names a user class on the
+        // classpath. An EventFilter gets the full box semantics like any
+        // built-in; a corpus-level plugin rejects them like any built-in
+        // corpus stage.
+        Plugins.forConf(conf) match {
+          case f: EventFilter => box(f)
+          case c =>
+            if (ifConds.nonEmpty || addFields.nonEmpty ||
+                removeFields.nonEmpty || failTag.nonEmpty)
+              sys.error(s"custom stage ${c.getClass.getName} is corpus-" +
+                "level: the per-event box options (if / add_fields / " +
+                "remove_fields / failTag) do not apply — implement " +
+                "graft.filters.EventFilter for per-event semantics")
+            c match {
+              case p: Plugins.CorpusStagePlugin => df => p.transform(df)
+              case f1: Function1[_, _] =>
+                df => f1.asInstanceOf[DataFrame => DataFrame](df)
+              case other => sys.error(s"custom class ${other.getClass
+                .getName} implements none of EventFilter / " +
+                "Plugins.CorpusStagePlugin / (DataFrame => DataFrame)")
+            }
+        }
       case other => sys.error(s"unknown filter '$other'")
     }
   }
@@ -1126,6 +1150,13 @@ object Planner {
         graft.sources.WarcReader.read(spark, conf.strReq("path"),
           conf.int("max_record_bytes", 16 << 20),
           conf.bool("parse_http", true))
+      case "Custom" =>
+        // user source class (reference plugin surface: input/input.go:40-59)
+        Plugins.forConf(conf) match {
+          case p: Plugins.InputPlugin => p.read(spark)
+          case other => sys.error(s"custom input ${other.getClass.getName} " +
+            "must implement graft.pipeline.Plugins.InputPlugin")
+        }
       case other => sys.error(s"unknown batch input '$other'")
     }
 
@@ -1230,6 +1261,14 @@ object Planner {
           .option("port", conf.int("port", 9999))
           .option("max_buffer", conf.int("max_buffer", 65536))
           .load()
+      case "Custom" =>
+        // user source class — the same InputPlugin seam as batch: the
+        // plugin decides whether read(spark) returns a readStream frame
+        Plugins.forConf(conf) match {
+          case p: Plugins.InputPlugin => p.read(spark)
+          case other => sys.error(s"custom input ${other.getClass.getName} " +
+            "must implement graft.pipeline.Plugins.InputPlugin")
+        }
       case other => sys.error(s"unknown streaming input '$other'")
     }
 

@@ -64,6 +64,13 @@ object Sinks {
         writeClickHouse(conf, df)
       case "Influxdb" =>
         writeInflux(conf, df)
+      case "Custom" =>
+        // user sink class (reference plugin surface: output/output.go:46-67)
+        graft.pipeline.Plugins.forConf(conf) match {
+          case p: graft.pipeline.Plugins.OutputPlugin => p.write(df)
+          case other => sys.error(s"custom output ${other.getClass.getName} " +
+            "must implement graft.pipeline.Plugins.OutputPlugin")
+        }
       case other => sys.error(s"unknown output '$other'")
     }
     df
