@@ -440,6 +440,17 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "user_id")
     },
 
+    // Go-template prefix-call conditions: and/or over parenthesized
+    // pipelines (reference README.md:604's form), compiled to one
+    // boolean Column tree — the template twin of q_condition_dsl
+    "q_template_cond" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val tpl = """{{if and (or (eq .event_type "error") """ +
+        """(hasprefix .event_type "sign")) (not (lt .value 10))}}y{{end}}"""
+      ev.filter(graft.conditions.ConditionFilter.compile(tpl, ev))
+        .select("event_id", "event_type", "value", "user_id")
+    },
+
     // ---- per-event filter operators through the declarative chain ----
     // Grok: synthesize a log line, parse it back (reference: filter/grok.go)
     "q_grok" -> { (s, dir) =>
@@ -2419,6 +2430,14 @@ object SparkEntry {
         |WHERE (event_type = 'error' OR event_type LIKE 'sign%')
         |  AND NOT (CAST(json_extract_string(props, '$.k') AS DOUBLE) = 0)
         |  AND contains(props, 'k')""".stripMargin,
+
+    // template comparisons compare through DOUBLE (Go template numbers
+    // are float64), so the oracle casts the same way
+    "q_template_cond" ->
+      """SELECT event_id, event_type, value, user_id
+        |FROM events
+        |WHERE (event_type = 'error' OR event_type LIKE 'sign%')
+        |  AND NOT (CAST(value AS DOUBLE) < 10)""".stripMargin,
 
     "q_grok" ->
       """SELECT event_id,

@@ -30,7 +30,7 @@ object ConditionFilter {
   /** Compile a DSL string against a concrete DataFrame's schema. */
   def compile(dsl: String, df: DataFrame, tsColumn: String = "@timestamp"): Column = {
     val t = dsl.trim
-    if (t.startsWith("{{")) templateCondition(t, df)
+    if (t.startsWith("{{")) templateCondition(t, df, tsColumn)
     else new Compiler(df, tsColumn).parseBoolTree(t)
   }
 
@@ -51,12 +51,15 @@ object ConditionFilter {
     * template-function interpolation — compiles recursively to ONE string
     * Column (each if-block becomes a `when(cond, then).otherwise(else)`),
     * and the condition passes iff the rendered string is "y". COND
-    * supports Go truthiness, the six template comparisons, not, and
-    * contains/hasprefix/hassuffix; parenthesized and/or pipelines stay
-    * unsupported — rewrite in the DSL, which the reference's own README
-    * recommends over templates for speed (README.md:609); see
-    * MIGRATION.md. */
-  private def templateCondition(t: String, df: DataFrame): Column = {
+    * supports Go truthiness, the six template comparisons, not,
+    * contains/hasprefix/hassuffix, the reference's before/after event-
+    * time predicates (value_render/template_value_render.go:69-95), and
+    * Go-template prefix calls `and`/`or` over parenthesized pipelines
+    * nested to any depth — `{{if or (before . "-24h") (after . "24h")}}`,
+    * the README's own example (reference README.md:604), compiles to one
+    * boolean Column tree. */
+  private def templateCondition(t: String, df: DataFrame,
+      tsColumn: String = "@timestamp"): Column = {
     def path(p: String): Column =
       graft.paths.FieldPath.resolveSegs(df,
         p.stripPrefix(".").split('.').toSeq.map(graft.paths.FieldPath.Key))
@@ -97,10 +100,45 @@ object ConditionFilter {
             case _ => c.isNotNull && c.cast("string") =!= ""
           }
       }
+    // Top-level argument split: whitespace separates, but a quoted
+    // string or a (parenthesized pipeline) — nested to any depth — is
+    // ONE argument, exactly Go's command/pipeline word structure.
+    def splitTopLevel(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0
+      var inQ = false
+      s.foreach { ch =>
+        if (inQ) { cur += ch; if (ch == '"') inQ = false }
+        else ch match {
+          case '"' => cur += ch; inQ = true
+          case '(' => depth += 1; cur += ch
+          case ')' => depth -= 1; cur += ch
+          case c if c.isWhitespace && depth == 0 =>
+            if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+          case c => cur += c
+        }
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.result()
+    }
     def condExpr(body: String): Column = {
-      val toks = """"[^"]*"|\S+""".r.findAllIn(body).toSeq
+      val toks = splitTopLevel(body.trim)
       def isQuoted(x: String) = x.startsWith("\"") && x.endsWith("\"")
       def isNum(x: String) = scala.util.Try(x.toDouble).isSuccess
+      def isParen(x: String) = x.startsWith("(") && x.endsWith(")")
+      // one and/or/not argument as a boolean: a parenthesized pipeline
+      // recurses, a path takes Go truthiness, a literal is its own
+      // zero-value truthiness (Go folds these statically)
+      def argCond(x: String): Column =
+        if (isParen(x)) condExpr(x.substring(1, x.length - 1).trim)
+        else if (x.startsWith(".")) truthy(x)
+        else if (isQuoted(x)) lit(x.length > 2)
+        else if (isNum(x)) lit(x.toDouble != 0.0)
+        else sys.error(s"unsupported and/or/not argument '$x' in " +
+          s"template if-condition")
+      def unq(x: String) =
+        if (isQuoted(x)) x.substring(1, x.length - 1) else x
       def cmp(a: String, b: String)(f: (Column, Column) => Column): Column =
         if (isQuoted(a) || isQuoted(b)) {
           def s(x: String) =
@@ -112,6 +150,20 @@ object ConditionFilter {
         } else f(path(a), path(b))
       toks match {
         case Seq(p) if p.startsWith(".") => truthy(p)
+        case Seq(p) if isParen(p) => argCond(p)
+        case Seq("and", rest @ _*) if rest.nonEmpty =>
+          rest.map(argCond).reduce(_ && _)
+        case Seq("or", rest @ _*) if rest.nonEmpty =>
+          rest.map(argCond).reduce(_ || _)
+        case Seq("not", x) if isParen(x) || x.startsWith(".") => !argCond(x)
+        // reference event-time predicates (template_value_render.go:69-95):
+        // before/after compare the event's @timestamp against now+duration;
+        // a missing/non-timestamp field is false, like the reference's
+        // reflection guard
+        case Seq("before", ".", d) =>
+          tsTemplateCompare(df, tsColumn, unq(d), before = true)
+        case Seq("after", ".", d) =>
+          tsTemplateCompare(df, tsColumn, unq(d), before = false)
         case Seq("not", rest @ _*) => !condExpr(rest.mkString(" "))
         case Seq("eq", a, b) => cmp(a, b)(_ === _)
         case Seq("ne", a, b) => cmp(a, b)(_ =!= _)
@@ -135,6 +187,21 @@ object ConditionFilter {
       case TplEqNum(p, n) => path(p).cast("double") === lit(n.toDouble)
       case other =>
         coalesce(renderTemplate(other, df, condExpr), lit("")) === "y"
+    }
+  }
+
+  /** Shared event-time compare for the template `before`/`after`
+    * predicates — identical semantics to the DSL's Before/After atoms
+    * (Compiler.tsCompare): event ts </> now + Go duration, false when
+    * the timestamp column is missing or not a timestamp. */
+  private def tsTemplateCompare(df: DataFrame, tsColumn: String,
+      dur: String, before: Boolean): Column = {
+    val secs = GoDuration.parseSeconds(dur)
+    val bound = current_timestamp() +
+      make_dt_interval(lit(0), lit(0), lit(0), lit(secs))
+    FieldPath.resolveTyped(df, tsColumn) match {
+      case Some((c, TimestampType)) => if (before) c < bound else c > bound
+      case _ => lit(false)
     }
   }
 

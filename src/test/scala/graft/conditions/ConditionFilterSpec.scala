@@ -41,6 +41,51 @@ class ConditionFilterSpec extends SparkSpec {
     assert(run("""{{.flag}}""") == Set("app", "worker-api"))
   }
 
+  test("template and/or prefix pipelines with parenthesized conditions") {
+    import spark.implicits._
+    val df = Seq(("app", 20L, "", "y"), ("web", 0L, "x", "n"),
+      ("worker-api", 35L, "err", "y")).toDF("name", "age", "tag", "flag")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    // Go template prefix calls: and/or over parenthesized pipelines
+    assert(run("""{{if and (gt .age 10) (eq .flag "y")}}y{{end}}""")
+      == Set("app", "worker-api"))
+    assert(run("""{{if or (eq .name "web") (gt .age 30)}}y{{end}}""")
+      == Set("web", "worker-api"))
+    // bare-path and literal arguments follow Go truthiness
+    assert(run("""{{if and .tag (gt .age 10)}}y{{end}}""") == Set("worker-api"))
+    assert(run("""{{if or .tag (eq .name "app")}}y{{end}}""")
+      == Set("app", "web", "worker-api"))
+    // nesting to any depth, plus not over a parenthesized pipeline
+    assert(run("""{{if and (or (eq .name "app") (eq .name "web")) (not (gt .age 10))}}y{{end}}""")
+      == Set("web"))
+    assert(run("""{{if not (and .tag (gt .age 10))}}y{{end}}""")
+      == Set("app", "web"))
+    // variadic: three arguments
+    assert(run("""{{if or (eq .name "app") (eq .name "web") (eq .name "worker-api")}}y{{end}}""")
+      == Set("app", "web", "worker-api"))
+  }
+
+  test("template before/after event-time predicates (README's or example)") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.from(java.time.Instant.now())
+    val old = java.sql.Timestamp.from(
+      java.time.Instant.now().minus(java.time.Duration.ofHours(48)))
+    val df = Seq(("fresh", now), ("stale", old)).toDF("name", "@timestamp")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    // the reference README's own template-condition example (:604):
+    // events older than 24h or (impossibly) 24h in the future
+    assert(run("""{{if or (before . "-24h") (after . "24h")}}y{{end}}""")
+      == Set("stale"))
+    assert(run("""{{if before . "-24h"}}y{{end}}""") == Set("stale"))
+    assert(run("""{{if after . "-24h"}}y{{end}}""") == Set("fresh"))
+    // missing/non-timestamp column → false, like the reference's guard
+    val noTs = Seq(("a", 1L)).toDF("name", "v")
+    assert(noTs.filter(ConditionFilter.compile(
+      """{{if before . "-24h"}}y{{end}}""", noTs)).count() == 0)
+  }
+
   test("template truthiness follows the resolved type's Go zero value") {
     import spark.implicits._
     val df = Seq(("a", "0", 0L, 0.5, true), ("b", "", 3L, 0.0, false))
@@ -151,11 +196,16 @@ class ConditionFilterSpec extends SparkSpec {
       ConditionFilter.compile("""{{.flag}}{{end}}""", df)
     }
     assert(strayEnd.getMessage.contains("unsupported template condition"))
-    // and/or pipelines stay DSL-only (documented in MIGRATION.md)
-    val andCond = intercept[RuntimeException] {
-      ConditionFilter.compile("""{{if and .name .flag}}y{{end}}""", df)
+    // an unknown template function inside if still errors loudly
+    val unknownFn = intercept[RuntimeException] {
+      ConditionFilter.compile("""{{if foo .name}}y{{end}}""", df)
     }
-    assert(andCond.getMessage.contains("unsupported template if-condition"))
+    assert(unknownFn.getMessage.contains("unsupported template if-condition"))
+    // ...and so does an unsupported and/or argument form
+    val badArg = intercept[RuntimeException] {
+      ConditionFilter.compile("""{{if and nope .flag}}y{{end}}""", df)
+    }
+    assert(badArg.getMessage.contains("unsupported and/or/not argument"))
   }
   import spark.implicits._
 
