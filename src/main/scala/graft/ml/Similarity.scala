@@ -13,6 +13,11 @@ final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
     assigned.write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$path/assigned")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // drift baseline: per-cell posting-list sizes AT BUILD TIME, the
+    // denominator appendToIvfIndex's rebuild policy measures against.
+    // Underscore-prefixed → invisible to parquet discovery (the
+    // seen-store sidecar convention, Dedup.scala store layout).
+    IvfIndex.writeBaseCounts(assigned, path)
   }
 }
 
@@ -24,6 +29,11 @@ object IvfIndex {
       // schema-identical (union-safe, no cast inside the probe join)
       spark.read.parquet(s"$path/assigned")
         .withColumn("cell_id", col("cell_id").cast("long")))
+
+  private[ml] def writeBaseCounts(assigned: DataFrame, path: String): Unit =
+    assigned.groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("base_n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_base_counts")
 }
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -307,14 +317,23 @@ object Similarity {
       }
       .select(col("cell_id"), col("centroid"),
         dot(col("centroid"), col("centroid")).as("centsd"))
+    IvfIndex(cents.select("cell_id", "centroid", "centsd"),
+      assignToCells(corpus, vecCol, idCol, cents))
+  }
+
+  /** Nearest-centroid assignment — the shared kernel of [[buildIvfIndex]]
+    * (initial build) and [[appendToIvfIndex]] (increments).
+    *
+    * cv is cast to double ONCE here: every downstream consumer (probe
+    * scoring, semanticDedup's quadratic within-cell join condition)
+    * calls dot(), whose array&lt;double&gt; cast then folds to a no-op.
+    * Without this the cast re-allocates both arrays PER PAIR inside the
+    * join condition — measured 10×+ on hot cells (stress_semdedup).
+    * Same doubles either way, so sims stay bit-identical. */
+  private def assignToCells(corpus: DataFrame, vecCol: String, idCol: String,
+      cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell_id"))
-    // cv is cast to double ONCE here: every downstream consumer (probe
-    // scoring, semanticDedup's quadratic within-cell join condition)
-    // calls dot(), whose array<double> cast then folds to a no-op.
-    // Without this the cast re-allocates both arrays PER PAIR inside the
-    // join condition — measured 10×+ on hot cells (stress_semdedup).
-    // Same doubles either way, so sims stay bit-identical.
-    val assigned = corpus.select(col(idCol).as("vec_id"),
+    corpus.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("cv"),
         dot(col(vecCol), col(vecCol)).as("csd"))
       .crossJoin(broadcast(cents))
@@ -323,7 +342,78 @@ object Similarity {
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("cv"), col("csd"), col("cell_id"))
-    IvfIndex(cents.select("cell_id", "centroid", "centsd"), assigned)
+  }
+
+  /** Append an increment to a SAVED IVF index: assign each new vector to
+    * its nearest EXISTING cell (centroids stay immutable — that is what
+    * keeps probes correct between rebuilds) and append to that cell's
+    * posting-list partition. Already-indexed vec_ids are dropped first,
+    * so re-running a crashed increment adds 0 (the seen-store append
+    * contract, [[Dedup.appendToSeenStore]]). Returns rows appended.
+    *
+    * At-least-once, not transactional: a failure mid-write can leave a
+    * partial partition file that a re-run skips via the anti-join; it
+    * never corrupts existing posting lists.
+    *
+    * Rebuild policy: appended vectors are assigned to centroids trained
+    * BEFORE they existed, so recall decays as the appended fraction
+    * grows. [[ivfDrift]] reports per-cell drift = (cur−base)/base
+    * against the build-time baseline; rebuild (buildIvfIndex + save, or
+    * trainKmeansCentroids for non-dense ids) when [[ivfNeedsRebuild]]
+    * trips — default threshold 0.5 (half the cell arrived after
+    * training), the point where the post-append recall spec floor
+    * (≥ 0.65 at nprobe=8, IvfIndexSpec) still holds with margin. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      increment: DataFrame, vecCol: String, idCol: String): Long = {
+    val idx = IvfIndex.load(spark, path)
+    // self-heal a pre-drift-era index: baseline from the CURRENT posting
+    // lists, so drift measures from this append onward (the bloom-sidecar
+    // migration pattern)
+    if (!pathExists(spark, s"$path/_base_counts"))
+      IvfIndex.writeBaseCounts(idx.assigned, path)
+    val fresh = assignToCells(increment, vecCol, idCol, idx.centroids)
+      .join(idx.assigned.select("vec_id"), Seq("vec_id"), "left_anti")
+      .filter(col("vec_id").isNotNull)
+      // count + write must see the SAME rows (the store grows under the
+      // plan): localCheckpoint is the barrier, as in the seen-store append
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").partitionBy("cell_id")
+      .parquet(s"$path/assigned")
+    n
+  }
+
+  /** Per-cell drift report for a saved index: (cell_id, base_n, cur_n,
+    * drift) where drift = (cur_n − base_n) / base_n; a cell whose
+    * baseline is 0 (or a pre-baseline index) reports null drift and
+    * counts as needing rebuild. */
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val cur = IvfIndex.load(spark, path).assigned
+      .groupBy("cell_id").agg(count(lit(1)).as("cur_n"))
+    val base =
+      if (pathExists(spark, s"$path/_base_counts"))
+        spark.read.parquet(s"$path/_base_counts")
+      else cur.select(col("cell_id"), lit(null).cast("long").as("base_n"))
+    base.join(cur, Seq("cell_id"), "full_outer")
+      .select(col("cell_id"), col("base_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .withColumn("drift",
+        (col("cur_n") - col("base_n")).cast("double") /
+          nullif(col("base_n").cast("double"), lit(0.0d)))
+  }
+
+  /** True when any cell's drift exceeds `maxDrift` (or is unmeasurable —
+    * null baseline), the documented rebuild trigger. */
+  def ivfNeedsRebuild(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxDrift: Double = 0.5): Boolean =
+    ivfDrift(spark, path)
+      .filter(col("drift").isNull || col("drift") > maxDrift)
+      .limit(1).count() > 0
+
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The QUERY half of IVF: rank cells per query, score only the `nprobe`

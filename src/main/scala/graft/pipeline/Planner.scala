@@ -387,7 +387,7 @@ object Planner {
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
     "MediaResample", "MediaFrames", "StripHtml", "QualityBand",
-    "SemanticSearch", "Vocabulary", "Novelty", "RangeSortedExport",
+    "SemanticSearch", "IvfAppend", "Vocabulary", "Novelty", "RangeSortedExport",
     "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
     "PerplexityScore", "QualityRules", "Outlinks", "HostGraph", "PageRank",
     "LineFilter", "BlockHosts", "BlockTerms", "CompressionRatio", "LangId",
@@ -845,6 +845,12 @@ object Planner {
             }
           }
           conf.str("method").getOrElse("ivf") match {
+            // `index_path`: probe a SAVED (possibly appended-to) index
+            // instead of building one per run — the daily-corpus path
+            case "ivf" if conf.str("index_path").isDefined =>
+              graft.ml.Similarity.ivfSearch(
+                graft.ml.IvfIndex.load(df.sparkSession, conf.strReq("index_path")),
+                queries, vec, id, k, conf.int("nprobe", 2))
             case "ivf" => graft.ml.Similarity.ivfTopK(df, queries, vec, id,
               k, conf.int("num_cells", 16), conf.int("nprobe", 2))
             case "lsh" => graft.ml.Similarity.annTopK(df, queries, vec, id,
@@ -855,6 +861,27 @@ object Planner {
             case other => sys.error(s"SemanticSearch: unknown method " +
               s"'$other' (ivf | lsh | brute)")
           }
+        }
+      case "IvfAppend" =>
+        // append this corpus's embeddings to a saved IVF index AFTER the
+        // run's sinks commit (PostCommit — the seen-store mutation
+        // contract; the append itself is idempotent via its anti-join, so
+        // a crashed run's retry adds 0). Warns on stderr when per-cell
+        // drift exceeds `max_drift` — the documented rebuild trigger.
+        val vec = conf.str("src").getOrElse("embedding")
+        val path = conf.strReq("index_path")
+        val maxDrift = conf.dbl("max_drift", 0.5)
+        df => {
+          graft.core.PostCommit.register { () =>
+            graft.ml.Similarity.appendToIvfIndex(
+              df.sparkSession, path, df, vec, id)
+            if (graft.ml.Similarity.ivfNeedsRebuild(df.sparkSession, path,
+                maxDrift))
+              System.err.println(s"[graft] IVF index $path exceeded " +
+                s"max_drift=$maxDrift — rebuild recommended " +
+                "(buildIvfIndex + save, or trainKmeansCentroids)")
+          }
+          df
         }
       case "Vocabulary" =>
         // corpus frequency table: top-N tokens ≥ min_count, with rank —

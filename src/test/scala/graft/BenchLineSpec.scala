@@ -54,6 +54,26 @@ class BenchLineSpec extends AnyFunSuite {
       node.get("stress").size() === 0)
   }
 
+  test("headline set is frozen: additions append-only, removals forbidden") {
+    // The r10→r11 headline change silently broke cross-round total
+    // comparability (verdict r11). This pin freezes the r11 set as an
+    // ordered PREFIX of Bench.headline: new queries may only append
+    // (keeping every earlier key comparable round over round); renaming
+    // or removing one requires changing this spec AND a SURVEY note.
+    val frozenR11 = Seq(
+      "q1_pricing", "q_dedup_minhash", "q_dedup_store_exact",
+      "q_dedup_store_near", "q_image_phash", "q_quality_band",
+      "q_multimodal_curate", "q_ann_ivf", "q_sessionize", "q_funnel",
+      "q_knn", "q_sorted_write", "q_langid", "q_pagerank")
+    assert(Bench.headline.take(frozenR11.length) == frozenR11,
+      "headline prefix changed — removals/renames need a SURVEY note " +
+        "and a new frozen prefix here")
+    // every headline query must actually exist in the gate map
+    Bench.headline.foreach { q =>
+      assert(SparkEntry.queries.contains(q), s"headline names unknown gate $q")
+    }
+  }
+
   test("errored queries are reported, never silently timed") {
     val line = Bench.renderParsedLine(
       total = 10.0, queryMedians = fakeQueries(5),

@@ -1,0 +1,124 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVF index refresh story: append increments to a saved index against
+  * IMMUTABLE centroids, measure per-cell drift against the build-time
+  * baseline, rebuild when the drift policy trips. */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong,
+      Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))).toDF("vec_id", "embedding")
+
+  test("save / load / append round-trip; re-appending an increment adds 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.buildIvfIndex(vecs(0 until 40), "embedding", "vec_id",
+      numCells = 8).save(dir)
+
+    val increment = vecs(40 until 60)
+    val added = Similarity.appendToIvfIndex(spark, dir, increment,
+      "embedding", "vec_id")
+    assert(added == 20)
+    // crash-retry contract: the same increment appends nothing
+    assert(Similarity.appendToIvfIndex(spark, dir, increment,
+      "embedding", "vec_id") == 0)
+
+    // appended vectors are found through the loaded index — a query AT an
+    // appended vector must return it as its own top hit
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.assigned.count() == 60)
+    val hit = Similarity.ivfSearch(loaded, vecs(55 until 56),
+      "embedding", "vec_id", k = 1, nprobe = 8)
+      .select("vec_id").as[Long].head()
+    assert(hit == 55L)
+  }
+
+  test("drift report measures per-cell growth; rebuild policy trips at the threshold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    Similarity.buildIvfIndex(vecs(0 until 40), "embedding", "vec_id",
+      numCells = 8).save(dir)
+
+    // fresh index: zero drift everywhere, no rebuild needed
+    val d0 = Similarity.ivfDrift(spark, dir)
+    assert(d0.agg(max(col("drift"))).head().getDouble(0) == 0.0)
+    assert(!Similarity.ivfNeedsRebuild(spark, dir))
+
+    // a small increment: drift grows but stays under the 0.5 default
+    Similarity.appendToIvfIndex(spark, dir, vecs(40 until 48),
+      "embedding", "vec_id")
+    val d1 = Similarity.ivfDrift(spark, dir).collect()
+    assert(d1.map(_.getLong(2)).sum == 48) // cur_n sums to the corpus
+    assert(d1.forall(r => r.getLong(2) >= r.getLong(1))) // cells only grow
+
+    // double the corpus: some cell must now exceed 0.5 drift
+    Similarity.appendToIvfIndex(spark, dir, vecs(48 until 96),
+      "embedding", "vec_id")
+    assert(Similarity.ivfNeedsRebuild(spark, dir),
+      Similarity.ivfDrift(spark, dir).collect().mkString(", "))
+    // a generous threshold can still accept it
+    assert(!Similarity.ivfNeedsRebuild(spark, dir, maxDrift = 100.0))
+  }
+
+  test("pre-baseline index self-heals: first append writes the baseline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_heal").toString
+    val idx = Similarity.buildIvfIndex(vecs(0 until 30), "embedding", "vec_id",
+      numCells = 8)
+    // simulate an r11-era index: save WITHOUT the baseline sidecar
+    idx.assigned.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$dir/assigned")
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+
+    Similarity.appendToIvfIndex(spark, dir, vecs(30 until 36),
+      "embedding", "vec_id")
+    // baseline was captured from the pre-append state, so drift counts
+    // only this append's rows
+    val rows = Similarity.ivfDrift(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == 30)
+    assert(rows.map(_.getLong(2)).sum == 36)
+  }
+
+  test("IvfAppend YAML stage: PostCommit-deferred append, pass-through frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_yaml").toString
+    Similarity.buildIvfIndex(vecs(0 until 40), "embedding", "vec_id",
+      numCells = 8).save(dir)
+    val increment = vecs(40 until 50)
+    val stage = graft.pipeline.Planner.corpusStage("IvfAppend", Map(
+      "index_path" -> dir, "src" -> "embedding", "id_field" -> "vec_id"))
+    val out = stage(increment)
+    // pass-through, and NOTHING appended until the sinks commit
+    assert(out.count() == 10)
+    assert(IvfIndex.load(spark, dir).assigned.count() == 40)
+    graft.core.PostCommit.drain()
+    assert(IvfIndex.load(spark, dir).assigned.count() == 50)
+    // saved-index search path: SemanticSearch with index_path probes the
+    // appended index (queries via query_where over the corpus frame)
+    val search2 = graft.pipeline.Planner.corpusStage("SemanticSearch", Map(
+      "index_path" -> dir, "src" -> "embedding", "id_field" -> "vec_id",
+      "k" -> 1, "nprobe" -> 8, "query_where" -> "EQ(vec_id,45)"))
+    val hit = search2(vecs(0 until 50)).select("vec_id")
+      .as[Long].head()
+    assert(hit == 45L)
+  }
+
+  test("post-append recall holds the measured r11 floor (>= 0.65 at nprobe=8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rec").toString
+    Similarity.buildIvfIndex(vecs(0 until 120), "embedding", "vec_id",
+      numCells = 16).save(dir)
+    Similarity.appendToIvfIndex(spark, dir, vecs(120 until 180),
+      "embedding", "vec_id")
+
+    val all = vecs(0 until 180)
+    val queries = vecs(0 until 5).unionByName(vecs(170 until 175))
+    val k = 5
+    val exact = Similarity.bruteForceTopK(all, queries, "embedding", "vec_id", k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfSearch(IvfIndex.load(spark, dir), queries,
+      "embedding", "vec_id", k, nprobe = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.65, s"post-append recall $recall < 0.65")
+  }
+}
