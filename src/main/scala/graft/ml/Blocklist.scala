@@ -41,7 +41,7 @@ object Blocklist {
     Dedup.joinBackOnce(df, matchedUrls, Seq(urlCol), "left_anti")
   }
 
-  /** Per-document blocked-term hits: `(…, bad_hits, n_words, keep)` where
+  /** Per-document blocked-term hits: `(…, bad_hits, keep)` where
     * `keep` = fewer than `maxHits` distinct blocked terms appear
     * (case-folded whole-token match). `drop = true` filters to keepers
     * with the original schema.
@@ -53,6 +53,14 @@ object Blocklist {
   def flagBlockedTerms(df: DataFrame, textCol: String, idCol: String,
       terms: DataFrame, termCol: String = "term", maxHits: Int = 1,
       drop: Boolean = false): DataFrame = {
+    // same collision guard as applyMixture/saltedJoin: an input already
+    // carrying the output columns would make the join-back's bad_hits
+    // ambiguous and die with an AnalysisException mid-plan
+    Seq("bad_hits", "keep").foreach { c =>
+      require(!df.columns.contains(c),
+        s"flagBlockedTerms emits '$c' but the input already has it — " +
+          "rename or drop the existing column first")
+    }
     val toks = df.select(col(s"`$idCol`"),
         explode(array_distinct(filter(
           TextAnalysis.tokens(lower(col(s"`$textCol`"))),

@@ -79,7 +79,14 @@ object Similarity {
     * arithmetic) — a plain per-dimension SUM would add in partition
     * order and drift between runs/engines. The collect is bounded by a
     * group's chunk count (documents chunk to dozens, not millions);
-    * this is NOT a corpus-wide collect. One shuffle, keyed by group. */
+    * this is NOT a corpus-wide collect. One shuffle, keyed by group.
+    *
+    * Malformed input contract: NULL chunk vectors are dropped before the
+    * fold (n_chunks counts only real vectors; a group of only nulls
+    * emits no row), and a group whose vectors disagree on dimension
+    * FAILS the job — `zip_with` would otherwise pad the shorter vector
+    * with nulls and silently null the affected dimensions of the pooled
+    * embedding. */
   def poolEmbeddings(df: DataFrame, vecCol: String, groupCol: String,
       orderCol: String, mode: String = "mean"): DataFrame = {
     require(mode == "mean" || mode == "sum", s"pool mode mean|sum, got '$mode'")
@@ -90,14 +97,20 @@ object Similarity {
       (a, v) => zip_with(a, v, _ + _))
     val pooled = if (mode == "mean")
       transform(acc, x => x / size(vecs)) else acc
-    df.groupBy(col(s"`$groupCol`"))
+    val dimsAgree = forall(vecs,
+      v => size(v) === size(element_at(vecs, 1)))
+    df.filter(col(s"`$vecCol`").isNotNull)
+      .groupBy(col(s"`$groupCol`"))
       .agg(sort_array(collect_list(struct(
         col(s"`$orderCol`").as("o"), col(s"`$vecCol`").as("v")))).as("__graft_pool_sorted"))
       .withColumn("__graft_pool_vecs",
         transform(col("__graft_pool_sorted"), s => s.getField("v")))
       .filter(size(vecs) > 0)
+      .withColumn("__graft_pool_chk", assert_true(dimsAgree,
+        concat(lit("poolEmbeddings: inconsistent chunk vector dims in group "),
+          col(s"`$groupCol`").cast("string"))))
       .select(col(s"`$groupCol`"), size(vecs).as("n_chunks"),
-        pooled.as("embedding"))
+        when(col("__graft_pool_chk").isNull, pooled).as("embedding"))
   }
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,

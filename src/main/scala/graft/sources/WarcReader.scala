@@ -70,6 +70,12 @@ object WarcReader {
       val in: InputStream =
         if (file.endsWith(".gz")) new GZIPInputStream(new BufferedInputStream(raw))
         else new BufferedInputStream(raw)
+      // the iterator closes itself at EOF, but a task that stops EARLY
+      // (limit/take, downstream failure, short-circuited join) never
+      // drains it — close unconditionally at task end or a long-lived
+      // executor leaks one file handle per abandoned scan
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => in.close()))
       new WarcRecordIterator(file, in, maxRecordBytes, parseHttp)
     }
     spark.createDataFrame(rows, schema)
@@ -254,9 +260,11 @@ object WarcReader {
   * `part-NNNNN.warc.gz` of per-record gzip members (the layout
   * [[WarcReader]] and every WARC tool consume): no shuffle, no driver
   * traffic, memory bounded by one record. File names are deterministic
-  * per partition index and created with overwrite, so a retried or
-  * speculative task rewrites its own file instead of corrupting the
-  * directory. Returns a per-file summary frame (file, records, bytes) —
+  * per partition index; each attempt writes an attempt-unique dot-hidden
+  * temp and renames into place, so retried or SPECULATIVE attempts of
+  * the same partition can never interleave bytes in the final file —
+  * every committed part is some attempt's complete output.
+  * Returns a per-file summary frame (file, records, bytes) —
   * the caller's action on it IS the write; keep it to an aggregate
   * (count/sum) rather than a collect at 100k-partition scale. */
 object WarcWriter {
@@ -283,16 +291,43 @@ object WarcWriter {
         else {
           val file = new Path(dir, f"part-$part%05d.warc.gz")
           val fs = file.getFileSystem(confBc.value.value)
-          val out = fs.create(file, true)
+          // attempt-unique temp + rename: two concurrent attempts of the
+          // same partition (speculation, retry racing a zombie) writing
+          // the FINAL path directly interleave bytes on local/S3A-style
+          // stores and corrupt the gzip members. Each attempt writes its
+          // own dot-hidden temp (invisible to Hadoop globs) and renames
+          // into place — every committed file is some attempt's COMPLETE
+          // output, last completer wins.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmp = new Path(dir, f".part-$part%05d.warc.gz.a$attempt.tmp")
+          val out = fs.create(tmp, true)
           var n = 0L
-          try it.foreach { r =>
-            val body = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
-            out.write(WarcReader.gzipMember(WarcReader.conversionRecord(
-              Option(r.getString(0)).getOrElse(""), date,
-              s"<urn:graft:$part-$n>", body)))
-            n += 1
-          } finally out.close()
-          Iterator(Row(file.toString, n, fs.getFileStatus(file).getLen))
+          try {
+            try it.foreach { r =>
+              val body = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+              out.write(WarcReader.gzipMember(WarcReader.conversionRecord(
+                Option(r.getString(0)).getOrElse(""), date,
+                s"<urn:graft:$part-$n>", body)))
+              n += 1
+            } finally out.close()
+            val len = fs.getFileStatus(tmp).getLen
+            if (!fs.rename(tmp, file)) {
+              // dst exists (HDFS-semantics rename refuses): replace it —
+              // the loser attempt's file is complete too, ours is newer
+              fs.delete(file, false)
+              if (!fs.rename(tmp, file)) {
+                fs.delete(tmp, false)
+                require(fs.exists(file),
+                  s"WarcWriter: could not commit $file")
+              }
+            }
+            Iterator(Row(file.toString, n, len))
+          } catch {
+            case e: Throwable =>
+              try fs.delete(tmp, false) catch { case _: Throwable => () }
+              throw e
+          }
         }
       }
     spark.createDataFrame(rows, summarySchema)

@@ -372,6 +372,27 @@ class MlSpec extends SparkSpec {
     assert(staged.columns.toSeq == Seq("doc", "n_chunks", "embedding"))
   }
 
+  test("poolEmbeddings malformed input: null chunks drop, dim mismatch fails") {
+    // null chunk vectors are dropped (n_chunks counts real vectors); a
+    // group of ONLY nulls emits no row
+    val withNulls = Seq(
+      (0L, 10L, Seq(1.0f, 2.0f)), (1L, 10L, null),
+      (2L, 20L, null)).toDF("chunk_id", "doc", "embedding")
+    val pooled = Similarity.poolEmbeddings(withNulls, "embedding", "doc", "chunk_id")
+      .as[(Long, Int, Seq[Double])].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(pooled == Map(10L -> (1, Seq(1.0, 2.0))))
+
+    // inconsistent dims inside a group must FAIL, not silently null the
+    // tail dimensions (zip_with pads short vectors with null)
+    val badDims = Seq(
+      (0L, 10L, Seq(1.0f, 2.0f)), (1L, 10L, Seq(3.0f))).toDF("chunk_id", "doc", "embedding")
+    val e = intercept[Exception] {
+      Similarity.poolEmbeddings(badDims, "embedding", "doc", "chunk_id").collect()
+    }
+    assert(e.getMessage.contains("inconsistent chunk vector dims"),
+      e.getMessage)
+  }
+
   test("dropDuplicatesClusteredBest keeps the highest-scoring member per component") {
     val scored = Seq(
       (0L, "aa", 10L), (1L, "aa", 30L), (2L, "aa", 30L), // cluster {0,1,2}: best = 1 (score tie → min id)
