@@ -1478,6 +1478,20 @@ object SparkEntry {
         "source", "doc_id", 30, "qs")
     },
 
+    // embedding-space topic balance: in-row nearest-centroid assignment
+    // (centroids = the IVF seed convention, vec_id < 8) + per-cluster
+    // quota; the cluster-quota complement of q_quota_sample
+    "q_cluster_balance" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long").as("cell_id"),
+          col("embedding").as("centroid"))
+      graft.ml.DatasetOps.balanceByCluster(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id",
+        cents, perCluster = 40)
+        .select("vec_id", "cluster_id")
+    },
+
     "q_seq_pack" -> { (s, dir) =>
       import s.implicits._
       graft.ml.DatasetOps.packSequences(
@@ -3758,6 +3772,27 @@ object SparkEntry {
         |    AS qr
         |  FROM documents)
         |WHERE qr <= 30""".stripMargin,
+
+    // the identical cosine lattice as the ANN oracles (sequential
+    // list_reduce fold == the DotD kernel's left fold), argmin by
+    // (sim DESC, cell ASC) on both sides, then the per-cluster quota
+    "q_cluster_balance" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, v AS cent FROM c WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT c.vec_id, cents.cell_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        COALESCE(
+        |          list_reduce(list_zip(c.v, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |          sqrt(list_reduce(list_zip(c.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |               list_reduce(list_zip(cents.cent, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b)),
+        |          -2.0) DESC, cents.cell_id) AS rn
+        |    FROM c, cents) WHERE rn = 1)
+        |SELECT vec_id, cluster_id FROM (
+        |  SELECT vec_id, cell_id AS cluster_id,
+        |    row_number() OVER (PARTITION BY cell_id ORDER BY vec_id) AS rn
+        |  FROM asg) WHERE rn <= 40""".stripMargin,
 
     "q_seq_pack" ->
       """WITH t AS (

@@ -584,4 +584,69 @@ object DatasetOps {
       coalesce(col("kmin") > lag(col("kmax"), 1).over(w), lit(true))
         .as("disjoint"))
   }
+
+  /** Topic-balance a corpus by embedding cluster: assign each row to its
+    * nearest centroid by cosine, then keep at most `perCluster` rows per
+    * cluster — highest `scoreCol` first when given, else lowest id
+    * (deterministic either way; ties break by ascending idCol). The
+    * cluster-quota complement of [[quotaSample]]'s key-quota: balances a
+    * training mix across embedding-space topics instead of metadata
+    * groups. Output = input columns + `cluster_id`.
+    *
+    * Plan: the centroid panel (bounded — a topic balance uses tens to
+    * hundreds of clusters) embeds as plan literals and the argmax-cosine
+    * assignment runs IN-ROW (the LangId embedded-model shape): zero
+    * shuffle until the quota, whose `row_number <= k` filter runs as a
+    * map-side WindowGroupLimit — a mega-cluster prunes to perCluster
+    * rows per input partition before its exchange. One shuffle total.
+    *
+    * Centroid norms are folded driver-side in the same sequential order
+    * as the DotD kernel, so sims replay bit-identically in the SQL
+    * oracle. A zero-norm vector (null cosine against every centroid)
+    * coalesces to -2 — below any real cosine — and lands deterministically
+    * in the lowest-id cluster. */
+  def balanceByCluster(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, perCluster: Int,
+      scoreCol: Option[String] = None): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    require(!df.columns.contains("cluster_id"),
+      "balanceByCluster emits 'cluster_id' but the input already has it — " +
+        "rename or drop the existing column first")
+    // bounded drain (take, not collect): one row past the cap proves the
+    // panel violates the bounded-model contract without an unbounded pull
+    val rows = centroids
+      .select(col("cell_id").cast("long"), col("centroid").cast("array<double>"))
+      .take(4097)
+    require(rows.nonEmpty, "balanceByCluster: empty centroid panel")
+    require(rows.length <= 4096,
+      "balanceByCluster: more than 4096 centroids is too many to embed " +
+        "as plan literals — assign with buildIvfIndex/ivfSearch instead")
+    val cents: Seq[(Long, Seq[Double])] = rows
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+
+    val cell = ColOps.letBound(col(s"`$vecCol`").cast("array<double>")) { v =>
+      ColOps.letBound(Similarity.dot(v, v)) { vsd =>
+        val structs = cents.map { case (cid, cv) =>
+          // sequential left fold, the DotD/list_reduce order — replays
+          // bit-for-bit in the oracle
+          val cnorm = cv.foldLeft(0.0d)((a, x) => a + x * x)
+          val sim = Similarity.overNorm(
+            Similarity.dot(v, typedlit(cv).cast("array<double>")),
+            sqrt(vsd * lit(cnorm)))
+          struct((-coalesce(sim, lit(-2.0d))).as("negsim"),
+            lit(cid).as("cell"))
+        }
+        array_min(array(structs: _*)).getField("cell")
+      }
+    }
+    val order = scoreCol match {
+      case Some(s) => Seq(col(s"`$s`").desc, col(s"`$idCol`").asc)
+      case None => Seq(col(s"`$idCol`").asc)
+    }
+    val w = Window.partitionBy("cluster_id").orderBy(order: _*)
+    df.withColumn("cluster_id", cell)
+      .withColumn("__graft_cb_rank", row_number().over(w))
+      .filter(col("__graft_cb_rank") <= perCluster)
+      .drop("__graft_cb_rank")
+  }
 }

@@ -62,13 +62,33 @@ object LangId {
     * leaves the partition. Docs with no trigrams (null / < 3 chars) emit
     * no row, matching the previous explode-based semantics. */
   def classify(df: DataFrame, textCol: String, idCol: String,
+      profiles: DataFrame, topK: Int = 100): DataFrame =
+    annotate(df, textCol, profiles, topK)
+      .filter(col("lang_guess").isNotNull)
+      .select(col(s"`$idCol`"), col("lang_guess"),
+        col("lang_distance").as("distance"))
+
+  /** [[classify]] that KEEPS the payload: adds `lang_guess` and
+    * `lang_distance` columns (null for docs with no trigrams) instead of
+    * projecting them out — still a zero-exchange narrow map, so a
+    * pipeline can classify-then-filter (`keep_langs`) without ever
+    * joining the verdicts back. */
+  def annotate(df: DataFrame, textCol: String,
       profiles: DataFrame, topK: Int = 100): DataFrame = {
+    Seq("lang_guess", "lang_distance").foreach { c =>
+      require(!df.columns.contains(c),
+        s"LangId.annotate emits '$c' but the input already has it — " +
+          "rename or drop the existing column first")
+    }
+    // bounded drain (take, not collect): the model contract is
+    // ≤ |langs| × topK rows; one row past the cap proves a violation
+    // without ever materializing an unbounded frame on the driver
     val profRows = profiles
       .select(col("lang").cast("string"), col("gram").cast("string"),
         col("rank").cast("int"))
-      .collect()
+      .take(2000001)
     require(profRows.length <= 2000000,
-      s"profile table too large to embed in the plan: ${profRows.length} " +
+      s"profile table too large to embed in the plan: >${profRows.length - 1} " +
         "rows (expected <= |langs| * topK)")
     val byLang: Seq[(String, Map[String, Int])] = profRows
       .groupBy(_.getString(0))
@@ -81,9 +101,9 @@ object LangId {
 
     if (byLang.isEmpty)
       // no profiles → no verdicts, but keep the output schema stable
-      return df.select(col(s"`$idCol`"),
-        lit(null).cast("string").as("lang_guess"),
-        lit(null).cast("long").as("distance")).filter(lit(false))
+      return df
+        .withColumn("lang_guess", lit(null).cast("string"))
+        .withColumn("lang_distance", lit(null).cast("long"))
 
     // let-binding: evaluate `value` exactly ONCE and expose it to `body`
     // as a lambda variable. Plain withColumn intermediates get re-inlined
@@ -125,10 +145,12 @@ object LangId {
       })
     })
 
-    df.filter(size(grams) > 0)
-      .withColumn("__graft_li_best", best)
-      .select(col(s"`$idCol`"),
-        col("__graft_li_best.lang").as("lang_guess"),
-        col("__graft_li_best.distance").as("distance"))
+    // the no-trigram guard must wrap `best`: on an empty gram array every
+    // language folds to distance 0 and the argmin would "win" — the
+    // contract is a NULL verdict for sub-trigram docs
+    df.withColumn("__graft_li_best", when(size(grams) > 0, best))
+      .withColumn("lang_guess", col("__graft_li_best.lang"))
+      .withColumn("lang_distance", col("__graft_li_best.distance"))
+      .drop("__graft_li_best")
   }
 }

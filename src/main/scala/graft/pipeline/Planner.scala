@@ -385,6 +385,7 @@ object Planner {
   private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
     "AssignSplits", "PackSequences", "Chunk", "UrlDedup", "TextProfile",
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
+    "ClusterBalance",
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
     "MediaResample", "MediaFrames", "StripHtml", "QualityBand",
     "SemanticSearch", "IvfAppend", "Vocabulary", "Novelty", "RangeSortedExport",
@@ -554,6 +555,29 @@ object Planner {
         val key = conf.str("key_field").getOrElse(id)
         val seed = conf.str("seed").getOrElse("")
         df => graft.ml.DatasetOps.sampleQuota(df, group, key, n, seed)
+      case "ClusterBalance" =>
+        // embedding-space topic balance: nearest-centroid assignment
+        // in-row (zero-shuffle), then at most per_cluster rows per
+        // cluster — best score_field first, else lowest id. Centroids
+        // from a (cell_id, centroid) input spec, or seeded from the
+        // corpus rows with id < num_cells (the IVF convention).
+        val vec = conf.str("src").getOrElse("embedding")
+        val per = conf.int("per_cluster", 0) match {
+          case v if v > 0 => v
+          case _ => sys.error("ClusterBalance needs a positive `per_cluster`")
+        }
+        df => {
+          val cents = conf.anyMap("centroids") match {
+            case m if m.nonEmpty => input(df.sparkSession, m.strReq("input"), m)
+            case _ =>
+              val n = conf.int("num_cells", 16)
+              df.filter(col(s"`$id`") < n)
+                .select(col(s"`$id`").cast("long").as("cell_id"),
+                  col(s"`$vec`").as("centroid"))
+          }
+          graft.ml.DatasetOps.balanceByCluster(df, vec, id, cents, per,
+            conf.str("score_field"))
+        }
       case "Mix" =>
         val group = conf.strReq("group_field")
         val weights = conf.strMap("weights").map { case (k, v) => k -> v.toDouble }
@@ -965,7 +989,22 @@ object Planner {
                 rm.str("src").getOrElse(text),
                 rm.str("lang_field").getOrElse("lang"), topK)
           }
-          graft.ml.LangId.classify(df, text, id, profiles, topK)
+          conf.strSeq("keep_langs") match {
+            // language filter: annotate in-row and keep only the listed
+            // verdicts — zero exchanges end to end, payload intact
+            case keep if keep.nonEmpty =>
+              graft.ml.LangId.annotate(df, text, profiles, topK)
+                .filter(col("lang_guess").isin(keep: _*))
+                .drop("lang_guess", "lang_distance")
+            case _ => conf.str("emit").getOrElse("classify") match {
+              case "annotate" =>
+                graft.ml.LangId.annotate(df, text, profiles, topK)
+              case "classify" =>
+                graft.ml.LangId.classify(df, text, id, profiles, topK)
+              case other => sys.error(
+                s"LangId: unknown emit '$other' (classify | annotate)")
+            }
+          }
         }
       case "BudgetMix" =>
         // token-budget mixture: size per-source rates against real token

@@ -53,4 +53,61 @@ class LangIdSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(r1 == r32, "integer distances must not drift with partitioning")
   }
+
+  test("annotate keeps the payload; keep_langs filters with zero exchanges") {
+    val profiles = LangId.trainProfiles(train, "text", "lang")
+    val docs = Seq(
+      (0L, "the dog and the cat play together in the house", "k0"),
+      (1L, "der hund und die katze spielen zusammen im haus", "k1"),
+      (2L, "ab", "k2")).toDF("id", "text", "payload")
+
+    val ann = LangId.annotate(docs, "text", profiles)
+    assert(ann.columns.toSeq ==
+      Seq("id", "text", "payload", "lang_guess", "lang_distance"))
+    val rows = ann.select("id", "lang_guess").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows(0L).contains("en") && rows(1L).contains("de"))
+    assert(rows(2L).isEmpty, "sub-trigram doc gets a NULL verdict, keeps its row")
+
+    // collision guard
+    assert(intercept[IllegalArgumentException] {
+      LangId.annotate(docs.withColumn("lang_guess", lit("x")), "text", profiles)
+    }.getMessage.contains("lang_guess"))
+
+    // YAML keep_langs: payload intact, verdict columns dropped, and the
+    // whole classify-then-filter is a narrow plan (no Exchange/Join)
+    val profDir = java.nio.file.Files.createTempDirectory("graft_li_prof").toString
+    profiles.write.mode("overwrite").parquet(profDir)
+    val kept = graft.pipeline.Planner.corpusStage("LangId", Map(
+      "src" -> "text", "id_field" -> "id",
+      "profiles_path" -> profDir, "keep_langs" -> Seq("en")))(docs)
+    assert(kept.columns.toSeq == Seq("id", "text", "payload"))
+    assert(kept.select("id").as[Long].collect().toSeq == Seq(0L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("classify runs on a STREAM: zero-exchange plan makes it stream-native") {
+    // the embedded-profile rewrite turned classify into a narrow
+    // filter+project — no shuffle, no window — so it applies to a
+    // streaming frame as-is (profiles stay a bounded batch model)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val profiles = LangId.trainProfiles(train, "text", "lang")
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF.toDF("id", "text")
+    val out = LangId.classify(src, "text", "id", profiles)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("langid_stream").start()
+    try {
+      mem.addData((0L, "the dog and the cat play together in the house"),
+        (1L, "der hund und die katze spielen zusammen im haus"),
+        (2L, "ab")) // sub-trigram: no verdict row
+      q.processAllAvailable()
+      val got = spark.table("langid_stream")
+        .select("id", "lang_guess").as[(Long, String)].collect().toMap
+      assert(got == Map(0L -> "en", 1L -> "de"), got)
+    } finally q.stop()
+  }
 }
