@@ -346,13 +346,15 @@ object Bench {
         timed("pagerank_hub")(rank(edges(hub = true)))
       }
       // LANGID at 100×: train + classify fused over the copied corpus
-      // (labels synthesized — this measures the trigram explode, the two
-      // rank windows, and the distance lattice, not accuracy). The
-      // throughput shape a 100 TB language-routing pass pays.
+      // (labels synthesized — this measures the training explode/rank
+      // and the in-row classify map, not accuracy). The throughput shape
+      // a 100 TB language-routing pass pays. Since the r12 classify
+      // rewrite (zero-exchange embedded-profile map) the cost is
+      // dominated by trainProfiles' gram explode.
       locally {
-        // EXPLICIT cap at 20 copies (recorded as langid_copies): the
-        // trigram lattice is ~90 s/run at 100 copies — a 20× datapoint
-        // already pins the scaling without tripling the stress block
+        // EXPLICIT cap at 20 copies (recorded as langid_copies): the r11
+        // window-join classify was ~90 s/run at 100 copies; kept at 20
+        // so the datapoint stays comparable round over round
         val langidCopies = math.min(stressCopies, 20)
         val labeled = bigDocs
           .filter(col("doc_id") < langidCopies * 10000000L)

@@ -1938,7 +1938,20 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * ORACLE-AUTHORING DTYPE CHECKLIST (the driver hashes RENDERED pandas
+    * values, so dtype splits fail gates even when values are equal —
+    * the r11 q_pagerank red):
+    *  - DuckDB `SUM(BIGINT)` / integer `*` chains returning HUGEINT
+    *    materialize as pandas float64 → wrap the OUTPUT column in
+    *    `CAST(... AS BIGINT)` whenever Spark emits int64. COUNT() is
+    *    safe (BIGINT); SUM over DOUBLE is safe (double on both sides).
+    *  - DuckDB `/` on integers is FLOAT division; use `//` for exact
+    *    integer division inside integer lattices.
+    *  - tools/check_oracle.py enforces this locally: any int/float kind
+    *    split between oracle and engine output is a FAIL. Run it after
+    *    adding any oracle whose output flows through SUM or `*`. */
   def oracleSql: Map[String, String] = Map(
     "q_funnel_strict" -> funnelStrictOracle("strict_order"),
     "q_funnel_dedup" -> funnelStrictOracle("strict_dedup"),
