@@ -97,58 +97,22 @@ object LangId {
       }
       .toSeq.sortBy(_._1)
 
-    val grams = trigrams(col(s"`$textCol`"))
-
     if (byLang.isEmpty)
       // no profiles → no verdicts, but keep the output schema stable
       return df
         .withColumn("lang_guess", lit(null).cast("string"))
         .withColumn("lang_distance", lit(null).cast("long"))
 
-    // let-binding: evaluate `value` exactly ONCE and expose it to `body`
-    // as a lambda variable. Plain withColumn intermediates get re-inlined
-    // by plan rewrites (CollapseProject / ConvertToLocalRelation), which
-    // turns every element access into a full re-sort — O(L²·log L) per
-    // row; a lambda variable is bound once by construction.
-    def bound(value: Column, body: Column => Column): Column =
-      element_at(transform(array(value), body), 1)
-
-    val best = bound(array_sort(grams), sorted => {
-      val n = size(sorted)
-      // run starts: 1-based positions where a new distinct gram begins
-      val startsE = filter(sequence(lit(1), n), i =>
-        (i === 1) || (element_at(sorted, i) =!= element_at(sorted, i - 1)))
-      bound(startsE, starts => {
-        // (negcnt, gram) per run — negated count so the default struct
-        // sort yields (cnt desc, gram asc), the training tiebreak
-        val runs = transform(starts, (s, j) => struct(
-          (s - coalesce(try_element_at(starts, j + lit(2)), n + 1))
-            .as("negcnt"),
-          element_at(sorted, s).as("gram")))
-        bound(slice(array_sort(runs), 1, topK), ranked => {
-          // one (distance, lang) struct per language, distance folded
-          // in-row against that language's literal rank map; unseen
-          // gram → topK penalty; argmin via struct ordering
-          val distStructs = byLang.map { case (l, m) =>
-            val mLit = typedlit(m)
-            val terms = transform(ranked, (e, j) =>
-              coalesce(
-                abs(j + lit(1) - try_element_at(mLit, e.getField("gram")))
-                  .cast("long"),
-                lit(topK.toLong)))
-            struct(
-              aggregate(terms, lit(0L), (a, x) => a + x).as("distance"),
-              lit(l).as("lang"))
-          }
-          array_min(array(distStructs: _*))
-        })
-      })
-    })
-
-    // the no-trigram guard must wrap `best`: on an empty gram array every
-    // language folds to distance 0 and the argmin would "win" — the
-    // contract is a NULL verdict for sub-trigram docs
-    df.withColumn("__graft_li_best", when(size(grams) > 0, best))
+    // the whole classification is ONE codegen'd kernel call per row
+    // (graft.functions.LangIdModel — trigram counts, top-K rank,
+    // per-language hash-probed out-of-place distance, argmin); null for
+    // sub-trigram docs. An all-builtins form exists but Spark's
+    // map-literal element_at is a linear scan — measured 3× slower than
+    // even the r11 window-join plan; the kernel's scaladoc pins the
+    // exact semantic contract the oracle replays.
+    val model = graft.functions.LangIdModel(byLang, topK)
+    df.withColumn("__graft_li_best",
+        graft.functions.LangIdFns.langIdBest(col(s"`$textCol`"), model))
       .withColumn("lang_guess", col("__graft_li_best.lang"))
       .withColumn("lang_distance", col("__graft_li_best.distance"))
       .drop("__graft_li_best")
