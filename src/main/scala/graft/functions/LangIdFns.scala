@@ -57,30 +57,8 @@ final case class LangIdModel(langs: Seq[(String, Map[String, Int])],
     * has no trigrams. Called from generated code. */
   def bestKernel(text: UTF8String): InternalRow = {
     if (langNames.length == 0) return null
-    val t = text.toLowerCase
-    val bytes = t.getBytes
-    // code-point start offsets (one pass — UTF8String.substring would
-    // rescan from 0 per call, O(L²) on long docs)
-    val nBytes = bytes.length
-    var n = 0
-    var b = 0
-    while (b < nBytes) { b += numBytesForFirst(bytes(b)); n += 1 }
-    if (n < 3) return null
-    val offs = new Array[Int](n + 1)
-    b = 0
-    var c = 0
-    while (c < n) { offs(c) = b; b += numBytesForFirst(bytes(b)); c += 1 }
-    offs(n) = nBytes
-
-    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
-    var i = 0
-    while (i <= n - 3) {
-      val len = offs(i + 3) - offs(i)
-      val g = UTF8String.fromBytes(bytes, offs(i), len)
-      val cur = counts.get(g)
-      if (cur == null) counts.put(g, Array(1)) else cur(0) += 1
-      i += 1
-    }
+    val counts = LangIdModel.trigramCountMap(text)
+    if (counts == null) return null
 
     // rank top-K by (count desc, gram asc — UTF8 byte order)
     val entries = new java.util.ArrayList[java.util.Map.Entry[UTF8String, Array[Int]]](
@@ -109,9 +87,59 @@ final case class LangIdModel(langs: Seq[(String, Map[String, Int])],
     }
     new GenericInternalRow(Array[Any](bestLang, bestDist))
   }
+}
 
-  private def numBytesForFirst(b: Byte): Int =
-    UTF8String.numBytesForFirstByte(b)
+object LangIdModel {
+  /** Lowercased code-point-trigram multiset of the text as a hash map,
+    * or null when the text has fewer than 3 code points. One byte pass
+    * for the offsets — UTF8String.substring would rescan from 0 per
+    * call, O(L²) on long docs. */
+  private[functions] def trigramCountMap(
+      text: UTF8String): java.util.HashMap[UTF8String, Array[Int]] = {
+    val t = text.toLowerCase
+    val bytes = t.getBytes
+    val nBytes = bytes.length
+    var n = 0
+    var b = 0
+    while (b < nBytes) { b += UTF8String.numBytesForFirstByte(bytes(b)); n += 1 }
+    if (n < 3) return null
+    val offs = new Array[Int](n + 1)
+    b = 0
+    var c = 0
+    while (c < n) {
+      offs(c) = b; b += UTF8String.numBytesForFirstByte(bytes(b)); c += 1
+    }
+    offs(n) = nBytes
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    var i = 0
+    while (i <= n - 3) {
+      val g = UTF8String.fromBytes(bytes, offs(i), offs(i + 3) - offs(i))
+      val cur = counts.get(g)
+      if (cur == null) counts.put(g, Array(1)) else cur(0) += 1
+      i += 1
+    }
+    counts
+  }
+
+  /** (gram, cnt) rows of the text's trigram multiset — the TRAINING-side
+    * kernel: emitting pre-counted pairs instead of one row per trigram
+    * occurrence shrinks the explode (and the partial aggregate's input)
+    * by the text's repetition factor. Empty array under 3 code points.
+    * Called from generated code. */
+  def trigramCountsKernel(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val counts = trigramCountMap(text)
+    if (counts == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 object LangIdFns {
@@ -124,6 +152,29 @@ object LangIdFns {
     * language, null for sub-trigram/null text. */
   def langIdBest(text: Column, model: LangIdModel): Column =
     col(LangIdBestExpr(expr(text), model))
+
+  /** array&lt;struct&lt;gram:string, cnt:int&gt;&gt; — the text's trigram
+    * multiset pre-counted per row (training side; empty for sub-trigram
+    * text). */
+  def trigramCounts(text: Column): Column =
+    col(TrigramCountsExpr(expr(text)))
+}
+
+case class TrigramCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    StructType(Seq(
+      StructField("gram", StringType, nullable = false),
+      StructField("cnt", org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    LangIdModel.trigramCountsKernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LangIdModel$$.MODULE$$.trigramCountsKernel($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "trigram_counts"
 }
 
 case class LangIdBestExpr(child: Expression, model: LangIdModel)

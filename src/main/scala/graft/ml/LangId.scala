@@ -19,29 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object LangId {
 
-  /** Lowercased char trigram list; empty under 3 chars (Spark `sequence`
-    * would DESCEND for start > stop — guard, don't trust it). */
-  private[ml] def trigrams(c: Column): Column = {
-    val t = lower(c)
-    when(length(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(t) - 2),
-        i => t.substr(i, lit(3))))
-  }
-
   /** Train per-language rank profiles from a labeled corpus:
     * (lang, gram, rank) with rank 1..topK by descending frequency, ties
     * broken by gram — the tiebreak makes training bit-deterministic.
     *
-    * Plan: explode → partial-agg'd groupBy(lang, gram) (shuffle rows =
-    * distinct grams per language, not corpus size) → per-lang rank
-    * window whose `<= topK` filter runs as WindowGroupLimit (map-side
-    * prune; a language's gram table never funnels unbounded through one
+    * Plan: the codegen'd trigram-count kernel pre-counts each doc's
+    * multiset IN-ROW, so the explode (and the partial aggregate's
+    * input) carries one row per DISTINCT gram per doc, not one per
+    * occurrence — repetitive text costs its repetition factor less.
+    * Then a partial-agg'd groupBy(lang, gram) (shuffle rows = distinct
+    * grams per language, not corpus size) → per-lang rank window whose
+    * `<= topK` filter runs as WindowGroupLimit (map-side prune; a
+    * language's gram table never funnels unbounded through one
     * reducer). */
   def trainProfiles(df: DataFrame, textCol: String, langCol: String,
       topK: Int = 100): DataFrame =
     df.select(col(s"`$langCol`").as("lang"),
-        explode(trigrams(col(s"`$textCol`"))).as("gram"))
-      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+        explode(graft.functions.LangIdFns.trigramCounts(col(s"`$textCol`")))
+          .as("gc"))
+      .groupBy(col("lang"), col("gc.gram").as("gram"))
+      .agg(sum(col("gc.cnt").cast("long")).as("cnt"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))))
       .filter(col("rank") <= topK).drop("cnt")
@@ -52,15 +49,15 @@ object LangId {
     *
     * Plan: ZERO exchanges — the profile table (≤ |langs| × topK rows by
     * [[trainProfiles]] construction, the same bounded-model contract as
-    * BPE's merge list at [[Bpe.encode]]) is collected once and embedded
-    * in the plan as one map literal per language, so classification is a
-    * single narrow map over the corpus. Per row: sort the trigram array,
-    * run-length-encode it into (cnt, gram) pairs, rank the top-K pairs by
-    * (cnt desc, gram asc), then fold the out-of-place distance against
-    * each language's literal map and argmin via struct ordering. A doc of
-    * L chars costs O(L log L) in-row — no shuffle, no window, nothing
-    * leaves the partition. Docs with no trigrams (null / < 3 chars) emit
-    * no row, matching the previous explode-based semantics. */
+    * BPE's merge list at [[Bpe.encode]]) is drained once and rides
+    * inside ONE codegen'd kernel expression
+    * ([[graft.functions.LangIdModel]] — trigram counts, top-K rank,
+    * hash-probed out-of-place distances, argmin), so classification is a
+    * single narrow map over the corpus: no shuffle, no window, nothing
+    * leaves the partition, O(L + topK·|langs|) per doc. Docs with no
+    * trigrams (null / < 3 chars) emit no row, matching the original
+    * explode-based semantics; the kernel scaladoc pins the exact
+    * contract the SQL oracle replays. */
   def classify(df: DataFrame, textCol: String, idCol: String,
       profiles: DataFrame, topK: Int = 100): DataFrame =
     annotate(df, textCol, profiles, topK)
