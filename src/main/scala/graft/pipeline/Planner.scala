@@ -458,17 +458,27 @@ object Planner {
             // (band, chunk) layout for near — the store is scanned, never
             // exploded or shuffled, per run.
             if (near) {
+              // `fingerprint_field`: the near store keys on a PRECOMPUTED
+              // 64-bit fingerprint column instead of the text simhash —
+              // the cross-run MULTIMODAL path (e.g. a MediaDecode stage's
+              // perceptual hash: near-dup re-encodes of yesterday's
+              // images drop today, same banded sidecar machinery)
+              val (fcol, ffn) = conf.str("fingerprint_field") match {
+                case Some(f) => (f, (c: Column) => c.cast("long"))
+                case None => (text, graft.ml.Dedup.simhash64Fingerprint(_))
+              }
               // append with the CONFIGURED banding — the default-bands
               // alias would write an 8-band sidecar that a non-default
               // `bands` query permanently rejects (silent explode
               // fallback on every run)
               if (update) graft.core.PostCommit.register(
-                () => { graft.ml.Dedup.appendToNearStore(df, text, store,
-                    bands = bandsOpt)
+                () => { graft.ml.Dedup.appendToNearStore(df, fcol, store,
+                    ffn, 64, bandsOpt)
                   maybeCompact(df.sparkSession) })
-              graft.ml.Dedup.dropSeenNearStore(
-                graft.ml.Dedup.dropDuplicatesHamming64(df, text, id, kOpt, bandsOpt),
-                store, text, id, kOpt, bandsOpt)
+              graft.ml.Dedup.dropSeenNearStoreBy(
+                graft.ml.Dedup.dropDuplicatesHammingBy(
+                  df, fcol, id, ffn, 64, kOpt, bandsOpt),
+                store, fcol, id, ffn, 64, kOpt, bandsOpt)
             } else {
               if (update) graft.core.PostCommit.register(
                 () => { graft.ml.Dedup.appendToSeenStore(df, text, store)

@@ -465,6 +465,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("cross-run IMAGE near-dedup: perceptual hash through the incremental near store") {
+    // the near seen-store is generic over its 64-bit fingerprint; with
+    // `fingerprint_field` it keys on a MediaDecode perceptual hash, so a
+    // re-encoded variant of YESTERDAY's image drops TODAY — same banded
+    // sidecar machinery as text simhash, zero new store code
+    val store = java.nio.file.Files.createTempDirectory("graft_img_store")
+      .toString + "/s"
+    def hashed(ids: Seq[Long]) = {
+      val media = Multimodal.synthesizeImageVariants(ids.toDF("doc_id"), "doc_id")
+      Multimodal.decodeImagePixels(media)
+        .select(col("media_id").as("id"),
+          (shiftleft(col("px.ahash_hi"), 32)
+            .bitwiseOR(col("px.ahash_lo"))).as("ahash64"))
+    }
+    val stage = graft.pipeline.Planner.corpusStage("Dedup", Map(
+      "method" -> "incremental", "near" -> true,
+      "fingerprint_field" -> "ahash64", "id_field" -> "id",
+      "store" -> store, "update_store" -> true, "k" -> 3))
+
+    // run 1: two distinct scenes (seeds 0 and 5) — both kept, both banked
+    val run1 = stage(hashed(Seq(0L, 5L)))
+    assert(run1.select("id").as[Long].collect().toSet == Set(0L, 5L))
+    graft.core.PostCommit.drain()
+
+    // run 2: id 127 is seed-0's brightness variant (identical aHash,
+    // different PNG bytes) — dropped against the store; seed 6 is new
+    val run2 = stage(hashed(Seq(127L, 6L)))
+    assert(run2.select("id").as[Long].collect().toSet == Set(6L))
+    graft.core.PostCommit.drain()
+
+    // after run 2 commits, its whole increment is "seen": a replay drops
+    // everything, and the store holds one sim per distinct scene
+    assert(stage(hashed(Seq(127L, 6L))).count() == 0)
+    graft.core.PostCommit.clear()
+    assert(spark.read.parquet(store).count() == 3)
+  }
+
   test("perceptual hash: brightness variants collide, bytes differ") {
     // ids 0, 127, 254 share seed 0 with deltas 0, 6, 12: same scene,
     // shifted exposure -> different PNG bytes, identical aHash
