@@ -435,6 +435,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"classify gained a join:\n$plan")
   }
 
+  test("langid training: pre-counted kernel explode, bounded rank window") {
+    // trainProfiles explodes the codegen'd per-doc (gram, cnt) multiset
+    // (trigram_counts), NOT one row per trigram occurrence — repetitive
+    // text must cost its repetition factor less before the partial agg.
+    // Shape: explode → groupBy(lang, gram) exchange → per-lang rank
+    // window (own exchange) whose <= topK filter prunes map-side.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val prof = graft.ml.LangId.trainProfiles(docs, "text", "lang")
+    prof.count()
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("trigram_counts"),
+      s"occurrence-level explode crept back:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter lost its map-side prune:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"training shape changed:\n$plan")
+  }
+
   test("corpus diff: hash-projected full-outer merge join, no cartesian") {
     val plan = executedPlan("q_corpus_diff")
     assert(!plan.contains("CartesianProduct"), plan)
