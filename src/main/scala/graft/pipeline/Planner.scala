@@ -577,13 +577,13 @@ object Planner {
           case _ => sys.error("ClusterBalance needs a positive `per_cluster`")
         }
         df => {
+          val n = conf.int("num_cells", 16)
           val cents = conf.anyMap("centroids") match {
             case m if m.nonEmpty => input(df.sparkSession, m.strReq("input"), m)
-            case _ =>
-              val n = conf.int("num_cells", 16)
+            case _ => trainedCentroids(conf, df, vec, id, n).getOrElse(
               df.filter(col(s"`$id`") < n)
                 .select(col(s"`$id`").cast("long").as("cell_id"),
-                  col(s"`$vec`").as("centroid"))
+                  col(s"`$vec`").as("centroid")))
           }
           graft.ml.DatasetOps.balanceByCluster(df, vec, id, cents, per,
             conf.str("score_field"))

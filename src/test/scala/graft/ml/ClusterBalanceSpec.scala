@@ -80,6 +80,14 @@ class ClusterBalanceSpec extends SparkSpec {
       "src" -> "embedding", "id_field" -> "id",
       "num_cells" -> 2, "per_cluster" -> 3))(blobs)
     assert(staged.count() == 6)
+    // kmeans: true trains Lloyd centroids first (the SemanticDedup/
+    // KnnJoin shared option contract) — both blobs must still cap at 3
+    val trained = graft.pipeline.Planner.corpusStage("ClusterBalance", Map(
+      "src" -> "embedding", "id_field" -> "id",
+      "kmeans" -> true, "num_cells" -> 2, "per_cluster" -> 3))(blobs)
+    assert(trained.count() == 6)
+    assert(trained.groupBy("cluster_id").count()
+      .select("count").as[Long].collect().toSeq == Seq(3L, 3L))
     // box options rejected (corpus stage)
     val e = intercept[RuntimeException] {
       graft.pipeline.Planner.filterStage("ClusterBalance", Map(
