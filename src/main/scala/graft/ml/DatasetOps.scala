@@ -604,7 +604,9 @@ object DatasetOps {
     * as the DotD kernel, so sims replay bit-identically in the SQL
     * oracle. A zero-norm vector (null cosine against every centroid)
     * coalesces to -2 — below any real cosine — and lands deterministically
-    * in the lowest-id cluster. */
+    * in the lowest-id cluster. Rows with a NULL embedding are DROPPED
+    * (the [[Similarity.poolEmbeddings]] null contract) — silently
+    * bucketing them would eat the lowest cluster's quota. */
   def balanceByCluster(df: DataFrame, vecCol: String, idCol: String,
       centroids: DataFrame, perCluster: Int,
       scoreCol: Option[String] = None): DataFrame = {
@@ -644,7 +646,8 @@ object DatasetOps {
       case None => Seq(col(s"`$idCol`").asc)
     }
     val w = Window.partitionBy("cluster_id").orderBy(order: _*)
-    df.withColumn("cluster_id", cell)
+    df.filter(col(s"`$vecCol`").isNotNull)
+      .withColumn("cluster_id", cell)
       .withColumn("__graft_cb_rank", row_number().over(w))
       .filter(col("__graft_cb_rank") <= perCluster)
       .drop("__graft_cb_rank")

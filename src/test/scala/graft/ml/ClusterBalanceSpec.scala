@@ -42,6 +42,14 @@ class ClusterBalanceSpec extends SparkSpec {
     assert(byCluster(1L) == Set(18L, 19L))
   }
 
+  test("null embeddings drop instead of eating the lowest cluster's quota") {
+    val withNull = blobs.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]], 0.0)).toDF("id", "embedding", "score"))
+    val out = DatasetOps.balanceByCluster(withNull, "embedding", "id", cents, 100)
+    assert(out.count() == 20)
+    assert(out.filter(col("id") === 99L).count() == 0)
+  }
+
   test("guards: cluster_id collision, empty/oversized panel, bad quota") {
     val withCol = blobs.withColumn("cluster_id", lit(0L))
     assert(intercept[IllegalArgumentException] {
