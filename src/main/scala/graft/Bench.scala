@@ -28,7 +28,9 @@ object Bench {
     "q_dedup_store_near", "q_image_phash", "q_quality_band",
     "q_multimodal_curate", "q_ann_ivf", "q_sessionize", "q_funnel",
     // round-11 additions (additive — earlier keys stay comparable)
-    "q_knn", "q_sorted_write", "q_langid", "q_pagerank")
+    "q_knn", "q_sorted_write", "q_langid", "q_pagerank",
+    // round-12 additions (append-only — BenchLineSpec pins the prefix)
+    "q_cluster_balance", "q_template_cond")
 
   /** Render the one driver-parsed JSON line. Pure so a spec can pin the
     * length invariant at any gate count: if the assembled line would
