@@ -65,6 +65,49 @@ class DslPropertySpec extends SparkSpec {
     }
   }
 
+  // --- Go-template prefix-call pipelines ({{if and/or/not (...)}}) ----------
+
+  private val tplLeaves = Seq(
+    Leaf("""eq .name "app"""", true),
+    Leaf("""eq .name "web"""", false),
+    Leaf("gt .age 10", true),
+    Leaf("lt .age 10", false),
+    Leaf(".name", true),
+    Leaf(".blank", false),
+    Leaf("""hasprefix .name "a"""", true),
+    Leaf("""contains .name "zz"""", false))
+
+  private def genTplNode(depth: Int): Gen[Node] =
+    if (depth <= 0) Gen.oneOf(tplLeaves)
+    else Gen.frequency(
+      3 -> Gen.oneOf(tplLeaves),
+      2 -> (for { l <- genTplNode(depth - 1); r <- genTplNode(depth - 1) }
+        yield And(l, r)),
+      2 -> (for { l <- genTplNode(depth - 1); r <- genTplNode(depth - 1) }
+        yield Or(l, r)),
+      1 -> genTplNode(depth - 1).map(Not(_)))
+
+  /** Render as a Go prefix call. Bare paths may ride un-parenthesized as
+    * and/or arguments (Go allows both); comparisons must parenthesize. */
+  private def renderTpl(n: Node): String = n match {
+    case Leaf(a, _) => a
+    case And(l, r) => s"and ${arg(l)} ${arg(r)}"
+    case Or(l, r) => s"or ${arg(l)} ${arg(r)}"
+    case Not(c) => s"not ${arg(c)}"
+  }
+  private def arg(n: Node): String = n match {
+    case Leaf(a, _) if a.startsWith(".") => a
+    case other => s"(${renderTpl(other)})"
+  }
+
+  test("random template and/or/not pipelines match reference semantics") {
+    samples(genTplNode(4), 60).foreach { node =>
+      val tpl = s"{{if ${renderTpl(node)}}}y{{end}}"
+      val rows = df.filter(ConditionFilter.compile(tpl, df)).count()
+      assert((rows == 1) == truth(node), s"template: $tpl")
+    }
+  }
+
   test("go time layouts round-trip random timestamps") {
     import org.apache.spark.sql.functions._
     // day-of-week layouts (Mon/Monday → EEE/EEEE) format fine but Spark's
