@@ -148,13 +148,30 @@ object ConditionFilter {
           def n(x: String) = if (isNum(x)) lit(x.toDouble) else path(x).cast("double")
           f(n(a), n(b))
         } else f(path(a), path(b))
+      // Go ≥1.18 template `and`/`or` SHORT-CIRCUIT left to right, and an
+      // evaluation error (a nil comparison — SQL NULL here) in any arm
+      // that IS reached aborts the whole render; the reference treats a
+      // render error as condition-false (Render returns err,
+      // template_value_render.go:154 → not "y"). Model error as NULL:
+      // examine arms left to right; a NULL arm yields NULL (the error
+      // propagates outward through enclosing and/or/not), a DECIDING arm
+      // stops (so a later arm's error is never reached — Go's
+      // short-circuit), else continue. `compile` coalesces the final
+      // template condition to false, the render-error → drop path.
+      def shortCircuit(arms: Seq[Column], isOr: Boolean): Column = {
+        val errNull = lit(null).cast(BooleanType)
+        arms.foldRight(lit(!isOr): Column) { (a, rest) =>
+          if (isOr) when(a.isNull, errNull).when(a, lit(true)).otherwise(rest)
+          else when(a.isNull, errNull).when(!a, lit(false)).otherwise(rest)
+        }
+      }
       toks match {
         case Seq(p) if p.startsWith(".") => truthy(p)
         case Seq(p) if isParen(p) => argCond(p)
         case Seq("and", rest @ _*) if rest.nonEmpty =>
-          rest.map(argCond).reduce(_ && _)
+          shortCircuit(rest.map(argCond), isOr = false)
         case Seq("or", rest @ _*) if rest.nonEmpty =>
-          rest.map(argCond).reduce(_ || _)
+          shortCircuit(rest.map(argCond), isOr = true)
         case Seq("not", x) if isParen(x) || x.startsWith(".") => !argCond(x)
         // reference event-time predicates (template_value_render.go:69-95):
         // before/after compare the event's @timestamp against now+duration;
@@ -181,10 +198,17 @@ object ConditionFilter {
           sys.error(s"unsupported template if-condition '${other.mkString(" ")}'")
       }
     }
+    // Top-level coalesce: a NULL here is the image of a Go render error
+    // (nil comparison somewhere in the evaluated arm prefix), and the
+    // reference's error path yields not-"y" → condition false. Without
+    // it, SQL three-valued logic would let a consumer's `when`/`&&` treat
+    // the error row inconsistently.
     t match {
       case TplExist(p) => truthy(p)
-      case TplEqStr(p, s) => path(p).cast("string") === lit(s)
-      case TplEqNum(p, n) => path(p).cast("double") === lit(n.toDouble)
+      case TplEqStr(p, s) =>
+        coalesce(path(p).cast("string") === lit(s), lit(false))
+      case TplEqNum(p, n) =>
+        coalesce(path(p).cast("double") === lit(n.toDouble), lit(false))
       case other =>
         coalesce(renderTemplate(other, df, condExpr), lit("")) === "y"
     }
@@ -231,8 +255,12 @@ object ConditionFilter {
     * interpolation, template functions), and every
     * `{{if}}…{{else if}}…{{else}}…{{end}}` block — nested to any depth —
     * compiles to `when(cond, then).otherwise(else)`. A null condition
-    * (missing field in a comparison) takes the else branch, matching a
-    * Go template's zero-value behavior. */
+    * from plain truthiness (missing field) takes the else branch,
+    * matching Go's zero-value behavior. A null from an ERRORING
+    * comparison (nil arm) also takes the else branch here, whereas Go
+    * aborts the whole render (condition false): the two agree whenever
+    * the else arm doesn't itself render "y" — the universal shape — and
+    * the top-level and/or/not error path is exact (see shortCircuit). */
   private def renderTemplate(t: String, df: DataFrame,
       condExpr: String => Column): Column = {
     val toks = tokenizeTemplate(t)

@@ -623,8 +623,19 @@ object DatasetOps {
     require(rows.length <= 4096,
       "balanceByCluster: more than 4096 centroids is too many to embed " +
         "as plan literals — assign with buildIvfIndex/ivfSearch instead")
+    // validate the panel before building plan literals: a NULL row would
+    // NPE in the norm fold below, and a duplicate cell_id would silently
+    // hand one cluster two quota slots
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "balanceByCluster: centroid panel has a row with NULL cell_id or " +
+          "centroid — every panel row must be fully defined")
+    }
     val cents: Seq[(Long, Seq[Double])] = rows
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    require(cents.map(_._1).distinct.length == cents.length,
+      "balanceByCluster: duplicate cell_id in the centroid panel — each " +
+        "cluster must appear exactly once")
 
     val cell = ColOps.letBound(col(s"`$vecCol`").cast("array<double>")) { v =>
       ColOps.letBound(Similarity.dot(v, v)) { vsd =>

@@ -375,7 +375,13 @@ object Similarity {
     * trainKmeansCentroids for non-dense ids) when [[ivfNeedsRebuild]]
     * trips — default threshold 0.5 (half the cell arrived after
     * training), the point where the post-append recall spec floor
-    * (≥ 0.65 at nprobe=8, IvfIndexSpec) still holds with margin. */
+    * (≥ 0.65 at nprobe=8, IvfIndexSpec) still holds with margin.
+    *
+    * SINGLE WRITER per index path: the anti-join guards against
+    * re-running a crashed increment, not against two appenders racing —
+    * concurrent appends can each pass the anti-join before either
+    * writes and double-insert a vec_id. Serialize appends per path
+    * (the seen-store contract). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       increment: DataFrame, vecCol: String, idCol: String): Long = {
     val idx = IvfIndex.load(spark, path)
@@ -384,7 +390,11 @@ object Similarity {
     // migration pattern)
     if (!pathExists(spark, s"$path/_base_counts"))
       IvfIndex.writeBaseCounts(idx.assigned, path)
+    // dedup WITHIN the increment too: an increment carrying the same
+    // vec_id twice (a re-crawled page in one batch) would otherwise pass
+    // the anti-join as two rows and append two postings for one id
     val fresh = assignToCells(increment, vecCol, idCol, idx.centroids)
+      .dropDuplicates("vec_id")
       .join(idx.assigned.select("vec_id"), Seq("vec_id"), "left_anti")
       .filter(col("vec_id").isNotNull)
       // count + write must see the SAME rows (the store grows under the

@@ -370,6 +370,25 @@ object Planner {
             c match {
               case p: Plugins.CorpusStagePlugin => df => p.transform(df)
               case f1: Function1[_, _] =>
+                // The `case Function1[_, _]` match is TYPE-ERASED: a
+                // plugin implementing e.g. Function1[String, String]
+                // would match here and CCE at first application — in a
+                // streaming pipeline that's mid-job, contradicting the
+                // fail-the-build-loudly contract. Reflect on the
+                // non-bridge apply signature at BUILD time: a plugin
+                // class (authored, not a lambda) carries the typed
+                // apply(Dataset)Dataset alongside the erased bridge.
+                val dsCls = classOf[org.apache.spark.sql.Dataset[_]]
+                val typedApply = f1.getClass.getMethods.exists { m =>
+                  m.getName == "apply" && !m.isBridge &&
+                    m.getParameterCount == 1 &&
+                    m.getParameterTypes()(0).isAssignableFrom(dsCls) &&
+                    dsCls.isAssignableFrom(m.getReturnType)
+                }
+                if (!typedApply) sys.error(s"custom class ${f1.getClass
+                  .getName} is a Function1 but not (DataFrame => " +
+                  "DataFrame) — it implements none of EventFilter / " +
+                  "Plugins.CorpusStagePlugin / (DataFrame => DataFrame)")
                 df => f1.asInstanceOf[DataFrame => DataFrame](df)
               case other => sys.error(s"custom class ${other.getClass
                 .getName} implements none of EventFilter / " +

@@ -314,7 +314,17 @@ object WarcWriter {
             val len = fs.getFileStatus(tmp).getLen
             if (!fs.rename(tmp, file)) {
               // dst exists (HDFS-semantics rename refuses): replace it —
-              // the loser attempt's file is complete too, ours is newer
+              // the loser attempt's file is complete too, ours is newer.
+              // The delete+rename pair is NOT atomic: the final path is
+              // briefly absent between the two calls, and when a zombie
+              // attempt replaces the file after a winner committed, the
+              // summary row below describes the REPORTING attempt's
+              // records/bytes, which may differ from the file a later
+              // attempt left on disk. Acceptable for the
+              // last-complete-wins contract (every committed file is
+              // some attempt's complete output over the same partition
+              // rows); readers needing exact byte counts should re-stat
+              // the final path after the job.
               fs.delete(file, false)
               if (!fs.rename(tmp, file)) {
                 fs.delete(tmp, false)

@@ -66,6 +66,37 @@ class ConditionFilterSpec extends SparkSpec {
       == Set("app", "web", "worker-api"))
   }
 
+  test("template and/or: a nil-comparison arm aborts like Go's render error") {
+    import spark.implicits._
+    // nval is NULL for "app" — comparing it is a nil comparison, which
+    // errors the Go render; the reference's error path yields not-"y"
+    // (template_value_render.go:154), so the row DROPS even when another
+    // or-arm is true — unless Go ≥1.18 short-circuit never reaches it.
+    val df = Seq(("app", Option.empty[Long], 20L), ("web", Option(5L), 0L))
+      .toDF("name", "nval", "age")
+    def run(c: String) =
+      df.filter(ConditionFilter.compile(c, df)).select("name").as[String].collect().toSet
+    // error arm FIRST: reached → render aborts → drop (SQL's naive
+    // NULL||true = true would wrongly keep "app" here — the r12 ADVICE bug)
+    // "app": error arm reached → drop (despite the true second arm);
+    // "web": lt 5 10 true → or short-circuits true → keep
+    assert(run("""{{if or (lt .nval 10) (eq .name "app")}}y{{end}}""") == Set("web"))
+    // "app": error → drop; "web": true && (web=="app" false) → drop
+    assert(run("""{{if and (lt .nval 10) (eq .name "app")}}y{{end}}""") == Set.empty[String])
+    // deciding arm FIRST: short-circuit means the error arm is never
+    // evaluated — "app" keeps on its true first or-arm
+    assert(run("""{{if or (eq .name "app") (lt .nval 10)}}y{{end}}""") == Set("app", "web"))
+    // "app": first arm false → and short-circuits false (error arm never
+    // reached) → drop without error; "web": true && true → keep
+    assert(run("""{{if and (eq .name "web") (lt .nval 10)}}y{{end}}""") == Set("web"))
+    // not over an erroring pipeline: the error propagates → drop "app";
+    // "web" has nval=5 → lt true → not false → drop too
+    assert(run("""{{if not (lt .nval 10)}}y{{end}}""") == Set.empty[String])
+    // nil TRUTHINESS is falsy, not an error: not .nval keeps both rows? no —
+    // nval=5 is truthy for "web", null is falsy for "app"
+    assert(run("""{{if not .nval}}y{{end}}""") == Set("app"))
+  }
+
   test("template before/after event-time predicates (README's or example)") {
     import spark.implicits._
     val now = java.sql.Timestamp.from(java.time.Instant.now())

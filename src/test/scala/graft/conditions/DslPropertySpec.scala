@@ -16,7 +16,8 @@ class DslPropertySpec extends SparkSpec {
 
   // one-row frame with known values; each property evaluates the compiled
   // predicate against a Scala-side reference evaluator
-  private lazy val df = Seq((1L, "app", 20L, "")).toDF("id", "name", "age", "blank")
+  private lazy val df = Seq((1L, "app", 20L, "", Option.empty[Long]))
+    .toDF("id", "name", "age", "blank", "nval")
 
   private sealed trait Node
   private case class Leaf(atom: String, truth: Boolean) extends Node
@@ -67,15 +68,41 @@ class DslPropertySpec extends SparkSpec {
 
   // --- Go-template prefix-call pipelines ({{if and/or/not (...)}}) ----------
 
-  private val tplLeaves = Seq(
-    Leaf("""eq .name "app"""", true),
-    Leaf("""eq .name "web"""", false),
-    Leaf("gt .age 10", true),
-    Leaf("lt .age 10", false),
-    Leaf(".name", true),
-    Leaf(".blank", false),
-    Leaf("""hasprefix .name "a"""", true),
-    Leaf("""contains .name "zz"""", false))
+  /** Template-atom truth under Go semantics: Some(b) = evaluates to b,
+    * None = the atom ERRORS (a nil comparison aborts the whole render;
+    * Go ≥1.18 and/or short-circuit, so an un-reached error is no error).
+    * Nil TRUTHINESS (`.nval`) is falsy, not an error. */
+  private val tplAtomTruth: Map[String, Option[Boolean]] = Map(
+    """eq .name "app"""" -> Some(true),
+    """eq .name "web"""" -> Some(false),
+    "gt .age 10" -> Some(true),
+    "lt .age 10" -> Some(false),
+    ".name" -> Some(true),
+    ".blank" -> Some(false),
+    """hasprefix .name "a"""" -> Some(true),
+    """contains .name "zz"""" -> Some(false),
+    "lt .nval 10" -> None,
+    """eq .nval "app"""" -> None,
+    ".nval" -> Some(false))
+  private val tplLeaves =
+    tplAtomTruth.keys.toSeq.sorted.map(a => Leaf(a, tplAtomTruth(a).contains(true)))
+
+  /** Three-valued reference evaluator: Go's short-circuit and/or with
+    * error-abort — an error in any REACHED arm poisons the whole
+    * condition (the reference's Render returns err → not "y" → drop,
+    * value_render/template_value_render.go:154). */
+  private def truthTpl(n: Node): Option[Boolean] = n match {
+    case Leaf(a, _) => tplAtomTruth(a)
+    case And(l, r) => truthTpl(l) match {
+      case Some(true) => truthTpl(r)
+      case other => other // false short-circuits; None propagates
+    }
+    case Or(l, r) => truthTpl(l) match {
+      case Some(false) => truthTpl(r)
+      case other => other // true short-circuits; None propagates
+    }
+    case Not(c) => truthTpl(c).map(!_)
+  }
 
   private def genTplNode(depth: Int): Gen[Node] =
     if (depth <= 0) Gen.oneOf(tplLeaves)
@@ -104,7 +131,7 @@ class DslPropertySpec extends SparkSpec {
     samples(genTplNode(4), 60).foreach { node =>
       val tpl = s"{{if ${renderTpl(node)}}}y{{end}}"
       val rows = df.filter(ConditionFilter.compile(tpl, df)).count()
-      assert((rows == 1) == truth(node), s"template: $tpl")
+      assert((rows == 1) == truthTpl(node).contains(true), s"template: $tpl")
     }
   }
 

@@ -62,6 +62,17 @@ class ClusterBalanceSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       DatasetOps.balanceByCluster(blobs, "embedding", "id", cents, 0)
     }.getMessage.contains("perCluster"))
+    // panel hygiene (r12 ADVICE): a NULL panel row would NPE in the
+    // driver-side norm fold; a duplicate cell_id would double a quota
+    val nullRow = cents.unionByName(Seq((2L, null.asInstanceOf[Array[Double]]))
+      .toDF("cell_id", "centroid"))
+    assert(intercept[IllegalArgumentException] {
+      DatasetOps.balanceByCluster(blobs, "embedding", "id", nullRow, 1)
+    }.getMessage.contains("NULL cell_id or"))
+    val dup = cents.unionByName(cents.limit(1))
+    assert(intercept[IllegalArgumentException] {
+      DatasetOps.balanceByCluster(blobs, "embedding", "id", dup, 1)
+    }.getMessage.contains("duplicate cell_id"))
   }
 
   test("partition invariance and plan shape: one exchange, WindowGroupLimit") {

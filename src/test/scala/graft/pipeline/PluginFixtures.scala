@@ -42,6 +42,13 @@ object DropNullMessage extends (DataFrame => DataFrame) {
   def apply(df: DataFrame): DataFrame = df.filter(col("message").isNotNull)
 }
 
+/** A Function1 that is NOT (DataFrame => DataFrame): must fail the
+  * pipeline BUILD loudly (the type-erased `case Function1` match would
+  * otherwise CCE at first application — mid-job on a stream). */
+object WrongTypeFn extends (String => String) {
+  def apply(s: String): String = s.toUpperCase
+}
+
 /** User source: n synthetic rows with the stdin-style schema. */
 class CountingInput(conf: Map[String, Any]) extends Plugins.InputPlugin {
   private val n = conf.getOrElse("n", "5").toString.toLong

@@ -94,5 +94,14 @@ class PluginSpec extends SparkSpec {
         Map("class" -> "java.lang.StringBuilder"))(df)
     }
     assert(wrong.getMessage.contains("implements none"), wrong.getMessage)
+    // a Function1 of the WRONG element types: type erasure would let it
+    // through the `case Function1` match and CCE at first application —
+    // the build must reject it loudly instead (r12 ADVICE)
+    val wrongFn = intercept[RuntimeException] {
+      Planner.filterStage("Custom",
+        Map("class" -> "graft.testplugins.WrongTypeFn"))(df)
+    }
+    assert(wrongFn.getMessage.contains("not (DataFrame"), wrongFn.getMessage)
+    assert(wrongFn.getMessage.contains("WrongTypeFn"), wrongFn.getMessage)
   }
 }
