@@ -140,6 +140,21 @@ object SparkEntry {
             .localCheckpoint())
     }
 
+  /** BMP/GIF re-encodes of the smooth corpus for q_image_formats. The
+    * gate's seam is DECODING the re-encoded bytes; the encode is fixture
+    * cost (identical bytes every build — same disease q_multimodal_decode
+    * had in r10) and was most of the 2.08 s that made it r12's slowest
+    * gate. Memoized like the other encode-churn fixtures. */
+  private def sharedSmoothTranscoded(s: SparkSession, dir: String,
+      fmt: String): DataFrame =
+    pairsMemo.synchronized {
+      pairsMemo
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir + "#smooth_" + fmt,
+          graft.ml.Multimodal.transcodeImages(sharedSynthSmooth(s, dir), fmt)
+            .localCheckpoint())
+    }
+
   /** Force-build the memoized shared frames for (session, dir). Bench
     * times this call as its own JSON line so the per-query numbers are
     * memo HITS for every consumer regardless of map order — without it,
@@ -152,6 +167,8 @@ object SparkEntry {
     sharedSynthVariants(s, dir)
     sharedSynthSmooth(s, dir)
     sharedSmoothDecoded(s, dir)
+    sharedSmoothTranscoded(s, dir, "bmp")
+    sharedSmoothTranscoded(s, dir, "gif")
     ()
   }
 
@@ -1027,7 +1044,6 @@ object SparkEntry {
     // re-encoded bytes can demonstrate
     "q_image_formats" -> { (s, dir) =>
       val mm = graft.ml.Multimodal
-      val smooth = sharedSynthSmooth(s, dir)
       def sel(d: DataFrame, p: String) = d
         .select(col("media_id"),
           col("px.width").as(p + "w"), col("px.height").as(p + "h"),
@@ -1036,7 +1052,8 @@ object SparkEntry {
           col("px.dhash_hi").as(p + "dh"), col("px.dhash_lo").as(p + "dl"))
       val base = sel(sharedSmoothDecoded(s, dir), "p")
       def arm(fmt: String) =
-        base.join(sel(mm.decodeImagePixels(mm.transcodeImages(smooth, fmt)),
+        base.join(sel(
+            mm.decodeImagePixels(sharedSmoothTranscoded(s, dir, fmt)),
             "j"), "media_id")
           .select(lit(fmt).as("fmt"), col("media_id"),
             (col("pw") === col("jw") && col("ph") === col("jh"))
