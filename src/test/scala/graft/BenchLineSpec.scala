@@ -21,11 +21,14 @@ class BenchLineSpec extends AnyFunSuite {
     (0 until n).map(i => s"stress_pt_$i" -> (i * 1.37 + 0.5))
 
   test("parsed line stays under the driver capture window at 150 queries") {
+    // r13 shape: stress_norm left the parsed line (it lives in
+    // bench_detail.json now); today's stress block is 32 keys — pin with
+    // headroom at 40
     val line = Bench.renderParsedLine(
       total = 123.456,
       queryMedians = Bench.headline.map(_ -> 1.234) ++ fakeQueries(150),
       errored = Seq.empty, rounds = 3, sharedSec = 3.2,
-      stress = fakeStress(26), stressNorm = fakeStress(22),
+      stress = fakeStress(40), stressNorm = Seq.empty,
       sfDir = "/root/testdata/sf0.1")
     assert(line.length <= Bench.MaxLineChars, s"line was ${line.length} chars")
     val node = mapper.readTree(line)
@@ -72,6 +75,28 @@ class BenchLineSpec extends AnyFunSuite {
     Bench.headline.foreach { q =>
       assert(SparkEntry.queries.contains(q), s"headline names unknown gate $q")
     }
+  }
+
+  test("stress family op keys are the cross-round contract") {
+    // the datapoint keys (and their family grouping — one fresh JVM per
+    // family) are what the judge compares round over round; a rename or
+    // silent drop here breaks comparability like the r10 headline change
+    val expected = Seq(
+      "dedup" -> Seq("minhash", "hamming64_drop", "passage",
+        "hamming64_drop_skew", "minhash_skew_collapse"),
+      "store" -> Seq("store_build", "store_drop", "near_store_build",
+        "near_store_drop", "near_store_drop_skew"),
+      "index" -> Seq("inverted_index", "inverted_index_stopword"),
+      "vec" -> Seq("semdedup"),
+      "media" -> Seq("decode_headers", "decode_pixels"),
+      "events" -> Seq("asof", "asof_skew", "sessionize", "sessionize_skew",
+        "funnel", "funnel_skew", "retention"),
+      "graph" -> Seq("pagerank", "pagerank_hub"),
+      "langid" -> Seq("langid"),
+      // round-13 addition (append-only): tokenization-family throughput
+      "token" -> Seq("bpe_encode", "ngram_lm_score"))
+    assert(StressOps.families == expected,
+      "stress families changed — removals/renames need a SURVEY note")
   }
 
   test("errored queries are reported, never silently timed") {
