@@ -1232,6 +1232,23 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "text", "doc_id", p = 0.7)
     },
 
+    // Model-based quality scoring: the hashed-bag linear classifier's
+    // zero-exchange logit kernel over every document. Weights are the
+    // PINNED synthetic formula (portable01-style integer arithmetic the
+    // oracle derives inline) so the full scoring lattice — tokenize →
+    // code-point hash fold → Fibonacci bucket → two in-order IEEE folds —
+    // replays bit-for-bit in DuckDB; TRAINED-weight behavior is
+    // spec-verified (QualityClassifierSpec) since iterative training is
+    // not SQL-expressible.
+    "q_quality_clf" -> { (s, dir) =>
+      val model = graft.functions.QualityClfModel(
+        graft.ml.QualityClassifier.syntheticWeights(12), 12,
+        bigrams = true, bias = 0.0)
+      graft.ml.QualityClassifier.score(
+          Tables.load(s, dir, "documents"), "text", model)
+        .select(col("doc_id"), col("quality_logit"))
+    },
+
     // Gopher/C4 fixed-threshold heuristic rules, one boolean per rule —
     // the published curation pass that precedes model-based scoring.
     // minStopHits=1 because the fixture's only Gopher stop word is 'the'
@@ -3346,6 +3363,36 @@ object SparkEntry {
         |    + swr * 0.2 AS score FROM m
         |), thr AS (SELECT quantile_cont(score, 0.7) AS th FROM s)
         |SELECT doc_id, score FROM s, thr WHERE score >= th""".stripMargin,
+
+    // the classifier scoring lattice, replayed exactly per the
+    // QualityClfModel contract: token hash = code-point fold
+    // (h*31+cp mod 2^20), bucket = high 12 bits of the Fibonacci mix,
+    // weight = the pinned synthetic formula, logit = in-order unigram
+    // fold + in-order bigram fold (each seeded 0.0) — same IEEE add
+    // order as the kernel, so values hash-match bit-for-bit
+    "q_quality_clf" -> {
+      val bucket = (tok: String) =>
+        s"(((list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"string_split($tok, ''), c -> ascii(c)::BIGINT)), " +
+          s"(h, c) -> (h*31 + c) % 1048576) * 2654435761) % 4294967296) >> 20)"
+      val weight = (b: String) =>
+        s"((($b * 2654435761 + 12345) % 4294967296) / 4294967296.0 - 0.5)"
+      val fold = (xs: String) =>
+        s"list_reduce(list_prepend(0.0::DOUBLE, $xs), (a, b) -> a + b)"
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |      w -> len(w) > 0) AS tk
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(tk) = 0 THEN NULL ELSE
+        |    ${fold(s"list_transform(tk, t -> ${weight(bucket("t"))})")}
+        |    + ${fold(s"list_transform(range(1, len(tk)), " +
+                s"i -> ${weight(bucket("(tk[i] || '_' || tk[i+1])"))})")}
+        |  END AS quality_logit
+        |FROM t""".stripMargin
+    },
 
     "q_c4_lines" ->
       """WITH h AS (

@@ -411,7 +411,7 @@ object Planner {
     "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
     "PerplexityScore", "QualityRules", "Outlinks", "HostGraph", "PageRank",
     "LineFilter", "BlockHosts", "BlockTerms", "CompressionRatio", "LangId",
-    "PoolEmbeddings")
+    "PoolEmbeddings", "QualityClassifier")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -999,6 +999,38 @@ object Planner {
                 conf.long("min_count", 2L), uni)
           }
           graft.ml.NgramLm.score(df, model, text, id, order, alpha, uni)
+        }
+      case "QualityClassifier" =>
+        // trained quality ranking (hashed-bag logistic regression — the
+        // fastText-style complement to QualityRules): model from
+        // `model_path` (QualityClassifier.save layout) or trained at
+        // plan time on a labeled `reference` input spec (`label_field`,
+        // 0/1). Scoring is a zero-exchange narrow map (weights embedded
+        // in the plan — stream-native for the same reason as LangId);
+        // `keep_above` filters on the logit in-row.
+        val target = conf.str("target").getOrElse("quality_logit")
+        df => {
+          val model = conf.str("model_path") match {
+            case Some(p) => graft.ml.QualityClassifier.load(df.sparkSession, p)
+            case None =>
+              val rm = conf.anyMap("reference")
+              if (rm.isEmpty) sys.error("QualityClassifier needs " +
+                "`model_path` or a labeled `reference` input spec, e.g. " +
+                "reference: {input: Parquet, path: /data/labeled.parquet, " +
+                "label_field: label}")
+              graft.ml.QualityClassifier.train(
+                input(df.sparkSession, rm.strReq("input"), rm),
+                rm.str("src").getOrElse(text),
+                rm.str("label_field").getOrElse("label"),
+                conf.int("log_buckets", 12), conf.bool("bigrams", true),
+                conf.int("epochs", 20), conf.dbl("lr", 0.5),
+                conf.dbl("l2", 0.0))
+          }
+          val scored = graft.ml.QualityClassifier.score(df, text, model, target)
+          conf.str("keep_above") match {
+            case Some(t) => scored.filter(col(s"`$target`") > t.toDouble)
+            case None => scored
+          }
         }
       case "LangId" =>
         // Cavnar–Trenkle trigram language ID: profiles come from
