@@ -30,7 +30,9 @@ object Bench {
     // round-11 additions (additive — earlier keys stay comparable)
     "q_knn", "q_sorted_write", "q_langid", "q_pagerank",
     // round-12 additions (append-only — BenchLineSpec pins the prefix)
-    "q_cluster_balance", "q_template_cond")
+    "q_cluster_balance", "q_template_cond",
+    // round-13 additions: trained quality scoring + DSIR selection
+    "q_quality_clf", "q_dsir")
 
   /** Render the one driver-parsed JSON line. Pure so a spec can pin the
     * length invariant at any gate count: if the assembled line would

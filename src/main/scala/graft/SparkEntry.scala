@@ -1249,6 +1249,26 @@ object SparkEntry {
         .select(col("doc_id"), col("quality_logit"))
     },
 
+    // DSIR importance resampling: docs 0..49 play the target-domain
+    // sample, the whole corpus is the raw pool. Output is the EXACT
+    // evidence lattice (per-bucket smoothed-count ratios folded in
+    // feature order — integer products below 2^53, correctly-rounded
+    // divides) plus the hash-threshold keep decision, all of which the
+    // oracle re-derives from the raw table; the paper's log-space weight
+    // and Gumbel top-k (ln/exp — not cross-engine reproducible) are
+    // spec-pinned in DsirSpec instead.
+    "q_dsir" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val target = docs.filter(col("doc_id") < 50)
+      val m = graft.ml.Dsir.model(
+        graft.ml.Dsir.ngramCounts(target, "text", 12),
+        graft.ml.Dsir.ngramCounts(docs, "text", 12), 12)
+      val weighed = graft.ml.Dsir.weigh(docs, "text", "doc_id", m)
+      weighed.select(col("doc_id"),
+        col("n_feats").cast("long").as("n_feats"), col("sum_ratio"),
+        graft.ml.Dsir.thresholdKeep(weighed, "doc_id").as("keep"))
+    },
+
     // Gopher/C4 fixed-threshold heuristic rules, one boolean per rule —
     // the published curation pass that precedes model-based scoring.
     // minStopHits=1 because the fixture's only Gopher stop word is 'the'
@@ -3363,6 +3383,61 @@ object SparkEntry {
         |    + swr * 0.2 AS score FROM m
         |), thr AS (SELECT quantile_cont(score, 0.7) AS th FROM s)
         |SELECT doc_id, score FROM s, thr WHERE score >= th""".stripMargin,
+
+    // DSIR evidence lattice, re-derived end to end: hashed features per
+    // doc (same bucket contract as q_quality_clf), target (doc_id<50) vs
+    // raw bucket counts + totals, smoothed ratio per bucket as one
+    // BIGINT-product float division (exact products, correctly-rounded
+    // divide — same bits as the driver's Long.toDouble arithmetic), the
+    // in-order fold, and the portable01 hash-threshold keep decision
+    "q_dsir" -> {
+      val bucket = (tok: String) =>
+        s"(((list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"string_split($tok, ''), c -> ascii(c)::BIGINT)), " +
+          s"(h, c) -> (h*31 + c) % 1048576) * 2654435761) % 4294967296) >> 20)"
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |      w -> len(w) > 0) AS tk
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, list_concat(
+        |    list_transform(tk, t -> ${bucket("t")}),
+        |    list_transform(range(1, len(tk)),
+        |      i -> ${bucket("(tk[i] || '_' || tk[i+1])")})) AS fb
+        |  FROM t
+        |), tot AS (
+        |  SELECT
+        |    (SELECT count(*) FROM (SELECT unnest(fb) FROM f WHERE doc_id < 50)) AS tt,
+        |    (SELECT count(*) FROM (SELECT unnest(fb) FROM f)) AS tr
+        |), ct AS (
+        |  SELECT b, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(fb) AS b FROM f WHERE doc_id < 50) GROUP BY b
+        |), cr AS (
+        |  SELECT b, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(fb) AS b FROM f) GROUP BY b
+        |), rl AS (
+        |  SELECT list(
+        |    (((coalesce(ct.c, 0) + 1) * (tot.tr + 4096)) /
+        |     ((coalesce(cr.c, 0) + 1) * (tot.tt + 4096))) ORDER BY gs.b) AS r
+        |  FROM generate_series(0, 4095) AS gs(b)
+        |  LEFT JOIN ct ON ct.b = gs.b
+        |  LEFT JOIN cr ON cr.b = gs.b, tot
+        |), s AS (
+        |  SELECT doc_id, len(fb)::BIGINT AS n_feats,
+        |    CASE WHEN len(fb) = 0 THEN NULL ELSE
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        list_transform(fb, x -> r[x + 1])), (a, b) -> a + b)
+        |    END AS sum_ratio
+        |  FROM f, rl
+        |)
+        |SELECT doc_id, n_feats, sum_ratio,
+        |  CASE WHEN n_feats = 0 THEN false ELSE
+        |    ((((doc_id % 1048576) * 2654435761 + 12830) % 4294967296)
+        |      / 4294967296) * 2.0 < sum_ratio / n_feats
+        |  END AS keep
+        |FROM s""".stripMargin
+    },
 
     // the classifier scoring lattice, replayed exactly per the
     // QualityClfModel contract: token hash = code-point fold

@@ -97,6 +97,27 @@ object QualityClfModel {
     (((h * 2654435761L) & 0xffffffffL) >>> shift).toInt
   }
 
+  /** ORDERED bucket list of the text's hashed ngrams: unigram buckets in
+    * token order, then bigram buckets in position order — the form an
+    * in-order IEEE fold (DSIR's replayable ratio lattice) consumes.
+    * Empty array for token-less text. Called from generated code. */
+  def bucketListKernel(text: UTF8String, logBuckets: Int,
+      bigrams: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokensOf(text)
+    val shift = 32 - logBuckets
+    val nB = if (bigrams && toks.length > 1) toks.length - 1 else 0
+    val out = new Array[Int](toks.length + nB)
+    var i = 0
+    while (i < toks.length) { out(i) = bucketOf(toks(i), shift); i += 1 }
+    i = 0
+    while (i < nB) {
+      out(toks.length + i) = bucketOf(toks(i) + "_" + toks(i + 1), shift)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** (bucket, cnt) pairs of the text's hashed uni+bigram multiset — the
     * TRAINING-side kernel (pre-counted, like [[LangIdModel
     * .trigramCountsKernel]], so the gradient explode shrinks by the
@@ -148,6 +169,11 @@ object QualityClfFns {
     * (training side). */
   def clfFeatureCounts(text: Column, logBuckets: Int, bigrams: Boolean): Column =
     col(ClfFeatureCountsExpr(expr(text), logBuckets, bigrams))
+
+  /** array&lt;int&gt; ORDERED bucket list (unigrams in token order, then
+    * bigrams in position order — the DSIR fold input). */
+  def clfBucketList(text: Column, logBuckets: Int, bigrams: Boolean): Column =
+    col(ClfBucketListExpr(expr(text), logBuckets, bigrams))
 }
 
 case class ClfLogitExpr(child: Expression, model: QualityClfModel)
@@ -173,6 +199,23 @@ case class ClfLogitExpr(child: Expression, model: QualityClfModel)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "quality_clf_logit"
+}
+
+case class ClfBucketListExpr(child: Expression, logBuckets: Int,
+    bigrams: Boolean) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    QualityClfModel.bucketListKernel(input.asInstanceOf[UTF8String],
+      logBuckets, bigrams)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.QualityClfModel$$.MODULE$$.bucketListKernel(" +
+        s"$c, $logBuckets, $bigrams)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "quality_clf_buckets"
 }
 
 case class ClfFeatureCountsExpr(child: Expression, logBuckets: Int,

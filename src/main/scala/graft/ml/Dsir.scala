@@ -1,0 +1,155 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.QualityClfFns
+
+/** DSIR-style data selection: importance resampling of a raw pool toward
+  * a target domain via hashed-ngram bag models (Xie et al. 2023, "Data
+  * Selection for Language Models via Importance Resampling") — the
+  * published-method complement to [[DatasetOps.planMixture]]'s explicit
+  * budgets. No analog in the reference (beyond-reference ML surface).
+  *
+  * Pipeline shape (the 100 TB form):
+  *  1. [[ngramCounts]] — ONE partial-aggregated groupBy per corpus over
+  *     the kernel's pre-counted hashed features: ≤ 2^logBuckets+1 rows
+  *     out, the vocabulary-store shape (save the frames, reuse across
+  *     runs; the target sample is small by definition).
+  *  2. [[model]] — drain both bounded count frames (take, never
+  *     collect) into per-bucket arrays: smoothed probabilities
+  *     p̂[b] = (c[b]+1)/(T+B) for target and raw.
+  *  3. [[weigh]] — a ZERO-EXCHANGE narrow map adds the importance
+  *     evidence per doc: `log_weight` = Σ_feats (ln p̂_t − ln p̂_r)
+  *     (the paper's log-likelihood ratio; ln is engine-side — not
+  *     cross-engine reproducible, spec-pinned like NgramLm's log_prob)
+  *     and the EXACT lattice the oracle replays bit-for-bit:
+  *     `n_feats` and `sum_ratio` = in-order IEEE fold (seed 0.0) of
+  *     r[b] = ((ct[b]+1)·(Tr+B)) / ((cr[b]+1)·(Tt+B)) over the ordered
+  *     bucket list (unigrams in token order, then bigrams) — integer
+  *     products exact below 2^53, one correctly-rounded divide per
+  *     bucket, folded left (gate `q_dsir`).
+  *  4. Selection, two forms:
+  *     [[resampleTopK]] — the paper's Gumbel top-k (keep the k docs
+  *     maximizing log_weight + Gumbel(portable01(id, seed))): one
+  *     TakeOrdered, deterministic in (id, seed).
+  *     [[thresholdKeep]] — hash-threshold acceptance on the EXACT
+  *     lattice: keep iff portable01(id, seed)·cap < sum_ratio/n_feats
+  *     (accept-probability min(1, mean_ratio/cap)); every term replays
+  *     in the oracle, so the keep DECISION is itself hash-gated.
+  */
+object Dsir {
+
+  /** Hashed-ngram bucket counts of a corpus: (bucket, cnt) rows plus the
+    * (bucket = -1, total) sentinel — bounded by 2^logBuckets+1, the
+    * save/reuse form. One groupBy with map-side partial aggregation. */
+  def ngramCounts(df: DataFrame, textCol: String, logBuckets: Int = 12,
+      bigrams: Boolean = true): DataFrame = {
+    val feats = df.select(explode(
+      QualityClfFns.clfFeatureCounts(col(s"`$textCol`"), logBuckets, bigrams))
+      .as("f"))
+    val perBucket = feats.groupBy(col("f.bucket").as("bucket"))
+      .agg(sum(col("f.cnt").cast("long")).as("cnt"))
+    val total = perBucket.agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
+      .select(lit(-1).as("bucket"), col("cnt"))
+    perBucket.unionByName(total)
+  }
+
+  /** Driver-side model from the two bounded count frames. Arrays are
+    * indexed by bucket; ratio[b] and logRatio[b] per the class doc. */
+  final case class DsirModel(ratio: Array[Double], logRatio: Array[Double],
+      logBuckets: Int, bigrams: Boolean) extends Serializable
+
+  def model(targetCounts: DataFrame, rawCounts: DataFrame,
+      logBuckets: Int = 12, bigrams: Boolean = true): DsirModel = {
+    val b = 1 << logBuckets
+    def drain(counts: DataFrame, which: String): (Array[Long], Long) = {
+      val rows = counts.select(col("bucket").cast("int"),
+        col("cnt").cast("long")).take(b + 2)
+      require(rows.length <= b + 1,
+        s"Dsir.model: $which count frame has more than 2^$logBuckets+1 " +
+          "buckets — built with a different logBuckets?")
+      val c = new Array[Long](b)
+      var total = -1L
+      rows.foreach { r =>
+        val k = r.getInt(0)
+        if (k == -1) total = r.getLong(1)
+        else c(k) = r.getLong(1)
+      }
+      require(total >= 0, s"Dsir.model: $which count frame is missing the " +
+        "(bucket = -1, total) sentinel — not a Dsir.ngramCounts frame?")
+      (c, total)
+    }
+    val (ct, tt) = drain(targetCounts, "target")
+    val (cr, tr) = drain(rawCounts, "raw")
+    // exact-integer products must stay below 2^53 for the bit-replay
+    // contract (they are exact in both engines' doubles there)
+    require((tt + b) < (1L << 31) && (tr + b) < (1L << 31),
+      "Dsir.model: corpus token totals exceed the exact-arithmetic bound " +
+        "(2^31) — shard the counts or raise logBuckets documentation")
+    val ratio = new Array[Double](b)
+    val logRatio = new Array[Double](b)
+    var i = 0
+    while (i < b) {
+      val num = (ct(i) + 1L) * (tr + b)
+      val den = (cr(i) + 1L) * (tt + b)
+      ratio(i) = num.toDouble / den.toDouble
+      logRatio(i) = math.log(num.toDouble) - math.log(den.toDouble)
+      i += 1
+    }
+    DsirModel(ratio, logRatio, logBuckets, bigrams)
+  }
+
+  /** Zero-exchange importance evidence per doc: log_weight (the paper's
+    * Σ log-ratio — engine-side ln), n_feats, and the exact-replay
+    * sum_ratio fold. Token-less docs carry null evidence. */
+  def weigh(pool: DataFrame, textCol: String, idCol: String,
+      m: DsirModel): DataFrame = {
+    Seq("__graft_dsir_fb", "n_feats", "sum_ratio", "log_weight").foreach { c =>
+      require(!pool.columns.contains(c),
+        s"Dsir.weigh: output column '$c' already exists on the pool")
+    }
+    val fb = QualityClfFns.clfBucketList(col(s"`$textCol`"), m.logBuckets,
+      m.bigrams)
+    val ratios = typedlit(m.ratio.toSeq)
+    val logRatios = typedlit(m.logRatio.toSeq)
+    pool.withColumn("__graft_dsir_fb", fb)
+      .withColumn("n_feats", size(col("__graft_dsir_fb")))
+      .withColumn("sum_ratio",
+        when(col("n_feats") > 0, aggregate(col("__graft_dsir_fb"),
+          lit(0.0d), (acc, x) => acc + element_at(ratios, x + 1))))
+      .withColumn("log_weight",
+        when(col("n_feats") > 0, aggregate(col("__graft_dsir_fb"),
+          lit(0.0d), (acc, x) => acc + element_at(logRatios, x + 1))))
+      .drop("__graft_dsir_fb")
+  }
+
+  /** The paper's Gumbel top-k resample: keep the k docs maximizing
+    * log_weight + Gumbel(u), u = portable01(id, seed) — sampling without
+    * replacement ∝ softmax(log_weight), deterministic in (id, seed).
+    * One TakeOrdered (global top-k, no full sort at any scale). */
+  def resampleTopK(weighed: DataFrame, idCol: String, k: Int,
+      seed: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = DatasetOps.portable01(col(s"`$idCol`"), seed)
+    // clamp u away from {0,1}: portable01 can emit exact 0 whose
+    // double-log would be -inf
+    val gumbel = -log(-log(least(greatest(u, lit(1e-12)), lit(1.0 - 1e-12))))
+    weighed.filter(col("log_weight").isNotNull)
+      .withColumn("__graft_dsir_key", col("log_weight") + gumbel)
+      .orderBy(col("__graft_dsir_key").desc)
+      .limit(k)
+      .drop("__graft_dsir_key")
+  }
+
+  /** Exact-arithmetic hash-threshold acceptance (the oracle-replayable
+    * selection): keep iff portable01(id, seed) · cap < sum_ratio/n_feats
+    * — accept-probability min(1, mean_ratio/cap). */
+  def thresholdKeep(weighed: DataFrame, idCol: String, cap: Double = 2.0,
+      seed: Int = 5): Column = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    col("n_feats") > 0 &&
+      DatasetOps.portable01(col(s"`$idCol`"), seed) * lit(cap) <
+        col("sum_ratio") / col("n_feats").cast("double")
+  }
+}

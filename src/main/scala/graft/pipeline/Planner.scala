@@ -411,7 +411,7 @@ object Planner {
     "CorpusDiff", "InvertedIndex", "ZOrderExport", "KnnJoin", "BudgetMix",
     "PerplexityScore", "QualityRules", "Outlinks", "HostGraph", "PageRank",
     "LineFilter", "BlockHosts", "BlockTerms", "CompressionRatio", "LangId",
-    "PoolEmbeddings", "QualityClassifier")
+    "PoolEmbeddings", "QualityClassifier", "Dsir")
 
   /** The LLM-data operators (graft.ml.*) registered by YAML name, the same
     * way the reference registers every filter
@@ -999,6 +999,63 @@ object Planner {
                 conf.long("min_count", 2L), uni)
           }
           graft.ml.NgramLm.score(df, model, text, id, order, alpha, uni)
+        }
+      case "Dsir" =>
+        // DSIR importance resampling toward a target domain (Xie et al.
+        // 2023): hashed-ngram counts from a `target` input spec (or a
+        // saved Dsir.ngramCounts parquet via `target_counts_path`) vs the
+        // pool itself (or `raw_counts_path`), then `method: topk` (the
+        // paper's Gumbel top-k, batch) or `method: threshold` (the
+        // exact-arithmetic hash acceptance — zero-exchange, so
+        // stream-capable when BOTH count frames come from saved paths).
+        val logB = conf.int("log_buckets", 12)
+        val bg = conf.bool("bigrams", true)
+        val keepEvidence = conf.bool("keep_evidence", false)
+        df => {
+          val s = df.sparkSession
+          val tgtCounts = conf.str("target_counts_path") match {
+            case Some(p) => s.read.parquet(p)
+            case None =>
+              val tm = conf.anyMap("target")
+              if (tm.isEmpty) sys.error("Dsir needs `target_counts_path` " +
+                "or a `target` input spec, e.g. target: {input: Parquet, " +
+                "path: /data/target_sample.parquet}")
+              if (df.isStreaming) sys.error("Dsir on a stream needs BOTH " +
+                "`target_counts_path` and `raw_counts_path` (pre-built " +
+                "with Dsir.ngramCounts) — counting inside a stream would " +
+                "need its own aggregation state")
+              graft.ml.Dsir.ngramCounts(
+                input(s, tm.strReq("input"), tm)
+                  .transform(d => tm.str("src").filter(_ != text)
+                    .map(d.withColumnRenamed(_, text)).getOrElse(d)),
+                text, logB, bg)
+          }
+          val rawCounts = conf.str("raw_counts_path") match {
+            case Some(p) => s.read.parquet(p)
+            case None =>
+              if (df.isStreaming) sys.error("Dsir on a stream needs " +
+                "`raw_counts_path` — the pool's counts cannot be " +
+                "aggregated inside the stream")
+              graft.ml.Dsir.ngramCounts(df, text, logB, bg)
+          }
+          val m = graft.ml.Dsir.model(tgtCounts, rawCounts, logB, bg)
+          val weighed = graft.ml.Dsir.weigh(df, text, id, m)
+          val out = conf.str("method").getOrElse("topk") match {
+            case "topk" =>
+              if (df.isStreaming) sys.error("Dsir method: topk is " +
+                "batch-only (global top-k) — use method: threshold on " +
+                "streams")
+              val k = conf.int("k", -1)
+              if (k <= 0) sys.error("Dsir method: topk needs `k` (> 0)")
+              graft.ml.Dsir.resampleTopK(weighed, id, k, conf.int("seed", 0))
+            case "threshold" =>
+              weighed.filter(graft.ml.Dsir.thresholdKeep(weighed, id,
+                conf.dbl("cap", 2.0), conf.int("seed", 5)))
+            case other => sys.error(s"Dsir: unknown method '$other' " +
+              "(topk | threshold)")
+          }
+          if (keepEvidence) out
+          else out.drop("n_feats", "sum_ratio", "log_weight")
         }
       case "QualityClassifier" =>
         // trained quality ranking (hashed-bag logistic regression — the
