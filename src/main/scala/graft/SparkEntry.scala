@@ -567,19 +567,33 @@ object SparkEntry {
     },
 
     // Sprig template surface through Add (reference registers sprig's
-    // FuncMap for every template render: template_value_render.go:41-44)
+    // FuncMap for every template render: template_value_render.go:41-44).
+    // Round-13 additions exercise the list family (splitList/join/uniq/
+    // first/last as NESTED calls), the regex family (RE2-compatible
+    // patterns), and sha256sum; sha1sum/md5sum are spec-covered (DuckDB
+    // has no sha1 scalar).
     "q_sprig" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
         .withColumn("maybe", when($"event_id" % 3 === 0, $"event_type"))
         .withColumn("is_even", $"event_id" % 2 === 0)
+        .withColumn("phrase",
+          concat($"event_type", lit(" "), $"event_type", lit(" end")))
       val chain = FilterBox(AddFilter(Map(
         "filled" -> "{{default \"none\" .maybe}}",
         "flag" -> "{{ternary \"even\" \"odd\" .is_even}}",
         "b64" -> "{{b64enc .event_type}}",
         "short" -> "{{trunc 3 .event_type}}",
-        "usum" -> "{{add .user_id 7}}"))).stage(ev)
-      chain.select($"event_id", $"filled", $"flag", $"b64", $"short", $"usum")
+        "usum" -> "{{add .user_id 7}}",
+        "sj" -> "{{join \"|\" (splitList \" \" .phrase)}}",
+        "uq" -> "{{join \"|\" (uniq (splitList \" \" .phrase))}}",
+        "fw" -> "{{first (splitList \" \" .phrase)}}",
+        "lw" -> "{{last (splitList \" \" .phrase)}}",
+        "rx" -> "{{regexMatch \"^p\" .event_type}}",
+        "rr" -> "{{regexReplaceAll \"[aeiou]\" .event_type \"_\"}}",
+        "sha" -> "{{sha256sum .event_type}}"))).stage(ev)
+      chain.select($"event_id", $"filled", $"flag", $"b64", $"short",
+        $"usum", $"sj", $"uq", $"fw", $"lw", $"rx", $"rr", $"sha")
     },
 
     // ---- training-data pipeline operators: dedup ----
@@ -2574,14 +2588,27 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_sprig" ->
-      """SELECT event_id,
+      """WITH e AS (
+        |  SELECT *, string_split(event_type || ' ' || event_type || ' end',
+        |    ' ') AS ph
+        |  FROM events
+        |)
+        |SELECT event_id,
         |  CASE WHEN event_id % 3 = 0 AND event_type IS NOT NULL
         |    THEN event_type ELSE 'none' END AS filled,
         |  CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END AS flag,
         |  COALESCE(to_base64(CAST(event_type AS BLOB)), '') AS b64,
         |  COALESCE(substring(event_type, 1, 3), '') AS short,
-        |  COALESCE(CAST(user_id + 7 AS VARCHAR), '') AS usum
-        |FROM events""".stripMargin,
+        |  COALESCE(CAST(user_id + 7 AS VARCHAR), '') AS usum,
+        |  COALESCE(array_to_string(ph, '|'), '') AS sj,
+        |  COALESCE(array_to_string(
+        |    list_filter(ph, (x, i) -> list_position(ph, x) = i), '|'), '') AS uq,
+        |  COALESCE(ph[1], '') AS fw,
+        |  COALESCE(list_extract(ph, len(ph)), '') AS lw,
+        |  COALESCE(CAST(regexp_matches(event_type, '^p') AS VARCHAR), '') AS rx,
+        |  COALESCE(regexp_replace(event_type, '[aeiou]', '_', 'g'), '') AS rr,
+        |  COALESCE(sha256(event_type), '') AS sha
+        |FROM e""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS cnt

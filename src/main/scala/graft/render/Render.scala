@@ -51,7 +51,10 @@ object Render {
     * timeFormat (Go layout), and the sprig-style string helpers
     * upper/lower/trim/title. Everything compiles to built-in Columns. */
   private def template(spec: String)(df: DataFrame): Column = {
-    val seg = """\{\{\s*([^}]+?)\s*\}\}""".r
+    // a `}` may appear INSIDE a quoted argument (regex replacements like
+    // "hi ${who}"); the action body is any run of quoted-strings or
+    // non-} chars up to the closing }}
+    val seg = """\{\{\s*((?:"[^"]*"|[^}])+?)\s*\}\}""".r
     val parts = scala.collection.mutable.ArrayBuffer[Column]()
     var last = 0
     for (m <- seg.findAllMatchIn(spec)) {
@@ -84,12 +87,37 @@ object Render {
     }
   }
 
+  /** Top-level argument scanner: whitespace separates, but a quoted
+    * string or a (parenthesized call) — nested to any depth — is ONE
+    * argument (Go's command word structure, same scanner shape as
+    * ConditionFilter's). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    s.foreach { ch =>
+      if (inQ) { cur += ch; if (ch == '"') inQ = false }
+      else ch match {
+        case '"' => cur += ch; inQ = true
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case c if c.isWhitespace && depth == 0 =>
+          if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+        case c => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
   /** One `{{ … }}` body → Column. */
   private def templateExpr(body: String, df: DataFrame): Column = {
-    // split on spaces outside double quotes
-    val toks = """"[^"]*"|\S+""".r.findAllIn(body).toSeq
+    val toks = splitTopLevel(body.trim)
     def arg(t: String): Column =
-      if (t.startsWith(".")) fieldRef(t, df)
+      if (t.startsWith("(") && t.endsWith(")"))
+        templateExpr(t.substring(1, t.length - 1).trim, df) // nested call
+      else if (t.startsWith(".")) fieldRef(t, df)
       else if (t.startsWith("\"") && t.endsWith("\"")) lit(t.substring(1, t.length - 1))
       else scala.util.Try(lit(t.toLong)).getOrElse(
         scala.util.Try(lit(t.toDouble)).getOrElse(lit(t)))
@@ -203,9 +231,80 @@ object Render {
         date_format(arg(t).cast("timestamp"),
           graft.filters.GoTimeLayout.translate(unquote(f)))
 
-      case other => sys.error(s"unsupported template expression '${other.mkString(" ")}'")
+      // ---- sprig list family (splitList's array<string> is the template
+      //      list type; nested calls compose — `join "," (uniq (splitList
+      //      " " .msg))`) ----
+      case Seq("splitList", sep, s) =>
+        // sprig splitList = Go strings.Split: LITERAL separator, -1 limit
+        // (trailing empties kept)
+        split(arg(s).cast("string"),
+          java.util.regex.Pattern.quote(unquote(sep)), -1)
+      case Seq("join", sep, l) =>
+        array_join(arg(l).cast("array<string>"), unquote(sep))
+      case Seq("first", l) => get(arg(l).cast("array<string>"), lit(0))
+      case Seq("last", l) =>
+        val c = arg(l).cast("array<string>")
+        get(c, size(c) - 1)
+      case Seq("uniq", l) =>
+        // sprig uniq keeps first-occurrence order — array_distinct's order
+        array_distinct(arg(l).cast("array<string>"))
+
+      // ---- sprig regex family: RE2 patterns translate to Java (named
+      //      groups `(?P<x>` → `(?<x>`; the rest of RE2's surface is a
+      //      Java sub-dialect at these call sites); Go replacement
+      //      `$name` refs translate to Java `${name}` ----
+      case Seq("regexMatch", re, s) =>
+        arg(s).cast("string").rlike(goRegexToJava(unquote(re)))
+      case Seq("regexFind", re, s) =>
+        regexp_extract(arg(s).cast("string"),
+          "(" + goRegexToJava(unquote(re)) + ")", 1)
+      case Seq("regexReplaceAll", re, s, repl) =>
+        regexp_replace(arg(s).cast("string"), goRegexToJava(unquote(re)),
+          goReplacementToJava(unquote(repl)))
+
+      // ---- sprig checksum family ----
+      case Seq("sha1sum", a) => sha1(arg(a).cast("string").cast("binary"))
+      case Seq("sha256sum", a) => sha2(arg(a).cast("string").cast("binary"), 256)
+      case Seq("md5sum", a) => md5(arg(a).cast("string").cast("binary"))
+
+      case other =>
+        // every sprig name beyond the implemented subset fails AT PLAN
+        // TIME with the full supported list — a migrating config learns
+        // its delta on the first compile, never mid-job (reference
+        // registers all of sprig, template_value_render.go:41-44)
+        val name = other.headOption.getOrElse("")
+        sys.error(s"unsupported template function '$name' in '${other
+          .mkString(" ")}' (supported: ${SupportedTemplateFns.mkString(", ")})")
     }
   }
+
+  /** The implemented template-function surface (kept in sync with
+    * templateExpr's match arms — RenderSpec pins membership). */
+  val SupportedTemplateFns: Seq[String] = Seq(
+    "now", "timestamp", "plus", "minus", "multiply", "divide", "mod",
+    "timeFormat", "upper", "lower", "trim", "title", "default", "ternary",
+    "coalesce", "empty", "b64enc", "b64dec", "trunc", "abbrev", "substr",
+    "repeat", "quote", "trimPrefix", "trimSuffix", "add", "sub", "mul",
+    "div", "max", "min", "round", "compare", "contains", "containsAny",
+    "hasprefix", "hassuffix", "replace", "dateModify", "date", "splitList",
+    "join", "first", "last", "uniq", "regexMatch", "regexFind",
+    "regexReplaceAll", "sha1sum", "sha256sum", "md5sum").sorted
+
+  /** RE2 pattern → Java: the one syntactic difference at these call
+    * sites is named groups — RE2 `(?P<name>`, Java `(?<name>`. */
+  private def goRegexToJava(re: String): String =
+    re.replace("(?P<", "(?<")
+
+  /** Go regexp replacement syntax → Java: Go allows bare `$name` /
+    * `$1` group refs and `$$` for a literal dollar; Java needs `${name}`
+    * for named groups (numeric `$1` is shared). */
+  private def goReplacementToJava(repl: String): String =
+    """\$\$|\$\{?([A-Za-z_][A-Za-z0-9_]*|\d+)\}?""".r
+      .replaceAllIn(repl, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (m.matched == "$$") "\\$"
+          else if (m.group(1).forall(_.isDigit)) "$" + m.group(1)
+          else "${" + m.group(1) + "}"))
 
   /** Logstash/ES index pattern: `prefix-%{field}-%{+YYYY.MM.dd}`. */
   private def indexPattern(spec: String, tsColumn: String)(df: DataFrame): Column = {

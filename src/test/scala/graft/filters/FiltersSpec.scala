@@ -89,6 +89,56 @@ class FiltersSpec extends SparkSpec {
     assert(render("""{{date "2006/01/02 15:04" .ts}}""") == "2024/03/05 10:20")
   }
 
+  test("sprig list/regex/checksum families with nested calls (r12 verdict task 6)") {
+    import graft.render.Render
+    val df = Seq(("b a b c a", "access-2024")).toDF("s", "name")
+    def render(t: String): String =
+      df.select(Render.compile(t)(df).cast("string")).collect().head.getString(0)
+    // list family composes through nested (parenthesized) calls
+    assert(render("""{{join "|" (splitList " " .s)}}""") == "b|a|b|c|a")
+    assert(render("""{{join "|" (uniq (splitList " " .s))}}""") == "b|a|c")
+    assert(render("""{{first (splitList " " .s)}}""") == "b")
+    assert(render("""{{last (splitList " " .s)}}""") == "a")
+    // splitList is a LITERAL separator (Go strings.Split), not a regex
+    val dotted = Seq(Tuple1("a.b.c")).toDF("d")
+    assert(dotted.select(Render.compile("""{{join "-" (splitList "." .d)}}""")(dotted)
+      .cast("string")).collect().head.getString(0) == "a-b-c")
+    // regex family
+    assert(render("""{{regexMatch "^acc" .name}}""") == "true")
+    assert(render("""{{regexMatch "^x" .name}}""") == "false")
+    assert(render("""{{regexFind "[0-9]+" .name}}""") == "2024")
+    assert(render("""{{regexReplaceAll "[0-9]" .name "#"}}""") == "access-####")
+    // Go replacement $name refs translate to Java ${name}; $$ is literal
+    val named = Seq(Tuple1("user=alice")).toDF("kv")
+    assert(named.select(Render.compile(
+      """{{regexReplaceAll "user=(?P<who>[a-z]+)" .kv "hi ${who}$$"}}""")(named)
+      .cast("string")).collect().head.getString(0) == "hi alice$")
+    // checksums match the JDK digests
+    def hex(alg: String, s: String) = java.security.MessageDigest
+      .getInstance(alg).digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(render("{{sha256sum .name}}") == hex("SHA-256", "access-2024"))
+    assert(render("{{sha1sum .name}}") == hex("SHA-1", "access-2024"))
+    assert(render("{{md5sum .name}}") == hex("MD5", "access-2024"))
+  }
+
+  test("unknown template functions fail at plan time with the supported list") {
+    import graft.render.Render
+    val df = Seq(Tuple1("x")).toDF("s")
+    val e = intercept[RuntimeException] {
+      df.select(Render.compile("{{uuidv4}}")(df))
+    }
+    assert(e.getMessage.contains("unsupported template function 'uuidv4'"),
+      e.getMessage)
+    assert(e.getMessage.contains("supported:"), e.getMessage)
+    assert(e.getMessage.contains("splitList"), e.getMessage) // the list is real
+    // nested unknowns surface the INNER name
+    val e2 = intercept[RuntimeException] {
+      df.select(Render.compile("""{{join "," (shuffle .s)}}""")(df))
+    }
+    assert(e2.getMessage.contains("'shuffle'"), e2.getMessage)
+  }
+
   test("Remove: unconditional drops column; conditional nulls per-row") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "junk")
     assert(!FilterBox(RemoveFilter(Seq("junk"))).stage(df).columns.contains("junk"))
