@@ -406,6 +406,56 @@ object Similarity {
     n
   }
 
+  /** Rebuild a saved index IN PLACE from its own posting lists: re-train
+    * centroids (k-means over the stored vectors, k = the current cell
+    * count) and re-assign — the recovery path when [[ivfNeedsRebuild]]
+    * trips (appends assign against centroids trained before they
+    * existed, so recall decays as drift grows; retraining re-centers).
+    *
+    * Commit is the store tmp+rename contract: the new index builds
+    * completely under `<path>/_rebuild_tmp` (readers never see it), then
+    * each component swaps into place. Crash windows leave either a stale
+    * tmp (detected and cleaned next attempt) or a completed-tmp/missing-
+    * assigned pair, which the next call FINISHES instead of retraining
+    * (tmp completeness marker: `_base_counts`, written last by save).
+    * Single writer per index path, like [[appendToIvfIndex]].
+    *
+    * Returns the rebuilt index size. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      iters: Int = 5): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_rebuild_tmp")
+    def swapIn(): Long = {
+      Seq("assigned", "centroids", "_base_counts").foreach { c =>
+        val dst = new org.apache.hadoop.fs.Path(root, c)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp, c), dst),
+          s"rebuildIvfIndex: could not commit $c into $path")
+      }
+      fs.delete(tmp, true)
+      IvfIndex.load(spark, path).assigned.count()
+    }
+    if (fs.exists(tmp)) {
+      val complete = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_base_counts"))
+      val swapped = !fs.exists(new org.apache.hadoop.fs.Path(root, "assigned"))
+      if (complete && swapped) return swapIn() // finish a crashed swap
+      fs.delete(tmp, true) // stale or incomplete prior attempt
+    }
+    val idx = IvfIndex.load(spark, path)
+    // bounded drain: a saved index has at most thousands of cells
+    val k = idx.centroids.select(col("cell_id")).head(65537).length
+    require(k >= 1 && k <= 65536,
+      s"rebuildIvfIndex: implausible cell count $k at $path")
+    // cut lineage from the files the swap will delete — the new index
+    // must be fully materialized (save) before any old file goes away
+    val corpus = idx.assigned.select(col("vec_id"), col("cv"))
+      .localCheckpoint()
+    val cents = trainKmeansCentroids(corpus, "cv", "vec_id", k, iters)
+    buildIvfIndex(corpus, "cv", "vec_id", k, Some(cents)).save(tmp.toString)
+    swapIn()
+  }
+
   /** Per-cell drift report for a saved index: (cell_id, base_n, cur_n,
     * drift) where drift = (cur_n − base_n) / base_n; a cell whose
     * baseline is 0 (or a pre-baseline index) reports null drift and

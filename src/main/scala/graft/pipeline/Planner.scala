@@ -919,20 +919,33 @@ object Planner {
         // append this corpus's embeddings to a saved IVF index AFTER the
         // run's sinks commit (PostCommit — the seen-store mutation
         // contract; the append itself is idempotent via its anti-join, so
-        // a crashed run's retry adds 0). Warns on stderr when per-cell
-        // drift exceeds `max_drift` — the documented rebuild trigger.
+        // a crashed run's retry adds 0). When per-cell drift exceeds
+        // `max_drift` (the documented rebuild trigger): `rebuild: warn`
+        // (default) warns on stderr; `rebuild: auto` retrains in place
+        // via rebuildIvfIndex — also PostCommit, under the store
+        // tmp+rename crash contract, so a failed sink can't poison the
+        // index and a crashed rebuild finishes on the next run.
         val vec = conf.str("src").getOrElse("embedding")
         val path = conf.strReq("index_path")
         val maxDrift = conf.dbl("max_drift", 0.5)
+        val rebuild = conf.str("rebuild").getOrElse("warn")
+        if (rebuild != "warn" && rebuild != "auto")
+          sys.error(s"IvfAppend: unknown rebuild mode '$rebuild' (warn | auto)")
         df => {
           graft.core.PostCommit.register { () =>
             graft.ml.Similarity.appendToIvfIndex(
               df.sparkSession, path, df, vec, id)
             if (graft.ml.Similarity.ivfNeedsRebuild(df.sparkSession, path,
-                maxDrift))
-              System.err.println(s"[graft] IVF index $path exceeded " +
-                s"max_drift=$maxDrift — rebuild recommended " +
-                "(buildIvfIndex + save, or trainKmeansCentroids)")
+                maxDrift)) {
+              if (rebuild == "auto") {
+                System.err.println(s"[graft] IVF index $path exceeded " +
+                  s"max_drift=$maxDrift — auto-rebuilding (rebuild: auto)")
+                graft.ml.Similarity.rebuildIvfIndex(df.sparkSession, path): Unit
+              } else
+                System.err.println(s"[graft] IVF index $path exceeded " +
+                  s"max_drift=$maxDrift — rebuild recommended " +
+                  "(rebuild: auto, or buildIvfIndex + save)")
+            }
           }
           df
         }

@@ -103,6 +103,77 @@ class IvfIndexSpec extends SparkSpec {
     assert(hit == 45L)
   }
 
+  test("auto-rebuild recovers a deliberately drifted index (r12 verdict task 7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_reb").toString
+    // small base, then append 4x the base — drift far past the 0.5 trigger
+    Similarity.buildIvfIndex(vecs(0 until 40), "embedding", "vec_id",
+      numCells = 16).save(dir)
+    Similarity.appendToIvfIndex(spark, dir, vecs(40 until 200),
+      "embedding", "vec_id")
+    assert(Similarity.ivfNeedsRebuild(spark, dir))
+
+    val n = Similarity.rebuildIvfIndex(spark, dir)
+    assert(n == 200) // nothing lost
+    // retrained baseline: drift is zero again, policy unarmed
+    assert(!Similarity.ivfNeedsRebuild(spark, dir))
+    assert(Similarity.ivfDrift(spark, dir)
+      .agg(max(col("drift"))).head().getDouble(0) == 0.0)
+
+    // recall floor on the REBUILT index (the task's Done bar): ≥ 0.65 at
+    // nprobe=8, queries spanning base and appended vectors
+    val all = vecs(0 until 200)
+    val queries = vecs(0 until 5).unionByName(vecs(190 until 195))
+    val k = 5
+    import spark.implicits._
+    val exact = Similarity.bruteForceTopK(all, queries, "embedding", "vec_id", k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfSearch(IvfIndex.load(spark, dir), queries,
+      "embedding", "vec_id", k, nprobe = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.65, s"post-rebuild recall $recall < 0.65")
+  }
+
+  test("rebuild crash contract: a completed-tmp/missing-assigned pair is finished, not retrained") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+    Similarity.buildIvfIndex(vecs(0 until 60), "embedding", "vec_id",
+      numCells = 8).save(dir)
+    // simulate a crash BETWEEN the swap's delete and rename: the new
+    // index is complete under _rebuild_tmp, the live assigned is gone
+    Similarity.buildIvfIndex(vecs(0 until 60), "embedding", "vec_id",
+      numCells = 8).save(s"$dir/_rebuild_tmp")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "assigned"), true)
+    assert(Similarity.rebuildIvfIndex(spark, dir) == 60) // finished the swap
+    assert(IvfIndex.load(spark, dir).assigned.count() == 60)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_rebuild_tmp")))
+    // a stale INCOMPLETE tmp is discarded and a full rebuild proceeds
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_rebuild_tmp/assigned"))
+    assert(Similarity.rebuildIvfIndex(spark, dir) == 60)
+  }
+
+  test("IvfAppend rebuild: auto retrains past max_drift, PostCommit-deferred") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_auto").toString
+    Similarity.buildIvfIndex(vecs(0 until 30), "embedding", "vec_id",
+      numCells = 8).save(dir)
+    val stage = graft.pipeline.Planner.corpusStage("IvfAppend", Map(
+      "index_path" -> dir, "src" -> "embedding", "id_field" -> "vec_id",
+      "rebuild" -> "auto"))
+    stage(vecs(30 until 150)).count() // 4x the base: past max_drift
+    // nothing happens until the sinks commit
+    assert(Similarity.ivfDrift(spark, dir).collect().map(_.getLong(2)).sum == 30)
+    graft.core.PostCommit.drain()
+    // appended AND auto-rebuilt: fresh baseline, no pending rebuild
+    assert(IvfIndex.load(spark, dir).assigned.count() == 150)
+    assert(!Similarity.ivfNeedsRebuild(spark, dir))
+    // unknown rebuild mode is a plan-time error
+    assert(intercept[RuntimeException] {
+      graft.pipeline.Planner.corpusStage("IvfAppend", Map(
+        "index_path" -> dir, "rebuild" -> "nope"))
+    }.getMessage.contains("rebuild mode"))
+  }
+
   test("post-append recall holds the measured r11 floor (>= 0.65 at nprobe=8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rec").toString
     Similarity.buildIvfIndex(vecs(0 until 120), "embedding", "vec_id",
