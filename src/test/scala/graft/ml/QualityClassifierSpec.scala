@@ -152,6 +152,28 @@ class QualityClassifierSpec extends SparkSpec {
     assert(e.getMessage.contains("corpus-level"), e.getMessage)
   }
 
+  test("score runs on a STREAM: the zero-exchange map is stream-native") {
+    // weights are a bounded batch-trained model embedded in the plan, so
+    // scoring applies to a streaming frame as-is (the LangId contract)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val model = QualityClassifier.train(labeled(0 until 200), "text", "label",
+      logBuckets = 10, bigrams = true, epochs = 20, lr = 1.0)
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF.toDF("id", "text")
+    val out = QualityClassifier.score(src, "text", model)
+      .filter(col("quality_logit") > 0)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("clf_stream").start()
+    try {
+      mem.addData((0L, goodDoc(500)), (1L, badDoc(501)), (2L, goodDoc(502)))
+      q.processAllAvailable()
+      val kept = spark.table("clf_stream").select("id").as[Long].collect().toSet
+      assert(kept == Set(0L, 2L), s"stream kept $kept")
+    } finally q.stop()
+  }
+
   test("guards: non-0/1 labels and output-column collisions fail loudly") {
     val bad = Seq((1L, "some text", 2)).toDF("id", "text", "label")
     assert(intercept[IllegalArgumentException] {
