@@ -453,6 +453,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges == 2, s"training shape changed:\n$plan")
   }
 
+  test("quality classifier gate: zero-exchange pruned scan, kernel in codegen") {
+    // the embedded-weights logit is a narrow map (the LangId classify
+    // contract): no shuffle, no join, and the scan reads ONLY the two
+    // columns the gate projects — lang/source/n_chars must prune away
+    val plan = executedPlan("q_quality_clf")
+    assert(!plan.contains("Exchange"), s"clf scoring gained a shuffle:\n$plan")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("quality_clf_logit"), plan)
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(schema.contains("doc_id") && schema.contains("text"), plan)
+    assert(!schema.contains("n_chars") && !schema.contains("source"),
+      s"column pruning lost:\n$schema")
+  }
+
+  test("dsir gate: after the bounded count drains, weigh+keep is a narrow map") {
+    // Dsir.model() drains the two count frames EAGERLY at plan build
+    // (bounded take — the LangId profile contract), so the frame the
+    // gate returns is a zero-exchange projection: ratio/log-ratio
+    // lookups against plan-literal arrays plus the portable01 threshold
+    val plan = executedPlan("q_dsir")
+    assert(!plan.contains("Exchange"), s"dsir weigh gained a shuffle:\n$plan")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("quality_clf_buckets"), plan)
+  }
+
   test("corpus diff: hash-projected full-outer merge join, no cartesian") {
     val plan = executedPlan("q_corpus_diff")
     assert(!plan.contains("CartesianProduct"), plan)
