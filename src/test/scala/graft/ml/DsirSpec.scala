@@ -126,6 +126,40 @@ class DsirSpec extends SparkSpec {
     }.getMessage.contains("target"))
   }
 
+  test("streaming: threshold method with BOTH counts saved runs on a MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_stream").toString
+    val p = pool(0 until 200)
+    Dsir.ngramCounts(target, "text", 10).write.parquet(s"$dir/tgt")
+    Dsir.ngramCounts(p, "text", 10).write.parquet(s"$dir/raw")
+    val stage = graft.pipeline.Planner.corpusStage("Dsir", Map(
+      "src" -> "text", "id_field" -> "id",
+      "target_counts_path" -> s"$dir/tgt", "raw_counts_path" -> s"$dir/raw",
+      "log_buckets" -> 10, "method" -> "threshold", "cap" -> 1.0))
+    val mem = MemoryStream[(Long, String)]
+    val out = stage(mem.toDF.toDF("id", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dsir_stream").start()
+    try {
+      mem.addData((500L, doc(sci, 500)), (501L, doc(spam, 501)),
+        (502L, doc(sci, 502)), (503L, doc(spam, 503)))
+      q.processAllAvailable()
+      val kept = spark.table("dsir_stream").select("id").as[Long].collect().toSet
+      // target-domain docs survive the threshold; spam drops
+      assert(kept.subsetOf(Set(500L, 502L)) && kept.nonEmpty, s"stream kept $kept")
+    } finally q.stop()
+    // counting inside a stream is rejected loudly
+    val e = intercept[RuntimeException] {
+      graft.pipeline.Planner.corpusStage("Dsir", Map(
+        "src" -> "text", "id_field" -> "id",
+        "target" -> Map("input" -> "Parquet", "path" -> s"$dir/tgt"),
+        "method" -> "threshold"))(mem.toDF.toDF("id", "text"))
+    }
+    assert(e.getMessage.contains("stream"), e.getMessage)
+  }
+
   test("guards: oversized/foreign count frames and bad params fail loudly") {
     val p = pool(0 until 40)
     // counts built at a different logBuckets are rejected
