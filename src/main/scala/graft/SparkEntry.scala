@@ -1794,6 +1794,17 @@ object SparkEntry {
         totalBudget = 30000L)
     },
 
+    // temperature mixture (mC4/XLM-R): weights derive from the data
+    // itself, w = (n/N)^alpha. alpha = 0.5 = sqrt — IEEE requires sqrt
+    // correctly rounded, so every double here replays bit-for-bit; the
+    // normalizer folds the group-sorted weight array (never a partition-
+    // order float sum)
+    "q_mix_temperature" -> { (s, dir) =>
+      graft.ml.DatasetOps.temperatureMixture(
+        Tables.load(s, dir, "documents"), "source", "text",
+        totalBudget = 20000L, alpha = 0.5)
+    },
+
     // the plan applied: per-source keep rates decided by the portable
     // per-doc fraction — reproducible, broadcast-rate, shuffle-free
     "q_mix_apply" -> { (s, dir) =>
@@ -4272,6 +4283,32 @@ object SparkEntry {
         |  30000.0 * weight / ws AS target_tokens,
         |  least(1.0, (30000.0 * weight / ws) / n_tokens) AS rate,
         |  greatest(0.0, (30000.0 * weight / ws) - n_tokens) AS deficit
+        |FROM p CROSS JOIN w""".stripMargin,
+
+    // alpha = 0.5 replays as sqrt (correctly rounded by IEEE mandate in
+    // both engines); wsum replays as the list fold over weights ordered
+    // by group — the same order sort_array gives the Spark fold
+    "q_mix_temperature" ->
+      """WITH t AS (
+        |  SELECT source AS "group",
+        |    len(string_split_regex(text, '\s+')) AS tc
+        |  FROM documents
+        |), p AS (
+        |  SELECT "group", CAST(sum(tc) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS N,
+        |    list(n_tokens ORDER BY "group") AS arr
+        |  FROM p
+        |), w AS (
+        |  SELECT N, list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(arr, n -> sqrt(n / N))), (a, b) -> a + b) AS wsum
+        |  FROM tot
+        |)
+        |SELECT "group", n_tokens, sqrt(n_tokens / N) AS weight,
+        |  20000.0 * sqrt(n_tokens / N) / wsum AS target_tokens,
+        |  least(1.0, (20000.0 * sqrt(n_tokens / N) / wsum) / n_tokens) AS rate,
+        |  greatest(0.0, (20000.0 * sqrt(n_tokens / N) / wsum) - n_tokens) AS deficit
         |FROM p CROSS JOIN w""".stripMargin,
 
     // portable01(seed=3): additive constant 3*97+12345 = 12636

@@ -158,6 +158,63 @@ object DatasetOps {
       .drop("__graft_wsum")
   }
 
+  /** Temperature-based mixture plan (the mC4/XLM-R sampling method —
+    * Xue et al. 2021 §3.1, Conneau et al. 2020 §3.1): per-source weights
+    * derive from the DATA ITSELF, w_i = p_i^alpha with p_i = n_i/N, so
+    * low-resource sources up-sample as alpha shrinks (alpha = 1 is
+    * proportional, alpha → 0 uniform; the published sweet spots are
+    * 0.3–0.7). The complement of [[planMixture]]'s explicit budgets and
+    * [[Dsir]]'s target-domain selection. Output schema matches
+    * planMixture ((group, n_tokens, weight, target_tokens, rate,
+    * deficit)) so [[applyMixture]] consumes either plan.
+    *
+    * Cross-engine exactness: token masses are exact longs; p is one
+    * correctly-rounded divide; alpha = 0.5 computes as `sqrt` (IEEE
+    * requires sqrt correctly rounded — bit-identical in every engine,
+    * the gate's form) and integer alphas as ordered multiplication
+    * folds; other alphas use `pow` (engine-side only, like ln — don't
+    * oracle them). The weight NORMALIZER is an ordered fold over the
+    * per-source array sorted by group (one extra bounded agg), never a
+    * partition-order-dependent float sum — the wsum of irrational
+    * weights would otherwise differ run to run in the last ulp. */
+  def temperatureMixture(df: DataFrame, groupCol: String, textCol: String,
+      totalBudget: Long, alpha: Double = 0.5,
+      tokenCounter: Column => Column = TextAnalysis.tokenCount): DataFrame = {
+    require(totalBudget > 0, "temperatureMixture: totalBudget must be positive")
+    require(alpha > 0 && alpha <= 4.0,
+      s"temperatureMixture: alpha must be in (0, 4], got $alpha")
+    def weightOf(p: Column): Column =
+      if (alpha == 0.5) sqrt(p)
+      else if (alpha.isValidInt)
+        // left-assoc multiplication fold: exact IEEE order, replayable
+        (1 until alpha.toInt).foldLeft(p)((acc, _) => acc * p)
+      else pow(p, lit(alpha))
+    val perSource = df.groupBy(col(s"`$groupCol`").as("group"))
+      .agg(sum(tokenCounter(col(s"`$textCol`")).cast("long")).as("n_tokens"))
+    // one bounded agg: the corpus total (exact long) plus the per-source
+    // masses as a group-sorted array, folded in that order for a
+    // deterministic normalizer
+    val tot = perSource.agg(
+        sum(col("n_tokens")).as("__graft_tm_N"),
+        sort_array(collect_list(struct(col("group"), col("n_tokens"))))
+          .as("__graft_tm_arr"))
+      .select(col("__graft_tm_N"),
+        aggregate(col("__graft_tm_arr"), lit(0.0d), (acc, x) =>
+          acc + weightOf(x.getField("n_tokens").cast("double") /
+            col("__graft_tm_N").cast("double"))).as("__graft_tm_wsum"))
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        weightOf(col("n_tokens").cast("double") /
+          col("__graft_tm_N").cast("double")))
+      .withColumn("target_tokens",
+        lit(totalBudget.toDouble) * col("weight") / col("__graft_tm_wsum"))
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens") / col("n_tokens")))
+      .withColumn("deficit",
+        greatest(lit(0.0), col("target_tokens") - col("n_tokens")))
+      .drop("__graft_tm_N", "__graft_tm_wsum")
+  }
+
   /** Apply a [[planMixture]] plan: keep each row with its source's
     * planned rate, decided by the deterministic `frac` (same contract
     * as [[sampleByWeights]] — reproducible, complementary-rate

@@ -1139,13 +1139,21 @@ object Planner {
         }
       case "BudgetMix" =>
         // token-budget mixture: size per-source rates against real token
-        // mass (planMixture), then sample — `emit: plan` returns the
-        // per-source audit frame instead of the sampled rows
+        // mass, then sample — `emit: plan` returns the per-source audit
+        // frame instead of the sampled rows. Weights come from explicit
+        // `weights:` (planMixture) or, with `temperature_alpha`, from the
+        // data itself (w = p^alpha, the mC4/XLM-R temperature method);
+        // the two are mutually exclusive.
         val group = conf.str("group_field").getOrElse(sys.error(
           "BudgetMix needs `group_field` (the source column)"))
         val weights = conf.anyMap("weights")
           .map { case (k, v) => k -> v.toString.toDouble }
         val dflt = conf.dbl("default_weight", 1.0)
+        val tempAlpha = conf.str("temperature_alpha").map(_.toDouble)
+        if (tempAlpha.nonEmpty && weights.nonEmpty)
+          sys.error("BudgetMix: `weights` and `temperature_alpha` are " +
+            "mutually exclusive — explicit budgets or data-derived " +
+            "temperature weights, not both")
         val budget = conf.long("budget", 0L) match {
           case b if b > 0 => b
           case _ => sys.error("BudgetMix needs a positive `budget` (tokens)")
@@ -1153,8 +1161,12 @@ object Planner {
         val keyField = conf.str("key_field").getOrElse(id)
         val seed = conf.int("seed", 0)
         df => {
-          val plan = graft.ml.DatasetOps.planMixture(df, group, text,
-            weights, dflt, budget)
+          val plan = tempAlpha match {
+            case Some(a) => graft.ml.DatasetOps.temperatureMixture(
+              df, group, text, budget, a)
+            case None => graft.ml.DatasetOps.planMixture(df, group, text,
+              weights, dflt, budget)
+          }
           conf.str("emit").getOrElse("apply") match {
             case "plan" => plan
             case "apply" => graft.ml.DatasetOps.applyMixture(df, plan, group,

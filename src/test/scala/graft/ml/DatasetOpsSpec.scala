@@ -75,6 +75,63 @@ class DatasetOpsSpec extends SparkSpec {
     assert(plan("books") == (("books", 40L, 1.0, 10.0, 0.25, 0.0)))
   }
 
+  test("temperatureMixture: alpha<1 up-samples low-resource sources (mC4/XLM-R)") {
+    // tiny: 10 tokens, big: 90 tokens — proportional sampling (alpha=1)
+    // keeps their 1:9 ratio; alpha=0.5 flattens toward uniform
+    val docs = Seq(
+      (0L, "tiny", (1 to 10).map(i => s"a$i").mkString(" ")),
+      (1L, "big", (1 to 90).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def planOf(alpha: Double) = DatasetOps.temperatureMixture(
+        docs, "source", "text", totalBudget = 50L, alpha = alpha)
+      .select("group", "n_tokens", "weight", "target_tokens", "rate", "deficit")
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val flat = planOf(0.5)
+    // sqrt weights: tiny sqrt(0.1)=.316, big sqrt(0.9)=.949 — tiny's
+    // budget share rises from 10% (proportional) to 25%
+    assert(math.abs(flat("tiny")._4 / 50.0 - 0.25) < 0.01, flat("tiny"))
+    // integer alpha = 1 (the multiplication-fold path) is proportional:
+    // both sources get rate budget/N exactly
+    val prop = planOf(1.0)
+    assert(prop("tiny")._5 == 0.5 && prop("big")._5 == 0.5, prop)
+    // schema matches planMixture so applyMixture consumes either plan
+    val kept = DatasetOps.applyMixture(docs,
+      DatasetOps.temperatureMixture(docs, "source", "text", 50L, 0.5),
+      "source", DatasetOps.portable01(col("doc_id")))
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    // the normalizer is an ordered fold: repartitioning cannot move wsum
+    val w1 = DatasetOps.temperatureMixture(docs.repartition(1), "source",
+      "text", 50L, 0.5).select("target_tokens").as[Double].collect().sorted.toSeq
+    val w32 = DatasetOps.temperatureMixture(docs.repartition(32), "source",
+      "text", 50L, 0.5).select("target_tokens").as[Double].collect().sorted.toSeq
+    assert(w1 == w32)
+    // non-special alpha goes through pow and still normalizes to budget
+    val p3 = planOf(0.3)
+    assert(math.abs(p3.values.map(_._4).sum - 50.0) < 1e-9)
+    assert(intercept[IllegalArgumentException] {
+      DatasetOps.temperatureMixture(docs, "source", "text", 50L, 0.0)
+    }.getMessage.contains("alpha"))
+  }
+
+  test("BudgetMix YAML: temperature_alpha derives weights; exclusive with weights:") {
+    val docs = Seq(
+      (0L, "tiny", (1 to 10).map(i => s"a$i").mkString(" ")),
+      (1L, "big", (1 to 90).map(i => s"b$i").mkString(" ")))
+      .toDF("id", "source", "text")
+    val plan = graft.pipeline.Planner.corpusStage("BudgetMix", Map(
+      "group_field" -> "source", "budget" -> 50,
+      "temperature_alpha" -> "0.5", "emit" -> "plan"))(docs)
+    assert(plan.columns.contains("target_tokens"))
+    assert(plan.count() == 2)
+    assert(intercept[RuntimeException] {
+      graft.pipeline.Planner.corpusStage("BudgetMix", Map(
+        "group_field" -> "source", "budget" -> 50,
+        "temperature_alpha" -> "0.5",
+        "weights" -> Map("tiny" -> 3.0)))(docs)
+    }.getMessage.contains("mutually exclusive"))
+  }
+
   test("applyMixture keeps rows by planned rate; unplanned sources drop") {
     val docs = (0L until 100L).map(i => (i, "web", "x y z"))
       .toDF("doc_id", "source", "text")
