@@ -55,6 +55,42 @@ object Dsir {
     perBucket.unionByName(total)
   }
 
+  /** Append this corpus's hashed-ngram counts to a COUNTS STORE — the
+    * cumulative raw-pool distribution an incremental (daily-run) DSIR
+    * weighs against, the vocabulary-store machinery over the bucket key
+    * space: partials append, reads sum them — including the -1 total
+    * sentinel, which stays correct across increments by construction
+    * (a sum of totals is the total of the union). NOT idempotent
+    * (counts merge, the vocab-store contract) — register behind
+    * PostCommit so a failed run's retry cannot double-count. */
+  def appendToCountsStore(df: DataFrame, textCol: String, storePath: String,
+      logBuckets: Int = 12, bigrams: Boolean = true): Long = {
+    val counts = ngramCounts(df, textCol, logBuckets, bigrams)
+      .localCheckpoint() // count + write must see the same rows
+    val n = counts.count()
+    if (n > 0) counts.write.mode("append").parquet(storePath)
+    n
+  }
+
+  /** The merged bucket-count view of a counts store (partials summed;
+    * empty frame with the Dsir schema for an absent store). */
+  def countsFromStore(spark: SparkSession, storePath: String): DataFrame =
+    Dedup.readStoreOpt(spark, storePath)
+      .map(_.groupBy(col("bucket").cast("int").as("bucket"))
+        .agg(sum(col("cnt").cast("long")).as("cnt")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Int, Long)].toDF("bucket", "cnt")
+      }
+
+  /** Fold a counts store's accumulated partials into one summed row per
+    * bucket across `targetFiles` files. Idempotent; the seen-store
+    * compaction crash contract. */
+  def compactCountsStore(spark: SparkSession, storePath: String,
+      targetFiles: Int = 8): Long =
+    Dedup.compactStoreWith(spark, storePath, targetFiles)(
+      _.groupBy("bucket").agg(sum(col("cnt")).as("cnt")))(())
+
   /** Driver-side model from the two bounded count frames. Arrays are
     * indexed by bucket; ratio[b] and logRatio[b] per the class doc. */
   final case class DsirModel(ratio: Array[Double], logRatio: Array[Double],

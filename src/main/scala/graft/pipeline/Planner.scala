@@ -1043,9 +1043,27 @@ object Planner {
                     .map(d.withColumnRenamed(_, text)).getOrElse(d)),
                 text, logB, bg)
           }
-          val rawCounts = conf.str("raw_counts_path") match {
-            case Some(p) => s.read.parquet(p)
-            case None =>
+          val rawCounts = (conf.str("raw_counts_path"),
+              conf.str("raw_counts_store")) match {
+            case (Some(_), Some(_)) => sys.error("Dsir: `raw_counts_path` " +
+              "and `raw_counts_store` are mutually exclusive")
+            case (Some(p), None) => s.read.parquet(p)
+            case (None, Some(store)) =>
+              // incremental raw pool: the cumulative store PLUS today's
+              // increment is the distribution today's docs are scored
+              // against; the increment's counts append to the store only
+              // after the sinks commit (counts merge — NOT idempotent, so
+              // an eager append would double-count a failed run's retry)
+              if (df.isStreaming) sys.error("Dsir on a stream needs " +
+                "`raw_counts_path` — a counts store cannot aggregate " +
+                "inside the stream")
+              graft.core.PostCommit.register { () =>
+                graft.ml.Dsir.appendToCountsStore(df, text, store, logB, bg): Unit
+              }
+              graft.ml.Dsir.countsFromStore(s, store)
+                .unionByName(graft.ml.Dsir.ngramCounts(df, text, logB, bg))
+                .groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+            case (None, None) =>
               if (df.isStreaming) sys.error("Dsir on a stream needs " +
                 "`raw_counts_path` — the pool's counts cannot be " +
                 "aggregated inside the stream")

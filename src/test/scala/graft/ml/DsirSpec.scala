@@ -160,6 +160,48 @@ class DsirSpec extends SparkSpec {
     assert(e.getMessage.contains("stream"), e.getMessage)
   }
 
+  test("counts store: partials sum (incl. the total sentinel); YAML store is PostCommit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_store").toString
+    val day1 = pool(0 until 50)
+    val day2 = pool(50 until 100)
+    Dsir.appendToCountsStore(day1, "text", s"$dir/raw", 8)
+    Dsir.appendToCountsStore(day2, "text", s"$dir/raw", 8)
+    val merged = Dsir.countsFromStore(spark, s"$dir/raw").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = Dsir.ngramCounts(pool(0 until 100), "text", 8).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == direct, "two appends must equal one pass over the union")
+    // compaction folds partials without changing the view
+    Dsir.compactCountsStore(spark, s"$dir/raw")
+    assert(Dsir.countsFromStore(spark, s"$dir/raw").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == direct)
+
+    // YAML: raw_counts_store scores against store + today's increment and
+    // appends AFTER the sinks commit (counts merge — not idempotent)
+    target.write.parquet(s"$dir/target")
+    val stage = graft.pipeline.Planner.corpusStage("Dsir", Map(
+      "src" -> "text", "id_field" -> "id",
+      "target" -> Map("input" -> "Parquet", "path" -> s"$dir/target"),
+      "raw_counts_store" -> s"$dir/raw2", "log_buckets" -> 10,
+      "method" -> "threshold", "keep_evidence" -> true))
+    val out = stage(day1)
+    assert(out.columns.contains("sum_ratio"))
+    out.count()
+    // nothing stored until the commit hook runs
+    assert(Dsir.countsFromStore(spark, s"$dir/raw2").count() == 0)
+    graft.core.PostCommit.drain()
+    val stored = Dsir.countsFromStore(spark, s"$dir/raw2")
+    assert(stored.filter(col("bucket") === -1).count() == 1)
+    // path + store together is a config error
+    assert(intercept[RuntimeException] {
+      graft.pipeline.Planner.corpusStage("Dsir", Map(
+        "src" -> "text", "id_field" -> "id",
+        "target" -> Map("input" -> "Parquet", "path" -> s"$dir/target"),
+        "raw_counts_path" -> s"$dir/raw", "raw_counts_store" -> s"$dir/raw2",
+        "method" -> "threshold"))(day1)
+    }.getMessage.contains("mutually exclusive"))
+  }
+
   test("guards: oversized/foreign count frames and bad params fail loudly") {
     val p = pool(0 until 40)
     // counts built at a different logBuckets are rejected
