@@ -797,6 +797,24 @@ object SparkEntry {
         "text", "doc_id", k = 8, minDocs = 2)
     },
 
+    // ExactSubstr-style passage REMOVAL (Lee et al. 2022's rewrite form):
+    // every 5th doc carries an appended 11-token shared passage; the
+    // min-id holder keeps its text verbatim, every other carrier has the
+    // merged spans cut out and tokens re-joined — the whole detect →
+    // keep-first → span-merge → token-filter rebuild is re-derived by
+    // the oracle from the raw table
+    "q_passage_strip" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val shared = " the quick brown fox jumps over the lazy sleeping dog tonight"
+      val multi = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(shared)).otherwise(lit("")))
+          .as("text"))
+      graft.ml.Dedup.stripDuplicatedPassages(multi, "text", "doc_id",
+          k = 8, minDocs = 2)
+        .select(col("doc_id"), col("text"))
+    },
+
     // CCNet-style line-level boilerplate removal: multi-line docs are
     // synthesized (corpus text has no newlines) with a corpus-wide cookie
     // banner (case varies per row — the normalize-then-hash must unify
@@ -2296,6 +2314,53 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(max(pos) + 8 AS BIGINT) AS span_end
         |FROM s GROUP BY doc_id, span""".stripMargin,
+
+    // the q_passage_dedup lattice extended with keep-first (min doc_id
+    // per duplicated gram keeps its text) and the token-filter rebuild;
+    // DuckDB lambda index i is 1-based, Spark's is 0-based → i-1
+    "q_passage_strip" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' the quick brown fox jumps over the lazy sleeping dog tonight'
+        |      ELSE '' END AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM raw
+        |), w AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(toks[i+1:i+8], ' ')}
+        |    for i in range(0, greatest(len(toks)-7, 0))], recursive := true)
+        |  FROM t
+        |), dup AS (
+        |  SELECT gram, CAST(min(doc_id) AS BIGINT) AS min_id
+        |  FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |), hits AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (gram)
+        |  WHERE w.doc_id <> dup.min_id
+        |), b AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > COALESCE(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS boundary
+        |  FROM hits
+        |), s AS (
+        |  SELECT doc_id, pos,
+        |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |  FROM b
+        |), spans AS (
+        |  SELECT doc_id, list({'s': s0, 'e': e0}) AS sp
+        |  FROM (SELECT doc_id, span, min(pos) AS s0, max(pos) + 8 AS e0
+        |        FROM s GROUP BY doc_id, span)
+        |  GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CASE WHEN sp IS NULL THEN t.text ELSE
+        |    -- array_to_string([]) is NULL in DuckDB; Spark's array_join
+        |    -- of an empty array is '' (a fully-duplicated doc strips to
+        |    -- empty text, not null)
+        |    COALESCE(array_to_string(list_filter(t.toks, (tok, i) ->
+        |      len(list_filter(sp, x -> (i-1) >= x['s'] AND (i-1) < x['e'])) = 0), ' '), '')
+        |  END AS text
+        |FROM t LEFT JOIN spans USING (doc_id)""".stripMargin,
 
     "q_line_dedup" ->
       """WITH raw AS (
