@@ -25,7 +25,7 @@ object StressOps {
     * parsed-line output order. Constants (doc_copies etc.) are emitted
     * by the families that define them. */
   val families: Seq[(String, Seq[String])] = Seq(
-    "dedup" -> Seq("minhash", "hamming64_drop", "passage",
+    "dedup" -> Seq("minhash", "hamming64_drop", "passage", "passage_strip",
       "hamming64_drop_skew", "minhash_skew_collapse"),
     "store" -> Seq("store_build", "store_drop", "near_store_build",
       "near_store_drop", "near_store_drop_skew"),
@@ -96,6 +96,12 @@ object StressOps {
           graft.ml.Dedup.dropDuplicatesHamming64(bigDocs, "text", "doc_id").count())
         timed("passage")(
           graft.ml.Dedup.duplicatedPassages(bigDocs, "text", "doc_id").count())
+        // the REWRITE form (ExactSubstr removal): detection plus the
+        // spans join-back and token-filter rebuild — the additional cost
+        // of rewriting documents instead of flagging them
+        timed("passage_strip")(
+          graft.ml.Dedup.stripDuplicatedPassages(bigDocs, "text", "doc_id")
+            .agg(sum(length(col("text")))).count())
         // SKEWED twin (VERDICT r7 task 7): 1% of docs collapse onto one
         // boilerplate text — the hot exact-dup cluster real crawls have.
         // The star-reduction inside the fused drop keeps this linear; the

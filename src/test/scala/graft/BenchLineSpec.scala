@@ -82,7 +82,8 @@ class BenchLineSpec extends AnyFunSuite {
     // family) are what the judge compares round over round; a rename or
     // silent drop here breaks comparability like the r10 headline change
     val expected = Seq(
-      "dedup" -> Seq("minhash", "hamming64_drop", "passage",
+      // passage_strip appended round-13 (the ExactSubstr rewrite cost)
+      "dedup" -> Seq("minhash", "hamming64_drop", "passage", "passage_strip",
         "hamming64_drop_skew", "minhash_skew_collapse"),
       "store" -> Seq("store_build", "store_drop", "near_store_build",
         "near_store_drop", "near_store_drop_skew"),
