@@ -960,6 +960,67 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("model-based curation chain: QualityClassifier → Dsir through graft.Main") {
+    // the round-13 trained-selection pair composed by config: a labeled
+    // reference trains the quality ranker, a target-domain sample drives
+    // DSIR — survivors are high-quality AND target-like
+    val in = tmp("mb-in")
+    val labeled = tmp("mb-labeled")
+    val tgt = tmp("mb-target")
+    val out = tmp("mb-out")
+    val good = Vector("research", "method", "analysis", "model", "data",
+      "result", "experiment", "theory", "approach", "evidence")
+    val bad = Vector("click", "buy", "now", "cheap", "free", "offer")
+    def doc(words: Vector[String], i: Int): String =
+      (0 until 10).map(j => words((i * 3 + j * 7) % words.size)).mkString(" ")
+    // pool: ids 0..99 — even = good/target-like, odd = spam
+    (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) doc(good, i.toInt) else doc(bad, i.toInt)))
+      .toDF("id", "text").write.mode("overwrite").parquet(in)
+    (200 until 320).map(i =>
+      (i.toLong, if (i % 2 == 0) doc(good, i) else doc(bad, i),
+        if (i % 2 == 0) 1 else 0))
+      .toDF("id", "text", "label").write.mode("overwrite").parquet(labeled)
+    (400 until 430).map(i => (i.toLong, doc(good, i)))
+      .toDF("id", "text").write.mode("overwrite").parquet(tgt)
+
+    val yaml =
+      s"""inputs:
+         |  - Parquet:
+         |      path: $in
+         |filters:
+         |  - QualityClassifier:
+         |      src: text
+         |      reference: {input: Parquet, path: $labeled, label_field: label}
+         |      log_buckets: 10
+         |      epochs: 20
+         |      lr: 1.0
+         |      keep_above: "0.0"
+         |  - Dsir:
+         |      src: text
+         |      id_field: id
+         |      target: {input: Parquet, path: $tgt}
+         |      log_buckets: 10
+         |      method: threshold
+         |      cap: 1.0
+         |outputs:
+         |  - Parquet:
+         |      path: $out
+         |""".stripMargin
+    val cfg = java.nio.file.Files.createTempFile("mb-pipeline", ".yml")
+    java.nio.file.Files.write(cfg, yaml.getBytes("UTF-8"))
+    graft.Main.run(spark, cfg.toString)
+
+    val kept = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(kept.nonEmpty, "model-based chain kept nothing")
+    // the classifier should have removed every spam doc before DSIR ran
+    assert(kept.forall(_ % 2 == 0), s"spam survived the classifier: $kept")
+    // evidence columns dropped by default; quality_logit stays (a score,
+    // not DSIR scratch)
+    val cols = spark.read.parquet(out).columns.toSet
+    assert(cols.contains("quality_logit") && !cols.contains("sum_ratio"), cols)
+  }
+
   test("RangeSortedExport tees a sorted, range-partitioned export") {
     val out = tmp("range-export")
     val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("id", "text")
