@@ -98,10 +98,14 @@ object StressOps {
           graft.ml.Dedup.duplicatedPassages(bigDocs, "text", "doc_id").count())
         // the REWRITE form (ExactSubstr removal): detection plus the
         // spans join-back and token-filter rebuild — the additional cost
-        // of rewriting documents instead of flagging them
+        // of rewriting documents instead of flagging them. head() (NOT
+        // count): under count() Catalyst proves the spans left join
+        // row-preserving (grouped right side → distinct keys, no right
+        // column referenced) and ELIMINATES the whole detection subtree —
+        // the measured op would be a corpus scan
         timed("passage_strip")(
           graft.ml.Dedup.stripDuplicatedPassages(bigDocs, "text", "doc_id")
-            .agg(sum(length(col("text")))).count())
+            .agg(sum(length(col("text")))).head().getLong(0))
         // SKEWED twin (VERDICT r7 task 7): 1% of docs collapse onto one
         // boilerplate text — the hot exact-dup cluster real crawls have.
         // The star-reduction inside the fused drop keeps this linear; the
@@ -219,9 +223,12 @@ object StressOps {
           .unionByName(mm.synthesizeFlacs(cls(2), "doc_id"))
           .unionByName(mm.synthesizeOggs(cls(3), "doc_id"))
           .unionByName(mm.synthesizeMkvs(cls(4), "doc_id"))
+        // head(), not count(): under count() Catalyst prunes the summed
+        // column (and with it any prunable work above the scan); head()
+        // forces the aggregate's VALUE, the honest throughput measure
         timed("decode_headers")(
           mm.decodePartitions(bigMedia, mm.HeaderDecoder)
-            .agg(sum(col("meta.duration_ms"))).count())
+            .agg(sum(col("meta.duration_ms"))).head().getLong(0))
         // PIXEL-DECODE THROUGHPUT: reads EVERY payload byte — full PNG
         // decode plus the aHash/dHash reduction. The fixture is
         // PNG-*encode*-heavy, so it is built and checkpointed OUTSIDE the
@@ -231,7 +238,7 @@ object StressOps {
           bigDocs.select(col("doc_id")), "doc_id").localCheckpoint()
         timed("decode_pixels")(
           mm.decodeImagePixels(bigPngs)
-            .agg(sum(col("px.px_sum"))).count())
+            .agg(sum(col("px.px_sum"))).head().getLong(0))
 
       case "events" =>
         // AS-OF JOIN + SESSIONIZE at 100×: both ops are one keyed exchange
@@ -299,7 +306,7 @@ object StressOps {
         }
         def rank(d: DataFrame): Long =
           graft.ml.LinkGraph.pageRank(d, "src", "dst")
-            .agg(sum("rank_scaled")).count()
+            .agg(sum("rank_scaled")).head().getLong(0)
         timed("pagerank")(rank(edges(hub = false)))
         timed("pagerank_hub")(rank(edges(hub = true)))
 
@@ -334,16 +341,22 @@ object StressOps {
         res.consts("doc_copies") = stressCopies.toDouble
         val merges = graft.ml.Bpe.train(d1, "text", numMerges = 200,
           maxWords = 20000)
+        // head(), not count(): the token-count column is a pure
+        // projection — count() would prune the BPE kernel entirely and
+        // time a bare parquet scan
         timed("bpe_encode")(
           graft.ml.Bpe.tokenCount(bigDocs, "text", merges)
-            .agg(sum(col("n_bpe_tokens"))).count())
+            .agg(sum(col("n_bpe_tokens"))).head().getLong(0))
         // localCheckpoint: the model frame must survive the between-sample
         // cache clears and not re-derive inside the timed region
         val model = graft.ml.NgramLm.train(d1, "text", order = 3,
           minCount = 2).localCheckpoint()
+        // head() + sum_prob: the scoring FOLDS are projections over the
+        // per-doc lattice — count() would run the lattice for cardinality
+        // but prune the folds, under-measuring the kernel under test
         timed("ngram_lm_score")(
           graft.ml.NgramLm.score(bigDocs, model, "text", "doc_id", order = 3)
-            .agg(sum(col("n_tokens"))).count())
+            .agg(sum(col("sum_prob"))).head().getDouble(0).toLong)
 
       case other => sys.error(s"unknown stress family '$other' " +
         s"(known: ${families.map(_._1).mkString(", ")})")
