@@ -286,15 +286,23 @@ object StressOps {
             col("event_type") === "signup", 604800L, 8).count())
 
       case "graph" =>
-        // PAGERANK at 100×: 5 iterations of join + partial-agg over a
+        // PAGERANK: 5 iterations of join + partial-agg over a
         // 2-edges-per-doc list. Uniform twin: residue-rule targets spread
         // in-degree. Hub twin: HALF of all edges point at one host — the
         // in-degree skew real webgraphs have. Map-side combine must absorb
         // the hub's rank-mass sum before the shuffle; the uniform/hub
         // ratio is the guard that a hot host never funnels its full
         // in-edge list through one reducer.
+        // EXPLICIT cap at 50 copies (recorded as graph_copies, the langid
+        // precedent): the r13 head()-consumed definition measures the
+        // real iterative rank arithmetic (count() had pruned it — r12's
+        // 13.9 s was the join lattice only, the honest 100-copy cost is
+        // ~55 s/run), and 3 runs × 2 twins at 100 copies would add ~10
+        // driver-minutes for no extra signal.
+        val graphCopies = math.min(stressCopies, 50)
         val bigDocs = bigDocsOf(spark.read.parquet(s"$sfDir/documents.parquet"))
-        res.consts("doc_copies") = stressCopies.toDouble
+          .filter(col("doc_id") < graphCopies * 10000000L)
+        res.consts("graph_copies") = graphCopies.toDouble
         def edges(hub: Boolean) = {
           val dst2 = if (hub) lit(0L) else pmod(col("doc_id") * 13 + 1, lit(50000L))
           val src = concat(lit("h"), col("doc_id").cast("string"))

@@ -115,15 +115,23 @@ object LinkGraph {
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     val one = math.pow(10, scaleDigits).toLong
     val base = (100 - dampingPct) * one / 100
+    // Materialize the loop INVARIANTS once and CUT each iteration's
+    // lineage (the trainKmeansCentroids pattern): without the
+    // localCheckpoints, iteration k's plan re-derives the edge table and
+    // every previous iteration from scratch — quadratic total work that
+    // count()-consumed benchmarks silently hid (the r13 head() audit
+    // measured the un-cut chain at 4× the honest linear cost). Values
+    // are unchanged: fixed-point integer arithmetic, bit-reproducible at
+    // any partition count.
     val e = edges.select(col(s"`$srcCol`").as("src"), col(s"`$dstCol`").as("dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val withDeg = e.join(outDeg, "src")
 
     var ranks = nodes.withColumn("rank_scaled", lit(one))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       // `div` is Spark's INTEGRAL division: Column./ on longs is double
       // division, whose round-to-nearest can exceed the true quotient
       // before a cast truncates — not floor, and not what the oracle's
@@ -135,9 +143,12 @@ object LinkGraph {
         .groupBy("dst").agg(sum("contrib").as("mass"))
       val damped = expr(
         s"(mass div 100) * $dampingPct + ((mass % 100) * $dampingPct) div 100")
-      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+      val next = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
         .select(col("node"),
           (lit(base) + coalesce(damped, lit(0L))).as("rank_scaled"))
+      // node-sized frame: each round materializes |nodes| rows, the last
+      // round stays lazy for the caller's plan to consume
+      ranks = if (i < iterations) next.localCheckpoint() else next
     }
     ranks
   }
