@@ -267,18 +267,24 @@ object StressOps {
             valueCols = Seq("value")).count()
         timed("asof")(asof(bigEv))
         timed("asof_skew")(asof(bigEvSkew))
-        timed("sessionize")(
-          graft.operators.Sessionize.summarize(bigEv, "user_id", "ts", 1800L).count())
-        timed("sessionize_skew")(
-          graft.operators.Sessionize
-            .summarize(bigEvSkew, "user_id", "ts", 1800L).count())
+        // head()-consumed sums (the count-pruning audit): session
+        // BOUNDARIES drive cardinality so count() ran the gap chain, but
+        // the summary aggregates themselves were prunable
+        def sess(d: DataFrame): Long =
+          graft.operators.Sessionize.summarize(d, "user_id", "ts", 1800L)
+            .agg(sum(col("n_events"))).head().getLong(0)
+        timed("sessionize")(sess(bigEv))
+        timed("sessionize_skew")(sess(bigEvSkew))
         // funnel/retention at 100×: the funnel's per-user DP folds a
         // 100×-longer matched-event list under skew (same users, all
         // copies) — the guard that the fold stays linear in list length
+        // head(), not count: funnel groups by user alone, so count()
+        // pruned the per-user DP FOLD — the op under test
         def funnelOf(d: DataFrame): Long =
           graft.operators.Funnel.windowFunnel(d, "user_id", "ts",
             Seq(col("event_type") === "view", col("event_type") === "click",
-              col("event_type") === "purchase"), 86400L).count()
+              col("event_type") === "purchase"), 86400L)
+            .agg(sum(col("funnel_level"))).head().getLong(0)
         timed("funnel")(funnelOf(bigEv))
         timed("funnel_skew")(funnelOf(bigEvSkew))
         timed("retention")(
