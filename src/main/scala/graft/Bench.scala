@@ -34,11 +34,32 @@ object Bench {
     // round-13 additions: trained quality scoring + DSIR selection
     "q_quality_clf", "q_dsir")
 
+  /** Pure per-family budget decision (spec-pinned in BenchLineSpec):
+    * None = skip this family (budget exhausted — rotate it to the next
+    * run), Some(n) = run it with n samples per datapoint (min-of-2 past
+    * half budget; full baseRuns before that). */
+  private[graft] def familyRunsUnderBudget(elapsedSecs: Double,
+      budgetSecs: Double, baseRuns: Int): Option[Int] =
+    if (elapsedSecs >= budgetSecs) None
+    else if (elapsedSecs > budgetSecs * 0.5) Some(math.min(baseRuns, 2))
+    else Some(baseRuns)
+
+  /** Families in cursor-rotated order: the persisted cursor names the
+    * family the previous run's budget cut first, so it leads this run. */
+  private[graft] def rotatedFamilies(cursor: String): Seq[(String, Seq[String])] = {
+    val idx = math.max(0, StressOps.families.indexWhere(_._1 == cursor))
+    StressOps.families.drop(idx) ++ StressOps.families.take(idx)
+  }
+
   /** Render the one driver-parsed JSON line. Pure so a spec can pin the
     * length invariant at any gate count: if the assembled line would
     * exceed [[MaxLineChars]], progressively drop the optional payloads
     * (headline queries map first, then stress_norm, then stress) — the
-    * driver's contract needs `value` and `errors` above all. */
+    * driver's contract needs `value` and `errors` above all. The
+    * `phases` object (per-phase wall seconds: warmup/stress/shared/
+    * queries) and `isolated_families`/`stress_cursor` are small and ride
+    * every candidate: budget regressions must be visible from the
+    * artifact alone (r13's rc=124 had NO artifact to diagnose from). */
   private[graft] def renderParsedLine(
       total: Double,
       queryMedians: Seq[(String, Double)],
@@ -47,7 +68,10 @@ object Bench {
       sharedSec: Double,
       stress: Seq[(String, Double)],
       stressNorm: Seq[(String, Double)],
-      sfDir: String): String = {
+      sfDir: String,
+      phases: Seq[(String, Double)] = Seq.empty,
+      isolatedFamilies: Int = 0,
+      stressCursor: String = ""): String = {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
@@ -55,7 +79,7 @@ object Bench {
     val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     def assemble(qs: Seq[(String, Double)], st: Seq[(String, Double)],
         norm: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":$errJson,"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"stress":${obj(st)},"stress_norm":${obj(norm)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":$errJson,"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","stress":${obj(st)},"stress_norm":${obj(norm)},"sf":"$sfDir"}"""
     val candidates = Iterator(
       assemble(head, stress, stressNorm),
       assemble(Seq.empty, stress, stressNorm),
@@ -83,10 +107,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT/parquet-footer paths on the smallest SF so the
     // first timed query doesn't absorb one-time session costs.
+    val tWarm0 = System.nanoTime()
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // Cross-scale stress datapoints — each FAMILY runs in a FRESH forked
     // JVM (graft.StressWorker) by default: r12's in-block numbers moved
     // 1.8-2× probe-normalized on byte-identical code (semdedup samples of
@@ -109,7 +135,34 @@ object Bench {
     // still moving 45-67% when the machine slowed 20% mid-block
     val stressRuns = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "3").toInt
     val isolate = sys.env.getOrElse("SPARK_GRAFT_STRESS_ISOLATE", "1") != "0"
+    // TOTAL stress budget (r13's gating defect — VERDICT task 1): the
+    // per-family watchdog bounds a HUNG worker, but nothing bounded the
+    // healthy case, and 9 families × min-of-3 × fresh-JVM startup summed
+    // to ~1,516 s of raw samples — past the driver's wall-clock window
+    // (BENCH_r13.json rc=124, parsed:null — no artifact at all). The
+    // budget enforces: (a) past budget/2, families drop to min-of-2
+    // samples; (b) past the budget, remaining families are SKIPPED and
+    // rotated to the FRONT of the next bench run via a persisted cursor
+    // (bench_stress_cursor.txt beside bench_detail.json), so every family
+    // is still certified every ~2 rounds, and a partial-but-parseable
+    // artifact always beats a complete-but-absent one. Headline queries
+    // and the probe always run regardless.
+    val stressBudget =
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_BUDGET_SECS", "600").toDouble
+    val cursorPath = java.nio.file.Paths.get("bench_stress_cursor.txt")
+    val cursorName = {
+      val fromFile =
+        try new String(java.nio.file.Files.readAllBytes(cursorPath),
+          "UTF-8").trim
+        catch { case _: Throwable => "" }
+      if (StressOps.families.exists(_._1 == fromFile)) fromFile
+      else StressOps.families.head._1
+    }
     var isolatedFamilies = 0
+    var nextCursor = cursorName
+    val skippedFamilies = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tStress0 = System.nanoTime()
+    def stressElapsed: Double = (System.nanoTime() - tStress0) / 1e9
     if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") != "0") {
       spark.catalog.clearCache()
       graft.core.CacheRegistry.drain()
@@ -120,7 +173,7 @@ object Bench {
         * parseable output) — the caller then runs the family in-process.
         * The worker's stderr (Spark logs) is inherited; its stdout is
         * consumed here so the parent's parsed JSON line stays clean. */
-      def runIsolated(family: String): Option[StressOps.Results] =
+      def runIsolated(family: String, famRuns: Int): Option[StressOps.Results] =
         try {
           val javaBin = new java.io.File(new java.io.File(
             sys.props("java.home"), "bin"), "java").getAbsolutePath
@@ -140,7 +193,7 @@ object Bench {
             "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
             "-cp", sys.props("java.class.path"),
-            "graft.StressWorker", family)
+            "graft.StressWorker", family, famRuns.toString)
           val pb = new ProcessBuilder(cmd: _*)
           pb.redirectError(ProcessBuilder.Redirect.INHERIT)
           val proc = pb.start()
@@ -177,28 +230,44 @@ object Bench {
           }
         } catch { case _: Throwable => None }
 
-      for ((family, _) <- StressOps.families) {
-        val res = (if (isolate) runIsolated(family) else None) match {
-          case Some(r) => isolatedFamilies += 1; r
-          case None =>
-            // in-process fallback: same ops, same keys — a spawn failure
-            // costs isolation, never the datapoints
-            if (isolate) System.err.println(
-              s"[bench] stress family '$family' worker failed; running in-process")
-            StressOps.runFamily(spark, family, sfDir, stressCopies,
-              semCopies, stressRuns)
-        }
-        res.consts.foreach { case (k, v) =>
-          if (!stress.contains(k)) stress(k) = v
-        }
-        res.samples.foreach { case (k, xs) =>
-          if (k == "probe") probeSamples ++= xs
-          else {
-            stressSamples(k) = xs
-            stress(k) = if (xs.exists(_ < 0)) -1.0 else xs.min
+      // rotated family order: start at the persisted cursor so families
+      // the budget cut LAST run are certified FIRST this run
+      val rotated = rotatedFamilies(cursorName)
+      for ((family, _) <- rotated) {
+        val decision =
+          if (skippedFamilies.nonEmpty) None
+          else familyRunsUnderBudget(stressElapsed, stressBudget, stressRuns)
+        decision match {
+          case None => skippedFamilies += family
+          case Some(famRuns) =>
+          val res = (if (isolate) runIsolated(family, famRuns) else None) match {
+            case Some(r) => isolatedFamilies += 1; r
+            case None =>
+              // in-process fallback: same ops, same keys — a spawn failure
+              // costs isolation, never the datapoints
+              if (isolate) System.err.println(
+                s"[bench] stress family '$family' worker failed; running in-process")
+              StressOps.runFamily(spark, family, sfDir, stressCopies,
+                semCopies, famRuns)
+          }
+          res.consts.foreach { case (k, v) =>
+            if (!stress.contains(k)) stress(k) = v
+          }
+          res.samples.foreach { case (k, xs) =>
+            if (k == "probe") probeSamples ++= xs
+            else {
+              stressSamples(k) = xs
+              stress(k) = if (xs.exists(_ < 0)) -1.0 else xs.min
+            }
           }
         }
       }
+      // cursor: first family the budget cut (next run leads with it), or
+      // the unchanged start when everything fit
+      nextCursor = skippedFamilies.headOption.getOrElse(rotated.head._1)
+      try java.nio.file.Files.write(cursorPath,
+        (nextCursor + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
       // machine sanity line: min of every family's bracketing probe
       // samples (NOT a normalizer — see StressOps scaladoc)
       if (probeSamples.nonEmpty) {
@@ -207,6 +276,7 @@ object Bench {
       }
       System.gc() // leave the query rounds a settled heap
     }
+    val stressSec = stressElapsed
 
     // Shared memoized frames (minhash pair frame feeds q_dedup_minhash
     // AND q_dedup_clusters; the synthesized-PNG corpus feeds
@@ -229,6 +299,7 @@ object Bench {
       else Seq.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    val tQueries0 = System.nanoTime()
     for (r <- 0 until rounds) {
       // identical plans across rounds would hit the previous round's
       // persisted frames (joinBackOnce pins drop sets in the cache) and
@@ -250,6 +321,7 @@ object Bench {
           (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
+    val queriesSec = (System.nanoTime() - tQueries0) / 1e9
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -296,8 +368,13 @@ object Bench {
       }.getOrElse(Seq.empty).mkString("{", ",", "}")
       // isolated_families: how many stress families really ran in fresh
       // forked JVMs (vs the in-process fallback) — the auditability bit
-      // that says whether this round's stress numbers are churn-immune
-      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"stress_norm":$norm,"isolated_families":$isolatedFamilies,"sf":"$sfDir"}"""
+      // that says whether this round's stress numbers are churn-immune.
+      // skipped/cursor/phases: the budget's audit trail (which families
+      // this run deferred, where the next run starts, where the wall
+      // time went).
+      val skippedJson = skippedFamilies.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"stress_norm":$norm,"isolated_families":$isolatedFamilies,"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_cursor":"$nextCursor","phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -305,7 +382,10 @@ object Bench {
 
     val total = med.collect { case (_, v) if v >= 0 => v }.sum + sharedSec
     println(renderParsedLine(total, med, errored, rounds, sharedSec,
-      stress.toSeq, Seq.empty, sfDir))
+      stress.toSeq, Seq.empty, sfDir,
+      phases = Seq("warmup" -> warmupSec, "stress" -> stressSec,
+        "shared" -> sharedSec, "queries" -> queriesSec),
+      isolatedFamilies = isolatedFamilies, stressCursor = nextCursor))
     spark.stop()
   }
 }

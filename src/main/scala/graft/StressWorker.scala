@@ -16,13 +16,17 @@ import org.apache.spark.sql.SparkSession
   * falls back to in-process execution. */
 object StressWorker {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: StressWorker <family>")
+    require(args.length >= 1, "usage: StressWorker <family> [runs]")
     val family = args(0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val stressCopies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "100").toInt
     val semCopies = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_COPIES", "50").toInt
-    val runs = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "3").toInt
+    // CLI override beats env: the parent's stress budget may drop a late
+    // family to min-of-2 while the env still says 3
+    val runs =
+      if (args.length >= 2) args(1).toInt
+      else sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -960,14 +960,11 @@ object Dedup {
   /** Only a genuinely ABSENT store counts as empty — a transient read
     * failure must propagate, or dedup would silently run against an empty
     * set and leak every known duplicate (and an append would re-write
-    * every fingerprint). */
+    * every fingerprint). Existence is probed via the FS API, never by
+    * catching PATH_NOT_FOUND — see [[graft.core.Stores]]. */
   private[ml] def readStoreOpt(spark: org.apache.spark.sql.SparkSession,
       storePath: String): Option[DataFrame] =
-    try Some(spark.read.parquet(storePath))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" => None
-    }
+    graft.core.Stores.readParquetIfExists(spark, storePath)
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)

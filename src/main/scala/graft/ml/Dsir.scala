@@ -26,9 +26,13 @@ import graft.functions.QualityClfFns
   *     and the EXACT lattice the oracle replays bit-for-bit:
   *     `n_feats` and `sum_ratio` = in-order IEEE fold (seed 0.0) of
   *     r[b] = ((ct[b]+1)·(Tr+B)) / ((cr[b]+1)·(Tt+B)) over the ordered
-  *     bucket list (unigrams in token order, then bigrams) — integer
-  *     products exact below 2^53, one correctly-rounded divide per
-  *     bucket, folded left (gate `q_dsir`).
+  *     bucket list (unigrams in token order, then bigrams), folded
+  *     left (gate `q_dsir`). Bit-replay argument: with totals bounded
+  *     at 2^31 ([[model]]'s guard) the products stay exact in int64
+  *     (< 2^62, no overflow); both engines then convert int64→double
+  *     by IEEE round-to-nearest-even and perform ONE correctly-rounded
+  *     divide — identical bits even when a product exceeds the 2^53
+  *     exact-double range.
   *  4. Selection, two forms:
   *     [[resampleTopK]] — the paper's Gumbel top-k (keep the k docs
   *     maximizing log_weight + Gumbel(portable01(id, seed))): one
@@ -118,11 +122,14 @@ object Dsir {
     }
     val (ct, tt) = drain(targetCounts, "target")
     val (cr, tr) = drain(rawCounts, "raw")
-    // exact-integer products must stay below 2^53 for the bit-replay
-    // contract (they are exact in both engines' doubles there)
+    // the bit-replay contract needs the integer products EXACT IN INT64
+    // (no overflow): (c+1)·(T+B) < 2^31·2^31 = 2^62 under this bound.
+    // Past 2^53 the double CONVERSION rounds, but it rounds identically
+    // (round-to-nearest-even) in both engines — see the class doc.
     require((tt + b) < (1L << 31) && (tr + b) < (1L << 31),
       "Dsir.model: corpus token totals exceed the exact-arithmetic bound " +
-        "(2^31) — shard the counts or raise logBuckets documentation")
+        s"(2^31; target=$tt raw=$tr) — count on disjoint shards and sum " +
+        "the bounded count frames, or subsample the counting pass")
     val ratio = new Array[Double](b)
     val logRatio = new Array[Double](b)
     var i = 0

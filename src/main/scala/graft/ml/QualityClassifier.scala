@@ -54,19 +54,35 @@ object QualityClassifier {
   def train(labeled: DataFrame, textCol: String, labelCol: String,
       logBuckets: Int = 12, bigrams: Boolean = true, epochs: Int = 20,
       lr: Double = 0.5, l2: Double = 0.0): QualityClfModel = {
-    require(epochs >= 1 && epochs <= 1000, s"epochs must be 1..1000, got $epochs")
-    require(lr > 0, s"lr must be positive, got $lr")
-    val buckets = 1 << logBuckets
+    val base = featurize(labeled, textCol, labelCol, logBuckets, bigrams)
+      .localCheckpoint()
+    trainOnFeatures(base, logBuckets, bigrams, epochs, lr, l2)
+  }
 
-    val base = labeled.select(
+  /** The (y, f) projection both [[train]] and the feature store share:
+    * cast the label, run the codegen feature-count kernel, drop
+    * unlabeled/token-less rows. The 0/1 label check happens in
+    * [[trainOnFeatures]] so store-loaded rows are checked too. */
+  private def featurize(labeled: DataFrame, textCol: String,
+      labelCol: String, logBuckets: Int, bigrams: Boolean): DataFrame =
+    labeled.select(
       col(s"`$labelCol`").cast("double").as("y"),
       QualityClfFns.clfFeatureCounts(col(s"`$textCol`"), logBuckets, bigrams)
         .as("f"))
       .filter(col("y").isNotNull && size(col("f")) > 0)
-      .localCheckpoint()
+
+  /** The epoch loop over a pre-featurized (y, f) frame. Gradient sums
+    * are decimal(38,18) — ORDER-INDEPENDENT, so any frame holding the
+    * same multiset of (y, f) rows (one localCheckpoint, a parquet store
+    * re-read, any partitioning) trains to bit-identical weights. */
+  private def trainOnFeatures(base: DataFrame, logBuckets: Int,
+      bigrams: Boolean, epochs: Int, lr: Double, l2: Double): QualityClfModel = {
+    require(epochs >= 1 && epochs <= 1000, s"epochs must be 1..1000, got $epochs")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val buckets = 1 << logBuckets
     val badLabel = base.filter(col("y") =!= 0.0 && col("y") =!= 1.0).take(1)
     require(badLabel.isEmpty,
-      s"QualityClassifier.train: $labelCol must be 0/1, found ${
+      s"QualityClassifier.train: label must be 0/1, found ${
         if (badLabel.isEmpty) "" else badLabel.head.getDouble(0)}")
 
     var weights = new Array[Double](buckets)
@@ -97,17 +113,113 @@ object QualityClassifier {
         if (r.getInt(0) == -1) n = math.max(1L, r.getLong(2))
       }
       val next = weights.clone()
+      // L2 decay applies to EVERY weight each epoch (a driver-side array
+      // pass — sparse data leaves most buckets out of any one epoch's
+      // gradient rows, and decaying only observed buckets is not weight
+      // decay). Decay-then-data-gradient; the bias is never decayed.
+      if (l2 > 0.0) {
+        var i = 0
+        while (i < next.length) { next(i) -= lr * l2 * next(i); i += 1 }
+      }
       var gBias = 0.0
       rows.foreach { r =>
         val b = r.getInt(0)
         val g = r.getDecimal(1).doubleValue / n
         if (b == -1) gBias = g
-        else next(b) = next(b) - lr * (g + l2 * next(b))
+        else next(b) = next(b) - lr * g
       }
       weights = next
       bias = bias - lr * gBias
     }
     QualityClfModel(weights, logBuckets, bigrams, bias)
+  }
+
+  /** Append labeled rows — PRE-FEATURIZED — to a parquet feature store
+    * (the `raw_counts_store` idiom from [[Dsir]], applied to classifier
+    * training): the expensive half of a training epoch is re-running
+    * the tokenize→hash kernel over raw text, so the store persists each
+    * row's (id, y, f) ONCE and a daily re-train featurizes only the
+    * increment while every epoch aggregates compact pre-counted rows.
+    * Idempotent by `idCol` (anti-join — a replayed batch adds nothing;
+    * the seen-store discipline, single writer per path). A
+    * `_clf_store_meta` sidecar pins (logBuckets, bigrams): features
+    * hashed under a different bucket config would silently corrupt
+    * training, so a mixed-config append fails loudly at plan time.
+    * Returns the number of rows actually appended. */
+  def appendToFeatureStore(labeled: DataFrame, textCol: String,
+      labelCol: String, idCol: String, storePath: String,
+      logBuckets: Int = 12, bigrams: Boolean = true): Long = {
+    val spark = labeled.sparkSession
+    checkOrWriteStoreMeta(spark, storePath, logBuckets, bigrams)
+    val fresh0 = labeled.select(col(s"`$idCol`").cast("long").as("id"),
+        col(s"`$labelCol`").cast("double").as("y"),
+        QualityClfFns.clfFeatureCounts(col(s"`$textCol`"), logBuckets, bigrams)
+          .as("f"))
+      .filter(col("id").isNotNull && col("y").isNotNull && size(col("f")) > 0)
+      .dropDuplicates("id")
+    // count + write must see the SAME frame while the store changes
+    // under the anti-join — the seen-store localCheckpoint barrier
+    val fresh = graft.core.Stores.readParquetIfExists(spark, s"$storePath/rows")
+      .map(st => fresh0.join(st.select("id"), Seq("id"), "left_anti"))
+      .getOrElse(fresh0)
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(s"$storePath/rows")
+    n
+  }
+
+  /** Train over a feature store's accumulated rows: BIT-IDENTICAL to
+    * [[train]] over the same labeled rows (the decimal(38,18) gradient
+    * sums are order- and partitioning-independent, so a parquet re-read
+    * aggregates to the same lattice values — spec-pinned). The daily
+    * idiom: appendToFeatureStore(increment); trainFromFeatureStore(...)
+    * — re-train cost scales with store size in COMPACT pre-featurized
+    * rows, and only the increment ever pays the text kernel. */
+  def trainFromFeatureStore(spark: SparkSession, storePath: String,
+      epochs: Int = 20, lr: Double = 0.5, l2: Double = 0.0): QualityClfModel = {
+    val (logBuckets, bigrams) = readStoreMeta(spark, storePath)
+    val base = spark.read.parquet(s"$storePath/rows")
+      .select(col("y"), col("f"))
+    trainOnFeatures(base, logBuckets, bigrams, epochs, lr, l2)
+  }
+
+  private def checkOrWriteStoreMeta(spark: SparkSession, storePath: String,
+      logBuckets: Int, bigrams: Boolean): Unit = {
+    val fs = fs0(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(storePath, "_clf_store_meta")
+    if (fs.exists(metaPath)) {
+      val (lb, bg) = readStoreMeta(spark, storePath)
+      require(lb == logBuckets && bg == bigrams,
+        s"QualityClassifier.appendToFeatureStore: store at $storePath " +
+          s"holds logBuckets=$lb bigrams=$bg features; this append asked " +
+          s"for logBuckets=$logBuckets bigrams=$bigrams — configs cannot " +
+          "mix, use a new store path")
+    } else {
+      fs.mkdirs(fs0(storePath))
+      val out = fs.create(metaPath, true)
+      try out.write(
+        s"""{"log_buckets":$logBuckets,"bigrams":$bigrams}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  private def readStoreMeta(spark: SparkSession,
+      storePath: String): (Int, Boolean) = {
+    val fs = fs0(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(storePath, "_clf_store_meta"))
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    (jsonField(meta, "log_buckets", "_clf_store_meta").trim.toInt,
+      jsonField(meta, "bigrams", "_clf_store_meta").trim.toBoolean)
+  }
+
+  private def jsonField(meta: String, name: String, where: String): String = {
+    val m = java.util.regex.Pattern.compile("\"" + name + "\":([^,}]+)")
+      .matcher(meta)
+    require(m.find(), s"QualityClassifier: $where missing $name")
+    m.group(1)
   }
 
   /** Zero-exchange scoring: adds `outCol` (double logit; null for
@@ -137,11 +249,25 @@ object QualityClassifier {
 
   /** Persist (tmp+rename like the seen stores): weights parquet rows
     * (bucket, weight) + a `_clf_meta` JSON sidecar (logBuckets, bigrams,
-    * bias). */
+    * bias).
+    *
+    * Commit order (the IVF-rebuild swap contract — a crash must never
+    * lose BOTH generations): build complete under `<path>.tmp-<uuid>`,
+    * retire any current model to `<path>.old`, rename tmp in, delete
+    * old. A crash between the retire and the commit leaves old+tmp on
+    * disk; [[load]] restores `<path>.old` when the path is absent, and
+    * the next save sweeps stranded `.tmp-*` siblings. */
   def save(spark: SparkSession, model: QualityClfModel, path: String): Unit = {
     import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(path)
+    val fs = fs0(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep stranded tmps from prior crashed saves (bounded: only this
+    // model's name prefix, never the whole parent)
+    val parent = fs0(path).getParent
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).map(_.getPath)
+        .filter(_.getName.startsWith(fs0(path).getName + ".tmp-"))
+        .foreach(p => fs.delete(p, true))
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-" +
       java.util.UUID.randomUUID().toString)
     model.weights.zipWithIndex.map { case (w, b) => (b, w) }.toSeq
@@ -152,24 +278,35 @@ object QualityClassifier {
       String.format(java.util.Locale.ROOT, "%.17g", Double.box(model.bias))}}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_clf_meta"), true)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(fs0(path))) fs.delete(fs0(path), true)
-    require(fs.rename(tmp, fs0(path)),
-      s"QualityClassifier.save: could not commit $path")
+    val old = fs0(path + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(fs0(path)))
+      require(fs.rename(fs0(path), old),
+        s"QualityClassifier.save: could not retire the old model at $path")
+    if (!fs.rename(tmp, fs0(path))) {
+      // restore the previous generation before failing — the path must
+      // never be left empty by a failed save
+      if (fs.exists(old)) fs.rename(old, fs0(path))
+      sys.error(s"QualityClassifier.save: could not commit $path")
+    }
+    fs.delete(old, true)
   }
 
   private def fs0(p: String) = new org.apache.hadoop.fs.Path(p)
 
   def load(spark: SparkSession, path: String): QualityClfModel = {
     val fs = fs0(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish a crashed save: the old model was retired but the new one
+    // never committed — restore the retired generation (the save that
+    // crashed never returned success, so serving the OLD model is the
+    // correct contract)
+    if (!fs.exists(fs0(path)) && fs.exists(fs0(path + ".old")))
+      require(fs.rename(fs0(path + ".old"), fs0(path)),
+        s"QualityClassifier.load: could not restore the retired model at $path")
     val in = fs.open(new org.apache.hadoop.fs.Path(path, "_clf_meta"))
     val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    def field(name: String): String = {
-      val m = java.util.regex.Pattern.compile("\"" + name + "\":([^,}]+)")
-        .matcher(meta)
-      require(m.find(), s"QualityClassifier.load: _clf_meta missing $name")
-      m.group(1)
-    }
+    def field(name: String): String = jsonField(meta, name, "_clf_meta")
     val logBuckets = field("log_buckets").trim.toInt
     val bigrams = field("bigrams").trim.toBoolean
     val bias = field("bias").trim.toDouble

@@ -412,35 +412,69 @@ object Similarity {
     * trips (appends assign against centroids trained before they
     * existed, so recall decays as drift grows; retraining re-centers).
     *
-    * Commit is the store tmp+rename contract: the new index builds
-    * completely under `<path>/_rebuild_tmp` (readers never see it), then
-    * each component swaps into place. Crash windows leave either a stale
-    * tmp (detected and cleaned next attempt) or a completed-tmp/missing-
-    * assigned pair, which the next call FINISHES instead of retraining
-    * (tmp completeness marker: `_base_counts`, written last by save).
-    * Single writer per index path, like [[appendToIvfIndex]].
+    * Commit is ONE whole-directory swap (the r13 layout swapped
+    * assigned/centroids/_base_counts one rename at a time, and a crash
+    * BETWEEN renames left a root mixing new postings with old centroids
+    * that the next call mistook for healthy — searches then silently
+    * probed stale centroids until drift re-tripped): the new index
+    * builds completely under the SIBLING dir `<path>.rebuild_tmp`
+    * (readers of `path` never see it; completeness marker `_base_counts`
+    * is written last by save), then rename(path → `<path>.rebuild_old`),
+    * rename(tmp → path), delete(old). Components can no longer mix
+    * generations. Every crash window leaves exactly one recoverable
+    * state: a COMPLETE tmp (next call finishes the swap — never
+    * retrains), an INCOMPLETE tmp (cleaned, full retrain), or a
+    * retired-old/absent-root pair (old restored first). A concurrent
+    * load() during the two-rename window fails loudly on the absent
+    * root — the single-writer contract; loud beats silently-wrong.
     *
     * Returns the rebuilt index size. */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       iters: Int = 5): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(root, "_rebuild_tmp")
-    def swapIn(): Long = {
-      Seq("assigned", "centroids", "_base_counts").foreach { c =>
-        val dst = new org.apache.hadoop.fs.Path(root, c)
-        if (fs.exists(dst)) fs.delete(dst, true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp, c), dst),
-          s"rebuildIvfIndex: could not commit $c into $path")
+    val tmp = new org.apache.hadoop.fs.Path(path + ".rebuild_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".rebuild_old")
+    def finishSwap(): Long = {
+      if (fs.exists(root)) {
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(root, old),
+          s"rebuildIvfIndex: could not retire the old index at $path")
       }
-      fs.delete(tmp, true)
+      require(fs.rename(tmp, root),
+        s"rebuildIvfIndex: could not commit the rebuilt index into $path")
+      fs.delete(old, true)
       IvfIndex.load(spark, path).assigned.count()
     }
+    // recovery ladder (order matters): finish a complete crashed swap
+    // BEFORE anything else touches tmp; only an incomplete tmp is stale
     if (fs.exists(tmp)) {
-      val complete = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_base_counts"))
-      val swapped = !fs.exists(new org.apache.hadoop.fs.Path(root, "assigned"))
-      if (complete && swapped) return swapIn() // finish a crashed swap
-      fs.delete(tmp, true) // stale or incomplete prior attempt
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_base_counts")))
+        return finishSwap()
+      fs.delete(tmp, true)
+    }
+    // crash after retiring old, before committing tmp (tmp incomplete or
+    // lost): restore the retired generation — never train from nothing
+    if (!fs.exists(root) && fs.exists(old))
+      require(fs.rename(old, root),
+        s"rebuildIvfIndex: could not restore the retired index at $path")
+    // legacy (pre-sibling-tmp) in-root tmp: finish a complete-but-
+    // unswapped one component-wise ONCE (the old commit path), then the
+    // layout is current; anything else there is stale
+    val legacy = new org.apache.hadoop.fs.Path(root, "_rebuild_tmp")
+    if (fs.exists(legacy)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(legacy, "_base_counts")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(root, "assigned"))) {
+        Seq("assigned", "centroids", "_base_counts").foreach { c =>
+          val dst = new org.apache.hadoop.fs.Path(root, c)
+          if (fs.exists(dst)) fs.delete(dst, true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(legacy, c), dst),
+            s"rebuildIvfIndex: could not finish legacy swap of $c into $path")
+        }
+        fs.delete(legacy, true)
+        return IvfIndex.load(spark, path).assigned.count()
+      }
+      fs.delete(legacy, true)
     }
     val idx = IvfIndex.load(spark, path)
     // bounded drain: a saved index has at most thousands of cells
@@ -453,7 +487,7 @@ object Similarity {
       .localCheckpoint()
     val cents = trainKmeansCentroids(corpus, "cv", "vec_id", k, iters)
     buildIvfIndex(corpus, "cv", "vec_id", k, Some(cents)).save(tmp.toString)
-    swapIn()
+    finishSwap()
   }
 
   /** Per-cell drift report for a saved index: (cell_id, base_n, cur_n,
@@ -799,11 +833,7 @@ object Similarity {
 
   private def readVecStoreOpt(spark: org.apache.spark.sql.SparkSession,
       storePath: String): Option[DataFrame] =
-    try Some(spark.read.parquet(storePath))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" => None
-    }
+    graft.core.Stores.readParquetIfExists(spark, storePath)
 
   /** Append the increment's distinct embeddings (one `array<double>` row
     * `v` per distinct vector) to a parquet vector store, skipping vectors

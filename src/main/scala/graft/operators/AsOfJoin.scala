@@ -254,13 +254,11 @@ object AsOfJoin {
     val proj = right
       .select((keys ++ (tsCol +: valueCols)).map(col): _*)
       .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
-    val fresh =
-      try proj.join(spark.read.parquet(storePath),
-        keys :+ tsCol, "left_anti")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => proj
-      }
+    // FS-probed (never catch-PATH_NOT_FOUND, which logs a benign stack
+    // on every first run — graft.core.Stores has the rationale)
+    val fresh = graft.core.Stores.readParquetIfExists(spark, storePath)
+      .map(s => proj.join(s, keys :+ tsCol, "left_anti"))
+      .getOrElse(proj)
     // count + write must see the same frame (the anti-join's right side
     // changes under it once the write lands)
     val materialized = fresh.localCheckpoint()

@@ -379,17 +379,49 @@ object Planner {
                 // class (authored, not a lambda) carries the typed
                 // apply(Dataset)Dataset alongside the erased bridge.
                 val dsCls = classOf[org.apache.spark.sql.Dataset[_]]
-                val typedApply = f1.getClass.getMethods.exists { m =>
+                val applies = f1.getClass.getMethods.toSeq.filter(m =>
                   m.getName == "apply" && !m.isBridge &&
-                    m.getParameterCount == 1 &&
-                    m.getParameterTypes()(0).isAssignableFrom(dsCls) &&
+                    m.getParameterCount == 1)
+                val typedApply = applies.exists { m =>
+                  m.getParameterTypes()(0).isAssignableFrom(dsCls) &&
                     dsCls.isAssignableFrom(m.getReturnType)
                 }
-                if (!typedApply) sys.error(s"custom class ${f1.getClass
-                  .getName} is a Function1 but not (DataFrame => " +
-                  "DataFrame) — it implements none of EventFilter / " +
-                  "Plugins.CorpusStagePlugin / (DataFrame => DataFrame)")
-                df => f1.asInstanceOf[DataFrame => DataFrame](df)
+                // A typed apply INHERITED from a generic superclass
+                // erases to a directly-declared apply(Object)Object that
+                // is NOT a bridge (same for a Java plugin authored
+                // against the erased signature) — reflection alone can't
+                // distinguish it from Function1[String, String]. Accept
+                // it provisionally when NO differently-typed apply
+                // contradicts it, and probe-apply on a limit(0) slice at
+                // wiring time below: a wrongly-typed plugin CCEs there —
+                // still plan/build time, never mid-job.
+                val erasedOnly = !typedApply && applies.nonEmpty &&
+                  applies.forall { m =>
+                    m.getParameterTypes()(0) == classOf[Object] &&
+                      m.getReturnType == classOf[Object]
+                  }
+                if (!typedApply && !erasedOnly)
+                  sys.error(s"custom class ${f1.getClass
+                    .getName} is a Function1 but not (DataFrame => " +
+                    "DataFrame) — it implements none of EventFilter / " +
+                    "Plugins.CorpusStagePlugin / (DataFrame => DataFrame)")
+                df => {
+                  if (erasedOnly) {
+                    val probed =
+                      try f1.asInstanceOf[Any => Any](df.limit(0))
+                      catch {
+                        case _: ClassCastException => sys.error(
+                          s"custom class ${f1.getClass.getName} declares " +
+                            "apply(Object)Object but rejects a DataFrame " +
+                            "— not a (DataFrame => DataFrame) plugin")
+                      }
+                    if (!probed.isInstanceOf[org.apache.spark.sql.Dataset[_]])
+                      sys.error(s"custom class ${f1.getClass.getName} " +
+                        "returned a non-Dataset from apply(DataFrame) — " +
+                        "not a (DataFrame => DataFrame) plugin")
+                  }
+                  f1.asInstanceOf[DataFrame => DataFrame](df)
+                }
               case other => sys.error(s"custom class ${other.getClass
                 .getName} implements none of EventFilter / " +
                 "Plugins.CorpusStagePlugin / (DataFrame => DataFrame)")
@@ -1098,14 +1130,35 @@ object Planner {
         // `keep_above` filters on the logit in-row.
         val target = conf.str("target").getOrElse("quality_logit")
         df => {
-          val model = conf.str("model_path") match {
-            case Some(p) => graft.ml.QualityClassifier.load(df.sparkSession, p)
-            case None =>
+          val model = (conf.str("model_path"),
+              conf.str("feature_store_path")) match {
+            case (Some(p), _) =>
+              graft.ml.QualityClassifier.load(df.sparkSession, p)
+            case (None, Some(sp)) =>
+              // incremental-training idiom (the Dsir counts-store
+              // pattern): an optional labeled `reference` increment is
+              // featurized ONCE into the store (idempotent by id_field),
+              // then training aggregates the store's compact
+              // pre-featurized rows — bit-identical to full-batch,
+              // spec-pinned
+              val rm = conf.anyMap("reference")
+              if (rm.nonEmpty)
+                graft.ml.QualityClassifier.appendToFeatureStore(
+                  input(df.sparkSession, rm.strReq("input"), rm),
+                  rm.str("src").getOrElse(text),
+                  rm.str("label_field").getOrElse("label"),
+                  rm.str("id_field").getOrElse(id), sp,
+                  conf.int("log_buckets", 12),
+                  conf.bool("bigrams", true)): Unit
+              graft.ml.QualityClassifier.trainFromFeatureStore(
+                df.sparkSession, sp, conf.int("epochs", 20),
+                conf.dbl("lr", 0.5), conf.dbl("l2", 0.0))
+            case (None, None) =>
               val rm = conf.anyMap("reference")
               if (rm.isEmpty) sys.error("QualityClassifier needs " +
-                "`model_path` or a labeled `reference` input spec, e.g. " +
-                "reference: {input: Parquet, path: /data/labeled.parquet, " +
-                "label_field: label}")
+                "`model_path`, a `feature_store_path`, or a labeled " +
+                "`reference` input spec, e.g. reference: {input: Parquet, " +
+                "path: /data/labeled.parquet, label_field: label}")
               graft.ml.QualityClassifier.train(
                 input(df.sparkSession, rm.strReq("input"), rm),
                 rm.str("src").getOrElse(text),

@@ -100,6 +100,47 @@ class BenchLineSpec extends AnyFunSuite {
       "stress families changed — removals/renames need a SURVEY note")
   }
 
+  test("phases, isolated_families and stress_cursor ride every candidate") {
+    // r13's bench died with NO artifact (rc=124, parsed:null) — the
+    // budget's audit fields must survive even the most-shed line shape
+    // so a budget regression is always diagnosable from the artifact
+    val line = Bench.renderParsedLine(
+      total = 50.0,
+      queryMedians = fakeQueries(500), errored = Seq.empty, rounds = 3,
+      sharedSec = 2.0, stress = fakeStress(200), stressNorm = fakeStress(200),
+      sfDir = "/root/testdata/sf0.1",
+      phases = Seq("warmup" -> 80.0, "stress" -> 590.0, "shared" -> 2.0,
+        "queries" -> 180.0),
+      isolatedFamilies = 4, stressCursor = "dedup")
+    val node = mapper.readTree(line)
+    assert(node.get("phases").get("stress").asDouble() === 590.0)
+    assert(node.get("isolated_families").asInt() === 4)
+    assert(node.get("stress_cursor").asText() === "dedup")
+    assert(line.length <= Bench.MaxLineChars ||
+      node.get("stress").size() === 0)
+  }
+
+  test("stress budget: full runs early, min-of-2 past half, skip past full") {
+    assert(Bench.familyRunsUnderBudget(0.0, 600.0, 3) === Some(3))
+    assert(Bench.familyRunsUnderBudget(299.0, 600.0, 3) === Some(3))
+    assert(Bench.familyRunsUnderBudget(301.0, 600.0, 3) === Some(2))
+    assert(Bench.familyRunsUnderBudget(600.0, 600.0, 3) === None)
+    assert(Bench.familyRunsUnderBudget(9999.0, 600.0, 3) === None)
+    // a user-pinned min-of-1 is never raised by the budget
+    assert(Bench.familyRunsUnderBudget(400.0, 600.0, 1) === Some(1))
+  }
+
+  test("cursor rotation is a pure rotation of the family contract") {
+    val names = StressOps.families.map(_._1)
+    // unknown/absent cursor → identity order
+    assert(Bench.rotatedFamilies("no_such_family").map(_._1) === names)
+    // a real cursor leads, nothing lost, nothing duplicated
+    val rot = Bench.rotatedFamilies("events").map(_._1)
+    assert(rot.head === "events")
+    assert(rot.sorted === names.sorted)
+    assert(rot.size === names.size)
+  }
+
   test("errored queries are reported, never silently timed") {
     val line = Bench.renderParsedLine(
       total = 10.0, queryMedians = fakeQueries(5),

@@ -484,6 +484,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("quality_clf_buckets"), plan)
   }
 
+  test("curate pipeline: the scoring prefix (rules→clf→dsir keep) is zero-exchange") {
+    // q_curate_rank's contract: everything BEFORE the dedup stage —
+    // Gopher rules, the classifier logit, the DSIR weigh and the
+    // hash-threshold keep — is a narrow map over the scan, so at 100 TB
+    // curation scores at scan speed and only the survivor set pays a
+    // shuffle. Pin the prefix exactly as the gate builds it.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ruled = graft.ml.TextAnalysis.gopherRules(docs, "text",
+      minStopHits = 1, drop = true)
+    val model = graft.functions.QualityClfModel(
+      graft.ml.QualityClassifier.syntheticWeights(12), 12,
+      bigrams = true, bias = 0.0)
+    val scored = graft.ml.QualityClassifier.score(ruled, "text", model)
+      .filter(col("quality_logit") > 0.0)
+    val m = graft.ml.Dsir.model(
+      graft.ml.Dsir.ngramCounts(docs.filter(col("doc_id") < 50), "text", 12),
+      graft.ml.Dsir.ngramCounts(docs, "text", 12), 12)
+    val weighed = graft.ml.Dsir.weigh(scored, "text", "doc_id", m)
+    val kept = weighed.filter(graft.ml.Dsir.thresholdKeep(weighed, "doc_id"))
+    kept.count()
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"curation prefix gained a shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"curation prefix gained a join:\n$plan")
+    assert(plan.contains("quality_clf_logit") &&
+      plan.contains("quality_clf_buckets"), plan)
+    // the full gate adds ONLY the dedup stage's plumbing — no cartesian
+    val full = executedPlan("q_curate_rank")
+    assert(!full.contains("CartesianProduct"), full)
+  }
+
   test("corpus diff: hash-projected full-outer merge join, no cartesian") {
     val plan = executedPlan("q_corpus_diff")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -134,12 +134,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.65, s"post-rebuild recall $recall < 0.65")
   }
 
-  test("rebuild crash contract: a completed-tmp/missing-assigned pair is finished, not retrained") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+  test("rebuild crash contract: complete sibling tmp is FINISHED, never discarded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString + "/idx"
     Similarity.buildIvfIndex(vecs(0 until 60), "embedding", "vec_id",
       numCells = 8).save(dir)
-    // simulate a crash BETWEEN the swap's delete and rename: the new
-    // index is complete under _rebuild_tmp, the live assigned is gone
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the r13 ADVICE window: a rebuilt index is COMPLETE under the
+    // sibling tmp while the live root still holds the OLD generation
+    // (16 cells vs the root's 8 — generations must never mix). The old
+    // commit path deleted this finished tmp and left root as-was; the
+    // whole-dir swap must instead commit it wholesale.
+    Similarity.buildIvfIndex(vecs(0 until 100), "embedding", "vec_id",
+      numCells = 16).save(s"$dir.rebuild_tmp")
+    assert(Similarity.rebuildIvfIndex(spark, dir) == 100) // finished the swap
+    val idx = IvfIndex.load(spark, dir)
+    assert(idx.assigned.count() == 100)
+    // BOTH components are the tmp generation — no new-assigned/old-
+    // centroids mix (the silent-wrong-results state the ADVICE flagged)
+    assert(idx.centroids.count() == 16)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".rebuild_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".rebuild_old")))
+
+    // crash between retiring old and committing tmp, tmp incomplete:
+    // the retired generation is RESTORED and the rebuild proceeds
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".rebuild_old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".rebuild_tmp/assigned"))
+    assert(Similarity.rebuildIvfIndex(spark, dir) == 100)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".rebuild_old")))
+
+    // a stale INCOMPLETE tmp is discarded and a full rebuild proceeds
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".rebuild_tmp/assigned"))
+    assert(Similarity.rebuildIvfIndex(spark, dir) == 100)
+  }
+
+  test("rebuild crash contract: legacy in-root complete tmp is finished once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_legacy").toString
+    Similarity.buildIvfIndex(vecs(0 until 60), "embedding", "vec_id",
+      numCells = 8).save(dir)
+    // the pre-r14 layout's crash state: complete under root/_rebuild_tmp,
+    // live assigned gone — the migration arm finishes it component-wise
     Similarity.buildIvfIndex(vecs(0 until 60), "embedding", "vec_id",
       numCells = 8).save(s"$dir/_rebuild_tmp")
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -148,9 +183,6 @@ class IvfIndexSpec extends SparkSpec {
     assert(Similarity.rebuildIvfIndex(spark, dir) == 60) // finished the swap
     assert(IvfIndex.load(spark, dir).assigned.count() == 60)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_rebuild_tmp")))
-    // a stale INCOMPLETE tmp is discarded and a full rebuild proceeds
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_rebuild_tmp/assigned"))
-    assert(Similarity.rebuildIvfIndex(spark, dir) == 60)
   }
 
   test("IvfAppend rebuild: auto retrains past max_drift, PostCommit-deferred") {

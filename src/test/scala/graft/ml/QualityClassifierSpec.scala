@@ -57,6 +57,37 @@ class QualityClassifierSpec extends SparkSpec {
       "gradient sums must not depend on partitioning")
   }
 
+  test("feature store: incremental appends train BIT-IDENTICAL to full-batch") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_clf_store").toString + "/feats"
+    val day1 = labeled(0 until 80)
+    val day2 = labeled(80 until 120)
+    // daily idiom: featurize only each increment, append, re-train
+    assert(QualityClassifier.appendToFeatureStore(day1, "text", "label",
+      "id", store, logBuckets = 8, bigrams = true) == 80)
+    assert(QualityClassifier.appendToFeatureStore(day2, "text", "label",
+      "id", store, logBuckets = 8, bigrams = true) == 40)
+    // a replayed batch is a no-op (anti-join idempotence)
+    assert(QualityClassifier.appendToFeatureStore(day2, "text", "label",
+      "id", store, logBuckets = 8, bigrams = true) == 0)
+    val fromStore = QualityClassifier.trainFromFeatureStore(spark, store,
+      epochs = 5, lr = 0.5)
+    // the decimal gradient lattice is order/partitioning-independent, so
+    // the store re-read trains to the SAME BITS as one full batch
+    val fullBatch = QualityClassifier.train(labeled(0 until 120), "text",
+      "label", logBuckets = 8, bigrams = true, epochs = 5, lr = 0.5)
+    assert(fromStore.bias == fullBatch.bias)
+    assert(fromStore.weights.toSeq == fullBatch.weights.toSeq,
+      "store-trained weights must equal full-batch weights bit-for-bit")
+    assert(fromStore.logBuckets == 8 && fromStore.bigrams)
+    // mixed-config appends fail loudly (hash spaces cannot mix)
+    val err = intercept[IllegalArgumentException] {
+      QualityClassifier.appendToFeatureStore(day1, "text", "label",
+        "id", store, logBuckets = 10, bigrams = true)
+    }
+    assert(err.getMessage.contains("cannot mix"))
+  }
+
   test("score is a zero-exchange narrow map over the scan") {
     val model = QualityClfModel(QualityClassifier.syntheticWeights(12), 12,
       bigrams = true, bias = 0.0)
