@@ -32,7 +32,10 @@ object Bench {
     // round-12 additions (append-only — BenchLineSpec pins the prefix)
     "q_cluster_balance", "q_template_cond",
     // round-13 additions: trained quality scoring + DSIR selection
-    "q_quality_clf", "q_dsir")
+    "q_quality_clf", "q_dsir",
+    // round-14 addition: the composed curation pipeline (rules → clf →
+    // DSIR keep → near-dedup in one plan)
+    "q_curate_rank")
 
   /** Pure per-family budget decision (spec-pinned in BenchLineSpec):
     * None = skip this family (budget exhausted — rotate it to the next

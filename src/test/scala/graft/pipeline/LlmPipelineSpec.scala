@@ -1021,6 +1021,86 @@ class LlmPipelineSpec extends SparkSpec {
     assert(cols.contains("quality_logit") && !cols.contains("sum_ratio"), cols)
   }
 
+  test("full curation chain with feature store: rules → clf → dsir → dedup, re-run idempotent") {
+    // the q_curate_rank composition driven entirely by config, with the
+    // round-14 feature store in the loop: run 1 featurizes the labeled
+    // reference into the store and trains from it; run 2 appends NOTHING
+    // (anti-join idempotence) and — because store-trained weights are
+    // bit-deterministic — keeps exactly the same documents
+    val in = tmp("fc-in")
+    val labeled = tmp("fc-labeled")
+    val tgt = tmp("fc-target")
+    val store = tmp("fc-store") + "/feats"
+    val out = tmp("fc-out")
+    val good = Vector("research", "method", "analysis", "model", "data",
+      "result", "experiment", "theory", "approach", "evidence")
+    val bad = Vector("click", "buy", "now", "cheap", "free", "offer")
+    def doc(words: Vector[String], i: Int): String =
+      "the " + (0 until 9).map(j => words((i * 3 + j * 7) % words.size))
+        .mkString(" ") // "the" satisfies rule_stopwords at min_stop_hits 1
+    // pool: even = good, odd = spam; 50/51 are an exact-dup pair (near-
+    // dedup must cut 51); 52 fails the rules (brace)
+    val pool = (0L until 50L).map(i =>
+      (i, if (i % 2 == 0) doc(good, i.toInt) else doc(bad, i.toInt))) ++
+      Seq((50L, doc(good, 2)), (51L, doc(good, 2)),
+        (52L, doc(good, 4) + " {brace}"))
+    pool.toDF("id", "text").write.mode("overwrite").parquet(in)
+    (200 until 320).map(i =>
+      (i.toLong, if (i % 2 == 0) doc(good, i) else doc(bad, i),
+        if (i % 2 == 0) 1 else 0))
+      .toDF("id", "text", "label").write.mode("overwrite").parquet(labeled)
+    (400 until 430).map(i => (i.toLong, doc(good, i)))
+      .toDF("id", "text").write.mode("overwrite").parquet(tgt)
+
+    val yaml =
+      s"""inputs:
+         |  - Parquet:
+         |      path: $in
+         |filters:
+         |  - QualityRules: {src: text, mode: drop, min_words: 6, min_stop_hits: 1}
+         |  - QualityClassifier:
+         |      src: text
+         |      feature_store_path: $store
+         |      reference: {input: Parquet, path: $labeled, label_field: label, id_field: id}
+         |      log_buckets: 10
+         |      epochs: 20
+         |      lr: 1.0
+         |      keep_above: "0.0"
+         |  - Dsir:
+         |      src: text
+         |      id_field: id
+         |      target: {input: Parquet, path: $tgt}
+         |      log_buckets: 10
+         |      method: threshold
+         |      cap: 1.0
+         |  - Dedup: {src: text, id_field: id, method: minhash}
+         |outputs:
+         |  - Parquet:
+         |      path: $out
+         |""".stripMargin
+    val cfg = java.nio.file.Files.createTempFile("fc-pipeline", ".yml")
+    java.nio.file.Files.write(cfg, yaml.getBytes("UTF-8"))
+    graft.Main.run(spark, cfg.toString)
+
+    val kept1 = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(kept1.nonEmpty, "curation chain kept nothing")
+    assert(kept1.forall(_ % 2 == 0), s"spam survived the classifier: $kept1")
+    assert(!kept1.contains(52L), "rule-failing doc survived QualityRules")
+    // the exact-dup pair: near-dedup keeps the smaller id only
+    assert(!(kept1.contains(50L) && kept1.contains(51L)),
+      s"both members of the dup pair survived: $kept1")
+    // run 1 featurized the full labeled reference into the store
+    assert(spark.read.parquet(s"$store/rows").count() == 120L)
+
+    // run 2: same config — the store append is a no-op and the
+    // bit-deterministic re-train keeps the SAME set
+    graft.Main.run(spark, cfg.toString)
+    assert(spark.read.parquet(s"$store/rows").count() == 120L,
+      "re-run appended duplicate feature rows")
+    val kept2 = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(kept2 == kept1, s"re-run changed the kept set: $kept1 vs $kept2")
+  }
+
   test("RangeSortedExport tees a sorted, range-partitioned export") {
     val out = tmp("range-export")
     val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("id", "text")
