@@ -176,7 +176,8 @@ object Bench {
         * parseable output) — the caller then runs the family in-process.
         * The worker's stderr (Spark logs) is inherited; its stdout is
         * consumed here so the parent's parsed JSON line stays clean. */
-      def runIsolated(family: String, famRuns: Int): Option[StressOps.Results] =
+      def runIsolated(family: String, famRuns: Int,
+          watchdogMins: Long): Option[StressOps.Results] =
         try {
           val javaBin = new java.io.File(new java.io.File(
             sys.props("java.home"), "bin"), "java").getAbsolutePath
@@ -214,8 +215,11 @@ object Bench {
           })
           reader.setDaemon(true)
           reader.start()
-          // per-family watchdog: a hung worker must not hang the bench
-          val done = proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+          // per-family watchdog: a hung worker must not hang the bench —
+          // capped at the REMAINING budget (plus margin), or one hang
+          // would blow the driver window the budget exists to protect
+          val done = proc.waitFor(watchdogMins,
+            java.util.concurrent.TimeUnit.MINUTES)
           if (!done) { proc.destroyForcibly(); proc.waitFor() }
           reader.join(10000)
           if (!done || proc.exitValue() != 0) None
@@ -243,24 +247,41 @@ object Bench {
         decision match {
           case None => skippedFamilies += family
           case Some(famRuns) =>
-          val res = (if (isolate) runIsolated(family, famRuns) else None) match {
-            case Some(r) => isolatedFamilies += 1; r
-            case None =>
-              // in-process fallback: same ops, same keys — a spawn failure
-              // costs isolation, never the datapoints
-              if (isolate) System.err.println(
-                s"[bench] stress family '$family' worker failed; running in-process")
-              StressOps.runFamily(spark, family, sfDir, stressCopies,
-                semCopies, famRuns)
-          }
-          res.consts.foreach { case (k, v) =>
-            if (!stress.contains(k)) stress(k) = v
-          }
-          res.samples.foreach { case (k, xs) =>
-            if (k == "probe") probeSamples ++= xs
-            else {
-              stressSamples(k) = xs
-              stress(k) = if (xs.exists(_ < 0)) -1.0 else xs.min
+          // watchdog = remaining budget + a settle margin, never more
+          // than 45 min: a hung worker costs at most the budget, and the
+          // family rotates to the next run's front instead of re-running
+          // in-process with no bound
+          val watchdogMins = math.min(45L, math.max(2L,
+            math.ceil((stressBudget - stressElapsed + 120.0) / 60.0).toLong))
+          val resOpt =
+            (if (isolate) runIsolated(family, famRuns, watchdogMins)
+             else None) match {
+              case Some(r) => isolatedFamilies += 1; Some(r)
+              case None if stressElapsed >= stressBudget =>
+                // worker failed AND the budget is spent (e.g. a hang ate
+                // it): don't run unbounded in-process — rotate instead
+                System.err.println(s"[bench] stress family '$family' " +
+                  "worker failed past budget; rotating to next run")
+                skippedFamilies += family
+                None
+              case None =>
+                // in-process fallback: same ops, same keys — a spawn
+                // failure costs isolation, never the datapoints
+                if (isolate) System.err.println(
+                  s"[bench] stress family '$family' worker failed; running in-process")
+                Some(StressOps.runFamily(spark, family, sfDir, stressCopies,
+                  semCopies, famRuns))
+            }
+          resOpt.foreach { res =>
+            res.consts.foreach { case (k, v) =>
+              if (!stress.contains(k)) stress(k) = v
+            }
+            res.samples.foreach { case (k, xs) =>
+              if (k == "probe") probeSamples ++= xs
+              else {
+                stressSamples(k) = xs
+                stress(k) = if (xs.exists(_ < 0)) -1.0 else xs.min
+              }
             }
           }
         }

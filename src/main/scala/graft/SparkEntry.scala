@@ -1331,10 +1331,11 @@ object SparkEntry {
     // spec-pinned in DsirSpec instead.
     "q_dsir" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val target = docs.filter(col("doc_id") < 50)
-      val m = graft.ml.Dsir.model(
-        graft.ml.Dsir.ngramCounts(target, "text", 12),
-        graft.ml.Dsir.ngramCounts(docs, "text", 12), 12)
+      // fused single-pass counts (target is a predicate over the pool) —
+      // bit-identical frames to the two-ngramCounts form, half the scans
+      val (tc, rc) = graft.ml.Dsir.ngramCountsWithTarget(
+        docs, "text", col("doc_id") < 50, 12)
+      val m = graft.ml.Dsir.model(tc, rc, 12)
       val weighed = graft.ml.Dsir.weigh(docs, "text", "doc_id", m)
       weighed.select(col("doc_id"),
         col("n_feats").cast("long").as("n_feats"), col("sum_ratio"),
@@ -1360,9 +1361,9 @@ object SparkEntry {
         bigrams = true, bias = 0.0)
       val scored = graft.ml.QualityClassifier.score(ruled, "text", model)
         .filter(col("quality_logit") > 0.0)
-      val m = graft.ml.Dsir.model(
-        graft.ml.Dsir.ngramCounts(docs.filter(col("doc_id") < 50), "text", 12),
-        graft.ml.Dsir.ngramCounts(docs, "text", 12), 12)
+      val (tc, rc) = graft.ml.Dsir.ngramCountsWithTarget(
+        docs, "text", col("doc_id") < 50, 12)
+      val m = graft.ml.Dsir.model(tc, rc, 12)
       val weighed = graft.ml.Dsir.weigh(scored, "text", "doc_id", m)
       val kept = weighed.filter(graft.ml.Dsir.thresholdKeep(weighed, "doc_id"))
       val pairs = graft.ml.Dedup.minhashPairs(kept, "text", "doc_id",

@@ -59,6 +59,38 @@ object Dsir {
     perBucket.unionByName(total)
   }
 
+  /** Target AND raw bucket counts in ONE corpus pass, for the common
+    * case where the target sample is a PREDICATE over the pool (e.g.
+    * curated ids, a domain flag): rows matching `targetCond` count into
+    * both frames, everything counts into raw. Two separate
+    * [[ngramCounts]] calls explode + partial-agg the corpus twice — at
+    * 100 TB that pass IS the model-build cost, so fusing halves it. The
+    * single pass materializes one bounded (≤ 2^logBuckets rows) frame
+    * via localCheckpoint; both returned frames are projections of it
+    * and are BIT-IDENTICAL to ngramCounts over the equivalent inputs
+    * (same long groupBy-sum lattice, order-free; -1 total sentinels
+    * included) — gate oracles are unaffected. */
+  def ngramCountsWithTarget(df: DataFrame, textCol: String,
+      targetCond: Column, logBuckets: Int = 12,
+      bigrams: Boolean = true): (DataFrame, DataFrame) = {
+    val feats = df.select(targetCond.as("t"), explode(
+      QualityClfFns.clfFeatureCounts(col(s"`$textCol`"), logBuckets, bigrams))
+      .as("f"))
+    val perBucket = feats.groupBy(col("f.bucket").as("bucket"))
+      .agg(
+        sum(when(col("t"), col("f.cnt")).otherwise(lit(0)).cast("long"))
+          .as("cnt_t"),
+        sum(col("f.cnt").cast("long")).as("cnt_r"))
+      .localCheckpoint()
+    def side(c: String) = {
+      val pb = perBucket.select(col("bucket"), col(s"`$c`").as("cnt"))
+      val total = pb.agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
+        .select(lit(-1).as("bucket"), col("cnt"))
+      pb.unionByName(total)
+    }
+    (side("cnt_t"), side("cnt_r"))
+  }
+
   /** Append this corpus's hashed-ngram counts to a COUNTS STORE — the
     * cumulative raw-pool distribution an incremental (daily-run) DSIR
     * weighs against, the vocabulary-store machinery over the bucket key

@@ -156,13 +156,27 @@ object QualityClassifier {
         QualityClfFns.clfFeatureCounts(col(s"`$textCol`"), logBuckets, bigrams)
           .as("f"))
       .filter(col("id").isNotNull && col("y").isNotNull && size(col("f")) > 0)
-      .dropDuplicates("id")
     // count + write must see the SAME frame while the store changes
     // under the anti-join — the seen-store localCheckpoint barrier
     val fresh = graft.core.Stores.readParquetIfExists(spark, s"$storePath/rows")
       .map(st => fresh0.join(st.select("id"), Seq("id"), "left_anti"))
       .getOrElse(fresh0)
       .localCheckpoint()
+    // fail BEFORE persisting, not at train time: a poisoned store can't
+    // be repaired by re-appending (the anti-join sees the id as stored)
+    val badLabel = fresh.filter(col("y") =!= 0.0 && col("y") =!= 1.0).take(1)
+    require(badLabel.isEmpty,
+      s"QualityClassifier.appendToFeatureStore: $labelCol must be 0/1, " +
+        s"found ${if (badLabel.isEmpty) "" else badLabel.head.getDouble(1)}")
+    // duplicate ids inside one increment would make store-training
+    // diverge from full-batch (train aggregates BOTH rows, the store
+    // can keep only one) — the bit-parity contract demands loudness
+    val dup = fresh.groupBy("id").count().filter(col("count") > 1).take(1)
+    require(dup.isEmpty,
+      s"QualityClassifier.appendToFeatureStore: duplicate $idCol ${
+        if (dup.isEmpty) "" else dup.head.getLong(0)} in the increment — " +
+        "bit-parity with full-batch training requires one row per id; " +
+        "dedup the increment first")
     val n = fresh.count()
     if (n > 0) fresh.write.mode("append").parquet(s"$storePath/rows")
     n
@@ -178,8 +192,12 @@ object QualityClassifier {
   def trainFromFeatureStore(spark: SparkSession, storePath: String,
       epochs: Int = 20, lr: Double = 0.5, l2: Double = 0.0): QualityClfModel = {
     val (logBuckets, bigrams) = readStoreMeta(spark, storePath)
+    // localCheckpoint, as train() does: epochs re-scan materialized
+    // rows — not the store files, which a concurrent append could grow
+    // MID-TRAIN (epochs would then disagree about the row multiset)
     val base = spark.read.parquet(s"$storePath/rows")
       .select(col("y"), col("f"))
+      .localCheckpoint()
     trainOnFeatures(base, logBuckets, bigrams, epochs, lr, l2)
   }
 
@@ -268,8 +286,7 @@ object QualityClassifier {
       fs.listStatus(parent).map(_.getPath)
         .filter(_.getName.startsWith(fs0(path).getName + ".tmp-"))
         .foreach(p => fs.delete(p, true))
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-" +
-      java.util.UUID.randomUUID().toString)
+    val tmp = sibling(path, ".tmp-" + java.util.UUID.randomUUID().toString)
     model.weights.zipWithIndex.map { case (w, b) => (b, w) }.toSeq
       .toDF("bucket", "weight")
       .repartition(1)
@@ -278,11 +295,19 @@ object QualityClassifier {
       String.format(java.util.Locale.ROOT, "%.17g", Double.box(model.bias))}}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_clf_meta"), true)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
-    val old = fs0(path + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(fs0(path)))
+    val old = sibling(path, ".old")
+    // finish a previously crashed save FIRST (the load() recovery): if
+    // `.old` is the only surviving generation, restore it before the
+    // retire below — deleting it up front would leave a window where a
+    // rename failure loses BOTH generations
+    if (!fs.exists(fs0(path)) && fs.exists(old))
+      require(fs.rename(old, fs0(path)),
+        s"QualityClassifier.save: could not restore the retired model at $path")
+    if (fs.exists(fs0(path))) {
+      if (fs.exists(old)) fs.delete(old, true)
       require(fs.rename(fs0(path), old),
         s"QualityClassifier.save: could not retire the old model at $path")
+    }
     if (!fs.rename(tmp, fs0(path))) {
       // restore the previous generation before failing — the path must
       // never be left empty by a failed save
@@ -290,6 +315,16 @@ object QualityClassifier {
       sys.error(s"QualityClassifier.save: could not commit $path")
     }
     fs.delete(old, true)
+  }
+
+  /** `<path><suffix>` as a SIBLING of path — built via parent+name so a
+    * trailing slash in a config path can't silently produce a CHILD
+    * (renaming a directory under itself fails forever). */
+  private def sibling(path: String, suffix: String): org.apache.hadoop.fs.Path = {
+    val p = fs0(path) // Hadoop Path normalizes trailing slashes
+    val parent = Option(p.getParent)
+    parent.map(new org.apache.hadoop.fs.Path(_, p.getName + suffix))
+      .getOrElse(fs0(p.getName + suffix))
   }
 
   private def fs0(p: String) = new org.apache.hadoop.fs.Path(p)
@@ -300,8 +335,8 @@ object QualityClassifier {
     // never committed — restore the retired generation (the save that
     // crashed never returned success, so serving the OLD model is the
     // correct contract)
-    if (!fs.exists(fs0(path)) && fs.exists(fs0(path + ".old")))
-      require(fs.rename(fs0(path + ".old"), fs0(path)),
+    if (!fs.exists(fs0(path)) && fs.exists(sibling(path, ".old")))
+      require(fs.rename(sibling(path, ".old"), fs0(path)),
         s"QualityClassifier.load: could not restore the retired model at $path")
     val in = fs.open(new org.apache.hadoop.fs.Path(path, "_clf_meta"))
     val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

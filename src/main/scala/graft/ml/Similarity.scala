@@ -433,8 +433,14 @@ object Similarity {
       iters: Int = 5): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".rebuild_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".rebuild_old")
+    // siblings via parent+name, not string concat: a trailing slash in a
+    // config path would otherwise make "<path>.rebuild_tmp" a CHILD of
+    // root, and renaming root under itself fails every rebuild forever
+    def sibling(suffix: String) = Option(root.getParent)
+      .map(new org.apache.hadoop.fs.Path(_, root.getName + suffix))
+      .getOrElse(new org.apache.hadoop.fs.Path(root.getName + suffix))
+    val tmp = sibling(".rebuild_tmp")
+    val old = sibling(".rebuild_old")
     def finishSwap(): Long = {
       if (fs.exists(root)) {
         if (fs.exists(old)) fs.delete(old, true)

@@ -405,20 +405,28 @@ object Planner {
                     .getName} is a Function1 but not (DataFrame => " +
                     "DataFrame) — it implements none of EventFilter / " +
                     "Plugins.CorpusStagePlugin / (DataFrame => DataFrame)")
+                // probe at most ONCE per plugin instance: a plugin with
+                // plan-building side effects (temp views, accumulators)
+                // must not see every input twice on every application
+                val probedOk = new java.util.concurrent.atomic.AtomicBoolean(false)
                 df => {
-                  if (erasedOnly) {
+                  if (erasedOnly && probedOk.compareAndSet(false, true)) {
                     val probed =
                       try f1.asInstanceOf[Any => Any](df.limit(0))
                       catch {
-                        case _: ClassCastException => sys.error(
-                          s"custom class ${f1.getClass.getName} declares " +
-                            "apply(Object)Object but rejects a DataFrame " +
-                            "— not a (DataFrame => DataFrame) plugin")
+                        case _: ClassCastException =>
+                          probedOk.set(false)
+                          sys.error(
+                            s"custom class ${f1.getClass.getName} declares " +
+                              "apply(Object)Object but rejects a DataFrame " +
+                              "— not a (DataFrame => DataFrame) plugin")
                       }
-                    if (!probed.isInstanceOf[org.apache.spark.sql.Dataset[_]])
+                    if (!probed.isInstanceOf[org.apache.spark.sql.Dataset[_]]) {
+                      probedOk.set(false)
                       sys.error(s"custom class ${f1.getClass.getName} " +
                         "returned a non-Dataset from apply(DataFrame) — " +
                         "not a (DataFrame => DataFrame) plugin")
+                    }
                   }
                   f1.asInstanceOf[DataFrame => DataFrame](df)
                 }
@@ -1058,13 +1066,38 @@ object Planner {
         val keepEvidence = conf.bool("keep_evidence", false)
         df => {
           val s = df.sparkSession
-          val tgtCounts = conf.str("target_counts_path") match {
+          // `target_where`: the target sample is a PREDICATE over the
+          // pool (condition DSL) — the fused single-pass form
+          // (Dsir.ngramCountsWithTarget): one explode+agg over the
+          // corpus instead of two. At 100 TB the counting pass IS the
+          // model-build cost, so this halves it whenever the target is
+          // "a slice of the pool" (curated ids, a domain flag).
+          val fused = conf.str("target_where").map { cond =>
+            if (conf.str("target_counts_path").nonEmpty ||
+                conf.anyMap("target").nonEmpty)
+              sys.error("Dsir: `target_where` is mutually exclusive with " +
+                "`target` / `target_counts_path`")
+            if (conf.str("raw_counts_path").nonEmpty ||
+                conf.str("raw_counts_store").nonEmpty)
+              sys.error("Dsir: `target_where` counts target and raw in " +
+                "one pass over the pool — it cannot combine with " +
+                "`raw_counts_path` / `raw_counts_store`")
+            if (df.isStreaming) sys.error("Dsir on a stream needs BOTH " +
+              "count paths — `target_where` would aggregate inside the " +
+              "stream")
+            graft.ml.Dsir.ngramCountsWithTarget(df, text,
+              graft.conditions.ConditionFilter.compile(cond, df,
+                conf.str("timestamp").getOrElse("@timestamp")), logB, bg)
+          }
+          val tgtCounts = fused.map(_._1).getOrElse(
+            conf.str("target_counts_path") match {
             case Some(p) => s.read.parquet(p)
             case None =>
               val tm = conf.anyMap("target")
-              if (tm.isEmpty) sys.error("Dsir needs `target_counts_path` " +
-                "or a `target` input spec, e.g. target: {input: Parquet, " +
-                "path: /data/target_sample.parquet}")
+              if (tm.isEmpty) sys.error("Dsir needs `target_counts_path`, " +
+                "a `target` input spec (e.g. target: {input: Parquet, " +
+                "path: /data/target_sample.parquet}), or `target_where` " +
+                "(condition DSL over the pool)")
               if (df.isStreaming) sys.error("Dsir on a stream needs BOTH " +
                 "`target_counts_path` and `raw_counts_path` (pre-built " +
                 "with Dsir.ngramCounts) — counting inside a stream would " +
@@ -1074,8 +1107,9 @@ object Planner {
                   .transform(d => tm.str("src").filter(_ != text)
                     .map(d.withColumnRenamed(_, text)).getOrElse(d)),
                 text, logB, bg)
-          }
-          val rawCounts = (conf.str("raw_counts_path"),
+          })
+          val rawCounts = fused.map(_._2).getOrElse(
+            (conf.str("raw_counts_path"),
               conf.str("raw_counts_store")) match {
             case (Some(_), Some(_)) => sys.error("Dsir: `raw_counts_path` " +
               "and `raw_counts_store` are mutually exclusive")
@@ -1100,7 +1134,7 @@ object Planner {
                 "`raw_counts_path` — the pool's counts cannot be " +
                 "aggregated inside the stream")
               graft.ml.Dsir.ngramCounts(df, text, logB, bg)
-          }
+          })
           val m = graft.ml.Dsir.model(tgtCounts, rawCounts, logB, bg)
           val weighed = graft.ml.Dsir.weigh(df, text, id, m)
           val out = conf.str("method").getOrElse("topk") match {
@@ -1129,6 +1163,15 @@ object Planner {
         // in the plan — stream-native for the same reason as LangId);
         // `keep_above` filters on the logit in-row.
         val target = conf.str("target").getOrElse("quality_logit")
+        // contradictory config fails at PLAN time (the loud-error
+        // convention): a model_path user who also sets a store path
+        // would otherwise silently never append their reference
+        // increments — a stale store with no symptom
+        if (conf.str("model_path").nonEmpty &&
+            conf.str("feature_store_path").nonEmpty)
+          sys.error("QualityClassifier: model_path and feature_store_path " +
+            "are mutually exclusive — load a frozen model OR maintain an " +
+            "incremental training store, not both")
         df => {
           val model = (conf.str("model_path"),
               conf.str("feature_store_path")) match {
@@ -1150,9 +1193,21 @@ object Planner {
                   rm.str("id_field").getOrElse(id), sp,
                   conf.int("log_buckets", 12),
                   conf.bool("bigrams", true)): Unit
-              graft.ml.QualityClassifier.trainFromFeatureStore(
+              val m = graft.ml.QualityClassifier.trainFromFeatureStore(
                 df.sparkSession, sp, conf.int("epochs", 20),
                 conf.dbl("lr", 0.5), conf.dbl("l2", 0.0))
+              // with no reference to append, an EXPLICIT hash config
+              // that contradicts the store's pinned meta must fail, not
+              // be silently overridden by the store
+              conf.str("log_buckets").foreach(lb => require(
+                lb.trim.toInt == m.logBuckets,
+                s"QualityClassifier: log_buckets $lb contradicts the " +
+                  s"feature store's pinned ${m.logBuckets} at $sp"))
+              conf.str("bigrams").foreach(bg => require(
+                bg.trim.toBoolean == m.bigrams,
+                s"QualityClassifier: bigrams $bg contradicts the feature " +
+                  s"store's pinned ${m.bigrams} at $sp"))
+              m
             case (None, None) =>
               val rm = conf.anyMap("reference")
               if (rm.isEmpty) sys.error("QualityClassifier needs " +

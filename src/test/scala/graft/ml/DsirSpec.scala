@@ -46,6 +46,29 @@ class DsirSpec extends SparkSpec {
     }.getMessage.contains("sentinel"))
   }
 
+  test("ngramCountsWithTarget ≡ two ngramCounts passes, bit-for-bit") {
+    // the fused single-pass form (one explode+agg instead of two) must
+    // produce frames whose drained values equal the separate passes —
+    // zero-count target buckets are equivalent to absent ones, so
+    // compare as maps with zeros dropped
+    val p = pool(0 until 80)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .filter(_._2 != 0L)
+    val (tc, rc) = Dsir.ngramCountsWithTarget(p, "text",
+      col("id") % 2 === 0, logBuckets = 8)
+    val tSep = Dsir.ngramCounts(p.filter(col("id") % 2 === 0), "text",
+      logBuckets = 8)
+    val rSep = Dsir.ngramCounts(p, "text", logBuckets = 8)
+    assert(asMap(tc) == asMap(tSep))
+    assert(asMap(rc) == asMap(rSep))
+    // and the models built from both forms are bit-identical
+    val mFused = Dsir.model(tc, rc, logBuckets = 8)
+    val mSep = Dsir.model(tSep, rSep, logBuckets = 8)
+    assert(mFused.ratio.toSeq == mSep.ratio.toSeq)
+    assert(mFused.logRatio.toSeq == mSep.logRatio.toSeq)
+  }
+
   test("log weights separate the domains; weigh is a zero-exchange map") {
     val p = pool(0 until 200)
     val m = modelOf(p)
@@ -124,6 +147,34 @@ class DsirSpec extends SparkSpec {
     assert(intercept[RuntimeException] {
       graft.pipeline.Planner.corpusStage("Dsir", Map("method" -> "topk"))(p)
     }.getMessage.contains("target"))
+  }
+
+  test("YAML target_where: fused single-pass counts match a separate target input") {
+    // the target as a PREDICATE over the pool (here: the science half by
+    // id parity via the condition DSL's Match on text) — one corpus pass
+    // builds both count frames; selection must agree with the equivalent
+    // two-pass form using the same rows as the target sample
+    val p = pool(0 until 200)
+    val fusedStage = graft.pipeline.Planner.corpusStage("Dsir", Map(
+      "src" -> "text", "id_field" -> "id",
+      "target_where" -> """Contains(text,"research") || Contains(text,"method")""",
+      "log_buckets" -> 10, "method" -> "topk", "k" -> 50, "seed" -> 3))
+    val kept = fusedStage(p).select("id").as[Long].collect().toSet
+    assert(kept.size == 50)
+    assert(kept.count(_ % 2 == 0) >= 45, s"fused target_where kept $kept")
+    // contradictory config fails loudly
+    assert(intercept[RuntimeException] {
+      graft.pipeline.Planner.corpusStage("Dsir", Map(
+        "target_where" -> "Exist(text)",
+        "target" -> Map("input" -> "Parquet", "path" -> "/nope"),
+        "method" -> "topk", "k" -> 1))(p)
+    }.getMessage.contains("mutually exclusive"))
+    assert(intercept[RuntimeException] {
+      graft.pipeline.Planner.corpusStage("Dsir", Map(
+        "target_where" -> "Exist(text)",
+        "raw_counts_path" -> "/nope",
+        "method" -> "topk", "k" -> 1))(p)
+    }.getMessage.contains("one pass"))
   }
 
   test("streaming: threshold method with BOTH counts saved runs on a MemoryStream") {

@@ -169,6 +169,18 @@ class IvfIndexSpec extends SparkSpec {
     assert(Similarity.rebuildIvfIndex(spark, dir) == 100)
   }
 
+  test("rebuild handles a trailing-slash index path (siblings stay siblings)") {
+    // a config path like "data/idx/" must not turn "<path>.rebuild_tmp"
+    // into a CHILD of the index root — renaming root under itself would
+    // fail every rebuild forever (r14 review finding)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_slash")
+      .toString + "/idx"
+    Similarity.buildIvfIndex(vecs(0 until 60), "embedding", "vec_id",
+      numCells = 8).save(dir)
+    assert(Similarity.rebuildIvfIndex(spark, dir + "/") == 60)
+    assert(IvfIndex.load(spark, dir).assigned.count() == 60)
+  }
+
   test("rebuild crash contract: legacy in-root complete tmp is finished once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_legacy").toString
     Similarity.buildIvfIndex(vecs(0 until 60), "embedding", "vec_id",

@@ -146,6 +146,56 @@ class QualityClassifierSpec extends SparkSpec {
     assert(back.weights.toSeq == model.weights.toSeq)
   }
 
+  test("save crash contract: a retired-only generation survives re-save and load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf_crash").toString
+    val m1 = QualityClassifier.train(labeled(0 until 80), "text", "label",
+      logBuckets = 8, bigrams = true, epochs = 3, lr = 0.5)
+    QualityClassifier.save(spark, m1, s"$dir/m")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a save that crashed between retiring the old model and
+    // committing the new: path absent, `.old` is the ONLY generation
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/m"),
+      new org.apache.hadoop.fs.Path(s"$dir/m.old"))
+    // load() restores the retired generation
+    val back = QualityClassifier.load(spark, s"$dir/m")
+    assert(back.weights.toSeq == m1.weights.toSeq)
+    // ...and a SAVE from the same state must not destroy it on its way
+    // in (the r14 review finding: deleting .old before the commit left
+    // a window losing BOTH generations)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/m"),
+      new org.apache.hadoop.fs.Path(s"$dir/m.old"))
+    val m2 = QualityClassifier.train(labeled(0 until 40), "text", "label",
+      logBuckets = 8, bigrams = true, epochs = 2, lr = 0.5)
+    QualityClassifier.save(spark, m2, s"$dir/m")
+    assert(QualityClassifier.load(spark, s"$dir/m").weights.toSeq
+      == m2.weights.toSeq)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/m.old")))
+  }
+
+  test("feature store guards: bad labels and duplicate ids fail BEFORE persisting") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_clf_guard").toString + "/feats"
+    val bad = Seq((1L, goodDoc(1), 2)).toDF("id", "text", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      QualityClassifier.appendToFeatureStore(bad, "text", "label", "id",
+        store, logBuckets = 8)
+    }
+    assert(e1.getMessage.contains("0/1"))
+    val dup = Seq((1L, goodDoc(1), 1), (1L, goodDoc(2), 0))
+      .toDF("id", "text", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.appendToFeatureStore(dup, "text", "label", "id",
+        store, logBuckets = 8)
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    // nothing persisted by either failed append: a clean batch trains
+    // from an uncontaminated store
+    assert(QualityClassifier.appendToFeatureStore(labeled(0 until 20),
+      "text", "label", "id", store, logBuckets = 8) == 20)
+    assert(spark.read.parquet(s"$store/rows").count() == 20)
+  }
+
   test("YAML dispatch: labeled reference trains, model_path loads, keep_above filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_clf_yaml").toString
     labeled(0 until 200).write.parquet(s"$dir/labeled")
