@@ -58,8 +58,8 @@ object ClickHouseWriter {
       defaultFor(t.stripPrefix("LowCardinality(").stripSuffix(")"))
     case t if t.startsWith("Array(") =>
       array().cast(sparkType(t))
-    case "String" | "UUID" | "FixedString" => lit("")
-    case t if t.startsWith("FixedString") => lit("")
+    case "String" | "UUID" => lit("")
+    case t if t.startsWith("FixedString") => lit("") // always FixedString(N)
     case t if t.startsWith("Enum") => lit("")
     case "IPv4" => lit("0.0.0.0")
     case "IPv6" => lit("::")
@@ -82,7 +82,14 @@ object ClickHouseWriter {
 
   /** Prepared-statement SQL (clickhouse_output.go:350-359). */
   def insertSql(table: String, schema: Seq[ChColumn]): String = {
-    val cols = schema.map(_.name).mkString(",")
+    // plain identifiers render bare (the Derby round-trip spec drives
+    // this SQL through a non-ClickHouse parser); anything else — dotted
+    // (`a.b`) or exotic desc-table names — gets ClickHouse backticks so
+    // it still inserts instead of breaking the statement
+    val cols = schema.map { c =>
+      if (c.name.matches("[A-Za-z_][A-Za-z0-9_]*")) c.name
+      else "`" + c.name.replace("`", "\\`") + "`"
+    }.mkString(",")
     val marks = schema.map(_ => "?").mkString(",")
     s"INSERT INTO $table ($cols) VALUES ($marks)"
   }
@@ -128,7 +135,11 @@ object ClickHouseWriter {
     val sql = insertSql(table, schema)
     val conformed = conform(df, schema)
     conformed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val selector = new HostSelector(jdbcUrls)
+      // partition-staggered start: a fixed start would point every
+      // partition's connection at the first host
+      val selector = new HostSelector(jdbcUrls,
+        startIdx = Option(org.apache.spark.TaskContext.get())
+          .map(_.partitionId()).getOrElse(0))
       val url = selector.select().getOrElse(sys.error("no live ClickHouse host"))
       val conn = java.sql.DriverManager.getConnection(url)
       try {

@@ -29,14 +29,35 @@ final class EsBulkWriter(
     maxRetries: Int = 3,
     httpSend: (String, Array[Byte], Boolean) => (Int, String) = EsBulkWriter.defaultSend) {
 
-  private val selector = new HostSelector(hosts)
+  // partition-staggered first host: one writer per partition with a
+  // fixed start would aim every partition at hosts(0)
+  private val selector = new HostSelector(hosts,
+    startIdx = Option(org.apache.spark.TaskContext.get())
+      .map(_.partitionId()).getOrElse(0))
   private val buf = new scala.collection.mutable.ArrayBuffer[(String, String)]()
   private var bufBytes = 0L
+
+  /** UTF-8 byte length without allocating the byte array: the bulk-size
+    * threshold guards ES's http.max_content_length, which is BYTES — a
+    * char count under-measures CJK payloads 3× and a too-big request
+    * draws a whole-batch 413. Surrogate pairs: 2 + 2 = the pair's 4. */
+  private def utf8Len(s: String): Long = {
+    var i = 0; var n = 0L
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1
+            else if (c < 0x800) 2
+            else if (Character.isHighSurrogate(c) || Character.isLowSurrogate(c)) 2
+            else 3)
+      i += 1
+    }
+    n
+  }
 
   /** Queue one action (meta line + source line); flushes on thresholds. */
   def add(metaLine: String, sourceLine: String): Unit = {
     buf += ((metaLine, sourceLine))
-    bufBytes += metaLine.length + sourceLine.length + 2
+    bufBytes += utf8Len(metaLine) + utf8Len(sourceLine) + 2
     if (buf.length >= bulkActions || bufBytes >= bulkBytes) flush()
   }
 
@@ -76,15 +97,28 @@ final class EsBulkWriter(
         if (status == 200) {
           selector.reportSuccess(host)
           val toRetry = EsBulkWriter.itemsToRetry(respBody, batch)
-          if (toRetry.nonEmpty && retriesLeft > 0)
-            sendWithRetry(toRetry, retriesLeft - 1)
-        } else if (status == 429 || status >= 500 || status == 401 || status == 502) {
+          if (toRetry.nonEmpty) {
+            if (retriesLeft > 0) sendWithRetry(toRetry, retriesLeft - 1)
+            else throw new RuntimeException(s"ES bulk: ${toRetry.size} " +
+              "items still rejected (429/5xx) after retries — failing the " +
+              "task so Spark retries rather than silently dropping them")
+          }
+        } else if (status == 401 || status == 403) {
+          // bad credentials are not a host failure: cooling the host down
+          // walks every host into cooldown and masks the real cause
+          throw new RuntimeException(
+            s"ES bulk: authentication/authorization failed (HTTP $status)")
+        } else if (status == 429 || status >= 500) {
           selector.reportFailure(host)
           if (retriesLeft > 0) sendWithRetry(batch, retriesLeft - 1)
           else throw new RuntimeException(s"ES bulk failed after retries: HTTP $status")
         } else {
-          // non-retriable 4xx: drop the batch like the reference drops items
-          selector.reportSuccess(host)
+          // whole-REQUEST 4xx (malformed body, 413 content-too-long):
+          // unlike per-ITEM mapping rejections (dropped above, the
+          // reference's contract), losing the entire batch silently is a
+          // data-loss bug — fail loudly
+          throw new RuntimeException(s"ES bulk rejected: HTTP $status ${
+            respBody.take(500)}")
         }
     }
   }

@@ -7,11 +7,16 @@ package graft.sinks
   * per executor inside a foreachPartition writer. */
 final class HostSelector(hosts: Seq[String],
     cooldownMs: Long = 30L * 60 * 1000,
-    now: () => Long = System.currentTimeMillis) {
+    now: () => Long = System.currentTimeMillis,
+    startIdx: Int = 0) {
   require(hosts.nonEmpty, "HostSelector needs at least one host")
 
   private val disabledUntil = scala.collection.mutable.Map[String, Long]()
-  private var idx = -1
+  // startIdx staggers the first pick: writers build one selector PER
+  // PARTITION, and with a fixed -1 start every partition in the cluster
+  // opened on hosts(0) — hundreds of writers hammering one node while
+  // the rest idled. Seed with the partition id for spread.
+  private var idx = math.floorMod(startIdx, hosts.size) - 1
 
   def select(): Option[String] = synchronized {
     val t = now()

@@ -37,17 +37,28 @@ object Sinks {
         val total = summary.agg(coalesce(sum("records"), lit(0L))).head.getLong(0)
         System.err.println(s"[warc] wrote $total records to ${conf.strReq("path")}")
       case "Kafka" =>
-        kafkaProjection(conf, df)
-          .write.format("kafka")
-          .option("kafka.bootstrap.servers", conf.strMap("producer_settings")
-            .getOrElse("bootstrap.servers", sys.error("Kafka output needs bootstrap.servers")))
-          .option("topic", conf.strReq("topic"))
-          .save()
+        val producer = conf.strMap("producer_settings")
+        if (!producer.contains("bootstrap.servers"))
+          sys.error("Kafka output needs bootstrap.servers")
+        // EVERY producer setting forwards as a kafka.-prefixed option —
+        // forwarding only bootstrap.servers silently dropped security/
+        // acks/compression config (a SASL cluster then fails to auth)
+        producer.foldLeft(
+          kafkaProjection(conf, df).write.format("kafka")
+            .option("topic", conf.strReq("topic"))) {
+          case (w, (k, v)) => w.option(s"kafka.$k", v)
+        }.save()
       case "TCP" =>
         // reference: output/tcp_output.go — JSON lines over `concurrent`
         // connections with redial; here one connection per partition.
         val addr = conf.strReq("address")
-        val Array(host, port) = addr.split(":")
+        // rightmost colon: a bare "host" or bracketed IPv6 literal must
+        // fail with a config message, not a MatchError
+        val cut = addr.lastIndexOf(':')
+        if (cut <= 0 || cut == addr.length - 1)
+          sys.error(s"TCP output address must be host:port, got '$addr'")
+        val (host, port) = (addr.substring(0, cut).stripPrefix("[")
+          .stripSuffix("]"), addr.substring(cut + 1))
         df.select(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)).as("json"))
           .foreachPartition { (rows: Iterator[Row]) =>
             if (rows.nonEmpty) {
@@ -143,14 +154,20 @@ object Sinks {
 
     projected.foreachPartition { (rows: Iterator[Row]) =>
       val writer = new EsBulkWriter(hosts, bulkActions, bulkBytes, gzip)
+      var nullDocs = 0L
       rows.foreach { r =>
         val idx = r.getString(0)
         val doc = r.getString(1)
         var f = 2
         val id = if (idField.isDefined) { val v = Option(r.getString(f)); f += 1; v } else None
         val routing = if (routingField.isDefined) Option(r.getString(f)) else None
-        writer.add(EsBulkWriter.actionMeta(idx, id, routing), doc)
+        // a null source_field is one malformed row, not a reason to kill
+        // a streaming query with an NPE — skip it and say so
+        if (doc == null) nullDocs += 1
+        else writer.add(EsBulkWriter.actionMeta(idx, id, routing), doc)
       }
+      if (nullDocs > 0) System.err.println(
+        s"[es] skipped $nullDocs rows with a null source_field document")
       writer.close()
     }
   }
@@ -158,12 +175,20 @@ object Sinks {
   /** InfluxDB line protocol (reference: output/influxdb_output.go). */
   def influxLine(measurement: String, tags: Seq[(String, String)],
       fields: Seq[(String, Any)], tsNanos: Long): String = {
+    // backslash FIRST (escaping the escape), then the delimiters; line
+    // protocol has no newline escape, so embedded newlines map to spaces
+    // — a raw '\n' would split one point into two garbage lines and
+    // poison the whole batch body
     def esc(s: String): String =
-      s.replace(" ", "\\ ").replace(",", "\\,").replace("=", "\\=")
+      s.replace("\\", "\\\\").replace(" ", "\\ ").replace(",", "\\,")
+        .replace("=", "\\=").replace("\n", " ").replace("\r", " ")
+    def escField(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ").replace("\r", " ")
     val tagPart = tags.filter(_._2 != null)
       .map { case (k, v) => s"${esc(k)}=${esc(v)}" }.mkString(",")
     val fieldPart = fields.filter(_._2 != null).map {
-      case (k, v: String) => s"""${esc(k)}="${v.replace("\"", "\\\"")}""""
+      case (k, v: String) => s"""${esc(k)}="${escField(v)}""""
       case (k, v: Long) => s"${esc(k)}=${v}i"
       case (k, v: Int) => s"${esc(k)}=${v}i"
       case (k, v) => s"${esc(k)}=$v"
@@ -198,7 +223,9 @@ object Sinks {
     val hasTs = tsNanosCol.isDefined
     val projected = tsNanosCol.map(c => df.withColumn("__graft_ts_nanos", c)).getOrElse(df)
     projected.foreachPartition { (rows: Iterator[Row]) =>
-      val selector = new HostSelector(hosts)
+      val selector = new HostSelector(hosts,
+        startIdx = Option(org.apache.spark.TaskContext.get())
+          .map(_.partitionId()).getOrElse(0))
       val lines = rows.map { r =>
         val tagVals = tags.map(t => t -> Option(r.getAs[Any](t)).map(_.toString).orNull)
         val fieldVals = fields.map(f => f -> r.getAs[Any](f))
@@ -209,12 +236,36 @@ object Sinks {
           }
         influxLine(measurement, tagVals, fieldVals, nanos)
       }.mkString("\n")
-      if (lines.nonEmpty) selector.select().foreach { host =>
-        val req = java.net.http.HttpRequest.newBuilder(
-            java.net.URI.create(s"$host/write?db=$db"))
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(lines)).build()
-        httpClient
-          .send(req, java.net.http.HttpResponse.BodyHandlers.discarding()): Unit
+      // check status + fail over (reference: influxdb_output.go retries
+      // through the selector) — BodyHandlers.discarding with no status
+      // check silently dropped every 4xx/5xx batch
+      if (lines.nonEmpty) {
+        var attempts = hosts.size
+        var done = false
+        while (!done) {
+          val host = selector.select().getOrElse(
+            throw new RuntimeException("Influx write: all hosts in cooldown"))
+          val req = java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"$host/write?db=$db"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(lines)).build()
+          val status =
+            try httpClient.send(req,
+              java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+            catch { case _: java.io.IOException => -1 }
+          if (status >= 200 && status < 300) {
+            selector.reportSuccess(host); done = true
+          } else if (status >= 400 && status < 500) {
+            // the server parsed and REJECTED the body — no other host
+            // will accept it; a retry loop would just re-fail
+            throw new RuntimeException(
+              s"Influx write rejected: HTTP $status from $host")
+          } else {
+            selector.reportFailure(host)
+            attempts -= 1
+            if (attempts <= 0) throw new RuntimeException(
+              s"Influx write failed on every host (last: HTTP $status)")
+          }
+        }
       }
     }
   }

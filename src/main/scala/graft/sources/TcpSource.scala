@@ -48,6 +48,17 @@ object TcpSource {
     listeners.computeIfAbsent(port, p => new Listener(p, maxBuffer).start()).acquire()
   }
 
+  /** Acquire as a REGISTERED consumer (returns the listener plus a
+    * consumer id): commits trim to the MIN committed offset across live
+    * consumers, so two streams sharing one port both keep flowing — the
+    * old single-consumer gate skipped trims entirely with two readers,
+    * and `appendBlocking` then waited forever once the log filled. */
+  def listenerForConsumer(port: Int,
+      maxBuffer: Int = 65536): (Listener, Long) = listeners.synchronized {
+    val l = listeners.computeIfAbsent(port, p => new Listener(p, maxBuffer).start())
+    (l, l.acquireConsumer())
+  }
+
   /** Ref-counted release: the listener is shared per port per JVM, so the
     * server socket closes only when the LAST stream consumer stops. */
   private[sources] def release(port: Int): Unit = listeners.synchronized {
@@ -57,6 +68,17 @@ object TcpSource {
       l.close()
     }
   }
+
+  /** Release a registered consumer: its committed offset leaves the trim
+    * minimum (a stopped slow stream must not pin the buffer forever). */
+  private[sources] def releaseConsumer(port: Int, id: Long): Unit =
+    listeners.synchronized {
+      val l = listeners.get(port)
+      if (l != null && l.releaseConsumer(id) <= 0) {
+        listeners.remove(port)
+        l.close()
+      }
+    }
 
   /** Accept loop + one reader thread per connection, all daemons; lines
     * append to the shared bounded log with BLOCKING back-pressure (TCP is
@@ -85,7 +107,11 @@ object TcpSource {
           }, s"graft-tcp-$port-conn")
           t.setDaemon(true)
           t.start()
-        } catch { case _: Exception => () }
+        } catch {
+          // a persistent accept() failure (fd exhaustion) must not spin
+          // the accept thread hot; closed-socket exceptions exit the loop
+          case _: Exception => if (!server.isClosed) Thread.sleep(100)
+        }
       }
     }, s"graft-tcp-$port-accept")
     acceptThread.setDaemon(true)
@@ -94,7 +120,31 @@ object TcpSource {
     def acquire(): this.type = { refs.incrementAndGet(); this }
     def releaseRef(): Int = refs.decrementAndGet()
     def singleConsumer: Boolean = refs.get() <= 1
+    // per-consumer committed offsets: trim advances to the min across
+    // live consumers — reliable-transport back-pressure is paced by the
+    // SLOWEST consumer, never a deadlock
+    private val committed = scala.collection.mutable.Map.empty[Long, Long]
+    private val nextConsumerId = new java.util.concurrent.atomic.AtomicLong(0L)
+    def acquireConsumer(): Long = committed.synchronized {
+      refs.incrementAndGet()
+      val id = nextConsumerId.incrementAndGet()
+      committed(id) = 0L
+      id
+    }
+    def commitAs(id: Long, upTo: Long): Unit = committed.synchronized {
+      committed.get(id).foreach(prev => committed(id) = math.max(prev, upTo))
+      if (committed.nonEmpty) log.trim(committed.values.min)
+    }
+    def releaseConsumer(id: Long): Int = committed.synchronized {
+      if (committed.remove(id).isDefined && committed.nonEmpty)
+        log.trim(committed.values.min)
+      refs.decrementAndGet()
+    }
     def size: Long = log.end
+    /** Test seam: non-blocking append, so trim-policy specs don't need a
+      * live socket (the blocking path has BoundedLog's own spec). */
+    private[sources] def appendForTest(msg: String, addr: String,
+        tsMicros: Long): Unit = log.append(msg, addr, tsMicros)
     def slice(from: Long, until: Long): Array[(String, String, Long)] =
       log.slice(from, until)
     def trim(upTo: Long): Unit = log.trim(upTo)
@@ -125,8 +175,10 @@ final class TcpMicroBatchStream(port: Int, maxBuffer: Int)
   // before offsets are read); an unconditional release would then decrement
   // ANOTHER stream's refcount and close the shared listener under it
   @volatile private var acquired = false
+  @volatile private var consumerId = 0L
   private lazy val listener = {
-    val l = TcpSource.listener(port, maxBuffer) // acquires inside the lock
+    val (l, id) = TcpSource.listenerForConsumer(port, maxBuffer) // registers inside the lock
+    consumerId = id
     acquired = true
     l
   }
@@ -139,8 +191,9 @@ final class TcpMicroBatchStream(port: Int, maxBuffer: Int)
     o
   }
   override def commit(end: Offset): Unit =
-    if (listener.singleConsumer) listener.trim(end.asInstanceOf[UdpOffset].n)
-  override def stop(): Unit = if (acquired) TcpSource.release(port)
+    listener.commitAs(consumerId, end.asInstanceOf[UdpOffset].n)
+  override def stop(): Unit =
+    if (acquired) TcpSource.releaseConsumer(port, consumerId)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val rows = listener.slice(start.asInstanceOf[UdpOffset].n,

@@ -82,6 +82,10 @@ object UdpSource {
       val packet = new DatagramPacket(new Array[Byte](maxLength), maxLength)
       while (!socket.isClosed) {
         try {
+          // receive() SHRINKS packet.length to the datagram's size and
+          // truncates every later datagram to it — reset before each
+          // receive or one short message clips the listener forever
+          packet.setLength(maxLength)
           socket.receive(packet)
           val msg = new String(packet.getData, packet.getOffset, packet.getLength, "UTF-8")
           val addr = packet.getAddress.getHostAddress

@@ -47,9 +47,16 @@ object Observability {
         "inputRowsPerSecond" -> p.inputRowsPerSecond,
         "processedRowsPerSecond" -> p.processedRowsPerSecond,
         "numInputRows" -> p.numInputRows.toDouble)
+      // only graft's own observations carry the `events` schema — a
+      // foreign df.observe from a Custom plugin would throw here and
+      // (the listener bus swallowing it) silently drop every counter
+      // merged after it in the iteration
       p.observedMetrics.asScala.foreach { case (name, row) =>
-        val n = row.getAs[Long]("events")
-        counters.merge(name, n, (a, b) => a + b): Unit
+        if (name.startsWith("graft_") &&
+            row.schema.fieldNames.contains("events")) {
+          val n = row.getAs[Long]("events")
+          counters.merge(name, n, (a, b) => a + b): Unit
+        }
       }
     }
 

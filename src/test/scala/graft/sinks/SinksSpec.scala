@@ -19,6 +19,66 @@ class SinksSpec extends AnyFunSuite {
     assert((1 to 4).flatMap(_ => sel.select()).toSet == Set("h1", "h2"))
   }
 
+  test("HostSelector: startIdx staggers the first pick across partitions") {
+    // one selector per partition with a fixed start aimed every writer
+    // at hosts(0) — the documented round-robin never happened (r14 fix)
+    val hosts = Seq("h1", "h2", "h3")
+    assert(new HostSelector(hosts, startIdx = 0).select().contains("h1"))
+    assert(new HostSelector(hosts, startIdx = 1).select().contains("h2"))
+    assert(new HostSelector(hosts, startIdx = 2).select().contains("h3"))
+    assert(new HostSelector(hosts, startIdx = 3).select().contains("h1"))
+  }
+
+  test("EsBulkWriter: auth failures and whole-request 4xx throw, never silently drop") {
+    def writerWith(status: Int, body: String = "") =
+      new EsBulkWriter(Seq("http://h:1"), bulkActions = 1,
+        httpSend = (_, _, _) => (status, body))
+    // 401/403: bad credentials, not a host failure — loud, no cooldown walk
+    val e401 = intercept[RuntimeException] {
+      writerWith(401).add("""{"index":{}}""", "{}")
+    }
+    assert(e401.getMessage.contains("401"))
+    // whole-request 4xx (malformed body / 413): losing the batch
+    // silently is a data-loss bug
+    val e413 = intercept[RuntimeException] {
+      writerWith(413, "content too long").add("""{"index":{}}""", "{}")
+    }
+    assert(e413.getMessage.contains("413"))
+    // per-item 429s that survive every retry must fail the task, not vanish
+    val itemReject =
+      """{"errors":true,"items":[{"index":{"status":429}}]}"""
+    val eItems = intercept[RuntimeException] {
+      new EsBulkWriter(Seq("http://h:1"), bulkActions = 1, maxRetries = 2,
+        httpSend = (_, _, _) => (200, itemReject))
+        .add("""{"index":{}}""", "{}")
+    }
+    assert(eItems.getMessage.contains("after retries"))
+  }
+
+  test("EsBulkWriter: bulk-size threshold counts UTF-8 BYTES, not chars") {
+    val flushes = scala.collection.mutable.ArrayBuffer[Int]()
+    val w = new EsBulkWriter(Seq("http://h:1"), bulkActions = 1000,
+      bulkBytes = 64, gzip = false,
+      httpSend = (_, b, _) => { flushes += b.length; (200, """{"errors":false}""") })
+    // 12 CJK chars = 36 UTF-8 bytes per doc (but only 12 chars): two docs
+    // pass 64 BYTES well before they pass 64 chars
+    val cjk = "\u6587" * 12
+    w.add("""{"index":{}}""", cjk)
+    w.add("""{"index":{}}""", cjk)
+    assert(flushes.nonEmpty,
+      "byte-sized threshold should have flushed after two 36-byte docs")
+    w.close()
+  }
+
+  test("influx escaping: backslashes and newlines cannot corrupt the batch") {
+    val line = Sinks.influxLine("m", Seq("t" -> """C:\dir\"""),
+      Seq("v" -> "a\nb", "p" -> """x\"""), 1L)
+    // tag backslashes escaped, newline in a field flattened to a space,
+    // trailing field backslash cannot eat the closing quote
+    assert(line == """m,t=C:\\dir\\ v="a b",p="x\\" 1""")
+    assert(!line.contains("\n"))
+  }
+
   test("sniffNodes parses publish addresses and applies the node match") {
     val json = """{
       "nodes": {

@@ -72,6 +72,33 @@ class UdpSourceSpec extends SparkSpec {
     assert(log.slice(1, 3).map(_._1).toSeq == Seq("b", "c"))
   }
 
+  test("TCP listener with TWO consumers trims to the min commit — no deadlock") {
+    // the r13 single-consumer gate skipped trims entirely with two
+    // streams on one port, so appendBlocking waited forever once the
+    // buffer filled; per-consumer commits trim to the slowest reader
+    val port = 30000 + scala.util.Random.nextInt(20000)
+    val (l, c1) = TcpSource.listenerForConsumer(port, maxBuffer = 4)
+    val (l2, c2) = TcpSource.listenerForConsumer(port, maxBuffer = 4)
+    assert(l eq l2) // one listener per port
+    try {
+      (0 until 6).foreach(i => l.appendForTest(i.toString, "t", 0L))
+      // consumer 1 commits ahead, consumer 2 lags: trim must follow c2
+      l.commitAs(c1, 6L)
+      assert(l.size == 6L)
+      l.commitAs(c2, 3L)
+      // entries below min(6, 3) = 3 are gone; slice from 3 still serves
+      assert(l.slice(3L, 6L).length == 3)
+      // the lagging consumer catches up: trim advances to 6
+      l.commitAs(c2, 6L)
+      assert(l.slice(0L, 6L).isEmpty)
+      // releasing the laggard un-pins future trims
+      TcpSource.releaseConsumer(port, c2)
+      l.appendForTest("x", "t", 0L)
+      l.commitAs(c1, 7L)
+      assert(l.slice(0L, 7L).isEmpty)
+    } finally TcpSource.releaseConsumer(port, c1)
+  }
+
   test("BoundedLog.rebaseTo fast-forwards a fresh log after restart") {
     val log = new BoundedLog(10)
     log.rebaseTo(500) // checkpointed offset from a previous incarnation
