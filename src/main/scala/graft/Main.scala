@@ -20,15 +20,30 @@ object Main {
   private val StreamingInputs = Set("Kafka", "Rate", "UDP", "TCP")
 
   def isStreamingSpec(spec: graft.pipeline.PipelineConfig.Spec): Boolean =
-    spec.inputs.exists { case (name, _) => StreamingInputs.contains(name) }
+    spec.inputs.exists {
+      case (name, _) if StreamingInputs.contains(name) => true
+      // a Custom input plugin's frame shape is invisible at spec level —
+      // `streaming: true` is the explicit hint that routes it through
+      // runStreaming (runBatch also detects and rejects a streaming
+      // frame loudly, so forgetting the hint is a named error, not a
+      // cryptic writeStream AnalysisException mid-wiring)
+      case ("Custom", conf) => conf.get("streaming").exists(_.toString == "true")
+      case _ => false
+    }
 
   def main(args: Array[String]): Unit = {
     def flagValue(name: String): Option[String] =
-      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+      args.sliding(2).collectFirst {
+        // a following flag is NOT this flag's value: `--master --watch`
+        // must fail on the missing value, not adopt "--watch" as master
+        case Array(`name`, v) if !v.startsWith("--") => v
+      }
     val configPath = flagValue("--config").getOrElse(
-      sys.error("usage: graft.Main --config pipeline.yml [--master url] [--watch]"))
+      sys.error("usage: graft.Main --config pipeline.yml [--master url] " +
+        "[--watch] [--checkpoint dir]"))
     val master = flagValue("--master").getOrElse("local[*]")
     val watch = args.contains("--watch")
+    val checkpoint = flagValue("--checkpoint")
 
     val spark = SparkSession.builder()
       .appName("graft")
@@ -37,7 +52,7 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try run(spark, configPath, watch)
+    try run(spark, configPath, watch, checkpoint)
     finally spark.stop()
   }
 
@@ -50,12 +65,23 @@ object Main {
     * the main thread loops on awaitTermination until the query that
     * terminated is still the active one (i.e. it stopped for a reason
     * other than a reload swap). */
-  def run(spark: SparkSession, configPath: String, watch: Boolean = false): Unit = {
+  def run(spark: SparkSession, configPath: String, watch: Boolean = false,
+      checkpoint: Option[String] = None): Unit = {
     val pipeline = Planner.fromFile(configPath)
     if (!isStreamingSpec(pipeline.spec)) {
       pipeline.runBatch(spark): Unit
     } else {
-      val query = new AtomicReference(Planner.runStreaming(spark, pipeline))
+      // --checkpoint (or YAML `checkpoint_location` on any input): a
+      // durable checkpoint is what makes a Kafka restart RESUME from
+      // committed offsets — without one, every redeploy starts at
+      // startingOffsets and drops the outage backlog (the reference
+      // resumes from group offsets; Spark needs the checkpoint dir)
+      val ckpt = checkpoint.orElse(pipeline.spec.inputs.collectFirst {
+        case (_, c) if c.contains("checkpoint_location") =>
+          c("checkpoint_location").toString
+      })
+      val query = new AtomicReference(
+        Planner.runStreaming(spark, pipeline, ckpt))
       // reference hot reload: rebuild the topology from the changed file
       // and swap the running query (gohangout restarts its
       // input/filter/output chain in place)
@@ -64,8 +90,18 @@ object Main {
       // displaced, or two racing reloads can leak a running replacement
       val reload: () => Unit = { () =>
         val next = Planner.fromFile(configPath)
-        val old = query.getAndSet(Planner.runStreaming(spark, next))
-        old.stop()
+        if (ckpt.isDefined) {
+          // one checkpoint dir hosts ONE active query: stop-then-start
+          // (the checkpoint preserves offsets across the gap — that is
+          // its job); CAS so two racing reloads start one replacement
+          val old = query.get()
+          old.stop()
+          query.compareAndSet(old,
+            Planner.runStreaming(spark, next, ckpt)): Unit
+        } else {
+          val old = query.getAndSet(Planner.runStreaming(spark, next, ckpt))
+          old.stop()
+        }
       }
       val watcher =
         if (watch) Some(new graft.streaming.ConfigWatcher(configPath, 2000)(reload).start())
@@ -73,11 +109,19 @@ object Main {
       if (watch) trapReloadSignal(reload): Unit
       try {
         var q = query.get()
-        q.awaitTermination()
-        // a swap stopped q; keep waiting on whatever replaced it
-        while (q ne query.get()) {
-          q = query.get()
+        var done = false
+        while (!done) {
           q.awaitTermination()
+          if (q ne query.get()) q = query.get() // swapped: follow the replacement
+          else if (watch && ckpt.isDefined) {
+            // a checkpointed reload stops the old query BEFORE its
+            // replacement can start (same checkpoint dir) — grace-wait
+            // for the swap before concluding the pipeline really ended
+            val deadline = System.currentTimeMillis() + 10000
+            while ((q eq query.get()) && System.currentTimeMillis() < deadline)
+              Thread.sleep(100)
+            if (q eq query.get()) done = true else q = query.get()
+          } else done = true
         }
       } finally watcher.foreach(_.stop())
     }

@@ -20,7 +20,13 @@ object PipelineConfig {
   def parse(yamlText: String): Spec = {
     val expanded = expandEnv(yamlText)
     val yaml = new org.yaml.snakeyaml.Yaml()
-    val root = toScala(yaml.load[Object](expanded)).asInstanceOf[Map[String, Any]]
+    // yaml.load returns null for an empty/comment-only document — a
+    // truncated file mid-editor-save under --watch must surface as a
+    // named config error, not an NPE from getOrElse on null
+    val root = Option(toScala(yaml.load[Object](expanded)))
+      .map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(sys.error("pipeline config is empty — expected " +
+        "inputs/filters/outputs sections"))
     def section(name: String): Seq[(String, Map[String, Any])] =
       root.getOrElse(name, Seq.empty) match {
         case xs: Seq[_] => xs.map {

@@ -130,10 +130,20 @@ object Planner {
         }
       case "Drop" => box(DropFilter)
       case "Filters" =>
+        // only `if` composes over a nested chain; the other box options
+        // are ambiguous on a composite (tag WHICH failure? add before or
+        // after?) — silently dropping them contradicts the loud-error
+        // convention, so reject like the corpus stages do
+        if (addFields.nonEmpty || removeFields.nonEmpty || failTag.nonEmpty)
+          sys.error("Filters (nested chain) supports only the `if` box " +
+            "option — set add_fields/remove_fields/failTag on the inner " +
+            "stages instead")
         val inner = conf("filters").asInstanceOf[Seq[Any]].map {
           case m: Map[_, _] if m.size == 1 =>
             val (k, v) = m.head.asInstanceOf[(String, Map[String, Any])]
             (k, Option(v).getOrElse(Map.empty[String, Any]))
+          case other => sys.error(
+            s"Filters entries must be single-key stage maps, got: $other")
         }
         df => inner.foldLeft(df) { case (d, (n, c)) =>
           filterStage(n, c + ("if" -> (ifConds ++ c.strSeq("if"))))(d)
@@ -1296,7 +1306,7 @@ object Planner {
           conf.str("emit").getOrElse("apply") match {
             case "plan" => plan
             case "apply" => graft.ml.DatasetOps.applyMixture(df, plan, group,
-              graft.ml.DatasetOps.hash01(col(keyField), seed))
+              graft.ml.DatasetOps.hash01(col(s"`$keyField`"), seed))
             case other => sys.error(s"BudgetMix: unknown emit '$other' (plan | apply)")
           }
         }
@@ -1427,8 +1437,12 @@ object Planner {
           !c.bool("drop_original_event", true)) ||
         // as-of enrichment runs per-micro-batch (window over left ∪
         // right — correct per batch against a full right side / temporal
-        // store); Sessionize streams natively in BOTH forms, so it stays
-        n == "AsOfJoin"
+        // store); Sessionize streams natively in BOTH forms, so it stays.
+        // SaltedJoin: same structure (right side re-loads per plan,
+        // row-wise correct per batch) — without this split a streaming
+        // YAML hits its batch-only guard with advice ("run it inside
+        // foreachBatch") that a config user has no seam to follow
+        n == "AsOfJoin" || n == "SaltedJoin"
     }
     if (idx < 0) (stages, Nil) else stages.splitAt(idx)
   }
@@ -1523,7 +1537,14 @@ object Planner {
       case Some(other) => sys.error(s"Kafka assign must be a map or JSON string: $other")
       case None => Map("subscribe" -> conf.anyMap("topic").keys.mkString(","))
     }
-    base ++ sub ++
+    // every OTHER consumer setting forwards kafka.-prefixed (Spark's
+    // passthrough convention) — dropping them silently connected
+    // PLAINTEXT against SASL clusters with opaque broker disconnects.
+    // from.beginning is reference-semantic (mapped below), not a Kafka
+    // consumer property.
+    val passthrough = (settings - "bootstrap.servers" - "group.id" -
+      "from.beginning").map { case (k, v) => s"kafka.$k" -> v }
+    base ++ sub ++ passthrough ++
       conf.str("max_offsets_per_trigger").map("maxOffsetsPerTrigger" -> _) ++
       settings.get("group.id").map("kafka.group.id" -> _) ++
       (if (settings.get("from.beginning").contains("true"))
@@ -1628,8 +1649,14 @@ object Planner {
       * would accumulate). */
     def runBatch(spark: SparkSession): Map[String, DataFrame] = {
       try {
+        if (spec.inputs.isEmpty)
+          sys.error("pipeline config has no `inputs:` section — nothing to read")
         val in = spec.inputs.map { case (n, c) => input(spark, n, c) }
           .reduceLeft(_.unionByName(_, allowMissingColumns = true))
+        if (in.isStreaming)
+          sys.error("a Custom input returned a STREAMING frame — add " +
+            "`streaming: true` to that input so the pipeline routes " +
+            "through runStreaming")
         val transformed = transform(in)
         val out = spec.outputs.map { case (n, c) =>
           val guarded = c.strSeq("if")
@@ -1662,6 +1689,8 @@ object Planner {
     * 30 s drain maps to `query.stop()`). */
   def runStreaming(spark: SparkSession, pipeline: Pipeline,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    if (pipeline.spec.inputs.isEmpty)
+      sys.error("pipeline config has no `inputs:` section — nothing to read")
     val in = pipeline.spec.inputs
       .map { case (n, c) => streamingInput(spark, n, c) }
       .reduceLeft(_.unionByName(_, allowMissingColumns = true))

@@ -60,32 +60,34 @@ object Plugins {
                 s"the classpath (ship user jars with --jars): $e")
           }
       }
-    // Scala `object`: a MODULE$ singleton, no construction needed. The
-    // source-level name resolves to the static-forwarder mirror class, so
-    // when `cls` itself has no MODULE$, look for the `$`-suffixed module
-    // class before falling back to constructors.
-    val moduleField = cls.getFields.find(_.getName == "MODULE$")
-      .orElse(
-        try Class.forName(cls.getName + "$").getFields
-          .find(_.getName == "MODULE$")
-        catch { case _: ClassNotFoundException => None })
-    moduleField match {
-      case Some(f) => f.get(null)
-      case None =>
-        val mapCtor = cls.getConstructors.find { c =>
-          c.getParameterCount == 1 &&
-            c.getParameterTypes()(0).isAssignableFrom(classOf[Map[String, Any]])
-        }
-        mapCtor match {
-          case Some(c) => c.newInstance(conf)
-          case None =>
-            try cls.getDeclaredConstructor().newInstance()
-            catch {
-              case _: NoSuchMethodException => sys.error(
-                s"custom operator '$className' needs a (Map[String, Any]) " +
-                  "constructor, a no-arg constructor, or to be a Scala object")
-            }
-        }
+    // Scala `object`: a MODULE$ singleton, no construction needed. But a
+    // CLASS that merely HAS a companion object must construct the class:
+    // the `$`-suffixed lookup is a fallback for when `cls` is a
+    // static-forwarder mirror (an object referenced by its source name)
+    // — i.e. only when no usable constructor exists on `cls` itself.
+    def moduleInstance: Option[Any] =
+      cls.getFields.find(_.getName == "MODULE$")
+        .orElse(
+          try Class.forName(cls.getName + "$").getFields
+            .find(_.getName == "MODULE$")
+          catch { case _: ClassNotFoundException => None })
+        .map(_.get(null))
+    if (cls.getFields.exists(_.getName == "MODULE$")) moduleInstance.get
+    else {
+      val mapCtor = cls.getConstructors.find { c =>
+        c.getParameterCount == 1 &&
+          c.getParameterTypes()(0).isAssignableFrom(classOf[Map[String, Any]])
+      }
+      mapCtor match {
+        case Some(c) => c.newInstance(conf)
+        case None =>
+          try cls.getDeclaredConstructor().newInstance()
+          catch {
+            case _: NoSuchMethodException => moduleInstance.getOrElse(sys.error(
+              s"custom operator '$className' needs a (Map[String, Any]) " +
+                "constructor, a no-arg constructor, or to be a Scala object"))
+          }
+      }
     }
   }
 

@@ -167,7 +167,10 @@ object Render {
       case Seq("abbrev", n, s) =>
         val k = argInt(n)
         val c = arg(s).cast("string")
-        when(length(c) <= k, c)
+        // sprig: abbreviation needs room for "..." — maxWidth < 4 is a
+        // no-op, not a truncate-to-negative
+        if (k < 4) c
+        else when(length(c) <= k, c)
           .otherwise(concat(substring(c, 1, k - 3), lit("...")))
       case Seq("substr", st, en, s) =>
         val (a0, b0) = (argInt(st), argInt(en))
@@ -176,13 +179,18 @@ object Render {
         repeat(arg(s).cast("string"), argInt(n))
       case Seq("quote", a) => concat(lit("\""), arg(a).cast("string"), lit("\""))
       case Seq("trimPrefix", p, s) =>
+        // prefix through arg(): a field-ref prefix ({{trimPrefix .pfx
+        // .msg}}) previously stripped the literal text ".pfx" — silently
+        // wrong output
         val c = arg(s).cast("string")
-        val k = unquote(p).length
-        when(c.startsWith(unquote(p)), c.substr(lit(k + 1), length(c))).otherwise(c)
+        val pc = arg(p).cast("string")
+        when(pc.isNotNull && c.startsWith(pc),
+          c.substr(length(pc) + 1, length(c))).otherwise(c)
       case Seq("trimSuffix", sfx, s) =>
         val c = arg(s).cast("string")
-        val k = unquote(sfx).length
-        when(c.endsWith(unquote(sfx)), substring(c, lit(1), length(c) - k))
+        val sc = arg(sfx).cast("string")
+        when(sc.isNotNull && c.endsWith(sc),
+          c.substr(lit(1), length(c) - length(sc)))
           .otherwise(c)
       case Seq("add", xs @ _*) if xs.nonEmpty =>
         xs.map(arg(_).cast("long")).reduce(_ + _)
@@ -220,8 +228,19 @@ object Render {
         val k = argInt(cnt)
         val c = arg(s).cast("string")
         if (k < 0) replace(c, arg(o).cast("string"), arg(n).cast("string"))
-        else concat_ws(unquote(n),
-          split(c, java.util.regex.Pattern.quote(unquote(o)), k + 1))
+        else {
+          // the counted form splits on a compile-time pattern — a
+          // field-ref old/new cannot compile to one, and silently
+          // treating ".sep" as literal text is worse than refusing
+          def litOnly(t: String, what: String): String = {
+            if (t.startsWith(".") || t.startsWith("("))
+              sys.error("template replace with a count needs a LITERAL " +
+                s"$what — field refs are only supported with count -1")
+            unquote(t)
+          }
+          concat_ws(litOnly(n, "replacement"),
+            split(c, java.util.regex.Pattern.quote(litOnly(o, "old")), k + 1))
+        }
 
       // ---- sprig date math over Go durations ----
       case Seq("dateModify", d, t) =>
@@ -299,10 +318,14 @@ object Render {
     * `$1` group refs and `$$` for a literal dollar; Java needs `${name}`
     * for named groups (numeric `$1` is shared). */
   private def goReplacementToJava(repl: String): String =
-    """\$\$|\$\{?([A-Za-z_][A-Za-z0-9_]*|\d+)\}?""".r
+    """\$\$|\$\{?([A-Za-z_][A-Za-z0-9_]*|\d+)\}?|\$""".r
       .replaceAllIn(repl, m =>
         java.util.regex.Matcher.quoteReplacement(
           if (m.matched == "$$") "\\$"
+          // a lone `$` (end of string / before a non-name char) is a
+          // literal dollar — unescaped it throws Java's "Illegal group
+          // reference" at row-evaluation time
+          else if (m.matched == "$") "\\$"
           else if (m.group(1).forall(_.isDigit)) "$" + m.group(1)
           else "${" + m.group(1) + "}"))
 
@@ -324,7 +347,11 @@ object Render {
       last = m.end
     }
     if (last < spec.length) parts += lit(spec.substring(last))
-    if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+    // per-part coalesce (the template() contract, line ~66): a single
+    // null field/timestamp must render as "" — nulling the WHOLE index
+    // name hands the ES sink a null _index and the bulk request bounces
+    if (parts.isEmpty) lit("")
+    else concat(parts.map(coalesce(_, lit(""))).toSeq: _*)
   }
 
   /** ES index patterns use Joda-style tokens; Java's week-based `Y`/`w`

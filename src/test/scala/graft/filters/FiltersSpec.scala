@@ -42,8 +42,9 @@ class FiltersSpec extends SparkSpec {
 
   test("sprig template functions: default/ternary/b64/trunc/strings/date math") {
     import graft.render.Render
-    val df = Seq((7L, "abc def", "", java.sql.Timestamp.valueOf("2024-03-05 10:20:30")))
-      .toDF("n", "s", "blank", "ts")
+    val df = Seq((7L, "abc def", "",
+        java.sql.Timestamp.valueOf("2024-03-05 10:20:30"), "ab"))
+      .toDF("n", "s", "blank", "ts", "pfx")
     def render(t: String): String =
       df.select(Render.compile(t)(df).cast("string")).collect().head.getString(0)
     assert(render("""{{default "fallback" .missing}}""") == "fallback")
@@ -84,6 +85,15 @@ class FiltersSpec extends SparkSpec {
     assert(render("""{{replace .s "ab" "X" -1}}""") == "Xc def")
     assert(render("""{{trimPrefix "abc" .s}}""") == " def")
     assert(render("""{{trimSuffix "def" .s}}""") == "abc ")
+    // FIELD-REF prefix/suffix (r14 fix: the literal-only path silently
+    // stripped the text ".pfx" instead of the column's value)
+    assert(render("""{{trimPrefix .pfx .s}}""") == "c def")
+    assert(render("""{{trimSuffix .pfx .s}}""") == "abc def")
+    // counted replace refuses field-ref old/new loudly (it would need a
+    // compile-time pattern); count -1 keeps supporting columns
+    assert(intercept[RuntimeException](
+      render("""{{replace .s .pfx "X" 1}}""")).getMessage.contains("LITERAL"))
+    assert(render("""{{abbrev 3 .s}}""") == "abc def") // sprig: <4 is a no-op
     assert(render("""{{quote .s}}""") == "\"abc def\"")
     assert(render("""{{dateModify "-1h30m" .ts}}""") == "2024-03-05 08:50:30")
     assert(render("""{{date "2006/01/02 15:04" .ts}}""") == "2024/03/05 10:20")

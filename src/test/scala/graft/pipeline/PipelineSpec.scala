@@ -118,6 +118,21 @@ class PipelineSpec extends SparkSpec {
     assert(!graft.Main.isStreamingSpec(Planner.fromFile(cfg.toString).spec))
     assert(graft.Main.isStreamingSpec(PipelineConfig.parse(
       "inputs:\n  - Kafka: {topic: {t: 1}}\noutputs:\n  - Stdout: {}\n")))
+    // a Custom input's frame shape is invisible at spec level: the
+    // `streaming: true` hint routes it through runStreaming (r14 fix)
+    assert(graft.Main.isStreamingSpec(PipelineConfig.parse(
+      "inputs:\n  - Custom: {class: x.Y, streaming: true}\noutputs:\n  - Stdout: {}\n")))
+    assert(!graft.Main.isStreamingSpec(PipelineConfig.parse(
+      "inputs:\n  - Custom: {class: x.Y}\noutputs:\n  - Stdout: {}\n")))
+  }
+
+  test("config guards: empty yaml and missing inputs fail with named errors") {
+    val empty = intercept[RuntimeException](
+      PipelineConfig.parse("# just a comment\n"))
+    assert(empty.getMessage.contains("empty"))
+    val noInputs = intercept[RuntimeException](
+      Planner.fromYaml("outputs:\n  - Stdout: {}\n").runBatch(spark))
+    assert(noInputs.getMessage.contains("inputs"))
   }
 
   test("SIGUSR1 triggers the same reload path as a config-file change") {
@@ -160,6 +175,21 @@ class PipelineSpec extends SparkSpec {
     val err = intercept[RuntimeException](Planner.kafkaOptions(Map(
       "topic" -> Map("t" -> 1), "consumer_settings" -> Map.empty[String, String])))
     assert(err.getMessage.contains("bootstrap.servers"))
+
+    // EVERY other consumer setting passes through kafka.-prefixed —
+    // dropping SASL/TLS config silently connected PLAINTEXT (r14 fix);
+    // from.beginning stays reference-semantic, never a consumer property
+    val secured = Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1),
+      "consumer_settings" -> Map(
+        "bootstrap.servers" -> "k1:9093",
+        "security.protocol" -> "SASL_SSL",
+        "sasl.mechanism" -> "SCRAM-SHA-256",
+        "from.beginning" -> "true")))
+    assert(secured("kafka.security.protocol") == "SASL_SSL")
+    assert(secured("kafka.sasl.mechanism") == "SCRAM-SHA-256")
+    assert(!secured.contains("kafka.from.beginning"))
+    assert(secured("startingOffsets") == "earliest")
   }
 
   test("Kafka decode: message/@timestamp projection and @metadata decoration") {

@@ -42,6 +42,19 @@ object DropNullMessage extends (DataFrame => DataFrame) {
   def apply(df: DataFrame): DataFrame = df.filter(col("message").isNotNull)
 }
 
+/** A CLASS that also has a companion object — instantiate must construct
+  * the class, not hand back the (useless) companion (r14 fix: the
+  * MODULE$ fallback shadowed the constructor for any companioned class). */
+class CompanionedSampler(conf: Map[String, Any]) extends Plugins.CorpusStagePlugin {
+  private val keep = conf.getOrElse("keep_mod", CompanionedSampler.DefaultMod)
+    .toString.toInt
+  def transform(df: DataFrame): DataFrame =
+    df.filter(col("id") % keep === 0)
+}
+object CompanionedSampler {
+  val DefaultMod = 2 // plain helper — implements none of the plugin traits
+}
+
 /** A Function1 that is NOT (DataFrame => DataFrame): must fail the
   * pipeline BUILD loudly (the type-erased `case Function1` match would
   * otherwise CCE at first application — mid-job on a stream). */

@@ -75,6 +75,17 @@ class PluginSpec extends SparkSpec {
     assert(e.getMessage.contains("corpus-level"), e.getMessage)
   }
 
+  test("a class WITH a companion object constructs the class, not the companion") {
+    // r14 fix: the MODULE$ fallback used to return the companion (which
+    // implements nothing) for any companioned plugin class — a valid
+    // plugin then failed the build as "implements none of ..."
+    val df = (0L until 9L).map(i => (i, s"t$i")).toDF("id", "text")
+    val stage = Planner.filterStage("Custom", Map(
+      "class" -> "graft.testplugins.CompanionedSampler", "keep_mod" -> 3))
+    assert(stage(df).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 3L, 6L))
+  }
+
   test("function-object plugin resolves by its source-level object name") {
     val df = Seq(Some("a"), None, Some("b")).toDF("message")
     val stage = Planner.filterStage("Custom",
