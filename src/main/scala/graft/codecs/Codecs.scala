@@ -37,11 +37,28 @@ object Codecs {
     // spaces; JSON allows leading tabs/newlines too).
     val failed = raw.isNull || try_parse_json(raw).isNull ||
       !raw.rlike("""^\s*\{""")
-    df.select(
+    // a schema that itself declares `message`/`@timestamp` (normal for
+    // log events) must MERGE with the fallback columns, not duplicate
+    // them — json.* + message produced two `message` columns and every
+    // later reference threw AMBIGUOUS_REFERENCE
+    val base = df.select(
       when(!failed, parsed).as("json"),
-      when(failed, raw).as("message"),
-      current_timestamp().as("@timestamp"))
-      .select(col("json.*"), col("message"), col("@timestamp"))
+      when(failed, raw).as("__graft_raw"))
+    val jsonFields = schema.fieldNames
+      .filterNot(n => n == "message" || n == "@timestamp")
+      .map(n => col("json").getField(n).as(n)).toSeq
+    val msg =
+      if (schema.fieldNames.contains("message"))
+        coalesce(col("json").getField("message").cast("string"),
+          col("__graft_raw"))
+      else col("__graft_raw")
+    val ts =
+      if (schema.fieldNames.contains("@timestamp"))
+        coalesce(col("json").getField("@timestamp").cast("timestamp"),
+          current_timestamp())
+      else current_timestamp()
+    base.select(jsonFields ++
+      Seq(msg.as("message"), ts.as("@timestamp")): _*)
   }
 
   /** json encode: one JSON text per row over all columns

@@ -578,8 +578,14 @@ object ConditionFilter {
       }
       pathOf(args.init) match {
         case Some((c, StringType)) =>
-          val cls = chars.map(ch => java.util.regex.Pattern.quote(ch.toString)).mkString("|")
-          c.isNotNull && c.rlike(s"($cls)")
+          // Go strings.ContainsAny(s, "") is ALWAYS false — an empty
+          // char set compiled to rlike("()"), which matches everything
+          if (chars.isEmpty) lit(false)
+          else {
+            val cls = chars.map(ch =>
+              java.util.regex.Pattern.quote(ch.toString)).mkString("|")
+            c.isNotNull && c.rlike(s"($cls)")
+          }
         case _ => lit(false)
       }
     }

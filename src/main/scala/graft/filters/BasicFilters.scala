@@ -168,10 +168,14 @@ final case class ReplaceFilter(field: String, oldStr: String, newStr: String,
           if (count < 0) replace(c, lit(oldStr), lit(newStr))
           else {
             // count-limited: replace the first `count` occurrences.
-            // split keeps it codegen'd: rebuild with at most `count` joins.
+            // split keeps it codegen'd: rebuild with at most `count`
+            // joins. NULL guard: split(null) is null but concat_ws over
+            // a null array is "" — a null field must stay null, like
+            // the unlimited branch (and the reference's missing-field
+            // no-op)
             val quoted = java.util.regex.Pattern.quote(oldStr)
             val parts = split(c, quoted, count + 1)
-            concat_ws(newStr, parts)
+            when(c.isNull, c).otherwise(concat_ws(newStr, parts))
           }
         df.withColumn(StageCols.topLevel(field), when(cond, replaced).otherwise(c))
       case _ => df

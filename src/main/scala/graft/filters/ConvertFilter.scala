@@ -75,11 +75,16 @@ final case class ConvertFilter(fields: Map[String, ConvertFilter.Spec])
           if (spec.removeIfFail && spec.settoIfFail.isEmpty)
             v = when(failed, lit(null).cast(t)).otherwise(v)
           spec.settoIfNil.foreach(x => v = when(src.isNull, lit(x).cast(t)).otherwise(v))
-          // a conditional cast can't share the column type with unconverted
-          // rows unless the target is wider; follow the reference and keep
-          // the converted value only where cond holds, else original cast
-          // back as string when types clash is avoided by requiring the
-          // unconditional path for type-narrowing pipelines.
+          // DOCUMENTED DIVERGENCE from the reference's dynamic-map
+          // semantics: one Spark column has ONE type, so rows excluded
+          // by an `if` guard (or failed with no failure handler) cannot
+          // keep an original value whose type clashes with the target —
+          // they go through try_cast, which nulls uncastable values.
+          // The reference would leave the original (string) value in
+          // place. Pipelines that need keep-original-on-unmatched must
+          // convert into a DIFFERENT target field (Add + Convert) or run
+          // Convert unguarded; the gate fixtures and MIGRATION.md state
+          // this contract.
           d.withColumn(StageCols.topLevel(f), when(cond, v).otherwise(src.try_cast(t)))
       }
     }

@@ -128,27 +128,62 @@ final case class GrokFilter(
   private val dict =
     Grok.basePatterns ++ Grok.loadPatternPaths(patternPaths) ++ patterns
   private val expanded: Seq[String] = matchPatterns.map(p => Grok.expand(p, dict))
+
+  /** Java named groups must match [A-Za-z][A-Za-z0-9]* — no underscores,
+    * which grok field names (%{NUMBER:response_time}) routinely carry
+    * (RE2/Go accepts them). Unsafe names get a generated alias in the
+    * compiled regex and map back to the real field on extraction;
+    * without this, Pattern.compile threw PatternSyntaxException on the
+    * first row of every executor — a delayed per-task crash for a
+    * pattern the reference accepts. */
+  private val AnyNamedGroup = """\(\?<([A-Za-z_][A-Za-z0-9_]*)>""".r
+  private def sanitize(regex: String): (String, Map[String, String]) = {
+    var aliases = Map.empty[String, String] // alias -> original field name
+    var k = 0
+    val out = AnyNamedGroup.replaceAllIn(regex, m => {
+      val name = m.group(1)
+      if (name.matches("[A-Za-z][A-Za-z0-9]*"))
+        Matcher.quoteReplacement(m.matched)
+      else {
+        val alias = s"graftgk$k"
+        k += 1
+        aliases += (alias -> name)
+        Matcher.quoteReplacement(s"(?<$alias>")
+      }
+    })
+    (out, aliases)
+  }
+  private val sanitized: Seq[(String, Map[String, String])] = expanded.map(sanitize)
+  private val regexes: Seq[String] = sanitized.map(_._1)
+  // (java group, output field) per pattern — precomputed ONCE: the old
+  // per-matching-row Grok.groupNames re-scan of a multi-KB expanded
+  // pattern string was pure per-row overhead on the hot path
+  private val namesPerPattern: Array[Array[(String, String)]] =
+    sanitized.map { case (r, al) =>
+      Grok.groupNames(r).map(n => n -> al.getOrElse(n, n)).toArray
+    }.toArray
   /** Output fields in first-pattern-first order. */
-  val outputFields: Seq[String] = expanded.flatMap(Grok.groupNames).distinct
+  val outputFields: Seq[String] =
+    namesPerPattern.flatMap(_.map(_._2)).distinct.toSeq
 
   private def matchUdf = {
-    val regexes = expanded
+    val rx = regexes
+    val names = namesPerPattern
     val blank = ignoreBlank
     udf { (s: String) =>
       if (s == null) null
       else {
         // compiled lazily per executor thread; Pattern is thread-safe
-        val compiled = GrokFilter.cache.computeIfAbsent(regexes,
-          _ => regexes.map(Pattern.compile(_)).toArray)
+        val compiled = GrokFilter.cache.computeIfAbsent(rx,
+          _ => rx.map(Pattern.compile(_)).toArray)
         var i = 0
         var result: Map[String, String] = null
         while (i < compiled.length && result == null) {
           val m = compiled(i).matcher(s)
           if (m.find()) {
-            val names = Grok.groupNames(regexes(i))
-            result = names.flatMap { n =>
-              val v = try m.group(n) catch { case _: Exception => null }
-              if (v == null || (blank && v.isEmpty)) None else Some(n -> v)
+            result = names(i).flatMap { case (g, f) =>
+              val v = try m.group(g) catch { case _: Exception => null }
+              if (v == null || (blank && v.isEmpty)) None else Some(f -> v)
             }.toMap
           }
           i += 1

@@ -63,8 +63,17 @@ final case class JsonFilter(
   }
 
   override def success(df: DataFrame): Column = {
-    val c = FieldPath.resolve(df, field).getOrElse(lit(null))
-    c.isNotNull && parsedCol(df)._1.isNotNull
+    // from_json with a STRUCT schema is PERMISSIVE: malformed JSON comes
+    // back as a row of nulls, NOT null — `.isNotNull` called garbage a
+    // success, so failTag never fired and transform nulled every schema
+    // field on the corrupt row. Probe with try_parse_json (the
+    // Codecs.jsonDecode contract) instead.
+    val c = FieldPath.resolve(df, field).getOrElse(lit(null)).cast("string")
+    // the object probe (Codecs.jsonDecode contract): a bare array/scalar
+    // is valid JSON but can't become an event — the reference's
+    // Unmarshal-into-map fails on it too
+    c.isNotNull && try_parse_json(c).isNotNull &&
+      c.rlike("""^\s*\{""") && parsedCol(df)._1.isNotNull
   }
 
   def transform(df: DataFrame, cond: Column): DataFrame = {

@@ -121,8 +121,9 @@ object AsOfJoin {
       .withColumn(cF, last(col(carry), ignoreNulls = true).over(wF))
       .filter(col(side) === 1)
 
-    val ageB = unix_micros(col(ts)) - unix_micros(col(cB)(rightTs))
-    val ageF = unix_micros(col(cF)(rightTs)) - unix_micros(col(ts))
+    val tsDt = unioned.schema(ts).dataType
+    val ageB = tsMicros(tsDt, col(ts)) - tsMicros(tsDt, col(cB)(rightTs))
+    val ageF = tsMicros(tsDt, col(cF)(rightTs)) - tsMicros(tsDt, col(ts))
     val tolUs = toleranceSec.map(_ * 1000000L)
     val okB = col(cB).isNotNull && tolUs.map(t => ageB <= t).getOrElse(lit(true))
     val okF = col(cF).isNotNull && tolUs.map(t => ageF <= t).getOrElse(lit(true))
@@ -138,6 +139,20 @@ object AsOfJoin {
   private val TsCol    = "__graft_asof_ts"
   private val SideCol  = "__graft_asof_side"
   private val CarryCol = "__graft_asof_carry"
+
+  /** Event time → microseconds for tolerance/nearest arithmetic. The
+    * non-tolerance paths compare raw values and accept any orderable ts
+    * type; age arithmetic needs a unit, so: timestamps via unix_micros,
+    * NUMERIC event times interpreted as epoch SECONDS (the
+    * `toleranceSec` unit — unix_micros on a numeric column is an
+    * analysis error, which previously broke every documented
+    * numeric-ts call the moment a tolerance or `nearest` was added). */
+  private def tsMicros(dt: org.apache.spark.sql.types.DataType,
+      c: Column): Column = dt match {
+    case _: org.apache.spark.sql.types.NumericType =>
+      (c.cast("double") * 1e6).cast("long")
+    case _ => unix_micros(c.cast("timestamp"))
+  }
 
   /** Shared union/carry construction for EVERY as-of direction: left
     * rows (side 1, typed-null carry) unioned with right rows (side 0,
@@ -166,7 +181,13 @@ object AsOfJoin {
         right.select(struct((rightTs +: valueCols).map(col): _*)).schema.head.dataType))
       .select((keys ++ Seq(TsCol, SideCol, CarryCol) ++ leftPayload).map(col): _*)
     val r = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      // null-TS right rows are dropped with null-KEY rows: ascending
+      // order sorts nulls FIRST, so an un-dropped null-ts row would sit
+      // at the head of every walk and be carried as a "match" that the
+      // r.ts <= l.ts contract (and the DuckDB ASOF oracle) never makes —
+      // appendToTemporalStore drops them on write for the same reason
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTs).isNotNull)
       .withColumn(TsCol, col(rightTs))
       .withColumn(SideCol, lit(0))
       .withColumn(CarryCol, struct((rightTs +: valueCols).map(col): _*))
@@ -206,12 +227,14 @@ object AsOfJoin {
 
     val withTol = toleranceSec match {
       case Some(tol) =>
-        // Tolerance compares event times in microseconds so it works for
-        // TimestampType; the whole struct nulls atomically. Age is
-        // non-negative in both directions by construction.
+        // Tolerance compares event times in microseconds (timestamps) or
+        // epoch seconds ×1e6 (numeric ts — see tsMicros); the whole
+        // struct nulls atomically. Age is non-negative in both
+        // directions by construction.
+        val tsDt = unioned.schema(ts).dataType
         val age =
-          if (forward) unix_micros(col(carry)(rightTs)) - unix_micros(col(ts))
-          else unix_micros(col(ts)) - unix_micros(col(carry)(rightTs))
+          if (forward) tsMicros(tsDt, col(carry)(rightTs)) - tsMicros(tsDt, col(ts))
+          else tsMicros(tsDt, col(ts)) - tsMicros(tsDt, col(carry)(rightTs))
         matched.withColumn(carry,
           when(col(carry).isNotNull && age <= tol * 1000000L, col(carry)))
       case None => matched

@@ -51,10 +51,18 @@ object LinkMetricExact {
     val offsetMs = c.windowOffset * batchMs
     val cumulative = c.cumulative
 
+    // per-element presence marker (SOH prefix for non-null, empty for
+    // null): concat_ws SKIPS nulls, so without it (a, null, c) and
+    // (a, c, null) collapsed into one key and the split-back shifted c's
+    // value into b's column — merged counts under wrong labels. The
+    // Catalyst batch sibling groups nulls natively; this keeps parity.
+    val Mark = "\u0001" // SOH, escaped so the file stays text
+    def enc(f: String) = when(col(s"`$f`").isNull, lit(""))
+      .otherwise(concat(lit(Mark), col(s"`$f`").cast("string")))
     val keyed = df
       .withWatermark(s"`${c.tsColumn}`", s"${c.reserveWindowSec} seconds")
       .select(col(s"`${c.tsColumn}`").as("ts"), // no cast — it would strip the watermark tag
-        concat_ws(Sep, fields.map(f => col(s"`$f`").cast("string")): _*).as("g"))
+        concat_ws(Sep, fields.map(enc): _*).as("g"))
       .as[(Timestamp, String)]
       .groupByKey(_._2)
 
@@ -105,10 +113,14 @@ object LinkMetricExact {
         emits.iterator
     }
 
-    // split the composite key back into the original link columns
-    val parts = split(col("group"), Sep)
-    fields.zipWithIndex.foldLeft(out.toDF())((d, fi) =>
-      d.withColumn(fi._1, element_at(parts, fi._2 + 1)))
+    // split the composite key back into the original link columns; a
+    // marker-less (empty) token decodes back to null
+    val parts = split(col("group"), Sep, -1)
+    fields.zipWithIndex.foldLeft(out.toDF()) { (d, fi) =>
+      val tok = element_at(parts, fi._2 + 1)
+      d.withColumn(fi._1,
+        when(tok.startsWith(Mark), substring(tok, 2, Int.MaxValue)))
+    }
       .withColumnRenamed("window", "@timestamp")
       .drop("group")
   }

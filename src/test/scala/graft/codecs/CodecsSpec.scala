@@ -26,6 +26,24 @@ class CodecsSpec extends SparkSpec {
     assert(out(1).getString(out(1).fieldIndex("message")) == "not json at all")
   }
 
+  test("jsonDecode: a schema declaring message/@timestamp MERGES, never duplicates") {
+    // json.* + the fallback columns produced two `message` columns for
+    // the (normal) log schema that has one — every later reference threw
+    // AMBIGUOUS_REFERENCE (r14 fix). Parsed rows take the parsed value,
+    // fallback rows the raw line.
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("message", StringType)))
+    val out = Codecs.jsonDecode(
+      Seq("""{"a": 1, "message": "parsed msg"}""", "garbage{").toDF("value"),
+      schema)
+    assert(out.columns.count(_ == "message") == 1)
+    val rows = out.orderBy(col("a").asc_nulls_last).collect()
+    assert(rows(0).getString(rows(0).fieldIndex("message")) == "parsed msg")
+    assert(rows(1).getString(rows(1).fieldIndex("message")) == "garbage{")
+    // downstream references resolve (the old frame threw here)
+    assert(out.filter(col("message").contains("msg")).count() == 1)
+  }
+
   test("jsonDecode: empty/field-less objects parse (no fallback); non-objects fall back") {
     val schema = StructType(Seq(StructField("a", LongType)))
     val out = Codecs.jsonDecode(

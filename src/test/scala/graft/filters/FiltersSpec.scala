@@ -259,6 +259,37 @@ class FiltersSpec extends SparkSpec {
     assert(m("k") == "87" && m("name") == "x")
   }
 
+  test("Json: malformed input FAILS (tagged), never a struct of nulls") {
+    // PERMISSIVE from_json returns a row of nulls for garbage — the old
+    // .isNotNull success called it parsed, so failTag never fired and
+    // every schema field was nulled onto the corrupt row (r14 fix)
+    val df = Seq(("""{"k": 87, "name": "x"}""", 1), ("not json{", 2))
+      .toDF("props", "id")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k LONG, name STRING")
+    val out = FilterBox(JsonFilter("props", schema = Some(schema)),
+      failTag = Some("json_fail")).stage(df)
+    val good = out.filter($"id" === 1).collect().head
+    assert(good.getLong(good.fieldIndex("k")) == 87L)
+    assert(good.isNullAt(good.fieldIndex("tags")))
+    val bad = out.filter($"id" === 2).collect().head
+    assert(bad.getSeq[String](bad.fieldIndex("tags")) == Seq("json_fail"))
+    assert(bad.isNullAt(bad.fieldIndex("k")))
+  }
+
+  test("Grok: field names with underscores (standard grok) compile and extract") {
+    // Java named groups reject '_' — the old compile crashed per-executor
+    // at first row; names are now aliased in the regex and mapped back
+    val df = Seq(("GET /x 200 12.5", 1)).toDF("message", "id")
+    val g = GrokFilter("message", Seq(
+      "^%{WORD:verb} %{NOTSPACE:req_path} %{INT:status_code} %{NUMBER:response_time}$"))
+    assert(g.outputFields == Seq("verb", "req_path", "status_code", "response_time"))
+    val out = FilterBox(g).stage(df)
+    val r = out.collect().head
+    assert(r.getString(r.fieldIndex("req_path")) == "/x")
+    assert(r.getString(r.fieldIndex("status_code")) == "200")
+    assert(r.getString(r.fieldIndex("response_time")) == "12.5")
+  }
+
   test("Split: positional fields, arity failure") {
     val df = Seq(("a|b|c", 1), ("x|y", 2)).toDF("s", "id")
     val out = FilterBox(

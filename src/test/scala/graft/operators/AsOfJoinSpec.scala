@@ -148,6 +148,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one keyed exchange:\n$plan")
   }
 
+  test("null right timestamps never match (asc nulls-first would carry them)") {
+    // a null-ts right row sorts FIRST ascending and was carried as a
+    // "match" the r.ts <= l.ts contract never makes (r14 fix)
+    val r2 = Seq((2L, Option.empty[Timestamp], "ghost")).toDF("k", "rt", "v")
+    val m = AsOfJoin.leftAsOf(left, r2, Seq("k"), "t", "rt", Seq("v"),
+        suffix = "_m")
+      .select($"id", $"v_m").as[(Long, Option[String])].collect().toMap
+    assert(m(5L).isEmpty, s"null-ts right row matched: $m") // key 2 probe
+    val mN = AsOfJoin.leftAsOfNearest(left, r2, Seq("k"), "t", "rt",
+        Seq("v"), suffix = "_m")
+      .select($"id", $"v_m").as[(Long, Option[String])].collect().toMap
+    assert(mN(5L).isEmpty, s"nearest carried a null-ts right row: $mN")
+  }
+
+  test("numeric event-time columns work with tolerance and nearest (epoch seconds)") {
+    // the scaladoc promises numeric ts; unix_micros made any tolerance/
+    // nearest call an AnalysisException on LongType columns (r14 fix)
+    val l = Seq((1L, 1L, 250L), (2L, 1L, 900L)).toDF("id", "k", "t")
+    val r = Seq((1L, 200L, "a"), (1L, 240L, "b")).toDF("k", "rt", "v")
+    val m = AsOfJoin.leftAsOf(l, r, Seq("k"), "t", "rt", Seq("v"),
+        suffix = "_m", toleranceSec = Some(100L))
+      .select($"id", $"v_m").as[(Long, Option[String])].collect().toMap
+    assert(m(1L).contains("b")) // 250-240=10s within tolerance
+    assert(m(2L).isEmpty)       // 900-240=660s outside tolerance
+    val mN = AsOfJoin.leftAsOfNearest(l, r, Seq("k"), "t", "rt", Seq("v"),
+        suffix = "_m")
+      .select($"id", $"v_m").as[(Long, Option[String])].collect().toMap
+    assert(mN(1L).contains("b") && mN(2L).contains("b"))
+  }
+
   test("null join keys never match: right null-key rows are dropped") {
     val l = Seq(
       (1L, Option(1L), ts(300)),

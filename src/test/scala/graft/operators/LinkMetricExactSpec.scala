@@ -39,6 +39,32 @@ class LinkMetricExactSpec extends SparkSpec {
     assert(aRows == Seq((ts("2024-01-01 00:00:00"), "a", 2L)), s"got $rows")
   }
 
+  test("null link-field values keep distinct groups and decode back as null") {
+    // the old concat_ws key SKIPPED nulls: (x, null) and (null, x)
+    // collapsed into one group and the split-back shifted values into
+    // the wrong columns — merged counts under wrong labels (r14 fix)
+    val mem = MemoryStream[(Timestamp, Option[String], Option[String])](spark)
+    val src = mem.toDF().toDF("@timestamp", "a", "b")
+    val out = LinkMetricExact.streaming(LinkMetricExact.ExactConfig(
+      "a->b", 60, reserveWindowSec = 600))(src)
+    val q = out.writeStream.format("memory").queryName("lme_null")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:00:10"), Some("x"), None),
+        (ts("2024-01-01 00:00:20"), None, Some("x")),
+        (ts("2024-01-01 00:00:30"), Some("x"), None))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:30:00"), Some("z"), Some("z")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.sql("select a, b, count from lme_null")
+        .as[(Option[String], Option[String], Long)].collect().toSet
+      assert(rows.contains((Some("x"), None, 2L)), s"got $rows")
+      assert(rows.contains((None, Some("x"), 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("windowOffset delays the flush by N whole windows") {
     // offset=3: window 00:00 closes only once watermark >= 00:01 + 3min
     val rows = run(cumulative = false, windowOffset = 3) { (mem, process) =>
