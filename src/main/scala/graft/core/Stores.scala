@@ -26,4 +26,16 @@ object Stores {
     if (!hadoopFs(spark, path).exists(p)) None
     else Some(spark.read.parquet(path))
   }
+
+  /** `<path><suffix>` as a SIBLING of path, built via parent+name: string
+    * concat on a trailing-slash config path would silently produce a
+    * CHILD of the directory, and renaming a directory under itself fails
+    * forever — the shared tmp/old/retired-generation path helper for
+    * every store's commit protocol. */
+  def sibling(path: String, suffix: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(path) // normalizes trailing slashes
+    Option(p.getParent)
+      .map(new org.apache.hadoop.fs.Path(_, p.getName + suffix))
+      .getOrElse(new org.apache.hadoop.fs.Path(p.getName + suffix))
+  }
 }

@@ -31,7 +31,11 @@ object Blocklist {
       s => length(s) > 0)
     val matchedUrls = df
       .select(col(s"`$urlCol`"), explode(suffixes).as("__graft_bl_one"))
-      .join(blocklist.select(col(s"`$domainCol`").as("__graft_bl_one")),
+      // case-fold the BLOCKLIST side too (host() already lowercases the
+      // URL side): DNS names are case-insensitive, and an uppercase
+      // blocklist entry silently never matched — flagBlockedTerms in
+      // this file folds both sides for the same reason
+      .join(blocklist.select(lower(col(s"`$domainCol`")).as("__graft_bl_one")),
         Seq("__graft_bl_one"), "left_semi")
       .select(col(s"`$urlCol`")).distinct()
     // joinBackOnce memoizes the (small) matched-URL set: the anti join

@@ -503,17 +503,23 @@ object DatasetOps {
 
   /** Equi-width bucket index in [0, 2^bits) for a numeric column, with
     * the domain bounds supplied as columns (from a broadcast 1-row
-    * bounds frame — see [[withZValue]]). Exact integer arithmetic:
-    * ((x − min) · 2^bits) div (max − min + 1); callers must keep
-    * (max − min + 1) · 2^bits below 2^63 (true for any id/timestamp
-    * domain at bits ≤ 16). NULLs bucket to 0. */
+    * bounds frame — see [[withZValue]]). Exact integer arithmetic in
+    * DECIMAL(38,0): ((x − min) · 2^bits) div (max − min + 1). The old
+    * long form wrapped on wide domains — withZValue's own error message
+    * recommends xxhash64-hashed keys, whose ~2^64 span made
+    * (max − min + 1) negative and the layout silently random. At
+    * 2^64 · 2^16 ≈ 10^25 the products stay exact in 38 digits, and
+    * IntegralDivide on decimals returns the exact integer quotient.
+    * NULLs bucket to 0. */
   private def equiWidthBucket(x: Column, mn: Column, mx: Column,
       bits: Int): Column = {
     val idiv = (a: Column, b: Column) => Bridge.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         Bridge.expression(a), Bridge.expression(b)))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val nb = 1L << bits
-    idiv((coalesce(x.cast("long"), mn) - mn) * nb, mx - mn + 1L)
+    idiv((dec(coalesce(x.cast("long"), mn)) - dec(mn)) * lit(nb),
+      dec(mx) - dec(mn) + lit(1L))
   }
 
   /** Append a Morton z-value column interleaving `cols`' equi-width

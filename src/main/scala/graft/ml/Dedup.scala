@@ -85,8 +85,14 @@ object Dedup {
     * never keys a shuffle — and no join-back. The aggregate view of the
     * same policy (representative + count per group) is [[exact]]. */
   def dropDuplicatesExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // null-text rows are all KEPT: md5(null) is null and the window
+    // would group every null-text row into one partition and keep one —
+    // silently losing rows the hamming/seen-store paths (whose null
+    // contracts are explicit) all keep. Nulls can't be "duplicates of
+    // each other" in any of this module's dedup semantics.
     val w = Window.partitionBy(md5(col(textCol).cast("string"))).orderBy(col(idCol))
-    df.withColumn("__graft_rank", row_number().over(w))
+    df.withColumn("__graft_rank",
+        when(col(s"`$textCol`").isNull, lit(1)).otherwise(row_number().over(w)))
       .filter(col("__graft_rank") === 1).drop("__graft_rank")
   }
 
@@ -604,6 +610,13 @@ object Dedup {
         (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
       case _: FloatType | _: DoubleType =>
         (a, b) => a.asInstanceOf[Number].doubleValue < b.asInstanceOf[Number].doubleValue
+      // DecimalType must order NUMERICALLY: toString puts "10" before
+      // "9", so the driver path would elect a different representative
+      // than the distributed min("rep") — the kept row would then depend
+      // on which side of driverEdgeLimit the edge count landed
+      case _: DecimalType =>
+        (a, b) => a.asInstanceOf[java.math.BigDecimal]
+          .compareTo(b.asInstanceOf[java.math.BigDecimal]) < 0
       case _ => (a, b) => a.toString < b.toString
     }
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
@@ -967,8 +980,7 @@ object Dedup {
     graft.core.Stores.readParquetIfExists(spark, storePath)
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.Stores.hadoopFs(spark, path)
 
   private def bloomPath(storePath: String) = s"$storePath/_bloom/bloom.bin"
 

@@ -101,8 +101,12 @@ object Dsir {
     * PostCommit so a failed run's retry cannot double-count. */
   def appendToCountsStore(df: DataFrame, textCol: String, storePath: String,
       logBuckets: Int = 12, bigrams: Boolean = true): Long = {
-    val counts = ngramCounts(df, textCol, logBuckets, bigrams)
-      .localCheckpoint() // count + write must see the same rows
+    // count + write must see the same rows; explodingMemo upgrades to a
+    // reliable DFS checkpoint when spark.sql.graft.checkpointDir is set —
+    // a lost executor during a daily append must not fail the run (and a
+    // counts store is NOT idempotent, so a failed run needs operator care)
+    val counts = Dedup.explodingMemo(
+      ngramCounts(df, textCol, logBuckets, bigrams))
     val n = counts.count()
     if (n > 0) counts.write.mode("append").parquet(storePath)
     n
@@ -146,7 +150,14 @@ object Dsir {
       rows.foreach { r =>
         val k = r.getInt(0)
         if (k == -1) total = r.getLong(1)
-        else c(k) = r.getLong(1)
+        else {
+          // a sparse frame built with a LARGER logBuckets passes the
+          // row-count require above and would AIOOBE here with no hint
+          require(k >= 0 && k < b, s"Dsir.model: $which count frame has " +
+            s"bucket $k outside [0, 2^$logBuckets) — built with a " +
+            "different logBuckets than this model?")
+          c(k) = r.getLong(1)
+        }
       }
       require(total >= 0, s"Dsir.model: $which count frame is missing the " +
         "(bucket = -1, total) sentinel — not a Dsir.ngramCounts frame?")

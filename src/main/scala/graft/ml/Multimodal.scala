@@ -1334,7 +1334,12 @@ object Multimodal {
             if (bytes == null) null
             else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           } catch { case _: Exception => null }
-        if (img == null || img.getWidth < outW || img.getHeight < outH)
+        // pass through when a dim is below target (never upscale) OR the
+        // image is EXACTLY at target: re-encoding an untouched image to
+        // PNG changes its bytes (breaking content-hash dedup downstream)
+        // and typically inflates a compressed JPEG severalfold
+        if (img == null || img.getWidth < outW || img.getHeight < outH ||
+            (img.getWidth == outW && img.getHeight == outH))
           Row(r.get(0), r.get(1), bytes)
         else {
           val (w, h) = (img.getWidth, img.getHeight)

@@ -89,8 +89,13 @@ object NgramLm {
         explode_outer(gramLattice(lower(col(textCol)), order, unicode)).as("e"))
       .select(col("id"), col("e.lvl").as("lvl"), col("e.pos").as("pos"),
         col("e.gram").as("gram"))
+    // normalize the model frame so MERGED partials (unioned counts from
+    // multiple training runs — the trivially-summable contract the class
+    // doc advertises) score correctly: duplicate (lvl, gram) rows would
+    // double-join into the per-doc lattice and shift every per-level
+    // count slice; a single-run frame (unique rows) is value-identical
     val grams = model.filter(col("lvl") >= 1)
-      .select(col("lvl"), col("gram"), col("cnt"))
+      .groupBy(col("lvl"), col("gram")).agg(sum(col("cnt")).as("cnt"))
     val joined = exploded.join(grams, Seq("lvl", "gram"), "left")
 
     // One row per doc: the (lvl, pos, cnt) lattice sorted by (lvl, pos) —
@@ -100,8 +105,10 @@ object NgramLm {
       sort_array(collect_list(struct(col("lvl"), col("pos"), col("cnt"))))
         .as("__graft_lm_ent"))
 
+    // SUM of total rows, not max: a merged frame carries one lvl-0 row
+    // per training run, and max silently under-counted the denominator
     val totals = model.filter(col("lvl") === 0)
-      .agg(max(col("cnt")).as("__graft_lm_n"))
+      .agg(sum(col("cnt")).as("__graft_lm_n"))
     val withN = perDoc.crossJoin(broadcast(totals))
 
     val ent = col("__graft_lm_ent")

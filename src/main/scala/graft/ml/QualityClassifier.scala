@@ -157,11 +157,12 @@ object QualityClassifier {
           .as("f"))
       .filter(col("id").isNotNull && col("y").isNotNull && size(col("f")) > 0)
     // count + write must see the SAME frame while the store changes
-    // under the anti-join — the seen-store localCheckpoint barrier
-    val fresh = graft.core.Stores.readParquetIfExists(spark, s"$storePath/rows")
-      .map(st => fresh0.join(st.select("id"), Seq("id"), "left_anti"))
-      .getOrElse(fresh0)
-      .localCheckpoint()
+    // under the anti-join — the seen-store barrier (explodingMemo: a
+    // reliable DFS checkpoint when spark.sql.graft.checkpointDir is set)
+    val fresh = Dedup.explodingMemo(
+      graft.core.Stores.readParquetIfExists(spark, s"$storePath/rows")
+        .map(st => fresh0.join(st.select("id"), Seq("id"), "left_anti"))
+        .getOrElse(fresh0))
     // fail BEFORE persisting, not at train time: a poisoned store can't
     // be repaired by re-appending (the anti-join sees the id as stored)
     val badLabel = fresh.filter(col("y") =!= 0.0 && col("y") =!= 1.0).take(1)
@@ -256,7 +257,11 @@ object QualityClassifier {
   def accuracy(labeled: DataFrame, textCol: String, labelCol: String,
       model: QualityClfModel): Double = {
     val scored = score(labeled, textCol, model, "__graft_clf_logit")
-      .filter(col("__graft_clf_logit").isNotNull)
+      // null labels are EXCLUDED, like token-less rows — the three-valued
+      // comparison otherwise counted them in the denominator as
+      // misclassifications (a perfect model read 0.8 on 20% unlabeled)
+      .filter(col("__graft_clf_logit").isNotNull &&
+        col(s"`$labelCol`").isNotNull)
     val agg = scored.agg(
       sum(when((col("__graft_clf_logit") > 0) ===
         (col(s"`$labelCol`").cast("double") === 1.0), 1L).otherwise(0L)),
@@ -317,15 +322,8 @@ object QualityClassifier {
     fs.delete(old, true)
   }
 
-  /** `<path><suffix>` as a SIBLING of path — built via parent+name so a
-    * trailing slash in a config path can't silently produce a CHILD
-    * (renaming a directory under itself fails forever). */
-  private def sibling(path: String, suffix: String): org.apache.hadoop.fs.Path = {
-    val p = fs0(path) // Hadoop Path normalizes trailing slashes
-    val parent = Option(p.getParent)
-    parent.map(new org.apache.hadoop.fs.Path(_, p.getName + suffix))
-      .getOrElse(fs0(p.getName + suffix))
-  }
+  private def sibling(path: String, suffix: String): org.apache.hadoop.fs.Path =
+    graft.core.Stores.sibling(path, suffix)
 
   private def fs0(p: String) = new org.apache.hadoop.fs.Path(p)
 

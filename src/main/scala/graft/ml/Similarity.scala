@@ -433,14 +433,10 @@ object Similarity {
       iters: Int = 5): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // siblings via parent+name, not string concat: a trailing slash in a
-    // config path would otherwise make "<path>.rebuild_tmp" a CHILD of
-    // root, and renaming root under itself fails every rebuild forever
-    def sibling(suffix: String) = Option(root.getParent)
-      .map(new org.apache.hadoop.fs.Path(_, root.getName + suffix))
-      .getOrElse(new org.apache.hadoop.fs.Path(root.getName + suffix))
-    val tmp = sibling(".rebuild_tmp")
-    val old = sibling(".rebuild_old")
+    // siblings via the shared helper (trailing-slash-safe — see
+    // graft.core.Stores.sibling)
+    val tmp = graft.core.Stores.sibling(path, ".rebuild_tmp")
+    val old = graft.core.Stores.sibling(path, ".rebuild_old")
     def finishSwap(): Long = {
       if (fs.exists(root)) {
         if (fs.exists(old)) fs.delete(old, true)
@@ -852,10 +848,13 @@ object Similarity {
     val spark = df.sparkSession
     val fresh0 = df.select(col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull).distinct()
-    val fresh = readVecStoreOpt(spark, storePath)
-      .map(s => fresh0.join(s, Seq("v"), "left_anti"))
-      .getOrElse(fresh0)
-      .localCheckpoint()
+    // explodingMemo: reliable DFS checkpoint when
+    // spark.sql.graft.checkpointDir is set — the seen-store append
+    // barrier, so a lost executor mid-append can't fail a daily run
+    val fresh = Dedup.explodingMemo(
+      readVecStoreOpt(spark, storePath)
+        .map(s => fresh0.join(s, Seq("v"), "left_anti"))
+        .getOrElse(fresh0))
     val n = fresh.count()
     if (n > 0) fresh.write.mode("append").parquet(storePath)
     n

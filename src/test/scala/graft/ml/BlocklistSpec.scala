@@ -22,6 +22,17 @@ class BlocklistSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L, 5L, 6L))
   }
 
+  test("dropBlockedHosts: uppercase blocklist entries match (DNS is case-insensitive)") {
+    // the URL side lowercases via host(); the blocklist side didn't —
+    // an uppercase entry silently never matched (r14 fix)
+    val docs = Seq(("http://ads.tracker.com/x", 1L), ("http://ok.org/y", 2L))
+      .toDF("url", "id")
+    val bl = Seq("Ads.Tracker.COM").toDF("domain")
+    val kept = Blocklist.dropBlockedHosts(docs, "url", bl)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"got $kept")
+  }
+
   test("flagBlockedTerms: case-folded distinct presence, maxHits, drop mode") {
     val docs = Seq(
       (0L, "clean words only here"),

@@ -69,6 +69,16 @@ class DsirSpec extends SparkSpec {
     assert(mFused.logRatio.toSeq == mSep.logRatio.toSeq)
   }
 
+  test("model rejects a count frame from a LARGER logBuckets loudly, not AIOOBE") {
+    // a sparse frame passes the row-count require; the bucket-range
+    // check must name the cause instead of ArrayIndexOutOfBounds
+    val wide = Dsir.ngramCounts(pool(0 until 5), "text", logBuckets = 10)
+    val e = intercept[IllegalArgumentException] {
+      Dsir.model(wide, wide, logBuckets = 8)
+    }
+    assert(e.getMessage.contains("logBuckets"), e.getMessage)
+  }
+
   test("log weights separate the domains; weigh is a zero-exchange map") {
     val p = pool(0 until 200)
     val m = modelOf(p)

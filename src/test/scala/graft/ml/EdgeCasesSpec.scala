@@ -32,6 +32,17 @@ class EdgeCasesSpec extends SparkSpec {
     Dedup.simhashHammingPairs(messy, "text", "doc_id").count() // no crash
   }
 
+  test("exact dedup keeps ALL null-text rows (nulls are not duplicates of each other)") {
+    // md5(null) is null and the window grouped every null-text row into
+    // one partition, silently keeping one — diverging from the hamming
+    // and seen-store paths whose null contracts keep them all (r14 fix)
+    val df = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("same")), (4L, Some("same"))).toDF("doc_id", "text")
+    val kept = Dedup.dropDuplicatesExact(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"got $kept")
+  }
+
   test("empty input frames flow through every dedup operator") {
     val empty = messy.limit(0)
     assert(Dedup.minhashPairs(empty, "text", "doc_id").count() == 0)

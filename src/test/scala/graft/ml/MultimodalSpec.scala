@@ -621,6 +621,14 @@ class MultimodalSpec extends SparkSpec {
       Seq((1L, "not an image")).toDF("doc_id", "text"), "text", "doc_id")
     val through = Multimodal.resizeImages(junk, 8, 6).head()
     assert(new String(through.getAs[Array[Byte]](2), "UTF-8") == "not an image")
+    // EXACTLY at target: pass through byte-identical (r14 fix — the
+    // strict-< test re-encoded an untouched image, changing its bytes
+    // and breaking downstream content-hash dedup)
+    val dims = Multimodal.decodeImagePixels(small)
+      .select(col("px.width"), col("px.height")).as[(Int, Int)].head()
+    val exact = Multimodal.resizeImages(small, dims._1, dims._2)
+      .select(md5(col("content"))).as[String].head()
+    assert(exact == origMd5, "exact-size image was re-encoded")
   }
 
   test("resamplePcm: integer linear interpolation matches the arithmetic") {

@@ -85,6 +85,23 @@ class NgramLmSpec extends SparkSpec {
     assert(merged.collectAsMap() == whole.collectAsMap())
   }
 
+  test("score() accepts RAW merged partials: duplicate gram rows and multiple totals") {
+    // the class doc advertises trivially-summable model frames — score
+    // previously took max() of the lvl-0 totals (under-counted N for
+    // merged frames) and double-joined duplicate gram rows, shifting
+    // every per-level count slice (r14 fix: normalize inside score)
+    val half = NgramLm.train(refDf, "text", 3, minCount = 1)
+    val rawMerged = half.unionByName(half) // two totals, every gram twice
+    val whole = NgramLm.train(
+      refDf.unionByName(refDf.withColumn("doc_id", col("doc_id") + 1)),
+      "text", 3, minCount = 1)
+    def scores(m: org.apache.spark.sql.DataFrame) =
+      NgramLm.score(refDf, m, "text", "doc_id", 3)
+        .select("id", "sum_prob").as[(Long, Double)].collect().toMap
+    assert(scores(rawMerged) == scores(whole),
+      "raw merged partials must score identically to the equivalent model")
+  }
+
   test("plan shape: no window exec, total-N enters broadcast, join un-hinted") {
     val model = NgramLm.train(refDf, "text", order = 3, minCount = 1)
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")

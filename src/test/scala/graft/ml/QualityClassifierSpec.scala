@@ -146,6 +146,20 @@ class QualityClassifierSpec extends SparkSpec {
     assert(back.weights.toSeq == model.weights.toSeq)
   }
 
+  test("accuracy excludes null-label rows (not counted as misclassifications)") {
+    val model = QualityClassifier.train(labeled(0 until 120), "text", "label",
+      logBuckets = 8, bigrams = true, epochs = 10, lr = 1.0)
+    val base = labeled(0 until 20)
+    val accBase = QualityClassifier.accuracy(base, "text", "label", model)
+    // adding UNLABELED rows must not change accuracy — the old
+    // three-valued comparison counted each one as a miss
+    val withNulls = base.unionByName(
+      (500 until 520).map(i => (i.toLong, goodDoc(i), Option.empty[Int]))
+        .toDF("id", "text", "label"))
+    val accNulls = QualityClassifier.accuracy(withNulls, "text", "label", model)
+    assert(accNulls == accBase, s"$accNulls != $accBase")
+  }
+
   test("save crash contract: a retired-only generation survives re-save and load") {
     val dir = java.nio.file.Files.createTempDirectory("graft_clf_crash").toString
     val m1 = QualityClassifier.train(labeled(0 until 80), "text", "label",

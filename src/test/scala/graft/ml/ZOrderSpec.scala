@@ -47,6 +47,20 @@ class ZOrderSpec extends SparkSpec {
     assert(z.columns.toSet == Set("x", "y", "z"))
   }
 
+  test("withZValue survives the full hashed-long domain (decimal bucket arithmetic)") {
+    // withZValue's own error message recommends xxhash64-hashed keys,
+    // whose ~2^64 span wrapped the old long arithmetic (max−min+1
+    // negative) into a silently random layout (r14 fix)
+    val df = Seq(Long.MinValue, -1L, 0L, Long.MaxValue).toDF("x")
+    val z = DatasetOps.withZValue(df, Seq("x"), bits = 8)
+      .select("x", "z").as[(Long, Long)].collect().toMap
+    def expect(b: Long) = ZOrderFns.interleaveKernel(Array(b), 8)
+    assert(z(Long.MinValue) == expect(0L))
+    assert(z(-1L) == expect(127L))
+    assert(z(0L) == expect(128L))
+    assert(z(Long.MaxValue) == expect(255L))
+  }
+
   private implicit class Map2[A, B, C](s: Seq[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = s.map(t => (t._1, t._2) -> t._3).toMap
   }
