@@ -184,7 +184,11 @@ object ArrayFns {
   }
 
   def dotDKernel(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // callers (DotDExpr) null out length mismatches BEFORE this runs —
+    // truncating to the shorter array would silently score a malformed
+    // embedding with a partial dot product, diverging from the
+    // documented composed form (zip_with pads with null → null result)
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -319,11 +323,21 @@ case class PqEncodeExpr(child: Expression, m: Int, kc: Int, subDim: Int,
 case class DotDExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    ArrayFns.dotDKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    // length mismatch → NULL, the composed zip_with/aggregate contract
+    if (aa.numElements() != bb.numElements()) null
+    else ArrayFns.dotDKernel(aa, bb)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.ArrayFns.dotDKernel($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.ArrayFns.dotDKernel($a, $b);
+      }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "dot_d"

@@ -38,17 +38,27 @@ object CompressFns {
 
   // ---- static kernel (called from generated code) -------------------------
 
+  // ThreadLocal Deflater (the ShingleFns.Md5 pattern): constructing one
+  // per row allocates ~256 KB of native zlib state on the whole-stage-
+  // codegen hot path — reset() reuses the stream across rows
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+  private val deflateBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   def deflateLenKernel(u: UTF8String): Int = {
     val in = u.getBytes
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(in)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = deflateBuf.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 

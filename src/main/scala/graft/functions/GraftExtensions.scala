@@ -66,7 +66,44 @@ object GraftExtensions {
       }),
     (new FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLenExpr].getName, "deflate_len"),
-      (args: Seq[Expression]) => DeflateLenExpr(args(0))))
+      (args: Seq[Expression]) => DeflateLenExpr(args(0))),
+    // the remaining MODEL-FREE kernels (only model-bearing exprs — BPE,
+    // LangId profiles, QualityClf weights — are genuinely unregistrable
+    // as SQL functions): a spark.sql user otherwise silently falls back
+    // to the slow composed forms the kernels exist to replace
+    (new FunctionIdentifier("url_normalize"),
+      new ExpressionInfo(classOf[UrlNormalizeExpr].getName, "url_normalize"),
+      (args: Seq[Expression]) => UrlNormalizeExpr(args(0))),
+    (new FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCountsExpr].getName, "token_counts"),
+      (args: Seq[Expression]) => TokenCountsExpr(args(0))),
+    (new FunctionIdentifier("md5_token_hashes"),
+      new ExpressionInfo(classOf[Md5TokenHashesExpr].getName, "md5_token_hashes"),
+      (args: Seq[Expression]) => Md5TokenHashesExpr(args(0))),
+    (new FunctionIdentifier("ngrams_all"),
+      new ExpressionInfo(classOf[NgramsAllExpr].getName, "ngrams_all"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "ngrams_all(text, n)")
+        NgramsAllExpr(args(0), intArg(args(1)))
+      }),
+    (new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingles(text, n)")
+        ShinglesExpr(args(0), intArg(args(1)))
+      }),
+    (new FunctionIdentifier("hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShinglesExpr].getName, "hashed_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hashed_shingles(text, n)")
+        HashedShinglesExpr(args(0), intArg(args(1)))
+      }),
+    (new FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBitsExpr].getName, "interleave_bits"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "interleave_bits(col..., bits)")
+        InterleaveBitsExpr(args.init, intArg(args.last))
+      }))
 
   /** Runtime registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -60,13 +60,26 @@ final case class LangIdModel(langs: Seq[(String, Map[String, Int])],
     val counts = LangIdModel.trigramCountMap(text)
     if (counts == null) return null
 
-    // rank top-K by (count desc, gram asc — UTF8 byte order)
-    val entries = new java.util.ArrayList[java.util.Map.Entry[UTF8String, Array[Int]]](
-      counts.entrySet())
-    entries.sort { (a, e) =>
+    // rank top-K by (count desc, gram asc — UTF8 byte order) via a
+    // BOUNDED selection: a size-K worst-first heap plus a final sort of
+    // just those K entries — O(L log K) where the old full sort paid
+    // O(L log L) over every distinct trigram of every document (tens of
+    // thousands for a long page, for a topK of a few hundred)
+    type Ent = java.util.Map.Entry[UTF8String, Array[Int]]
+    val cmp: java.util.Comparator[Ent] = (a: Ent, e: Ent) => {
       val d = e.getValue()(0) - a.getValue()(0)
       if (d != 0) d else a.getKey.compareTo(e.getKey)
     }
+    val heap = new java.util.PriorityQueue[Ent](
+      math.max(1, math.min(topK, counts.size())), cmp.reversed())
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val ent = it.next()
+      if (heap.size() < topK) heap.add(ent)
+      else if (cmp.compare(ent, heap.peek()) < 0) { heap.poll(); heap.add(ent) }
+    }
+    val entries = new java.util.ArrayList[Ent](heap)
+    entries.sort(cmp)
     val m = math.min(topK, entries.size)
 
     var bestLang: UTF8String = null

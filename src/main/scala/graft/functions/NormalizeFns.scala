@@ -43,6 +43,18 @@ object NormalizeFns {
     * cheap quick-check scan (ICU-style): for ASCII it answers true
     * without allocating, and the input UTF8String is returned as-is. */
   def normalizeKernel(s: UTF8String, form: String): UTF8String = {
+    // GENUINE zero-allocation ASCII fast path: all-ASCII text is
+    // normalized under every form, and a mostly-ASCII web corpus must
+    // not pay a per-document String copy just to ask — the old code
+    // called s.toString before the isNormalized probe
+    var i = 0
+    val n = s.numBytes
+    var ascii = true
+    while (ascii && i < n) {
+      if (s.getByte(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
     val f = java.text.Normalizer.Form.valueOf(form)
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s

@@ -203,6 +203,11 @@ case class ClfLogitExpr(child: Expression, model: QualityClfModel)
 
 case class ClfBucketListExpr(child: Expression, logBuckets: Int,
     bigrams: Boolean) extends UnaryExpression {
+  // same bound as QualityClfModel: logBuckets 0 makes EVERY token bucket
+  // 0 (shift 32 of a 32-bit hash) and > 20 shifts negative — silently
+  // degenerate features with no error
+  require(logBuckets >= 1 && logBuckets <= 20,
+    s"logBuckets must be 1..20, got $logBuckets")
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def nullable: Boolean = true
@@ -220,6 +225,8 @@ case class ClfBucketListExpr(child: Expression, logBuckets: Int,
 
 case class ClfFeatureCountsExpr(child: Expression, logBuckets: Int,
     bigrams: Boolean) extends UnaryExpression {
+  require(logBuckets >= 1 && logBuckets <= 20,
+    s"logBuckets must be 1..20, got $logBuckets")
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("bucket",

@@ -74,7 +74,10 @@ object FieldPath {
     * truthiness treats the image "0" as the number zero, not as a
     * non-empty string). */
   def resolveSegsDetailed(df: DataFrame, segs: Seq[Seg]): Option[(Column, DataType, Boolean)] = {
-    require(segs.nonEmpty, "empty field path")
+    // a degenerate user path ("$.", "[]") parses to zero segments —
+    // unresolvable, and the contract for unresolvable is None (missing
+    // field), never a plan-time crash from a template string
+    if (segs.isEmpty) return None
     segs.head match {
       case Idx(_) => None
       case Key(head) =>
@@ -97,8 +100,12 @@ object FieldPath {
       case (at: ArrayType, Idx(i)) => walk(cur.getItem(i), at.elementType, rest.tail)
       case (StringType, _) =>
         // JSON overflow column: finish the path with get_json_object.
+        // Keys go in BRACKET-QUOTED form: a bracket-syntax key may
+        // itself contain '.' ([attrs][a.b]), and the dotted form would
+        // descend into nested objects instead of looking up the literal
+        // key — wrong field, silently
         val jp = "$" + rest.map {
-          case Key(k) => s".$k"
+          case Key(k) => s"['${k.replace("'", "\\'")}']"
           case Idx(i) => s"[$i]"
         }.mkString
         Some((get_json_object(cur, jp), StringType, true))

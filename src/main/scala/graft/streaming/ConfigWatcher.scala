@@ -19,15 +19,29 @@ final class ConfigWatcher(path: String, intervalMs: Long)(onChange: () => Unit) 
     try Files.getLastModifiedTime(Paths.get(path)).toMillis catch { case _: Exception => 0L }
 
   private val thread = new Thread(() => {
-    while (running) {
-      Thread.sleep(intervalMs)
-      val m = mtime()
-      if (m != lastModified) {
-        lastModified = m
-        try onChange() catch { case e: Exception =>
-          System.err.println(s"[graft] config reload failed: ${e.getMessage}")
+    try {
+      while (running) {
+        Thread.sleep(intervalMs)
+        val m = mtime()
+        if (m != lastModified) {
+          // advance lastModified only AFTER a successful reload: a poll
+          // that fires mid-editor-write parses a truncated file and
+          // fails — consuming the mtime then would silently drop the
+          // completed write and run the old config forever; leaving it
+          // untouched retries on the next tick
+          try { onChange(); lastModified = m }
+          catch { case e: Exception =>
+            System.err.println(s"[graft] config reload failed " +
+              s"(will retry next poll): ${e.getMessage}")
+          }
         }
       }
+    } catch {
+      case _: InterruptedException => () // clean shutdown
+      case e: Throwable =>
+        // a dying watcher must say so — the operator otherwise believes
+        // hot reload is active while edits are silently ignored
+        System.err.println(s"[graft] config watcher died: $e")
     }
   }, s"graft-config-watcher-$path")
   thread.setDaemon(true)

@@ -259,6 +259,18 @@ class FiltersSpec extends SparkSpec {
     assert(m("k") == "87" && m("name") == "x")
   }
 
+  test("bracket keys containing '.' resolve the LITERAL key in a JSON overflow column") {
+    // [attrs][a.b] previously compiled to $.a.b — descending into nested
+    // objects instead of looking up the literal "a.b" key (r14 fix:
+    // bracket-quoted JSONPath)
+    val df = Seq(("""{"a.b": 7, "a": {"b": 99}}""", 1L)).toDF("attrs", "id")
+    val c = graft.paths.FieldPath.resolve(df, "[attrs][a.b]").get
+    assert(df.select(c.cast("string")).as[String].head() == "7")
+    // degenerate paths resolve to None — never a plan-time crash from a
+    // user template string
+    assert(graft.paths.FieldPath.resolve(df, "$.").isEmpty)
+  }
+
   test("Json: malformed input FAILS (tagged), never a struct of nulls") {
     // PERMISSIVE from_json returns a row of nulls for garbage — the old
     // .isNotNull success called it parsed, so failTag never fired and

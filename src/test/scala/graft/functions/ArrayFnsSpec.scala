@@ -15,6 +15,14 @@ class ArrayFnsSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(viaKernel))
   }
 
+  test("dotD on length-mismatched arrays is NULL, like the composed form") {
+    // zip_with pads the shorter side with null → the fold is null; the
+    // kernel previously truncated and scored a malformed embedding with
+    // a partial dot product (r14 fix)
+    val df = Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+    assert(df.select(ArrayFns.dotD(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("jaccardLong matches array_intersect-based jaccard") {
     val df = Seq(
       (Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L)),

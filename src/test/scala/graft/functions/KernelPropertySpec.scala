@@ -77,13 +77,16 @@ class KernelPropertySpec extends AnyFunSuite {
   }
 
   test("dotDKernel equals the left-fold reference including order sensitivity") {
-    val dGen = Gen.chooseNum(0, 30).flatMap(n =>
-      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)).map(_.toArray))
-    for ((a, b) <- samples(Gen.zip(dGen, dGen), 200)) {
-      val n = math.min(a.length, b.length)
+    // EQUAL lengths only: the kernel contract is equal-length inputs
+    // (DotDExpr nulls a mismatch before the kernel runs — r14, matching
+    // the composed zip_with/aggregate form)
+    val pairGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)).map(_.toArray),
+        Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)).map(_.toArray)))
+    for ((a, b) <- samples(pairGen, 200)) {
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += a(i) * b(i); i += 1 }
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
       val got = ArrayFns.dotDKernel(new GenericArrayData(a), new GenericArrayData(b))
       assert(java.lang.Double.compare(got, acc) == 0)
     }

@@ -50,4 +50,28 @@ class ObservabilitySpec extends SparkSpec {
       assert(fired.await(5, java.util.concurrent.TimeUnit.SECONDS))
     } finally w.stop()
   }
+
+  test("config watcher RETRIES a failed reload on the next poll") {
+    // a poll firing mid-editor-write parses a truncated file and fails;
+    // consuming the mtime then would silently drop the completed write
+    // and run the old config forever (r14 fix)
+    val f = java.nio.file.Files.createTempFile("graft_cfg_retry", ".yml")
+    java.nio.file.Files.writeString(f, "inputs: []")
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ok = new java.util.concurrent.CountDownLatch(1)
+    val w = new graft.streaming.ConfigWatcher(f.toString, 50)(() => {
+      if (calls.incrementAndGet() == 1) sys.error("truncated mid-write")
+      else ok.countDown()
+    }).start()
+    try {
+      Thread.sleep(120)
+      java.nio.file.Files.writeString(f, "inputs: [] # now complete")
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+      // first poll fails; the SAME change must be retried and succeed
+      assert(ok.await(5, java.util.concurrent.TimeUnit.SECONDS),
+        "failed reload was never retried")
+      assert(calls.get() >= 2)
+    } finally w.stop()
+  }
 }
