@@ -85,22 +85,26 @@ object Main {
       // reference hot reload: rebuild the topology from the changed file
       // and swap the running query (gohangout restarts its
       // input/filter/output chain in place)
-      // getAndSet: reload is reachable from BOTH the watcher thread and
-      // the SIGUSR1 handler — each must stop exactly the query it
-      // displaced, or two racing reloads can leak a running replacement
+      // Reload is reachable from BOTH the watcher thread and the SIGUSR1
+      // handler, and must be SERIALIZED end to end: a CAS guards only the
+      // reference swap, not the runStreaming start — two racing reloads
+      // would each start a replacement (evaluated before the CAS) and the
+      // loser's query would leak running, with a checkpoint dir that must
+      // host exactly ONE active query then hosting two.
+      val reloadLock = new Object
       val reload: () => Unit = { () =>
-        val next = Planner.fromFile(configPath)
-        if (ckpt.isDefined) {
-          // one checkpoint dir hosts ONE active query: stop-then-start
-          // (the checkpoint preserves offsets across the gap — that is
-          // its job); CAS so two racing reloads start one replacement
-          val old = query.get()
-          old.stop()
-          query.compareAndSet(old,
-            Planner.runStreaming(spark, next, ckpt)): Unit
-        } else {
-          val old = query.getAndSet(Planner.runStreaming(spark, next, ckpt))
-          old.stop()
+        reloadLock.synchronized {
+          val next = Planner.fromFile(configPath)
+          if (ckpt.isDefined) {
+            // one checkpoint dir hosts ONE active query: stop-then-start
+            // (the checkpoint preserves offsets across the gap — that is
+            // its job)
+            query.get().stop()
+            query.set(Planner.runStreaming(spark, next, ckpt))
+          } else {
+            val old = query.getAndSet(Planner.runStreaming(spark, next, ckpt))
+            old.stop()
+          }
         }
       }
       val watcher =

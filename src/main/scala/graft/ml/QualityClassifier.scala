@@ -150,7 +150,12 @@ object QualityClassifier {
       labelCol: String, idCol: String, storePath: String,
       logBuckets: Int = 12, bigrams: Boolean = true): Long = {
     val spark = labeled.sparkSession
-    checkOrWriteStoreMeta(spark, storePath, logBuckets, bigrams)
+    // config-compat CHECK against an existing store happens up front (a
+    // mixed-config append must fail before any work), but a NEW store's
+    // meta is written only after the increment validates below — a first
+    // append that fails validation must leave NO store behind, not a
+    // meta-only husk that later reads die on
+    checkStoreMeta(spark, storePath, logBuckets, bigrams)
     val fresh0 = labeled.select(col(s"`$idCol`").cast("long").as("id"),
         col(s"`$labelCol`").cast("double").as("y"),
         QualityClfFns.clfFeatureCounts(col(s"`$textCol`"), logBuckets, bigrams)
@@ -179,7 +184,10 @@ object QualityClassifier {
         "bit-parity with full-batch training requires one row per id; " +
         "dedup the increment first")
     val n = fresh.count()
-    if (n > 0) fresh.write.mode("append").parquet(s"$storePath/rows")
+    if (n > 0) {
+      writeStoreMetaIfAbsent(spark, storePath, logBuckets, bigrams)
+      fresh.write.mode("append").parquet(s"$storePath/rows")
+    }
     n
   }
 
@@ -196,13 +204,18 @@ object QualityClassifier {
     // localCheckpoint, as train() does: epochs re-scan materialized
     // rows — not the store files, which a concurrent append could grow
     // MID-TRAIN (epochs would then disagree about the row multiset)
-    val base = spark.read.parquet(s"$storePath/rows")
+    val base = graft.core.Stores
+      .readParquetIfExists(spark, s"$storePath/rows")
+      .getOrElse(sys.error(
+        s"QualityClassifier.trainFromFeatureStore: store at $storePath " +
+          "has no rows yet — append a labeled increment first " +
+          "(appendToFeatureStore)"))
       .select(col("y"), col("f"))
       .localCheckpoint()
     trainOnFeatures(base, logBuckets, bigrams, epochs, lr, l2)
   }
 
-  private def checkOrWriteStoreMeta(spark: SparkSession, storePath: String,
+  private def checkStoreMeta(spark: SparkSession, storePath: String,
       logBuckets: Int, bigrams: Boolean): Unit = {
     val fs = fs0(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -214,12 +227,28 @@ object QualityClassifier {
           s"holds logBuckets=$lb bigrams=$bg features; this append asked " +
           s"for logBuckets=$logBuckets bigrams=$bigrams — configs cannot " +
           "mix, use a new store path")
-    } else {
+    }
+  }
+
+  private def writeStoreMetaIfAbsent(spark: SparkSession, storePath: String,
+      logBuckets: Int, bigrams: Boolean): Unit = {
+    val fs = fs0(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(storePath, "_clf_store_meta")
+    if (!fs.exists(metaPath)) {
       fs.mkdirs(fs0(storePath))
-      val out = fs.create(metaPath, true)
+      // tmp+rename (the store-sidecar idiom): a crash mid-write must
+      // leave either no meta or a complete one, never a truncated file
+      // later reads die parsing
+      val tmp = new org.apache.hadoop.fs.Path(storePath,
+        "_clf_store_meta.tmp-" + java.util.UUID.randomUUID().toString)
+      val out = fs.create(tmp, true)
       try out.write(
         s"""{"log_buckets":$logBuckets,"bigrams":$bigrams}""".getBytes("UTF-8"))
       finally out.close()
+      require(fs.rename(tmp, metaPath),
+        s"QualityClassifier.appendToFeatureStore: could not commit " +
+          s"$metaPath")
     }
   }
 
@@ -227,7 +256,11 @@ object QualityClassifier {
       storePath: String): (Int, Boolean) = {
     val fs = fs0(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(storePath, "_clf_store_meta"))
+    val metaPath = new org.apache.hadoop.fs.Path(storePath, "_clf_store_meta")
+    require(fs.exists(metaPath),
+      s"QualityClassifier: no feature store at $storePath (missing " +
+        "_clf_store_meta) — create one with appendToFeatureStore")
+    val in = fs.open(metaPath)
     val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     (jsonField(meta, "log_buckets", "_clf_store_meta").trim.toInt,

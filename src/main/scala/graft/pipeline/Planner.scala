@@ -1516,7 +1516,11 @@ object Planner {
     * `max_offsets_per_trigger` is the micro-batch analogue of the
     * reference's bounded in-flight channel (messages_queue_length). */
   def kafkaOptions(conf: Map[String, Any]): Map[String, String] = {
-    val settings = conf.strMap("consumer_settings")
+    val raw = conf.anyMap("consumer_settings")
+    val settings = raw.collect { case (k, v)
+      if !v.isInstanceOf[Map[_, _]] && !v.isInstanceOf[Seq[_]] =>
+        k -> String.valueOf(v)
+    }
     val base = Map("kafka.bootstrap.servers" -> settings.getOrElse(
       "bootstrap.servers",
       sys.error("Kafka input needs consumer_settings.bootstrap.servers")))
@@ -1537,19 +1541,135 @@ object Planner {
       case Some(other) => sys.error(s"Kafka assign must be a map or JSON string: $other")
       case None => Map("subscribe" -> conf.anyMap("topic").keys.mkString(","))
     }
-    // every OTHER consumer setting forwards kafka.-prefixed (Spark's
-    // passthrough convention) — dropping them silently connected
-    // PLAINTEXT against SASL clusters with opaque broker disconnects.
-    // from.beginning is reference-semantic (mapped below), not a Kafka
-    // consumer property.
-    val passthrough = (settings - "bootstrap.servers" - "group.id" -
-      "from.beginning").map { case (k, v) => s"kafka.$k" -> v }
-    base ++ sub ++ passthrough ++
+    // Reference-semantic and Spark-reserved keys CANNOT forward
+    // kafka.-prefixed: Spark's Kafka source throws at plan time on its
+    // reserved consumer options, and healer-internal keys mean nothing
+    // to the Kafka client. Each is either TRANSLATED to its Spark
+    // equivalent or dropped with a stderr warning — a migrated reference
+    // config must keep running, never fail on (or silently carry) an
+    // option Spark owns.
+    //  - from.beginning / auto.offset.reset → startingOffsets
+    //  - enable.auto.commit, auto.commit.interval.ms, offsets.storage:
+    //    Spark tracks offsets in the CHECKPOINT, not the group — commit
+    //    tuning is meaningless (gohangout commits to the group; see the
+    //    checkpoint_location note in runStreaming)
+    //  - key/value.deserializer, interceptor.classes: Spark pins its own
+    //    ByteArrayDeserializer and rejects overrides at plan time
+    //  - messages_queue_length: healer's internal channel length; the
+    //    micro-batch analogue is max_offsets_per_trigger (top-level)
+    val dropped = Set("enable.auto.commit", "auto.commit.interval.ms",
+      "offsets.storage", "key.deserializer", "value.deserializer",
+      "interceptor.classes", "messages_queue_length")
+    settings.keySet.intersect(dropped).foreach { k =>
+      System.err.println(s"[graft] Kafka consumer_settings.$k has no " +
+        "Spark equivalent (offsets/deserialization are checkpoint- and " +
+        "engine-managed) — dropped")
+    }
+    val translated = Set("bootstrap.servers", "group.id", "from.beginning",
+      "auto.offset.reset", "tls.enabled") ++ dropped
+    val passthrough = (settings -- translated)
+      .map { case (k, v) => s"kafka.$k" -> v }
+    // nested sasl:/tls: blocks (reference README kafka example) become
+    // the Kafka client security properties they stand for; any OTHER
+    // nested value is a config error — stringifying a Map into a kafka.*
+    // option would ship garbage to the broker handshake
+    raw.collect {
+      case (k, v: Map[_, _]) if k != "sasl" && k != "tls" =>
+        sys.error(s"Kafka consumer_settings.$k is a nested block with no " +
+          "translation — inline it as flat Kafka client properties")
+      case (k, _: Seq[_]) =>
+        sys.error(s"Kafka consumer_settings.$k is a list — Kafka client " +
+          "options are scalars")
+    }: Unit
+    val starting =
+      (settings.get("from.beginning").map(_.toBoolean),
+        settings.get("auto.offset.reset")) match {
+        case (Some(true), _) => Map("startingOffsets" -> "earliest")
+        case (_, Some("earliest")) => Map("startingOffsets" -> "earliest")
+        case (_, Some("latest")) => Map("startingOffsets" -> "latest")
+        case (_, Some(other)) => sys.error(
+          s"Kafka auto.offset.reset '$other' has no Spark startingOffsets " +
+            "equivalent (use earliest or latest)")
+        case _ => Map.empty[String, String]
+      }
+    base ++ sub ++ passthrough ++ securityOptions(raw) ++ starting ++
       conf.str("max_offsets_per_trigger").map("maxOffsetsPerTrigger" -> _) ++
-      settings.get("group.id").map("kafka.group.id" -> _) ++
-      (if (settings.get("from.beginning").contains("true"))
-         Map("startingOffsets" -> "earliest")
-       else Map.empty)
+      settings.get("group.id").map("kafka.group.id" -> _)
+  }
+
+  /** Translate the reference's nested `sasl:` / `tls:` consumer blocks
+    * (reference README kafka input example; healer config.go shapes)
+    * into Kafka client security properties. PEM material is INLINED
+    * (Kafka's ssl.*.type=PEM string form) so executors need no local
+    * cert files — on a 1000-executor cluster a file path would have to
+    * be pre-distributed to every node. */
+  private[pipeline] def securityOptions(raw: Map[String, Any]): Map[String, String] = {
+    def block(name: String): Map[String, String] = raw.get(name) match {
+      case Some(m: Map[_, _]) =>
+        m.map { case (k, v) => k.toString -> String.valueOf(v) }
+      case _ => Map.empty
+    }
+    val sasl = block("sasl")
+    val tls = block("tls")
+    val tlsOn = tls.nonEmpty ||
+      raw.get("tls.enabled").exists(_.toString == "true")
+    def pem(key: String): Option[String] = tls.get(key).map { path =>
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      catch { case e: Exception => sys.error(
+        s"Kafka consumer_settings.tls.$key: cannot read PEM at $path: $e") }
+    }
+    val saslProps: Map[String, String] = if (sasl.isEmpty) Map.empty else {
+      val mech = sasl.getOrElse("mechanism", "PLAIN").toUpperCase
+      val module = mech match {
+        case "PLAIN" => "org.apache.kafka.common.security.plain.PlainLoginModule"
+        case "SCRAM-SHA-256" | "SCRAM-SHA-512" =>
+          "org.apache.kafka.common.security.scram.ScramLoginModule"
+        case other => sys.error(s"Kafka sasl.mechanism '$other' is not " +
+          "translatable (PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512)")
+      }
+      val user = sasl.getOrElse("user",
+        sys.error("Kafka consumer_settings.sasl needs `user`"))
+      val password = sasl.getOrElse("password",
+        sys.error("Kafka consumer_settings.sasl needs `password`"))
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      Map(
+        "kafka.sasl.mechanism" -> mech,
+        "kafka.sasl.jaas.config" ->
+          s"""$module required username="${esc(user)}" password="${esc(password)}";""",
+        "kafka.security.protocol" ->
+          (if (tlsOn) "SASL_SSL" else "SASL_PLAINTEXT"))
+    }
+    val tlsProps: Map[String, String] = if (!tlsOn) Map.empty else {
+      val proto =
+        if (sasl.nonEmpty) Map.empty[String, String] // SASL_SSL set above
+        else Map("kafka.security.protocol" -> "SSL")
+      val trust = pem("ca").map(c => Map(
+        "kafka.ssl.truststore.type" -> "PEM",
+        "kafka.ssl.truststore.certificates" -> c)).getOrElse(Map.empty)
+      val keyStore = (pem("cert"), pem("key")) match {
+        case (Some(c), Some(k)) => Map(
+          "kafka.ssl.keystore.type" -> "PEM",
+          "kafka.ssl.keystore.certificate.chain" -> c,
+          "kafka.ssl.keystore.key" -> k)
+        case (None, None) => Map.empty[String, String]
+        case _ => sys.error("Kafka consumer_settings.tls needs BOTH " +
+          "`cert` and `key` (or neither, for server-auth-only TLS)")
+      }
+      // healer's insecure.skip.verify disables hostname verification;
+      // Kafka's equivalent is an empty endpoint identification algorithm
+      val skip =
+        if (tls.get("insecure.skip.verify").contains("true"))
+          Map("kafka.ssl.endpoint.identification.algorithm" -> "")
+        else Map.empty[String, String]
+      tls.get("servername").foreach { _ =>
+        System.err.println("[graft] Kafka tls.servername (SNI override) " +
+          "has no Kafka-client equivalent — dropped; the broker cert " +
+          "must match the bootstrap address")
+      }
+      proto ++ trust ++ keyStore ++ skip
+    }
+    saslProps ++ tlsProps
   }
 
   /** Kafka record frame → event frame, with optional `@metadata`

@@ -44,7 +44,12 @@ object TcpSource {
   // concurrent release could drop the count to 0 and close the socket in
   // the gap, handing out a dead listener. Every listener() call must be
   // paired with a release(port).
-  def listener(port: Int, maxBuffer: Int = 65536): Listener = listeners.synchronized {
+  // private[sources]: this path does NOT register in the per-consumer
+  // committed map, so a registered consumer's commitAs could trim lines
+  // an unregistered acquirer has not read yet — all shared-port stream
+  // acquisition must go through listenerForConsumer; this remains only
+  // as a bind-before-connect test seam.
+  private[sources] def listener(port: Int, maxBuffer: Int = 65536): Listener = listeners.synchronized {
     listeners.computeIfAbsent(port, p => new Listener(p, maxBuffer).start()).acquire()
   }
 

@@ -203,11 +203,26 @@ class QualityClassifierSpec extends SparkSpec {
         store, logBuckets = 8)
     }
     assert(e2.getMessage.contains("duplicate"))
-    // nothing persisted by either failed append: a clean batch trains
-    // from an uncontaminated store
+    // nothing persisted by either failed append — not even the meta
+    // sidecar: a first append that fails validation must leave NO store
+    // behind (a meta-only husk made trainFromFeatureStore die on a raw
+    // PATH_NOT_FOUND for <store>/rows instead of a named error)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store, "_clf_store_meta")),
+      "failed first append must not write the meta sidecar")
+    // training from a store that never got rows is a NAMED error
+    val e3 = intercept[RuntimeException] {
+      QualityClassifier.trainFromFeatureStore(spark, store)
+    }
+    assert(e3.getMessage.contains("appendToFeatureStore"))
+    // a clean batch trains from an uncontaminated store
     assert(QualityClassifier.appendToFeatureStore(labeled(0 until 20),
       "text", "label", "id", store, logBuckets = 8) == 20)
     assert(spark.read.parquet(s"$store/rows").count() == 20)
+    // no stranded meta tmp files from the tmp+rename commit
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).count(_.startsWith("_clf_store_meta")) == 1)
   }
 
   test("YAML dispatch: labeled reference trains, model_path loads, keep_above filters") {

@@ -192,6 +192,93 @@ class PipelineSpec extends SparkSpec {
     assert(secured("startingOffsets") == "earliest")
   }
 
+  test("Kafka input options: reserved keys translate, nested sasl/tls " +
+      "become client security properties") {
+    // Spark-reserved consumer options must not forward kafka.-prefixed
+    // (Spark throws at plan time on them): auto.offset.reset maps to
+    // startingOffsets, offset/deserializer management keys drop
+    val reserved = Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1),
+      "consumer_settings" -> Map(
+        "bootstrap.servers" -> "k1:9092",
+        "auto.offset.reset" -> "latest",
+        "enable.auto.commit" -> "false",
+        "auto.commit.interval.ms" -> "5000",
+        "messages_queue_length" -> 10,
+        "key.deserializer" -> "X", "value.deserializer" -> "Y",
+        "retry.backoff.ms" -> 1000)))
+    assert(reserved("startingOffsets") == "latest")
+    Seq("kafka.auto.offset.reset", "kafka.enable.auto.commit",
+      "kafka.auto.commit.interval.ms", "kafka.messages_queue_length",
+      "kafka.key.deserializer", "kafka.value.deserializer").foreach { k =>
+      assert(!reserved.contains(k), s"$k must not pass through")
+    }
+    // a real Kafka client property still passes through
+    assert(reserved("kafka.retry.backoff.ms") == "1000")
+    val badReset = intercept[RuntimeException](Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1),
+      "consumer_settings" -> Map("bootstrap.servers" -> "k",
+        "auto.offset.reset" -> "none"))))
+    assert(badReset.getMessage.contains("startingOffsets"))
+
+    // the reference README's nested sasl block (mechanism/user/password)
+    // → mechanism + jaas.config + security.protocol
+    val sasl = Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1),
+      "consumer_settings" -> Map(
+        "bootstrap.servers" -> "k1:9094",
+        "sasl" -> Map("mechanism" -> "PLAIN", "user" -> "admin",
+          "password" -> """adm"in"""))))
+    assert(sasl("kafka.sasl.mechanism") == "PLAIN")
+    assert(sasl("kafka.security.protocol") == "SASL_PLAINTEXT")
+    assert(sasl("kafka.sasl.jaas.config") ==
+      """org.apache.kafka.common.security.plain.PlainLoginModule required username="admin" password="adm\"in";""")
+
+    // nested tls block: PEM material is INLINED (executors need no local
+    // files); insecure.skip.verify disables hostname verification
+    val dir = java.nio.file.Files.createTempDirectory("graft-kafka-tls")
+    val ca = dir.resolve("ca.pem"); val cert = dir.resolve("cert.pem")
+    val key = dir.resolve("key.pem")
+    java.nio.file.Files.write(ca, "CA-PEM".getBytes("UTF-8"))
+    java.nio.file.Files.write(cert, "CERT-PEM".getBytes("UTF-8"))
+    java.nio.file.Files.write(key, "KEY-PEM".getBytes("UTF-8"))
+    val tls = Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1),
+      "consumer_settings" -> Map(
+        "bootstrap.servers" -> "k1:9095",
+        "tls" -> Map("ca" -> ca.toString, "cert" -> cert.toString,
+          "key" -> key.toString, "insecure.skip.verify" -> "true"))))
+    assert(tls("kafka.security.protocol") == "SSL")
+    assert(tls("kafka.ssl.truststore.type") == "PEM")
+    assert(tls("kafka.ssl.truststore.certificates") == "CA-PEM")
+    assert(tls("kafka.ssl.keystore.certificate.chain") == "CERT-PEM")
+    assert(tls("kafka.ssl.keystore.key") == "KEY-PEM")
+    assert(tls("kafka.ssl.endpoint.identification.algorithm") == "")
+
+    // sasl + tls compose to SASL_SSL; any OTHER nested block fails loudly
+    // instead of stringifying Map(...) into a broker option
+    val both = Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1),
+      "consumer_settings" -> Map(
+        "bootstrap.servers" -> "k",
+        "sasl" -> Map("mechanism" -> "SCRAM-SHA-512", "user" -> "u",
+          "password" -> "p"),
+        "tls" -> Map("ca" -> ca.toString))))
+    assert(both("kafka.security.protocol") == "SASL_SSL")
+    assert(both("kafka.sasl.jaas.config").contains("ScramLoginModule"))
+    val nested = intercept[RuntimeException](Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1),
+      "consumer_settings" -> Map("bootstrap.servers" -> "k",
+        "net" -> Map("timeout" -> 1)))))
+    assert(nested.getMessage.contains("nested block"))
+    // cert without key: a half keystore must fail, not half-configure
+    val half = intercept[RuntimeException](Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1),
+      "consumer_settings" -> Map("bootstrap.servers" -> "k",
+        "tls" -> Map("cert" -> cert.toString)))))
+    assert(half.getMessage.contains("cert"))
+  }
+
   test("Kafka decode: message/@timestamp projection and @metadata decoration") {
     val raw = Seq(("payload", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
         "logs", 3, 42L))
