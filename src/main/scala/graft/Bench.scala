@@ -47,6 +47,17 @@ object Bench {
     else if (elapsedSecs > budgetSecs * 0.5) Some(math.min(baseRuns, 2))
     else Some(baseRuns)
 
+  /** A family's probe bracket (the probe sample before and after its
+    * ops) is CONTENDED when either side exceeds 2× the run's calm floor
+    * (the min probe across the whole stress phase): the machine was
+    * visibly loaded while the family ran, so its mins may be
+    * noise-poisoned. r13/r14 both published poisoned mins that only
+    * bench_detail.json archaeology could attribute — the bracket (and
+    * this verdict) now ride the parsed line. */
+  private[graft] def contendedBracket(bracket: (Double, Double),
+      calmMin: Double): Boolean =
+    calmMin > 0 && math.max(bracket._1, bracket._2) > 2.0 * calmMin
+
   /** Families in cursor-rotated order: the persisted cursor names the
     * family the previous run's budget cut first, so it leads this run. */
   private[graft] def rotatedFamilies(cursor: String): Seq[(String, Seq[String])] = {
@@ -57,12 +68,14 @@ object Bench {
   /** Render the one driver-parsed JSON line. Pure so a spec can pin the
     * length invariant at any gate count: if the assembled line would
     * exceed [[MaxLineChars]], progressively drop the optional payloads
-    * (headline queries map first, then stress_norm, then stress) — the
+    * (headline queries map first, then stress, then probe_bracket) — the
     * driver's contract needs `value` and `errors` above all. The
     * `phases` object (per-phase wall seconds: warmup/stress/shared/
-    * queries) and `isolated_families`/`stress_cursor` are small and ride
-    * every candidate: budget regressions must be visible from the
-    * artifact alone (r13's rc=124 had NO artifact to diagnose from). */
+    * queries), `isolated_families`/`stress_cursor` and `contended` are
+    * small and ride every candidate: budget regressions and poisoned
+    * stress mins must be visible from the artifact alone (r13's rc=124
+    * had NO artifact to diagnose from; r14's poisoned events/graph mins
+    * needed bench_detail.json archaeology to attribute). */
   private[graft] def renderParsedLine(
       total: Double,
       queryMedians: Seq[(String, Double)],
@@ -70,7 +83,8 @@ object Bench {
       rounds: Int,
       sharedSec: Double,
       stress: Seq[(String, Double)],
-      stressNorm: Seq[(String, Double)],
+      probeBracket: Seq[(String, (Double, Double))],
+      contended: Seq[String],
       sfDir: String,
       phases: Seq[(String, Double)] = Seq.empty,
       isolatedFamilies: Int = 0,
@@ -78,15 +92,20 @@ object Bench {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
+    def brObj(kvs: Seq[(String, (Double, Double))]): String =
+      kvs.map { case (k, (a, b)) =>
+        "\"" + k + "\":[" + jnum(a) + "," + jnum(b) + "]"
+      }.mkString("{", ",", "}")
     val head = queryMedians.filter { case (k, _) => headline.contains(k) }
     val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     def assemble(qs: Seq[(String, Double)], st: Seq[(String, Double)],
-        norm: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":$errJson,"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","stress":${obj(st)},"stress_norm":${obj(norm)},"sf":"$sfDir"}"""
+        br: Seq[(String, (Double, Double))]): String =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":$errJson,"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"$sfDir"}"""
     val candidates = Iterator(
-      assemble(head, stress, stressNorm),
-      assemble(Seq.empty, stress, stressNorm),
-      assemble(Seq.empty, stress, Seq.empty),
+      assemble(head, stress, probeBracket),
+      assemble(Seq.empty, stress, probeBracket),
+      assemble(Seq.empty, Seq.empty, probeBracket),
       assemble(Seq.empty, Seq.empty, Seq.empty))
     candidates.find(_.length <= MaxLineChars)
       .getOrElse(assemble(Seq.empty, Seq.empty, Seq.empty))
@@ -109,11 +128,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT/parquet-footer paths on the smallest SF so the
-    // first timed query doesn't absorb one-time session costs.
+    // first timed query doesn't absorb one-time session costs. HEADLINE
+    // queries only (r14 verdict task 5): warming all ~135 gates cost
+    // 81 s per driver run, and what it bought the OTHER queries —
+    // kernel-specific JIT — the median-of-3 already absorbs (the slow
+    // first sample is dropped by the median); the session-wide one-time
+    // costs (codegen infra, parquet reader classes) warm on any query.
+    // Stress families run in fresh forked JVMs and never saw this warmup
+    // at all.
     val tWarm0 = System.nanoTime()
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (headline.contains(name))
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
     }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // Cross-scale stress datapoints — each FAMILY runs in a FRESH forked
@@ -164,6 +191,14 @@ object Bench {
     var isolatedFamilies = 0
     var nextCursor = cursorName
     val skippedFamilies = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-family probe bracket (probe sample before/after the family's
+    // ops — the best attempt's, when a contended family re-ran) and the
+    // families whose FINAL bracket is still contended: both ride the
+    // parsed line so a poisoned min is attributable from the artifact
+    // alone (r14 verdict task 1)
+    val famBracket =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val contendedFams = scala.collection.mutable.ArrayBuffer.empty[String]
     val tStress0 = System.nanoTime()
     def stressElapsed: Double = (System.nanoTime() - tStress0) / 1e9
     if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") != "0") {
@@ -237,6 +272,57 @@ object Bench {
           }
         } catch { case _: Throwable => None }
 
+      /** Fold one attempt's results into the published maps. Op values
+        * MIN-MERGE across attempts (the min is the contention-robust
+        * statistic — noise only ever adds time, so the best attempt's
+        * min is always valid); -1 (errored) survives only if EVERY
+        * attempt errored. Returns this attempt's probe bracket. */
+      def fold(res: StressOps.Results): (Double, Double) = {
+        res.consts.foreach { case (k, v) =>
+          if (!stress.contains(k)) stress(k) = v
+        }
+        var bracket = (-1.0, -1.0)
+        res.samples.foreach { case (k, xs) =>
+          if (k == "probe") {
+            probeSamples ++= xs
+            bracket = (xs.headOption.getOrElse(-1.0),
+              xs.lastOption.getOrElse(-1.0))
+          } else {
+            stressSamples(k) = stressSamples.getOrElse(k, Vector.empty) ++ xs
+            val v = if (xs.exists(_ < 0)) -1.0 else xs.min
+            stress(k) = stress.get(k) match {
+              case Some(old) if old >= 0 && v >= 0 => math.min(old, v)
+              case Some(old) => math.max(old, v) // one errored → the valid one
+              case None => v
+            }
+          }
+        }
+        bracket
+      }
+
+      /** One attempt at a family: isolated worker first, in-process
+        * fallback only while budget remains. None = could not run. */
+      def attemptFamily(family: String, famRuns: Int): Option[StressOps.Results] = {
+        // watchdog = remaining budget + a settle margin, never more
+        // than 45 min: a hung worker costs at most the budget, and the
+        // family rotates to the next run's front instead of re-running
+        // in-process with no bound
+        val watchdogMins = math.min(45L, math.max(2L,
+          math.ceil((stressBudget - stressElapsed + 120.0) / 60.0).toLong))
+        (if (isolate) runIsolated(family, famRuns, watchdogMins)
+         else None) match {
+          case Some(r) => isolatedFamilies += 1; Some(r)
+          case None if stressElapsed >= stressBudget => None
+          case None =>
+            // in-process fallback: same ops, same keys — a spawn
+            // failure costs isolation, never the datapoints
+            if (isolate) System.err.println(
+              s"[bench] stress family '$family' worker failed; running in-process")
+            Some(StressOps.runFamily(spark, family, sfDir, stressCopies,
+              semCopies, famRuns))
+        }
+      }
+
       // rotated family order: start at the persisted cursor so families
       // the budget cut LAST run are certified FIRST this run
       val rotated = rotatedFamilies(cursorName)
@@ -247,43 +333,47 @@ object Bench {
         decision match {
           case None => skippedFamilies += family
           case Some(famRuns) =>
-          // watchdog = remaining budget + a settle margin, never more
-          // than 45 min: a hung worker costs at most the budget, and the
-          // family rotates to the next run's front instead of re-running
-          // in-process with no bound
-          val watchdogMins = math.min(45L, math.max(2L,
-            math.ceil((stressBudget - stressElapsed + 120.0) / 60.0).toLong))
-          val resOpt =
-            (if (isolate) runIsolated(family, famRuns, watchdogMins)
-             else None) match {
-              case Some(r) => isolatedFamilies += 1; Some(r)
-              case None if stressElapsed >= stressBudget =>
+            attemptFamily(family, famRuns) match {
+              case Some(res) => famBracket(family) = fold(res)
+              case None =>
                 // worker failed AND the budget is spent (e.g. a hang ate
                 // it): don't run unbounded in-process — rotate instead
                 System.err.println(s"[bench] stress family '$family' " +
                   "worker failed past budget; rotating to next run")
                 skippedFamilies += family
-                None
-              case None =>
-                // in-process fallback: same ops, same keys — a spawn
-                // failure costs isolation, never the datapoints
-                if (isolate) System.err.println(
-                  s"[bench] stress family '$family' worker failed; running in-process")
-                Some(StressOps.runFamily(spark, family, sfDir, stressCopies,
-                  semCopies, famRuns))
             }
-          resOpt.foreach { res =>
-            res.consts.foreach { case (k, v) =>
-              if (!stress.contains(k)) stress(k) = v
-            }
-            res.samples.foreach { case (k, xs) =>
-              if (k == "probe") probeSamples ++= xs
-              else {
-                stressSamples(k) = xs
-                stress(k) = if (xs.exists(_ < 0)) -1.0 else xs.min
-              }
+        }
+      }
+      // CONTENTION RETRY (r14 verdict task 1): two consecutive rounds the
+      // driver artifact published noise-poisoned stress mins the probe
+      // bracket detected but only bench_detail.json recorded. A family
+      // whose bracket is contended (either probe side > 2× the run's
+      // calm floor) re-runs ONCE while budget remains; its ops keep the
+      // min across attempts and its published bracket is the cleaner
+      // attempt's. A family still dirty after the retry (or with no
+      // budget left) is flagged in `contended` on the parsed line —
+      // never published as if certified.
+      if (probeSamples.nonEmpty) {
+        val dirty = famBracket.collect {
+          case (f, b) if contendedBracket(b, probeSamples.min) => f
+        }.toSeq
+        for (family <- dirty) {
+          val decision =
+            if (skippedFamilies.nonEmpty) None
+            else familyRunsUnderBudget(stressElapsed, stressBudget, stressRuns)
+          decision.foreach { famRuns =>
+            System.err.println(s"[bench] stress family '$family' bracket " +
+              "contended; re-running once within budget")
+            attemptFamily(family, famRuns).foreach { res =>
+              val b2 = fold(res)
+              val b1 = famBracket(family)
+              if (math.max(b2._1, b2._2) < math.max(b1._1, b1._2))
+                famBracket(family) = b2
             }
           }
+        }
+        famBracket.foreach { case (f, b) =>
+          if (contendedBracket(b, probeSamples.min)) contendedFams += f
         }
       }
       // cursor: first family the budget cut (next run leads with it), or
@@ -398,7 +488,12 @@ object Bench {
       // time went).
       val skippedJson = skippedFamilies.map("\"" + _ + "\"")
         .mkString("[", ",", "]")
-      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"stress_norm":$norm,"isolated_families":$isolatedFamilies,"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_cursor":"$nextCursor","phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"$sfDir"}"""
+      val bracketJson = famBracket.map { case (f, (a, b)) =>
+        "\"" + f + "\":[" + a + "," + b + "]"
+      }.mkString("{", ",", "}")
+      val contendedJson = contendedFams.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"isolated_families":$isolatedFamilies,"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_cursor":"$nextCursor","phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -406,7 +501,7 @@ object Bench {
 
     val total = med.collect { case (_, v) if v >= 0 => v }.sum + sharedSec
     println(renderParsedLine(total, med, errored, rounds, sharedSec,
-      stress.toSeq, Seq.empty, sfDir,
+      stress.toSeq, famBracket.toSeq, contendedFams.toSeq, sfDir,
       phases = Seq("warmup" -> warmupSec, "stress" -> stressSec,
         "shared" -> sharedSec, "queries" -> queriesSec),
       isolatedFamilies = isolatedFamilies, stressCursor = nextCursor))

@@ -52,6 +52,18 @@ object StressOps {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The probe sample that enters a family's BRACKET must measure the
+    * machine, not the JVM: in a fresh forked worker the first probe run
+    * pays the probe's own JIT/codegen (it read 4-10× the calm floor on a
+    * verifiably idle machine — structurally indistinguishable from real
+    * contention), so one unrecorded run warms it before the recorded
+    * sample. In an already-warm JVM the extra run costs ~1 s and changes
+    * nothing. */
+  def probeWarmed(spark: SparkSession): Double = {
+    probeOnce(spark): Unit
+    probeOnce(spark)
+  }
+
   /** Mutable result sink for one family run. */
   final class Results {
     val consts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -84,7 +96,7 @@ object StressOps {
         regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text")))
         .reduce(_ union _)
 
-    val probePre = probeOnce(spark)
+    val probePre = probeWarmed(spark)
     family match {
       case "dedup" =>
         val d1 = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -20,15 +20,21 @@ class BenchLineSpec extends AnyFunSuite {
   private def fakeStress(n: Int): Seq[(String, Double)] =
     (0 until n).map(i => s"stress_pt_$i" -> (i * 1.37 + 0.5))
 
+  // one bracket per family — real family names, the worst realistic case
+  // being all 9 on one line
+  private def fakeBrackets(n: Int): Seq[(String, (Double, Double))] =
+    StressOps.families.map(_._1).take(n)
+      .zipWithIndex.map { case (f, i) => f -> (0.9 + i * 0.01, 1.1 + i * 0.5) }
+
   test("parsed line stays under the driver capture window at 150 queries") {
-    // r13 shape: stress_norm left the parsed line (it lives in
-    // bench_detail.json now); today's stress block is 32 keys — pin with
-    // headroom at 40
+    // today's stress block is 32 keys — pin with headroom at 40; all 9
+    // family brackets ride alongside
     val line = Bench.renderParsedLine(
       total = 123.456,
       queryMedians = Bench.headline.map(_ -> 1.234) ++ fakeQueries(150),
       errored = Seq.empty, rounds = 3, sharedSec = 3.2,
-      stress = fakeStress(40), stressNorm = Seq.empty,
+      stress = fakeStress(40), probeBracket = fakeBrackets(9),
+      contended = Seq("events", "graph"),
       sfDir = "/root/testdata/sf0.1")
     assert(line.length <= Bench.MaxLineChars, s"line was ${line.length} chars")
     val node = mapper.readTree(line)
@@ -38,6 +44,11 @@ class BenchLineSpec extends AnyFunSuite {
     Bench.headline.foreach { q =>
       assert(node.get("queries").has(q), s"headline $q missing")
     }
+    // the r14 verdict's gap: the bracket and the contended verdict must
+    // be readable from the parsed line alone, no bench_detail archaeology
+    assert(node.get("probe_bracket").get("dedup").get(0).asDouble() > 0.8)
+    assert(node.get("probe_bracket").get("dedup").isArray)
+    assert(node.get("contended").get(0).asText() === "events")
   }
 
   test("line never exceeds the bound even with absurd payloads") {
@@ -46,15 +57,29 @@ class BenchLineSpec extends AnyFunSuite {
       queryMedians = fakeQueries(500),
       errored = (0 until 20).map(i => s"q_errored_operator_$i"),
       rounds = 3, sharedSec = 0.1,
-      stress = fakeStress(200), stressNorm = fakeStress(200),
+      stress = fakeStress(200), probeBracket = fakeBrackets(9),
+      contended = StressOps.families.map(_._1),
       sfDir = "/root/testdata/sf0.1")
-    // optional payloads (queries, stress_norm, stress) are shed in order;
-    // value + errors always remain parseable
+    // optional payloads (queries, stress, probe_bracket) are shed in
+    // order; value + errors + contended always remain parseable
     val node = mapper.readTree(line)
     assert(node.get("value").asDouble() >= 0.999 && node.get("value").asDouble() <= 1.001)
     assert(node.get("errors").size() === 20)
+    assert(node.get("contended").size() === StressOps.families.size)
     assert(line.length <= Bench.MaxLineChars ||
       node.get("stress").size() === 0)
+  }
+
+  test("contended bracket: either dirty probe side flags; retry keeps " +
+      "the cleaner attempt") {
+    // the r14 driver run's actual bracket values: pre-probe 9.27 with a
+    // calm floor of 0.992 — exactly the shape that must flag
+    assert(Bench.contendedBracket((9.268, 1.08), calmMin = 0.992))
+    assert(Bench.contendedBracket((1.0, 5.078), calmMin = 0.992))
+    assert(!Bench.contendedBracket((0.992, 1.08), calmMin = 0.992))
+    assert(!Bench.contendedBracket((1.9, 1.2), calmMin = 0.992))
+    // no probe floor (stress disabled / all errored) → never flags
+    assert(!Bench.contendedBracket((9.0, 9.0), calmMin = -1.0))
   }
 
   test("headline set is frozen: additions append-only, removals forbidden") {
@@ -107,7 +132,8 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderParsedLine(
       total = 50.0,
       queryMedians = fakeQueries(500), errored = Seq.empty, rounds = 3,
-      sharedSec = 2.0, stress = fakeStress(200), stressNorm = fakeStress(200),
+      sharedSec = 2.0, stress = fakeStress(200),
+      probeBracket = fakeBrackets(9), contended = Seq("vec"),
       sfDir = "/root/testdata/sf0.1",
       phases = Seq("warmup" -> 80.0, "stress" -> 590.0, "shared" -> 2.0,
         "queries" -> 180.0),
@@ -116,6 +142,8 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("phases").get("stress").asDouble() === 590.0)
     assert(node.get("isolated_families").asInt() === 4)
     assert(node.get("stress_cursor").asText() === "dedup")
+    // a poisoned-min verdict must survive every shed candidate too
+    assert(node.get("contended").get(0).asText() === "vec")
     assert(line.length <= Bench.MaxLineChars ||
       node.get("stress").size() === 0)
   }
@@ -145,7 +173,8 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderParsedLine(
       total = 10.0, queryMedians = fakeQueries(5),
       errored = Seq("q_broken"), rounds = 3, sharedSec = 0.5,
-      stress = Seq.empty, stressNorm = Seq.empty, sfDir = "/sf")
+      stress = Seq.empty, probeBracket = Seq.empty, contended = Seq.empty,
+      sfDir = "/sf")
     val node = mapper.readTree(line)
     assert(node.get("errors").get(0).asText() === "q_broken")
   }
