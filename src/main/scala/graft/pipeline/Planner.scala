@@ -1432,7 +1432,7 @@ object Planner {
   def streamingSplit(stages: Seq[(String, Map[String, Any])])
       : (Seq[(String, Map[String, Any])], Seq[(String, Map[String, Any])]) = {
     val idx = stages.indexWhere { case (n, c) =>
-      (CorpusStages.contains(n) && !StreamableCorpusStages.contains(n)) ||
+      (CorpusStages.contains(n) && !streamableCorpusStage(n, c)) ||
         ((n == "LinkMetric" || n == "LinkStatsMetric") &&
           !c.bool("drop_original_event", true)) ||
         // as-of enrichment runs per-micro-batch (window over left ∪
@@ -1464,6 +1464,26 @@ object Planner {
   private val StreamableCorpusStages = Set("Mix", "AssignSplits", "TextProfile",
     "StripHtml", "Normalize", "QualityRules", "LineFilter", "Outlinks",
     "CompressionRatio")
+
+  /** Config-dependent streamability on top of the static whitelist (r14
+    * verdict task 7 — streaming curation parity): the composed curation
+    * prefix (rules → classifier logit → DSIR hash-threshold keep) is a
+    * narrow map end to end, so curation-on-ingest must score ON the
+    * stream, not buffer into the foreachBatch tail.
+    *  - QualityClassifier: the model resolves at PLAN time on batch
+    *    frames (model_path load / feature-store train / reference
+    *    train), then scoring is the zero-exchange embedded-weights map —
+    *    stream-native in any config.
+    *  - Dsir: streamable ONLY when both count frames come from saved
+    *    paths (counting aggregates) and the method is the hash-threshold
+    *    acceptance (topk is a global sort). Other configs stay in the
+    *    tail, where the stage's own loud streaming guards apply. */
+  private def streamableCorpusStage(n: String, c: Map[String, Any]): Boolean =
+    StreamableCorpusStages.contains(n) ||
+      n == "QualityClassifier" ||
+      (n == "Dsir" && c.str("target_counts_path").nonEmpty &&
+        c.str("raw_counts_path").nonEmpty &&
+        c.str("method").contains("threshold"))
 
   // ---- inputs -------------------------------------------------------------
 

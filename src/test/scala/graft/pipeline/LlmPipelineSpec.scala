@@ -1099,6 +1099,26 @@ class LlmPipelineSpec extends SparkSpec {
       "re-run appended duplicate feature rows")
     val kept2 = spark.read.parquet(out).select("id").as[Long].collect().toSet
     assert(kept2 == kept1, s"re-run changed the kept set: $kept1 vs $kept2")
+
+    // BIT-PARITY with full-batch training (r14 verdict task 6): the
+    // config-driven train→store→score loop must produce logits IDENTICAL
+    // to QualityClassifier.train over the same labeled rows — the
+    // decimal(38,18) gradient lattice makes store-trained weights
+    // bit-equal, so every surviving doc's quality_logit replays exactly
+    val fullBatch = graft.ml.QualityClassifier.train(
+      spark.read.parquet(labeled), "text", "label", logBuckets = 10,
+      bigrams = true, epochs = 20, lr = 1.0)
+    val expect = graft.ml.QualityClassifier.score(
+        spark.read.parquet(in), "text", fullBatch)
+      .select(col("id").as("eid"), col("quality_logit").as("expect_logit"))
+    val got = spark.read.parquet(out).select(col("id"), col("quality_logit"))
+    val joined = got.join(expect, col("id") === col("eid"))
+    assert(joined.count() == got.count(), "pipeline kept an id the " +
+      "full-batch scorer cannot see")
+    val diverged = joined
+      .filter(col("quality_logit") =!= col("expect_logit")).count()
+    assert(diverged == 0L,
+      s"$diverged store-trained logits diverge from full-batch training")
   }
 
   test("RangeSortedExport tees a sorted, range-partitioned export") {
