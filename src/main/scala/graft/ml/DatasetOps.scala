@@ -33,10 +33,32 @@ object DatasetOps {
     * u = ((id mod 2^20) * 2654435761 + seed') mod 2^32, scaled to [0,1).
     * Ids denser than 2^20 within one group recycle fractions — use
     * [[hash01]] outside oracle-compared paths. */
-  def portable01(id: Column, seed: Int = 0): Column =
-    pmod(pmod(id.cast("long"), lit(1048576L)) * lit(2654435761L)
-      + lit(seed.toLong * 97L + 12345L), lit(4294967296L))
-      .cast("double") / 4294967296.0
+  def portable01(id: Column, seed: Int = 0): Column = {
+    // A seeded draw needs a NONLINEAR second round: the pre-r15 form was
+    // one affine pass ((id%2^20)·K + seed·97 + 12345) mod 2^32, and any
+    // affine-in-id map shifts every id's uniform by the same constant
+    // when the seed changes — "re-draw with a new seed" changed almost
+    // no keep/sample decision (found by the review-block-7 mutation
+    // tests: a thresholdKeep seed drift was INVISIBLE to the q_dsir
+    // gate; verified analytically — the delta was 97/2^32 ≈ 2e-8 per
+    // id). The xor-fold between the two rounds makes the seed delta
+    // id-dependent (carry chains + bit fold), measured ~50% decision
+    // flips and ~independent joint distribution across seeds. seed = 0
+    // keeps the single-round HISTORICAL formula bit-for-bit (oracle
+    // continuity for every unseeded gate). All arithmetic stays exact in
+    // int64 and replays in DuckDB:
+    //   h1 = ((id % 1048576) * 2654435761 + seed*97 + 12345) % 4294967296
+    //   u  = seed = 0 ? h1/2^32
+    //      : (((xor(h1, h1 >> 12) % 1048576) * 2654435761
+    //          + seed*97 + 12345) % 4294967296) / 2^32
+    val off = lit(seed.toLong * 97L + 12345L)
+    val h1 = pmod(pmod(id.cast("long"), lit(1048576L)) * lit(2654435761L)
+      + off, lit(4294967296L))
+    val h = if (seed == 0) h1
+      else pmod(pmod(h1.bitwiseXOR(shiftright(h1, 12)), lit(1048576L))
+        * lit(2654435761L) + off, lit(4294967296L))
+    h.cast("double") / 4294967296.0
+  }
 
   /** Deterministic GLOBAL SHUFFLE for training-data export: order the
     * corpus by a seeded md5 of the key — one range shuffle + per-partition

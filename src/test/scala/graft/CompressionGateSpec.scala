@@ -48,15 +48,29 @@ class CompressionGateSpec extends SparkSpec {
     assert(e.getMessage.contains("scored null"))
   }
 
-  test("mutation: zero / negative / >1.1 ratios fail the band") {
-    for (bad <- Seq(0.0, -0.3, 1.2)) {
+  test("mutation: zero / negative / over-band ratios fail the length-aware band") {
+    // doc 2's text is 42 bytes → bound = 1 + 16/42 ≈ 1.38
+    for (bad <- Seq(0.0, -0.3, 1.5)) {
       val mutated = frame(good).withColumn("compression_ratio",
         when(col("doc_id") === 2L, lit(bad)).otherwise(col("compression_ratio")))
       val e = intercept[IllegalArgumentException] {
         SparkEntry.checkCompressionGate(mutated, expectedRows = 4L)
       }
-      assert(e.getMessage.contains("outside (0, 1.1]"), s"bad=$bad")
+      assert(e.getMessage.contains("outside"), s"bad=$bad")
     }
+  }
+
+  test("tiny inputs may legitimately exceed 1.0 (deflate header dominates)") {
+    // the hostile-fixture regression: a 3-byte doc deflates to ~11 bytes
+    // (ratio ~3.7) and must PASS the length-aware per-row band, while
+    // the corpus mean stays anchored by the normal-length majority
+    val filler = (10L until 20L).map(i =>
+      (i, s"normal length document number $i with plain words",
+        java.lang.Double.valueOf(0.5)))
+    val tiny = frame(good ++ filler :+
+      ((5L, "tok", java.lang.Double.valueOf(11.0 / 3.0))))
+    assert(SparkEntry.checkCompressionGate(tiny, expectedRows = 15L)
+      .count() == 15L)
   }
 
   test("mutation: a kernel that stops compressing (all ratios ~1.0) fails the mean band") {

@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Review block 7 (r14 verdict task 4): mutation tests for the
+  * verification layer itself. Every green gate rests on the premise
+  * that a Spark-side regression would CHANGE the gate's output (the
+  * DuckDB oracle is fixed and independently derived, so any observable
+  * change hash-mismatches). The untested half of that premise is the
+  * FIXTURE: a bug in a path the sf0.01 data never exercises is
+  * invisible no matter how good the oracle is. Each test here seeds ONE
+  * deliberate, plausible Spark-side bug into a re-derivation of an
+  * audited gate and asserts the driver's canonical compare (columns
+  * sorted by name, rows sorted, exact values) distinguishes it from the
+  * shipped gate — proving both that the oracle would catch the
+  * regression and that the fixture exercises the mutated path.
+  *
+  * The audited-gate selection (the 10 most complex oracle derivations,
+  * by oracle SQL size and shared-machinery risk) and the line-by-line
+  * independence audit live in SURVEY.md's review-block-7 section. */
+class OracleMutationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  /** The driver's canonical form: columns sorted by name, rows sorted,
+    * exact (string-rendered) values. Distinct doubles render distinctly
+    * (Java shortest-round-trip), so string inequality == hash mismatch. */
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(c => col(s"`$c`")): _*)
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  private def assertCaught(gate: String)(mutated: => DataFrame): Unit = {
+    val orig = canon(SparkEntry.queries(gate)(spark, dir))
+    val mut = canon(mutated)
+    assert(orig != mut,
+      s"$gate: the seeded bug produced IDENTICAL output — the fixture " +
+        "does not exercise the mutated path, so the oracle could never " +
+        "catch this regression")
+  }
+
+  test("q_dsir: a portable01 seed drift in the keep threshold is caught") {
+    assertCaught("q_dsir") {
+      val docs = Tables.load(spark, dir, "documents")
+      val (tc, rc) = graft.ml.Dsir.ngramCountsWithTarget(
+        docs, "text", col("doc_id") < 50, 12)
+      val m = graft.ml.Dsir.model(tc, rc, 12)
+      val weighed = graft.ml.Dsir.weigh(docs, "text", "doc_id", m)
+      weighed.select(col("doc_id"),
+        col("n_feats").cast("long").as("n_feats"), col("sum_ratio"),
+        graft.ml.Dsir.thresholdKeep(weighed, "doc_id", seed = 6).as("keep"))
+    }
+  }
+
+  test("q_curate_rank: a drifted DSIR acceptance cap changes the kept set") {
+    assertCaught("q_curate_rank") {
+      val docs = Tables.load(spark, dir, "documents")
+      val ruled = graft.ml.TextAnalysis.gopherRules(docs, "text",
+        minStopHits = 1, drop = true)
+      val model = graft.functions.QualityClfModel(
+        graft.ml.QualityClassifier.syntheticWeights(12), 12,
+        bigrams = true, bias = 0.0)
+      val scored = graft.ml.QualityClassifier.score(ruled, "text", model)
+        .filter(col("quality_logit") > 0.0)
+      val (tc, rc) = graft.ml.Dsir.ngramCountsWithTarget(
+        docs, "text", col("doc_id") < 50, 12)
+      val m = graft.ml.Dsir.model(tc, rc, 12)
+      val weighed = graft.ml.Dsir.weigh(scored, "text", "doc_id", m)
+      val kept = weighed.filter(
+        graft.ml.Dsir.thresholdKeep(weighed, "doc_id", cap = 1.9)) // bug
+      val pairs = graft.ml.Dedup.minhashPairs(kept, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.9)
+      graft.ml.Dedup.dropDuplicates(kept, pairs, "doc_id")
+        .select(col("doc_id"), col("quality_logit"),
+          col("n_feats").cast("long").as("n_feats"), col("sum_ratio"))
+    }
+  }
+
+  test("q_ann_recall: an LSH plane-count regression is caught " +
+      "(AUDIT FINDING: nprobe is fixture-invisible)") {
+    // First-pass mutation nprobe 3→1 produced IDENTICAL output: at
+    // sf0.01 every query's exact top-5 lives in its own nearest cell,
+    // so the recall gate cannot see an nprobe regression — recorded in
+    // the SURVEY review-block-7 audit (the IVF candidate-set mechanics
+    // are covered by q_ann_ivf's full ranking instead). The LSH arms'
+    // bucketing IS fixture-sensitive; a plane-count bug must be caught.
+    assertCaught("q_ann_recall") {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 5)
+      val exact = graft.ml.Similarity.bruteForceTopK(
+          emb, qs, "embedding", "vec_id", k = 5)
+        .select($"query_id", $"vec_id")
+      def arm(name: String, approx: DataFrame) =
+        exact.join(approx.select($"query_id", $"vec_id", lit(1).as("hit")),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy($"query_id")
+          .agg(count(lit(1)).as("n_exact"), count($"hit").as("n_hit"))
+          .select(lit(name).as("method"), $"query_id", $"n_exact", $"n_hit")
+      arm("ivf", graft.ml.Similarity.ivfTopK(
+          emb, qs, "embedding", "vec_id", k = 5, numCells = 16, nprobe = 3))
+        .unionByName(arm("lsh", graft.ml.Similarity.annTopK(
+          emb, qs, "embedding", "vec_id", k = 5, numPlanes = 4, dim = 64))) // bug
+        .unionByName(arm("lsh_mp", graft.ml.Similarity.annTopK(
+          emb, qs, "embedding", "vec_id", k = 5, numPlanes = 6, dim = 64,
+          probes = 6)))
+    }
+  }
+
+  test("q_ann_pq: a collapsed rerank candidate pool is caught") {
+    assertCaught("q_ann_pq") {
+      val emb = Tables.load(spark, dir, "embeddings")
+      graft.ml.Similarity.pqTopK(
+        emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5,
+        m = 8, kc = 16, rerank = 5) // bug: rerank pool == k
+    }
+  }
+
+  test("q_pagerank: a dropped iteration is caught by the integer lattice") {
+    assertCaught("q_pagerank") {
+      val docs = Tables.load(spark, dir, "documents")
+      val r = docs.select((col("doc_id") % 13).as("r")).distinct()
+      val edges = r.select(
+          concat(lit("h"), col("r").cast("string")).as("src"),
+          concat(lit("h"), ((col("r") * col("r") + 1) % 13).cast("string")).as("dst"))
+        .union(r.select(
+          concat(lit("h"), col("r").cast("string")).as("src"),
+          concat(lit("h"), ((col("r") * 2 + 5) % 13).cast("string")).as("dst")))
+      graft.ml.LinkGraph.pageRank(edges, "src", "dst", iterations = 4) // bug
+    }
+  }
+
+  test("q_ngram_lm: a count-threshold drift in training is caught") {
+    assertCaught("q_ngram_lm") {
+      val docs = Tables.load(spark, dir, "documents")
+      val model = graft.ml.NgramLm.train(docs.filter($"doc_id" < 10),
+        "text", order = 3, minCount = 3) // bug: prunes grams the oracle keeps
+      graft.ml.NgramLm.score(docs, model, "text", "doc_id",
+          order = 3, alpha = 0.4)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("matched_full"), col("backoff"), col("oov"), col("sum_prob"))
+    }
+  }
+
+  test("q_langid: a halved profile depth is caught by the rank distances") {
+    assertCaught("q_langid") {
+      val docs = Tables.load(spark, dir, "documents")
+      val profiles = graft.ml.LangId.trainProfiles(docs, "text", "lang",
+        topK = 50) // bug
+      graft.ml.LangId.classify(docs, "text", "doc_id", profiles, topK = 50)
+    }
+  }
+
+  test("q_bpe_encode: a silently dropped merge rule is caught") {
+    // SparkEntry.bpeGateMerges minus its LAST rule (e -> r) — the shape
+    // of a truncated merge-table load
+    val mutatedMerges: Seq[(String, String)] = Seq(
+      "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+      "s" -> "c", "sc" -> "a", "sca" -> "n", "a" -> "g", "ag" -> "g",
+      "r" -> "o", "ro" -> "w", "o" -> "r")
+    assertCaught("q_bpe_encode") {
+      val docs = Tables.load(spark, dir, "documents")
+      val enc = graft.ml.Bpe.encode(docs, "text", mutatedMerges)
+      enc.filter(size(col("bpe_tokens")) > 0)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_tokens"),
+          array_join(col("bpe_tokens"), "|").as("bpe"))
+    }
+  }
+
+  test("q_funnel_strict: a shrunken window changes funnel levels") {
+    assertCaught("q_funnel_strict") {
+      graft.operators.Funnel.windowFunnel(
+        Tables.load(spark, dir, "events"), "user_id", "ts",
+        Seq($"event_type" === "view", $"event_type" === "click",
+          $"event_type" === "purchase"),
+        windowSec = 3600L, strictOrder = true) // bug: 1 h, not 24 h
+    }
+  }
+
+  test("q_image_phash: a wrong variant-count column in the group stats is caught") {
+    assertCaught("q_image_phash") {
+      val mm = graft.ml.Multimodal
+      val variants = mm.synthesizeImageVariants(
+        Tables.load(spark, dir, "documents").select(col("doc_id")), "doc_id")
+      val px = mm.decodeImagePixels(variants)
+        .select(col("media_id"),
+          col("px.width").as("width"), col("px.height").as("height"),
+          col("px.px_sum").as("px_sum"),
+          col("px.ahash_hi").as("ahash_hi"), col("px.ahash_lo").as("ahash_lo"),
+          col("px.dhash_hi").as("dhash_hi"), col("px.dhash_lo").as("dhash_lo"))
+        .withColumn("delta", expr("((media_id div 127) % 3) * 6"))
+      val groups = px.groupBy("ahash_hi", "ahash_lo")
+        .agg(count(lit(1)).as("n_group"),
+          countDistinct(col("media_id")).as("n_variants")) // bug: id, not delta
+      px.join(broadcast(groups), Seq("ahash_hi", "ahash_lo"))
+        .select(col("media_id"), col("width"), col("height"), col("px_sum"),
+          col("ahash_hi"), col("ahash_lo"), col("dhash_hi"), col("dhash_lo"),
+          col("n_group"), col("n_variants"))
+    }
+  }
+
+  test("q_text_profile: a quality-formula coefficient drift is caught") {
+    assertCaught("q_text_profile") {
+      // recompute quality with 0.45/0.35/0.2 instead of 0.5/0.3/0.2 —
+      // the shape of a formula edit that forgot the oracle
+      graft.ml.TextAnalysis.profile(
+          Tables.load(spark, dir, "documents"), "text")
+        .withColumn("quality",
+          col("distinct_ratio") * 0.45 +
+            (lit(1.0) - abs(col("mean_word_len") - 5.0) / 10.0) * 0.35 +
+            col("stopword_ratio") * 0.2)
+        .select("doc_id", "n_tokens", "n_regex_tokens", "mean_word_len",
+          "stopword_ratio", "distinct_ratio", "quality", "lang_guess",
+          "fingerprint")
+    }
+  }
+
+  test("q_quality_rules: a stop-hit threshold drift flips keep flags") {
+    assertCaught("q_quality_rules") {
+      graft.ml.TextAnalysis.gopherRules(
+        Tables.load(spark, dir, "documents"), "text", minStopHits = 2) // bug
+        .select("doc_id", "n_words", "stop_hits", "rule_word_count",
+          "rule_mean_word_len", "rule_symbol_ratio", "rule_alpha",
+          "rule_bullet", "rule_ellipsis", "rule_stopwords",
+          "rule_no_brace", "rule_no_lorem", "keep")
+    }
+  }
+}

@@ -32,6 +32,26 @@ class DatasetOpsSpec extends SparkSpec {
     assert(p30.subsetOf(p60)) // nested: raising the rate only adds docs
   }
 
+  test("portable01: distinct seeds actually re-draw; seed 0 is the pinned " +
+      "historical formula") {
+    // pre-r15 the seed entered only ADDITIVELY (seed·97), shifting every
+    // id's uniform by the same 97/2^32 ≈ 2e-8 — a "new seed" changed
+    // almost no keep/sample decision (found by the review-block-7
+    // mutation tests: a thresholdKeep seed drift was invisible to the
+    // q_dsir gate). The seeded multiplier makes the delta id-dependent:
+    // a 50% threshold decision must now flip for roughly half the ids.
+    val flips = corpus.select(
+      ((DatasetOps.portable01(col("doc_id"), seed = 5) < 0.5) =!=
+        (DatasetOps.portable01(col("doc_id"), seed = 6) < 0.5)).as("f"))
+      .filter(col("f")).count()
+    assert(flips > 20 && flips < 80, s"seeds 5/6 flipped only $flips/100")
+    // seed = 0 replays the historical formula bit-for-bit — the oracle
+    // continuity contract for every unseeded gate
+    val u1 = corpus.filter(col("doc_id") === 1L)
+      .select(DatasetOps.portable01(col("doc_id"))).head.getDouble(0)
+    assert(math.abs(u1 - 2654448106.0 / 4294967296.0) < 1e-15, u1.toString)
+  }
+
   test("assignSplits labels by cumulative thresholds, covering every row") {
     val out = DatasetOps.assignSplits(corpus,
       DatasetOps.portable01(col("doc_id"), seed = 1),
