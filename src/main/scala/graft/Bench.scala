@@ -188,7 +188,9 @@ object Bench {
       if (StressOps.families.exists(_._1 == fromFile)) fromFile
       else StressOps.families.head._1
     }
-    var isolatedFamilies = 0
+    // DISTINCT families that ran isolated (a contended retry re-forks the
+    // same family — it must not double-count the audit bit)
+    val isolatedFams = scala.collection.mutable.LinkedHashSet.empty[String]
     var nextCursor = cursorName
     val skippedFamilies = scala.collection.mutable.ArrayBuffer.empty[String]
     // per-family probe bracket (probe sample before/after the family's
@@ -311,7 +313,7 @@ object Bench {
           math.ceil((stressBudget - stressElapsed + 120.0) / 60.0).toLong))
         (if (isolate) runIsolated(family, famRuns, watchdogMins)
          else None) match {
-          case Some(r) => isolatedFamilies += 1; Some(r)
+          case Some(r) => isolatedFams += family; Some(r)
           case None if stressElapsed >= stressBudget => None
           case None =>
             // in-process fallback: same ops, same keys — a spawn
@@ -493,7 +495,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val contendedJson = contendedFams.map("\"" + _ + "\"")
         .mkString("[", ",", "]")
-      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"isolated_families":$isolatedFamilies,"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_cursor":"$nextCursor","phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"$sfDir"}"""
+      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_cursor":"$nextCursor","phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -504,7 +506,7 @@ object Bench {
       stress.toSeq, famBracket.toSeq, contendedFams.toSeq, sfDir,
       phases = Seq("warmup" -> warmupSec, "stress" -> stressSec,
         "shared" -> sharedSec, "queries" -> queriesSec),
-      isolatedFamilies = isolatedFamilies, stressCursor = nextCursor))
+      isolatedFamilies = isolatedFams.size, stressCursor = nextCursor))
     spark.stop()
   }
 }

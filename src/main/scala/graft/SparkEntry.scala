@@ -824,6 +824,23 @@ object SparkEntry {
     // against the exact brute-force top-5, per query — the metric that
     // decides nprobe/numPlanes at corpus scale. Counts, not ratios, so
     // the compare stays integer-exact.
+    // IVF probe-cost audit (review-block-7 follow-up): recall alone is
+    // blind to nprobe at this SF (every query's top-5 lives in its own
+    // nearest cell — the recorded q_ann_recall fixture finding), but the
+    // SCAN COST nprobe buys is always visible: candidates per query must
+    // grow with the probe set. Both arms in one gate so the driver
+    // certifies the sensitivity directly.
+    "q_ann_probes" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 5)
+      def stats(np: Int) = graft.ml.Similarity.ivfProbeStats(
+          emb, qs, "embedding", "vec_id", numCells = 16, nprobe = np)
+        .select(lit(np).as("nprobe"), col("query_id"),
+          col("n_cells"), col("n_candidates"))
+      stats(1).unionByName(stats(3))
+    },
+
     "q_ann_recall" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
@@ -2273,6 +2290,39 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
 
     "q_ann_ivf" -> annIvfOracle,
+
+    // probe-cost audit: cell assignment and probe ranking replay the
+    // annIvfOracle CTEs; candidates per query = sum of probed cells'
+    // sizes. Both nprobe arms derive from ONE ranked probe list.
+    "q_ann_probes" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, v AS cent FROM c WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT c.vec_id, cents.cell_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_reduce(list_zip(c.v, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |        sqrt(list_reduce(list_zip(c.v, c.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |             list_reduce(list_zip(cents.cent, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b))
+        |        DESC, cents.cell_id) AS rn
+        |    FROM c, cents) WHERE rn = 1),
+        |sizes AS (SELECT cell_id, count(*)::BIGINT AS cell_n FROM asg GROUP BY 1),
+        |pr AS (
+        |  SELECT query_id, cell_id, rn FROM (
+        |    SELECT q.vec_id AS query_id, cents.cell_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_zip(q.v, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b) /
+        |        sqrt(list_reduce(list_zip(q.v, q.v).apply(x -> x[1]*x[2]), (a,b) -> a+b) *
+        |             list_reduce(list_zip(cents.cent, cents.cent).apply(x -> x[1]*x[2]), (a,b) -> a+b))
+        |        DESC, cents.cell_id) AS rn
+        |    FROM c q, cents WHERE q.vec_id < 5) WHERE rn <= 3)
+        |SELECT np.np AS nprobe, pr.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(coalesce(sizes.cell_n, 0)) AS BIGINT) AS n_candidates
+        |FROM (VALUES (1), (3)) np(np)
+        |JOIN pr ON pr.rn <= np.np
+        |LEFT JOIN sizes USING (cell_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // recall@5 by LEFT JOIN of each index arm onto the exact top-5;
     // count(vec_id) skips the misses' NULLs on both engines. The arms

@@ -548,6 +548,35 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "sim")
   }
 
+  /** Probe-cost audit for IVF tuning: per query, how many cells the
+    * probe set covers and how many candidate vectors those cells hold —
+    * the SCAN-COST side of the recall/nprobe dial (recall alone cannot
+    * size nprobe: the review-block-7 audit showed q_ann_recall is blind
+    * to nprobe at small SF because every top-k hides inside one cell,
+    * while the scan cost it buys is always visible). Computed from the
+    * index's per-cell SIZES (a frame bounded by numCells), never a
+    * per-vector join — at 100 TB this audits a billion-vector index
+    * from its cell statistics alone. */
+  def ivfProbeStats(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, numCells: Int = 16, nprobe: Int = 3): DataFrame = {
+    val index = buildIvfIndex(corpus, vecCol, idCol, numCells)
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell_id"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qsd", dot(col("qv"), col("qv")))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("csim",
+        overNorm(dot(col("qv"), col("centroid")), sqrt(col("qsd") * col("centsd"))))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell_id"))
+    val cellSizes = index.assigned.groupBy("cell_id")
+      .agg(count(lit(1)).as("cell_n"))
+    probes.join(broadcast(cellSizes), Seq("cell_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_cells"),
+        sum(coalesce(col("cell_n"), lit(0L))).cast("long").as("n_candidates"))
+  }
+
   /** Symmetric per-vector int8 quantization: q_i = round(127·v_i/‖v‖∞),
     * carried with its scale. 4× less memory and shuffle than float32 —
     * the standard storage form for billion-vector ANN. */

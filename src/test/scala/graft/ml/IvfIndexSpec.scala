@@ -218,6 +218,33 @@ class IvfIndexSpec extends SparkSpec {
     }.getMessage.contains("rebuild mode"))
   }
 
+  test("ivfProbeStats: candidate scan cost grows with nprobe (the dial " +
+      "recall can't see at small SF)") {
+    val corpus = vecs(0 until 200)
+    val qs = corpus.filter(col("vec_id") < 5)
+    def stats(np: Int) = Similarity
+      .ivfProbeStats(corpus, qs, "embedding", "vec_id", numCells = 16,
+        nprobe = np)
+      .select("query_id", "n_cells", "n_candidates")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val one = stats(1); val three = stats(3)
+    assert(one.keySet == three.keySet && one.size == 5)
+    one.foreach { case (q, (cells1, cand1)) =>
+      val (cells3, cand3) = three(q)
+      assert(cells1 == 1L && cells3 == 3L, s"query $q probed $cells1/$cells3")
+      // every cell is non-empty here (200 vecs / 16 seeded cells), so
+      // more probes MUST mean strictly more candidates
+      assert(cand3 > cand1, s"query $q: nprobe 3 scanned $cand3 <= $cand1")
+      assert(cand1 > 0L)
+    }
+    // total candidates across all cells == the corpus (assignment is a
+    // partition): probing ALL cells scans everything exactly once
+    val all = Similarity.ivfProbeStats(corpus, qs, "embedding", "vec_id",
+      numCells = 16, nprobe = 16)
+      .select("n_candidates").as[Long].collect()
+    assert(all.forall(_ == 200L))
+  }
+
   test("post-append recall holds the measured r11 floor (>= 0.65 at nprobe=8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rec").toString
     Similarity.buildIvfIndex(vecs(0 until 120), "embedding", "vec_id",
