@@ -1588,6 +1588,11 @@ object Planner {
     val translated = Set("bootstrap.servers", "group.id", "from.beginning",
       "auto.offset.reset", "tls.enabled") ++ dropped
     val passthrough = (settings -- translated)
+      // flat sasl.*/tls.* keys are security config, translated below —
+      // kafka.sasl.user is NOT a client property and would ride as junk
+      .filter { case (k, _) =>
+        !k.startsWith("sasl.") && !k.startsWith("tls.")
+      }
       .map { case (k, v) => s"kafka.$k" -> v }
     // nested sasl:/tls: blocks (reference README kafka example) become
     // the Kafka client security properties they stand for; any OTHER
@@ -1617,17 +1622,30 @@ object Planner {
       settings.get("group.id").map("kafka.group.id" -> _)
   }
 
-  /** Translate the reference's nested `sasl:` / `tls:` consumer blocks
-    * (reference README kafka input example; healer config.go shapes)
-    * into Kafka client security properties. PEM material is INLINED
-    * (Kafka's ssl.*.type=PEM string form) so executors need no local
-    * cert files — on a 1000-executor cluster a file path would have to
-    * be pre-distributed to every node. */
-  private[pipeline] def securityOptions(raw: Map[String, Any]): Map[String, String] = {
-    def block(name: String): Map[String, String] = raw.get(name) match {
-      case Some(m: Map[_, _]) =>
-        m.map { case (k, v) => k.toString -> String.valueOf(v) }
-      case _ => Map.empty
+  /** Translate the reference's `sasl:` / `tls:` security config —
+    * NESTED blocks (README kafka input example) or FLAT dotted keys
+    * (`sasl.mechanism`/`sasl.user`/`sasl.password`, the README kafka
+    * OUTPUT form; healer config.go accepts both) — into Kafka client
+    * security properties. Shared by the consumer (kafkaOptions) and the
+    * producer sink. PEM material is INLINED (Kafka's ssl.*.type=PEM
+    * string form) so executors need no local cert files — on a
+    * 1000-executor cluster a file path would have to be pre-distributed
+    * to every node. */
+  private[graft] def securityOptions(raw: Map[String, Any]): Map[String, String] = {
+    def block(name: String): Map[String, String] = {
+      val nested = raw.get(name) match {
+        case Some(m: Map[_, _]) =>
+          m.map { case (k, v) => k.toString -> String.valueOf(v) }
+            .toMap[String, String]
+        case _ => Map.empty[String, String]
+      }
+      // flat dotted form: sasl.user → user; nested wins on conflict
+      val flat = raw.collect {
+        case (k, v) if k.startsWith(name + ".") && k != "tls.enabled" &&
+            !v.isInstanceOf[Map[_, _]] && !v.isInstanceOf[Seq[_]] =>
+          k.stripPrefix(name + ".") -> String.valueOf(v)
+      }
+      flat ++ nested
     }
     val sasl = block("sasl")
     val tls = block("tls")
@@ -1639,7 +1657,13 @@ object Planner {
       catch { case e: Exception => sys.error(
         s"Kafka consumer_settings.tls.$key: cannot read PEM at $path: $e") }
     }
-    val saslProps: Map[String, String] = if (sasl.isEmpty) Map.empty else {
+    val saslProps: Map[String, String] = if (sasl.isEmpty) Map.empty
+    else if (!sasl.contains("user") && !sasl.contains("password")) {
+      // no healer-style credentials: these are NATIVE Kafka client
+      // properties (sasl.mechanism, sasl.jaas.config, sasl.kerberos.*) —
+      // pass through verbatim; only user/password need translation
+      sasl.map { case (k, v) => s"kafka.sasl.$k" -> v }
+    } else {
       val mech = sasl.getOrElse("mechanism", "PLAIN").toUpperCase
       val module = mech match {
         case "PLAIN" => "org.apache.kafka.common.security.plain.PlainLoginModule"

@@ -37,17 +37,10 @@ object Sinks {
         val total = summary.agg(coalesce(sum("records"), lit(0L))).head.getLong(0)
         System.err.println(s"[warc] wrote $total records to ${conf.strReq("path")}")
       case "Kafka" =>
-        val producer = conf.strMap("producer_settings")
-        if (!producer.contains("bootstrap.servers"))
-          sys.error("Kafka output needs bootstrap.servers")
-        // EVERY producer setting forwards as a kafka.-prefixed option —
-        // forwarding only bootstrap.servers silently dropped security/
-        // acks/compression config (a SASL cluster then fails to auth)
-        producer.foldLeft(
-          kafkaProjection(conf, df).write.format("kafka")
-            .option("topic", conf.strReq("topic"))) {
-          case (w, (k, v)) => w.option(s"kafka.$k", v)
-        }.save()
+        kafkaProjection(conf, df).write.format("kafka")
+          .option("topic", conf.strReq("topic"))
+          .options(kafkaProducerOptions(conf))
+          .save()
       case "TCP" =>
         // reference: output/tcp_output.go — JSON lines over `concurrent`
         // connections with redial; here one connection per partition.
@@ -85,6 +78,46 @@ object Sinks {
       case other => sys.error(s"unknown output '$other'")
     }
     df
+  }
+
+  /** Producer options from a YAML output conf (reference:
+    * output/kafka_output.go producer_settings). Scalar settings forward
+    * kafka.-prefixed; healer-internal keys (`healer.*`, e.g. magicbyte)
+    * drop with a warning; sasl/tls config — flat dotted keys OR nested
+    * blocks, both reference-documented — translates through the same
+    * [[graft.pipeline.Planner.securityOptions]] as the consumer (a flat
+    * `sasl.user` forwarded verbatim was junk to the client and the
+    * producer never built a jaas.config); any OTHER nested value fails
+    * loudly instead of stringifying Map(...) into the handshake.
+    * Factored from the writer so the translation is spec-testable
+    * without a broker. */
+  def kafkaProducerOptions(conf: Map[String, Any]): Map[String, String] = {
+    val raw = conf.anyMap("producer_settings")
+    raw.collect {
+      case (k, v: Map[_, _]) if k != "sasl" && k != "tls" =>
+        sys.error(s"Kafka producer_settings.$k is a nested block with no " +
+          "translation — inline it as flat Kafka client properties")
+      case (k, _: Seq[_]) =>
+        sys.error(s"Kafka producer_settings.$k is a list — Kafka client " +
+          "options are scalars")
+    }: Unit
+    val scalars = raw.collect { case (k, v)
+      if !v.isInstanceOf[Map[_, _]] && !v.isInstanceOf[Seq[_]] =>
+        k -> String.valueOf(v)
+    }
+    if (!scalars.contains("bootstrap.servers"))
+      sys.error("Kafka output needs bootstrap.servers")
+    val healerKeys = scalars.keySet.filter(_.startsWith("healer."))
+    healerKeys.foreach { k =>
+      System.err.println(s"[graft] Kafka producer_settings.$k is " +
+        "healer-internal — dropped")
+    }
+    val passthrough = (scalars -- healerKeys)
+      .filter { case (k, _) =>
+        k != "tls.enabled" && !k.startsWith("sasl.") && !k.startsWith("tls.")
+      }
+      .map { case (k, v) => s"kafka.$k" -> v }
+    passthrough ++ graft.pipeline.Planner.securityOptions(raw)
   }
 
   /** Kafka record projection: JSON value plus the optional render-derived

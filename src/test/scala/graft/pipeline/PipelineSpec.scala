@@ -255,6 +255,19 @@ class PipelineSpec extends SparkSpec {
     assert(tls("kafka.ssl.keystore.key") == "KEY-PEM")
     assert(tls("kafka.ssl.endpoint.identification.algorithm") == "")
 
+    // FLAT dotted sasl keys (the reference README's kafka-output form,
+    // healer accepts both) translate like the nested block — forwarded
+    // verbatim, kafka.sasl.user was junk and auth never happened
+    val flatSasl = Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1),
+      "consumer_settings" -> Map(
+        "bootstrap.servers" -> "k1:9094",
+        "sasl.mechanism" -> "PLAIN",
+        "sasl.user" -> "admin", "sasl.password" -> "s3c")))
+    assert(flatSasl("kafka.security.protocol") == "SASL_PLAINTEXT")
+    assert(flatSasl("kafka.sasl.jaas.config").contains("""username="admin""""))
+    assert(!flatSasl.contains("kafka.sasl.user"))
+
     // sasl + tls compose to SASL_SSL; any OTHER nested block fails loudly
     // instead of stringifying Map(...) into a broker option
     val both = Planner.kafkaOptions(Map(

@@ -9,6 +9,47 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class SinksSpec extends AnyFunSuite {
 
+  test("kafkaProducerOptions: flat sasl credentials become a jaas.config; " +
+      "healer keys drop; nested junk fails") {
+    // the reference README's kafka OUTPUT example uses FLAT dotted sasl
+    // keys — forwarded verbatim they were junk (kafka.sasl.user is not a
+    // client property) and the producer never authenticated
+    val opts = Sinks.kafkaProducerOptions(Map("producer_settings" -> Map(
+      "bootstrap.servers" -> "k1:9092",
+      "flush.interval.ms" -> "3000",
+      "healer.magicbyte" -> "1",
+      "sasl.mechanism" -> "PLAIN",
+      "sasl.user" -> "admin",
+      "sasl.password" -> "admin-secret")))
+    assert(opts("kafka.bootstrap.servers") == "k1:9092")
+    assert(opts("kafka.flush.interval.ms") == "3000")
+    assert(!opts.contains("kafka.healer.magicbyte"))
+    assert(!opts.contains("kafka.sasl.user") && !opts.contains("kafka.sasl.password"))
+    assert(opts("kafka.sasl.mechanism") == "PLAIN")
+    assert(opts("kafka.security.protocol") == "SASL_PLAINTEXT")
+    assert(opts("kafka.sasl.jaas.config").contains("""username="admin""""))
+    // mechanism WITHOUT credentials is a native client property — pass
+    // through, never an error (jaas may come via sasl.jaas.config)
+    val native = Sinks.kafkaProducerOptions(Map("producer_settings" -> Map(
+      "bootstrap.servers" -> "k1:9092",
+      "sasl.mechanism" -> "SCRAM-SHA-256",
+      "sasl.jaas.config" -> "org.example required;")))
+    assert(native("kafka.sasl.mechanism") == "SCRAM-SHA-256")
+    assert(native("kafka.sasl.jaas.config") == "org.example required;")
+    assert(!native.contains("kafka.security.protocol"))
+    // a nested non-security block must fail loudly, not stringify
+    val bad = intercept[RuntimeException] {
+      Sinks.kafkaProducerOptions(Map("producer_settings" -> Map(
+        "bootstrap.servers" -> "k", "net" -> Map("x" -> 1))))
+    }
+    assert(bad.getMessage.contains("nested block"))
+    val missing = intercept[RuntimeException] {
+      Sinks.kafkaProducerOptions(Map("producer_settings" ->
+        Map("acks" -> "all")))
+    }
+    assert(missing.getMessage.contains("bootstrap.servers"))
+  }
+
   test("HostSelector: round-robin, cooldown, re-enable") {
     var t = 0L
     val sel = new HostSelector(Seq("h1", "h2"), cooldownMs = 100, now = () => t)
