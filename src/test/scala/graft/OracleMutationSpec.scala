@@ -220,6 +220,80 @@ class OracleMutationSpec extends SparkSpec {
     }
   }
 
+  test("q_zorder: a lost interleave bit randomizes the layout visibly") {
+    assertCaught("q_zorder") {
+      graft.ml.DatasetOps.withZValue(
+        Tables.load(spark, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey"), bits = 7, zName = "z") // bug
+        .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+    }
+  }
+
+  test("q_asof_join: an accidental tolerance bound drops matches") {
+    assertCaught("q_asof_join") {
+      val ev = Tables.load(spark, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      graft.operators.AsOfJoin.leftAsOf(
+        ev.select($"event_id", $"user_id", $"ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"), suffix = "_purchase",
+        toleranceSec = Some(3600L)) // bug: unasked-for bound
+        .select($"event_id", $"user_id", $"ts", $"ts_purchase",
+          $"value_purchase")
+    }
+  }
+
+  test("q_sessionize: a halved gap splits sessions the oracle keeps whole") {
+    assertCaught("q_sessionize") {
+      graft.operators.Sessionize.summarize(
+        Tables.load(spark, dir, "events"), "user_id", "ts", gapSec = 900L, // bug
+        extraAggs = Seq(sum($"value".cast("decimal(18,4)")).cast("double")
+          .as("sum_value")))
+    }
+  }
+
+  test("q_link_uniq_sketch: a merge that loses a partial is caught") {
+    assertCaught("q_link_uniq_sketch") {
+      val cfg = graft.operators.LinkMetric.Config(
+        fieldsLink = "event_type->user_id", batchWindowSec = 3600,
+        tsColumn = "ts")
+      val ev = Tables.load(spark, dir, "events")
+      val p1 = graft.operators.LinkUniqMetric.batchSketch(cfg)(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      // bug: the second shard's partial never reaches the merge
+      val merged = graft.operators.LinkUniqMetric.mergeSketches(cfg)(p1)
+      val exact = graft.operators.LinkUniqMetric.batch(cfg)(ev)
+        .withColumnRenamed("uniq", "exact_uniq")
+      merged.join(exact, Seq("@timestamp", "event_type"))
+        .select(col("@timestamp"), col("event_type"), col("exact_uniq"),
+          col("uniq"))
+    }
+  }
+
+  test("q_mix_temperature: a budget drift moves every target") {
+    assertCaught("q_mix_temperature") {
+      graft.ml.DatasetOps.temperatureMixture(
+        Tables.load(spark, dir, "documents"), "source", "text",
+        totalBudget = 19000L, alpha = 0.5) // bug
+    }
+  }
+
+  test("q_simhash_hamming: a tightened hamming radius hides pairs") {
+    assertCaught("q_simhash_hamming") {
+      graft.ml.Dedup.simhashHammingPairs(Tables.load(spark, dir, "documents"),
+        "text", "doc_id", k = 2, bands = 4) // bug
+    }
+  }
+
+  test("q_retention: a shrunken cohort period rebins every offset") {
+    assertCaught("q_retention") {
+      graft.operators.Retention.cohorts(
+        Tables.load(spark, dir, "events"), "user_id", "ts",
+        $"event_type" === "signup", periodSec = 86400L, maxOffset = 8) // bug
+    }
+  }
+
   test("q_quality_rules: a stop-hit threshold drift flips keep flags") {
     assertCaught("q_quality_rules") {
       graft.ml.TextAnalysis.gopherRules(
