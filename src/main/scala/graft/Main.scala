@@ -120,11 +120,17 @@ object Main {
           else if (watch && ckpt.isDefined) {
             // a checkpointed reload stops the old query BEFORE its
             // replacement can start (same checkpoint dir) — grace-wait
-            // for the swap before concluding the pipeline really ended
+            // for the swap before concluding the pipeline really ended.
+            // Reads go THROUGH the reload lock: a slow replacement start
+            // (e.g. Kafka connect) holds the lock past the grace window,
+            // and an unlocked read would conclude "really ended" while
+            // the reload is mid-start — the first locked read blocks
+            // until the in-flight reload commits its swap.
+            def current() = reloadLock.synchronized(query.get())
             val deadline = System.currentTimeMillis() + 10000
-            while ((q eq query.get()) && System.currentTimeMillis() < deadline)
+            while ((q eq current()) && System.currentTimeMillis() < deadline)
               Thread.sleep(100)
-            if (q eq query.get()) done = true else q = query.get()
+            if (q eq current()) done = true else q = query.get()
           } else done = true
         }
       } finally watcher.foreach(_.stop())

@@ -26,8 +26,11 @@ object CompressFns {
 
   def deflateLen(text: Column): Column = col(DeflateLenExpr(expr(text)))
 
-  /** Compressed-size / input-size, in [0, ~1.05]; null on null, 1.0 on
-    * empty (nothing to compress — the neutral value for a threshold). */
+  /** Compressed-size / input-size; null on null, 1.0 on empty (nothing
+    * to compress — the neutral value for a threshold). Bounded by
+    * 1 + ~16/octet_length: the deflate stream's fixed ~11-byte header
+    * dominates tiny inputs (a 3-byte doc scores ~3.7), while long text
+    * lands in (0, ~1.02]. */
   def compressionRatio(text: Column): Column = {
     import org.apache.spark.sql.functions._
     val len = octet_length(text)

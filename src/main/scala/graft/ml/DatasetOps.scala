@@ -30,7 +30,8 @@ object DatasetOps {
     * is computable in any ANSI SQL engine (the oracle cross-checks it),
     * unlike xxhash64. Knuth multiplicative scatter with all intermediates
     * bounded far under 2^63 so ANSI overflow checking never trips:
-    * u = ((id mod 2^20) * 2654435761 + seed') mod 2^32, scaled to [0,1).
+    * seed-0 form u = ((id mod 2^20) * 2654435761 + 12345) mod 2^32 scaled
+    * to [0,1); seeded draws take a second xor-fold round (see below).
     * Ids denser than 2^20 within one group recycle fractions — use
     * [[hash01]] outside oracle-compared paths. */
   def portable01(id: Column, seed: Int = 0): Column = {

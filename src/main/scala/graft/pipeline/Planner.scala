@@ -1677,17 +1677,22 @@ object Planner {
       val password = sasl.getOrElse("password",
         sys.error("Kafka consumer_settings.sasl needs `password`"))
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      // an EXPLICIT security.protocol wins: SASL against a TLS broker
+      // trusted via system CAs needs SASL_SSL with no tls: block, and
+      // overriding it to SASL_PLAINTEXT would break the handshake
       Map(
         "kafka.sasl.mechanism" -> mech,
         "kafka.sasl.jaas.config" ->
           s"""$module required username="${esc(user)}" password="${esc(password)}";""",
         "kafka.security.protocol" ->
-          (if (tlsOn) "SASL_SSL" else "SASL_PLAINTEXT"))
+          raw.get("security.protocol").map(String.valueOf).getOrElse(
+            if (tlsOn) "SASL_SSL" else "SASL_PLAINTEXT"))
     }
     val tlsProps: Map[String, String] = if (!tlsOn) Map.empty else {
       val proto =
-        if (sasl.nonEmpty) Map.empty[String, String] // SASL_SSL set above
-        else Map("kafka.security.protocol" -> "SSL")
+        if (sasl.nonEmpty) Map.empty[String, String] // set above
+        else Map("kafka.security.protocol" ->
+          raw.get("security.protocol").map(String.valueOf).getOrElse("SSL"))
       val trust = pem("ca").map(c => Map(
         "kafka.ssl.truststore.type" -> "PEM",
         "kafka.ssl.truststore.certificates" -> c)).getOrElse(Map.empty)

@@ -268,6 +268,18 @@ class PipelineSpec extends SparkSpec {
     assert(flatSasl("kafka.sasl.jaas.config").contains("""username="admin""""))
     assert(!flatSasl.contains("kafka.sasl.user"))
 
+    // an EXPLICIT security.protocol wins over the inferred one: SASL
+    // against a TLS broker trusted via system CAs has no tls: block and
+    // must not be forced down to SASL_PLAINTEXT
+    val explicitProto = Planner.kafkaOptions(Map(
+      "topic" -> Map("t" -> 1),
+      "consumer_settings" -> Map(
+        "bootstrap.servers" -> "k1:9094",
+        "security.protocol" -> "SASL_SSL",
+        "sasl" -> Map("mechanism" -> "PLAIN", "user" -> "u",
+          "password" -> "p"))))
+    assert(explicitProto("kafka.security.protocol") == "SASL_SSL")
+
     // sasl + tls compose to SASL_SSL; any OTHER nested block fails loudly
     // instead of stringifying Map(...) into a broker option
     val both = Planner.kafkaOptions(Map(
