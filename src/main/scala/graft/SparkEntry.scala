@@ -421,6 +421,20 @@ object SparkEntry {
         Tables.load(s, dir, "events"))
     },
 
+    // bounded-memory quantile twin: the GK sketch (percentile_approx)
+    // with accuracy ≫ group size never compresses and returns the exact
+    // DISCRETE quantile — DuckDB's quantile_disc replays it bit-for-bit,
+    // so the 100 TB-safe estimator path is hash-compared end to end
+    // (at scale the sketch caps executor memory at `accuracy` per
+    // window × group where the exact form buffers every value)
+    "q_link_stats_pct_approx" -> { (s, dir) =>
+      graft.operators.LinkStatsMetric.batch(graft.operators.LinkMetric.Config(
+        fieldsLink = "event_type->value", batchWindowSec = 3600,
+        tsColumn = "ts", percentiles = Seq(0.5, 0.95, 0.99),
+        percentilesApprox = true, approxAccuracy = 100000))(
+        Tables.load(s, dir, "events"))
+    },
+
     // ---- sessionization: native session_window per-session summary ----
     // 30-minute inactivity gap on the events stream; sum decimal-stabilized
     // like q1_pricing so the float total is order-independent.
@@ -2663,6 +2677,20 @@ object SparkEntry {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.95) AS p95,
         |  quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the GK sketch at accuracy ≫ n is the exact DISCRETE quantile —
+    // quantile_disc, not quantile_cont (no interpolation)
+    "q_link_stats_pct_approx" ->
+      """SELECT date_trunc('hour', ts) AS "@timestamp", event_type,
+        |  count(value) AS count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum,
+        |  min(value) AS min,
+        |  max(value) AS max,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS mean,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.95) AS p95,
+        |  quantile_disc(value, 0.99) AS p99
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // session partition re-derived independently: lag-gap flag → running

@@ -54,8 +54,21 @@ object LinkMetric {
         * (order statistics don't merge from count/sum/min/max partials).
         * Memory: the aggregation buffers each group's values — bounded by
         * rows per (window × group), the same contract as any exact
-        * quantile. */
-      percentiles: Seq[Double] = Nil)
+        * quantile. A hot group at 100 TB breaks that contract — set
+        * [[percentilesApprox]] for the bounded-memory form. */
+      percentiles: Seq[Double] = Nil,
+      /** Bounded-memory quantiles: the same p50/p95/… columns computed by
+        * Spark's GK sketch (`percentile_approx`) instead of the exact
+        * buffering aggregate — executor memory is bounded by
+        * [[approxAccuracy]] per (window × group) REGARDLESS of group
+        * size, the only safe form when one group can hold billions of
+        * rows. Rank error ≤ n/accuracy; for groups with
+        * n ≤ approxAccuracy the sketch never compresses and returns the
+        * EXACT discrete quantile (the order statistic DuckDB's
+        * `quantile_disc` picks — gate q_link_stats_pct_approx pins the
+        * agreement bit-for-bit). */
+      percentilesApprox: Boolean = false,
+      approxAccuracy: Int = 10000)
 
   private[operators] def parts(c: Config, df: DataFrame): (Column, Seq[String], Column) = {
     val fields = c.fieldsLink.split("->").map(_.trim).toSeq
@@ -162,10 +175,18 @@ object LinkStatsMetric {
       max(v.cast("double")).as("max"),
       (sum(v.cast(Dec)).cast("double") / count(v)).as("mean")) ++
       c.percentiles.map(p =>
-        // exact interpolated percentile — bit-identical to DuckDB's
-        // quantile_cont (verified on the events table), unlike
-        // percentile_approx whose summaries return discrete data points
-        percentile(v.cast("double"), lit(p)).as(pctLabel(p)))
+        if (c.percentilesApprox)
+          // GK sketch: executor memory bounded by approxAccuracy per
+          // group regardless of group size — the 100 TB-safe form. Same
+          // output columns as the exact path, so the option swaps in
+          // without downstream schema changes.
+          percentile_approx(v.cast("double"), lit(p), lit(c.approxAccuracy))
+            .as(pctLabel(p))
+        else
+          // exact interpolated percentile — bit-identical to DuckDB's
+          // quantile_cont (verified on the events table); buffers each
+          // group's values (see Config.percentiles memory note)
+          percentile(v.cast("double"), lit(p)).as(pctLabel(p)))
   }
 
   def batch(c: Config)(df: DataFrame): DataFrame = {

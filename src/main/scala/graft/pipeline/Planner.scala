@@ -161,7 +161,9 @@ object Planner {
           conf.str("timestamp").getOrElse("@timestamp"),
           conf.bool("drop_original_event", true),
           conf.bool("reduce", false),
-          conf.strSeq("percentiles").map(_.toDouble))
+          conf.strSeq("percentiles").map(_.toDouble),
+          conf.bool("percentiles_approx", false),
+          conf.int("approx_accuracy", 10000))
         df => metricStage(df, cfg, LinkStatsMetric.batch(cfg), LinkStatsMetric.streaming(cfg))
       case "LinkUniqMetric" =>
         // distinct-count sibling: exact in batch, HLL on streams/reduce.

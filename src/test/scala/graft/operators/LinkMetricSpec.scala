@@ -103,6 +103,40 @@ class LinkMetricSpec extends SparkSpec {
     assert(a.getDouble(a.fieldIndex("mean")) == 20.0)
   }
 
+  test("LinkStatsMetric approx percentiles: bounded-memory sketch, exact " +
+      "discrete quantile under the accuracy bound") {
+    val df = (1 to 101).map(i =>
+      (ts("2024-01-01 00:00:10"), "a", i.toDouble)).toDF("@timestamp", "et", "v")
+    val exact = LinkStatsMetric.batch(LinkMetric.Config("et->v", 60,
+      percentiles = Seq(0.5, 0.95)))(df).collect().head
+    val approx = LinkStatsMetric.batch(LinkMetric.Config("et->v", 60,
+      percentiles = Seq(0.5, 0.95), percentilesApprox = true,
+      approxAccuracy = 10000))(df).collect().head
+    // odd count: the median is a data point — both estimators agree;
+    // p95 of 1..101 interpolates (96.0 exact) vs the discrete 96.0 too
+    assert(approx.getDouble(approx.fieldIndex("p50")) ==
+      exact.getDouble(exact.fieldIndex("p50")))
+    assert(approx.getDouble(approx.fieldIndex("p50")) == 51.0)
+    // same output schema: the option swaps in without downstream changes
+    assert(approx.schema.fieldNames.toSeq == exact.schema.fieldNames.toSeq)
+    // YAML dispatch carries the knobs
+    val piped = graft.pipeline.Planner.fromYaml(
+      """inputs:
+        |  - Text: {path: unused}
+        |filters:
+        |  - LinkStatsMetric:
+        |      fieldsLink: et->v
+        |      batchWindow: 60
+        |      percentiles: ["0.5"]
+        |      percentiles_approx: true
+        |      approx_accuracy: 10000
+        |outputs:
+        |  - Stdout: {}
+        |""".stripMargin).transform(df)
+    val row = piped.collect().head
+    assert(row.getDouble(row.fieldIndex("p50")) == 51.0)
+  }
+
   test("streaming LinkMetric append mode: window emits once watermark passes (accumulateMode=separate)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
