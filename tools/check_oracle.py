@@ -49,6 +49,17 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name in missing:
         print(f"FAIL {name}: no output dir and no error recorded — query vanished")
         failures += 1
+    # The inverse omission: a query that DUMPED but has no oracle entry
+    # would silently skip every value check here (and the driver records
+    # only a weak rows-only entry). Surface each one so an accidentally
+    # dropped oracleSql line is visible in local runs — informational,
+    # since deliberate rows-only gates (q_compression_ratio: no DuckDB
+    # deflate) are a documented state, and a SUBSET Verify run dumps a
+    # filtered oracle_sql.json on purpose.
+    for entry in sorted(os.listdir(out_dir)):
+        if os.path.isdir(os.path.join(out_dir, entry)) and entry not in oracle:
+            print(f"NOORACLE {entry}: dumped but value-unchecked "
+                  f"(rows-only at the driver)")
     for name, sql in sorted(oracle.items()):
         if name in errors or name in missing:
             continue
