@@ -160,6 +160,27 @@ class LinkMetricSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LinkStatsMetric: approx percentiles aggregate on the " +
+      "stream (the bounded-memory sketch is a streaming-legal aggregate)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("@timestamp", "et", "v")
+    val agg = LinkStatsMetric.streaming(LinkMetric.Config("et->v", 60,
+      reserveWindowSec = 30, percentiles = Seq(0.5),
+      percentilesApprox = true, approxAccuracy = 10000))(df)
+    val q = agg.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("lm_pct_stream").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:10"), "a", 10.0),
+        (ts("2024-01-01 00:00:20"), "a", 30.0),
+        (ts("2024-01-01 00:00:30"), "a", 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("lm_pct_stream").collect()
+      val a = rows.find(r => r.getString(r.fieldIndex("et")) == "a").get
+      assert(a.getDouble(a.fieldIndex("p50")) == 20.0)
+    } finally q.stop()
+  }
+
   test("streaming LinkStatsMetric update mode re-emits running totals (accumulateMode=cumulative)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
