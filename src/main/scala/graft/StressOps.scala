@@ -36,7 +36,13 @@ object StressOps {
       "funnel", "funnel_skew", "retention"),
     "graph" -> Seq("pagerank", "pagerank_hub"),
     "langid" -> Seq("langid"),
-    "token" -> Seq("bpe_encode", "ngram_lm_score"))
+    "token" -> Seq("bpe_encode", "ngram_lm_score"),
+    // round-15 addition (append-only): quantile aggregation at 100×,
+    // exact (per-group value buffering) vs the GK sketch, uniform vs a
+    // hot (window × group) holding ~1/3 of all rows — the shape where
+    // the exact form's memory contract breaks at corpus scale
+    "metrics" -> Seq("stats_pct_exact", "stats_pct_approx",
+      "stats_pct_exact_skew", "stats_pct_approx_skew"))
 
   /** CALIBRATION PROBE: a fixed seeded CPU+shuffle workload. Kept as a
     * machine sanity line only (NOT a normalizer — see the scaladoc
@@ -383,6 +389,40 @@ object StressOps {
         timed("ngram_lm_score")(
           graft.ml.NgramLm.score(bigDocs, model, "text", "doc_id", order = 3)
             .agg(sum(col("sum_prob"))).head().getDouble(0).toLong)
+
+      case "metrics" =>
+        // QUANTILES at 100×: exact per-group percentile buffers every
+        // value; the GK sketch caps the buffer at `accuracy`. Copies KEEP
+        // ts/event_type (per-(window × type) counts grow 100×); the skew
+        // twin collapses a third of all rows onto ONE (window, type) —
+        // the hot latency key every metrics pipeline has. The guards:
+        // approx must not cost more than exact on the same data, and
+        // approx_skew must stay ≈ approx (the sketch is size-oblivious)
+        // while exact_skew pays the hot group's full sort.
+        val ev = graft.core.Tables.load(spark, sfDir, "events")
+        val big = (0 until stressCopies).map(i =>
+          ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            col("ts"), col("event_type"), col("value"))).reduce(_ union _)
+        val bigSkew = big
+          .withColumn("ts", when(pmod(col("event_id"), lit(3)) === 0,
+            to_timestamp(lit("2024-01-01 00:00:00"))).otherwise(col("ts")))
+          .withColumn("event_type", when(pmod(col("event_id"), lit(3)) === 0,
+            lit("hot")).otherwise(col("event_type")))
+        res.consts("event_copies") = stressCopies.toDouble
+        // head()-consumed p99 sum: count() would prune the quantile
+        // aggregates themselves (the head()-consumed-sums audit) and
+        // time only the grouping lattice
+        def pct(d: DataFrame, approx: Boolean): Long =
+          graft.operators.LinkStatsMetric.batch(
+            graft.operators.LinkMetric.Config("event_type->value",
+              batchWindowSec = 3600, tsColumn = "ts",
+              percentiles = Seq(0.5, 0.99), percentilesApprox = approx,
+              approxAccuracy = 10000))(d)
+            .agg(sum(col("p99"))).head().getDouble(0).toLong
+        timed("stats_pct_exact")(pct(big, approx = false))
+        timed("stats_pct_approx")(pct(big, approx = true))
+        timed("stats_pct_exact_skew")(pct(bigSkew, approx = false))
+        timed("stats_pct_approx_skew")(pct(bigSkew, approx = true))
 
       case other => sys.error(s"unknown stress family '$other' " +
         s"(known: ${families.map(_._1).mkString(", ")})")

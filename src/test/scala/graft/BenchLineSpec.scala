@@ -120,7 +120,11 @@ class BenchLineSpec extends AnyFunSuite {
       "graph" -> Seq("pagerank", "pagerank_hub"),
       "langid" -> Seq("langid"),
       // round-13 addition (append-only): tokenization-family throughput
-      "token" -> Seq("bpe_encode", "ngram_lm_score"))
+      "token" -> Seq("bpe_encode", "ngram_lm_score"),
+      // round-15 addition (append-only): exact vs GK-sketch quantiles,
+      // uniform vs hot-group — SURVEY §8.22h
+      "metrics" -> Seq("stats_pct_exact", "stats_pct_approx",
+        "stats_pct_exact_skew", "stats_pct_approx_skew"))
     assert(StressOps.families == expected,
       "stress families changed — removals/renames need a SURVEY note")
   }
