@@ -294,6 +294,70 @@ class OracleMutationSpec extends SparkSpec {
     }
   }
 
+  test("q_image_resize: a wrong target height changes every resample") {
+    assertCaught("q_image_resize") {
+      val mm = graft.ml.Multimodal
+      val variants = mm.synthesizeImageVariants(
+        Tables.load(spark, dir, "documents").select(col("doc_id")), "doc_id")
+      val resized = mm.resizeImages(variants, 8, 5) // bug: 8×6 asked
+      mm.decodeImagePixels(resized)
+        .select(col("media_id"),
+          col("px.width").as("width"), col("px.height").as("height"),
+          col("px.px_sum").as("px_sum"),
+          col("px.ahash_hi").as("ahash_hi"), col("px.ahash_lo").as("ahash_lo"))
+    }
+  }
+
+  test("q_heavy_hitters_approx: a support-threshold drift changes the set") {
+    assertCaught("q_heavy_hitters_approx") {
+      graft.ml.TextAnalysis.heavyHittersApprox(
+        Tables.load(spark, dir, "documents"), "text", n = 2,
+        minFrac = 0.001) // bug
+    }
+  }
+
+  test("q_bloom_decontam: a shorter shingle order removes different docs") {
+    assertCaught("q_bloom_decontam") {
+      val docs = Tables.load(spark, dir, "documents")
+      graft.ml.DatasetOps.bloomDecontaminate(docs,
+          docs.filter($"doc_id" < 10), "text", "doc_id", n = 4, // bug
+          expectedItems = 1L << 16)
+        .select($"doc_id", $"source")
+    }
+  }
+
+  test("q_funnel_conversion: a shrunken window changes the level counts") {
+    assertCaught("q_funnel_conversion") {
+      graft.operators.Funnel.conversion(
+        graft.operators.Funnel.windowFunnel(
+          Tables.load(spark, dir, "events"), "user_id", "ts",
+          Seq($"event_type" === "view", $"event_type" === "click",
+            $"event_type" === "purchase"),
+          windowSec = 3600L)) // bug
+    }
+  }
+
+  test("q_doc_chunk: an overlap drift re-cuts every chunk boundary") {
+    assertCaught("q_doc_chunk") {
+      graft.ml.DatasetOps.chunkDocuments(
+        Tables.load(spark, dir, "documents"), "text", "doc_id",
+        maxTokens = 64, overlap = 8) // bug
+    }
+  }
+
+  test("q_session_seq: a shrunken session gap re-cuts the sequences") {
+    assertCaught("q_session_seq") {
+      graft.operators.Sessionize
+        .assign(Tables.load(spark, dir, "events"), "user_id", "ts", 600L) // bug
+        .groupBy($"user_id", $"session_seq")
+        .agg(
+          count(lit(1)).as("n_events"),
+          array_join(sort_array(collect_list(struct($"ts", $"event_type")))
+            .getField("event_type"), ",").as("seq"))
+        .drop("session_seq")
+    }
+  }
+
   test("q_quality_rules: a stop-hit threshold drift flips keep flags") {
     assertCaught("q_quality_rules") {
       graft.ml.TextAnalysis.gopherRules(
