@@ -528,4 +528,35 @@ class PlanQualitySpec extends SparkSpec {
       exchangeChildren.forall(_.contains("xxhash64")),
       s"document bodies crossed an exchange:\n$plan")
   }
+
+  test("ivf probe-cost audit: cell statistics only, never a per-vector join") {
+    // the 100 TB contract of ivfProbeStats: candidates come from the
+    // index's CELL SIZES (a numCells-bounded frame, broadcast onto the
+    // probes) — a regression to joining the assigned VECTORS would scan
+    // and shuffle the corpus per query batch
+    val plan = executedPlan("q_ann_probes")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe stats shuffled a corpus-sized side:\n$plan")
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      plan) // centroids ride as an explicit broadcast cross join
+    // the per-vector embedding column must never reach the stats side of
+    // the final aggregation (only cell_id + counts flow)
+    val aggTail = plan.linesIterator.dropWhile(!_.contains("n_candidates"))
+      .take(3).mkString("\n")
+    assert(!aggTail.contains("embedding"), s"vectors crossed into stats:\n$plan")
+  }
+
+  test("approx percentile gate: sketch aggregate with map-side partials intact") {
+    // the GK sketch must partial-aggregate before the window×group
+    // exchange like every other stats column — a final-only aggregate
+    // would ship raw values across the shuffle
+    val plan = executedPlan("q_link_stats_pct_approx")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"approx percentile lost its typed aggregate:\n$plan")
+    assert(plan.contains("partial_percentile_approx") ||
+      "partial.*percentile_approx".r.findFirstIn(plan).nonEmpty,
+      s"sketch is not partial-aggregated map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
