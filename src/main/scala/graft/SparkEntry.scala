@@ -1698,9 +1698,13 @@ object SparkEntry {
     },
 
     "q_quota_sample" -> { (s, dir) =>
+      // n = 18 BINDS at sf0.01 (every source group holds 25 docs): the
+      // r15 gate-layer audit found the old n = 30 never truncated
+      // anything — the quota logic was invisible to the gate (a
+      // mutation of n changed nothing). 18 × 20 sources = 360 rows kept.
       graft.ml.DatasetOps.sampleQuota(
         Tables.load(s, dir, "documents").select("doc_id", "source"),
-        "source", "doc_id", 30, "qs")
+        "source", "doc_id", 18, "qs")
     },
 
     // embedding-space topic balance: in-row nearest-centroid assignment
@@ -4340,7 +4344,7 @@ object SparkEntry {
         |        doc_id)
         |    AS qr
         |  FROM documents)
-        |WHERE qr <= 30""".stripMargin,
+        |WHERE qr <= 18""".stripMargin,
 
     // the identical cosine lattice as the ANN oracles (sequential
     // list_reduce fold == the DotD kernel's left fold), argmin by

@@ -358,6 +358,100 @@ class OracleMutationSpec extends SparkSpec {
     }
   }
 
+  test("q_knn: a k drift changes every neighbor list") {
+    assertCaught("q_knn") {
+      graft.ml.Similarity.knnJoinBrute(
+        Tables.load(spark, dir, "embeddings").filter($"vec_id" < 1000),
+        "embedding", "vec_id", k = 2) // bug
+    }
+  }
+
+  test("q_tfidf: a per-doc term budget drift is caught") {
+    assertCaught("q_tfidf") {
+      graft.ml.TextAnalysis.topTfidfTerms(
+        Tables.load(spark, dir, "documents"), "text", "doc_id", k = 2) // bug
+    }
+  }
+
+  test("q_vocab: a binding top-N truncation is caught " +
+      "(AUDIT FINDING: both gate knobs are non-binding at sf0.01)") {
+    // first-pass mutations were invisible TWICE: minCount 3→4 (the
+    // corpus has no token with count 3 or 4 at all) and topN 50→49 (only
+    // 31 tokens survive the floor, so neither 50 nor 49 cuts). The
+    // gate's real subject is the count+rank lattice over all 31
+    // surviving tokens — recorded in the SURVEY audit; the knobs' logic
+    // (a filter and a limit) is covered by unit fixtures. A cut that
+    // BINDS must still be caught:
+    assertCaught("q_vocab") {
+      graft.ml.TextAnalysis.vocabulary(
+        Tables.load(spark, dir, "documents"), "text", minCount = 3,
+        topN = 30) // bug: binds (31 tokens pass the floor)
+    }
+  }
+
+  test("q_novelty: a shorter novelty n-gram rescores every doc") {
+    assertCaught("q_novelty") {
+      val docs = Tables.load(spark, dir, "documents")
+      graft.ml.TextAnalysis.ngramNovelty(docs, docs.filter($"doc_id" < 10),
+        "text", "doc_id", "text", n = 4) // bug
+    }
+  }
+
+  test("q_inverted_index: a posting-cap drift truncates chains differently") {
+    assertCaught("q_inverted_index") {
+      graft.ml.TextAnalysis.invertedIndex(
+        Tables.load(spark, dir, "documents"), "text", "doc_id",
+        minDf = 5L, maxPostings = 2) // bug
+    }
+  }
+
+  test("q_decontaminate: a shorter contamination n-gram drops different docs") {
+    assertCaught("q_decontaminate") {
+      val docs = Tables.load(spark, dir, "documents")
+      graft.ml.Dedup.decontaminate(docs, docs.filter($"doc_id" < 10),
+          "text", "doc_id", n = 4) // bug
+        .select($"doc_id", $"source")
+    }
+  }
+
+  test("q_seq_pack: a token-budget drift repacks every bin") {
+    assertCaught("q_seq_pack") {
+      graft.ml.DatasetOps.packSequences(
+        Tables.load(spark, dir, "documents"), "text", "doc_id", "source",
+        budget = 500) // bug
+        .select($"doc_id", $"n_tokens", $"seq_start", $"bin", $"bin_offset",
+          $"bins_spanned")
+    }
+  }
+
+  test("q_quota_sample: a quota drift keeps a different sample " +
+      "(gate re-pinned to a BINDING quota by this audit)") {
+    // first-pass mutation 30→29 was invisible: every source group holds
+    // 25 docs at sf0.01, so the old n = 30 never truncated anything and
+    // the gate was vacuous for the quota logic. The gate now uses
+    // n = 18 (binds on every group); this mutation must be caught.
+    assertCaught("q_quota_sample") {
+      graft.ml.DatasetOps.sampleQuota(
+        Tables.load(spark, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", 17, "qs") // bug
+    }
+  }
+
+  test("q_global_shuffle: a seed drift reorders the export") {
+    assertCaught("q_global_shuffle") {
+      graft.ml.DatasetOps.shuffleWithPosition(
+        Tables.load(spark, dir, "documents").select("doc_id"), "doc_id",
+        "sx") // bug
+    }
+  }
+
+  test("q_cosine_dup: a similarity-threshold drift changes the pair set") {
+    assertCaught("q_cosine_dup") {
+      graft.ml.Similarity.cosineDupPairs(Tables.load(spark, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.45, numPlanes = 4, dim = 64) // bug
+    }
+  }
+
   test("q_quality_rules: a stop-hit threshold drift flips keep flags") {
     assertCaught("q_quality_rules") {
       graft.ml.TextAnalysis.gopherRules(
