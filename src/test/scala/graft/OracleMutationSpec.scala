@@ -452,6 +452,74 @@ class OracleMutationSpec extends SparkSpec {
     }
   }
 
+  test("q_grok: a pattern-atom drift (NUMBER→INT) nulls the captures") {
+    assertCaught("q_grok") {
+      val ev = Tables.load(spark, dir, "events")
+        .withColumn("message", concat($"event_type", lit(" "), $"user_id",
+          lit(" "), $"value".cast("string")))
+      val grokked = graft.filters.FilterBox(graft.filters.GrokFilter("message",
+        Seq("""^%{WORD:etype} %{INT:uid} %{INT:val}$"""))).stage(ev) // bug
+      grokked.select($"event_id", $"etype", $"uid", $"val")
+    }
+  }
+
+  test("q_date: a dropped layout loses first-match parsing") {
+    assertCaught("q_date") {
+      val ev = Tables.load(spark, dir, "events")
+        .withColumn("t", date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
+      val dated = graft.filters.FilterBox(graft.filters.DateFilter("t",
+        Seq("02/Jan/2006:15:04:05"), target = "parsed")).stage(ev) // bug
+      dated.select($"event_id", $"parsed")
+    }
+  }
+
+  test("q_link_metric: a halved window rebins every count") {
+    assertCaught("q_link_metric") {
+      graft.operators.LinkMetric.batch(graft.operators.LinkMetric.Config(
+        fieldsLink = "event_type->user_id", batchWindowSec = 1800, // bug
+        tsColumn = "ts"))(Tables.load(spark, dir, "events"))
+    }
+  }
+
+  test("q_asof_tolerance: a tolerance drift changes the match set") {
+    assertCaught("q_asof_tolerance") {
+      val ev = Tables.load(spark, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      graft.operators.AsOfJoin.leftAsOf(
+        ev.select($"event_id", $"user_id", $"ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"), suffix = "_purchase",
+        toleranceSec = Some(3600L)) // bug: 7200 asked
+        .select($"event_id", $"user_id", $"ts", $"ts_purchase",
+          $"value_purchase")
+    }
+  }
+
+  test("q_line_dedup: a raised document floor lets boilerplate survive") {
+    assertCaught("q_line_dedup") {
+      val docs = Tables.load(spark, dir, "documents").select($"doc_id",
+        concat_ws("\n",
+          when($"doc_id" % 2 === 0, lit("Cookie Notice: We Use Cookies"))
+            .otherwise(lit("COOKIE NOTICE: WE USE COOKIES")),
+          concat(lit("Section "), ($"doc_id" % 3).cast("string")),
+          $"text",
+          concat(lit("footer id "), $"doc_id".cast("string"))).as("text"))
+      graft.ml.Dedup.removeBoilerplateLines(docs, "text", "doc_id",
+        minDocs = 300) // bug: the 250-doc cookie variants now survive
+    }
+  }
+
+  test("q_condition_dsl: a flipped atom changes the kept rows") {
+    assertCaught("q_condition_dsl") {
+      val ev = Tables.load(spark, dir, "events")
+      val dsl = """(EQ(event_type,"error") || HasPrefix(event_type,"sign"))""" +
+        """ && !EQ($.props.k,1) && Contains(props,"k")""" // bug: k,0 asked
+      ev.filter(graft.conditions.ConditionFilter.compile(dsl, ev))
+        .select("event_id", "event_type", "value", "user_id")
+    }
+  }
+
   test("q_quality_rules: a stop-hit threshold drift flips keep flags") {
     assertCaught("q_quality_rules") {
       graft.ml.TextAnalysis.gopherRules(
