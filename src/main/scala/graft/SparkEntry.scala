@@ -428,8 +428,15 @@ object SparkEntry {
     // (at scale the sketch caps executor memory at `accuracy` per
     // window × group where the exact form buffers every value)
     "q_link_stats_pct_approx" -> { (s, dir) =>
+      // DAILY windows, unlike q_link_stats_pct's hourly: the r15 gate-
+      // layer audit found hourly (window × type) groups hold only 1-7
+      // events at sf0.01, so the GK sketch never compressed and an
+      // accuracy regression was fixture-invisible at ANY setting. Daily
+      // groups hold ~70 events — accuracy ≫ 70 keeps the sketch exact
+      // (= quantile_disc, the oracle) while a collapsed accuracy now
+      // visibly moves the quantiles (OracleMutation2Spec).
       graft.operators.LinkStatsMetric.batch(graft.operators.LinkMetric.Config(
-        fieldsLink = "event_type->value", batchWindowSec = 3600,
+        fieldsLink = "event_type->value", batchWindowSec = 86400,
         tsColumn = "ts", percentiles = Seq(0.5, 0.95, 0.99),
         percentilesApprox = true, approxAccuracy = 100000))(
         Tables.load(s, dir, "events"))
@@ -692,19 +699,38 @@ object SparkEntry {
 
     // ---- training-data pipeline operators: dedup ----
     "q_dedup_exact" -> { (s, dir) =>
-      graft.ml.Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
+      // r15 gate-layer vacuity sweep: the sf0.01 corpus is 500/500
+      // DISTINCT texts, so over the raw table every group was a
+      // singleton — the rep-id policy and the count were fixture-
+      // invisible (a min→max rep bug passed). Plant a duplicate of
+      // every 5th doc so 100 groups carry cnt=2 and a real rep choice.
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      graft.ml.Dedup.exact(docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))),
+        "text", "doc_id")
     },
     "q_dedup_fingerprint" -> { (s, dir) =>
       graft.ml.Dedup.fingerprint(Tables.load(s, dir, "documents"), "text", "doc_id")
     },
     // incremental (cross-run) dedup: docs with id < 250 play "yesterday's
     // crawl" whose fingerprints live in the seen store; today's increment
-    // (id >= 250) drops anything already seen
+    // (id >= 250) drops anything already seen. r15 vacuity sweep: the two
+    // halves share NO text, so the original probe dropped nothing — a
+    // dropSeen that drops nothing passed. Today's increment now carries
+    // 25 replanted copies of yesterday's texts (must drop) and 5
+    // one-token variants (must keep, proving the match is exact).
     "q_dedup_incremental" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
+      val today = docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") < 250 && col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") < 250 && col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" x")).as("text")))
       val seen = graft.ml.Dedup.contentFingerprints(
         docs.filter(col("doc_id") < 250), "text")
-      graft.ml.Dedup.dropSeen(docs.filter(col("doc_id") >= 250), seen, "text")
+      graft.ml.Dedup.dropSeen(today, seen, "text")
         .select(col("doc_id"), col("text"))
     },
     // incremental NEAR-dup: same yesterday/today split, but the store
@@ -981,8 +1007,18 @@ object SparkEntry {
     // dim carves the IPv4 space into one block per nation.
     "q_geoip" -> { (s, dir) =>
       import s.implicits._
+      // r15 gate-layer audit: no synthesized ip ever lands exactly on a
+      // range boundary (P ≈ 25·10⁴/2³²), so an off-by-one in the range
+      // join's bound comparisons was fixture-invisible. Events 0..24 now
+      // probe each nation's exact ip_to and 25..49 its exact ip_from.
       val ev = Tables.load(s, dir, "events")
-        .withColumn("ipl", ($"user_id".cast("long") * 9973L + $"event_id".cast("long") * 31L) % 4294967296L)
+        .withColumn("ipl0", ($"user_id".cast("long") * 9973L + $"event_id".cast("long") * 31L) % 4294967296L)
+        .withColumn("ipl", when($"event_id" < 25,
+            ((($"event_id".cast("long") + 1L) * 4294967296L) / 25L).cast("long") - 1L)
+          .when($"event_id" >= 25 && $"event_id" < 50,
+            ((($"event_id".cast("long") - 25L) * 4294967296L) / 25L).cast("long"))
+          .otherwise($"ipl0"))
+        .drop("ipl0")
         .withColumn("ip", graft.operators.GeoIp.longToIp($"ipl"))
       val ranges = Tables.load(s, dir, "nation").select(
         (($"n_nationkey".cast("long") * 4294967296L) / 25L).cast("long").as("ip_from"),
@@ -2684,9 +2720,11 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // the GK sketch at accuracy ≫ n is the exact DISCRETE quantile —
-    // quantile_disc, not quantile_cont (no interpolation)
+    // quantile_disc, not quantile_cont (no interpolation). DAILY windows
+    // (see the gate comment): hourly groups were too small for the
+    // sketch path to be mutation-visible.
     "q_link_stats_pct_approx" ->
-      """SELECT date_trunc('hour', ts) AS "@timestamp", event_type,
+      """SELECT date_trunc('day', ts) AS "@timestamp", event_type,
         |  count(value) AS count,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum,
         |  min(value) AS min,
@@ -2884,8 +2922,13 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     "q_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS cnt
-        |FROM documents GROUP BY 1""".stripMargin,
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+        |)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS cnt
+        |FROM all_docs GROUP BY 1""".stripMargin,
 
     "q_dedup_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
@@ -2894,9 +2937,17 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_incremental" ->
-      """SELECT doc_id, text FROM documents d
-        |WHERE doc_id >= 250
-        |  AND NOT EXISTS (SELECT 1 FROM documents s
+      """WITH today AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents
+        |  WHERE doc_id < 250 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' x' FROM documents
+        |  WHERE doc_id < 250 AND doc_id % 50 = 0
+        |)
+        |SELECT doc_id, text FROM today d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents s
         |                  WHERE s.doc_id < 250 AND md5(s.text) = md5(d.text))""".stripMargin,
 
     "q_dedup_incremental_near" ->
@@ -3158,7 +3209,12 @@ object SparkEntry {
     "q_geoip" ->
       """WITH ev AS (
         |  SELECT event_id,
-        |    (CAST(user_id AS BIGINT) * 9973 + CAST(event_id AS BIGINT) * 31) % 4294967296 AS ipl
+        |    CASE WHEN event_id < 25
+        |           THEN ((CAST(event_id AS BIGINT) + 1) * 4294967296) // 25 - 1
+        |         WHEN event_id >= 25 AND event_id < 50
+        |           THEN ((CAST(event_id AS BIGINT) - 25) * 4294967296) // 25
+        |         ELSE (CAST(user_id AS BIGINT) * 9973 + CAST(event_id AS BIGINT) * 31) % 4294967296
+        |    END AS ipl
         |  FROM events
         |), r AS (
         |  SELECT n_name,
