@@ -360,8 +360,13 @@ object SparkEntry {
     // replay), pinning greedy-existence == exists-chain
     "q_sequence_match" -> { (s, dir) =>
       import s.implicits._
+      // Day-one slice only (r15 gate-layer audit): over the full 30-day
+      // fixture EVERY user matches ANY 3-step pattern — the flag was
+      // constant true and pattern bugs were invisible. ~2 events/user on
+      // day one makes the flag genuinely selective.
       graft.operators.Funnel.sequenceMatch(
-        Tables.load(s, dir, "events"), "user_id", "ts",
+        Tables.load(s, dir, "events").filter($"ts" < "2024-01-02"),
+        "user_id", "ts",
         Seq($"event_type" === "view", $"event_type" === "click",
           $"event_type" === "purchase"))
     },
@@ -2276,15 +2281,18 @@ object SparkEntry {
     // INDEPENDENT declarative oracle: exists view ≤ click ≤ purchase —
     // greedy existence must equal the exists-chain reading
     "q_sequence_match" ->
-      """WITH m AS (
+      """WITH d1 AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        |), m AS (
         |  SELECT DISTINCT v.user_id
-        |  FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
-        |  JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  FROM (SELECT user_id, ts FROM d1 WHERE event_type = 'view') v
+        |  JOIN (SELECT user_id, ts FROM d1 WHERE event_type = 'click') c
         |    ON c.user_id = v.user_id AND c.ts >= v.ts
-        |  JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT user_id, ts FROM d1 WHERE event_type = 'purchase') p
         |    ON p.user_id = c.user_id AND p.ts >= c.ts)
         |SELECT user_id, user_id IN (SELECT user_id FROM m) AS matched
-        |FROM (SELECT DISTINCT user_id FROM events
+        |FROM (SELECT DISTINCT user_id FROM d1
         |      WHERE event_type IN ('view', 'click', 'purchase'))""".stripMargin,
 
     "q_retention_flags" ->
