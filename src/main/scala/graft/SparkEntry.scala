@@ -335,11 +335,16 @@ object SparkEntry {
         windowSec = 86400L, strictDedup = true)
     },
 
-    // strict_increase — chains only extend on strictly increasing ts
+    // strict_increase — chains only extend on strictly increasing ts.
+    // Timestamps are truncated to the HOUR (r15 gate-layer audit): the
+    // raw microsecond fixture has no ties, so strict_increase was
+    // output-identical to the plain funnel and the mode was invisible;
+    // same-hour step events now tie and the strict scan visibly freezes.
     "q_funnel_increase" -> { (s, dir) =>
       import s.implicits._
       graft.operators.Funnel.windowFunnel(
-        Tables.load(s, dir, "events"), "user_id", "ts",
+        Tables.load(s, dir, "events")
+          .withColumn("ts", date_trunc("hour", $"ts")), "user_id", "ts",
         Seq($"event_type" === "view", $"event_type" === "click",
           $"event_type" === "purchase"),
         windowSec = 86400L, strictIncrease = true)
@@ -371,11 +376,15 @@ object SparkEntry {
           $"event_type" === "purchase"))
     },
 
-    // ClickHouse retention(signup, view, purchase): per-user flag columns
+    // ClickHouse retention(signup, view, purchase): per-user flag columns.
+    // Day-one slice only (r15 gate-layer audit): over the full 30-day
+    // fixture every user has all three event types, so the flags were
+    // constant (1,1,1) and ANY flag-logic bug (anchoring, condition
+    // order) was invisible. Day one yields all 8 flag combinations.
     "q_retention_flags" -> { (s, dir) =>
       import s.implicits._
       graft.operators.Retention.retentionFlags(
-        Tables.load(s, dir, "events"), "user_id",
+        Tables.load(s, dir, "events").filter($"ts" < "2024-01-02"), "user_id",
         Seq($"event_type" === "signup", $"event_type" === "view",
           $"event_type" === "purchase"))
     },
@@ -2161,7 +2170,8 @@ object SparkEntry {
     * frozen / first-event flags, exactly the strictLevel fold's slots.
     * Validated against an independent Python reimplementation on the
     * sf0.01 events table (all three modes byte-identical). */
-  private def funnelStrictOracle(mode: String): String = {
+  private def funnelStrictOracle(mode: String,
+      tsExpr: String = "epoch_us(ts)"): String = {
     val (evFilter, viol, inc) = mode match {
       case "strict_order" => ("",
         "(q0.s = -1 AND q0.fe) OR (q0.s = 1 AND q0.s1 < 0) OR (q0.s = 2 AND q0.s2 < 0)",
@@ -2174,7 +2184,7 @@ object SparkEntry {
     val ext1Inc = if (inc) " AND q2.l1 < q2.t" else ""
     val ext2Inc = if (inc) " AND q2.l2 < q2.t" else ""
     s"""WITH RECURSIVE ev AS (
-       |  SELECT user_id, epoch_us(ts) AS t,
+       |  SELECT user_id, $tsExpr AS t,
        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
        |         WHEN 'purchase' THEN 2 ELSE -1 END AS s
        |  FROM events
@@ -2243,7 +2253,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_funnel_strict" -> funnelStrictOracle("strict_order"),
     "q_funnel_dedup" -> funnelStrictOracle("strict_dedup"),
-    "q_funnel_increase" -> funnelStrictOracle("strict_increase"),
+    "q_funnel_increase" -> funnelStrictOracle("strict_increase",
+      tsExpr = "epoch_us(date_trunc('hour', ts))"),
 
     // greedy non-overlapping chain count, replayed as a (ptr, cnt) scan —
     // the sequence family's recursive-CTE oracle (steps are disjoint
@@ -2303,7 +2314,8 @@ object SparkEntry {
         |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
-        |  FROM events GROUP BY user_id)""".stripMargin,
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        |  GROUP BY user_id)""".stripMargin,
 
     // BMP is lossless and GIF's palette covers the ≤231-color fixture:
     // the round-trip must be bit-exact per row, stated as constants
