@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.filters._
+
+/** Gate-layer mutation audit, round 7: the incremental STORE gates —
+  * the cross-run semantics a daily 100 TB pipeline depends on (a store
+  * probe that silently drops nothing, a lost increment, history ignored
+  * on read) — plus connected-components convergence and the json/
+  * convert chain. Same contract as rounds 1-6. */
+class OracleMutation5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(c => col(s"`$c`")): _*)
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  private def assertCaught(gate: String)(mutated: => DataFrame): Unit = {
+    val orig = canon(SparkEntry.queries(gate)(spark, dir))
+    val mut = canon(mutated)
+    assert(orig != mut,
+      s"$gate: the seeded bug produced IDENTICAL output — the fixture " +
+        "does not exercise the mutated path, so the oracle could never " +
+        "catch this regression")
+  }
+
+  private def docs: DataFrame = Tables.load(spark, dir, "documents")
+  private def events: DataFrame = Tables.load(spark, dir, "events")
+
+  test("q_asof_store: ignoring pre-split store history loses matches") {
+    assertCaught("q_asof_store") {
+      val T = lit("2024-01-15 00:00:00").cast("timestamp")
+      // bug: the enrichment joins only the post-split increment — events
+      // whose latest purchase predates the split lose their match
+      val purch = events.filter($"event_type" === "purchase" && $"ts" >= T)
+        .select($"user_id", $"ts", $"value")
+      graft.operators.AsOfJoin.leftAsOf(
+        events.filter($"ts" >= T).select($"event_id", $"user_id", $"ts"),
+        purch, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"), suffix = "_purchase")
+        .select($"event_id", $"user_id", $"ts", $"ts_purchase", $"value_purchase")
+    }
+  }
+
+  test("q_dedup_store_exact: a probe that drops nothing is caught") {
+    assertCaught("q_dedup_store_exact") {
+      docs.filter($"doc_id" >= 250).select($"doc_id", $"text")
+    }
+  }
+
+  test("q_dedup_store_near: a near-probe that drops nothing is caught") {
+    assertCaught("q_dedup_store_near") {
+      docs.filter($"doc_id" >= 250).select($"doc_id", $"source")
+    }
+  }
+
+  test("q_dedup_store_sem: a semantic probe that drops nothing is caught") {
+    assertCaught("q_dedup_store_sem") {
+      Tables.load(spark, dir, "embeddings")
+        .filter($"vec_id" >= 250).select($"vec_id")
+    }
+  }
+
+  test("q_vocab_store: a lost increment halves the merged counts") {
+    assertCaught("q_vocab_store") {
+      val ta = graft.ml.TextAnalysis
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-mut-vocab").toString + "/vocab"
+      // bug: the second (odd-doc) append never lands in the store
+      ta.appendToVocabStore(docs.filter($"doc_id" % 2 === 0), "text", store)
+      ta.compactVocabStore(spark, store, targetFiles = 4)
+      ta.vocabularyFromStore(spark, store, minCount = 3, topN = 50)
+    }
+  }
+
+  test("q_dedup_clusters: treating the pair list as directed loses " +
+      "members (AUDIT FINDING: convergence depth is fixture-invisible)") {
+    // First-pass mutation — label propagation stopped after ONE round —
+    // produced IDENTICAL output: every natural component at sf0.01 is a
+    // star/triangle whose members all sit one hop from the min id, so
+    // convergence depth cannot be seen by this gate. Multi-hop chains
+    // are unit-pinned instead (MlSpec "clusters: transitive min-id
+    // components", both local and distributed paths). The catchable bug
+    // class here is DIRECTEDNESS: forgetting the reverse edge union
+    // drops every node that only ever appears on the right of a pair.
+    assertCaught("q_dedup_clusters") {
+      val pairs = graft.ml.Dedup.minhashPairs(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.9)
+      val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst")).distinct()
+      edges.groupBy("src").agg(min("dst").as("__mn"))
+        .select($"src".as("id"), least($"src", $"__mn").as("rep"))
+    }
+  }
+
+  test("q_json_convert: converting to the wrong target type is caught") {
+    assertCaught("q_json_convert") {
+      val parsed = FilterBox(JsonFilter("props", target = Some("pm"))).stage(events)
+        .withColumn("k", element_at($"pm", "k"))
+      val conv = FilterBox(ConvertFilter(Map(
+        "k" -> ConvertFilter.Spec("float")))).stage(parsed)
+      conv.select($"event_id", $"k")
+    }
+  }
+}
