@@ -99,6 +99,54 @@ class OracleMutation5Spec extends SparkSpec {
     }
   }
 
+  // ---- media gates (the parameterized subset — container kernels
+  //      themselves are pinned by MultimodalSpec fixtures) ----
+
+  test("q_video_frames: sampling fewer frames than configured is caught") {
+    assertCaught("q_video_frames") {
+      val mm = graft.ml.Multimodal
+      mm.sampleFrames(mm.synthesizeMp4sSampled(
+        docs.select($"doc_id"), "doc_id"), n = 3)
+    }
+  }
+
+  test("q_audio_resample: a wrong target rate changes every sample") {
+    assertCaught("q_audio_resample") {
+      val mm = graft.ml.Multimodal
+      val at22k = mm.resamplePcm(
+        mm.synthesizeWavs(docs.select($"doc_id"), "doc_id"), 22050)
+      mm.decodeWavPcm(at22k)
+        .select(col("media_id"),
+          col("pcm.n_samples").as("n_samples"),
+          col("pcm.sum_sq").as("sum_sq"),
+          col("pcm.peak").as("peak"),
+          col("pcm.zero_cross").as("zero_cross"))
+    }
+  }
+
+  test("q_multimodal_curate: a lowered audio-energy gate admits quieter " +
+      "clips") {
+    assertCaught("q_multimodal_curate") {
+      val mm = graft.ml.Multimodal
+      val d = docs.select($"doc_id")
+      def cls(m: Int) = d.filter(pmod($"doc_id", lit(3)) === m)
+      val imgKeep = mm.decodeImagePixels(mm.synthesizeImageVariants(cls(0), "doc_id"))
+        .groupBy(col("px.ahash_hi"), col("px.ahash_lo"))
+        .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("metric"))
+        .select(col("media_id"), lit("image").as("media_type"), col("metric"))
+      val audKeep = mm.decodeWavPcm(mm.synthesizeWavs(cls(1), "doc_id"))
+        .select(col("media_id"),
+          expr("pcm.sum_sq div pcm.n_samples").as("metric"))
+        .filter(col("metric") >= 60000000L) // bug: 8e7 → 6e7
+        .select(col("media_id"), lit("audio").as("media_type"), col("metric"))
+      val vidKeep = mm.sampleFrames(mm.synthesizeMp4sSampled(cls(2), "doc_id"), n = 2)
+        .groupBy("media_id").agg(sum(col("frame_size")).as("metric"))
+        .filter(col("metric") >= 240L)
+        .select(col("media_id"), lit("video").as("media_type"), col("metric"))
+      imgKeep.unionByName(audKeep).unionByName(vidKeep)
+    }
+  }
+
   test("q_json_convert: converting to the wrong target type is caught") {
     assertCaught("q_json_convert") {
       val parsed = FilterBox(JsonFilter("props", target = Some("pm"))).stage(events)
