@@ -36,6 +36,13 @@ object SparkEntry {
     }))
     p
   }
+  /** q_mojibake's planted artifact suffixes — ONE definition shared by
+    * the Spark gate and the interpolated oracle SQL so the planted bytes
+    * agree on both engines (mojibake: "caf" + e-acute-through-latin-1 +
+    * a cp1252 smart quote; then two U+FFFD replacement chars). */
+  private val mojibakeSuffix = " cafÃ© â€™quoted"
+  private val replacementSuffix = " ��"
+
   private def gateTmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(gateTmpRoot, prefix).toString
 
@@ -1522,6 +1529,21 @@ object SparkEntry {
     "q_repetition" -> { (s, dir) =>
       graft.ml.TextAnalysis.repetitionStats(
         Tables.load(s, dir, "documents"), "text", "doc_id")
+    },
+
+    // Encoding-artifact scoring (mojibake / replacement chars / control
+    // bleed-through) — the corpus is clean ASCII, so artifacts are
+    // planted deterministically; overlapping residues exercise rows
+    // carrying several signals at once
+    "q_mojibake" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Tables.load(s, dir, "documents").select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 4 === 0, lit(mojibakeSuffix)).otherwise(lit("")),
+          when($"doc_id" % 5 === 0, lit(replacementSuffix)).otherwise(lit("")),
+          when($"doc_id" % 7 === 0, lit(" x\u0001y")).otherwise(lit("")))
+          .as("text"))
+      graft.ml.TextAnalysis.encodingArtifacts(planted, "text", "doc_id")
     },
 
     // PII scrubbing over synthesized addresses/IPs/phones (documents
@@ -4120,6 +4142,27 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN m2 ON d.doc_id = m2.doc_id
         |LEFT JOIN m5 ON d.doc_id = m5.doc_id""".stripMargin,
+
+    // encoding artifacts: the SQL interpolates the SAME Scala constants
+    // the gate plants (suffixes) and the operator defines (the literal
+    // mojibake alternation — it is the operator's public contract, like
+    // bpeGateMerges), so planted text and counting patterns are
+    // byte-identical on both engines; the control char enters via
+    // chr(1) to keep the SQL string printable
+    "q_mojibake" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN '$mojibakeSuffix' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN '$replacementSuffix' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' x' || chr(1) || 'y' ELSE '' END
+         |    AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+         |  CAST(len(regexp_extract_all(text, '${graft.ml.TextAnalysis.MojibakePattern}')) AS BIGINT) AS n_mojibake,
+         |  CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_ctrl
+         |FROM planted""".stripMargin,
 
     "q_pii_scrub" ->
       """SELECT doc_id,

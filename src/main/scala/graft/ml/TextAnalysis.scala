@@ -189,6 +189,45 @@ object TextAnalysis {
     regexp_replace(ip, """\b\d{3}[- ]\d{3,4}[- ]\d{4}\b""", "<PHONE>")
   }
 
+  /** Common UTF-8-decoded-as-Latin-1 mojibake signatures, as FIXED
+    * literals (é→Ã©, smart quotes→â€™/â€œ, °→Â°, ·→Â·, è/ü/ñ): literal
+    * alternation only, so the pattern means exactly the same thing to
+    * Java regex and RE2 — no class/anchor semantics to diverge on. */
+  private[graft] val MojibakePattern: String = Seq(
+    "\u00C3\u00A9", // "\u00C3\u00A9" <- e-acute through latin-1
+    "\u00C3\u00A8", // e-grave
+    "\u00C3\u00BC", // u-umlaut
+    "\u00C3\u00B1", // n-tilde
+    "\u00E2\u20AC\u2122", // right single quote (cp1252 convention)
+    "\u00E2\u20AC\u0153", // left double quote
+    "\u00C2\u00B0", // degree sign
+    "\u00C2\u00B7" // middle dot
+  ).mkString("|")
+
+  /** Encoding-artifact scoring — the corpus-cleaning signal for text
+    * that survived a broken decode chain. Per document, three exact
+    * integer counts (CCNet-style cleaners threshold on these; thresholds
+    * stay with the caller so the counts remain engine-comparable):
+    *  - n_replacement: U+FFFD replacement characters (a decoder already
+    *    gave up here)
+    *  - n_mojibake: [[MojibakePattern]] hits — UTF-8 bytes re-decoded as
+    *    Latin-1 (the classic "Ã©" for "é")
+    *  - n_ctrl: C0 control characters other than tab/newline/carriage
+    *    return (binary bleed-through)
+    * Pure per-row codegen'd regexp counts — no shuffle, no UDF; the
+    * DuckDB oracle replays the identical literal patterns. The reference
+    * engine has no analog (beyond-reference quality family, like
+    * [[repetitionStats]]). */
+  def encodingArtifacts(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val t = col(s"`$textCol`")
+    df.select(col(s"`$idCol`"),
+      regexp_count(t, lit("�")).cast("long").as("n_replacement"),
+      regexp_count(t, lit(MojibakePattern)).cast("long").as("n_mojibake"),
+      regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+        .cast("long").as("n_ctrl"))
+  }
+
   /** Per-document top-k rare terms, tf-idf style. Rarity weight is the
     * LOG-FREE form tf · N / df — a monotone rarity measure whose double
     * arithmetic (integer multiply, one correctly-rounded divide) is

@@ -147,6 +147,29 @@ class OracleMutation5Spec extends SparkSpec {
     }
   }
 
+  test("q_mojibake: a mojibake pattern missing the smart-quote entry " +
+      "undercounts") {
+    assertCaught("q_mojibake") {
+      // same planted corpus (byte-identical suffixes), but the counting
+      // pattern lost its cp1252 smart-quote alternative - every %4 row
+      // drops from 2 mojibake hits to 1
+      val d = docs.select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 4 === 0,
+            lit(" caf\u00C3\u00A9 \u00E2\u20AC\u2122quoted")).otherwise(lit("")),
+          when($"doc_id" % 5 === 0, lit(" \uFFFD\uFFFD")).otherwise(lit("")),
+          when($"doc_id" % 7 === 0, lit(" x\u0001y")).otherwise(lit("")))
+          .as("text"))
+      val buggyPattern = Seq("\u00C3\u00A9", "\u00C3\u00A8", "\u00C3\u00BC",
+        "\u00C3\u00B1", "\u00C2\u00B0", "\u00C2\u00B7").mkString("|")
+      d.select($"doc_id",
+        regexp_count($"text", lit("\uFFFD")).cast("long").as("n_replacement"),
+        regexp_count($"text", lit(buggyPattern)).cast("long").as("n_mojibake"),
+        regexp_count($"text", lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+          .cast("long").as("n_ctrl"))
+    }
+  }
+
   test("q_json_convert: converting to the wrong target type is caught") {
     assertCaught("q_json_convert") {
       val parsed = FilterBox(JsonFilter("props", target = Some("pm"))).stage(events)

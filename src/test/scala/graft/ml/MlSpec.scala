@@ -1018,4 +1018,32 @@ class MlSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(TextAnalysis.qualityBand(same, "text", "doc_id", 0.7).count() == 20L)
   }
+  test("encodingArtifacts: counts each artifact class; clean text is zeros") {
+    import graft.ml.TextAnalysis
+    val rows = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, "caf\u00C3\u00A9 and caf\u00C3\u00A9 again"),            // 2 mojibake
+      (3L, "broken \uFFFD decode \uFFFD\uFFFD here"),                 // 3 replacement
+      (4L, "ctrl x\u0001y\u0002z but tab\tand newline\nare fine"),   // 2 ctrl
+      (5L, "smart \u00E2\u20AC\u2122 quote and \u00C2\u00B0 degree") // 2 mojibake
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingArtifacts(rows, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 0L, 0L, 0L),
+      (2L, 0L, 2L, 0L),
+      (3L, 3L, 0L, 0L),
+      (4L, 0L, 0L, 2L),
+      (5L, 0L, 2L, 0L)))
+  }
+
+  test("encodingArtifacts: null text nulls through (caller keeps the null policy)") {
+    import graft.ml.TextAnalysis
+    val rows = Seq((1L, null: String), (2L, "ok")).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingArtifacts(rows, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2) && got(0).isNullAt(3))
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L && got(1).getLong(3) == 0L)
+  }
+
 }
