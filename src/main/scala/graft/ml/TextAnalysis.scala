@@ -219,14 +219,18 @@ object TextAnalysis {
     * engine has no analog (beyond-reference quality family, like
     * [[repetitionStats]]). */
   def encodingArtifacts(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    val t = col(s"`$textCol`")
-    df.select(col(s"`$idCol`"),
-      regexp_count(t, lit("�")).cast("long").as("n_replacement"),
-      regexp_count(t, lit(MojibakePattern)).cast("long").as("n_mojibake"),
-      regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
-        .cast("long").as("n_ctrl"))
-  }
+      idCol: String): DataFrame =
+    df.select(col(s"`$idCol`") +: encodingArtifactCols(col(s"`$textCol`"))
+      .map { case (n, c) => c.as(n) }: _*)
+
+  /** The [[encodingArtifacts]] count columns as (name, expression) pairs —
+    * shared by the select-shaped scorer above and the pipeline stage
+    * (`EncodingArtifacts` in Planner), which appends them in flag mode. */
+  def encodingArtifactCols(text: Column): Seq[(String, Column)] = Seq(
+    "n_replacement" -> regexp_count(text, lit("�")).cast("long"),
+    "n_mojibake" -> regexp_count(text, lit(MojibakePattern)).cast("long"),
+    "n_ctrl" -> regexp_count(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+      .cast("long"))
 
   /** Per-document top-k rare terms, tf-idf style. Rarity weight is the
     * LOG-FREE form tf · N / df — a monotone rarity measure whose double

@@ -703,6 +703,35 @@ object Planner {
         }
       case "TextProfile" =>
         df => graft.ml.TextAnalysis.profile(df, text)
+      case "EncodingArtifacts" =>
+        // mojibake / replacement-char / control-char counts (the broken-
+        // decode-chain signal): `flag` (default) appends the three count
+        // columns; `drop` filters rows whose counts exceed the per-class
+        // maxima (all default 0 — any artifact drops the row) and keeps
+        // the original schema. NULL text carries no artifacts in drop
+        // mode (counts coalesce to 0 — null policy stays the caller's,
+        // matching QualityRules' keep-shape contract).
+        val dropMode = conf.str("mode").getOrElse("flag") match {
+          case "drop" => true
+          case "flag" => false
+          case other =>
+            sys.error(s"EncodingArtifacts mode must be flag|drop, got '$other'")
+        }
+        val maxima = Seq(
+          "n_replacement" -> conf.long("max_replacement", 0L),
+          "n_mojibake" -> conf.long("max_mojibake", 0L),
+          "n_ctrl" -> conf.long("max_ctrl", 0L))
+        df => {
+          val cols = graft.ml.TextAnalysis.encodingArtifactCols(col(text))
+          if (!dropMode)
+            cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+          else {
+            val keep = cols.zip(maxima).map { case ((_, c), (_, m)) =>
+              coalesce(c, lit(0L)) <= m
+            }.reduce(_ && _)
+            df.filter(keep)
+          }
+        }
       case "Outlinks" =>
         // href extraction: (id_field, dst_url, dst_host) exploded per link
         df => graft.ml.LinkGraph.extractOutlinks(df, text, id)

@@ -627,6 +627,34 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("EncodingArtifacts stage flags and drops broken-decode rows") {
+    val df = Seq(
+      (0L, "clean ascii text"),
+      (1L, "caf\u00C3\u00A9 mojibake"),
+      (2L, "lost \uFFFD byte"),
+      (3L, "ctrl x\u0001y"),
+      (4L, null: String)).toDF("id", "text")
+    val flagged = Planner.corpusStage("EncodingArtifacts",
+      Map("src" -> "text"))(df)
+    assert(flagged.columns.toSeq ==
+      Seq("id", "text", "n_replacement", "n_mojibake", "n_ctrl"))
+    val m = flagged.select("id", "n_mojibake").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(m(1L).contains(1L) && m(0L).contains(0L) && m(4L).isEmpty)
+    val dropped = Planner.corpusStage("EncodingArtifacts",
+      Map("src" -> "text", "mode" -> "drop"))(df)
+    // any artifact drops the row; the NULL-text row carries none and stays
+    assert(dropped.columns.toSeq == Seq("id", "text"))
+    assert(dropped.select("id").as[Long].collect().toSet == Set(0L, 4L))
+    val lenient = Planner.corpusStage("EncodingArtifacts",
+      Map("src" -> "text", "mode" -> "drop", "max_mojibake" -> 1))(df)
+    assert(lenient.select("id").as[Long].collect().toSet == Set(0L, 1L, 4L))
+    intercept[RuntimeException] {
+      Planner.corpusStage("EncodingArtifacts",
+        Map("src" -> "text", "mode" -> "bogus"))(df)
+    }
+  }
+
   test("Outlinks/HostGraph/PageRank stages chain the link-graph family") {
     val pages = Seq(
       (0L, "http://a.example/0",
