@@ -455,6 +455,7 @@ object Planner {
 
   private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
     "AssignSplits", "PackSequences", "Chunk", "UrlDedup", "TextProfile",
+    "EncodingArtifacts",
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
     "ClusterBalance",
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
@@ -1494,7 +1495,7 @@ object Planner {
     * forced into the foreachBatch tail by [[streamingSplit]]. */
   private val StreamableCorpusStages = Set("Mix", "AssignSplits", "TextProfile",
     "StripHtml", "Normalize", "QualityRules", "LineFilter", "Outlinks",
-    "CompressionRatio")
+    "CompressionRatio", "EncodingArtifacts")
 
   /** Config-dependent streamability on top of the static whitelist (r14
     * verdict task 7 — streaming curation parity): the composed curation

@@ -81,6 +81,15 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(s3.map(_._1) ==
       Seq("StripHtml", "LineFilter", "QualityRules", "Outlinks"))
     assert(b3.map(_._1) == Seq("Dedup"))
+
+    // EncodingArtifacts is a pure per-row regexp count (flag or drop) —
+    // it must score ON the stream, not buffer into the tail
+    val enc = Seq(
+      "EncodingArtifacts" -> Map[String, Any]("src" -> "text", "mode" -> "drop"),
+      "Dedup" -> Map[String, Any]("method" -> "exact"))
+    val (s4, b4) = Planner.streamingSplit(enc)
+    assert(s4.map(_._1) == Seq("EncodingArtifacts"))
+    assert(b4.map(_._1) == Seq("Dedup"))
   }
 
   test("curation-on-ingest runs live on the stream: strip, line filter, rules") {
