@@ -1531,6 +1531,24 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "text", "doc_id")
     },
 
+    // Within-doc duplicate-line fractions (the remaining Gopher
+    // repetition rules beside q_repetition's n-gram pair). Corpus text
+    // is single-line, so multi-line docs are synthesized with 1-3
+    // copies of a shared line (residues 2 and 3 overlap at 6) plus
+    // per-doc unique lines — fractions take several distinct values
+    "q_dup_lines" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val multi = docs.select($"doc_id", concat_ws("\n",
+        $"text", lit("shared dup line"),
+        when($"doc_id" % 2 === 0, lit("shared dup line"))
+          .otherwise(concat(lit("unique a "), $"doc_id".cast("string"))),
+        when($"doc_id" % 3 === 0, lit("shared dup line"))
+          .otherwise(concat(lit("unique b "), $"doc_id".cast("string"))),
+        concat(lit("tail "), $"doc_id".cast("string"))).as("text"))
+      graft.ml.TextAnalysis.dupLineStats(multi, "text", "doc_id")
+    },
+
     // Encoding-artifact scoring (mojibake / replacement chars / control
     // bleed-through) — the corpus is clean ASCII, so artifacts are
     // planted deterministically; overlapping residues exercise rows
@@ -4109,6 +4127,47 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_guess,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM m""".stripMargin,
+
+    // duplicate-line stats: the oracle re-sorts the planted line lists
+    // and replays the neighbor-equality flags with DuckDB's 1-based
+    // two-arg lambda; out-of-range ls[0]/ls[len+1] read NULL, and
+    // (guard AND NULL) is FALSE, matching the Spark side's index guards.
+    // Counts/sums are order-insensitive, so even a collation difference
+    // in the sort could not diverge the output (equal lines group
+    // adjacently under ANY total order).
+    "q_dup_lines" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'shared dup line' || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'shared dup line'
+        |         ELSE 'unique a ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'shared dup line'
+        |         ELSE 'unique b ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+        |    'tail ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    list_sort(list_filter(string_split(text, chr(10)),
+        |      x -> len(x) > 0)) AS ls
+        |  FROM m
+        |), fl AS (
+        |  SELECT doc_id, ls,
+        |    list_transform(ls, (x, i) ->
+        |      (i > 1 AND x = ls[i-1]) OR (i < len(ls) AND x = ls[i+1])) AS flags
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(flags, b -> b)) AS BIGINT) AS n_dup_lines,
+        |  CASE WHEN len(ls) > 0 THEN
+        |    CAST(len(list_filter(flags, b -> b)) AS DOUBLE) / len(ls)
+        |  END AS dup_line_frac,
+        |  CASE WHEN list_sum(list_transform(ls, x -> len(x))) > 0 THEN
+        |    CAST(list_sum(list_transform(list_zip(ls, flags),
+        |      z -> CASE WHEN z[2] THEN len(z[1]) ELSE 0 END)) AS DOUBLE) /
+        |      list_sum(list_transform(ls, x -> len(x)))
+        |  END AS dup_char_frac
+        |FROM fl""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (

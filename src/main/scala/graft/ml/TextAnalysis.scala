@@ -102,6 +102,48 @@ object TextAnalysis {
       .otherwise(lit(0L))
   }
 
+  /** WITHIN-document duplicate-line statistics — the remaining Gopher
+    * repetition rules ([[repetitionStats]] covers the n-gram family;
+    * these are "duplicate line fraction" and "duplicate line character
+    * fraction"): per document, over its NON-EMPTY lines,
+    *  - n_lines
+    *  - n_dup_lines: lines whose exact text occurs ≥ 2 times in the doc
+    *  - dup_line_frac = n_dup_lines / n_lines
+    *  - dup_char_frac = characters in duplicated lines / characters in
+    *    all lines (newlines excluded from both sides)
+    * Exact integer counts plus one correctly-rounded double divide each,
+    * so the DuckDB oracle replays bit-for-bit. Pure array expressions:
+    * sort the line list once, then a line is duplicated iff it equals
+    * its sorted predecessor or successor — O(n log n) per row, no O(n²)
+    * membership scans, no shuffle, no UDF. Zero-line docs yield zero
+    * counts and NULL fractions. */
+  def dupLineStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // the sorted line array is materialized as a REAL column first: the
+    // per-element lambda below indexes into it (element_at), and an
+    // attribute reference evaluates once per row where an inline
+    // expression tree would re-embed (and re-run) the sort per element
+    val base = df.select(col(s"`$idCol`"),
+      array_sort(filter(split(col(s"`$textCol`"), "\n", -1),
+        l => length(l) > 0)).as("__graft_ls"))
+    val ls = col("__graft_ls")
+    val n = size(ls)
+    // lambda i is 0-based; element_at is 1-based: prev = i, next = i + 2
+    val flags = transform(ls, (x, i) =>
+      (i > 0 && x === element_at(ls, i)) ||
+        (i < size(ls) - 1 && x === element_at(ls, i + 2)))
+    val nDup = aggregate(flags, lit(0), (a, f) => a + when(f, 1).otherwise(0))
+    val dupChars = aggregate(
+      zip_with(ls, flags, (x, f) => when(f, length(x)).otherwise(0)),
+      lit(0L), (a, c) => a + c)
+    val allChars = aggregate(ls, lit(0L), (a, x) => a + length(x))
+    base.select(col(s"`$idCol`"),
+      n.cast("long").as("n_lines"),
+      nDup.cast("long").as("n_dup_lines"),
+      when(n > 0, nDup.cast("double") / n).as("dup_line_frac"),
+      when(allChars > 0, dupChars.cast("double") / allChars)
+        .as("dup_char_frac"))
+  }
+
   /** All word n-grams in order, WITH repeats (unlike Dedup.shingles'
     * distinct sets): size−n+1 grams, none for docs shorter than n
     * tokens. Native one-pass kernel (ShingleFns). */

@@ -170,6 +170,38 @@ class OracleMutation5Spec extends SparkSpec {
     }
   }
 
+  test("q_dup_lines: flags missing the successor check miss the first " +
+      "member of every duplicate group") {
+    assertCaught("q_dup_lines") {
+      val multi = docs.select($"doc_id", concat_ws("\n",
+        $"text", lit("shared dup line"),
+        when($"doc_id" % 2 === 0, lit("shared dup line"))
+          .otherwise(concat(lit("unique a "), $"doc_id".cast("string"))),
+        when($"doc_id" % 3 === 0, lit("shared dup line"))
+          .otherwise(concat(lit("unique b "), $"doc_id".cast("string"))),
+        concat(lit("tail "), $"doc_id".cast("string"))).as("text"))
+      val base = multi.select($"doc_id",
+        array_sort(filter(split($"text", "\n", -1), l => length(l) > 0))
+          .as("__ls"))
+      val ls = col("__ls")
+      // bug: only the predecessor is compared - the FIRST line of each
+      // duplicate run never flags, undercounting every dup group by one
+      val flags = transform(ls, (x, i) => i > 0 && x === element_at(ls, i))
+      val n = size(ls)
+      val nDup = aggregate(flags, lit(0), (a, f) => a + when(f, 1).otherwise(0))
+      val dupChars = aggregate(
+        zip_with(ls, flags, (x, f) => when(f, length(x)).otherwise(0)),
+        lit(0L), (a, c) => a + c)
+      val allChars = aggregate(ls, lit(0L), (a, x) => a + length(x))
+      base.select($"doc_id",
+        n.cast("long").as("n_lines"),
+        nDup.cast("long").as("n_dup_lines"),
+        when(n > 0, nDup.cast("double") / n).as("dup_line_frac"),
+        when(allChars > 0, dupChars.cast("double") / allChars)
+          .as("dup_char_frac"))
+    }
+  }
+
   test("q_json_convert: converting to the wrong target type is caught") {
     assertCaught("q_json_convert") {
       val parsed = FilterBox(JsonFilter("props", target = Some("pm"))).stage(events)

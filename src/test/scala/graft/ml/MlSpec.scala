@@ -1046,4 +1046,24 @@ class MlSpec extends SparkSpec {
     assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L && got(1).getLong(3) == 0L)
   }
 
+  test("dupLineStats: neighbor-flag counts, empty-line exclusion, null fracs") {
+    import graft.ml.TextAnalysis
+    val rows = Seq(
+      (1L, "a\nb\nc"),                  // no dups
+      (2L, "a\na\nb\n\nb\nc"),       // two dup pairs, empty line ignored
+      (3L, "x\nx\nx"),                  // one triple
+      (4L, ""),                           // no non-empty lines
+      (5L, "lone")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupLineStats(rows, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // (n_lines, n_dup_lines)
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((3L, 0L), (5L, 4L), (3L, 3L), (0L, 0L), (1L, 0L)))
+    assert(got(1).getDouble(3) == 0.8)        // 4/5
+    assert(got(2).getDouble(3) == 1.0)
+    assert(got(3).isNullAt(3) && got(3).isNullAt(4))
+    assert(got(2).getDouble(4) == 1.0)        // all chars duplicated
+  }
+
 }
