@@ -252,6 +252,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("encoding-artifact and dup-line scoring stay zero-exchange narrow maps") {
+    // both are per-row quality signals (regexp counts / sorted-neighbor
+    // line flags) — at 100 TB they must score at scan speed; any
+    // Exchange here means a kernel regressed into a shuffle
+    for (q <- Seq("q_mojibake", "q_dup_lines")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q shuffles a narrow map:\n$plan")
+      // "*(n)" is executedPlan.toString's whole-stage-codegen marker
+      assert(plan.contains("*(1)"), s"$q left codegen:\n$plan")
+    }
+  }
+
   test("multimodal decode stays narrow: no shuffle between synthesis and decode") {
     // the decode seam is mapPartitions over mapPartitions (plus a union
     // for the mixed gate) — payload bytes must never cross an Exchange;
