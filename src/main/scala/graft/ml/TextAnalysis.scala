@@ -123,9 +123,20 @@ object TextAnalysis {
     // attribute reference evaluates once per row where an inline
     // expression tree would re-embed (and re-run) the sort per element
     val base = df.select(col(s"`$idCol`"),
-      array_sort(filter(split(col(s"`$textCol`"), "\n", -1),
-        l => length(l) > 0)).as("__graft_ls"))
-    val ls = col("__graft_ls")
+      sortedLines(col(s"`$textCol`")).as("__graft_ls"))
+    base.select(col(s"`$idCol`") +: dupLineStatCols(col("__graft_ls"))
+      .map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** The sorted non-empty-line array [[dupLineStatCols]] consumes — keep
+    * it a REAL column (select/withColumn) before building the stats. */
+  def sortedLines(text: Column): Column =
+    array_sort(filter(split(text, "\n", -1), l => length(l) > 0))
+
+  /** [[dupLineStats]]'s count/fraction columns from a MATERIALIZED
+    * sorted-line array column — shared by the select-shaped scorer and
+    * the `DupLines` pipeline stage (which appends them in flag mode). */
+  def dupLineStatCols(ls: Column): Seq[(String, Column)] = {
     val n = size(ls)
     // lambda i is 0-based; element_at is 1-based: prev = i, next = i + 2
     val flags = transform(ls, (x, i) =>
@@ -136,12 +147,11 @@ object TextAnalysis {
       zip_with(ls, flags, (x, f) => when(f, length(x)).otherwise(0)),
       lit(0L), (a, c) => a + c)
     val allChars = aggregate(ls, lit(0L), (a, x) => a + length(x))
-    base.select(col(s"`$idCol`"),
-      n.cast("long").as("n_lines"),
-      nDup.cast("long").as("n_dup_lines"),
-      when(n > 0, nDup.cast("double") / n).as("dup_line_frac"),
-      when(allChars > 0, dupChars.cast("double") / allChars)
-        .as("dup_char_frac"))
+    Seq(
+      "n_lines" -> n.cast("long"),
+      "n_dup_lines" -> nDup.cast("long"),
+      "dup_line_frac" -> when(n > 0, nDup.cast("double") / n),
+      "dup_char_frac" -> when(allChars > 0, dupChars.cast("double") / allChars))
   }
 
   /** All word n-grams in order, WITH repeats (unlike Dedup.shingles'

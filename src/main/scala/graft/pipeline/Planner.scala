@@ -455,7 +455,7 @@ object Planner {
 
   private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
     "AssignSplits", "PackSequences", "Chunk", "UrlDedup", "TextProfile",
-    "EncodingArtifacts",
+    "EncodingArtifacts", "DupLines",
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
     "ClusterBalance",
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
@@ -855,6 +855,37 @@ object Planner {
           conf.dbl("max_bullet_frac", 0.9), conf.dbl("max_ellipsis_frac", 0.3),
           conf.dbl("min_alpha_frac", 0.8), conf.int("min_stop_hits", 2),
           drop = dropMode)
+      case "DupLines" =>
+        // within-doc duplicate-line fractions (the Gopher repetition
+        // rules beside QualityRules' fixed thresholds): `flag` (default)
+        // appends n_lines/n_dup_lines/dup_line_frac/dup_char_frac;
+        // `drop` filters on the published Gopher cuts (dup_line_frac
+        // 0.30, dup_char_frac 0.20 — Rae et al. 2021 table A1) and
+        // keeps the original schema. Zero-line docs carry NULL fracs
+        // and are KEPT in drop mode (no evidence of repetition).
+        val dropMode = conf.str("mode").getOrElse("flag") match {
+          case "drop" => true
+          case "flag" => false
+          case other =>
+            sys.error(s"DupLines mode must be flag|drop, got '$other'")
+        }
+        val maxLineFrac = conf.dbl("max_dup_line_frac", 0.30)
+        val maxCharFrac = conf.dbl("max_dup_char_frac", 0.20)
+        df => {
+          val withLs = df.withColumn("__graft_dl_ls",
+            graft.ml.TextAnalysis.sortedLines(col(text)))
+          val cols = graft.ml.TextAnalysis.dupLineStatCols(col("__graft_dl_ls"))
+          if (!dropMode)
+            cols.foldLeft(withLs) { case (d, (n, c)) => d.withColumn(n, c) }
+              .drop("__graft_dl_ls")
+          else {
+            val byName = cols.toMap
+            withLs.filter(
+              coalesce(byName("dup_line_frac") <= maxLineFrac, lit(true)) &&
+                coalesce(byName("dup_char_frac") <= maxCharFrac, lit(true)))
+              .drop("__graft_dl_ls")
+          }
+        }
       case "QualityBand" =>
         // global top-(1-p) quality cut; `exact: false` switches to the
         // constant-memory approx threshold for corpus-scale runs
@@ -1495,7 +1526,7 @@ object Planner {
     * forced into the foreachBatch tail by [[streamingSplit]]. */
   private val StreamableCorpusStages = Set("Mix", "AssignSplits", "TextProfile",
     "StripHtml", "Normalize", "QualityRules", "LineFilter", "Outlinks",
-    "CompressionRatio", "EncodingArtifacts")
+    "CompressionRatio", "EncodingArtifacts", "DupLines")
 
   /** Config-dependent streamability on top of the static whitelist (r14
     * verdict task 7 — streaming curation parity): the composed curation

@@ -655,6 +655,30 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("DupLines stage flags and drops line-repetitive docs") {
+    val df = Seq(
+      (0L, "a\nb\nc\nd"),
+      (1L, "spam\nspam\nspam\nok"),   // dup_line_frac 0.75
+      (2L, ""),                           // zero lines: NULL fracs, kept
+      (3L, "x\nx\ny\nz\nw\nv\nu\nt\ns\nr")) // 2/10 = 0.2 dup lines
+      .toDF("id", "text")
+    val flagged = Planner.corpusStage("DupLines", Map("src" -> "text"))(df)
+    assert(flagged.columns.toSeq == Seq("id", "text",
+      "n_lines", "n_dup_lines", "dup_line_frac", "dup_char_frac"))
+    val m = flagged.select("id", "n_dup_lines").as[(Long, Long)].collect().toMap
+    assert(m(1L) == 3L && m(0L) == 0L && m(3L) == 2L)
+    val dropped = Planner.corpusStage("DupLines",
+      Map("src" -> "text", "mode" -> "drop"))(df)
+    // Gopher defaults: dup_line_frac <= 0.30 AND dup_char_frac <= 0.20;
+    // doc 1 fails both; doc 3 passes lines (0.2) but its dup chars are
+    // 2/10 = 0.2 <= 0.20, so it stays; the zero-line doc stays
+    assert(dropped.columns.toSeq == Seq("id", "text"))
+    assert(dropped.select("id").as[Long].collect().toSet == Set(0L, 2L, 3L))
+    intercept[RuntimeException] {
+      Planner.corpusStage("DupLines", Map("src" -> "text", "mode" -> "x"))(df)
+    }
+  }
+
   test("Outlinks/HostGraph/PageRank stages chain the link-graph family") {
     val pages = Seq(
       (0L, "http://a.example/0",

@@ -86,9 +86,10 @@ class StreamingPipelineSpec extends SparkSpec {
     // it must score ON the stream, not buffer into the tail
     val enc = Seq(
       "EncodingArtifacts" -> Map[String, Any]("src" -> "text", "mode" -> "drop"),
+      "DupLines" -> Map[String, Any]("src" -> "text", "mode" -> "drop"),
       "Dedup" -> Map[String, Any]("method" -> "exact"))
     val (s4, b4) = Planner.streamingSplit(enc)
-    assert(s4.map(_._1) == Seq("EncodingArtifacts"))
+    assert(s4.map(_._1) == Seq("EncodingArtifacts", "DupLines"))
     assert(b4.map(_._1) == Seq("Dedup"))
   }
 
