@@ -19,25 +19,8 @@ import graft.core.Tables
   * invisible; q_dedup_incremental: the halves shared no text so a
   * drop-nothing probe passed; q_geoip: no synthesized ip ever hit a
   * range boundary so inclusive-vs-exclusive bounds were untestable). */
-class OracleMutation2Spec extends SparkSpec {
+class OracleMutation2Spec extends SparkSpec with MutationAudit {
   import spark.implicits._
-
-  private val dir = "/root/testdata/sf0.01"
-
-  private def canon(df: DataFrame): Seq[String] = {
-    val cols = df.columns.sorted.toSeq
-    df.select(cols.map(c => col(s"`$c`")): _*)
-      .collect().map(_.toString).sorted.toSeq
-  }
-
-  private def assertCaught(gate: String)(mutated: => DataFrame): Unit = {
-    val orig = canon(SparkEntry.queries(gate)(spark, dir))
-    val mut = canon(mutated)
-    assert(orig != mut,
-      s"$gate: the seeded bug produced IDENTICAL output — the fixture " +
-        "does not exercise the mutated path, so the oracle could never " +
-        "catch this regression")
-  }
 
   private def docs: DataFrame = Tables.load(spark, dir, "documents")
 

@@ -11,25 +11,8 @@ import graft.filters._
   * OracleMutationSpec / OracleMutation2Spec — one plausible seeded bug
   * per test, same output schema, the driver's canonical compare must
   * tell it from the shipped gate. */
-class OracleMutation3Spec extends SparkSpec {
+class OracleMutation3Spec extends SparkSpec with MutationAudit {
   import spark.implicits._
-
-  private val dir = "/root/testdata/sf0.01"
-
-  private def canon(df: DataFrame): Seq[String] = {
-    val cols = df.columns.sorted.toSeq
-    df.select(cols.map(c => col(s"`$c`")): _*)
-      .collect().map(_.toString).sorted.toSeq
-  }
-
-  private def assertCaught(gate: String)(mutated: => DataFrame): Unit = {
-    val orig = canon(SparkEntry.queries(gate)(spark, dir))
-    val mut = canon(mutated)
-    assert(orig != mut,
-      s"$gate: the seeded bug produced IDENTICAL output — the fixture " +
-        "does not exercise the mutated path, so the oracle could never " +
-        "catch this regression")
-  }
 
   private def docs: DataFrame = Tables.load(spark, dir, "documents")
   private def events: DataFrame = Tables.load(spark, dir, "events")

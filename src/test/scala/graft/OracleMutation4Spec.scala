@@ -9,25 +9,8 @@ import graft.filters._
 /** Gate-layer mutation audit, round 6: funnel modes, link metrics,
   * retention, stores, mixture/band/clean, and the remaining string/
   * conform kernels. Same contract as OracleMutationSpec rounds 1-5. */
-class OracleMutation4Spec extends SparkSpec {
+class OracleMutation4Spec extends SparkSpec with MutationAudit {
   import spark.implicits._
-
-  private val dir = "/root/testdata/sf0.01"
-
-  private def canon(df: DataFrame): Seq[String] = {
-    val cols = df.columns.sorted.toSeq
-    df.select(cols.map(c => col(s"`$c`")): _*)
-      .collect().map(_.toString).sorted.toSeq
-  }
-
-  private def assertCaught(gate: String)(mutated: => DataFrame): Unit = {
-    val orig = canon(SparkEntry.queries(gate)(spark, dir))
-    val mut = canon(mutated)
-    assert(orig != mut,
-      s"$gate: the seeded bug produced IDENTICAL output — the fixture " +
-        "does not exercise the mutated path, so the oracle could never " +
-        "catch this regression")
-  }
 
   private def docs: DataFrame = Tables.load(spark, dir, "documents")
   private def events: DataFrame = Tables.load(spark, dir, "events")

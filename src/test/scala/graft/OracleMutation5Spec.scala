@@ -11,25 +11,8 @@ import graft.filters._
   * probe that silently drops nothing, a lost increment, history ignored
   * on read) — plus connected-components convergence and the json/
   * convert chain. Same contract as rounds 1-6. */
-class OracleMutation5Spec extends SparkSpec {
+class OracleMutation5Spec extends SparkSpec with MutationAudit {
   import spark.implicits._
-
-  private val dir = "/root/testdata/sf0.01"
-
-  private def canon(df: DataFrame): Seq[String] = {
-    val cols = df.columns.sorted.toSeq
-    df.select(cols.map(c => col(s"`$c`")): _*)
-      .collect().map(_.toString).sorted.toSeq
-  }
-
-  private def assertCaught(gate: String)(mutated: => DataFrame): Unit = {
-    val orig = canon(SparkEntry.queries(gate)(spark, dir))
-    val mut = canon(mutated)
-    assert(orig != mut,
-      s"$gate: the seeded bug produced IDENTICAL output — the fixture " +
-        "does not exercise the mutated path, so the oracle could never " +
-        "catch this regression")
-  }
 
   private def docs: DataFrame = Tables.load(spark, dir, "documents")
   private def events: DataFrame = Tables.load(spark, dir, "events")

@@ -10,26 +10,10 @@ import graft.filters._
 /** Gate-layer mutation audit, round 8 (mop-up): the TPC-H classics, the
   * template/variant/enrich operator chains, and the remaining text
   * scorers. Same contract as rounds 1-7. */
-class OracleMutation6Spec extends SparkSpec {
+class OracleMutation6Spec extends SparkSpec with MutationAudit {
   import spark.implicits._
 
-  private val dir = "/root/testdata/sf0.01"
   private val Dec = DecimalType(18, 4)
-
-  private def canon(df: DataFrame): Seq[String] = {
-    val cols = df.columns.sorted.toSeq
-    df.select(cols.map(c => col(s"`$c`")): _*)
-      .collect().map(_.toString).sorted.toSeq
-  }
-
-  private def assertCaught(gate: String)(mutated: => DataFrame): Unit = {
-    val orig = canon(SparkEntry.queries(gate)(spark, dir))
-    val mut = canon(mutated)
-    assert(orig != mut,
-      s"$gate: the seeded bug produced IDENTICAL output — the fixture " +
-        "does not exercise the mutated path, so the oracle could never " +
-        "catch this regression")
-  }
 
   private def docs: DataFrame = Tables.load(spark, dir, "documents")
   private def events: DataFrame = Tables.load(spark, dir, "events")
