@@ -58,12 +58,57 @@ object Bench {
       calmMin: Double): Boolean =
     calmMin > 0 && math.max(bracket._1, bracket._2) > 2.0 * calmMin
 
-  /** Families in cursor-rotated order: the persisted cursor names the
-    * family the previous run's budget cut first, so it leads this run. */
-  private[graft] def rotatedFamilies(cursor: String): Seq[(String, Seq[String])] = {
-    val idx = math.max(0, StressOps.families.indexWhere(_._1 == cursor))
-    StressOps.families.drop(idx) ++ StressOps.families.take(idx)
+  /** One family's certification record in the persisted stress ledger:
+    * `stamp` is the run counter of its last CLEAN isolated run (0 =
+    * never certified), `arm` the arm-group cursor its NEXT run uses.
+    * The r15 verdict's structural finding: cursor rotation is fair
+    * in-order but blind to staleness — events/graph sat uncertified
+    * three rounds while fresher families re-certified ahead of them.
+    * Stalest-first ordering is the fix: a family that certifies moves
+    * to the back; one that's contended, skipped, or failed keeps its
+    * old stamp and so keeps (or gains) priority. */
+  final case class FamilyLedger(stamp: Long, arm: Int)
+
+  /** Parse `bench_stress_ledger.txt` (one `family stamp arm` triple per
+    * line). Unknown families and malformed lines are dropped — a stale
+    * or hand-damaged ledger degrades to "never certified", never to a
+    * crash (the bench must always produce an artifact). */
+  private[graft] def parseLedger(text: String): Map[String, FamilyLedger] = {
+    val known = StressOps.families.map(_._1).toSet
+    text.linesIterator.flatMap { l =>
+      l.trim.split("\\s+") match {
+        case Array(f, s, a) if known(f) =>
+          try Some(f -> FamilyLedger(s.toLong, a.toInt))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
   }
+
+  private[graft] def renderLedger(m: Map[String, FamilyLedger]): String =
+    StressOps.families.map(_._1)
+      .flatMap(f => m.get(f).map(e => s"$f ${e.stamp} ${e.arm}"))
+      .mkString("", "\n", "\n")
+
+  /** Families in stalest-first order: ascending last-certified stamp,
+    * ties broken by canonical [[StressOps.families]] order. A family
+    * absent from the ledger reads stamp 0 — maximum priority. */
+  private[graft] def staleOrdered(
+      ledger: Map[String, FamilyLedger]): Seq[(String, Seq[String])] =
+    StressOps.families.zipWithIndex.sortBy { case ((f, _), i) =>
+      (ledger.get(f).map(_.stamp).getOrElse(0L), i)
+    }.map(_._1)
+
+  /** Whole-run contention (r15 verdict task 2): per-family brackets
+    * compare to the run's OWN floor, so a uniformly-hot run certified
+    * uniformly-slow numbers (r15's token family passed "clean" on a
+    * floor that was itself 1.8× calm). The persisted calm-floor
+    * reference (best probe across all committed runs) closes that: a
+    * run whose floor exceeds 1.5× the reference is flagged on the
+    * parsed line itself, so a judge classifies calm/hot from the
+    * artifact alone. */
+  private[graft] def runContended(runFloor: Double, floorRef: Double): Boolean =
+    floorRef > 0 && runFloor > 1.5 * floorRef
 
   /** Render the one driver-parsed JSON line. Pure so a spec can pin the
     * length invariant at any gate count: if the assembled line would
@@ -88,7 +133,9 @@ object Bench {
       sfDir: String,
       phases: Seq[(String, Double)] = Seq.empty,
       isolatedFamilies: Int = 0,
-      stressCursor: String = ""): String = {
+      stressCursor: String = "",
+      probeFloorRef: Double = -1.0,
+      runIsContended: Boolean = false): String = {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
@@ -101,7 +148,7 @@ object Bench {
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     def assemble(qs: Seq[(String, Double)], st: Seq[(String, Double)],
         br: Seq[(String, (Double, Double))]): String =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":$errJson,"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":$errJson,"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"$sfDir"}"""
     val candidates = Iterator(
       assemble(head, stress, probeBracket),
       assemble(Seq.empty, stress, probeBracket),
@@ -136,11 +183,21 @@ object Bench {
     // costs (codegen infra, parquet reader classes) warm on any query.
     // Stress families run in fresh forked JVMs and never saw this warmup
     // at all.
+    // Per-query warmup seconds go to bench_detail.json (r15 verdict task
+    // 4): the r15 driver read warmup=86.7 s vs 24-30 s in quiet
+    // rehearsals, and attribution needs the breakdown — which query ate
+    // the wall (first-query session codegen vs uniform heat) must be
+    // readable from the artifact, not re-measured.
     val tWarm0 = System.nanoTime()
+    val warmBreakdown =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (headline.contains(name))
+      if (headline.contains(name)) {
+        val t0 = System.nanoTime()
         try fn(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => () }
+        warmBreakdown(name) = (System.nanoTime() - t0) / 1e9
+      }
     }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // Cross-scale stress datapoints — each FAMILY runs in a FRESH forked
@@ -179,19 +236,35 @@ object Bench {
     // and the probe always run regardless.
     val stressBudget =
       sys.env.getOrElse("SPARK_GRAFT_STRESS_BUDGET_SECS", "600").toDouble
+    def readFileOr(p: java.nio.file.Path, fallback: String): String =
+      try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      catch { case _: Throwable => fallback }
+    // STALENESS LEDGER (r15 verdict task 1): per-family last-clean-run
+    // stamp + arm cursor. Stalest-first ordering replaces the r13-15
+    // fixed-order cursor rotation, which left events/graph uncertified
+    // three rounds while fresher families re-certified ahead of them.
+    // bench_stress_cursor.txt stays as a human-readable pointer to the
+    // next run's lead family (and the parsed line's stress_cursor).
     val cursorPath = java.nio.file.Paths.get("bench_stress_cursor.txt")
-    val cursorName = {
-      val fromFile =
-        try new String(java.nio.file.Files.readAllBytes(cursorPath),
-          "UTF-8").trim
-        catch { case _: Throwable => "" }
-      if (StressOps.families.exists(_._1 == fromFile)) fromFile
-      else StressOps.families.head._1
-    }
+    val ledgerPath = java.nio.file.Paths.get("bench_stress_ledger.txt")
+    val ledger0 = parseLedger(readFileOr(ledgerPath, ""))
+    val runCounter = (ledger0.values.map(_.stamp) ++ Seq(0L)).max + 1
+    // CALM-FLOOR REFERENCE (r15 verdict task 2): best probe across all
+    // committed runs on this machine, persisted monotone-min. -1 = no
+    // history (first run seeds it; run_contended then stays false).
+    val floorPath = java.nio.file.Paths.get("bench_probe_floor.txt")
+    val probeFloorRef =
+      try readFileOr(floorPath, "").trim.toDouble
+      catch { case _: NumberFormatException => -1.0 }
+    var wholeRunContended = false
     // DISTINCT families that ran isolated (a contended retry re-forks the
     // same family — it must not double-count the audit bit)
     val isolatedFams = scala.collection.mutable.LinkedHashSet.empty[String]
-    var nextCursor = cursorName
+    var nextCursor = staleOrdered(ledger0).head._1
+    var finalLedger = ledger0
+    // the ops each family actually ran this run (arm rotation) — for the
+    // retry path and the detail JSON's audit trail
+    val famOps = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     val skippedFamilies = scala.collection.mutable.ArrayBuffer.empty[String]
     // per-family probe bracket (probe sample before/after the family's
     // ops — the best attempt's, when a contended family re-ran) and the
@@ -213,7 +286,7 @@ object Bench {
         * parseable output) — the caller then runs the family in-process.
         * The worker's stderr (Spark logs) is inherited; its stdout is
         * consumed here so the parent's parsed JSON line stays clean. */
-      def runIsolated(family: String, famRuns: Int,
+      def runIsolated(family: String, famRuns: Int, famOpList: Seq[String],
           watchdogMins: Long): Option[StressOps.Results] =
         try {
           val javaBin = new java.io.File(new java.io.File(
@@ -234,7 +307,8 @@ object Bench {
             "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
             "-cp", sys.props("java.class.path"),
-            "graft.StressWorker", family, famRuns.toString)
+            "graft.StressWorker", family, famRuns.toString,
+            famOpList.mkString(","))
           val pb = new ProcessBuilder(cmd: _*)
           pb.redirectError(ProcessBuilder.Redirect.INHERIT)
           val proc = pb.start()
@@ -304,14 +378,15 @@ object Bench {
 
       /** One attempt at a family: isolated worker first, in-process
         * fallback only while budget remains. None = could not run. */
-      def attemptFamily(family: String, famRuns: Int): Option[StressOps.Results] = {
+      def attemptFamily(family: String, famRuns: Int,
+          famOpList: Seq[String]): Option[StressOps.Results] = {
         // watchdog = remaining budget + a settle margin, never more
         // than 45 min: a hung worker costs at most the budget, and the
         // family rotates to the next run's front instead of re-running
         // in-process with no bound
         val watchdogMins = math.min(45L, math.max(2L,
           math.ceil((stressBudget - stressElapsed + 120.0) / 60.0).toLong))
-        (if (isolate) runIsolated(family, famRuns, watchdogMins)
+        (if (isolate) runIsolated(family, famRuns, famOpList, watchdogMins)
          else None) match {
           case Some(r) => isolatedFams += family; Some(r)
           case None if stressElapsed >= stressBudget => None
@@ -321,21 +396,23 @@ object Bench {
             if (isolate) System.err.println(
               s"[bench] stress family '$family' worker failed; running in-process")
             Some(StressOps.runFamily(spark, family, sfDir, stressCopies,
-              semCopies, famRuns))
+              semCopies, famRuns, famOpList))
         }
       }
 
-      // rotated family order: start at the persisted cursor so families
-      // the budget cut LAST run are certified FIRST this run
-      val rotated = rotatedFamilies(cursorName)
-      for ((family, _) <- rotated) {
+      // stalest-first family order (r15 verdict task 1): the families
+      // longest without a clean isolated run certify FIRST this run
+      val ordered = staleOrdered(ledger0)
+      for ((family, _) <- ordered) {
+        famOps(family) = StressOps.armsFor(family,
+          ledger0.get(family).map(_.arm).getOrElse(0))
         val decision =
           if (skippedFamilies.nonEmpty) None
           else familyRunsUnderBudget(stressElapsed, stressBudget, stressRuns)
         decision match {
           case None => skippedFamilies += family
           case Some(famRuns) =>
-            attemptFamily(family, famRuns) match {
+            attemptFamily(family, famRuns, famOps(family)) match {
               case Some(res) => famBracket(family) = fold(res)
               case None =>
                 // worker failed AND the budget is spent (e.g. a hang ate
@@ -366,7 +443,7 @@ object Bench {
           decision.foreach { famRuns =>
             System.err.println(s"[bench] stress family '$family' bracket " +
               "contended; re-running once within budget")
-            attemptFamily(family, famRuns).foreach { res =>
+            attemptFamily(family, famRuns, famOps(family)).foreach { res =>
               val b2 = fold(res)
               val b1 = famBracket(family)
               if (math.max(b2._1, b2._2) < math.max(b1._1, b1._2))
@@ -378,9 +455,26 @@ object Bench {
           if (contendedBracket(b, probeSamples.min)) contendedFams += f
         }
       }
-      // cursor: first family the budget cut (next run leads with it), or
-      // the unchanged start when everything fit
-      nextCursor = skippedFamilies.headOption.getOrElse(rotated.head._1)
+      // LEDGER STAMPING: a family certifies (stamp = this run's counter,
+      // arm cursor advances) only when it ran ISOLATED and its final
+      // bracket is clean — contended, in-process-fallback, skipped, and
+      // failed families keep their old stamp, so they keep (or gain)
+      // staleness priority next run. A perpetually-contended family
+      // replays the same arm until it gets a clean shot: its published
+      // mins for that arm are the ones that need re-certification.
+      val certified = famBracket.keys.filter(f =>
+        isolatedFams.contains(f) && !contendedFams.contains(f))
+      finalLedger = ledger0 ++ certified.map { f =>
+        val nGroups = StressOps.armGroups.get(f).map(_.size).getOrElse(1)
+        val arm0 = ledger0.get(f).map(_.arm).getOrElse(0)
+        f -> FamilyLedger(runCounter, (arm0 + 1) % nGroups)
+      }
+      try java.nio.file.Files.write(ledgerPath,
+        renderLedger(finalLedger).getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      // cursor file: next run's lead family under staleness order — a
+      // human-readable pointer (the ledger is the real state)
+      nextCursor = staleOrdered(finalLedger).head._1
       try java.nio.file.Files.write(cursorPath,
         (nextCursor + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
@@ -389,6 +483,15 @@ object Bench {
       if (probeSamples.nonEmpty) {
         stressSamples("probe") = probeSamples.toVector
         stress("probe") = probeSamples.min
+        // whole-run heat verdict vs the persisted calm-floor reference,
+        // then fold this run's floor into the reference (monotone min)
+        val runFloor = probeSamples.min
+        wholeRunContended = runContended(runFloor, probeFloorRef)
+        val newRef =
+          if (probeFloorRef > 0) math.min(probeFloorRef, runFloor) else runFloor
+        try java.nio.file.Files.write(floorPath,
+          (jnum(newRef) + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
       }
       System.gc() // leave the query rounds a settled heap
     }
@@ -495,7 +598,21 @@ object Bench {
       }.mkString("{", ",", "}")
       val contendedJson = contendedFams.map("\"" + _ + "\"")
         .mkString("[", ",", "]")
-      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_cursor":"$nextCursor","phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"$sfDir"}"""
+      // arm-rotation + staleness audit trail: which ops each family ran
+      // this run, and every family's last-certified stamp + next arm —
+      // the judge reads partial-arm coverage from here, not by diffing
+      // stress keys across rounds
+      val armsJson = famOps.map { case (f, ops) =>
+        "\"" + f + "\":" + ops.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val ledgerJson = StressOps.families.map(_._1).flatMap(f =>
+        finalLedger.get(f).map(e =>
+          "\"" + f + "\":[" + e.stamp + "," + e.arm + "]"))
+        .mkString("{", ",", "}")
+      val warmJson = warmBreakdown.map { case (q, s) =>
+        "\"" + q + "\":" + jnum(s)
+      }.mkString("{", ",", "}")
+      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$wholeRunContended,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_cursor":"$nextCursor","stress_arms":$armsJson,"stress_ledger":$ledgerJson,"warmup_breakdown":$warmJson,"phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -506,7 +623,8 @@ object Bench {
       stress.toSeq, famBracket.toSeq, contendedFams.toSeq, sfDir,
       phases = Seq("warmup" -> warmupSec, "stress" -> stressSec,
         "shared" -> sharedSec, "queries" -> queriesSec),
-      isolatedFamilies = isolatedFams.size, stressCursor = nextCursor))
+      isolatedFamilies = isolatedFams.size, stressCursor = nextCursor,
+      probeFloorRef = probeFloorRef, runIsContended = wholeRunContended))
     spark.stop()
   }
 }

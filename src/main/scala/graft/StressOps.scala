@@ -44,6 +44,43 @@ object StressOps {
     "metrics" -> Seq("stats_pct_exact", "stats_pct_approx",
       "stats_pct_exact_skew", "stats_pct_approx_skew"))
 
+  /** ARM GROUPS (r15 verdict tasks 1+3): the four most expensive families
+    * split their op list into groups that rotate across bench runs (a
+    * per-family arm cursor persists in the stress ledger), so one run
+    * pays roughly half the family's cost and 3-4 families certify per
+    * 600 s budget instead of 2. Groups keep dependent ops together
+    * (store_drop probes the store store_build just built; a skew twin
+    * may ride with its uniform baseline or rotate — the uniform/skew
+    * ratio then compares across adjacent runs, which min-of-N already
+    * requires for any cross-round ratio). Families absent here run all
+    * their ops every time. Each entry PARTITIONS the family's op list
+    * exactly (spec-pinned in BenchLineSpec). */
+  val armGroups: Map[String, Seq[Seq[String]]] = Map(
+    "dedup" -> Seq(
+      Seq("minhash", "hamming64_drop", "passage"),
+      Seq("passage_strip", "hamming64_drop_skew", "minhash_skew_collapse")),
+    "store" -> Seq(
+      Seq("store_build", "store_drop"),
+      Seq("near_store_build", "near_store_drop", "near_store_drop_skew")),
+    "events" -> Seq(
+      Seq("asof", "asof_skew", "sessionize", "sessionize_skew"),
+      Seq("funnel", "funnel_skew", "retention")),
+    // the r15 driver's metrics worker blew its (end-of-budget) watchdog
+    // running all 4 arms — exact+approx uniform one run, the skew pair
+    // the next keeps each run's cost ≈ half (verdict task 3)
+    "metrics" -> Seq(
+      Seq("stats_pct_exact", "stats_pct_approx"),
+      Seq("stats_pct_exact_skew", "stats_pct_approx_skew")))
+
+  /** The op subset a family runs at arm cursor `armIdx` (modulo the
+    * group count, so a stale cursor never errors); families without
+    * groups run everything. */
+  def armsFor(family: String, armIdx: Int): Seq[String] =
+    armGroups.get(family) match {
+      case Some(groups) => groups(((armIdx % groups.size) + groups.size) % groups.size)
+      case None => families.find(_._1 == family).map(_._2).getOrElse(Seq.empty)
+    }
+
   /** CALIBRATION PROBE: a fixed seeded CPU+shuffle workload. Kept as a
     * machine sanity line only (NOT a normalizer — see the scaladoc
     * above): each family samples it once before and once after its ops,
@@ -81,11 +118,18 @@ object StressOps {
 
   /** Run one family's datapoints. `runs` samples per op (min is the
     * contention-robust statistic — noise only ever adds time); a probe
-    * sample before and after the family brackets its machine floor. */
+    * sample before and after the family brackets its machine floor.
+    * `ops` restricts which of the family's datapoints run this time
+    * (empty = all — the pre-arm-rotation behavior); unselected ops emit
+    * nothing, so the published stress block only ever carries keys that
+    * really ran. */
   def runFamily(spark: SparkSession, family: String, sfDir: String,
-      stressCopies: Int, semCopies: Int, runs: Int): Results = {
+      stressCopies: Int, semCopies: Int, runs: Int,
+      ops: Seq[String] = Seq.empty): Results = {
     val res = new Results
-    def timed(key: String)(f: => Long): Unit = {
+    val selected: String => Boolean =
+      if (ops.isEmpty) _ => true else ops.toSet
+    def timed(key: String)(f: => Long): Unit = if (selected(key)) {
       val xs = (0 until runs).map { _ =>
         System.gc() // settle: don't bill a prior op's garbage to this one
         val t0 = System.nanoTime()
@@ -252,11 +296,13 @@ object StressOps {
         // PNG-*encode*-heavy, so it is built and checkpointed OUTSIDE the
         // timed region (the localCheckpoint survives the between-sample
         // cache clears); the datapoint times decode+hash only.
-        val bigPngs = mm.synthesizeImageVariants(
-          bigDocs.select(col("doc_id")), "doc_id").localCheckpoint()
-        timed("decode_pixels")(
-          mm.decodeImagePixels(bigPngs)
-            .agg(sum(col("px.px_sum"))).head().getLong(0))
+        if (selected("decode_pixels")) { // the checkpoint build is eager
+          val bigPngs = mm.synthesizeImageVariants(
+            bigDocs.select(col("doc_id")), "doc_id").localCheckpoint()
+          timed("decode_pixels")(
+            mm.decodeImagePixels(bigPngs)
+              .agg(sum(col("px.px_sum"))).head().getLong(0))
+        }
 
       case "events" =>
         // AS-OF JOIN + SESSIONIZE at 100×: both ops are one keyed exchange
@@ -371,24 +417,29 @@ object StressOps {
         val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
         val bigDocs = bigDocsOf(d1)
         res.consts("doc_copies") = stressCopies.toDouble
-        val merges = graft.ml.Bpe.train(d1, "text", numMerges = 200,
-          maxWords = 20000)
-        // head(), not count(): the token-count column is a pure
-        // projection — count() would prune the BPE kernel entirely and
-        // time a bare parquet scan
-        timed("bpe_encode")(
-          graft.ml.Bpe.tokenCount(bigDocs, "text", merges)
-            .agg(sum(col("n_bpe_tokens"))).head().getLong(0))
-        // localCheckpoint: the model frame must survive the between-sample
-        // cache clears and not re-derive inside the timed region
-        val model = graft.ml.NgramLm.train(d1, "text", order = 3,
-          minCount = 2).localCheckpoint()
-        // head() + sum_prob: the scoring FOLDS are projections over the
-        // per-doc lattice — count() would run the lattice for cardinality
-        // but prune the folds, under-measuring the kernel under test
-        timed("ngram_lm_score")(
-          graft.ml.NgramLm.score(bigDocs, model, "text", "doc_id", order = 3)
-            .agg(sum(col("sum_prob"))).head().getDouble(0).toLong)
+        if (selected("bpe_encode")) { // training is eager (driver merges)
+          val merges = graft.ml.Bpe.train(d1, "text", numMerges = 200,
+            maxWords = 20000)
+          // head(), not count(): the token-count column is a pure
+          // projection — count() would prune the BPE kernel entirely and
+          // time a bare parquet scan
+          timed("bpe_encode")(
+            graft.ml.Bpe.tokenCount(bigDocs, "text", merges)
+              .agg(sum(col("n_bpe_tokens"))).head().getLong(0))
+        }
+        if (selected("ngram_lm_score")) {
+          // localCheckpoint: the model frame must survive the
+          // between-sample cache clears and not re-derive inside the
+          // timed region
+          val model = graft.ml.NgramLm.train(d1, "text", order = 3,
+            minCount = 2).localCheckpoint()
+          // head() + sum_prob: the scoring FOLDS are projections over the
+          // per-doc lattice — count() would run the lattice for
+          // cardinality but prune the folds, under-measuring the kernel
+          timed("ngram_lm_score")(
+            graft.ml.NgramLm.score(bigDocs, model, "text", "doc_id", order = 3)
+              .agg(sum(col("sum_prob"))).head().getDouble(0).toLong)
+        }
 
       case "metrics" =>
         // QUANTILES at 100×: exact per-group percentile buffers every

@@ -16,8 +16,13 @@ import org.apache.spark.sql.SparkSession
   * falls back to in-process execution. */
 object StressWorker {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: StressWorker <family> [runs]")
+    require(args.length >= 1, "usage: StressWorker <family> [runs] [ops-csv]")
     val family = args(0)
+    // arm rotation (r15 verdict task 1): the parent may restrict this
+    // run to one arm group of the family; empty/absent = all ops
+    val ops: Seq[String] =
+      if (args.length >= 3) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else Seq.empty
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val stressCopies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "100").toInt
@@ -34,7 +39,7 @@ object StressWorker {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val res = StressOps.runFamily(spark, family, sfDir, stressCopies,
-      semCopies, runs)
+      semCopies, runs, ops)
     res.consts.foreach { case (k, v) =>
       println(s"""GRAFT_STRESS {"op":"$k","const":${Bench.jnum(v)}}""")
     }

@@ -718,7 +718,9 @@ object Planner {
           case other =>
             sys.error(s"EncodingArtifacts mode must be flag|drop, got '$other'")
         }
-        val maxima = Seq(
+        // name-keyed (not positional): a reorder of encodingArtifactCols
+        // must never silently apply max_replacement to n_mojibake
+        val maxima = Map(
           "n_replacement" -> conf.long("max_replacement", 0L),
           "n_mojibake" -> conf.long("max_mojibake", 0L),
           "n_ctrl" -> conf.long("max_ctrl", 0L))
@@ -727,7 +729,9 @@ object Planner {
           if (!dropMode)
             cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
           else {
-            val keep = cols.zip(maxima).map { case ((_, c), (_, m)) =>
+            val keep = cols.map { case (n, c) =>
+              val m = maxima.getOrElse(n, sys.error(
+                s"EncodingArtifacts: no threshold mapped for column '$n'"))
               coalesce(c, lit(0L)) <= m
             }.reduce(_ && _)
             df.filter(keep)

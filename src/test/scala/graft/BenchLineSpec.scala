@@ -141,13 +141,19 @@ class BenchLineSpec extends AnyFunSuite {
       sfDir = "/root/testdata/sf0.1",
       phases = Seq("warmup" -> 80.0, "stress" -> 590.0, "shared" -> 2.0,
         "queries" -> 180.0),
-      isolatedFamilies = 4, stressCursor = "dedup")
+      isolatedFamilies = 4, stressCursor = "dedup",
+      probeFloorRef = 0.684, runIsContended = true)
     val node = mapper.readTree(line)
     assert(node.get("phases").get("stress").asDouble() === 590.0)
     assert(node.get("isolated_families").asInt() === 4)
     assert(node.get("stress_cursor").asText() === "dedup")
     // a poisoned-min verdict must survive every shed candidate too
     assert(node.get("contended").get(0).asText() === "vec")
+    // r15 verdict task 2: the calm-floor reference and the whole-run
+    // heat verdict ride EVERY candidate — a judge classifies the run
+    // calm/hot from this line alone, no BENCH history needed
+    assert(node.get("probe_floor_ref").asDouble() === 0.684)
+    assert(node.get("run_contended").asBoolean() === true)
     assert(line.length <= Bench.MaxLineChars ||
       node.get("stress").size() === 0)
   }
@@ -162,15 +168,71 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.familyRunsUnderBudget(400.0, 600.0, 1) === Some(1))
   }
 
-  test("cursor rotation is a pure rotation of the family contract") {
+  test("staleness ledger orders families stalest-first, ties canonical") {
     val names = StressOps.families.map(_._1)
-    // unknown/absent cursor → identity order
-    assert(Bench.rotatedFamilies("no_such_family").map(_._1) === names)
-    // a real cursor leads, nothing lost, nothing duplicated
-    val rot = Bench.rotatedFamilies("events").map(_._1)
-    assert(rot.head === "events")
-    assert(rot.sorted === names.sorted)
-    assert(rot.size === names.size)
+    // empty ledger (first run / damaged file) → canonical order
+    assert(Bench.staleOrdered(Map.empty).map(_._1) === names)
+    // the r16 seed shape: events/graph stalest, then metrics, then the
+    // r14 batch in canonical order — the fix for the r15 verdict's
+    // structural finding (fixed rotation left events/graph 4 runs away)
+    val ledger = Map(
+      "dedup" -> Bench.FamilyLedger(3, 0), "store" -> Bench.FamilyLedger(3, 1),
+      "index" -> Bench.FamilyLedger(3, 0), "vec" -> Bench.FamilyLedger(3, 0),
+      "media" -> Bench.FamilyLedger(3, 0),
+      "events" -> Bench.FamilyLedger(0, 0), "graph" -> Bench.FamilyLedger(0, 0),
+      "langid" -> Bench.FamilyLedger(4, 0), "token" -> Bench.FamilyLedger(5, 0),
+      "metrics" -> Bench.FamilyLedger(2, 0))
+    val ord = Bench.staleOrdered(ledger).map(_._1)
+    assert(ord.take(3) === Seq("events", "graph", "metrics"))
+    assert(ord.sorted === names.sorted, "nothing lost, nothing duplicated")
+    // a family missing from the ledger reads stamp 0 — max priority
+    val partial = Bench.staleOrdered(ledger - "token").map(_._1)
+    assert(partial.take(3) === Seq("events", "graph", "token"))
+  }
+
+  test("ledger parse/render round-trips; garbage degrades, never crashes") {
+    val m = Map("events" -> Bench.FamilyLedger(7, 1),
+      "metrics" -> Bench.FamilyLedger(2, 0))
+    assert(Bench.parseLedger(Bench.renderLedger(m)) === m)
+    // malformed lines, unknown families and non-numeric fields drop out
+    val dirty = "events 7 1\nnot_a_family 3 0\nevents\ngraph x y\n  \n"
+    assert(Bench.parseLedger(dirty) === Map("events" -> Bench.FamilyLedger(7, 1)))
+    assert(Bench.parseLedger("") === Map.empty)
+  }
+
+  test("arm groups partition each family's op contract exactly") {
+    // an arm group that drops or invents an op key would silently shrink
+    // the cross-round datapoint contract — pin the partition property
+    val byFamily = StressOps.families.toMap
+    StressOps.armGroups.foreach { case (f, groups) =>
+      assert(byFamily.contains(f), s"armGroups names unknown family $f")
+      assert(groups.flatten.sorted === byFamily(f).sorted,
+        s"arm groups of $f do not partition its op list")
+      assert(groups.flatten.distinct.size === groups.flatten.size,
+        s"arm groups of $f overlap")
+      assert(groups.size >= 2, s"single-group armGroups entry $f is pointless")
+    }
+    // cursor rotation: modulo group count, never an index error
+    assert(StressOps.armsFor("metrics", 0) ===
+      Seq("stats_pct_exact", "stats_pct_approx"))
+    assert(StressOps.armsFor("metrics", 1) ===
+      Seq("stats_pct_exact_skew", "stats_pct_approx_skew"))
+    assert(StressOps.armsFor("metrics", 2) === StressOps.armsFor("metrics", 0))
+    // ungrouped family → all its ops
+    assert(StressOps.armsFor("token", 5) === Seq("bpe_encode", "ngram_lm_score"))
+    assert(StressOps.armsFor("no_such", 0) === Seq.empty)
+  }
+
+  test("whole-run contention flags vs the persisted calm-floor reference") {
+    // the r15 gap: token's bracket [1.95, 1.777] passed as clean on a
+    // run floor (1.777) that was itself 1.8× the calm reference — the
+    // run-level flag must catch exactly that shape
+    assert(Bench.runContended(runFloor = 1.777, floorRef = 0.684))
+    assert(Bench.runContended(runFloor = 0.992 * 1.51, floorRef = 0.992))
+    assert(!Bench.runContended(runFloor = 0.99, floorRef = 0.684 * 2)) // calm
+    assert(!Bench.runContended(runFloor = 0.7, floorRef = 0.684))
+    // no reference yet (first run) → never flags
+    assert(!Bench.runContended(runFloor = 9.9, floorRef = -1.0))
   }
 
   test("errored queries are reported, never silently timed") {
