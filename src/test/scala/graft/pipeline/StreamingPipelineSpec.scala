@@ -729,6 +729,107 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("EncodingArtifacts + DupLines score ON the stream: stream/batch " +
+      "bit-parity, zero-exchange micro-batch") {
+    // the two r15 stages claimed streaming-native narrow maps — pin it
+    // like the curation prefix (r15 verdict task 7): a MemoryStream
+    // round-trip must produce BIT-identical counts/fractions to the
+    // same YAML over a batch frame, and the committed micro-batch plan
+    // must be Exchange- and Join-free
+    val yaml =
+      """inputs:
+        |  - Text: {path: unused}
+        |filters:
+        |  - EncodingArtifacts: {src: text}
+        |  - DupLines: {src: text}
+        |outputs:
+        |  - Stdout: {}
+        |""".stripMargin
+    val pipeline = Planner.fromYaml(yaml)
+    assert(Planner.streamingSplit(pipeline.stages)._2.isEmpty,
+      "flag-mode scoring stages must stay on the stream side")
+    val pool = Seq(
+      (0L, "alpha beta\ngamma delta\nepsilon"),           // clean, no dups
+      (1L, "repeat me\nrepeat me\nrepeat me\nunique"),    // 3 dup lines
+      (2L, "bad \uFFFD decode \uFFFD here"),             // 2 replacement chars
+      (3L, "caf\u00C3\u00A9 d\u00C3\u00A8ja"),         // 2 mojibake pairs
+      (4L, "ctrl\u0001char\u0002line\nctrl\u0001char\u0002line"), // 4 C0 + dup
+      (5L, ""))                                           // zero lines → NULL fracs
+    val outCols = Seq("doc_id", "n_replacement", "n_mojibake", "n_ctrl",
+      "n_lines", "n_dup_lines", "dup_line_frac", "dup_char_frac")
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val src = mem.toDF().toDF("doc_id", "text")
+    val transformed = pipeline.transform(src)
+    assert(transformed.isStreaming,
+      "scoring stages must build on the unbounded frame")
+    val q = transformed.writeStream.format("memory")
+      .queryName("enc_dl_parity").start()
+    try {
+      mem.addData(pool: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enc_dl_parity")
+        .select(outCols.map(col): _*).collect().map(_.toSeq).toSet
+      // BIT-PARITY: the same YAML stages over the same rows as a batch
+      // frame — counts and the correctly-rounded divide fractions replay
+      val batched = pipeline.transform(pool.toDF("doc_id", "text"))
+        .select(outCols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(streamed.size == pool.size, s"lost rows: $streamed")
+      assert(streamed == batched,
+        s"stream/batch diverged: ${streamed.diff(batched)} vs ${
+          batched.diff(streamed)}")
+      // spot-check the planted signal actually varied (no vacuous parity)
+      val byId = spark.table("enc_dl_parity")
+        .select(outCols.map(col): _*).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(byId(2L).getLong(1) == 2L, "replacement chars uncounted")
+      assert(byId(3L).getLong(2) == 2L, "mojibake pairs uncounted")
+      assert(byId(4L).getLong(3) == 4L, "C0 controls uncounted")
+      assert(byId(1L).getLong(5) == 3L, "dup lines uncounted")
+      assert(byId(5L).isNullAt(6), "zero-line doc must carry NULL fracs")
+      // ZERO-EXCHANGE: scoring at 100 TB/day ingest runs at receive
+      // speed — the committed micro-batch plan is a narrow map
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!exec.contains("Exchange"), s"scoring stages shuffle:\n$exec")
+      assert(!exec.contains("Join"), s"scoring stages join:\n$exec")
+    } finally q.stop()
+  }
+
+  test("EncodingArtifacts + DupLines drop modes filter live on the stream") {
+    // drop mode on an unbounded frame: artifact docs and repetition-heavy
+    // docs drop in-flight; the zero-line doc is KEPT (NULL fracs carry no
+    // repetition evidence — the null-keep contract, pinned on a stream)
+    val yaml =
+      """inputs:
+        |  - Text: {path: unused}
+        |filters:
+        |  - EncodingArtifacts: {src: text, mode: drop}
+        |  - DupLines: {src: text, mode: drop}
+        |outputs:
+        |  - Stdout: {}
+        |""".stripMargin
+    val pipeline = Planner.fromYaml(yaml)
+    val mem = MemoryStream[(Long, String)](spark)
+    val transformed = pipeline.transform(mem.toDF().toDF("doc_id", "text"))
+    val q = transformed.writeStream.format("memory")
+      .queryName("enc_dl_drop").start()
+    try {
+      mem.addData(
+        (0L, "alpha beta\ngamma delta\nepsilon"),        // survives both
+        (1L, "dup\ndup\ndup\ndup"),                       // dup_line_frac 1.0
+        (2L, "broken � text"),                       // replacement char
+        (3L, ""))                                         // zero lines → kept
+      q.processAllAvailable()
+      val kept = spark.table("enc_dl_drop")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(0L, 3L), s"drop-mode stream kept $kept")
+      // drop mode preserves the input schema on the stream too
+      assert(spark.table("enc_dl_drop").columns.toSeq == Seq("doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("AsOfJoin stage rejects streaming input with a pointer to the temporal store") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
