@@ -2,20 +2,50 @@
 """Local pre-check mirroring the driver's correctness gate.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+       python3 tools/check_oracle.py --scale [sfDir] [verifyOutDir]
 
 Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB over views of
 the sfDir parquet tables, and compares against the Spark parquet dump at
 <verifyOutDir>/<name>/ — columns sorted by name, rows sorted by all columns,
 exact value equality.
+
+--scale (r15 verdict task 6): the second-scale-factor vacuity audit.
+Seven r15 gate fixtures were vacuous at sf0.01 specifically (all-distinct
+corpus, no ts ties, groups smaller than any sketch accuracy, ...), so
+scale-dependence is the known failure pattern. This mode runs Verify over
+SCALE_GATES — the most data-dependent gate families (dedup/store, funnel/
+retention/session, geo ranges, quantiles, seeded draws, global cuts) — at
+sf0.1 (default) and hash-compares them against DuckDB. A round-close
+check, not per-commit: it forks an sbt Verify run (~5 min at sf0.1).
 """
 import json
 import os
+import subprocess
 import sys
 
 import duckdb
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# The most data-dependent gates: oracle semantics that bind (or go
+# vacuous) as group sizes, duplicate rates, tie density, and range
+# coverage move with the scale factor.
+SCALE_GATES = [
+    # dedup + incremental stores (duplicate-rate-dependent)
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_incremental",
+    "q_dedup_incremental_near", "q_dedup_store_exact", "q_dedup_store_near",
+    "q_line_dedup", "q_url_dedup",
+    # event analytics (tie/chain-length-dependent)
+    "q_funnel", "q_funnel_increase", "q_sequence_match",
+    "q_retention_flags", "q_sessionize",
+    # range joins (boundary-coverage-dependent)
+    "q_geoip",
+    # quantiles (group-size vs sketch-accuracy-dependent)
+    "q_link_stats_pct", "q_link_stats_pct_approx",
+    # seeded draws + global threshold cuts (population-dependent)
+    "q_dsir", "q_quota_sample", "q_quality_band", "q_vocab",
+]
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -99,5 +129,24 @@ def main(sf_dir: str, out_dir: str) -> int:
     return failures
 
 
+def scale_audit(sf_dir: str, out_dir: str) -> int:
+    """Fork a subset Verify run at the second scale factor, then compare."""
+    gates = ",".join(SCALE_GATES)
+    print(f"[scale] verifying {len(SCALE_GATES)} data-dependent gates "
+          f"against {sf_dir} (sbt Verify run follows)")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = subprocess.call(
+        ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir} {gates}"],
+        cwd=repo)
+    if rc != 0:
+        print(f"FAIL scale-audit: Verify exited {rc}")
+        return 1
+    return main(sf_dir, out_dir)
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--scale"]:
+        sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+        out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/verify_sf01"
+        sys.exit(1 if scale_audit(sf, out) else 0)
     sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
