@@ -808,6 +808,16 @@ object SparkEntry {
     },
 
     "q_dedup_minhash" -> { (s, dir) => sharedMinhashPairs(s, dir) },
+    // band-count audit (r16): q_dedup_minhash is recall-blind to the
+    // band knob at this SF (every true pair j ≥ 0.95 — recorded r13),
+    // but the candidate VOLUME each banding generates is always visible;
+    // stats come from bucket sizes alone, never a pair join (the
+    // ivfProbeStats pattern). 42 → 2200 candidates across r=8..1 at
+    // sf0.01 — a slicing/row-count regression visibly moves every row.
+    "q_minhash_bands" -> { (s, dir) =>
+      graft.ml.Dedup.minhashBandStats(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+    },
     "q_dedup_clusters" -> { (s, dir) =>
       graft.ml.Dedup.clusters(sharedMinhashPairs(s, dir))
     },
@@ -3084,6 +3094,44 @@ object SparkEntry {
         |)
         |SELECT doc_id, source FROM documents
         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
+
+    // band-stats replay: the md5-low-32 shingle hashes under the affine
+    // permutation family, sliced into each config's band keys — the sig
+    // expressions and per-config unnest lists are GENERATED (16 hashes,
+    // configs 2/4/8/16) so the SQL stays literally in lockstep with
+    // minhashBandStats' constants
+    "q_minhash_bands" -> {
+      val sigExprs = (0 until 16).map(k =>
+        s"list_min([(v*${1000003 + 2 * k}+${12289 * k + 1})%4294967296 for v in hs])")
+        .mkString(", ")
+      val unions = Seq(2, 4, 8, 16).map { b =>
+        val r = 16 / b
+        val parts = (0 until b).map(band =>
+          s"'$band-'||array_to_string(sig[${band * r + 1}:${band * r + r}],'-')")
+          .mkString(", ")
+        s"SELECT $b AS bands, unnest([$parts]) AS bkey FROM g"
+      }.mkString(" UNION ALL ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ')
+         |    for i in range(0, greatest(len(toks)-3, 0)+1)]) AS sh
+         |  FROM t
+         |), h AS (
+         |  SELECT doc_id,
+         |    [CAST(('0x' || substring(md5(x), 25, 8)) AS BIGINT) for x in sh] AS hs
+         |  FROM s WHERE len(sh) > 0
+         |), g AS (
+         |  SELECT doc_id, list_value($sigExprs) AS sig FROM h
+         |), k AS ($unions),
+         |bu AS (SELECT bands, bkey, count(*) AS n FROM k GROUP BY 1, 2)
+         |SELECT bands, count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_collision_buckets,
+         |  CAST(sum((n * (n-1)) // 2) AS BIGINT) AS n_candidates,
+         |  max(n) AS max_bucket
+         |FROM bu GROUP BY bands""".stripMargin
+    },
 
     "q_dedup_minhash" ->
       """WITH t AS (

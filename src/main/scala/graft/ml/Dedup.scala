@@ -144,6 +144,72 @@ object Dedup {
     * with probability 1 - 5e-24, so verified output equals the exact
     * all-pairs result while never materializing the O(n²) cross join.
     */
+  /** Band-configuration audit for MinHash LSH — the band-count analog of
+    * `Similarity.ivfProbeStats` (r15): RECALL at a fixed corpus can be
+    * blind to the band knob (the recorded q_dedup_minhash finding: at
+    * sf0.01 every true pair sits at j ≥ 0.95, where ANY banding catches
+    * it), but the CANDIDATE VOLUME the banding generates is always
+    * visible. For each candidate band count `b` (rows per band
+    * r = numHashes/b) this buckets the corpus once and reports the
+    * bucket histogram: n_buckets, n_collision_buckets (size ≥ 2),
+    * n_candidates (Σ size·(size−1)/2 — the verify-join input volume
+    * before pair dedup, i.e. what each extra band BUYS in cost) and
+    * max_bucket. Computed from bucket SIZES alone — never a pair
+    * enumeration or self-join — so a billion-doc corpus audits its
+    * banding from one explode + two partial-agg group-bys (the same
+    * 100-TB contract as ivfProbeStats).
+    *
+    * Hashes are the cross-engine md5-low-32 family (the simhash
+    * convention) under affine permutations
+    * p_k(h) = (h·(1000003+2k) + 12289k+1) mod 2^32 — every product stays
+    * below 2^53, so DuckDB replays each signature value bit-exactly.
+    * The production [[minhashPairs]] kernel hashes with xxhash64 (not
+    * SQL-replayable); this audit certifies the banding MATH and its
+    * cost surface on the same shingle sets. All configs explode from ONE
+    * signature projection (a single corpus scan), with a repartition
+    * barrier between hashing and signature-building so CollapseProject
+    * cannot re-inline the shingle hash into all numHashes lambdas (the
+    * minhashPairs lesson at Dedup.scala:124-127). */
+  def minhashBandStats(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16,
+      bandConfigs: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b =>
+      b > 0 && numHashes % b == 0),
+      s"every band config must divide numHashes=$numHashes, got $bandConfigs")
+    val hs = transform(shingles(col(textCol), shingleSize),
+      s => conv(substring(md5(s), 25, 8), 16, 10).cast("long"))
+    val hashed = df.select(col(s"`$idCol`").as("id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .repartition(col("id")) // barrier: hash the shingles ONCE
+    val sig = array((0 until numHashes).map { k =>
+      array_min(transform(col("hs"),
+        h => (h * lit(1000003L + 2L * k) + lit(12289L * k + 1L)) %
+          lit(4294967296L)))
+    }: _*)
+    // all configs' band keys in one struct array → one explode, one scan;
+    // the key carries the band index so equal min-tuples in different
+    // bands never merge
+    val keyStructs = bandConfigs.flatMap { b =>
+      val r = numHashes / b
+      (0 until b).map { band =>
+        val key = concat_ws("-", lit(band.toString) +:
+          (0 until r).map(j =>
+            element_at(col("sig"), band * r + j + 1).cast("string")): _*)
+        struct(lit(b).as("bands"), key.as("bkey"))
+      }
+    }
+    hashed.select(col("id"), sig.as("sig"))
+      .select(explode(array(keyStructs: _*)).as("k"))
+      .select(col("k.bands").as("bands"), col("k.bkey").as("bkey"))
+      .groupBy("bands", "bkey").agg(count(lit(1)).as("n"))
+      .groupBy("bands").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_collision_buckets"),
+        sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long"))
+          .as("n_candidates"),
+        max(col("n")).as("max_bucket"))
+  }
+
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.9, collapseExact: Boolean = false): DataFrame = {

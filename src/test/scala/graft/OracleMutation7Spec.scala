@@ -239,6 +239,44 @@ class OracleMutation7Spec extends SparkSpec with MutationAudit {
     }
   }
 
+  test("q_minhash_bands: a band-slicing bug (one signature row per key) " +
+      "inflates the candidate volume of every multi-row config") {
+    assertCaught("q_minhash_bands") {
+      // the seeded indexing bug: the band key takes sig[band] alone
+      // instead of the r-row slice sig[band*r .. band*r+r-1] — every
+      // config degenerates to r=1 permissiveness (b=16 is legitimately
+      // r=1, but b=2/4/8 inflate: 42→hundreds of candidates at sf0.01)
+      val numHashes = 16
+      val hs = transform(graft.ml.Dedup.shingles(col("text"), 3),
+        s => conv(substring(md5(s), 25, 8), 16, 10).cast("long"))
+      val sig = array((0 until numHashes).map { k =>
+        array_min(transform(col("hs"),
+          h => (h * lit(1000003L + 2L * k) + lit(12289L * k + 1L)) %
+            lit(4294967296L)))
+      }: _*)
+      val keyStructs = Seq(2, 4, 8, 16).flatMap { b =>
+        (0 until b).map { band =>
+          val key = concat_ws("-", lit(band.toString),
+            element_at(col("sig"), band + 1).cast("string")) // BUG
+          struct(lit(b).as("bands"), key.as("bkey"))
+        }
+      }
+      docs.select(col("doc_id").as("id"), hs.as("hs"))
+        .filter(size(col("hs")) > 0)
+        .repartition(col("id"))
+        .select(col("id"), sig.as("sig"))
+        .select(explode(array(keyStructs: _*)).as("k"))
+        .select(col("k.bands").as("bands"), col("k.bkey").as("bkey"))
+        .groupBy("bands", "bkey").agg(count(lit(1)).as("n"))
+        .groupBy("bands").agg(
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_collision_buckets"),
+          sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long"))
+            .as("n_candidates"),
+          max(col("n")).as("max_bucket"))
+    }
+  }
+
   test("q_dedup_incremental_near: a tightened hamming threshold leaks " +
       "distance-3 near-duplicates through the probe") {
     // NOTE: the classic banding bug (bands ≤ k, pigeonhole broken) is

@@ -266,6 +266,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("minhash band-stats audit never enumerates pairs: no join, " +
+      "bounded exchanges") {
+    // the ivfProbeStats contract: band-cost statistics come from bucket
+    // sizes (explode → partial-agg group-bys), never a bucket self-join —
+    // a Join here means the audit regressed into the O(candidates) pair
+    // enumeration it exists to avoid pricing
+    val plan = executedPlan("q_minhash_bands")
+    assert(!plan.contains("Join"), s"band stats joins:\n$plan")
+    // repartition barrier + two agg exchanges and nothing else
+    assert("Exchange".r.findAllIn(plan).size <= 3,
+      s"band stats shuffles more than repartition+2 aggs:\n$plan")
+    assert(plan.contains("partial"), s"no map-side partial agg:\n$plan")
+  }
+
   test("multimodal decode stays narrow: no shuffle between synthesis and decode") {
     // the decode seam is mapPartitions over mapPartitions (plus a union
     // for the mixed gate) — payload bytes must never cross an Exchange;
