@@ -198,7 +198,7 @@ object SparkEntry {
 
   /** Smooth-gradient corpus for the lossy-transcode gate — memoized for
     * the same reason as [[sharedSynthVariants]] (encode churn). */
-  private def sharedSynthSmooth(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedSynthSmooth(s: SparkSession, dir: String): DataFrame =
     pairsMemo.synchronized {
       pairsMemo
         .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
@@ -214,7 +214,7 @@ object SparkEntry {
     * seam those gates test is decoding the RE-ENCODED bytes, so the
     * shared base decode is memoized like the fixtures (it was 4 of the
     * 7 decode passes across the pair). */
-  private def sharedSmoothDecoded(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedSmoothDecoded(s: SparkSession, dir: String): DataFrame =
     pairsMemo.synchronized {
       pairsMemo
         .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
@@ -228,7 +228,7 @@ object SparkEntry {
     * cost (identical bytes every build — same disease q_multimodal_decode
     * had in r10) and was most of the 2.08 s that made it r12's slowest
     * gate. Memoized like the other encode-churn fixtures. */
-  private def sharedSmoothTranscoded(s: SparkSession, dir: String,
+  private[graft] def sharedSmoothTranscoded(s: SparkSession, dir: String,
       fmt: String): DataFrame =
     pairsMemo.synchronized {
       pairsMemo
