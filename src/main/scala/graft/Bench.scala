@@ -456,14 +456,18 @@ object Bench {
         }
       }
       // LEDGER STAMPING: a family certifies (stamp = this run's counter,
-      // arm cursor advances) only when it ran ISOLATED and its final
-      // bracket is clean — contended, in-process-fallback, skipped, and
-      // failed families keep their old stamp, so they keep (or gain)
-      // staleness priority next run. A perpetually-contended family
-      // replays the same arm until it gets a clean shot: its published
-      // mins for that arm are the ones that need re-certification.
+      // arm cursor advances) only when it ran ISOLATED, its final
+      // bracket is clean, AND at least one of its selected ops published
+      // a usable (non-errored) min — contended, in-process-fallback,
+      // skipped, failed and all-errored families keep their old stamp,
+      // so they keep (or gain) staleness priority next run. A
+      // perpetually-contended family replays the same arm until it gets
+      // a clean shot: its published mins are the ones needing
+      // re-certification.
       val certified = famBracket.keys.filter(f =>
-        isolatedFams.contains(f) && !contendedFams.contains(f))
+        isolatedFams.contains(f) && !contendedFams.contains(f) &&
+          famOps.getOrElse(f, Seq.empty)
+            .exists(k => stress.get(k).exists(_ >= 0)))
       finalLedger = ledger0 ++ certified.map { f =>
         val nGroups = StressOps.armGroups.get(f).map(_.size).getOrElse(1)
         val arm0 = ledger0.get(f).map(_.arm).getOrElse(0)
