@@ -45,6 +45,8 @@ SCALE_GATES = [
     "q_link_stats_pct", "q_link_stats_pct_approx",
     # seeded draws + global threshold cuts (population-dependent)
     "q_dsir", "q_quota_sample", "q_quality_band", "q_vocab",
+    # bucket-histogram audits (collision structure moves with the corpus)
+    "q_minhash_bands",
 ]
 
 
