@@ -70,16 +70,23 @@ object Bench {
   final case class FamilyLedger(stamp: Long, arm: Int)
 
   /** Parse `bench_stress_ledger.txt` (one `family stamp arm` triple per
-    * line). Unknown families and malformed lines are dropped — a stale
-    * or hand-damaged ledger degrades to "never certified", never to a
-    * crash (the bench must always produce an artifact). */
+    * line). Unknown families, malformed lines, and out-of-range stamps
+    * are dropped — a stale or hand-damaged ledger degrades to "never
+    * certified", never to a crash or a wedged ordering (a stamp near
+    * Long.MaxValue would overflow `maxStamp + 1` and invert staleness,
+    * so anything outside [0, 2^53] reads as damage). */
   private[graft] def parseLedger(text: String): Map[String, FamilyLedger] = {
     val known = StressOps.families.map(_._1).toSet
+    val maxSane = 1L << 53
     text.linesIterator.flatMap { l =>
       l.trim.split("\\s+") match {
         case Array(f, s, a) if known(f) =>
-          try Some(f -> FamilyLedger(s.toLong, a.toInt))
-          catch { case _: NumberFormatException => None }
+          try {
+            val stamp = s.toLong
+            val arm = a.toInt
+            if (stamp < 0 || stamp > maxSane || arm < 0) None
+            else Some(f -> FamilyLedger(stamp, arm))
+          } catch { case _: NumberFormatException => None }
         case _ => None
       }
     }.toMap
@@ -377,9 +384,14 @@ object Bench {
       }
 
       /** One attempt at a family: isolated worker first, in-process
-        * fallback only while budget remains. None = could not run. */
+        * fallback only while budget remains. None = could not run; the
+        * Boolean records whether THIS attempt ran isolated — the
+        * certification stamp must follow the kept bracket's provenance,
+        * not mere set-membership (a clean in-process bracket must never
+        * certify just because a different, contended attempt was
+        * isolated). */
       def attemptFamily(family: String, famRuns: Int,
-          famOpList: Seq[String]): Option[StressOps.Results] = {
+          famOpList: Seq[String]): Option[(StressOps.Results, Boolean)] = {
         // watchdog = remaining budget + a settle margin, never more
         // than 45 min: a hung worker costs at most the budget, and the
         // family rotates to the next run's front instead of re-running
@@ -388,32 +400,42 @@ object Bench {
           math.ceil((stressBudget - stressElapsed + 120.0) / 60.0).toLong))
         (if (isolate) runIsolated(family, famRuns, famOpList, watchdogMins)
          else None) match {
-          case Some(r) => isolatedFams += family; Some(r)
+          case Some(r) => isolatedFams += family; Some((r, true))
           case None if stressElapsed >= stressBudget => None
           case None =>
             // in-process fallback: same ops, same keys — a spawn
             // failure costs isolation, never the datapoints
             if (isolate) System.err.println(
               s"[bench] stress family '$family' worker failed; running in-process")
-            Some(StressOps.runFamily(spark, family, sfDir, stressCopies,
-              semCopies, famRuns, famOpList))
+            Some((StressOps.runFamily(spark, family, sfDir, stressCopies,
+              semCopies, famRuns, famOpList), false))
         }
       }
 
+      // whether each family's KEPT bracket came from an isolated attempt
+      // (the certification requirement — isolatedFams is only the audit
+      // count of distinct families that ever forked)
+      val bracketIsolated =
+        scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
       // stalest-first family order (r15 verdict task 1): the families
       // longest without a clean isolated run certify FIRST this run
       val ordered = staleOrdered(ledger0)
       for ((family, _) <- ordered) {
-        famOps(family) = StressOps.armsFor(family,
-          ledger0.get(family).map(_.arm).getOrElse(0))
         val decision =
           if (skippedFamilies.nonEmpty) None
           else familyRunsUnderBudget(stressElapsed, stressBudget, stressRuns)
         decision match {
           case None => skippedFamilies += family
           case Some(famRuns) =>
+            // recorded only for families that actually attempt: the
+            // detail JSON's stress_arms documents ops that RAN, and a
+            // judge must not read arm coverage off skipped families
+            famOps(family) = StressOps.armsFor(family,
+              ledger0.get(family).map(_.arm).getOrElse(0))
             attemptFamily(family, famRuns, famOps(family)) match {
-              case Some(res) => famBracket(family) = fold(res)
+              case Some((res, iso)) =>
+                famBracket(family) = fold(res)
+                bracketIsolated(family) = iso
               case None =>
                 // worker failed AND the budget is spent (e.g. a hang ate
                 // it): don't run unbounded in-process — rotate instead
@@ -443,11 +465,14 @@ object Bench {
           decision.foreach { famRuns =>
             System.err.println(s"[bench] stress family '$family' bracket " +
               "contended; re-running once within budget")
-            attemptFamily(family, famRuns, famOps(family)).foreach { res =>
-              val b2 = fold(res)
-              val b1 = famBracket(family)
-              if (math.max(b2._1, b2._2) < math.max(b1._1, b1._2))
-                famBracket(family) = b2
+            attemptFamily(family, famRuns, famOps(family)).foreach {
+              case (res, iso) =>
+                val b2 = fold(res)
+                val b1 = famBracket(family)
+                if (math.max(b2._1, b2._2) < math.max(b1._1, b1._2)) {
+                  famBracket(family) = b2
+                  bracketIsolated(family) = iso
+                }
             }
           }
         }
@@ -456,16 +481,16 @@ object Bench {
         }
       }
       // LEDGER STAMPING: a family certifies (stamp = this run's counter,
-      // arm cursor advances) only when it ran ISOLATED, its final
-      // bracket is clean, AND at least one of its selected ops published
-      // a usable (non-errored) min — contended, in-process-fallback,
-      // skipped, failed and all-errored families keep their old stamp,
-      // so they keep (or gain) staleness priority next run. A
-      // perpetually-contended family replays the same arm until it gets
-      // a clean shot: its published mins are the ones needing
-      // re-certification.
+      // arm cursor advances) only when its KEPT bracket came from an
+      // ISOLATED attempt, that bracket is clean, AND at least one of its
+      // selected ops published a usable (non-errored) min — contended,
+      // in-process-fallback, skipped, failed and all-errored families
+      // keep their old stamp, so they keep (or gain) staleness priority
+      // next run. A perpetually-contended family replays the same arm
+      // until it gets a clean shot: its published mins are the ones
+      // needing re-certification.
       val certified = famBracket.keys.filter(f =>
-        isolatedFams.contains(f) && !contendedFams.contains(f) &&
+        bracketIsolated.getOrElse(f, false) && !contendedFams.contains(f) &&
           famOps.getOrElse(f, Seq.empty)
             .exists(k => stress.get(k).exists(_ >= 0)))
       finalLedger = ledger0 ++ certified.map { f =>

@@ -198,6 +198,13 @@ class BenchLineSpec extends AnyFunSuite {
     val dirty = "events 7 1\nnot_a_family 3 0\nevents\ngraph x y\n  \n"
     assert(Bench.parseLedger(dirty) === Map("events" -> Bench.FamilyLedger(7, 1)))
     assert(Bench.parseLedger("") === Map.empty)
+    // out-of-range stamps read as damage — a stamp near Long.MaxValue
+    // would overflow maxStamp+1 and INVERT staleness (wedging the
+    // rotation), so it must degrade to "never certified" instead
+    assert(Bench.parseLedger(s"token ${Long.MaxValue} 0") === Map.empty)
+    assert(Bench.parseLedger("token -3 0\ngraph 2 -1") === Map.empty)
+    assert(Bench.parseLedger(s"token ${1L << 53} 0") ===
+      Map("token" -> Bench.FamilyLedger(1L << 53, 0)))
   }
 
   test("arm groups partition each family's op contract exactly") {

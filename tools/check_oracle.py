@@ -133,6 +133,11 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 def scale_audit(sf_dir: str, out_dir: str) -> int:
     """Fork a subset Verify run at the second scale factor, then compare."""
+    # the forked Verify runs with cwd=repo while main() resolves against
+    # THIS process's cwd — absolutize both so relative arguments can't
+    # write one tree and compare another
+    sf_dir = os.path.abspath(sf_dir)
+    out_dir = os.path.abspath(out_dir)
     gates = ",".join(SCALE_GATES)
     print(f"[scale] verifying {len(SCALE_GATES)} data-dependent gates "
           f"against {sf_dir} (sbt Verify run follows)")
