@@ -818,6 +818,14 @@ object SparkEntry {
       graft.ml.Dedup.minhashBandStats(
         Tables.load(s, dir, "documents"), "text", "doc_id")
     },
+    // the simhash twin: the hamming-band COST surface (slice width
+    // drives bucket occupancy — 9.3k → 445k candidates across
+    // w=16..4 at sf0.01); b ≥ k+1 correctness is enforced at plan time
+    // by dropSeenNearBy, so cost is the dial this gate certifies
+    "q_simhash_bands" -> { (s, dir) =>
+      graft.ml.Dedup.simhashBandStats(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+    },
     "q_dedup_clusters" -> { (s, dir) =>
       graft.ml.Dedup.clusters(sharedMinhashPairs(s, dir))
     },
@@ -3123,6 +3131,41 @@ object SparkEntry {
          |  FROM s WHERE len(sh) > 0
          |), g AS (
          |  SELECT doc_id, list_value($sigExprs) AS sig FROM h
+         |), k AS ($unions),
+         |bu AS (SELECT bands, bkey, count(*) AS n FROM k GROUP BY 1, 2)
+         |SELECT bands, count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_collision_buckets,
+         |  CAST(sum((n * (n-1)) // 2) AS BIGINT) AS n_candidates,
+         |  max(n) AS max_bucket
+         |FROM bu GROUP BY bands""".stripMargin
+    },
+
+    // simhash band-slice replay: the q_dedup_simhash vote CTE, sliced
+    // into each config's (band, value) keys by exact integer div/mod —
+    // slice literals GENERATED in lockstep with simhashBandStats
+    "q_simhash_bands" -> {
+      val unions = Seq(2, 4, 8).map { b =>
+        val w = 32 / b
+        val parts = (0 until b).map(band =>
+          s"'$band-'||CAST((sim // ${1L << (band * w)}) % ${1L << w} AS VARCHAR)")
+          .mkString(", ")
+        s"SELECT $b AS bands, unnest([$parts]) AS bkey FROM g"
+      }.mkString(" UNION ALL ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS toks
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    [CAST(('0x' || substring(md5(tok), 25, 8)) AS BIGINT) for tok in toks] AS hs
+         |  FROM t
+         |), g AS (
+         |  SELECT doc_id, CAST(list_sum([
+         |      CASE WHEN list_sum([CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+         |        THEN 1 ELSE -1 END for h in hs]) > 0
+         |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+         |      for j in range(0, 32)]) AS BIGINT) AS sim
+         |  FROM h
          |), k AS ($unions),
          |bu AS (SELECT bands, bkey, count(*) AS n FROM k GROUP BY 1, 2)
          |SELECT bands, count(*) AS n_buckets,

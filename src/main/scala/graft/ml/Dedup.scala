@@ -305,6 +305,49 @@ object Dedup {
     transform(array_distinct(tokens(text)),
       t => conv(substring(md5(t), 25, 8), 16, 10).cast("long"))
 
+  /** Band-configuration audit for SimHash hamming-k blocking — the
+    * [[minhashBandStats]] twin over the bit-slice banding
+    * [[simhashHammingPairs]]/[[dropSeenNearBy]] use: for each candidate
+    * band count `b` (slice width w = totalBits/b) it buckets the corpus
+    * on every (band, slice-value) and reports the bucket histogram —
+    * n_buckets, n_collision_buckets, n_candidates (Σ C(size,2), the
+    * verify volume the banding generates) and max_bucket. The pigeonhole
+    * rule makes b ≥ k+1 a CORRECTNESS floor (dropSeenNearBy enforces it
+    * at plan time); what this audit exposes is the COST side — slice
+    * width drives bucket occupancy (a 4-bit slice has 16 possible
+    * values, so every bucket is corpus/16 and candidates explode), the
+    * trade a band-count choice is actually making at 100 TB. Bucket
+    * sizes only, never a pair join — same group-by-statistics contract
+    * as [[minhashBandStats]]. simhash32 is the md5-low-32 vote kernel
+    * the DuckDB oracle already replays bit-exactly; band slices are
+    * exact integer div/mod in both engines. */
+  def simhashBandStats(df: DataFrame, textCol: String, idCol: String,
+      totalBits: Int = 32, bandConfigs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b =>
+      b > 0 && totalBits % b == 0),
+      s"every band config must divide totalBits=$totalBits, got $bandConfigs")
+    val keyStructs = bandConfigs.flatMap { b =>
+      val w = totalBits / b
+      (0 until b).map { band =>
+        val slice = shiftright(col("sim"), band * w)
+          .bitwiseAND(lit((1L << w) - 1L))
+        struct(lit(b).as("bands"),
+          concat_ws("-", lit(band.toString), slice.cast("string")).as("bkey"))
+      }
+    }
+    df.select(col(s"`$idCol`").as("id"), simhash32(col(s"`$textCol`")).as("sim"))
+      .repartition(col("id")) // barrier: hash/vote ONCE, not per slice ref
+      .select(explode(array(keyStructs: _*)).as("k"))
+      .select(col("k.bands").as("bands"), col("k.bkey").as("bkey"))
+      .groupBy("bands", "bkey").agg(count(lit(1)).as("n"))
+      .groupBy("bands").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_collision_buckets"),
+        sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long"))
+          .as("n_candidates"),
+        max(col("n")).as("max_bucket"))
+  }
+
   /** 32-bit SimHash from pre-computed token hashes — one codegen'd pass
     * over the long array (ArrayFns.SimHash32Expr); the expensive md5 pass
     * over the strings happens once, upstream. Bit-identical to the

@@ -177,6 +177,35 @@ class OracleMutation8Spec extends SparkSpec with MutationAudit {
     }
   }
 
+  test("q_simhash_bands: slicing every band from bit 0 (a dropped shift) " +
+      "collapses the configs onto one histogram") {
+    assertCaught("q_simhash_bands") {
+      // the seeded indexing bug: the band slice forgets its shift and
+      // always reads the LOW w bits — every band of a config buckets on
+      // the same value, so collision structure degenerates
+      val keyStructs = Seq(2, 4, 8).flatMap { b =>
+        val w = 32 / b
+        (0 until b).map { band =>
+          val slice = col("sim").bitwiseAND(lit((1L << w) - 1L)) // BUG
+          struct(lit(b).as("bands"),
+            concat_ws("-", lit(band.toString), slice.cast("string")).as("bkey"))
+        }
+      }
+      docs.select(col("doc_id").as("id"),
+          graft.ml.Dedup.simhash32(col("text")).as("sim"))
+        .repartition(col("id"))
+        .select(explode(array(keyStructs: _*)).as("k"))
+        .select(col("k.bands").as("bands"), col("k.bkey").as("bkey"))
+        .groupBy("bands", "bkey").agg(count(lit(1)).as("n"))
+        .groupBy("bands").agg(
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_collision_buckets"),
+          sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long"))
+            .as("n_candidates"),
+          max(col("n")).as("max_bucket"))
+    }
+  }
+
   test("q_ann_lsh: an off-by-one top-k bound shrinks every result list") {
     assertCaught("q_ann_lsh") {
       val emb = Tables.load(spark, dir, "embeddings")

@@ -272,12 +272,14 @@ class PlanQualitySpec extends SparkSpec {
     // sizes (explode → partial-agg group-bys), never a bucket self-join —
     // a Join here means the audit regressed into the O(candidates) pair
     // enumeration it exists to avoid pricing
-    val plan = executedPlan("q_minhash_bands")
-    assert(!plan.contains("Join"), s"band stats joins:\n$plan")
-    // repartition barrier + two agg exchanges and nothing else
-    assert("Exchange".r.findAllIn(plan).size <= 3,
-      s"band stats shuffles more than repartition+2 aggs:\n$plan")
-    assert(plan.contains("partial"), s"no map-side partial agg:\n$plan")
+    for (q <- Seq("q_minhash_bands", "q_simhash_bands")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Join"), s"$q band stats joins:\n$plan")
+      // repartition barrier + two agg exchanges and nothing else
+      assert("Exchange".r.findAllIn(plan).size <= 3,
+        s"$q band stats shuffles more than repartition+2 aggs:\n$plan")
+      assert(plan.contains("partial"), s"$q: no map-side partial agg:\n$plan")
+    }
   }
 
   test("multimodal decode stays narrow: no shuffle between synthesis and decode") {

@@ -46,7 +46,7 @@ SCALE_GATES = [
     # seeded draws + global threshold cuts (population-dependent)
     "q_dsir", "q_quota_sample", "q_quality_band", "q_vocab",
     # bucket-histogram audits (collision structure moves with the corpus)
-    "q_minhash_bands",
+    "q_minhash_bands", "q_simhash_bands",
 ]
 
 
