@@ -1,8 +1,18 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** JSON string escape for values we don't control (env-fed paths):
+    * a quote or backslash in SPARK_GRAFT_SF_DIR must not malform the
+    * one line the driver parses. */
+  private[graft] def jstr(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   // Locale.ROOT: the f interpolator formats with the JVM default locale,
   // and a comma-decimal locale would render 1.234 as "1,234" — malformed
@@ -151,18 +161,27 @@ object Bench {
         "\"" + k + "\":[" + jnum(a) + "," + jnum(b) + "]"
       }.mkString("{", ",", "}")
     val head = queryMedians.filter { case (k, _) => headline.contains(k) }
-    val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def errJsonOf(es: Seq[String]): String =
+      es.map("\"" + jstr(_) + "\"").mkString("[", ",", "]")
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     def assemble(qs: Seq[(String, Double)], st: Seq[(String, Double)],
-        br: Seq[(String, (Double, Double))]): String =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":$errJson,"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"$sfDir"}"""
+        br: Seq[(String, (Double, Double))], es: Seq[String]): String =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":${errJsonOf(es)},"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"${jstr(sfDir)}"}"""
+    // final shedding step: a mass-error run (every gate analysis-broken)
+    // carries an errors array that alone outgrows the capture window —
+    // truncate to the first names plus a count so the artifact stays
+    // parseable exactly on the run where it's most needed
+    val truncatedErrors =
+      if (errored.size <= 12) errored
+      else errored.take(12) :+ s"(+${errored.size - 12} more errored)"
     val candidates = Iterator(
-      assemble(head, stress, probeBracket),
-      assemble(Seq.empty, stress, probeBracket),
-      assemble(Seq.empty, Seq.empty, probeBracket),
-      assemble(Seq.empty, Seq.empty, Seq.empty))
+      assemble(head, stress, probeBracket, errored),
+      assemble(Seq.empty, stress, probeBracket, errored),
+      assemble(Seq.empty, Seq.empty, probeBracket, errored),
+      assemble(Seq.empty, Seq.empty, Seq.empty, errored),
+      assemble(Seq.empty, Seq.empty, Seq.empty, truncatedErrors))
     candidates.find(_.length <= MaxLineChars)
-      .getOrElse(assemble(Seq.empty, Seq.empty, Seq.empty))
+      .getOrElse(assemble(Seq.empty, Seq.empty, Seq.empty, truncatedErrors))
   }
 
   def main(args: Array[String]): Unit = {
@@ -372,7 +391,9 @@ object Bench {
               xs.lastOption.getOrElse(-1.0))
           } else {
             stressSamples(k) = stressSamples.getOrElse(k, Vector.empty) ++ xs
-            val v = if (xs.exists(_ < 0)) -1.0 else xs.min
+            // empty guard: SPARK_GRAFT_STRESS_RUNS=0 yields samples:[]
+            // per op — publish errored (-1), never crash on empty.min
+            val v = if (xs.isEmpty || xs.exists(_ < 0)) -1.0 else xs.min
             stress(k) = stress.get(k) match {
               case Some(old) if old >= 0 && v >= 0 => math.min(old, v)
               case Some(old) => math.max(old, v) // one errored → the valid one
@@ -427,13 +448,14 @@ object Bench {
         decision match {
           case None => skippedFamilies += family
           case Some(famRuns) =>
-            // recorded only for families that actually attempt: the
-            // detail JSON's stress_arms documents ops that RAN, and a
-            // judge must not read arm coverage off skipped families
-            famOps(family) = StressOps.armsFor(family,
+            val ops = StressOps.armsFor(family,
               ledger0.get(family).map(_.arm).getOrElse(0))
-            attemptFamily(family, famRuns, famOps(family)) match {
+            attemptFamily(family, famRuns, ops) match {
               case Some((res, iso)) =>
+                // recorded only for families that actually RAN: the
+                // detail JSON's stress_arms documents arm coverage, and
+                // a judge must not read ops off skipped/failed families
+                famOps(family) = ops
                 famBracket(family) = fold(res)
                 bracketIsolated(family) = iso
               case None =>
@@ -603,7 +625,9 @@ object Bench {
       val runs = names.map { n =>
         "\"" + n + "\":" + samples(n).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      val stressRuns = stressSamples.map { case (k, xs) =>
+      // NOT `stressRuns` — that name is the outer Int sample count and
+      // same-name different-type shadowing in this block is a trap
+      val stressRunsJson = stressSamples.map { case (k, xs) =>
         "\"" + k + "\":" + xs.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       // probe-normalized stress datapoints — demoted from the parsed line
@@ -641,7 +665,7 @@ object Bench {
       val warmJson = warmBreakdown.map { case (q, s) =>
         "\"" + q + "\":" + jnum(s)
       }.mkString("{", ",", "}")
-      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRuns,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$wholeRunContended,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_cursor":"$nextCursor","stress_arms":$armsJson,"stress_ledger":$ledgerJson,"warmup_breakdown":$warmJson,"phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"$sfDir"}"""
+      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRunsJson,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$wholeRunContended,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_cursor":"$nextCursor","stress_arms":$armsJson,"stress_ledger":$ledgerJson,"warmup_breakdown":$warmJson,"phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"${jstr(sfDir)}"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))

@@ -134,9 +134,14 @@ object StressOps {
         System.gc() // settle: don't bill a prior op's garbage to this one
         val t0 = System.nanoTime()
         val ok = try { f; true } catch { case _: Throwable => false }
+        // stop the clock BEFORE the between-sample housekeeping: the
+        // cache clear/drain is fixture bookkeeping, not op cost (Bench's
+        // query loop already clears outside its timed region — r16
+        // review finding; op mins may read marginally lower than r15's)
+        val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         graft.core.CacheRegistry.drain()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) elapsed else -1.0
       }.toVector
       res.samples(key) = xs
     }

@@ -70,6 +70,35 @@ class BenchLineSpec extends AnyFunSuite {
       node.get("stress").size() === 0)
   }
 
+  test("a mass-error run truncates the errors array rather than " +
+      "overflowing the capture window") {
+    // the r16 review finding: every gate analysis-broken (missing
+    // dataset) put ~139 names in errors — alone past the window, so the
+    // most-shed candidate STILL overflowed and the driver read
+    // parsed:null exactly on the run that most needed an artifact
+    val line = Bench.renderParsedLine(
+      total = 0.0,
+      queryMedians = Seq.empty,
+      errored = (0 until 150).map(i => s"q_errored_operator_name_$i"),
+      rounds = 3, sharedSec = 0.0,
+      stress = Seq.empty, probeBracket = Seq.empty, contended = Seq.empty,
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= Bench.MaxLineChars, s"line was ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("errors").size() === 13) // 12 names + the count marker
+    assert(node.get("errors").get(12).asText().contains("138 more"))
+  }
+
+  test("a hostile sfDir path cannot malform the parsed line") {
+    val line = Bench.renderParsedLine(
+      total = 1.0, queryMedians = Seq.empty, errored = Seq.empty,
+      rounds = 3, sharedSec = 0.0, stress = Seq.empty,
+      probeBracket = Seq.empty, contended = Seq.empty,
+      sfDir = """/tmp/we"ird\path""")
+    val node = mapper.readTree(line) // parse fails if unescaped
+    assert(node.get("sf").asText() === """/tmp/we"ird\path""")
+  }
+
   test("contended bracket: either dirty probe side flags; retry keeps " +
       "the cleaner attempt") {
     // the r14 driver run's actual bracket values: pre-probe 9.27 with a
