@@ -198,6 +198,22 @@ object SparkEntry {
 
   /** Smooth-gradient corpus for the lossy-transcode gate — memoized for
     * the same reason as [[sharedSynthVariants]] (encode churn). */
+  /** q_script_profile's planted script samples, indexed by doc_id%8 —
+    * ONE definition feeds both the Spark gate and the generated oracle
+    * CASE so the literals cannot drift. Cyrillic/Greek carry UPPERCASE
+    * letters (below the lowercase block start) so a low-bound range
+    * drift is fixture-visible; index 6 plants nothing; index 7 is an
+    * exact cyrillic/cjk tie (3 vs 3) probing the tie-break order. */
+  private[graft] val scriptSamples: Seq[String] = Seq(
+    "Привет Мир", // Привет Мир
+    "你好世界",                               // CJK ×4
+    "مرحبا",                         // Arabic ×5
+    "안녕하세요",                         // Hangul ×5
+    "नमस्ते",                   // Devanagari ×6
+    "Γειά σου",            // Γειά σου
+    "",                                                        // none
+    "Мир 好好好")                  // tie 3:3
+
   private[graft] def sharedSynthSmooth(s: SparkSession, dir: String): DataFrame =
     pairsMemo.synchronized {
       pairsMemo
@@ -1436,6 +1452,22 @@ object SparkEntry {
       graft.ml.TextAnalysis.profile(Tables.load(s, dir, "documents"), "text")
         .select("doc_id", "n_tokens", "n_regex_tokens", "mean_word_len",
           "stopword_ratio", "distinct_ratio", "quality", "lang_guess", "fingerprint")
+    },
+
+    // Unicode script-class counts + dominant non-Latin script (the
+    // mislabeled-language signal). The corpus is ASCII, so script
+    // samples are PLANTED by doc_id%8 — with UPPERCASE Cyrillic/Greek
+    // (a lowercase-only fixture would make a low-bound range drift
+    // invisible, the §8.22l lesson) and one cyrillic/cjk TIE row so the
+    // first-in-order tie-break is exercised; %8==6 plants nothing
+    // ("none"). Counts are codepoint filters, regex-free cross-engine.
+    "q_script_profile" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          element_at(array(scriptSamples.map(lit(_)): _*),
+            pmod(col("doc_id"), lit(8)).cast("int") + lit(1))).as("text"))
+      graft.ml.TextAnalysis.scriptProfile(planted, "text", "doc_id")
     },
 
     // Global quality-band cut: keep the top 30% of documents by quality
@@ -4147,6 +4179,46 @@ object SparkEntry {
         |  AND rule_alpha AND rule_bullet AND rule_ellipsis AND rule_stopwords
         |  AND rule_no_brace AND rule_no_lorem AS keep
         |FROM r""".stripMargin,
+
+    // script-class replay: counts via the same codepoint-range filters
+    // (ascii() is codepoint semantics in both engines — the r13 fact),
+    // planted CASE and range literals GENERATED from scriptSamples /
+    // TextAnalysis.scriptRanges so neither side can drift; dominant is
+    // the first-in-order argmax unrolled as a CASE whose WHEN order IS
+    // the tie-break
+    "q_script_profile" -> {
+      val ranges = graft.ml.TextAnalysis.scriptRanges
+      val cases = scriptSamples.zipWithIndex
+        .map { case (smp, i) => s"WHEN $i THEN '$smp'" }.mkString(" ")
+      val countCols = ranges.map { case (nm, rs) =>
+        val cond = rs.map { case (lo, hi) =>
+          s"(ascii(c) BETWEEN $lo AND $hi)" }.mkString(" OR ")
+        s"CAST(len(list_filter(cs, c -> $cond)) AS BIGINT) AS n_$nm"
+      }.mkString(",\n    ")
+      val foreign = ranges.map(_._1).filterNot(_ == "latin")
+      val dominant = foreign.map { nm =>
+        val geAll = foreign.filterNot(_ == nm)
+          .map(o => s"n_$nm >= n_$o").mkString(" AND ")
+        s"WHEN n_$nm > 0 AND $geAll THEN '$nm'"
+      }.mkString("\n    ")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' ' || CASE CAST(doc_id % 8 AS INT) $cases END AS text
+         |  FROM documents
+         |), ch AS (
+         |  SELECT doc_id, string_split(text, '') AS cs FROM planted
+         |), counted AS (
+         |  SELECT doc_id,
+         |    $countCols
+         |  FROM ch
+         |)
+         |SELECT doc_id, n_latin, n_greek, n_cyrillic, n_arabic,
+         |  n_devanagari, n_hangul, n_cjk,
+         |  CASE
+         |    $dominant
+         |    ELSE 'none' END AS dominant_foreign
+         |FROM counted""".stripMargin
+    },
 
     "q_text_profile" ->
       """WITH t AS (

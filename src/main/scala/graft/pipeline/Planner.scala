@@ -455,7 +455,7 @@ object Planner {
 
   private val CorpusStages = Set("Dedup", "Decontaminate", "Mix",
     "AssignSplits", "PackSequences", "Chunk", "UrlDedup", "TextProfile",
-    "EncodingArtifacts", "DupLines",
+    "EncodingArtifacts", "DupLines", "ScriptProfile",
     "SemanticDedup", "PassageDedup", "LineDedup", "Shuffle", "QuotaSample",
     "ClusterBalance",
     "Normalize", "ColumnProfile", "MediaDecode", "MediaResize",
@@ -704,6 +704,46 @@ object Planner {
         }
       case "TextProfile" =>
         df => graft.ml.TextAnalysis.profile(df, text)
+      case "ScriptProfile" =>
+        // Unicode script-class counts + dominant non-Latin script (the
+        // mislabeled-language signal): `flag` (default) appends the
+        // count columns and dominant_foreign; `drop` keeps rows whose
+        // expected script holds at least `min_frac` of all counted
+        // letters (multiply form — no division, exact at the knife
+        // edge) and keeps the original schema. Zero-letter and NULL
+        // docs are KEPT in drop mode (no script evidence — null policy
+        // stays the caller's, the QualityRules keep-shape contract).
+        val dropMode = conf.str("mode").getOrElse("flag") match {
+          case "drop" => true
+          case "flag" => false
+          case other =>
+            sys.error(s"ScriptProfile mode must be flag|drop, got '$other'")
+        }
+        val expect = conf.str("expect").getOrElse("latin")
+        require(graft.ml.TextAnalysis.scriptRanges.exists(_._1 == expect),
+          s"ScriptProfile expect must be one of ${
+            graft.ml.TextAnalysis.scriptRanges.map(_._1).mkString(", ")
+          }, got '$expect'")
+        val minFrac = conf.dbl("min_frac", 0.5)
+        df => {
+          val withChars = df.withColumn("__graft_sp_chars",
+            split(col(text), ""))
+          val cols = graft.ml.TextAnalysis.scriptClassCols(
+            col("__graft_sp_chars"))
+          if (!dropMode)
+            cols.foldLeft(withChars) { case (d, (n, c)) => d.withColumn(n, c) }
+              .withColumn("dominant_foreign",
+                graft.ml.TextAnalysis.dominantForeignCol)
+              .drop("__graft_sp_chars")
+          else {
+            val byName = cols.toMap
+            val total = cols.map(_._2).reduce(_ + _)
+            withChars.filter(coalesce(
+                byName(s"n_$expect").cast("double") >= lit(minFrac) * total,
+                total.isNull || total === 0L))
+              .drop("__graft_sp_chars")
+          }
+        }
       case "EncodingArtifacts" =>
         // mojibake / replacement-char / control-char counts (the broken-
         // decode-chain signal): `flag` (default) appends the three count
@@ -1530,7 +1570,7 @@ object Planner {
     * forced into the foreachBatch tail by [[streamingSplit]]. */
   private val StreamableCorpusStages = Set("Mix", "AssignSplits", "TextProfile",
     "StripHtml", "Normalize", "QualityRules", "LineFilter", "Outlinks",
-    "CompressionRatio", "EncodingArtifacts", "DupLines")
+    "CompressionRatio", "EncodingArtifacts", "DupLines", "ScriptProfile")
 
   /** Config-dependent streamability on top of the static whitelist (r14
     * verdict task 7 — streaming curation parity): the composed curation

@@ -206,6 +206,59 @@ class OracleMutation8Spec extends SparkSpec with MutationAudit {
     }
   }
 
+  private def scriptPlanted: DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        element_at(array(SparkEntry.scriptSamples.map(lit(_)): _*),
+          pmod(col("doc_id"), lit(8)).cast("int") + lit(1))).as("text"))
+
+  test("q_script_profile: a cyrillic low bound drifted past the " +
+      "uppercase block drops planted capitals") {
+    assertCaught("q_script_profile") {
+      // the seeded bug: [Ѐ-ӿ] → [а-ӿ] (lowercase
+      // block start) — the fixture plants Привет Мир with UPPERCASE
+      // П/М exactly so this class of drift is visible
+      val chars = col("__c")
+      val counts = graft.ml.TextAnalysis.scriptRanges.map {
+        case ("cyrillic", _) =>
+          "n_cyrillic" -> size(filter(chars,
+            c => ascii(c) >= 0x430 && ascii(c) <= 0x4FF)).cast("long")
+        case (nm, rs) =>
+          s"n_$nm" -> size(filter(chars, c => rs.map { case (lo, hi) =>
+            ascii(c) >= lo && ascii(c) <= hi }.reduce(_ || _))).cast("long")
+      }
+      counts.foldLeft(scriptPlanted.select(col("doc_id"),
+          split(col("text"), "").as("__c"))) {
+          case (d, (n, c)) => d.withColumn(n, c)
+        }
+        .withColumn("dominant_foreign",
+          graft.ml.TextAnalysis.dominantForeignCol)
+        .drop("__c")
+    }
+  }
+
+  test("q_script_profile: a reversed dominant tie-break flips the " +
+      "planted cyrillic/cjk tie row") {
+    assertCaught("q_script_profile") {
+      val base = graft.ml.TextAnalysis.scriptClassCols(col("__c"))
+        .foldLeft(scriptPlanted.select(col("doc_id"),
+          split(col("text"), "").as("__c"))) {
+          case (d, (n, c)) => d.withColumn(n, c)
+        }
+      val foreign = graft.ml.TextAnalysis.scriptRanges.map(_._1)
+        .filterNot(_ == "latin")
+      val best = foreign.map(n => col(s"n_$n")).reduce(greatest(_, _))
+      // BUG: LAST-in-order wins ties (foldLeft without the reverse) —
+      // the doc_id%8==7 row (cyrillic 3, cjk 3) flips to cjk
+      val dom = foreign.foldLeft(lit("none"): org.apache.spark.sql.Column) {
+        case (acc, nm) =>
+          when(col(s"n_$nm") === best && col(s"n_$nm") > 0, lit(nm))
+            .otherwise(acc)
+      }
+      base.withColumn("dominant_foreign", dom).drop("__c")
+    }
+  }
+
   test("q_ann_lsh: an off-by-one top-k bound shrinks every result list") {
     assertCaught("q_ann_lsh") {
       val emb = Tables.load(spark, dir, "embeddings")

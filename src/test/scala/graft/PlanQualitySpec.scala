@@ -264,6 +264,13 @@ class PlanQualitySpec extends SparkSpec {
       // "*(n)" is executedPlan.toString's whole-stage-codegen marker
       assert(plan.contains("*(1)"), s"$q left codegen:\n$plan")
     }
+    // script-class profiling: same zero-exchange narrow-map contract
+    // (no codegen-span assertion — higher-order array filters are
+    // CodegenFallback expressions by design)
+    val sp = executedPlan("q_script_profile")
+    assert(!sp.contains("Exchange"),
+      s"q_script_profile shuffles a narrow map:\n$sp")
+    assert(!sp.contains("Join"), s"q_script_profile joins:\n$sp")
   }
 
   test("minhash band-stats audit never enumerates pairs: no join, " +

@@ -87,10 +87,77 @@ class StreamingPipelineSpec extends SparkSpec {
     val enc = Seq(
       "EncodingArtifacts" -> Map[String, Any]("src" -> "text", "mode" -> "drop"),
       "DupLines" -> Map[String, Any]("src" -> "text", "mode" -> "drop"),
+      "ScriptProfile" -> Map[String, Any]("src" -> "text", "mode" -> "drop"),
       "Dedup" -> Map[String, Any]("method" -> "exact"))
     val (s4, b4) = Planner.streamingSplit(enc)
-    assert(s4.map(_._1) == Seq("EncodingArtifacts", "DupLines"))
+    assert(s4.map(_._1) == Seq("EncodingArtifacts", "DupLines", "ScriptProfile"))
     assert(b4.map(_._1) == Seq("Dedup"))
+  }
+
+  test("ScriptProfile scores and drops live on the stream, " +
+      "stream/batch bit-parity") {
+    // flag mode: per-class counts + dominant_foreign must replay
+    // bit-identically over an unbounded frame; drop mode: a
+    // mostly-cyrillic doc drops in-flight when latin is expected
+    val yaml =
+      """inputs:
+        |  - Text: {path: unused}
+        |filters:
+        |  - ScriptProfile: {src: text}
+        |outputs:
+        |  - Stdout: {}
+        |""".stripMargin
+    val pipeline = Planner.fromYaml(yaml)
+    assert(Planner.streamingSplit(pipeline.stages)._2.isEmpty)
+    val pool = Seq(
+      (0L, "plain english text"),
+      (1L, "english with Привет"), // + cyrillic
+      (2L, "你好世界 你好"),             // cjk only
+      (3L, ""))
+    val cols = Seq("doc_id", "n_latin", "n_cyrillic", "n_cjk",
+      "dominant_foreign")
+    val mem = MemoryStream[(Long, String)](spark)
+    val transformed = pipeline.transform(mem.toDF().toDF("doc_id", "text"))
+    assert(transformed.isStreaming)
+    val q = transformed.writeStream.format("memory")
+      .queryName("script_live").start()
+    try {
+      mem.addData(pool: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("script_live")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val batched = pipeline.transform(pool.toDF("doc_id", "text"))
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(streamed == batched, s"diverged: $streamed vs $batched")
+      val byId = spark.table("script_live").select(cols.map(col): _*)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(byId(1L).getLong(2) == 6L, "cyrillic uncounted")
+      assert(byId(1L).getString(4) == "cyrillic")
+      assert(byId(0L).getString(4) == "none")
+      // zero-exchange micro-batch: scoring rides ingest at scan speed
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!exec.contains("Exchange"), s"script scoring shuffles:\n$exec")
+    } finally q.stop()
+
+    val dropYaml = yaml.replace("{src: text}",
+      "{src: text, mode: drop, expect: latin, min_frac: 0.5}")
+    val dropPipe = Planner.fromYaml(dropYaml)
+    val mem2 = MemoryStream[(Long, String)](spark)
+    val q2 = dropPipe.transform(mem2.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("script_drop").start()
+    try {
+      mem2.addData(pool: _*)
+      q2.processAllAvailable()
+      val kept = spark.table("script_drop")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // 2 is cjk-only (latin frac 0 < 0.5) → dropped; 1 is latin-
+      // dominant → kept; 3 has zero letters → KEPT (no evidence)
+      assert(kept == Set(0L, 1L, 3L), s"drop-mode stream kept $kept")
+      assert(spark.table("script_drop").columns.toSeq ==
+        Seq("doc_id", "text"))
+    } finally q2.stop()
   }
 
   test("curation-on-ingest runs live on the stream: strip, line filter, rules") {
