@@ -196,24 +196,35 @@ object SparkEntry {
             .localCheckpoint())
     }
 
-  /** Smooth-gradient corpus for the lossy-transcode gate — memoized for
-    * the same reason as [[sharedSynthVariants]] (encode churn). */
   /** q_script_profile's planted script samples, indexed by doc_id%8 —
-    * ONE definition feeds both the Spark gate and the generated oracle
-    * CASE so the literals cannot drift. Cyrillic/Greek carry UPPERCASE
-    * letters (below the lowercase block start) so a low-bound range
-    * drift is fixture-visible; index 6 plants nothing; index 7 is an
-    * exact cyrillic/cjk tie (3 vs 3) probing the tie-break order. */
+    * ONE definition feeds the Spark gate, the generated oracle CASE and
+    * the mutation tests so the literals cannot drift. Cyrillic/Greek
+    * carry UPPERCASE letters (below the lowercase block start) so a
+    * low-bound range drift is fixture-visible; index 6 plants nothing;
+    * index 7 is an exact cyrillic/cjk tie (3 vs 3) probing the
+    * tie-break order. */
   private[graft] val scriptSamples: Seq[String] = Seq(
-    "Привет Мир", // Привет Мир
+    "Привет Мир", // cyrillic ×9 incl. uppercase
     "你好世界",                               // CJK ×4
     "مرحبا",                         // Arabic ×5
     "안녕하세요",                         // Hangul ×5
     "नमस्ते",                   // Devanagari ×6
-    "Γειά σου",            // Γειά σου
+    "Γειά σου",            // greek ×7 incl. uppercase
     "",                                                        // none
     "Мир 好好好")                  // tie 3:3
 
+  /** The q_script_profile plant itself, shared with the mutation tests
+    * (a copy-pasted planting expression could drift from the gate's and
+    * silently turn the mutations vacuous — the same no-drift rule as
+    * [[scriptSamples]]). */
+  private[graft] def scriptPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        element_at(array(scriptSamples.map(lit(_)): _*),
+          pmod(col("doc_id"), lit(8)).cast("int") + lit(1))).as("text"))
+
+  /** Smooth-gradient corpus for the lossy-transcode gate — memoized for
+    * the same reason as [[sharedSynthVariants]] (encode churn). */
   private[graft] def sharedSynthSmooth(s: SparkSession, dir: String): DataFrame =
     pairsMemo.synchronized {
       pairsMemo
@@ -1462,12 +1473,8 @@ object SparkEntry {
     // first-in-order tie-break is exercised; %8==6 plants nothing
     // ("none"). Counts are codepoint filters, regex-free cross-engine.
     "q_script_profile" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val planted = docs.select(col("doc_id"),
-        concat(col("text"), lit(" "),
-          element_at(array(scriptSamples.map(lit(_)): _*),
-            pmod(col("doc_id"), lit(8)).cast("int") + lit(1))).as("text"))
-      graft.ml.TextAnalysis.scriptProfile(planted, "text", "doc_id")
+      graft.ml.TextAnalysis.scriptProfile(
+        scriptPlanted(Tables.load(s, dir, "documents")), "text", "doc_id")
     },
 
     // Global quality-band cut: keep the top 30% of documents by quality

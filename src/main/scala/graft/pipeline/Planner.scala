@@ -726,21 +726,36 @@ object Planner {
           }, got '$expect'")
         val minFrac = conf.dbl("min_frac", 0.5)
         df => {
+          // NULL text coalesces to "" BEFORE the split, so counts read
+          // 0 in EVERY session — never NULL, and never the legacy
+          // non-ANSI size(NULL) = -1 sentinel that would bypass a
+          // null-guard and silently drop NULL rows (r16 review finding;
+          // the EncodingArtifacts coalesce lesson)
+          val chars = col("__graft_sp_chars")
           val withChars = df.withColumn("__graft_sp_chars",
-            split(col(text), ""))
-          val cols = graft.ml.TextAnalysis.scriptClassCols(
-            col("__graft_sp_chars"))
+            split(coalesce(col(text), lit("")), ""))
           if (!dropMode)
-            cols.foldLeft(withChars) { case (d, (n, c)) => d.withColumn(n, c) }
+            graft.ml.TextAnalysis.scriptClassCols(chars)
+              .foldLeft(withChars) { case (d, (n, c)) => d.withColumn(n, c) }
               .withColumn("dominant_foreign",
                 graft.ml.TextAnalysis.dominantForeignCol)
               .drop("__graft_sp_chars")
           else {
-            val byName = cols.toMap
-            val total = cols.map(_._2).reduce(_ + _)
-            withChars.filter(coalesce(
-                byName(s"n_$expect").cast("double") >= lit(minFrac) * total,
-                total.isNull || total === 0L))
+            // 2 array traversals per row, not 8: the ranges are
+            // disjoint, so the letter total is ONE filter over their
+            // union beside the expect-class count — this is the
+            // default-on ingest filter and must score at scan speed
+            val ranges = graft.ml.TextAnalysis.scriptRanges
+            def countIn(rs: Seq[(Int, Int)]) =
+              size(filter(chars, c => rs.map { case (lo, hi) =>
+                ascii(c) >= lo && ascii(c) <= hi }.reduce(_ || _)))
+                .cast("long")
+            val total = countIn(ranges.flatMap(_._2))
+            val nExpect = countIn(ranges.find(_._1 == expect).get._2)
+            // multiply form (no division, exact at the knife edge);
+            // zero-letter docs carry no script evidence and are KEPT
+            withChars.filter(total === 0L ||
+                nExpect.cast("double") >= lit(minFrac) * total)
               .drop("__graft_sp_chars")
           }
         }

@@ -206,11 +206,9 @@ class OracleMutation8Spec extends SparkSpec with MutationAudit {
     }
   }
 
-  private def scriptPlanted: DataFrame =
-    docs.select(col("doc_id"),
-      concat(col("text"), lit(" "),
-        element_at(array(SparkEntry.scriptSamples.map(lit(_)): _*),
-          pmod(col("doc_id"), lit(8)).cast("int") + lit(1))).as("text"))
+  // the GATE's own planting helper — a local copy could drift from the
+  // gate/oracle pair and silently turn these mutations vacuous
+  private def scriptPlanted: DataFrame = SparkEntry.scriptPlanted(docs)
 
   test("q_script_profile: a cyrillic low bound drifted past the " +
       "uppercase block drops planted capitals") {
