@@ -205,7 +205,12 @@ object Dedup {
       .groupBy("bands").agg(
         count(lit(1)).as("n_buckets"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_collision_buckets"),
-        sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long"))
+        // shiftright, not `/ 2`: Column./ is DOUBLE division, exact only
+        // while n*(n-1) <= 2^53 — a degenerate band config on a
+        // billion-doc corpus exceeds that and silently diverges from the
+        // oracle's integer (n*(n-1))//2. n*(n-1) is even and >= 0, so
+        // x >> 1 is the exact long halving (r16 ADVICE).
+        sum(shiftright(col("n") * (col("n") - lit(1L)), 1))
           .as("n_candidates"),
         max(col("n")).as("max_bucket"))
   }
@@ -343,7 +348,12 @@ object Dedup {
       .groupBy("bands").agg(
         count(lit(1)).as("n_buckets"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_collision_buckets"),
-        sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long"))
+        // shiftright, not `/ 2`: Column./ is DOUBLE division, exact only
+        // while n*(n-1) <= 2^53 — a degenerate band config on a
+        // billion-doc corpus exceeds that and silently diverges from the
+        // oracle's integer (n*(n-1))//2. n*(n-1) is even and >= 0, so
+        // x >> 1 is the exact long halving (r16 ADVICE).
+        sum(shiftright(col("n") * (col("n") - lit(1L)), 1))
           .as("n_candidates"),
         max(col("n")).as("max_bucket"))
   }

@@ -435,8 +435,12 @@ object TextAnalysis {
     * streams natively; at 100 TB this scores at scan speed like the
     * other narrow quality signals. */
   def scriptProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // NULL text coalesces to "" (zero counts, dominant_foreign="none"):
+    // split(NULL) would yield NULL (ANSI) or -1 counts (legacy), and the
+    // Planner ScriptProfile stage already holds this contract — the
+    // public API must match it (r16 ADVICE).
     val base = df.select(col(s"`$idCol`"),
-      split(col(s"`$textCol`"), "").as("__graft_chars"))
+      split(coalesce(col(s"`$textCol`"), lit("")), "").as("__graft_chars"))
     val withCounts = scriptClassCols(col("__graft_chars"))
       .foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
     withCounts.withColumn("dominant_foreign", dominantForeignCol)

@@ -54,6 +54,20 @@ class EdgeCasesSpec extends SparkSpec {
       Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")).count() == 0)
   }
 
+  test("script profile: null text reads as zero counts, dominant 'none'") {
+    // the public API must hold the same NULL contract as the Planner
+    // ScriptProfile stage (r16 ADVICE): a NULL doc is an empty doc, not
+    // a NULL/-1 count row with a misleading dominant label
+    val out = TextAnalysis.scriptProfile(messy, "text", "doc_id")
+    assert(out.count() == 5)
+    val nullRow = out.filter(col("doc_id") === 2L).collect().head
+    Seq("n_latin", "n_cjk", "n_cyrillic", "n_arabic").foreach { c =>
+      assert(!nullRow.isNullAt(nullRow.fieldIndex(c)), c)
+      assert(nullRow.getLong(nullRow.fieldIndex(c)) == 0L, c)
+    }
+    assert(nullRow.getString(nullRow.fieldIndex("dominant_foreign")) == "none")
+  }
+
   test("text profile survives null and empty docs") {
     val out = TextAnalysis.profile(messy, "text")
     assert(out.count() == 5)
