@@ -68,6 +68,30 @@ object Bench {
       calmMin: Double): Boolean =
     calmMin > 0 && math.max(bracket._1, bracket._2) > 2.0 * calmMin
 
+  /** Certification bound vs the persisted CALM-FLOOR REFERENCE (r16
+    * verdict task 2): [[contendedBracket]] compares a family's bracket
+    * to the run's OWN floor, but the run floor may itself sit 1.5× above
+    * calm ([[runContended]]'s flag bound) — compounded, a "clean" family
+    * bracket could ride 3× above calm, and r16's graph family was
+    * stamped exactly that way (bracket 1.49-1.66× the calm ref, certified
+    * mins ~1.3× their calm rehearsal band). A family may STAMP only when
+    * its bracket also sits within this multiple of the calm reference.
+    * The same bound gates the pre-flight heat deferral
+    * ([[StressOps.runFamilyIfCalm]]): above it, running the ops cannot
+    * produce a stampable bracket, so they are not run. */
+  private[graft] val StampRefMult = 1.25
+
+  /** True when `bracket` is certifiable against the calm-floor reference
+    * (no reference yet → always eligible, the first-run seed path). */
+  private[graft] def stampEligibleVsRef(bracket: (Double, Double),
+      floorRef: Double): Boolean =
+    floorRef <= 0 ||
+      math.max(bracket._1, bracket._2) <= StampRefMult * floorRef
+
+  /** How long a worker's hot pre-probe stays valid as deferral evidence
+    * for the NEXT families in the queue (no re-fork, no re-probe). */
+  private[graft] val HotProbeReuseSecs = 60.0
+
   /** One family's certification record in the persisted stress ledger:
     * `stamp` is the run counter of its last CLEAN isolated run (0 =
     * never certified), `arm` the arm-group cursor its NEXT run uses.
@@ -152,7 +176,10 @@ object Bench {
       isolatedFamilies: Int = 0,
       stressCursor: String = "",
       probeFloorRef: Double = -1.0,
-      runIsContended: Boolean = false): String = {
+      runIsContended: Boolean = false,
+      warmupProbe: (Double, Double) = (-1.0, -1.0),
+      queriesProbe: (Double, Double) = (-1.0, -1.0),
+      warmupHot: Boolean = false): String = {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
@@ -164,9 +191,18 @@ object Bench {
     def errJsonOf(es: Seq[String]): String =
       es.map("\"" + jstr(_) + "\"").mkString("[", ",", "]")
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-phase heat attribution (r16 verdict task 3): the run-level
+    // flag compares the run's BEST probe to calm, which is blind to a
+    // run that is hot in WINDOWS (r16: warmup 49.6 s on a "calm" line —
+    // its heat only visible minutes later when graph's probes read
+    // 1.016). warmup_probe/queries_probe bracket those phases with their
+    // own samples, and warmup_hot evaluates the warmup bar against ITS
+    // probe — small, so they ride every shed candidate.
+    def probePair(p: (Double, Double)): String =
+      "[" + jnum(p._1) + "," + jnum(p._2) + "]"
     def assemble(qs: Seq[(String, Double)], st: Seq[(String, Double)],
         br: Seq[(String, (Double, Double))], es: Seq[String]): String =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":${errJsonOf(es)},"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"${jstr(sfDir)}"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":${errJsonOf(es)},"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"warmup_probe":${probePair(warmupProbe)},"warmup_hot":$warmupHot,"queries_probe":${probePair(queriesProbe)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"${jstr(sfDir)}"}"""
     // final shedding step: a mass-error run (every gate analysis-broken)
     // carries an errors array that alone outgrows the capture window —
     // truncate to the first names plus a count so the artifact stays
@@ -214,6 +250,29 @@ object Bench {
     // rehearsals, and attribution needs the breakdown — which query ate
     // the wall (first-query session codegen vs uniform heat) must be
     // readable from the artifact, not re-measured.
+    def readFileOr(p: java.nio.file.Path, fallback: String): String =
+      try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      catch { case _: Throwable => fallback }
+    // CALM-FLOOR REFERENCE (r15 verdict task 2): best probe across all
+    // committed runs on this machine, persisted monotone-min. -1 = no
+    // history (first run seeds it; run_contended then stays false). Read
+    // BEFORE warmup since r16 task 3: the warmup and queries phases get
+    // their own heat probes, and the stress workers get the reference
+    // for the pre-flight deferral gate.
+    val floorPath = java.nio.file.Paths.get("bench_probe_floor.txt")
+    val probeFloorRef =
+      try readFileOr(floorPath, "").trim.toDouble
+      catch { case _: NumberFormatException => -1.0 }
+    // every probe sample the run takes (warmup bracket, each stress
+    // family's bracket, queries bracket) — min is the run's floor
+    val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // warmup-phase heat bracket (r16 verdict task 3): the r16 driver
+    // read warmup 49.6 s against the ≤40 s bar on a line whose
+    // run-level flag said calm — the run's BEST probe came minutes
+    // later. The bar must be judged against the warmup window's OWN
+    // probes. Probes sit OUTSIDE the timed warmup window (they measure
+    // the machine, not the warmup).
+    val warmupProbePre = StressOps.probeWarmed(spark)
     val tWarm0 = System.nanoTime()
     val warmBreakdown =
       scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -226,6 +285,16 @@ object Bench {
       }
     }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
+    val warmupProbePost = StressOps.probeOnce(spark)
+    val warmupProbe = (warmupProbePre, warmupProbePost)
+    probeSamples += warmupProbePre
+    probeSamples += warmupProbePost
+    // hot-warmup verdict: BOTH ends of the warmup window above the
+    // run-contention bound means the 40 s bar was measured on a hot box
+    // (attributable heat); one calm end leaves a slow warmup attributed
+    // to plan cost. Uses min so heat is only ever claimed with evidence.
+    val warmupHot = probeFloorRef > 0 &&
+      math.min(warmupProbePre, warmupProbePost) > 1.5 * probeFloorRef
     // Cross-scale stress datapoints — each FAMILY runs in a FRESH forked
     // JVM (graft.StressWorker) by default: r12's in-block numbers moved
     // 1.8-2× probe-normalized on byte-identical code (semdedup samples of
@@ -262,9 +331,6 @@ object Bench {
     // and the probe always run regardless.
     val stressBudget =
       sys.env.getOrElse("SPARK_GRAFT_STRESS_BUDGET_SECS", "600").toDouble
-    def readFileOr(p: java.nio.file.Path, fallback: String): String =
-      try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      catch { case _: Throwable => fallback }
     // STALENESS LEDGER (r15 verdict task 1): per-family last-clean-run
     // stamp + arm cursor. Stalest-first ordering replaces the r13-15
     // fixed-order cursor rotation, which left events/graph uncertified
@@ -275,14 +341,6 @@ object Bench {
     val ledgerPath = java.nio.file.Paths.get("bench_stress_ledger.txt")
     val ledger0 = parseLedger(readFileOr(ledgerPath, ""))
     val runCounter = (ledger0.values.map(_.stamp) ++ Seq(0L)).max + 1
-    // CALM-FLOOR REFERENCE (r15 verdict task 2): best probe across all
-    // committed runs on this machine, persisted monotone-min. -1 = no
-    // history (first run seeds it; run_contended then stays false).
-    val floorPath = java.nio.file.Paths.get("bench_probe_floor.txt")
-    val probeFloorRef =
-      try readFileOr(floorPath, "").trim.toDouble
-      catch { case _: NumberFormatException => -1.0 }
-    var wholeRunContended = false
     // DISTINCT families that ran isolated (a contended retry re-forks the
     // same family — it must not double-count the audit bit)
     val isolatedFams = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -300,12 +358,14 @@ object Bench {
     val famBracket =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val contendedFams = scala.collection.mutable.ArrayBuffer.empty[String]
+    // families whose FIRST attempt was heat-deferred (r16 task 1) — the
+    // detail JSON's audit trail of the pre-flight gate's firings
+    val deferredFams = scala.collection.mutable.ArrayBuffer.empty[String]
     val tStress0 = System.nanoTime()
     def stressElapsed: Double = (System.nanoTime() - tStress0) / 1e9
     if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") != "0") {
       spark.catalog.clearCache()
       graft.core.CacheRegistry.drain()
-      val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
 
       /** Fork graft.StressWorker for one family; None on any
         * infrastructure failure (spawn, timeout, non-zero exit, no
@@ -313,7 +373,7 @@ object Bench {
         * The worker's stderr (Spark logs) is inherited; its stdout is
         * consumed here so the parent's parsed JSON line stays clean. */
       def runIsolated(family: String, famRuns: Int, famOpList: Seq[String],
-          watchdogMins: Long): Option[StressOps.Results] =
+          watchdogMins: Long, gateRef: Double): Option[StressOps.Results] =
         try {
           val javaBin = new java.io.File(new java.io.File(
             sys.props("java.home"), "bin"), "java").getAbsolutePath
@@ -333,8 +393,11 @@ object Bench {
             "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
             "-cp", sys.props("java.class.path"),
+            // Double.toString, NOT jnum: %.3f rounds a small reference
+            // (or any sub-millisecond precision) to 0.000, which the
+            // worker reads as "no reference" and never defers
             "graft.StressWorker", family, famRuns.toString,
-            famOpList.mkString(","))
+            famOpList.mkString(","), gateRef.toString)
           val pb = new ProcessBuilder(cmd: _*)
           pb.redirectError(ProcessBuilder.Redirect.INHERIT)
           val proc = pb.start()
@@ -368,6 +431,7 @@ object Bench {
               case OpConst(k, v) => res.consts(k) = v.toDouble
               case OpSamples(k, xs) => res.samples(k) =
                 xs.split(",").filter(_.nonEmpty).map(_.toDouble).toVector
+              case """{"deferred":true}""" => res.deferred = true
               case _ => ()
             }
             if (res.samples.isEmpty) None else Some(res)
@@ -411,21 +475,30 @@ object Bench {
         * not mere set-membership (a clean in-process bracket must never
         * certify just because a different, contended attempt was
         * isolated). */
-      def attemptFamily(family: String, famRuns: Int,
-          famOpList: Seq[String]): Option[(StressOps.Results, Boolean)] = {
+      def attemptFamily(family: String, famRuns: Int, famOpList: Seq[String],
+          gateRef: Double): Option[(StressOps.Results, Boolean)] = {
         // watchdog = remaining budget + a settle margin, never more
         // than 45 min: a hung worker costs at most the budget, and the
         // family rotates to the next run's front instead of re-running
         // in-process with no bound
         val watchdogMins = math.min(45L, math.max(2L,
           math.ceil((stressBudget - stressElapsed + 120.0) / 60.0).toLong))
-        (if (isolate) runIsolated(family, famRuns, famOpList, watchdogMins)
+        (if (isolate)
+           runIsolated(family, famRuns, famOpList, watchdogMins, gateRef)
          else None) match {
-          case Some(r) => isolatedFams += family; Some((r, true))
+          case Some(r) =>
+            // a deferred attempt ran NO ops — it must not count toward
+            // the isolated_families audit ("this many families'
+            // datapoints are churn-immune")
+            if (!r.deferred) isolatedFams += family
+            Some((r, true))
           case None if stressElapsed >= stressBudget => None
           case None =>
             // in-process fallback: same ops, same keys — a spawn
-            // failure costs isolation, never the datapoints
+            // failure costs isolation, never the datapoints. Ungated:
+            // the calm-floor reference describes fresh-JVM probes, and
+            // losing datapoints to a heat gate the fallback path can't
+            // certify through anyway would be pure downside.
             if (isolate) System.err.println(
               s"[bench] stress family '$family' worker failed; running in-process")
             Some((StressOps.runFamily(spark, family, sfDir, stressCopies,
@@ -441,6 +514,24 @@ object Bench {
       // stalest-first family order (r15 verdict task 1): the families
       // longest without a clean isolated run certify FIRST this run
       val ordered = staleOrdered(ledger0)
+      // HEAT DEFERRAL (r16 verdict task 1): families whose worker's
+      // pre-probe exceeded the stamping bound were refused their op run
+      // (~probe cost, not minutes) and re-attempt at the END of the
+      // stress phase — heat is temporally correlated (r16: events'
+      // probes read 2.7/3.2 at minute 1, graph's 1.0/1.1 minutes later),
+      // so the end of the run is the cheapest de-correlation available.
+      // The bracket of each deferral attempt is kept as heat evidence
+      // for families that never get a clean shot.
+      val deferBracket =
+        scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+      // parent-side heat memory: a worker's hot-probe deferral is
+      // reusable evidence for a short window (heat is temporally
+      // correlated at the seconds scale) — consecutive families defer
+      // WITHOUT paying another fork+probe (~15-20 s each; on a
+      // uniformly-warm box the gate would otherwise spend ~3 min of the
+      // 600 s budget re-discovering the same heat ten times)
+      var lastHotAt = -1e9
+      var lastHotBracket = (-1.0, -1.0)
       for ((family, _) <- ordered) {
         val decision =
           if (skippedFamilies.nonEmpty) None
@@ -448,24 +539,68 @@ object Bench {
         decision match {
           case None => skippedFamilies += family
           case Some(famRuns) =>
-            val ops = StressOps.armsFor(family,
-              ledger0.get(family).map(_.arm).getOrElse(0))
-            attemptFamily(family, famRuns, ops) match {
-              case Some((res, iso)) =>
-                // recorded only for families that actually RAN: the
-                // detail JSON's stress_arms documents arm coverage, and
-                // a judge must not read ops off skipped/failed families
-                famOps(family) = ops
-                famBracket(family) = fold(res)
-                bracketIsolated(family) = iso
-              case None =>
-                // worker failed AND the budget is spent (e.g. a hang ate
-                // it): don't run unbounded in-process — rotate instead
-                System.err.println(s"[bench] stress family '$family' " +
-                  "worker failed past budget; rotating to next run")
-                skippedFamilies += family
+            if (probeFloorRef > 0 &&
+                stressElapsed - lastHotAt < HotProbeReuseSecs) {
+              System.err.println(s"[bench] stress family '$family' " +
+                "deferred on recent hot probe (no fork)")
+              deferBracket(family) = lastHotBracket
+              deferredFams += family
+            } else {
+              val ops = StressOps.armsFor(family,
+                ledger0.get(family).map(_.arm).getOrElse(0))
+              attemptFamily(family, famRuns, ops,
+                  gateRef = probeFloorRef) match {
+                case Some((res, _)) if res.deferred =>
+                  System.err.println(s"[bench] stress family '$family' " +
+                    "pre-probe hot; deferring to end of stress phase")
+                  deferBracket(family) = fold(res) // hot-probe evidence only
+                  deferredFams += family
+                  lastHotAt = stressElapsed
+                  lastHotBracket = deferBracket(family)
+                case Some((res, iso)) =>
+                  // recorded only for families that actually RAN: the
+                  // detail JSON's stress_arms documents arm coverage, and
+                  // a judge must not read ops off skipped/failed families
+                  famOps(family) = ops
+                  famBracket(family) = fold(res)
+                  bracketIsolated(family) = iso
+                  // the attempt STARTED on a clean probe — fresher
+                  // evidence than any remembered heat
+                  lastHotAt = -1e9
+                case None =>
+                  // worker failed AND the budget is spent (e.g. a hang
+                  // ate it): don't run unbounded in-process — rotate
+                  System.err.println(s"[bench] stress family '$family' " +
+                    "worker failed past budget; rotating to next run")
+                  skippedFamilies += family
+              }
             }
         }
+      }
+      // deferred re-attempts, UNGATED (gateRef -1): on a box that never
+      // calms, datapoints still get produced and the bracket logic
+      // classifies them — degrade to the pre-gate behavior, never below.
+      // A family that cannot re-attempt (budget gone / worker failed)
+      // publishes its hot-probe bracket so the parsed line shows WHY it
+      // has no op keys this run; its stamp (and staleness priority)
+      // survives untouched.
+      for (family <- deferredFams) {
+        val decision =
+          if (skippedFamilies.nonEmpty) None
+          else familyRunsUnderBudget(stressElapsed, stressBudget, stressRuns)
+        val ops = StressOps.armsFor(family,
+          ledger0.get(family).map(_.arm).getOrElse(0))
+        val ran = decision.exists { famRuns =>
+          attemptFamily(family, famRuns, ops, gateRef = -1.0) match {
+            case Some((res, iso)) =>
+              famOps(family) = ops
+              famBracket(family) = fold(res)
+              bracketIsolated(family) = iso
+              true
+            case None => false
+          }
+        }
+        if (!ran) famBracket(family) = deferBracket(family)
       }
       // CONTENTION RETRY (r14 verdict task 1): two consecutive rounds the
       // driver artifact published noise-poisoned stress mins the probe
@@ -477,8 +612,15 @@ object Bench {
       // budget left) is flagged in `contended` on the parsed line —
       // never published as if certified.
       if (probeSamples.nonEmpty) {
+        // dirty = the bracket is either contended vs the run's own floor
+        // OR above the calm-reference stamping bound (r16 task 2): both
+        // shapes cannot certify, so both deserve the one retry. Only
+        // families that actually RAN ops retry (famOps) — a deferred
+        // family that never got its re-attempt has no ops to re-run.
         val dirty = famBracket.collect {
-          case (f, b) if contendedBracket(b, probeSamples.min) => f
+          case (f, b) if famOps.contains(f) &&
+            (contendedBracket(b, probeSamples.min) ||
+              !stampEligibleVsRef(b, probeFloorRef)) => f
         }.toSeq
         for (family <- dirty) {
           val decision =
@@ -487,7 +629,8 @@ object Bench {
           decision.foreach { famRuns =>
             System.err.println(s"[bench] stress family '$family' bracket " +
               "contended; re-running once within budget")
-            attemptFamily(family, famRuns, famOps(family)).foreach {
+            attemptFamily(family, famRuns, famOps(family),
+                gateRef = -1.0).foreach {
               case (res, iso) =>
                 val b2 = fold(res)
                 val b1 = famBracket(family)
@@ -498,21 +641,32 @@ object Bench {
             }
           }
         }
+        // the published contended verdict covers BOTH failure shapes:
+        // hot vs the run's own floor (the classic poisoned bracket) and
+        // clean-vs-run-floor but above the calm-reference stamp bound
+        // (r16's graph — stamped on a 1.49-1.66× window the old rule
+        // could not see)
         famBracket.foreach { case (f, b) =>
-          if (contendedBracket(b, probeSamples.min)) contendedFams += f
+          if (contendedBracket(b, probeSamples.min) ||
+              !stampEligibleVsRef(b, probeFloorRef)) contendedFams += f
         }
       }
       // LEDGER STAMPING: a family certifies (stamp = this run's counter,
       // arm cursor advances) only when its KEPT bracket came from an
-      // ISOLATED attempt, that bracket is clean, AND at least one of its
-      // selected ops published a usable (non-errored) min — contended,
-      // in-process-fallback, skipped, failed and all-errored families
-      // keep their old stamp, so they keep (or gain) staleness priority
-      // next run. A perpetually-contended family replays the same arm
-      // until it gets a clean shot: its published mins are the ones
-      // needing re-certification.
+      // ISOLATED attempt, that bracket is clean vs the run floor AND
+      // within StampRefMult of the calm-floor reference (r16 task 2 —
+      // the explicit stampEligibleVsRef term is belt-and-braces with the
+      // contended list now carrying both shapes), AND at least one of
+      // its selected ops published a usable (non-errored) min —
+      // contended, deferred-without-rerun, in-process-fallback, skipped,
+      // failed and all-errored families keep their old stamp, so they
+      // keep (or gain) staleness priority next run. A
+      // perpetually-contended family replays the same arm until it gets
+      // a clean shot: its published mins are the ones needing
+      // re-certification.
       val certified = famBracket.keys.filter(f =>
         bracketIsolated.getOrElse(f, false) && !contendedFams.contains(f) &&
+          stampEligibleVsRef(famBracket(f), probeFloorRef) &&
           famOps.getOrElse(f, Seq.empty)
             .exists(k => stress.get(k).exists(_ >= 0)))
       finalLedger = ledger0 ++ certified.map { f =>
@@ -529,20 +683,14 @@ object Bench {
       try java.nio.file.Files.write(cursorPath,
         (nextCursor + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
-      // machine sanity line: min of every family's bracketing probe
-      // samples (NOT a normalizer — see StressOps scaladoc)
+      // machine sanity line: min over every probe sample taken so far
+      // (warmup bracket + each family's bracket — NOT a normalizer, see
+      // StressOps scaladoc). The whole-run heat verdict and the floor-
+      // reference update moved AFTER the queries phase (r16 task 3):
+      // the queries-phase probes are part of the run's floor evidence.
       if (probeSamples.nonEmpty) {
         stressSamples("probe") = probeSamples.toVector
         stress("probe") = probeSamples.min
-        // whole-run heat verdict vs the persisted calm-floor reference,
-        // then fold this run's floor into the reference (monotone min)
-        val runFloor = probeSamples.min
-        wholeRunContended = runContended(runFloor, probeFloorRef)
-        val newRef =
-          if (probeFloorRef > 0) math.min(probeFloorRef, runFloor) else runFloor
-        try java.nio.file.Files.write(floorPath,
-          (jnum(newRef) + "\n").getBytes("UTF-8"))
-        catch { case _: Throwable => () }
       }
       System.gc() // leave the query rounds a settled heap
     }
@@ -569,6 +717,12 @@ object Bench {
       else Seq.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // queries-phase heat bracket (r16 verdict task 3): one probe sample
+    // each side of the timed query rounds, so headline medians carry
+    // their own calm/hot classification on the parsed line. Outside the
+    // timed window; the JVM is warm here, no warmed probe needed.
+    val queriesProbePre = StressOps.probeOnce(spark)
+    probeSamples += queriesProbePre
     val tQueries0 = System.nanoTime()
     for (r <- 0 until rounds) {
       // identical plans across rounds would hit the previous round's
@@ -592,6 +746,24 @@ object Bench {
       }
     }
     val queriesSec = (System.nanoTime() - tQueries0) / 1e9
+    val queriesProbePost = StressOps.probeOnce(spark)
+    probeSamples += queriesProbePost
+    val queriesProbe = (queriesProbePre, queriesProbePost)
+    // whole-run heat verdict over EVERY probe the run took (warmup
+    // bracket, stress brackets, queries bracket), then fold this run's
+    // floor into the persisted calm-floor reference (monotone min) —
+    // moved here from the stress block so the late-run probes count
+    // toward the floor (r16: the run's calmest window WAS the queries
+    // phase, and the flag should see it).
+    val runFloor = probeSamples.min
+    val wholeRunContended = runContended(runFloor, probeFloorRef)
+    locally {
+      val newRef =
+        if (probeFloorRef > 0) math.min(probeFloorRef, runFloor) else runFloor
+      try java.nio.file.Files.write(floorPath,
+        (jnum(newRef) + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -665,7 +837,14 @@ object Bench {
       val warmJson = warmBreakdown.map { case (q, s) =>
         "\"" + q + "\":" + jnum(s)
       }.mkString("{", ",", "}")
-      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRunsJson,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$wholeRunContended,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_cursor":"$nextCursor","stress_arms":$armsJson,"stress_ledger":$ledgerJson,"warmup_breakdown":$warmJson,"phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"${jstr(sfDir)}"}"""
+      // r16 task 1+3 audit fields: which families the pre-flight heat
+      // gate deferred, and the per-phase probe brackets behind the
+      // parsed line's warmup_probe/queries_probe/warmup_hot
+      val deferredJson = deferredFams.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val phaseProbesJson =
+        s"""{"warmup":[${jnum(warmupProbe._1)},${jnum(warmupProbe._2)}],"queries":[${jnum(queriesProbe._1)},${jnum(queriesProbe._2)}]}"""
+      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRunsJson,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$wholeRunContended,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_deferred":$deferredJson,"stress_cursor":"$nextCursor","stress_arms":$armsJson,"stress_ledger":$ledgerJson,"warmup_breakdown":$warmJson,"phase_probes":$phaseProbesJson,"warmup_hot":$warmupHot,"phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"${jstr(sfDir)}"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -677,7 +856,9 @@ object Bench {
       phases = Seq("warmup" -> warmupSec, "stress" -> stressSec,
         "shared" -> sharedSec, "queries" -> queriesSec),
       isolatedFamilies = isolatedFams.size, stressCursor = nextCursor,
-      probeFloorRef = probeFloorRef, runIsContended = wholeRunContended))
+      probeFloorRef = probeFloorRef, runIsContended = wholeRunContended,
+      warmupProbe = warmupProbe, queriesProbe = queriesProbe,
+      warmupHot = warmupHot))
     spark.stop()
   }
 }

@@ -107,10 +107,47 @@ object StressOps {
     probeOnce(spark)
   }
 
-  /** Mutable result sink for one family run. */
+  /** Mutable result sink for one family run. `deferred` = the pre-flight
+    * heat gate ([[runFamilyIfCalm]]) refused to run the ops: the box was
+    * hot at family start, so the only samples are the (hot) probes. */
   final class Results {
     val consts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    var deferred: Boolean = false
+  }
+
+  /** Pre-flight heat gate (r16 verdict task 1): a family whose pre-probe
+    * already exceeds the stamping bound ([[Bench.StampRefMult]] × the
+    * calm-floor reference) CANNOT produce a certifiable bracket no matter
+    * how its ops run — running them would burn minutes of stress budget
+    * on a window that is certain to be flagged (r16's events family cost
+    * ~400 s of a 600 s budget exactly this way, probes 2.7-3.2 vs calm
+    * 0.684, squeezing 8 of 10 families out of the run). Instead: confirm
+    * the heat with ONE more probe (a single noisy sample must not defer a
+    * calm box), and if still hot return a `deferred` result (~probe cost
+    * only, ~20-30 s with JVM startup vs minutes of hot ops) so [[Bench]]
+    * re-attempts the family at the END of the stress phase — heat is
+    * temporally correlated, and the end of the run is the cheapest
+    * de-correlation available. The retry runs UNGATED: on a box that
+    * never calms, datapoints still get produced and the bracket logic
+    * classifies them — the failure mode degrades to the r16 behavior,
+    * never below it. `floorRef <= 0` (no calm history) never defers. */
+  def runFamilyIfCalm(spark: SparkSession, family: String, sfDir: String,
+      stressCopies: Int, semCopies: Int, runs: Int,
+      ops: Seq[String], floorRef: Double): Results = {
+    val bound = Bench.StampRefMult * floorRef
+    val p1 = probeWarmed(spark)
+    if (floorRef > 0 && p1 > bound) {
+      val p2 = probeOnce(spark)
+      if (p2 > bound) {
+        val res = new Results
+        res.deferred = true
+        res.samples("probe") = Vector(p1, p2)
+        res
+      } else runFamily(spark, family, sfDir, stressCopies, semCopies,
+        runs, ops, preProbe = Some(p2))
+    } else runFamily(spark, family, sfDir, stressCopies, semCopies,
+      runs, ops, preProbe = Some(p1))
   }
 
   private val hotText = "common boilerplate navigation header about contact " +
@@ -125,7 +162,8 @@ object StressOps {
     * really ran. */
   def runFamily(spark: SparkSession, family: String, sfDir: String,
       stressCopies: Int, semCopies: Int, runs: Int,
-      ops: Seq[String] = Seq.empty): Results = {
+      ops: Seq[String] = Seq.empty,
+      preProbe: Option[Double] = None): Results = {
     val res = new Results
     val selected: String => Boolean =
       if (ops.isEmpty) _ => true else ops.toSet
@@ -151,7 +189,7 @@ object StressOps {
         regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text")))
         .reduce(_ union _)
 
-    val probePre = probeWarmed(spark)
+    val probePre = preProbe.getOrElse(probeWarmed(spark))
     family match {
       case "dedup" =>
         val d1 = spark.read.parquet(s"$sfDir/documents.parquet")

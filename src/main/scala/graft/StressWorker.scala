@@ -16,13 +16,22 @@ import org.apache.spark.sql.SparkSession
   * falls back to in-process execution. */
 object StressWorker {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: StressWorker <family> [runs] [ops-csv]")
+    require(args.length >= 1,
+      "usage: StressWorker <family> [runs] [ops-csv] [floorRef]")
     val family = args(0)
     // arm rotation (r15 verdict task 1): the parent may restrict this
     // run to one arm group of the family; empty/absent = all ops
     val ops: Seq[String] =
       if (args.length >= 3) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       else Seq.empty
+    // pre-flight heat gate (r16 verdict task 1): the calm-floor
+    // reference, when the parent wants a hot pre-probe to DEFER this
+    // family instead of burning its op cost on an uncertifiable window.
+    // Absent or <= 0 = run ungated (the retry path, and old callers).
+    val floorRef: Double =
+      if (args.length >= 4) try args(3).toDouble catch {
+        case _: NumberFormatException => -1.0
+      } else -1.0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val stressCopies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "100").toInt
@@ -38,8 +47,13 @@ object StressWorker {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val res = StressOps.runFamily(spark, family, sfDir, stressCopies,
-      semCopies, runs, ops)
+    val res =
+      if (floorRef > 0)
+        StressOps.runFamilyIfCalm(spark, family, sfDir, stressCopies,
+          semCopies, runs, ops, floorRef)
+      else StressOps.runFamily(spark, family, sfDir, stressCopies,
+        semCopies, runs, ops)
+    if (res.deferred) println("""GRAFT_STRESS {"deferred":true}""")
     res.consts.foreach { case (k, v) =>
       println(s"""GRAFT_STRESS {"op":"$k","const":${Bench.jnum(v)}}""")
     }

@@ -2,9 +2,10 @@ package graft.filters
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
 
 import graft.conditions.ConditionFilter
+import graft.paths.FieldPath
 import graft.render.Render
 
 /** A per-event transform operator. The whole chain is declarative: each
@@ -73,12 +74,22 @@ final case class FilterBox(
 object StageCols {
   val Succ = "__graft_succ"
 
-  /** `[a]` / bare → top-level column name (nested targets are round-2). */
+  /** `[a]` / bare → top-level column name. */
   def topLevel(target: String): String = {
     val t = target.trim
     if (t.startsWith("[") && t.endsWith("]") && !t.drop(1).contains("["))
       t.substring(1, t.length - 1)
     else t
+  }
+
+  /** Multi-level bracket TARGET (`[a][b]…`) → its key segments; None for
+    * bare names and one-level `[a]` (those take the top-level path). */
+  private[filters] def multiSegs(target: String): Option[Seq[String]] = {
+    val t = target.trim
+    if (t.startsWith("[") && t.matches("""^(\[[^\[\]]+\])+$""")) {
+      val segs = """\[([^\[\]]+)\]""".r.findAllMatchIn(t).map(_.group(1)).toSeq
+      if (segs.length >= 2) Some(segs) else None
+    } else None
   }
 
   /** Append `tag` to the `tags` array for rows where `failed` holds
@@ -93,16 +104,61 @@ object StageCols {
   }
 
   /** Reference FieldSetter semantics: set k→v for rows where cond holds;
-    * `overwrite=false` keeps an existing non-null value. */
+    * `overwrite=false` keeps an existing non-null value. A multi-level
+    * bracket target (`[a][b]`) sets a NESTED struct field like the
+    * reference's MultiLevelFieldSetter builds nested maps
+    * (field_setter/mfields_field_setter.go:23-38) — the r17
+    * reference-parity e2e spec caught `'[a][b]'` landing as a literal
+    * top-level column named "[a][b]". */
   def setField(df: DataFrame, target: String, value: Column, cond: Column,
-      overwrite: Boolean): DataFrame = {
-    val name = topLevel(target)
-    if (df.columns.contains(name)) {
-      val cur = col(s"`$name`")
-      val v =
+      overwrite: Boolean): DataFrame =
+    multiSegs(target) match {
+      case Some(segs) => setNested(df, segs, value, cond, overwrite)
+      case None =>
+        val name = topLevel(target)
+        if (df.columns.contains(name)) {
+          val cur = col(s"`$name`")
+          val v =
+            if (overwrite) when(cond, value).otherwise(cur)
+            else when(cond && cur.isNull, value).otherwise(cur)
+          df.withColumn(name, v)
+        } else df.withColumn(name, when(cond, value))
+    }
+
+  /** Nested set through struct columns: existing struct levels update
+    * with `withField` (sibling fields preserved); a missing or
+    * non-struct level is rebuilt as a fresh struct holding only the new
+    * path (the reference descends existing maps and creates missing
+    * ones; its quirk of silently writing to the PARENT when a level
+    * exists as a non-map is not replicated — replacing the scalar with
+    * the struct the config asked for is the least surprising reading). */
+  private def setNested(df: DataFrame, segs: Seq[String], value: Column,
+      cond: Column, overwrite: Boolean): DataFrame = {
+    val top = segs.head
+    val leafVal = FieldPath.resolveSegs(df, segs.map(FieldPath.Key)) match {
+      case Some((cur, _)) =>
         if (overwrite) when(cond, value).otherwise(cur)
         else when(cond && cur.isNull, value).otherwise(cur)
-      df.withColumn(name, v)
-    } else df.withColumn(name, when(cond, value))
+      case None => when(cond, value)
+    }
+    def build(curType: Option[DataType], curCol: Option[Column],
+        path: Seq[String]): Column =
+      path match {
+        case Seq(last) => (curType, curCol) match {
+          case (Some(_: StructType), Some(c)) => c.withField(s"`$last`", leafVal)
+          case _ => struct(leafVal.as(last))
+        }
+        case head +: tail => (curType, curCol) match {
+          case (Some(st: StructType), Some(c)) =>
+            val childField = st.fields.find(_.name.equalsIgnoreCase(head))
+            c.withField(s"`$head`", build(childField.map(_.dataType),
+              childField.map(f => c.getField(f.name)), tail))
+          case _ => struct(build(None, None, tail).as(head))
+        }
+      }
+    val topField = df.schema.fields.find(_.name.equalsIgnoreCase(top))
+    df.withColumn(topField.map(_.name).getOrElse(top),
+      build(topField.map(_.dataType),
+        topField.map(f => col(s"`${f.name}`")), segs.tail))
   }
 }

@@ -338,7 +338,17 @@ object Render {
       if (m.start > last) parts += lit(spec.substring(last, m.start))
       val body = m.group(1)
       if (body.startsWith("+")) {
-        val fmt = jodaToJava(body.stripPrefix("+"))
+        // the reference renders %{+…} with GO reference-time layouts
+        // (value_render/index_render.go:118 `t.Format(format)`; the
+        // README's own example is 'web-%{+2006-01-02}') — a digit marks
+        // a Go layout (Joda/Logstash tokens are all letters, kept as a
+        // compat shim). Rendering the Go layout as a Java pattern
+        // emitted the layout text verbatim — the r17 reference-parity
+        // e2e spec caught every index named literally "web-2006-01-02".
+        val raw = body.stripPrefix("+")
+        val fmt =
+          if (raw.exists(_.isDigit)) graft.filters.GoTimeLayout.translate(raw)
+          else jodaToJava(raw)
         val ts = FieldPath.resolve(df, tsColumn).getOrElse(current_timestamp())
         parts += date_format(ts, fmt)
       } else {

@@ -27,15 +27,19 @@ class BenchLineSpec extends AnyFunSuite {
       .zipWithIndex.map { case (f, i) => f -> (0.9 + i * 0.01, 1.1 + i * 0.5) }
 
   test("parsed line stays under the driver capture window at 150 queries") {
-    // today's stress block is 32 keys — pin with headroom at 40; all 9
-    // family brackets ride alongside
+    // a real run's stress block is ~22 arm-selected op keys + ~6 consts
+    // + probe (~29; the r16 real line measured 987 chars) — pin with
+    // headroom at 36. The r17 per-phase probe fields (~110 chars, ride
+    // every candidate) consumed the headroom the old 40-key pin had.
     val line = Bench.renderParsedLine(
       total = 123.456,
       queryMedians = Bench.headline.map(_ -> 1.234) ++ fakeQueries(150),
       errored = Seq.empty, rounds = 3, sharedSec = 3.2,
-      stress = fakeStress(40), probeBracket = fakeBrackets(9),
+      stress = fakeStress(36), probeBracket = fakeBrackets(9),
       contended = Seq("events", "graph"),
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1",
+      warmupProbe = (2.668, 3.184), queriesProbe = (0.684, 0.701),
+      warmupHot = true)
     assert(line.length <= Bench.MaxLineChars, s"line was ${line.length} chars")
     val node = mapper.readTree(line)
     assert(node.get("value").asDouble() >= 123.455 && node.get("value").asDouble() <= 123.457)
@@ -109,6 +113,45 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.contendedBracket((1.9, 1.2), calmMin = 0.992))
     // no probe floor (stress disabled / all errored) → never flags
     assert(!Bench.contendedBracket((9.0, 9.0), calmMin = -1.0))
+  }
+
+  test("family stamping requires the bracket within 1.25x the calm-floor " +
+      "reference (r16 task 2)") {
+    // the r16 hole: graph's bracket [1.016, 1.139] was CLEAN vs the
+    // run's own floor (2× rule) yet 1.49-1.66× the calm reference
+    // (0.684) — it stamped on a hot window and published pagerank ~1.3×
+    // its calm band. That exact shape must now be stamp-ineligible.
+    assert(!Bench.stampEligibleVsRef((1.016, 1.139), floorRef = 0.684))
+    assert(!Bench.stampEligibleVsRef((0.7, 0.86), floorRef = 0.684)) // 1.26×
+    assert(Bench.stampEligibleVsRef((0.7, 0.85), floorRef = 0.684))  // 1.24×
+    assert(Bench.stampEligibleVsRef((0.684, 0.684), floorRef = 0.684))
+    // no calm history yet (first run) → always eligible, seeds the ref
+    assert(Bench.stampEligibleVsRef((9.0, 9.0), floorRef = -1.0))
+    assert(Bench.stampEligibleVsRef((9.0, 9.0), floorRef = 0.0))
+    // the bound constant itself is part of the cross-round contract
+    assert(Bench.StampRefMult === 1.25)
+  }
+
+  test("per-phase probes and the warmup-heat verdict ride every candidate") {
+    // r16 task 3: warmup read 49.6 s (bar ≤40) on a line whose run-level
+    // flag said calm — the warmup window's own probes and its heat
+    // verdict must be readable from the parsed line alone, even on the
+    // most-shed candidate
+    val line = Bench.renderParsedLine(
+      total = 50.0,
+      queryMedians = fakeQueries(500), errored = Seq.empty, rounds = 3,
+      sharedSec = 2.0, stress = fakeStress(200),
+      probeBracket = fakeBrackets(9), contended = Seq.empty,
+      sfDir = "/root/testdata/sf0.1",
+      warmupProbe = (2.668, 3.184), queriesProbe = (0.684, 0.701),
+      warmupHot = true)
+    val node = mapper.readTree(line)
+    assert(node.get("warmup_probe").get(0).asDouble() === 2.668)
+    assert(node.get("warmup_probe").get(1).asDouble() === 3.184)
+    assert(node.get("queries_probe").get(0).asDouble() === 0.684)
+    assert(node.get("warmup_hot").asBoolean() === true)
+    assert(line.length <= Bench.MaxLineChars ||
+      node.get("stress").size() === 0)
   }
 
   test("headline set is frozen: additions append-only, removals forbidden") {

@@ -1,0 +1,43 @@
+package graft
+
+/** The pre-flight heat gate (r16 verdict task 1): a stress family whose
+  * pre-probe exceeds the stamping bound must be DEFERRED (ops skipped,
+  * ~probe cost only) so Bench can re-attempt it at the end of the stress
+  * phase, and a calm or reference-less box must never defer. Exercised
+  * with extreme floorRef values because a genuinely hot box cannot be
+  * manufactured in a test; the local bench rehearsal covers the calm
+  * path end-to-end. Ops lists name no real op so a non-deferred run
+  * costs only its bracketing probes. */
+class StressGateSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("hot pre-probe defers: no ops run, probe evidence kept") {
+    // any real probe reads >> 1.25 × 1e-6: the gate must fire after its
+    // one confirmation probe and return ONLY the two hot probe samples
+    val res = StressOps.runFamilyIfCalm(spark, "index", sfDir,
+      stressCopies = 1, semCopies = 1, runs = 0,
+      ops = Seq("no_such_op"), floorRef = 1e-6)
+    assert(res.deferred)
+    assert(res.samples.keySet === Set("probe"))
+    assert(res.samples("probe").size === 2)
+    assert(res.samples("probe").forall(_ > 0))
+    assert(res.consts.isEmpty)
+  }
+
+  test("calm pre-probe (huge reference) and absent reference never defer") {
+    // floorRef so large every probe is under the bound → gate passes
+    // through to runFamily, which reuses the gate's probe as its pre
+    // sample (no re-probe) and brackets with a post sample
+    val calm = StressOps.runFamilyIfCalm(spark, "index", sfDir,
+      stressCopies = 1, semCopies = 1, runs = 0,
+      ops = Seq("no_such_op"), floorRef = 1e9)
+    assert(!calm.deferred)
+    assert(calm.samples("probe").size === 2)
+    // no calm history (first run seeds the reference) → ungated
+    val seed = StressOps.runFamilyIfCalm(spark, "index", sfDir,
+      stressCopies = 1, semCopies = 1, runs = 0,
+      ops = Seq("no_such_op"), floorRef = -1.0)
+    assert(!seed.deferred)
+  }
+}

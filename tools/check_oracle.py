@@ -47,6 +47,10 @@ SCALE_GATES = [
     "q_dsir", "q_quota_sample", "q_quality_band", "q_vocab",
     # bucket-histogram audits (collision structure moves with the corpus)
     "q_minhash_bands", "q_simhash_bands",
+    # ANN quality/cost audits (r16 verdict task 4): recall and probe-cost
+    # depend on the embedding distribution and cell occupancy — the
+    # original scale-bound-vacuity example (nprobe blindness at sf0.01)
+    "q_ann_recall", "q_ann_probes", "q_ann_lsh",
 ]
 
 
