@@ -2012,6 +2012,26 @@ object SparkEntry {
       graft.ml.LinkGraph.pageRank(edges, "src", "dst", iterations = 5)
     },
 
+    // Degree-distribution audit (the pre-flight hub-skew check before
+    // iterative graph jobs) over a multiplicity-rich edge list: src
+    // spreads over 37 hosts, dst follows the residue-product law
+    // (d%11)·(d%13) whose heavy tail gives real percentile variance at
+    // sf0.01 (58 in-nodes, degrees 1..100, p99 interpolates FRACTIONALLY
+    // — 89.17 vs quantile_disc's 100, so a cont-vs-disc estimator
+    // mutation moves the value), plus a planted hub holding 1/6 of all
+    // edges (hub_share = 100/600). Scale-dependent: documents grows
+    // 500 → 5,000 at sf0.1, shifting every quantile — in SCALE_GATES.
+    "q_graph_degrees" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val src = concat(lit("h"), (col("doc_id") % 37).cast("string"))
+      val edges = docs.select(src.as("src"),
+          concat(lit("h"), ((col("doc_id") % 11) * (col("doc_id") % 13))
+            .cast("string")).as("dst"))
+        .union(docs.filter(col("doc_id") % 5 === 0)
+          .select(src.as("src"), lit("hub").as("dst")))
+      graft.ml.LinkGraph.degreeStats(edges, "src", "dst")
+    },
+
     // Bloom-filter decontamination. Probabilistic in general, but the
     // sketch below is ~30x oversized (2^16 capacity vs ~2k inserted
     // grams) so the effective FPR is ≪ 1e-6 and the exact-set SQL is a
@@ -4888,6 +4908,34 @@ object SparkEntry {
         |c5 AS (SELECT ed.dst, SUM(r4.rk // ed.od) AS m FROM ed JOIN r4 ON ed.src = r4.node GROUP BY ed.dst),
         |r5 AS (SELECT n.node, 150000000000 + COALESCE((c5.m // 100) * 85 + ((c5.m % 100) * 85) // 100, 0) AS rk FROM n LEFT JOIN c5 ON n.node = c5.dst)
         |SELECT node, CAST(rk AS BIGINT) AS rank_scaled FROM r5""".stripMargin,
+
+    // quantile_cont replays Spark's exact `percentile` bit-for-bit (the
+    // recorded (n-1)·p lerp fact); SUM(deg) casts HUGEINT → BIGINT so
+    // the dtype survives the driver hash; hub_share replays the long
+    // Spark double division as BIGINT/BIGINT (DuckDB float division —
+    // exact while counts < 2^53)
+    "q_graph_degrees" ->
+      """WITH e AS (
+        |  SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+        |         'h' || CAST((doc_id % 11) * (doc_id % 13) AS VARCHAR) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 37 AS VARCHAR), 'hub'
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), deg AS (
+        |  SELECT side, node, COUNT(*) AS deg FROM (
+        |    SELECT 'out' AS side, src AS node FROM e
+        |    UNION ALL
+        |    SELECT 'in' AS side, dst AS node FROM e
+        |  ) GROUP BY side, node
+        |)
+        |SELECT side, COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS n_edges,
+        |  MAX(deg) AS max_degree,
+        |  quantile_cont(deg, 0.5) AS p50_degree,
+        |  quantile_cont(deg, 0.9) AS p90_degree,
+        |  quantile_cont(deg, 0.99) AS p99_degree,
+        |  MAX(deg) / CAST(SUM(deg) AS BIGINT) AS hub_share
+        |FROM deg GROUP BY side""".stripMargin,
 
     "q_url_dedup" ->
       """WITH raw AS (

@@ -108,6 +108,44 @@ object LinkGraph {
     * frame is reused every round: persist/bucket it by `src` upstream
     * and every join co-locates; ranks (one row per node) is the small,
     * changing side and AQE broadcasts it when it fits. */
+  /** In/out-degree distribution audit for an edge list — the pre-flight
+    * skew check before any iterative graph job at corpus scale: a hub
+    * whose in-degree dwarfs the median is exactly the shape that funnels
+    * a full in-edge list through one reducer unless every downstream
+    * aggregation is map-side-partial (the [[pageRank]] hub guard), and
+    * the cheap way to KNOW a webgraph has that shape is this statistic,
+    * not a failed 3-hour job. One row per side:
+    * (side, n_nodes, n_edges, max_degree, p50/p90/p99_degree, hub_share)
+    * where hub_share = max_degree / n_edges (the single hottest node's
+    * fraction of all edges — the broadcast/salting decision input).
+    *
+    * Plan shape: per side one partially-aggregated groupBy (map-side
+    * combine absorbs the hub's count before the shuffle) plus one 1-row
+    * global aggregate — statistics from group sizes, never a join, the
+    * minhashBandStats discipline. Exact `percentile` is bit-identical
+    * to DuckDB `quantile_cont` (the recorded (n-1)·p lerp fact), so the
+    * quantile VALUES are oracle-comparable; the percentile buffer holds
+    * one value per NODE (bounded by the host count, not the edge
+    * count), so exact is safe here where per-event metrics need the GK
+    * sketch. */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    def side(name: String, key: String): DataFrame =
+      edges.groupBy(col(s"`$key`").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          sum("deg").as("n_edges"),
+          max("deg").as("max_degree"),
+          percentile(col("deg"), lit(0.5)).as("p50_degree"),
+          percentile(col("deg"), lit(0.9)).as("p90_degree"),
+          percentile(col("deg"), lit(0.99)).as("p99_degree"))
+        .select(lit(name).as("side"), col("n_nodes"), col("n_edges"),
+          col("max_degree"), col("p50_degree"), col("p90_degree"),
+          col("p99_degree"),
+          (col("max_degree") / col("n_edges")).as("hub_share"))
+    side("out", srcCol).unionByName(side("in", dstCol))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampingPct: Int = 85,
       scaleDigits: Int = 12): DataFrame = {

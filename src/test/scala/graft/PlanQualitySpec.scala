@@ -289,6 +289,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("degree-stats audit is statistics, never a join") {
+    // same discipline as the band stats: the skew pre-flight must come
+    // from group sizes (per-side partial-agg groupBy + 1-row aggregate),
+    // never a self-join — and each side's percentile buffer holds one
+    // value per NODE, so no per-edge data crosses the final exchange
+    val plan = executedPlan("q_graph_degrees")
+    assert(!plan.contains("Join"), s"q_graph_degrees joins:\n$plan")
+    assert(plan.contains("partial"),
+      s"q_graph_degrees: no map-side partial agg:\n$plan")
+  }
+
   test("multimodal decode stays narrow: no shuffle between synthesis and decode") {
     // the decode seam is mapPartitions over mapPartitions (plus a union
     // for the mixed gate) — payload bytes must never cross an Exchange;

@@ -51,6 +51,9 @@ SCALE_GATES = [
     # depend on the embedding distribution and cell occupancy — the
     # original scale-bound-vacuity example (nprobe blindness at sf0.01)
     "q_ann_recall", "q_ann_probes", "q_ann_lsh",
+    # degree distribution (documents grows 500 -> 5,000 at sf0.1, moving
+    # every quantile and the hub share)
+    "q_graph_degrees",
 ]
 
 
