@@ -853,6 +853,20 @@ object SparkEntry {
       graft.ml.Dedup.simhashBandStats(
         Tables.load(s, dir, "documents"), "text", "doc_id")
     },
+    // Estimator-calibration audit: each doc paired with its
+    // prefix-dropped variant (doc_id%5 decides the dropped token
+    // fraction, 0..40%) gives a controlled jaccard spread — 47 buckets
+    // at sf0.01 spanning matches 3..16 × decile bands 5..10, the
+    // empirical S-curve behind any band/threshold choice. All-integer
+    // output (the band-stats discipline).
+    "q_minhash_calibration" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val toks = split(col("text"), """\s+""")
+      val start = (floor(size(toks) * (col("doc_id") % 5) / 10) + 1).cast("int")
+      val pairs = docs.select(col("text").as("text_a"),
+        array_join(slice(toks, start, size(toks)), " ").as("text_b"))
+      graft.ml.Dedup.minhashCalibration(pairs, "text_a", "text_b")
+    },
     "q_dedup_clusters" -> { (s, dir) =>
       graft.ml.Dedup.clusters(sharedMinhashPairs(s, dir))
     },
@@ -3233,6 +3247,51 @@ object SparkEntry {
          |  CAST(sum((n * (n-1)) // 2) AS BIGINT) AS n_candidates,
          |  max(n) AS max_bucket
          |FROM bu GROUP BY bands""".stripMargin
+    },
+
+    // calibration replay: the same md5-low-32 + affine-permutation
+    // signatures on BOTH sides of the (doc, prefix-dropped variant)
+    // pair, matches counted positionally, exact jaccard decile-banded
+    // with integer `//` (Spark's floor of a small-int double division)
+    "q_minhash_calibration" -> {
+      def sigExprs(hs: String) = (0 until 16).map(k =>
+        s"list_min([(v*${1000003 + 2 * k}+${12289 * k + 1})%4294967296 for v in $hs])")
+        .mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toksA FROM documents
+         |), p AS (
+         |  SELECT doc_id, toksA,
+         |    toksA[((len(toksA) * (doc_id % 5)) // 10 + 1):len(toksA)] AS toksB
+         |  FROM t
+         |), s AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toksA[i+1:i+3], ' ')
+         |      for i in range(0, greatest(len(toksA)-3, 0)+1)]) AS shA,
+         |    list_distinct([array_to_string(toksB[i+1:i+3], ' ')
+         |      for i in range(0, greatest(len(toksB)-3, 0)+1)]) AS shB
+         |  FROM p
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_distinct([CAST(('0x' || substring(md5(x), 25, 8)) AS BIGINT)
+         |      for x in shA]) AS hsA,
+         |    list_distinct([CAST(('0x' || substring(md5(x), 25, 8)) AS BIGINT)
+         |      for x in shB]) AS hsB
+         |  FROM s WHERE len(shA) > 0 AND len(shB) > 0
+         |), g AS (
+         |  SELECT doc_id, hsA, hsB,
+         |    list_value(${sigExprs("hsA")}) AS sigA,
+         |    list_value(${sigExprs("hsB")}) AS sigB
+         |  FROM h
+         |), m AS (
+         |  SELECT doc_id,
+         |    len(list_filter(range(1, 17), ii -> sigA[ii] = sigB[ii])) AS matches,
+         |    len(list_intersect(hsA, hsB)) AS inter,
+         |    len(hsA) + len(hsB) - len(list_intersect(hsA, hsB)) AS uni
+         |  FROM g
+         |)
+         |SELECT matches, (10 * inter) // uni AS jacc_band,
+         |  COUNT(*) AS n_pairs
+         |FROM m GROUP BY 1, 2""".stripMargin
     },
 
     "q_dedup_minhash" ->

@@ -215,6 +215,56 @@ object Dedup {
         max(col("n")).as("max_bucket"))
   }
 
+  /** Estimator-CALIBRATION table for the minhash family
+    * [[minhashBandStats]] prices and [[minhashPairs]] thresholds: for
+    * each input pair (textA, textB), `matches` = agreeing signature
+    * components (0..numHashes, the banding estimator's evidence) and
+    * `jacc_band` = ⌊10 · |A∩B| / |A∪B|⌋ over the distinct hashed
+    * shingles (the exact truth, decile-banded), aggregated to
+    * (matches, jacc_band, n_pairs). This is the empirical S-curve a
+    * band/threshold choice is actually betting on — measured on YOUR
+    * corpus's shingle statistics, not the textbook (1-(1-j^r)^b) ideal.
+    * Run it on a labeled or synthesized pair sample before fixing
+    * numHashes/bands for a billion-doc dedup pass.
+    *
+    * INTEGER-only output (counts and banded deciles) so the table
+    * compares cross-engine with no float-summation hazard. Per-row
+    * array arithmetic + one count-only groupBy — no join; the one
+    * repartition is the projection barrier that keeps the md5 shingle
+    * pass computed once per side, not re-inlined into all numHashes
+    * permutation lambdas (the minhashPairs lesson, Dedup.scala:124-127).
+    * Scales as a scan: at 100 TB you run it on a sampled pair frame,
+    * and the aggregate is at most ~11·numHashes rows. */
+  def minhashCalibration(pairs: DataFrame, textA: String, textB: String,
+      shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
+    def hs(c: Column) = array_distinct(transform(shingles(c, shingleSize),
+      s => conv(substring(md5(s), 25, 8), 16, 10).cast("long")))
+    val hashed = pairs
+      .select(hs(col(s"`$textA`")).as("hsA"), hs(col(s"`$textB`")).as("hsB"))
+      .filter(size(col("hsA")) > 0 && size(col("hsB")) > 0)
+      .repartition() // barrier: hash each side's shingles ONCE
+    def sig(h: String) = array((0 until numHashes).map { k =>
+      array_min(transform(col(h),
+        v => (v * lit(1000003L + 2L * k) + lit(12289L * k + 1L)) %
+          lit(4294967296L)))
+    }: _*)
+    hashed
+      .select(col("hsA"), col("hsB"), sig("hsA").as("sigA"), sig("hsB").as("sigB"))
+      .select(
+        aggregate(zip_with(col("sigA"), col("sigB"),
+            (a, b) => when(a === b, 1).otherwise(0)), lit(0), _ + _)
+          .cast("long").as("matches"),
+        size(array_intersect(col("hsA"), col("hsB"))).cast("long").as("inter"),
+        col("hsA"), col("hsB"))
+      .select(col("matches"),
+        // floor of a small-int double division is the exact rational
+        // floor (operands < 2^26) — replayed as DuckDB integer `//`
+        floor(lit(10) * col("inter") /
+            (size(col("hsA")) + size(col("hsB")) - col("inter")))
+          .cast("long").as("jacc_band"))
+      .groupBy("matches", "jacc_band").agg(count(lit(1)).as("n_pairs"))
+  }
+
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.9, collapseExact: Boolean = false): DataFrame = {

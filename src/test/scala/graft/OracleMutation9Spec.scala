@@ -69,4 +69,70 @@ class OracleMutation9Spec extends SparkSpec with MutationAudit {
         d => percentile(d, lit(0.99)), hubDenom = "n_nodes")
     }
   }
+
+  /** The q_minhash_calibration fixture's pair frame, verbatim. */
+  private def calibrationPairs: DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), """\s+""")
+    val start = (floor(size(toks) * (col("doc_id") % 5) / 10) + 1).cast("int")
+    docs.select(col("text").as("text_a"),
+      array_join(slice(toks, start, size(toks)), " ").as("text_b"))
+  }
+
+  private def mutatedCalibration(permOffset: Int,
+      band: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      subtractInter: Boolean): DataFrame = {
+    def hs(c: org.apache.spark.sql.Column) =
+      array_distinct(transform(graft.ml.Dedup.shingles(c, 3),
+        s => conv(substring(md5(s), 25, 8), 16, 10).cast("long")))
+    val hashed = calibrationPairs
+      .select(hs(col("text_a")).as("hsA"), hs(col("text_b")).as("hsB"))
+      .filter(size(col("hsA")) > 0 && size(col("hsB")) > 0)
+      .repartition()
+    def sig(h: String) = array((0 until 16).map { k0 =>
+      val k = k0 + permOffset
+      array_min(transform(col(h),
+        v => (v * lit(1000003L + 2L * k) + lit(12289L * k + 1L)) %
+          lit(4294967296L)))
+    }: _*)
+    val inter = size(array_intersect(col("hsA"), col("hsB"))).cast("long")
+    val uni =
+      if (subtractInter)
+        size(col("hsA")) + size(col("hsB")) -
+          size(array_intersect(col("hsA"), col("hsB")))
+      else size(col("hsA")) + size(col("hsB"))
+    hashed
+      .select(col("hsA"), col("hsB"), sig("hsA").as("sigA"), sig("hsB").as("sigB"))
+      .select(
+        aggregate(zip_with(col("sigA"), col("sigB"),
+            (a, b) => when(a === b, 1).otherwise(0)), lit(0), _ + _)
+          .cast("long").as("matches"),
+        band(lit(10) * inter / uni).cast("long").as("jacc_band"))
+      .groupBy("matches", "jacc_band").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  test("q_minhash_calibration: an off-by-one permutation family shifts " +
+      "the match counts") {
+    // the estimator column is only meaningful if the signatures are THE
+    // ones minhashPairs/minhashBandStats use — perms k=1..16 instead of
+    // 0..15 is the classic indexing slip
+    assertCaught("q_minhash_calibration") {
+      mutatedCalibration(permOffset = 1, band = floor, subtractInter = true)
+    }
+  }
+
+  test("q_minhash_calibration: rounding the decile band instead of " +
+      "flooring moves fractional pairs") {
+    assertCaught("q_minhash_calibration") {
+      mutatedCalibration(permOffset = 0, band = round(_, 0),
+        subtractInter = true)
+    }
+  }
+
+  test("q_minhash_calibration: union without subtracting the " +
+      "intersection deflates every band") {
+    assertCaught("q_minhash_calibration") {
+      mutatedCalibration(permOffset = 0, band = floor, subtractInter = false)
+    }
+  }
 }

@@ -287,6 +287,14 @@ class PlanQualitySpec extends SparkSpec {
         s"$q band stats shuffles more than repartition+2 aggs:\n$plan")
       assert(plan.contains("partial"), s"$q: no map-side partial agg:\n$plan")
     }
+    // the calibration audit is per-row array arithmetic + one count-only
+    // group-by: same no-pair-join bound
+    val cal = executedPlan("q_minhash_calibration")
+    assert(!cal.contains("Join"), s"q_minhash_calibration joins:\n$cal")
+    assert("Exchange".r.findAllIn(cal).size <= 3,
+      s"q_minhash_calibration shuffles more than barrier+agg:\n$cal")
+    assert(cal.contains("partial"),
+      s"q_minhash_calibration: no map-side partial agg:\n$cal")
   }
 
   test("degree-stats audit is statistics, never a join") {

@@ -54,6 +54,8 @@ SCALE_GATES = [
     # degree distribution (documents grows 500 -> 5,000 at sf0.1, moving
     # every quantile and the hub share)
     "q_graph_degrees",
+    # estimator calibration (pair jaccard spectrum widens with the corpus)
+    "q_minhash_calibration",
 ]
 
 
