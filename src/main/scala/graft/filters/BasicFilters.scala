@@ -17,35 +17,43 @@ final case class AddFilter(fields: Map[String, String], overwrite: Boolean = tru
     }
 }
 
-/** Remove fields. (reference: filter/remove.go) */
+/** Remove fields — one-level or multi-level `[a][b]` targets, like the
+  * reference's FieldDeleter dispatch. (reference: filter/remove.go,
+  * field_deleter/) */
 final case class RemoveFilter(fields: Seq[String]) extends EventFilter {
   def transform(df: DataFrame, cond: Column): DataFrame =
-    fields.map(StageCols.topLevel).foldLeft(df) { (d, f) =>
-      if (d.columns.contains(f))
-        d.withColumn(f, when(cond, lit(null)).otherwise(col(s"`$f`")))
-      else d
-    }
+    fields.foldLeft(df)((d, f) => StageCols.deleteField(d, f, Some(cond)))
   override def transformAll(df: DataFrame): DataFrame =
-    df.drop(fields.map(StageCols.topLevel): _*)
+    fields.foldLeft(df)((d, f) => StageCols.deleteField(d, f, None))
 }
 
-/** Rename src → dst. (reference: filter/rename.go) */
+/** Rename src → dst: render src (any depth), set dst (any depth),
+  * delete src — a missing src is a no-op, exactly the reference's
+  * render-err guard. (reference: filter/rename.go:60-69) */
 final case class RenameFilter(fields: Map[String, String]) extends EventFilter {
   def transform(df: DataFrame, cond: Column): DataFrame =
     fields.foldLeft(df) { case (d, (src, dst)) =>
-      val s = StageCols.topLevel(src)
-      if (!d.columns.contains(s)) d
-      else {
-        val d2 = StageCols.setField(d, dst, col(s"`$s`"), cond, overwrite = true)
-        d2.withColumn(s, when(cond, lit(null)).otherwise(col(s"`$s`")))
+      FieldPath.resolve(d, src) match {
+        case None => d
+        case Some(v) =>
+          val d2 = StageCols.setField(d, dst, v, cond, overwrite = true)
+          StageCols.deleteField(d2, src, Some(cond))
       }
     }
   override def transformAll(df: DataFrame): DataFrame =
     fields.foldLeft(df) { case (d, (src, dst)) =>
-      val s = StageCols.topLevel(src)
-      if (d.columns.contains(s))
-        d.withColumnRenamed(s, StageCols.topLevel(dst))
-      else d
+      FieldPath.resolve(d, src) match {
+        case None => d
+        case Some(v) =>
+          val srcTop = StageCols.multiSegs(src).isEmpty
+          val dstTop = StageCols.multiSegs(dst).isEmpty
+          if (srcTop && dstTop && d.columns.contains(StageCols.topLevel(src)))
+            d.withColumnRenamed(StageCols.topLevel(src), StageCols.topLevel(dst))
+          else {
+            val d2 = StageCols.setField(d, dst, v, lit(true), overwrite = true)
+            StageCols.deleteField(d2, src, None)
+          }
+      }
     }
 }
 

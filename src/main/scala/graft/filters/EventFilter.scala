@@ -125,6 +125,51 @@ object StageCols {
         } else df.withColumn(name, when(cond, value))
     }
 
+  /** Multi-level field DELETE (reference field_deleter semantics,
+    * field_deleter/mfields_field_deleter.go: descend EXISTING struct
+    * levels; a missing or non-struct level makes the whole delete a
+    * no-op). Unconditional (`cond = None`) really removes the key via
+    * `dropFields`; a conditional delete NULLs the leaf instead (a
+    * columnar schema cannot branch shape per row — the same
+    * approximation the one-level conditional remove has always used).
+    * A leaf that is its struct's ONLY field is nulled rather than
+    * dropped (Spark structs cannot be empty, where the reference keeps
+    * an empty map). */
+  def deleteField(df: DataFrame, target: String, cond: Option[Column]): DataFrame =
+    multiSegs(target) match {
+      case None =>
+        val f = topLevel(target)
+        if (!df.columns.contains(f)) df
+        else cond match {
+          case None => df.drop(f)
+          case Some(c) =>
+            df.withColumn(f, when(c, lit(null)).otherwise(col(s"`$f`")))
+        }
+      case Some(segs) =>
+        val topField = df.schema.fields.find(_.name.equalsIgnoreCase(segs.head))
+        val parent = segs.tail.dropRight(1)
+          .foldLeft(topField.map(_.dataType)) {
+            case (Some(st: StructType), k) =>
+              st.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType)
+            case _ => None
+          }
+        parent match {
+          case Some(pst: StructType)
+              if pst.fields.exists(_.name.equalsIgnoreCase(segs.last)) =>
+            cond match {
+              case None if pst.fields.length > 1 =>
+                val nested = segs.tail.map(s => s"`$s`").mkString(".")
+                df.withColumn(topField.get.name,
+                  col(s"`${topField.get.name}`").dropFields(nested))
+              case None =>
+                setField(df, target, lit(null), lit(true), overwrite = true)
+              case Some(c) =>
+                setField(df, target, lit(null), c, overwrite = true)
+            }
+          case _ => df // missing / non-struct level: reference no-op
+        }
+    }
+
   /** Nested set through struct columns: existing struct levels update
     * with `withField` (sibling fields preserved); a missing or
     * non-struct level is rebuilt as a fresh struct holding only the new

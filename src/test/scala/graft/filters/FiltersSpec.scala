@@ -163,6 +163,41 @@ class FiltersSpec extends SparkSpec {
     assert(oneRow(out.select("new")) == Row("x"))
   }
 
+  test("multi-level targets: Add sets nested structs, Remove deletes " +
+      "nested keys, Rename moves across depths (reference field_setter/" +
+      "field_deleter parity)") {
+    val df = Seq((1L, "orig", ("inner", 7L))).toDF("id", "msg", "stored")
+      .withColumn("stored", struct(col("stored._1").as("message"),
+        col("stored._2").as("n")))
+    // nested target on a FRESH top-level: struct created
+    val added = FilterBox(AddFilter(Map("[a][b]" -> "[msg]"))).stage(df)
+    assert(oneRow(added.select("a.b")) == Row("orig"))
+    // nested target on an EXISTING struct: sibling fields preserved
+    val upd = FilterBox(AddFilter(Map("[stored][message]" -> "patched"))).stage(df)
+    assert(oneRow(upd.select("stored.message", "stored.n")) == Row("patched", 7L))
+    // multi-level remove drops the key, keeps the sibling
+    val rm = FilterBox(RemoveFilter(Seq("[stored][message]"))).stage(df)
+    assert(oneRow(rm.select("stored.n")) == Row(7L))
+    assert(!rm.select("stored.*").columns.contains("message"))
+    // missing / non-struct level: reference no-op, never an error
+    assert(FilterBox(RemoveFilter(Seq("[nope][x]"))).stage(df).collect().length == 1)
+    assert(FilterBox(RemoveFilter(Seq("[msg][x]"))).stage(df).collect().length == 1)
+    // rename OUT of a nested path: dst set, src key deleted
+    val rn = FilterBox(RenameFilter(Map("[stored][message]" -> "flat"))).stage(df)
+    assert(oneRow(rn.select("flat")) == Row("inner"))
+    assert(!rn.select("stored.*").columns.contains("message"))
+    // rename INTO a nested path
+    val rn2 = FilterBox(RenameFilter(Map("msg" -> "[stored][moved]"))).stage(df)
+    assert(oneRow(rn2.select("stored.moved")) == Row("orig"))
+    assert(!rn2.columns.contains("msg"))
+    // a leaf that is its struct's only field NULLs instead of dropping
+    // (Spark structs cannot be empty where the reference keeps {})
+    val one = Seq((1L, "v")).toDF("id", "x")
+      .withColumn("s", struct(col("x").as("only")))
+    val rmOnly = FilterBox(RemoveFilter(Seq("[s][only]"))).stage(one)
+    assert(oneRow(rmOnly.select("s.only")) == Row(null))
+  }
+
   test("Convert: casts, failure handling") {
     val df = Seq(("12", "bad", "3.5", "true"), ("7", "8", "x", "nope"))
       .toDF("a", "b", "c", "d")
