@@ -331,13 +331,24 @@ object Render {
 
   /** Logstash/ES index pattern: `prefix-%{field}-%{+YYYY.MM.dd}`. */
   private def indexPattern(spec: String, tsColumn: String)(df: DataFrame): Column = {
-    val seg = """%\{([^}]*)\}""".r
+    // a %-ref is a RUN of {…} groups (reference index_render.go:69
+    // `%({.*?})+`): one group is a plain field, several are ONE
+    // multi-level path — `web-%{@metadata}{kafka}{topic}` is the
+    // decorate_events per-topic-index idiom
+    val seg = """%((?:\{[^{}]*\})+)""".r
+    val groupsOf = """\{([^{}]*)\}""".r
     val parts = scala.collection.mutable.ArrayBuffer[Column]()
     var last = 0
     for (m <- seg.findAllMatchIn(spec)) {
       if (m.start > last) parts += lit(spec.substring(last, m.start))
-      val body = m.group(1)
-      if (body.startsWith("+")) {
+      val groups = groupsOf.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      val body =
+        if (groups.length == 1) groups.head
+        else "" // multi-group: handled below, body unused
+      if (groups.length > 1) {
+        parts += FieldPath.resolveSegs(df, groups.map(FieldPath.Key))
+          .map(_._1.cast("string")).getOrElse(lit(""))
+      } else if (body.startsWith("+")) {
         // the reference renders %{+…} with GO reference-time layouts
         // (value_render/index_render.go:118 `t.Format(format)`; the
         // README's own example is 'web-%{+2006-01-02}') — a digit marks

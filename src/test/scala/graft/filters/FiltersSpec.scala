@@ -20,6 +20,17 @@ class FiltersSpec extends SparkSpec {
     val r = oneRow(out.select("greet", "copy", "combo", "idx"))
     assert(r == Row("hello", "alice", "web-alice", "logs-web"))
 
+    // multi-group %-ref = ONE multi-level path (index_render.go:69 —
+    // the decorate_events per-topic-index idiom); Go layouts render
+    // dates off the event @timestamp
+    val meta = Seq(("2024-03-05 10:20:30", "t1")).toDF("ts", "topic")
+      .select(to_timestamp(col("ts")).as("@timestamp"),
+        struct(struct(col("topic").as("topic")).as("kafka")).as("@metadata"))
+    val idx = FilterBox(AddFilter(Map(
+      "per_topic" -> "logs-%{@metadata}{kafka}{topic}-%{+2006.01.02}",
+    ))).stage(meta)
+    assert(oneRow(idx.select("per_topic")) == Row("logs-t1-2024.03.05"))
+
     val df2 = Seq(("x", "keep")).toDF("a", "existing")
     val keep = FilterBox(AddFilter(Map("existing" -> "new"), overwrite = false)).stage(df2)
     assert(oneRow(keep.select("existing")) == Row("keep"))
