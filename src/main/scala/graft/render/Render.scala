@@ -347,7 +347,8 @@ object Render {
         else "" // multi-group: handled below, body unused
       if (groups.length > 1) {
         parts += FieldPath.resolveSegs(df, groups.map(FieldPath.Key))
-          .map(_._1.cast("string")).getOrElse(lit(""))
+          .map(c => coalesce(c._1.cast("string"), lit("null")))
+          .getOrElse(lit("null"))
       } else if (body.startsWith("+")) {
         // the reference renders %{+…} with GO reference-time layouts
         // (value_render/index_render.go:118 `t.Format(format)`; the
@@ -363,14 +364,22 @@ object Render {
         val ts = FieldPath.resolve(df, tsColumn).getOrElse(current_timestamp())
         parts += date_format(ts, fmt)
       } else {
-        parts += FieldPath.resolve(df, body).map(_.cast("string")).getOrElse(lit(""))
+        // a missing or null FIELD renders as the literal "null" — the
+        // reference's documented compat behavior (index_render.go:28-30
+        // "always use null as a result when err is not nil"; its own
+        // test expects app-null-2022.03.04-log). Template rendering
+        // ({{.missing}} → "") is a different renderer with different
+        // reference semantics — only index patterns say "null".
+        parts += FieldPath.resolve(df, body)
+          .map(c => coalesce(c.cast("string"), lit("null")))
+          .getOrElse(lit("null"))
       }
       last = m.end
     }
     if (last < spec.length) parts += lit(spec.substring(last))
-    // per-part coalesce (the template() contract, line ~66): a single
-    // null field/timestamp must render as "" — nulling the WHOLE index
-    // name hands the ES sink a null _index and the bulk request bounces
+    // per-part coalesce: a null date part must still render as "" rather
+    // than nulling the WHOLE index name (a null _index bounces the bulk
+    // request); field parts already coalesced to "null" above
     if (parts.isEmpty) lit("")
     else concat(parts.map(coalesce(_, lit(""))).toSeq: _*)
   }

@@ -28,8 +28,13 @@ class FiltersSpec extends SparkSpec {
         struct(struct(col("topic").as("topic")).as("kafka")).as("@metadata"))
     val idx = FilterBox(AddFilter(Map(
       "per_topic" -> "logs-%{@metadata}{kafka}{topic}-%{+2006.01.02}",
+      // missing fields render as the LITERAL "null" — the reference's
+      // own index_render test expects app-null-2022.03.04-log
+      "miss1" -> "app-%{nope}-x",
+      "miss2" -> "app-%{@metadata}{nope}{deeper}-x",
     ))).stage(meta)
-    assert(oneRow(idx.select("per_topic")) == Row("logs-t1-2024.03.05"))
+    assert(oneRow(idx.select("per_topic", "miss1", "miss2")) ==
+      Row("logs-t1-2024.03.05", "app-null-x", "app-null-x"))
 
     val df2 = Seq(("x", "keep")).toDF("a", "existing")
     val keep = FilterBox(AddFilter(Map("existing" -> "new"), overwrite = false)).stage(df2)
