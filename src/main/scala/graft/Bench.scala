@@ -263,15 +263,24 @@ object Bench {
     val probeFloorRef =
       try readFileOr(floorPath, "").trim.toDouble
       catch { case _: NumberFormatException => -1.0 }
-    // every probe sample the run takes (warmup bracket, each stress
-    // family's bracket, queries bracket) — min is the run's floor
+    // FRESH-JVM probe samples only (each stress worker's bracket): the
+    // calm-floor reference and the run floor must stay comparable to
+    // what the deferral/stamping gates judge — a fully-JIT-warmed
+    // parent-JVM probe can read 25%+ faster than any fresh worker's,
+    // and folding it into the monotone-min reference would make the
+    // 1.25× stamp bound permanently unattainable (r17 review finding).
+    // The warmup/queries phase probes publish as their own brackets and
+    // never enter this buffer.
     val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     // warmup-phase heat bracket (r16 verdict task 3): the r16 driver
     // read warmup 49.6 s against the ≤40 s bar on a line whose
     // run-level flag said calm — the run's BEST probe came minutes
     // later. The bar must be judged against the warmup window's OWN
     // probes. Probes sit OUTSIDE the timed warmup window (they measure
-    // the machine, not the warmup).
+    // the machine, not the warmup) — NOTE the r17 semantics shift: the
+    // pre-probe now absorbs the session's first-job init that earlier
+    // rounds billed into warmupSec, so r17+ warmup reads a few seconds
+    // lower than r16's on identical machines (SURVEY §8.24).
     val warmupProbePre = StressOps.probeWarmed(spark)
     val tWarm0 = System.nanoTime()
     val warmBreakdown =
@@ -287,12 +296,12 @@ object Bench {
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     val warmupProbePost = StressOps.probeOnce(spark)
     val warmupProbe = (warmupProbePre, warmupProbePost)
-    probeSamples += warmupProbePre
-    probeSamples += warmupProbePost
     // hot-warmup verdict: BOTH ends of the warmup window above the
     // run-contention bound means the 40 s bar was measured on a hot box
     // (attributable heat); one calm end leaves a slow warmup attributed
-    // to plan cost. Uses min so heat is only ever claimed with evidence.
+    // to plan cost. Uses min so heat is only ever claimed with evidence
+    // — and a warm-JVM probe reads FASTER than the fresh-JVM reference,
+    // so a `true` here is conservative (the box really was loaded).
     val warmupHot = probeFloorRef > 0 &&
       math.min(warmupProbePre, warmupProbePost) > 1.5 * probeFloorRef
     // Cross-scale stress datapoints — each FAMILY runs in a FRESH forked
@@ -564,9 +573,11 @@ object Bench {
                   famOps(family) = ops
                   famBracket(family) = fold(res)
                   bracketIsolated(family) = iso
-                  // the attempt STARTED on a clean probe — fresher
-                  // evidence than any remembered heat
-                  lastHotAt = -1e9
+                  // an ISOLATED attempt started on a clean gate probe —
+                  // fresher evidence than any remembered heat. The
+                  // in-process fallback runs UNGATED (no probe passed),
+                  // so it must not clear the memory (r17 review finding).
+                  if (iso) lastHotAt = -1e9
                 case None =>
                   // worker failed AND the budget is spent (e.g. a hang
                   // ate it): don't run unbounded in-process — rotate
@@ -683,11 +694,10 @@ object Bench {
       try java.nio.file.Files.write(cursorPath,
         (nextCursor + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
-      // machine sanity line: min over every probe sample taken so far
-      // (warmup bracket + each family's bracket — NOT a normalizer, see
-      // StressOps scaladoc). The whole-run heat verdict and the floor-
-      // reference update moved AFTER the queries phase (r16 task 3):
-      // the queries-phase probes are part of the run's floor evidence.
+      // machine sanity line: min over every worker's bracketing probe
+      // samples (NOT a normalizer, see StressOps scaladoc). The
+      // whole-run heat verdict and the floor-reference update happen
+      // after the queries phase, over these same worker probes.
       if (probeSamples.nonEmpty) {
         stressSamples("probe") = probeSamples.toVector
         stress("probe") = probeSamples.min
@@ -722,7 +732,6 @@ object Bench {
     // their own calm/hot classification on the parsed line. Outside the
     // timed window; the JVM is warm here, no warmed probe needed.
     val queriesProbePre = StressOps.probeOnce(spark)
-    probeSamples += queriesProbePre
     val tQueries0 = System.nanoTime()
     for (r <- 0 until rounds) {
       // identical plans across rounds would hit the previous round's
@@ -747,17 +756,16 @@ object Bench {
     }
     val queriesSec = (System.nanoTime() - tQueries0) / 1e9
     val queriesProbePost = StressOps.probeOnce(spark)
-    probeSamples += queriesProbePost
     val queriesProbe = (queriesProbePre, queriesProbePost)
-    // whole-run heat verdict over EVERY probe the run took (warmup
-    // bracket, stress brackets, queries bracket), then fold this run's
-    // floor into the persisted calm-floor reference (monotone min) —
-    // moved here from the stress block so the late-run probes count
-    // toward the floor (r16: the run's calmest window WAS the queries
-    // phase, and the flag should see it).
-    val runFloor = probeSamples.min
-    val wholeRunContended = runContended(runFloor, probeFloorRef)
-    locally {
+    // whole-run heat verdict + floor-reference update over the FRESH-JVM
+    // worker probes only (see probeSamples above: parent-JVM probes are
+    // population-incompatible with the reference the gates judge
+    // against). A stress-disabled run takes no worker probes: the flag
+    // stays false and the reference is left untouched.
+    val runFloor = if (probeSamples.nonEmpty) probeSamples.min else -1.0
+    val wholeRunContended =
+      runFloor > 0 && runContended(runFloor, probeFloorRef)
+    if (runFloor > 0) {
       val newRef =
         if (probeFloorRef > 0) math.min(probeFloorRef, runFloor) else runFloor
       try java.nio.file.Files.write(floorPath,

@@ -31,13 +31,24 @@ final case class RemoveFilter(fields: Seq[String]) extends EventFilter {
   * delete src — a missing src is a no-op, exactly the reference's
   * render-err guard. (reference: filter/rename.go:60-69) */
 final case class RenameFilter(fields: Map[String, String]) extends EventFilter {
+  // A src the deleter cannot touch (a path through a JSON-overflow
+  // string column) must not rename at all: setting dst while leaving
+  // src would ship the field under BOTH names (r17 review finding).
+  // deleteField returns the INPUT frame unchanged for undeletable
+  // paths, so reference equality detects the case.
   def transform(df: DataFrame, cond: Column): DataFrame =
     fields.foldLeft(df) { case (d, (src, dst)) =>
       FieldPath.resolve(d, src) match {
         case None => d
         case Some(v) =>
-          val d2 = StageCols.setField(d, dst, v, cond, overwrite = true)
-          StageCols.deleteField(d2, src, Some(cond))
+          // probe deletability on the ORIGINAL frame, then set-then-
+          // delete (set first: `v` references src's original position —
+          // deleting first would unresolve a same-struct rename)
+          if (StageCols.deleteField(d, src, Some(cond)) eq d) d
+          else {
+            val d2 = StageCols.setField(d, dst, v, cond, overwrite = true)
+            StageCols.deleteField(d2, src, Some(cond))
+          }
       }
     }
   override def transformAll(df: DataFrame): DataFrame =
@@ -49,6 +60,7 @@ final case class RenameFilter(fields: Map[String, String]) extends EventFilter {
           val dstTop = StageCols.multiSegs(dst).isEmpty
           if (srcTop && dstTop && d.columns.contains(StageCols.topLevel(src)))
             d.withColumnRenamed(StageCols.topLevel(src), StageCols.topLevel(dst))
+          else if (StageCols.deleteField(d, src, None) eq d) d
           else {
             val d2 = StageCols.setField(d, dst, v, lit(true), overwrite = true)
             StageCols.deleteField(d2, src, None)

@@ -2,7 +2,7 @@ package graft.filters
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructField, StructType}
 
 import graft.conditions.ConditionFilter
 import graft.paths.FieldPath
@@ -58,9 +58,9 @@ final case class FilterBox(
         out = StageCols.setField(out, k, Render.compile(v)(out), succ, overwrite = true)
       }
       removeFields.foreach { f =>
-        val name = StageCols.topLevel(f)
-        if (out.columns.contains(name))
-          out = out.withColumn(name, when(succ, lit(null)).otherwise(col(s"`$name`")))
+        // deleteField handles one-level AND multi-level targets —
+        // remove_fields: ['[stored][raw]'] is valid in the reference
+        out = StageCols.deleteField(out, f, Some(succ))
       }
       failTag.foreach { tag =>
         out = StageCols.appendTag(out, tag, guard && !succ)
@@ -86,8 +86,12 @@ object StageCols {
     * bare names and one-level `[a]` (those take the top-level path). */
   private[filters] def multiSegs(target: String): Option[Seq[String]] = {
     val t = target.trim
-    if (t.startsWith("[") && t.matches("""^(\[[^\[\]]+\])+$""")) {
-      val segs = """\[([^\[\]]+)\]""".r.findAllMatchIn(t).map(_.group(1)).toSeq
+    // SAME key charset as FieldPath.MultiLevel: a path the resolver
+    // treats as a bare column name must not be parsed as nested here,
+    // or setters and readers of one target operate on different fields
+    // (r17 review finding)
+    if (t.startsWith("[") && t.matches("""^(\[[-\w@.]+\])+$""")) {
+      val segs = """\[([-\w@.]+)\]""".r.findAllMatchIn(t).map(_.group(1)).toSeq
       if (segs.length >= 2) Some(segs) else None
     } else None
   }
@@ -166,44 +170,111 @@ object StageCols {
               case Some(c) =>
                 setField(df, target, lit(null), c, overwrite = true)
             }
-          case _ => df // missing / non-struct level: reference no-op
+          case Some(mt: MapType) =>
+            // map parent: delete the KEY (reference events are maps and
+            // delete keys natively; r17 review finding — rename out of
+            // a map path shipped the field under both names)
+            FieldPath.resolveSegs(df,
+                segs.dropRight(1).map(FieldPath.Key)) match {
+              case Some((m, _)) =>
+                val k = lit(segs.last).cast(mt.keyType)
+                val removed = map_filter(m, (mk, _) => mk =!= k)
+                val newM = cond match {
+                  case None => removed
+                  case Some(c) => when(c, removed).otherwise(m)
+                }
+                setField(df, segs.dropRight(1).mkString("[", "][", "]"),
+                  newM, lit(true), overwrite = true)
+              case None => df
+            }
+          case _ => df // missing / non-container level: reference no-op
         }
     }
 
-  /** Nested set through struct columns: existing struct levels update
-    * with `withField` (sibling fields preserved); a missing or
-    * non-struct level is rebuilt as a fresh struct holding only the new
-    * path (the reference descends existing maps and creates missing
-    * ones; its quirk of silently writing to the PARENT when a level
-    * exists as a non-map is not replicated — replacing the scalar with
-    * the struct the config asked for is the least surprising reading). */
-  private def setNested(df: DataFrame, segs: Seq[String], value: Column,
+  private def typeAt(st: StructType, name: String): Option[StructField] =
+    st.fields.find(_.name.equalsIgnoreCase(name))
+
+  /** A struct value of type `st` with every field null — the null-safe
+    * descent base: `withField` on a NULL struct returns null and a
+    * nested set silently vanishes (r17 review finding). */
+  private def nullStruct(st: StructType): Column =
+    struct(st.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+
+  /** Nested set, reference-exact (field_setter/mfields_field_setter.go:
+    * 23-38):
+    *   - existing STRUCT levels update via `withField` (siblings kept),
+    *     with null structs resurrected as typed nulls ONLY on rows
+    *     where `cond` holds;
+    *   - an existing NON-container level is SKIPPED — the reference
+    *     stays at the parent and keeps walking, so `[a][b]` with a
+    *     scalar `a` sets top-level `b`. (Skipping is also what keeps
+    *     conditional sets row-safe: rebuilding the scalar as a struct
+    *     would destroy it on rows where cond is false.)
+    *   - a MAP level as the leaf's parent gets a key upsert
+    *     (`map_filter` + `map_concat`, value cast to the map's value
+    *     type — a bad cast fails loudly at plan time); setting THROUGH
+    *     a map level deeper than the leaf is a loud plan-time error;
+    *   - missing levels are created as fresh structs (rows failing
+    *     `cond` keep null, like the one-level set). */
+  private def setNested(df: DataFrame, segs0: Seq[String], value: Column,
       cond: Column, overwrite: Boolean): DataFrame = {
-    val top = segs.head
-    val leafVal = FieldPath.resolveSegs(df, segs.map(FieldPath.Key)) match {
-      case Some((cur, _)) =>
-        if (overwrite) when(cond, value).otherwise(cur)
-        else when(cond && cur.isNull, value).otherwise(cur)
-      case None => when(cond, value)
-    }
-    def build(curType: Option[DataType], curCol: Option[Column],
-        path: Seq[String]): Column =
+    // EFFECTIVE path: drop existing non-container pre-path levels
+    def walk(container: Option[DataType], path: Seq[String]): Seq[String] =
       path match {
-        case Seq(last) => (curType, curCol) match {
-          case (Some(_: StructType), Some(c)) => c.withField(s"`$last`", leafVal)
-          case _ => struct(leafVal.as(last))
-        }
-        case head +: tail => (curType, curCol) match {
-          case (Some(st: StructType), Some(c)) =>
-            val childField = st.fields.find(_.name.equalsIgnoreCase(head))
-            c.withField(s"`$head`", build(childField.map(_.dataType),
-              childField.map(f => c.getField(f.name)), tail))
-          case _ => struct(build(None, None, tail).as(head))
+        case Seq(last) => Seq(last)
+        case head +: tail => container match {
+          case Some(st: StructType) => typeAt(st, head) match {
+            case Some(f) if f.dataType.isInstanceOf[StructType] ||
+                f.dataType.isInstanceOf[MapType] =>
+              head +: walk(Some(f.dataType), tail)
+            case Some(_) => walk(container, tail) // existing scalar: skip
+            case None => head +: tail             // missing: create rest
+          }
+          case _ => head +: tail // under a map: opaque, keep verbatim
         }
       }
-    val topField = df.schema.fields.find(_.name.equalsIgnoreCase(top))
-    df.withColumn(topField.map(_.name).getOrElse(top),
-      build(topField.map(_.dataType),
-        topField.map(f => col(s"`${f.name}`")), segs.tail))
+    val eff = walk(Some(df.schema), segs0.toList)
+    if (eff.length == 1) setField(df, s"[${eff.head}]", value, cond, overwrite)
+    else {
+      // new value of the node at (c, t) after applying `path` below it
+      def rebuild(c: Option[Column], t: Option[DataType],
+          path: Seq[String]): Column = (t, path) match {
+        case (_, Seq()) => // the leaf itself
+          c match {
+            case Some(cur) =>
+              if (overwrite) when(cond, value).otherwise(cur)
+              else when(cond && cur.isNull, value).otherwise(cur)
+            case None => when(cond, value)
+          }
+        case (Some(mt: MapType), Seq(leaf)) => // map parent: key upsert
+          val m = c.get
+          val k = lit(leaf).cast(mt.keyType)
+          val emptyM = map_from_arrays(
+            array().cast(ArrayType(mt.keyType)),
+            array().cast(ArrayType(mt.valueType)))
+          val removed = coalesce(map_filter(m, (mk, _) => mk =!= k), emptyM)
+          val inserted = map_concat(removed, map(k, value.cast(mt.valueType)))
+          val effCond =
+            if (overwrite) cond else cond && element_at(m, k).isNull
+          when(effCond, inserted).otherwise(m)
+        case (Some(_: MapType), _) =>
+          sys.error(s"cannot set '${segs0.mkString("[", "][", "]")}': " +
+            "setting through a nested map level (deeper than the leaf) " +
+            "is unsupported — restructure the event or use a struct")
+        case (Some(st: StructType), head +: tail) =>
+          val f = typeAt(st, head)
+          val childNew = rebuild(f.map(ff => c.get.getField(ff.name)),
+            f.map(_.dataType), tail)
+          val built = coalesce(c.get, nullStruct(st))
+            .withField(s"`$head`", childNew)
+          when(c.get.isNull && !cond, lit(null)).otherwise(built)
+        case (_, head +: tail) => // missing level: fresh struct
+          when(cond, struct(rebuild(None, None, tail).as(head)))
+      }
+      val topField = df.schema.fields.find(_.name.equalsIgnoreCase(eff.head))
+      df.withColumn(topField.map(_.name).getOrElse(eff.head),
+        rebuild(topField.map(f => col(s"`${f.name}`")),
+          topField.map(_.dataType), eff.tail))
+    }
   }
 }

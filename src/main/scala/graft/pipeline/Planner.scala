@@ -116,9 +116,7 @@ object Planner {
               out, k, graft.render.Render.compile(v)(out), succ, overwrite = true)
           }
           removeFields.foreach { f =>
-            val n = graft.filters.StageCols.topLevel(f)
-            if (out.columns.contains(n))
-              out = out.withColumn(n, when(succ, lit(null)).otherwise(col(s"`$n`")))
+            out = graft.filters.StageCols.deleteField(out, f, Some(succ))
           }
           failTag.foreach { tag =>
             out = graft.filters.StageCols.appendTag(out, tag, guard && !matched)

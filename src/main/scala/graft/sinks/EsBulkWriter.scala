@@ -141,8 +141,12 @@ object EsBulkWriter {
     val u0 = URI.create(url)
     val (u, auth) = Option(u0.getRawUserInfo) match {
       case Some(ui) =>
-        val clean = new URI(u0.getScheme, null, u0.getHost, u0.getPort,
-          u0.getPath, u0.getQuery, u0.getFragment)
+        // strip the userinfo TEXTUALLY: rebuilding from getPath/getQuery
+        // would re-assemble DECODED components and corrupt
+        // percent-encoded reserved chars in the path/query (%2F → '/')
+        // exactly when auth is in use (r17 review finding)
+        val clean = URI.create(url.replaceFirst(
+          "//" + java.util.regex.Pattern.quote(ui) + "@", "//"))
         val dec = java.net.URLDecoder.decode(ui.replace("+", "%2B"), "UTF-8")
         (clean, Some("Basic " + java.util.Base64.getEncoder
           .encodeToString(dec.getBytes(StandardCharsets.UTF_8))))

@@ -214,6 +214,77 @@ class FiltersSpec extends SparkSpec {
     assert(oneRow(rmOnly.select("s.only")) == Row(null))
   }
 
+  test("nested set through an existing SCALAR level skips it " +
+      "(reference mfields_field_setter parity) and conditional sets " +
+      "stay row-safe") {
+    val df = Seq((1L, "scalarA", "m1"), (2L, "scalarB", "m2"))
+      .toDF("id", "a", "msg")
+    // '[a][b]' with scalar `a`: the reference stays at the parent and
+    // sets top-level `b`; `a` is untouched on EVERY row
+    val out = FilterBox(AddFilter(Map("[a][b]" -> "[msg]"))).stage(df)
+    assert(out.orderBy("id").select("a", "b").collect().toSeq ==
+      Seq(Row("scalarA", "m1"), Row("scalarB", "m2")))
+    // conditionally: rows failing the guard keep the scalar AND get a
+    // null `b` — nothing is rebuilt out from under them (r17 review:
+    // the old rebuild destroyed `a` for non-matching rows)
+    val cond = FilterBox(AddFilter(Map("[a][b]" -> "[msg]")),
+      ifConds = Seq("EQ(id,1)")).stage(df)
+    assert(cond.orderBy("id").select("a", "b").collect().toSeq ==
+      Seq(Row("scalarA", "m1"), Row("scalarB", null)))
+  }
+
+  test("nested set resurrects a per-row NULL struct only where cond " +
+      "holds") {
+    val df = Seq((1L, "hit"), (2L, "miss")).toDF("id", "msg")
+      .withColumn("stored",
+        when(col("id") === 99L, struct(lit("x").as("note"))))
+    // stored is a typed struct column, NULL on every row
+    val out = FilterBox(AddFilter(Map("[stored][flag]" -> "y")),
+      ifConds = Seq("EQ(id,1)")).stage(df)
+    val rows = out.orderBy("id").select("stored.note", "stored.flag").collect()
+    assert(rows(0) == Row(null, "y"))   // resurrected with typed nulls
+    assert(out.orderBy("id").filter(col("id") === 2L)
+      .select("stored").collect().head == Row(null)) // untouched row stays NULL
+  }
+
+  test("map-typed leaf parents: set upserts the key, remove deletes it, " +
+      "rename moves out of the map") {
+    val df = Seq((1L, Map("k1" -> "v1", "k2" -> "v2"), "new"))
+      .toDF("id", "kv", "msg")
+    val set = FilterBox(AddFilter(Map("[kv][extra]" -> "[msg]"))).stage(df)
+    assert(set.select(element_at(col("kv"), "extra"),
+      element_at(col("kv"), "k1")).collect().head == Row("new", "v1"))
+    // conditional upsert leaves non-matching rows' maps untouched
+    val condSet = FilterBox(AddFilter(Map("[kv][extra]" -> "x")),
+      ifConds = Seq("EQ(id,99)")).stage(df)
+    assert(condSet.select(size(col("kv"))).collect().head == Row(2))
+    val rm = FilterBox(RemoveFilter(Seq("[kv][k1]"))).stage(df)
+    assert(rm.select(size(col("kv")),
+      element_at(col("kv"), "k2")).collect().head == Row(1, "v2"))
+    val rn = FilterBox(RenameFilter(Map("[kv][k1]" -> "flat"))).stage(df)
+    assert(rn.select(col("flat"), size(col("kv"))).collect().head ==
+      Row("v1", 1))
+    // setting THROUGH a map level (deeper than the leaf) fails loudly
+    val e = intercept[RuntimeException] {
+      FilterBox(AddFilter(Map("[kv][deep][er]" -> "x"))).stage(df).collect()
+    }
+    assert(e.getMessage.contains("nested map level"), e.getMessage)
+  }
+
+  test("remove_fields post-processing handles multi-level targets " +
+      "(the reference's Grok remove_fields accepts them)") {
+    val df = Seq((1L, "GET 200", "keepme"))
+      .toDF("id", "message", "note")
+      .withColumn("stored", struct(col("note").as("raw"), lit(7L).as("n")))
+    val out = graft.pipeline.Planner.filterStage("Grok", Map(
+      "src" -> "message",
+      "match" -> Seq("^%{WORD:verb} %{INT:code}$"),
+      "remove_fields" -> Seq("message", "[stored][raw]")))(df)
+    val r = oneRow(out.select(col("verb"), col("message"), col("stored.n")))
+    assert(r == Row("GET", null, 7L))
+    assert(oneRow(out.select("stored.raw")) == Row(null))
+  }
+
   test("Convert: casts, failure handling") {
     val df = Seq(("12", "bad", "3.5", "true"), ("7", "8", "x", "nope"))
       .toDF("a", "b", "c", "d")
