@@ -451,15 +451,21 @@ object Bench {
         * MIN-MERGE across attempts (the min is the contention-robust
         * statistic — noise only ever adds time, so the best attempt's
         * min is always valid); -1 (errored) survives only if EVERY
-        * attempt errored. Returns this attempt's probe bracket. */
-      def fold(res: StressOps.Results): (Double, Double) = {
+        * attempt errored. Returns this attempt's probe bracket.
+        * `isolated=false` (the in-process fallback) keeps its probe
+        * samples OUT of the floor population: they come from the warmed
+        * parent JVM and would ratchet the monotone-min calm reference
+        * below anything a fresh worker can reach (r17 review pass 2) —
+        * the bracket is still returned for display/retry decisions. */
+      def fold(res: StressOps.Results,
+          isolated: Boolean = true): (Double, Double) = {
         res.consts.foreach { case (k, v) =>
           if (!stress.contains(k)) stress(k) = v
         }
         var bracket = (-1.0, -1.0)
         res.samples.foreach { case (k, xs) =>
           if (k == "probe") {
-            probeSamples ++= xs
+            if (isolated) probeSamples ++= xs
             bracket = (xs.headOption.getOrElse(-1.0),
               xs.lastOption.getOrElse(-1.0))
           } else {
@@ -571,7 +577,7 @@ object Bench {
                   // detail JSON's stress_arms documents arm coverage, and
                   // a judge must not read ops off skipped/failed families
                   famOps(family) = ops
-                  famBracket(family) = fold(res)
+                  famBracket(family) = fold(res, iso)
                   bracketIsolated(family) = iso
                   // an ISOLATED attempt started on a clean gate probe —
                   // fresher evidence than any remembered heat. The
@@ -605,7 +611,7 @@ object Bench {
           attemptFamily(family, famRuns, ops, gateRef = -1.0) match {
             case Some((res, iso)) =>
               famOps(family) = ops
-              famBracket(family) = fold(res)
+              famBracket(family) = fold(res, iso)
               bracketIsolated(family) = iso
               true
             case None => false
@@ -643,7 +649,7 @@ object Bench {
             attemptFamily(family, famRuns, famOps(family),
                 gateRef = -1.0).foreach {
               case (res, iso) =>
-                val b2 = fold(res)
+                val b2 = fold(res, iso)
                 val b1 = famBracket(family)
                 if (math.max(b2._1, b2._2) < math.max(b1._1, b1._2)) {
                   famBracket(family) = b2

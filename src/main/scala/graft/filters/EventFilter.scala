@@ -116,17 +116,30 @@ object StageCols {
     * top-level column named "[a][b]". */
   def setField(df: DataFrame, target: String, value: Column, cond: Column,
       overwrite: Boolean): DataFrame =
+    setFieldImpl(df, target, value, cond, overwrite, resurrectNull = true)
+
+  /** `resurrectNull=false` is the DELETE path's variant: a per-row NULL
+    * parent struct stays NULL (nulling a field inside an absent object
+    * must not materialize the object — r17 review pass 2). The SET path
+    * resurrects, because the reference creates the missing map and sets
+    * the key. Lookups are case-insensitive like every FieldPath read. */
+  private[filters] def setFieldImpl(df: DataFrame, target: String,
+      value: Column, cond: Column, overwrite: Boolean,
+      resurrectNull: Boolean): DataFrame =
     multiSegs(target) match {
-      case Some(segs) => setNested(df, segs, value, cond, overwrite)
+      case Some(segs) =>
+        setNested(df, segs, value, cond, overwrite, resurrectNull)
       case None =>
-        val name = topLevel(target)
-        if (df.columns.contains(name)) {
-          val cur = col(s"`$name`")
-          val v =
-            if (overwrite) when(cond, value).otherwise(cur)
-            else when(cond && cur.isNull, value).otherwise(cur)
-          df.withColumn(name, v)
-        } else df.withColumn(name, when(cond, value))
+        val want = topLevel(target)
+        df.columns.find(_.equalsIgnoreCase(want)) match {
+          case Some(name) =>
+            val cur = col(s"`$name`")
+            val v =
+              if (overwrite) when(cond, value).otherwise(cur)
+              else when(cond && cur.isNull, value).otherwise(cur)
+            df.withColumn(name, v)
+          case None => df.withColumn(want, when(cond, value))
+        }
     }
 
   /** Multi-level field DELETE (reference field_deleter semantics,
@@ -142,19 +155,32 @@ object StageCols {
   def deleteField(df: DataFrame, target: String, cond: Option[Column]): DataFrame =
     multiSegs(target) match {
       case None =>
-        val f = topLevel(target)
-        if (!df.columns.contains(f)) df
-        else cond match {
-          case None => df.drop(f)
-          case Some(c) =>
-            df.withColumn(f, when(c, lit(null)).otherwise(col(s"`$f`")))
+        val want = topLevel(target)
+        // case-INSENSITIVE like every FieldPath read: an exact-case
+        // contains made a case-mismatched rename a total silent no-op
+        // (r17 review pass 2)
+        df.columns.find(_.equalsIgnoreCase(want)) match {
+          case None => df
+          case Some(f) => cond match {
+            case None => df.drop(f)
+            case Some(c) =>
+              df.withColumn(f, when(c, lit(null)).otherwise(col(s"`$f`")))
+          }
         }
       case Some(segs) =>
         val topField = df.schema.fields.find(_.name.equalsIgnoreCase(segs.head))
+        // descend STRUCT pre-path levels; a map at a non-terminal level
+        // fails LOUDLY (the set path already does; a silent no-op here
+        // shipped a dropped rename unnoticed — r17 review pass 2)
         val parent = segs.tail.dropRight(1)
           .foldLeft(topField.map(_.dataType)) {
             case (Some(st: StructType), k) =>
               st.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType)
+            case (Some(_: MapType), _) =>
+              sys.error(s"cannot delete '${segs.mkString("[", "][", "]")}':" +
+                " a path through a nested map level (deeper than the" +
+                " leaf's parent) is unsupported — restructure the event" +
+                " or use a struct")
             case _ => None
           }
         parent match {
@@ -166,25 +192,33 @@ object StageCols {
                 df.withColumn(topField.get.name,
                   col(s"`${topField.get.name}`").dropFields(nested))
               case None =>
-                setField(df, target, lit(null), lit(true), overwrite = true)
+                setFieldImpl(df, target, lit(null), lit(true),
+                  overwrite = true, resurrectNull = false)
               case Some(c) =>
-                setField(df, target, lit(null), c, overwrite = true)
+                setFieldImpl(df, target, lit(null), c,
+                  overwrite = true, resurrectNull = false)
             }
           case Some(mt: MapType) =>
             // map parent: delete the KEY (reference events are maps and
             // delete keys natively; r17 review finding — rename out of
-            // a map path shipped the field under both names)
+            // a map path shipped the field under both names). Null-safe
+            // <=> comparison: a key that does not CAST to the map's key
+            // type reads NULL, and `=!= null` would drop EVERY entry —
+            // with <=> the typo'd delete is a no-op like the reference's
+            // absent-key delete.
             FieldPath.resolveSegs(df,
                 segs.dropRight(1).map(FieldPath.Key)) match {
               case Some((m, _)) =>
-                val k = lit(segs.last).cast(mt.keyType)
-                val removed = map_filter(m, (mk, _) => mk =!= k)
+                // try_cast, not cast: ANSI mode THROWS on a malformed
+                // key instead of yielding the NULL the no-op guard needs
+                val k = lit(segs.last).try_cast(mt.keyType)
+                val removed = map_filter(m, (mk, _) => !(mk <=> k))
                 val newM = cond match {
                   case None => removed
                   case Some(c) => when(c, removed).otherwise(m)
                 }
-                setField(df, segs.dropRight(1).mkString("[", "][", "]"),
-                  newM, lit(true), overwrite = true)
+                setFieldImpl(df, segs.dropRight(1).mkString("[", "][", "]"),
+                  newM, lit(true), overwrite = true, resurrectNull = false)
               case None => df
             }
           case _ => df // missing / non-container level: reference no-op
@@ -217,7 +251,11 @@ object StageCols {
     *   - missing levels are created as fresh structs (rows failing
     *     `cond` keep null, like the one-level set). */
   private def setNested(df: DataFrame, segs0: Seq[String], value: Column,
-      cond: Column, overwrite: Boolean): DataFrame = {
+      cond: Column, overwrite: Boolean, resurrectNull: Boolean): DataFrame = {
+    // two-valued guard: an ifConds predicate over a NULL field evaluates
+    // NULL, and a raw `!cond` would then be NULL too — resurrecting
+    // structs on rows the guard did NOT match (r17 review pass 2)
+    val condB = coalesce(cond, lit(false))
     // EFFECTIVE path: drop existing non-container pre-path levels
     def walk(container: Option[DataType], path: Seq[String]): Seq[String] =
       path match {
@@ -234,7 +272,8 @@ object StageCols {
         }
       }
     val eff = walk(Some(df.schema), segs0.toList)
-    if (eff.length == 1) setField(df, s"[${eff.head}]", value, cond, overwrite)
+    if (eff.length == 1)
+      setFieldImpl(df, s"[${eff.head}]", value, cond, overwrite, resurrectNull)
     else {
       // new value of the node at (c, t) after applying `path` below it
       def rebuild(c: Option[Column], t: Option[DataType],
@@ -242,20 +281,25 @@ object StageCols {
         case (_, Seq()) => // the leaf itself
           c match {
             case Some(cur) =>
-              if (overwrite) when(cond, value).otherwise(cur)
-              else when(cond && cur.isNull, value).otherwise(cur)
-            case None => when(cond, value)
+              if (overwrite) when(condB, value).otherwise(cur)
+              else when(condB && cur.isNull, value).otherwise(cur)
+            case None => when(condB, value)
           }
         case (Some(mt: MapType), Seq(leaf)) => // map parent: key upsert
+          // null-safe <=>: a key that does not CAST to the map's key
+          // type reads NULL — `=!= null` would silently DROP every
+          // entry, and map() would then throw on the null key. With the
+          // guards a non-castable key leaves the map untouched.
           val m = c.get
-          val k = lit(leaf).cast(mt.keyType)
+          val k = lit(leaf).try_cast(mt.keyType) // ANSI-safe (see delete)
           val emptyM = map_from_arrays(
             array().cast(ArrayType(mt.keyType)),
             array().cast(ArrayType(mt.valueType)))
-          val removed = coalesce(map_filter(m, (mk, _) => mk =!= k), emptyM)
+          val removed =
+            coalesce(map_filter(m, (mk, _) => !(mk <=> k)), emptyM)
           val inserted = map_concat(removed, map(k, value.cast(mt.valueType)))
-          val effCond =
-            if (overwrite) cond else cond && element_at(m, k).isNull
+          val effCond = (if (overwrite) condB
+                         else condB && element_at(m, k).isNull) && k.isNotNull
           when(effCond, inserted).otherwise(m)
         case (Some(_: MapType), _) =>
           sys.error(s"cannot set '${segs0.mkString("[", "][", "]")}': " +
@@ -267,9 +311,17 @@ object StageCols {
             f.map(_.dataType), tail)
           val built = coalesce(c.get, nullStruct(st))
             .withField(s"`$head`", childNew)
-          when(c.get.isNull && !cond, lit(null)).otherwise(built)
+          // the SET path resurrects a NULL struct on matching rows (the
+          // reference creates the missing map); the DELETE path must
+          // NOT — nulling a field inside an absent object would
+          // materialize the object (r17 review pass 2)
+          if (resurrectNull)
+            when(c.get.isNull && !condB, lit(null)).otherwise(built)
+          else when(c.get.isNull, lit(null)).otherwise(built)
         case (_, head +: tail) => // missing level: fresh struct
-          when(cond, struct(rebuild(None, None, tail).as(head)))
+          if (resurrectNull)
+            when(condB, struct(rebuild(None, None, tail).as(head)))
+          else lit(null) // delete inside a level that does not exist
       }
       val topField = df.schema.fields.find(_.name.equalsIgnoreCase(eff.head))
       df.withColumn(topField.map(_.name).getOrElse(eff.head),

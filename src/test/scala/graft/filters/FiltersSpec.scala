@@ -271,6 +271,45 @@ class FiltersSpec extends SparkSpec {
     assert(e.getMessage.contains("nested map level"), e.getMessage)
   }
 
+  test("nested set/delete edge semantics: NULL guards, NULL structs on " +
+      "delete, case-insensitive targets, non-castable map keys") {
+    // a guard over a NULL field evaluates NULL — it must behave as
+    // false, never resurrect the struct (three-valued-logic pin)
+    val df = Seq((1L, null.asInstanceOf[String], "m")).toDF("id", "name", "msg")
+      .withColumn("stored",
+        when(col("id") === 99L, struct(lit("x").as("note"))))
+    val g = FilterBox(AddFilter(Map("[stored][flag]" -> "y")),
+      ifConds = Seq("""EQ(name,"x")""")).stage(df)
+    assert(g.select("stored").collect().head == Row(null))
+    // DELETING a field inside a per-row NULL struct must not
+    // materialize the struct (the set path resurrects; delete must not)
+    val d = Seq((1L, "k")).toDF("id", "x")
+      .withColumn("s", when(col("id") === 99L,
+        struct(lit("a").as("p"), lit("b").as("q"))))
+    val del = FilterBox(RemoveFilter(Seq("[s][p]")),
+      ifConds = Seq("EQ(id,1)")).stage(d)
+    assert(del.select("s").collect().head == Row(null))
+    // case-insensitive top-level rename (FieldPath reads are
+    // case-insensitive; the delete half must be too)
+    val cased = Seq((1L, "v")).toDF("id", "Foo")
+    val rn = FilterBox(RenameFilter(Map("foo" -> "bar"))).stage(cased)
+    assert(rn.columns.toSeq == Seq("id", "bar"))
+    // a key that cannot cast to the map's key type is a NO-OP, never a
+    // whole-map wipe (null-safe <=> pin)
+    val im = Seq((1L, Map(7 -> "seven"))).toDF("id", "m")
+    val rmBad = FilterBox(RemoveFilter(Seq("[m][oops]"))).stage(im)
+    assert(rmBad.select(size(col("m"))).collect().head == Row(1))
+    val setBad = FilterBox(AddFilter(Map("[m][oops]" -> "x"))).stage(im)
+    assert(setBad.select(size(col("m"))).collect().head == Row(1))
+    // rename through a map level DEEPER than the leaf's parent fails
+    // loudly like the set path (silent drop shipped config errors)
+    val deep = Seq((1L, Map("k" -> "v"))).toDF("id", "m")
+    val e = intercept[RuntimeException] {
+      FilterBox(RenameFilter(Map("[m][k][x]" -> "flat"))).stage(deep).collect()
+    }
+    assert(e.getMessage.contains("nested map level"), e.getMessage)
+  }
+
   test("remove_fields post-processing handles multi-level targets " +
       "(the reference's Grok remove_fields accepts them)") {
     val df = Seq((1L, "GET 200", "keepme"))
