@@ -92,6 +92,21 @@ object Bench {
     * for the NEXT families in the queue (no re-fork, no re-probe). */
   private[graft] val HotProbeReuseSecs = 60.0
 
+  /** Settle wait before the deferred re-attempts (pure, spec-pinned):
+    * when EVERY queued family deferred on one hot window, the "end of
+    * the stress phase" arrives seconds later — too close to
+    * de-correlate, and the first ungated re-attempt would burn a full
+    * family run on the same spike (observed in the r17 shipped-bits
+    * rehearsal: the whole queue deferred in <30 s and events re-ran
+    * while still warm). Wait out the remainder of the heat-evidence
+    * window, but never into the last 60 s of budget — the re-attempts
+    * themselves need room. Zero when the heat evidence is already old
+    * (families ran in between) or budget is short. */
+  private[graft] def settleWaitSecs(lastHotAt: Double, elapsed: Double,
+      budget: Double): Double =
+    math.max(0.0, math.min(lastHotAt + HotProbeReuseSecs - elapsed,
+      budget - elapsed - 60.0))
+
   /** One family's certification record in the persisted stress ledger:
     * `stamp` is the run counter of its last CLEAN isolated run (0 =
     * never certified), `arm` the arm-group cursor its NEXT run uses.
@@ -592,6 +607,19 @@ object Bench {
                   skippedFamilies += family
               }
             }
+        }
+      }
+      // settle wait: when the whole queue deferred on one recent hot
+      // window, give the heat time to pass before the first ungated
+      // re-attempt (bounded by [[settleWaitSecs]] — zero if evidence is
+      // old or budget short)
+      if (deferredFams.nonEmpty && probeFloorRef > 0) {
+        val wait = settleWaitSecs(lastHotAt, stressElapsed, stressBudget)
+        if (wait > 0) {
+          System.err.println(
+            f"[bench] settling $wait%.0f s before deferred re-attempts " +
+              "(heat de-correlation)")
+          Thread.sleep((wait * 1000).toLong)
         }
       }
       // deferred re-attempts, UNGATED (gateRef -1): on a box that never

@@ -154,6 +154,21 @@ class BenchLineSpec extends AnyFunSuite {
       node.get("stress").size() === 0)
   }
 
+  test("settle wait: bounded by heat-evidence age and remaining budget") {
+    // queue deferred at t=30 on a probe taken at t=25 → wait out the
+    // rest of the 60 s evidence window
+    assert(Bench.settleWaitSecs(lastHotAt = 25.0, elapsed = 30.0,
+      budget = 600.0) === 55.0)
+    // evidence already old (families ran in between) → no wait
+    assert(Bench.settleWaitSecs(lastHotAt = 25.0, elapsed = 200.0,
+      budget = 600.0) === 0.0)
+    // budget nearly spent → never sleep into the last 60 s
+    assert(Bench.settleWaitSecs(lastHotAt = 530.0, elapsed = 535.0,
+      budget = 600.0) === 5.0)
+    assert(Bench.settleWaitSecs(lastHotAt = 590.0, elapsed = 595.0,
+      budget = 600.0) === 0.0)
+  }
+
   test("headline set is frozen: additions append-only, removals forbidden") {
     // The r10→r11 headline change silently broke cross-round total
     // comparability (verdict r11). This pin freezes the r11 set as an
