@@ -58,8 +58,17 @@ final case class RenameFilter(fields: Map[String, String]) extends EventFilter {
         case Some(v) =>
           val srcTop = StageCols.multiSegs(src).isEmpty
           val dstTop = StageCols.multiSegs(dst).isEmpty
-          if (srcTop && dstTop && d.columns.contains(StageCols.topLevel(src)))
-            d.withColumnRenamed(StageCols.topLevel(src), StageCols.topLevel(dst))
+          // withColumnRenamed does NOT overwrite: renaming onto an
+          // existing dst column produces two columns of the same name
+          // and every later dst reference fails ambiguous (r17 ADVICE).
+          // The reference overwrites (SetField overwrite=true, then
+          // deletes src) — route the clash through set-then-delete.
+          val srcName = StageCols.topLevel(src)
+          val dstClash = d.columns.exists(c =>
+            c.equalsIgnoreCase(StageCols.topLevel(dst)) &&
+              !c.equalsIgnoreCase(srcName))
+          if (srcTop && dstTop && !dstClash && d.columns.contains(srcName))
+            d.withColumnRenamed(srcName, StageCols.topLevel(dst))
           else if (StageCols.deleteField(d, src, None) eq d) d
           else {
             val d2 = StageCols.setField(d, dst, v, lit(true), overwrite = true)

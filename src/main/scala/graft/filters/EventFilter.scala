@@ -169,20 +169,40 @@ object StageCols {
         }
       case Some(segs) =>
         val topField = df.schema.fields.find(_.name.equalsIgnoreCase(segs.head))
-        // descend STRUCT pre-path levels; a map at a non-terminal level
-        // fails LOUDLY (the set path already does; a silent no-op here
-        // shipped a dropped rename unnoticed — r17 review pass 2)
-        val parent = segs.tail.dropRight(1)
-          .foldLeft(topField.map(_.dataType)) {
-            case (Some(st: StructType), k) =>
-              st.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType)
-            case (Some(_: MapType), _) =>
-              sys.error(s"cannot delete '${segs.mkString("[", "][", "]")}':" +
-                " a path through a nested map level (deeper than the" +
-                " leaf's parent) is unsupported — restructure the event" +
-                " or use a struct")
-            case _ => None
+        // descend STRUCT pre-path levels. The walk STOPS at the first
+        // MAP level: from there down the reference descends map values
+        // natively (its events are maps of maps), so the delete becomes
+        // a recursive map-value rewrite instead of the r17 loud error —
+        // which broke working gohangout remove_fields configs over
+        // nested-json map columns (r17 ADVICE). Invariant: `t` is the
+        // container type at path segs(0..i).
+        @annotation.tailrec
+        def walkPre(i: Int, t: Option[DataType]): (Int, Option[DataType]) =
+          t match {
+            case Some(_: MapType) => (i, t)
+            case Some(st: StructType) if i < segs.length - 2 =>
+              walkPre(i + 1, typeAt(st, segs(i + 1)).map(_.dataType))
+            case _ => (i, t)
           }
+        val (mapLvl, walked) = walkPre(0, topField.map(_.dataType))
+        val parent = walked match {
+          case Some(mt: MapType) if mapLvl < segs.length - 2 =>
+            // map found ABOVE the leaf's parent: rewrite its value chain
+            return FieldPath.resolveSegs(df,
+                segs.take(mapLvl + 1).map(FieldPath.Key)) match {
+              case Some((m, _)) =>
+                val removed = mapDeletePath(m, mt, segs.drop(mapLvl + 1))
+                val newM = cond match {
+                  case None => removed
+                  case Some(c) => when(coalesce(c, lit(false)), removed).otherwise(m)
+                }
+                setFieldImpl(df,
+                  segs.take(mapLvl + 1).mkString("[", "][", "]"),
+                  newM, lit(true), overwrite = true, resurrectNull = false)
+              case None => df
+            }
+          case t => t
+        }
         parent match {
           case Some(pst: StructType)
               if pst.fields.exists(_.name.equalsIgnoreCase(segs.last)) =>
@@ -227,6 +247,43 @@ object StageCols {
 
   private def typeAt(st: StructType, name: String): Option[StructField] =
     st.fields.find(_.name.equalsIgnoreCase(name))
+
+  /** Delete `path` inside map `m` (of type `mt`), descending nested MAP
+    * values like the reference field_deleter walks maps-of-maps: the
+    * leaf key is filtered out; intermediate keys are upserted with their
+    * rewritten child map. Reference no-op shapes are preserved — an
+    * absent intermediate key, a non-castable key (try_cast → null,
+    * null-safe <=> keeps the map intact), or a non-map value under an
+    * intermediate key all leave the map untouched. */
+  private def mapDeletePath(m: Column, mt: MapType, path: Seq[String]): Column =
+    path match {
+      case Seq(leaf) =>
+        val k = lit(leaf).try_cast(mt.keyType)
+        map_filter(m, (mk, _) => !(mk <=> k))
+      case head +: tail =>
+        mt.valueType match {
+          case inner: MapType =>
+            val hk = lit(head).try_cast(mt.keyType)
+            // try_element_at, not element_at: ANSI mode throws on a
+            // missing map key where the no-op guard needs a NULL
+            val cur = try_element_at(m, hk)
+            val rewritten = mapDeletePath(cur, inner, tail)
+            when(hk.isNotNull && cur.isNotNull,
+              map_concat(map_filter(m, (mk, _) => !(mk <=> hk)),
+                map_from_arrays(array(hk), array(rewritten))))
+              .otherwise(m)
+          case other =>
+            // the SCHEMA says no delete can ever land here (the value
+            // under this nested map level is a scalar/struct, not a
+            // map) — fail loudly like the set path; a silent no-op
+            // shipped a dropped rename unnoticed (r17 review pass 2)
+            sys.error(s"cannot delete '[${(head +: tail).mkString("][")}]' " +
+              s"inside a map: the nested map level holds ${other.simpleString}, " +
+              "not a map — the path cannot descend; restructure the event " +
+              "or use a struct")
+        }
+      case _ => m // empty path: nothing to delete
+    }
 
   /** A struct value of type `st` with every field null — the null-safe
     * descent base: `withField` on a NULL struct returns null and a

@@ -347,7 +347,7 @@ object Render {
         else "" // multi-group: handled below, body unused
       if (groups.length > 1) {
         parts += FieldPath.resolveSegs(df, groups.map(FieldPath.Key))
-          .map(c => coalesce(c._1.cast("string"), lit("null")))
+          .map { case (c, t) => stringFieldOrNull(c, t) }
           .getOrElse(lit("null"))
       } else if (body.startsWith("+")) {
         // the reference renders %{+…} with GO reference-time layouts
@@ -358,8 +358,13 @@ object Render {
         // emitted the layout text verbatim — the r17 reference-parity
         // e2e spec caught every index named literally "web-2006-01-02".
         val raw = body.stripPrefix("+")
+        // letter-only Go layouts (%{+Jan}, %{+Monday}, %{+MST}, %{+PM})
+        // carry no digit — the digit heuristic alone misrouted them to
+        // the Joda shim, which emitted the token verbatim as an (invalid
+        // or wrong) DateTimeFormatter pattern (r17 ADVICE)
         val fmt =
-          if (raw.exists(_.isDigit)) graft.filters.GoTimeLayout.translate(raw)
+          if (raw.exists(_.isDigit) || goLetterTokens.exists(raw.contains))
+            graft.filters.GoTimeLayout.translate(raw)
           else jodaToJava(raw)
         val ts = FieldPath.resolve(df, tsColumn).getOrElse(current_timestamp())
         parts += date_format(ts, fmt)
@@ -370,8 +375,8 @@ object Render {
         // test expects app-null-2022.03.04-log). Template rendering
         // ({{.missing}} → "") is a different renderer with different
         // reference semantics — only index patterns say "null".
-        parts += FieldPath.resolve(df, body)
-          .map(c => coalesce(c.cast("string"), lit("null")))
+        parts += FieldPath.resolveTyped(df, body)
+          .map { case (c, t) => stringFieldOrNull(c, t) }
           .getOrElse(lit("null"))
       }
       last = m.end
@@ -383,6 +388,23 @@ object Render {
     if (parts.isEmpty) lit("")
     else concat(parts.map(coalesce(_, lit(""))).toSeq: _*)
   }
+
+  /** A %{field} index part renders its value only when the field IS a
+    * string; a present non-string value renders the literal "null" like
+    * missing/null fields do — the reference's errNotString contract
+    * (index_render.go: the value must assert to string). Stringifying
+    * would arguably be nicer, but it would route events with numeric
+    * index fields to different indices than the reference (r17 ADVICE). */
+  private def stringFieldOrNull(c: Column, t: org.apache.spark.sql.types.DataType): Column =
+    t match {
+      case org.apache.spark.sql.types.StringType => coalesce(c, lit("null"))
+      case _ => lit("null")
+    }
+
+  /** Go reference-time layout components with no digits — the complement
+    * of the digit heuristic in the %{+…} layout dispatch. */
+  private val goLetterTokens =
+    Seq("January", "Monday", "Jan", "Mon", "MST", "PM", "pm")
 
   /** ES index patterns use Joda-style tokens; Java's week-based `Y`/`w`
     * differ — translate the common ones. */

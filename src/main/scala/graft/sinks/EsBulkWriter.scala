@@ -148,8 +148,13 @@ object EsBulkWriter {
         val clean = URI.create(url.replaceFirst(
           "//" + java.util.regex.Pattern.quote(ui) + "@", "//"))
         val dec = java.net.URLDecoder.decode(ui.replace("+", "%2B"), "UTF-8")
+        // username-only userinfo ('http://user@host') still carries the
+        // user:password separator on the wire — Go's net/http sends
+        // base64("user:"), and servers reject credentials lacking the
+        // colon (r17 ADVICE)
+        val cred = if (dec.contains(':')) dec else dec + ":"
         (clean, Some("Basic " + java.util.Base64.getEncoder
-          .encodeToString(dec.getBytes(StandardCharsets.UTF_8))))
+          .encodeToString(cred.getBytes(StandardCharsets.UTF_8))))
       case None => (u0, None)
     }
     val b = HttpRequest.newBuilder(u)

@@ -310,6 +310,82 @@ class FiltersSpec extends SparkSpec {
     assert(e.getMessage.contains("nested map level"), e.getMessage)
   }
 
+  test("Rename onto an existing column overwrites, never duplicates " +
+      "(reference SetField overwrite=true then delete src — r17 ADVICE)") {
+    // withColumnRenamed does NOT overwrite: renaming src onto an
+    // existing dst used to ship TWO `dst` columns and every later
+    // reference failed ambiguous
+    val df = Seq((1L, "moved", "old")).toDF("id", "src", "dst")
+    val out = FilterBox(RenameFilter(Map("src" -> "dst"))).stage(df)
+    assert(out.columns.count(_.equalsIgnoreCase("dst")) == 1)
+    assert(!out.columns.exists(_.equalsIgnoreCase("src")))
+    assert(oneRow(out.select("dst")) == Row("moved"))
+    // dst stays referenceable — the ambiguity is what the old path broke
+    assert(out.filter(col("dst") === "moved").count() == 1)
+    // case-insensitive clash counts as a clash too
+    val cased = Seq((1L, "moved", "old")).toDF("id", "src", "DST")
+    val out2 = FilterBox(RenameFilter(Map("src" -> "dst"))).stage(cased)
+    assert(out2.columns.count(_.equalsIgnoreCase("dst")) == 1)
+    assert(out2.filter(col("dst") === "moved").count() == 1)
+    // no clash → plain rename still taken (cheapest plan)
+    val plain = FilterBox(RenameFilter(Map("src" -> "fresh"))).stage(df)
+    assert(plain.columns.toSeq == Seq("id", "fresh", "dst"))
+  }
+
+  test("Remove descends nested MAP levels like the reference's " +
+      "maps-of-maps field deleter (r17 ADVICE)") {
+    // [a][b][c] through map<string, map<string,int>>: drop key c of the
+    // inner map under key b; sibling keys at both levels survive
+    val df = Seq((1L, Map(
+      "b" -> Map("c" -> 1, "keep" -> 2),
+      "other" -> Map("c" -> 3)))).toDF("id", "a")
+    val out = FilterBox(RemoveFilter(Seq("[a][b][c]"))).stage(df)
+    val r = oneRow(out.select(
+      map_keys(element_at(col("a"), "b")),
+      element_at(element_at(col("a"), "b"), "keep"),
+      element_at(element_at(col("a"), "other"), "c")))
+    assert(r == Row(Seq("keep"), 2, 3))
+    // absent intermediate key: reference no-op, map untouched
+    val miss = FilterBox(RemoveFilter(Seq("[a][nope][c]"))).stage(df)
+    assert(oneRow(miss.select(size(col("a")))) == Row(2))
+    // three map levels deep
+    val deep3 = Seq((1L, Map("x" -> Map("y" -> Map("z" -> 1, "w" -> 2)))))
+      .toDF("id", "a")
+    val out3 = FilterBox(RemoveFilter(Seq("[a][x][y][z]"))).stage(deep3)
+    assert(oneRow(out3.select(
+      map_keys(element_at(element_at(col("a"), "x"), "y")))) == Row(Seq("w")))
+    // struct pre-path INTO a map chain (struct → map → map)
+    val mixed = Seq((1L, "v")).toDF("id", "v")
+      .withColumn("s", struct(
+        map(lit("b"), map(lit("c"), lit(1), lit("k"), lit(2))).as("m")))
+    val outM = FilterBox(RemoveFilter(Seq("[s][m][b][c]"))).stage(mixed)
+    assert(oneRow(outM.select(
+      map_keys(element_at(col("s.m"), "b")))) == Row(Seq("k")))
+    // Rename can now move a value out of a nested map path
+    val rn = FilterBox(RenameFilter(Map("[a][b][c]" -> "flat"))).stage(df)
+    assert(oneRow(rn.select(col("flat"),
+      map_keys(element_at(col("a"), "b")))) == Row(1, Seq("keep")))
+  }
+
+  test("index patterns: present NON-string fields render the literal " +
+      "\"null\" (reference errNotString); letter-only Go layouts " +
+      "dispatch to the Go translator (r17 ADVICE)") {
+    val df = Seq((7L, "web")).toDF("num", "app")
+      .withColumn("@timestamp",
+        to_timestamp(lit("2024-03-05 10:20:30"))) // a Tuesday
+      .withColumn("nested", struct(col("num").as("n")))
+    val out = FilterBox(AddFilter(Map(
+      "numidx" -> "app-%{num}-x",            // long field → "null"
+      "nestidx" -> "app-%{nested}{n}-x",     // multi-group long → "null"
+      "stridx" -> "app-%{app}-x",            // string still renders
+      "monthidx" -> "m-%{+Jan}",             // letter-only Go layouts
+      "dayidx" -> "d-%{+Monday}",
+    ))).stage(df)
+    assert(oneRow(out.select("numidx", "nestidx", "stridx", "monthidx",
+      "dayidx")) == Row("app-null-x", "app-null-x", "app-web-x",
+      "m-Mar", "d-Tuesday"))
+  }
+
   test("remove_fields post-processing handles multi-level targets " +
       "(the reference's Grok remove_fields accepts them)") {
     val df = Seq((1L, "GET 200", "keepme"))

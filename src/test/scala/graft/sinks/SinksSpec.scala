@@ -280,6 +280,16 @@ class SinksSpec extends AnyFunSuite {
       val expected = "Basic " + java.util.Base64.getEncoder
         .encodeToString("admin:p@ss".getBytes("UTF-8"))
       assert(gotAuth.get() == expected)
+      // username-only userinfo ('http://user@host'): Go's net/http
+      // still sends the ':' separator — base64("user:"), not
+      // base64("user"); servers reject credentials lacking the colon
+      // (r17 ADVICE)
+      val w2 = new EsBulkWriter(Seq(s"http://admin@127.0.0.1:$port"))
+      w2.add(EsBulkWriter.actionMeta("t"), """{"x":2}""")
+      w2.close()
+      val expected2 = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("admin:".getBytes("UTF-8"))
+      assert(gotAuth.get() == expected2)
     } finally server.stop(0)
   }
 
