@@ -50,10 +50,14 @@ object Bench {
   /** Pure per-family budget decision (spec-pinned in BenchLineSpec):
     * None = skip this family (budget exhausted — rotate it to the next
     * run), Some(n) = run it with n samples per datapoint (min-of-2 past
-    * half budget; full baseRuns before that). */
+    * half budget, single-sample past 80% — r17 verdict task 2: a noisy
+    * isolated datapoint with an honest bracket beats no datapoint for a
+    * family that has published none in six rounds; full baseRuns before
+    * that). */
   private[graft] def familyRunsUnderBudget(elapsedSecs: Double,
       budgetSecs: Double, baseRuns: Int): Option[Int] =
     if (elapsedSecs >= budgetSecs) None
+    else if (elapsedSecs > budgetSecs * 0.8) Some(math.min(baseRuns, 1))
     else if (elapsedSecs > budgetSecs * 0.5) Some(math.min(baseRuns, 2))
     else Some(baseRuns)
 
@@ -87,6 +91,76 @@ object Bench {
       floorRef: Double): Boolean =
     floorRef <= 0 ||
       math.max(bracket._1, bracket._2) <= StampRefMult * floorRef
+
+  /** TIE-BREAKER RULE (r17 verdict task 1): a 2-sample bracket gives one
+    * GC or co-tenant blip veto power over certification — r17's events
+    * family missed its FIFTH-round stamp by exactly one probe (bracket
+    * [0.841, 0.980] vs bound 0.855; the min was UNDER the bound). When
+    * the bracket straddles the bound (min ≤ bound < max), the hot side
+    * earns ONE confirmation probe before the refusal stands — 2-of-3
+    * evidence either way, the 1.25× bound itself untouched. Both sides
+    * clean or both sides hot need no tie-breaker. */
+  private[graft] def tieBreakNeeded(pre: Double, post: Double,
+      stampRef: Double): Boolean = {
+    val bound = StampRefMult * stampRef
+    stampRef > 0 && math.min(pre, post) <= bound &&
+      math.max(pre, post) > bound
+  }
+
+  /** Resolve a straddling bracket with its tie-breaker probe. Returns the
+    * published probe-sample vector — the parent reads the bracket as
+    * (head, last), and every raw sample stays in the vector for the
+    * floor population and the audit trail:
+    *   - tie-breaker CALM (≤ bound): 2-of-3 samples calm — the blip loses
+    *     its veto; the calm confirmation becomes the resolved hot-side
+    *     value (last position).
+    *   - tie-breaker HOT: 2-of-3 hot — genuinely contended; the WORST
+    *     hot sample takes the last position so the published bracket
+    *     never understates the heat. */
+  private[graft] def resolveTieBreak(pre: Double, post: Double,
+      tiebreak: Double, stampRef: Double): Vector[Double] = {
+    val bound = StampRefMult * stampRef
+    val (hot, calm) = if (post > bound) (post, pre) else (pre, post)
+    if (tiebreak <= bound) Vector(calm, hot, tiebreak)
+    else Vector(calm, math.min(hot, tiebreak), math.max(hot, tiebreak))
+  }
+
+  /** HEAD-TAIL INTERLEAVE (r17 verdict task 2): pure stalest-first
+    * ordering starves the queue's tail — store/index/vec/media/langid/
+    * token sat SIX rounds with zero isolated driver datapoints because
+    * heat kept eating the budget from the front and their old stamps
+    * (earned under the pre-ledger regime) kept them permanently behind
+    * events/graph/metrics. Alternate head-of-queue with tail-of-queue:
+    * the stalest family still leads (certification priority intact),
+    * but every second slot goes to the FRESHEST-stamped end, which is
+    * exactly where the never-isolated tail lives. */
+  private[graft] def interleaveHeadTail[A](xs: Seq[A]): Seq[A] = {
+    val buf = scala.collection.mutable.ArrayDeque.from(xs)
+    val out = Seq.newBuilder[A]
+    var front = true
+    while (buf.nonEmpty) {
+      out += (if (front) buf.removeHead() else buf.removeLast())
+      front = !front
+    }
+    out.result()
+  }
+
+  /** Classify a stress-phase budget overshoot for the parsed line (r17
+    * verdict task 4: the r17 driver read phases.stress 700.77 s against
+    * the 600 s budget and only SURVEY archaeology could say why).
+    * Empty = no overshoot. Otherwise the late-phase activities that ran
+    * ("settle" wait, deferred "re-attempt", contention "retry") joined
+    * by '+'; a plain overshoot with none of them is "in-flight" — the
+    * budget gates family STARTS, so the last family started before the
+    * line runs to completion past it. */
+  private[graft] def overshootReason(stressSec: Double, budget: Double,
+      settled: Boolean, reAttempted: Boolean, retried: Boolean): String =
+    if (stressSec <= budget) ""
+    else {
+      val parts = Seq("settle" -> settled, "re-attempt" -> reAttempted,
+        "retry" -> retried).collect { case (t, true) => t }
+      if (parts.isEmpty) "in-flight" else parts.mkString("+")
+    }
 
   /** How long a worker's hot pre-probe stays valid as deferral evidence
     * for the NEXT families in the queue (no re-fork, no re-probe). */
@@ -194,7 +268,8 @@ object Bench {
       runIsContended: Boolean = false,
       warmupProbe: (Double, Double) = (-1.0, -1.0),
       queriesProbe: (Double, Double) = (-1.0, -1.0),
-      warmupHot: Boolean = false): String = {
+      warmupHot: Boolean = false,
+      stressOvershoot: String = ""): String = {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
@@ -217,7 +292,7 @@ object Bench {
       "[" + jnum(p._1) + "," + jnum(p._2) + "]"
     def assemble(qs: Seq[(String, Double)], st: Seq[(String, Double)],
         br: Seq[(String, (Double, Double))], es: Seq[String]): String =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":${errJsonOf(es)},"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"warmup_probe":${probePair(warmupProbe)},"warmup_hot":$warmupHot,"queries_probe":${probePair(queriesProbe)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"${jstr(sfDir)}"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":${errJsonOf(es)},"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"stress_overshoot_reason":"${jstr(stressOvershoot)}","warmup_probe":${probePair(warmupProbe)},"warmup_hot":$warmupHot,"queries_probe":${probePair(queriesProbe)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"${jstr(sfDir)}"}"""
     // final shedding step: a mass-error run (every gate analysis-broken)
     // carries an errors array that alone outgrows the capture window —
     // truncate to the first names plus a count so the artifact stays
@@ -387,6 +462,13 @@ object Bench {
     val deferredFams = scala.collection.mutable.ArrayBuffer.empty[String]
     val tStress0 = System.nanoTime()
     def stressElapsed: Double = (System.nanoTime() - tStress0) / 1e9
+    // budget-overshoot attribution (r17 verdict task 4): which late-phase
+    // activities ran, so a phases.stress above the budget classifies
+    // itself on the parsed line (settle wait / deferred re-attempt /
+    // contention retry / plain in-flight family)
+    var stressSettled = false
+    var stressReAttempted = false
+    var stressRetried = false
     if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") != "0") {
       spark.catalog.clearCache()
       graft.core.CacheRegistry.drain()
@@ -397,7 +479,8 @@ object Bench {
         * The worker's stderr (Spark logs) is inherited; its stdout is
         * consumed here so the parent's parsed JSON line stays clean. */
       def runIsolated(family: String, famRuns: Int, famOpList: Seq[String],
-          watchdogMins: Long, gateRef: Double): Option[StressOps.Results] =
+          watchdogMins: Long, gateRef: Double,
+          stampRef: Double): Option[StressOps.Results] =
         try {
           val javaBin = new java.io.File(new java.io.File(
             sys.props("java.home"), "bin"), "java").getAbsolutePath
@@ -421,7 +504,7 @@ object Bench {
             // (or any sub-millisecond precision) to 0.000, which the
             // worker reads as "no reference" and never defers
             "graft.StressWorker", family, famRuns.toString,
-            famOpList.mkString(","), gateRef.toString)
+            famOpList.mkString(","), gateRef.toString, stampRef.toString)
           val pb = new ProcessBuilder(cmd: _*)
           pb.redirectError(ProcessBuilder.Redirect.INHERIT)
           val proc = pb.start()
@@ -514,7 +597,8 @@ object Bench {
         val watchdogMins = math.min(45L, math.max(2L,
           math.ceil((stressBudget - stressElapsed + 120.0) / 60.0).toLong))
         (if (isolate)
-           runIsolated(family, famRuns, famOpList, watchdogMins, gateRef)
+           runIsolated(family, famRuns, famOpList, watchdogMins, gateRef,
+             stampRef = probeFloorRef)
          else None) match {
           case Some(r) =>
             // a deferred attempt ran NO ops — it must not count toward
@@ -532,7 +616,8 @@ object Bench {
             if (isolate) System.err.println(
               s"[bench] stress family '$family' worker failed; running in-process")
             Some((StressOps.runFamily(spark, family, sfDir, stressCopies,
-              semCopies, famRuns, famOpList), false))
+              semCopies, famRuns, famOpList,
+              stampRef = probeFloorRef), false))
         }
       }
 
@@ -541,9 +626,13 @@ object Bench {
       // count of distinct families that ever forked)
       val bracketIsolated =
         scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
-      // stalest-first family order (r15 verdict task 1): the families
-      // longest without a clean isolated run certify FIRST this run
-      val ordered = staleOrdered(ledger0)
+      // stalest-first, HEAD-TAIL INTERLEAVED (r15 task 1 + r17 task 2):
+      // the stalest family still leads (certification priority), but
+      // every second slot comes from the freshest-stamped END of the
+      // queue — the six-family tail with zero isolated driver
+      // datapoints finally gets early-budget slots instead of waiting
+      // behind three uncertified heads that heat keeps re-deferring
+      val ordered = interleaveHeadTail(staleOrdered(ledger0))
       // HEAT DEFERRAL (r16 verdict task 1): families whose worker's
       // pre-probe exceeded the stamping bound were refused their op run
       // (~probe cost, not minutes) and re-attempt at the END of the
@@ -619,6 +708,7 @@ object Bench {
           System.err.println(
             f"[bench] settling $wait%.0f s before deferred re-attempts " +
               "(heat de-correlation)")
+          stressSettled = true
           Thread.sleep((wait * 1000).toLong)
         }
       }
@@ -636,6 +726,7 @@ object Bench {
         val ops = StressOps.armsFor(family,
           ledger0.get(family).map(_.arm).getOrElse(0))
         val ran = decision.exists { famRuns =>
+          stressReAttempted = true
           attemptFamily(family, famRuns, ops, gateRef = -1.0) match {
             case Some((res, iso)) =>
               famOps(family) = ops
@@ -674,6 +765,7 @@ object Bench {
           decision.foreach { famRuns =>
             System.err.println(s"[bench] stress family '$family' bracket " +
               "contended; re-running once within budget")
+            stressRetried = true
             attemptFamily(family, famRuns, famOps(family),
                 gateRef = -1.0).foreach {
               case (res, iso) =>
@@ -739,6 +831,8 @@ object Bench {
       System.gc() // leave the query rounds a settled heap
     }
     val stressSec = stressElapsed
+    val stressOvershoot = overshootReason(stressSec, stressBudget,
+      stressSettled, stressReAttempted, stressRetried)
 
     // Shared memoized frames (minhash pair frame feeds q_dedup_minhash
     // AND q_dedup_clusters; the synthesized-PNG corpus feeds
@@ -886,7 +980,7 @@ object Bench {
         .mkString("[", ",", "]")
       val phaseProbesJson =
         s"""{"warmup":[${jnum(warmupProbe._1)},${jnum(warmupProbe._2)}],"queries":[${jnum(queriesProbe._1)},${jnum(queriesProbe._2)}]}"""
-      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRunsJson,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$wholeRunContended,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_skipped":$skippedJson,"stress_deferred":$deferredJson,"stress_cursor":"$nextCursor","stress_arms":$armsJson,"stress_ledger":$ledgerJson,"warmup_breakdown":$warmJson,"phase_probes":$phaseProbesJson,"warmup_hot":$warmupHot,"phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"${jstr(sfDir)}"}"""
+      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRunsJson,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$wholeRunContended,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_overshoot_reason":"${jstr(stressOvershoot)}","stress_skipped":$skippedJson,"stress_deferred":$deferredJson,"stress_cursor":"$nextCursor","stress_arms":$armsJson,"stress_ledger":$ledgerJson,"warmup_breakdown":$warmJson,"phase_probes":$phaseProbesJson,"warmup_hot":$warmupHot,"phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"${jstr(sfDir)}"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -900,7 +994,7 @@ object Bench {
       isolatedFamilies = isolatedFams.size, stressCursor = nextCursor,
       probeFloorRef = probeFloorRef, runIsContended = wholeRunContended,
       warmupProbe = warmupProbe, queriesProbe = queriesProbe,
-      warmupHot = warmupHot))
+      warmupHot = warmupHot, stressOvershoot = stressOvershoot))
     spark.stop()
   }
 }

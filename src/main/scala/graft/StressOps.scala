@@ -145,9 +145,9 @@ object StressOps {
         res.samples("probe") = Vector(p1, p2)
         res
       } else runFamily(spark, family, sfDir, stressCopies, semCopies,
-        runs, ops, preProbe = Some(p2))
+        runs, ops, preProbe = Some(p2), stampRef = floorRef)
     } else runFamily(spark, family, sfDir, stressCopies, semCopies,
-      runs, ops, preProbe = Some(p1))
+      runs, ops, preProbe = Some(p1), stampRef = floorRef)
   }
 
   private val hotText = "common boilerplate navigation header about contact " +
@@ -159,11 +159,21 @@ object StressOps {
     * `ops` restricts which of the family's datapoints run this time
     * (empty = all — the pre-arm-rotation behavior); unselected ops emit
     * nothing, so the published stress block only ever carries keys that
-    * really ran. */
+    * really ran.
+    *
+    * `stampRef` (> 0) arms the TIE-BREAKER (r17 verdict task 1,
+    * [[Bench.tieBreakNeeded]]): a bracket straddling the 1.25× stamping
+    * bound takes ONE confirmation probe on the hot side before the
+    * refusal stands — a single GC/co-tenant blip must not veto a
+    * certification the other two samples support. Separate from the
+    * deferral gate's `floorRef` on purpose: UNGATED re-attempts (the
+    * path where stamping actually lands on a hot round) still deserve
+    * the tie-breaker. */
   def runFamily(spark: SparkSession, family: String, sfDir: String,
       stressCopies: Int, semCopies: Int, runs: Int,
       ops: Seq[String] = Seq.empty,
-      preProbe: Option[Double] = None): Results = {
+      preProbe: Option[Double] = None,
+      stampRef: Double = -1.0): Results = {
     val res = new Results
     val selected: String => Boolean =
       if (ops.isEmpty) _ => true else ops.toSet
@@ -521,7 +531,15 @@ object StressOps {
       case other => sys.error(s"unknown stress family '$other' " +
         s"(known: ${families.map(_._1).mkString(", ")})")
     }
-    res.samples("probe") = Vector(probePre, probeOnce(spark))
+    // bracket tie-breaker (r17 verdict task 1): one straddling sample
+    // earns one confirmation probe; 2-of-3 decides. The resolved vector
+    // keeps every raw sample (floor population + audit trail); the
+    // parent reads the bracket as (head, last).
+    val probePost = probeOnce(spark)
+    res.samples("probe") =
+      if (Bench.tieBreakNeeded(probePre, probePost, stampRef))
+        Bench.resolveTieBreak(probePre, probePost, probeOnce(spark), stampRef)
+      else Vector(probePre, probePost)
     res
   }
 }

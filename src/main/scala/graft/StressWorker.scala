@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object StressWorker {
   def main(args: Array[String]): Unit = {
     require(args.length >= 1,
-      "usage: StressWorker <family> [runs] [ops-csv] [floorRef]")
+      "usage: StressWorker <family> [runs] [ops-csv] [floorRef] [stampRef]")
     val family = args(0)
     // arm rotation (r15 verdict task 1): the parent may restrict this
     // run to one arm group of the family; empty/absent = all ops
@@ -32,6 +32,15 @@ object StressWorker {
       if (args.length >= 4) try args(3).toDouble catch {
         case _: NumberFormatException => -1.0
       } else -1.0
+    // tie-breaker reference (r17 verdict task 1): the calm-floor ref for
+    // the END-of-family bracket tie-break, passed SEPARATELY from the
+    // deferral gate's floorRef — ungated re-attempts (floorRef <= 0, the
+    // path where stamping actually lands on a hot round) still tie-break.
+    // Absent = fall back to floorRef (old caller compatibility).
+    val stampRef: Double =
+      if (args.length >= 5) try args(4).toDouble catch {
+        case _: NumberFormatException => floorRef
+      } else floorRef
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val stressCopies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "100").toInt
@@ -52,7 +61,7 @@ object StressWorker {
         StressOps.runFamilyIfCalm(spark, family, sfDir, stressCopies,
           semCopies, runs, ops, floorRef)
       else StressOps.runFamily(spark, family, sfDir, stressCopies,
-        semCopies, runs, ops)
+        semCopies, runs, ops, stampRef = stampRef)
     if (res.deferred) println("""GRAFT_STRESS {"deferred":true}""")
     res.consts.foreach { case (k, v) =>
       println(s"""GRAFT_STRESS {"op":"$k","const":${Bench.jnum(v)}}""")

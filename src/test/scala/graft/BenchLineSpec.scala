@@ -245,14 +245,106 @@ class BenchLineSpec extends AnyFunSuite {
       node.get("stress").size() === 0)
   }
 
-  test("stress budget: full runs early, min-of-2 past half, skip past full") {
+  test("stress budget: full runs early, min-of-2 past half, single-sample " +
+      "past 80%, skip past full") {
     assert(Bench.familyRunsUnderBudget(0.0, 600.0, 3) === Some(3))
     assert(Bench.familyRunsUnderBudget(299.0, 600.0, 3) === Some(3))
     assert(Bench.familyRunsUnderBudget(301.0, 600.0, 3) === Some(2))
+    // r17 verdict task 2: a single-sample isolated datapoint with an
+    // honest bracket beats no datapoint for a six-round-starved family
+    assert(Bench.familyRunsUnderBudget(481.0, 600.0, 3) === Some(1))
+    assert(Bench.familyRunsUnderBudget(480.0, 600.0, 3) === Some(2))
     assert(Bench.familyRunsUnderBudget(600.0, 600.0, 3) === None)
     assert(Bench.familyRunsUnderBudget(9999.0, 600.0, 3) === None)
     // a user-pinned min-of-1 is never raised by the budget
     assert(Bench.familyRunsUnderBudget(400.0, 600.0, 1) === Some(1))
+  }
+
+  test("bracket tie-breaker: one straddling sample earns one confirmation " +
+      "probe; 2-of-3 decides (r17 task 1)") {
+    // the r17 driver's exact events shape: bracket [0.841, 0.980] vs
+    // bound 0.855 (= 1.25 × 0.684) — min under, max over by one sample
+    assert(Bench.tieBreakNeeded(0.841, 0.980, stampRef = 0.684))
+    assert(Bench.tieBreakNeeded(0.980, 0.841, stampRef = 0.684)) // pre-side too
+    // both calm / both hot: no tie-break — nothing to resolve
+    assert(!Bench.tieBreakNeeded(0.841, 0.850, stampRef = 0.684))
+    assert(!Bench.tieBreakNeeded(0.980, 2.2, stampRef = 0.684))
+    // no reference → never (ungated first run seeds the ref)
+    assert(!Bench.tieBreakNeeded(0.5, 9.0, stampRef = -1.0))
+    assert(!Bench.tieBreakNeeded(0.5, 9.0, stampRef = 0.0))
+
+    // calm confirmation: the blip loses its veto — bracket (head, last)
+    // = (0.841, 0.850) is now stamp-eligible; the raw hot sample stays
+    // in the vector for the floor population and the audit trail
+    val calm = Bench.resolveTieBreak(0.841, 0.980, 0.850, stampRef = 0.684)
+    assert(calm === Vector(0.841, 0.980, 0.850))
+    assert(Bench.stampEligibleVsRef((calm.head, calm.last), 0.684))
+    // hot confirmation: 2-of-3 hot — refusal stands, and the WORST hot
+    // sample takes the bracket position so heat is never understated
+    val hot = Bench.resolveTieBreak(0.841, 0.980, 1.4, stampRef = 0.684)
+    assert(hot === Vector(0.841, 0.980, 1.4))
+    assert(!Bench.stampEligibleVsRef((hot.head, hot.last), 0.684))
+    val hot2 = Bench.resolveTieBreak(0.841, 1.4, 0.980, stampRef = 0.684)
+    assert(hot2 === Vector(0.841, 0.980, 1.4))
+    // pre-side straddle (ungated re-attempt): calm side leads either way
+    val preHot = Bench.resolveTieBreak(0.980, 0.841, 0.850, stampRef = 0.684)
+    assert(preHot === Vector(0.841, 0.980, 0.850))
+    assert(Bench.stampEligibleVsRef((preHot.head, preHot.last), 0.684))
+  }
+
+  test("head-tail interleave: stalest still leads; every second slot " +
+      "from the freshest end (r17 task 2)") {
+    assert(Bench.interleaveHeadTail(Seq(1, 2, 3, 4, 5)) === Seq(1, 5, 2, 4, 3))
+    assert(Bench.interleaveHeadTail(Seq(1, 2, 3, 4)) === Seq(1, 4, 2, 3))
+    assert(Bench.interleaveHeadTail(Seq(1)) === Seq(1))
+    assert(Bench.interleaveHeadTail(Seq.empty[Int]) === Seq.empty)
+    // the r17 ledger shape: events/graph/metrics stalest (stamps 0,0,2),
+    // the six-family tail behind them — interleave gives token/langid
+    // (the freshest-stamped tail) slots 2 and 4 while events still leads
+    val ledger = Map(
+      "dedup" -> Bench.FamilyLedger(3, 0), "store" -> Bench.FamilyLedger(3, 0),
+      "index" -> Bench.FamilyLedger(3, 0), "vec" -> Bench.FamilyLedger(3, 0),
+      "media" -> Bench.FamilyLedger(3, 0),
+      "events" -> Bench.FamilyLedger(0, 0), "graph" -> Bench.FamilyLedger(0, 0),
+      "langid" -> Bench.FamilyLedger(4, 0), "token" -> Bench.FamilyLedger(5, 0),
+      "metrics" -> Bench.FamilyLedger(2, 0))
+    val ord = Bench.interleaveHeadTail(Bench.staleOrdered(ledger)).map(_._1)
+    assert(ord.take(6) === Seq("events", "token", "graph", "langid",
+      "metrics", "media"))
+    assert(ord.sorted === StressOps.families.map(_._1).sorted,
+      "nothing lost, nothing duplicated")
+  }
+
+  test("stress overshoot reason classifies the budget breach (r17 task 4)") {
+    // no overshoot → empty (the field must not cry wolf)
+    assert(Bench.overshootReason(599.0, 600.0, settled = true,
+      reAttempted = true, retried = true) === "")
+    // the r17 shape: settle wait + deferred re-attempts pushed 700.77 s
+    // against the 600 s budget
+    assert(Bench.overshootReason(700.77, 600.0, settled = true,
+      reAttempted = true, retried = false) === "settle+re-attempt")
+    assert(Bench.overshootReason(650.0, 600.0, settled = false,
+      reAttempted = false, retried = true) === "retry")
+    // none of the late-phase activities ran → the last main-loop family
+    // was simply in flight when the budget expired
+    assert(Bench.overshootReason(620.0, 600.0, settled = false,
+      reAttempted = false, retried = false) === "in-flight")
+  }
+
+  test("stress_overshoot_reason rides every shed candidate") {
+    val line = Bench.renderParsedLine(
+      total = 50.0,
+      queryMedians = fakeQueries(500), errored = Seq.empty, rounds = 3,
+      sharedSec = 2.0, stress = fakeStress(200),
+      probeBracket = fakeBrackets(9), contended = Seq.empty,
+      sfDir = "/root/testdata/sf0.1",
+      phases = Seq("warmup" -> 26.0, "stress" -> 700.8, "shared" -> 2.0,
+        "queries" -> 180.0),
+      stressOvershoot = "settle+re-attempt")
+    val node = mapper.readTree(line)
+    assert(node.get("stress_overshoot_reason").asText() === "settle+re-attempt")
+    assert(line.length <= Bench.MaxLineChars ||
+      node.get("stress").size() === 0)
   }
 
   test("staleness ledger orders families stalest-first, ties canonical") {
