@@ -140,6 +140,46 @@ def main(sf_dir: str, out_dir: str) -> int:
     return failures
 
 
+def scale_invariants(out_dir: str) -> int:
+    """Structural expectations at the second scale factor, beyond the
+    hash-compare (r17 verdict task 6): PASS/FAIL equality would still
+    pass if a fixture regression collapsed a genuinely scale-dependent
+    surface on BOTH engines at once. q_minhash_calibration's S-curve is
+    the scale-dependent gate: its (matches x jacc_band) bucket table
+    grew 47 -> 58 buckets from sf0.01 to sf0.1, and a collapsed curve
+    (e.g. a shingle/permutation regression making every pair agree)
+    would flatten it to a handful of buckets while remaining
+    hash-equal. Pin the COVERAGE of both axes at sf0.1."""
+    failures = 0
+    try:
+        df = duckdb.sql("SELECT * FROM parquet_scan("
+                        f"'{out_dir}/q_minhash_calibration/*.parquet')").df()
+    except Exception as e:
+        print(f"FAIL scale-invariant q_minhash_calibration: unreadable: {e}")
+        return 1
+    buckets = len(df)
+    n_matches = df["matches"].nunique()
+    n_bands = df["jacc_band"].nunique()
+    # measured at sf0.1: 58 buckets, matches spanning >=10 distinct
+    # agreement levels, >=6 distinct jaccard deciles; bounds leave room
+    # for fixture drift but fire on any collapse of either axis
+    checks = [
+        ("bucket count", buckets, 50),
+        ("distinct matches levels", n_matches, 10),
+        ("distinct jaccard bands", n_bands, 6),
+    ]
+    for label, got, floor_ in checks:
+        if got < floor_:
+            print(f"FAIL scale-invariant q_minhash_calibration: {label} "
+                  f"{got} < {floor_} (S-curve collapsed?)")
+            failures += 1
+    if failures == 0:
+        print(f"PASS scale-invariant q_minhash_calibration "
+              f"({buckets} buckets, {n_matches} matches levels, "
+              f"{n_bands} bands)")
+    return failures
+
+
 def scale_audit(sf_dir: str, out_dir: str) -> int:
     """Fork a subset Verify run at the second scale factor, then compare."""
     # the forked Verify runs with cwd=repo while main() resolves against
@@ -157,7 +197,7 @@ def scale_audit(sf_dir: str, out_dir: str) -> int:
     if rc != 0:
         print(f"FAIL scale-audit: Verify exited {rc}")
         return 1
-    return main(sf_dir, out_dir)
+    return main(sf_dir, out_dir) + scale_invariants(out_dir)
 
 
 if __name__ == "__main__":
