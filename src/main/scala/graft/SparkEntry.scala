@@ -684,6 +684,26 @@ object SparkEntry {
       )
       chain.foldLeft(ev.toDF())((d, f) => f(d))
     },
+    // Rename-clobber + index-render parity (r18, pins the r17 ADVICE
+    // fixes through the pipeline surface): the index pattern renders a
+    // present NON-string field (value: double) as the literal "null"
+    // (reference index_render.go errNotString) and %{+Monday} — a
+    // letter-only GO layout — as the weekday name; the rename then
+    // OVERWRITES the existing event_type column (reference SetField
+    // overwrite=true then delete src) instead of duplicating it. The
+    // whole chain is one flat codegen'd projection — no shuffle, scales
+    // row-wise at any SF.
+    "q_rename_clobber" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events").withColumn("@timestamp", $"ts")
+      val chain = Seq(
+        FilterBox(AddFilter(Map(
+          "idx" -> "ev-%{value}-%{event_type}-%{+Monday}"))).stage,
+        FilterBox(RenameFilter(Map("value" -> "event_type"))).stage,
+      )
+      chain.foldLeft(ev.toDF())((d, f) => f(d))
+        .select($"event_id", $"event_type", $"idx")
+    },
 
     // ClickHouse conform projection: the reference's desc-table-driven
     // per-event type conversion (clickhouse_output.go:406-445) as one
@@ -3033,6 +3053,15 @@ object SparkEntry {
         |    WHEN 'signup' THEN 'S' ELSE NULL END AS code,
         |  user_id AS uid
         |FROM events""".stripMargin,
+
+    // subquery on purpose: `value AS event_type` must not lateral-shadow
+    // the event_type the idx string reads (the idx is built BEFORE the
+    // rename); strftime %A = full weekday name = Go layout "Monday"
+    "q_rename_clobber" ->
+      """SELECT event_id, value AS event_type, idx FROM (
+        |  SELECT event_id, value,
+        |    'ev-null-' || event_type || '-' || strftime(ts, '%A') AS idx
+        |  FROM events) t""".stripMargin,
 
     "q_ch_conform" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -252,6 +252,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("rename-clobber pipeline is one zero-exchange codegen'd projection") {
+    // the whole Add→Rename chain (index render + overwrite-rename) must
+    // fuse into a flat per-row projection — at 100 TB it runs at scan
+    // speed; an Exchange or a lost codegen span means a filter stage
+    // regressed into a shuffle or a fallback expression
+    val df = SparkEntry.queries("q_rename_clobber")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q_rename_clobber shuffles:\n$plan")
+    assert(plan.contains("*(1)"), s"q_rename_clobber left codegen:\n$plan")
+  }
+
   test("encoding-artifact and dup-line scoring stay zero-exchange narrow maps") {
     // both are per-row quality signals (regexp counts / sorted-neighbor
     // line flags) — at 100 TB they must score at scan speed; any
