@@ -704,6 +704,26 @@ object SparkEntry {
       chain.foldLeft(ev.toDF())((d, f) => f(d))
         .select($"event_id", $"event_type", $"idx")
     },
+    // Nested-map delete (r18, pins the r17 ADVICE fix): remove_fields
+    // '[m][b][c]' through map<string, map<string,double>> rewrites the
+    // inner map under key b (sibling keys at BOTH levels survive) —
+    // the reference's maps-of-maps field deleter, which used to be a
+    // loud plan-time error here. Scalar probe columns, not the map
+    // itself, so the oracle compare stays engine-neutral. Row-wise
+    // map_filter/map_concat algebra — no shuffle at any SF.
+    "q_map_delete" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("m", map(
+          lit("b"), map(lit("c"), $"value", lit("keep"), $"value" * 2),
+          lit("o"), map(lit("c"), $"value" * 3)))
+      val out = FilterBox(RemoveFilter(Seq("[m][b][c]"))).stage(ev)
+      out.select($"event_id",
+        element_at(element_at($"m", "b"), "keep").as("kept"),
+        element_at(element_at($"m", "b"), "c").as("dropped"),
+        element_at(element_at($"m", "o"), "c").as("sibling"),
+        size(element_at($"m", "b")).as("b_size"))
+    },
 
     // ClickHouse conform projection: the reference's desc-table-driven
     // per-event type conversion (clickhouse_output.go:406-445) as one
@@ -3062,6 +3082,17 @@ object SparkEntry {
         |  SELECT event_id, value,
         |    'ev-null-' || event_type || '-' || strftime(ts, '%A') AS idx
         |  FROM events) t""".stripMargin,
+
+    // the delete's net effect replayed directly: key c gone from the
+    // inner map under b, sibling keys (keep, o.c) intact; doubles reuse
+    // the exact Spark multiply so the compare is bit-identical
+    "q_map_delete" ->
+      """SELECT event_id,
+        |  value * 2 AS kept,
+        |  CAST(NULL AS DOUBLE) AS dropped,
+        |  value * 3 AS sibling,
+        |  1 AS b_size
+        |FROM events""".stripMargin,
 
     "q_ch_conform" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id,

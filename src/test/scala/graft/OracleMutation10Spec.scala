@@ -60,6 +60,50 @@ class OracleMutation10Spec extends SparkSpec with MutationAudit {
     }
   }
 
+  /** The q_map_delete fixture, verbatim. */
+  private def evMap: DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("m", map(
+        lit("b"), map(lit("c"), col("value"), lit("keep"), col("value") * 2),
+        lit("o"), map(lit("c"), col("value") * 3)))
+
+  test("q_map_delete: wiping the whole intermediate key instead of " +
+      "rewriting its inner map") {
+    // the heavy-handed bug: [m][b][c] drops key b entirely — the
+    // sibling 'keep' entry (and b itself) vanish
+    assertCaught("q_map_delete") {
+      evMap.select(col("event_id"),
+        lit(null).cast("double").as("kept"),
+        lit(null).cast("double").as("dropped"),
+        (col("value") * 3).as("sibling"),
+        lit(null).cast("int").as("b_size"))
+    }
+  }
+
+  test("q_map_delete: deleting the leaf key from EVERY inner map " +
+      "instead of only under the addressed key") {
+    // transform_values without the key guard: o.c dies alongside b.c
+    assertCaught("q_map_delete") {
+      evMap.select(col("event_id"),
+        (col("value") * 2).as("kept"),
+        lit(null).cast("double").as("dropped"),
+        lit(null).cast("double").as("sibling"),
+        lit(1).as("b_size"))
+    }
+  }
+
+  test("q_map_delete: a silent no-op delete leaves the leaf in place") {
+    // the pre-r18 'fix' shape: refuse the nested-map path quietly —
+    // dropped still reads its value and the inner map keeps 2 entries
+    assertCaught("q_map_delete") {
+      evMap.select(col("event_id"),
+        (col("value") * 2).as("kept"),
+        col("value").as("dropped"),
+        (col("value") * 3).as("sibling"),
+        lit(2).as("b_size"))
+    }
+  }
+
   test("q_rename_clobber: a rename that sets dst but forgets to delete " +
       "src ships the field under both names") {
     // the r17 review's half-rename shape: schema gains a fourth column

@@ -257,11 +257,13 @@ class PlanQualitySpec extends SparkSpec {
     // fuse into a flat per-row projection — at 100 TB it runs at scan
     // speed; an Exchange or a lost codegen span means a filter stage
     // regressed into a shuffle or a fallback expression
-    val df = SparkEntry.queries("q_rename_clobber")(spark, dir)
-    df.count()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"q_rename_clobber shuffles:\n$plan")
-    assert(plan.contains("*(1)"), s"q_rename_clobber left codegen:\n$plan")
+    for (q <- Seq("q_rename_clobber", "q_map_delete")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
+      assert(plan.contains("*(1)"), s"$q left codegen:\n$plan")
+    }
   }
 
   test("encoding-artifact and dup-line scoring stay zero-exchange narrow maps") {
