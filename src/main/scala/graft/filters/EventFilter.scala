@@ -329,6 +329,44 @@ object StageCols {
         }
       }
     val eff = walk(Some(df.schema), segs0.toList)
+    // key upsert at (possibly nested) MAP levels. null-safe <=>
+    // everywhere: a key that does not CAST to the map's key type reads
+    // NULL — `=!= null` would silently DROP every entry, and map() would
+    // then throw on the null key; with the guards a non-castable key
+    // leaves the map untouched. try_element_at, not element_at, where a
+    // missing key must read NULL (ANSI mode throws).
+    def mapSetPath(m: Column, mt: MapType, path: Seq[String]): Column = {
+      val k = lit(path.head).try_cast(mt.keyType)
+      val emptyM = map_from_arrays(
+        array().cast(ArrayType(mt.keyType)),
+        array().cast(ArrayType(mt.valueType)))
+      val removed = coalesce(map_filter(m, (mk, _) => !(mk <=> k)), emptyM)
+      path match {
+        case Seq(_) => // the leaf's parent: value upsert (r17 semantics)
+          val inserted = map_concat(removed, map(k, value.cast(mt.valueType)))
+          val effCond = (if (overwrite) condB
+                         else condB && element_at(m, k).isNull) && k.isNotNull
+          when(effCond, inserted).otherwise(m)
+        case _ +: tail =>
+          mt.valueType match {
+            case inner: MapType =>
+              val emptyInner = map_from_arrays(
+                array().cast(ArrayType(inner.keyType)),
+                array().cast(ArrayType(inner.valueType)))
+              // a missing (or per-row null) intermediate key is CREATED,
+              // like the reference's missing-map creation
+              val cur = coalesce(try_element_at(m, k), emptyInner)
+              val inserted = map_concat(removed,
+                map_from_arrays(array(k), array(mapSetPath(cur, inner, tail))))
+              when(condB && k.isNotNull, inserted).otherwise(m)
+            case other =>
+              sys.error(s"cannot set '${segs0.mkString("[", "][", "]")}': " +
+                s"the nested map level holds ${other.simpleString}, not a " +
+                "map — the path cannot descend; restructure the event or " +
+                "use a struct")
+          }
+      }
+    }
     if (eff.length == 1)
       setFieldImpl(df, s"[${eff.head}]", value, cond, overwrite, resurrectNull)
     else {
@@ -342,26 +380,15 @@ object StageCols {
               else when(condB && cur.isNull, value).otherwise(cur)
             case None => when(condB, value)
           }
-        case (Some(mt: MapType), Seq(leaf)) => // map parent: key upsert
-          // null-safe <=>: a key that does not CAST to the map's key
-          // type reads NULL — `=!= null` would silently DROP every
-          // entry, and map() would then throw on the null key. With the
-          // guards a non-castable key leaves the map untouched.
-          val m = c.get
-          val k = lit(leaf).try_cast(mt.keyType) // ANSI-safe (see delete)
-          val emptyM = map_from_arrays(
-            array().cast(ArrayType(mt.keyType)),
-            array().cast(ArrayType(mt.valueType)))
-          val removed =
-            coalesce(map_filter(m, (mk, _) => !(mk <=> k)), emptyM)
-          val inserted = map_concat(removed, map(k, value.cast(mt.valueType)))
-          val effCond = (if (overwrite) condB
-                         else condB && element_at(m, k).isNull) && k.isNotNull
-          when(effCond, inserted).otherwise(m)
-        case (Some(_: MapType), _) =>
-          sys.error(s"cannot set '${segs0.mkString("[", "][", "]")}': " +
-            "setting through a nested map level (deeper than the leaf) " +
-            "is unsupported — restructure the event or use a struct")
+        case (Some(mt: MapType), path @ (_ +: _)) =>
+          // map level: key upsert, recursing through nested MAP values —
+          // the reference creates missing intermediate maps at any depth
+          // (mfields_field_setter walks/creates map[string]interface{});
+          // a columnar schema can hold the next level only when the
+          // map's VALUE type is itself a map, so a deeper path through a
+          // non-map value type stays a loud plan-time error (r18 — the
+          // single-level upsert was the r17 limit).
+          mapSetPath(c.get, mt, path)
         case (Some(st: StructType), head +: tail) =>
           val f = typeAt(st, head)
           val childNew = rebuild(f.map(ff => c.get.getField(ff.name)),

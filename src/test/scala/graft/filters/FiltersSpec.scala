@@ -367,6 +367,54 @@ class FiltersSpec extends SparkSpec {
       map_keys(element_at(col("a"), "b")))) == Row(1, Seq("keep")))
   }
 
+  test("Add descends nested MAP levels: upsert, missing-key creation, " +
+      "row-safe conditionals (r18 — the set twin of the map delete)") {
+    val df = Seq((1L, Map("b" -> Map("c" -> 10L, "keep" -> 20L))),
+      (2L, Map("b" -> Map("keep" -> 21L))))
+      .toDF("id", "a")
+    // existing inner key overwritten; siblings at both levels survive
+    val set = FilterBox(AddFilter(Map("[a][b][c]" -> "{{.id}}"))).stage(df)
+    val rows = set.select(col("id"),
+      element_at(element_at(col("a"), "b"), "c"),
+      element_at(element_at(col("a"), "b"), "keep"))
+      .orderBy("id").collect()
+    assert(rows(0) == Row(1L, 1L, 20L))
+    assert(rows(1) == Row(2L, 2L, 21L)) // missing inner key created
+    // missing INTERMEDIATE key created (reference missing-map creation)
+    val deep = FilterBox(AddFilter(Map("[a][fresh][x]" -> "7"))).stage(df)
+    assert(oneRow(deep.select(
+      element_at(element_at(col("a"), "fresh"), "x"))) == Row(7L))
+    // three map levels
+    val d3 = Seq((1L, Map("x" -> Map("y" -> Map("z" -> 1L))))).toDF("id", "a")
+    val set3 = FilterBox(AddFilter(Map("[a][x][y][w]" -> "9"))).stage(d3)
+    assert(oneRow(set3.select(
+      element_at(element_at(element_at(col("a"), "x"), "y"), "w"),
+      element_at(element_at(element_at(col("a"), "x"), "y"), "z")))
+      == Row(9L, 1L))
+    // conditional: non-matching rows keep the map untouched
+    val cond = FilterBox(AddFilter(Map("[a][b][c]" -> "99")),
+      ifConds = Seq("EQ(id,1)")).stage(df)
+    val crows = cond.select(col("id"),
+      element_at(element_at(col("a"), "b"), "c")).orderBy("id").collect()
+    assert(crows(0) == Row(1L, 99L))
+    assert(crows(1) == Row(2L, null))
+    // overwrite=false keeps an existing inner value
+    val keep = FilterBox(AddFilter(Map("[a][b][keep]" -> "0"),
+      overwrite = false)).stage(df)
+    assert(oneRow(keep.select(
+      element_at(element_at(col("a"), "b"), "keep"))) == Row(20L))
+    // a non-castable intermediate key is a no-op, never a map wipe
+    val im = Seq((1L, Map(7 -> Map("c" -> 1L)))).toDF("id", "m")
+    val bad = FilterBox(AddFilter(Map("[m][oops][c]" -> "5"))).stage(im)
+    assert(oneRow(bad.select(size(col("m")))) == Row(1))
+    // descent into a non-map value type stays a loud plan-time error
+    val flat = Seq((1L, Map("k" -> "v"))).toDF("id", "m")
+    val e = intercept[RuntimeException] {
+      FilterBox(AddFilter(Map("[m][k][x]" -> "5"))).stage(flat).collect()
+    }
+    assert(e.getMessage.contains("nested map level"), e.getMessage)
+  }
+
   test("index patterns: present NON-string fields render the literal " +
       "\"null\" (reference errNotString); letter-only Go layouts " +
       "dispatch to the Go translator (r17 ADVICE)") {
