@@ -134,7 +134,14 @@ object StressOps {
     * never below it. `floorRef <= 0` (no calm history) never defers. */
   def runFamilyIfCalm(spark: SparkSession, family: String, sfDir: String,
       stressCopies: Int, semCopies: Int, runs: Int,
-      ops: Seq[String], floorRef: Double): Results = {
+      ops: Seq[String], floorRef: Double,
+      stampRef: Double = -1.0): Results = {
+    // the tie-break reference is allowed to differ from the deferral
+    // gate's (the worker CLI carries them separately); callers that
+    // don't distinguish get the gate ref for both (r18 review finding —
+    // the gated path used to hardwire stampRef = floorRef, silently
+    // ignoring the CLI's arg 5)
+    val effStampRef = if (stampRef > 0) stampRef else floorRef
     val bound = Bench.StampRefMult * floorRef
     val p1 = probeWarmed(spark)
     if (floorRef > 0 && p1 > bound) {
@@ -145,9 +152,9 @@ object StressOps {
         res.samples("probe") = Vector(p1, p2)
         res
       } else runFamily(spark, family, sfDir, stressCopies, semCopies,
-        runs, ops, preProbe = Some(p2), stampRef = floorRef)
+        runs, ops, preProbe = Some(p2), stampRef = effStampRef)
     } else runFamily(spark, family, sfDir, stressCopies, semCopies,
-      runs, ops, preProbe = Some(p1), stampRef = floorRef)
+      runs, ops, preProbe = Some(p1), stampRef = effStampRef)
   }
 
   private val hotText = "common boilerplate navigation header about contact " +

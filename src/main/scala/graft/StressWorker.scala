@@ -59,7 +59,7 @@ object StressWorker {
     val res =
       if (floorRef > 0)
         StressOps.runFamilyIfCalm(spark, family, sfDir, stressCopies,
-          semCopies, runs, ops, floorRef)
+          semCopies, runs, ops, floorRef, stampRef = stampRef)
       else StressOps.runFamily(spark, family, sfDir, stressCopies,
         semCopies, runs, ops, stampRef = stampRef)
     if (res.deferred) println("""GRAFT_STRESS {"deferred":true}""")

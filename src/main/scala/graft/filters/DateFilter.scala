@@ -26,6 +26,14 @@ object GoTimeLayout {
     "_2" -> "d", "1" -> "M", "2" -> "d", "3" -> "h", "4" -> "m", "5" -> "s",
   )
 
+  /** The table's letter-only tokens — the complement of a digit
+    * heuristic when DISPATCHING a layout string that might be Go or
+    * Joda (Render's `%{+…}` index parts). Derived from the table so a
+    * future token cannot drift out of the dispatch (r18 review
+    * finding: a hand-copied list in Render would silently miss it). */
+  val letterTokens: Seq[String] =
+    table.map(_._1).filter(t => t.nonEmpty && t.forall(_.isLetter))
+
   def translate(goLayout: String): String = {
     val out = new StringBuilder
     var i = 0

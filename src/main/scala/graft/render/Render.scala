@@ -361,9 +361,15 @@ object Render {
         // letter-only Go layouts (%{+Jan}, %{+Monday}, %{+MST}, %{+PM})
         // carry no digit — the digit heuristic alone misrouted them to
         // the Joda shim, which emitted the token verbatim as an (invalid
-        // or wrong) DateTimeFormatter pattern (r17 ADVICE)
+        // or wrong) DateTimeFormatter pattern (r17 ADVICE). Whole
+        // letter-RUN equality, not substring containment: a digitless
+        // pattern merely CONTAINING 'pm'/'Mon' inside a longer literal
+        // run is not a Go layout and must keep the Joda path (r18
+        // review finding).
+        val letterRuns = "[A-Za-z]+".r.findAllIn(raw).toSeq
         val fmt =
-          if (raw.exists(_.isDigit) || goLetterTokens.exists(raw.contains))
+          if (raw.exists(_.isDigit) ||
+              letterRuns.exists(graft.filters.GoTimeLayout.letterTokens.contains))
             graft.filters.GoTimeLayout.translate(raw)
           else jodaToJava(raw)
         val ts = FieldPath.resolve(df, tsColumn).getOrElse(current_timestamp())
@@ -400,11 +406,6 @@ object Render {
       case org.apache.spark.sql.types.StringType => coalesce(c, lit("null"))
       case _ => lit("null")
     }
-
-  /** Go reference-time layout components with no digits — the complement
-    * of the digit heuristic in the %{+…} layout dispatch. */
-  private val goLetterTokens =
-    Seq("January", "Monday", "Jan", "Mon", "MST", "PM", "pm")
 
   /** ES index patterns use Joda-style tokens; Java's week-based `Y`/`w`
     * differ — translate the common ones. */

@@ -151,8 +151,12 @@ object EsBulkWriter {
         // username-only userinfo ('http://user@host') still carries the
         // user:password separator on the wire — Go's net/http sends
         // base64("user:"), and servers reject credentials lacking the
-        // colon (r17 ADVICE)
-        val cred = if (dec.contains(':')) dec else dec + ":"
+        // colon (r17 ADVICE). The separator test is on the RAW userinfo:
+        // the separator itself is always a literal ':' there, while a
+        // PERCENT-ENCODED %3A inside a password-less username ('us%3Aer')
+        // decodes to ':' and must not suppress the append — Go sends
+        // base64("us:er:") for that host (r18 review finding).
+        val cred = if (ui.contains(':')) dec else dec + ":"
         (clean, Some("Basic " + java.util.Base64.getEncoder
           .encodeToString(cred.getBytes(StandardCharsets.UTF_8))))
       case None => (u0, None)

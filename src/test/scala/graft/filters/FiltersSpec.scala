@@ -432,6 +432,12 @@ class FiltersSpec extends SparkSpec {
     assert(oneRow(out.select("numidx", "nestidx", "stridx", "monthidx",
       "dayidx")) == Row("app-null-x", "app-null-x", "app-web-x",
       "m-Mar", "d-Tuesday"))
+    // the dispatch list is DERIVED from GoTimeLayout's table (single
+    // source of truth — a future digitless token cannot drift out of
+    // the index-pattern dispatch), and matching is whole-letter-run,
+    // not substring (a literal run merely containing 'pm' stays Joda)
+    assert(GoTimeLayout.letterTokens.sorted ==
+      Seq("Jan", "January", "MST", "Mon", "Monday", "PM", "pm"))
   }
 
   test("remove_fields post-processing handles multi-level targets " +

@@ -290,6 +290,15 @@ class SinksSpec extends AnyFunSuite {
       val expected2 = "Basic " + java.util.Base64.getEncoder
         .encodeToString("admin:".getBytes("UTF-8"))
       assert(gotAuth.get() == expected2)
+      // a PERCENT-ENCODED colon inside a password-less username is NOT
+      // the separator — the append decision reads the RAW userinfo, so
+      // 'us%3Aer' still gains the trailing ':' Go sends (base64("us:er:"))
+      val w3 = new EsBulkWriter(Seq(s"http://us%3Aer@127.0.0.1:$port"))
+      w3.add(EsBulkWriter.actionMeta("t"), """{"x":3}""")
+      w3.close()
+      val expected3 = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("us:er:".getBytes("UTF-8"))
+      assert(gotAuth.get() == expected3)
     } finally server.stop(0)
   }
 
