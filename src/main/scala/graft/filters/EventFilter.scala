@@ -185,10 +185,10 @@ object StageCols {
             case _ => (i, t)
           }
         val (mapLvl, walked) = walkPre(0, topField.map(_.dataType))
-        val parent = walked match {
+        walked match {
           case Some(mt: MapType) if mapLvl < segs.length - 2 =>
             // map found ABOVE the leaf's parent: rewrite its value chain
-            return FieldPath.resolveSegs(df,
+            FieldPath.resolveSegs(df,
                 segs.take(mapLvl + 1).map(FieldPath.Key)) match {
               case Some((m, _)) =>
                 val removed = mapDeletePath(m, mt, segs.drop(mapLvl + 1))
@@ -201,9 +201,8 @@ object StageCols {
                   newM, lit(true), overwrite = true, resurrectNull = false)
               case None => df
             }
-          case t => t
-        }
-        parent match {
+          // below here the walk reached the LEAF'S PARENT (mapLvl ==
+          // segs.length - 2) or stopped on a missing/non-container level
           case Some(pst: StructType)
               if pst.fields.exists(_.name.equalsIgnoreCase(segs.last)) =>
             cond match {
