@@ -166,6 +166,80 @@ object Bench {
     * for the NEXT families in the queue (no re-fork, no re-probe). */
   private[graft] val HotProbeReuseSecs = 60.0
 
+  /** How many CONSECUTIVE families may defer on one remembered hot probe
+    * before the next family must fork and take its OWN probe (r18
+    * verdict task 3): in r18 ONE stale bracket ([1.380, 1.125]) was
+    * reused for EIGHT families — metrics among them published no
+    * isolated bracket of its own for a second round, and the evidence
+    * aged far past anything "temporally correlated" justifies. Capped,
+    * every fourth family re-measures the box (~20 s) — on a cooling box
+    * the queue resumes mid-run instead of writing the whole tail off. */
+  private[graft] val MaxHotReuse = 3
+
+  /** Pure heat-memory reuse decision (spec-pinned): remembered hot-probe
+    * evidence defers a family for free only while it is RECENT and has
+    * not already excused [[MaxHotReuse]] consecutive families. */
+  private[graft] def reuseHeatMemory(sinceHot: Double, reuseCount: Int): Boolean =
+    sinceHot < HotProbeReuseSecs && reuseCount < MaxHotReuse
+
+  /** One committed bench run's floor evidence in
+    * `bench_probe_history.txt`: its min fresh-JVM worker probe and how
+    * many families it stamped. The r18 verdict's open question — is the
+    * 0.684 floor stale, or does the stress phase self-heat? — needs
+    * cross-run probe history ON DISK; six rounds of BENCH-file
+    * archaeology is what this replaces. */
+  final case class RunRecord(label: String, floor: Double, stamps: Int)
+
+  /** Parse `bench_probe_history.txt`: one `label floor stamps` triple
+    * per line, `#` comments and malformed/non-positive lines dropped
+    * (damage degrades to "no history", never a crash). File order IS
+    * chronological order — labels are free-form display text. */
+  private[graft] def parseHistory(text: String): Vector[RunRecord] =
+    text.linesIterator.flatMap { l =>
+      val t = l.trim
+      if (t.isEmpty || t.startsWith("#")) None
+      else t.split("\\s+") match {
+        case Array(lab, f, s) =>
+          try {
+            val floor = f.toDouble
+            val stamps = s.toInt
+            if (floor > 0 && floor.isFinite && stamps >= 0)
+              Some(RunRecord(lab, floor, stamps))
+            else None
+          } catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toVector
+
+  private[graft] def renderHistoryLine(r: RunRecord): String =
+    s"${r.label} ${jnum(r.floor)} ${r.stamps}\n"
+
+  /** Rolling calm-floor candidate (r18 verdict task 1): the min probe
+    * over the last [[FloorWindow]] recorded runs — what the floor WOULD
+    * be if re-baselined to "calm for this machine as it now is". Rides
+    * the parsed line every run so the floor-vs-self-heat question stays
+    * answerable from artifacts alone. -1 with no history. */
+  private[graft] val FloorWindow = 5
+  private[graft] def floorCandidate(hist: Vector[RunRecord]): Double =
+    if (hist.isEmpty) -1.0 else hist.takeRight(FloorWindow).map(_.floor).min
+
+  /** HYSTERESIS RE-BASELINE RULE (r18 verdict task 1, spec-pinned): when
+    * the last [[RebaselineStreak]] recorded runs' min probes ALL exceed
+    * the stamping bound (1.25 × floorRef), the floor no longer describes
+    * an attainable calm state — re-baseline to [[floorCandidate]] with a
+    * versioned log entry (old floor retained) so stamps measure calm for
+    * the machine as it now is. NOTE the honest r19 answer: r17's driver
+    * floor was 0.841 ≤ the 0.855 bound — a stampable window existed
+    * within the last three rounds, so on the r16-r18 history this rule
+    * correctly does NOT fire; it arms only if r19+ stay hot throughout
+    * (the spec pins both shapes). */
+  private[graft] val RebaselineStreak = 3
+  private[graft] def needsRebaseline(hist: Vector[RunRecord],
+      floorRef: Double): Boolean =
+    floorRef > 0 && hist.size >= RebaselineStreak &&
+      hist.takeRight(RebaselineStreak)
+        .forall(_.floor > StampRefMult * floorRef)
+
   /** Settle wait before the deferred re-attempts (pure, spec-pinned):
     * when EVERY queued family deferred on one hot window, the "end of
     * the stress phase" arrives seconds later — too close to
@@ -240,6 +314,59 @@ object Bench {
   private[graft] def runContended(runFloor: Double, floorRef: Double): Boolean =
     floorRef > 0 && runFloor > 1.5 * floorRef
 
+  // same JDK-17 module opens the sbt fork gets (build.sbt) — Spark 4
+  // outside spark-submit needs them (shared by every worker fork)
+  private[graft] val workerAddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Fork a probe-only [[StressWorker]] (family "_probe") and return its
+    * fresh-JVM machine probe, or -1 on any infrastructure failure. Used
+    * for probe0 (BEFORE the parent does any Spark work — is the box hot
+    * before we touch it?) and the post-settle probe (did idling calm
+    * it?). Needs no parent SparkSession: only java.home + classpath. */
+  private def forkProbeWorker(timeoutMins: Long): Double =
+    try {
+      val javaBin = new java.io.File(new java.io.File(
+        sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val cmd = Seq(javaBin) ++ workerAddOpens ++ Seq(
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"),
+        "graft.StressWorker", "_probe")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      @volatile var sample = -1.0
+      val Probe = """GRAFT_STRESS \{"op":"probe","samples":\[([0-9.]+)\]\}""".r
+      val reader = new Thread(() => {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+        var l = in.readLine()
+        while (l != null) {
+          l match {
+            case Probe(v) => sample = v.toDouble
+            case _ => ()
+          }
+          l = in.readLine()
+        }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      val done = proc.waitFor(timeoutMins,
+        java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); proc.waitFor() }
+      reader.join(10000)
+      if (!done || proc.exitValue() != 0) -1.0 else sample
+    } catch { case _: Throwable => -1.0 }
+
   /** Render the one driver-parsed JSON line. Pure so a spec can pin the
     * length invariant at any gate count: if the assembled line would
     * exceed [[MaxLineChars]], progressively drop the optional payloads
@@ -269,13 +396,23 @@ object Bench {
       warmupProbe: (Double, Double) = (-1.0, -1.0),
       queriesProbe: (Double, Double) = (-1.0, -1.0),
       warmupHot: Boolean = false,
-      stressOvershoot: String = ""): String = {
+      stressOvershoot: String = "",
+      probe0: Double = -1.0,
+      settleProbe: Double = -1.0,
+      floorCand: Double = -1.0,
+      floorRefresh: String = ""): String = {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
+    // brackets at 2 decimals (10 ms resolution on a ~1 s probe — ample
+    // for heat classification; the gates judge the in-memory values):
+    // ~40 chars on a 10-family line, part of the r19 budget that keeps
+    // the FULL candidate under the window on an all-families calm run
+    def jnum2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def brObj(kvs: Seq[(String, (Double, Double))]): String =
       kvs.map { case (k, (a, b)) =>
-        "\"" + k + "\":[" + jnum(a) + "," + jnum(b) + "]"
+        "\"" + k + "\":[" + jnum2(a) + "," + jnum2(b) + "]"
       }.mkString("{", ",", "}")
     val head = queryMedians.filter { case (k, _) => headline.contains(k) }
     def errJsonOf(es: Seq[String]): String =
@@ -292,7 +429,7 @@ object Bench {
       "[" + jnum(p._1) + "," + jnum(p._2) + "]"
     def assemble(qs: Seq[(String, Double)], st: Seq[(String, Double)],
         br: Seq[(String, (Double, Double))], es: Seq[String]): String =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":${errJsonOf(es)},"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"stress_overshoot_reason":"${jstr(stressOvershoot)}","warmup_probe":${probePair(warmupProbe)},"warmup_hot":$warmupHot,"queries_probe":${probePair(queriesProbe)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"${jstr(sfDir)}"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":${errJsonOf(es)},"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"stress_overshoot_reason":"${jstr(stressOvershoot)}","warmup_probe":${probePair(warmupProbe)},"warmup_hot":$warmupHot,"queries_probe":${probePair(queriesProbe)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"probe0":${jnum(probe0)},"settle_probe":${jnum(settleProbe)},"floor_candidate":${jnum(floorCand)},"floor_refresh":"${jstr(floorRefresh)}","run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"${jstr(sfDir)}"}"""
     // final shedding step: a mass-error run (every gate analysis-broken)
     // carries an errors array that alone outgrows the capture window —
     // truncate to the first names plus a count so the artifact stays
@@ -300,9 +437,15 @@ object Bench {
     val truncatedErrors =
       if (errored.size <= 12) errored
       else errored.take(12) :+ s"(+${errored.size - 12} more errored)"
+    // shed order (r19 revision): the STRESS block drops before the
+    // headline medians — the headline is bounded (19 pinned keys) and is
+    // THE cross-round comparison metric, while a fully-calm run's stress
+    // block (~23 op keys) is the largest and least bounded payload and
+    // is replicated verbatim in bench_detail.json. Brackets + contended
+    // (the certification story) outlive both.
     val candidates = Iterator(
       assemble(head, stress, probeBracket, errored),
-      assemble(Seq.empty, stress, probeBracket, errored),
+      assemble(head, Seq.empty, probeBracket, errored),
       assemble(Seq.empty, Seq.empty, probeBracket, errored),
       assemble(Seq.empty, Seq.empty, Seq.empty, errored),
       assemble(Seq.empty, Seq.empty, Seq.empty, truncatedErrors))
@@ -320,6 +463,59 @@ object Bench {
     // query list (not back-to-back repeats) so one slow neighbor can't
     // poison all of a query's samples.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def readFileOr(p: java.nio.file.Path, fallback: String): String =
+      try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      catch { case _: Throwable => fallback }
+    def appendFile(p: java.nio.file.Path, text: String): Unit =
+      try java.nio.file.Files.write(p, text.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+    // CALM-FLOOR REFERENCE (r15 verdict task 2): best probe across all
+    // committed runs on this machine, persisted monotone-min. -1 = no
+    // history (first run seeds it; run_contended then stays false).
+    // First line only: the file may one day carry trailing annotations.
+    val floorPath = java.nio.file.Paths.get("bench_probe_floor.txt")
+    val floorFromFile =
+      try readFileOr(floorPath, "").linesIterator
+        .map(_.trim).find(_.nonEmpty).getOrElse("").toDouble
+      catch { case _: NumberFormatException => -1.0 }
+    // PROBE HISTORY + HYSTERESIS RE-BASELINE (r18 verdict task 1): one
+    // record per committed run (min fresh-JVM worker probe + stamp
+    // count). When the last RebaselineStreak runs' floors ALL exceeded
+    // the stamping bound, the floor no longer describes an attainable
+    // calm state — re-baseline to the rolling floorCandidate with a
+    // versioned entry in bench_probe_floor_log.txt (old floor retained)
+    // BEFORE this run's gates read it, so stamps measure calm for the
+    // machine as it now is. On the seeded r16-r18 history this does NOT
+    // fire (r17's 0.841 was under the 0.855 bound — a stampable window
+    // existed); it arms only if r19+ stay hot throughout.
+    val historyPath = java.nio.file.Paths.get("bench_probe_history.txt")
+    val floorLogPath = java.nio.file.Paths.get("bench_probe_floor_log.txt")
+    val history = parseHistory(readFileOr(historyPath, ""))
+    val (probeFloorRef, floorRefresh) =
+      if (needsRebaseline(history, floorFromFile)) {
+        val cand = floorCandidate(history)
+        appendFile(floorLogPath, s"refresh ${jnum(floorFromFile)} -> " +
+          s"${jnum(cand)} after ${history.last.label} reason " +
+          s"$RebaselineStreak-consecutive-over-bound\n")
+        try java.nio.file.Files.write(floorPath,
+          (jnum(cand) + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+        (cand, s"${jnum(floorFromFile)}->${jnum(cand)}:" +
+          s"$RebaselineStreak-runs-over-bound")
+      } else (floorFromFile, "")
+    val stressEnabled = sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") != "0"
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_STRESS_ISOLATE", "1") != "0"
+    // probe0 (r18 verdict task 1): one fresh-JVM machine probe BEFORE
+    // the parent does ANY Spark work — if the box is already hot here,
+    // the heat is pre-existing; if probe0 is calm but every later
+    // bracket is hot, the run self-heats. Forked (not in-process) so the
+    // sample is population-compatible with the worker probes the floor
+    // and the stamping gates judge against.
+    val probe0 =
+      if (stressEnabled && isolate) forkProbeWorker(timeoutMins = 5)
+      else -1.0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -340,19 +536,6 @@ object Bench {
     // rehearsals, and attribution needs the breakdown — which query ate
     // the wall (first-query session codegen vs uniform heat) must be
     // readable from the artifact, not re-measured.
-    def readFileOr(p: java.nio.file.Path, fallback: String): String =
-      try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      catch { case _: Throwable => fallback }
-    // CALM-FLOOR REFERENCE (r15 verdict task 2): best probe across all
-    // committed runs on this machine, persisted monotone-min. -1 = no
-    // history (first run seeds it; run_contended then stays false). Read
-    // BEFORE warmup since r16 task 3: the warmup and queries phases get
-    // their own heat probes, and the stress workers get the reference
-    // for the pre-flight deferral gate.
-    val floorPath = java.nio.file.Paths.get("bench_probe_floor.txt")
-    val probeFloorRef =
-      try readFileOr(floorPath, "").trim.toDouble
-      catch { case _: NumberFormatException => -1.0 }
     // FRESH-JVM probe samples only (each stress worker's bracket): the
     // calm-floor reference and the run floor must stay comparable to
     // what the deferral/stamping gates judge — a fully-JIT-warmed
@@ -362,6 +545,7 @@ object Bench {
     // The warmup/queries phase probes publish as their own brackets and
     // never enter this buffer.
     val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    if (probe0 > 0) probeSamples += probe0 // fresh-JVM, pre-any-Spark-work
     // warmup-phase heat bracket (r16 verdict task 3): the r16 driver
     // read warmup 49.6 s against the ≤40 s bar on a line whose
     // run-level flag said calm — the run's BEST probe came minutes
@@ -415,7 +599,6 @@ object Bench {
     // min-of-3 by default: a same-session A/B (r12) showed min-of-2
     // still moving 45-67% when the machine slowed 20% mid-block
     val stressRuns = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "3").toInt
-    val isolate = sys.env.getOrElse("SPARK_GRAFT_STRESS_ISOLATE", "1") != "0"
     // TOTAL stress budget (r13's gating defect — VERDICT task 1): the
     // per-family watchdog bounds a HUNG worker, but nothing bounded the
     // healthy case, and 9 families × min-of-3 × fresh-JVM startup summed
@@ -467,9 +650,15 @@ object Bench {
     // itself on the parsed line (settle wait / deferred re-attempt /
     // contention retry / plain in-flight family)
     var stressSettled = false
+    // post-settle fresh-JVM probe (r18 verdict task 1): did the idle
+    // wait actually calm the box? -1 when no settle happened.
+    var settleProbe = -1.0
+    // per-family heavy ops skipped on a hot ungated window (r18 task 2)
+    val famHotSkipped =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     var stressReAttempted = false
     var stressRetried = false
-    if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") != "0") {
+    if (stressEnabled) {
       spark.catalog.clearCache()
       graft.core.CacheRegistry.drain()
 
@@ -484,18 +673,7 @@ object Bench {
         try {
           val javaBin = new java.io.File(new java.io.File(
             sys.props("java.home"), "bin"), "java").getAbsolutePath
-          // same JDK-17 module opens the sbt fork gets (build.sbt) —
-          // Spark 4 outside spark-submit needs them
-          val addOpens = Seq(
-            "java.base/java.lang", "java.base/java.lang.invoke",
-            "java.base/java.lang.reflect", "java.base/java.io",
-            "java.base/java.net", "java.base/java.nio",
-            "java.base/java.util", "java.base/java.util.concurrent",
-            "java.base/java.util.concurrent.atomic",
-            "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-            "java.base/sun.security.action", "java.base/sun.util.calendar"
-          ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-          val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+          val cmd = Seq(javaBin) ++ workerAddOpens ++ Seq(
             s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
             "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
@@ -533,12 +711,16 @@ object Bench {
           else {
             val OpConst = """\{"op":"([^"]+)","const":([-0-9.]+)\}""".r
             val OpSamples = """\{"op":"([^"]+)","samples":\[([-0-9.,]*)\]\}""".r
+            val HotSkip = """\{"hot_skipped":\[([^\]]*)\]\}""".r
             val res = new StressOps.Results
             lines.synchronized(lines.toVector).foreach {
               case OpConst(k, v) => res.consts(k) = v.toDouble
               case OpSamples(k, xs) => res.samples(k) =
                 xs.split(",").filter(_.nonEmpty).map(_.toDouble).toVector
               case """{"deferred":true}""" => res.deferred = true
+              case HotSkip(xs) => res.hotSkipped ++= xs.split(",")
+                .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+                .filter(_.nonEmpty)
               case _ => ()
             }
             if (res.samples.isEmpty) None else Some(res)
@@ -651,6 +833,10 @@ object Bench {
       // 600 s budget re-discovering the same heat ten times)
       var lastHotAt = -1e9
       var lastHotBracket = (-1.0, -1.0)
+      // consecutive families excused by the CURRENT heat memory (r18
+      // task 3): capped at MaxHotReuse — r18 reused ONE stale bracket
+      // for eight families, so metrics never got its own probe
+      var hotReuse = 0
       for ((family, _) <- ordered) {
         val decision =
           if (skippedFamilies.nonEmpty) None
@@ -659,11 +845,12 @@ object Bench {
           case None => skippedFamilies += family
           case Some(famRuns) =>
             if (probeFloorRef > 0 &&
-                stressElapsed - lastHotAt < HotProbeReuseSecs) {
+                reuseHeatMemory(stressElapsed - lastHotAt, hotReuse)) {
               System.err.println(s"[bench] stress family '$family' " +
                 "deferred on recent hot probe (no fork)")
               deferBracket(family) = lastHotBracket
               deferredFams += family
+              hotReuse += 1
             } else {
               val ops = StressOps.armsFor(family,
                 ledger0.get(family).map(_.arm).getOrElse(0))
@@ -676,6 +863,7 @@ object Bench {
                   deferredFams += family
                   lastHotAt = stressElapsed
                   lastHotBracket = deferBracket(family)
+                  hotReuse = 0 // fresh evidence — the cap restarts
                 case Some((res, iso)) =>
                   // recorded only for families that actually RAN: the
                   // detail JSON's stress_arms documents arm coverage, and
@@ -683,11 +871,13 @@ object Bench {
                   famOps(family) = ops
                   famBracket(family) = fold(res, iso)
                   bracketIsolated(family) = iso
+                  if (res.hotSkipped.nonEmpty)
+                    famHotSkipped(family) = res.hotSkipped.toVector
                   // an ISOLATED attempt started on a clean gate probe —
                   // fresher evidence than any remembered heat. The
                   // in-process fallback runs UNGATED (no probe passed),
                   // so it must not clear the memory (r17 review finding).
-                  if (iso) lastHotAt = -1e9
+                  if (iso) { lastHotAt = -1e9; hotReuse = 0 }
                 case None =>
                   // worker failed AND the budget is spent (e.g. a hang
                   // ate it): don't run unbounded in-process — rotate
@@ -710,6 +900,15 @@ object Bench {
               "(heat de-correlation)")
           stressSettled = true
           Thread.sleep((wait * 1000).toLong)
+          // post-settle fresh-JVM probe (r18 task 1): the direct
+          // self-heat test — probe0 calm + hot family gates + a calm
+          // probe HERE means our own ops heat the box and idling cures
+          // it; still-hot here means the load is external. Joins the
+          // floor population (fresh JVM, often the run's calmest window).
+          if (isolate) {
+            settleProbe = forkProbeWorker(timeoutMins = 5)
+            if (settleProbe > 0) probeSamples += settleProbe
+          }
         }
       }
       // deferred re-attempts, UNGATED (gateRef -1): on a box that never
@@ -732,6 +931,8 @@ object Bench {
               famOps(family) = ops
               famBracket(family) = fold(res, iso)
               bracketIsolated(family) = iso
+              if (res.hotSkipped.nonEmpty)
+                famHotSkipped(family) = res.hotSkipped.toVector
               true
             case None => false
           }
@@ -771,6 +972,8 @@ object Bench {
               case (res, iso) =>
                 val b2 = fold(res, iso)
                 val b1 = famBracket(family)
+                if (res.hotSkipped.nonEmpty)
+                  famHotSkipped(family) = res.hotSkipped.toVector
                 if (math.max(b2._1, b2._2) < math.max(b1._1, b1._2)) {
                   famBracket(family) = b2
                   bracketIsolated(family) = iso
@@ -871,6 +1074,11 @@ object Bench {
       graft.core.CacheRegistry.drain()
       for (name <- names) {
         val fn = SparkEntry.queries(name)
+        // builder-side correlation aid (driver never sets it): timestamps
+        // on stderr let scheduler warnings (e.g. "Broadcasting large task
+        // binary") be attributed to the query that triggered them
+        if (sys.env.contains("SPARK_GRAFT_TRACE_QUERIES"))
+          System.err.println(s"[bench] r$r query $name")
         val t0 = System.nanoTime()
         // An errored query must NOT record its fast-fail latency as a
         // timing (r9 benched 16 analysis-failures at ~0.06 s each and the
@@ -900,6 +1108,22 @@ object Bench {
         (jnum(newRef) + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
+    // history record (r18 task 1): this run's floor + stamp count — the
+    // cross-run evidence the hysteresis rule reads at the NEXT run's
+    // start. Label is display-only (file order is chronological).
+    val stampsThisRun =
+      finalLedger.count { case (_, e) => e.stamp == runCounter }
+    val updatedHistory =
+      if (runFloor > 0) {
+        val rec = RunRecord(s"t${System.currentTimeMillis / 1000}",
+          runFloor, stampsThisRun)
+        appendFile(historyPath, renderHistoryLine(rec))
+        history :+ rec
+      } else history
+    // rolling calm-floor candidate including THIS run — what a
+    // re-baseline would adopt; rides the parsed line so the floor-vs-
+    // self-heat question is answerable from the artifact alone
+    val floorCand = floorCandidate(updatedHistory)
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -980,21 +1204,45 @@ object Bench {
         .mkString("[", ",", "]")
       val phaseProbesJson =
         s"""{"warmup":[${jnum(warmupProbe._1)},${jnum(warmupProbe._2)}],"queries":[${jnum(queriesProbe._1)},${jnum(queriesProbe._2)}]}"""
-      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRunsJson,"stress_norm":$norm,"probe_bracket":$bracketJson,"contended":$contendedJson,"probe_floor_ref":${jnum(probeFloorRef)},"run_contended":$wholeRunContended,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_overshoot_reason":"${jstr(stressOvershoot)}","stress_skipped":$skippedJson,"stress_deferred":$deferredJson,"stress_cursor":"$nextCursor","stress_arms":$armsJson,"stress_ledger":$ledgerJson,"warmup_breakdown":$warmJson,"phase_probes":$phaseProbesJson,"warmup_hot":$warmupHot,"phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"${jstr(sfDir)}"}"""
+      // r18 verdict task 4: every published stress datapoint carries its
+      // CALM BAND next to it, so heat inflation (r18's ngram_lm 65.7 s
+      // vs band 11.8-22) is classifiable from this artifact alone
+      val calmBandJson = stressSamples.keys
+        .filter(_ != "probe")
+        .flatMap(k => StressOps.calmBands.get(k).map(b =>
+          "\"" + k + "\":[" + jnum(b._1) + "," + jnum(b._2) + "]"))
+        .mkString("{", ",", "}")
+      // r18 task 2 audit: heavy ops a hot ungated attempt skipped
+      val hotSkipJson = famHotSkipped.map { case (f, ops) =>
+        "\"" + f + "\":" + ops.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      // workload constants — off the parsed line since r19 (fixed every
+      // round; the line budget went to the floor-question fields)
+      val constsJson = stress.toSeq.filter(_._1.endsWith("_copies"))
+        .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+        .mkString("{", ",", "}")
+      s"""{"rounds":$rounds,"median":$meds,"spread":$spread,"min":$mins,"runs":$runs,"stress_runs":$stressRunsJson,"stress_norm":$norm,"stress_consts":$constsJson,"calm_band":$calmBandJson,"stress_hot_skipped":$hotSkipJson,"probe_bracket":$bracketJson,"contended":$contendedJson,"probe_floor_ref":${jnum(probeFloorRef)},"probe0":${jnum(probe0)},"settle_probe":${jnum(settleProbe)},"floor_candidate":${jnum(floorCand)},"floor_refresh":"${jstr(floorRefresh)}","run_contended":$wholeRunContended,"isolated_families":${isolatedFams.size},"stress_budget_secs":${jnum(stressBudget)},"stress_overshoot_reason":"${jstr(stressOvershoot)}","stress_skipped":$skippedJson,"stress_deferred":$deferredJson,"stress_cursor":"$nextCursor","stress_arms":$armsJson,"stress_ledger":$ledgerJson,"warmup_breakdown":$warmJson,"phase_probes":$phaseProbesJson,"warmup_hot":$warmupHot,"phases":{"warmup":${jnum(warmupSec)},"stress":${jnum(stressSec)},"shared":${jnum(sharedSec)},"queries":${jnum(queriesSec)}},"sf":"${jstr(sfDir)}"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
 
     val total = med.collect { case (_, v) if v >= 0 => v }.sum + sharedSec
+    // workload constants (doc_copies etc.) stay OFF the line since r19:
+    // they are fixed round over round and live in bench_detail's
+    // stress_consts — ~110 chars of the budget that keeps a fully-calm
+    // all-families line under the capture window
     println(renderParsedLine(total, med, errored, rounds, sharedSec,
-      stress.toSeq, famBracket.toSeq, contendedFams.toSeq, sfDir,
+      stress.toSeq.filterNot(_._1.endsWith("_copies")),
+      famBracket.toSeq, contendedFams.toSeq, sfDir,
       phases = Seq("warmup" -> warmupSec, "stress" -> stressSec,
         "shared" -> sharedSec, "queries" -> queriesSec),
       isolatedFamilies = isolatedFams.size, stressCursor = nextCursor,
       probeFloorRef = probeFloorRef, runIsContended = wholeRunContended,
       warmupProbe = warmupProbe, queriesProbe = queriesProbe,
-      warmupHot = warmupHot, stressOvershoot = stressOvershoot))
+      warmupHot = warmupHot, stressOvershoot = stressOvershoot,
+      probe0 = probe0, settleProbe = settleProbe,
+      floorCand = floorCand, floorRefresh = floorRefresh))
     spark.stop()
   }
 }

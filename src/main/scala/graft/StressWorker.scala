@@ -56,6 +56,19 @@ object StressWorker {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // PROBE-ONLY MODE (r18 verdict task 1): family "_probe" measures the
+    // machine from a fresh JVM and exits — no family ops. The parent
+    // forks one BEFORE any of its own Spark work (probe0: is the box hot
+    // before WE touch it?) and one after the mid-run settle wait
+    // (settle_probe: did idling actually calm it?). The sample is
+    // population-compatible with the worker probes the floor reference
+    // and the stamping gates judge against (fresh JVM, warmed probe).
+    if (family == "_probe") {
+      val p = StressOps.probeWarmed(spark)
+      println(s"""GRAFT_STRESS {"op":"probe","samples":[${Bench.jnum(p)}]}""")
+      spark.stop()
+      return
+    }
     val res =
       if (floorRef > 0)
         StressOps.runFamilyIfCalm(spark, family, sfDir, stressCopies,
@@ -63,6 +76,8 @@ object StressWorker {
       else StressOps.runFamily(spark, family, sfDir, stressCopies,
         semCopies, runs, ops, stampRef = stampRef)
     if (res.deferred) println("""GRAFT_STRESS {"deferred":true}""")
+    if (res.hotSkipped.nonEmpty) println(s"""GRAFT_STRESS {"hot_skipped":[${
+      res.hotSkipped.map("\"" + _ + "\"").mkString(",")}]}""")
     res.consts.foreach { case (k, v) =>
       println(s"""GRAFT_STRESS {"op":"$k","const":${Bench.jnum(v)}}""")
     }

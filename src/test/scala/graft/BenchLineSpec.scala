@@ -27,19 +27,25 @@ class BenchLineSpec extends AnyFunSuite {
       .zipWithIndex.map { case (f, i) => f -> (0.9 + i * 0.01, 1.1 + i * 0.5) }
 
   test("parsed line stays under the driver capture window at 150 queries") {
-    // a real run's stress block is ~22 arm-selected op keys + ~6 consts
-    // + probe (~29; the r16 real line measured 987 chars) — pin with
-    // headroom at 36. The r17 per-phase probe fields (~110 chars, ride
-    // every candidate) consumed the headroom the old 40-key pin had.
+    // a fully-calm run's stress block is ~22 arm-selected op keys +
+    // probe (consts moved to bench_detail in r19) — pin with headroom at
+    // 26, asserting BOTH the headline medians and the stress block
+    // survive. History of this budget: the r17 per-phase probe fields
+    // consumed the old 40-key pin's headroom; the r19 floor-question
+    // fields (probe0/settle_probe/floor_candidate/floor_refresh, ~115
+    // chars, ride every candidate) forced the consts off the line,
+    // brackets to 2 decimals, and stress to shed BEFORE the headline.
     val line = Bench.renderParsedLine(
       total = 123.456,
       queryMedians = Bench.headline.map(_ -> 1.234) ++ fakeQueries(150),
       errored = Seq.empty, rounds = 3, sharedSec = 3.2,
-      stress = fakeStress(36), probeBracket = fakeBrackets(9),
+      stress = fakeStress(26), probeBracket = fakeBrackets(9),
       contended = Seq("events", "graph"),
       sfDir = "/root/testdata/sf0.1",
       warmupProbe = (2.668, 3.184), queriesProbe = (0.684, 0.701),
-      warmupHot = true)
+      warmupHot = true,
+      probe0 = 0.712, settleProbe = 0.934, floorCand = 0.841,
+      floorRefresh = "0.684->0.841:3-runs-over-bound")
     assert(line.length <= Bench.MaxLineChars, s"line was ${line.length} chars")
     val node = mapper.readTree(line)
     assert(node.get("value").asDouble() >= 123.455 && node.get("value").asDouble() <= 123.457)
@@ -48,11 +54,30 @@ class BenchLineSpec extends AnyFunSuite {
     Bench.headline.foreach { q =>
       assert(node.get("queries").has(q), s"headline $q missing")
     }
+    // ... and the stress block itself fits alongside them (the full
+    // candidate, no shedding, at a realistic all-families op count)
+    assert(node.get("stress").size() === 26, "stress was shed at a " +
+      "realistic op count — the full candidate no longer fits")
     // the r14 verdict's gap: the bracket and the contended verdict must
     // be readable from the parsed line alone, no bench_detail archaeology
     assert(node.get("probe_bracket").get("dedup").get(0).asDouble() > 0.8)
     assert(node.get("probe_bracket").get("dedup").isArray)
     assert(node.get("contended").get(0).asText() === "events")
+    // r19 shed order: at an oversized stress block the headline medians
+    // OUTLIVE the stress payload (bounded, pinned, the cross-round
+    // metric beats the bench_detail-replicated stress keys)
+    val over = Bench.renderParsedLine(
+      total = 123.456,
+      queryMedians = Bench.headline.map(_ -> 1.234),
+      errored = Seq.empty, rounds = 3, sharedSec = 3.2,
+      stress = fakeStress(60), probeBracket = fakeBrackets(9),
+      contended = Seq("events"), sfDir = "/root/testdata/sf0.1")
+    val overNode = mapper.readTree(over)
+    assert(over.length <= Bench.MaxLineChars)
+    assert(overNode.get("stress").size() === 0, "oversized stress must shed")
+    Bench.headline.foreach { q =>
+      assert(overNode.get("queries").has(q), s"headline $q lost to stress")
+    }
   }
 
   test("line never exceeds the bound even with absurd payloads") {
@@ -419,6 +444,137 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.runContended(runFloor = 0.7, floorRef = 0.684))
     // no reference yet (first run) → never flags
     assert(!Bench.runContended(runFloor = 9.9, floorRef = -1.0))
+  }
+
+  test("probe history parse/render round-trips; comments and garbage " +
+      "degrade, never crash (r18 task 1)") {
+    val recs = Vector(Bench.RunRecord("r17", 0.841, 0),
+      Bench.RunRecord("t1765000000", 0.702, 2))
+    val text = recs.map(Bench.renderHistoryLine).mkString
+    assert(Bench.parseHistory(text) === recs)
+    // comment lines, malformed rows, non-positive floors all drop out
+    val dirty = "# seeded from BENCH_r14-r18\nr14 0.992 0\nbad row\n" +
+      "r15 xx 0\nr16 -1 0\nr17 0.841 -2\nr18 1.037 3\n\n"
+    assert(Bench.parseHistory(dirty) === Vector(
+      Bench.RunRecord("r14", 0.992, 0), Bench.RunRecord("r18", 1.037, 3)))
+    assert(Bench.parseHistory("") === Vector.empty)
+  }
+
+  test("rolling floor candidate: min probe of the last 5 recorded runs") {
+    def rec(f: Double) = Bench.RunRecord("x", f, 0)
+    assert(Bench.floorCandidate(Vector.empty) === -1.0)
+    assert(Bench.FloorWindow === 5)
+    // the committed r14-r18 seed: candidate = r17's 0.841
+    val seed = Vector(0.992, 1.777, 1.016, 0.841, 1.037).map(rec)
+    assert(Bench.floorCandidate(seed) === 0.841)
+    // a 6th run pushes r14 out of the window; the min tracks the tail
+    assert(Bench.floorCandidate(seed :+ rec(0.9)) === 0.841)
+    assert(Bench.floorCandidate(
+      Vector(0.7, 9.9, 9.9, 9.9, 9.9, 9.9).map(rec)) === 9.9)
+  }
+
+  test("hysteresis re-baseline: fires only on 3 consecutive over-bound " +
+      "runs — the seeded r16-r18 shape must NOT fire (r17 under bound)") {
+    def rec(f: Double) = Bench.RunRecord("x", f, 0)
+    assert(Bench.RebaselineStreak === 3)
+    // the honest r19 answer to the verdict's floor question: r17's
+    // driver floor 0.841 was UNDER the 0.855 bound — a stampable window
+    // existed within the last three rounds, so the 0.684 floor is not
+    // yet provably stale and the rule must hold its fire
+    val seeded = Vector(0.992, 1.777, 1.016, 0.841, 1.037).map(rec)
+    assert(!Bench.needsRebaseline(seeded, floorRef = 0.684))
+    // but if r19 and r20 also stay hot, the streak (r18, r19, r20) is
+    // finally 3 consecutive over-bound runs → re-baseline
+    assert(Bench.needsRebaseline(
+      seeded ++ Vector(rec(0.93), rec(1.1)), floorRef = 0.684))
+    // boundary: exactly at the bound is NOT over it
+    assert(!Bench.needsRebaseline(
+      Vector(rec(1.0), rec(0.684 * 1.25), rec(1.0)), floorRef = 0.684))
+    // fewer than 3 records or no reference → never
+    assert(!Bench.needsRebaseline(Vector(rec(9.0), rec(9.0)), 0.684))
+    assert(!Bench.needsRebaseline(seeded, floorRef = -1.0))
+  }
+
+  test("heat-memory reuse is capped: every 4th family must take its own " +
+      "probe (r18 task 3)") {
+    assert(Bench.MaxHotReuse === 3)
+    // fresh evidence, under the cap → free deferral
+    assert(Bench.reuseHeatMemory(sinceHot = 10.0, reuseCount = 0))
+    assert(Bench.reuseHeatMemory(sinceHot = 59.9, reuseCount = 2))
+    // the r18 failure shape: ONE stale bracket excused eight families —
+    // the 4th consecutive family must fork its own probe
+    assert(!Bench.reuseHeatMemory(sinceHot = 10.0, reuseCount = 3))
+    // old evidence never reuses, whatever the count
+    assert(!Bench.reuseHeatMemory(sinceHot = 60.0, reuseCount = 0))
+  }
+
+  test("hot-skip set: derived from calm bands, catches the r18 burn " +
+      "cases, spares the cheap arms (r18 task 2)") {
+    assert(StressOps.HotSkipCalmSecs === 5.0)
+    // the two ops r18 burned ~100 s on (32.9 s / 65.7 s, both refused
+    // windows) must be in the skip set
+    assert(StressOps.hotSkipOps.contains("sessionize"))
+    assert(StressOps.hotSkipOps.contains("ngram_lm_score"))
+    assert(StressOps.hotSkipOps.contains("semdedup"))
+    assert(StressOps.hotSkipOps.contains("pagerank"))
+    // cheap arms still run on a hot window (bracket + key continuity)
+    assert(!StressOps.hotSkipOps.contains("asof"))
+    assert(!StressOps.hotSkipOps.contains("bpe_encode"))
+    assert(!StressOps.hotSkipOps.contains("decode_pixels"))
+    assert(!StressOps.hotSkipOps.contains("retention"))
+    // derivation, not a second hand-kept list
+    assert(StressOps.hotSkipOps === StressOps.calmBands.collect {
+      case (k, (lo, _)) if lo >= StressOps.HotSkipCalmSecs => k
+    }.toSet)
+  }
+
+  test("every stress op in the cross-round contract has a calm band " +
+      "(r18 task 4)") {
+    val contract = StressOps.families.flatMap(_._2)
+    contract.foreach { op =>
+      val band = StressOps.calmBands.get(op)
+      assert(band.isDefined, s"op $op has no calm band")
+      val (lo, hi) = band.get
+      assert(lo > 0 && hi > lo, s"op $op band ($lo, $hi) is malformed")
+    }
+    // no stray bands for ops that do not exist
+    assert(StressOps.calmBands.keySet === contract.toSet)
+    // spot-check the r16-18 verdicts' quoted bands stayed inside ours
+    assert(StressOps.calmBands("sessionize") === (5.6, 8.8))
+    val pr = StressOps.calmBands("pagerank")
+    assert(pr._1 <= 14.7 && pr._2 >= 16.8)
+    val lm = StressOps.calmBands("ngram_lm_score")
+    assert(lm._2 < 30.0, "a band wide enough to absorb the r18 65.7 s " +
+      "heat artifact would defeat classification")
+  }
+
+  test("probe0, settle_probe, floor_candidate and floor_refresh ride " +
+      "every shed candidate (r18 task 1)") {
+    val line = Bench.renderParsedLine(
+      total = 50.0,
+      queryMedians = fakeQueries(500), errored = Seq.empty, rounds = 3,
+      sharedSec = 2.0, stress = fakeStress(200),
+      probeBracket = fakeBrackets(9), contended = Seq.empty,
+      sfDir = "/root/testdata/sf0.1",
+      probeFloorRef = 0.684,
+      probe0 = 0.712, settleProbe = 0.9,
+      floorCand = 0.841, floorRefresh = "0.684->0.841:3-runs-over-bound")
+    val node = mapper.readTree(line)
+    assert(node.get("probe0").asDouble() === 0.712)
+    assert(node.get("settle_probe").asDouble() === 0.9)
+    assert(node.get("floor_candidate").asDouble() === 0.841)
+    assert(node.get("floor_refresh").asText() ===
+      "0.684->0.841:3-runs-over-bound")
+    assert(line.length <= Bench.MaxLineChars ||
+      node.get("stress").size() === 0)
+    // absent values render as -1 / "" (never missing keys)
+    val bare = Bench.renderParsedLine(1.0, Seq.empty, Seq.empty, 3, 0.0,
+      Seq.empty, Seq.empty, Seq.empty, "/sf")
+    val bn = mapper.readTree(bare)
+    assert(bn.get("probe0").asDouble() === -1.0)
+    assert(bn.get("settle_probe").asDouble() === -1.0)
+    assert(bn.get("floor_candidate").asDouble() === -1.0)
+    assert(bn.get("floor_refresh").asText() === "")
   }
 
   test("errored queries are reported, never silently timed") {

@@ -40,4 +40,31 @@ class StressGateSpec extends SparkSpec {
       ops = Seq("no_such_op"), floorRef = -1.0)
     assert(!seed.deferred)
   }
+
+  test("hot ungated attempt skips heavy arms, keeps cheap arms and the " +
+      "bracket (r18 task 2)") {
+    // stampRef 1e-6: any real probe reads over the bound → hot window.
+    // The UNGATED path (runFamily directly — the end-of-phase re-attempt
+    // r18 burned 32.9 s of sessionize on) must skip the heavy op, run
+    // the cheap one, and record the skip for the audit trail.
+    val res = StressOps.runFamily(spark, "events", sfDir,
+      stressCopies = 1, semCopies = 1, runs = 1,
+      ops = Seq("asof", "sessionize"), stampRef = 1e-6)
+    assert(res.samples.contains("asof"), "cheap arm must still run")
+    assert(!res.samples.contains("sessionize"), "heavy arm must be skipped")
+    assert(res.hotSkipped.toSeq === Seq("sessionize"))
+    assert(res.samples("probe").size >= 2, "bracket still publishes")
+    // calm window (huge reference): nothing is skipped
+    val calm = StressOps.runFamily(spark, "events", sfDir,
+      stressCopies = 1, semCopies = 1, runs = 1,
+      ops = Seq("asof", "sessionize"), stampRef = 1e9)
+    assert(calm.samples.contains("sessionize"))
+    assert(calm.hotSkipped.isEmpty)
+    // no reference at all (seed run) → ungated AND unskipped
+    val seed = StressOps.runFamily(spark, "events", sfDir,
+      stressCopies = 1, semCopies = 1, runs = 1,
+      ops = Seq("sessionize"), stampRef = -1.0)
+    assert(seed.samples.contains("sessionize"))
+    assert(seed.hotSkipped.isEmpty)
+  }
 }
