@@ -32,6 +32,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, fn) =>
+      // stderr timestamp marker: lets scheduler warnings (e.g.
+      // "Broadcasting large task binary") be attributed to the gate
+      // that triggered them without a bisecting re-run
+      System.err.println(s"[verify] $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

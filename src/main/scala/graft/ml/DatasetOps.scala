@@ -3,7 +3,6 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Dataset-assembly operators for training-data pipelines: deterministic
@@ -427,17 +426,15 @@ object DatasetOps {
     *
     * Build: one pass over the benchmark set (`stat.bloomFilter` tree-
     * aggregates partial sketches; the driver holds only the final
-    * `numBits/8`-byte sketch). Probe, two runtime shapes by sketch size:
-    *   - below `literalMaxItems`: the sketch embeds in the plan as a
-    *     literal and every corpus doc evaluates a codegen'd
-    *     `BloomFilterMightContain` over its gram hashes — no join, no
-    *     shuffle; the corpus streams through a filter.
-    *   - at/above it (a 10^8-gram sketch is ~120 MB — too big to ship
-    *     inside every serialized task's plan): the sketch rides a Spark
-    *     broadcast variable (one torrent copy per executor) and the probe
-    *     is a short-circuiting predicate over it. Non-codegen, but the
-    *     per-row work is identical hash probes; the literal form's plan
-    *     serialization cost dominates far before codegen matters.
+    * `numBits/8`-byte sketch). Probe: the sketch rides a Spark BROADCAST
+    * (one torrent copy per executor) probed by the native
+    * [[graft.functions.BloomMightContainBcast]] expression over each
+    * doc's gram hashes — no join, no shuffle; the corpus streams through
+    * a filter. One shape at every size since r19: the pre-r19
+    * plan-literal form re-shipped the sketch inside every stage's task
+    * binary (a 10^8-gram sketch is ~120 MB — structurally impossible as
+    * a literal), and its >threshold UDF fallback broke codegen exactly
+    * where scale needed it.
     *
     * Broadcast lifetime: the sketch broadcast is held by the returned
     * plan's probe closure. Executors keep their ~120 MB copy until the
@@ -449,8 +446,7 @@ object DatasetOps {
     * the frames themselves are retained. */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 5,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01,
-      literalMaxItems: Long = 10000000L): DataFrame = {
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
     // same shingle semantics as Dedup.decontaminate so the two variants
     // agree except for the documented false-positive direction
     val bf = benchmark
@@ -458,23 +454,9 @@ object DatasetOps {
         graft.functions.ShingleFns.hashedShingles(col(textCol), n)).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
     val hs = graft.functions.ShingleFns.hashedShingles(col(textCol), n)
-    val tainted =
-      if (expectedItems < literalMaxItems) {
-        val bytes = {
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          bos.toByteArray
-        }
-        exists(hs, h =>
-          Bridge.column(BloomFilterMightContain(
-            Bridge.expression(lit(bytes)), Bridge.expression(h))))
-      } else {
-        val bc = corpus.sparkSession.sparkContext.broadcast(bf)
-        val probe = udf { arr: Seq[Long] =>
-          arr != null && arr.exists(bc.value.mightContainLong)
-        }
-        probe(hs)
-      }
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val tainted = exists(hs, h => Bridge.column(
+      graft.functions.BloomMightContainBcast(bc, Bridge.expression(h))))
     corpus.filter(!coalesce(tainted, lit(false)))
   }
   /** Distributed column profiling — the corpus-QA pass a data intake

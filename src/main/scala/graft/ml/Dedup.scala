@@ -1286,26 +1286,23 @@ object Dedup {
     }
 
   /** Codegen'd might-contain probe of a long column against a driver-held
-    * Bloom filter: plan-literal bytes while the filter is small enough to
-    * inline, broadcast + udf beyond (a multi-hundred-MB literal would
-    * bloat every task binary) — the bloomDecontaminate trade. */
+    * Bloom filter. The pre-r19 form (plan-literal bytes while the filter
+    * was small enough to inline, broadcast + udf beyond) re-shipped the
+    * filter inside EVERY stage's task binary — the store sidecar's 2^20-item sizing floor is
+    * ~1.2 MB serialized and the r18 driver bench logged 2.5 MiB task
+    * binaries on three q_dedup_store_exact stages. Since r19 the filter
+    * rides a Spark BROADCAST probed by a native codegen expression
+    * ([[graft.functions.BloomMightContainBcast]]): the task binary
+    * carries only the handle, executors fetch the filter once each, and
+    * the probe stays inside whole-stage codegen at ANY filter size (the
+    * 115 MB maxItems-cap filter included — the old >8 MB UDF fallback
+    * broke codegen exactly where scale needed it). */
   private def bloomMightContainLong(spark: org.apache.spark.sql.SparkSession,
-      bf: org.apache.spark.util.sketch.BloomFilter, h: Column,
-      literalMaxBytes: Int = 8 << 20): Column = {
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    val bytes = bos.toByteArray
-    if (bytes.length <= literalMaxBytes)
-      org.apache.spark.sql.graftbridge.Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.graftbridge.Bridge.expression(lit(bytes)),
-          org.apache.spark.sql.graftbridge.Bridge.expression(h)))
-    else {
-      val bc = spark.sparkContext.broadcast(bf)
-      val probe = udf { x: java.lang.Long =>
-        x != null && bc.value.mightContainLong(x) }
-      probe(h)
-    }
+      bf: org.apache.spark.util.sketch.BloomFilter, h: Column): Column = {
+    val bc = spark.sparkContext.broadcast(bf)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BloomMightContainBcast(bc,
+        org.apache.spark.sql.graftbridge.Bridge.expression(h)))
   }
 
   /** [[dropSeen]] against a STORE PATH, using the Bloom sidecar to keep

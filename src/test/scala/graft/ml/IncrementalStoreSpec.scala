@@ -215,13 +215,15 @@ class IncrementalStoreSpec extends SparkSpec {
       Seq((7L, "later doc")).toDF("id", "text"), "text", store) == 1)
   }
 
-  test("union-shaped increments keep ONE bloom literal and a bounded plan") {
+  test("union-shaped increments keep a bounded plan (probe evaluated once)") {
     // the failure mode this pins against: Catalyst pushes the probe's
-    // plan-literal filter below the distinct and into every union branch,
-    // and the LeftAnti below the union re-derives the matched pipeline
-    // per branch — measured as a 2 GB plan string, 21 literal copies in
-    // one 26.8 MiB task binary, and driver OOM. The cache boundaries in
-    // dropSeenStore must keep both at one copy.
+    // filter below the distinct and into every union branch, and the
+    // LeftAnti below the union re-derives the matched pipeline per
+    // branch — measured (in the pre-r19 plan-literal era) as a 2 GB plan
+    // string, 21 literal copies in one 26.8 MiB task binary, and driver
+    // OOM. The probe itself rides a broadcast handle since r19 (no
+    // filter bytes in any plan), but the cache boundaries in
+    // dropSeenStore must still keep the derivation at one copy.
     val store = tmp("inc-union") + "/fps"
     assert(Dedup.appendToSeenStore(day1, "text", store) == 3)
     val inc = (0 until 21).map(i => Seq(
