@@ -653,7 +653,10 @@ object Bench {
     // post-settle fresh-JVM probe (r18 verdict task 1): did the idle
     // wait actually calm the box? -1 when no settle happened.
     var settleProbe = -1.0
-    // per-family heavy ops skipped on a hot ungated window (r18 task 2)
+    // per-family heavy ops skipped on a hot ungated window (r18 task 2).
+    // UNION across attempts: an op can be published by a calm attempt
+    // (min-merged) and skipped by a hot retry — the audit must show both
+    // facts, not whichever attempt came last.
     val famHotSkipped =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     var stressReAttempted = false
@@ -872,7 +875,8 @@ object Bench {
                   famBracket(family) = fold(res, iso)
                   bracketIsolated(family) = iso
                   if (res.hotSkipped.nonEmpty)
-                    famHotSkipped(family) = res.hotSkipped.toVector
+                    famHotSkipped(family) = (famHotSkipped.getOrElse(family,
+                      Seq.empty) ++ res.hotSkipped).distinct
                   // an ISOLATED attempt started on a clean gate probe —
                   // fresher evidence than any remembered heat. The
                   // in-process fallback runs UNGATED (no probe passed),
@@ -932,7 +936,8 @@ object Bench {
               famBracket(family) = fold(res, iso)
               bracketIsolated(family) = iso
               if (res.hotSkipped.nonEmpty)
-                famHotSkipped(family) = res.hotSkipped.toVector
+                famHotSkipped(family) = (famHotSkipped.getOrElse(family,
+                      Seq.empty) ++ res.hotSkipped).distinct
               true
             case None => false
           }
@@ -973,7 +978,8 @@ object Bench {
                 val b2 = fold(res, iso)
                 val b1 = famBracket(family)
                 if (res.hotSkipped.nonEmpty)
-                  famHotSkipped(family) = res.hotSkipped.toVector
+                  famHotSkipped(family) = (famHotSkipped.getOrElse(family,
+                      Seq.empty) ++ res.hotSkipped).distinct
                 if (math.max(b2._1, b2._2) < math.max(b1._1, b1._2)) {
                   famBracket(family) = b2
                   bracketIsolated(family) = iso
