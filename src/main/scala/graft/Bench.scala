@@ -92,6 +92,18 @@ object Bench {
     floorRef <= 0 ||
       math.max(bracket._1, bracket._2) <= StampRefMult * floorRef
 
+  /** Certification precondition (r19 review finding 1): every op the
+    * family SELECTED this run must have published a sample vector — a
+    * hot-skipped heavy op publishes nothing, and a stamp would advance
+    * the arm cursor past ops that never ran (the tie-breaker can turn a
+    * hot-skipping attempt's bracket calm, so bracket cleanliness alone
+    * does not imply the ops were measured). An op that ran and ERRORED
+    * publishes -1 and still counts as attempted — the separate
+    * usable-min condition governs that, unchanged. */
+  private[graft] def armFullyAttempted(ops: Seq[String],
+      published: collection.Set[String]): Boolean =
+    ops.nonEmpty && ops.forall(published.contains)
+
   /** TIE-BREAKER RULE (r17 verdict task 1): a 2-sample bracket gives one
     * GC or co-tenant blip veto power over certification — r17's events
     * family missed its FIFTH-round stamp by exactly one probe (bracket
@@ -326,12 +338,17 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Fork a probe-only [[StressWorker]] (family "_probe") and return its
-    * fresh-JVM machine probe, or -1 on any infrastructure failure. Used
-    * for probe0 (BEFORE the parent does any Spark work — is the box hot
-    * before we touch it?) and the post-settle probe (did idling calm
-    * it?). Needs no parent SparkSession: only java.home + classpath. */
-  private def forkProbeWorker(timeoutMins: Long): Double =
+  /** Fork one [[StressWorker]] with `cliArgs` and collect its
+    * `GRAFT_STRESS `-prefixed stdout lines (prefix stripped), bounded
+    * by `timeoutMins`. None on ANY infrastructure failure (spawn,
+    * timeout, non-zero exit). The worker's stderr (Spark logs) is
+    * inherited; stdout is consumed here so the parent's parsed JSON
+    * line stays clean. The single spawn/reader/watchdog path shared by
+    * family workers and probe-only forks (r19 review finding 4 — two
+    * diverging copies of this machinery is how protocols rot). Needs no
+    * parent SparkSession: only java.home + classpath. */
+  private def forkWorkerLines(cliArgs: Seq[String],
+      timeoutMins: Long): Option[Vector[String]] =
     try {
       val javaBin = new java.io.File(new java.io.File(
         sys.props("java.home"), "bin"), "java").getAbsolutePath
@@ -340,20 +357,18 @@ object Bench {
         "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
         "-cp", sys.props("java.class.path"),
-        "graft.StressWorker", "_probe")
+        "graft.StressWorker") ++ cliArgs
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      @volatile var sample = -1.0
-      val Probe = """GRAFT_STRESS \{"op":"probe","samples":\[([0-9.]+)\]\}""".r
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
       val reader = new Thread(() => {
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
         var l = in.readLine()
         while (l != null) {
-          l match {
-            case Probe(v) => sample = v.toDouble
-            case _ => ()
+          if (l.startsWith("GRAFT_STRESS ")) lines.synchronized {
+            lines += l.stripPrefix("GRAFT_STRESS ")
           }
           l = in.readLine()
         }
@@ -364,8 +379,21 @@ object Bench {
         java.util.concurrent.TimeUnit.MINUTES)
       if (!done) { proc.destroyForcibly(); proc.waitFor() }
       reader.join(10000)
-      if (!done || proc.exitValue() != 0) -1.0 else sample
-    } catch { case _: Throwable => -1.0 }
+      if (!done || proc.exitValue() != 0) None
+      else Some(lines.synchronized(lines.toVector))
+    } catch { case _: Throwable => None }
+
+  /** Fork a probe-only [[StressWorker]] (family "_probe") and return its
+    * fresh-JVM machine probe, or -1 on any infrastructure failure. Used
+    * for probe0 (BEFORE the parent does any Spark work — is the box hot
+    * before we touch it?) and the post-settle probe (did idling calm
+    * it?). */
+  private def forkProbeWorker(timeoutMins: Long): Double = {
+    val Probe = """\{"op":"probe","samples":\[([0-9.]+)\]\}""".r
+    forkWorkerLines(Seq("_probe"), timeoutMins)
+      .flatMap(_.collectFirst { case Probe(v) => v.toDouble })
+      .getOrElse(-1.0)
+  }
 
   /** Render the one driver-parsed JSON line. Pure so a spec can pin the
     * length invariant at any gate count: if the assembled line would
@@ -673,62 +701,32 @@ object Bench {
       def runIsolated(family: String, famRuns: Int, famOpList: Seq[String],
           watchdogMins: Long, gateRef: Double,
           stampRef: Double): Option[StressOps.Results] =
-        try {
-          val javaBin = new java.io.File(new java.io.File(
-            sys.props("java.home"), "bin"), "java").getAbsolutePath
-          val cmd = Seq(javaBin) ++ workerAddOpens ++ Seq(
-            s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-            "-Dspark.ui.enabled=false",
-            "-Dspark.sql.session.timeZone=UTC",
-            "-cp", sys.props("java.class.path"),
-            // Double.toString, NOT jnum: %.3f rounds a small reference
-            // (or any sub-millisecond precision) to 0.000, which the
-            // worker reads as "no reference" and never defers
-            "graft.StressWorker", family, famRuns.toString,
-            famOpList.mkString(","), gateRef.toString, stampRef.toString)
-          val pb = new ProcessBuilder(cmd: _*)
-          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-          val proc = pb.start()
-          val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-          val reader = new Thread(() => {
-            val in = new java.io.BufferedReader(
-              new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
-            var l = in.readLine()
-            while (l != null) {
-              if (l.startsWith("GRAFT_STRESS ")) lines.synchronized {
-                lines += l.stripPrefix("GRAFT_STRESS ")
-              }
-              l = in.readLine()
-            }
-          })
-          reader.setDaemon(true)
-          reader.start()
-          // per-family watchdog: a hung worker must not hang the bench —
-          // capped at the REMAINING budget (plus margin), or one hang
-          // would blow the driver window the budget exists to protect
-          val done = proc.waitFor(watchdogMins,
-            java.util.concurrent.TimeUnit.MINUTES)
-          if (!done) { proc.destroyForcibly(); proc.waitFor() }
-          reader.join(10000)
-          if (!done || proc.exitValue() != 0) None
-          else {
-            val OpConst = """\{"op":"([^"]+)","const":([-0-9.]+)\}""".r
-            val OpSamples = """\{"op":"([^"]+)","samples":\[([-0-9.,]*)\]\}""".r
-            val HotSkip = """\{"hot_skipped":\[([^\]]*)\]\}""".r
-            val res = new StressOps.Results
-            lines.synchronized(lines.toVector).foreach {
-              case OpConst(k, v) => res.consts(k) = v.toDouble
-              case OpSamples(k, xs) => res.samples(k) =
-                xs.split(",").filter(_.nonEmpty).map(_.toDouble).toVector
-              case """{"deferred":true}""" => res.deferred = true
-              case HotSkip(xs) => res.hotSkipped ++= xs.split(",")
-                .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-                .filter(_.nonEmpty)
-              case _ => ()
-            }
-            if (res.samples.isEmpty) None else Some(res)
+        // per-family watchdog (forkWorkerLines' timeout): a hung worker
+        // must not hang the bench — capped at the REMAINING budget (plus
+        // margin), or one hang would blow the driver window the budget
+        // exists to protect. Double.toString, NOT jnum, for the refs:
+        // %.3f rounds a small reference (or any sub-millisecond
+        // precision) to 0.000, which the worker reads as "no reference"
+        // and never defers.
+        forkWorkerLines(Seq(family, famRuns.toString,
+            famOpList.mkString(","), gateRef.toString, stampRef.toString),
+            watchdogMins).flatMap { lines =>
+          val OpConst = """\{"op":"([^"]+)","const":([-0-9.]+)\}""".r
+          val OpSamples = """\{"op":"([^"]+)","samples":\[([-0-9.,]*)\]\}""".r
+          val HotSkip = """\{"hot_skipped":\[([^\]]*)\]\}""".r
+          val res = new StressOps.Results
+          lines.foreach {
+            case OpConst(k, v) => res.consts(k) = v.toDouble
+            case OpSamples(k, xs) => res.samples(k) =
+              xs.split(",").filter(_.nonEmpty).map(_.toDouble).toVector
+            case """{"deferred":true}""" => res.deferred = true
+            case HotSkip(xs) => res.hotSkipped ++= xs.split(",")
+              .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+              .filter(_.nonEmpty)
+            case _ => ()
           }
-        } catch { case _: Throwable => None }
+          if (res.samples.isEmpty) None else Some(res)
+        }
 
       /** Fold one attempt's results into the published maps. Op values
         * MIN-MERGE across attempts (the min is the contention-robust
@@ -766,6 +764,15 @@ object Bench {
         bracket
       }
 
+      /** Union-merge one attempt's hot-skip audit into the per-family
+        * map (r19): an op can be published by a calm attempt and skipped
+        * by a hot retry — the audit shows both facts. */
+      def recordHotSkips(family: String, res: StressOps.Results): Unit =
+        if (res.hotSkipped.nonEmpty)
+          famHotSkipped(family) =
+            (famHotSkipped.getOrElse(family, Seq.empty) ++ res.hotSkipped)
+              .distinct
+
       /** One attempt at a family: isolated worker first, in-process
         * fallback only while budget remains. None = could not run; the
         * Boolean records whether THIS attempt ran isolated — the
@@ -794,15 +801,18 @@ object Bench {
           case None if stressElapsed >= stressBudget => None
           case None =>
             // in-process fallback: same ops, same keys — a spawn
-            // failure costs isolation, never the datapoints. Ungated:
-            // the calm-floor reference describes fresh-JVM probes, and
-            // losing datapoints to a heat gate the fallback path can't
-            // certify through anyway would be pure downside.
+            // failure costs isolation, never the datapoints. Ungated
+            // AND unskipped (stampRef -1, r19 review finding 3): the
+            // calm-floor reference describes fresh-JVM probes (a warmed
+            // parent-JVM probe is population-incompatible with that
+            // bound), an in-process bracket can never stamp anyway, and
+            // losing heavy-arm datapoints to a heat gate this path
+            // can't certify through would be pure downside.
             if (isolate) System.err.println(
               s"[bench] stress family '$family' worker failed; running in-process")
             Some((StressOps.runFamily(spark, family, sfDir, stressCopies,
               semCopies, famRuns, famOpList,
-              stampRef = probeFloorRef), false))
+              stampRef = -1.0), false))
         }
       }
 
@@ -874,9 +884,7 @@ object Bench {
                   famOps(family) = ops
                   famBracket(family) = fold(res, iso)
                   bracketIsolated(family) = iso
-                  if (res.hotSkipped.nonEmpty)
-                    famHotSkipped(family) = (famHotSkipped.getOrElse(family,
-                      Seq.empty) ++ res.hotSkipped).distinct
+                  recordHotSkips(family, res)
                   // an ISOLATED attempt started on a clean gate probe —
                   // fresher evidence than any remembered heat. The
                   // in-process fallback runs UNGATED (no probe passed),
@@ -935,9 +943,7 @@ object Bench {
               famOps(family) = ops
               famBracket(family) = fold(res, iso)
               bracketIsolated(family) = iso
-              if (res.hotSkipped.nonEmpty)
-                famHotSkipped(family) = (famHotSkipped.getOrElse(family,
-                      Seq.empty) ++ res.hotSkipped).distinct
+              recordHotSkips(family, res)
               true
             case None => false
           }
@@ -977,9 +983,7 @@ object Bench {
               case (res, iso) =>
                 val b2 = fold(res, iso)
                 val b1 = famBracket(family)
-                if (res.hotSkipped.nonEmpty)
-                  famHotSkipped(family) = (famHotSkipped.getOrElse(family,
-                      Seq.empty) ++ res.hotSkipped).distinct
+                recordHotSkips(family, res)
                 if (math.max(b2._1, b2._2) < math.max(b1._1, b1._2)) {
                   famBracket(family) = b2
                   bracketIsolated(family) = iso
@@ -1013,6 +1017,12 @@ object Bench {
       val certified = famBracket.keys.filter(f =>
         bracketIsolated.getOrElse(f, false) && !contendedFams.contains(f) &&
           stampEligibleVsRef(famBracket(f), probeFloorRef) &&
+          // r19 review finding 1: every selected op must have been
+          // ATTEMPTED (hot-skipped ops publish no samples; a tie-broken
+          // calm bracket over a skipping attempt must not advance the
+          // arm past unmeasured ops)
+          armFullyAttempted(famOps.getOrElse(f, Seq.empty),
+            stressSamples.keySet) &&
           famOps.getOrElse(f, Seq.empty)
             .exists(k => stress.get(k).exists(_ >= 0)))
       finalLedger = ledger0 ++ certified.map { f =>

@@ -259,7 +259,6 @@ object StressOps {
     val res = new Results
     val preSelected: String => Boolean =
       if (ops.isEmpty) _ => true else ops.toSet
-    val probePre = preProbe.getOrElse(probeWarmed(spark))
     // HOT-WINDOW HEAVY-ARM SKIP (r18 verdict task 2): this attempt's own
     // pre-probe over the stamping bound means the bracket is already
     // refused — running a heavy op buys a datapoint that can only be
@@ -268,7 +267,21 @@ object StressOps {
     // ops and the bracket still publish. Only the UNGATED paths reach
     // here hot (the deferral gate refuses hot windows outright), so
     // this is exactly the end-of-phase re-attempt/retry budget burn.
-    val hotWindow = stampRef > 0 && probePre > Bench.StampRefMult * stampRef
+    // Like the deferral gate, a single noisy sample must not cost a calm
+    // box its heavy arms (r19 review finding 2): a hot raw pre-probe
+    // earns ONE confirmation probe — calm confirmation wins the window
+    // (and becomes the bracket's pre side, the runFamilyIfCalm p2
+    // convention); the overruled raw sample stays in the published
+    // vector (middle position — the parent reads the bracket as
+    // (head, last)) for the floor population and the audit trail.
+    val rawPre = preProbe.getOrElse(probeWarmed(spark))
+    val (probePre, preExtra, hotWindow) =
+      if (stampRef > 0 && rawPre > Bench.StampRefMult * stampRef) {
+        val confirm = probeOnce(spark)
+        if (confirm > Bench.StampRefMult * stampRef)
+          (rawPre, Vector(confirm), true) // 2-of-2 hot
+        else (confirm, Vector(rawPre), false) // blip loses its veto
+      } else (rawPre, Vector.empty[Double], false)
     val selected: String => Boolean = k =>
       preSelected(k) && {
         val skip = hotWindow && hotSkipOps(k)
@@ -631,12 +644,15 @@ object StressOps {
     // bracket tie-breaker (r17 verdict task 1): one straddling sample
     // earns one confirmation probe; 2-of-3 decides. The resolved vector
     // keeps every raw sample (floor population + audit trail); the
-    // parent reads the bracket as (head, last).
+    // parent reads the bracket as (head, last), so the pre-side
+    // confirmation's overruled sample (preExtra) splices into the
+    // MIDDLE — bracket semantics untouched, no sample lost.
     val probePost = probeOnce(spark)
-    res.samples("probe") =
+    val resolved =
       if (Bench.tieBreakNeeded(probePre, probePost, stampRef))
         Bench.resolveTieBreak(probePre, probePost, probeOnce(spark), stampRef)
       else Vector(probePre, probePost)
+    res.samples("probe") = resolved.head +: (preExtra ++ resolved.tail)
     res
   }
 }

@@ -577,6 +577,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(bn.get("floor_refresh").asText() === "")
   }
 
+  test("certification requires every selected op attempted — a hot-skipped " +
+      "arm can never advance its cursor (r19 review finding 1)") {
+    // the tie-breaker can turn a hot-skipping attempt's bracket calm
+    // (hot pre-probe skips heavy ops, calm post + confirmation publish a
+    // clean bracket) — bracket cleanliness alone must not stamp ops
+    // that never ran
+    val ops = Seq("asof", "asof_skew", "sessionize", "sessionize_skew")
+    assert(Bench.armFullyAttempted(ops, ops.toSet))
+    // sessionize hot-skipped → published nothing → no stamp
+    assert(!Bench.armFullyAttempted(ops,
+      Set("asof", "asof_skew", "sessionize_skew")))
+    // an op that ran and ERRORED still publishes (-1 samples) and still
+    // counts as attempted — the usable-min condition governs that case
+    assert(Bench.armFullyAttempted(Seq("a"), Set("a", "b", "probe")))
+    // a family with no selected ops must never certify
+    assert(!Bench.armFullyAttempted(Seq.empty, Set("a")))
+  }
+
   test("errored queries are reported, never silently timed") {
     val line = Bench.renderParsedLine(
       total = 10.0, queryMedians = fakeQueries(5),
