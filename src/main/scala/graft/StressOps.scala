@@ -117,7 +117,7 @@ object StressOps {
     "decode_headers" -> (14.2, 26.5),
     "decode_pixels" -> (1.7, 3.7),
     // events — the r16-18 verdict bands + §8.24g/§8.25f rehearsals
-    "asof" -> (1.2, 2.0),                   // obs 1.41-1.76
+    "asof" -> (1.2, 3.0),                   // obs 1.41-2.84 (§8.26l calm)
     "asof_skew" -> (1.1, 1.9),              // obs 1.26-1.63
     "sessionize" -> (5.6, 8.8),             // the verdict's quoted band
     "sessionize_skew" -> (4.6, 8.8),        // obs 5.1-8.4
@@ -130,8 +130,8 @@ object StressOps {
     // langid — obs 8.2 (§8.22h) - 11.96 (r15, mildly warm)
     "langid" -> (7.0, 13.2),
     // token — head()-def obs bpe 3.4-5.1, ngram 13.9-20.0
-    "bpe_encode" -> (2.9, 5.8),
-    "ngram_lm_score" -> (11.8, 22.0),
+    "bpe_encode" -> (2.9, 6.9),             // obs 3.4-6.26 (§8.26l calm)
+    "ngram_lm_score" -> (11.8, 25.0),       // obs 13.9-22.8 (§8.26l calm)
     // metrics — §8.22h 5.5/7.0/6.4/7.8, r17 driver 10.45/8.49,
     // §8.24e/g 7.2-9.0; skew twins single-obs → widened
     "stats_pct_exact" -> (4.7, 12.0),
