@@ -67,4 +67,28 @@ class StressGateSpec extends SparkSpec {
     assert(seed.samples.contains("sessionize"))
     assert(seed.hotSkipped.isEmpty)
   }
+
+  test("hot-skip confirmation probe rides the published vector in the " +
+      "middle — bracket (head, last) semantics intact (r19 review fix 2)") {
+    // stampRef 1e-6: raw pre-probe AND its confirmation both read hot
+    // (2-of-2) → skip stands, and the vector carries THREE samples:
+    // head = raw pre, middle = the confirmation, last = post. The
+    // parent's bracket (head, last) never reads the extra sample.
+    val hot = StressOps.runFamily(spark, "events", sfDir,
+      stressCopies = 1, semCopies = 1, runs = 0,
+      ops = Seq("sessionize"), stampRef = 1e-6)
+    val v = hot.samples("probe")
+    assert(v.size === 3, s"expected (pre, confirm, post), got $v")
+    assert(v.forall(_ > 0))
+    // calm window (huge reference): no confirmation taken — two samples
+    val calm = StressOps.runFamily(spark, "events", sfDir,
+      stressCopies = 1, semCopies = 1, runs = 0,
+      ops = Seq("no_such_op"), stampRef = 1e9)
+    assert(calm.samples("probe").size === 2)
+    // no reference: the pre-r19 two-sample shape, untouched
+    val seed = StressOps.runFamily(spark, "events", sfDir,
+      stressCopies = 1, semCopies = 1, runs = 0,
+      ops = Seq("no_such_op"), stampRef = -1.0)
+    assert(seed.samples("probe").size === 2)
+  }
 }
