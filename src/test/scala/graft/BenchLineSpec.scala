@@ -458,6 +458,11 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.parseHistory(dirty) === Vector(
       Bench.RunRecord("r14", 0.992, 0), Bench.RunRecord("r18", 1.037, 3)))
     assert(Bench.parseHistory("") === Vector.empty)
+    // NaN parses via toDouble and Infinity compares > 0 — both must read
+    // as damage, or one poisoned record wedges floorCandidate (min with
+    // NaN is NaN) and the hysteresis comparison forever
+    assert(Bench.parseHistory("r1 NaN 0\nr2 Infinity 0\nr3 0.9 1") ===
+      Vector(Bench.RunRecord("r3", 0.9, 1)))
   }
 
   test("rolling floor candidate: min probe of the last 5 recorded runs") {
