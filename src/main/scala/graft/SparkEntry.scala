@@ -96,6 +96,26 @@ object SparkEntry {
   private val pairsMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
+  /** Memo lookup that builds OUTSIDE the map lock: [[prebuildShared]]
+    * overlaps independent fixture builds from a small thread pool (guide
+    * §2.6 — one small job's tail leaves 31 cores idle), and holding the
+    * global lock during a build would serialize them again. Races are
+    * benign-but-wasteful (two identical eager frames, one wins the
+    * putIfAbsent); the only concurrent caller is prebuildShared itself,
+    * which submits each key exactly once. */
+  private def memoFrame(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val m = pairsMemo.synchronized {
+      pairsMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+    }
+    m.synchronized(m.get(key)) match {
+      case Some(df) => df
+      case None =>
+        val built = build
+        m.synchronized(m.getOrElseUpdate(key, built))
+    }
+  }
+
   /** Throwaway seen-store fixtures for the q_dedup_store_* gates,
     * memoized per (session, dir) like [[sharedMinhashPairs]]: the
     * gates' subject is the recurring per-day PROBE cost (store scan +
@@ -111,17 +131,21 @@ object SparkEntry {
   private val storeMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
   private def sharedStorePath(s: SparkSession, key: String)(
-      build: String => Unit): String =
-    storeMemo.synchronized {
-      storeMemo
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(key, {
-          val store = gateTmpDir("store-" + key.replaceAll("[^A-Za-z0-9]", "_")) +
-            "/store"
-          build(store)
-          store
-        })
+      build: String => Unit): String = {
+    val m = storeMemo.synchronized {
+      storeMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
     }
+    // build outside the lock so prebuildShared's pool overlaps fixture
+    // builds (see memoFrame); each key is submitted exactly once there
+    m.synchronized(m.get(key)) match {
+      case Some(p) => p
+      case None =>
+        val store = gateTmpDir("store-" + key.replaceAll("[^A-Za-z0-9]", "_")) +
+          "/store"
+        build(store)
+        m.synchronized(m.getOrElseUpdate(key, store))
+    }
+  }
   private def exactStoreFixture(s: SparkSession, dir: String): String =
     sharedStorePath(s, dir + "#exact") { path =>
       graft.ml.Dedup.appendToSeenStore(
@@ -136,28 +160,20 @@ object SparkEntry {
         "text", path, graft.ml.Dedup.simhash32, totalBits = 32, bands = 4)
     }
   private def sharedMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.synchronized {
-      pairsMemo
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir,
-          graft.ml.Dedup.minhashPairs(Tables.load(s, dir, "documents"),
-            "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 32,
-            threshold = 0.9).localCheckpoint())
-    }
+    memoFrame(s, dir)(
+      graft.ml.Dedup.minhashPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 32,
+        threshold = 0.9).localCheckpoint())
 
   /** The synthesized-PNG fixture for q_multimodal_decode is pure ImageIO
     * *encode* churn — identical bytes every build (dims are a function of
     * doc_id). Memoized like [[sharedMinhashPairs]] so bench rounds time
     * the decode seam under test, not 3× re-encoding the fixture corpus. */
   private def sharedSynthImages(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.synchronized {
-      pairsMemo
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir + "#synth_images",
-          graft.ml.Multimodal.synthesizeImages(
-            Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
-            .localCheckpoint())
-    }
+    memoFrame(s, dir + "#synth_images")(
+      graft.ml.Multimodal.synthesizeImages(
+        Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .localCheckpoint())
 
   /** The mixed-modality fixture (PNG+WAV+MP4+FLAC+Ogg+WebM by doc_id%6)
     * memoized for the same reason: q_multimodal_mixed times the
@@ -165,10 +181,7 @@ object SparkEntry {
     * doc_id%6==4 rows are even ids, so [[graft.ml.Multimodal.synthesizeOggs]]'s
     * parity split makes them all Vorbis — the oracle leans on that. */
   private def sharedSynthMixed(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.synchronized {
-      pairsMemo
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir + "#synth_mixed", {
+    memoFrame(s, dir + "#synth_mixed")({
           val mm = graft.ml.Multimodal
           val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
           def part(m: Int) = docs.filter(pmod(col("doc_id"), lit(6)) === m)
@@ -180,21 +193,16 @@ object SparkEntry {
             .unionByName(mm.synthesizeMkvs(part(5), "doc_id"))
             .localCheckpoint()
         })
-    }
 
   /** The brightness-variant PNG corpus is shared by q_image_phash and
     * q_image_resize and, like [[sharedSynthImages]], is pure ImageIO
     * encode churn — memoized so those gates time pixel decode (and the
     * resample chain), not per-round fixture synthesis. */
   private def sharedSynthVariants(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.synchronized {
-      pairsMemo
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir + "#synth_variants",
-          graft.ml.Multimodal.synthesizeImageVariants(
-            Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
-            .localCheckpoint())
-    }
+    memoFrame(s, dir + "#synth_variants")(
+      graft.ml.Multimodal.synthesizeImageVariants(
+        Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .localCheckpoint())
 
   /** q_script_profile's planted script samples, indexed by doc_id%8 —
     * ONE definition feeds the Spark gate, the generated oracle CASE and
@@ -226,14 +234,10 @@ object SparkEntry {
   /** Smooth-gradient corpus for the lossy-transcode gate — memoized for
     * the same reason as [[sharedSynthVariants]] (encode churn). */
   private[graft] def sharedSynthSmooth(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.synchronized {
-      pairsMemo
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir + "#synth_smooth",
-          graft.ml.Multimodal.synthesizeSmoothImages(
-            Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
-            .localCheckpoint())
-    }
+    memoFrame(s, dir + "#synth_smooth")(
+      graft.ml.Multimodal.synthesizeSmoothImages(
+        Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .localCheckpoint())
 
   /** The smooth corpus PIXEL-DECODED — the reference side of the two
     * transcode gates. q_image_formats compares two transcode arms
@@ -242,13 +246,9 @@ object SparkEntry {
     * shared base decode is memoized like the fixtures (it was 4 of the
     * 7 decode passes across the pair). */
   private[graft] def sharedSmoothDecoded(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.synchronized {
-      pairsMemo
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir + "#smooth_px",
-          graft.ml.Multimodal.decodeImagePixels(sharedSynthSmooth(s, dir))
-            .localCheckpoint())
-    }
+    memoFrame(s, dir + "#smooth_px")(
+      graft.ml.Multimodal.decodeImagePixels(sharedSynthSmooth(s, dir))
+        .localCheckpoint())
 
   /** BMP/GIF re-encodes of the smooth corpus for q_image_formats. The
     * gate's seam is DECODING the re-encoded bytes; the encode is fixture
@@ -257,13 +257,9 @@ object SparkEntry {
     * gate. Memoized like the other encode-churn fixtures. */
   private[graft] def sharedSmoothTranscoded(s: SparkSession, dir: String,
       fmt: String): DataFrame =
-    pairsMemo.synchronized {
-      pairsMemo
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir + "#smooth_" + fmt,
-          graft.ml.Multimodal.transcodeImages(sharedSynthSmooth(s, dir), fmt)
-            .localCheckpoint())
-    }
+    memoFrame(s, dir + "#smooth_" + fmt)(
+      graft.ml.Multimodal.transcodeImages(sharedSynthSmooth(s, dir), fmt)
+        .localCheckpoint())
 
   /** Force-build the memoized shared frames for (session, dir). Bench
     * times this call as its own JSON line so the per-query numbers are
@@ -271,19 +267,38 @@ object SparkEntry {
     * round-over-round comparisons depended on which consumer happened to
     * run first and absorb the build. */
   def prebuildShared(s: SparkSession, dir: String): Unit = {
-    sharedMinhashPairs(s, dir) // eager localCheckpoint: building IS materializing
-    // store-gate fixtures: the backfill lands in `shared`, the gates
-    // time the recurring probe (see sharedStorePath's scaladoc)
-    exactStoreFixture(s, dir)
-    nearStoreFixture(s, dir)
-    sharedSynthImages(s, dir)
-    sharedSynthMixed(s, dir)
-    sharedSynthVariants(s, dir)
-    sharedSynthSmooth(s, dir)
-    sharedSmoothDecoded(s, dir)
-    sharedSmoothTranscoded(s, dir, "bmp")
-    sharedSmoothTranscoded(s, dir, "gif")
-    ()
+    // The ten fixture builds are small independent jobs whose task tails
+    // leave most cores idle — overlap them from a bounded thread pool
+    // (guide §2.6: actions are only sequential because the driver calls
+    // them sequentially; FIFO scheduling back-fills freed executors).
+    // Wave 2 consumes sharedSynthSmooth, so it only starts after wave 1;
+    // within a wave every key is distinct, so the build-outside-lock
+    // memo races never duplicate work. r19: 11.5 s sequential → the wall
+    // of the longest chain.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      def runAll(builds: Seq[() => Any]): Unit = {
+        val futs = builds.map(b =>
+          pool.submit(new java.util.concurrent.Callable[Any] {
+            override def call(): Any = b()
+          }))
+        futs.foreach(_.get()) // propagate the first failure
+      }
+      runAll(Seq(
+        () => sharedMinhashPairs(s, dir), // eager localCheckpoint: building IS materializing
+        // store-gate fixtures: the backfill lands in `shared`, the gates
+        // time the recurring probe (see sharedStorePath's scaladoc)
+        () => exactStoreFixture(s, dir),
+        () => nearStoreFixture(s, dir),
+        () => sharedSynthImages(s, dir),
+        () => sharedSynthMixed(s, dir),
+        () => sharedSynthVariants(s, dir),
+        () => sharedSynthSmooth(s, dir)))
+      runAll(Seq(
+        () => sharedSmoothDecoded(s, dir),
+        () => sharedSmoothTranscoded(s, dir, "bmp"),
+        () => sharedSmoothTranscoded(s, dir, "gif")))
+    } finally pool.shutdown()
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -546,7 +546,12 @@ object StressOps {
               concat(lit("h"), dst2.cast("string")).as("dst")))
         }
         def rank(d: DataFrame): Long =
-          graft.ml.LinkGraph.pageRank(d, "src", "dst")
+          // driverEdgeLimit 0: this arm certifies the DISTRIBUTED
+          // iterative loop (its calm bands are the r13-r18 history of
+          // that path); the r19 bounded driver fast path would flip on
+          // near the copied corpus's ~1M edges and change what the
+          // datapoint measures
+          graft.ml.LinkGraph.pageRank(d, "src", "dst", driverEdgeLimit = 0L)
             .agg(sum("rank_scaled")).head().getLong(0)
         timed("pagerank")(rank(edges(hub = false)))
         timed("pagerank_hub")(rank(edges(hub = true)))

@@ -87,6 +87,35 @@ object ArrayFns {
     x
   }
 
+  /** mix(h, 0) for sibling kernels building compatible probe sets. */
+  private[functions] def mix0(h: Long): Long = mix(h, 0)
+
+  /** All `numHashes` affine-permutation minima of a long-hash array in one
+    * pass — exactly `array((0 until numHashes).map(k => array_min(
+    * transform(hs, h => (h*(1000003+2k) + 12289k+1) % 2^32))))`, the
+    * cross-engine signature family of [[graft.ml.Dedup.minhashBandStats]],
+    * without numHashes interpreted transform passes and allocations. */
+  def affineMinhashSig(hashes: Column, numHashes: Int): Column =
+    col(AffineMinhashSigExpr(expr(hashes), numHashes))
+
+  def affineMinhashSigKernel(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = (h * (1000003L + 2L * k) + 12289L * k + 1L) % 4294967296L
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   def minhashBandsKernel(arr: ArrayData, numHashes: Int, bands: Int): ArrayData = {
     val n = arr.numElements()
     val r = numHashes / bands
@@ -341,4 +370,18 @@ case class DotDExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "dot_d"
+}
+
+case class AffineMinhashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1, "numHashes must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ArrayFns.affineMinhashSigKernel(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayFns.affineMinhashSigKernel($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "affine_minhash_sig"
 }

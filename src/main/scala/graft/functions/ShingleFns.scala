@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -46,6 +46,11 @@ object ShingleFns {
     col(Md5TokenHashesExpr(expr(text), unicode))
   def tokenCounts(text: Column, unicode: Boolean = false): Column =
     col(TokenCountsExpr(expr(text), unicode))
+  def md5ShingleHashes(text: Column, n: Int, unicode: Boolean = false): Column =
+    col(Md5ShingleHashesExpr(expr(text), n, unicode))
+  def minhashCalibPair(textA: Column, textB: Column, n: Int,
+      numHashes: Int, unicode: Boolean = false): Column =
+    col(MinhashCalibPairExpr(expr(textA), expr(textB), n, numHashes, unicode))
 
   // ---- static kernels (called from generated code) ------------------------
 
@@ -179,6 +184,111 @@ object ShingleFns {
     new GenericArrayData(arr)
   }
 
+  /** Distinct md5-low-32 shingle hashes in one pass — exactly
+    * `array_distinct(transform(shingles(text, n), s =>
+    * conv(substring(md5(s), 25, 8), 16, 10).cast("long")))`: the
+    * cross-engine replayable hash family of [[Dedup.minhashBandStats]] /
+    * [[Dedup.minhashCalibration]], without the hex-string round trip
+    * (md5 → 32-char hex → substring → conv re-parse) or the interpreted
+    * per-element transform. gramStrings is already first-occurrence
+    * distinct on STRINGS; the LinkedHashSet here additionally drops
+    * later 32-bit hash collisions, matching the outer array_distinct. */
+  private[functions] def md5ShingleHashArr(text: UTF8String, n: Int,
+      unicode: Boolean): Array[Long] = {
+    val grams = gramStrings(text, n, unicode)
+    val md = Md5.get()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val it = grams.iterator()
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      seen.add(((d(12) & 0xffL) << 24) | ((d(13) & 0xffL) << 16) |
+        ((d(14) & 0xffL) << 8) | (d(15) & 0xffL))
+    }
+    val arr = new Array[Long](seen.size)
+    val it2 = seen.iterator(); var i = 0
+    while (it2.hasNext) { arr(i) = it2.next(); i += 1 }
+    arr
+  }
+
+  def md5ShingleHashesKernel(text: UTF8String, n: Int, unicode: Boolean): ArrayData =
+    new GenericArrayData(md5ShingleHashArr(text, n, unicode))
+
+  /** Fused minhash-calibration pair kernel (the whole per-row body of
+    * [[Dedup.minhashCalibration]] in ONE call): distinct md5-low-32
+    * shingle hashes per side, `matches` = number of agreeing affine
+    * permutation minima p_k(h) = (h·(1000003+2k) + 12289k+1) mod 2^32
+    * over k < numHashes, `jacc_band` = ⌊10·|A∩B| / |A∪B|⌋ with the
+    * division replayed EXACTLY as Spark's
+    * `floor(10 * inter / (sizeA + sizeB - inter))` (long→double divide,
+    * then floor). Sides are non-empty by construction (gramStrings emits
+    * ≥ 1 gram for any non-null text), so the union is never zero; null
+    * inputs null out via BinaryExpression. */
+  def minhashCalibPairKernel(a: UTF8String, b: UTF8String, n: Int,
+      numHashes: Int, unicode: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val ha = md5ShingleHashArr(a, n, unicode)
+    val hb = md5ShingleHashArr(b, n, unicode)
+    // permutation minima, element-outer/k-inner like minhashBandsKernel
+    val sigA = new Array[Long](numHashes)
+    val sigB = new Array[Long](numHashes)
+    java.util.Arrays.fill(sigA, Long.MaxValue)
+    java.util.Arrays.fill(sigB, Long.MaxValue)
+    var i = 0
+    while (i < ha.length) {
+      val h = ha(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = (h * (1000003L + 2L * k) + 12289L * k + 1L) % 4294967296L
+        if (v < sigA(k)) sigA(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < hb.length) {
+      val h = hb(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = (h * (1000003L + 2L * k) + 12289L * k + 1L) % 4294967296L
+        if (v < sigB(k)) sigB(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    var matches = 0L
+    var k = 0
+    while (k < numHashes) { if (sigA(k) == sigB(k)) matches += 1; k += 1 }
+    // |A∩B| over the distinct hash arrays (open-addressing set over the
+    // smaller side, the jaccardLongKernel layout)
+    val (small, big) = if (ha.length <= hb.length) (ha, hb) else (hb, ha)
+    var cap = 8
+    while (cap < small.length * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    i = 0
+    while (i < small.length) {
+      val v = small(i)
+      var idx = (ArrayFns.mix0(v) & 0x7fffffffffffffffL).toInt & mask
+      while (used(idx) && table(idx) != v) idx = (idx + 1) & mask
+      if (!used(idx)) { used(idx) = true; table(idx) = v }
+      i += 1
+    }
+    var inter = 0L
+    i = 0
+    while (i < big.length) {
+      val v = big(i)
+      var idx = (ArrayFns.mix0(v) & 0x7fffffffffffffffL).toInt & mask
+      while (used(idx) && table(idx) != v) idx = (idx + 1) & mask
+      if (used(idx)) inter += 1
+      i += 1
+    }
+    val union = ha.length.toLong + hb.length - inter
+    val band = math.floor((10L * inter).toDouble / union.toDouble).toLong
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](matches, band))
+  }
+
   def hashedShinglesKernel(text: UTF8String, n: Int, unicode: Boolean): ArrayData = {
     val grams = gramStrings(text, n, unicode)
     val arr = new Array[Long](grams.size)
@@ -272,4 +382,36 @@ case class HashedShinglesExpr(child: Expression, n: Int, unicode: Boolean = fals
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "hashed_shingles"
+}
+
+case class Md5ShingleHashesExpr(child: Expression, n: Int,
+    unicode: Boolean = false) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleFns.md5ShingleHashesKernel(input.asInstanceOf[UTF8String], n, unicode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleFns.md5ShingleHashesKernel($c, $n, $unicode)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "md5_shingle_hashes"
+}
+
+case class MinhashCalibPairExpr(left: Expression, right: Expression, n: Int,
+    numHashes: Int, unicode: Boolean = false) extends BinaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  require(numHashes >= 1, "numHashes must be >= 1")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("matches", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("jacc_band", LongType, nullable = false)))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleFns.minhashCalibPairKernel(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n, numHashes, unicode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ShingleFns.minhashCalibPairKernel($a, $b, $n, $numHashes, $unicode)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "minhash_calib_pair"
 }

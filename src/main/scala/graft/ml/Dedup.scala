@@ -176,16 +176,22 @@ object Dedup {
     require(bandConfigs.nonEmpty && bandConfigs.forall(b =>
       b > 0 && numHashes % b == 0),
       s"every band config must divide numHashes=$numHashes, got $bandConfigs")
-    val hs = transform(shingles(col(textCol), shingleSize),
-      s => conv(substring(md5(s), 25, 8), 16, 10).cast("long"))
-    val hashed = df.select(col(s"`$idCol`").as("id"), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
-      .repartition(col("id")) // barrier: hash the shingles ONCE
-    val sig = array((0 until numHashes).map { k =>
-      array_min(transform(col("hs"),
-        h => (h * lit(1000003L + 2L * k) + lit(12289L * k + 1L)) %
-          lit(4294967296L)))
-    }: _*)
+    // r19: shingle-hash + numHashes permutation minima fused into two
+    // codegen kernels (md5ShingleHashes drops later 32-bit hash
+    // collisions like the old array_distinct-free form never did — the
+    // signature is invariant: array_min ignores duplicates; value
+    // equivalence spec'd in ShingleFnsSpec, oracle hash unchanged). The
+    // hashing now runs AFTER the id barrier with full parallelism — the
+    // old form computed it on the scan stage's single task (one-split
+    // testdata parquet); the shuffle moves raw text, equivalent bytes.
+    // The null filter moves to the scan: shingle sets are never empty
+    // for non-null text, so size>0 dropped exactly the null rows.
+    val hashed = df.select(col(s"`$idCol`").as("id"), col(s"`$textCol`").as("__t"))
+      .filter(col("__t").isNotNull)
+      .repartition(col("id")) // barrier: hash the shingles ONCE, all cores
+    val sig = graft.functions.ArrayFns.affineMinhashSig(
+      graft.functions.ShingleFns.md5ShingleHashes(col("__t"), shingleSize),
+      numHashes)
     // all configs' band keys in one struct array → one explode, one scan;
     // the key carries the band index so equal min-tuples in different
     // bands never merge
@@ -237,32 +243,33 @@ object Dedup {
     * and the aggregate is at most ~11·numHashes rows. */
   def minhashCalibration(pairs: DataFrame, textA: String, textB: String,
       shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
-    def hs(c: Column) = array_distinct(transform(shingles(c, shingleSize),
-      s => conv(substring(md5(s), 25, 8), 16, 10).cast("long")))
-    val hashed = pairs
-      .select(hs(col(s"`$textA`")).as("hsA"), hs(col(s"`$textB`")).as("hsB"))
-      .filter(size(col("hsA")) > 0 && size(col("hsB")) > 0)
-      .repartition() // barrier: hash each side's shingles ONCE
-    def sig(h: String) = array((0 until numHashes).map { k =>
-      array_min(transform(col(h),
-        v => (v * lit(1000003L + 2L * k) + lit(12289L * k + 1L)) %
-          lit(4294967296L)))
-    }: _*)
-    hashed
-      .select(col("hsA"), col("hsB"), sig("hsA").as("sigA"), sig("hsB").as("sigB"))
-      .select(
-        aggregate(zip_with(col("sigA"), col("sigB"),
-            (a, b) => when(a === b, 1).otherwise(0)), lit(0), _ + _)
-          .cast("long").as("matches"),
-        size(array_intersect(col("hsA"), col("hsB"))).cast("long").as("inter"),
-        col("hsA"), col("hsB"))
-      .select(col("matches"),
-        // floor of a small-int double division is the exact rational
-        // floor (operands < 2^26) — replayed as DuckDB integer `//`
-        floor(lit(10) * col("inter") /
-            (size(col("hsA")) + size(col("hsB")) - col("inter")))
-          .cast("long").as("jacc_band"))
-      .groupBy("matches", "jacc_band").agg(count(lit(1)).as("n_pairs"))
+    // r19 (guide §1.2 per-task work + §2.3 project early): the whole
+    // per-pair body — distinct md5-low-32 shingle hashes per side,
+    // numHashes affine permutation minima, match count, exact-jaccard
+    // decile band — is ONE codegen'd kernel call
+    // (ShingleFns.minhashCalibPair; value-equivalence spec'd in
+    // ShingleFnsSpec, bit-identity proven by the unchanged oracle hash).
+    // The old composed form paid numHashes interpreted transform passes
+    // per side plus a per-shingle md5 → hex → substring → conv round
+    // trip, and hashed on the SCAN stage — a single task for the
+    // one-split testdata parquet. The round-robin barrier now moves the
+    // RAW PAIR STRINGS (equivalent bytes) and every kernel evaluation
+    // runs with full parallelism. The null filter is pushed to the scan
+    // (kernel nulls out iff an input is null; shingle sets are never
+    // empty for non-null text, so the old size>0 filter dropped exactly
+    // the null rows). Grouping on the kernel's (matches, jacc_band)
+    // struct keeps a SINGLE kernel reference in the plan — no
+    // re-inlining into per-field extractions; fields unpack post-agg on
+    // ~11·numHashes rows.
+    pairs
+      .select(col(s"`$textA`").as("__a"), col(s"`$textB`").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .repartition() // barrier: spread pair rows across all cores
+      .select(graft.functions.ShingleFns.minhashCalibPair(
+        col("__a"), col("__b"), shingleSize, numHashes).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_pairs"))
+      .select(col("c.matches").as("matches"),
+        col("c.jacc_band").as("jacc_band"), col("n_pairs"))
   }
 
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,

@@ -148,7 +148,7 @@ object LinkGraph {
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampingPct: Int = 85,
-      scaleDigits: Int = 12): DataFrame = {
+      scaleDigits: Int = 12, driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     val one = math.pow(10, scaleDigits).toLong
@@ -163,6 +163,18 @@ object LinkGraph {
     // any partition count.
     val e = edges.select(col(s"`$srcCol`").as("src"), col(s"`$dstCol`").as("dst"))
       .distinct().localCheckpoint()
+    // Adaptive strategy switch (r19, the Dedup.clusters precedent): when
+    // the distinct edge list is bounded, the fixed-point loop runs on
+    // the driver over toLocalIterator — 5 iterations of join + groupBy +
+    // localCheckpoint on a tiny graph pay ~10 small jobs of pure
+    // scheduling latency (measured ~1.3 s of q_pagerank's 1.4 s at
+    // sf0.1, a 13-node graph). The arithmetic is the identical scaled-
+    // integer div/% lattice, bit-reproducible on either path (spec'd in
+    // LinkGraphSpec both ways); the ≥limit path is byte-identical to the
+    // pre-r19 distributed loop. The count reads the already-materialized
+    // checkpoint — one metadata-cheap job.
+    if (e.count() <= driverEdgeLimit)
+      return pageRankLocal(e, iterations, one, base, dampingPct)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
@@ -189,5 +201,86 @@ object LinkGraph {
       ranks = if (i < iterations) next.localCheckpoint() else next
     }
     ranks
+  }
+
+  /** Driver fixed-point loop over a bounded distinct edge list (see
+    * [[pageRank]]): the same scaled-integer lattice —
+    * contrib = rank div out_deg per edge, mass summed per dst,
+    * damped = (mass div 100)·d + ((mass % 100)·d) div 100,
+    * next = base + damped — with SQL join semantics for nulls (a null
+    * src contributes nothing, a null dst receives nothing; both still
+    * appear as nodes at rank base + 0). Values are positive longs, so
+    * Scala `/`/`%` equal Spark's integral `div`/`%`. Result is
+    * re-parallelized with the distributed path's (node, rank_scaled)
+    * schema. */
+  private def pageRankLocal(e: DataFrame, iterations: Int, one: Long,
+      base: Long, dampingPct: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = e.sparkSession
+    val idType = e.schema.head.dataType
+    val src = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val dst = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // coalesce(1): one job, not one per shuffle partition (the
+    // clustersLocal lesson); memory bounded by driverEdgeLimit
+    val it = e.coalesce(1).toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      src += row.get(0)
+      dst += row.get(1)
+    }
+    val nodes = new java.util.LinkedHashSet[Any]()
+    var i = 0
+    while (i < src.length) { nodes.add(src(i)); nodes.add(dst(i)); i += 1 }
+    val plus = new java.util.function.BiFunction[java.lang.Long,
+        java.lang.Long, java.lang.Long] {
+      override def apply(a: java.lang.Long, b: java.lang.Long): java.lang.Long =
+        java.lang.Long.valueOf(a.longValue + b.longValue)
+    }
+    val outDeg = new java.util.HashMap[Any, java.lang.Long]()
+    i = 0
+    while (i < src.length) {
+      if (src(i) != null)
+        outDeg.merge(src(i), java.lang.Long.valueOf(1L), plus)
+      i += 1
+    }
+    val ranks = new java.util.HashMap[Any, java.lang.Long]()
+    val nit = nodes.iterator()
+    while (nit.hasNext) ranks.put(nit.next(), java.lang.Long.valueOf(one))
+    var iter = 1
+    while (iter <= iterations) {
+      val mass = new java.util.HashMap[Any, java.lang.Long]()
+      i = 0
+      while (i < src.length) {
+        val s = src(i)
+        if (s != null) {
+          val contrib = ranks.get(s).longValue / outDeg.get(s).longValue
+          if (dst(i) != null)
+            mass.merge(dst(i), java.lang.Long.valueOf(contrib), plus)
+        }
+        i += 1
+      }
+      val nit2 = nodes.iterator()
+      val next = new java.util.HashMap[Any, java.lang.Long]()
+      while (nit2.hasNext) {
+        val n = nit2.next()
+        val mBox = if (n == null) null else mass.get(n)
+        val damped =
+          if (mBox == null) 0L
+          else {
+            val m = mBox.longValue
+            (m / 100) * dampingPct + ((m % 100) * dampingPct) / 100
+          }
+        next.put(n, java.lang.Long.valueOf(base + damped))
+      }
+      ranks.clear(); ranks.putAll(next)
+      iter += 1
+    }
+    val rows = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      nodes.toArray.map(n => Row(n, ranks.get(n).longValue)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 500000)),
+      StructType(Seq(StructField("node", idType),
+        StructField("rank_scaled", LongType, nullable = false))))
   }
 }

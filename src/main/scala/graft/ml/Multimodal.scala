@@ -1030,15 +1030,19 @@ object Multimodal {
         val (w, h) = ((id % 64 + 1).toInt, (id % 48 + 1).toInt)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        // bulk setRGB: one ColorModel call per image, not per pixel —
+        // identical raster (same ARGB->BGR conversion path)
+        val px = new Array[Int](w * h)
         var y = 0
         while (y < h) { // deterministic pixels: content is a pure f(id)
           var x = 0
           while (x < w) {
-            img.setRGB(x, y, ((id * 2654435761L + x * 31 + y) & 0xffffff).toInt)
+            px(y * w + x) = ((id * 2654435761L + x * 31 + y) & 0xffffff).toInt
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w)
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         Row(r.get(0), "image", bos.toByteArray)
@@ -1073,6 +1077,7 @@ object Multimodal {
         val (w, h) = ((seed % 64 + 8).toInt, (seed % 48 + 8).toInt)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val px = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
@@ -1081,11 +1086,12 @@ object Multimodal {
             val rC = (((hv >> 16) & 0xff) % 224).toInt + delta
             val gC = (((hv >> 8) & 0xff) % 224).toInt + delta
             val bC = ((hv & 0xff) % 224).toInt + delta
-            img.setRGB(x, y, rC << 16 | gC << 8 | bC)
+            px(y * w + x) = rC << 16 | gC << 8 | bC
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w)
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         Row(r.get(0), "image", bos.toByteArray)
@@ -1136,16 +1142,16 @@ object Multimodal {
         if (img == null) Row(r.get(0), null)
         else {
           val (w, h) = (img.getWidth, img.getHeight)
+          // ONE bulk getRGB per image instead of w*h per-pixel calls:
+          // same ColorModel conversion, identical ARGB values, ~8x less
+          // call overhead on the small-image corpus
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var pxSum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              pxSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-              x += 1
-            }
-            y += 1
+          var n = 0
+          while (n < px.length) {
+            val p = px(n)
+            pxSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            n += 1
           }
           val g = new Array[Long](64)
           var tot = 0L
@@ -1153,7 +1159,7 @@ object Multimodal {
           while (j < 8) {
             var i = 0
             while (i < 8) {
-              val p = img.getRGB(i * w / 8, j * h / 8)
+              val p = px((j * h / 8) * w + (i * w / 8))
               val v = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
               g(j * 8 + i) = v
               tot += v
@@ -1176,12 +1182,12 @@ object Multimodal {
           while (j < 8) {
             val y = j * h / 8
             var prev = {
-              val p = img.getRGB(0, y)
+              val p = px(y * w)
               ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
             }
             var i = 1
             while (i <= 8) {
-              val p = img.getRGB(i * w / 9, y)
+              val p = px(y * w + i * w / 9)
               val cur = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
               if (cur > prev) dhash |= 1L << (j * 8 + i - 1)
               prev = cur
@@ -1241,6 +1247,7 @@ object Multimodal {
         val base = (id % 97).toInt
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val px = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
@@ -1250,11 +1257,12 @@ object Multimodal {
             val rC = (base / 3 + v).min(255)
             val gC = (base / 2 + v * 3 / 4).min(255)
             val bC = (base + v / 2).min(255)
-            img.setRGB(x, y, rC << 16 | gC << 8 | bC)
+            px(y * w + x) = rC << 16 | gC << 8 | bC
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w)
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         Row(r.get(0), "image", bos.toByteArray)
@@ -1345,6 +1353,10 @@ object Multimodal {
           val (w, h) = (img.getWidth, img.getHeight)
           val out = new java.awt.image.BufferedImage(
             outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          // bulk pixel transfer both ways (see decodeImagePixels): same
+          // conversion path as per-pixel get/setRGB, identical values
+          val in = img.getRGB(0, 0, w, h, null, 0, w)
+          val op = new Array[Int](outW * outH)
           var j = 0
           while (j < outH) {
             val y0 = j * h / outH
@@ -1358,19 +1370,20 @@ object Multimodal {
               while (y < y1) {
                 var x = x0
                 while (x < x1) {
-                  val p = img.getRGB(x, y)
+                  val p = in(y * w + x)
                   rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
                   x += 1
                 }
                 y += 1
               }
               val n = (x1 - x0).toLong * (y1 - y0)
-              out.setRGB(i, j,
-                ((rs / n) << 16 | (gs / n) << 8 | (bs / n)).toInt)
+              op(j * outW + i) =
+                ((rs / n) << 16 | (gs / n) << 8 | (bs / n)).toInt
               i += 1
             }
             j += 1
           }
+          out.setRGB(0, 0, outW, outH, op, 0, outW)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", bos)
           Row(r.get(0), r.get(1), bos.toByteArray)

@@ -54,6 +54,14 @@ object TextAnalysis {
   /** Composite quality score in [0,1]-ish: weights chosen to mirror common
     * curation heuristics (richness up, extreme word length down). */
   def qualityScore(text: Column): Column =
+    // r19: one fused kernel pass (TextStatsFns.qualityScore) — the
+    // composed form re-ran split() in each ratio leg via CollapseProject
+    // and paid interpreted HOF eval in aggregate/filter; doubles are
+    // bit-identical (same ops, same order; spec'd in TextStatsFnsSpec).
+    // The composed twin stays below for the spec to pin against.
+    graft.functions.TextStatsFns.qualityScore(text)
+
+  private[graft] def qualityScoreComposed(text: Column): Column =
     distinctTokenRatio(text) * 0.5 +
       (lit(1.0) - abs(meanWordLen(text) - 5.0) / 10.0) * 0.3 +
       stopwordRatio(text) * 0.2
@@ -182,33 +190,21 @@ object TextAnalysis {
     * arithmetic plus one correctly-rounded double divide — exact in the
     * oracle. Scale shape: explode → two-level agg with map-side combine;
     * shuffle keys are (doc, gram) then doc. */
-  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // materialize the repartitioned corpus once: BOTH gram passes (2- and
-    // 5-grams) consume it, and without the checkpoint each would re-scan
-    // and re-shuffle the full text (the repo's standard multi-consumer
-    // barrier — see Dedup.minhashPairs)
-    val base = df.select(col(idCol).as("doc_id"),
-        length(col(textCol)).as("len"), col(textCol).as("__t"))
-      .repartition(col("doc_id"))
-      .transform(graft.core.CacheRegistry.memo) // corpus-sized memo: lineage survives executor loss, drain()-owned
-    def gramCounts(n: Int) = base
-      .select(col("doc_id"), col("len"),
-        explode(ngramsAll(col("__t"), n)).as("g"))
-      .groupBy("doc_id", "len", "g").agg(count(lit(1)).as("c"))
-    val top2 = gramCounts(2)
-      .groupBy("doc_id", "len").agg(max(col("c") * length(col("g"))).as("m"))
-      .select(col("doc_id"), (col("m").cast("double") / col("len")).as("top2_frac"))
-    val dup5 = gramCounts(5)
-      .groupBy("doc_id", "len")
-      .agg(sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(0L)).as("s"))
-      .select(col("doc_id"), (col("s").cast("double") / col("len")).as("dup5_frac"))
-    df.select(col(idCol).as("doc_id"))
-      .join(top2, Seq("doc_id"), "left")
-      .join(dup5, Seq("doc_id"), "left")
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    // r19 (guide §2.4): both statistics are PER-DOCUMENT functions, so
+    // the old explode → groupBy(doc, gram) → groupBy(doc) → join-back
+    // plan (4 exchanges, shuffle rows = grams per corpus) shuffled data
+    // that never needed to leave its row. One fused kernel pass
+    // (TextStatsFns.repetitionStats), zero exchanges; identical values —
+    // same gram multiset (ngramsAll semantics), same count·gramChars
+    // masses, same double divisions; the left-join-miss → 0.0 contract
+    // becomes coalesce over the kernel's null-for-null-text struct.
+    // Spec'd against the old plan in TextStatsFnsSpec.
+    df.select(col(s"`$idCol`").as("doc_id"),
+        graft.functions.TextStatsFns.repetitionStats(col(s"`$textCol`")).as("__r"))
       .select(col("doc_id"),
-        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
-        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
-  }
+        coalesce(col("__r.top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("__r.dup5_frac"), lit(0.0)).as("dup5_frac"))
 
   /** PII scrubbing for training corpora: emails, IPv4s, and phone-shaped
     * digit runs become typed placeholder tokens. Conservative regexes kept
@@ -639,8 +635,15 @@ object TextAnalysis {
     */
   def qualityBand(df: DataFrame, textCol: String, idCol: String, p: Double,
       exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    // r19: memoize the scored frame — the threshold aggregate and the
+    // probe side are two consumers of the same (id, score) projection,
+    // and without the persist each re-ran the scoring pass over the
+    // corpus (no exchange between them, so ReuseExchange never applies).
+    // The memo holds id+double per row; registry-drained like every
+    // corpus-sized memo (Dedup.minhashPairs precedent).
     val scored = df.select(col(idCol),
       qualityScore(col(textCol)).as("score"))
+      .transform(graft.core.CacheRegistry.memo)
     val thrExpr =
       if (exact) expr(s"percentile(score, $p)")
       else expr(s"approx_percentile(score, $p, $accuracy)")

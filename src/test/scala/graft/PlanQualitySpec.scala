@@ -473,7 +473,25 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("pagerank: iterations cut lineage; rank mass aggregates map-side") {
-    val plan = executedPlan("q_pagerank")
+    // r19: the GATE's 13-node graph takes the bounded driver fast path
+    // (a parallelized result, no joins at all); the at-scale shape is
+    // pinned on the SAME edge construction with the switch forced off
+    val gatePlan = executedPlan("q_pagerank")
+    assert(!gatePlan.contains("SortMergeJoin") &&
+      !gatePlan.contains("BroadcastHashJoin"),
+      s"bounded graph no longer takes the driver fast path:\n$gatePlan")
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val r = docs.select((col("doc_id") % 13).as("r")).distinct()
+    val edges = r.select(
+        concat(lit("h"), col("r").cast("string")).as("src"),
+        concat(lit("h"), ((col("r") * col("r") + 1) % 13).cast("string")).as("dst"))
+      .union(r.select(
+        concat(lit("h"), col("r").cast("string")).as("src"),
+        concat(lit("h"), ((col("r") * 2 + 5) % 13).cast("string")).as("dst")))
+    val df = graft.ml.LinkGraph.pageRank(edges, "src", "dst",
+      driverEdgeLimit = 0L)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // r13: each iteration MATERIALIZES behind a localCheckpoint (without

@@ -113,4 +113,28 @@ class LinkGraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(r1 == r32)
   }
+
+  test("pageRank: driver fast path equals the distributed loop (r19 switch)") {
+    // pseudo-random multigraph with a hub, a dangling node, a self-loop
+    // and duplicate edges; driverEdgeLimit = 0 forces the distributed
+    // path on the SAME input — both paths must agree rank-for-rank
+    val edges = spark.range(300).selectExpr(
+      "concat('n', id % 37) as s",
+      "concat('n', (id * id + 7) % 41) as d")
+    val local = LinkGraph.pageRank(edges, "s", "d")
+      .as[(String, Long)].collect().toMap
+    val dist = LinkGraph.pageRank(edges, "s", "d", driverEdgeLimit = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(local == dist)
+    // null endpoints follow SQL join semantics on both paths: a null src
+    // contributes nothing, a null dst receives nothing, both rank at base
+    val withNulls = edges.unionAll(spark.range(3).selectExpr(
+      "if(id = 0, null, concat('n', id)) as s",
+      "if(id = 1, null, concat('m', id)) as d"))
+    val localN = LinkGraph.pageRank(withNulls, "s", "d")
+      .as[(String, Long)].collect().toMap
+    val distN = LinkGraph.pageRank(withNulls, "s", "d", driverEdgeLimit = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(localN == distN)
+  }
 }
