@@ -174,6 +174,12 @@ object QualityClfFns {
     * bigrams in position order — the DSIR fold input). */
   def clfBucketList(text: Column, logBuckets: Int, bigrams: Boolean): Column =
     col(ClfBucketListExpr(expr(text), logBuckets, bigrams))
+
+  /** struct(n_feats, sum_ratio, log_weight) over a bucket list — see
+    * [[DsirEvidenceExpr]]. */
+  def dsirEvidence(fb: Column, ratio: Seq[Double],
+      logRatio: Seq[Double]): Column =
+    col(DsirEvidenceExpr(expr(fb), ratio, logRatio))
 }
 
 case class ClfLogitExpr(child: Expression, model: QualityClfModel)
@@ -245,4 +251,59 @@ case class ClfFeatureCountsExpr(child: Expression, logBuckets: Int,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "quality_clf_features"
+}
+
+/** r19: the DSIR evidence folds in one pass — exactly
+  * `aggregate(fb, 0.0, (acc, x) => acc + element_at(ratios, x+1))` and
+  * the same over logRatios (in-order IEEE left folds, 0.0 seeds), plus
+  * n_feats = size(fb); null evidence for an EMPTY bucket list (the
+  * composed `when(n_feats > 0, ...)` contract) and a null struct for a
+  * null list. The interpreted two-fold form re-walked the list per fold
+  * with per-element Literal array probes; one kernel call replaces both.
+  * Arrays ride as a plan reference object (the PqEncodeExpr pattern),
+  * not literals — no multi-KB task-binary re-broadcast per stage. */
+case class DsirEvidenceExpr(child: Expression, ratio: Seq[Double],
+    logRatio: Seq[Double])
+    extends UnaryExpression {
+  require(ratio.length == logRatio.length, "model arrays must align")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_feats",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_ratio",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("log_weight",
+      org.apache.spark.sql.types.DoubleType, nullable = true)))
+
+  @transient private lazy val r: Array[Double] = ratio.toArray
+  @transient private lazy val lr: Array[Double] = logRatio.toArray
+
+  def fold(fb: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = fb.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, null, null))
+    var sr = 0.0
+    var lw = 0.0
+    var i = 0
+    while (i < n) {
+      val b = fb.getInt(i)
+      sr += r(b)
+      lw += lr(b)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sr, lw))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    fold(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirEvidence", this,
+      classOf[DsirEvidenceExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.fold($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "dsir_evidence"
 }

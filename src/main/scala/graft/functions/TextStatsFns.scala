@@ -78,6 +78,123 @@ object TextStatsFns {
     dr * 0.5 + (1.0 - math.abs(mwl - 5.0) / 10.0) * 0.3 + sr * 0.2
   }
 
+  /** struct of the Gopher-rule metrics and booleans (see
+    * [[graft.ml.TextAnalysis.gopherRules]] for the rule definitions);
+    * null for null text. */
+  def gopherRules(text: Column, minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxSymbolRatio: Double, maxBulletFrac: Double,
+      maxEllipsisFrac: Double, minAlphaFrac: Double,
+      minStopHits: Int): Column =
+    col(GopherRulesExpr(expr(text), minWords, maxWords, minMeanWordLen,
+      maxMeanWordLen, maxSymbolRatio, maxBulletFrac, maxEllipsisFrac,
+      minAlphaFrac, minStopHits))
+
+  private val NewlinePat = java.util.regex.Pattern.compile("\n")
+  private val BulletPat = java.util.regex.Pattern.compile("^[-*•]")
+  private val EllipsisPat = java.util.regex.Pattern.compile("""(\.\.\.|…)$""")
+
+  /** The Gopher stop-word set of [[graft.ml.TextAnalysis.gopherStopwords]],
+    * frozen here; TextStatsFnsSpec asserts the two stay identical. */
+  private val GopherStops: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "be", "to", "of", "and", "that", "have", "with").foreach(s.add)
+    s
+  }
+
+  /** One fused pass over the document for every Gopher rule — exactly the
+    * composed column lattice of TextAnalysis.gopherRules:
+    * - words = split(\s+, -1) minus empties, lengths in code points,
+    *   lengths summed as LONG (the composed lit(0L) seed);
+    * - stop_hits counts DISTINCT lowercased words (UTF8String
+    *   toLowerCase) in the Gopher stop set;
+    * - symCnt counts '#' chars plus non-overlapping leftmost "..."
+    *   matches (the split-size-minus-1 formulation);
+    * - bullet/ellipsis tests run the IDENTICAL Java regexes on
+    *   space-only-trimmed lines (rlike = regex find, including the
+    *   $-before-final-terminator subtlety);
+    * - every threshold compares in the same multiply form
+    *   (count vs threshold · denominator), same double promotions. */
+  def gopherRulesKernel(text: UTF8String, minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxSymbolRatio: Double, maxBulletFrac: Double,
+      maxEllipsisFrac: Double, minAlphaFrac: Double,
+      minStopHits: Int): GenericInternalRow = {
+    val s = text.toString
+    val ts = Ws.split(s, -1)
+    var nw = 0
+    var lenSum = 0L
+    var alphaCnt = 0
+    val stopSeen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < ts.length) {
+      val w = ts(i)
+      if (w.nonEmpty) {
+        nw += 1
+        lenSum += w.codePointCount(0, w.length)
+        var hasAlpha = false
+        var j = 0
+        while (!hasAlpha && j < w.length) {
+          val c = w.charAt(j)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+          j += 1
+        }
+        if (hasAlpha) alphaCnt += 1
+        val lw = UTF8String.fromString(w).toLowerCase.toString
+        if (GopherStops.contains(lw)) stopSeen.add(lw)
+      }
+      i += 1
+    }
+    val stopHits = stopSeen.size
+    // '#' occurrences + non-overlapping leftmost "..." matches
+    var symCnt = 0
+    i = 0
+    while (i < s.length) { if (s.charAt(i) == '#') symCnt += 1; i += 1 }
+    i = 0
+    while (i + 3 <= s.length) {
+      if (s.charAt(i) == '.' && s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.') {
+        symCnt += 1; i += 3
+      } else i += 1
+    }
+    val lines = NewlinePat.split(s, -1)
+    val nl = lines.length
+    var bulletCnt = 0
+    var ellipsisCnt = 0
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      // Spark ltrim/rtrim remove the SPACE character (0x20) only
+      var a = 0
+      while (a < l.length && l.charAt(a) == ' ') a += 1
+      if (BulletPat.matcher(l.substring(a)).find()) bulletCnt += 1
+      var b = l.length
+      while (b > 0 && l.charAt(b - 1) == ' ') b -= 1
+      if (EllipsisPat.matcher(l.substring(0, b)).find()) ellipsisCnt += 1
+      i += 1
+    }
+    val nonEmpty = nw > 0
+    val ruleWordCount = nw >= minWords && nw <= maxWords
+    val ruleMeanWordLen = nonEmpty &&
+      lenSum.toDouble >= minMeanWordLen * nw &&
+      lenSum.toDouble <= maxMeanWordLen * nw
+    val ruleSymbolRatio = nonEmpty && symCnt.toDouble < maxSymbolRatio * nw
+    val ruleAlpha = nonEmpty && alphaCnt.toDouble >= minAlphaFrac * nw
+    val ruleBullet = bulletCnt.toDouble < maxBulletFrac * nl
+    val ruleEllipsis = ellipsisCnt.toDouble < maxEllipsisFrac * nl
+    val ruleStopwords = stopHits >= minStopHits
+    val ruleNoBrace = !text.contains(BraceU8)
+    val ruleNoLorem = !text.toLowerCase.contains(LoremU8)
+    val keep = ruleWordCount && ruleMeanWordLen && ruleSymbolRatio &&
+      ruleAlpha && ruleBullet && ruleEllipsis && ruleStopwords &&
+      ruleNoBrace && ruleNoLorem
+    new GenericInternalRow(Array[Any](nw, stopHits, ruleWordCount,
+      ruleMeanWordLen, ruleSymbolRatio, ruleAlpha, ruleBullet, ruleEllipsis,
+      ruleStopwords, ruleNoBrace, ruleNoLorem, keep))
+  }
+
+  private val BraceU8 = UTF8String.fromString("{")
+  private val LoremU8 = UTF8String.fromString("lorem ipsum")
+
   /** Per-doc mass of in-order n-grams WITH repeats (ngramsAll semantics:
     * docs shorter than n tokens have none): top2 = max over distinct
     * 2-grams of count·gramChars; dup5 = Σ over distinct 5-grams with
@@ -142,4 +259,36 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "repetition_stats"
+}
+
+case class GopherRulesExpr(child: Expression, minWords: Int, maxWords: Int,
+    minMeanWordLen: Double, maxMeanWordLen: Double, maxSymbolRatio: Double,
+    maxBulletFrac: Double, maxEllipsisFrac: Double, minAlphaFrac: Double,
+    minStopHits: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false),
+    StructField("rule_word_count", BooleanType, nullable = false),
+    StructField("rule_mean_word_len", BooleanType, nullable = false),
+    StructField("rule_symbol_ratio", BooleanType, nullable = false),
+    StructField("rule_alpha", BooleanType, nullable = false),
+    StructField("rule_bullet", BooleanType, nullable = false),
+    StructField("rule_ellipsis", BooleanType, nullable = false),
+    StructField("rule_stopwords", BooleanType, nullable = false),
+    StructField("rule_no_brace", BooleanType, nullable = false),
+    StructField("rule_no_lorem", BooleanType, nullable = false),
+    StructField("keep", BooleanType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextStatsFns.gopherRulesKernel(input.asInstanceOf[UTF8String], minWords,
+      maxWords, minMeanWordLen, maxMeanWordLen, maxSymbolRatio,
+      maxBulletFrac, maxEllipsisFrac, minAlphaFrac, minStopHits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextStatsFns.gopherRulesKernel($c, $minWords, " +
+        s"$maxWords, ${minMeanWordLen}D, ${maxMeanWordLen}D, " +
+        s"${maxSymbolRatio}D, ${maxBulletFrac}D, ${maxEllipsisFrac}D, " +
+        s"${minAlphaFrac}D, $minStopHits)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_rules"
 }

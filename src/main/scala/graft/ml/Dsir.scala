@@ -195,19 +195,23 @@ object Dsir {
       require(!pool.columns.contains(c),
         s"Dsir.weigh: output column '$c' already exists on the pool")
     }
-    val fb = QualityClfFns.clfBucketList(col(s"`$textCol`"), m.logBuckets,
-      m.bigrams)
-    val ratios = typedlit(m.ratio.toSeq)
-    val logRatios = typedlit(m.logRatio.toSeq)
-    pool.withColumn("__graft_dsir_fb", fb)
-      .withColumn("n_feats", size(col("__graft_dsir_fb")))
-      .withColumn("sum_ratio",
-        when(col("n_feats") > 0, aggregate(col("__graft_dsir_fb"),
-          lit(0.0d), (acc, x) => acc + element_at(ratios, x + 1))))
-      .withColumn("log_weight",
-        when(col("n_feats") > 0, aggregate(col("__graft_dsir_fb"),
-          lit(0.0d), (acc, x) => acc + element_at(logRatios, x + 1))))
-      .drop("__graft_dsir_fb")
+    // r19: both importance folds fused into one kernel pass
+    // (DsirEvidenceExpr) — the composed form walked the bucket list
+    // twice through interpreted `aggregate` lambdas probing 2^logBuckets
+    // literal arrays per element (and carried those arrays as plan
+    // literals). Same in-order IEEE folds, same null-evidence contract
+    // for token-less docs (DsirSpec + the unchanged q_dsir oracle hash);
+    // the model arrays ride as a broadcast-task reference, not literals.
+    val ev = QualityClfFns.dsirEvidence(
+      QualityClfFns.clfBucketList(col(s"`$textCol`"), m.logBuckets,
+        m.bigrams),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(m.ratio),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(m.logRatio))
+    pool.withColumn("__graft_dsir_ev", ev)
+      .withColumn("n_feats", col("__graft_dsir_ev.n_feats"))
+      .withColumn("sum_ratio", col("__graft_dsir_ev.sum_ratio"))
+      .withColumn("log_weight", col("__graft_dsir_ev.log_weight"))
+      .drop("__graft_dsir_ev")
   }
 
   /** The paper's Gumbel top-k resample: keep the k docs maximizing

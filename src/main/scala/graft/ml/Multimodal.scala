@@ -247,7 +247,11 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(idCol).mapPartitions { rows =>
+    // r19: spread the id projection before the per-row synthesis — the
+    // single-row-group testdata parquet otherwise pins the whole encode
+    // (and every downstream decode of the fixture) to one scan task.
+    // Keyed repartition of bare ids: deterministic, negligible bytes.
+    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val sampleRate = 8000L + (id % 8) * 1000
@@ -325,7 +329,11 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(idCol).mapPartitions { rows =>
+    // r19: spread the id projection before the per-row synthesis — the
+    // single-row-group testdata parquet otherwise pins the whole encode
+    // (and every downstream decode of the fixture) to one scan task.
+    // Keyed repartition of bare ids: deterministic, negligible bytes.
+    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val brIdx = (id % 14 + 1).toInt
@@ -431,7 +439,11 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(idCol).mapPartitions { rows =>
+    // r19: spread the id projection before the per-row synthesis — the
+    // single-row-group testdata parquet otherwise pins the whole encode
+    // (and every downstream decode of the fixture) to one scan task.
+    // Keyed repartition of bare ids: deterministic, negligible bytes.
+    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val vorbis = id % 2 == 0
@@ -672,7 +684,11 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(idCol).mapPartitions { rows =>
+    // r19: spread the id projection before the per-row synthesis — the
+    // single-row-group testdata parquet otherwise pins the whole encode
+    // (and every downstream decode of the fixture) to one scan task.
+    // Keyed repartition of bare ids: deterministic, negligible bytes.
+    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val bb = java.nio.ByteBuffer.allocate(256) // BE default
@@ -752,7 +768,11 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(idCol).mapPartitions { rows =>
+    // r19: spread the id projection before the per-row synthesis — the
+    // single-row-group testdata parquet otherwise pins the whole encode
+    // (and every downstream decode of the fixture) to one scan task.
+    // Keyed repartition of bare ids: deterministic, negligible bytes.
+    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val sampleRate = (8000 + (id % 8) * 1000).toInt
@@ -790,7 +810,11 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(idCol).mapPartitions { rows =>
+    // r19: spread the id projection before the per-row synthesis — the
+    // single-row-group testdata parquet otherwise pins the whole encode
+    // (and every downstream decode of the fixture) to one scan task.
+    // Keyed repartition of bare ids: deterministic, negligible bytes.
+    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val timescale = (600 + (id % 4) * 200).toInt
@@ -848,7 +872,11 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(idCol).mapPartitions { rows =>
+    // r19: spread the id projection before the per-row synthesis — the
+    // single-row-group testdata parquet otherwise pins the whole encode
+    // (and every downstream decode of the fixture) to one scan task.
+    // Keyed repartition of bare ids: deterministic, negligible bytes.
+    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val nf = (id % 24 + 4).toInt
@@ -1023,7 +1051,11 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(idCol).mapPartitions { rows =>
+    // r19: spread the id projection before the per-row synthesis — the
+    // single-row-group testdata parquet otherwise pins the whole encode
+    // (and every downstream decode of the fixture) to one scan task.
+    // Keyed repartition of bare ids: deterministic, negligible bytes.
+    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
       imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
@@ -1068,7 +1100,11 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(idCol).mapPartitions { rows =>
+    // r19: spread the id projection before the per-row synthesis — the
+    // single-row-group testdata parquet otherwise pins the whole encode
+    // (and every downstream decode of the fixture) to one scan task.
+    // Keyed repartition of bare ids: deterministic, negligible bytes.
+    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
       imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
@@ -1232,7 +1268,11 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("content", BinaryType)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(idCol).mapPartitions { rows =>
+    // r19: spread the id projection before the per-row synthesis — the
+    // single-row-group testdata parquet otherwise pins the whole encode
+    // (and every downstream decode of the fixture) to one scan task.
+    // Keyed repartition of bare ids: deterministic, negligible bytes.
+    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
       imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue

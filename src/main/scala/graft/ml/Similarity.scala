@@ -803,8 +803,15 @@ object Similarity {
     * side); [[knnJoin]] is the celled scale path. */
   def knnJoinBrute(df: DataFrame, vecCol: String, idCol: String,
       k: Int): DataFrame = {
+    // r19: keyed barrier before the O(n²) scoring — the broadcast
+    // nested-loop join runs on the STREAM side's partitions, and a
+    // few-split input (the single-row-group testdata parquet) would pin
+    // every dot product to one task (measured ~1.3 s of q_knn's 1.5 s).
+    // One shuffle of the raw vectors; the joined rows pay the window
+    // exchange right after anyway (standard minhashPairs barrier).
     val c = df.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("cv"))
+      .repartition(col("vec_id"))
       .withColumn("csd", dot(col("cv"), col("cv")))
     val q = c.select(col("vec_id").as("query_id"), col("cv").as("qv"),
       col("csd").as("qsd"))

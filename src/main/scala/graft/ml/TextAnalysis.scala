@@ -534,6 +534,33 @@ object TextAnalysis {
       maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
       minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
       drop: Boolean = false): DataFrame = {
+    // r19: the whole rule lattice is ONE fused kernel pass
+    // (TextStatsFns.gopherRules) — the composed form below (kept as
+    // gopherRulesComposed for the equivalence spec) paid interpreted
+    // filter/aggregate HOFs plus per-line/per-word regex Columns.
+    // Identical metrics and booleans (TextStatsFnsSpec battery + the
+    // unchanged oracle hashes); same output column order.
+    val g = graft.functions.TextStatsFns.gopherRules(col(s"`$textCol`"),
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen, maxSymbolRatio,
+      maxBulletFrac, maxEllipsisFrac, minAlphaFrac, minStopHits)
+    val fields = Seq("n_words", "stop_hits", "rule_word_count",
+      "rule_mean_word_len", "rule_symbol_ratio", "rule_alpha",
+      "rule_bullet", "rule_ellipsis", "rule_stopwords", "rule_no_brace",
+      "rule_no_lorem", "keep")
+    val bound = df.withColumn("__graft_qr", g)
+    val out = fields.foldLeft(bound)((d, f) =>
+      d.withColumn(f, col(s"__graft_qr.$f"))).drop("__graft_qr")
+    if (drop) out.filter(col("keep")).select(df.columns.map(c => col(s"`$c`")): _*)
+    else out
+  }
+
+  private[graft] def gopherRulesComposed(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+      drop: Boolean = false): DataFrame = {
     val t = col(s"`$textCol`")
     val words = col("__graft_qr_words")
     val lines = col("__graft_qr_lines")

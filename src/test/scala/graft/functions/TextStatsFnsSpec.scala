@@ -99,6 +99,79 @@ class TextStatsFnsSpec extends SparkSpec {
     assert(r.getDouble(0) == r.getDouble(1))
   }
 
+  test("gopherRules kernel equals the composed rule lattice") {
+    // battery + rule-targeted rows: bullets, ellipses (incl. the
+    // $-before-\r subtlety), hashes, dot runs, braces, lorem ipsum,
+    // stopword case-folding, empty and null text
+    val extra = Seq(
+      "- bullet line\n * starred\n• dot bullet\nplain",
+      "trail dots...\nellipsis…\nnot..\nfour....",
+      "ends with dots...\r\nwindows line",
+      "   - spaced bullet\n\t- tab stays (not trimmed)",
+      "c { brace } doc",
+      "Lorem Ipsum dolor sit",
+      "the BE tO Of AND that HAVE with",
+      "# one # two ## three",
+      "a.b...c....d",
+      (1 to 60).map(i => s"word$i").mkString(" "),
+      (1 to 60).map(_ => "xx").mkString(" "),
+    )
+    val df = (battery ++ extra).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "t")
+    for (minStop <- Seq(1, 2)) {
+      val k = graft.ml.TextAnalysis.gopherRules(df, "t", minStopHits = minStop)
+        .orderBy("doc_id").collect()
+      val c = graft.ml.TextAnalysis.gopherRulesComposed(df, "t", minStopHits = minStop)
+        .orderBy("doc_id").collect()
+      assert(k.length == c.length)
+      k.zip(c).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+      // drop mode keeps the original schema and the same survivors
+      val kd = graft.ml.TextAnalysis.gopherRules(df, "t",
+        minStopHits = minStop, drop = true).orderBy("doc_id").collect()
+      val cd = graft.ml.TextAnalysis.gopherRulesComposed(df, "t",
+        minStopHits = minStop, drop = true).orderBy("doc_id").collect()
+      assert(kd.toSeq == cd.toSeq)
+    }
+  }
+
+  test("gopher kernel stop set matches TextAnalysis.gopherStopwords") {
+    val allStops = graft.ml.TextAnalysis.gopherStopwords.map(_.toUpperCase)
+      .mkString(" ")
+    val df = Seq(allStops).toDF("t")
+    val k = graft.ml.TextAnalysis.gopherRules(df, "t").select("stop_hits").head()
+    val c = graft.ml.TextAnalysis.gopherRulesComposed(df, "t").select("stop_hits").head()
+    assert(k == c && k.getInt(0) == graft.ml.TextAnalysis.gopherStopwords.size)
+  }
+
+  test("dsirEvidence kernel equals the composed two-fold lattice") {
+    val df = batteryDf
+    val logBuckets = 6
+    val b = 1 << logBuckets
+    val rnd = new scala.util.Random(7)
+    val ratio = Seq.fill(b)(0.25 + rnd.nextDouble())
+    val logRatio = ratio.map(math.log)
+    val fb = QualityClfFns.clfBucketList($"t", logBuckets, bigrams = true)
+    val ratios = typedlit(ratio)
+    val logRatios = typedlit(logRatio)
+    val composed = df.withColumn("__fb", fb)
+      .withColumn("n_feats", size($"__fb"))
+      .withColumn("sum_ratio",
+        when($"n_feats" > 0, aggregate($"__fb",
+          lit(0.0d), (acc, x) => acc + element_at(ratios, x + 1))))
+      .withColumn("log_weight",
+        when($"n_feats" > 0, aggregate($"__fb",
+          lit(0.0d), (acc, x) => acc + element_at(logRatios, x + 1))))
+      .select("doc_id", "n_feats", "sum_ratio", "log_weight")
+      .orderBy("doc_id").collect()
+    val kernel = df.withColumn("__ev",
+        QualityClfFns.dsirEvidence(fb, ratio, logRatio))
+      .select($"doc_id", $"__ev.n_feats".as("n_feats"),
+        $"__ev.sum_ratio".as("sum_ratio"), $"__ev.log_weight".as("log_weight"))
+      .orderBy("doc_id").collect()
+    assert(kernel.length == composed.length)
+    kernel.zip(composed).foreach { case (k, c) => assert(k == c, s"$k vs $c") }
+  }
+
   private def md5ShingleComposed(c: Column, n: Int): Column =
     array_distinct(transform(graft.ml.Dedup.shingles(c, n),
       s => conv(substring(md5(s), 25, 8), 16, 10).cast("long")))
