@@ -1615,7 +1615,12 @@ object SparkEntry {
         docs, "text", col("doc_id") < 50, 12)
       val m = graft.ml.Dsir.model(tc, rc, 12)
       val weighed = graft.ml.Dsir.weigh(scored, "text", "doc_id", m)
+      // r19: memoize the survivors — the LSH base and the final anti-join
+      // are two consumers of the same scored prefix, and without the
+      // persist each re-ran rules+logit+weigh over the corpus (the
+      // qualityBand precedent; registry-drained like every corpus memo)
       val kept = weighed.filter(graft.ml.Dsir.thresholdKeep(weighed, "doc_id"))
+        .transform(graft.core.CacheRegistry.memo)
       val pairs = graft.ml.Dedup.minhashPairs(kept, "text", "doc_id",
         shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.9)
       graft.ml.Dedup.dropDuplicates(kept, pairs, "doc_id")

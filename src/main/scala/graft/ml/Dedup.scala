@@ -188,7 +188,7 @@ object Dedup {
     // for non-null text, so size>0 dropped exactly the null rows.
     val hashed = df.select(col(s"`$idCol`").as("id"), col(s"`$textCol`").as("__t"))
       .filter(col("__t").isNotNull)
-      .repartition(col("id")) // barrier: hash the shingles ONCE, all cores
+      .transform(graft.core.Spread.byKey(_, col("id"))) // barrier: hash the shingles ONCE, all cores (pinned-N, see Spread)
     val sig = graft.functions.ArrayFns.affineMinhashSig(
       graft.functions.ShingleFns.md5ShingleHashes(col("__t"), shingleSize),
       numHashes)
@@ -264,7 +264,7 @@ object Dedup {
     pairs
       .select(col(s"`$textA`").as("__a"), col(s"`$textB`").as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
-      .repartition() // barrier: spread pair rows across all cores
+      .transform(graft.core.Spread.roundRobin) // barrier: spread pair rows across all cores (pinned-N, see Spread)
       .select(graft.functions.ShingleFns.minhashCalibPair(
         col("__a"), col("__b"), shingleSize, numHashes).as("c"))
       .groupBy("c").agg(count(lit(1)).as("n_pairs"))
@@ -285,8 +285,8 @@ object Dedup {
     // stages under AQE, and without it the corpus is scanned and shingled
     // four times. Only the 64-bit hashes survive (the string shingles are
     // dead after hashing), so the memo holds ~8 bytes × shingles per doc.
-    val base = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .repartition(col("id"))
+    val base = graft.core.Spread.byKey(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
       .select(col("id"),
         graft.functions.ShingleFns.hashedShingles(col("__t"), shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -398,7 +398,7 @@ object Dedup {
       }
     }
     df.select(col(s"`$idCol`").as("id"), simhash32(col(s"`$textCol`")).as("sim"))
-      .repartition(col("id")) // barrier: hash/vote ONCE, not per slice ref
+      .transform(graft.core.Spread.byKey(_, col("id"))) // barrier: hash/vote ONCE, not per slice ref (pinned-N)
       .select(explode(array(keyStructs: _*)).as("k"))
       .select(col("k.bands").as("bands"), col("k.bkey").as("bkey"))
       .groupBy("bands", "bkey").agg(count(lit(1)).as("n"))
@@ -432,9 +432,9 @@ object Dedup {
     * spreads across all cores even when the input is a single split. */
   def simhashGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("__id"), col(textCol).as("__t"))
-      .repartition(col("__id")) // spread before the md5-heavy token hashing
+      .transform(graft.core.Spread.byKey(_, col("__id"))) // spread before the md5-heavy token hashing (pinned-N)
       .select(col("__id"), simhashTokenHashes(col("__t")).as("__hs"))
-      .repartition(col("__id")) // materialize: keep md5 out of the 32 bit-votes
+      .transform(graft.core.Spread.byKey(_, col("__id"))) // materialize: keep md5 out of the 32 bit-votes (pinned-N)
       .groupBy(simhashFromHashes(col("__hs")).as("simhash"))
       .agg(min(col("__id")).as("rep_id"), count(lit(1)).as("cnt"))
 
@@ -455,8 +455,8 @@ object Dedup {
       k: Int = 3, bands: Int = 4): DataFrame = {
     require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
     val bits = 32 / bands
-    val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .repartition(col("id"))
+    val sh = graft.core.Spread.byKey(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
       .select(col("id"), simhashFromHashes(simhashTokenHashes(col("__t"))).as("sim"))
       // exploding-self-join memo: RDD barrier, never persist (AQE would
       // coalesce under the quadratic pair output — see explodingMemo)
@@ -506,8 +506,8 @@ object Dedup {
     require(bands > k, "need more bands than allowed bit flips (pigeonhole)")
     require(64 % bands == 0, "bands must divide 64")
     val bits = 64 / bands
-    val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .repartition(col("id"))
+    val sh = graft.core.Spread.byKey(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
       .select(col("id"), simhash64Fingerprint(col("__t")).as("sim"))
       // exploding-self-join memo: RDD barrier, never persist (AQE would
       // coalesce under the quadratic pair output — see explodingMemo)
@@ -562,7 +562,7 @@ object Dedup {
     require(totalBits % bands == 0, "bands must divide the fingerprint width")
     val bits = totalBits / bands
     val sh = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .repartition(col("id")) // spread before the hash-heavy fingerprint
+      .transform(graft.core.Spread.byKey(_, col("id"))) // spread before the hash-heavy fingerprint (pinned-N)
       .select(col("id"), fingerprint(col("__t")).as("sim"))
     // EXACT-dup collapse before banding: only the min-id representative
     // per distinct fingerprint enters the self-join; the rest are
@@ -628,7 +628,7 @@ object Dedup {
     // longs instead of strings. Sorted once so the prefix is a slice.
     val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(textCol).as("__t"))
-      .repartition(col("id")) // spread before the expensive shingling
+      .transform(graft.core.Spread.byKey(_, col("id"))) // spread before the expensive shingling (pinned-N)
       .select(col("blk"), col("id"),
         array_sort(graft.functions.ShingleFns.hashedShingles(col("__t"), n)).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -1035,8 +1035,8 @@ object Dedup {
     * sort. */
   def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
       minDocs: Int = 3, delim: String = "\n"): DataFrame = {
-    val lines = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .repartition(col("id"))
+    val lines = graft.core.Spread.byKey(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
       .select(col("id"),
         posexplode(split(col("__t"), java.util.regex.Pattern.quote(delim))))
       .toDF("id", "pos", "line")

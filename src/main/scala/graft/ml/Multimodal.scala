@@ -251,7 +251,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val sampleRate = 8000L + (id % 8) * 1000
@@ -333,7 +333,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val brIdx = (id % 14 + 1).toInt
@@ -443,7 +443,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val vorbis = id % 2 == 0
@@ -688,7 +688,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val bb = java.nio.ByteBuffer.allocate(256) // BE default
@@ -772,7 +772,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val sampleRate = (8000 + (id % 8) * 1000).toInt
@@ -814,7 +814,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val timescale = (600 + (id % 4) * 200).toInt
@@ -876,7 +876,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val nf = (id % 24 + 4).toInt
@@ -1055,7 +1055,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
       imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
@@ -1104,7 +1104,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
       imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
@@ -1272,7 +1272,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    df.select(idCol).repartition(col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
       imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue

@@ -680,7 +680,7 @@ object Similarity {
     // the PQ index); the barrier is the in-plan analogue.
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
         pqEncode(model, col(vecCol)).as("code"))
-      .repartition(col("vec_id"))
+      .transform(graft.core.Spread.byKey(_, col("vec_id")))
     val qCols = Seq(col(idCol).as("query_id"), col(vecCol).as("qv")) ++
       (0 until m).map(s => pqLut(model, col(vecCol), s).as(s"lut$s"))
     val q = queries.select(qCols: _*)
@@ -809,9 +809,8 @@ object Similarity {
     // every dot product to one task (measured ~1.3 s of q_knn's 1.5 s).
     // One shuffle of the raw vectors; the joined rows pay the window
     // exchange right after anyway (standard minhashPairs barrier).
-    val c = df.select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .repartition(col("vec_id"))
+    val c = graft.core.Spread.byKey(df.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("cv")), col("vec_id"))
       .withColumn("csd", dot(col("cv"), col("cv")))
     val q = c.select(col("vec_id").as("query_id"), col("cv").as("qv"),
       col("csd").as("qsd"))

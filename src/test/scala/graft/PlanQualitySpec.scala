@@ -326,7 +326,12 @@ class PlanQualitySpec extends SparkSpec {
     // the decode seam is mapPartitions over mapPartitions (plus a union
     // for the mixed gate) — payload bytes must never cross an Exchange;
     // at 100 TB of media an accidental shuffle here moves the whole
-    // corpus instead of the metadata
+    // corpus instead of the metadata. r19: the synthesis functions spread
+    // the BARE-ID projection through one pinned keyed repartition before
+    // any bytes exist (graft.core.Spread), so the allowed exchanges are
+    // exactly those REPARTITION_BY_NUM id spreads — anything else (an
+    // ENSURE_REQUIREMENTS shuffle, a payload-carrying exchange) still
+    // fails the pin.
     for (q <- Seq("q_multimodal_decode", "q_multimodal_audio",
         "q_multimodal_video", "q_multimodal_mixed", "q_multimodal_mp3",
         "q_multimodal_ogg", "q_multimodal_webm",
@@ -335,7 +340,12 @@ class PlanQualitySpec extends SparkSpec {
       val df = SparkEntry.queries(q)(spark, dir)
       df.count()
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), s"$q shuffles payload bytes:\n$plan")
+      plan.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+        assert(l.contains("REPARTITION_BY_NUM") &&
+          (l.contains("doc_id") || l.contains("media_id")) &&
+          !l.contains("content"),
+          s"$q shuffles something beyond the bare-id spread:\n$l\n$plan")
+      }
     }
   }
 
