@@ -131,7 +131,14 @@ object StressOps {
     "langid" -> (7.0, 13.2),
     // token — head()-def obs bpe 3.4-5.1, ngram 13.9-20.0
     "bpe_encode" -> (2.9, 6.9),             // obs 3.4-6.26 (§8.26l calm)
-    "ngram_lm_score" -> (11.8, 25.0),       // obs 13.9-22.8 (§8.26l calm)
+    // r19: score() rewritten to the zero-exchange broadcast-model kernel
+    // (the pre-r19 band was 11.8-25.0 for the lattice-explode plan, obs
+    // 13.9-22.8 calm). Re-observed on the new bits: 8.90-14.50 at worker
+    // probes 1.19-1.25 (~1.7x the 0.684 floor) → provisional calm band
+    // below; lo kept >= HotSkipCalmSecs deliberately — the op is still
+    // the family's heavy arm and must stay hot-skippable. Tighten from
+    // the first calm driver/rehearsal observations.
+    "ngram_lm_score" -> (5.2, 16.0),
     // metrics — §8.22h 5.5/7.0/6.4/7.8, r17 driver 10.45/8.49,
     // §8.24e/g 7.2-9.0; skew twins single-obs → widened
     "stats_pct_exact" -> (4.7, 12.0),

@@ -83,6 +83,39 @@ object NgramLm {
       unicode: Boolean = false): DataFrame = {
     require(order >= 1 && order <= 5, s"order must be in 1..5, got $order")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    // r19 (guide §2.4 + §8): scoring depends only on (text, bounded
+    // model), so the corpus-scale explode → model join → per-doc
+    // re-collect (two wide stages over order × tokens rows per doc) is
+    // replaced by ONE broadcast-model kernel pass — zero exchanges, the
+    // model drained once (bounded, the model-as-frame contract) and
+    // shipped via a Broadcast handle so no stage's task binary carries
+    // it. Values are bit-identical: same token/gram construction, same
+    // longest-available-history scan, same IEEE fold orders
+    // (NgramLmSpec pins kernel == composed on the edge battery; the
+    // q_ngram_lm oracle hash pins the corpus). The composed plan stays
+    // below as scoreComposed, the spec's reference.
+    val lm = graft.functions.NgramLmFns.buildModel(model, order)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(lm)
+    val ev = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.LmScoreBcastExpr(bcast,
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(s"`$textCol`")),
+        order, alpha, unicode))
+    corpus.select(col(s"`$idCol`").as("id"), ev.as("__graft_lm"))
+      .select(col("id"),
+        col("__graft_lm.n_tokens").as("n_tokens"),
+        col("__graft_lm.matched_full").as("matched_full"),
+        col("__graft_lm.backoff").as("backoff"),
+        col("__graft_lm.oov").as("oov"),
+        col("__graft_lm.sum_prob").as("sum_prob"),
+        col("__graft_lm.log_prob").as("log_prob"),
+        col("__graft_lm.perplexity").as("perplexity"))
+  }
+
+  private[graft] def scoreComposed(corpus: DataFrame, model: DataFrame,
+      textCol: String, idCol: String, order: Int, alpha: Double = 0.4,
+      unicode: Boolean = false): DataFrame = {
+    require(order >= 1 && order <= 5, s"order must be in 1..5, got $order")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
 
     val exploded = corpus
       .select(col(idCol).as("id"),

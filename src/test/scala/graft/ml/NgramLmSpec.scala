@@ -102,15 +102,53 @@ class NgramLmSpec extends SparkSpec {
       "raw merged partials must score identically to the equivalent model")
   }
 
-  test("plan shape: no window exec, total-N enters broadcast, join un-hinted") {
+  test("plan shape: scoring is a zero-exchange broadcast-model kernel map") {
+    // r19: the corpus-side lattice explode, model join and per-doc
+    // re-collect are gone — one kernel projection over the corpus, the
+    // model riding a Broadcast handle (never a plan literal)
     val model = NgramLm.train(refDf, "text", order = 3, minCount = 1)
-    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // non-foldable text over range: a local Seq (or a literal text)
+    // lets ConvertToLocalRelation/ConstantFolding evaluate the whole
+    // kernel at plan time and leave nothing to pin
+    val docs = spark.range(1)
+      .selectExpr("id as doc_id", "concat('a b c ', id) as text")
     val plan = NgramLm.score(docs, model, "text", "doc_id", order = 3)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("WindowExec"),
-      "scoring must stay window-free: the positional lattice is sorted " +
-        "inside the row, not by a per-doc window")
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      "the total-N scalar should enter as a broadcast 1-row cross join")
+    assert(!plan.contains("WindowExec"), plan)
+    assert(!plan.contains("Exchange"), s"scoring shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"scoring joins:\n$plan")
+    assert(plan.contains("lm_score_bcast"), plan)
+  }
+
+  test("kernel scoring equals the composed lattice plan (r19 equivalence)") {
+    // edge battery: backoff at every level, OOV runs, repeated grams,
+    // single-token and empty docs, null text, leading whitespace,
+    // mixed case (scoring lowercases), a doc shorter than the order
+    val docs = Seq(
+      (1L, "a b c a b c d"),
+      (2L, "A B C"),
+      (3L, "zz yy xx"),
+      (4L, "a"),
+      (5L, ""),
+      (6L, null),
+      (7L, "  a b   c  "),
+      (8L, "c a b a b c a"),
+      (9L, "b c d e f g h a b c")).toDF("doc_id", "text")
+    for (minCount <- Seq(1L, 2L); alpha <- Seq(0.4, 0.7)) {
+      val model = NgramLm.train(refDf, "text", order = 3, minCount = minCount)
+        .localCheckpoint()
+      val k = NgramLm.score(docs, model, "text", "doc_id", order = 3,
+        alpha = alpha).orderBy("id").collect()
+      val c = NgramLm.scoreComposed(docs, model, "text", "doc_id", order = 3,
+        alpha = alpha).orderBy("id").collect()
+      assert(k.length == c.length)
+      k.zip(c).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+    }
+    // merged partials (duplicate (lvl, gram) rows) normalize identically
+    val half = NgramLm.train(refDf, "text", 3, minCount = 1)
+    val merged = half.unionByName(half).localCheckpoint()
+    val k2 = NgramLm.score(docs, merged, "text", "doc_id", 3).orderBy("id").collect()
+    val c2 = NgramLm.scoreComposed(docs, merged, "text", "doc_id", 3).orderBy("id").collect()
+    k2.zip(c2).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 }
