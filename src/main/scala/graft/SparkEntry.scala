@@ -1517,10 +1517,13 @@ object SparkEntry {
     "q_corpus_clean" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
+      // r19: memoized like q_curate_rank's survivors — the LSH base and
+      // the final anti-join both consume the filtered prefix
       val good = docs
         .withColumn("n_tokens", graft.ml.TextAnalysis.tokenCount($"text"))
         .withColumn("distinct_ratio", graft.ml.TextAnalysis.distinctTokenRatio($"text"))
         .filter($"n_tokens" >= 20 && $"distinct_ratio" >= 0.5)
+        .transform(graft.core.CacheRegistry.memo)
       val pairs = graft.ml.Dedup.minhashPairs(good, "text", "doc_id",
         shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.9)
       graft.ml.Dedup.dropDuplicates(good, pairs, "doc_id")
