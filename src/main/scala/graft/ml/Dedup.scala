@@ -264,7 +264,7 @@ object Dedup {
     pairs
       .select(col(s"`$textA`").as("__a"), col(s"`$textB`").as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
-      .transform(graft.core.Spread.roundRobin) // barrier: spread pair rows across all cores (pinned-N, see Spread)
+      .transform(graft.core.Spread.roundRobin(_)) // barrier: spread pair rows across all cores (pinned-N, see Spread)
       .select(graft.functions.ShingleFns.minhashCalibPair(
         col("__a"), col("__b"), shingleSize, numHashes).as("c"))
       .groupBy("c").agg(count(lit(1)).as("n_pairs"))

@@ -43,6 +43,19 @@ object Multimodal {
   private lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** Rows-per-task floor for the synthesizers' bare-id spread barriers
+    * (graft.core.Spread r20 row-aware cap). Per-row synthesis cost here
+    * is ~0.1–1 ms (header assembly / small-image encode), so a full
+    * 32-way spread of a few-thousand-row fixture pays more in per-task
+    * fixed cost than it wins in parallelism — measured on the r20
+    * baseline sweep: q_image_phash 0.61 s at 32 post-spread partitions
+    * vs 0.36 s at 8; q_multimodal_curate 0.73 vs 0.36 (and the r19
+    * driver's 8-core run beat its 32-core run on this family, ratios
+    * 0.55–0.59). 1024 rows/task lands the gate fixtures at ~7 tasks
+    * while any corpus-scale input blows past the session pin and spreads
+    * fully — scale-adaptive, never a constant. */
+  private val SynthRowsPerTask = 1024L
+
   /** Typed metadata carried next to the opaque payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -251,7 +264,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`"), SynthRowsPerTask).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val sampleRate = 8000L + (id % 8) * 1000
@@ -333,7 +346,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`"), SynthRowsPerTask).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val brIdx = (id % 14 + 1).toInt
@@ -443,7 +456,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`"), SynthRowsPerTask).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val vorbis = id % 2 == 0
@@ -688,7 +701,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`"), SynthRowsPerTask).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val bb = java.nio.ByteBuffer.allocate(256) // BE default
@@ -772,7 +785,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`"), SynthRowsPerTask).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val sampleRate = (8000 + (id % 8) * 1000).toInt
@@ -814,7 +827,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`"), SynthRowsPerTask).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val timescale = (600 + (id % 4) * 200).toInt
@@ -876,7 +889,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`"), SynthRowsPerTask).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
         val nf = (id % 24 + 4).toInt
@@ -1055,7 +1068,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`"), SynthRowsPerTask).mapPartitions { rows =>
       imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
@@ -1104,7 +1117,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`"), SynthRowsPerTask).mapPartitions { rows =>
       imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue
@@ -1272,7 +1285,7 @@ object Multimodal {
     // single-row-group testdata parquet otherwise pins the whole encode
     // (and every downstream decode of the fixture) to one scan task.
     // Keyed repartition of bare ids: deterministic, negligible bytes.
-    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`")).mapPartitions { rows =>
+    graft.core.Spread.byKey(df.select(idCol), col(s"`$idCol`"), SynthRowsPerTask).mapPartitions { rows =>
       imageIoNoDiskCache
       rows.map { r =>
         val id = r.getAs[Number](0).longValue

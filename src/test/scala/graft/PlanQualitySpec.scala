@@ -341,8 +341,14 @@ class PlanQualitySpec extends SparkSpec {
       df.count()
       val plan = df.queryExecution.executedPlan.toString
       plan.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+        // r20: the row-aware spread cap can collapse a tiny fixture's
+        // barrier to one partition, which prints as `Exchange
+        // SinglePartition, REPARTITION_BY_NUM` (no key in the line) —
+        // still the bare-id spread, still payload-free; every other
+        // exchange shape keeps failing the pin
         assert(l.contains("REPARTITION_BY_NUM") &&
-          (l.contains("doc_id") || l.contains("media_id")) &&
+          (l.contains("doc_id") || l.contains("media_id") ||
+            l.contains("SinglePartition")) &&
           !l.contains("content"),
           s"$q shuffles something beyond the bare-id spread:\n$l\n$plan")
       }
