@@ -1128,21 +1128,24 @@ object Dedup {
   private def appendFps(fresh: DataFrame, keyCol: String,
       storePath: String): (Long, DataFrame) = {
     val spark = fresh.sparkSession
-    // count + write + sidecar update must see the SAME frame (the store
-    // changes under it). explodingMemo supplies the barrier: fast
-    // localCheckpoint by default, reliable DFS checkpoint when
-    // `spark.sql.graft.checkpointDir` is set — a lost executor during a
-    // daily store append must not fail the run on a real cluster.
     // Null keys (null/absent text) never leave the anti-join's left side
     // (null = null is null), so unfiltered they'd re-append one null row
     // EVERY run; they also can't match any future probe — drop them.
-    val newFps = explodingMemo(
-      readStoreOpt(spark, storePath)
-        .map(s => fresh.join(s, Seq(keyCol), "left_anti"))
-        .getOrElse(fresh)
-        .filter(col(keyCol).isNotNull))
-    val n = newFps.count()
-    if (n > 0) newFps.write.mode("append").parquet(storePath)
+    val deduped = readStoreOpt(spark, storePath)
+      .map(s => fresh.join(s, Seq(keyCol), "left_anti"))
+      .getOrElse(fresh)
+      .filter(col(keyCol).isNotNull)
+    // one-job counted append (r20): count rides the write action, so the
+    // old three-consumer memo barrier (count + write + sidecar over one
+    // frame while the store changes under it) is structural now —
+    // graft.core.Stores.appendCountedFiles has the protocol and crash
+    // contract. The sidecar updates re-read EXACTLY the appended rows
+    // from the renamed files (never the plan again, whose anti-join
+    // would see the grown store and return empty).
+    val (n, files) = graft.core.Stores.appendCountedFiles(deduped, storePath)
+    val newFps =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else deduped.limit(0)
     (n, newFps)
   }
 
@@ -1221,9 +1224,9 @@ object Dedup {
   /** Keep the Bloom sidecar current across a daily append WITHOUT the
     * full-store scan [[refreshBloomSidecar]] pays: bloom insertion is
     * append-only, so the increment's fingerprints fold into the EXISTING
-    * filter driver-side (the newFps frame is already memoized — the
-    * collect re-reads a checkpoint, bounded by
-    * `spark.sql.graft.storeBloomIncrementalMax`). Falls back to the full
+    * filter driver-side (the newFps frame is the just-appended files
+    * read back — a bounded scan, never the increment's plan again —
+    * capped by `spark.sql.graft.storeBloomIncrementalMax`). Falls back to the full
     * rebuild when the sidecar is stale/absent, the increment is too big
     * to collect, or the store has outgrown the filter's sized-for
     * capacity (fpp would degrade past the configured target). At a
@@ -1245,11 +1248,14 @@ object Dedup {
           if nNew > 0 && covered == rows - nNew && nNew <= incrMax =>
         loadBloomSidecar(spark, storePath) match {
           case Some((c2, bf)) if c2 == covered && rows <= bloomCapacity(bf, fpp) =>
-            // bounded drain (nNew ≤ incrMax), streamed partition-by-
-            // partition off the increment's checkpoint — never a
-            // whole-frame collect
+            // bounded drain (nNew ≤ incrMax) off the just-appended files,
+            // streamed — never a whole-frame collect. coalesce(1): a
+            // toLocalIterator launches ONE JOB PER PARTITION (the
+            // LinkGraph driver loop learned this the hard way), and the
+            // hash projection is cheap enough that one task beats n
+            // scheduling floors.
             newFps.select(xxhash64(col("fp")).as("h"))
-              .toLocalIterator().asScala
+              .coalesce(1).toLocalIterator().asScala
               .foreach(r => bf.putLong(r.getLong(0)))
             writeBloomSidecar(spark, storePath, rows, bf)
           case _ => refreshBloomSidecar(spark, storePath)
@@ -1449,7 +1455,13 @@ object Dedup {
         val oldFiles = storeDataFiles(spark, storePath) // listed BEFORE the new files land
         val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
         if (fs.exists(tmp)) fs.delete(tmp, true) // prior crashed compaction
+        // the returned row count rides the rewrite action (Observation)
+        // instead of a trailing read-back count job: under the stores'
+        // single-writer contract the rows written ARE the store's rows
+        // once the rename lands
+        val obs = org.apache.spark.sql.Observation()
         rewrite(s0)
+          .observe(obs, count(lit(1)).as("n"))
           .repartition(math.max(targetFiles, 1))
           .write.mode("overwrite").parquet(tmp.toString)
         // land new files under a unique prefix, THEN delete the old set —
@@ -1466,7 +1478,7 @@ object Dedup {
         fs.delete(tmp, true)
         oldFiles.foreach(p => fs.delete(p, false))
         refreshSidecars
-        spark.read.parquet(storePath).count()
+        obs.get("n").asInstanceOf[Long]
     }
 
   /** Append NEW simhash fingerprints to a near-dup seen store AND keep

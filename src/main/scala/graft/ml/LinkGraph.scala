@@ -63,12 +63,12 @@ object LinkGraph {
     * [[compactHostGraphStore]] folds accumulated partials with the
     * shared tmp+rename crash contract. Returns distinct edges appended. */
   def appendToHostGraphStore(links: DataFrame, srcUrlCol: String,
-      dstUrlCol: String, storePath: String): Long = {
-    val g = Dedup.explodingMemo(hostGraph(links, srcUrlCol, dstUrlCol))
-    val n = g.count()
-    if (n > 0) g.write.mode("append").parquet(storePath)
-    n
-  }
+      dstUrlCol: String, storePath: String): Long =
+    // one-job counted append (r20): count rides the write action —
+    // graft.core.Stores.appendCountedFiles has the protocol and crash
+    // contract; the partial-summing read is file-name-insensitive
+    graft.core.Stores.appendCounted(
+      hostGraph(links, srcUrlCol, dstUrlCol), storePath)
 
   /** The merged (src_host, dst_host, n_links) view of a host-graph
     * store — one row per edge, partials summed. Empty for an absent

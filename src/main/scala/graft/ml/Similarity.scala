@@ -883,16 +883,15 @@ object Similarity {
     val spark = df.sparkSession
     val fresh0 = df.select(col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull).distinct()
-    // explodingMemo: reliable DFS checkpoint when
-    // spark.sql.graft.checkpointDir is set — the seen-store append
-    // barrier, so a lost executor mid-append can't fail a daily run
-    val fresh = Dedup.explodingMemo(
+    // one-job counted append (r20): count rides the write action, so the
+    // old memo barrier (count + write over one frame, executor-loss
+    // safety) is structural — graft.core.Stores.appendCountedFiles has
+    // the protocol and crash contract
+    graft.core.Stores.appendCounted(
       readVecStoreOpt(spark, storePath)
         .map(s => fresh0.join(s, Seq("v"), "left_anti"))
-        .getOrElse(fresh0))
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode("append").parquet(storePath)
-    n
+        .getOrElse(fresh0),
+      storePath)
   }
 
   /** Cross-run semantic dedup: drop increment rows whose embedding is

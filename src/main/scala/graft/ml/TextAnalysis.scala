@@ -742,13 +742,15 @@ object TextAnalysis {
     * compacted in, hence compaction only ever rewrites what a clean
     * read saw). Returns the number of distinct tokens appended. */
   def appendToVocabStore(df: DataFrame, textCol: String, storePath: String,
-      unicode: Boolean = false): Long = {
-    val counts = Dedup.explodingMemo(
-      tokenCountFrame(df, textCol, unicode).filter(col("token").isNotNull))
-    val n = counts.count()
-    if (n > 0) counts.write.mode("append").parquet(storePath)
-    n
-  }
+      unicode: Boolean = false): Long =
+    // one-job counted append (r20): the count rides the write action, so
+    // the old memo(count)+write pair — two evaluations' worth of jobs —
+    // collapses to one (graft.core.Stores.appendCountedFiles has the
+    // protocol and crash contract; the partial-summing read is
+    // insensitive to the file names)
+    graft.core.Stores.appendCounted(
+      tokenCountFrame(df, textCol, unicode).filter(col("token").isNotNull),
+      storePath)
 
   /** The merged (token, cnt) view of a vocabulary store — one row per
     * token, partials summed. Empty frame for an absent store. */

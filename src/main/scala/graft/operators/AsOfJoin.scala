@@ -282,12 +282,11 @@ object AsOfJoin {
     val fresh = graft.core.Stores.readParquetIfExists(spark, storePath)
       .map(s => proj.join(s, keys :+ tsCol, "left_anti"))
       .getOrElse(proj)
-    // count + write must see the same frame (the anti-join's right side
-    // changes under it once the write lands)
-    val materialized = fresh.localCheckpoint()
-    val n = materialized.count()
-    if (n > 0) materialized.write.mode("append").parquet(storePath)
-    n
+    // one-job counted append (r20): count and write are the SAME action,
+    // so the old localCheckpoint barrier (count + write must see one
+    // frame while the store changes under them) is structural now —
+    // Stores.appendCountedFiles has the protocol and crash contract
+    graft.core.Stores.appendCounted(fresh, storePath)
   }
 
   /** Rewrite the temporal store to ~`targetFiles` parquet files —
@@ -318,8 +317,14 @@ object AsOfJoin {
     if (oldFiles.isEmpty) return 0L
     val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true) // prior crashed compaction
+    // row count rides the rewrite action (Observation) — single-writer
+    // contract makes it the post-compaction store count, without the
+    // trailing read-back count job
+    val obs = org.apache.spark.sql.Observation()
     spark.read.parquet(storePath)
       .dropDuplicates(keys :+ tsCol)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
       .repartition(math.max(targetFiles, 1))
       .write.mode("overwrite").parquet(tmp.toString)
     val tag = java.util.UUID.randomUUID().toString.take(8)
@@ -332,7 +337,7 @@ object AsOfJoin {
       }
     fs.delete(tmp, true)
     oldFiles.foreach(p => fs.delete(p, false))
-    spark.read.parquet(storePath).count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** As-of enrich `left` against the accumulated store: for each left

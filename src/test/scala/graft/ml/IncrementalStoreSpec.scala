@@ -70,30 +70,60 @@ class IncrementalStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.graft.storeBloomMaxItems")
   }
 
-  test("store appends honor spark.sql.graft.checkpointDir (reliable barrier)") {
-    // the count+write barrier rides explodingMemo: with the config set, a
-    // daily store append survives executor loss from DFS checkpoint files
-    // instead of failing the run (same switch the dedup memos use)
+  test("store appends: one-job counted protocol (r20) — counts, files, no tmp") {
+    // r20 replaced the memo(count)+write barrier with Stores.appendCounted:
+    // the count rides the write action itself, the files land via a
+    // sibling-tmp + unique-prefix rename, and a re-run append is still a
+    // no-op (anti-join against the grown store). checkpointDir may be set
+    // (other memos still honor it) — the append no longer needs it.
     val dir = tmp("inc-ckpt")
     val store = tmp("inc-ckpt-store") + "/fps"
     spark.conf.set("spark.sql.graft.checkpointDir", dir)
     try {
-      // the JVM-shared SparkContext keeps whatever checkpoint root the
-      // FIRST explodingMemo call pinned (suite order isn't ours to pick),
-      // so assert growth under the EFFECTIVE root, not under `dir`
-      def countFiles(f: java.io.File): Int =
-        if (f.isFile) 1 else Option(f.listFiles).toSeq.flatten.map(countFiles).sum
-      def effectiveRoot() = new java.io.File(
-        spark.sparkContext.getCheckpointDir
-          .map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath)
-          .getOrElse(dir))
-      val before = countFiles(effectiveRoot())
       assert(Dedup.appendToSeenStore(day1, "text", store) == 3)
       assert(Dedup.appendToSeenStore(day2, "text", store) == 1)
+      assert(Dedup.appendToSeenStore(day2, "text", store) == 0) // idempotent
       assert(spark.read.parquet(store).count() == 4)
-      assert(countFiles(effectiveRoot()) > before,
-        s"no new reliable checkpoint files under ${effectiveRoot()}")
+      // every data file carries the append protocol's unique prefix, and
+      // no append tmp dir survives (clean or no-op runs both delete it)
+      val fsDir = new java.io.File(store)
+      val dataFiles = fsDir.listFiles.filter(_.isFile)
+        .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+      assert(dataFiles.nonEmpty && dataFiles.forall(_.startsWith("append-")),
+        s"unexpected data file names: ${dataFiles.mkString(",")}")
+      assert(!new java.io.File(store + "_append_tmp").exists,
+        "append tmp dir left behind")
     } finally spark.conf.unset("spark.sql.graft.checkpointDir")
+  }
+
+  test("appendCountedFiles: count matches files' rows; stale tmp is cleaned") {
+    import graft.core.Stores
+    val store = tmp("inc-counted") + "/rows"
+    // plant a stale tmp (crashed prior append) — it must be removed and
+    // must not contaminate the store
+    val staleTmp = new java.io.File(store + "_append_tmp")
+    staleTmp.mkdirs()
+    new java.io.File(staleTmp, "part-stale.parquet").createNewFile()
+    val (n, files) = Stores.appendCountedFiles(
+      Seq(1L, 2L, 3L).toDF("v"), store)
+    assert(n == 3)
+    assert(files.nonEmpty)
+    assert(spark.read.parquet(files: _*).count() == 3)
+    assert(spark.read.parquet(store).count() == 3)
+    assert(!staleTmp.exists, "stale tmp not cleaned")
+    // empty append: no files land, the store is untouched, tmp cleaned
+    val (n0, files0) = Stores.appendCountedFiles(
+      Seq.empty[Long].toDF("v"), store)
+    assert(n0 == 0 && files0.isEmpty)
+    assert(spark.read.parquet(store).count() == 3)
+    assert(!staleTmp.exists)
+    // empty append against an ABSENT store leaves it absent (first-run
+    // existence semantics unchanged)
+    val absent = tmp("inc-counted-absent") + "/rows"
+    val (nA, filesA) = Stores.appendCountedFiles(
+      Seq.empty[Long].toDF("v"), absent)
+    assert(nA == 0 && filesA.isEmpty)
+    assert(!new java.io.File(absent).exists)
   }
 
   private val near1 = Seq(
