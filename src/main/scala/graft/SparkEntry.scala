@@ -1020,9 +1020,16 @@ object SparkEntry {
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
       val qs = emb.filter($"vec_id" < 5)
+      // the exact top-k base is consumed by all three recall arms, whose
+      // union subtrees execute CONCURRENTLY — a lazy memo never gets hit
+      // (each arm computes it before any fill lands; measured r20:
+      // 0.788→1.744 med). Eager localCheckpoint instead (the
+      // sharedMinhashPairs precedent): the brute-force pass runs exactly
+      // once, and the arms consume the tiny (25-row) checkpointed frame.
       val exact = graft.ml.Similarity.bruteForceTopK(
           emb, qs, "embedding", "vec_id", k = 5)
         .select($"query_id", $"vec_id")
+        .localCheckpoint()
       def arm(name: String, approx: DataFrame) =
         exact.join(approx.select($"query_id", $"vec_id", lit(1).as("hit")),
             Seq("query_id", "vec_id"), "left")

@@ -295,7 +295,7 @@ object TextAnalysis {
   def topTfidfTerms(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5): DataFrame =
     topTfidfBy(df, textCol, idCol, k) { (tf, dfq, n) =>
-      (tf * lit(n)).cast("double") / dfq
+      (tf * n).cast("double") / dfq
     }
 
   /** Standard LOG-weighted tf-idf (score = tf · ln(N/df)) beside the
@@ -308,23 +308,32 @@ object TextAnalysis {
   def topTfidfTermsLog(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5): DataFrame =
     topTfidfBy(df, textCol, idCol, k) { (tf, dfq, n) =>
-      round(tf * log(lit(n).cast("double") / dfq.cast("double")), 6)
+      round(tf * log(n.cast("double") / dfq.cast("double")), 6)
     }
 
   private def topTfidfBy(df: DataFrame, textCol: String, idCol: String, k: Int)(
-      weight: (Column, Column, Long) => Column): DataFrame = {
-    val n = df.count()
+      weight: (Column, Column, Column) => Column): DataFrame = {
+    // Corpus size N rides the plan as a broadcast 1-row aggregate (the
+    // qualityBand lazy scalar-bound pattern) instead of an eager count()
+    // action at plan-build time — same value, one fewer synchronous job,
+    // and the count's pruned scan overlaps the main query's.
+    val nDocs = df.agg(count(lit(1)).cast("long").as("__n_docs"))
     // per-doc term frequencies come pre-aggregated from the kernel: one
     // exploded row per DISTINCT term instead of one per token, and no
     // groupBy(id, token) shuffle at all (ShingleFnsSpec pins the kernel
-    // against the explode+groupBy formulation)
+    // against the explode+groupBy formulation). The frame feeds BOTH the
+    // term rows and the document-frequency aggregate; a memo does NOT
+    // help here (measured r20): the join's two child stages run
+    // CONCURRENTLY, so neither consumer hits a cache the other is still
+    // filling — both still tokenize, plus both pay the cache-write
+    // (isolated 5-round med 0.626→1.551). The two tokenize passes stand.
     val tf = df.select(col(idCol).as("id"),
         explode(graft.functions.ShingleFns.tokenCounts(lower(col(textCol)))).as("tc"))
       .select(col("id"), col("tc.token").as("token"), col("tc.cnt").as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "token")
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
       .select(col("id"), col("token"),
-        weight(col("tf"), col("df"), n).as("score"))
+        weight(col("tf"), col("df"), col("__n_docs")).as("score"))
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn("rank", row_number().over(
@@ -817,6 +826,10 @@ object TextAnalysis {
     require(maxPostings > 0,
       s"invertedIndex: maxPostings must be positive, got $maxPostings")
     import org.apache.spark.sql.expressions.Window
+    // both bounded paths (df partial-agg, rank WindowGroupLimit) consume
+    // the same exploded postings; a memo does NOT help (measured r20):
+    // the two paths' stages run concurrently, so neither hits a cache
+    // the other is still filling — see topTfidfBy. Two tokenize passes.
     val postings = df.select(col(idCol).as("doc_id"),
         explode(graft.functions.ShingleFns.tokenCounts(lower(col(textCol)),
           unicode)).as("tc"))
