@@ -32,6 +32,10 @@ object CacheRegistry {
   private val local =
     ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](
       () => new java.util.ArrayDeque[DataFrame]())
+  private val localBc =
+    ThreadLocal.withInitial[java.util.ArrayDeque[
+        org.apache.spark.broadcast.Broadcast[_]]](
+      () => new java.util.ArrayDeque[org.apache.spark.broadcast.Broadcast[_]]())
 
   /** persist(MEMORY_AND_DISK) + register for this thread's next drain(). */
   def memo(df: DataFrame): DataFrame = {
@@ -40,8 +44,22 @@ object CacheRegistry {
     p
   }
 
-  /** Unpersist every frame registered on this thread. Non-blocking: the
-    * executors free the blocks asynchronously while the driver moves on. */
+  /** Register a hand-built Broadcast (kernel models: NgramLm's LmModel,
+    * …) for this thread's next drain(). Drained with `unpersist`, NOT
+    * `destroy`: executors drop their copies, the driver keeps the value,
+    * so a plan object that outlives the drain simply re-fetches — the
+    * exact lifecycle the persisted-frame memos have. Without this,
+    * every score() call in a long-lived session leaked its model's
+    * broadcast blocks for the JVM lifetime (r19 ADVICE). */
+  def memoBroadcast[T](
+      bc: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
+    localBc.get.add(bc)
+    bc
+  }
+
+  /** Unpersist every frame and broadcast registered on this thread.
+    * Non-blocking: the executors free the blocks asynchronously while
+    * the driver moves on. */
   def drain(): Unit = {
     val q = local.get
     var d = q.poll()
@@ -49,8 +67,14 @@ object CacheRegistry {
       try d.unpersist(blocking = false) catch { case _: Throwable => () }
       d = q.poll()
     }
+    val qb = localBc.get
+    var b = qb.poll()
+    while (b != null) {
+      try b.unpersist(blocking = false) catch { case _: Throwable => () }
+      b = qb.poll()
+    }
   }
 
   /** Registered-but-not-yet-drained count on this thread (spec hook). */
-  def size: Int = local.get.size
+  def size: Int = local.get.size + localBc.get.size
 }

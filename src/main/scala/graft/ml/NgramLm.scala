@@ -93,9 +93,33 @@ object NgramLm {
     // longest-available-history scan, same IEEE fold orders
     // (NgramLmSpec pins kernel == composed on the edge battery; the
     // q_ngram_lm oracle hash pins the corpus). The composed plan stays
-    // below as scoreComposed, the spec's reference.
-    val lm = graft.functions.NgramLmFns.buildModel(model, order)
-    val bcast = corpus.sparkSession.sparkContext.broadcast(lm)
+    // below as scoreComposed — ALSO the graceful-degradation path (r20,
+    // ADVICE r19): a model past MaxModelRows no longer throws, it scores
+    // through the join plan that handled arbitrarily large models before
+    // r19 (same values — the spec's kernel==composed battery is the
+    // proof), reusing the already-checkpointed projection.
+    val fns = graft.functions.NgramLmFns
+    scoreBounded(corpus, model, textCol, idCol, order, alpha, unicode,
+      fns.MaxModelRows)
+  }
+
+  /** [[score]] with a caller-visible drain cap — the spec drives the
+    * fallback seam with a tiny cap; production goes through [[score]]
+    * at [[graft.functions.NgramLmFns.MaxModelRows]]. */
+  private[graft] def scoreBounded(corpus: DataFrame, model: DataFrame,
+      textCol: String, idCol: String, order: Int, alpha: Double,
+      unicode: Boolean, cap: Int): DataFrame = {
+    val fns = graft.functions.NgramLmFns
+    val ck = fns.checkpointedModel(model)
+    val rows = ck.take(cap + 1)
+    if (rows.length > cap)
+      return scoreComposed(corpus, ck, textCol, idCol, order, alpha, unicode)
+    val lm = fns.buildModelFromRows(rows, order)
+    // registered for drain (unpersist, not destroy) — repeated score()
+    // calls in a long-lived session no longer accumulate broadcast
+    // blocks (r19 ADVICE)
+    val bcast = graft.core.CacheRegistry.memoBroadcast(
+      corpus.sparkSession.sparkContext.broadcast(lm))
     val ev = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.LmScoreBcastExpr(bcast,
         org.apache.spark.sql.graftbridge.Bridge.expression(col(s"`$textCol`")),

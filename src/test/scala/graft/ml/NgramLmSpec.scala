@@ -151,4 +151,35 @@ class NgramLmSpec extends SparkSpec {
     val c2 = NgramLm.scoreComposed(docs, merged, "text", "doc_id", 3).orderBy("id").collect()
     k2.zip(c2).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
+
+  test("score falls back to the composed plan past the drain cap (r20, r19 ADVICE)") {
+    // a model larger than the cap must SCORE (through the join plan the
+    // pre-r19 path used), not throw — and produce the kernel path's
+    // exact rows. Driven through the caller-visible cap seam; the
+    // production cap is NgramLmFns.MaxModelRows.
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "z a z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val model = NgramLm.train(refDf, "text", order = 3, minCount = 1)
+      .localCheckpoint()
+    assert(model.count() > 2)
+    val viaKernel = NgramLm.score(docs, model, "text", "doc_id", order = 3)
+      .orderBy("id").collect()
+    val viaFallback = NgramLm.scoreBounded(docs, model, "text", "doc_id",
+        order = 3, alpha = 0.4, unicode = false, cap = 2)
+      .orderBy("id").collect()
+    assert(viaKernel.length == viaFallback.length)
+    viaKernel.zip(viaFallback).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
+  test("score's model broadcast registers for CacheRegistry.drain (r20, r19 ADVICE)") {
+    graft.core.CacheRegistry.drain()
+    val before = graft.core.CacheRegistry.size
+    val model = NgramLm.train(refDf, "text", order = 3, minCount = 1)
+    NgramLm.score(Seq((1L, "a b")).toDF("doc_id", "text"), model,
+      "text", "doc_id", order = 3).count()
+    assert(graft.core.CacheRegistry.size > before,
+      "model broadcast not registered for drain")
+    graft.core.CacheRegistry.drain()
+    assert(graft.core.CacheRegistry.size == 0)
+  }
 }
