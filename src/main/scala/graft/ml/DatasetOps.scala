@@ -683,7 +683,10 @@ object DatasetOps {
       "balanceByCluster emits 'cluster_id' but the input already has it — " +
         "rename or drop the existing column first")
     // bounded drain (take, not collect): one row past the cap proves the
-    // panel violates the bounded-model contract without an unbounded pull
+    // panel violates the bounded-model contract without an unbounded
+    // pull. NO coalesce(1) here (unlike the Dsir.model drain): the panel
+    // may be a raw filtered scan of an unbounded table with no shuffle
+    // boundary below, and coalesce would collapse that scan to one task.
     val rows = centroids
       .select(col("cell_id").cast("long"), col("centroid").cast("array<double>"))
       .take(4097)

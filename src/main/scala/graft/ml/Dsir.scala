@@ -100,17 +100,13 @@ object Dsir {
     * (counts merge, the vocab-store contract) — register behind
     * PostCommit so a failed run's retry cannot double-count. */
   def appendToCountsStore(df: DataFrame, textCol: String, storePath: String,
-      logBuckets: Int = 12, bigrams: Boolean = true): Long = {
-    // count + write must see the same rows; explodingMemo upgrades to a
-    // reliable DFS checkpoint when spark.sql.graft.checkpointDir is set —
-    // a lost executor during a daily append must not fail the run (and a
-    // counts store is NOT idempotent, so a failed run needs operator care)
-    val counts = Dedup.explodingMemo(
-      ngramCounts(df, textCol, logBuckets, bigrams))
-    val n = counts.count()
-    if (n > 0) counts.write.mode("append").parquet(storePath)
-    n
-  }
+      logBuckets: Int = 12, bigrams: Boolean = true): Long =
+    // one-job counted append (r20): count rides the write action —
+    // graft.core.Stores.appendCountedFiles has the protocol and crash
+    // contract (and a counts store is NOT idempotent, so a failed run
+    // needs operator care regardless of the write shape)
+    graft.core.Stores.appendCounted(
+      ngramCounts(df, textCol, logBuckets, bigrams), storePath)
 
   /** The merged bucket-count view of a counts store (partials summed;
     * empty frame with the Dsir schema for an absent store). */
@@ -140,8 +136,13 @@ object Dsir {
       logBuckets: Int = 12, bigrams: Boolean = true): DsirModel = {
     val b = 1 << logBuckets
     def drain(counts: DataFrame, which: String): (Array[Long], Long) = {
+      // coalesce(1) before take (r20): the frame is bounded (≤ 2^logB+1
+      // rows) but spread over the session's partitions, and take()'s
+      // incremental scale-up scan (1, 4, 16, … partitions) pays one job
+      // floor per step — ~4 jobs per drain, ×2 drains per model. One
+      // partition → one job; driver boundedness unchanged (still take).
       val rows = counts.select(col("bucket").cast("int"),
-        col("cnt").cast("long")).take(b + 2)
+        col("cnt").cast("long")).coalesce(1).take(b + 2)
       require(rows.length <= b + 1,
         s"Dsir.model: $which count frame has more than 2^$logBuckets+1 " +
           "buckets — built with a different logBuckets?")

@@ -105,7 +105,10 @@ object QualityClassifier {
         .groupBy(col("fb.bucket").as("bucket"))
         .agg(sum((col("e") * col("fb.cnt")).cast("decimal(38,18)")).as("g"),
           sum(col("fb.cnt").cast("long")).as("n"))
-      val rows = grad.take(buckets + 2)
+      // coalesce(1) before take (r20): bounded frame spread over the
+      // session's partitions — take's scale-up scan pays ~4 job floors
+      // PER TRAIN ITERATION without it (the Dsir.model drain fix)
+      val rows = grad.coalesce(1).take(buckets + 2)
       require(rows.length <= buckets + 1,
         "gradient returned more buckets than the model has — kernel drift")
       var n = 1L
