@@ -428,7 +428,8 @@ object Bench {
       probe0: Double = -1.0,
       settleProbe: Double = -1.0,
       floorCand: Double = -1.0,
-      floorRefresh: String = ""): String = {
+      floorRefresh: String = "",
+      queryMins: Seq[(String, Double)] = Seq.empty): String = {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
@@ -455,9 +456,22 @@ object Bench {
     // probe — small, so they ride every shed candidate.
     def probePair(p: (Double, Double)): String =
       "[" + jnum(p._1) + "," + jnum(p._2) + "]"
+    // per-query heat classification (r20, VERDICT r19 item 6 — addition
+    // only): each headline query's MIN-of-rounds next to its median, as
+    // a POSITIONAL array aligned with the `queries` key order (a keyed
+    // object would cost ~500 chars and overflow the 1800-char window; 19
+    // two-decimal values cost ~110). A median ≫ its min marks that
+    // query's rounds as heat-poisoned — the q_funnel-style 6× noise
+    // swing (r19: 2.726 median on a byte-identical plan, floor 0.58)
+    // becomes classifiable from the artifact alone, and PERF can stop
+    // counting such rows as code regressions. -1 = no clean sample.
+    val minsMap = queryMins.toMap
+    def minArr(qs: Seq[(String, Double)]): String =
+      qs.map { case (k, _) => minsMap.get(k).map(jnum2).getOrElse("-1") }
+        .mkString("[", ",", "]")
     def assemble(qs: Seq[(String, Double)], st: Seq[(String, Double)],
         br: Seq[(String, (Double, Double))], es: Seq[String]): String =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"errors":${errJsonOf(es)},"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"stress_overshoot_reason":"${jstr(stressOvershoot)}","warmup_probe":${probePair(warmupProbe)},"warmup_hot":$warmupHot,"queries_probe":${probePair(queriesProbe)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"probe0":${jnum(probe0)},"settle_probe":${jnum(settleProbe)},"floor_candidate":${jnum(floorCand)},"floor_refresh":"${jstr(floorRefresh)}","run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"${jstr(sfDir)}"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${obj(qs)},"queries_min":${minArr(qs)},"errors":${errJsonOf(es)},"rounds":$rounds,"shared":{"shared_build":${jnum(sharedSec)}},"phases":${obj(phases)},"stress_overshoot_reason":"${jstr(stressOvershoot)}","warmup_probe":${probePair(warmupProbe)},"warmup_hot":$warmupHot,"queries_probe":${probePair(queriesProbe)},"isolated_families":$isolatedFamilies,"stress_cursor":"$stressCursor","probe_floor_ref":${jnum(probeFloorRef)},"probe0":${jnum(probe0)},"settle_probe":${jnum(settleProbe)},"floor_candidate":${jnum(floorCand)},"floor_refresh":"${jstr(floorRefresh)}","run_contended":$runIsContended,"contended":$contJson,"probe_bracket":${brObj(br)},"stress":${obj(st)},"sf":"${jstr(sfDir)}"}"""
     // final shedding step: a mass-error run (every gate analysis-broken)
     // carries an errors array that alone outgrows the capture window —
     // truncate to the first names plus a count so the artifact stays
@@ -1258,7 +1272,11 @@ object Bench {
       warmupProbe = warmupProbe, queriesProbe = queriesProbe,
       warmupHot = warmupHot, stressOvershoot = stressOvershoot,
       probe0 = probe0, settleProbe = settleProbe,
-      floorCand = floorCand, floorRefresh = floorRefresh))
+      floorCand = floorCand, floorRefresh = floorRefresh,
+      queryMins = names.map { n =>
+        val clean = samples(n).filter(_ >= 0)
+        n -> (if (clean.isEmpty) -1.0 else clean.min)
+      }))
     spark.stop()
   }
 }

@@ -45,7 +45,9 @@ class BenchLineSpec extends AnyFunSuite {
       warmupProbe = (2.668, 3.184), queriesProbe = (0.684, 0.701),
       warmupHot = true,
       probe0 = 0.712, settleProbe = 0.934, floorCand = 0.841,
-      floorRefresh = "0.684->0.841:3-runs-over-bound")
+      floorRefresh = "0.684->0.841:3-runs-over-bound",
+      queryMins = Bench.headline.map(_ -> 1.111) ++ fakeQueries(150).map {
+        case (k, v) => k -> (v - 0.1) })
     assert(line.length <= Bench.MaxLineChars, s"line was ${line.length} chars")
     val node = mapper.readTree(line)
     assert(node.get("value").asDouble() >= 123.455 && node.get("value").asDouble() <= 123.457)
@@ -54,6 +56,14 @@ class BenchLineSpec extends AnyFunSuite {
     Bench.headline.foreach { q =>
       assert(node.get("queries").has(q), s"headline $q missing")
     }
+    // r20 (VERDICT r19 item 6): per-query min-of-rounds rides the line as
+    // a positional array ALIGNED with the queries key order — one entry
+    // per emitted median, 2-decimal, so per-query heat (median >> min) is
+    // classifiable from the artifact alone
+    assert(node.get("queries_min").isArray)
+    assert(node.get("queries_min").size() === node.get("queries").size(),
+      "queries_min must align 1:1 with the queries object")
+    assert(node.get("queries_min").get(0).asDouble() === 1.11)
     // ... and the stress block itself fits alongside them (the full
     // candidate, no shedding, at a realistic all-families op count)
     assert(node.get("stress").size() === 26, "stress was shed at a " +

@@ -76,6 +76,38 @@ if (want("langid")) {
   val p1 = probe(); println(f"[PROF probe post] $p1%.3f")
 }
 
+if (want("curate")) {
+  val p0 = probe(); println(f"[PROF probe pre] $p0%.3f")
+  tN("q_curate_rank", 5)(q("q_curate_rank"))
+  val docs = graft.core.Tables.load(spark, dir, "documents")
+  def prefix = {
+    val ruled = graft.ml.TextAnalysis.gopherRules(docs, "text",
+      minStopHits = 1, drop = true)
+    val model = graft.functions.QualityClfModel(
+      graft.ml.QualityClassifier.syntheticWeights(12), 12,
+      bigrams = true, bias = 0.0)
+    val scored = graft.ml.QualityClassifier.score(ruled, "text", model)
+      .filter(col("quality_logit") > 0.0)
+    val (tc, rc) = graft.ml.Dsir.ngramCountsWithTarget(
+      docs, "text", col("doc_id") < 50, 12)
+    val m = graft.ml.Dsir.model(tc, rc, 12)
+    val weighed = graft.ml.Dsir.weigh(scored, "text", "doc_id", m)
+    weighed.filter(graft.ml.Dsir.thresholdKeep(weighed, "doc_id"))
+  }
+  tN("curate prefix (kept) count", 5)(prefix.count())
+  val kept = prefix.localCheckpoint()
+  println(s"[PROF kept rows] ${kept.count()}")
+  tN("curate pairs over kept-ckpt", 5)(
+    graft.ml.Dedup.minhashPairs(kept, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.9).count())
+  tN("curate drop over kept-ckpt", 5)({
+    val pairs = graft.ml.Dedup.minhashPairs(kept, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.9)
+    graft.ml.Dedup.dropDuplicates(kept, pairs, "doc_id").count()
+  })
+  val p1 = probe(); println(f"[PROF probe post] $p1%.3f")
+}
+
 if (want("media")) {
   // Spread pins to spark.sql.shuffle.partitions -- sweep it to test the
   // r19-verdict over-sharding hypothesis (c8 beat c32 on this family)
