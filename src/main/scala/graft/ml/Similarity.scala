@@ -720,14 +720,18 @@ object Similarity {
     * drop-id aggregate, so no quadratic pair set is ever materialized
     * (same fused shape as Dedup.dropDuplicatesHammingBy).
     *
-    * The assignment memo is `persist(MEMORY_AND_DISK)`, not
-    * localCheckpoint: it is corpus-sized, and persist keeps lineage so a
-    * lost executor recomputes its partitions instead of failing the
-    * whole job (localCheckpoint blocks are unrecoverable — the wrong
-    * trade for the one frame here that scales with the corpus). It stays
-    * cached after return (both sides of the lazy self-join read it);
-    * Spark evicts LRU, or call `spark.catalog.clearCache()` between
-    * corpus-sized runs.
+    * The assignment memo is the EAGER RDD barrier
+    * ([[graft.ml.Dedup.explodingMemo]]) since r20, not a lazy persist:
+    * the self-join's two sides scan it concurrently (a lazy cache gets
+    * no hits there — each side computes the assignment before any fill
+    * lands), and a persisted join input advertises true size, inviting
+    * AQE to coalesce the pair join's exchanges under a quadratic output
+    * (the hamming2x2 profile's 17 s → 100 s regression at 500k docs).
+    * The RDD barrier computes the assignment once and reports unknown
+    * stats. Fault-tolerance trade is the explodingMemo contract: fast
+    * localCheckpoint by default (a lost executor fails the job), or set
+    * `spark.sql.graft.checkpointDir` for the cluster-reliable DFS
+    * checkpoint with identical plan shape.
     *
     * `maxCellSize > 0` bounds the quadratic against HOT cells (one
     * centroid near a dense mode otherwise makes its cell's join
@@ -744,7 +748,15 @@ object Similarity {
       numCells: Int = 16, threshold: Double = 0.95,
       centroids: Option[DataFrame] = None,
       maxCellSize: Long = 0L, dim: Int = 64): DataFrame = {
-    val base = graft.core.CacheRegistry.memo(
+    // explodingMemo, not a lazy persist (r20): the SELF-join's two sides
+    // scan `base` concurrently, so a lazy cache gets zero hits there
+    // (each side computes the assignment before any fill lands — the
+    // r20 tf/ann_recall measurement), and a persisted input advertises
+    // true size, inviting AQE to coalesce the pair join's exchanges
+    // under a quadratic output (the hamming2x2 profile, 17 s → 100 s at
+    // 500k docs). The eager RDD barrier computes the assignment ONCE
+    // and reports unknown stats — full parallelism for the pair stage.
+    val base = Dedup.explodingMemo(
       buildIvfIndex(df, vecCol, idCol, numCells, centroids).assigned)
     val assigned =
       if (maxCellSize <= 0L) base.withColumn("sub", lit(0L))
