@@ -275,12 +275,24 @@ object SparkEntry {
     // within a wave every key is distinct, so the build-outside-lock
     // memo races never duplicate work. r19: 11.5 s sequential → the wall
     // of the longest chain.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // pool width = the widest wave (7): with 4 threads the first wave
+    // ran as ceil(7/4) = 2 serial batches; the builds are small Spark
+    // jobs whose task tails leave most of the 32 cores idle, so running
+    // all 7 concurrently back-fills better (r20; FIFO scheduling)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
     try {
       def runAll(builds: Seq[() => Any]): Unit = {
         val futs = builds.map(b =>
           pool.submit(new java.util.concurrent.Callable[Any] {
-            override def call(): Any = b()
+            // drain on the WORKER thread (r19 ADVICE): CacheRegistry is
+            // thread-scoped, and memos registered inside a build
+            // (minhashPairs' docs persist, joinBackOnce drop sets) would
+            // otherwise sit on the pool thread's queue for the session
+            // lifetime. Safe here because every build is EAGER (the
+            // localCheckpoint/append materializes inside the task), so
+            // the memos' consuming action has completed by the finally.
+            override def call(): Any =
+              try b() finally graft.core.CacheRegistry.drain()
           }))
         futs.foreach(_.get()) // propagate the first failure
       }
