@@ -684,11 +684,19 @@ object DatasetOps {
         "rename or drop the existing column first")
     // bounded drain (take, not collect): one row past the cap proves the
     // panel violates the bounded-model contract without an unbounded
-    // pull. NO coalesce(1) here (unlike the Dsir.model drain): the panel
-    // may be a raw filtered scan of an unbounded table with no shuffle
-    // boundary below, and coalesce would collapse that scan to one task.
+    // DRIVER pull. NO coalesce(1) here (unlike the Dsir.model drain):
+    // the panel may be a raw filtered scan of an unbounded table with no
+    // shuffle boundary below, and coalesce would collapse that scan to
+    // one task. localCheckpoint FIRST instead (the LangId drain fix): a
+    // selective panel never fills take's cap, so the incremental
+    // scale-up scan (1, 4, 16, … partitions) walks EVERY partition
+    // across ~4 job floors; the eager checkpoint scans once in parallel
+    // and the take reads materialized blocks. A contract-violating
+    // caller materializes the oversized panel on the executors before
+    // the cap trips (driver boundedness unchanged).
     val rows = centroids
       .select(col("cell_id").cast("long"), col("centroid").cast("array<double>"))
+      .localCheckpoint()
       .take(4097)
     require(rows.nonEmpty, "balanceByCluster: empty centroid panel")
     require(rows.length <= 4096,

@@ -108,6 +108,29 @@ if (want("curate")) {
   val p1 = probe(); println(f"[PROF probe post] $p1%.3f")
 }
 
+if (want("nearstore")) {
+  val p0 = probe(); println(f"[PROF probe pre] $p0%.3f")
+  // q_dedup_store_near decomposition: fixture build is shared; the gate
+  // times the probe. Pieces: store footer count, increment fingerprint
+  // memo+count, banded join + anti join.
+  val docs = graft.core.Tables.load(spark, dir, "documents")
+  val store = {
+    val p = java.nio.file.Files.createTempDirectory("prof-near").toString + "/store"
+    graft.ml.Dedup.appendToNearStore(docs.filter(col("doc_id") < 250),
+      "text", p, graft.ml.Dedup.simhash32, totalBits = 32, bands = 4)
+    p
+  }
+  val inc = docs.filter(col("doc_id") >= 250)
+  tN("nearstore full probe", 5)(
+    graft.ml.Dedup.dropSeenNearStoreBy(inc, store, "text", "doc_id",
+      graft.ml.Dedup.simhash32, totalBits = 32, k = 3, bands = 4).count())
+  tN("nearstore inc fingerprint+distinct", 5)(
+    inc.select(graft.ml.Dedup.simhash32(col("text")).as("s")).distinct().count())
+  tN("nearstore store footer count", 5)(
+    spark.read.parquet(store).count())
+  val p1 = probe(); println(f"[PROF probe post] $p1%.3f")
+}
+
 if (want("media")) {
   // Spread pins to spark.sql.shuffle.partitions -- sweep it to test the
   // r19-verdict over-sharding hypothesis (c8 beat c32 on this family)
