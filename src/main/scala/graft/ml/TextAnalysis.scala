@@ -369,8 +369,12 @@ object TextAnalysis {
     * Pass 2 — one exact aggregate in which candidate grams keep their
     * identity and every other gram collapses into a single NULL bucket,
     * so the same pass yields both exact candidate counts and the exact
-    * corpus total (≤ 1/minFrac + 1 groups; the tiny localCheckpoint stops
-    * the total-sum action from re-scanning the corpus).
+    * corpus total (≤ 1/minFrac + 1 groups). The total is a WINDOW sum
+    * over that bounded frame inside the same plan (r20) — the r19 shape
+    * paid a localCheckpoint job plus a separate total-sum action; a
+    * single-partition window over ≤ 1/minFrac + 1 rows is not the
+    * stop-word window hazard (the input is an aggregate, never the
+    * corpus).
     *
     * The final strict `cnt > minFrac·total` filter makes the output
     * EXACTLY the true heavy hitters — false-positive candidates are
@@ -382,12 +386,14 @@ object TextAnalysis {
     val grams = df.select(explode(ngramsAll(lower(col(textCol)), n)).as("gram"))
     val cands = grams.stat.freqItems(Seq("gram"), minFrac)
       .head.getSeq[Any](0).map(String.valueOf(_))
+    import org.apache.spark.sql.expressions.Window
     val counted = grams
       .groupBy(when(col("gram").isInCollection(cands), col("gram")).as("gram"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val total = counted.agg(sum(col("cnt"))).head.getLong(0)
-    counted.filter(col("gram").isNotNull && col("cnt") > lit(minFrac) * total)
+    counted
+      .withColumn("__total", sum(col("cnt")).over(Window.partitionBy()))
+      .filter(col("gram").isNotNull && col("cnt") > lit(minFrac) * col("__total"))
+      .select(col("gram"), col("cnt"))
   }
 
   /** Unicode script classes as closed BMP codepoint ranges — the
