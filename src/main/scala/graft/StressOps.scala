@@ -111,8 +111,14 @@ object StressOps {
     // index — obs 8.1-10.2 both twins (skew ≈ uniform by design)
     "inverted_index" -> (6.9, 11.7),
     "inverted_index_stopword" -> (6.9, 11.7),
-    // vec — obs 27.9-33.2 post-fix (§8.23j 27.9, r13 33.2)
-    "semdedup" -> (23.7, 38.2),
+    // vec — r20 re-derived: the semanticDedup assignment barrier became
+    // the eager RDD barrier (unknown stats ⇒ no AQE coalesce of the
+    // pair-join exchanges at stress scale), and a full-defaults calm
+    // rehearsal (probe floor 0.516, the calmest window on record) read
+    // [19.31, 12.85, 12.28] — the old 23.7-38.2 band (pre-barrier obs
+    // 27.9-33.2) now sits ENTIRELY above calm. lo 15% under the calm
+    // min; hi covers the fresh-JVM first sample with margin.
+    "semdedup" -> (10.4, 20.0),
     // media — obs 16.7-23 / 2.0-3.2 (§8.23j, r12-13)
     "decode_headers" -> (14.2, 26.5),
     "decode_pixels" -> (1.7, 3.7),
@@ -131,21 +137,20 @@ object StressOps {
     "langid" -> (7.0, 13.2),
     // token — head()-def obs bpe 3.4-5.1, ngram 13.9-20.0
     "bpe_encode" -> (2.9, 6.9),             // obs 3.4-6.26 (§8.26l calm)
-    // r19: score() rewritten to the zero-exchange broadcast-model kernel
-    // (the pre-r19 band was 11.8-25.0 for the lattice-explode plan, obs
-    // 13.9-22.8 calm). TWO-observation calm evidence now (r20, VERDICT
-    // r19 item 7): 5.334 on a genuinely calm bracket ([0.74, 0.64], the
-    // full-defaults r19 rehearsal) and the r19 DRIVER run's 8.408 at
-    // token bracket [0.79, 0.70] — certifiably calm vs its 0.684 floor
-    // ref (bound 0.855). Warm context: 8.90-14.50 at probes 1.19-1.25;
-    // an r20 re-observation read 8.33-8.63 at probes ~0.97 (~1.7x the
-    // 0.558 floor). lo widened 5.2 → 5.0 (6.3% under the min calm obs —
-    // the ADVICE r19 margin concern) and deliberately == HotSkipCalmSecs
-    // so the arm STAYS hot-skippable: a 3-sample attempt is still ~16 s
-    // calm and multiplies under heat. If later calm runs undercut 5.0,
-    // drop the arm from the skip set together with its BenchLineSpec
-    // membership pin rather than bending lo below the skip threshold.
-    "ngram_lm_score" -> (5.0, 16.0),
+    // r19: score() rewritten to the zero-exchange broadcast-model
+    // kernel (pre-r19 lattice-explode band 11.8-25.0). r20: the model
+    // drain additionally checkpoints before its bounded take (the
+    // scale-up-scan fix), and a full-defaults calm rehearsal on the r20
+    // bits (probe floor 0.516) read [5.36, 4.637, 4.278] — under the
+    // prior 5.0 floor, which fired that band-comment's own rule: lo
+    // dropped BELOW HotSkipCalmSecs (the arm leaves the hot-skip set —
+    // BenchLineSpec membership pin updated with it) instead of bending
+    // the skip threshold. Context: earlier r20-bit obs 8.33-8.63 at
+    // probes ~0.97 (~1.7× floor, mildly warm — correctly above-band
+    // now); pre-r20 calm obs 5.334/8.408 are superseded by the drain
+    // change. lo 15% under the calm min; hi covers warm-adjacent
+    // variance without absorbing 2×+ heat.
+    "ngram_lm_score" -> (3.6, 8.0),
     // metrics — §8.22h 5.5/7.0/6.4/7.8, r17 driver 10.45/8.49,
     // §8.24e/g 7.2-9.0; skew twins single-obs → widened
     "stats_pct_exact" -> (4.7, 12.0),
